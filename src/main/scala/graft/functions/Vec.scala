@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, built from
+  * codegen'd higher-order functions (`zip_with`/`aggregate`) — no
+  * UDFs, so the expressions stay inside whole-stage codegen and
+  * never serialize rows out of Tungsten format.
+  *
+  * Products are computed in float64 after an explicit element cast:
+  * deterministic left-to-right accumulation, independent of
+  * partitioning.
+  */
+object Vec {
+
+  private def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Dot product of two float vectors in float64. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-bit locality-sensitive hash: the bucket id packs the sign
+    * of the projection onto each hyperplane. `planes` must be small
+    * (nPlanes × dim doubles) — it ships as a literal in the plan and
+    * is evaluated per row without any join.
+    */
+  def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      when(aggregate(zip_with(plane, asDouble(v), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Deterministic pseudo-random hyperplanes (splitmix64 over a
+    * fixed seed) — reproducible across runs and engines without an
+    * RNG at execution time.
+    */
+  def deterministicPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    var x = seed
+    def next(): Long = {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.fill(nPlanes, dim) {
+      // uniform in [-1, 1): plenty for sign-projection LSH
+      (next() >>> 11) * (1.0 / (1L << 52)) * 2.0 - 1.0
+    }
+  }
+}

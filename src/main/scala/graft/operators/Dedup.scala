@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection suite for document corpora.
+  *
+  * Everything is built from codegen'd column expressions —
+  * `transform`/`filter`/`aggregate`/`xxhash64` — so signatures are
+  * computed in one narrow map over the corpus (no shuffle), and only
+  * compact signatures + ids shuffle into the candidate join. That is
+  * the property that lets each algorithm run over 100 TB: the
+  * candidate-pair stage never touches document bytes, and the final
+  * verify joins payloads back for candidates only.
+  *
+  * Algorithms:
+  *  - exact:      content-digest groupBy (see TextOps q32)
+  *  - minHashLsh: shingle → minhash signature → banded buckets →
+  *                bucket join → exact-Jaccard verify
+  *  - simHash:    token-hash bit voting → 64-bit fingerprint →
+  *                chunk-blocked join → Hamming verify
+  *  - ngramJaccard: exact Jaccard over shingle sets via an
+  *                inverted-index equi-join (no cross join)
+  *
+  * Determinism: all hashes are xxhash64 (fixed seed 42); permutation
+  * constants come from splitmix64(seed) — reproducible across runs,
+  * partitionings, and cluster sizes.
+  */
+object Dedup {
+
+  /** Word n-gram shingles of `textCol`, as distinct 64-bit hashes.
+    * Hashing shingles immediately keeps the row footprint bounded
+    * regardless of document size.
+    */
+  def shingleHashes(textCol: Column, n: Int): Column = {
+    val toks = split(textCol, " ")
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    array_distinct(transform(idx, i =>
+      xxhash64(concat_ws("", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
+  }
+
+  /** Splitmix64 stream, used for minhash permutation constants. */
+  private def splitmix(seed: Long, count: Int): Array[Long] = {
+    var x = seed
+    Array.fill(count) {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+  }
+
+  /** MinHash signature column (array<long> of length `numPerm`) over
+    * a column of shingle-hash arrays. The i-th "permutation" is
+    * xxhash64(shingle, salt_i) — independent per-salt hash families,
+    * no overflow under ANSI arithmetic, deterministic everywhere.
+    */
+  def minHashSignature(shingles: Column, numPerm: Int, seed: Long = 42L): Column = {
+    val salts = splitmix(seed, numPerm)
+    array((0 until numPerm).map { i =>
+      array_min(transform(shingles, x => xxhash64(x, lit(salts(i)))))
+    }: _*)
+  }
+
+  /** Candidate pairs whose minhash signatures collide in at least
+    * one LSH band, verified with exact Jaccard ≥ `threshold`.
+    * Output: (a_id, b_id), a_id < b_id, deterministic.
+    */
+  def minHashLsh(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numPerm: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    val sig = docs.select(
+      col(idCol).as("id"),
+      shingleHashes(col(textCol), shingleN).as("sh"))
+      .withColumn("mh", minHashSignature(col("sh"), numPerm))
+
+    // band hash: one bucket key per band over its signature slice
+    val banded = sig.select(col("id"), col("sh"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64((0 until rowsPerBand).map(r =>
+          element_at(col("mh"), b * rowsPerBand + r + 1)): _*)
+      }: _*)).as(Seq("band", "bucket")))
+
+    val a = banded.select(col("band"), col("bucket"), col("id").as("a_id"), col("sh").as("sha"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("b_id"), col("sh").as("shb"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "sha", "shb").distinct()
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sha"), col("shb"))).cast("double"))
+      .filter(col("inter") / col("uni") >= threshold)
+      .select("a_id", "b_id")
+  }
+
+  /** 64-bit SimHash fingerprint of the token multiset: bit k is the
+    * sign of the vote sum over tokens' hash-bit k.
+    */
+  def simHash(textCol: Column): Column = {
+    val hashes = transform(split(textCol, " "), t => xxhash64(t))
+    val n = size(hashes).cast("long")
+    (0 until 64).map { k =>
+      val ones = size(filter(hashes, h =>
+        h.bitwiseAND(lit(1L << k)) =!= 0)).cast("long")
+      // vote: ones - zeros >= 0  ⇔  2*ones >= n
+      when(ones * 2 >= n, lit(1L << k)).otherwise(lit(0L))
+    }.reduce[Column](_ + _)
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ `maxHamming`.
+    * Blocking: split the 64-bit fingerprint into `maxHamming + 1`
+    * chunks — any pair within distance d must agree on ≥1 chunk
+    * (pigeonhole), so candidates come from chunk-equality joins,
+    * never a cross join.
+    */
+  def simHashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val fp = docs.select(col(idCol).as("id"), simHash(col(textCol)).as("fp"))
+    val chunked = fp.select(col("id"), col("fp"),
+      posexplode(array((0 until chunks).map { c =>
+        col("fp").bitwiseAND(lit(((1L << bitsPer) - 1) << (c * bitsPer)))
+      }: _*)).as(Seq("chunk", "ckey")))
+    val a = chunked.select(col("chunk"), col("ckey"), col("id").as("a_id"), col("fp").as("fpa"))
+    val b = chunked.select(col("chunk"), col("ckey"), col("id").as("b_id"), col("fp").as("fpb"))
+    a.join(b, Seq("chunk", "ckey"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "fpa", "fpb").distinct()
+      .filter(bit_count(col("fpa").bitwiseXOR(col("fpb"))) <= maxHamming)
+      .select("a_id", "b_id")
+  }
+
+  /** Exact n-gram Jaccard pairs ≥ `threshold` via inverted-index
+    * join on shingle hash (each shingle contributes its doc-id
+    * postings; intersections come from the equi-join, sizes from a
+    * groupBy — standard set-similarity join shape).
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(shingleHashes(col(textCol), shingleN)).as("g"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.g") === col("y.g") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("id"), col("n").as("na")), col("a_id") === col("id")).drop("id")
+      .join(sizes.select(col("id"), col("n").as("nb")), col("b_id") === col("id")).drop("id")
+      .filter(col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double") >= threshold)
+      .select("a_id", "b_id")
+  }
+}

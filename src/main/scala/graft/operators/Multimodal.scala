@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media payloads ride through the
+  * relational engine as opaque `binary` columns plus typed metadata,
+  * and per-item decode/feature-extraction runs as a typed
+  * `mapPartitions` over the binary batches — the Scala-side
+  * equivalent of an Arrow-batched Python UDF.
+  *
+  * The actual codec call is STUBBED (`FakeCodec`): this container
+  * has no image/audio libraries, so decode is a deterministic pure
+  * function of the bytes. Everything around it — schema, encoders,
+  * partition-level batching, feature schema — is the real plumbing
+  * a codec would drop into.
+  */
+object Multimodal {
+
+  /** A media row: payload + sidecar metadata. */
+  final case class MediaItem(doc_id: Long, payload: Array[Byte], media_type: String)
+
+  /** Extracted features (what a real decoder would emit). */
+  final case class MediaFeatures(
+      doc_id: Long,
+      byte_len: Long,
+      header_byte: Long,
+      width: Long,
+      height: Long,
+      n_frames: Long)
+
+  /** STUB codec — deterministic byte math in place of a real
+    * image/audio decode. Swap this object for a JNI/ImageIO-backed
+    * implementation; the Spark plumbing does not change.
+    */
+  object FakeCodec {
+    def decode(payload: Array[Byte]): (Long, Long, Long) = {
+      val len = payload.length.toLong
+      // fake "dimensions": stable functions of the payload bytes
+      val w = (len % 640) + 1
+      val h = ((len * 7919) % 480) + 1
+      val frames = (len / 97) + 1
+      (w, h, frames)
+    }
+  }
+
+  /** Wrap a text table into binary media items (test harness for the
+    * plumbing; a real pipeline reads payloads from parquet/object
+    * storage directly as `binary`).
+    */
+  def asMedia(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaItem] = {
+    import spark.implicits._
+    docs.select(col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        lit("text/fake").as("media_type"))
+      .as[MediaItem]
+  }
+
+  /** Decode + feature-extract, one partition at a time. Partitions
+    * stream through the codec without collecting; at scale this is
+    * the operator you'd size `maxPartitionBytes` around so a
+    * partition of payloads fits executor memory.
+    */
+  def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { m =>
+        val (w, h, f) = FakeCodec.decode(m.payload)
+        MediaFeatures(
+          doc_id = m.doc_id,
+          byte_len = m.payload.length.toLong,
+          header_byte = if (m.payload.nonEmpty) m.payload(0).toLong & 0xffL else -1L,
+          width = w, height = h, n_frames = f)
+      }
+    }
+  }
+}

@@ -1,0 +1,34 @@
+package graft.queries
+
+import graft.operators.Dedup
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Query bindings for the near-dup suite. These are approximate /
+  * signature-based algorithms with no SQL formulation — the driver
+  * records rows-only checks; exactness is covered by DedupSpec
+  * (planted-duplicate fixtures) and the SQL-oracled exact variants
+  * (q32_exact_dedup, q35_token_jaccard).
+  *
+  * Thresholds are tuned LOW for the synthetic corpus (uniform word
+  * salad has no true near-dups) so the candidate → verify pipeline
+  * actually exercises end-to-end with non-empty output.
+  */
+object DedupOps {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_minhash_lsh" -> ((s, d) =>
+      Dedup.minHashLsh(Tables(s, d).documents, "doc_id", "text",
+        shingleN = 1, numPerm = 32, bands = 16, threshold = 0.5)),
+
+    "q37_simhash" -> ((s, d) =>
+      Dedup.simHashPairs(Tables(s, d).documents, "doc_id", "text",
+        maxHamming = 7)),
+
+    "q38_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables(s, d).documents, "doc_id", "text",
+        shingleN = 2, threshold = 0.25))
+  )
+
+  def oracleSql: Map[String, String] = Map.empty
+}

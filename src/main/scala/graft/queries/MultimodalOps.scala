@@ -1,0 +1,32 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Query bindings for the multimodal plumbing. The oracle can
+  * reproduce the arithmetic because the stub codec is pure byte
+  * math — which is exactly what makes the plumbing testable without
+  * media libraries.
+  */
+object MultimodalOps {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_media_features" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      Multimodal.extractFeatures(Multimodal.asMedia(Tables(s, d).documents))
+        .toDF()
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q45_media_features" ->
+      """SELECT doc_id,
+                octet_length(encode(text))::BIGINT AS byte_len,
+                ascii(text[1])::BIGINT AS header_byte,
+                (octet_length(encode(text)) % 640 + 1)::BIGINT AS width,
+                ((octet_length(encode(text)) * 7919) % 480 + 1)::BIGINT AS height,
+                (octet_length(encode(text)) // 97 + 1)::BIGINT AS n_frames
+         FROM documents"""
+  )
+}

@@ -1,0 +1,383 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage (SURVEY.md §2.1–§2.8) mapped onto the
+  * driver's star schema: `lineitem` plays the streams fact
+  * (reference `glue_job.py:53`), `part` plays the songs dimension
+  * (`glue_job.py:52`), `p_brand` plays `track_genre`, the ship date
+  * plays the stream date (`glue_job.py:59`), and `l_quantity` plays
+  * `listen_time_seconds` (`glue_job.py:77-80`).
+  *
+  * Scale notes (100 TB design):
+  *  - `part` is ~0.2% of `lineitem` bytes at TPC-H proportions, so
+  *    the fact-dim join is explicitly `broadcast()` — no shuffle of
+  *    the fact side, ever (SURVEY §2.3 J1).
+  *  - Aggregations are partial+final hash aggregates (map-side
+  *    combine), so the shuffle carries group keys not raw rows.
+  *  - Top-k windows rely on Spark ≥3.5 `InferWindowGroupLimit`
+  *    (WindowGroupLimitExec) to push the rank filter below the sort,
+  *    bounding per-partition state to k rows (SURVEY §2.6 W1/W2).
+  */
+object Relational {
+
+  /** Shared cleaned+joined prefix of the KPI dataflow: fact ⋈ dim
+    * with a broadcast hash join (reference `glue_job.py:65-74`).
+    */
+  def factDim(t: Tables): DataFrame = {
+    val streams = t.lineitem
+      .na.drop("any", Seq("l_partkey", "l_suppkey", "l_shipdate"))
+      .withColumn("ship_date", date_format(col("l_shipdate"), "yyyy-MM-dd"))
+    val songs = t.part
+      .select("p_partkey", "p_name", "p_brand")
+      .na.drop("any", Seq("p_partkey", "p_name", "p_brand"))
+    streams.join(broadcast(songs),
+      streams("l_partkey") === songs("p_partkey"), "left")
+  }
+
+  /** A1 (`glue_job.py:86-88`): per-(date, genre, song) play counts. */
+  def songCounts(t: Tables): DataFrame =
+    factDim(t)
+      // P7 parity (`glue_job.py:83`): null-rejecting regex filter —
+      // makes the left join behave as inner (EliminateOuterJoin).
+      .filter(!col("p_brand").rlike("^[0-9]+(\\.[0-9]+)?$"))
+      .groupBy(col("ship_date"), col("p_brand"), col("p_partkey"), col("p_name"))
+      .agg(count(lit(1)).as("listen_count"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S2: scan + projection; Catalyst prunes to the parquet scan.
+    "q01_scan_project" -> ((s, d) =>
+      Tables(s, d).part.select("p_partkey", "p_name", "p_type")),
+
+    // Filter pushdown to the scan (PushedFilters in .explain).
+    "q02_filter_pushdown" -> ((s, d) =>
+      Tables(s, d).lineitem
+        .filter(col("l_quantity") >= 30 && col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")),
+
+    // P3 (`glue_job.py:59`): derived date string from a timestamp.
+    "q03_derive_date" -> ((s, d) =>
+      Tables(s, d).events
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+          col("event_type"))),
+
+    // P4 (`glue_job.py:77-80`): seconds-since-midnight arithmetic.
+    "q04_time_arith" -> ((s, d) =>
+      Tables(s, d).events
+        .select(col("event_id"),
+          (hour(col("ts")) * 3600 + minute(col("ts")) * 60 + second(col("ts")))
+            .cast("long").as("secs_since_midnight"))),
+
+    // P5/P6 (`glue_job.py:60,62`): null-drop on required columns.
+    "q05_null_drop" -> ((s, d) =>
+      Tables(s, d).events
+        .na.drop("any", Seq("user_id", "event_type", "ts"))
+        .select("event_id", "user_id", "event_type")),
+
+    // P7 (`glue_job.py:83`): negated regex predicate (three-valued logic).
+    "q06_regex_filter" -> ((s, d) =>
+      Tables(s, d).part
+        .filter(!col("p_name").rlike("^(red|blue) "))
+        .select("p_partkey", "p_name")),
+
+    // D1 (`glue_job.py:61`) deterministic variant: one row per key,
+    // picked by explicit order — reproducible across engines/runs.
+    "q07_dedup_keyed" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_partkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      Tables(s, d).lineitem
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("l_partkey", "l_orderkey", "l_linenumber", "l_quantity")
+    }),
+
+    // J1 (`glue_job.py:65-74`): left equi-join, dim side broadcast.
+    "q08_left_join" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.lineitem.join(
+          broadcast(t.part.select("p_partkey", "p_name", "p_brand")),
+          col("l_partkey") === col("p_partkey"), "left")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "p_name", "p_brand")
+    }),
+
+    // J1+P7: null-rejecting filter above the left join — Catalyst's
+    // EliminateOuterJoin legally rewrites it to inner (SURVEY §4).
+    "q09_join_null_filter" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.lineitem.join(
+          broadcast(t.part.select("p_partkey", "p_name", "p_brand")),
+          col("l_partkey") === col("p_partkey"), "left")
+        .filter(!col("p_brand").rlike("^[0-9]+(\\.[0-9]+)?$"))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "p_name", "p_brand")
+    }),
+
+    // A1 (`glue_job.py:86-88`): 4-column hash aggregate.
+    "q10_song_counts" -> ((s, d) =>
+      songCounts(Tables(s, d))),
+
+    // A2 (`glue_job.py:95-100`): multi-aggregate KPI. Parity quirk
+    // preserved: unique_listeners is a NON-distinct count
+    // (`glue_job.py:97`, SURVEY §2.5).
+    "q11_genre_kpis" -> ((s, d) =>
+      factDim(Tables(s, d))
+        .filter(!col("p_brand").rlike("^[0-9]+(\\.[0-9]+)?$"))
+        .groupBy(col("ship_date"), col("p_brand"))
+        .agg(
+          count(lit(1)).as("listen_count"),
+          count(col("l_suppkey")).as("unique_listeners"),
+          sum(col("l_quantity")).as("total_listening_time"),
+          avg(col("l_quantity")).as("avg_listening_time"))),
+
+    // W1 (`glue_job.py:89-90`): top-3 per (date, genre), deterministic
+    // tie-break on the key (SURVEY §2.6 determinism caveat).
+    "q12_top_songs" -> ((s, d) => {
+      val w = Window.partitionBy(col("ship_date"), col("p_brand"))
+        .orderBy(col("listen_count").desc, col("p_partkey"))
+      songCounts(Tables(s, d))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+    }),
+
+    // W2 (`glue_job.py:91-92`): "top genres" — song-grain top-5 per
+    // date, exactly as the reference computes it (SURVEY §2.6 W2).
+    "q13_top_genres" -> ((s, d) => {
+      val w = Window.partitionBy(col("ship_date"))
+        .orderBy(col("listen_count").desc, col("p_partkey"))
+      songCounts(Tables(s, d))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+    }),
+
+    // Consumer-side ORDER BY + LIMIT (README.md:70-75): global top-k
+    // → TakeOrderedAndProject, no full sort at scale.
+    "q14_orderby_limit" -> ((s, d) =>
+      Tables(s, d).lineitem
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .orderBy(col("total_qty").desc, col("l_partkey"))
+        .limit(10)),
+
+    // S3: multi-file/multi-subset union (directory-scan semantics).
+    "q15_union_all" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      ev.filter(col("event_type") === "click")
+        .unionAll(ev.filter(col("event_type") === "view"))
+        .select("event_id", "user_id", "event_type")
+    }),
+
+    // Engine completeness: semi/anti joins (EXISTS / NOT EXISTS).
+    "q16_semi_join" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.part.join(t.lineitem.select("l_partkey"),
+          col("p_partkey") === col("l_partkey"), "left_semi")
+        .select("p_partkey", "p_name")
+    }),
+    "q17_anti_join" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.part.join(t.lineitem.select("l_partkey"),
+          col("p_partkey") === col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+    }),
+
+    // DISTINCT (shuffle on all projected columns).
+    "q18_distinct" -> ((s, d) =>
+      Tables(s, d).events.select("user_id", "event_type").distinct()),
+
+    // The "intended" semantics of unique_listeners (SURVEY §2.5):
+    // exact distinct count per group.
+    "q19_count_distinct" -> ((s, d) =>
+      Tables(s, d).events
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))),
+
+    // Multi-table chain join: fact → dim → dim (snowflake path),
+    // all dims broadcast.
+    "q20_chain_join" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.customer
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+    }),
+
+    // Running aggregate over an ordered frame (engine completeness;
+    // deterministic: event_id is a unique tie-break).
+    "q21_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // Rounded to the data's 2-decimal grid: engines accumulate
+      // window sums in different orders (segment tree vs prefix) and
+      // differ at ~1e-12; the true value is a 2-decimal number.
+      Tables(s, d).events
+        .select(col("event_id"), col("user_id"),
+          round(sum(col("value")).over(w), 2).as("running_value"))
+    }),
+
+    // lag/lead analytics (engine completeness).
+    "q22_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, d).events
+        .select(col("event_id"), col("user_id"),
+          lag(col("event_type"), 1).over(w).as("prev_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+    }),
+
+    // JSON extraction from the events props column.
+    "q23_json_extract" -> ((s, d) =>
+      Tables(s, d).events
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
+    // Grouping sets / rollup (engine completeness).
+    "q24_rollup" -> ((s, d) =>
+      Tables(s, d).lineitem
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))),
+
+    // CASE / conditional aggregation.
+    "q25_case_agg" -> ((s, d) =>
+      Tables(s, d).orders
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+          sum(when(col("o_totalprice") > 100000, lit(1)).otherwise(lit(0)))
+            .cast("long").as("n_big"))),
+
+    // Correlated-style aggregate filter: orders above their
+    // priority's average price (subquery via join).
+    "q26_above_avg" -> ((s, d) => {
+      val o = Tables(s, d).orders
+      val avgs = o.groupBy(col("o_orderpriority").as("p"))
+        .agg(avg(col("o_totalprice")).as("avg_price"))
+      o.join(broadcast(avgs), o("o_orderpriority") === col("p"))
+        .filter(col("o_totalprice") > col("avg_price"))
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_project" ->
+      "SELECT p_partkey, p_name, p_type FROM part",
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem WHERE l_quantity >= 30 AND l_shipdate < TIMESTAMP '1998-01-01'""",
+    "q03_derive_date" ->
+      "SELECT event_id, strftime(ts, '%Y-%m-%d') AS event_date, event_type FROM events",
+    "q04_time_arith" ->
+      """SELECT event_id,
+                (date_part('hour', ts) * 3600 + date_part('minute', ts) * 60
+                 + date_part('second', ts))::BIGINT AS secs_since_midnight
+         FROM events""",
+    "q05_null_drop" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL""",
+    "q06_regex_filter" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE NOT regexp_matches(p_name, '^(red|blue) ')""",
+    "q07_dedup_keyed" ->
+      """SELECT l_partkey, l_orderkey, l_linenumber, l_quantity FROM lineitem
+         QUALIFY row_number() OVER (PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber) = 1""",
+    "q08_left_join" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, p_name, p_brand
+         FROM lineitem LEFT JOIN part ON l_partkey = p_partkey""",
+    "q09_join_null_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, p_name, p_brand
+         FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+         WHERE NOT regexp_matches(p_brand, '^[0-9]+(\.[0-9]+)?$')""",
+    "q10_song_counts" ->
+      """SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_date, p_brand, p_partkey, p_name,
+                count(*) AS listen_count
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE NOT regexp_matches(p_brand, '^[0-9]+(\.[0-9]+)?$')
+         GROUP BY 1, 2, 3, 4""",
+    "q11_genre_kpis" ->
+      """SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_date, p_brand,
+                count(*) AS listen_count,
+                count(l_suppkey) AS unique_listeners,
+                sum(l_quantity) AS total_listening_time,
+                avg(l_quantity) AS avg_listening_time
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE NOT regexp_matches(p_brand, '^[0-9]+(\.[0-9]+)?$')
+         GROUP BY 1, 2""",
+    "q12_top_songs" ->
+      """WITH sc AS (
+           SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_date, p_brand, p_partkey, p_name,
+                  count(*) AS listen_count
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE NOT regexp_matches(p_brand, '^[0-9]+(\.[0-9]+)?$')
+           GROUP BY 1, 2, 3, 4)
+         SELECT ship_date, p_brand, p_partkey, p_name, listen_count,
+                row_number() OVER (PARTITION BY ship_date, p_brand
+                                   ORDER BY listen_count DESC, p_partkey) AS rank
+         FROM sc
+         QUALIFY rank <= 3""",
+    "q13_top_genres" ->
+      """WITH sc AS (
+           SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_date, p_brand, p_partkey, p_name,
+                  count(*) AS listen_count
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE NOT regexp_matches(p_brand, '^[0-9]+(\.[0-9]+)?$')
+           GROUP BY 1, 2, 3, 4)
+         SELECT ship_date, p_brand, p_partkey, p_name, listen_count,
+                row_number() OVER (PARTITION BY ship_date
+                                   ORDER BY listen_count DESC, p_partkey) AS rank
+         FROM sc
+         QUALIFY rank <= 5""",
+    "q14_orderby_limit" ->
+      """SELECT l_partkey, sum(l_quantity) AS total_qty FROM lineitem
+         GROUP BY 1 ORDER BY total_qty DESC, l_partkey LIMIT 10""",
+    "q15_union_all" ->
+      """SELECT event_id, user_id, event_type FROM events WHERE event_type = 'click'
+         UNION ALL
+         SELECT event_id, user_id, event_type FROM events WHERE event_type = 'view'""",
+    "q16_semi_join" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""",
+    "q17_anti_join" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""",
+    "q18_distinct" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "q19_count_distinct" ->
+      "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
+    "q20_chain_join" ->
+      """SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+                       JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2""",
+    "q21_running_sum" ->
+      """SELECT event_id, user_id,
+                round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+         FROM events""",
+    "q22_lag_lead" ->
+      """SELECT event_id, user_id,
+                lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+                lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+         FROM events""",
+    "q23_json_extract" ->
+      "SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k FROM events",
+    "q24_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q25_case_agg" ->
+      """SELECT o_orderpriority,
+                count(*) AS n_orders,
+                count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+                sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END)::BIGINT AS n_big
+         FROM orders GROUP BY 1""",
+    "q26_above_avg" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice
+         FROM orders o
+         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders i
+                               WHERE i.o_orderpriority = o.o_orderpriority)"""
+  )
+}

@@ -1,0 +1,168 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + dedup operators over the `documents` table — the
+  * training-data-pipeline surface (BASELINE.json north star).
+  *
+  * All operators are pure column expressions (whole-stage codegen,
+  * no UDFs), so they scale linearly with input bytes and shuffle
+  * only what each op genuinely needs (e.g. dedup shuffles 16-byte
+  * digests + doc ids, never the documents themselves).
+  */
+object TextOps {
+
+  /** Tokens of a document; the generated corpus is single-space
+    * delimited ASCII.
+    */
+  private def tokens = split(col("text"), " ")
+
+  private val stopwords = Seq("the", "a", "of", "and", "to")
+
+  /** Marker-token sets for the n-gram-free language-ID heuristic.
+    * Real deployments would use char-n-gram profiles; the voting
+    * scaffold (per-language evidence count → deterministic argmax)
+    * is the part that matters at scale.
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of"),
+    "es" -> Seq("el", "la", "los", "que"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "fr" -> Seq("le", "les", "des", "est"),
+    "zh" -> Seq("de", "shi", "bu", "le")
+  )
+
+  private def markerCount(ms: Seq[String]): org.apache.spark.sql.Column = {
+    val inList = ms.map(m => s"'$m'").mkString(", ")
+    expr(s"size(filter(split(text, ' '), t -> t IN ($inList)))").cast("long")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting (whitespace tokenizer).
+    "q30_token_count" -> ((s, d) =>
+      Tables(s, d).documents
+        .select(col("doc_id"), size(tokens).cast("long").as("n_tokens"))),
+
+    // Document fingerprinting: content digest, the key for exact
+    // dedup. At 100 TB the digest (16 bytes) is all that shuffles.
+    "q31_fingerprint" -> ((s, d) =>
+      Tables(s, d).documents
+        .select(col("doc_id"), md5(col("text")).as("fp"))),
+
+    // Exact dedup: hash-groupBy on the digest, keep the smallest id
+    // (deterministic representative pick).
+    "q32_exact_dedup" -> ((s, d) =>
+      Tables(s, d).documents
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))),
+
+    // Quality scoring: length / punctuation / stopword signals.
+    // Ratios are exact rationals (int/int) → bit-identical across
+    // engines.
+    "q33_quality" -> ((s, d) => {
+      val nTok = size(tokens).cast("long")
+      val nStop = markerCount(stopwords)
+      val punct = (length(col("text")) -
+        length(regexp_replace(col("text"), "[.!?,;]", ""))).cast("long")
+      Tables(s, d).documents.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        nTok.as("n_tokens"),
+        punct.as("n_punct"),
+        nStop.as("n_stopwords"),
+        (nStop.cast("double") / nTok.cast("double")).as("stopword_ratio"))
+    }),
+
+    // Language ID: per-language marker-token votes, deterministic
+    // argmax with fixed preference order on ties.
+    "q34_lang_id" -> ((s, d) => {
+      val counts = langMarkers.map { case (l, ms) => l -> markerCount(ms) }
+      // argmax via chained when(): first language whose count is
+      // >= all later ones and > all earlier ones' running max.
+      val best = counts.tail.foldLeft(
+        (counts.head._2, lit(counts.head._1))) { case ((bc, bl), (l, c)) =>
+        (when(c > bc, c).otherwise(bc), when(c > bc, lit(l)).otherwise(bl))
+      }
+      Tables(s, d).documents.select(
+        (counts.map { case (l, c) => c.as(s"c_$l") } :+
+          best._2.as("pred_lang") :+ col("doc_id").as("doc_id")): _*)
+    }),
+
+    // Exact token-set Jaccard near-dup pairs (n-gram Jaccard with
+    // n=1). Pair generation is an equi-join on token (inverted
+    // index), not a cross join — the scale path for set-similarity.
+    // Jaccard is an exact rational → threshold compare is stable.
+    "q35_token_jaccard" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val tok = docs.select(col("doc_id"),
+        explode(array_distinct(tokens)).as("t"))
+      val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = tok.as("a").join(tok.as("b"),
+          col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("c"))
+      inter
+        .join(sizes.select(col("doc_id"), col("n").as("na")), col("a_id") === col("doc_id")).drop("doc_id")
+        .join(sizes.select(col("doc_id"), col("n").as("nb")), col("b_id") === col("doc_id")).drop("doc_id")
+        .withColumn("jaccard",
+          col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
+        .filter(col("jaccard") >= 0.9)
+        .select("a_id", "b_id", "c", "na", "nb", "jaccard")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q30_token_count" ->
+      "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents",
+    "q31_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents",
+    "q32_exact_dedup" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies
+         FROM documents GROUP BY 1""",
+    "q33_quality" ->
+      """SELECT doc_id,
+                length(text)::BIGINT AS n_chars,
+                len(string_split(text, ' '))::BIGINT AS n_tokens,
+                (length(text) - length(regexp_replace(text, '[.!?,;]', '', 'g')))::BIGINT AS n_punct,
+                len(list_filter(string_split(text, ' '),
+                    t -> t IN ('the', 'a', 'of', 'and', 'to')))::BIGINT AS n_stopwords,
+                len(list_filter(string_split(text, ' '),
+                    t -> t IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE
+                  / len(string_split(text, ' '))::DOUBLE AS stopword_ratio
+         FROM documents""",
+    "q34_lang_id" ->
+      """WITH c AS (
+           SELECT doc_id,
+                  len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of')))::BIGINT AS c_en,
+                  len(list_filter(string_split(text, ' '), t -> t IN ('el','la','los','que')))::BIGINT AS c_es,
+                  len(list_filter(string_split(text, ' '), t -> t IN ('der','die','und','ist')))::BIGINT AS c_de,
+                  len(list_filter(string_split(text, ' '), t -> t IN ('le','les','des','est')))::BIGINT AS c_fr,
+                  len(list_filter(string_split(text, ' '), t -> t IN ('de','shi','bu','le')))::BIGINT AS c_zh
+           FROM documents)
+         SELECT c_en, c_es, c_de, c_fr, c_zh,
+                CASE WHEN c_zh > greatest(c_en, c_es, c_de, c_fr) THEN 'zh'
+                     WHEN c_fr > greatest(c_en, c_es, c_de) THEN 'fr'
+                     WHEN c_de > greatest(c_en, c_es) THEN 'de'
+                     WHEN c_es > c_en THEN 'es'
+                     ELSE 'en' END AS pred_lang,
+                doc_id
+         FROM c""",
+    "q35_token_jaccard" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+           FROM documents),
+         sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+           FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT a_id, b_id, c, sa.n AS na, sb.n AS nb,
+                c::DOUBLE / (sa.n + sb.n - c)::DOUBLE AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = a_id
+         JOIN sizes sb ON sb.doc_id = b_id
+         WHERE c::DOUBLE / (sa.n + sb.n - c)::DOUBLE >= 0.9"""
+  )
+}

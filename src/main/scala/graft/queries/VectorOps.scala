@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Vec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search + embedding dedup over the `embeddings` table
+  * (`array<float>` column, 64-dim, unit-norm).
+  *
+  * Scale design: the brute-force path broadcasts the *query* set and
+  * streams the corpus (one pass, no corpus shuffle) — correct
+  * baseline at any corpus size as long as queries × k fits on an
+  * executor. The LSH path buckets the corpus once (narrow map), then
+  * joins within buckets — the 100 TB route where brute force is too
+  * expensive. Similarity VALUES are never emitted (engines disagree
+  * at ~1e-8); only ranks and threshold survivors, which are stable
+  * because the data's smallest meaningful gap is ~1e-5.
+  */
+object VectorOps {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force exact top-k cosine neighbors for a query subset.
+    "q40_ann_topk" -> ((s, d) => {
+      val emb = Tables(s, d).embeddings
+      val qs = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      emb.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("sim", Vec.cosine(col("qv"), col("embedding")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+    }),
+
+    // Embedding near-duplicate pairs: cosine above a threshold that
+    // sits in a ≥1e-4 gap of the data's sim distribution.
+    "q41_embedding_neardup" -> ((s, d) => {
+      val emb = Tables(s, d).embeddings
+      val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+      val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+      a.crossJoin(b)
+        .filter(col("a_id") < col("b_id"))
+        .filter(Vec.cosine(col("va"), col("vb")) >= 0.45)
+        .select("a_id", "b_id")
+    }),
+
+    // LSH-bucketed ANN (the scale path): deterministic sign-LSH
+    // bucket per vector, exact rerank within bucket. Approximate —
+    // verified by a rows-only check plus RecallSpec in ScalaTest.
+    "q42_ann_lsh" -> ((s, d) => {
+      val planes = Vec.deterministicPlanes(nPlanes = 8, dim = 64)
+      val emb = Tables(s, d).embeddings
+        .withColumn("bucket", Vec.lshBucket(col("embedding"), planes))
+      val a = emb.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("va"))
+      val b = emb.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("vb"))
+      val w = Window.partitionBy(col("a_id"))
+        .orderBy(col("sim").desc, col("b_id"))
+      a.join(b, "bucket")
+        .filter(col("a_id") =!= col("b_id"))
+        .withColumn("sim", Vec.cosine(col("va"), col("vb")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("a_id"), col("b_id").as("neighbor_id"), col("rank"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q40_ann_topk" ->
+      """SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY a.vec_id
+                  ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rank
+         FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND b.vec_id <> a.vec_id
+         QUALIFY rank <= 5""",
+    "q41_embedding_neardup" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"""
+    // q42_ann_lsh: approximate, not SQL-expressible → rows-only check.
+  )
+}
