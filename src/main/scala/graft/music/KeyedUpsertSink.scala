@@ -1,0 +1,61 @@
+package graft.music
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The DynamoDB write contract (SURVEY §1.4, `glue_job.py:103-132`):
+  * per-item upsert keyed by the destination table's primary key,
+  * last-writer-wins, never truncate-and-load.
+  *
+  * `ParquetKeyedUpsertSink` is the local/test implementation: the
+  * table is a parquet directory; an upsert merges new rows over
+  * existing ones by key (anti-join out the overwritten keys), writes
+  * to a staging directory, then atomically swaps. Within one batch,
+  * duplicate keys collapse deterministically (max by a total order
+  * over the remaining columns) — mirroring "last writer wins" while
+  * staying reproducible under Spark's unordered execution.
+  *
+  * A cloud implementation (e.g. DynamoDB `batchWriteItem` via
+  * `df.foreachPartition` + an SDK client) plugs in behind the same
+  * trait; the KPI job depends only on the contract.
+  */
+trait KeyedUpsertSink {
+  def upsert(df: DataFrame, keyCols: Seq[String]): Unit
+  def read(spark: SparkSession): DataFrame
+}
+
+final case class ParquetKeyedUpsertSink(path: String) extends KeyedUpsertSink {
+
+  override def upsert(df: DataFrame, keyCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(path)
+    val staging = new Path(path + ".staging")
+
+    // collapse in-batch duplicate keys deterministically
+    val valueCols = df.columns.filterNot(keyCols.contains)
+    val collapsed =
+      if (valueCols.isEmpty) df.dropDuplicates(keyCols)
+      else df.groupBy(keyCols.map(col): _*)
+        .agg(max(struct(valueCols.map(col): _*)).as("__v"))
+        .select(keyCols.map(col) ++ valueCols.map(c => col(s"__v.$c")): _*)
+
+    val merged =
+      if (fs.exists(target)) {
+        val existing = spark.read.parquet(path)
+        existing.join(collapsed.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .unionByName(collapsed)
+      } else collapsed
+
+    merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    // atomic swap: the reader never sees a half-written table
+    val old = new Path(path + ".old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(target)) fs.rename(target, old)
+    fs.rename(staging, target)
+    if (fs.exists(old)) fs.delete(old, true)
+  }
+
+  override def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
+}

@@ -1,0 +1,137 @@
+package graft.music
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's data plane (`glue_job.py`), rebuilt Spark-first.
+  *
+  * Semantics pinned to the reference (SURVEY §2):
+  *  - derived `date` stays a STRING key (`glue_job.py:59`)
+  *  - `listen_time_seconds` is seconds-since-midnight of the event
+  *    timestamp, NOT a duration (`glue_job.py:77-80`)
+  *  - the genre regex filter is null-rejecting, so the left join
+  *    degrades to inner exactly as in the reference (`glue_job.py:83`)
+  *  - `unique_listeners` is a NON-distinct count (`glue_job.py:97`)
+  *  - "top genres" is song-grain top-5 per date (`glue_job.py:91-92`)
+  *
+  * Differences that are performance-only (SURVEY §3): the songs side
+  * is broadcast; the shared prefixes are persisted at the fan-out
+  * points instead of recomputed per sink action.
+  *
+  * `deterministic = true` adds total-order tie-breakers to
+  * `dropDuplicates` and the rank windows so golden tests are stable;
+  * parity mode leaves the reference's arbitrary picks in place.
+  */
+final case class MusicKpi(deterministic: Boolean = true) {
+
+  private val numericGenre = "^[0-9]+(\\.[0-9]+)?$"
+
+  /** Cleaning (`glue_job.py:56-62`): type casts are no-ops with the
+    * explicit read schema; null-drop on the required columns; one
+    * row per track_id.
+    */
+  def cleanStreams(streams: DataFrame): DataFrame =
+    streams
+      .withColumn("date", date_format(col("listen_time").cast("timestamp"), "yyyy-MM-dd"))
+      .na.drop("any", Seq("track_id", "user_id", "listen_time"))
+
+  def cleanSongs(songs: DataFrame): DataFrame = {
+    val dropped = songs
+      .select(col("track_id").cast("string"),
+        col("track_name").cast("string"),
+        col("track_genre").cast("string"))
+      .na.drop("any", Seq("track_id", "track_genre", "track_name"))
+    if (deterministic) {
+      val w = Window.partitionBy(col("track_id"))
+        .orderBy(col("track_name"), col("track_genre"))
+      dropped.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    } else dropped.dropDuplicates("track_id")
+  }
+
+  /** J1 + P1 + P4 + P7 (`glue_job.py:65-83`): the enriched stream
+    * table every KPI derives from. Songs are broadcast — at any
+    * scale the fact side never shuffles for this join.
+    */
+  def enriched(streams: DataFrame, songs: DataFrame): DataFrame = {
+    val st = cleanStreams(streams).alias("streams")
+    val so = cleanSongs(songs).alias("songs")
+    st.join(broadcast(so),
+        col("streams.track_id") === col("songs.track_id"), "left")
+      .select(
+        col("streams.date").as("date"),
+        col("streams.user_id").as("user_id"),
+        col("streams.track_id").as("track_id"),
+        col("streams.listen_time").as("listen_time"),
+        col("songs.track_genre").as("track_genre"),
+        col("songs.track_name").as("track_name"))
+      .withColumn("listen_time_seconds",
+        (hour(col("listen_time").cast("timestamp")) * 3600 +
+          minute(col("listen_time").cast("timestamp")) * 60 +
+          second(col("listen_time").cast("timestamp"))).cast("long"))
+      // Null-rejecting on track_genre: also drops stream rows with
+      // no song match — parity with the reference's left→inner
+      // degradation. Catalyst applies EliminateOuterJoin here.
+      .filter(!col("track_genre").rlike(numericGenre))
+  }
+
+  /** A1 (`glue_job.py:86-88`). */
+  def songCounts(enriched: DataFrame): DataFrame =
+    enriched.groupBy("date", "track_genre", "track_id", "track_name")
+      .agg(count(col("track_id")).as("listen_count"))
+
+  /** A2 (`glue_job.py:95-100`). */
+  def genreKpis(enriched: DataFrame): DataFrame =
+    enriched.groupBy("date", "track_genre")
+      .agg(
+        count(lit(1)).as("listen_count"),
+        count(col("user_id")).as("unique_listeners"),
+        sum(col("listen_time_seconds")).as("total_listening_time"),
+        avg(col("listen_time_seconds")).as("avg_listening_time"))
+
+  private def ranked(sc: DataFrame, partition: Seq[String], k: Int): DataFrame = {
+    val base = Window.partitionBy(partition.map(col): _*)
+    val w =
+      if (deterministic) base.orderBy(col("listen_count").desc, col("track_id"))
+      else base.orderBy(col("listen_count").desc)
+    sc.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** W1 (`glue_job.py:89-90`): top-3 songs per (date, genre). */
+  def topSongs(songCounts: DataFrame): DataFrame =
+    ranked(songCounts, Seq("date", "track_genre"), 3)
+
+  /** W2 (`glue_job.py:91-92`): top-5 rows per date — song grain,
+    * exactly as the reference computes it.
+    */
+  def topGenres(songCounts: DataFrame): DataFrame =
+    ranked(songCounts, Seq("date"), 5)
+
+  /** All three KPI sets from raw inputs, sharing one persisted
+    * enriched prefix + one persisted song_counts (the reference
+    * recomputes these up to 3× — SURVEY §3).
+    */
+  def all(streams: DataFrame, songs: DataFrame): MusicKpi.Results = {
+    val e = enriched(streams, songs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sc = songCounts(e)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    MusicKpi.Results(genreKpis(e), topSongs(sc), topGenres(sc), () => { sc.unpersist(); e.unpersist() })
+  }
+}
+
+object MusicKpi {
+  final case class Results(
+      genreKpis: DataFrame,
+      topSongs: DataFrame,
+      topGenres: DataFrame,
+      release: () => Unit)
+
+  /** CSV sources with explicit schemas (S1–S3, `glue_job.py:45-53`).
+    * `streamsPath` may be a directory — Spark unions the files.
+    */
+  def readCsv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke: the driver contract — entry() returns rows; every declared
+  * query has either an oracle or is an intentional rows-only op;
+  * every oracle key has a query.
+  */
+class EntrySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys ⊆ queries keys") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracle without query: $extra")
+  }
+
+  test("rows-only queries are exactly the approximate ops") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("q36_minhash_lsh", "q37_simhash",
+      "q38_ngram_jaccard", "q42_ann_lsh"))
+  }
+
+  test("every query runs non-empty on sf0.001") {
+    // q17 (anti join) is legitimately empty: the testdata has full
+    // referential integrity, and so does its DuckDB oracle.
+    val mayBeEmpty = Set("q17_anti_join")
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val n = fn(spark, "/root/testdata/sf0.001").count()
+        if (n > 0 || mayBeEmpty(name)) None else Some(s"$name: empty")
+      } catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+}

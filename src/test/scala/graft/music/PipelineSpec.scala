@@ -1,0 +1,92 @@
+package graft.music
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def conf(root: java.nio.file.Path) = PipelineConfig(
+    rawPrefix = root.resolve("raw-data").toString,
+    archivePrefix = root.resolve("archive/raw-data").toString,
+    sinkPrefix = root.resolve("sink").toString,
+    pollIntervalMs = 10, sensorTimeoutMs = 200, retryDelayMs = 10)
+
+  test("full chain: sense → validate → compute → archive") {
+    val root = TestSpark.tmpDir("pipe")
+    Fixtures.writeRawData(root)
+    val c = conf(root)
+    val runDate = java.time.LocalDate.of(2026, 8, 12)
+    new PipelineRunner(spark, c).run(runDate)
+
+    // sinks populated
+    val kpis = spark.read.parquet(s"${c.sinkPrefix}/genre_kpis")
+    assert(kpis.count() == 2)
+    assert(spark.read.parquet(s"${c.sinkPrefix}/top_songs").count() == 3)
+    assert(spark.read.parquet(s"${c.sinkPrefix}/top_genres").count() == 3)
+
+    // archive preserves subpaths under the dated prefix (dag.py:186-191)
+    val archived = Seq("users.csv", "songs.csv",
+      "streams/streams1.csv", "streams/streams2.csv")
+    archived.foreach { rel =>
+      assert(Files.exists(root.resolve(s"archive/raw-data/$runDate/$rel")),
+        s"missing archived $rel")
+    }
+    // input emptied, streams/.keep marker recreated (dag.py:222-226)
+    assert(!Files.exists(root.resolve("raw-data/users.csv")))
+    assert(Files.exists(root.resolve("raw-data/streams/.keep")))
+  }
+
+  test("archival is a permutation: nothing lost, nothing duplicated") {
+    val root = TestSpark.tmpDir("pipe-perm")
+    val raw = Fixtures.writeRawData(root)
+    val before = Files.walk(raw).filter(Files.isRegularFile(_))
+      .map[String](_.getFileName.toString).sorted().toArray.toSeq
+    val c = conf(root)
+    val runDate = java.time.LocalDate.of(2026, 8, 12)
+    new PipelineRunner(spark, c).run(runDate)
+    val arch = root.resolve(s"archive/raw-data/$runDate")
+    val after = Files.walk(arch).filter(Files.isRegularFile(_))
+      .map[String](_.getFileName.toString).sorted().toArray.toSeq
+    assert(after == before)
+  }
+
+  test("missing required column fails fast naming the column (dag.py:135-137)") {
+    val root = TestSpark.tmpDir("pipe-badcol")
+    val raw = Fixtures.writeRawData(root)
+    Files.writeString(raw.resolve("songs.csv"),
+      "track_id,track_name\nt1,SongA\n") // no track_genre
+    val r = new PipelineRunner(spark, conf(root))
+    val e = intercept[RuntimeException] {
+      r.validateColumns(r.validateFiles())
+    }
+    assert(e.getCause.getMessage.contains("track_genre"))
+  }
+
+  test("empty input prefix: sensor times out with a clear error (dag.py:84)") {
+    val root = TestSpark.tmpDir("pipe-empty")
+    Files.createDirectories(root.resolve("raw-data/streams"))
+    val e = intercept[RuntimeException] {
+      new PipelineRunner(spark, conf(root)).sense()
+    }
+    assert(e.getMessage.contains("sense"))
+  }
+
+  test("second run upserts over the first (last-writer-wins by key)") {
+    val root = TestSpark.tmpDir("pipe-upsert")
+    Fixtures.writeRawData(root)
+    val c = conf(root)
+    val runner = new PipelineRunner(spark, c)
+    runner.run(java.time.LocalDate.of(2026, 8, 12))
+
+    // re-deliver the same inputs (same keys, same values) → row
+    // count must NOT grow
+    Fixtures.writeRawData(root)
+    runner.run(java.time.LocalDate.of(2026, 8, 13))
+    assert(spark.read.parquet(s"${c.sinkPrefix}/genre_kpis").count() == 2)
+    // both dated archives exist
+    assert(Files.exists(root.resolve("archive/raw-data/2026-08-12/users.csv")))
+    assert(Files.exists(root.resolve("archive/raw-data/2026-08-13/users.csv")))
+  }
+}

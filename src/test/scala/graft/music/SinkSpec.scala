@@ -1,0 +1,31 @@
+package graft.music
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class SinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("upsert is keyed last-writer-wins, not truncate-and-load") {
+    val dir = TestSpark.tmpDir("sink").resolve("t1").toString
+    val sink = ParquetKeyedUpsertSink(dir)
+
+    sink.upsert(Seq(("d1", "rock", 10L), ("d1", "jazz", 5L)).toDF("date", "genre", "n"),
+      Seq("date", "genre"))
+    sink.upsert(Seq(("d1", "rock", 99L), ("d2", "pop", 7L)).toDF("date", "genre", "n"),
+      Seq("date", "genre"))
+
+    val rows = sink.read(spark).orderBy("date", "genre")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("d1", "jazz", 5L), ("d1", "rock", 99L), ("d2", "pop", 7L)))
+  }
+
+  test("in-batch duplicate keys collapse deterministically") {
+    val dir = TestSpark.tmpDir("sink").resolve("t2").toString
+    val sink = ParquetKeyedUpsertSink(dir)
+    sink.upsert(Seq(("k1", 1L), ("k1", 9L), ("k1", 4L)).toDF("k", "v"), Seq("k"))
+    val rows = sink.read(spark).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("k1", 9L))) // max over the value struct
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-duplicate fixtures: the synthetic corpus has no true
+  * near-dups, so these suites construct them and check the
+  * candidate→verify pipelines find exactly the planted pairs.
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps " +
+      "near the warm fire and the mouse runs through the old house"
+
+  private def docs = Seq(
+    (1L, base),
+    (2L, base),                                       // exact dup of 1
+    (3L, base.replace("quick", "swift")),             // near dup of 1
+    (4L, "completely different text about spark query engines and " +
+      "distributed columnar execution at massive scale with shuffles"),
+    (5L, "unrelated short document")
+  ).toDF("doc_id", "text")
+
+  test("minhash LSH finds exact and near dups, not unrelated pairs") {
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+      shingleN = 3, numPerm = 32, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash pairs within hamming radius") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical text → distance 0
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram jaccard matches brute-force jaccard") {
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force on the driver
+    def shingles(s: String): Set[Seq[String]] =
+      s.split(" ").toSeq.sliding(3).map(_.toSeq).toSet
+    val d: Seq[(Long, String)] = Seq(
+      1L -> base, 2L -> base, 3L -> base.replace("quick", "swift"),
+      4L -> ("completely different text about spark query engines and " +
+        "distributed columnar execution at massive scale with shuffles"),
+      5L -> "unrelated short document")
+    val expected = (for {
+      (ia, ta) <- d; (ib, tb) <- d if ia < ib
+      j = {
+        val (a, b) = (shingles(ta), shingles(tb))
+        a.intersect(b).size.toDouble / a.union(b).size.toDouble
+      } if j >= 0.5
+    } yield (ia, ib)).toSet
+    assert(got == expected)
+    assert(expected.contains((1L, 2L))) // sanity: plant detected
+  }
+
+  test("minhash signature is stable across repartitioning (determinism)") {
+    import org.apache.spark.sql.functions._
+    val sig1 = docs.select(col("doc_id"),
+      Dedup.minHashSignature(Dedup.shingleHashes(col("text"), 3), 16).as("mh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sig2 = docs.repartition(5).select(col("doc_id"),
+      Dedup.minHashSignature(Dedup.shingleHashes(col("text"), 3), 16).as("mh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sig1 == sig2)
+  }
+}

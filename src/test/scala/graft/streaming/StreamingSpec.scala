@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming sessionize (flatMapGroupsWithState) matches the batch formulation") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    val minute = 60L * 1000000L
+    val events = Seq(
+      Sessionize.Event(1, 100L, 0 * minute),
+      Sessionize.Event(2, 100L, 5 * minute),     // same session (gap 5m)
+      Sessionize.Event(3, 100L, 50 * minute),    // new session (gap 45m)
+      Sessionize.Event(4, 200L, 0 * minute))
+    mem.addData(events: _*)
+    val q = Sessionize.streaming(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("sess_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((100L, 2L, 3L), (200L, 1L, 1L)))
+
+    // batch twin over the same data
+    val batchDf = events.toDF()
+      .select(col("event_id"), col("user_id"), timestamp_micros(col("tsMicros")).as("ts"))
+    val batch = Sessionize.batch(batchDf, 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch == got)
+  }
+
+  test("streaming state carries across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    val minute = 60L * 1000000L
+    val q = Sessionize.streaming(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_inc")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(Sessionize.Event(1, 7L, 0 * minute))
+    q.processAllAvailable()
+    mem.addData(Sessionize.Event(2, 7L, 10 * minute))  // same session
+    q.processAllAvailable()
+    mem.addData(Sessionize.Event(3, 7L, 120 * minute)) // new session
+    q.processAllAvailable()
+    q.stop()
+    // the final update for user 7 reflects state accumulated across
+    // all three micro-batches
+    val updates = spark.table("sess_inc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(updates.contains((7L, 2L, 3L)), s"got $updates")
+  }
+
+  test("hourly streaming KPIs match a batch groupBy over the same file") {
+    val got = StreamingKpi.hourlyCounts(spark,
+      "/root/testdata/sf0.001/events.parquet", "hourly_test")
+    val ev = graft.Tables(spark, "/root/testdata/sf0.001").events
+    val exp = ev.groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+    assert(got.count() == exp.count())
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
+  }
+}
