@@ -24,8 +24,20 @@ object Vec {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — native codegen expression (one fused Java
+    * loop per pair; see VecCosine). Bit-identical to
+    * `dot(a,b) / (norm(a) * norm(b))`, which remains available as
+    * the composed reference implementation.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.expressions.VecCosine(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
+  /** The pre-codegen formulation, kept for A/B correctness tests. */
+  def cosineComposed(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   /** Sign-bit locality-sensitive hash: the bucket id packs the sign
     * of the projection onto each hyperplane. `planes` must be small

@@ -55,12 +55,13 @@ object Dedup {
     * a column of shingle-hash arrays. The i-th "permutation" is
     * xxhash64(shingle, salt_i) — independent per-salt hash families,
     * no overflow under ANSI arithmetic, deterministic everywhere.
+    * Computed by the single-pass codegen MinHashSig expression
+    * (identical hash family to the k-sweep Column formulation).
     */
   def minHashSignature(shingles: Column, numPerm: Int, seed: Long = 42L): Column = {
-    val salts = splitmix(seed, numPerm)
-    array((0 until numPerm).map { i =>
-      array_min(transform(shingles, x => xxhash64(x, lit(salts(i)))))
-    }: _*)
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.expressions.MinHashSig(
+      GraftColumnBridge.expression(shingles), splitmix(seed, numPerm)))
   }
 
   /** Candidate pairs whose minhash signatures collide in at least
@@ -76,23 +77,35 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numPerm / bands
-    val sig = docs.select(
+    // shingle arrays feed both the banding branch and the verify
+    // branch — persist so the (string-heavy) shingling runs once
+    val shingleSets = docs.select(
       col(idCol).as("id"),
       shingleHashes(col(textCol), shingleN).as("sh"))
-      .withColumn("mh", minHashSignature(col("sh"), numPerm))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = shingleSets.withColumn("mh", minHashSignature(col("sh"), numPerm))
 
-    // band hash: one bucket key per band over its signature slice
-    val banded = sig.select(col("id"), col("sh"),
+    // band hash: one bucket key per band over its signature slice.
+    // Candidate generation carries ONLY (band, bucket, id) — the
+    // shingle arrays stay out of the join and the dedup shuffle;
+    // they are re-joined for the (much smaller) verify stage. At
+    // scale this is the difference between shuffling ids and
+    // shuffling the corpus.
+    val banded = sig.select(col("id"),
       posexplode(array((0 until bands).map { b =>
         xxhash64((0 until rowsPerBand).map(r =>
           element_at(col("mh"), b * rowsPerBand + r + 1)): _*)
       }: _*)).as(Seq("band", "bucket")))
 
-    val a = banded.select(col("band"), col("bucket"), col("id").as("a_id"), col("sh").as("sha"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("b_id"), col("sh").as("shb"))
-    a.join(b, Seq("band", "bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("a_id"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("b_id"))
+    val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "sha", "shb").distinct()
+      .select("a_id", "b_id").distinct()
+
+    candidates
+      .join(shingleSets.select(col("id").as("a_id"), col("sh").as("sha")), "a_id")
+      .join(shingleSets.select(col("id").as("b_id"), col("sh").as("shb")), "b_id")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
       .withColumn("uni", size(array_union(col("sha"), col("shb"))).cast("double"))
       .filter(col("inter") / col("uni") >= threshold)
@@ -100,17 +113,14 @@ object Dedup {
   }
 
   /** 64-bit SimHash fingerprint of the token multiset: bit k is the
-    * sign of the vote sum over tokens' hash-bit k.
+    * majority vote over tokens' hash-bit k. Native codegen
+    * expression (one fused loop; see SimHash64).
     */
   def simHash(textCol: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
     val hashes = transform(split(textCol, " "), t => xxhash64(t))
-    val n = size(hashes).cast("long")
-    (0 until 64).map { k =>
-      val ones = size(filter(hashes, h =>
-        h.bitwiseAND(lit(1L << k)) =!= 0)).cast("long")
-      // vote: ones - zeros >= 0  ⇔  2*ones >= n
-      when(ones * 2 >= n, lit(1L << k)).otherwise(lit(0L))
-    }.reduce[Column](_ + _)
+    GraftColumnBridge.column(graft.functions.expressions.SimHash64(
+      GraftColumnBridge.expression(hashes)))
   }
 
   /** Near-dup pairs by SimHash Hamming distance ≤ `maxHamming`.
@@ -139,6 +149,14 @@ object Dedup {
       .filter(bit_count(col("fpa").bitwiseXOR(col("fpb"))) <= maxHamming)
       .select("a_id", "b_id")
   }
+
+  /** Winnowing fingerprint (rolling-hash document sketch): the k
+    * minimum shingle hashes, sorted — a compact content signature
+    * whose overlap estimates containment. One narrow map; the
+    * sketch (k longs) is all that ever shuffles.
+    */
+  def winnowFingerprint(textCol: Column, shingleN: Int = 3, k: Int = 16): Column =
+    slice(array_sort(shingleHashes(textCol, shingleN)), 1, k)
 
   /** Exact n-gram Jaccard pairs ≥ `threshold` via inverted-index
     * join on shingle hash (each shingle contributes its doc-id

@@ -19,7 +19,7 @@ object DedupOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_minhash_lsh" -> ((s, d) =>
       Dedup.minHashLsh(Tables(s, d).documents, "doc_id", "text",
-        shingleN = 1, numPerm = 32, bands = 16, threshold = 0.5)),
+        shingleN = 2, numPerm = 32, bands = 8, threshold = 0.4)),
 
     "q37_simhash" -> ((s, d) =>
       Dedup.simHashPairs(Tables(s, d).documents, "doc_id", "text",
@@ -27,7 +27,15 @@ object DedupOps {
 
     "q38_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables(s, d).documents, "doc_id", "text",
-        shingleN = 2, threshold = 0.25))
+        shingleN = 2, threshold = 0.25)),
+
+    // Rolling-hash winnowing sketch (xxhash64 shingles → k-min);
+    // no DuckDB xxhash64 → rows-only.
+    "q43_winnow_fp" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Tables(s, d).documents
+        .select(col("doc_id"), Dedup.winnowFingerprint(col("text")).as("fp"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map.empty

@@ -90,6 +90,14 @@ object TextOps {
           best._2.as("pred_lang") :+ col("doc_id").as("doc_id")): _*)
     }),
 
+    // BPE-ish regex token counting: alpha runs / digit runs / single
+    // punctuation, the shape of a byte-pair pre-tokenizer.
+    "q39_bpe_tokens" -> ((s, d) =>
+      Tables(s, d).documents
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
+            .cast("long").as("n_bpe_tokens"))),
+
     // Exact token-set Jaccard near-dup pairs (n-gram Jaccard with
     // n=1). Pair generation is an equi-join on token (inverted
     // index), not a cross join — the scale path for set-similarity.
@@ -149,6 +157,10 @@ object TextOps {
                      ELSE 'en' END AS pred_lang,
                 doc_id
          FROM c""",
+    "q39_bpe_tokens" ->
+      """SELECT doc_id,
+                len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS n_bpe_tokens
+         FROM documents""",
     "q35_token_jaccard" ->
       """WITH tok AS (
            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t

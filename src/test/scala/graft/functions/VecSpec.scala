@@ -37,6 +37,19 @@ class VecSpec extends AnyFunSuite {
     assert(buckets(3L) == (~buckets(1L) & ((1L << 8) - 1)))
   }
 
+  test("native VecCosine is bit-identical to the composed zip_with/aggregate form") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va")).filter(col("ia") < 40)
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb")).filter(col("ib") < 40)
+    val pairs = a.crossJoin(b)
+    val diffs = pairs.select(
+        Vec.cosine(col("va"), col("vb")).as("fast"),
+        Vec.cosineComposed(col("va"), col("vb")).as("ref"))
+      .filter(col("fast") =!= col("ref")) // bitwise: NaN≠NaN excluded by construction
+      .count()
+    assert(diffs == 0)
+  }
+
   test("brute-force ANN top-k agrees with driver-side computation on sf0.001") {
     val got = graft.queries.VectorOps.queries("q40_ann_topk")(spark, "/root/testdata/sf0.001")
       .filter(col("query_id") === 0).orderBy("rank")
