@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the plans that make these operators
+  * viable at 100 TB, pinned so a refactor can't silently regress
+  * them (the "explain and iterate" discipline from the build brief).
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q01: projection prunes the parquet scan to 3 columns") {
+    val p = plan("q01_scan_project")
+    assert(p.contains("ReadSchema"))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("p_partkey") && read.contains("p_name") && read.contains("p_type"))
+    assert(!read.contains("p_retailprice") && !read.contains("p_size"),
+      s"scan reads pruned columns: $read")
+  }
+
+  test("q02: filters are pushed to the parquet scan") {
+    val p = plan("q02_filter_pushdown")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_quantity") && pushed.contains("l_shipdate"),
+      s"filters not pushed: $pushed")
+  }
+
+  test("q09: fact–dim join is broadcast, and the left join is eliminated to inner") {
+    val p = plan("q09_join_null_filter")
+    assert(p.contains("BroadcastHashJoin"), "expected BroadcastHashJoin")
+    assert(!p.contains("SortMergeJoin"), "fact side must not shuffle for a dim join")
+    assert(p.contains("Inner"),
+      "null-rejecting filter should let Catalyst rewrite LEFT OUTER to Inner")
+  }
+
+  test("q12: rank filter is pushed below the window sort (WindowGroupLimit)") {
+    val p = plan("q12_top_songs")
+    assert(p.contains("WindowGroupLimit"),
+      "top-k should bound per-partition state before the full sort")
+  }
+
+  test("q14: global ORDER BY + LIMIT plans as TakeOrdered, not a full sort") {
+    val p = plan("q14_orderby_limit")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject")
+  }
+
+  test("q40: ANN broadcasts the query set, never shuffles the corpus") {
+    val p = plan("q40_ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query side must broadcast")
+  }
+
+  test("whole-stage codegen covers the KPI aggregate (no interpreted hot path)") {
+    // AQE only annotates codegen stages on the executed plan
+    val df = SparkEntry.queries("q11_genre_kpis")(spark, sf)
+    df.collect()
+    // "*(n)" prefixes mark whole-stage-codegen stages; both the
+    // partial and final aggregates must carry one
+    val p = df.queryExecution.executedPlan.toString
+    val codegenAggs = p.linesIterator.count(l => l.contains("HashAggregate") && l.contains("*("))
+    assert(codegenAggs >= 2, p.take(500))
+  }
+}
