@@ -48,6 +48,18 @@ object VectorOps {
         .select("a_id", "b_id")
     }),
 
+    // IVF ANN (coarse-quantization scale path): assign corpus to
+    // centroid lists once, probe nprobe lists per query, exact
+    // re-rank inside. Approximate → rows-only; recall vs brute force
+    // is pinned by SimilaritySpec.
+    "q44_ann_ivf" -> ((s, d) => {
+      val emb = Tables(s, d).embeddings
+      val indexed = graft.operators.Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 16)
+      val queryIds = emb.filter(col("vec_id") < 20).select(col("vec_id").as("query_id"))
+      graft.operators.Similarity.ivfTopK(indexed, "vec_id", "embedding",
+        queryIds, nlist = 16, nprobe = 4, k = 5)
+    }),
+
     // LSH-bucketed ANN (the scale path): deterministic sign-LSH
     // bucket per vector, exact rerank within bucket. Approximate —
     // verified by a rows-only check plus RecallSpec in ScalaTest.
