@@ -1,0 +1,49 @@
+package graft
+
+import graft.functions.expressions.{MinHashSig, SimHash64, VecCosine}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for graft's native expressions, so
+  * `spark.sql("SELECT vec_cosine(a, b) ...")` works the same as the
+  * Column API.
+  *
+  * Two wiring paths:
+  *  - `register(spark)` — programmatic, for an existing session;
+  *  - `GraftExtensions` — `spark.sql.extensions=graft.GraftExtensions`
+  *    for cluster-wide injection at session build time.
+  */
+object GraftFunctions {
+
+  private def seedOf(e: Seq[Expression], default: Long = 42L): Array[Long] =
+    graft.operators.Dedup.permSalts(
+      if (e.length > 1) e(1).eval().toString.toInt else 32, default)
+
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_cosine" -> (es => VecCosine(es(0), es(1))),
+    "simhash64" -> (es => SimHash64(es.head)),
+    // minhash_sig(shingles [, numPerm]) with the library's salt stream
+    "minhash_sig" -> (es => MinHashSig(es.head, seedOf(es)))
+  )
+
+  def register(spark: SparkSession): Unit =
+    fns.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+
+  private[graft] def inject(e: SparkSessionExtensions): Unit =
+    fns.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        builder))
+    }
+}
+
+/** `--conf spark.sql.extensions=graft.GraftExtensions` */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = GraftFunctions.inject(e)
+}

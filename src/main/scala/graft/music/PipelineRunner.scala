@@ -144,8 +144,15 @@ final class PipelineRunner(spark: SparkSession, conf: PipelineConfig) {
         .stripPrefix(qualifiedRoot).stripPrefix("/")
       val dest = new Path(destRoot, rel)
       fs.mkdirs(dest.getParent)
-      if (!fs.rename(src, dest))
-        throw new RuntimeException(s"failed to archive $src -> $dest")
+      // same-FS fast path; object stores without rename fall back to
+      // copy+delete (the reference's copy_object + delete_objects,
+      // dag.py:201-210)
+      if (!fs.rename(src, dest)) {
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, src, fs, dest, false, true, spark.sparkContext.hadoopConfiguration)
+        if (!fs.delete(src, false))
+          throw new RuntimeException(s"failed to archive $src -> $dest")
+      }
     }
     // keep the input layout alive for the next run
     fs.mkdirs(new Path(root, "streams"))

@@ -39,6 +39,12 @@ object Dedup {
       xxhash64(concat_ws("", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
   }
 
+  /** The minhash permutation salt stream (exposed for the SQL
+    * function registry so both surfaces share one hash family).
+    */
+  private[graft] def permSalts(numPerm: Int, seed: Long = 42L): Array[Long] =
+    splitmix(seed, numPerm)
+
   /** Splitmix64 stream, used for minhash permutation constants. */
   private def splitmix(seed: Long, count: Int): Array[Long] = {
     var x = seed
