@@ -251,6 +251,38 @@ object Relational {
           sum(when(col("o_totalprice") > 100000, lit(1)).otherwise(lit(0)))
             .cast("long").as("n_big"))),
 
+    // Fact–fact equi-join: both sides large → shuffle join (sort-
+    // merge / shuffled-hash, AQE decides). The one join class where
+    // a shuffle is the right plan; keys hash-partition both sides.
+    "q27_fact_fact_join" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("revenue"))
+    }),
+
+    // TPC-H Q3 shape: selective dim filter → fact–fact join →
+    // grouped revenue → global top-k.
+    "q28_shipping_priority" -> ((s, d) => {
+      val t = Tables(s, d)
+      val cust = t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      t.orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("revenue"))
+    }),
+
     // Correlated-style aggregate filter: orders above their
     // priority's average price (subquery via join).
     "q26_above_avg" -> ((s, d) => {
@@ -374,6 +406,20 @@ object Relational {
                 count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
                 sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END)::BIGINT AS n_big
          FROM orders GROUP BY 1""",
+    "q27_fact_fact_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+                round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
+    "q28_shipping_priority" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate
+         GROUP BY o_orderkey, o_orderdate
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
     "q26_above_avg" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice
          FROM orders o

@@ -22,7 +22,20 @@ object StreamOps {
     // Gap-based sessionization (batch formulation; the streaming
     // flatMapGroupsWithState twin is covered by StreamingSpec).
     "q51_sessionize" -> ((s, d) =>
-      Sessionize.batch(Tables(s, d).events, gapMinutes = 30))
+      Sessionize.batch(Tables(s, d).events, gapMinutes = 30)),
+
+    // Spark's built-in session_window operator: per-(user, session)
+    // grain with the session start = first event, same 30-min gap.
+    "q52_session_window" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Tables(s, d).events
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          col("n_events"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -31,6 +44,23 @@ object StreamOps {
                 event_type, count(*) AS n,
                 round(sum(value), 2) AS total_value
          FROM events GROUP BY 1, 2""",
+    "q52_session_window" ->
+      """WITH x AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, ts,
+                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM x)
+         SELECT user_id,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                count(*) AS n_events
+         FROM s GROUP BY user_id, session_id""",
     "q51_sessionize" ->
       """WITH x AS (
            SELECT user_id, ts,

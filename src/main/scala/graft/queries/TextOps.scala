@@ -98,6 +98,15 @@ object TextOps {
           regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
             .cast("long").as("n_bpe_tokens"))),
 
+    // Text normalization: lowercase, strip non-alphanumerics,
+    // collapse whitespace — the canonical pre-dedup cleaning map.
+    "q46_normalize" -> ((s, d) =>
+      Tables(s, d).documents
+        .select(col("doc_id"),
+          trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+            " +", " ")).as("norm_text"))),
+
     // Exact token-set Jaccard near-dup pairs (n-gram Jaccard with
     // n=1). Pair generation is an equi-join on token (inverted
     // index), not a cross join — the scale path for set-similarity.
@@ -160,6 +169,12 @@ object TextOps {
     "q39_bpe_tokens" ->
       """SELECT doc_id,
                 len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS n_bpe_tokens
+         FROM documents""",
+    "q46_normalize" ->
+      """SELECT doc_id,
+                trim(regexp_replace(
+                  regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                  ' +', ' ', 'g')) AS norm_text
          FROM documents""",
     "q35_token_jaccard" ->
       """WITH tok AS (
