@@ -14,10 +14,12 @@ object Bench {
     "q10_song_counts", "q11_genre_kpis", "q12_top_songs",
     "q13_top_genres", "q14_orderby_limit", "q19_count_distinct",
     "q20_chain_join", "q21_running_sum", "q24_rollup",
+    "q27_fact_fact_join", "q28_shipping_priority",
     "q30_token_count", "q32_exact_dedup", "q33_quality",
     "q36_minhash_lsh", "q37_simhash", "q40_ann_topk",
-    "q41_embedding_neardup", "q42_ann_lsh", "q45_media_features",
-    "q50_stream_hourly", "q51_sessionize")
+    "q41_embedding_neardup", "q42_ann_lsh", "q44_ann_ivf",
+    "q45_media_features", "q50_stream_hourly", "q51_sessionize",
+    "q52_session_window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

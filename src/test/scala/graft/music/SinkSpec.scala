@@ -21,6 +21,21 @@ class SinkSpec extends AnyFunSuite {
     assert(rows == Seq(("d1", "jazz", 5L), ("d1", "rock", 99L), ("d2", "pop", 7L)))
   }
 
+  test("DSv2 writer surface: format(graft-upsert) upserts by key") {
+    val dir = TestSpark.tmpDir("sink").resolve("dsv2").toString
+    Seq(("d1", "rock", 10L), ("d1", "jazz", 5L)).toDF("date", "genre", "n")
+      .write.format("graft-upsert")
+      .option("path", dir).option("keys", "date,genre")
+      .mode("append").save()
+    Seq(("d1", "rock", 99L)).toDF("date", "genre", "n")
+      .write.format("graft-upsert")
+      .option("path", dir).option("keys", "date,genre")
+      .mode("append").save()
+    val rows = spark.read.parquet(dir).orderBy("date", "genre")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("d1", "jazz", 5L), ("d1", "rock", 99L)))
+  }
+
   test("in-batch duplicate keys collapse deterministically") {
     val dir = TestSpark.tmpDir("sink").resolve("t2").toString
     val sink = ParquetKeyedUpsertSink(dir)
