@@ -56,6 +56,20 @@ object Multimodal {
       .as[MediaItem]
   }
 
+  /** One row per sampled frame: every `stride`-th frame of each
+    * item (deterministic uniform sampling — the frame-extraction
+    * shape for video/audio payloads; the decode itself is the
+    * stubbed codec). Explodes AFTER feature extraction so only
+    * (doc_id, frame_idx) pairs multiply, never payload bytes.
+    */
+  def sampleFrames(features: Dataset[MediaFeatures], stride: Long): DataFrame = {
+    import features.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    features.toDF()
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+  }
+
   /** Decode + feature-extract, one partition at a time. Partitions
     * stream through the codec without collecting; at scale this is
     * the operator you'd size `maxPartitionBytes` around so a

@@ -16,6 +16,13 @@ object MultimodalOps {
       implicit val sp: SparkSession = s
       Multimodal.extractFeatures(Multimodal.asMedia(Tables(s, d).documents))
         .toDF()
+    }),
+
+    "q47_frame_sample" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      Multimodal.sampleFrames(
+        Multimodal.extractFeatures(Multimodal.asMedia(Tables(s, d).documents)),
+        stride = 3L)
     })
   )
 
@@ -27,6 +34,11 @@ object MultimodalOps {
                 (octet_length(encode(text)) % 640 + 1)::BIGINT AS width,
                 ((octet_length(encode(text)) * 7919) % 480 + 1)::BIGINT AS height,
                 (octet_length(encode(text)) // 97 + 1)::BIGINT AS n_frames
+         FROM documents""",
+    "q47_frame_sample" ->
+      """SELECT doc_id,
+                (octet_length(encode(text)) // 97 + 1)::BIGINT AS n_frames,
+                unnest(range(0, octet_length(encode(text)) // 97 + 1, 3))::BIGINT AS frame_idx
          FROM documents"""
   )
 }
