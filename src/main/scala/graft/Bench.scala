@@ -32,17 +32,26 @@ object Bench {
     val qs = SparkEntry.queries
     // one warm-up action so JVM/codegen startup isn't billed to q1
     qs("q01_scan_project")(spark, sfDir).count()
+    val missing = headline.filterNot(qs.contains)
+    if (missing.nonEmpty)
+      System.err.println(s"[bench] missing headline queries: ${missing.mkString(", ")}")
     val results = headline.flatMap { name =>
       qs.get(name).map { fn =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-        catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+          }
+        // a failed query reports -1, never a fake fast time
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
     }
     val qJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
     spark.stop()
   }

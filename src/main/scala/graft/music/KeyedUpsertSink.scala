@@ -29,9 +29,13 @@ final case class ParquetKeyedUpsertSink(path: String) extends KeyedUpsertSink {
 
   override def upsert(df: DataFrame, keyCols: Seq[String]): Unit = {
     val spark = df.sparkSession
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val target = new Path(path)
+    // the path's own filesystem, not the default FS — the sink must
+    // work when the table lives on s3a:// etc. while defaultFS is
+    // file:// or hdfs://
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(path + ".staging")
+    recoverIfInterrupted(fs, target)
 
     // collapse in-batch duplicate keys deterministically
     val valueCols = df.columns.filterNot(keyCols.contains)
@@ -57,5 +61,19 @@ final case class ParquetKeyedUpsertSink(path: String) extends KeyedUpsertSink {
     if (fs.exists(old)) fs.delete(old, true)
   }
 
-  override def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
+  /** A crash between the two swap renames leaves the live table at
+    * `path + ".old"` and nothing at `path`. Roll it back before any
+    * read or merge so no committed data is ever dropped.
+    */
+  private def recoverIfInterrupted(fs: FileSystem, target: Path): Unit = {
+    val old = new Path(path + ".old")
+    if (!fs.exists(target) && fs.exists(old)) fs.rename(old, target)
+  }
+
+  override def read(spark: SparkSession): DataFrame = {
+    val target = new Path(path)
+    recoverIfInterrupted(
+      target.getFileSystem(spark.sparkContext.hadoopConfiguration), target)
+    spark.read.parquet(path)
+  }
 }

@@ -32,8 +32,13 @@ final case class MusicKpi(deterministic: Boolean = true) {
     * row per track_id.
     */
   def cleanStreams(streams: DataFrame): DataFrame =
+    // try_to_timestamp: a malformed listen_time string becomes a
+    // null date (the reference's non-ANSI cast semantics,
+    // glue_job.py:59) instead of an ANSI CAST_INVALID_INPUT crash —
+    // the cleaning stage must survive exactly this input.
     streams
-      .withColumn("date", date_format(col("listen_time").cast("timestamp"), "yyyy-MM-dd"))
+      .withColumn("date",
+        date_format(try_to_timestamp(col("listen_time")), "yyyy-MM-dd"))
       .na.drop("any", Seq("track_id", "user_id", "listen_time"))
 
   def cleanSongs(songs: DataFrame): DataFrame = {
@@ -67,9 +72,9 @@ final case class MusicKpi(deterministic: Boolean = true) {
         col("songs.track_genre").as("track_genre"),
         col("songs.track_name").as("track_name"))
       .withColumn("listen_time_seconds",
-        (hour(col("listen_time").cast("timestamp")) * 3600 +
-          minute(col("listen_time").cast("timestamp")) * 60 +
-          second(col("listen_time").cast("timestamp"))).cast("long"))
+        (hour(try_to_timestamp(col("listen_time"))) * 3600 +
+          minute(try_to_timestamp(col("listen_time"))) * 60 +
+          second(try_to_timestamp(col("listen_time")))).cast("long"))
       // Null-rejecting on track_genre: also drops stream rows with
       // no song match — parity with the reference's left→inner
       // degradation. Catalyst applies EliminateOuterJoin here.

@@ -34,9 +34,15 @@ object Dedup {
     */
   def shingleHashes(textCol: Column, n: Int): Column = {
     val toks = split(textCol, " ")
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-    array_distinct(transform(idx, i =>
-      xxhash64(concat_ws("", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
+    // tokens join on a \u0001 delimiter so distinct sequences cannot
+    // concatenate to the same string; docs shorter than n tokens
+    // yield ONE whole-doc shingle, and no index ever reaches past
+    // the array (ANSI element_at throws out-of-range).
+    val full = transform(sequence(lit(0), size(toks) - n), i =>
+      xxhash64(concat_ws("", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+    array_distinct(
+      when(size(toks) >= n, full)
+        .otherwise(array(xxhash64(concat_ws("", toks)))))
   }
 
   /** The minhash permutation salt stream (exposed for the SQL
@@ -109,13 +115,19 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
 
-    candidates
+    val verified = candidates
       .join(shingleSets.select(col("id").as("a_id"), col("sh").as("sha")), "a_id")
       .join(shingleSets.select(col("id").as("b_id"), col("sh").as("shb")), "b_id")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
       .withColumn("uni", size(array_union(col("sha"), col("shb"))).cast("double"))
       .filter(col("inter") / col("uni") >= threshold)
       .select("a_id", "b_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (small) pair set so the corpus-sized shingle
+    // cache can be released before returning
+    verified.count()
+    shingleSets.unpersist()
+    verified
   }
 
   /** 64-bit SimHash fingerprint of the token multiset: bit k is the

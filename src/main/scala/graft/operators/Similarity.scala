@@ -19,13 +19,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** The deterministic seed centroids: smallest `nlist` ids. Both
+    * index build and search derive centroids from this one rule, so
+    * they can never disagree (reconstructing centroids from the
+    * assignment column would lose a centroid whose vector duplicates
+    * a smaller-id centroid's).
+    */
+  def centroids(emb: DataFrame, idCol: String, vecCol: String, nlist: Int): DataFrame =
+    emb.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
+
   /** Corpus with an `ivf_list` assignment column. */
   def ivfIndex(emb: DataFrame, idCol: String, vecCol: String, nlist: Int): DataFrame = {
-    val centroids = emb
-      .orderBy(col(idCol)).limit(nlist)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
+    val cents = centroids(emb, idCol, vecCol, nlist)
     val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("centroid_id"))
-    emb.crossJoin(broadcast(centroids))
+    emb.crossJoin(broadcast(cents))
       .withColumn("csim", Vec.cosine(col(vecCol), col("cv")))
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") === 1)
@@ -41,15 +49,13 @@ object Similarity {
       nlist: Int,
       nprobe: Int,
       k: Int): DataFrame = {
-    val centroids = indexed
-      .filter(col("ivf_list") === col(idCol)) // centroid seed rows carry their own list
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
+    val cents = centroids(indexed, idCol, vecCol, nlist)
     val queries = indexed.join(queryIds, indexed(idCol) === queryIds("query_id"))
       .select(col("query_id"), col(vecCol).as("qv"))
 
     // probe assignment: nprobe nearest centroids per query
     val pw = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("centroid_id"))
-    val probes = queries.crossJoin(broadcast(centroids))
+    val probes = queries.crossJoin(broadcast(cents))
       .withColumn("csim", Vec.cosine(col("qv"), col("cv")))
       .withColumn("__r", row_number().over(pw))
       .filter(col("__r") <= nprobe)

@@ -46,15 +46,15 @@ object StreamOps {
          FROM events GROUP BY 1, 2""",
     "q52_session_window" ->
       """WITH x AS (
-           SELECT user_id, ts,
+           SELECT user_id, ts, event_id,
                   CASE WHEN lag(ts) OVER w IS NULL
-                            OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                            OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
                        THEN 1 ELSE 0 END AS new_session
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          s AS (
            SELECT user_id, ts,
-                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                          ROWS UNBOUNDED PRECEDING) AS session_id
            FROM x)
          SELECT user_id,

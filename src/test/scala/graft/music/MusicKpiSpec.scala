@@ -71,6 +71,23 @@ class MusicKpiSpec extends AnyFunSuite {
     assert(perDate == Map("2024-06-25" -> 2L, "2024-06-26" -> 1L))
   }
 
+  test("malformed listen_time yields a null date row, not an ANSI crash (glue_job.py:59 parity)") {
+    import spark.implicits._
+    val streams = Seq(
+      ("u1", "t1", "2024-06-25 10:00:00"),
+      ("u2", "t1", "not-a-timestamp"))
+      .toDF("user_id", "track_id", "listen_time")
+    val songs = Seq(("t1", "SongA", "rock")).toDF("track_id", "track_name", "track_genre")
+    val kpi = MusicKpi(deterministic = true)
+    val rows = kpi.enriched(streams, songs)
+      .select("date", "user_id", "listen_time_seconds")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // the malformed row survives cleaning (listen_time string is
+    // non-null) with a null derived date — the reference's non-ANSI
+    // cast semantics
+    assert(rows == Set(("2024-06-25", "u1"), (null, "u2")))
+  }
+
   test("listen_time_seconds is seconds-since-midnight, not a duration (P4 parity)") {
     val kpi = MusicKpi(deterministic = true)
     val root = TestSpark.tmpDir("kpi2")

@@ -64,6 +64,24 @@ class DedupSpec extends AnyFunSuite {
     assert(expected.contains((1L, 2L))) // sanity: plant detected
   }
 
+  test("documents shorter than the shingle size don't crash and still dedup") {
+    import org.apache.spark.sql.functions._
+    val tiny = Seq((1L, "hello"), (2L, "hello"), (3L, "bye"), (4L, "a b"))
+      .toDF("doc_id", "text")
+    // shingleN=3 > every doc's token count → whole-doc shingles
+    val sh = tiny.select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sh(1L) == sh(2L) && sh(1L) != sh(3L))
+    val pairs = Dedup.minHashLsh(tiny, "doc_id", "text", shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // delimiter prevents cross-boundary concatenation collisions
+    val d = Seq((1L, "ab c"), (2L, "a bc")).toDF("doc_id", "text")
+    val dsh = d.select(col("doc_id"), Dedup.shingleHashes(col("text"), 2).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(dsh(1L).toSet.intersect(dsh(2L).toSet).isEmpty)
+  }
+
   test("minhash signature is stable across repartitioning (determinism)") {
     import org.apache.spark.sql.functions._
     val sig1 = docs.select(col("doc_id"),
