@@ -176,10 +176,15 @@ object Dedup {
   def winnowFingerprint(textCol: Column, shingleN: Int = 3, k: Int = 16): Column =
     slice(array_sort(shingleHashes(textCol, shingleN)), 1, k)
 
-  /** Exact n-gram Jaccard pairs ≥ `threshold` via inverted-index
-    * join on shingle hash (each shingle contributes its doc-id
-    * postings; intersections come from the equi-join, sizes from a
-    * groupBy — standard set-similarity join shape).
+  /** Exact n-gram Jaccard pairs ≥ `threshold`, with PREFIX FILTERING
+    * (AllPairs-style): under a global shingle order, any pair with
+    * overlap ≥ α shares an element among the first `|d| - α + 1`
+    * shingles of each side, and Jaccard ≥ τ implies overlap ≥
+    * ⌈τ·|d|⌉. So only the `|d| - ⌈τ·|d|⌉ + 1` smallest shingle
+    * hashes of each document enter the inverted index — at τ=0.5
+    * that halves the index, and the candidate join shrinks
+    * quadratically in the posting sizes. Exact: candidates are then
+    * verified on full shingle sets. No false negatives.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -188,16 +193,28 @@ object Dedup {
       shingleN: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
-      explode(shingleHashes(col(textCol), shingleN)).as("g"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("x").join(sh.as("y"),
+        array_sort(shingleHashes(col(textCol), shingleN)).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val prefixLen = (col("n") - ceil(col("n") * lit(threshold)).cast("int") + 1)
+    val prefixes = sh.select(col("id"),
+      explode(slice(col("sh"), lit(1), prefixLen)).as("g"))
+    val candidates = prefixes.as("x").join(prefixes.as("y"),
         col("x.g") === col("y.g") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("a_id"), col("y.id").as("b_id"))
-      .agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.select(col("id"), col("n").as("na")), col("a_id") === col("id")).drop("id")
-      .join(sizes.select(col("id"), col("n").as("nb")), col("b_id") === col("id")).drop("id")
-      .filter(col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double") >= threshold)
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct()
+
+    val verified = candidates
+      .join(sh.select(col("id").as("a_id"), col("sh").as("sha")), "a_id")
+      .join(sh.select(col("id").as("b_id"), col("sh").as("shb")), "b_id")
+      .withColumn("c", size(array_intersect(col("sha"), col("shb"))).cast("double"))
+      .withColumn("u", size(array_union(col("sha"), col("shb"))).cast("double"))
+      .filter(col("c") / col("u") >= threshold)
       .select("a_id", "b_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verified.count()
+    sh.unpersist()
+    verified
   }
 }
