@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
   * `dropDuplicates` and the rank windows so golden tests are stable;
   * parity mode leaves the reference's arbitrary picks in place.
   */
-final case class MusicKpi(deterministic: Boolean = true) {
+final case class MusicKpi(
+    deterministic: Boolean = true,
+    uniqueListeners: MusicKpi.UniqueMode = MusicKpi.UniqueMode.Parity) {
 
   private val numericGenre = "^[0-9]+(\\.[0-9]+)?$"
 
@@ -86,14 +88,26 @@ final case class MusicKpi(deterministic: Boolean = true) {
     enriched.groupBy("date", "track_genre", "track_id", "track_name")
       .agg(count(col("track_id")).as("listen_count"))
 
-  /** A2 (`glue_job.py:95-100`). */
-  def genreKpis(enriched: DataFrame): DataFrame =
+  /** A2 (`glue_job.py:95-100`). `unique_listeners` follows the
+    * configured mode: Parity reproduces the reference's non-distinct
+    * `count(user_id)` (`glue_job.py:97`, SURVEY §2.5); Distinct /
+    * Approx are the "intended" semantics — exact countDistinct for
+    * moderate cardinality, HLL approx_count_distinct when the
+    * distinct set per group is itself too large to shuffle.
+    */
+  def genreKpis(enriched: DataFrame): DataFrame = {
+    val uniques = uniqueListeners match {
+      case MusicKpi.UniqueMode.Parity   => count(col("user_id"))
+      case MusicKpi.UniqueMode.Distinct => countDistinct(col("user_id"))
+      case MusicKpi.UniqueMode.Approx   => approx_count_distinct(col("user_id"))
+    }
     enriched.groupBy("date", "track_genre")
       .agg(
         count(lit(1)).as("listen_count"),
-        count(col("user_id")).as("unique_listeners"),
+        uniques.as("unique_listeners"),
         sum(col("listen_time_seconds")).as("total_listening_time"),
         avg(col("listen_time_seconds")).as("avg_listening_time"))
+  }
 
   private def ranked(sc: DataFrame, partition: Seq[String], k: Int): DataFrame = {
     val base = Window.partitionBy(partition.map(col): _*)
@@ -127,6 +141,14 @@ final case class MusicKpi(deterministic: Boolean = true) {
 }
 
 object MusicKpi {
+  /** Semantics of the `unique_listeners` KPI column. */
+  sealed trait UniqueMode
+  object UniqueMode {
+    case object Parity extends UniqueMode   // reference behavior: non-distinct count
+    case object Distinct extends UniqueMode // exact distinct
+    case object Approx extends UniqueMode   // HLL sketch
+  }
+
   final case class Results(
       genreKpis: DataFrame,
       topSongs: DataFrame,

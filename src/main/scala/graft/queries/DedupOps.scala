@@ -35,6 +35,23 @@ object DedupOps {
       import org.apache.spark.sql.functions.col
       Tables(s, d).documents
         .select(col("doc_id"), Dedup.winnowFingerprint(col("text")).as("fp"))
+    }),
+
+    // Group-level dedup sketch: merge per-doc minhash signatures per
+    // source with the typed MinHashMerge Aggregator (union-of-sets
+    // signature without materializing the union). Rows-only.
+    "q48_source_signatures" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      import s.implicits._
+      val numPerm = 32
+      Tables(s, d).documents
+        .select(col("source"),
+          Dedup.minHashSignature(Dedup.shingleHashes(col("text"), 2), numPerm).as("sig"))
+        .as[(String, Seq[Long])]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(new graft.functions.MinHashMerge(numPerm).toColumn.name("gsig"))
+        .toDF("source", "gsig")
     })
   )
 

@@ -71,6 +71,20 @@ class MusicKpiSpec extends AnyFunSuite {
     assert(perDate == Map("2024-06-25" -> 2L, "2024-06-26" -> 1L))
   }
 
+  test("unique_listeners modes: Parity counts repeats, Distinct doesn't") {
+    val root = TestSpark.tmpDir("kpi-mode")
+    val raw = Fixtures.writeRawData(root)
+    val streams = MusicKpi.readCsv(spark, s"$raw/streams", Schemas.streams)
+    val songs = MusicKpi.readCsv(spark, s"$raw/songs.csv", Schemas.songs)
+    def rock(kpi: MusicKpi): Long =
+      kpi.genreKpis(kpi.enriched(streams, songs))
+        .filter("date = '2024-06-25' and track_genre = 'rock'")
+        .collect().head.getAs[Long]("unique_listeners")
+    // u1 listened twice on 06-25: parity counts 3, distinct counts 2
+    assert(rock(MusicKpi(uniqueListeners = MusicKpi.UniqueMode.Parity)) == 3L)
+    assert(rock(MusicKpi(uniqueListeners = MusicKpi.UniqueMode.Distinct)) == 2L)
+  }
+
   test("malformed listen_time yields a null date row, not an ANSI crash (glue_job.py:59 parity)") {
     import spark.implicits._
     val streams = Seq(
