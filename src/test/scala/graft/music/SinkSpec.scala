@@ -36,6 +36,23 @@ class SinkSpec extends AnyFunSuite {
     assert(rows == Seq(("d1", "jazz", 5L), ("d1", "rock", 99L)))
   }
 
+  test("interrupted swap (table at .old, nothing at path) is rolled back, no data lost") {
+    val dir = TestSpark.tmpDir("sink").resolve("crash").toString
+    val sink = ParquetKeyedUpsertSink(dir)
+    sink.upsert(Seq(("k1", 1L), ("k2", 2L)).toDF("k", "v"), Seq("k"))
+    // simulate a crash between the two renames: live table stranded at .old
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(dir), new org.apache.hadoop.fs.Path(dir + ".old"))
+    // read path recovers
+    assert(sink.read(spark).count() == 2)
+    // and a subsequent upsert merges with the recovered data instead
+    // of silently starting an empty table
+    sink.upsert(Seq(("k2", 99L)).toDF("k", "v"), Seq("k"))
+    val rows = sink.read(spark).orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("k1", 1L), ("k2", 99L)))
+  }
+
   test("in-batch duplicate keys collapse deterministically") {
     val dir = TestSpark.tmpDir("sink").resolve("t2").toString
     val sink = ParquetKeyedUpsertSink(dir)
