@@ -251,6 +251,26 @@ object Relational {
           sum(when(col("o_totalprice") > 100000, lit(1)).otherwise(lit(0)))
             .cast("long").as("n_big"))),
 
+    // Exact interpolated percentiles (sort-based; for sketch-scale
+    // inputs swap to approx_percentile).
+    "q29_percentile" -> ((s, d) =>
+      Tables(s, d).events
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"))),
+
+    // Pivot (dynamic columns from a fixed value list); empty cells
+    // coalesce to 0 to match SQL PIVOT count semantics.
+    "q49_pivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivoted = Tables(s, d).events
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+        .pivot("event_type", types).count()
+      pivoted.select(col("d") +: types.map(t =>
+        coalesce(col(t), lit(0L)).as(t)): _*)
+    }),
+
     // Fact–fact equi-join: both sides large → shuffle join (sort-
     // merge / shuffled-hash, AQE decides). The one join class where
     // a shuffle is the right plan; keys hash-partition both sides.
@@ -406,6 +426,13 @@ object Relational {
                 count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
                 sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END)::BIGINT AS n_big
          FROM orders GROUP BY 1""",
+    "q29_percentile" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90
+         FROM events GROUP BY 1""",
+    "q49_pivot" ->
+      """PIVOT (SELECT strftime(ts, '%Y-%m-%d') AS d, event_type FROM events)
+         ON event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+         USING count(*) GROUP BY d""",
     "q27_fact_fact_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
                 round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
