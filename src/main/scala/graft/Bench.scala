@@ -19,7 +19,7 @@ object Bench {
     "q36_minhash_lsh", "q37_simhash", "q40_ann_topk",
     "q41_embedding_neardup", "q42_ann_lsh", "q44_ann_ivf",
     "q45_media_features", "q50_stream_hourly", "q51_sessionize",
-    "q52_session_window")
+    "q52_session_window", "q53_pricing_summary")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

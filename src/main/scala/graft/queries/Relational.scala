@@ -303,6 +303,38 @@ object Relational {
           col("revenue"))
     }),
 
+    // TPC-H Q1 shape: the canonical scan-heavy pricing summary —
+    // one pass, partial+final aggregate, no joins.
+    "q53_pricing_summary" -> ((s, d) =>
+      Tables(s, d).lineitem
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp_ntz"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("sum_disc_price"),
+          avg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))),
+
+    // Set operators (distinct semantics): INTERSECT / EXCEPT.
+    "q54_intersect" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      ev.filter(col("event_type") === "click").select("user_id")
+        .intersect(ev.filter(col("event_type") === "purchase").select("user_id"))
+    }),
+    "q55_except" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      ev.filter(col("event_type") === "view").select("user_id")
+        .except(ev.filter(col("event_type") === "purchase").select("user_id"))
+    }),
+
+    // CUBE over two dimensions.
+    "q56_cube" -> ((s, d) =>
+      Tables(s, d).orders
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))),
+
     // Correlated-style aggregate filter: orders above their
     // priority's average price (subquery via join).
     "q26_above_avg" -> ((s, d) => {
@@ -447,6 +479,27 @@ object Relational {
          WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate
          GROUP BY o_orderkey, o_orderdate
          ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "q53_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                sum(l_quantity) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_base_price,
+                round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                avg(l_quantity) AS avg_qty,
+                count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+         GROUP BY 1, 2""",
+    "q54_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+         INTERSECT
+         SELECT user_id FROM events WHERE event_type = 'purchase'""",
+    "q55_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'view'
+         EXCEPT
+         SELECT user_id FROM events WHERE event_type = 'purchase'""",
+    "q56_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
     "q26_above_avg" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice
          FROM orders o
