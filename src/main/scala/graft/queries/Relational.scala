@@ -38,14 +38,33 @@ object Relational {
       streams("l_partkey") === songs("p_partkey"), "left")
   }
 
-  /** A1 (`glue_job.py:86-88`): per-(date, genre, song) play counts. */
-  def songCounts(t: Tables): DataFrame =
-    factDim(t)
-      // P7 parity (`glue_job.py:83`): null-rejecting regex filter —
-      // makes the left join behave as inner (EliminateOuterJoin).
-      .filter(!col("p_brand").rlike("^[0-9]+(\\.[0-9]+)?$"))
-      .groupBy(col("ship_date"), col("p_brand"), col("p_partkey"), col("p_name"))
+  /** A1 (`glue_job.py:86-88`): per-(date, genre, song) play counts.
+    *
+    * Eager aggregation (a rewrite Catalyst does not apply itself):
+    * the count is keyed by (ship date, part key), both functionally
+    * independent of the dim columns, so aggregate the bare fact
+    * FIRST — narrow keys, no strings — and broadcast-join `part`
+    * onto the ~|groups| result instead of all N fact rows. The
+    * genre filter drops whole part keys, so filtering after the
+    * pre-aggregation is row-for-row identical to filtering before
+    * it (pinned by the unchanged DuckDB oracle).
+    */
+  def songCounts(t: Tables): DataFrame = {
+    val counts = t.lineitem
+      .na.drop("any", Seq("l_partkey", "l_suppkey", "l_shipdate"))
+      // group on the derived string key (the oracle's grain) — still
+      // far narrower than carrying p_brand/p_name through the shuffle
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
+        col("l_partkey"))
       .agg(count(lit(1)).as("listen_count"))
+    val songs = t.part
+      .select("p_partkey", "p_name", "p_brand")
+      .na.drop("any", Seq("p_partkey", "p_name", "p_brand"))
+      .filter(!col("p_brand").rlike("^[0-9]+(\\.[0-9]+)?$"))
+    counts.join(broadcast(songs), col("l_partkey") === col("p_partkey"))
+      .select(col("ship_date"), col("p_brand"), col("p_partkey"),
+        col("p_name"), col("listen_count"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S2: scan + projection; Catalyst prunes to the parquet scan.
