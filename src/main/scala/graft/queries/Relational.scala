@@ -354,6 +354,20 @@ object Relational {
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))),
 
+    // As-of join: each event picks its user's latest order on or
+    // before the event time (union+window implementation — no range
+    // explosion; see operators.AsOfJoin).
+    "q57_asof_join" -> ((s, d) => {
+      val t = Tables(s, d)
+      graft.operators.AsOfJoin.latestEarlier(
+        t.events.select("event_id", "user_id", "ts"),
+        t.orders,
+        leftKey = col("user_id"), leftTs = col("ts"),
+        rightKey = col("o_custkey"), rightTs = col("o_orderdate"),
+        rightValueCols = Seq("o_orderkey"))
+        .select("event_id", "user_id", "o_orderkey")
+    }),
+
     // Correlated-style aggregate filter: orders above their
     // priority's average price (subquery via join).
     "q26_above_avg" -> ((s, d) => {
@@ -498,6 +512,13 @@ object Relational {
          WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate
          GROUP BY o_orderkey, o_orderdate
          ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "q57_asof_join" ->
+      """WITH r AS (
+           SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+           FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, o.o_orderkey
+         FROM events e
+         ASOF LEFT JOIN r o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
     "q53_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
                 sum(l_quantity) AS sum_qty,

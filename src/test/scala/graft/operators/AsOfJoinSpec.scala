@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("latest-earlier semantics: inclusive boundary, ties to max payload, no match → null") {
+    val left = Seq(
+      (100L, 1L, "2024-01-05 00:00:00"),
+      (101L, 1L, "2024-01-10 00:00:00"),
+      (102L, 2L, "2024-01-02 00:00:00"),
+      (103L, 1L, "2024-01-06 00:00:00")) // equal to a right ts → inclusive
+      .toDF("event_id", "uid", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val right = Seq(
+      (1L, "2024-01-01 00:00:00", 7L),
+      (1L, "2024-01-06 00:00:00", 8L),
+      (1L, "2024-01-06 00:00:00", 9L), // duplicate ts → max oid wins
+      (2L, "2024-02-01 00:00:00", 10L)) // after every uid-2 event
+      .toDF("uid", "od", "oid")
+      .withColumn("od", col("od").cast("timestamp"))
+
+    val got = AsOfJoin.latestEarlier(left, right,
+        leftKey = col("uid"), leftTs = col("ts"),
+        rightKey = col("uid"), rightTs = col("od"),
+        rightValueCols = Seq("oid"))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[Any]("oid")).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(got == Map(
+      100L -> Some(7L),   // only 01-01 is earlier
+      101L -> Some(9L),   // latest is the 01-06 pair → max oid
+      102L -> None,       // uid 2's only order is later
+      103L -> Some(9L)))  // boundary: ts == od matches (inclusive)
+  }
+
+  test("every left row survives exactly once (left-join cardinality)") {
+    val t = graft.Tables(spark, "/root/testdata/sf0.001")
+    val events = t.events.select("event_id", "user_id", "ts")
+    val out = AsOfJoin.latestEarlier(events, t.orders,
+      leftKey = col("user_id"), leftTs = col("ts"),
+      rightKey = col("o_custkey"), rightTs = col("o_orderdate"),
+      rightValueCols = Seq("o_orderkey"))
+    assert(out.count() == events.count())
+    assert(out.select("event_id").distinct().count() == events.count())
+  }
+}
