@@ -368,6 +368,25 @@ object Relational {
         .select("event_id", "user_id", "o_orderkey")
     }),
 
+    // Range join: purchases within one hour AFTER an error by the
+    // same user — bucketed equi-join (see operators.RangeJoin), not
+    // a nested-loop inequality join.
+    "q58_range_join" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      val points = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val intervals = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id").as("iv_user"),
+          col("ts").as("err_ts"))
+      graft.operators.RangeJoin.pointInInterval(
+          points, intervals,
+          pointKey = col("user_id"), pointTs = col("ts"),
+          intervalKey = col("iv_user"), startTs = col("err_ts"),
+          endTs = col("err_ts") + expr("INTERVAL 1 HOUR"),
+          bucketSeconds = 3600L)
+        .select("purchase_id", "error_id", "user_id")
+    }),
+
     // Correlated-style aggregate filter: orders above their
     // priority's average price (subquery via join).
     "q26_above_avg" -> ((s, d) => {
@@ -519,6 +538,12 @@ object Relational {
          SELECT e.event_id, e.user_id, o.o_orderkey
          FROM events e
          ASOF LEFT JOIN r o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+    "q58_range_join" ->
+      """SELECT p.event_id AS purchase_id, er.event_id AS error_id, p.user_id
+         FROM events p JOIN events er
+           ON p.user_id = er.user_id
+          AND p.event_type = 'purchase' AND er.event_type = 'error'
+          AND p.ts >= er.ts AND p.ts < er.ts + INTERVAL '1 hour'""",
     "q53_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
                 sum(l_quantity) AS sum_qty,
