@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.Dedup
+import graft.operators.{CorpusPipeline, Dedup}
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -36,6 +36,12 @@ object DedupOps {
       Tables(s, d).documents
         .select(col("doc_id"), Dedup.winnowFingerprint(col("text")).as("fp"))
     }),
+
+    // End-to-end corpus cleaning: length/quality filters → exact
+    // dedup → minhash near-dup, with per-doc verdicts. Rows-only
+    // (contains the approximate minhash stage).
+    "q59_corpus_clean" -> ((s, d) =>
+      CorpusPipeline.clean(Tables(s, d).documents, "doc_id", "text")),
 
     // Group-level dedup sketch: merge per-doc minhash signatures per
     // source with the typed MinHashMerge Aggregator (union-of-sets

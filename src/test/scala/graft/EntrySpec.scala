@@ -22,7 +22,7 @@ class EntrySpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("q36_minhash_lsh", "q37_simhash",
       "q38_ngram_jaccard", "q42_ann_lsh", "q43_winnow_fp", "q44_ann_ivf",
-      "q48_source_signatures"))
+      "q48_source_signatures", "q59_corpus_clean"))
   }
 
   test("every query runs non-empty on sf0.001") {
