@@ -6,6 +6,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
+// top-level: Encoders can't derive for method-local case classes
+final case class Tick(ts: java.sql.Timestamp, k: String)
+
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -55,6 +58,36 @@ class StreamingSpec extends AnyFunSuite {
     val updates = spark.table("sess_inc").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(updates.contains((7L, 2L, 3L)), s"got $updates")
+  }
+
+  test("watermark drops events later than the threshold (append mode)") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.streaming.Trigger
+    val mem = MemoryStream[Tick]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val agg = mem.toDS()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "HH:mm").as("w"), col("k"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1: events in the 10:00 window, then advance the clock
+    mem.addData(Tick(t("2024-01-01 10:01:00"), "a"), Tick(t("2024-01-01 10:02:00"), "a"))
+    q.processAllAvailable()
+    mem.addData(Tick(t("2024-01-01 10:25:00"), "a")) // watermark -> 10:15
+    q.processAllAvailable()
+    // batch 3: a LATE event for the (closed) 10:00 window — dropped
+    mem.addData(Tick(t("2024-01-01 10:03:00"), "a"))
+    q.processAllAvailable()
+    mem.addData(Tick(t("2024-01-01 10:45:00"), "a")) // closes 10:20 window
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wm_out").collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    // 10:00 window emitted with the ON-TIME count only; the late
+    // event never re-opened it
+    assert(rows.get("10:00").contains(2L), s"got $rows")
   }
 
   test("hourly streaming KPIs match a batch groupBy over the same file") {
