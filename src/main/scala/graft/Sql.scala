@@ -8,22 +8,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Sql {
 
-  val tableNames: Seq[String] = Seq(
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings")
+  private def registry(t: Tables): Seq[(String, () => DataFrame)] = Seq(
+    "region" -> (() => t.region), "nation" -> (() => t.nation),
+    "customer" -> (() => t.customer), "supplier" -> (() => t.supplier),
+    "part" -> (() => t.part), "orders" -> (() => t.orders),
+    "lineitem" -> (() => t.lineitem), "events" -> (() => t.events),
+    "documents" -> (() => t.documents), "embeddings" -> (() => t.embeddings))
 
+  // thunks are not invoked here, so the placeholder receiver is safe
+  val tableNames: Seq[String] = registry(null).map(_._1)
+
+  /** Register every table that the session can read; a table the
+    * session cannot open (e.g. `events` needs the nanos-as-long conf
+    * — see GraftSession) is skipped with a warning instead of taking
+    * the whole surface down.
+    */
   def registerTables(spark: SparkSession, dir: String): Unit = {
     val t = Tables(spark, dir)
-    tableNames.foreach { n =>
-      val df: DataFrame = n match {
-        case "region" => t.region;     case "nation" => t.nation
-        case "customer" => t.customer; case "supplier" => t.supplier
-        case "part" => t.part;         case "orders" => t.orders
-        case "lineitem" => t.lineitem; case "events" => t.events
-        case "documents" => t.documents
-        case "embeddings" => t.embeddings
+    registry(t).foreach { case (n, df) =>
+      try df().createOrReplaceTempView(n)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft.Sql] skipping view '$n': ${e.getMessage}")
       }
-      df.createOrReplaceTempView(n)
     }
     GraftFunctions.register(spark)
   }

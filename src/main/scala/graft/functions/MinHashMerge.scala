@@ -18,9 +18,13 @@ class MinHashMerge(numPerm: Int) extends Aggregator[Seq[Long], Array[Long], Seq[
   override def zero: Array[Long] = Array.fill(numPerm)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], sig: Seq[Long]): Array[Long] = {
+    // fail fast on a numPerm mismatch — silently tolerating a short
+    // signature would leave MaxValue tail components that estimate()
+    // counts as agreements
+    require(sig.length == buf.length,
+      s"signature length ${sig.length} != numPerm ${buf.length}")
     var i = 0
-    val n = math.min(buf.length, sig.length)
-    while (i < n) { if (sig(i) < buf(i)) buf(i) = sig(i); i += 1 }
+    while (i < buf.length) { if (sig(i) < buf(i)) buf(i) = sig(i); i += 1 }
     buf
   }
 

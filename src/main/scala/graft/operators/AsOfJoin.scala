@@ -37,6 +37,9 @@ object AsOfJoin {
     val rightVals = struct(rightValueCols.map(col): _*)
 
     val r = right
+      // a null right timestamp can never satisfy ts >= rightTs, but
+      // it would sort nulls-first and poison the carry-forward
+      .filter(rightTs.isNotNull)
       .groupBy(rightKey.as("__k"), rightTs.as("__t"))
       .agg(max(rightVals).as("__v"))
       .withColumn("__side", lit(0))

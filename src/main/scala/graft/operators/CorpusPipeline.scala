@@ -28,19 +28,23 @@ object CorpusPipeline {
   /** Audit table: every input doc_id with `verdict` ∈
     * {kept, too_short, too_long, low_quality, exact_dup, near_dup}.
     * Deterministic: dup groups keep the smallest doc_id.
+    *
+    * The verdict table carries only (id, counters, digest) — text
+    * stays in the source and is re-read just once more for the
+    * near-dup stage's survivors, so no corpus-sized intermediate is
+    * cached or computed twice.
     */
   def clean(docs: DataFrame, idCol: String, textCol: String,
       conf: Config = Config()): DataFrame = {
     val id = col(idCol)
     val toks = split(col(textCol), " ")
-    val inList = conf.stopwords.map(s => s"'$s'").mkString(", ")
-    val stopRatio =
-      expr(s"size(filter(split($textCol, ' '), t -> t IN ($inList)))").cast("double") /
-        size(toks).cast("double")
+    // Column-level stopword test — no SQL-string splicing, so
+    // stopwords with quotes and arbitrary column names are safe
+    val stopCount = size(filter(toks, t => t.isin(conf.stopwords: _*)))
+    val stopRatio = stopCount.cast("double") / size(toks).cast("double")
 
     val scored = docs.select(
       id.as("doc_id"),
-      col(textCol).as("__text"),
       size(toks).as("__ntok"),
       stopRatio.as("__stop"),
       md5(col(textCol)).as("__fp"))
@@ -54,11 +58,16 @@ object CorpusPipeline {
     val exactW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__fp")).orderBy(col("doc_id"))
     val exact = rowVerdict.withColumn("__ev",
-      when(col("__rv").isNull &&
-        row_number().over(exactW) > 1, "exact_dup"))
+        when(col("__rv").isNull &&
+          row_number().over(exactW) > 1, "exact_dup"))
+      .select("doc_id", "__rv", "__ev")
+      // small (ids + verdicts); materialized once, GC-cleanable —
+      // both the survivor join and the final join read it
+      .localCheckpoint()
 
-    val survivors = exact.filter(col("__rv").isNull && col("__ev").isNull)
-      .select(col("doc_id"), col("__text"))
+    val survivors = docs.select(id.as("doc_id"), col(textCol).as("__text"))
+      .join(exact.filter(col("__rv").isNull && col("__ev").isNull)
+        .select("doc_id"), "doc_id")
 
     // near-dup among exact-unique survivors: for each LSH-verified
     // pair (a < b), b is the duplicate

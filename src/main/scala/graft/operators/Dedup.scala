@@ -122,10 +122,11 @@ object Dedup {
       .withColumn("uni", size(array_union(col("sha"), col("shb"))).cast("double"))
       .filter(col("inter") / col("uni") >= threshold)
       .select("a_id", "b_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize the (small) pair set so the corpus-sized shingle
-    // cache can be released before returning
-    verified.count()
+      // localCheckpoint (not persist): materializes the small pair
+      // set so the corpus-sized shingle cache can be released, and
+      // the checkpointed blocks are GC-cleaned with the DataFrame —
+      // repeated invocations don't accumulate CacheManager entries
+      .localCheckpoint()
     shingleSets.unpersist()
     verified
   }
@@ -212,8 +213,7 @@ object Dedup {
       .withColumn("u", size(array_union(col("sha"), col("shb"))).cast("double"))
       .filter(col("c") / col("u") >= threshold)
       .select("a_id", "b_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    verified.count()
+      .localCheckpoint() // see minHashLsh: materialize + GC-cleanable
     sh.unpersist()
     verified
   }

@@ -31,18 +31,26 @@ object RangeJoin {
       endTs: Column,
       bucketSeconds: Long): DataFrame = {
 
+    // bucket arithmetic in microseconds: unix_timestamp() truncates
+    // to seconds, which loses the final partial bucket of an
+    // interval whose end carries a sub-second fraction
+    val bucketMicros = bucketSeconds * 1000000L
     val p = points
       .withColumn("__k", pointKey)
       .withColumn("__pt", pointTs)
-      .withColumn("__bucket", floor(unix_timestamp(pointTs) / bucketSeconds))
+      .withColumn("__bucket", floor(unix_micros(pointTs) / bucketMicros))
 
     val iv = intervals
       .withColumn("__k", intervalKey)
       .withColumn("__s", startTs)
       .withColumn("__e", endTs)
+      // guard degenerate intervals: sequence(a, b) DESCENDS when
+      // a > b, so one inverted row would explode into the whole
+      // reversed bucket range
+      .filter(endTs > startTs)
       .withColumn("__bucket", explode(sequence(
-        floor(unix_timestamp(startTs) / bucketSeconds),
-        floor((unix_timestamp(endTs) - 1) / bucketSeconds))))
+        floor(unix_micros(startTs) / bucketMicros),
+        floor((unix_micros(endTs) - 1) / bucketMicros))))
 
     // caller must pre-rename colliding column names between sides
     p.join(iv, Seq("__k", "__bucket"))

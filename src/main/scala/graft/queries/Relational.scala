@@ -272,12 +272,15 @@ object Relational {
 
     // Exact interpolated percentiles (sort-based; for sketch-scale
     // inputs swap to approx_percentile).
+    // Rounded to the interpolation grid (2-dp data × 0.5/0.9 frac
+    // → 3 decimals): engines may order the interpolation arithmetic
+    // differently at the last ulp.
     "q29_percentile" -> ((s, d) =>
       Tables(s, d).events
         .groupBy(col("event_type"))
         .agg(
-          expr("percentile(value, 0.5)").as("p50"),
-          expr("percentile(value, 0.9)").as("p90"))),
+          round(expr("percentile(value, 0.5)"), 3).as("p50"),
+          round(expr("percentile(value, 0.9)"), 3).as("p90"))),
 
     // Pivot (dynamic columns from a fixed value list); empty cells
     // coalesce to 0 to match SQL PIVOT count semantics.
@@ -511,7 +514,8 @@ object Relational {
                 sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END)::BIGINT AS n_big
          FROM orders GROUP BY 1""",
     "q29_percentile" ->
-      """SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90
+      """SELECT event_type, round(quantile_cont(value, 0.5), 3) AS p50,
+                round(quantile_cont(value, 0.9), 3) AS p90
          FROM events GROUP BY 1""",
     "q49_pivot" ->
       """PIVOT (SELECT strftime(ts, '%Y-%m-%d') AS d, event_type FROM events)
