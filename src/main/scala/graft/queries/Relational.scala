@@ -390,6 +390,19 @@ object Relational {
         .select("purchase_id", "error_id", "user_id")
     }),
 
+    // Deterministic stratified sampling: exactly k rows per stratum,
+    // chosen by content-hash ranking — reproducible across runs,
+    // engines, and cluster sizes with no RNG state (what a training
+    // pipeline needs for auditable samples).
+    "q60_stratified_sample" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+      Tables(s, d).events
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 100)
+        .select("event_id", "user_id", "event_type", "rn")
+    }),
+
     // Correlated-style aggregate filter: orders above their
     // priority's average price (subquery via join).
     "q26_above_avg" -> ((s, d) => {
@@ -569,6 +582,12 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
                 round(sum(o_totalprice), 2) AS total
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "q60_stratified_sample" ->
+      """SELECT event_id, user_id, event_type,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY md5(event_id::VARCHAR), event_id) AS rn
+         FROM events
+         QUALIFY rn <= 100""",
     "q26_above_avg" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice
          FROM orders o

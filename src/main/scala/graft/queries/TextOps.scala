@@ -108,25 +108,35 @@ object TextOps {
             " +", " ")).as("norm_text"))),
 
     // Exact token-set Jaccard near-dup pairs (n-gram Jaccard with
-    // n=1). Pair generation is an equi-join on token (inverted
-    // index), not a cross join — the scale path for set-similarity.
-    // Jaccard is an exact rational → threshold compare is stable.
+    // n=1), candidate generation via PREFIX FILTERING on the sorted
+    // token sets (see Dedup.ngramJaccardPairs for the bound): at
+    // τ=0.9 only ~10% of each doc's tokens enter the inverted index.
+    // Exact — candidates verify on full sets, so results are
+    // identical to the full-index oracle. Jaccard is an exact
+    // rational → threshold compare is stable.
     "q35_token_jaccard" -> ((s, d) => {
+      val threshold = 0.9
       val docs = Tables(s, d).documents
-      val tok = docs.select(col("doc_id"),
-        explode(array_distinct(tokens)).as("t"))
-      val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = tok.as("a").join(tok.as("b"),
+      val sets = docs.select(col("doc_id"),
+          array_sort(array_distinct(tokens)).as("ts"))
+        .withColumn("n", size(col("ts")))
+      val prefixLen = (col("n") - ceil(col("n") * lit(threshold)).cast("int") + 1)
+      val prefixes = sets.select(col("doc_id"),
+        explode(slice(col("ts"), lit(1), prefixLen)).as("t"))
+      val candidates = prefixes.as("a").join(prefixes.as("b"),
           col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("c"))
-      inter
-        .join(sizes.select(col("doc_id"), col("n").as("na")), col("a_id") === col("doc_id")).drop("doc_id")
-        .join(sizes.select(col("doc_id"), col("n").as("nb")), col("b_id") === col("doc_id")).drop("doc_id")
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      candidates
+        .join(sets.select(col("doc_id").as("a_id"), col("ts").as("ta"), col("n").as("na")), "a_id")
+        .join(sets.select(col("doc_id").as("b_id"), col("ts").as("tb"), col("n").as("nb")), "b_id")
+        .withColumn("c", size(array_intersect(col("ta"), col("tb"))).cast("long"))
         .withColumn("jaccard",
           col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
-        .filter(col("jaccard") >= 0.9)
-        .select("a_id", "b_id", "c", "na", "nb", "jaccard")
+        .filter(col("jaccard") >= threshold)
+        .select(col("a_id"), col("b_id"), col("c"),
+          col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
+          col("jaccard"))
     })
   )
 
