@@ -8,7 +8,10 @@ import org.apache.spark.sql.SparkSession
 object TestSpark {
   lazy val spark: SparkSession = {
     val s = GraftSession.tune(
-      SparkSession.builder().master("local[4]").appName("graft-test"),
+      SparkSession.builder().master("local[4]").appName("graft-test")
+        // static conf — needed by BucketingSpec's saveAsTable
+        .config("spark.sql.warehouse.dir",
+          java.nio.file.Files.createTempDirectory("graft-warehouse").toString),
       shufflePartitions = 4
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
