@@ -98,6 +98,13 @@ object TextOps {
           regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
             .cast("long").as("n_bpe_tokens"))),
 
+    // Generator surface: explode tokens → global token frequencies.
+    "q61_token_freq" -> ((s, d) =>
+      Tables(s, d).documents
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("freq"))),
+
     // Text normalization: lowercase, strip non-alphanumerics,
     // collapse whitespace — the canonical pre-dedup cleaning map.
     "q46_normalize" -> ((s, d) =>
@@ -180,6 +187,10 @@ object TextOps {
       """SELECT doc_id,
                 len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS n_bpe_tokens
          FROM documents""",
+    "q61_token_freq" ->
+      """SELECT token, count(*) AS freq
+         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         GROUP BY 1""",
     "q46_normalize" ->
       """SELECT doc_id,
                 trim(regexp_replace(
