@@ -26,6 +26,9 @@ object SkewJoin {
       key: String,
       saltFrom: Seq[Column],
       salts: Int): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    require(!skewed.columns.contains("__salt") && !build.columns.contains("__salt"),
+      "inputs must not already carry a __salt column")
     val l = skewed.withColumn("__salt", pmod(hash(saltFrom: _*), lit(salts)))
     val r = build.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))

@@ -124,9 +124,12 @@ object TextOps {
     "q35_token_jaccard" -> ((s, d) => {
       val threshold = 0.9
       val docs = Tables(s, d).documents
+      // feeds the prefix build and both verify joins — materialize
+      // the (compact) token sets once; GC-cleanable checkpoint
       val sets = docs.select(col("doc_id"),
           array_sort(array_distinct(tokens)).as("ts"))
         .withColumn("n", size(col("ts")))
+        .localCheckpoint()
       val prefixLen = (col("n") - ceil(col("n") * lit(threshold)).cast("int") + 1)
       val prefixes = sets.select(col("doc_id"),
         explode(slice(col("ts"), lit(1), prefixLen)).as("t"))

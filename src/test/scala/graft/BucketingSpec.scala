@@ -29,14 +29,22 @@ class BucketingSpec extends AnyFunSuite {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"))
       joined.collect()
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.contains("SortMergeJoin"), plan.take(400))
-      // the only exchange is the one for the final small aggregation,
-      // never on the join inputs
-      val joinSection = plan.split("SortMergeJoin")(1)
-      assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey") &&
-        !joinSection.contains("Exchange hashpartitioning(o_orderkey"),
-        s"join inputs shuffled:\n${plan.take(1500)}")
+      // structured assertion on the FINAL adaptive plan: the
+      // SortMergeJoin subtree must contain no shuffle exchange
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val finalPlan = (joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan // final stages only
+        case p => p
+      }).toString
+      // (QueryStageExec nodes are leaves, so a typed collect cannot
+      // see inside them — assert on the final-plan tree text, whose
+      // join inputs print below the SortMergeJoin line)
+      val idx = finalPlan.indexOf("SortMergeJoin")
+      assert(idx >= 0, s"expected SortMergeJoin:\n$finalPlan")
+      val belowJoin = finalPlan.substring(idx)
+      assert(!belowJoin.contains("Exchange hashpartitioning(l_orderkey") &&
+        !belowJoin.contains("Exchange hashpartitioning(o_orderkey"),
+        s"join inputs shuffled:\n$finalPlan")
 
       // and the result matches the unbucketed join
       val expected = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))

@@ -10,8 +10,7 @@ object TestSpark {
     val s = GraftSession.tune(
       SparkSession.builder().master("local[4]").appName("graft-test")
         // static conf — needed by BucketingSpec's saveAsTable
-        .config("spark.sql.warehouse.dir",
-          java.nio.file.Files.createTempDirectory("graft-warehouse").toString),
+        .config("spark.sql.warehouse.dir", tmpDir("graft-warehouse").toString),
       shufflePartitions = 4
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")

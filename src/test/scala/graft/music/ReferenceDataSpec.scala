@@ -51,10 +51,18 @@ class ReferenceDataSpec extends AnyFunSuite {
       // the reference's headline quirk, visible in its DynamoDB scans
       assert(kpis.forall(row =>
         row.getAs[Long]("unique_listeners") == row.getAs[Long]("listen_count")))
-      // conservation: Σ listen_count == streams that matched a
-      // non-numeric-genre song
-      val enriched = kpi.enriched(streams, songs)
-      assert(kpis.map(_.getAs[Long]("listen_count")).sum == enriched.count())
+      // conservation against an INDEPENDENT computation: cleaned
+      // streams semi-joined to the valid (non-numeric-genre) track
+      // set — different operators than the KPI pipeline's
+      // join+filter+groupBy path
+      val validTracks = songs
+        .filter(!col("track_genre").rlike("^[0-9]+(\\.[0-9]+)?$"))
+        .select("track_id")
+      val expected = streams
+        .na.drop("any", Seq("track_id", "user_id", "listen_time"))
+        .join(validTracks, Seq("track_id"), "left_semi")
+        .count()
+      assert(kpis.map(_.getAs[Long]("listen_count")).sum == expected)
       // numeric genres are filtered even though songs carry them
       assert(!kpis.exists(_.getAs[String]("track_genre").matches("^[0-9]+(\\.[0-9]+)?$")))
       // top-k bounds per the reference's result-set shapes
