@@ -33,16 +33,24 @@ object Dedup {
     * regardless of document size.
     */
   def shingleHashes(textCol: Column, n: Int): Column = {
-    val toks = split(textCol, " ")
-    // tokens join on a \u0001 delimiter so distinct sequences cannot
-    // concatenate to the same string; docs shorter than n tokens
-    // yield ONE whole-doc shingle, and no index ever reaches past
-    // the array (ANSI element_at throws out-of-range).
-    val full = transform(sequence(lit(0), size(toks) - n), i =>
-      xxhash64(concat_ws("", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
-    array_distinct(
-      when(size(toks) >= n, full)
-        .otherwise(array(xxhash64(concat_ws("", toks)))))
+    // native one-pass expression: the composed transform/concat_ws
+    // form paid ~20 us interpreter overhead PER SHINGLE (see
+    // ShingleHashes64); semantics identical (delimiter-joined
+    // n-grams, whole-doc shingle for short docs, distinct output)
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.expressions.ShingleHashes64(
+      GraftColumnBridge.expression(textCol), n))
+  }
+
+  /** Signature passes are CPU-bound narrow maps; when the input
+    * arrives as fewer partitions than cores (one small file), fan it
+    * out first. No-op on real multi-partition inputs.
+    */
+  private def parallelized(docs: DataFrame): DataFrame = {
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < math.max(parallelism / 2, 1))
+      docs.repartition(parallelism)
+    else docs
   }
 
   /** The minhash permutation salt stream (exposed for the SQL
@@ -91,7 +99,7 @@ object Dedup {
     val rowsPerBand = numPerm / bands
     // shingle arrays feed both the banding branch and the verify
     // branch — persist so the (string-heavy) shingling runs once
-    val shingleSets = docs.select(
+    val shingleSets = parallelized(docs).select(
       col(idCol).as("id"),
       shingleHashes(col(textCol), shingleN).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -155,7 +163,8 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
-    val fp = docs.select(col(idCol).as("id"), simHash(col(textCol)).as("fp"))
+    val fp = parallelized(docs)
+      .select(col(idCol).as("id"), simHash(col(textCol)).as("fp"))
     val chunked = fp.select(col("id"), col("fp"),
       posexplode(array((0 until chunks).map { c =>
         col("fp").bitwiseAND(lit(((1L << bitsPer) - 1) << (c * bitsPer)))
@@ -193,7 +202,7 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
+    val sh = parallelized(docs).select(col(idCol).as("id"),
         array_sort(shingleHashes(col(textCol), shingleN)).as("sh"))
       .withColumn("n", size(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
