@@ -56,6 +56,32 @@ object Multimodal {
       .as[MediaItem]
   }
 
+  /** A resized media item: payload transformed by the (stub) codec
+    * to the target dimensions.
+    */
+  final case class ResizedMedia(
+      doc_id: Long,
+      payload: Array[Byte],
+      width: Long,
+      height: Long,
+      byte_len: Long)
+
+  /** Resize via the stub codec: deterministically truncate/keep the
+    * payload to ≤ w*h bytes (a real codec would decode, scale, and
+    * re-encode — the typed partition-streaming plumbing is
+    * identical).
+    */
+  def resize(items: Dataset[MediaItem], w: Int, h: Int): Dataset[ResizedMedia] = {
+    import items.sparkSession.implicits._
+    val cap = w * h
+    items.mapPartitions { it =>
+      it.map { m =>
+        val out = if (m.payload.length <= cap) m.payload else m.payload.take(cap)
+        ResizedMedia(m.doc_id, out, w.toLong, h.toLong, out.length.toLong)
+      }
+    }
+  }
+
   /** One row per sampled frame: every `stride`-th frame of each
     * item (deterministic uniform sampling — the frame-extraction
     * shape for video/audio payloads; the decode itself is the

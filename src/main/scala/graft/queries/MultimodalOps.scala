@@ -23,6 +23,12 @@ object MultimodalOps {
       Multimodal.sampleFrames(
         Multimodal.extractFeatures(Multimodal.asMedia(Tables(s, d).documents)),
         stride = 3L)
+    }),
+
+    "q62_media_resize" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      Multimodal.resize(Multimodal.asMedia(Tables(s, d).documents), w = 64, h = 64)
+        .toDF().select("doc_id", "width", "height", "byte_len")
     })
   )
 
@@ -39,6 +45,10 @@ object MultimodalOps {
       """SELECT doc_id,
                 (octet_length(encode(text)) // 97 + 1)::BIGINT AS n_frames,
                 unnest(range(0, octet_length(encode(text)) // 97 + 1, 3))::BIGINT AS frame_idx
+         FROM documents""",
+    "q62_media_resize" ->
+      """SELECT doc_id, 64::BIGINT AS width, 64::BIGINT AS height,
+                least(octet_length(encode(text)), 4096)::BIGINT AS byte_len
          FROM documents"""
   )
 }
