@@ -403,6 +403,44 @@ object Relational {
         .select("event_id", "user_id", "event_type", "rn")
     }),
 
+    // HAVING: post-aggregation filter.
+    "q63_having" -> ((s, d) =>
+      Tables(s, d).lineitem
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+        .filter(col("n") >= 40)),
+
+    // String scalar surface: substring/concat/upper/lower/length/
+    // replace/lpad/trim.
+    "q64_string_funcs" -> ((s, d) =>
+      Tables(s, d).part.select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_name"), 1, 3).as("pre3"),
+        concat(col("p_brand"), lit("/"), col("p_type")).as("bt"),
+        length(col("p_name")).cast("long").as("name_len"),
+        regexp_replace(col("p_name"), "e", "3").as("leet"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("padded"))),
+
+    // Date/time scalar surface: datediff / date_add / truncation.
+    "q65_date_funcs" -> ((s, d) =>
+      Tables(s, d).orders.select(
+        col("o_orderkey"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_2002"),
+        date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd")
+          .as("due_date"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+          .as("order_month"))),
+
+    // Conditional scalar surface: nullif / coalesce / greatest / least.
+    "q66_conditionals" -> ((s, d) =>
+      Tables(s, d).lineitem.select(
+        col("l_orderkey"), col("l_linenumber"),
+        coalesce(nullif(col("l_returnflag"), lit("N")), lit("neutral")).as("flag"),
+        greatest(col("l_discount"), col("l_tax")).as("max_rate"),
+        least(col("l_quantity"), lit(10.0)).as("capped_qty"))),
+
     // Correlated-style aggregate filter: orders above their
     // priority's average price (subquery via join).
     "q26_above_avg" -> ((s, d) => {
@@ -548,6 +586,30 @@ object Relational {
          WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate
          GROUP BY o_orderkey, o_orderdate
          ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "q63_having" ->
+      """SELECT l_partkey, count(*) AS n, sum(l_quantity) AS qty
+         FROM lineitem GROUP BY 1 HAVING count(*) >= 40""",
+    "q64_string_funcs" ->
+      """SELECT p_partkey,
+                upper(p_name) AS uname,
+                substring(p_name, 1, 3) AS pre3,
+                concat(p_brand, '/', p_type) AS bt,
+                length(p_name)::BIGINT AS name_len,
+                regexp_replace(p_name, 'e', '3', 'g') AS leet,
+                lpad(p_partkey::VARCHAR, 8, '0') AS padded
+         FROM part""",
+    "q65_date_funcs" ->
+      """SELECT o_orderkey,
+                date_diff('day', o_orderdate::DATE, DATE '2002-01-01')::BIGINT AS days_to_2002,
+                strftime(o_orderdate::DATE + INTERVAL '30 days', '%Y-%m-%d') AS due_date,
+                strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month
+         FROM orders""",
+    "q66_conditionals" ->
+      """SELECT l_orderkey, l_linenumber,
+                coalesce(nullif(l_returnflag, 'N'), 'neutral') AS flag,
+                greatest(l_discount, l_tax) AS max_rate,
+                least(l_quantity, 10.0) AS capped_qty
+         FROM lineitem""",
     "q57_asof_join" ->
       """WITH r AS (
            SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
