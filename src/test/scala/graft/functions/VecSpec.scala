@@ -37,6 +37,14 @@ class VecSpec extends AnyFunSuite {
     assert(buckets(3L) == (~buckets(1L) & ((1L << 8) - 1)))
   }
 
+  test("length-mismatched vectors yield null in BOTH cosine implementations") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val row = df.select(
+      Vec.cosine(col("a"), col("b")).as("fast"),
+      Vec.cosineComposed(col("a"), col("b")).as("ref")).collect().head
+    assert(row.isNullAt(0) && row.isNullAt(1))
+  }
+
   test("native VecCosine is bit-identical to the composed zip_with/aggregate form") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va")).filter(col("ia") < 40)

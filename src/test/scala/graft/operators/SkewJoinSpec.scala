@@ -26,6 +26,16 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("invalid inputs fail fast: non-positive salts, pre-existing __salt column") {
+    val df = spark.range(3).select(col("id").as("k"))
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedInnerJoin(df, df, "k", Seq(col("k")), salts = 0)
+    }
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedInnerJoin(df.withColumn("__salt", lit(1)), df, "k", Seq(col("k")), salts = 2)
+    }
+  }
+
   test("salted join preserves duplicate-row cardinality") {
     val t = graft.Tables(spark, "/root/testdata/sf0.001")
     val skewed = t.events.select(pmod(col("user_id"), lit(3)).as("k"), col("event_id"))
