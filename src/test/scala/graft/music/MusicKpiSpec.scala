@@ -83,6 +83,8 @@ class MusicKpiSpec extends AnyFunSuite {
     // u1 listened twice on 06-25: parity counts 3, distinct counts 2
     assert(rock(MusicKpi(uniqueListeners = MusicKpi.UniqueMode.Parity)) == 3L)
     assert(rock(MusicKpi(uniqueListeners = MusicKpi.UniqueMode.Distinct)) == 2L)
+    // HLL is exact at tiny cardinalities
+    assert(rock(MusicKpi(uniqueListeners = MusicKpi.UniqueMode.Approx)) == 2L)
   }
 
   test("malformed listen_time yields a null date row, not an ANSI crash (glue_job.py:59 parity)") {
