@@ -3,10 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: headline queries on SPARK_GRAFT_SF_DIR, one JSON
-  * line on stdout. Heavy all-pairs text queries (q35/q38) are
-  * excluded — they are correctness demonstrations on the 500-doc
-  * verify corpus, not scale paths; their scale twins (q36 minhash,
-  * q37 simhash, q42 LSH) are benchmarked instead.
+  * line on stdout. Includes the exact-Jaccard joins (q35/q38) so the
+  * prefix-filter claim is load-tested at the bench corpus size, next
+  * to their approximate scale twins (q36 minhash, q37 simhash,
+  * q42 LSH).
   */
 object Bench {
   private val headline = Seq(
@@ -16,7 +16,8 @@ object Bench {
     "q20_chain_join", "q21_running_sum", "q24_rollup",
     "q27_fact_fact_join", "q28_shipping_priority",
     "q30_token_count", "q32_exact_dedup", "q33_quality",
-    "q36_minhash_lsh", "q37_simhash", "q40_ann_topk",
+    "q35_token_jaccard", "q36_minhash_lsh", "q37_simhash",
+    "q38_ngram_jaccard", "q40_ann_topk",
     "q41_embedding_neardup", "q42_ann_lsh", "q44_ann_ivf",
     "q45_media_features", "q50_stream_hourly", "q51_sessionize",
     "q52_session_window", "q53_pricing_summary")
@@ -24,6 +25,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // dev loop: SPARK_GRAFT_ONLY=q50_stream_hourly,q35_token_jaccard
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val spark = GraftSession.tune(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"),
       shufflePartitions = cpus.toInt
@@ -35,7 +38,8 @@ object Bench {
     val missing = headline.filterNot(qs.contains)
     if (missing.nonEmpty)
       System.err.println(s"[bench] missing headline queries: ${missing.mkString(", ")}")
-    val results = headline.flatMap { name =>
+    val selected = only.fold(headline)(f => headline.filter(f))
+    val results = selected.flatMap { name =>
       qs.get(name).map { fn =>
         def once(): Double = {
           val t0 = System.nanoTime()

@@ -17,9 +17,30 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
-  private def seedOf(e: Seq[Expression], default: Long = 42L): Array[Long] =
-    graft.operators.Dedup.permSalts(
-      if (e.length > 1) e(1).eval().toString.toInt else 32, default)
+  /** The optional `numPerm` argument must be an integer literal: it
+    * sizes the salt family baked into the expression tree, so a
+    * non-foldable argument (a column reference) can't be honored —
+    * reject it with a clear error instead of an opaque NPE from an
+    * eager eval().
+    */
+  private def seedOf(e: Seq[Expression], default: Long = 42L): Seq[Long] = {
+    val numPerm =
+      if (e.length <= 1) 32
+      else {
+        val arg = e(1)
+        if (!arg.foldable) throw new IllegalArgumentException(
+          "minhash_sig: numPerm must be an integer literal, got a non-foldable expression")
+        arg.eval() match {
+          case i: Int => i
+          case l: Long if l.isValidInt => l.toInt
+          case s: Short => s.toInt
+          case b: Byte => b.toInt
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig: numPerm must be an integer literal, got: $other")
+        }
+      }
+    graft.operators.Dedup.permSalts(numPerm, default)
+  }
 
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_cosine" -> (es => VecCosine(es(0), es(1))),

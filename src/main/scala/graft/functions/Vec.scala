@@ -51,6 +51,18 @@ object Vec {
         lit(0.0), (acc, x) => acc + x) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Multi-table sign-LSH sketch: `array<long>` of
+    * `planes.length / planesPerTable` bucket codes, one fused
+    * codegen loop (see SignLsh). Table `t` uses planes
+    * `[t·planesPerTable, (t+1)·planesPerTable)`.
+    */
+  def signLshBuckets(v: Column, planes: Array[Array[Double]], planesPerTable: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.expressions.SignLsh(
+      GraftColumnBridge.expression(v),
+      planes.flatten.toSeq, planesPerTable, planes.head.length))
+  }
+
   /** Deterministic pseudo-random hyperplanes (splitmix64 over a
     * fixed seed) — reproducible across runs and engines without an
     * RNG at execution time.

@@ -17,14 +17,21 @@ import org.apache.spark.sql.types._
   * `xxhash64(x, lit(salt_i))`: Spark's XxHash64 chains
   * `hash(salt, hash(x, 42))`, reproduced here via XXH64.hashLong.
   */
-case class MinHashSig(child: Expression, salts: Array[Long])
+case class MinHashSig(child: Expression, salts: Seq[Long])
     extends UnaryExpression {
+
+  // salts is Seq (not Array) so case-class equality is structural:
+  // semantically identical minhash_sig expressions compare equal,
+  // which canonicalization / common-subexpression elimination needs.
+  // The hot loops run over this materialized primitive array.
+  private lazy val saltArr: Array[Long] = salts.toArray
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    val salts = saltArr
     val mins = Array.fill(salts.length)(Long.MaxValue)
     var i = 0
     while (i < n) {
@@ -42,7 +49,7 @@ case class MinHashSig(child: Expression, salts: Array[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val saltsRef = ctx.addReferenceObj("salts", salts, "long[]")
+      val saltsRef = ctx.addReferenceObj("salts", saltArr, "long[]")
       val xxh = classOf[XXH64].getName
       val n = ctx.freshName("n")
       val mins = ctx.freshName("mins")

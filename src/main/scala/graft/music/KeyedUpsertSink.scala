@@ -18,7 +18,22 @@ import org.apache.spark.sql.functions._
   *
   * A cloud implementation (e.g. DynamoDB `batchWriteItem` via
   * `df.foreachPartition` + an SDK client) plugs in behind the same
-  * trait; the KPI job depends only on the contract.
+  * trait; the KPI job depends only on the contract. `BatchedKvSink`
+  * demonstrates that write path against a pluggable client.
+  *
+  * CONCURRENCY CONTRACT: `upsert` assumes a SINGLE WRITER per table
+  * path. The parquet implementation's read-merge-swap is atomic for
+  * readers (they see the old or the new table, never a half-written
+  * one) but not for concurrent writers: two interleaved upserts to
+  * the same path can lose one writer's keys or collide on the shared
+  * `.staging`/`.old` paths. This mirrors the reference pipeline,
+  * where one job owns the KPI tables (`glue_job.py` runs as the DAG's
+  * only compute step) and the streaming path serializes upserts
+  * through `foreachBatch` (one batch at a time per query). Callers
+  * needing multi-writer semantics must serialize externally (a lock
+  * file / lease) or use a sink whose backend does per-item CAS (the
+  * DynamoDB-style `BatchedKvSink`, where last-writer-wins is enforced
+  * by the store, not the merge).
   */
 trait KeyedUpsertSink {
   def upsert(df: DataFrame, keyCols: Seq[String]): Unit

@@ -56,8 +56,8 @@ object Dedup {
   /** The minhash permutation salt stream (exposed for the SQL
     * function registry so both surfaces share one hash family).
     */
-  private[graft] def permSalts(numPerm: Int, seed: Long = 42L): Array[Long] =
-    splitmix(seed, numPerm)
+  private[graft] def permSalts(numPerm: Int, seed: Long = 42L): Seq[Long] =
+    splitmix(seed, numPerm).toSeq
 
   /** Splitmix64 stream, used for minhash permutation constants. */
   private def splitmix(seed: Long, count: Int): Array[Long] = {
@@ -81,7 +81,7 @@ object Dedup {
   def minHashSignature(shingles: Column, numPerm: Int, seed: Long = 42L): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(graft.functions.expressions.MinHashSig(
-      GraftColumnBridge.expression(shingles), splitmix(seed, numPerm)))
+      GraftColumnBridge.expression(shingles), splitmix(seed, numPerm).toSeq))
   }
 
   /** Candidate pairs whose minhash signatures collide in at least
@@ -186,15 +186,65 @@ object Dedup {
   def winnowFingerprint(textCol: Column, shingleN: Int = 3, k: Int = 16): Column =
     slice(array_sort(shingleHashes(textCol, shingleN)), 1, k)
 
-  /** Exact n-gram Jaccard pairs ≥ `threshold`, with PREFIX FILTERING
-    * (AllPairs-style): under a global shingle order, any pair with
-    * overlap ≥ α shares an element among the first `|d| - α + 1`
-    * shingles of each side, and Jaccard ≥ τ implies overlap ≥
-    * ⌈τ·|d|⌉. So only the `|d| - ⌈τ·|d|⌉ + 1` smallest shingle
-    * hashes of each document enter the inverted index — at τ=0.5
-    * that halves the index, and the candidate join shrinks
-    * quadratically in the posting sizes. Exact: candidates are then
-    * verified on full shingle sets. No false negatives.
+  /** Exact Jaccard-threshold self-join over pre-hashed, SORTED
+    * element-set arrays `(id, ts: array<long>)` — the shared core of
+    * token-set (q35) and n-gram (q38) similarity joins. Three
+    * published, exactness-preserving prunes (AllPairs/PPJoin,
+    * Bayardo et al. 2007 / Xiao et al. 2008):
+    *
+    *  - PREFIX FILTER: Jaccard ≥ τ ⇒ overlap ≥ ⌈τ·|d|⌉, and any
+    *    pair with that overlap shares an element among each side's
+    *    first `|d| − ⌈τ·|d|⌉ + 1` elements — only those enter the
+    *    inverted index. Because the global order is HASH order, the
+    *    prefix elements are a uniform sample of each set, so posting
+    *    lists stay balanced even when the raw element distribution
+    *    is skewed (a lexicographic order degenerates: every set's
+    *    prefix starts with the alphabet's smallest tokens).
+    *  - LENGTH FILTER: τ·|a| ≤ |b| ≤ |a|/τ, applied inside the
+    *    candidate join before any pair materializes.
+    *  - POSITION FILTER: a pair matching at 0-based prefix positions
+    *    (pa, pb) has overlap ≤ min(|a|−pa, |b|−pb); requiring that
+    *    to reach α = ⌈τ/(1+τ)·(|a|+|b|)⌉ prunes the row. Safe under
+    *    the trailing distinct: the pair's FIRST common element (all
+    *    common elements sit at positions ≥ it) always satisfies the
+    *    bound if the pair truly qualifies.
+    *
+    * Candidates are then verified on the full sets — no false
+    * negatives. Output: (a_id, b_id, c, na, nb, jaccard), exact.
+    */
+  private[graft] def jaccardPairs(sets0: DataFrame, threshold: Double): DataFrame = {
+    val sets = sets0.withColumn("n", size(col("ts")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tau = lit(threshold)
+    val prefixLen = (col("n") - ceil(col("n") * tau).cast("int") + 1)
+    val prefixes = sets.select(col("id"), col("n"),
+      posexplode(slice(col("ts"), lit(1), prefixLen)).as(Seq("p", "t")))
+    val candidates = prefixes.as("a").join(prefixes.as("b"),
+        col("a.t") === col("b.t") && col("a.id") < col("b.id") &&
+        col("b.n") >= col("a.n") * tau && col("a.n") >= col("b.n") * tau &&
+        least(col("a.n") - col("a.p"), col("b.n") - col("b.p")) >=
+          (tau / (lit(1.0) + tau)) * (col("a.n") + col("b.n")))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+
+    val verified = candidates
+      .join(sets.select(col("id").as("a_id"), col("ts").as("ta"), col("n").as("na")), "a_id")
+      .join(sets.select(col("id").as("b_id"), col("ts").as("tb"), col("n").as("nb")), "b_id")
+      .withColumn("c", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("c"),
+        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
+        col("jaccard"))
+      .localCheckpoint() // see minHashLsh: materialize + GC-cleanable
+    sets.unpersist()
+    verified
+  }
+
+  /** Exact n-gram Jaccard pairs ≥ `threshold` via [[jaccardPairs]]
+    * (shingles are already hashed 64-bit values; hash order IS the
+    * global element order).
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -202,28 +252,8 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val sh = parallelized(docs).select(col(idCol).as("id"),
-        array_sort(shingleHashes(col(textCol), shingleN)).as("sh"))
-      .withColumn("n", size(col("sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val prefixLen = (col("n") - ceil(col("n") * lit(threshold)).cast("int") + 1)
-    val prefixes = sh.select(col("id"),
-      explode(slice(col("sh"), lit(1), prefixLen)).as("g"))
-    val candidates = prefixes.as("x").join(prefixes.as("y"),
-        col("x.g") === col("y.g") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
-      .distinct()
-
-    val verified = candidates
-      .join(sh.select(col("id").as("a_id"), col("sh").as("sha")), "a_id")
-      .join(sh.select(col("id").as("b_id"), col("sh").as("shb")), "b_id")
-      .withColumn("c", size(array_intersect(col("sha"), col("shb"))).cast("double"))
-      .withColumn("u", size(array_union(col("sha"), col("shb"))).cast("double"))
-      .filter(col("c") / col("u") >= threshold)
-      .select("a_id", "b_id")
-      .localCheckpoint() // see minHashLsh: materialize + GC-cleanable
-    sh.unpersist()
-    verified
+    val sets = parallelized(docs).select(col(idCol).as("id"),
+      array_sort(shingleHashes(col(textCol), shingleN)).as("ts"))
+    jaccardPairs(sets, threshold).select("a_id", "b_id")
   }
 }

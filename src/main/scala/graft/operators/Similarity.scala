@@ -1,46 +1,159 @@
 package graft.operators
 
 import graft.functions.Vec
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate nearest neighbour via IVF (inverted-file index) —
   * the coarse-quantization scale path next to the sign-LSH variant.
   *
-  * Index: `nlist` deterministic seed centroids (the vectors with the
-  * smallest ids — a placeholder for a k-means pass; the *structure*
-  * is what matters: each corpus vector is assigned to its nearest
-  * centroid once, a narrow map over a broadcast centroid table).
+  * Index: `nlist` spherical k-means centroids trained on a
+  * DETERMINISTIC sample (global top-`sampleN` by `(xxhash64(id), id)`
+  * — a TakeOrdered partial top-n per partition, never a full sort of
+  * the corpus). Farthest-point init + a few Lloyd iterations on the
+  * driver: the sample is a few thousand vectors regardless of corpus
+  * size, which is exactly how large-scale IVF builds train their
+  * coarse quantizer (train on a sample, assign the full corpus).
   *
-  * Search: a query probes only its `nprobe` nearest centroid lists,
-  * so the pair space shrinks from |corpus| to ~nprobe/nlist of it.
-  * Exact re-rank (VecCosine) inside the probed lists.
+  * Assignment is a PURE COLUMN EXPRESSION: the trained centroids are
+  * literals in the plan, each corpus vector scores all `nlist`
+  * centroids in one codegen'd projection and takes the argmax — no
+  * join, no window, no shuffle. Same for query probe selection
+  * (top-`nprobe` via `array_sort` of a literal-sized array). The only
+  * shuffle in the whole operator is the final candidate equi-join on
+  * `ivf_list`, which touches ~nprobe/nlist of the corpus per query.
+  *
+  * Search: a query probes only its `nprobe` nearest centroid lists;
+  * exact re-rank (VecCosine) inside the probed lists.
+  *
+  * Determinism: sample selection is hash-ordered with an id
+  * tie-break; Lloyd runs on the driver over a fixed-order sample with
+  * index-ascending float64 accumulation; ties in assignment and probe
+  * order break toward the smallest centroid index. Same corpus →
+  * same index, on any cluster size or partitioning.
   */
 object Similarity {
 
-  /** The deterministic seed centroids: smallest `nlist` ids. Both
-    * index build and search derive centroids from this one rule, so
-    * they can never disagree (reconstructing centroids from the
-    * assignment column would lose a centroid whose vector duplicates
-    * a smaller-id centroid's).
+  /** Train spherical k-means centroids on a deterministic sample.
+    * Returns ≤ `nlist` unit-norm centroids (fewer only when the
+    * corpus itself has fewer vectors).
     */
-  def centroids(emb: DataFrame, idCol: String, vecCol: String, nlist: Int): DataFrame =
-    emb.orderBy(col(idCol)).limit(nlist)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
+  def kmeansCentroids(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      iters: Int = 5,
+      sampleN: Int = 2048): Array[Array[Float]] = {
+    // deterministic sample: TakeOrderedAndProject, not a corpus sort
+    val sample: Array[Array[Double]] = emb
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .orderBy(xxhash64(col("__id")), col("__id"))
+      .limit(sampleN)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      .map(normalize)
 
-  /** Corpus with an `ivf_list` assignment column. */
-  def ivfIndex(emb: DataFrame, idCol: String, vecCol: String, nlist: Int): DataFrame = {
-    val cents = centroids(emb, idCol, vecCol, nlist)
-    val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("centroid_id"))
-    emb.crossJoin(broadcast(cents))
-      .withColumn("csim", Vec.cosine(col(vecCol), col("cv")))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1)
-      .select(emb.columns.map(col) :+ col("centroid_id").as("ivf_list"): _*)
+    val k = math.min(nlist, sample.length)
+    if (k == 0) return Array.empty
+
+    // farthest-point init: deterministic spread without an RNG
+    val centroids = new Array[Array[Double]](k)
+    centroids(0) = sample(0)
+    var c = 1
+    while (c < k) {
+      var bestIdx = -1
+      var bestScore = Double.MaxValue // min over chosen of max-cosine
+      var i = 0
+      while (i < sample.length) {
+        var nearest = -1.0
+        var j = 0
+        while (j < c) {
+          val s = dot(sample(i), centroids(j))
+          if (s > nearest) nearest = s
+          j += 1
+        }
+        // the point least similar to its nearest chosen centroid
+        if (nearest < bestScore) { bestScore = nearest; bestIdx = i }
+        i += 1
+      }
+      centroids(c) = sample(bestIdx)
+      c += 1
+    }
+
+    // Lloyd: assign (argmax cosine, tie → lowest index), re-mean,
+    // re-normalize; an emptied cluster keeps its previous centroid
+    var iter = 0
+    while (iter < iters) {
+      val sums = Array.fill(k)(new Array[Double](centroids(0).length))
+      val counts = new Array[Int](k)
+      var i = 0
+      while (i < sample.length) {
+        var best = 0
+        var bestSim = dot(sample(i), centroids(0))
+        var j = 1
+        while (j < k) {
+          val s = dot(sample(i), centroids(j))
+          if (s > bestSim) { bestSim = s; best = j }
+          j += 1
+        }
+        val acc = sums(best)
+        val v = sample(i)
+        var d = 0
+        while (d < v.length) { acc(d) += v(d); d += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      var j = 0
+      while (j < k) {
+        if (counts(j) > 0) centroids(j) = normalize(sums(j))
+        j += 1
+      }
+      iter += 1
+    }
+    centroids.map(_.map(_.toFloat))
   }
 
-  /** Top-k neighbours for each query id, probing `nprobe` lists. */
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(dot(v, v))
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /** `array<struct<s, ni>>` scoring `vecCol` against every centroid:
+    * `s` = cosine, `ni` = negated index so that struct-max / sort
+    * order breaks similarity ties toward the SMALLEST centroid index.
+    * Evaluated per row inside whole-stage codegen — no join.
+    */
+  private def centroidScores(vecCol: Column, cents: Array[Array[Float]]): Column =
+    array(cents.zipWithIndex.map { case (cv, i) =>
+      struct(
+        Vec.cosine(vecCol, typedlit(cv.toSeq)).as("s"),
+        lit(-i).as("ni"))
+    }: _*)
+
+  /** Nearest-centroid id (argmax cosine) as a narrow expression. */
+  private def nearestList(vecCol: Column, cents: Array[Array[Float]]): Column =
+    -array_max(centroidScores(vecCol, cents)).getField("ni")
+
+  /** Corpus with an `ivf_list` assignment column — one narrow
+    * codegen'd projection over the corpus, no shuffle.
+    */
+  def ivfIndex(emb: DataFrame, idCol: String, vecCol: String, nlist: Int): DataFrame = {
+    val cents = kmeansCentroids(emb, idCol, vecCol, nlist)
+    emb.withColumn("ivf_list", nearestList(col(vecCol), cents))
+  }
+
+  /** Top-k neighbours for each query id, probing `nprobe` lists.
+    * Centroids are re-derived from the same deterministic training
+    * rule, so index and search can never disagree.
+    */
   def ivfTopK(
       indexed: DataFrame,
       idCol: String,
@@ -49,17 +162,17 @@ object Similarity {
       nlist: Int,
       nprobe: Int,
       k: Int): DataFrame = {
-    val cents = centroids(indexed, idCol, vecCol, nlist)
+    val cents = kmeansCentroids(indexed, idCol, vecCol, nlist)
     val queries = indexed.join(queryIds, indexed(idCol) === queryIds("query_id"))
       .select(col("query_id"), col(vecCol).as("qv"))
 
-    // probe assignment: nprobe nearest centroids per query
-    val pw = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("centroid_id"))
-    val probes = queries.crossJoin(broadcast(cents))
-      .withColumn("csim", Vec.cosine(col("qv"), col("cv")))
-      .withColumn("__r", row_number().over(pw))
-      .filter(col("__r") <= nprobe)
-      .select(col("query_id"), col("qv"), col("centroid_id").as("ivf_list"))
+    // probe assignment: top-nprobe centroids per query, computed by
+    // sorting the literal-sized score array — narrow, no window
+    val probes = queries
+      .withColumn("__probe",
+        explode(slice(reverse(array_sort(centroidScores(col("qv"), cents))),
+          1, math.min(nprobe, math.max(cents.length, 1)))))
+      .select(col("query_id"), col("qv"), (-col("__probe.ni")).as("ivf_list"))
 
     // candidate join restricted to probed lists, exact re-rank
     val rw = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col(idCol))
@@ -69,5 +182,108 @@ object Similarity {
       .withColumn("rank", row_number().over(rw).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"))
+  }
+
+  /** EXACT cosine-threshold self-join via block-partitioned
+    * equi-joins (the "triangle join") — no CartesianProduct /
+    * BroadcastNestedLoopJoin node anywhere in the plan.
+    *
+    * Why not LSH candidates here: an OR-construction over sign-LSH
+    * tables misses a pair with probability `(1 − p^r)^L` where
+    * `p = 1 − θ/π`. That vanishes fast for near-dup thresholds
+    * (τ ≥ 0.7 → see `cosineNearDupLsh`), but when the threshold sits
+    * INSIDE the bulk of the similarity distribution, borderline pairs
+    * make recall 1.0 unreachable: on the sf0.1 corpus, a qualifying
+    * pair at sim 0.45011 (θ/π ≈ 0.3515) needs ~1,100 tables to
+    * collide — far more work than evaluating every pair. Exact
+    * semantics over an un-gapped threshold is irreducibly O(n²)
+    * compute; what scale engineering buys is the SHAPE:
+    *
+    *  - each vector is hash-assigned to one of `blocks` blocks (a
+    *    narrow map), and each unordered block pair is evaluated
+    *    exactly once — join keys `(ba, bb)` give `B(B+1)/2` evenly
+    *    sized work units, so the evaluate stage parallelizes across
+    *    `~B²/2` shuffle keys (a cartesian gives Spark nothing to
+    *    partition evenly by);
+    *  - shuffle volume is `n·(B+1)/2` rows (each vector replicated
+    *    once per partner block), NOT n² — pair evaluation streams
+    *    through the codegen'd VecCosine filter inside the join,
+    *    never materializing the pair space;
+    *  - `blocks` sizes the work unit: pick `B` ≥ cluster cores so
+    *    every core gets blocks, with `n/B` vectors per block fitting
+    *    a hash-join partition.
+    */
+  def cosineThresholdPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      blocks: Int = 32): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val block = pmod(xxhash64(col(idCol)), lit(blocks.toLong))
+    val a = emb.select(col(idCol).as("a_id"), col(vecCol).as("va"), block.as("ba"))
+    val b = emb.select(col(idCol).as("b_id"), col(vecCol).as("vb"), block.as("bb"))
+    // every unordered block combo once; the tiny combo table
+    // broadcast-fans each side out to its partner blocks, then the
+    // composite (ba, bb) equi-join gives B(B+1)/2 balanced work units
+    val combos = (for { i <- 0 until blocks; j <- i until blocks }
+      yield (i.toLong, j.toLong)).toDF("ba", "bb")
+    a.join(broadcast(combos), "ba")
+      .join(b.join(broadcast(combos), "bb"), Seq("ba", "bb"))
+      // same-block combo evaluates each unordered pair once via the
+      // id order; cross-block combos are already unique by key order
+      .filter(col("ba") =!= col("bb") || col("a_id") < col("b_id"))
+      .filter(Vec.cosine(col("va"), col("vb")) >= threshold)
+      // cross-block pairs carry no id-order guarantee — canonicalize
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+  }
+
+  /** Near-duplicate pairs (cosine ≥ `threshold`) via multi-table
+    * sign-LSH candidate generation + exact VecCosine verify — the
+    * 100 TB path for REAL near-dup thresholds (τ ≥ ~0.7), where the
+    * similarity distribution has a gap above the bulk.
+    *
+    * Table count is derived from the documented miss bound: a pair
+    * at exactly `threshold` collides in one table with probability
+    * `p^r`, `p = 1 − arccos(τ)/π`, so `L = ⌈ln(targetMiss) /
+    * ln(1 − p^r)⌉` bounds the per-pair miss probability by
+    * `targetMiss`; pairs above the threshold miss even less. Only
+    * `(table, bucket, id)` rows enter the candidate join — vectors
+    * are re-joined for the verify stage, so the shuffle never
+    * carries payloads (same discipline as minHashLsh).
+    */
+  def cosineNearDupLsh(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int = 64,
+      planesPerTable: Int = 4,
+      targetMiss: Double = 1e-6,
+      seed: Long = 42L): DataFrame = {
+    require(threshold > 0.0 && threshold < 1.0, "threshold in (0, 1)")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val perTable = math.pow(p, planesPerTable)
+    val tables = math.max(1,
+      math.ceil(math.log(targetMiss) / math.log1p(-perTable)).toInt)
+    val planes = Vec.deterministicPlanes(tables * planesPerTable, dim, seed)
+
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val banded = vecs.select(col("id"),
+      posexplode(Vec.signLshBuckets(col("v"), planes, planesPerTable))
+        .as(Seq("tbl", "bucket")))
+    val ca = banded.select(col("tbl"), col("bucket"), col("id").as("a_id"))
+    val cb = banded.select(col("tbl"), col("bucket"), col("id").as("b_id"))
+    val candidates = ca.join(cb, Seq("tbl", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+
+    candidates
+      .join(vecs.select(col("id").as("a_id"), col("v").as("va")), "a_id")
+      .join(vecs.select(col("id").as("b_id"), col("v").as("vb")), "b_id")
+      .filter(Vec.cosine(col("va"), col("vb")) >= threshold)
+      .select("a_id", "b_id")
   }
 }

@@ -30,11 +30,16 @@ object DedupOps {
         shingleN = 2, threshold = 0.25)),
 
     // Rolling-hash winnowing sketch (xxhash64 shingles → k-min);
-    // no DuckDB xxhash64 → rows-only.
+    // no DuckDB xxhash64 → rows-only. The sketch is exploded to
+    // (doc_id, pos, minhash) scalar rows: the driver's rows-only
+    // check canonicalizes with a pandas sort, which cannot order
+    // array cells — and the long-form layout is also the shape a
+    // downstream containment join would consume.
     "q43_winnow_fp" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{col, posexplode}
       Tables(s, d).documents
-        .select(col("doc_id"), Dedup.winnowFingerprint(col("text")).as("fp"))
+        .select(col("doc_id"),
+          posexplode(Dedup.winnowFingerprint(col("text"))).as(Seq("pos", "minhash")))
     }),
 
     // End-to-end corpus cleaning: length/quality filters → exact
@@ -45,9 +50,11 @@ object DedupOps {
 
     // Group-level dedup sketch: merge per-doc minhash signatures per
     // source with the typed MinHashMerge Aggregator (union-of-sets
-    // signature without materializing the union). Rows-only.
+    // signature without materializing the union). Rows-only; the
+    // merged signature is exploded to (source, pos, minhash) scalar
+    // rows (see q43 — the gate cannot sort array cells).
     "q48_source_signatures" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{col, posexplode}
       import s.implicits._
       val numPerm = 32
       Tables(s, d).documents
@@ -58,6 +65,7 @@ object DedupOps {
         .mapValues(_._2)
         .agg(new graft.functions.MinHashMerge(numPerm).toColumn.name("gsig"))
         .toDF("source", "gsig")
+        .select(col("source"), posexplode(col("gsig")).as(Seq("pos", "minhash")))
     })
   )
 

@@ -10,14 +10,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StreamOps {
 
-  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Structured Streaming file source + watermark + windowed agg,
     // AvailableNow (SURVEY §2.9: sense → process-once → advance).
+    // Drained through update-mode foreachBatch + the keyed upsert
+    // sink: watermark-bounded state, no driver-side aggregate (the
+    // complete-mode memory sink remains as the A/B twin in
+    // StreamingSpec).
     "q50_stream_hourly" -> ((s, d) =>
-      StreamingKpi.hourlyCounts(s, s"$d/events.parquet",
-        queryName = s"graft_stream_hourly_${counter.incrementAndGet()}")),
+      StreamingKpi.hourlyCountsUpsert(s, s"$d/events.parquet")),
 
     // Gap-based sessionization (batch formulation; the streaming
     // flatMapGroupsWithState twin is covered by StreamingSpec).

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -115,38 +116,19 @@ object TextOps {
             " +", " ")).as("norm_text"))),
 
     // Exact token-set Jaccard near-dup pairs (n-gram Jaccard with
-    // n=1), candidate generation via PREFIX FILTERING on the sorted
-    // token sets (see Dedup.ngramJaccardPairs for the bound): at
-    // τ=0.9 only ~10% of each doc's tokens enter the inverted index.
-    // Exact — candidates verify on full sets, so results are
-    // identical to the full-index oracle. Jaccard is an exact
-    // rational → threshold compare is stable.
+    // n=1) via the shared AllPairs/PPJoin core (Dedup.jaccardPairs:
+    // prefix + length + position filters, hash-ordered elements so
+    // posting lists stay balanced under the corpus's tiny skewed
+    // vocabulary). Tokens are xxhash64'd before the join — c/na/nb
+    // are set cardinalities, identical on hashes (64-bit collisions
+    // across a corpus vocabulary are ~V²/2⁶⁵ — negligible), and the
+    // string payloads never enter a shuffle. Exact rational Jaccard
+    // → threshold compare is stable across engines.
     "q35_token_jaccard" -> ((s, d) => {
-      val threshold = 0.9
-      val docs = Tables(s, d).documents
-      // feeds the prefix build and both verify joins — materialize
-      // the (compact) token sets once; GC-cleanable checkpoint
-      val sets = docs.select(col("doc_id"),
-          array_sort(array_distinct(tokens)).as("ts"))
-        .withColumn("n", size(col("ts")))
-        .localCheckpoint()
-      val prefixLen = (col("n") - ceil(col("n") * lit(threshold)).cast("int") + 1)
-      val prefixes = sets.select(col("doc_id"),
-        explode(slice(col("ts"), lit(1), prefixLen)).as("t"))
-      val candidates = prefixes.as("a").join(prefixes.as("b"),
-          col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-      candidates
-        .join(sets.select(col("doc_id").as("a_id"), col("ts").as("ta"), col("n").as("na")), "a_id")
-        .join(sets.select(col("doc_id").as("b_id"), col("ts").as("tb"), col("n").as("nb")), "b_id")
-        .withColumn("c", size(array_intersect(col("ta"), col("tb"))).cast("long"))
-        .withColumn("jaccard",
-          col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
-        .filter(col("jaccard") >= threshold)
-        .select(col("a_id"), col("b_id"), col("c"),
-          col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
-          col("jaccard"))
+      val sets = Tables(s, d).documents.select(
+        col("doc_id").as("id"),
+        array_sort(transform(array_distinct(tokens), t => xxhash64(t))).as("ts"))
+      Dedup.jaccardPairs(sets, threshold = 0.9)
     })
   )
 

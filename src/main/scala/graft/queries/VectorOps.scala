@@ -37,16 +37,17 @@ object VectorOps {
     }),
 
     // Embedding near-duplicate pairs: cosine above a threshold that
-    // sits in a ≥1e-4 gap of the data's sim distribution.
-    "q41_embedding_neardup" -> ((s, d) => {
-      val emb = Tables(s, d).embeddings
-      val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("va"))
-      val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
-      a.crossJoin(b)
-        .filter(col("a_id") < col("b_id"))
-        .filter(Vec.cosine(col("va"), col("vb")) >= 0.45)
-        .select("a_id", "b_id")
-    }),
+    // sits in a ≥1e-4 gap of the data's sim distribution. EXACT, via
+    // the block-partitioned triangle join — equi-joins only, never a
+    // CartesianProduct (pinned in PlanSpec). LSH candidates can't
+    // preserve exactness at τ=0.45 (borderline pairs — see the
+    // cosineThresholdPairs scaladoc); for real near-dup thresholds
+    // use Similarity.cosineNearDupLsh, whose recall bound is pinned
+    // by SimilaritySpec on planted duplicates.
+    "q41_embedding_neardup" -> ((s, d) =>
+      graft.operators.Similarity.cosineThresholdPairs(
+        Tables(s, d).embeddings, "vec_id", "embedding",
+        threshold = 0.45, blocks = 32)),
 
     // IVF ANN (coarse-quantization scale path): assign corpus to
     // centroid lists once, probe nprobe lists per query, exact

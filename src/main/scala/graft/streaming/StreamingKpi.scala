@@ -46,25 +46,92 @@ object StreamingKpi {
     }
   }
 
-  /** Hourly event counts per type, computed by a streaming query
-    * drained synchronously with AvailableNow into a memory sink,
-    * returned as a batch DataFrame. Deterministic: the batch is the
-    * whole input, complete mode emits final aggregates.
-    */
-  def hourlyCounts(spark: SparkSession, eventsPath: String, queryName: String): DataFrame = {
-    val src = spark.readStream
+  /** The windowed hourly aggregate (shared by both drain paths). */
+  private def hourlyAgg(spark: SparkSession, eventsPath: String): DataFrame =
+    spark.readStream
       .schema(eventsSchema)
       .parquet(stageAsDir(eventsPath))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
-    val agg = src
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"),
         round(col("total_value"), 2).as("total_value"))
-    val q = agg.writeStream
+
+  /** Hourly event counts per type — the SCALE path: update-mode
+    * `foreachBatch` into the keyed upsert sink (the same
+    * last-writer-wins contract the streaming pipeline uses), then a
+    * distributed read-back of the sink table.
+    *
+    * Why not complete mode + memory sink (the A/B twin below): that
+    * holds every window ever seen on the driver and re-emits all of
+    * them each batch — state and output grow with the date range.
+    * Here the watermark bounds in-flight state to ~1 hour of
+    * windows, each micro-batch upserts only the windows it touched,
+    * and the result never funnels through the driver. Replay or
+    * redelivery is idempotent per (window_start, event_type) key.
+    *
+    * Determinism: AvailableNow drains the whole input; the last
+    * upsert for a key carries its final aggregate, and the sink's
+    * LWW merge keeps exactly that row.
+    */
+  def hourlyCountsUpsert(spark: SparkSession, eventsPath: String): DataFrame = {
+    import java.nio.file.Files
+    val workDir = Files.createTempDirectory("graft-q50-")
+    val sink = graft.music.ParquetKeyedUpsertSink(s"$workDir/hourly_kpis")
+    // update mode emits every touched key on the DATA batch itself;
+    // the trailing no-data micro-batch (watermark advance) would only
+    // re-load and re-commit all 32 state stores for zero output rows.
+    // An AvailableNow drain doesn't need it — skip it for this query
+    // and restore the session's setting after.
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = spark.conf.getOption(noDataKey)
+    spark.conf.set(noDataKey, "false")
+    // the hourly aggregate is tiny relative to the input (windows ×
+    // event types); 8 state stores bound the per-batch load/commit
+    // I/O without limiting scan parallelism (stateless stages keep
+    // the session's setting). A real deployment sizes this to the
+    // aggregate's cardinality, not the input's.
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val prevShuffle = spark.conf.getOption(shuffleKey)
+    spark.conf.set(shuffleKey, "8")
+    try {
+    val q = hourlyAgg(spark, eventsPath).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$workDir/checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // foreachBatch frames are recomputed per action — without the
+        // persist, the isEmpty probe AND the upsert's write would each
+        // re-run the stateful aggregation (and its state-store pass)
+        val cached = batch.persist()
+        try {
+          if (!cached.isEmpty) sink.upsert(cached, Seq("window_start", "event_type"))
+        } finally cached.unpersist()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    sink.read(spark)
+    } finally {
+      prevNoData match {
+        case Some(v) => spark.conf.set(noDataKey, v)
+        case None => spark.conf.unset(noDataKey)
+      }
+      prevShuffle match {
+        case Some(v) => spark.conf.set(shuffleKey, v)
+        case None => spark.conf.unset(shuffleKey)
+      }
+    }
+  }
+
+  /** Memory-sink drain of the same aggregate (complete mode) — kept
+    * as the A/B reference implementation for the spec suite; use
+    * `hourlyCountsUpsert` for anything larger than a test fixture.
+    */
+  def hourlyCounts(spark: SparkSession, eventsPath: String, queryName: String): DataFrame = {
+    val q = hourlyAgg(spark, eventsPath).writeStream
       .outputMode("complete")
       .format("memory")
       .queryName(queryName)

@@ -51,6 +51,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject")
   }
 
+  test("q41: exact near-dup join is block-partitioned — no cartesian over corpus×corpus") {
+    val p = plan("q41_embedding_neardup")
+    assert(!p.contains("CartesianProduct"), "corpus×corpus cartesian is the non-plan at scale")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "corpus must pair via equi-join keys")
+  }
+
+  test("q44: IVF centroid assignment is a narrow projection — no window/exchange before the probe join") {
+    // the executed plan has exactly the shuffles the candidate join
+    // and top-k need; the old window-based assignment added an
+    // Exchange+Sort over the 16×-exploded corpus
+    val df = SparkEntry.queries("q44_ann_ivf")(spark, sf)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), "assignment must not cross-join centroids")
+  }
+
   test("q40: ANN broadcasts the query set, never shuffles the corpus") {
     val p = plan("q40_ann_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

@@ -53,6 +53,54 @@ class SinkSpec extends AnyFunSuite {
     assert(rows == Seq(("k1", 1L), ("k2", 99L)))
   }
 
+  test("batched KV sink: splits partitions into ≤ maxBatchSize putBatch calls") {
+    InMemoryKvServer.reset("t_split")
+    val sink = new BatchedKvSink(InMemoryKvClient("t_split", maxBatchSize = 25))
+    val df = (1 to 60).map(i => (s"k$i", i.toLong)).toDF("k", "v").repartition(1)
+    sink.upsert(df, Seq("k"))
+    assert(InMemoryKvServer.putCalls("t_split") == 3, // 25 + 25 + 10
+      s"calls=${InMemoryKvServer.putCalls("t_split")}")
+    assert(sink.read(spark).count() == 60)
+  }
+
+  test("batched KV sink: retries unprocessed items until they land") {
+    InMemoryKvServer.reset("t_retry")
+    // first 2 calls are throttled (accept half, return the rest)
+    val sink = new BatchedKvSink(
+      InMemoryKvClient("t_retry", maxBatchSize = 25, throttleFirstCalls = 2))
+    val df = (1 to 20).map(i => (s"k$i", i.toLong)).toDF("k", "v").repartition(1)
+    sink.upsert(df, Seq("k"))
+    val rows = sink.read(spark).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows.size == 20 && rows("k7") == "7")
+    assert(InMemoryKvServer.putCalls("t_retry") > 1, "expected retry calls")
+  }
+
+  test("batched KV sink: exhausted retries fail the job, not silently drop items") {
+    InMemoryKvServer.reset("t_fail")
+    // every call throttled beyond the retry budget
+    val sink = new BatchedKvSink(
+      InMemoryKvClient("t_fail", maxBatchSize = 25, throttleFirstCalls = 1000),
+      maxRetries = 2)
+    val df = Seq(("k1", 1L)).toDF("k", "v").repartition(1)
+    val e = intercept[Exception] { sink.upsert(df, Seq("k")) }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("unprocessed after")), e.getMessage)
+  }
+
+  test("batched KV sink: upsert is keyed LWW across upserts (store-side per-key put)") {
+    InMemoryKvServer.reset("t_lww")
+    val sink = new BatchedKvSink(InMemoryKvClient("t_lww"))
+    sink.upsert(Seq(("d1", "rock", 10L), ("d1", "jazz", 5L)).toDF("date", "genre", "n"),
+      Seq("date", "genre"))
+    sink.upsert(Seq(("d1", "rock", 99L)).toDF("date", "genre", "n"),
+      Seq("date", "genre"))
+    val rows = sink.read(spark).orderBy("date", "genre").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows == Seq(("d1", "jazz", "5"), ("d1", "rock", "99")))
+  }
+
   test("in-batch duplicate keys collapse deterministically") {
     val dir = TestSpark.tmpDir("sink").resolve("t2").toString
     val sink = ParquetKeyedUpsertSink(dir)

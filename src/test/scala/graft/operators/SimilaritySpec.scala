@@ -42,18 +42,81 @@ class SimilaritySpec extends AnyFunSuite {
     assert(indexed.select("ivf_list").distinct().count() <= 8)
   }
 
-  test("IVF recall@5 with nprobe=4/nlist=16 clears 0.5 on random data") {
+  private def recallAt(nprobe: Int): Double = {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val indexed = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 16)
     val queries = emb.filter(col("vec_id") < 20).select(col("vec_id").as("query_id"))
     val got = Similarity.ivfTopK(indexed, "vec_id", "embedding", queries,
-        nlist = 16, nprobe = 4, k = 5)
+        nlist = 16, nprobe = nprobe, k = 5)
       .collect().groupBy(_.getLong(0))
       .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
     val exact = bruteTopK(5, 20)
-    val recall = (0L until 20L).map { q =>
+    (0L until 20L).map { q =>
       got.getOrElse(q, Set.empty).intersect(exact(q).toSet).size / 5.0
     }.sum / 20.0
-    assert(recall >= 0.5, s"recall=$recall")
+  }
+
+  test("blocked cosine-threshold join ≡ brute-force cross join (exact, any block count)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    val brute = a.crossJoin(b)
+      .filter(col("a_id") < col("b_id"))
+      .filter(graft.functions.Vec.cosine(col("va"), col("vb")) >= 0.45)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (blocks <- Seq(1, 7, 32)) {
+      val got = Similarity.cosineThresholdPairs(emb, "vec_id", "embedding",
+          threshold = 0.45, blocks = blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute, s"blocks=$blocks")
+    }
+  }
+
+  test("LSH near-dup finds every planted duplicate at τ=0.9 (documented miss bound)") {
+    // 40 random base vectors (max pairwise sim 0.69 at 64 dims) + 10
+    // perturbed copies at cosine 0.93–0.95 — a corpus with the gapped
+    // similarity distribution the LSH path is FOR.
+    val dim = 64
+    var x = 7L
+    def next(): Double = {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (z >>> 11) * (1.0 / (1L << 52)) * 2.0 - 1.0
+    }
+    def normalize(v: Array[Double]) = {
+      val n = math.sqrt(v.map(e => e * e).sum); v.map(_ / n)
+    }
+    val base = Array.fill(40)(normalize(Array.fill(dim)(next())))
+    val planted = (0 until 10).map { i =>
+      val noise = Array.fill(dim)(next() * 0.04)
+      (100L + i, normalize(base(i).zip(noise).map { case (e, n) => e + n }))
+    }
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v.map(_.toFloat).toSeq) } ++
+      planted.map { case (id, v) => (id, v.map(_.toFloat).toSeq) }
+    import spark.implicits._
+    val emb = rows.toSeq.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+
+    val got = Similarity.cosineNearDupLsh(emb, "vec_id", "embedding",
+        threshold = 0.9, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = planted.indices.map(i => (i.toLong, 100L + i)).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} spurious=${got -- expected}")
+  }
+
+  test("IVF recall@5 vs nprobe on random data (k-means centroids)") {
+    val r4 = recallAt(4)
+    val r8 = recallAt(8)
+    val r12 = recallAt(12)
+    info(s"recall@5 nlist=16: nprobe=4 → $r4, nprobe=8 → $r8, nprobe=12 → $r12")
+    assert(r4 >= 0.6, s"nprobe=4 recall=$r4")
+    assert(r8 >= 0.8, s"nprobe=8 recall=$r8")
+    assert(r12 >= 0.9, s"nprobe=12 recall=$r12")
+    assert(r4 <= r8 && r8 <= r12, "recall must be monotone in nprobe")
   }
 }

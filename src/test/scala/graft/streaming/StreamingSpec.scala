@@ -101,4 +101,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() == exp.count())
     assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
   }
+
+  test("upsert-sink drain (update mode) ≡ memory-sink drain (complete mode)") {
+    // the scale path (watermark-bounded state, foreachBatch → keyed
+    // LWW sink, distributed read-back) must produce exactly the
+    // complete-mode aggregate
+    val upsert = StreamingKpi.hourlyCountsUpsert(spark,
+      "/root/testdata/sf0.001/events.parquet")
+    val memory = StreamingKpi.hourlyCounts(spark,
+      "/root/testdata/sf0.001/events.parquet", "hourly_ab")
+    assert(upsert.count() == memory.count())
+    assert(upsert.exceptAll(memory).isEmpty && memory.exceptAll(upsert).isEmpty)
+  }
 }
