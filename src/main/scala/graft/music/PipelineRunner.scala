@@ -67,6 +67,40 @@ final class PipelineRunner(spark: SparkSession, conf: PipelineConfig) {
     }
   }
 
+  /** S6 deferrable twin (`dag.py:48`, `deferrable=True`): `sense()`
+    * parks a thread for the whole wait; this variant schedules each
+    * poll as a tick on the caller's scheduler and holds NO thread
+    * between polls — the Airflow triggerer model, which is what lets
+    * thousands of sensors wait on one small executor. The future
+    * completes when both prefixes have csv files, fails with the
+    * sensor-timeout error, or stops polling as soon as it is
+    * cancelled.
+    */
+  def senseDeferred(
+      scheduler: java.util.concurrent.ScheduledExecutorService
+  ): java.util.concurrent.CompletableFuture[Unit] = {
+    val done = new java.util.concurrent.CompletableFuture[Unit]()
+    val deadline = System.currentTimeMillis() + conf.sensorTimeoutMs
+    def tick(): Unit = {
+      if (done.isDone) return // cancelled or completed: stop polling
+      try {
+        val top = glob(s"${conf.rawPrefix}/*.csv")
+        val streams = glob(s"${conf.rawPrefix}/streams/*.csv")
+        if (top.nonEmpty && streams.nonEmpty) done.complete(())
+        else if (System.currentTimeMillis() >= deadline)
+          done.completeExceptionally(new RuntimeException(
+            s"sensor timeout: no csv files under ${conf.rawPrefix} within ${conf.sensorTimeoutMs} ms"))
+        else
+          scheduler.schedule((() => tick()): Runnable,
+            conf.pollIntervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      } catch {
+        case scala.util.control.NonFatal(e) => done.completeExceptionally(e)
+      }
+    }
+    scheduler.execute(() => tick())
+    done
+  }
+
   private def glob(pattern: String): Seq[Path] = {
     val st = fs.globStatus(new Path(pattern))
     if (st == null) Seq.empty

@@ -59,6 +59,15 @@ object Dedup {
   private[graft] def permSalts(numPerm: Int, seed: Long = 42L): Seq[Long] =
     splitmix(seed, numPerm).toSeq
 
+  /** |A ∩ B| of two sorted duplicate-free long arrays — native merge
+    * walk (see SortedIntersectCount). Union size = na + nb − count.
+    */
+  private def sortedIntersectCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.expressions.SortedIntersectCount(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
   /** Splitmix64 stream, used for minhash permutation constants. */
   private def splitmix(seed: Long, count: Int): Array[Long] = {
     var x = seed
@@ -98,10 +107,11 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numPerm / bands
     // shingle arrays feed both the banding branch and the verify
-    // branch — persist so the (string-heavy) shingling runs once
+    // branch — persist so the (string-heavy) shingling runs once;
+    // sorted so the verify stage can merge-walk instead of hash-set
     val shingleSets = parallelized(docs).select(
       col(idCol).as("id"),
-      shingleHashes(col(textCol), shingleN).as("sh"))
+      array_sort(shingleHashes(col(textCol), shingleN)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = shingleSets.withColumn("mh", minHashSignature(col("sh"), numPerm))
 
@@ -126,8 +136,9 @@ object Dedup {
     val verified = candidates
       .join(shingleSets.select(col("id").as("a_id"), col("sh").as("sha")), "a_id")
       .join(shingleSets.select(col("id").as("b_id"), col("sh").as("shb")), "b_id")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
-      .withColumn("uni", size(array_union(col("sha"), col("shb"))).cast("double"))
+      .withColumn("inter", sortedIntersectCount(col("sha"), col("shb")).cast("double"))
+      .withColumn("uni",
+        (size(col("sha")) + size(col("shb"))).cast("double") - col("inter"))
       .filter(col("inter") / col("uni") >= threshold)
       .select("a_id", "b_id")
       // localCheckpoint (not persist): materializes the small pair
@@ -230,7 +241,9 @@ object Dedup {
     val verified = candidates
       .join(sets.select(col("id").as("a_id"), col("ts").as("ta"), col("n").as("na")), "a_id")
       .join(sets.select(col("id").as("b_id"), col("ts").as("tb"), col("n").as("nb")), "b_id")
-      .withColumn("c", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      // allocation-free merge walk over the sorted sets (the arrays
+      // are ascending + distinct by construction above)
+      .withColumn("c", sortedIntersectCount(col("ta"), col("tb")))
       .withColumn("jaccard",
         col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)

@@ -73,6 +73,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("sense"))
   }
 
+  test("deferred sensor completes when files arrive mid-wait (dag.py:48 deferrable)") {
+    val root = TestSpark.tmpDir("pipe-defer")
+    Files.createDirectories(root.resolve("raw-data/streams"))
+    val c = conf(root).copy(sensorTimeoutMs = 5000)
+    val sched = new java.util.concurrent.ScheduledThreadPoolExecutor(1)
+    try {
+      val fut = new PipelineRunner(spark, c).senseDeferred(sched)
+      assert(!fut.isDone, "must be waiting while the prefix is empty")
+      Thread.sleep(40) // a few empty polls
+      Fixtures.writeRawData(root)
+      fut.get(5, java.util.concurrent.TimeUnit.SECONDS) // completes
+    } finally sched.shutdownNow()
+  }
+
+  test("deferred sensor times out with the sensor-timeout error") {
+    val root = TestSpark.tmpDir("pipe-defer-to")
+    Files.createDirectories(root.resolve("raw-data/streams"))
+    val sched = new java.util.concurrent.ScheduledThreadPoolExecutor(1)
+    try {
+      val fut = new PipelineRunner(spark, conf(root)).senseDeferred(sched)
+      val e = intercept[java.util.concurrent.ExecutionException] {
+        fut.get(5, java.util.concurrent.TimeUnit.SECONDS)
+      }
+      assert(e.getCause.getMessage.contains("sensor timeout"))
+    } finally sched.shutdownNow()
+  }
+
+  test("cancelled deferred sensor stops scheduling polls") {
+    val root = TestSpark.tmpDir("pipe-defer-cancel")
+    Files.createDirectories(root.resolve("raw-data/streams"))
+    val c = conf(root).copy(sensorTimeoutMs = 60000)
+    val sched = new java.util.concurrent.ScheduledThreadPoolExecutor(1)
+    try {
+      val fut = new PipelineRunner(spark, c).senseDeferred(sched)
+      Thread.sleep(30)
+      fut.cancel(true)
+      // the in-flight tick observes the cancel and schedules nothing
+      Thread.sleep(100)
+      assert(sched.getQueue.isEmpty, "no further polls after cancel")
+      assert(fut.isCancelled)
+    } finally sched.shutdownNow()
+  }
+
   test("second run upserts over the first (last-writer-wins by key)") {
     val root = TestSpark.tmpDir("pipe-upsert")
     Fixtures.writeRawData(root)
