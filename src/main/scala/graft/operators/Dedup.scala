@@ -255,6 +255,60 @@ object Dedup {
     verified
   }
 
+  /** Duplicate CLUSTERS from near-dup pairs: connected components
+    * with the component's minimum id as the deterministic cluster
+    * id, plus the component size. This is the step that turns a pair
+    * list into dedup decisions (keep `doc_id == cluster_id`, drop the
+    * rest — or sample per cluster).
+    *
+    * Algorithm: iterative min-label propagation. Each round is two
+    * shuffles (edge-join + per-node min) on (id, label) pairs ONLY —
+    * never payloads — and converges in diameter(component) rounds,
+    * which for near-dup clusters is small (near-dup similarity is
+    * close to transitive). Every round ends in a `localCheckpoint`,
+    * so the plan never grows with the iteration count. The
+    * convergence probe is an aggregated any-change count, not a
+    * collect. For adversarially long chains at extreme scale, the
+    * large-star/small-star rewriting (Kiveris et al., "Connected
+    * Components in MapReduce", SoCC'14) drops rounds to O(log n) —
+    * the loop shape here is the same, only the edge rewrite differs.
+    *
+    * `pairs`: (a_id, b_id) near-dup pairs. `ids`: one row per
+    * document id (singletons become their own clusters).
+    * Output: (doc_id, cluster_id, cluster_size).
+    */
+  def duplicateClusters(pairs: DataFrame, ids: DataFrame, maxIters: Int = 50): DataFrame = {
+    val idCol = ids.columns.head
+    val p = pairs.select(col(pairs.columns.head).as("s"), col(pairs.columns(1)).as("d"))
+    // symmetrize once; materialize so an expensive pair source (a
+    // similarity join) never re-runs per iteration
+    val edges = p.union(p.select(col("d").as("s"), col("s").as("d"))).localCheckpoint()
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val minNbr = edges.join(labels.withColumnRenamed("id", "s"), "s")
+        .groupBy(col("d").as("id")).agg(min(col("label")).as("nbr"))
+      val next = labels.join(minNbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.select(col("id"), col("label").as("nl"))
+        .join(labels.select(col("id"), col("label").as("ol")), "id")
+        .filter(col("nl") =!= col("ol"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge in $maxIters rounds — component diameter " +
+          "exceeds the bound; raise maxIters or switch to star-rewriting")
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+  }
+
   /** Exact n-gram Jaccard pairs ≥ `threshold` via [[jaccardPairs]]
     * (shingles are already hashed 64-bit values; hash order IS the
     * global element order).

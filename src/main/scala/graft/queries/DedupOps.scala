@@ -4,11 +4,13 @@ import graft.operators.{CorpusPipeline, Dedup}
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Query bindings for the near-dup suite. These are approximate /
+/** Query bindings for the near-dup suite. Most are approximate /
   * signature-based algorithms with no SQL formulation — the driver
   * records rows-only checks; exactness is covered by DedupSpec
   * (planted-duplicate fixtures) and the SQL-oracled exact variants
-  * (q32_exact_dedup, q35_token_jaccard).
+  * (q32_exact_dedup, q35_token_jaccard, and q67_dup_clusters, whose
+  * DuckDB oracle rebuilds the connected components with a recursive
+  * transitive-closure CTE).
   *
   * Thresholds are tuned LOW for the synthetic corpus (uniform word
   * salad has no true near-dups) so the candidate → verify pipeline
@@ -66,8 +68,90 @@ object DedupOps {
         .agg(new graft.functions.MinHashMerge(numPerm).toColumn.name("gsig"))
         .toDF("source", "gsig")
         .select(col("source"), posexplode(col("gsig")).as(Seq("pos", "minhash")))
+    }),
+
+    // Duplicate clustering: token-Jaccard pairs (exact, the q35
+    // join) → connected components → (doc_id, cluster_id = min id in
+    // component, cluster_size). The step that turns pair lists into
+    // keep/drop decisions. Oracled: DuckDB computes the same
+    // components with a recursive transitive-closure CTE.
+    "q67_dup_clusters" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables(s, d).documents
+      val sets = docs.select(col("doc_id").as("id"),
+        array_sort(transform(array_distinct(split(col("text"), " ")),
+          t => xxhash64(t))).as("ts"))
+      val pairs = Dedup.jaccardPairs(sets, threshold = 0.9).select("a_id", "b_id")
+      Dedup.duplicateClusters(pairs, docs.select("doc_id"))
+    }),
+
+    // The dedup DECISION: keep one representative per cluster (the
+    // min-id member, deterministic) — the retained corpus a training
+    // pipeline actually ships, with the cluster size it absorbed.
+    "q68_dedup_keep" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables(s, d).documents
+      val sets = docs.select(col("doc_id").as("id"),
+        array_sort(transform(array_distinct(split(col("text"), " ")),
+          t => xxhash64(t))).as("ts"))
+      val pairs = Dedup.jaccardPairs(sets, threshold = 0.9).select("a_id", "b_id")
+      Dedup.duplicateClusters(pairs, docs.select("doc_id"))
+        .filter(col("doc_id") === col("cluster_id"))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("doc_id"), col("source"), col("cluster_size"))
     })
   )
 
-  def oracleSql: Map[String, String] = Map.empty
+  def oracleSql: Map[String, String] = Map(
+    "q67_dup_clusters" ->
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+           FROM documents),
+         sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+           FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a_id, b_id FROM inter
+           JOIN sizes sa ON sa.doc_id = a_id
+           JOIN sizes sb ON sb.doc_id = b_id
+           WHERE c::DOUBLE / (sa.n + sb.n - c)::DOUBLE >= 0.9),
+         edges AS (
+           SELECT a_id AS s, b_id AS d FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         reach AS (
+           SELECT doc_id AS s, doc_id AS d FROM documents
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+         SELECT s AS doc_id, min(d) AS cluster_id, count(*) AS cluster_size
+         FROM reach GROUP BY s""",
+    "q68_dedup_keep" ->
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+           FROM documents),
+         sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+           FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a_id, b_id FROM inter
+           JOIN sizes sa ON sa.doc_id = a_id
+           JOIN sizes sb ON sb.doc_id = b_id
+           WHERE c::DOUBLE / (sa.n + sb.n - c)::DOUBLE >= 0.9),
+         edges AS (
+           SELECT a_id AS s, b_id AS d FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         reach AS (
+           SELECT doc_id AS s, doc_id AS d FROM documents
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         lab AS (
+           SELECT s AS doc_id, min(d) AS cluster_id, count(*) AS cluster_size
+           FROM reach GROUP BY s)
+         SELECT l.doc_id, doc.source, l.cluster_size
+         FROM lab l JOIN documents doc ON doc.doc_id = l.doc_id
+         WHERE l.doc_id = l.cluster_id"""
+  )
 }

@@ -82,6 +82,34 @@ class DedupSpec extends AnyFunSuite {
     assert(dsh(1L).toSet.intersect(dsh(2L).toSet).isEmpty)
   }
 
+  test("duplicateClusters: components, min-id labels, sizes, singletons — incl. a long chain") {
+    import org.apache.spark.sql.functions._
+    // component {1,2,3} via transitivity, pair {10,11}, a 6-node
+    // chain 20-21-22-23-24-25 (diameter 5 → several propagation
+    // rounds), singletons 30 and 31
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L), (24L, 25L))
+      .toDF("a_id", "b_id")
+    val ids = (Seq(1L, 2L, 3L, 10L, 11L, 30L, 31L) ++ (20L to 25L)).toDF("id")
+    val got = Dedup.duplicateClusters(pairs, ids)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expected = Map(
+      1L -> (1L, 3L), 2L -> (1L, 3L), 3L -> (1L, 3L),
+      10L -> (10L, 2L), 11L -> (10L, 2L),
+      30L -> (30L, 1L), 31L -> (31L, 1L)) ++
+      (20L to 25L).map(_ -> (20L, 6L)).toMap
+    assert(got == expected)
+  }
+
+  test("duplicateClusters fails loudly when the diameter exceeds maxIters") {
+    // a chain needs diameter rounds; cap below that
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a_id", "b_id")
+    val ids = (1L to 5L).toDF("id")
+    intercept[IllegalStateException] {
+      Dedup.duplicateClusters(pairs, ids, maxIters = 2)
+    }
+  }
+
   test("minhash signature is stable across repartitioning (determinism)") {
     import org.apache.spark.sql.functions._
     val sig1 = docs.select(col("doc_id"),
