@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{MinHashSig, SimHash64, VecCosine}
+import graft.functions.expressions.{MinHashSig, SimHash64, SortedIntersectCount, VecCosine}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -46,7 +46,9 @@ object GraftFunctions {
     "vec_cosine" -> (es => VecCosine(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es.head)),
     // minhash_sig(shingles [, numPerm]) with the library's salt stream
-    "minhash_sig" -> (es => MinHashSig(es.head, seedOf(es)))
+    "minhash_sig" -> (es => MinHashSig(es.head, seedOf(es))),
+    // |A ∩ B| of sorted duplicate-free long arrays (merge walk)
+    "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1)))
   )
 
   def register(spark: SparkSession): Unit =

@@ -29,5 +29,32 @@ class GraftFunctionsSpec extends AnyFunSuite {
       "SELECT simhash64(transform(split('a b c', ' '), t -> xxhash64(t))) v")
       .collect().head.getLong(0)
     assert(sh != 0L)
+
+    val ic = spark.sql(
+      "SELECT sorted_intersect_count(array(1L, 3L, 7L), array(3L, 5L, 7L, 9L)) v")
+      .collect().head.getLong(0)
+    assert(ic == 2L)
+  }
+
+  test("minhash_sig rejects a non-literal numPerm with a clear error") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT minhash_sig(transform(split('a b', ' '), t -> xxhash64(t)), vec_id)
+           FROM parquet.`/root/testdata/sf0.001/embeddings.parquet` LIMIT 1""")
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("numPerm must be an integer literal")),
+      e.getMessage)
+  }
+
+  test("minhash_sig honors a literal numPerm") {
+    GraftFunctions.register(spark)
+    val sig = spark.sql(
+      "SELECT minhash_sig(transform(split('a b c', ' '), t -> xxhash64(t)), 8) v")
+      .collect().head.getSeq[Long](0)
+    assert(sig.length == 8)
   }
 }
