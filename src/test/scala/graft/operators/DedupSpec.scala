@@ -110,6 +110,69 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("jaccardPairs (prefix+length+position filters) ≡ brute force across thresholds") {
+    import org.apache.spark.sql.functions._
+    // deterministic corpus of hashed sets with diverse sizes (3–30)
+    // over a small universe — the regime where a wrong prune bound
+    // would actually drop pairs
+    var x = 99L
+    def next(): Long = {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val universe = (1L to 40L).map(i => next()).distinct
+    val sets: Seq[(Long, Seq[Long])] = (0 until 60).map { i =>
+      val size = 3 + math.floorMod(next(), 28L).toInt
+      val s = scala.collection.mutable.LinkedHashSet.empty[Long]
+      while (s.size < size) s += universe(math.floorMod(next(), universe.length.toLong).toInt)
+      (i.toLong, s.toSeq.sorted)
+    }
+    val df = sets.toDF("id", "ts")
+    def brute(threshold: Double): Set[(Long, Long, Long)] = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      c = sa.toSet.intersect(sb.toSet).size
+      if c.toDouble / (sa.size + sb.size - c) >= threshold
+    } yield (a, b, c.toLong)).toSet
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val got = Dedup.jaccardPairs(df, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == brute(t), s"threshold=$t")
+    }
+  }
+
+  test("duplicateClusters ≡ driver union-find on a random pair set") {
+    import org.apache.spark.sql.functions._
+    var x = 123L
+    def next(): Long = {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val n = 80L
+    val pairs = (0 until 60).map { _ =>
+      (math.floorMod(next(), n), math.floorMod(next(), n))
+    }.filter { case (a, b) => a != b }.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    // driver union-find
+    val parent = scala.collection.mutable.Map((0L until n).map(i => i -> i): _*)
+    def find(a: Long): Long = { var r = a; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (0L until n).groupBy(find).flatMap { case (_, members) =>
+      val cid = members.min
+      members.map(m => m -> (cid, members.size.toLong))
+    }
+    val got = Dedup.duplicateClusters(pairs.toDF("a_id", "b_id"), (0L until n).toDF("id"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+
   test("minhash signature is stable across repartitioning (determinism)") {
     import org.apache.spark.sql.functions._
     val sig1 = docs.select(col("doc_id"),
