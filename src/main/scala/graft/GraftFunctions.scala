@@ -39,6 +39,10 @@ object GraftFunctions {
             s"minhash_sig: numPerm must be an integer literal, got: $other")
         }
       }
+    // a non-positive literal would produce an empty salt family and
+    // silently empty signatures for every row
+    if (numPerm <= 0) throw new IllegalArgumentException(
+      s"minhash_sig: numPerm must be positive, got: $numPerm")
     graft.operators.Dedup.permSalts(numPerm, default)
   }
 

@@ -1,6 +1,6 @@
 package graft.functions.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -18,7 +18,13 @@ import org.apache.spark.sql.types._
   * `hash(salt, hash(x, 42))`, reproduced here via XXH64.hashLong.
   */
 case class MinHashSig(child: Expression, salts: Seq[Long])
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(salts.nonEmpty, "minhash_sig: numPerm must be positive")
+
+  // SQL-surface safety: coerce array<int> → array<long>, reject
+  // incompatible element types at analysis time
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
 
   // salts is Seq (not Array) so case-class equality is structural:
   // semantically identical minhash_sig expressions compare equal,

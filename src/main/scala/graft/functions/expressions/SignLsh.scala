@@ -1,6 +1,6 @@
 package graft.functions.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -19,15 +19,20 @@ import org.apache.spark.sql.types._
   *
   * `planes` is a Seq (not Array) so case-class equality is
   * structural and canonicalization / CSE can merge identical
-  * sketches. Vector length ≠ `dim` → null (corrupt row, same
-  * contract as VecCosine's length-mismatch null).
+  * sketches. Vector length ≠ `dim` THROWS: unlike VecCosine's
+  * per-pair null (one corrupt row shouldn't sink a whole sweep), a
+  * sketch built with the wrong `dim` nulls EVERY row, and the
+  * downstream explode would silently turn the misconfiguration into
+  * an empty "no near-duplicates" result.
   */
 case class SignLsh(child: Expression, planes: Seq[Double], planesPerTable: Int, dim: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   require(planesPerTable > 0 && planesPerTable < 64, "1 ≤ planesPerTable ≤ 63")
   require(planes.length % (planesPerTable * dim) == 0,
     "planes length must be numTables × planesPerTable × dim")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
 
   private def numTables: Int = planes.length / (planesPerTable * dim)
 
@@ -39,7 +44,9 @@ case class SignLsh(child: Expression, planes: Seq[Double], planesPerTable: Int, 
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    if (v.numElements() != dim) return null
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"sign_lsh: vector has ${v.numElements()} dims but the sketch was built for $dim")
     val out = new Array[Long](numTables)
     var t = 0
     while (t < numTables) {
@@ -71,7 +78,8 @@ case class SignLsh(child: Expression, planes: Seq[Double], planesPerTable: Int, 
       val code = ctx.freshName("code")
       s"""
         if ($a.numElements() != $dim) {
-          ${ev.isNull} = true;
+          throw new IllegalArgumentException(
+            "sign_lsh: vector has " + $a.numElements() + " dims but the sketch was built for " + $dim);
         } else {
           long[] $out = new long[$numTables];
           for (int $t = 0; $t < $numTables; $t++) {

@@ -1,6 +1,6 @@
 package graft.functions.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -14,7 +14,12 @@ import org.apache.spark.sql.types._
   * is one fused codegen loop).
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  // declared input types: the SQL surface coerces compatible arrays
+  // (array<int> → array<long>) and rejects the rest at analysis time
+  // instead of letting getLong read garbage strides at runtime
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
 
   override def dataType: DataType = LongType
 

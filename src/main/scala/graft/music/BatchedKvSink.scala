@@ -86,7 +86,16 @@ final class BatchedKvSink(
     val attrs = r.schema.fieldNames.iterator.zipWithIndex.collect {
       case (name, i) if !r.isNullAt(i) => name -> String.valueOf(r.get(i))
     }.toMap
-    KvItem(keyCols.map(attrs.getOrElse(_, "")).mkString("|"), attrs)
+    // a null key component has no well-defined identity — reject it
+    // like the real store would, instead of colliding on ""
+    val parts = keyCols.map { k =>
+      attrs.getOrElse(k, throw new IllegalArgumentException(
+        s"KV upsert: null value in key column '$k'"))
+    }
+    // escape the separator so composite keys can't collide across
+    // different component splits ("a|b","c" vs "a","b|c")
+    val key = parts.map(_.replace("\\", "\\\\").replace("|", "\\|")).mkString("|")
+    KvItem(key, attrs)
   }
 
   /** Read-back as an all-string DataFrame (the KV store is

@@ -284,21 +284,23 @@ object Dedup {
     // similarity join) never re-runs per iteration
     val edges = p.union(p.select(col("d").as("s"), col("s").as("d"))).localCheckpoint()
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("label")).localCheckpoint()
-    var iter = 0
+    var updates = 0
     var converged = false
-    while (!converged && iter < maxIters) {
+    // the convergence probe reads the SAME joined frame the update
+    // does — no extra join per round — and runs before counting an
+    // update, so a component of diameter exactly `maxIters` still
+    // succeeds (its last probe sees the fixpoint)
+    while (!converged && updates <= maxIters) {
       val minNbr = edges.join(labels.withColumnRenamed("id", "s"), "s")
         .groupBy(col("d").as("id")).agg(min(col("label")).as("nbr"))
-      val next = labels.join(minNbr, Seq("id"), "left")
-        .select(col("id"),
+      val joined = labels.join(minNbr, Seq("id"), "left").localCheckpoint()
+      if (joined.filter(col("nbr") < col("label")).isEmpty) converged = true
+      else {
+        labels = joined.select(col("id"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        .localCheckpoint()
-      converged = next.select(col("id"), col("label").as("nl"))
-        .join(labels.select(col("id"), col("label").as("ol")), "id")
-        .filter(col("nl") =!= col("ol"))
-        .isEmpty
-      labels = next
-      iter += 1
+          .localCheckpoint()
+        updates += 1
+      }
     }
     if (!converged)
       throw new IllegalStateException(

@@ -143,16 +143,21 @@ object Similarity {
     -array_max(centroidScores(vecCol, cents)).getField("ni")
 
   /** Corpus with an `ivf_list` assignment column — one narrow
-    * codegen'd projection over the corpus, no shuffle.
+    * codegen'd projection over the corpus, no shuffle. Prefer the
+    * centroid-taking overload when also searching: train once, pass
+    * the same centroids to both.
     */
-  def ivfIndex(emb: DataFrame, idCol: String, vecCol: String, nlist: Int): DataFrame = {
-    val cents = kmeansCentroids(emb, idCol, vecCol, nlist)
+  def ivfIndex(emb: DataFrame, idCol: String, vecCol: String, nlist: Int): DataFrame =
+    ivfIndex(emb, vecCol, kmeansCentroids(emb, idCol, vecCol, nlist))
+
+  /** Assignment against pre-trained centroids (no training pass). */
+  def ivfIndex(emb: DataFrame, vecCol: String, cents: Array[Array[Float]]): DataFrame =
     emb.withColumn("ivf_list", nearestList(col(vecCol), cents))
-  }
 
   /** Top-k neighbours for each query id, probing `nprobe` lists.
     * Centroids are re-derived from the same deterministic training
-    * rule, so index and search can never disagree.
+    * rule, so index and search can never disagree — or pass the
+    * trained centroids explicitly to skip the second training pass.
     */
   def ivfTopK(
       indexed: DataFrame,
@@ -161,8 +166,19 @@ object Similarity {
       queryIds: DataFrame, // single column `query_id`
       nlist: Int,
       nprobe: Int,
+      k: Int): DataFrame =
+    ivfTopK(indexed, idCol, vecCol, queryIds,
+      kmeansCentroids(indexed, idCol, vecCol, nlist), nprobe, k)
+
+  /** Search against pre-trained centroids (no training pass). */
+  def ivfTopK(
+      indexed: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: DataFrame,
+      cents: Array[Array[Float]],
+      nprobe: Int,
       k: Int): DataFrame = {
-    val cents = kmeansCentroids(indexed, idCol, vecCol, nlist)
     val queries = indexed.join(queryIds, indexed(idCol) === queryIds("query_id"))
       .select(col("query_id"), col(vecCol).as("qv"))
 

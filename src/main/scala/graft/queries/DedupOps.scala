@@ -75,32 +75,33 @@ object DedupOps {
     // component, cluster_size). The step that turns pair lists into
     // keep/drop decisions. Oracled: DuckDB computes the same
     // components with a recursive transitive-closure CTE.
-    "q67_dup_clusters" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      val docs = Tables(s, d).documents
-      val sets = docs.select(col("doc_id").as("id"),
-        array_sort(transform(array_distinct(split(col("text"), " ")),
-          t => xxhash64(t))).as("ts"))
-      val pairs = Dedup.jaccardPairs(sets, threshold = 0.9).select("a_id", "b_id")
-      Dedup.duplicateClusters(pairs, docs.select("doc_id"))
-    }),
+    "q67_dup_clusters" -> ((s, d) => tokenJaccardClusters(s, d)),
 
     // The dedup DECISION: keep one representative per cluster (the
     // min-id member, deterministic) — the retained corpus a training
     // pipeline actually ships, with the cluster size it absorbed.
     "q68_dedup_keep" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      val docs = Tables(s, d).documents
-      val sets = docs.select(col("doc_id").as("id"),
-        array_sort(transform(array_distinct(split(col("text"), " ")),
-          t => xxhash64(t))).as("ts"))
-      val pairs = Dedup.jaccardPairs(sets, threshold = 0.9).select("a_id", "b_id")
-      Dedup.duplicateClusters(pairs, docs.select("doc_id"))
+      import org.apache.spark.sql.functions.col
+      tokenJaccardClusters(s, d)
         .filter(col("doc_id") === col("cluster_id"))
-        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .join(Tables(s, d).documents.select(col("doc_id"), col("source")), "doc_id")
         .select(col("doc_id"), col("source"), col("cluster_size"))
     })
   )
+
+  /** Shared by q67/q68: hashed token sets → exact Jaccard ≥ 0.9
+    * pairs → connected components (one definition, so the two
+    * queries and their common oracle CTE prefix cannot diverge).
+    */
+  private def tokenJaccardClusters(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(s, d).documents
+    val sets = docs.select(col("doc_id").as("id"),
+      array_sort(transform(array_distinct(split(col("text"), " ")),
+        t => xxhash64(t))).as("ts"))
+    val pairs = Dedup.jaccardPairs(sets, threshold = 0.9).select("a_id", "b_id")
+    Dedup.duplicateClusters(pairs, docs.select("doc_id"))
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q67_dup_clusters" ->

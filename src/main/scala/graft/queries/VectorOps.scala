@@ -55,10 +55,12 @@ object VectorOps {
     // is pinned by SimilaritySpec.
     "q44_ann_ivf" -> ((s, d) => {
       val emb = Tables(s, d).embeddings
-      val indexed = graft.operators.Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 16)
+      // train the coarse quantizer ONCE; index and search share it
+      val cents = graft.operators.Similarity.kmeansCentroids(emb, "vec_id", "embedding", nlist = 16)
+      val indexed = graft.operators.Similarity.ivfIndex(emb, "embedding", cents)
       val queryIds = emb.filter(col("vec_id") < 20).select(col("vec_id").as("query_id"))
       graft.operators.Similarity.ivfTopK(indexed, "vec_id", "embedding",
-        queryIds, nlist = 16, nprobe = 4, k = 5)
+        queryIds, cents, nprobe = 4, k = 5)
     }),
 
     // LSH-bucketed ANN (the scale path): deterministic sign-LSH

@@ -47,12 +47,13 @@ object StreamingKpi {
   }
 
   /** The windowed hourly aggregate (shared by both drain paths). */
-  private def hourlyAgg(spark: SparkSession, eventsPath: String): DataFrame =
+  private def hourlyAgg(
+      spark: SparkSession, eventsPath: String, latenessTolerance: String): DataFrame =
     spark.readStream
       .schema(eventsSchema)
       .parquet(stageAsDir(eventsPath))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", latenessTolerance)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(
@@ -73,11 +74,22 @@ object StreamingKpi {
     * and the result never funnels through the driver. Replay or
     * redelivery is idempotent per (window_start, event_type) key.
     *
-    * Determinism: AvailableNow drains the whole input; the last
-    * upsert for a key carries its final aggregate, and the sink's
-    * LWW merge keeps exactly that row.
+    * Determinism: a single-batch AvailableNow drain (the default
+    * here: one staged file, no maxFilesPerTrigger) sees every row
+    * before any watermark advances, so the result equals the batch
+    * aggregate exactly. When a drain DOES split into multiple
+    * micro-batches, standard watermark semantics apply ACROSS the
+    * batches: a row arriving more than `latenessTolerance` behind the
+    * max event time of an earlier batch is late and is dropped, just
+    * as in a live stream. For backfills over event-time-unordered
+    * file sets, size `latenessTolerance` to the disorder bound (or
+    * use the batch path) — that is the knob this parameter exists
+    * for.
     */
-  def hourlyCountsUpsert(spark: SparkSession, eventsPath: String): DataFrame = {
+  def hourlyCountsUpsert(
+      spark: SparkSession,
+      eventsPath: String,
+      latenessTolerance: String = "1 hour"): DataFrame = {
     import java.nio.file.Files
     val workDir = Files.createTempDirectory("graft-q50-")
     val sink = graft.music.ParquetKeyedUpsertSink(s"$workDir/hourly_kpis")
@@ -98,7 +110,7 @@ object StreamingKpi {
     val prevShuffle = spark.conf.getOption(shuffleKey)
     spark.conf.set(shuffleKey, "8")
     try {
-    val q = hourlyAgg(spark, eventsPath).writeStream
+    val q = hourlyAgg(spark, eventsPath, latenessTolerance).writeStream
       .outputMode("update")
       .option("checkpointLocation", s"$workDir/checkpoint")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -131,7 +143,7 @@ object StreamingKpi {
     * `hourlyCountsUpsert` for anything larger than a test fixture.
     */
   def hourlyCounts(spark: SparkSession, eventsPath: String, queryName: String): DataFrame = {
-    val q = hourlyAgg(spark, eventsPath).writeStream
+    val q = hourlyAgg(spark, eventsPath, "1 hour").writeStream
       .outputMode("complete")
       .format("memory")
       .queryName(queryName)

@@ -20,14 +20,7 @@ class SortedIntersectCountSpec extends AnyFunSuite {
   test("merge-walk count ≡ size(array_intersect) on sorted distinct arrays") {
     import spark.implicits._
     // deterministic sweep: splitmix-derived sets of varying size/overlap
-    var x = 11L
-    def next(): Long = {
-      x += 0x9e3779b97f4a7c15L
-      var z = x
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
+    val next = TestSpark.splitmix(11L)
     val cases = (0 until 200).map { i =>
       val universe = Seq.fill(40)(math.floorMod(next(), 50L)).distinct
       val a = universe.filter(_ => next() > 0).sorted

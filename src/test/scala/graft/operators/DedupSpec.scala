@@ -115,15 +115,8 @@ class DedupSpec extends AnyFunSuite {
     // deterministic corpus of hashed sets with diverse sizes (3–30)
     // over a small universe — the regime where a wrong prune bound
     // would actually drop pairs
-    var x = 99L
-    def next(): Long = {
-      x += 0x9e3779b97f4a7c15L
-      var z = x
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    val universe = (1L to 40L).map(i => next()).distinct
+    val next = graft.TestSpark.splitmix(99L)
+    val universe = (1L to 40L).map(_ => next()).distinct
     val sets: Seq[(Long, Seq[Long])] = (0 until 60).map { i =>
       val size = 3 + math.floorMod(next(), 28L).toInt
       val s = scala.collection.mutable.LinkedHashSet.empty[Long]
@@ -145,14 +138,7 @@ class DedupSpec extends AnyFunSuite {
 
   test("duplicateClusters ≡ driver union-find on a random pair set") {
     import org.apache.spark.sql.functions._
-    var x = 123L
-    def next(): Long = {
-      x += 0x9e3779b97f4a7c15L
-      var z = x
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
+    val next = graft.TestSpark.splitmix(123L)
     val n = 80L
     val pairs = (0 until 60).map { _ =>
       (math.floorMod(next(), n), math.floorMod(next(), n))

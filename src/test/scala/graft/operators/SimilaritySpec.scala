@@ -78,15 +78,7 @@ class SimilaritySpec extends AnyFunSuite {
     // perturbed copies at cosine 0.93–0.95 — a corpus with the gapped
     // similarity distribution the LSH path is FOR.
     val dim = 64
-    var x = 7L
-    def next(): Double = {
-      x += 0x9e3779b97f4a7c15L
-      var z = x
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z = z ^ (z >>> 31)
-      (z >>> 11) * (1.0 / (1L << 52)) * 2.0 - 1.0
-    }
+    val next = graft.TestSpark.splitmixUnit(7L)
     def normalize(v: Array[Double]) = {
       val n = math.sqrt(v.map(e => e * e).sum); v.map(_ / n)
     }
