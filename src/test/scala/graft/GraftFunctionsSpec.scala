@@ -36,6 +36,24 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(ic == 2L)
   }
 
+  test("SQL inputs coerce to the declared element types (no silent stride misreads)") {
+    GraftFunctions.register(spark)
+    // int arrays → array<long> via ImplicitCastInputTypes
+    val ic = spark.sql(
+      "SELECT sorted_intersect_count(array(1, 2, 3), array(2, 3, 4)) v")
+      .collect().head.getLong(0)
+    assert(ic == 2L)
+    // double arrays → array<float>; orthogonal vectors → cosine 0
+    val c = spark.sql(
+      "SELECT vec_cosine(array(1.0D, 0.0D), array(0.0D, 1.0D)) v")
+      .collect().head.getDouble(0)
+    assert(c == 0.0)
+    // incompatible element type fails analysis, not runtime garbage
+    intercept[Exception] {
+      spark.sql("SELECT vec_cosine(array('a'), array('b'))").collect()
+    }
+  }
+
   test("minhash_sig rejects a non-literal numPerm with a clear error") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
