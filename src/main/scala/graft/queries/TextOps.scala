@@ -129,7 +129,15 @@ object TextOps {
         col("doc_id").as("id"),
         array_sort(transform(array_distinct(tokens), t => xxhash64(t))).as("ts"))
       Dedup.jaccardPairs(sets, threshold = 0.9)
-    })
+    }),
+
+    // Cross-source contamination (train/test decontamination): how
+    // many of each doc's distinct 3-grams appear verbatim in another
+    // source. Exact; DuckDB rebuilds the grams with a list
+    // comprehension.
+    "q69_contamination" -> ((s, d) =>
+      graft.operators.Contamination.crossSourceOverlap(
+        Tables(s, d).documents, "doc_id", "text", "source"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -196,6 +204,25 @@ object TextOps {
          FROM inter
          JOIN sizes sa ON sa.doc_id = a_id
          JOIN sizes sb ON sb.doc_id = b_id
-         WHERE c::DOUBLE / (sa.n + sb.n - c)::DOUBLE >= 0.9"""
+         WHERE c::DOUBLE / (sa.n + sb.n - c)::DOUBLE >= 0.9""",
+    "q69_contamination" ->
+      """WITH t AS (
+           SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+         g0 AS (
+           SELECT doc_id, source,
+                  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                       ELSE [array_to_string(toks[i:i+2], ' ')
+                             FOR i IN range(1, len(toks) - 1)] END AS gs
+           FROM t),
+         grams AS (
+           SELECT DISTINCT doc_id, source, g
+           FROM (SELECT doc_id, source, unnest(gs) AS g FROM g0)),
+         nsrc AS (SELECT g, count(DISTINCT source) AS ns FROM grams GROUP BY 1)
+         SELECT gr.doc_id, gr.source,
+                count(*) AS n_ngrams,
+                sum(CASE WHEN ns >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_foreign,
+                sum(CASE WHEN ns >= 2 THEN 1 ELSE 0 END) > 0 AS contaminated
+         FROM grams gr JOIN nsrc ON gr.g = nsrc.g
+         GROUP BY 1, 2"""
   )
 }
