@@ -101,6 +101,19 @@ class SimilaritySpec extends AnyFunSuite {
       s"missing=${expected -- got} spurious=${got -- expected}")
   }
 
+  test("LSH near-dup fails loudly on a dim mismatch (not an empty result)") {
+    import spark.implicits._
+    val emb = Seq((1L, Seq.fill(32)(0.1f)), (2L, Seq.fill(32)(0.1f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.cosineNearDupLsh(emb, "vec_id", "embedding",
+        threshold = 0.9, dim = 64).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("sketch was built for")), e.getMessage)
+  }
+
   test("IVF recall@5 vs nprobe on random data (k-means centroids)") {
     val r4 = recallAt(4)
     val r8 = recallAt(8)

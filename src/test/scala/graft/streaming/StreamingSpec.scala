@@ -90,6 +90,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.get("10:00").contains(2L), s"got $rows")
   }
 
+  test("streaming dedup: redelivered keys across micro-batches emit once (watermarked state)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Tick]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // dropDuplicatesWithinWatermark: exact streaming dedup whose
+    // state is bounded by the watermark — the streaming twin of the
+    // q32 digest dedup (keys instead of digests here)
+    val deduped = mem.toDS()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(Tick(t("2024-01-01 10:00:00"), "a"), Tick(t("2024-01-01 10:00:30"), "a"))
+    q.processAllAvailable()
+    // redelivery of "a" in a later micro-batch, within the watermark
+    mem.addData(Tick(t("2024-01-01 10:01:00"), "a"), Tick(t("2024-01-01 10:01:00"), "b"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup_out").collect().map(_.getString(1)).toSeq.sorted
+    assert(rows == Seq("a", "b"), s"got $rows")
+  }
+
   test("hourly streaming KPIs match a batch groupBy over the same file") {
     val got = StreamingKpi.hourlyCounts(spark,
       "/root/testdata/sf0.001/events.parquet", "hourly_test")
