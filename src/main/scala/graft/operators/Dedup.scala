@@ -311,6 +311,74 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
   }
 
+  /** One star-rewriting round (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC'14): every node points its
+    * strictly larger (large-star) or strictly smaller (small-star)
+    * neighbours at the minimum of its closed neighbourhood. Edges
+    * stay canonical (u < v) and duplicate-free.
+    */
+  private def star(edges: DataFrame, large: Boolean): DataFrame = {
+    val dir = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    val emitted =
+      if (large) {
+        // large-star(u): m = min(Γ(u) ∪ {u}); connect every STRICTLY
+        // LARGER neighbour to m (u's own link to m is re-derived by
+        // the reduce of its other endpoints)
+        val m = dir.groupBy("u").agg(min(col("v")).as("mn"))
+          .select(col("u"), least(col("mn"), col("u")).as("m"))
+        dir.filter(col("v") > col("u")).join(m, "u").select(col("v"), col("m"))
+      } else {
+        // small-star(u): over the SMALLER neighbourhood N = {v < u},
+        // m = min(N ∪ {u}) = min(N); connect every v ∈ N ∪ {u} to m —
+        // the ∪{u} self-emission is what keeps u attached to its star
+        val smaller = dir.filter(col("v") < col("u"))
+        val m = smaller.groupBy("u").agg(min(col("v")).as("m"))
+        smaller.join(m, "u").select(col("v"), col("m"))
+          .union(m.select(col("u").as("v"), col("m")))
+      }
+    emitted
+      .select(least(col("v"), col("m")).as("u"), greatest(col("v"), col("m")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** [[duplicateClusters]] alternative with ROUND COMPLEXITY
+    * O(log n) instead of O(diameter): alternating large-star /
+    * small-star edge rewriting until the edge set is a fixed point —
+    * every component is then a star centred at its minimum id. Same
+    * output contract as duplicateClusters; prefer this when
+    * components can be adversarially long chains (min-propagation
+    * pays one round per hop), and min-propagation when components
+    * are shallow (its rounds are one shuffle cheaper).
+    */
+  def duplicateClustersStar(pairs: DataFrame, ids: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val idCol = ids.columns.head
+    var edges = pairs
+      .select(least(col(pairs.columns.head), col(pairs.columns(1))).as("u"),
+        greatest(col(pairs.columns.head), col(pairs.columns(1))).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds <= maxRounds) {
+      val next = star(star(edges, large = true), large = false).localCheckpoint()
+      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClustersStar did not converge in $maxRounds rounds")
+    // fixed point = stars: every edge is (component centre, member)
+    val labels = ids.select(col(idCol).as("doc_id"))
+      .join(edges.select(col("v").as("doc_id"), col("u").as("centre")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("centre"), col("doc_id")).as("cluster_id"))
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
   /** Exact n-gram Jaccard pairs ≥ `threshold` via [[jaccardPairs]]
     * (shingles are already hashed 64-bit values; hash order IS the
     * global element order).

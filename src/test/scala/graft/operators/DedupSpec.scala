@@ -159,6 +159,28 @@ class DedupSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("star-rewriting clusters ≡ min-propagation on a random graph, and handles a 300-node chain in O(log n) rounds") {
+    import org.apache.spark.sql.functions._
+    val next = graft.TestSpark.splitmix(321L)
+    val n = 60L
+    val randomPairs = (0 until 45).map { _ =>
+      (math.floorMod(next(), n), math.floorMod(next(), n))
+    }.filter { case (a, b) => a != b }
+    val ids = (0L until n).toDF("id")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val viaProp = asMap(Dedup.duplicateClusters(randomPairs.toDF("a_id", "b_id"), ids))
+    val viaStar = asMap(Dedup.duplicateClustersStar(randomPairs.toDF("a_id", "b_id"), ids))
+    assert(viaStar == viaProp)
+
+    // pathological chain 0-1-2-…-299: min-propagation needs 299
+    // update rounds; star rewriting must finish in ≤ 30
+    val chain = (0L until 299L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val chainIds = (0L until 300L).toDF("id")
+    val got = asMap(Dedup.duplicateClustersStar(chain, chainIds, maxRounds = 30))
+    assert(got == (0L until 300L).map(_ -> ((0L, 300L))).toMap)
+  }
+
   test("minhash signature is stable across repartitioning (determinism)") {
     import org.apache.spark.sql.functions._
     val sig1 = docs.select(col("doc_id"),
