@@ -5,12 +5,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Queries are grouped by module:
-  *  - queries.Relational:    SURVEY §2 relational inventory (q01–q26)
-  *  - queries.TextOps:       text analysis + exact dedup (q30–q35)
-  *  - queries.DedupOps:      minhash/simhash/ngram near-dup (q36–q38)
-  *  - queries.VectorOps:     similarity search (q40–q42)
-  *  - queries.MultimodalOps: binary-column plumbing (q45)
-  *  - queries.StreamOps:     streaming + stateful (q50–q51)
+  *  - queries.Relational:    SURVEY §2 relational inventory (q01–q29, q49,
+  *                           q53–q58, q60, q63–q66)
+  *  - queries.TextOps:       text analysis, exact dedup, contamination
+  *                           (q30–q35, q39, q46, q61, q69)
+  *  - queries.DedupOps:      near-dup + clustering (q36–q38, q43, q48,
+  *                           q59, q67, q68)
+  *  - queries.VectorOps:     similarity search (q40–q42, q44)
+  *  - queries.MultimodalOps: binary-column plumbing (q45, q47, q62)
+  *  - queries.StreamOps:     streaming + stateful (q50–q52)
   */
 object SparkEntry {
 
