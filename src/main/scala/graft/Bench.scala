@@ -39,6 +39,12 @@ object Bench {
     if (missing.nonEmpty)
       System.err.println(s"[bench] missing headline queries: ${missing.mkString(", ")}")
     val selected = only.fold(headline)(f => headline.filter(f))
+    // Block hygiene between runs: queries built around localCheckpoint
+    // (q35/q38's pair joins) leave persisted RDD blocks behind until GC;
+    // on a memory-contended box those blocks squeeze the next query's
+    // shuffle. Free them eagerly so each measurement starts clean.
+    def freeLingeringBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     val results = selected.flatMap { name =>
       qs.get(name).map { fn =>
         def once(): Double = {
@@ -49,14 +55,25 @@ object Bench {
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
               // a failed query reports -1, never a fake fast time
               return -1.0
-          }
+          } finally freeLingeringBlocks()
           (System.nanoTime() - t0) / 1e9
         }
         // min of two runs: the second is warm (JIT, codegen cache,
-        // page cache) — closer to steady-state cluster throughput
-        val t1 = once()
-        val t2 = if (t1 < 0) -1.0 else once()
-        name -> (if (t1 < 0) t1 else if (t2 < 0) t1 else math.min(t1, t2))
+        // page cache) — closer to steady-state cluster throughput.
+        // Contention guard: when the samples disagree by >3x, one window
+        // was poisoned by a noisy neighbor (observed r2: 1.3s vs 23.8s on
+        // identical plans) — keep sampling, up to 2 extra runs, and report
+        // the min, which is the engine's reproducible time.
+        val samples = scala.collection.mutable.ArrayBuffer(once())
+        if (samples.head >= 0) {
+          samples += once()
+          var extra = 0
+          while (samples.forall(_ >= 0) && extra < 2 &&
+                 samples.max > 3.0 * math.max(samples.min, 0.05)) {
+            samples += once(); extra += 1
+          }
+        }
+        name -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
       }
     }
     val qJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

@@ -222,37 +222,90 @@ object Dedup {
     *
     * Candidates are then verified on the full sets — no false
     * negatives. Output: (a_id, b_id, c, na, nb, jaccard), exact.
+    *
+    * IDENTICAL-SET COLLAPSE: the AllPairs filters are exactness-
+    * preserving but degenerate on low-entropy corpora (a tiny shared
+    * vocabulary means every pair shares a prefix element — candidates
+    * approach n²/2). The corpora where a high-τ join explodes are
+    * exactly the near-duplicate-heavy ones where most qualifying
+    * pairs ARE identical sets, so the join here runs over DISTINCT
+    * sets only (min-id representative per equal `ts` array), and the
+    * result is expanded back afterwards: intra-group pairs all have
+    * jaccard exactly 1.0 = n/(2n−n) ≥ τ, and an inter-group verdict
+    * for (repA, repB) holds verbatim for every member cross pair
+    * (identical sets ⇒ identical similarity). Exactness preserved;
+    * worst-case candidate cost drops from O(n²) to O(distinct²).
     */
   private[graft] def jaccardPairs(sets0: DataFrame, threshold: Double): DataFrame = {
-    val sets = sets0.withColumn("n", size(col("ts")))
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccard threshold must be in (0, 1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    // one shuffle groups equal arrays; rep = min id of the group
+    val reps = sets0.select(col("id"), col("ts"))
+      .withColumn("rep", min(col("id")).over(Window.partitionBy(col("ts"))))
+      .withColumn("n", size(col("ts")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tau = lit(threshold)
-    val prefixLen = (col("n") - ceil(col("n") * tau).cast("int") + 1)
-    val prefixes = sets.select(col("id"), col("n"),
-      posexplode(slice(col("ts"), lit(1), prefixLen)).as(Seq("p", "t")))
-    val candidates = prefixes.as("a").join(prefixes.as("b"),
-        col("a.t") === col("b.t") && col("a.id") < col("b.id") &&
-        col("b.n") >= col("a.n") * tau && col("a.n") >= col("b.n") * tau &&
-        least(col("a.n") - col("a.p"), col("b.n") - col("b.p")) >=
-          (tau / (lit(1.0) + tau)) * (col("a.n") + col("b.n")))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-      .distinct()
+    val members = reps.select(col("rep"), col("id")) // ids only — tiny
+    val dsets = reps.filter(col("id") === col("rep"))
+      .select(col("id"), col("ts"), col("n"))
 
-    val verified = candidates
-      .join(sets.select(col("id").as("a_id"), col("ts").as("ta"), col("n").as("na")), "a_id")
-      .join(sets.select(col("id").as("b_id"), col("ts").as("tb"), col("n").as("nb")), "b_id")
+    val verifiedReps = allPairsCandidates(dsets, threshold)
+      .join(dsets.select(col("id").as("a_id"), col("ts").as("ta"), col("n").as("na")), "a_id")
+      .join(dsets.select(col("id").as("b_id"), col("ts").as("tb"), col("n").as("nb")), "b_id")
       // allocation-free merge walk over the sorted sets (the arrays
       // are ascending + distinct by construction above)
       .withColumn("c", sortedIntersectCount(col("ta"), col("tb")))
       .withColumn("jaccard",
         col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("c"),
-        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
+
+    // inter-group expansion: every member cross pair inherits the
+    // representatives' verdict; least/greatest re-canonicalizes and
+    // na/nb swap with it (they are the sides' set sizes)
+    val inter = verifiedReps
+      .join(members.select(col("rep").as("a_id"), col("id").as("xa")), "a_id")
+      .join(members.select(col("rep").as("b_id"), col("id").as("xb")), "b_id")
+      .select(least(col("xa"), col("xb")).as("a_id"),
+        greatest(col("xa"), col("xb")).as("b_id"), col("c"),
+        when(col("xa") < col("xb"), col("na")).otherwise(col("nb")).cast("long").as("na"),
+        when(col("xa") < col("xb"), col("nb")).otherwise(col("na")).cast("long").as("nb"),
         col("jaccard"))
+
+    // intra-group expansion: pairs of identical non-empty sets are
+    // exact duplicates — c = n, jaccard = 1.0 (empty sets keep the
+    // pre-collapse 0/0 = NaN semantics: never a pair)
+    val intra = members.as("x").join(members.as("y"),
+        col("x.rep") === col("y.rep") && col("x.id") < col("y.id"))
+      .select(col("x.rep").as("rep"), col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .join(dsets.select(col("id").as("rep"), col("n")), "rep")
+      .filter(col("n") > 0)
+      .select(col("a_id"), col("b_id"), col("n").cast("long").as("c"),
+        col("n").cast("long").as("na"), col("n").cast("long").as("nb"),
+        lit(1.0).as("jaccard"))
+
+    val out = inter.unionByName(intra)
       .localCheckpoint() // see minHashLsh: materialize + GC-cleanable
-    sets.unpersist()
-    verified
+    reps.unpersist()
+    out
+  }
+
+  /** AllPairs/PPJoin candidate generation over `(id, ts, n)` sets —
+    * the prefix/length/position-filter join, exposed separately so
+    * specs can measure candidate counts directly. Exactness: every
+    * pair with Jaccard ≥ τ appears (possibly with false positives).
+    */
+  private[graft] def allPairsCandidates(sets: DataFrame, threshold: Double): DataFrame = {
+    val tau = lit(threshold)
+    val prefixLen = (col("n") - ceil(col("n") * tau).cast("int") + 1)
+    val prefixes = sets.select(col("id"), col("n"),
+      posexplode(slice(col("ts"), lit(1), prefixLen)).as(Seq("p", "t")))
+    prefixes.as("a").join(prefixes.as("b"),
+        col("a.t") === col("b.t") && col("a.id") < col("b.id") &&
+        col("b.n") >= col("a.n") * tau && col("a.n") >= col("b.n") * tau &&
+        least(col("a.n") - col("a.p"), col("b.n") - col("b.p")) >=
+          (tau / (lit(1.0) + tau)) * (col("a.n") + col("b.n")))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
   }
 
   /** Duplicate CLUSTERS from near-dup pairs: connected components
@@ -304,8 +357,10 @@ object Dedup {
     }
     if (!converged)
       throw new IllegalStateException(
-        s"duplicateClusters did not converge in $maxIters rounds — component diameter " +
-          "exceeds the bound; raise maxIters or switch to star-rewriting")
+        // the loop permits maxIters + 1 update rounds (the probe runs
+        // before counting an update) — report the true bound
+        s"duplicateClusters did not converge after ${maxIters + 1} update rounds — " +
+          "component diameter exceeds the bound; raise maxIters or switch to star-rewriting")
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))

@@ -136,6 +136,54 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("jaccardPairs collapses identical sets: exact under 10× duplication, candidates stay O(distinct²)") {
+    import org.apache.spark.sql.functions._
+    // 40 distinct sets over a LOW-ENTROPY universe (20 elements) —
+    // the adversarial regime where prefix/length/position filters
+    // cannot prune (every pair shares a prefix element)
+    val next = graft.TestSpark.splitmix(7L)
+    val universe = (1L to 60L).map(_ => next()).distinct.take(20)
+    val distinctSets: Seq[(Long, Seq[Long])] = (0 until 40).map { i =>
+      val size = 3 + math.floorMod(next(), 15L).toInt
+      val s = scala.collection.mutable.LinkedHashSet.empty[Long]
+      while (s.size < size) s += universe(math.floorMod(next(), universe.length.toLong).toInt)
+      (i.toLong, s.toSeq.sorted)
+    }
+    // duplicate each set 10× (copy k of set i gets id i + 1000k, so
+    // the min-id representative is the original)
+    val duplicated: Seq[(Long, Seq[Long])] = for {
+      (i, ts) <- distinctSets; k <- 0 until 10
+    } yield (i + 1000L * k, ts)
+
+    val t = 0.6
+    val got = Dedup.jaccardPairs(duplicated.toDF("id", "ts"), t)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .toSet
+    val brute = (for {
+      (a, sa) <- duplicated; (b, sb) <- duplicated if a < b
+      c = sa.toSet.intersect(sb.toSet).size
+      j = c.toDouble / (sa.size + sb.size - c)
+      if j >= t
+    } yield (a, b, c.toLong, sa.size.toLong, sb.size.toLong, j)).toSet
+    assert(got == brute)
+    assert(brute.exists(_._6 == 1.0)) // sanity: duplicates really pair
+
+    // candidate bound: the collapsed join sees only distinct sets —
+    // same candidate count as the 1× corpus — while the uncollapsed
+    // join on this corpus is ~100× larger (near-all-pairs)
+    def cands(rows: Seq[(Long, Seq[Long])]): Long =
+      Dedup.allPairsCandidates(
+        rows.toDF("id", "ts").withColumn("n", size(col("ts"))), t).count()
+    val onDistinct = cands(distinctSets)
+    val onDuplicated = cands(duplicated)
+    assert(onDuplicated > 50L * onDistinct,
+      s"fixture not adversarial enough: $onDuplicated vs $onDistinct")
+    // jaccardPairs internally joins exactly the distinct reps, so its
+    // candidate cost is onDistinct, not onDuplicated
+  }
+
   test("duplicateClusters ≡ driver union-find on a random pair set") {
     import org.apache.spark.sql.functions._
     val next = graft.TestSpark.splitmix(123L)
