@@ -86,26 +86,39 @@ object DedupOps {
         .filter(col("doc_id") === col("cluster_id"))
         .join(Tables(s, d).documents.select(col("doc_id"), col("source")), "doc_id")
         .select(col("doc_id"), col("source"), col("cluster_size"))
-    })
+    }),
+
+    // Same contract as q67, computed by the O(log n)-round
+    // star-rewriting algorithm instead of min-propagation — the two
+    // share one DuckDB oracle, so this row proves star ≡ propagation
+    // on the real corpus, not just the spec fixtures.
+    "q70_dup_clusters_star" -> ((s, d) => tokenJaccardClusters(s, d, star = true))
   )
 
-  /** Shared by q67/q68: hashed token sets → exact Jaccard ≥ 0.9
-    * pairs → connected components (one definition, so the two
-    * queries and their common oracle CTE prefix cannot diverge).
+  /** Shared by q67/q68/q70: hashed token sets → exact Jaccard ≥ 0.9
+    * pairs → connected components (one definition, so the queries
+    * and their common oracle CTE prefix cannot diverge).
+    * `star` picks the star-rewriting clustering over min-propagation;
+    * both produce the identical (doc_id, cluster_id, cluster_size).
     */
-  private def tokenJaccardClusters(s: SparkSession, d: String): DataFrame = {
+  private def tokenJaccardClusters(
+      s: SparkSession, d: String, star: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
     val docs = Tables(s, d).documents
     val sets = docs.select(col("doc_id").as("id"),
       array_sort(transform(array_distinct(split(col("text"), " ")),
         t => xxhash64(t))).as("ts"))
     val pairs = Dedup.jaccardPairs(sets, threshold = 0.9).select("a_id", "b_id")
-    Dedup.duplicateClusters(pairs, docs.select("doc_id"))
+    if (star) Dedup.duplicateClustersStar(pairs, docs.select("doc_id"))
+    else Dedup.duplicateClusters(pairs, docs.select("doc_id"))
   }
 
-  def oracleSql: Map[String, String] = Map(
-    "q67_dup_clusters" ->
-      """WITH RECURSIVE tok AS (
+  /** One oracle text for both clustering algorithms (q67 min-
+    * propagation, q70 star-rewriting): the output contract is
+    * identical by design.
+    */
+  private val clustersOracle: String =
+    """WITH RECURSIVE tok AS (
            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
            FROM documents),
          sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
@@ -126,7 +139,11 @@ object DedupOps {
            UNION
            SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
          SELECT s AS doc_id, min(d) AS cluster_id, count(*) AS cluster_size
-         FROM reach GROUP BY s""",
+         FROM reach GROUP BY s"""
+
+  def oracleSql: Map[String, String] = Map(
+    "q67_dup_clusters" -> clustersOracle,
+    "q70_dup_clusters_star" -> clustersOracle,
     "q68_dedup_keep" ->
       """WITH RECURSIVE tok AS (
            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t

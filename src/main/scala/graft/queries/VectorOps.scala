@@ -63,6 +63,31 @@ object VectorOps {
         queryIds, cents, nprobe = 4, k = 5)
     }),
 
+    // Multi-table sign-LSH near-dup join at a REAL near-dup
+    // threshold (τ=0.8) — the regime cosineNearDupLsh is designed
+    // for. The raw corpus has no pairs above ~0.51, so the query
+    // deterministically plants one twin per vec_id < 100 (first
+    // coordinate +0.3, id offset 10M): planted pairs land at sim
+    // ≥ 0.95, every other pair stays ≤ ~0.51, so the τ=0.8 survivor
+    // set is exactly the plants, the gap dwarfs any float noise, and
+    // the derived table count (miss ≤ 1e-6 AT the threshold; planted
+    // pairs sit far above it, missing with p < 1e-30) makes the LSH
+    // output provably equal to the exact join — hence a full DuckDB
+    // hash oracle on an approximate operator.
+    "q71_cosine_neardup_lsh" -> ((s, d) => {
+      // project away the table's extra `label` column up front so the
+      // twin union is (vec_id, embedding) on both sides
+      val base = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      val twins = base.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 10000000L).as("vec_id"),
+          concat(
+            array(element_at(col("embedding"), 1) + lit(0.3f)),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+      graft.operators.Similarity.cosineNearDupLsh(
+        base.unionByName(twins), "vec_id", "embedding",
+        threshold = 0.8, dim = 64)
+    }),
+
     // LSH-bucketed ANN (the scale path): deterministic sign-LSH
     // bucket per vector, exact rerank within bucket. Approximate —
     // verified by a rows-only check plus RecallSpec in ScalaTest.
@@ -93,7 +118,17 @@ object VectorOps {
     "q41_embedding_neardup" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"""
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""",
+    "q71_cosine_neardup_lsh" ->
+      """WITH twins AS (
+           SELECT vec_id + 10000000 AS vec_id,
+                  list_prepend(embedding[1] + 0.3, embedding[2:]) AS embedding
+           FROM embeddings WHERE vec_id < 100),
+         u AS (SELECT vec_id, embedding FROM embeddings
+               UNION ALL SELECT vec_id, embedding FROM twins)
+         SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         FROM u a JOIN u b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8"""
     // q42_ann_lsh: approximate, not SQL-expressible → rows-only check.
   )
 }
