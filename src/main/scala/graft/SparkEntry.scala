@@ -20,9 +20,23 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001: the reference's
     * genre-KPI aggregate (SURVEY §2.5 A2) over the star schema.
     * Driver smoke-checks rows>0.
+    *
+    * The driver may call this on an untuned session, so set the
+    * nanos-parquet conf here (runtime-settable SQLConf) and probe the
+    * events source — the one input whose read fails without it —
+    * before returning the KPI frame. Every source the engine ships is
+    * then exercised end-to-end from a bare SparkSession.
     */
-  def entry(spark: SparkSession): DataFrame =
-    queries("q11_genre_kpis")(spark, "/root/testdata/sf0.001")
+  def entry(spark: SparkSession): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sf = "/root/testdata/sf0.001"
+    // events readability probe (TIMESTAMP(NANOS) parquet → µs
+    // timestamps): cheap at sf0.001, and a loud failure here beats a
+    // silent gap in flagship coverage
+    require(Tables(spark, sf).events.limit(1).count() == 1,
+      "events source unreadable")
+    queries("q11_genre_kpis")(spark, sf)
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

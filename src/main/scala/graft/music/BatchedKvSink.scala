@@ -7,9 +7,11 @@ import scala.collection.concurrent.TrieMap
 import java.util.concurrent.atomic.AtomicInteger
 
 /** One item of the KV write contract: a composed primary key plus
-  * the row's columns as a string attribute map — the
-  * `table.put_item(Item=row_dict)` shape of the reference job
-  * (`glue_job.py:110-132`).
+  * the row's columns as a string attribute map — the per-record
+  * shape the reference's DynamoDB writes carry (`glue_job.py:110-132`
+  * converts each KPI DataFrame to a DynamicFrame and hands it to
+  * `write_dynamic_frame.from_options` with the DynamoDB connector,
+  * `overwrite=true`).
   */
 final case class KvItem(key: String, attrs: Map[String, String])
 
@@ -29,8 +31,10 @@ trait KvBatchClient extends Serializable {
 }
 
 /** `foreachPartition`-based keyed upsert against a [[KvBatchClient]]
-  * — the distributed write path the reference's per-item
-  * `put_item` loop (`glue_job.py:110-132`) needs at scale:
+  * — the batchWriteItem-shaped scale analogue of the reference's
+  * DynamoDB connector writes (`glue_job.py:110-132`,
+  * `write_dynamic_frame.from_options` with `overwrite=true`), which
+  * under the hood batch-puts each partition against the table:
   *
   *  - rows never funnel through the driver: each task converts its
   *    partition to items and writes batches of `client.maxBatchSize`;
@@ -100,6 +104,12 @@ final class BatchedKvSink(
 
   /** Read-back as an all-string DataFrame (the KV store is
     * schemaless; columns are the union of attribute names).
+    *
+    * The scan materializes on the driver — acceptable for this
+    * contract because the stored tables are KPI-sized result sets
+    * (thousands of rows), not corpus-scale data; a corpus-scale KV
+    * read would go through a DSv2 source with partitioned scans
+    * instead.
     */
   override def read(spark: SparkSession): DataFrame = {
     val items = client.scan()

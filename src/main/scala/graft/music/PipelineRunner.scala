@@ -24,7 +24,13 @@ final case class PipelineConfig(
     sensorTimeoutMs: Long = 600000,    // dag.py:46 (10 min)
     retries: Int = 1,                  // dag.py:22
     retryDelayMs: Long = 300000,       // dag.py:23 (5 min)
-    deterministic: Boolean = true)
+    deterministic: Boolean = true,
+    // sink per KPI table name; None = parquet LWW tables under
+    // sinkPrefix. A KV deployment passes
+    // `t => new BatchedKvSink(InMemoryKvClient(t))` (or an SDK-backed
+    // client) to route the same three writes through the batched
+    // key-value path the reference's DynamoDB connector takes.
+    sinkFactory: Option[String => KeyedUpsertSink] = None)
 
 final class PipelineRunner(spark: SparkSession, conf: PipelineConfig) {
 
@@ -144,18 +150,19 @@ final class PipelineRunner(spark: SparkSession, conf: PipelineConfig) {
     * keyed upsert of the three result sets. Sink keys follow the
     * observed DynamoDB composite keys (SURVEY §7 risk 1).
     */
+  private def sinkFor(table: String): KeyedUpsertSink =
+    conf.sinkFactory.fold[KeyedUpsertSink](
+      ParquetKeyedUpsertSink(s"${conf.sinkPrefix}/$table"))(_.apply(table))
+
   def compute(): Unit = retrying("compute") {
     val streams = MusicKpi.readCsv(spark, s"${conf.rawPrefix}/streams", Schemas.streams)
     val songs = MusicKpi.readCsv(spark, s"${conf.rawPrefix}/songs.csv", Schemas.songs)
     val kpi = MusicKpi(conf.deterministic)
     val r = kpi.all(streams, songs)
     try {
-      ParquetKeyedUpsertSink(s"${conf.sinkPrefix}/genre_kpis")
-        .upsert(r.genreKpis, Seq("date", "track_genre"))
-      ParquetKeyedUpsertSink(s"${conf.sinkPrefix}/top_songs")
-        .upsert(r.topSongs, Seq("date", "track_genre", "track_id"))
-      ParquetKeyedUpsertSink(s"${conf.sinkPrefix}/top_genres")
-        .upsert(r.topGenres, Seq("date", "track_id"))
+      sinkFor("genre_kpis").upsert(r.genreKpis, Seq("date", "track_genre"))
+      sinkFor("top_songs").upsert(r.topSongs, Seq("date", "track_genre", "track_id"))
+      sinkFor("top_genres").upsert(r.topGenres, Seq("date", "track_id"))
     } finally r.release()
   }
 

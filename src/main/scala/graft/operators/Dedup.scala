@@ -236,14 +236,21 @@ object Dedup {
     * (identical sets ⇒ identical similarity). Exactness preserved;
     * worst-case candidate cost drops from O(n²) to O(distinct²).
     */
+  /** Each set labeled with its identical-set group's min-id
+    * representative: one shuffle groups equal arrays. Factored out so
+    * the plan-dump tool can show the collapsed candidate join.
+    */
+  private[graft] def repLabeled(sets0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    sets0.select(col("id"), col("ts"))
+      .withColumn("rep", min(col("id")).over(Window.partitionBy(col("ts"))))
+      .withColumn("n", size(col("ts")))
+  }
+
   private[graft] def jaccardPairs(sets0: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccard threshold must be in (0, 1], got $threshold")
-    import org.apache.spark.sql.expressions.Window
-    // one shuffle groups equal arrays; rep = min id of the group
-    val reps = sets0.select(col("id"), col("ts"))
-      .withColumn("rep", min(col("id")).over(Window.partitionBy(col("ts"))))
-      .withColumn("n", size(col("ts")))
+    val reps = repLabeled(sets0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val members = reps.select(col("rep"), col("id")) // ids only — tiny
     val dsets = reps.filter(col("id") === col("rep"))

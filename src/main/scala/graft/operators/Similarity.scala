@@ -179,6 +179,13 @@ object Similarity {
       cents: Array[Array[Float]],
       nprobe: Int,
       k: Int): DataFrame = {
+    // a silent min() here would mask a misconfigured nprobe as
+    // "probe everything" — fail loudly instead (same discipline as
+    // SignLsh's dim check)
+    require(cents.nonEmpty, "ivfTopK: no centroids (empty corpus?)")
+    require(nprobe >= 1 && nprobe <= cents.length,
+      s"ivfTopK: nprobe=$nprobe out of range [1, ${cents.length}] " +
+        "(nprobe must not exceed the trained centroid count)")
     val queries = indexed.join(queryIds, indexed(idCol) === queryIds("query_id"))
       .select(col("query_id"), col(vecCol).as("qv"))
 
@@ -187,7 +194,7 @@ object Similarity {
     val probes = queries
       .withColumn("__probe",
         explode(slice(reverse(array_sort(centroidScores(col("qv"), cents))),
-          1, math.min(nprobe, math.max(cents.length, 1)))))
+          1, nprobe)))
       .select(col("query_id"), col("qv"), (-col("__probe.ni")).as("ivf_list"))
 
     // candidate join restricted to probed lists, exact re-rank

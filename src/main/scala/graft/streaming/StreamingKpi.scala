@@ -90,8 +90,7 @@ object StreamingKpi {
       spark: SparkSession,
       eventsPath: String,
       latenessTolerance: String = "1 hour"): DataFrame = {
-    import java.nio.file.Files
-    val workDir = Files.createTempDirectory("graft-q50-")
+    val workDir = tempWorkDir("graft-q50-")
     val sink = graft.music.ParquetKeyedUpsertSink(s"$workDir/hourly_kpis")
     // update mode emits every touched key on the DATA batch itself;
     // the trailing no-data micro-batch (watermark advance) would only
@@ -103,9 +102,13 @@ object StreamingKpi {
     spark.conf.set(noDataKey, "false")
     // the hourly aggregate is tiny relative to the input (windows ×
     // event types); 8 state stores bound the per-batch load/commit
-    // I/O without limiting scan parallelism (stateless stages keep
-    // the session's setting). A real deployment sizes this to the
-    // aggregate's cardinality, not the input's.
+    // I/O. NOTE this conf is session-wide for the whole drain — every
+    // shuffle in this query (and any query running concurrently on
+    // the same session) uses 8 until the finally block restores it.
+    // Safe here because Verify/Bench run queries sequentially on one
+    // session; a concurrent deployment should scope it via
+    // spark.newSession() instead. A real deployment sizes the value
+    // to the aggregate's cardinality, not the input's.
     val shuffleKey = "spark.sql.shuffle.partitions"
     val prevShuffle = spark.conf.getOption(shuffleKey)
     spark.conf.set(shuffleKey, "8")
@@ -136,6 +139,26 @@ object StreamingKpi {
         case None => spark.conf.unset(shuffleKey)
       }
     }
+  }
+
+  /** Per-invocation scratch dir (checkpoint + sink parquet). The
+    * returned DataFrame reads the sink path lazily, so the dir can't
+    * be deleted at return — a JVM shutdown hook reclaims it instead,
+    * so repeated bench/verify/spec runs don't accumulate directories
+    * under java.io.tmpdir beyond the process lifetime.
+    */
+  private def tempWorkDir(prefix: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Path}
+    val dir = Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: Path): Unit = {
+        if (Files.isDirectory(p))
+          Files.list(p).forEach(rm(_))
+        Files.deleteIfExists(p)
+      }
+      try rm(dir) catch { case _: java.io.IOException => () }
+    }))
+    dir
   }
 
   /** Memory-sink drain of the same aggregate (complete mode) — kept

@@ -13,6 +13,15 @@ class EntrySpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("entry runs on an untuned session — it sets the events nanos conf itself") {
+    // simulate the driver's bare session: same context, conf
+    // explicitly missing the nanos setting
+    val bare = spark.newSession()
+    bare.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    assert(SparkEntry.entry(bare).count() > 0)
+    assert(bare.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
+  }
+
   test("oracleSql keys ⊆ queries keys") {
     val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(extra.isEmpty, s"oracle without query: $extra")

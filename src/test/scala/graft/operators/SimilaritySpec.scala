@@ -35,6 +35,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == exact)
   }
 
+  test("IVF fails loudly when nprobe exceeds the trained centroid count") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", nlist = 8)
+    val indexed = Similarity.ivfIndex(emb, "embedding", cents)
+    val queries = emb.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(indexed, "vec_id", "embedding", queries,
+        cents, nprobe = cents.length + 1, k = 5)
+    }
+    assert(e.getMessage.contains("nprobe"))
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(indexed, "vec_id", "embedding", queries,
+        cents, nprobe = 0, k = 5)
+    }
+  }
+
   test("IVF index assigns every vector to exactly one list") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val indexed = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 8)
