@@ -283,7 +283,7 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       dim: Int = 64,
-      planesPerTable: Int = 4,
+      planesPerTable: Int = 8,
       targetMiss: Double = 1e-6,
       seed: Long = 42L): DataFrame = {
     require(threshold > 0.0 && threshold < 1.0, "threshold in (0, 1)")
@@ -293,20 +293,31 @@ object Similarity {
       math.ceil(math.log(targetMiss) / math.log1p(-perTable)).toInt)
     val planes = Vec.deterministicPlanes(tables * planesPerTable, dim, seed)
 
+    // planesPerTable sizes the bucket space per table (2^r buckets):
+    // more planes per table → more tables L for the same miss bound,
+    // but random-pair collisions fall as p(0)^r = 2^-r per table, so
+    // total candidates L·n²·2^-r shrink fast. r=8 (256 buckets) is
+    // the right regime once corpora reach thousands of vectors.
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // signatures feed both sides of the candidate self-join — persist
+    // so the L·r projections per vector compute once (see minHashLsh)
     val banded = vecs.select(col("id"),
       posexplode(Vec.signLshBuckets(col("v"), planes, planesPerTable))
         .as(Seq("tbl", "bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ca = banded.select(col("tbl"), col("bucket"), col("id").as("a_id"))
     val cb = banded.select(col("tbl"), col("bucket"), col("id").as("b_id"))
     val candidates = ca.join(cb, Seq("tbl", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
 
-    candidates
+    val verified = candidates
       .join(vecs.select(col("id").as("a_id"), col("v").as("va")), "a_id")
       .join(vecs.select(col("id").as("b_id"), col("v").as("vb")), "b_id")
       .filter(Vec.cosine(col("va"), col("vb")) >= threshold)
       .select("a_id", "b_id")
+      .localCheckpoint() // see minHashLsh: materialize + GC-cleanable
+    banded.unpersist()
+    verified
   }
 }
