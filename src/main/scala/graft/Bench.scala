@@ -20,7 +20,7 @@ object Bench {
     "q38_ngram_jaccard", "q40_ann_topk",
     "q41_embedding_neardup", "q42_ann_lsh", "q44_ann_ivf",
     "q71_cosine_neardup_lsh",
-    "q45_media_features", "q50_stream_hourly", "q51_sessionize",
+    "q45_media_features", "q72_chunk_overlap", "q50_stream_hourly", "q51_sessionize",
     "q52_session_window", "q53_pricing_summary")
 
   def main(args: Array[String]): Unit = {

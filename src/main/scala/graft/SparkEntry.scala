@@ -14,6 +14,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - queries.VectorOps:     similarity search (q40–q42, q44, q71)
   *  - queries.MultimodalOps: binary-column plumbing (q45, q47, q62)
   *  - queries.StreamOps:     streaming + stateful (q50–q52)
+  *  - queries.CorpusOps:     training-corpus prep (q72–q77: chunking,
+  *                           split, mixing, shuffle shards, PII, JSONL)
   */
 object SparkEntry {
 
@@ -45,7 +47,8 @@ object SparkEntry {
       graft.queries.DedupOps.queries ++
       graft.queries.VectorOps.queries ++
       graft.queries.MultimodalOps.queries ++
-      graft.queries.StreamOps.queries
+      graft.queries.StreamOps.queries ++
+      graft.queries.CorpusOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables. Omitted for the approximate /
@@ -57,5 +60,6 @@ object SparkEntry {
       graft.queries.DedupOps.oracleSql ++
       graft.queries.VectorOps.oracleSql ++
       graft.queries.MultimodalOps.oracleSql ++
-      graft.queries.StreamOps.oracleSql
+      graft.queries.StreamOps.oracleSql ++
+      graft.queries.CorpusOps.oracleSql
 }

@@ -1,0 +1,198 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus preparation operators (q72–q77): the steps between
+  * a cleaned document set and a training run — context-window
+  * chunking, deterministic splits, source mixing, shuffle sharding,
+  * PII redaction, and the JSONL interchange format.
+  *
+  * All six are EXACT and fully oracled: where an operator is
+  * conventionally random (splits, mixing, shuffling), the randomness
+  * is replaced by md5 of the document id — deterministic, engine-
+  * independent, uniformly distributed, and reproducible on any
+  * cluster size, which is precisely what a production pipeline wants
+  * anyway (re-runs must route every doc the same way).
+  *
+  * Scale notes per operator are on each query; none of them shuffles
+  * document text except where the output IS the text (chunking,
+  * redaction), and nothing funnels through the driver.
+  */
+object CorpusOps {
+
+  /** Chunk geometry: windows of `chunkTokens` starting every
+    * `strideTokens` (overlap = chunk − stride).
+    */
+  private val chunkTokens = 50
+  private val strideTokens = 40
+
+  /** Email/phone patterns shared by the redaction and its counts —
+    * RE2-compatible (DuckDB) and java.util.regex-compatible (Spark)
+    * subset: character classes, bounded repeats, word boundaries.
+    */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\b555-\\d{4}\\b"
+
+  /** Deterministic PII planting (the corpus is synthetic word salad
+    * with no real PII): one email + one phone per doc, derived from
+    * doc_id — identical construction in the SQL oracle.
+    */
+  private def plantedText = concat(col("text"),
+    lit(" contact user"), col("doc_id").cast("string"),
+    lit("@example.com or call 555-0"),
+    lpad((col("doc_id") % 1000).cast("string"), 3, "0"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Context-window chunking with overlap: one row per (doc, chunk),
+    // chunk = tokens [start, start+50), starts every 40 tokens. A
+    // narrow generator (posexplode over a per-row sequence) — no
+    // shuffle at all; output size is input size × ~n/stride. The
+    // universal pre-tokenization step for long-document training.
+    "q72_chunk_overlap" -> ((s, d) => {
+      Tables(s, d).documents
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          posexplode(sequence(lit(0),
+            greatest(size(col("toks")) - 1, lit(0)), lit(strideTokens)))
+            .as(Seq("chunk_idx", "start")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          array_join(slice(col("toks"), col("start") + 1, lit(chunkTokens)), " ")
+            .as("chunk_text"))
+    }),
+
+    // Deterministic train/val/test assignment by the first hex digit
+    // of md5(doc_id): 12/16 train, 2/16 val, 2/16 test. Pure narrow
+    // map — the split of a 100 TB corpus costs one projection, and
+    // every engine/re-run routes each doc identically (the property
+    // that keeps eval sets uncontaminated across pipeline versions).
+    "q73_split_assign" -> ((s, d) => {
+      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+      Tables(s, d).documents.select(col("doc_id"),
+        when(h <= "b", "train").when(h.isin("c", "d"), "val")
+          .otherwise("test").as("split"))
+    }),
+
+    // Source-weighted mixing: per-source sampling rates (derived here
+    // from the source index mod 4 → 25/50/75/100%) applied via a
+    // 256-bucket md5 hash — the deterministic form of temperature /
+    // mixture-weight sampling between corpus sources. Narrow map +
+    // filter; weights live in the plan, not in a join.
+    "q74_mix_weighted" -> ((s, d) => {
+      val idx = substring(col("source"), 4, 16).cast("int")
+      val bucket = substring(md5(concat(lit("mix"), col("doc_id").cast("string"))), 1, 2)
+      Tables(s, d).documents
+        .filter(idx % 4 === 3 ||
+          (idx % 4 === 0 && bucket < "40") ||
+          (idx % 4 === 1 && bucket < "80") ||
+          (idx % 4 === 2 && bucket < "c0"))
+        .select(col("doc_id"), col("source"))
+    }),
+
+    // Shuffle sharding for training order: shard = first byte of
+    // md5(doc_id) (256 shards), rank = position within the shard in
+    // md5 order. A reader streaming shards 00..ff in rank order sees
+    // a uniform deterministic permutation of the corpus. This is the
+    // scale-correct global shuffle: a direct row_number over the full
+    // corpus would pull every row through ONE window partition,
+    // whereas sharding keeps the sort fully parallel (one modest sort
+    // per shard) at any corpus size.
+    "q75_shuffle_shard" -> ((s, d) => {
+      val h = md5(col("doc_id").cast("string"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      Tables(s, d).documents
+        .select(col("doc_id"), substring(h, 1, 2).as("shard"), h.as("h"))
+        .withColumn("rank_in_shard", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("shard"), col("rank_in_shard"))
+    }),
+
+    // PII redaction with audit counts. The synthetic corpus carries
+    // no PII, so one email + one phone are planted per doc (same
+    // expression in the oracle) and must come back out: emails →
+    // [EMAIL], phones → [PHONE], plus per-doc match counts. Narrow
+    // map; regexes are RE2-safe so the same patterns run on any
+    // engine. At 100 TB this is one codegen'd projection pass.
+    "q76_pii_redact" -> ((s, d) => {
+      Tables(s, d).documents.select(col("doc_id"),
+        regexp_replace(regexp_replace(plantedText, emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]").as("redacted"),
+        size(regexp_extract_all(plantedText, lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(plantedText, lit(phoneRe), lit(0)))
+          .cast("long").as("n_phones"))
+    }),
+
+    // JSONL interchange: stage the documents as line-delimited JSON
+    // (the lingua franca of training-data exchange), read them back
+    // through Spark's JSON source with an explicit schema, and
+    // aggregate from the round-tripped frame. The oracle computes the
+    // same result from the parquet directly, so the row proves the
+    // JSONL write→read path is lossless. Staging is content-addressed
+    // under java.io.tmpdir (same pattern as the streaming source
+    // stager) — bounded across re-runs.
+    "q77_jsonl_source" -> ((s, d) => {
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft-q77-" + Integer.toHexString(d.hashCode)).toString
+      Tables(s, d).documents
+        .select(to_json(struct(col("doc_id"), col("text"), col("source"))).as("value"))
+        .write.mode("overwrite").text(dir)
+      s.read.schema("doc_id LONG, text STRING, source STRING").json(dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q72_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         e AS (SELECT doc_id, toks,
+                      unnest(range(0, greatest(len(toks), 1), 40)) AS s
+               FROM t)
+         SELECT doc_id, (s // 40)::BIGINT AS chunk_idx,
+                array_to_string(toks[s+1 : s+50], ' ') AS chunk_text
+         FROM e""",
+    "q73_split_assign" ->
+      """SELECT doc_id,
+                CASE WHEN substring(md5(doc_id::VARCHAR), 1, 1) <= 'b' THEN 'train'
+                     WHEN substring(md5(doc_id::VARCHAR), 1, 1) IN ('c', 'd') THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents""",
+    "q74_mix_weighted" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+                  substring(source, 4)::INT % 4 AS w,
+                  substring(md5('mix' || doc_id::VARCHAR), 1, 2) AS bucket
+           FROM documents)
+         SELECT doc_id, source FROM t
+         WHERE w = 3 OR (w = 0 AND bucket < '40')
+            OR (w = 1 AND bucket < '80') OR (w = 2 AND bucket < 'c0')""",
+    "q75_shuffle_shard" ->
+      """SELECT doc_id, substring(md5(doc_id::VARCHAR), 1, 2) AS shard,
+                row_number() OVER (
+                  PARTITION BY substring(md5(doc_id::VARCHAR), 1, 2)
+                  ORDER BY md5(doc_id::VARCHAR), doc_id) AS rank_in_shard
+         FROM documents""",
+    "q76_pii_redact" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  text || ' contact user' || doc_id::VARCHAR ||
+                  '@example.com or call 555-0' ||
+                  lpad((doc_id % 1000)::VARCHAR, 3, '0') AS planted
+           FROM documents)
+         SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(planted,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                  '\b555-\d{4}\b', '[PHONE]', 'g') AS redacted,
+                len(regexp_extract_all(planted,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+                len(regexp_extract_all(planted, '\b555-\d{4}\b'))::BIGINT AS n_phones
+         FROM p""",
+    "q77_jsonl_source" ->
+      """SELECT doc_id, source,
+                len(string_split(text, ' '))::BIGINT AS n_tokens
+         FROM documents"""
+  )
+}
