@@ -35,6 +35,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Signature/assignment passes are CPU-bound narrow maps; when the
+    * input arrives as fewer partitions than cores (one small file),
+    * fan it out first. No-op on real multi-partition inputs (same
+    * discipline as Dedup.parallelized).
+    */
+  private def parallelized(df: DataFrame): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(parallelism / 2, 1))
+      df.repartition(parallelism)
+    else df
+  }
+
   /** Train spherical k-means centroids on a deterministic sample.
     * Returns ≤ `nlist` unit-norm centroids (fewer only when the
     * corpus itself has fewer vectors).
@@ -152,7 +164,7 @@ object Similarity {
 
   /** Assignment against pre-trained centroids (no training pass). */
   def ivfIndex(emb: DataFrame, vecCol: String, cents: Array[Array[Float]]): DataFrame =
-    emb.withColumn("ivf_list", nearestList(col(vecCol), cents))
+    parallelized(emb).withColumn("ivf_list", nearestList(col(vecCol), cents))
 
   /** Top-k neighbours for each query id, probing `nprobe` lists.
     * Centroids are re-derived from the same deterministic training
@@ -298,7 +310,7 @@ object Similarity {
     // but random-pair collisions fall as p(0)^r = 2^-r per table, so
     // total candidates L·n²·2^-r shrink fast. r=8 (256 buckets) is
     // the right regime once corpora reach thousands of vectors.
-    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val vecs = parallelized(emb.select(col(idCol).as("id"), col(vecCol).as("v")))
     // signatures feed both sides of the candidate self-join — persist
     // so the L·r projections per vector compute once (see minHashLsh)
     val banded = vecs.select(col("id"),
