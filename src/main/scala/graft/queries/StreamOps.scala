@@ -25,6 +25,14 @@ object StreamOps {
     "q51_sessionize" -> ((s, d) =>
       Sessionize.batch(Tables(s, d).events, gapMinutes = 30)),
 
+    // Streaming dedup within the watermark under duplicate delivery:
+    // every event staged twice (at-least-once redelivery),
+    // dropDuplicatesWithinWatermark removes the copies with
+    // watermark-bounded id state, counts drain through the upsert
+    // sink. Oracle: batch count(DISTINCT event_id) per type.
+    "q79_stream_dedup" -> ((s, d) =>
+      StreamingKpi.dedupedTypeCountsUpsert(s, s"$d/events.parquet")),
+
     // Spark's built-in session_window operator: per-(user, session)
     // grain with the session start = first event, same 30-min gap.
     "q52_session_window" -> ((s, d) => {
@@ -45,6 +53,9 @@ object StreamOps {
                 event_type, count(*) AS n,
                 round(sum(value), 2) AS total_value
          FROM events GROUP BY 1, 2""",
+    "q79_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT event_id) AS n_events
+         FROM events GROUP BY 1""",
     "q52_session_window" ->
       """WITH x AS (
            SELECT user_id, ts, event_id,

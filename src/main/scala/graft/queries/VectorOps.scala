@@ -49,6 +49,21 @@ object VectorOps {
         Tables(s, d).embeddings, "vec_id", "embedding",
         threshold = 0.45, blocks = 32)),
 
+    // The embedding-side dedup DECISION, end-to-end: exact cosine
+    // near-dup pairs (the q41 triangle join) → connected components →
+    // keep the min-id representative per cluster with the cluster
+    // size it absorbed — the vector-space twin of q68's text dedup.
+    // Fully oracled: DuckDB rebuilds the components with a recursive
+    // transitive-closure CTE over the exact pair list.
+    "q78_embedding_dedup_keep" -> ((s, d) => {
+      val emb = Tables(s, d).embeddings
+      val pairs = graft.operators.Similarity.cosineThresholdPairs(
+        emb, "vec_id", "embedding", threshold = 0.45, blocks = 32)
+      graft.operators.Dedup.duplicateClusters(pairs, emb.select("vec_id"))
+        .filter(col("doc_id") === col("cluster_id"))
+        .select(col("doc_id").as("vec_id"), col("cluster_size"))
+    }),
+
     // IVF ANN (coarse-quantization scale path): assign corpus to
     // centroid lists once, probe nprobe lists per query, exact
     // re-rank inside. Approximate → rows-only; recall vs brute force
@@ -119,6 +134,20 @@ object VectorOps {
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""",
+    "q78_embedding_dedup_keep" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45),
+         edges AS (
+           SELECT a_id AS s, b_id AS d FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         reach AS (
+           SELECT vec_id AS s, vec_id AS d FROM embeddings
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+         SELECT s AS vec_id, count(*) AS cluster_size
+         FROM reach GROUP BY s HAVING s = min(d)""",
     "q71_cosine_neardup_lsh" ->
       """WITH twins AS (
            SELECT vec_id + 10000000 AS vec_id,

@@ -89,9 +89,22 @@ object StreamingKpi {
   def hourlyCountsUpsert(
       spark: SparkSession,
       eventsPath: String,
-      latenessTolerance: String = "1 hour"): DataFrame = {
-    val workDir = tempWorkDir("graft-q50-")
-    val sink = graft.music.ParquetKeyedUpsertSink(s"$workDir/hourly_kpis")
+      latenessTolerance: String = "1 hour"): DataFrame =
+    upsertDrain(spark, "graft-q50-",
+      hourlyAgg(spark, eventsPath, latenessTolerance),
+      Seq("window_start", "event_type"))
+
+  /** Drain an update-mode streaming aggregate through the keyed
+    * upsert sink and read the result back — the shared plumbing of
+    * q50 (windowed hourly KPIs) and q79 (deduplicated type counts).
+    */
+  private def upsertDrain(
+      spark: SparkSession,
+      dirPrefix: String,
+      agg: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val workDir = tempWorkDir(dirPrefix)
+    val sink = graft.music.ParquetKeyedUpsertSink(s"$workDir/out")
     // update mode emits every touched key on the DATA batch itself;
     // the trailing no-data micro-batch (watermark advance) would only
     // re-load and re-commit all 32 state stores for zero output rows.
@@ -113,7 +126,7 @@ object StreamingKpi {
     val prevShuffle = spark.conf.getOption(shuffleKey)
     spark.conf.set(shuffleKey, "8")
     try {
-    val q = hourlyAgg(spark, eventsPath, latenessTolerance).writeStream
+    val q = agg.writeStream
       .outputMode("update")
       .option("checkpointLocation", s"$workDir/checkpoint")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -122,7 +135,7 @@ object StreamingKpi {
         // re-run the stateful aggregation (and its state-store pass)
         val cached = batch.persist()
         try {
-          if (!cached.isEmpty) sink.upsert(cached, Seq("window_start", "event_type"))
+          if (!cached.isEmpty) sink.upsert(cached, keyCols)
         } finally cached.unpersist()
       }
       .trigger(Trigger.AvailableNow())
@@ -139,6 +152,46 @@ object StreamingKpi {
         case None => spark.conf.unset(shuffleKey)
       }
     }
+  }
+
+  /** Streaming deduplication within the watermark, proven end-to-end:
+    * the input file is staged TWICE (every event is delivered twice —
+    * the redelivery/at-least-once shape a real ingest pipeline sees),
+    * `dropDuplicatesWithinWatermark` on the event id removes the
+    * duplicates while holding only a watermark-bounded id state, and
+    * the deduplicated per-type counts drain through the same
+    * update-mode upsert path as q50. The result must equal the batch
+    * `count(DISTINCT event_id)` per type — which is the SQL oracle.
+    */
+  def dedupedTypeCountsUpsert(
+      spark: SparkSession,
+      eventsPath: String,
+      latenessTolerance: String = "1 hour"): DataFrame = {
+    val dupDir = stageDuplicated(eventsPath)
+    val agg = spark.readStream
+      .schema(eventsSchema)
+      .parquet(dupDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", latenessTolerance)
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    upsertDrain(spark, "graft-q79-", agg, Seq("event_type"))
+  }
+
+  /** Stage a file as a directory holding TWO copies (deterministic
+    * duplicate delivery). Content-addressed like [[stageAsDir]] —
+    * bounded across re-runs.
+    */
+  private def stageDuplicated(path: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val p = Paths.get(path)
+    val dir = Paths.get(sys.props("java.io.tmpdir"),
+      "graft-stream-dup-" + Integer.toHexString(path.hashCode))
+    Files.createDirectories(dir)
+    Files.copy(p, dir.resolve("copy_a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(p, dir.resolve("copy_b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
   }
 
   /** Per-invocation scratch dir (checkpoint + sink parquet). The
