@@ -11,9 +11,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                           (q30–q35, q39, q46, q61, q69)
   *  - queries.DedupOps:      near-dup + clustering (q36–q38, q43, q48,
   *                           q59, q67, q68, q70)
-  *  - queries.VectorOps:     similarity search (q40–q42, q44, q71)
+  *  - queries.VectorOps:     similarity search (q40–q42, q44, q71, q78)
   *  - queries.MultimodalOps: binary-column plumbing (q45, q47, q62)
-  *  - queries.StreamOps:     streaming + stateful (q50–q52)
+  *  - queries.StreamOps:     streaming + stateful (q50–q52, q79)
   *  - queries.CorpusOps:     training-corpus prep (q72–q77: chunking,
   *                           split, mixing, shuffle shards, PII, JSONL)
   */
