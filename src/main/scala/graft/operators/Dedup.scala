@@ -247,7 +247,18 @@ object Dedup {
       .withColumn("n", size(col("ts")))
   }
 
-  private[graft] def jaccardPairs(sets0: DataFrame, threshold: Double): DataFrame = {
+  /** `maxCandidateFactor`: optional operational tripwire — fail
+    * loudly when the candidate count exceeds `factor × distinct
+    * sets`, i.e. the AllPairs filters have degenerated on a
+    * low-entropy corpus and the join is heading toward O(n²) work
+    * that an approximate minhash pass would avoid. Off by default
+    * (exact semantics never require it); turn it on in pipelines
+    * where an unbounded exact join must never slip into a 100 TB run.
+    */
+  private[graft] def jaccardPairs(
+      sets0: DataFrame,
+      threshold: Double,
+      maxCandidateFactor: Option[Double] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccard threshold must be in (0, 1], got $threshold")
     val reps = repLabeled(sets0)
@@ -256,7 +267,27 @@ object Dedup {
     val dsets = reps.filter(col("id") === col("rep"))
       .select(col("id"), col("ts"), col("n"))
 
-    val verifiedReps = allPairsCandidates(dsets, threshold)
+    val candidates0 = allPairsCandidates(dsets, threshold)
+    // tripwire needs a count; persist so the (ids-only) candidate set
+    // isn't computed twice
+    val candidates = if (maxCandidateFactor.isDefined)
+      candidates0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else candidates0
+    maxCandidateFactor.foreach { f =>
+      val nSets = dsets.count()
+      val nCand = candidates.count()
+      if (nCand > f * math.max(nSets, 1L)) {
+        candidates.unpersist()
+        reps.unpersist()
+        throw new IllegalStateException(
+          s"jaccardPairs: $nCand candidate pairs over $nSets distinct sets exceeds " +
+            s"the $f× tripwire — the corpus is too low-entropy for exact AllPairs " +
+            "prefix filtering (near-all-pairs candidates). Use the approximate " +
+            "minhash twin (Dedup.minHashLsh) or raise maxCandidateFactor.")
+      }
+    }
+
+    val verifiedReps = candidates
       .join(dsets.select(col("id").as("a_id"), col("ts").as("ta"), col("n").as("na")), "a_id")
       .join(dsets.select(col("id").as("b_id"), col("ts").as("tb"), col("n").as("nb")), "b_id")
       // allocation-free merge walk over the sorted sets (the arrays
@@ -292,6 +323,7 @@ object Dedup {
 
     val out = inter.unionByName(intra)
       .localCheckpoint() // see minHashLsh: materialize + GC-cleanable
+    if (maxCandidateFactor.isDefined) candidates.unpersist()
     reps.unpersist()
     out
   }
@@ -450,9 +482,10 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleN: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxCandidateFactor: Option[Double] = None): DataFrame = {
     val sets = parallelized(docs).select(col(idCol).as("id"),
       array_sort(shingleHashes(col(textCol), shingleN)).as("ts"))
-    jaccardPairs(sets, threshold).select("a_id", "b_id")
+    jaccardPairs(sets, threshold, maxCandidateFactor).select("a_id", "b_id")
   }
 }

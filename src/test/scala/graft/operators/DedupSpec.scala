@@ -184,6 +184,31 @@ class DedupSpec extends AnyFunSuite {
     // candidate cost is onDistinct, not onDuplicated
   }
 
+  test("candidate tripwire fires on low-entropy corpora and stays silent on benign ones") {
+    import org.apache.spark.sql.functions._
+    val next = graft.TestSpark.splitmix(31L)
+    // low-entropy: 30 sets over a 12-element universe — every pair
+    // shares a prefix element, candidates ≈ n²/2 ≫ 5·n
+    val tinyUniverse = (1L to 40L).map(_ => next()).distinct.take(12)
+    val lowEntropy = (0 until 30).map { i =>
+      val s = scala.collection.mutable.LinkedHashSet.empty[Long]
+      while (s.size < 6) s += tinyUniverse(math.floorMod(next(), 12L).toInt)
+      (i.toLong, s.toSeq.sorted)
+    }
+    val e = intercept[IllegalStateException] {
+      Dedup.jaccardPairs(lowEntropy.toDF("id", "ts"), 0.9,
+        maxCandidateFactor = Some(5.0))
+    }
+    assert(e.getMessage.contains("minHashLsh"))
+
+    // benign: near-disjoint sets (distinct singleton universes) —
+    // almost no candidates, the same tripwire must not fire
+    val benign = (0 until 30).map(i => (i.toLong, Seq(next(), next(), next()).sorted))
+    val ok = Dedup.jaccardPairs(benign.toDF("id", "ts"), 0.9,
+      maxCandidateFactor = Some(5.0))
+    assert(ok.count() >= 0) // materializes without throwing
+  }
+
   test("duplicateClusters ≡ driver union-find on a random pair set") {
     import org.apache.spark.sql.functions._
     val next = graft.TestSpark.splitmix(123L)
