@@ -28,6 +28,18 @@ trait KvBatchClient extends Serializable {
   def putBatch(items: Seq[KvItem]): Seq[KvItem]
   /** Full scan, for the read-back side of the sink contract. */
   def scan(): Seq[KvItem]
+  /** One segment of a parallel scan (the DynamoDB
+    * `Scan(Segment, TotalSegments)` shape): the `total` segments
+    * partition the key space, each executor reads only its own. The
+    * default routes through `scan()` and filters by key hash —
+    * correct for the in-memory client; an SDK-backed client overrides
+    * it with the store's native segmented scan.
+    */
+  def scanSegment(segment: Int, total: Int): Seq[KvItem] = {
+    require(total > 0 && segment >= 0 && segment < total,
+      s"scanSegment($segment, $total) out of range")
+    scan().filter(i => math.floorMod(i.key.hashCode, total) == segment)
+  }
 }
 
 /** `foreachPartition`-based keyed upsert against a [[KvBatchClient]]

@@ -132,6 +132,27 @@ object CorpusOps {
     // JSONL write→read path is lossless. Staging is content-addressed
     // under java.io.tmpdir (same pattern as the streaming source
     // stager) — bounded across re-runs.
+    // KV serving round-trip: per-source corpus stats batch-upserted
+    // through the batched KV client (the DynamoDB batchWriteItem
+    // shape), then read back through the `graft-kv` DSv2 source —
+    // one input partition per scan SEGMENT (the parallel-scan shape),
+    // so the read never funnels through the driver. Oracle: the same
+    // aggregate straight off the parquet.
+    "q80_kv_serving" -> ((s, d) => {
+      import graft.music.{BatchedKvSink, InMemoryKvClient, InMemoryKvServer}
+      val table = "q80_doc_stats_" + Integer.toHexString(d.hashCode)
+      InMemoryKvServer.reset(table) // idempotent re-runs
+      val agg = Tables(s, d).documents
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+      new BatchedKvSink(InMemoryKvClient(table)).upsert(agg, Seq("source"))
+      s.read.format("graft-kv")
+        .option("table", table).option("segments", "8").load()
+        .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+          col("total_chars").cast("long").as("total_chars"))
+    }),
+
     "q77_jsonl_source" -> ((s, d) => {
       val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft-q77-" + Integer.toHexString(d.hashCode)).toString
@@ -193,6 +214,9 @@ object CorpusOps {
     "q77_jsonl_source" ->
       """SELECT doc_id, source,
                 len(string_split(text, ' '))::BIGINT AS n_tokens
-         FROM documents"""
+         FROM documents""",
+    "q80_kv_serving" ->
+      """SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+         FROM documents GROUP BY 1"""
   )
 }

@@ -108,4 +108,31 @@ class SinkSpec extends AnyFunSuite {
     val rows = sink.read(spark).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(rows == Seq(("k1", 9L))) // max over the value struct
   }
+
+  test("graft-kv DSv2 scan: one partition per segment, exactly the upserted rows") {
+    InMemoryKvServer.reset("t_scan")
+    val sink = new BatchedKvSink(InMemoryKvClient("t_scan"))
+    val data = (1 to 100).map(i => (s"k$i", i.toLong))
+    sink.upsert(data.toDF("k", "v"), Seq("k"))
+    val df = spark.read.format("graft-kv")
+      .option("table", "t_scan").option("segments", "7").load()
+    // parallel-scan plan: exactly `segments` input partitions
+    assert(df.rdd.getNumPartitions == 7)
+    val rows = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows == data.map { case (k, v) => k -> v.toString }.toMap)
+    // segments partition the key space (no row read twice, none lost)
+    assert(df.count() == 100)
+  }
+
+  test("graft-kv scanSegment segments are disjoint and cover the table") {
+    InMemoryKvServer.reset("t_seg")
+    val client = InMemoryKvClient("t_seg")
+    new BatchedKvSink(client).upsert(
+      (1 to 50).map(i => (s"k$i", i.toLong)).toDF("k", "v"), Seq("k"))
+    val total = 5
+    val perSegment = (0 until total).map(s => client.scanSegment(s, total).map(_.key))
+    assert(perSegment.flatten.sorted == client.scan().map(_.key).sorted)
+    assert(perSegment.map(_.toSet).reduce(_ intersect _).isEmpty)
+    intercept[IllegalArgumentException] { client.scanSegment(5, 5) }
+  }
 }
