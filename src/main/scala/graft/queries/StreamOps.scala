@@ -25,6 +25,14 @@ object StreamOps {
     "q51_sessionize" -> ((s, d) =>
       Sessionize.batch(Tables(s, d).events, gapMinutes = 30)),
 
+    // Ordered per-session event sequences (training examples for a
+    // behavioral sequence model): session assignment shared with q51,
+    // sequence built via sort_array(collect_list(struct)) and
+    // exploded to long form. Oracle: the same order as window
+    // row_numbers over the session CTE.
+    "q81_session_sequences" -> ((s, d) =>
+      Sessionize.sequences(Tables(s, d).events, gapMinutes = 30)),
+
     // Streaming dedup within the watermark under duplicate delivery:
     // every event staged twice (at-least-once redelivery),
     // dropDuplicatesWithinWatermark removes the copies with
@@ -56,6 +64,26 @@ object StreamOps {
     "q79_stream_dedup" ->
       """SELECT event_type, count(DISTINCT event_id) AS n_events
          FROM events GROUP BY 1""",
+    "q81_session_sequences" ->
+      """WITH x AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, ts, event_id,
+                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+           FROM x)
+         SELECT user_id,
+                strftime(min(ts) OVER (PARTITION BY user_id, sid),
+                         '%Y-%m-%d %H:%M:%S') AS session_start,
+                (row_number() OVER (PARTITION BY user_id, sid
+                                    ORDER BY ts, event_id) - 1)::BIGINT AS seq_pos,
+                event_id
+         FROM s""",
     "q52_session_window" ->
       """WITH x AS (
            SELECT user_id, ts, event_id,

@@ -106,6 +106,23 @@ object TextOps {
         .groupBy("token")
         .agg(count(lit(1)).as("freq"))),
 
+    // Vocabulary construction (the tokenizer-training primitive):
+    // top-k tokens by corpus frequency with deterministic tie-break,
+    // assigned dense ids in rank order. Scale shape: the global
+    // "sort" is a TakeOrdered top-k (never a full corpus sort), and
+    // the id-assignment window runs over k rows, not the corpus.
+    "q82_vocab_topk" -> ((s, d) => {
+      val k = 20
+      val ranked = Tables(s, d).documents
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(k)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("freq").desc, col("token"))
+      ranked.withColumn("token_id", (row_number().over(w) - 1).cast("long"))
+    }),
+
     // Text normalization: lowercase, strip non-alphanumerics,
     // collapse whitespace — the canonical pre-dedup cleaning map.
     "q46_normalize" -> ((s, d) =>
@@ -184,6 +201,14 @@ object TextOps {
       """SELECT token, count(*) AS freq
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
          GROUP BY 1""",
+    "q82_vocab_topk" ->
+      """WITH c AS (
+           SELECT token, count(*) AS freq
+           FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+           GROUP BY 1)
+         SELECT token, freq,
+                (row_number() OVER (ORDER BY freq DESC, token) - 1)::BIGINT AS token_id
+         FROM c QUALIFY row_number() OVER (ORDER BY freq DESC, token) <= 20""",
     "q46_normalize" ->
       """SELECT doc_id,
                 trim(regexp_replace(

@@ -20,10 +20,10 @@ object Sessionize {
   final case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
   final case class SessState(lastTs: Long, nSessions: Long, nEvents: Long)
 
-  /** Batch formulation: a session starts where the gap from the
-    * previous event of the same user exceeds `gapMinutes`.
+  /** Shared session assignment: per-user gap flags plus a running
+    * session ordinal — one shuffle on user_id, all window functions.
     */
-  def batch(events: DataFrame, gapMinutes: Int): DataFrame = {
+  private def withSessionIds(events: DataFrame, gapMinutes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     events
@@ -32,9 +32,40 @@ object Sessionize {
         when(col("prev_ts").isNull ||
           unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMinutes * 60L * 1000000L,
           1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Batch formulation: a session starts where the gap from the
+    * previous event of the same user exceeds `gapMinutes`.
+    */
+  def batch(events: DataFrame, gapMinutes: Int): DataFrame =
+    withSessionIds(events, gapMinutes)
       .groupBy(col("user_id"))
       .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
-  }
+
+  /** Ordered per-session event SEQUENCES — the behavioral-training
+    * example builder: each session becomes the deterministic event
+    * order a sequence model trains on. The array is built with
+    * `sort_array(collect_list(struct(ts, event_id)))` (total order,
+    * partition-independent) and exploded back to scalar
+    * (user_id, session_start, seq_pos, event_id) rows, both because
+    * that is the long-form a trainer's tokenizer consumes and because
+    * array cells can't be canonicalized by the row-sorting oracle
+    * gate (see q43).
+    */
+  def sequences(events: DataFrame, gapMinutes: Int): DataFrame =
+    withSessionIds(events, gapMinutes)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id")))).as("evs"))
+      .select(col("user_id"),
+        date_format(element_at(col("evs"), 1).getField("ts"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        posexplode(transform(col("evs"), e => e.getField("event_id")))
+          .as(Seq("seq_pos", "event_id")))
+      .select(col("user_id"), col("session_start"),
+        col("seq_pos").cast("long").as("seq_pos"), col("event_id"))
 
   /** Streaming formulation over a keyed event stream. Emits one
     * summary per user per micro-batch (update semantics).
