@@ -123,6 +123,39 @@ object TextOps {
       ranked.withColumn("token_id", (row_number().over(w) - 1).cast("long"))
     }),
 
+    // N-gram language-model counts: corpus-level bigram frequencies,
+    // top-k with deterministic tie-break — the count table a
+    // Kneser–Ney-style LM or a contamination heuristic starts from.
+    // Generator + hash aggregate + TakeOrdered: no full sort.
+    "q83_bigram_counts" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      Tables(s, d).documents
+        .filter(size(toks) >= 2)
+        .select(explode(transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("bigram"))
+        .limit(50)
+    }),
+
+    // Within-document repetition (Gopher-style quality signal): the
+    // fraction of DISTINCT bigrams — repetitive docs (boilerplate,
+    // keyword stuffing, decoding loops) score low and get flagged.
+    // Ratio is an exact int/int rational, so it hash-matches across
+    // engines; single-token docs define ratio 1.0. Pure narrow map.
+    "q84_repetition" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val bgs = transform(sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+      Tables(s, d).documents.select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        when(size(toks) >= 2,
+          size(array_distinct(bgs)).cast("double") / size(bgs).cast("double"))
+          .otherwise(lit(1.0)).as("distinct_bigram_ratio"))
+        .withColumn("repetitive", col("distinct_bigram_ratio") < 0.5)
+    }),
+
     // Text normalization: lowercase, strip non-alphanumerics,
     // collapse whitespace — the canonical pre-dedup cleaning map.
     "q46_normalize" -> ((s, d) =>
@@ -201,6 +234,33 @@ object TextOps {
       """SELECT token, count(*) AS freq
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
          GROUP BY 1""",
+    "q83_bigram_counts" ->
+      """WITH t AS (
+           SELECT string_split(text, ' ') AS toks FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+         b AS (
+           SELECT unnest([array_to_string(toks[i:i+1], ' ')
+                          FOR i IN range(1, len(toks))]) AS bigram
+           FROM t),
+         c AS (SELECT bigram, count(*) AS freq FROM b GROUP BY 1)
+         SELECT bigram, freq FROM c
+         QUALIFY row_number() OVER (ORDER BY freq DESC, bigram) <= 50""",
+    "q84_repetition" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         g AS (
+           SELECT doc_id, toks,
+                  [array_to_string(toks[i:i+1], ' ')
+                   FOR i IN range(1, len(toks))] AS bgs
+           FROM t)
+         SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+                CASE WHEN len(toks) >= 2
+                     THEN len(list_distinct(bgs))::DOUBLE / len(bgs)::DOUBLE
+                     ELSE 1.0 END AS distinct_bigram_ratio,
+                CASE WHEN len(toks) >= 2
+                     THEN len(list_distinct(bgs))::DOUBLE / len(bgs)::DOUBLE
+                     ELSE 1.0 END < 0.5 AS repetitive
+         FROM g""",
     "q82_vocab_topk" ->
       """WITH c AS (
            SELECT token, count(*) AS freq
