@@ -434,6 +434,22 @@ object Relational {
           .as("order_month"))),
 
     // Conditional scalar surface: nullif / coalesce / greatest / least.
+    // Cohort retention: each user's first-seen day is their cohort;
+    // count distinct users per (cohort, day offset) — the standard
+    // temporal self-referential analytics pattern. Two shuffles
+    // (per-user min, then the cohort aggregate); the user→cohort
+    // frame carries (user_id, date) only.
+    "q85_retention" -> ((s, d) => {
+      val ev = Tables(s, d).events
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val first = ev.groupBy("user_id").agg(min(col("day")).as("cohort"))
+      ev.join(first, "user_id")
+        .groupBy(
+          date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+          datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     "q66_conditionals" -> ((s, d) =>
       Tables(s, d).lineitem.select(
         col("l_orderkey"), col("l_linenumber"),
@@ -610,6 +626,14 @@ object Relational {
                 greatest(l_discount, l_tax) AS max_rate,
                 least(l_quantity, 10.0) AS capped_qty
          FROM lineitem""",
+    "q85_retention" ->
+      """WITH e AS (SELECT user_id, ts::DATE AS day FROM events),
+         f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1)
+         SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+                date_diff('day', cohort, day)::BIGINT AS day_offset,
+                count(DISTINCT e.user_id) AS n_users
+         FROM e JOIN f USING (user_id)
+         GROUP BY 1, 2""",
     "q57_asof_join" ->
       """WITH r AS (
            SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
