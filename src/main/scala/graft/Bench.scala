@@ -43,9 +43,15 @@ object Bench {
     // Block hygiene between runs: queries built around localCheckpoint
     // (q35/q38's pair joins) leave persisted RDD blocks behind until GC;
     // on a memory-contended box those blocks squeeze the next query's
-    // shuffle. Free them eagerly so each measurement starts clean.
+    // shuffle. Free them eagerly so each measurement starts clean —
+    // but only blocks created DURING the bench: pre-existing persistent
+    // RDDs (a caller's cached frames) must survive, and checkpointed
+    // blocks can't be recomputed once unpersisted.
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet.toSet
     def freeLingeringBlocks(): Unit =
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!preexisting.contains(id)) rdd.unpersist(blocking = false)
+      }
     val results = selected.flatMap { name =>
       qs.get(name).map { fn =>
         def once(): Double = {

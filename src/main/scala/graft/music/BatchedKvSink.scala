@@ -176,6 +176,13 @@ object InMemoryKvServer {
   /** Test hook: total putBatch calls observed for a table. */
   def putCalls(name: String): Int = callCounter(name).get()
 
+  /** True iff the table has been registered in THIS JVM. Readers use
+    * this to fail loudly instead of scanning an auto-created empty
+    * table — on a multi-JVM cluster the in-memory registry is
+    * driver-local, and a silent 0-row scan would mask the misdeploy.
+    */
+  def tableExists(name: String): Boolean = tables.contains(name)
+
   /** Test hook: drop a table and its counters. */
   def reset(name: String): Unit = { tables.remove(name); calls.remove(name) }
 }

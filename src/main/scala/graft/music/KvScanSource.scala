@@ -97,8 +97,15 @@ private final class KvScanBatch(table: String, segments: Int, schema: StructType
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[KvSegmentPartition]
       new PartitionReader[InternalRow] {
-        // executor-side segmented scan: only this partition's slice
-        // of the key space is fetched
+        // Executor-side segmented scan: only this partition's slice
+        // of the key space is fetched. The in-memory registry is
+        // JVM-local — if this executor can't see the table (non-local
+        // deployment without an SDK client substituted), fail loudly
+        // rather than return an empty-but-successful scan.
+        require(InMemoryKvServer.tableExists(tableName),
+          s"graft-kv: table '$tableName' not present in this executor's " +
+            "registry — InMemoryKvClient only works in local mode; " +
+            "substitute an SDK-backed KvBatchClient for cluster runs")
         private val items =
           InMemoryKvClient(tableName).scanSegment(p.segment, p.total).iterator
         private var current: InternalRow = _

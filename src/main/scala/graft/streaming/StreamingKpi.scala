@@ -91,42 +91,41 @@ object StreamingKpi {
       eventsPath: String,
       latenessTolerance: String = "1 hour"): DataFrame =
     upsertDrain(spark, "graft-q50-",
-      hourlyAgg(spark, eventsPath, latenessTolerance),
+      s => hourlyAgg(s, eventsPath, latenessTolerance),
       Seq("window_start", "event_type"))
 
   /** Drain an update-mode streaming aggregate through the keyed
     * upsert sink and read the result back — the shared plumbing of
     * q50 (windowed hourly KPIs) and q79 (deduplicated type counts).
+    *
+    * Conf scoping: the drain wants `noDataMicroBatches` off (an
+    * AvailableNow update-mode drain doesn't need the trailing
+    * watermark-advance batch — it would only re-load and re-commit
+    * every state store for zero output rows) and 8 shuffle/state
+    * partitions (the aggregate is windows × event-types tiny; 8 state
+    * stores bound per-batch load/commit I/O — a real deployment sizes
+    * this to the aggregate's cardinality, not the input's). Both are
+    * set on a CHILD session (`newSession`: same SparkContext,
+    * isolated runtime SQLConf), so the aggregate must be built
+    * against that session — hence the builder parameter. Queries
+    * running concurrently on the caller's session never observe the
+    * overrides.
     */
   private def upsertDrain(
       spark: SparkSession,
       dirPrefix: String,
-      agg: DataFrame,
+      buildAgg: SparkSession => DataFrame,
       keyCols: Seq[String]): DataFrame = {
     val workDir = tempWorkDir(dirPrefix)
     val sink = graft.music.ParquetKeyedUpsertSink(s"$workDir/out")
-    // update mode emits every touched key on the DATA batch itself;
-    // the trailing no-data micro-batch (watermark advance) would only
-    // re-load and re-commit all 32 state stores for zero output rows.
-    // An AvailableNow drain doesn't need it — skip it for this query
-    // and restore the session's setting after.
-    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
-    val prevNoData = spark.conf.getOption(noDataKey)
-    spark.conf.set(noDataKey, "false")
-    // the hourly aggregate is tiny relative to the input (windows ×
-    // event types); 8 state stores bound the per-batch load/commit
-    // I/O. NOTE this conf is session-wide for the whole drain — every
-    // shuffle in this query (and any query running concurrently on
-    // the same session) uses 8 until the finally block restores it.
-    // Safe here because Verify/Bench run queries sequentially on one
-    // session; a concurrent deployment should scope it via
-    // spark.newSession() instead. A real deployment sizes the value
-    // to the aggregate's cardinality, not the input's.
-    val shuffleKey = "spark.sql.shuffle.partitions"
-    val prevShuffle = spark.conf.getOption(shuffleKey)
-    spark.conf.set(shuffleKey, "8")
-    try {
-    val q = agg.writeStream
+    val scoped = spark.newSession()
+    // newSession starts from the SparkContext defaults, not the
+    // caller's runtime conf — re-pin the nanos-parquet setting the
+    // events source needs (harmless for non-events inputs)
+    scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    scoped.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = buildAgg(scoped).writeStream
       .outputMode("update")
       .option("checkpointLocation", s"$workDir/checkpoint")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -142,16 +141,6 @@ object StreamingKpi {
       .start()
     q.awaitTermination()
     sink.read(spark)
-    } finally {
-      prevNoData match {
-        case Some(v) => spark.conf.set(noDataKey, v)
-        case None => spark.conf.unset(noDataKey)
-      }
-      prevShuffle match {
-        case Some(v) => spark.conf.set(shuffleKey, v)
-        case None => spark.conf.unset(shuffleKey)
-      }
-    }
   }
 
   /** Streaming deduplication within the watermark, proven end-to-end:
@@ -168,15 +157,16 @@ object StreamingKpi {
       eventsPath: String,
       latenessTolerance: String = "1 hour"): DataFrame = {
     val dupDir = stageDuplicated(eventsPath)
-    val agg = spark.readStream
-      .schema(eventsSchema)
-      .parquet(dupDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", latenessTolerance)
-      .dropDuplicatesWithinWatermark("event_id")
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"))
-    upsertDrain(spark, "graft-q79-", agg, Seq("event_type"))
+    upsertDrain(spark, "graft-q79-",
+      s => s.readStream
+        .schema(eventsSchema)
+        .parquet(dupDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", latenessTolerance)
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events")),
+      Seq("event_type"))
   }
 
   /** Stage a file as a directory holding TWO copies (deterministic
@@ -196,21 +186,36 @@ object StreamingKpi {
 
   /** Per-invocation scratch dir (checkpoint + sink parquet). The
     * returned DataFrame reads the sink path lazily, so the dir can't
-    * be deleted at return — a JVM shutdown hook reclaims it instead,
-    * so repeated bench/verify/spec runs don't accumulate directories
-    * under java.io.tmpdir beyond the process lifetime.
+    * be deleted at return — a single static JVM shutdown hook drains
+    * a queue of registered dirs instead (one hook total, not one per
+    * drain — bench resampling runs many drains), so repeated
+    * bench/verify/spec runs don't accumulate directories under
+    * java.io.tmpdir beyond the process lifetime.
     */
-  private def tempWorkDir(prefix: String): java.nio.file.Path = {
-    import java.nio.file.{Files, Path}
-    val dir = Files.createTempDirectory(prefix)
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+
+  private lazy val cleanupHookRegistered: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
       def rm(p: Path): Unit = {
-        if (Files.isDirectory(p))
-          Files.list(p).forEach(rm(_))
+        if (Files.isDirectory(p)) {
+          val children = Files.list(p)
+          try children.forEach(rm(_)) finally children.close()
+        }
         Files.deleteIfExists(p)
       }
-      try rm(dir) catch { case _: java.io.IOException => () }
+      var dir = scratchDirs.poll()
+      while (dir != null) {
+        try rm(dir) catch { case _: java.io.IOException => () }
+        dir = scratchDirs.poll()
+      }
     }))
+
+  private def tempWorkDir(prefix: String): java.nio.file.Path = {
+    cleanupHookRegistered
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(dir)
     dir
   }
 
