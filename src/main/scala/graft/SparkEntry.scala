@@ -16,6 +16,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - queries.StreamOps:     streaming + stateful (q50–q52, q79)
   *  - queries.CorpusOps:     training-corpus prep (q72–q77: chunking,
   *                           split, mixing, shuffle shards, PII, JSONL)
+  *  - queries.SourceOps:     format round-trips beyond parquet
+  *                           (q87 ORC, q88 CSV)
   */
 object SparkEntry {
 
@@ -48,7 +50,8 @@ object SparkEntry {
       graft.queries.VectorOps.queries ++
       graft.queries.MultimodalOps.queries ++
       graft.queries.StreamOps.queries ++
-      graft.queries.CorpusOps.queries
+      graft.queries.CorpusOps.queries ++
+      graft.queries.SourceOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables. Omitted for the approximate /
@@ -61,5 +64,6 @@ object SparkEntry {
       graft.queries.VectorOps.oracleSql ++
       graft.queries.MultimodalOps.oracleSql ++
       graft.queries.StreamOps.oracleSql ++
-      graft.queries.CorpusOps.oracleSql
+      graft.queries.CorpusOps.oracleSql ++
+      graft.queries.SourceOps.oracleSql
 }

@@ -466,6 +466,72 @@ object Relational {
       o.join(broadcast(avgs), o("o_orderpriority") === col("p"))
         .filter(col("o_totalprice") > col("avg_price"))
         .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    }),
+
+    // Slowly-changing-dimension TYPE 2 build: each user's event
+    // stream becomes versioned validity intervals (valid_from =
+    // event time, valid_to = next event's time, open-ended for the
+    // current version). One window per user partition — the state a
+    // warehouse dimension-load maintains incrementally, built here
+    // as a single pass. Shuffles (user_id)-keyed narrow rows only.
+    "q86_scd2" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, d).events
+        .select(col("user_id"), col("event_id"),
+          col("event_type").as("state"), col("ts"))
+        .select(col("user_id"), col("event_id"), col("state"),
+          row_number().over(w).cast("long").as("version"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(lead(col("ts"), 1).over(w), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          when(lead(col("ts"), 1).over(w).isNull, lit(1L)).otherwise(lit(0L))
+            .as("is_current"))
+    }),
+
+    // Ranking-function surface: ntile / percent_rank / cume_dist.
+    // The order key (o_totalprice, o_orderkey) is a total order, so
+    // rank = row position and the rank fractions are exact rationals
+    // of small ints — bitwise identical across engines.
+    "q90_rank_fns" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables(s, d).orders
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+    }),
+
+    // Explicit GROUPING SETS with grouping() indicators — the
+    // general form of q24's rollup / q56's cube. One shuffle; Spark
+    // expands the sets via a single Expand node, not one pass per
+    // set.
+    "q91_grouping_sets" -> ((s, d) =>
+      Tables(s, d).orders
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          grouping(col("o_orderpriority")).cast("long").as("g_priority"),
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))),
+
+    // TPC-H Q18 shape (large-volume customers): pre-aggregate the
+    // fact to per-order quantity FIRST (narrow keys through the
+    // shuffle), filter to the rare heavy orders, then join orders +
+    // broadcast customer onto the tiny survivor set — never the raw
+    // fact.
+    "q93_big_orders" -> ((s, d) => {
+      val t = Tables(s, d)
+      val heavy = t.lineitem.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      t.orders.join(heavy, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_totalprice"), col("total_qty"))
     })
   )
 
@@ -678,6 +744,37 @@ object Relational {
       """SELECT o_orderkey, o_orderpriority, o_totalprice
          FROM orders o
          WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders i
-                               WHERE i.o_orderpriority = o.o_orderpriority)"""
+                               WHERE i.o_orderpriority = o.o_orderpriority)""",
+    "q86_scd2" ->
+      """SELECT user_id, event_id, event_type AS state,
+                row_number() OVER w AS version,
+                strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+                strftime(lead(ts, 1) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+                (CASE WHEN lead(ts, 1) OVER w IS NULL THEN 1 ELSE 0 END)::BIGINT AS is_current
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "q90_rank_fns" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+                ntile(4) OVER w AS quartile,
+                percent_rank() OVER w AS pct_rank,
+                cume_dist() OVER w AS cume
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""",
+    "q91_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+                GROUPING(o_orderstatus)::BIGINT AS g_status,
+                GROUPING(o_orderpriority)::BIGINT AS g_priority,
+                count(*) AS n, round(sum(o_totalprice), 2) AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""",
+    "q93_big_orders" ->
+      """WITH heavy AS (
+           SELECT l_orderkey, sum(l_quantity) AS total_qty
+           FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150)
+         SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                o_totalprice, total_qty
+         FROM orders
+         JOIN heavy ON o_orderkey = l_orderkey
+         JOIN customer ON o_custkey = c_custkey"""
   )
 }

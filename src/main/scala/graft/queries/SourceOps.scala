@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink format breadth beyond parquet (SURVEY §2.1): each
+  * query is a full write→read round-trip through another columnar or
+  * text format, then an aggregate over the re-read frame — so the
+  * oracle (which reads the original parquet) proves the round-trip
+  * was lossless, not just that the write succeeded.
+  *
+  * The JSON-lines twin lives in CorpusOps (q77). Avro is not
+  * shipped in this Spark build (no spark-avro datasource jar), so
+  * the format matrix here is parquet (everywhere), ORC, CSV, JSONL.
+  *
+  * Scale notes: a format round-trip is a narrow write + narrow scan
+  * — no shuffle beyond the final aggregate. Staging dirs are
+  * content-addressed per (format, input dir) and overwritten per
+  * invocation, so repeated verify/bench runs stay bounded.
+  */
+object SourceOps {
+
+  /** Content-addressed scratch dir under java.io.tmpdir. */
+  private def scratch(tag: String, inputDir: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-$tag-" + Integer.toHexString(inputDir.hashCode)).toString
+
+  /** Explicit CSV read schema — header inference would cost an extra
+    * pass and type inference is not deterministic enough for an
+    * engine surface (S1's lesson from the reference: always pass the
+    * schema).
+    */
+  private val partCsvSchema: StructType = StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_type", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType)))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ORC round-trip: documents metadata → ORC → per-source stats.
+    // ORC is Spark-native (vectorized reader, predicate pushdown);
+    // the aggregate matching the parquet oracle pins losslessness.
+    "q87_orc_roundtrip" -> ((s, d) => {
+      val dir = scratch("orc", d)
+      Tables(s, d).documents
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    }),
+
+    // CSV round-trip: the full part dimension through text-with-
+    // header (the reference's raw-data format), re-read with an
+    // EXPLICIT schema, aggregated per type. Doubles survive exactly:
+    // Spark writes shortest-round-trip decimal representations.
+    "q88_csv_roundtrip" -> ((s, d) => {
+      val dir = scratch("csv", d)
+      Tables(s, d).part.write.mode("overwrite")
+        .option("header", "true").csv(dir)
+      s.read.schema(partCsvSchema).option("header", "true").csv(dir)
+        .groupBy(col("p_type"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("p_size")).as("sum_size"),
+          round(sum(col("p_retailprice")), 2).as("total_price"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q87_orc_roundtrip" ->
+      """SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+         FROM documents GROUP BY 1""",
+    "q88_csv_roundtrip" ->
+      """SELECT p_type, count(*) AS n_parts, sum(p_size)::BIGINT AS sum_size,
+                round(sum(p_retailprice), 2) AS total_price
+         FROM part GROUP BY 1"""
+  )
+}

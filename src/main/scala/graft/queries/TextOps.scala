@@ -156,6 +156,31 @@ object TextOps {
         .withColumn("repetitive", col("distinct_bigram_ratio") < 0.5)
     }),
 
+    // LM-based quality scoring: the fraction of a document's bigram
+    // OCCURRENCES that are corpus-rare (frequency ≤ 2) — a
+    // perplexity proxy that needs no trained model: gibberish and
+    // OCR noise score high, boilerplate scores ~0. Join key here is
+    // the bigram string for oracle parity; at 100 TB hash it first
+    // (xxhash64) so the count-table shuffle carries 8-byte keys.
+    // The rate is an exact int/int rational — hash-matches across
+    // engines.
+    "q92_rare_bigrams" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val docBigrams = Tables(s, d).documents
+        .filter(size(toks) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(toks) - 1),
+            i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+            .as("bigram"))
+      val counts = docBigrams.groupBy("bigram").agg(count(lit(1)).as("freq"))
+      docBigrams.join(counts, "bigram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("freq") <= 2, lit(1L)).otherwise(lit(0L))).as("n_rare"))
+        .withColumn("rare_rate",
+          col("n_rare").cast("double") / col("n_bigrams").cast("double"))
+    }),
+
     // Text normalization: lowercase, strip non-alphanumerics,
     // collapse whitespace — the canonical pre-dedup cleaning map.
     "q46_normalize" -> ((s, d) =>
@@ -261,6 +286,22 @@ object TextOps {
                      THEN len(list_distinct(bgs))::DOUBLE / len(bgs)::DOUBLE
                      ELSE 1.0 END < 0.5 AS repetitive
          FROM g""",
+    "q92_rare_bigrams" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+         b AS (
+           SELECT doc_id,
+                  unnest([array_to_string(toks[i:i+1], ' ')
+                          FOR i IN range(1, len(toks))]) AS bigram
+           FROM t),
+         c AS (SELECT bigram, count(*) AS freq FROM b GROUP BY 1)
+         SELECT doc_id, count(*) AS n_bigrams,
+                sum(CASE WHEN freq <= 2 THEN 1 ELSE 0 END)::BIGINT AS n_rare,
+                sum(CASE WHEN freq <= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE
+                  AS rare_rate
+         FROM b JOIN c USING (bigram)
+         GROUP BY 1""",
     "q82_vocab_topk" ->
       """WITH c AS (
            SELECT token, count(*) AS freq
