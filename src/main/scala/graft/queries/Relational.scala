@@ -517,6 +517,48 @@ object Relational {
           count(lit(1)).as("n"),
           round(sum(col("o_totalprice")), 2).as("total"))),
 
+    // Salted skewed equi-join, driver-gated on the real fact: the
+    // events fact joins customer through SkewJoin.saltedInnerJoin
+    // (hot keys spread over 8 salt partitions; build side exploded
+    // ×8). The plain-join oracle proves salting is semantically
+    // invisible — the point of the operator.
+    "q89_salted_join" -> ((s, d) => {
+      val t = Tables(s, d)
+      val ev = t.events.select(col("user_id").as("k"), col("value"), col("event_id"))
+      val cust = t.customer.select(col("c_custkey").as("k"), col("c_mktsegment"))
+      graft.operators.SkewJoin.saltedInnerJoin(
+          ev, cust, "k", saltFrom = Seq(col("event_id")), salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+    }),
+
+    // Conversion funnel: per-user furthest stage reached, with
+    // event-order semantics (a click only counts AFTER the first
+    // view; a purchase only after that click). Three narrow
+    // aggregates chained on (user_id)-keyed rows — no window over
+    // the raw fact, no skew sensitivity.
+    "q96_funnel" -> ((s, d) => {
+      val ev = Tables(s, d).events.select(col("user_id"), col("event_type"), col("ts"))
+      val fv = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("fv"))
+      val fc = ev.filter(col("event_type") === "click").join(fv, "user_id")
+        .filter(col("ts") >= col("fv"))
+        .groupBy("user_id").agg(min(col("ts")).as("fc"))
+      val fp = ev.filter(col("event_type") === "purchase").join(fc, "user_id")
+        .filter(col("ts") >= col("fc"))
+        .groupBy("user_id").agg(min(col("ts")).as("fp"))
+      ev.select("user_id").distinct()
+        .join(fv.select(col("user_id"), lit(1).as("has_v")), Seq("user_id"), "left")
+        .join(fc.select(col("user_id"), lit(1).as("has_c")), Seq("user_id"), "left")
+        .join(fp.select(col("user_id"), lit(1).as("has_p")), Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("has_p").isNotNull, lit(3L))
+            .when(col("has_c").isNotNull, lit(2L))
+            .when(col("has_v").isNotNull, lit(1L))
+            .otherwise(lit(0L)).as("stage"))
+    }),
+
     // TPC-H Q18 shape (large-volume customers): pre-aggregate the
     // fact to per-order quantity FIRST (narrow keys through the
     // shuffle), filter to the rare heavy orders, then join orders +
@@ -767,6 +809,35 @@ object Relational {
                 count(*) AS n, round(sum(o_totalprice), 2) AS total
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""",
+    "q89_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+                round(sum(value), 2) AS total_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1""",
+    "q96_funnel" ->
+      """WITH fv AS (
+           SELECT user_id, min(ts) AS fv FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         fc AS (
+           SELECT e.user_id, min(e.ts) AS fc
+           FROM events e JOIN fv USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts >= fv.fv
+           GROUP BY 1),
+         fp AS (
+           SELECT e.user_id, min(e.ts) AS fp
+           FROM events e JOIN fc USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts >= fc.fc
+           GROUP BY 1),
+         u AS (SELECT DISTINCT user_id FROM events)
+         SELECT u.user_id,
+                (CASE WHEN fp.user_id IS NOT NULL THEN 3
+                      WHEN fc.user_id IS NOT NULL THEN 2
+                      WHEN fv.user_id IS NOT NULL THEN 1
+                      ELSE 0 END)::BIGINT AS stage
+         FROM u
+         LEFT JOIN fv USING (user_id)
+         LEFT JOIN fc USING (user_id)
+         LEFT JOIN fp USING (user_id)""",
     "q93_big_orders" ->
       """WITH heavy AS (
            SELECT l_orderkey, sum(l_quantity) AS total_qty

@@ -41,6 +41,13 @@ object StreamOps {
     "q79_stream_dedup" -> ((s, d) =>
       StreamingKpi.dedupedTypeCountsUpsert(s, s"$d/events.parquet")),
 
+    // Stream–stream inner join with watermark-bounded state on both
+    // sides: each click matched to the same user's purchases in the
+    // following hour, drained append-mode through a parquet sink.
+    // Oracle: the equivalent batch range join.
+    "q94_stream_join" -> ((s, d) =>
+      StreamingKpi.clickPurchaseJoin(s, s"$d/events.parquet")),
+
     // Spark's built-in session_window operator: per-(user, session)
     // grain with the session start = first event, same 30-min gap.
     "q52_session_window" -> ((s, d) => {
@@ -64,6 +71,12 @@ object StreamOps {
     "q79_stream_dedup" ->
       """SELECT event_type, count(DISTINCT event_id) AS n_events
          FROM events GROUP BY 1""",
+    "q94_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL '1 hour'""",
     "q81_session_sequences" ->
       """WITH x AS (
            SELECT user_id, ts, event_id,

@@ -103,6 +103,28 @@ object VectorOps {
         threshold = 0.8, dim = 64)
     }),
 
+    // Int8 scalar quantization (the storage/serving compression a
+    // vector index applies before ANN): per-dimension min/max over
+    // the corpus → each component mapped to ⌊(x−mn)·255/(mx−mn)⌋,
+    // capped at 255. All arithmetic is double-precision IEEE in the
+    // same association order as the oracle, and floor (never
+    // round-half banker's ambiguity) — bitwise identical across
+    // engines. The stats aggregate shuffles (dim, x) pairs only;
+    // quantization itself is a broadcast-join narrow map.
+    "q95_embed_quantize" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          col("x").cast("double").as("x"))
+      val stats = e.groupBy("dim").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      e.join(broadcast(stats), "dim")
+        .select(col("vec_id"), col("dim"),
+          when(col("mx") === col("mn"), lit(0L))
+            .otherwise(least(
+              floor((col("x") - col("mn")) * lit(255.0) / (col("mx") - col("mn"))),
+              lit(255.0)).cast("long")).as("q"))
+    }),
+
     // LSH-bucketed ANN (the scale path): deterministic sign-LSH
     // bucket per vector, exact rerank within bucket. Approximate —
     // verified by a rows-only check plus RecallSpec in ScalaTest.
@@ -157,7 +179,18 @@ object VectorOps {
                UNION ALL SELECT vec_id, embedding FROM twins)
          SELECT a.vec_id AS a_id, b.vec_id AS b_id
          FROM u a JOIN u b ON a.vec_id < b.vec_id
-         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8"""
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8""",
+    "q95_embed_quantize" ->
+      """WITH e AS (
+           SELECT vec_id,
+                  unnest(range(len(embedding)))::BIGINT AS dim,
+                  unnest(embedding)::DOUBLE AS x
+           FROM embeddings),
+         s AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM e GROUP BY 1)
+         SELECT vec_id, dim,
+                (CASE WHEN mx = mn THEN 0
+                      ELSE least(floor((x - mn) * 255.0 / (mx - mn)), 255.0) END)::BIGINT AS q
+         FROM e JOIN s USING (dim)"""
     // q42_ann_lsh: approximate, not SQL-expressible → rows-only check.
   )
 }

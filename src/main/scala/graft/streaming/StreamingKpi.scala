@@ -169,6 +169,54 @@ object StreamingKpi {
       Seq("event_type"))
   }
 
+  /** Stream–stream inner join: clicks joined to the same user's
+    * purchases within the following hour, both sides watermarked so
+    * the join state is bounded (a click older than the watermark +
+    * interval can never match a future purchase and is evicted; same
+    * for unmatched purchases). Inner joins emit matches in the
+    * micro-batch they occur — the watermark exists for STATE CLEANUP,
+    * not output gating — so an AvailableNow drain emits every match.
+    * Output is drained through an append-mode parquet sink (the only
+    * mode a stream-stream inner join supports) and read back; no
+    * driver funnel.
+    */
+  def clickPurchaseJoin(
+      spark: SparkSession,
+      eventsPath: String,
+      latenessTolerance: String = "1 hour"): DataFrame = {
+    val workDir = tempWorkDir("graft-q94-")
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    scoped.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    def src = scoped.readStream
+      .schema(eventsSchema)
+      .parquet(stageAsDir(eventsPath))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", latenessTolerance)
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", latenessTolerance)
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$workDir/out")
+      .option("checkpointLocation", s"$workDir/checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$workDir/out")
+  }
+
   /** Stage a file as a directory holding TWO copies (deterministic
     * duplicate delivery). Content-addressed like [[stageAsDir]] —
     * bounded across re-runs.
