@@ -559,6 +559,63 @@ object Relational {
             .otherwise(lit(0L)).as("stage"))
     }),
 
+    // Full outer join: per-day click vs purchase totals, keeping
+    // days that saw only one side (the reconciliation shape — both
+    // sides' unmatched rows survive with nulls).
+    "q97_full_outer" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      def daily(tpe: String, out: String) =
+        ev.filter(col("event_type") === tpe)
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as(out))
+      daily("click", "n_clicks").join(daily("purchase", "n_purchases"),
+          Seq("day"), "full_outer")
+    }),
+
+    // Time-based sliding aggregate: RANGE frame over the preceding
+    // hour per user (the batch formulation of a sliding-window
+    // stream metric). The frame key is epoch seconds — a RANGE
+    // frame needs a numeric total order; event_id dedups exact-tie
+    // rows deterministically because RANGE treats equal keys as
+    // peers in both engines.
+    "q98_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"))
+        .rangeBetween(-3600L, Window.currentRow)
+      Tables(s, d).events
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("sec"), col("value"))
+        .select(col("event_id"), col("user_id"),
+          round(sum(col("value")).over(w), 2).as("hour_value"),
+          count(lit(1)).over(w).as("hour_events"))
+    }),
+
+    // UNION with distinct semantics (q15 is UNION ALL): the set
+    // union of two event projections — dedup via a hash aggregate
+    // on the union, one shuffle.
+    "q99_union_distinct" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      ev.filter(col("event_type") === "click").select("user_id")
+        .union(ev.filter(col("event_type") === "view").select("user_id"))
+        .distinct()
+    }),
+
+    // Null-safe equi-join (<=>): get_json_object yields NULL for
+    // rows whose props lack the key, and the null-safe join matches
+    // those rows to each other instead of dropping them — IS NOT
+    // DISTINCT FROM semantics, aggregated to keep output bounded.
+    "q100_nullsafe_join" -> ((s, d) => {
+      val ev = Tables(s, d).events
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+      val dim = ev.groupBy(col("k").as("dk"))
+        .agg(count(lit(1)).as("k_events"))
+      ev.join(dim, col("k") <=> col("dk"))
+        .groupBy(col("k"), col("k_events"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("k"), col("k_events"), col("n"))
+    }),
+
     // TPC-H Q18 shape (large-volume customers): pre-aggregate the
     // fact to per-order quantity FIRST (narrow keys through the
     // shuffle), filter to the rare heavy orders, then join orders +
@@ -838,6 +895,33 @@ object Relational {
          LEFT JOIN fv USING (user_id)
          LEFT JOIN fc USING (user_id)
          LEFT JOIN fp USING (user_id)""",
+    "q97_full_outer" ->
+      """WITH c AS (
+           SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_clicks
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         p AS (
+           SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_purchases
+           FROM events WHERE event_type = 'purchase' GROUP BY 1)
+         SELECT coalesce(c.day, p.day) AS day, n_clicks, n_purchases
+         FROM c FULL OUTER JOIN p ON c.day = p.day""",
+    "q98_range_frame" ->
+      """SELECT event_id, user_id,
+                round(sum(value) OVER w, 2) AS hour_value,
+                count(*) OVER w AS hour_events
+         FROM (SELECT event_id, user_id, epoch(ts)::BIGINT AS sec, value FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""",
+    "q99_union_distinct" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+         UNION
+         SELECT user_id FROM events WHERE event_type = 'view'""",
+    "q100_nullsafe_join" ->
+      """WITH e AS (
+           SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k FROM events),
+         dim AS (SELECT k AS dk, count(*) AS k_events FROM e GROUP BY 1)
+         SELECT k, k_events, count(*) AS n
+         FROM e JOIN dim ON k IS NOT DISTINCT FROM dk
+         GROUP BY 1, 2""",
     "q93_big_orders" ->
       """WITH heavy AS (
            SELECT l_orderkey, sum(l_quantity) AS total_qty
