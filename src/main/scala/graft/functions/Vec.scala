@@ -39,6 +39,22 @@ object Vec {
   def cosineComposed(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Exact integer dot product over `array<long>` quantization codes
+    * — native codegen expression (see VecDotLong); the serving-path
+    * scorer for int8-quantized vectors.
+    */
+  def dotLong(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.expressions.VecDotLong(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
+  /** The composed `zip_with`/`aggregate` integer-dot twin, for A/B
+    * tests against [[dotLong]].
+    */
+  def dotLongComposed(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
   /** Sign-bit locality-sensitive hash: the bucket id packs the sign
     * of the projection onto each hyperplane. `planes` must be small
     * (nPlanes × dim doubles) — it ships as a literal in the plan and

@@ -125,6 +125,46 @@ object VectorOps {
               lit(255.0)).cast("long")).as("q"))
     }),
 
+    // ANN over int8-QUANTIZED vectors — the serving path after q95's
+    // compression: per-dim stats (64-row aggregate, collected like
+    // IVF centroids and embedded as plan literals — no join), codes
+    // built in a narrow map, then top-k by EXACT integer dot product
+    // (native VecDotLong codegen loop). Integer scores make the
+    // ranking bit-reproducible across engines and partitionings —
+    // the property float ANN scores never have — so this ANN variant
+    // is fully hash-oracled, not rows-only.
+    "q101_quantized_ann" -> ((s, d) => {
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      val st = emb
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("dim"), col("x").cast("double").as("x"))
+        .groupBy("dim").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1)
+      val mnA = array(st.map(t => lit(t._2)).toIndexedSeq: _*)
+      val mxA = array(st.map(t => lit(t._3)).toIndexedSeq: _*)
+      val codes = emb.select(col("vec_id"),
+        transform(col("embedding"), (x, i) => {
+          val mn = element_at(mnA, i + 1)
+          val mx = element_at(mxA, i + 1)
+          when(mx === mn, lit(0L))
+            .otherwise(least(
+              floor((x.cast("double") - mn) * lit(255.0) / (mx - mn)),
+              lit(255.0)).cast("long"))
+        }).as("codes"))
+      val qs = codes.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("codes").as("qc"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      codes.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("score", Vec.dotLong(col("qc"), col("codes")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("rank"), col("score"))
+    }),
+
     // LSH-bucketed ANN (the scale path): deterministic sign-LSH
     // bucket per vector, exact rerank within bucket. Approximate —
     // verified by a rows-only check plus RecallSpec in ScalaTest.
@@ -190,7 +230,31 @@ object VectorOps {
          SELECT vec_id, dim,
                 (CASE WHEN mx = mn THEN 0
                       ELSE least(floor((x - mn) * 255.0 / (mx - mn)), 255.0) END)::BIGINT AS q
-         FROM e JOIN s USING (dim)"""
+         FROM e JOIN s USING (dim)""",
+    "q101_quantized_ann" ->
+      """WITH e AS (
+           SELECT vec_id,
+                  unnest(range(len(embedding)))::BIGINT AS dim,
+                  unnest(embedding)::DOUBLE AS x
+           FROM embeddings),
+         s AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM e GROUP BY 1),
+         q AS (
+           SELECT vec_id, dim,
+                  (CASE WHEN mx = mn THEN 0
+                        ELSE least(floor((x - mn) * 255.0 / (mx - mn)), 255.0) END)::BIGINT AS q
+           FROM e JOIN s USING (dim)),
+         d AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                  sum(a.q * b.q)::BIGINT AS score
+           FROM q a JOIN q b ON a.dim = b.dim
+           WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id
+           GROUP BY 1, 2)
+         SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, neighbor_id) AS rank,
+                score
+         FROM d
+         QUALIFY rank <= 5"""
     // q42_ann_lsh: approximate, not SQL-expressible → rows-only check.
   )
 }

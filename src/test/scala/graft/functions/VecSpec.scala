@@ -45,6 +45,22 @@ class VecSpec extends AnyFunSuite {
     assert(row.isNullAt(0) && row.isNullAt(1))
   }
 
+  test("native VecDotLong: hand values, null on length mismatch, A/B vs composed form") {
+    val df = Seq(
+      (Array(1L, 2L, 3L), Array(4L, 5L, 6L)),     // 4 + 10 + 18 = 32
+      (Array(255L, 255L), Array(255L, 255L))       // max int8 codes
+    ).toDF("a", "b")
+    val rows = df.select(
+      Vec.dotLong(col("a"), col("b")).as("fast"),
+      Vec.dotLongComposed(col("a"), col("b")).as("ref")).collect()
+    assert(rows(0).getLong(0) == 32L && rows(0).getLong(1) == 32L)
+    assert(rows(1).getLong(0) == 2L * 255L * 255L)
+    val mism = Seq((Array(1L, 2L), Array(1L)))
+      .toDF("a", "b")
+      .select(Vec.dotLong(col("a"), col("b")).as("d")).collect().head
+    assert(mism.isNullAt(0))
+  }
+
   test("native VecCosine is bit-identical to the composed zip_with/aggregate form") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va")).filter(col("ia") < 40)
