@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{MinHashSig, SimHash64, SortedIntersectCount, VecCosine}
+import graft.functions.expressions.{MinHashSig, SimHash64, SortedIntersectCount, VecCosine, VecDotLong}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -52,7 +52,9 @@ object GraftFunctions {
     // minhash_sig(shingles [, numPerm]) with the library's salt stream
     "minhash_sig" -> (es => MinHashSig(es.head, seedOf(es))),
     // |A ∩ B| of sorted duplicate-free long arrays (merge walk)
-    "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1)))
+    "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
+    // exact integer dot product over quantization-code arrays
+    "vec_dot_long" -> (es => VecDotLong(es(0), es(1)))
   )
 
   def register(spark: SparkSession): Unit =

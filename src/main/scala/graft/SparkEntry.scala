@@ -6,16 +6,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Queries are grouped by module:
   *  - queries.Relational:    SURVEY §2 relational inventory (q01–q29, q49,
-  *                           q53–q58, q60, q63–q66)
-  *  - queries.TextOps:       text analysis, exact dedup, contamination
-  *                           (q30–q35, q39, q46, q61, q69)
+  *                           q53–q58, q60, q63–q66, q85, q86, q89–q91,
+  *                           q93, q96–q100)
+  *  - queries.TextOps:       text analysis, exact dedup, contamination,
+  *                           LM counts/scoring (q30–q35, q39, q46, q61,
+  *                           q69, q82–q84, q92)
   *  - queries.DedupOps:      near-dup + clustering (q36–q38, q43, q48,
   *                           q59, q67, q68, q70)
-  *  - queries.VectorOps:     similarity search (q40–q42, q44, q71, q78)
+  *  - queries.VectorOps:     similarity search + quantization (q40–q42,
+  *                           q44, q71, q78, q95, q101)
   *  - queries.MultimodalOps: binary-column plumbing (q45, q47, q62)
-  *  - queries.StreamOps:     streaming + stateful (q50–q52, q79)
-  *  - queries.CorpusOps:     training-corpus prep (q72–q77: chunking,
-  *                           split, mixing, shuffle shards, PII, JSONL)
+  *  - queries.StreamOps:     streaming + stateful (q50–q52, q79, q81, q94)
+  *  - queries.CorpusOps:     training-corpus prep + KV serving (q72–q77:
+  *                           chunking, split, mixing, shuffle shards,
+  *                           PII, JSONL; q80 kv round-trip)
   *  - queries.SourceOps:     format round-trips beyond parquet
   *                           (q87 ORC, q88 CSV)
   */

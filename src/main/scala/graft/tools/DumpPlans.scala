@@ -22,7 +22,9 @@ object DumpPlans {
     "q41_embedding_neardup" -> "exact cosine-threshold join: block-partitioned triangle equi-join, no CartesianProduct; pair evaluation streams through the codegen'd VecCosine filter",
     "q44_ann_ivf" -> "IVF: k-means centroids are plan literals — assignment and probe selection are narrow codegen projections (no window, no exchange before the candidate join)",
     "q57_asof_join" -> "as-of join: union + single sort per key timeline, no range explosion",
-    "q69_contamination" -> "cross-source n-gram contamination: only (gram-hash, source) rows shuffle — document text never leaves its input partition")
+    "q69_contamination" -> "cross-source n-gram contamination: only (gram-hash, source) rows shuffle — document text never leaves its input partition",
+    "q93_big_orders" -> "TPC-H Q18 shape: fact pre-aggregated to per-order keys before any join; customer broadcast onto the tiny heavy-order survivor set",
+    "q101_quantized_ann" -> "quantized ANN serving: per-dim stats embedded as plan literals (no stats join), query codes broadcast, scoring via the VecDotLong codegen loop")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

@@ -34,6 +34,11 @@ class GraftFunctionsSpec extends AnyFunSuite {
       "SELECT sorted_intersect_count(array(1L, 3L, 7L), array(3L, 5L, 7L, 9L)) v")
       .collect().head.getLong(0)
     assert(ic == 2L)
+
+    val dl = spark.sql(
+      "SELECT vec_dot_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) v")
+      .collect().head.getLong(0)
+    assert(dl == 32L)
   }
 
   test("SQL inputs coerce to the declared element types (no silent stride misreads)") {
