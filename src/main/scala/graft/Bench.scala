@@ -21,7 +21,10 @@ object Bench {
     "q41_embedding_neardup", "q42_ann_lsh", "q44_ann_ivf",
     "q71_cosine_neardup_lsh",
     "q45_media_features", "q72_chunk_overlap", "q50_stream_hourly", "q51_sessionize",
-    "q52_session_window", "q53_pricing_summary")
+    "q52_session_window", "q53_pricing_summary",
+    // round-4 additions: LM-scoring join, quantized-ANN serving,
+    // heavy-order join shape, time-RANGE window
+    "q92_rare_bigrams", "q101_quantized_ann", "q93_big_orders", "q98_range_frame")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

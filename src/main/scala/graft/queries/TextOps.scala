@@ -20,6 +20,19 @@ object TextOps {
     */
   private def tokens = split(col("text"), " ")
 
+  /** Single-file parquet inputs arrive as ONE partition; CPU-bound
+    * maps whose lambdas run interpreted (higher-order `transform`)
+    * must fan out first or they serialize on one core (see
+    * Dedup.parallelized — same guard). No-op on real multi-file
+    * inputs.
+    */
+  private def parallelized(df: DataFrame): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(parallelism / 2, 1))
+      df.repartition(parallelism)
+    else df
+  }
+
   private val stopwords = Seq("the", "a", "of", "and", "to")
 
   /** Marker-token sets for the n-gram-free language-ID heuristic.
@@ -129,7 +142,7 @@ object TextOps {
     // Generator + hash aggregate + TakeOrdered: no full sort.
     "q83_bigram_counts" -> ((s, d) => {
       val toks = split(col("text"), " ")
-      Tables(s, d).documents
+      parallelized(Tables(s, d).documents)
         .filter(size(toks) >= 2)
         .select(explode(transform(sequence(lit(1), size(toks) - 1),
           i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
@@ -148,7 +161,7 @@ object TextOps {
       val toks = split(col("text"), " ")
       val bgs = transform(sequence(lit(1), greatest(size(toks) - 1, lit(1))),
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
-      Tables(s, d).documents.select(col("doc_id"),
+      parallelized(Tables(s, d).documents).select(col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         when(size(toks) >= 2,
           size(array_distinct(bgs)).cast("double") / size(bgs).cast("double"))
@@ -166,19 +179,33 @@ object TextOps {
     // engines.
     "q92_rare_bigrams" -> ((s, d) => {
       val toks = split(col("text"), " ")
-      val docBigrams = Tables(s, d).documents
+      val bgs = transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+      // One bigram-construction pass (the transform lambda runs
+      // interpreted per element — the expensive part), persisted so
+      // the three consumers below never re-run it. The full
+      // occurrence⋈counts join would shuffle every occurrence WITH
+      // its frequency; instead only occurrences of the RARE subset
+      // (freq ≤ 2 — small by definition on any corpus with reuse)
+      // survive into the counting semi-join, and n_bigrams is a
+      // per-doc count over the same persisted pass.
+      val occ = parallelized(Tables(s, d).documents)
         .filter(size(toks) >= 2)
-        .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(toks) - 1),
-            i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-            .as("bigram"))
-      val counts = docBigrams.groupBy("bigram").agg(count(lit(1)).as("freq"))
-      docBigrams.join(counts, "bigram")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(when(col("freq") <= 2, lit(1L)).otherwise(lit(0L))).as("n_rare"))
+        .select(col("doc_id"), explode(bgs).as("bigram"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rare = occ.groupBy("bigram").agg(count(lit(1)).as("freq"))
+        .filter(col("freq") <= 2)
+      val nRare = occ.join(rare.select("bigram"), Seq("bigram"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
+      val out = occ.groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"))
+        .join(nRare, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_bigrams"),
+          coalesce(col("n_rare"), lit(0L)).as("n_rare"))
         .withColumn("rare_rate",
           col("n_rare").cast("double") / col("n_bigrams").cast("double"))
+        .localCheckpoint() // materialize per-doc rows, release the corpus cache
+      occ.unpersist()
+      out
     }),
 
     // Text normalization: lowercase, strip non-alphanumerics,
