@@ -616,6 +616,40 @@ object Relational {
         .select(col("k"), col("k_events"), col("n"))
     }),
 
+    // Fuzzy record linkage: near-duplicate names by edit distance
+    // within a BLOCKING key (brand) — the candidate join is an
+    // equi-join on the block, never a cross join, and levenshtein
+    // (codegen'd) runs only on within-block pairs. The standard
+    // entity-resolution shape: at scale, block cardinality bounds
+    // the quadratic term.
+    "q102_fuzzy_match" -> ((s, d) => {
+      val p = Tables(s, d).part.select("p_partkey", "p_brand", "p_name")
+      val a = p.select(col("p_brand"), col("p_partkey").as("a_id"), col("p_name").as("a_name"))
+      val b = p.select(col("p_brand"), col("p_partkey").as("b_id"), col("p_name").as("b_name"))
+      a.join(b, Seq("p_brand"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
+        .filter(col("dist") <= 3)
+        .select(col("p_brand"), col("a_id"), col("b_id"), col("dist"))
+    }),
+
+    // Frame-value window surface: first/last/nth event per user-day
+    // ordered by a total order (ts, event_id); last_value needs the
+    // full-partition frame — the default frame stops at CURRENT ROW.
+    "q103_value_windows" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, d).events
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("ts"))
+        .select(col("event_id"), col("user_id"), col("day"),
+          first(col("event_type")).over(wFull).as("first_type"),
+          last(col("event_type")).over(wFull).as("last_type"),
+          nth_value(col("event_type"), 2).over(wFull).as("second_type"))
+    }),
+
     // TPC-H Q18 shape (large-volume customers): pre-aggregate the
     // fact to per-order quantity FIRST (narrow keys through the
     // shuffle), filter to the rare heavy orders, then join orders +
@@ -922,6 +956,21 @@ object Relational {
          SELECT k, k_events, count(*) AS n
          FROM e JOIN dim ON k IS NOT DISTINCT FROM dk
          GROUP BY 1, 2""",
+    "q102_fuzzy_match" ->
+      """SELECT a.p_brand, a.p_partkey AS a_id, b.p_partkey AS b_id,
+                levenshtein(a.p_name, b.p_name)::BIGINT AS dist
+         FROM part a JOIN part b
+           ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+         WHERE levenshtein(a.p_name, b.p_name) <= 3""",
+    "q103_value_windows" ->
+      """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d') AS day,
+                first_value(event_type) OVER w AS first_type,
+                last_value(event_type) OVER w AS last_type,
+                nth_value(event_type, 2) OVER w AS second_type
+         FROM events
+         WINDOW w AS (PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+                      ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
     "q93_big_orders" ->
       """WITH heavy AS (
            SELECT l_orderkey, sum(l_quantity) AS total_qty
