@@ -41,6 +41,16 @@ object StreamOps {
     "q79_stream_dedup" -> ((s, d) =>
       StreamingKpi.dedupedTypeCountsUpsert(s, s"$d/events.parquet")),
 
+    // Arbitrary stateful processing via Spark-4 transformWithState
+    // (StatefulProcessor + named RocksDB ValueState — the
+    // flatMapGroupsWithState successor): per-user session summaries
+    // over the event stream, drained through the upsert sink. Same
+    // output contract as q51 → same oracle, proving the three
+    // sessionize formulations (batch window, FMGWS, TWS) agree on
+    // the real corpus.
+    "q104_sessionize_tws" -> ((s, d) =>
+      StreamingKpi.sessionSummariesTws(s, s"$d/events.parquet")),
+
     // Stream–stream inner join with watermark-bounded state on both
     // sides: each click matched to the same user's purchases in the
     // following hour, drained append-mode through a parquet sink.
@@ -115,6 +125,17 @@ object StreamOps {
                 count(*) AS n_events
          FROM s GROUP BY user_id, session_id""",
     "q51_sessionize" ->
+      """WITH x AS (
+           SELECT user_id, ts,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events)
+         SELECT user_id,
+                sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
+                         THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
+                count(*) AS n_events
+         FROM x GROUP BY 1""",
+    // same contract as q51 by design (see the query comment)
+    "q104_sessionize_tws" ->
       """WITH x AS (
            SELECT user_id, ts,
                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

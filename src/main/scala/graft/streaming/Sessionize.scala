@@ -67,6 +67,50 @@ object Sessionize {
       .select(col("user_id"), col("session_start"),
         col("seq_pos").cast("long").as("seq_pos"), col("event_id"))
 
+  /** The Spark-4 `transformWithState` twin of [[streaming]]: same
+    * state machine expressed as a [[org.apache.spark.sql.streaming.StatefulProcessor]]
+    * with a named `ValueState` — the arbitrary-state API that
+    * supersedes flatMapGroupsWithState (typed state variables, TTL,
+    * timers, RocksDB-backed). Requires
+    * `spark.sql.streaming.stateStore.providerClass =
+    * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`
+    * on the session running the query. A/B-pinned against both other
+    * formulations in StreamingSpec.
+    */
+  final class SessionProcessor(gapMicros: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SessionSummary] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[SessState] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessState]("sess",
+        org.apache.spark.sql.Encoders.product[SessState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[SessionSummary] = {
+      val sorted = rows.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+      var st = if (state.exists()) state.get() else SessState(Long.MinValue, 0L, 0L)
+      sorted.foreach { e =>
+        val isNew = st.lastTs == Long.MinValue || e.tsMicros - st.lastTs > gapMicros
+        st = SessState(e.tsMicros, st.nSessions + (if (isNew) 1 else 0), st.nEvents + 1)
+      }
+      state.update(st)
+      Iterator.single(SessionSummary(key, st.nSessions, st.nEvents))
+    }
+  }
+
+  /** [[streaming]] expressed through `transformWithState`. */
+  def streamingTws(events: Dataset[Event], gapMinutes: Int): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionProcessor(gapMinutes * 60L * 1000000L),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming formulation over a keyed event stream. Emits one
     * summary per user per micro-batch (update semantics).
     */

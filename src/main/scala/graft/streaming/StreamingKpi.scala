@@ -169,6 +169,33 @@ object StreamingKpi {
       Seq("event_type"))
   }
 
+  /** Per-user session summaries computed by the Spark-4
+    * `transformWithState` processor (Sessionize.SessionProcessor,
+    * RocksDB-backed named ValueState) over a stream of the real
+    * events file, drained update-mode through the keyed upsert sink.
+    * A single-batch AvailableNow drain leaves each user's LAST
+    * update in the sink = the final totals, which equal the batch
+    * sessionize aggregate — q51's oracle, reused verbatim.
+    */
+  def sessionSummariesTws(
+      spark: SparkSession,
+      eventsPath: String,
+      gapMinutes: Int = 30): DataFrame =
+    upsertDrain(spark, "graft-q104-", { s =>
+      import s.implicits._
+      // transformWithState only runs on the RocksDB state store;
+      // scoped to the drain's child session
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val evs = s.readStream
+        .schema(eventsSchema)
+        .parquet(stageAsDir(eventsPath))
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("tsMicros"))
+        .as[Sessionize.Event]
+      Sessionize.streamingTws(evs, gapMinutes).toDF()
+    }, Seq("user_id"))
+
   /** Stream–stream inner join: clicks joined to the same user's
     * purchases within the following hour, both sides watermarked so
     * the join state is bounded (a click older than the watermark +

@@ -39,6 +39,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == got)
   }
 
+  test("transformWithState sessionize matches flatMapGroupsWithState and batch") {
+    implicit val sq = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider;
+    // scope it to this query and restore after
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Sessionize.Event]
+      val minute = 60L * 1000000L
+      val events = Seq(
+        Sessionize.Event(1, 100L, 0 * minute),
+        Sessionize.Event(2, 100L, 5 * minute),     // same session (gap 5m)
+        Sessionize.Event(3, 100L, 50 * minute),    // new session (gap 45m)
+        Sessionize.Event(4, 200L, 0 * minute))
+      mem.addData(events: _*)
+      val q = Sessionize.streamingTws(mem.toDS(), gapMinutes = 30)
+        .writeStream.format("memory").queryName("sess_tws")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table("sess_tws")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((100L, 2L, 3L), (200L, 1L, 1L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
+  test("transformWithState state carries across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Sessionize.Event]
+      val minute = 60L * 1000000L
+      val q = Sessionize.streamingTws(mem.toDS(), gapMinutes = 30)
+        .writeStream.format("memory").queryName("sess_tws_inc")
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      mem.addData(Sessionize.Event(1, 7L, 0 * minute))
+      q.processAllAvailable()
+      mem.addData(Sessionize.Event(2, 7L, 10 * minute))  // same session
+      q.processAllAvailable()
+      mem.addData(Sessionize.Event(3, 7L, 120 * minute)) // new session
+      q.processAllAvailable()
+      q.stop()
+      val updates = spark.table("sess_tws_inc").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(updates.contains((7L, 2L, 3L)), s"got $updates")
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("streaming state carries across micro-batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Sessionize.Event]
