@@ -72,6 +72,49 @@ class PlanSpec extends AnyFunSuite {
       "query side must broadcast")
   }
 
+  test("q93: fact pre-aggregates before any join; customer joins by broadcast") {
+    val p = plan("q93_big_orders")
+    // the heavy-order aggregate must sit BELOW both joins (partial +
+    // final HashAggregate over lineitem as a join INPUT — in the
+    // formatted tree, children print after their parent, so the
+    // aggregate's line must come after the first join's)
+    val lines = p.linesIterator.toSeq
+    val firstJoin = lines.indexWhere(l => l.contains("Join"))
+    val firstAgg = lines.indexWhere(_.contains("HashAggregate"))
+    assert(firstAgg >= 0 && firstJoin >= 0 && firstAgg > firstJoin,
+      s"aggregate is not a join input:\n${lines.take(12).mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin"), "customer join is not broadcast")
+  }
+
+  test("q101: quantized ANN broadcasts query codes; stats are literals (no stats join)") {
+    val p = plan("q101_quantized_ann")
+    assert(p.contains("BroadcastExchange"), "query codes not broadcast")
+    // exactly one scan feeds each side of the single broadcast join —
+    // a per-dim stats JOIN would add a third scan + an extra
+    // exchange. Count the detail-section headers ("(n) Scan parquet"),
+    // not tree lines (formatted explain prints each node twice).
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 2, s"expected 2 corpus scans (probe + broadcast), got $scans")
+  }
+
+  test("q92: rare-bigram count joins via LeftSemi — frequencies never ride the occurrence shuffle") {
+    // the interesting plan sits before the trailing localCheckpoint
+    // (which reduces the driver-facing plan to an RDD scan), so pin
+    // the semi-join on the operator's internal shape: rebuild the
+    // pre-checkpoint frame here
+    import org.apache.spark.sql.functions._
+    val toks = split(col("text"), " ")
+    val bgs = transform(sequence(lit(1), size(toks) - 1),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    val occ = Tables(spark, sf).documents.filter(size(toks) >= 2)
+      .select(col("doc_id"), explode(bgs).as("bigram"))
+    val rare = occ.groupBy("bigram").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") <= 2)
+    val joined = occ.join(rare.select("bigram"), Seq("bigram"), "left_semi")
+    val p = joined.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("LeftSemi"), s"semi join missing:\n${p.take(400)}")
+  }
+
   test("whole-stage codegen covers the KPI aggregate (no interpreted hot path)") {
     // AQE only annotates codegen stages on the executed plan
     val df = SparkEntry.queries("q11_genre_kpis")(spark, sf)
