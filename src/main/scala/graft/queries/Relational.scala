@@ -66,6 +66,20 @@ object Relational {
         col("p_name"), col("listen_count"))
   }
 
+  /** The SCD2 window shared by q86 (full rebuild) and q105
+    * (incremental maintenance): one definition, so the two can't
+    * diverge. Input: (user_id, event_id, state, ts).
+    */
+  private def scd2Build(changes: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    changes.select(col("user_id"), col("event_id"), col("state"),
+      row_number().over(w).cast("long").as("version"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+      date_format(lead(col("ts"), 1).over(w), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+      when(lead(col("ts"), 1).over(w).isNull, lit(1L)).otherwise(lit(0L))
+        .as("is_current"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S2: scan + projection; Catalyst prunes to the parquet scan.
     "q01_scan_project" -> ((s, d) =>
@@ -474,17 +488,31 @@ object Relational {
     // current version). One window per user partition — the state a
     // warehouse dimension-load maintains incrementally, built here
     // as a single pass. Shuffles (user_id)-keyed narrow rows only.
-    "q86_scd2" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    "q86_scd2" -> ((s, d) => scd2Build(
       Tables(s, d).events
         .select(col("user_id"), col("event_id"),
+          col("event_type").as("state"), col("ts")))),
+
+    // INCREMENTAL SCD2 maintenance — the merge a dimension load runs
+    // per batch instead of rebuilding: version rows retain raw event
+    // columns, so only users PRESENT IN THE DELTA re-window (over
+    // their prior rows ∪ delta); everyone else's rows pass through
+    // verbatim via an anti join. Work scales with the delta's user
+    // set, not the dimension. Same oracle as q86: the gate itself
+    // proves incremental ≡ full rebuild on the real corpus.
+    "q105_scd2_incremental" -> ((s, d) => {
+      val cutoff = lit("2024-01-24 00:00:00").cast("timestamp")
+      val ev = Tables(s, d).events
+        .select(col("user_id"), col("event_id"),
           col("event_type").as("state"), col("ts"))
-        .select(col("user_id"), col("event_id"), col("state"),
-          row_number().over(w).cast("long").as("version"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
-          date_format(lead(col("ts"), 1).over(w), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
-          when(lead(col("ts"), 1).over(w).isNull, lit(1L)).otherwise(lit(0L))
-            .as("is_current"))
+      val priorRaw = ev.filter(col("ts") < cutoff) // the stored dimension (raw ts kept)
+      val delta = ev.filter(col("ts") >= cutoff)   // the arriving batch
+      val affected = delta.select("user_id").distinct()
+      val untouched = scd2Build(priorRaw)
+        .join(affected, Seq("user_id"), "left_anti")
+      val rebuilt = scd2Build(
+        priorRaw.join(affected, Seq("user_id"), "left_semi").unionByName(delta))
+      untouched.unionByName(rebuilt)
     }),
 
     // Ranking-function surface: ntile / percent_rank / cume_dist.
@@ -879,6 +907,16 @@ object Relational {
          WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders i
                                WHERE i.o_orderpriority = o.o_orderpriority)""",
     "q86_scd2" ->
+      """SELECT user_id, event_id, event_type AS state,
+                row_number() OVER w AS version,
+                strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+                strftime(lead(ts, 1) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+                (CASE WHEN lead(ts, 1) OVER w IS NULL THEN 1 ELSE 0 END)::BIGINT AS is_current
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    // q105 shares q86's oracle: incremental maintenance must equal
+    // the full rebuild row-for-row
+    "q105_scd2_incremental" ->
       """SELECT user_id, event_id, event_type AS state,
                 row_number() OVER w AS version,
                 strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,

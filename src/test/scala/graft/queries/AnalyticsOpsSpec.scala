@@ -37,6 +37,36 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     } finally scd.unpersist()
   }
 
+  test("incremental SCD2 equals the full rebuild at any cutoff (including all-delta and no-delta)") {
+    val full = SparkEntry.queries("q86_scd2")(spark, sf).cache()
+    try {
+      // the driver-gate cutoff plus both degenerate splits
+      for (cut <- Seq("2024-01-24 00:00:00", "2023-01-01 00:00:00", "2025-01-01 00:00:00")) {
+        val ev = graft.Tables(spark, sf).events
+          .select(col("user_id"), col("event_id"),
+            col("event_type").as("state"), col("ts"))
+        val cutoff = lit(cut).cast("timestamp")
+        val priorRaw = ev.filter(col("ts") < cutoff)
+        val delta = ev.filter(col("ts") >= cutoff)
+        val affected = delta.select("user_id").distinct()
+        // mirror q105's composition with this cutoff
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        def build(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("user_id"), col("event_id"), col("state"),
+            row_number().over(w).cast("long").as("version"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+            date_format(lead(col("ts"), 1).over(w), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+            when(lead(col("ts"), 1).over(w).isNull, lit(1L)).otherwise(lit(0L)).as("is_current"))
+        val inc = build(priorRaw).join(affected, Seq("user_id"), "left_anti")
+          .unionByName(build(
+            priorRaw.join(affected, Seq("user_id"), "left_semi").unionByName(delta)))
+        assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+          s"incremental != full at cutoff $cut")
+      }
+    } finally full.unpersist()
+  }
+
   test("funnel: stages in range and monotone (each stage a subset of the previous)") {
     val f = SparkEntry.queries("q96_funnel")(spark, sf).cache()
     try {
