@@ -153,6 +153,45 @@ object CorpusOps {
           col("total_chars").cast("long").as("total_chars"))
     }),
 
+    // GPT-style sequence PACKING (concat-and-chunk): documents are
+    // laid end-to-end in deterministic doc_id order and cut into
+    // fixed 2048-token training sequences; docs may straddle a cut.
+    // The global token offset is a TWO-PHASE PREFIX SUM — per-shard
+    // running sums in parallel plus a tiny cumulative over shard
+    // totals (broadcast back) — never a single-partition window over
+    // the corpus: the pattern that makes a global ordering scale.
+    // Output: one row per (sequence, doc) overlap with the token
+    // count it contributes — exactly the index a packed-pretraining
+    // dataloader consumes.
+    "q106_sequence_pack" -> ((s, d) => {
+      val cap = 2048L
+      val nd = Tables(s, d).documents
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n"))
+        .filter(col("n") > 0)
+        .withColumn("shard", expr("doc_id div 1000"))
+      // phase 1: within-shard running sums (parallel across shards)
+      val wIn = Window.partitionBy(col("shard"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = nd.withColumn("local_end", sum(col("n")).over(wIn))
+      // phase 2: shard offsets — a window over #shards rows only
+      val wSh = Window.orderBy(col("shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = nd.groupBy("shard").agg(sum(col("n")).as("shard_total"))
+        .withColumn("shard_offset",
+          coalesce(sum(col("shard_total")).over(wSh), lit(0L)))
+        .select("shard", "shard_offset")
+      local.join(broadcast(offsets), "shard")
+        .withColumn("start", col("shard_offset") + col("local_end") - col("n"))
+        .select(col("doc_id"), col("n"), col("start"),
+          explode(sequence(expr(s"start div $cap"),
+            expr(s"(start + n - 1) div $cap"))).as("seq_id"))
+        .select(col("seq_id"), col("doc_id"),
+          (least((col("seq_id") + 1) * cap, col("start") + col("n")) -
+            greatest(col("seq_id") * cap, col("start"))).as("n_tokens_in_seq"))
+    }),
+
     "q77_jsonl_source" -> ((s, d) => {
       val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft-q77-" + Integer.toHexString(d.hashCode)).toString
@@ -166,6 +205,22 @@ object CorpusOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q106_sequence_pack" ->
+      """WITH d AS (
+           SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n
+           FROM documents WHERE len(string_split(text, ' ')) > 0),
+         o AS (
+           SELECT doc_id, n,
+                  (sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n)::BIGINT AS start
+           FROM d),
+         x AS (
+           SELECT doc_id, n, start,
+                  unnest(range(start // 2048, (start + n - 1) // 2048 + 1)) AS seq_id
+           FROM o)
+         SELECT seq_id, doc_id,
+                least((seq_id + 1) * 2048, start + n)
+                  - greatest(seq_id * 2048, start) AS n_tokens_in_seq
+         FROM x""",
     "q72_chunk_overlap" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          e AS (SELECT doc_id, toks,
