@@ -678,6 +678,52 @@ object Relational {
           nth_value(col("event_type"), 2).over(wFull).as("second_type"))
     }),
 
+    // Key-skew profiler — the diagnostic that decides between a
+    // plain, salted (q89), or AQE-skew join: top-20 heaviest keys
+    // with their exact share of the fact (int/int rational). One
+    // narrow-key aggregate + a TakeOrdered over the group counts.
+    "q107_key_skew" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      val total = ev.count() // table-level stat, one job, driver scalar
+      ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        .orderBy(col("n_events").desc, col("user_id"))
+        .limit(20)
+        .withColumn("share",
+          col("n_events").cast("double") / lit(total.toDouble))
+    }),
+
+    // Fixed-bin histogram over a numeric column: bin edges from the
+    // exact global min/max, assignment by the same floor formula the
+    // quantizer uses (q95 — proven bitwise across engines). Two
+    // narrow aggregates; no sort.
+    "q108_histogram" -> ((s, d) => {
+      val ev = Tables(s, d).events.select(col("value"))
+      val r = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+        .collect().head
+      val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+      val nBins = 20L
+      ev.select(
+          when(lit(mx) === lit(mn), lit(0L))
+            .otherwise(least(
+              floor((col("value") - lit(mn)) * lit(nBins.toDouble) / lit(mx - mn)),
+              lit(nBins.toDouble - 1)).cast("long")).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+    }),
+
+    // Column-profile report (the C3 validation generalized): one row
+    // per profiled column with row/null/distinct counts — the
+    // data-quality summary a pipeline gates on before training. Each
+    // column profiles in one aggregate; the union is the report.
+    "q109_profile" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      def prof(c: String) = ev.agg(
+        lit(c).as("column"),
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col(c))).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"))
+      prof("user_id").unionByName(prof("event_type")).unionByName(prof("value"))
+    }),
+
     // TPC-H Q18 shape (large-volume customers): pre-aggregate the
     // fact to per-order quantity FIRST (narrow keys through the
     // shuffle), filter to the rare heavy orders, then join orders +
@@ -1009,6 +1055,29 @@ object Relational {
          WINDOW w AS (PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
                       ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+    "q107_key_skew" ->
+      """WITH c AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+         t AS (SELECT count(*)::DOUBLE AS total FROM events)
+         SELECT user_id, n_events, n_events::DOUBLE / total AS share
+         FROM c, t
+         QUALIFY row_number() OVER (ORDER BY n_events DESC, user_id) <= 20""",
+    "q108_histogram" ->
+      """WITH s AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
+         SELECT (CASE WHEN mx = mn THEN 0
+                      ELSE least(floor((value - mn) * 20.0 / (mx - mn)), 19.0)
+                 END)::BIGINT AS bin,
+                count(*) AS n
+         FROM events, s GROUP BY 1""",
+    "q109_profile" ->
+      """SELECT 'user_id' AS "column", count(*) AS n_rows,
+                count(*) - count(user_id) AS n_null,
+                count(DISTINCT user_id) AS n_distinct FROM events
+         UNION ALL
+         SELECT 'event_type', count(*), count(*) - count(event_type),
+                count(DISTINCT event_type) FROM events
+         UNION ALL
+         SELECT 'value', count(*), count(*) - count(value),
+                count(DISTINCT value) FROM events""",
     "q93_big_orders" ->
       """WITH heavy AS (
            SELECT l_orderkey, sum(l_quantity) AS total_qty

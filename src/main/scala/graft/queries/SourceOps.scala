@@ -67,10 +67,30 @@ object SourceOps {
         .agg(count(lit(1)).as("n_parts"),
           sum(col("p_size")).as("sum_size"),
           round(sum(col("p_retailprice")), 2).as("total_price"))
+    }),
+
+    // Hive-style partitioned layout: events written partitionBy the
+    // type column, re-read with a partition-key filter — the scan
+    // must touch ONLY the matching directory (PartitionFilters,
+    // pinned in PlanSpec), the mechanism that turns a 100 TB scan
+    // into a 4 TB one when queries slice on the layout key.
+    "q110_partitioned_write" -> ((s, d) => {
+      val dir = scratch("partwrite", d)
+      Tables(s, d).events
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("event_type") === "click")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q110_partitioned_write" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+                count(DISTINCT user_id) AS n_users
+         FROM events WHERE event_type = 'click' GROUP BY 1""",
     "q87_orc_roundtrip" ->
       """SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
          FROM documents GROUP BY 1""",

@@ -115,6 +115,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), s"semi join missing:\n${p.take(400)}")
   }
 
+  test("q110: partition-key filter prunes to the matching directory (PartitionFilters)") {
+    val p = plan("q110_partitioned_write")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("event_type"), s"partition filter not applied: $pf")
+    // the partition key must NOT appear as a data filter on the scan
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(!pushed.contains("event_type"), s"partition key leaked into data filters: $pushed")
+  }
+
   test("whole-stage codegen covers the KPI aggregate (no interpreted hot path)") {
     // AQE only annotates codegen stages on the executed plan
     val df = SparkEntry.queries("q11_genre_kpis")(spark, sf)
