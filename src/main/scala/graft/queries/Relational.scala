@@ -678,6 +678,18 @@ object Relational {
           nth_value(col("event_type"), 2).over(wFull).as("second_type"))
     }),
 
+    // Stable pseudonymization (GDPR-style keyed identifier
+    // replacement): salted SHA-256 of the user id — deterministic
+    // across runs and engines (same user → same pseudonym, so joins
+    // and aggregates still work downstream), irreversible without
+    // the salt. Pure narrow map.
+    "q112_pseudonymize" -> ((s, d) =>
+      Tables(s, d).events.select(
+        col("event_id"),
+        sha2(concat(lit("graft-salt:"), col("user_id").cast("string")), 256)
+          .as("user_pseudo"),
+        col("event_type"))),
+
     // Key-skew profiler — the diagnostic that decides between a
     // plain, salted (q89), or AQE-skew join: top-20 heaviest keys
     // with their exact share of the fact (int/int rational). One
@@ -1055,6 +1067,10 @@ object Relational {
          WINDOW w AS (PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
                       ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+    "q112_pseudonymize" ->
+      """SELECT event_id, sha256('graft-salt:' || user_id::VARCHAR) AS user_pseudo,
+                event_type
+         FROM events""",
     "q107_key_skew" ->
       """WITH c AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
          t AS (SELECT count(*)::DOUBLE AS total FROM events)

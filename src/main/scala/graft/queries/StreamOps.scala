@@ -41,6 +41,13 @@ object StreamOps {
     "q79_stream_dedup" -> ((s, d) =>
       StreamingKpi.dedupedTypeCountsUpsert(s, s"$d/events.parquet")),
 
+    // SLIDING windows (1h length, 15m slide — tumbling is the
+    // degenerate slide = length case, q50): every event contributes
+    // to exactly 4 overlapping windows. Oracle: explicit window
+    // enumeration per event.
+    "q111_sliding_window" -> ((s, d) =>
+      StreamingKpi.slidingCountsUpsert(s, s"$d/events.parquet")),
+
     // Arbitrary stateful processing via Spark-4 transformWithState
     // (StatefulProcessor + named RocksDB ValueState — the
     // flatMapGroupsWithState successor): per-user session summaries
@@ -81,6 +88,15 @@ object StreamOps {
     "q79_stream_dedup" ->
       """SELECT event_type, count(DISTINCT event_id) AS n_events
          FROM events GROUP BY 1""",
+    "q111_sliding_window" ->
+      """WITH w AS (
+           SELECT event_type, value,
+                  time_bucket(INTERVAL '15 minutes', ts)
+                    - (j * INTERVAL '15 minutes') AS ws
+           FROM events, UNNEST(range(4)) t(j))
+         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+                count(*) AS n, round(sum(value), 2) AS total_value
+         FROM w GROUP BY 1, 2""",
     "q94_stream_join" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
          FROM events c JOIN events p

@@ -169,6 +169,29 @@ object StreamingKpi {
       Seq("event_type"))
   }
 
+  /** SLIDING-window counts (1-hour windows starting every 15
+    * minutes — each event lands in exactly 4 overlapping windows),
+    * drained update-mode through the upsert sink like q50's tumbling
+    * twin. Sliding windows multiply state by window/slide; the
+    * watermark still bounds it to ~1 hour of open windows.
+    */
+  def slidingCountsUpsert(
+      spark: SparkSession,
+      eventsPath: String,
+      latenessTolerance: String = "1 hour"): DataFrame =
+    upsertDrain(spark, "graft-q111-", s =>
+      s.readStream
+        .schema(eventsSchema)
+        .parquet(stageAsDir(eventsPath))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", latenessTolerance)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("total_value")),
+      Seq("window_start", "event_type"))
+
   /** Per-user session summaries computed by the Spark-4
     * `transformWithState` processor (Sessionize.SessionProcessor,
     * RocksDB-backed named ValueState) over a stream of the real
