@@ -7,7 +7,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Queries are grouped by module:
   *  - queries.Relational:    SURVEY §2 relational inventory (q01–q29, q49,
   *                           q53–q58, q60, q63–q66, q85, q86, q89–q91,
-  *                           q93, q96–q100)
+  *                           q93, q96–q100, q102, q103, q105, q107–q109,
+  *                           q112)
   *  - queries.TextOps:       text analysis, exact dedup, contamination,
   *                           LM counts/scoring (q30–q35, q39, q46, q61,
   *                           q69, q82–q84, q92)
@@ -16,12 +17,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - queries.VectorOps:     similarity search + quantization (q40–q42,
   *                           q44, q71, q78, q95, q101)
   *  - queries.MultimodalOps: binary-column plumbing (q45, q47, q62)
-  *  - queries.StreamOps:     streaming + stateful (q50–q52, q79, q81, q94)
+  *  - queries.StreamOps:     streaming + stateful (q50–q52, q79, q81,
+  *                           q94, q104, q111)
   *  - queries.CorpusOps:     training-corpus prep + KV serving (q72–q77:
   *                           chunking, split, mixing, shuffle shards,
-  *                           PII, JSONL; q80 kv round-trip)
-  *  - queries.SourceOps:     format round-trips beyond parquet
-  *                           (q87 ORC, q88 CSV)
+  *                           PII, JSONL; q80 kv round-trip; q106 packing)
+  *  - queries.SourceOps:     format round-trips + layout (q87 ORC,
+  *                           q88 CSV, q110 partitioned write)
   */
 object SparkEntry {
 
