@@ -678,6 +678,51 @@ object Relational {
           nth_value(col("event_type"), 2).over(wFull).as("second_type"))
     }),
 
+    // CDC MERGE apply (MERGE INTO semantics on plain DataFrames):
+    // a snapshot (per-user counts before the cutoff) receives a
+    // changelog batch (events after it) — users with an 'error' in
+    // the batch are DELETEs, other batch users UPSERT (add counts,
+    // insert if new), untouched users pass through. One full-outer
+    // join on the key — the scale shape of a snapshot merge; no
+    // row-by-row driver logic.
+    "q113_cdc_merge" -> ((s, d) => {
+      val cutoff = lit("2024-01-24 00:00:00").cast("timestamp")
+      val ev = Tables(s, d).events
+      val base = ev.filter(col("ts") < cutoff)
+        .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      val changes = ev.filter(col("ts") >= cutoff)
+        .groupBy("user_id").agg(count(lit(1)).as("delta"),
+          max(when(col("event_type") === "error", 1L).otherwise(0L)).as("is_delete"))
+      base.join(changes, Seq("user_id"), "full_outer")
+        .filter(coalesce(col("is_delete"), lit(0L)) === 0L)
+        .select(col("user_id"),
+          (coalesce(col("n_events"), lit(0L)) + coalesce(col("delta"), lit(0L)))
+            .as("n_events"))
+    }),
+
+    // Point-in-time dimension join — THE SCD2 consumer query: each
+    // order joined to the user's dimension version valid at order
+    // time. Composed from the SCD2 build + the as-of join operator
+    // (latest version whose valid_from ≤ the order date): no range
+    // explosion, one sorted window per key timeline.
+    "q114_pit_join" -> ((s, d) => {
+      val t = Tables(s, d)
+      val dim = scd2Build(t.events
+        .select(col("user_id"), col("event_id"),
+          col("event_type").as("state"), col("ts")))
+        .select(col("user_id"), col("version"), col("state"),
+          to_timestamp(col("valid_from")).as("vf"))
+      graft.operators.AsOfJoin.latestEarlier(
+        t.orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        dim,
+        leftKey = col("o_custkey"), leftTs = col("o_orderdate"),
+        rightKey = col("user_id"), rightTs = col("vf"),
+        rightValueCols = Seq("version", "state"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("version"), col("state"))
+    }),
+
     // Stable pseudonymization (GDPR-style keyed identifier
     // replacement): salted SHA-256 of the user id — deterministic
     // across runs and engines (same user → same pseudonym, so joins
@@ -1071,6 +1116,34 @@ object Relational {
       """SELECT event_id, sha256('graft-salt:' || user_id::VARCHAR) AS user_pseudo,
                 event_type
          FROM events""",
+    "q113_cdc_merge" ->
+      """WITH base AS (
+           SELECT user_id, count(*) AS n_events FROM events
+           WHERE ts < TIMESTAMP '2024-01-24' GROUP BY 1),
+         ch AS (
+           SELECT user_id, count(*) AS delta,
+                  max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS is_delete
+           FROM events WHERE ts >= TIMESTAMP '2024-01-24' GROUP BY 1)
+         SELECT user_id,
+                (coalesce(n_events, 0) + coalesce(delta, 0))::BIGINT AS n_events
+         FROM base FULL OUTER JOIN ch USING (user_id)
+         WHERE coalesce(is_delete, 0) = 0""",
+    "q114_pit_join" ->
+      """WITH dim AS (
+           SELECT user_id, event_type AS state,
+                  row_number() OVER w AS version,
+                  strftime(ts, '%Y-%m-%d %H:%M:%S') AS vf_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         d2 AS (
+           SELECT user_id, strptime(vf_s, '%Y-%m-%d %H:%M:%S') AS vf,
+                  max(version) AS version, arg_max(state, version) AS state
+           FROM dim GROUP BY 1, 2)
+         SELECT o.o_orderkey, o.o_custkey,
+                strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+                d.version, d.state
+         FROM orders o ASOF LEFT JOIN d2 d
+           ON o.o_custkey = d.user_id AND o.o_orderdate >= d.vf""",
     "q107_key_skew" ->
       """WITH c AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
          t AS (SELECT count(*)::DOUBLE AS total FROM events)
