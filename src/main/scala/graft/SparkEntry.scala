@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - queries.Relational:    SURVEY §2 relational inventory (q01–q29, q49,
   *                           q53–q58, q60, q63–q66, q85, q86, q89–q91,
   *                           q93, q96–q100, q102, q103, q105, q107–q109,
-  *                           q112)
+  *                           q112–q114)
   *  - queries.TextOps:       text analysis, exact dedup, contamination,
   *                           LM counts/scoring (q30–q35, q39, q46, q61,
   *                           q69, q82–q84, q92)
