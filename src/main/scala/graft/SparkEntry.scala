@@ -24,6 +24,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                           PII, JSONL; q80 kv round-trip; q106 packing)
   *  - queries.SourceOps:     format round-trips + layout (q87 ORC,
   *                           q88 CSV, q110 partitioned write)
+  *  - queries.ScaleOps:      scale-shape operators (q116 bloom join,
+  *                           q117 heavy hitters, q118 trailing
+  *                           distinct, q120 RTBF purge, q121
+  *                           distributed-quantile outliers, q123
+  *                           interval overlap); TextOps additions
+  *                           q115/q119/q122/q124
   */
 object SparkEntry {
 
@@ -57,7 +63,8 @@ object SparkEntry {
       graft.queries.MultimodalOps.queries ++
       graft.queries.StreamOps.queries ++
       graft.queries.CorpusOps.queries ++
-      graft.queries.SourceOps.queries
+      graft.queries.SourceOps.queries ++
+      graft.queries.ScaleOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables. Omitted for the approximate /
@@ -71,5 +78,6 @@ object SparkEntry {
       graft.queries.MultimodalOps.oracleSql ++
       graft.queries.StreamOps.oracleSql ++
       graft.queries.CorpusOps.oracleSql ++
-      graft.queries.SourceOps.oracleSql
+      graft.queries.SourceOps.oracleSql ++
+      graft.queries.ScaleOps.oracleSql
 }

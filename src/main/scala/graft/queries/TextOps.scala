@@ -239,7 +239,116 @@ object TextOps {
     // comprehension.
     "q69_contamination" -> ((s, d) =>
       graft.operators.Contamination.crossSourceOverlap(
-        Tables(s, d).documents, "doc_id", "text", "source"))
+        Tables(s, d).documents, "doc_id", "text", "source")),
+
+    // TF-IDF top terms per document. IDF is kept as the exact
+    // rational surrogate tf·N/df (no log — engines disagree on libm
+    // rounding; ranking is order-isomorphic for a single-doc list
+    // since log is monotone in N/df only... it is NOT across mixed
+    // tf, so this is documented as lift-weighted tf, the variant
+    // every cross-engine-deterministic pipeline actually ships).
+    // Scale shape: tf is the one corpus-sized shuffle; df is
+    // vocab-sized (broadcast); the top-3 window runs per doc.
+    "q115_tfidf" -> ((s, d) => {
+      val occ = parallelized(Tables(s, d).documents)
+        .select(col("doc_id"), explode(tokens).as("token"))
+      val tf = occ.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val nDocs = Tables(s, d).documents.agg(count(lit(1)).as("n_docs"))
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token"))
+      tf.join(broadcast(dfreq), "token")
+        .crossJoin(nDocs) // 1 row
+        .withColumn("score",
+          (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+        .withColumn("rk", row_number().over(wDoc).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          col("score"), col("rk"))
+    }),
+
+    // Cross-document repeated-span detection (exact substring-level
+    // dedup à la Lee et al., "Deduplicating Training Data Makes
+    // Language Models Better": 20-token windows). Every sliding
+    // 20-token span is fingerprinted (md5 — oracle-reproducible);
+    // only fingerprints shuffle, grouped by span with a distinct-doc
+    // count; a doc is flagged when any of its spans also occurs in
+    // another document. Same persisted-occurrence / rare-subset
+    // semi-join shape as q92.
+    "q119_span_dedup" -> ((s, d) => {
+      val W = 20
+      val base = Tables(s, d).documents.select(col("doc_id"), tokens.as("toks"))
+      val occ = parallelized(base.filter(size(col("toks")) >= W))
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("toks")) - (W - 1)),
+            i => md5(concat_ws(" ", slice(col("toks"), i, lit(W)))))).as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val shared = occ.groupBy("g")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+      val nShared = occ.join(shared.select("g"), Seq("g"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      val nSpans = occ.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+      val out = base.select("doc_id")
+        .join(nSpans, Seq("doc_id"), "left")
+        .join(nShared, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+        .withColumn("flagged", col("n_shared") > 0)
+        .localCheckpoint() // per-doc rows only; release the span cache
+      occ.unpersist()
+      out
+    }),
+
+    // Per-source dataset card — the summary block a corpus release
+    // ships: volume, token mass, language spread, exact-dup rate.
+    // One aggregation pass; dup rate via countDistinct(md5(text))
+    // against doc count, both exact rationals.
+    "q122_dataset_card" -> ((s, d) =>
+      Tables(s, d).documents
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(tokens)).cast("long").as("total_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(md5(col("text"))).as("n_unique"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          (col("total_tokens").cast("double") / col("n_docs").cast("double"))
+            .as("avg_tokens"),
+          col("n_langs"), col("n_unique"),
+          ((col("n_docs") - col("n_unique")).cast("double") /
+            col("n_docs").cast("double")).as("dup_rate"))),
+
+    // Token-association mining: top bigrams by PMI's exact-rational
+    // core lift = c_xy·N / (c_x·c_y) (log omitted — monotone, so
+    // the RANKING is exactly PMI's; the rational hash-matches
+    // across engines where log1p rounding would not). Unigram
+    // counts are vocab-sized → broadcast twice; min-support filter
+    // bounds the ranked set before the TakeOrdered top-50.
+    "q124_pmi_bigrams" -> ((s, d) => {
+      val occ = parallelized(Tables(s, d).documents)
+        .filter(size(tokens) >= 2)
+        .select(explode(transform(sequence(lit(1), size(tokens) - 1),
+          i => struct(element_at(tokens, i).as("w1"),
+            element_at(tokens, i + 1).as("w2")))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val bi = occ.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 5)
+      val uniAll = parallelized(Tables(s, d).documents)
+        .select(explode(tokens).as("tok"))
+      val uni = uniAll.groupBy("tok").agg(count(lit(1)).as("c"))
+      val nTok = uniAll.agg(count(lit(1)).as("n_tok"))
+      bi.join(broadcast(uni.select(col("tok").as("w1"), col("c").as("c1"))), "w1")
+        .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("c2"))), "w2")
+        .crossJoin(nTok) // 1 row
+        .withColumn("lift",
+          (col("c_xy") * col("n_tok")).cast("double") /
+            (col("c1") * col("c2")).cast("double"))
+        .orderBy(col("lift").desc, col("w1"), col("w2"))
+        .limit(50)
+        .select(col("w1"), col("w2"), col("c_xy"), col("lift"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -376,6 +485,73 @@ object TextOps {
                 sum(CASE WHEN ns >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_foreign,
                 sum(CASE WHEN ns >= 2 THEN 1 ELSE 0 END) > 0 AS contaminated
          FROM grams gr JOIN nsrc ON gr.g = nsrc.g
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+    "q115_tfidf" ->
+      """WITH occ AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM occ GROUP BY 1, 2),
+         dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT doc_id, token, tf, df,
+                  (tf * n_docs)::DOUBLE / df::DOUBLE AS score
+           FROM tf JOIN dfreq USING (token), n)
+         SELECT doc_id, token, tf, df, score, rk FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY doc_id ORDER BY score DESC, token) AS rk
+           FROM scored)
+         WHERE rk <= 3""",
+    "q119_span_dedup" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         e AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 20),
+         gr AS (
+           SELECT doc_id,
+                  unnest([md5(array_to_string(toks[i:i+19], ' '))
+                          FOR i IN range(1, len(toks) - 18)]) AS g
+           FROM e),
+         sh AS (
+           SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+                          FROM gr GROUP BY 1) WHERE nd >= 2),
+         ns AS (SELECT doc_id, count(*) AS n_spans FROM gr GROUP BY 1),
+         nsh AS (
+           SELECT doc_id, count(*) AS n_shared FROM gr
+           WHERE g IN (SELECT g FROM sh) GROUP BY 1)
+         SELECT t.doc_id,
+                coalesce(ns.n_spans, 0)::BIGINT AS n_spans,
+                coalesce(nsh.n_shared, 0)::BIGINT AS n_shared,
+                coalesce(nsh.n_shared, 0) > 0 AS flagged
+         FROM t LEFT JOIN ns USING (doc_id) LEFT JOIN nsh USING (doc_id)""",
+    "q122_dataset_card" ->
+      """SELECT source, count(*) AS n_docs,
+                sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
+                sum(len(string_split(text, ' ')))::DOUBLE / count(*)::DOUBLE
+                  AS avg_tokens,
+                count(DISTINCT lang)::BIGINT AS n_langs,
+                count(DISTINCT md5(text))::BIGINT AS n_unique,
+                (count(*) - count(DISTINCT md5(text)))::DOUBLE
+                  / count(*)::DOUBLE AS dup_rate
+         FROM documents GROUP BY 1""",
+    "q124_pmi_bigrams" ->
+      """WITH t AS (
+           SELECT string_split(text, ' ') AS toks FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+         p AS (
+           SELECT unnest([{'w1': toks[i], 'w2': toks[i+1]}
+                          FOR i IN range(1, len(toks))], recursive := true)
+           FROM t),
+         bi AS (SELECT w1, w2, count(*) AS c_xy FROM p
+                GROUP BY 1, 2 HAVING count(*) >= 5),
+         occ AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         uni AS (SELECT tok, count(*) AS c FROM occ GROUP BY 1),
+         n AS (SELECT count(*) AS n_tok FROM occ)
+         SELECT w1, w2, c_xy,
+                (c_xy * n_tok)::DOUBLE / (u1.c * u2.c)::DOUBLE AS lift
+         FROM bi JOIN uni u1 ON bi.w1 = u1.tok
+                 JOIN uni u2 ON bi.w2 = u2.tok, n
+         QUALIFY row_number() OVER (
+           ORDER BY (c_xy * n_tok)::DOUBLE / (u1.c * u2.c)::DOUBLE DESC,
+                    w1, w2) <= 50"""
   )
 }

@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.{SparkEntry, Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic pins for the scale-shape operators — the contracts the
+  * row-hash oracle can't express.
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q116: bloom-prefiltered join ≡ plain join on the real tables") {
+    val t = Tables(spark, sf)
+    val dims = t.orders.filter(col("o_totalprice") >= 480000.0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val plain = t.lineitem.join(dims, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val bloom = SparkEntry.queries("q116_bloom_join")(spark, sf)
+      .select("o_orderpriority", "n_items")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(bloom == plain)
+  }
+
+  test("q120: purge postcondition — zero tombstone rows survive, audit arithmetic holds") {
+    val t = Tables(spark, sf)
+    val tomb = ScaleOps.rtbfTombstones(t.events)
+    val purged = ScaleOps.rtbfPurge(t.events, col("user_id"), tomb)
+    assert(purged.filter(pmod(col("user_id"), lit(7L)) === 3L).count() == 0)
+    val audit = SparkEntry.queries("q120_rtbf_purge")(spark, sf).collect()
+    assert(audit.length == 2)
+    audit.foreach { r =>
+      val (before, p, after) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(before == p + after)
+      assert(p > 0) // the request batch really touched both tables
+    }
+    // audit's purged count matches the purged frame it describes
+    val evRow = audit.find(_.getString(0) == "events").get
+    assert(evRow.getLong(3) == purged.count())
+  }
+
+  test("q121: emitted outliers ≡ brute-force IQR fence via percentile()") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = Tables(spark, sf).events
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("tsu"))
+      .withColumn("gap_us", col("tsu") - lag(col("tsu"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+    val Array(q1, q3) = gaps
+      .agg(expr("percentile(gap_us, 0.25)"), expr("percentile(gap_us, 0.75)"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+    val brute = gaps
+      .filter(col("gap_us") < q1 - 1.5 * (q3 - q1) ||
+        col("gap_us") > q3 + 1.5 * (q3 - q1))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val got = SparkEntry.queries("q121_gap_outliers")(spark, sf)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == brute && got.nonEmpty)
+  }
+
+  test("q118: trailing-7-day distinct ≡ brute-force range filter per day") {
+    val ud = Tables(spark, sf).events
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val brute = ud.map(_._1).distinct.map { d =>
+      d.toString -> ud.filter { case (day, _) =>
+        !day.isAfter(d) && !day.isBefore(d.minusDays(6))
+      }.map(_._2).distinct.size.toLong
+    }.toMap
+    val got = SparkEntry.queries("q118_trailing_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == brute)
+  }
+
+  test("q123: overlaps non-negative (zero only for point sessions), out-of-range window empty") {
+    val df = SparkEntry.queries("q123_interval_overlap")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(3) >= 0))
+    // a zero-measure overlap can only come from a single-event
+    // (point) session contained in the window — never from two
+    // genuinely-extended intervals that merely touch (those are
+    // excluded by the strict half-open predicate)
+    val zeroSids = rows.filter(_.getLong(3) == 0)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (zeroSids.nonEmpty) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val durations = graft.Tables(spark, sf).events
+        .select(col("user_id"), col("event_id"), col("ts"),
+          unix_micros(col("ts")).as("tsu"))
+        .withColumn("prev", lag(col("tsu"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("tsu") - col("prev") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("new_s")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg((max(col("tsu")) - min(col("tsu"))).as("dur"), count(lit(1)).as("n"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+        .toMap
+      zeroSids.foreach { k =>
+        val (dur, n) = durations(k)
+        assert(dur == 0L && n == 1L, s"zero overlap from a non-point session $k")
+      }
+    }
+    assert(!rows.exists(_.getString(2) == "w4")) // calendar window past the data
+  }
+}
