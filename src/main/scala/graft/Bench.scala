@@ -24,7 +24,13 @@ object Bench {
     "q52_session_window", "q53_pricing_summary",
     // round-4 additions: LM-scoring join, quantized-ANN serving,
     // heavy-order join shape, time-RANGE window
-    "q92_rare_bigrams", "q101_quantized_ann", "q93_big_orders", "q98_range_frame")
+    "q92_rare_bigrams", "q101_quantized_ann", "q93_big_orders", "q98_range_frame",
+    // round-5 additions: bloom runtime filter, sketch-verified heavy
+    // hitters, distributed-quantile outliers, and the three text
+    // passes whose cost scales with corpus bytes (tf-idf, span
+    // fingerprints, PMI)
+    "q116_bloom_join", "q117_heavy_hitters", "q121_gap_outliers",
+    "q115_tfidf", "q119_span_dedup", "q124_pmi_bigrams")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{BloomFilterOp, DistributedQuantile, HeavyHitters}
+import graft.operators.{BloomFilterOp, DistributedQuantile, HeavyHitters, ZOrder}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -120,6 +120,131 @@ object ScaleOps {
         .select(col("event_id"), col("user_id"), col("gap_us"))
     }),
 
+    // Z-order zone-map build: Morton-encode (l_partkey, l_suppkey),
+    // coarsen the curve into zones, and emit per-zone min/max stats
+    // on BOTH dimensions — the data-skipping index a
+    // multi-dimensional OPTIMIZE ZORDER layout exists to produce.
+    // Pure integral bit math (builtin expressions, codegen), and the
+    // DuckDB oracle replays the identical mask cascade bit for bit.
+    // The locality claim (z-zones bound both columns tighter than
+    // scan-order zones) is pinned quantitatively in ScaleOpsSpec.
+    "q125_zorder_zonemap" -> ((s, d) =>
+      Tables(s, d).lineitem
+        .select(col("l_partkey"), col("l_suppkey"),
+          ZOrder.morton16(col("l_partkey"), col("l_suppkey")).as("z"))
+        .withColumn("zone", expr("z div 65536"))
+        .groupBy("zone")
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+          min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))),
+
+    // Equi-depth histogram on octile boundaries. Octiles (p = k/8)
+    // land on exact binary fractions, so the interpolated boundaries
+    // are bitwise engine-independent (any interpolation formula is
+    // exact there — the reason this uses 8 buckets, not 10). The
+    // boundaries come from DistributedQuantile: no one-reducer
+    // percentile buffer; bucket assignment is a map-side compare
+    // chain against the broadcast 1-row boundary frame.
+    "q126_equidepth_hist" -> ((s, d) => {
+      val v = Tables(s, d).events.select(
+        round(col("value") * 100).cast("long").as("c"), col("event_id"))
+      val qs = DistributedQuantile.exactQuantiles(
+        v, col("c"), col("event_id"),
+        (1 to 7).map(i => (s"b$i", i / 8.0)))
+      v.crossJoin(broadcast(qs))
+        .withColumn("bucket",
+          (1 to 7).map(i => when(col("c") > col(s"b$i"), 1L).otherwise(0L))
+            .reduce(_ + _))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+    }),
+
+    // Banded theta join (|a.value − b.value| ≤ δ): bucketize by
+    // ⌊cents/δ⌋, fan each left row out to its 3 candidate buckets
+    // (each qualifying pair matches in EXACTLY one bucket — the
+    // right side keeps its single home bucket), then the exact
+    // band filter. Turns an O(n²) inequality join into an equi-join
+    // whose candidate count is data-density-bounded. Exact integer
+    // cents both sides.
+    "q127_band_join" -> ((s, d) => {
+      val delta = 5L
+      val ev = Tables(s, d).events.select(col("event_id"),
+        round(col("value") * 100).cast("long").as("c"))
+      val a = ev.select(col("event_id").as("a_id"), col("c").as("ca"))
+        .withColumn("bk0", expr(s"ca div $delta"))
+        .select(col("a_id"), col("ca"),
+          explode(array(col("bk0") - 1, col("bk0"), col("bk0") + 1)).as("bk"))
+      val b = ev.select(col("event_id").as("b_id"), col("c").as("cb"))
+        .withColumn("bk", expr(s"cb div $delta"))
+      a.join(b, "bk")
+        .filter(abs(col("ca") - col("cb")) <= delta &&
+          col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("ca"), col("cb"),
+          abs(col("ca") - col("cb")).as("diff"))
+    }),
+
+    // Iterative graph computation beyond connected components:
+    // PageRank over the token-transition (bigram) graph, in SCALED
+    // INTEGER fixed-point so every iteration is exact long
+    // arithmetic — floor divisions instead of float damping — and
+    // ten unrolled DuckDB CTE iterations reproduce it bit for bit.
+    // The Spark loop is the distributed shape (edges ⋈ ranks per
+    // iteration, ranks checkpointed to truncate lineage); overflow
+    // bound: r ≤ V·SCALE ≈ 2^45 and r·85·c stays < 2^62 for edge
+    // counts up to ~3·10⁵. Published algorithm: Page et al. 1999.
+    "q129_pagerank_tokens" -> ((s, d) => {
+      val scale = 1000000000L
+      val base = scale * 15L / 100L
+      val toks = split(col("text"), " ")
+      val docs = Tables(s, d).documents
+      val occ = docs.filter(size(toks) >= 2)
+        .select(explode(transform(sequence(lit(1), size(toks) - 1),
+          i => struct(element_at(toks, i).as("w1"),
+            element_at(toks, i + 1).as("w2")))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val edges0 = occ.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      val outs = edges0.groupBy("w1").agg(sum(col("c")).as("out"))
+      val edges = edges0.join(outs, "w1").localCheckpoint()
+      val nodes = docs.select(explode(toks).as("tok")).distinct()
+        .localCheckpoint()
+      var ranks = nodes.withColumn("r", lit(scale))
+      for (_ <- 1 to 10) {
+        val contrib = edges
+          .join(ranks, edges("w1") === ranks("tok"))
+          .select(col("w2").as("tok"),
+            expr(s"(r * 85 * c) div (100 * out)").as("m"))
+          .groupBy("tok").agg(sum(col("m")).as("in_mass"))
+        ranks = nodes.join(contrib, Seq("tok"), "left")
+          .select(col("tok"),
+            (lit(base) + coalesce(col("in_mass"), lit(0L))).as("r"))
+          .localCheckpoint() // truncate the 10-join lineage chain
+      }
+      val wRank = org.apache.spark.sql.expressions.Window
+        .orderBy(col("r").desc, col("tok"))
+      ranks.select(col("tok"), col("r"),
+        row_number().over(wRank).cast("long").as("rnk"))
+    }),
+
+    // Grouped weighted median — exact, via per-group cumulative
+    // weight windows (groups run in parallel; nothing funnels to one
+    // reducer): smallest value whose cumulative weight reaches half
+    // the group total. Weights and values are exact integers.
+    "q130_weighted_median" -> ((s, d) => {
+      val ev = Tables(s, d).events.select(col("event_type"),
+        round(col("value") * 100).cast("long").as("c"),
+        coalesce(length(col("props")), lit(0)).cast("long").as("w"),
+        col("event_id"))
+      val wCum = Window.partitionBy(col("event_type"))
+        .orderBy(col("c"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = ev.groupBy("event_type").agg(sum(col("w")).as("total_w"))
+      ev.withColumn("cum", sum(col("w")).over(wCum))
+        .join(broadcast(tot), "event_type")
+        .filter(col("cum") * 2 >= col("total_w"))
+        .groupBy(col("event_type"))
+        .agg(min(col("c")).as("wmedian_cents"),
+          min(col("total_w")).as("total_w"))
+    }),
+
     // Interval-overlap join: user sessions (intervals from the q51
     // sessionization) x a small maintenance-window calendar.
     // Overlap predicate is strict half-open (zero-length touches
@@ -178,7 +303,97 @@ object ScaleOps {
         unix_micros(to_timestamp(col("we"))).as("w_end"))
   }
 
+  /** Ten unrolled PageRank iterations — the same integer fixed-point
+    * recurrence the Spark loop runs, generated mechanically so both
+    * engines share one definition.
+    */
+  private val pagerankIters: String = (1 to 10).map { i =>
+    s"""pr$i AS (
+           SELECT n.tok, 150000000 + coalesce(s.m, 0) AS r
+           FROM nodes n LEFT JOIN (
+             SELECT e.w2 AS tok,
+                    sum((p.r * 85 * e.c) // (100 * e.out))::BIGINT AS m
+             FROM edges e JOIN pr${i - 1} p ON e.w1 = p.tok GROUP BY 1) s
+           ON n.tok = s.tok)"""
+  }.mkString(",\n         ")
+
   def oracleSql: Map[String, String] = Map(
+    "q125_zorder_zonemap" ->
+      """WITH b AS (
+           SELECT l_partkey, l_suppkey,
+                  l_partkey::BIGINT & 65535 AS x0,
+                  l_suppkey::BIGINT & 65535 AS y0
+           FROM lineitem),
+         s1 AS (SELECT *, (x0 | (x0 << 8)) & 16711935 AS x1,
+                        (y0 | (y0 << 8)) & 16711935 AS y1 FROM b),
+         s2 AS (SELECT *, (x1 | (x1 << 4)) & 252645135 AS x2,
+                        (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+         s3 AS (SELECT *, (x2 | (x2 << 2)) & 858993459 AS x3,
+                        (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+         s4 AS (SELECT *, (x3 | (x3 << 1)) & 1431655765 AS x4,
+                        (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3),
+         z AS (SELECT l_partkey, l_suppkey, (x4 | (y4 << 1)) AS z FROM s4)
+         SELECT z // 65536 AS zone, count(*) AS n_rows,
+                min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+                min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+         FROM z GROUP BY 1""",
+    "q126_equidepth_hist" ->
+      """WITH v AS (SELECT round(value * 100)::BIGINT AS c FROM events),
+         q AS (SELECT quantile_cont(c, 0.125) AS b1, quantile_cont(c, 0.250) AS b2,
+                      quantile_cont(c, 0.375) AS b3, quantile_cont(c, 0.500) AS b4,
+                      quantile_cont(c, 0.625) AS b5, quantile_cont(c, 0.750) AS b6,
+                      quantile_cont(c, 0.875) AS b7
+               FROM v)
+         SELECT (CASE WHEN c > b1 THEN 1 ELSE 0 END +
+                 CASE WHEN c > b2 THEN 1 ELSE 0 END +
+                 CASE WHEN c > b3 THEN 1 ELSE 0 END +
+                 CASE WHEN c > b4 THEN 1 ELSE 0 END +
+                 CASE WHEN c > b5 THEN 1 ELSE 0 END +
+                 CASE WHEN c > b6 THEN 1 ELSE 0 END +
+                 CASE WHEN c > b7 THEN 1 ELSE 0 END)::BIGINT AS bucket,
+                count(*) AS n
+         FROM v, q GROUP BY 1""",
+    "q127_band_join" ->
+      """WITH v AS (SELECT event_id, round(value * 100)::BIGINT AS c FROM events)
+         SELECT a.event_id AS a_id, b.event_id AS b_id, a.c AS ca, b.c AS cb,
+                abs(a.c - b.c) AS diff
+         FROM v a JOIN v b
+           ON a.event_id < b.event_id AND abs(a.c - b.c) <= 5""",
+    "q129_pagerank_tokens" ->
+      s"""WITH t AS (
+           SELECT string_split(text, ' ') AS toks FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+         p AS (
+           SELECT unnest([{'w1': toks[i], 'w2': toks[i+1]}
+                          FOR i IN range(1, len(toks))], recursive := true)
+           FROM t),
+         edges0 AS (SELECT w1, w2, count(*) AS c FROM p GROUP BY 1, 2),
+         outs AS (SELECT w1, sum(c)::BIGINT AS out FROM edges0 GROUP BY 1),
+         edges AS (SELECT e.w1, e.w2, e.c, o.out
+                   FROM edges0 e JOIN outs o USING (w1)),
+         nodes AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+         pr0 AS (SELECT tok, 1000000000::BIGINT AS r FROM nodes),
+         $pagerankIters
+         SELECT tok, r,
+                row_number() OVER (ORDER BY r DESC, tok)::BIGINT AS rnk
+         FROM pr10""",
+    "q130_weighted_median" ->
+      """WITH v AS (
+           SELECT event_type, round(value * 100)::BIGINT AS c,
+                  coalesce(length(props), 0)::BIGINT AS w, event_id
+           FROM events),
+         t AS (SELECT event_type, sum(w)::BIGINT AS total_w FROM v GROUP BY 1),
+         cw AS (
+           SELECT event_type, c,
+                  sum(w) OVER (PARTITION BY event_type ORDER BY c, event_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM v)
+         SELECT cw.event_type, min(cw.c) AS wmedian_cents,
+                min(t.total_w) AS total_w
+         FROM cw JOIN t USING (event_type)
+         WHERE cum * 2 >= total_w
+         GROUP BY 1""",
     "q116_bloom_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
                 round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue

@@ -65,6 +65,13 @@ object StreamOps {
     "q94_stream_join" -> ((s, d) =>
       StreamingKpi.clickPurchaseJoin(s, s"$d/events.parquet")),
 
+    // Stream–STATIC dimension-enrichment join (stateless; the static
+    // side re-broadcast per micro-batch), per-segment counts drained
+    // through the upsert sink. Oracle: the batch join.
+    "q128_stream_static_join" -> ((s, d) =>
+      StreamingKpi.segmentCountsStreamStatic(
+        s, s"$d/events.parquet", s"$d/customer.parquet")),
+
     // Spark's built-in session_window operator: per-(user, session)
     // grain with the session start = first event, same 30-min gap.
     "q52_session_window" -> ((s, d) => {
@@ -150,6 +157,10 @@ object StreamOps {
                          THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
                 count(*) AS n_events
          FROM x GROUP BY 1""",
+    "q128_stream_static_join" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1, 2""",
     // same contract as q51 by design (see the query comment)
     "q104_sessionize_tws" ->
       """WITH x AS (

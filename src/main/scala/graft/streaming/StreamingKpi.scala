@@ -219,6 +219,33 @@ object StreamingKpi {
       Sessionize.streamingTws(evs, gapMinutes).toDF()
     }, Seq("user_id"))
 
+  /** Stream–STATIC join (the third join class after stream-stream
+    * q94 and batch joins): the event stream enriched against a
+    * static dimension snapshot, then aggregated per segment and
+    * drained update-mode through the upsert sink. Stream-static
+    * inner joins are STATELESS — the static side is (re)read and
+    * broadcast per micro-batch, no join state accumulates — which
+    * is exactly why it's the right shape for dimension enrichment
+    * at any stream rate. Oracle: the equivalent batch join.
+    */
+  def segmentCountsStreamStatic(
+      spark: SparkSession,
+      eventsPath: String,
+      customerPath: String,
+      latenessTolerance: String = "1 hour"): DataFrame =
+    upsertDrain(spark, "graft-q128-", { s =>
+      val dim = broadcast(s.read.parquet(customerPath)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment")))
+      s.readStream
+        .schema(eventsSchema)
+        .parquet(stageAsDir(eventsPath))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", latenessTolerance)
+        .join(dim, Seq("user_id"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }, Seq("c_mktsegment", "event_type"))
+
   /** Stream–stream inner join: clicks joined to the same user's
     * purchases within the following hour, both sides watermarked so
     * the join state is bounded (a click older than the watermark +

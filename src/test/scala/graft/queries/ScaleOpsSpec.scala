@@ -109,4 +109,61 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
     assert(!rows.exists(_.getString(2) == "w4")) // calendar window past the data
   }
+
+  test("q126: equi-depth buckets are balanced and cover all rows") {
+    val rows = SparkEntry.queries("q126_equidepth_hist")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.keySet == (0L to 7L).toSet)
+    val total = rows.values.sum
+    val n = graft.Tables(spark, sf).events.count()
+    assert(total == n)
+    // equi-depth on a near-continuous value grid: every bucket within
+    // 20% of n/8 (exact equality is impossible with duplicate cents)
+    rows.values.foreach(c =>
+      assert(math.abs(c - n / 8.0) < n / 8.0 * 0.2, s"bucket sizes $rows"))
+  }
+
+  test("q127: banded join ≡ brute-force inequality join") {
+    val ev = graft.Tables(spark, sf).events
+      .select(col("event_id"), round(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ai, ac) <- ev; (bi, bc) <- ev
+      if ai < bi && math.abs(ac - bc) <= 5
+    } yield (ai, bi)).toSet
+    val got = SparkEntry.queries("q127_band_join")(spark, sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute && got.nonEmpty)
+  }
+
+  test("q129: pagerank mass stays bounded, ranks are a permutation, sinks get base mass") {
+    val rows = SparkEntry.queries("q129_pagerank_tokens")(spark, sf).collect()
+    val ranks = rows.map(_.getLong(2)).sorted
+    assert(ranks.toSeq == (1L to rows.length).toSeq) // total order, no ties
+    val scale = 1000000000L
+    rows.foreach { r =>
+      val mass = r.getLong(1)
+      assert(mass >= scale * 15L / 100L) // every node keeps the base term
+      assert(mass <= scale * rows.length.toLong) // total-mass bound
+    }
+  }
+
+  test("q130: weighted median splits each group's weight into halves") {
+    val ev = graft.Tables(spark, sf).events
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"),
+        coalesce(length(col("props")), lit(0)).cast("long").as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = SparkEntry.queries("q130_weighted_median")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (tpe, med) =>
+      val grp = ev.filter(_._1 == tpe)
+      val total = grp.map(_._3).sum
+      val below = grp.filter(_._2 < med).map(_._3).sum
+      val upTo = grp.filter(_._2 <= med).map(_._3).sum
+      assert(below * 2 < total, s"$tpe: strictly-below mass must be < half")
+      assert(upTo * 2 >= total, s"$tpe: mass through the median reaches half")
+    }
+    assert(got.nonEmpty)
+  }
 }
