@@ -64,7 +64,8 @@ object SparkEntry {
       graft.queries.StreamOps.queries ++
       graft.queries.CorpusOps.queries ++
       graft.queries.SourceOps.queries ++
-      graft.queries.ScaleOps.queries
+      graft.queries.ScaleOps.queries ++
+      graft.queries.EtlOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables. Omitted for the approximate /
@@ -79,5 +80,6 @@ object SparkEntry {
       graft.queries.StreamOps.oracleSql ++
       graft.queries.CorpusOps.oracleSql ++
       graft.queries.SourceOps.oracleSql ++
-      graft.queries.ScaleOps.oracleSql
+      graft.queries.ScaleOps.oracleSql ++
+      graft.queries.EtlOps.oracleSql
 }

@@ -1,0 +1,314 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ETL / analytics breadth: iterative BFS, attribution, basket
+  * analysis, corpus filter rules, decorrelated EXISTS, time-series
+  * gap filling, snapshot diffing. Everything oracled; every shape
+  * chosen for the 1000-executor case (bounded fan-outs, broadcast
+  * spines, window-parallel groups, no driver loops over data).
+  */
+object EtlOps {
+
+  /** Session ids per event at a 30-minute gap (the q51 contract):
+    * (user_id, sid, event columns...). Shared by q133.
+    */
+  private def withSessionIds(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.withColumn("tsu", unix_micros(col("ts")))
+      .withColumn("prev", lag(col("tsu"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("tsu") - col("prev") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // BFS hop distances on the token-transition graph from the
+    // corpus's most frequent token, 5 unrolled rounds — the frontier
+    //-expansion iteration (edges ⋈ frontier per round, min-combine)
+    // that underlies every distributed reachability/shortest-path
+    // job. Deterministic source pick (max count, token tie-break);
+    // per-round localCheckpoint truncates the join lineage.
+    "q131_bfs_hops" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val docs = Tables(s, d).documents
+      val occ = docs.filter(size(toks) >= 2)
+        .select(explode(transform(sequence(lit(1), size(toks) - 1),
+          i => struct(element_at(toks, i).as("w1"),
+            element_at(toks, i + 1).as("w2")))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val edges = occ.distinct().localCheckpoint()
+      val wSrc = Window.orderBy(col("n").desc, col("tok"))
+      val src = docs.select(explode(toks).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(wSrc))
+        .filter(col("rk") === 1).select(col("tok"))
+      var dist = src.withColumn("hops", lit(0L)).localCheckpoint()
+      for (_ <- 1 to 5) {
+        val expanded = edges.join(dist, edges("w1") === dist("tok"))
+          .select(col("w2").as("tok"), (col("hops") + 1L).as("hops"))
+        dist = dist.unionByName(expanded)
+          .groupBy("tok").agg(min(col("hops")).as("hops"))
+          .localCheckpoint()
+      }
+      dist
+    }),
+
+    // Last-touch ad attribution: each purchase attributed to the
+    // same user's LATEST click at or before it, but only within a
+    // 24 h lookback — the as-of join operator plus the lookback
+    // fence. Purchases with no (recent-enough) click stay rows with
+    // attributed = false: unattributed conversions are a KPI, not a
+    // dropped row.
+    "q132_attribution" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+          col("ts").as("c_ts"))
+      AsOfJoin.latestEarlier(purchases, clicks,
+        leftKey = col("user_id"), leftTs = col("ts"),
+        rightKey = col("c_user"), rightTs = col("c_ts"),
+        rightValueCols = Seq("c_id", "c_ts"))
+        .withColumn("in_window",
+          col("c_id").isNotNull &&
+            unix_micros(col("ts")) - unix_micros(col("c_ts")) <= 86400000000L)
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          when(col("in_window"), col("c_id")).as("click_id"),
+          col("in_window").as("attributed"))
+    }),
+
+    // Market-basket pairs at session grain: which event types
+    // co-occur in one session. Distinct (user, session, type) first
+    // — the only corpus-sized shuffle — then a per-session self-join
+    // over ≤ |type| rows each, counted across sessions.
+    "q133_basket_pairs" -> ((s, d) => {
+      val st = withSessionIds(Tables(s, d).events)
+        .select(col("user_id"), col("sid"), col("event_type")).distinct()
+      val a = st.select(col("user_id"), col("sid"), col("event_type").as("type_a"))
+      val b = st.select(col("user_id"), col("sid"), col("event_type").as("type_b"))
+      a.join(b, Seq("user_id", "sid"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n_sessions"))
+    }),
+
+    // C4-style corpus filter rules, each emitted as its own verdict
+    // column (a release pipeline reports per-rule attrition, not
+    // just the final keep): token-count floor, mean-word-length
+    // band, stopword evidence, metadata language gate. Exact
+    // rational compares; row-local, whole-stage codegen.
+    "q134_c4_filters" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val meanLen = length(regexp_replace(col("text"), " ", "")).cast("double") /
+        size(toks).cast("double")
+      val stopHits = expr(
+        "size(filter(split(text, ' '), t -> t IN ('the','a','of','and','to')))")
+      Tables(s, d).documents.select(col("doc_id"),
+        (size(toks) >= 30).as("len_ok"),
+        (meanLen >= 3.0 && meanLen <= 5.0).as("wordlen_ok"),
+        (stopHits >= 1).as("stopword_ok"),
+        (col("lang") === "en").as("lang_ok"))
+        .withColumn("keep",
+          col("len_ok") && col("wordlen_ok") && col("stopword_ok") && col("lang_ok"))
+    }),
+
+    // Correlated EXISTS, decorrelated into the aggregate form that
+    // scales: "orders with a lineitem shipped > 60 days after the
+    // order date" — instead of a per-row subquery (or a non-equi
+    // semi join, which Spark can only nested-loop), pre-aggregate
+    // the fact to max(l_shipdate) per order and equi-join. Same
+    // result set as EXISTS, one hash aggregate + one equi-join.
+    "q135_exists_decorrelated" -> ((s, d) => {
+      val t = Tables(s, d)
+      val latest = t.lineitem.groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).as("max_ship"))
+      t.orders.join(latest, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("max_ship") > to_timestamp(col("o_orderdate")) +
+          expr("INTERVAL 60 DAYS"))
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_totalprice"))
+    }),
+
+    // Time-series gap filling: the complete daily spine per user
+    // over that user's own active range, missing days zero-filled —
+    // the resample step before any window/trend computation.
+    // sequence() is a bounded narrow generator (≤ the date range);
+    // the daily counts are the only shuffle.
+    "q136_gap_fill" -> ((s, d) => {
+      val daily = Tables(s, d).events
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val spine = daily.groupBy("user_id")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n"), lit(0L)).as("n"))
+    }),
+
+    // Snapshot diff — the regression-check operator for any
+    // incremental pipeline: per-customer order counts at the cutoff
+    // vs now, full-outer on the key, rows classified added/changed/
+    // same. (removed can't occur on an append-only fact — the class
+    // is still emitted by the CASE for generality.)
+    "q137_snapshot_diff" -> ((s, d) => {
+      val orders = Tables(s, d).orders
+      val cutoff = lit("2001-06-01").cast("timestamp")
+      val snapA = orders.filter(col("o_orderdate") < cutoff)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("a_cnt"))
+      val snapB = orders
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("b_cnt"))
+      snapA.join(snapB, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("a_cnt"), lit(0L)).as("a_cnt"),
+          coalesce(col("b_cnt"), lit(0L)).as("b_cnt"))
+        .withColumn("status",
+          when(col("a_cnt") === 0L, "added")
+            .when(col("b_cnt") === 0L, "removed")
+            .when(col("a_cnt") === col("b_cnt"), "same")
+            .otherwise("changed"))
+    })
+  )
+
+  /** Five unrolled BFS rounds sharing one recurrence with the Spark
+    * loop.
+    */
+  private val bfsIters: String = (1 to 5).map { i =>
+    s"""d$i AS (
+           SELECT tok, min(hops)::BIGINT AS hops FROM (
+             SELECT tok, hops FROM d${i - 1}
+             UNION ALL
+             SELECT e.w2 AS tok, x.hops + 1 AS hops
+             FROM edges e JOIN d${i - 1} x ON e.w1 = x.tok)
+           GROUP BY 1)"""
+  }.mkString(",\n         ")
+
+  def oracleSql: Map[String, String] = Map(
+    "q131_bfs_hops" ->
+      s"""WITH t AS (
+           SELECT string_split(text, ' ') AS toks FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+         p AS (
+           SELECT unnest([{'w1': toks[i], 'w2': toks[i+1]}
+                          FOR i IN range(1, len(toks))], recursive := true)
+           FROM t),
+         edges AS (SELECT DISTINCT w1, w2 FROM p),
+         cnt AS (
+           SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         src AS (
+           SELECT tok FROM (SELECT tok, count(*) AS n FROM cnt GROUP BY 1)
+           QUALIFY row_number() OVER (ORDER BY n DESC, tok) = 1),
+         d0 AS (SELECT tok, 0::BIGINT AS hops FROM src),
+         $bfsIters
+         SELECT tok, hops FROM d5""",
+    "q132_attribution" ->
+      """WITH p AS (
+           SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+         c AS (
+           SELECT user_id AS c_user, event_id AS c_id, ts AS c_ts FROM events
+           WHERE event_type = 'click'),
+         j AS (
+           SELECT p.event_id, p.user_id, p.ts, c.c_id, c.c_ts
+           FROM p ASOF LEFT JOIN c
+             ON p.user_id = c.c_user AND p.ts >= c.c_ts)
+         SELECT event_id, user_id,
+                strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+                CASE WHEN c_id IS NOT NULL
+                       AND epoch_us(ts) - epoch_us(c_ts) <= 86400000000
+                     THEN c_id END AS click_id,
+                (c_id IS NOT NULL
+                   AND epoch_us(ts) - epoch_us(c_ts) <= 86400000000)
+                  AS attributed
+         FROM j""",
+    "q133_basket_pairs" ->
+      """WITH x AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu,
+                  lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         f AS (
+           SELECT user_id, event_type, tsu, event_id,
+                  CASE WHEN prev IS NULL OR tsu - prev > 1800000000
+                       THEN 1 ELSE 0 END AS new_s
+           FROM x),
+         s0 AS (
+           SELECT user_id, event_type,
+                  sum(new_s) OVER (PARTITION BY user_id
+                    ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING)::BIGINT AS sid
+           FROM f),
+         st AS (SELECT DISTINCT user_id, sid, event_type FROM s0)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+                count(*) AS n_sessions
+         FROM st a JOIN st b
+           ON a.user_id = b.user_id AND a.sid = b.sid
+          AND a.event_type < b.event_type
+         GROUP BY 1, 2""",
+    "q134_c4_filters" ->
+      """SELECT doc_id,
+                len(string_split(text, ' ')) >= 30 AS len_ok,
+                (length(replace(text, ' ', ''))::DOUBLE
+                   / len(string_split(text, ' '))::DOUBLE) >= 3.0
+                AND (length(replace(text, ' ', ''))::DOUBLE
+                   / len(string_split(text, ' '))::DOUBLE) <= 5.0 AS wordlen_ok,
+                len(list_filter(string_split(text, ' '),
+                    t -> t IN ('the','a','of','and','to'))) >= 1 AS stopword_ok,
+                lang = 'en' AS lang_ok,
+                (len(string_split(text, ' ')) >= 30)
+                AND (length(replace(text, ' ', ''))::DOUBLE
+                      / len(string_split(text, ' '))::DOUBLE) >= 3.0
+                AND (length(replace(text, ' ', ''))::DOUBLE
+                      / len(string_split(text, ' '))::DOUBLE) <= 5.0
+                AND (len(list_filter(string_split(text, ' '),
+                        t -> t IN ('the','a','of','and','to'))) >= 1)
+                AND lang = 'en' AS keep
+         FROM documents""",
+    "q135_exists_decorrelated" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                o_totalprice
+         FROM orders o
+         WHERE EXISTS (
+           SELECT 1 FROM lineitem l
+           WHERE l.l_orderkey = o.o_orderkey
+             AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)""",
+    "q136_gap_fill" ->
+      """WITH daily AS (
+           SELECT user_id, ts::DATE AS day, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         spine AS (
+           SELECT user_id,
+                  unnest(generate_series(min(day), max(day),
+                         INTERVAL 1 DAY))::DATE AS day
+           FROM daily GROUP BY user_id)
+         SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+                coalesce(d.n, 0)::BIGINT AS n
+         FROM spine s LEFT JOIN daily d
+           ON s.user_id = d.user_id AND s.day = d.day""",
+    "q137_snapshot_diff" ->
+      """WITH a AS (
+           SELECT o_custkey, count(*) AS a_cnt FROM orders
+           WHERE o_orderdate < TIMESTAMP '2001-06-01' GROUP BY 1),
+         b AS (SELECT o_custkey, count(*) AS b_cnt FROM orders GROUP BY 1)
+         SELECT o_custkey,
+                coalesce(a_cnt, 0)::BIGINT AS a_cnt,
+                coalesce(b_cnt, 0)::BIGINT AS b_cnt,
+                CASE WHEN coalesce(a_cnt, 0) = 0 THEN 'added'
+                     WHEN coalesce(b_cnt, 0) = 0 THEN 'removed'
+                     WHEN coalesce(a_cnt, 0) = coalesce(b_cnt, 0) THEN 'same'
+                     ELSE 'changed' END AS status
+         FROM a FULL OUTER JOIN b USING (o_custkey)"""
+  )
+}
