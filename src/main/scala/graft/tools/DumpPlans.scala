@@ -24,7 +24,13 @@ object DumpPlans {
     "q57_asof_join" -> "as-of join: union + single sort per key timeline, no range explosion",
     "q69_contamination" -> "cross-source n-gram contamination: only (gram-hash, source) rows shuffle — document text never leaves its input partition",
     "q93_big_orders" -> "TPC-H Q18 shape: fact pre-aggregated to per-order keys before any join; customer broadcast onto the tiny heavy-order survivor set",
-    "q101_quantized_ann" -> "quantized ANN serving: per-dim stats embedded as plan literals (no stats join), query codes broadcast, scoring via the VecDotLong codegen loop")
+    "q101_quantized_ann" -> "quantized ANN serving: per-dim stats embedded as plan literals (no stats join), query codes broadcast, scoring via the VecDotLong codegen loop",
+    "q116_bloom_join" -> "bloom runtime filter: 128 KiB bitmap as a plan literal, probe is a map-side Filter in the fact's scan stage — the fact is pre-filtered BEFORE any join exchange",
+    "q121_gap_outliers" -> "distributed exact quantiles: range exchange + pid-grouped window + two-phase prefix-sum offsets; bracket rows filtered and interpolated — no one-reducer percentile buffer",
+    "q125_zorder_zonemap" -> "z-order zone map: Morton encode is one codegen projection; the zone aggregate is the only exchange in the plan",
+    "q127_band_join" -> "banded theta join: |va-vb|<=δ as an equi-join on ⌊cents/δ⌋ buckets (3-way fan-out) — no BroadcastNestedLoopJoin/CartesianProduct",
+    "q135_exists_decorrelated" -> "correlated EXISTS decorrelated: per-order max(l_shipdate) hash aggregate + equi-join — the non-equi semi join never becomes a nested loop",
+    "q115_tfidf" -> "TF-IDF: tf is the one corpus-sized shuffle; df joins by broadcast; the top-3 window is per-doc (WindowGroupLimit bounds it)")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

@@ -124,6 +124,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!pushed.contains("event_type"), s"partition key leaked into data filters: $pushed")
   }
 
+  test("q116: bloom probe filters the fact in its scan stage, before any join exchange") {
+    val p = plan("q116_bloom_join")
+    // the probe is a Filter of xxhash64 bit tests over the lineitem
+    // scan — if it ever migrates above the join, the fact shuffles
+    // unfiltered and the runtime-filter point is lost
+    val filterIdx = p.linesIterator.indexWhere(l =>
+      l.startsWith("Condition") && l.contains("xxhash64") && l.contains("l_orderkey"))
+    assert(filterIdx >= 0, "bloom probe filter missing from the plan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q127: banded theta join plans as an equi-join on buckets, not a nested loop") {
+    val p = plan("q127_band_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "band join must equi-join on the bucket key")
+  }
+
+  test("q135: decorrelated EXISTS has no nested-loop join") {
+    val p = plan("q135_exists_decorrelated")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("HashAggregate"), "expected the max(l_shipdate) pre-aggregate")
+  }
+
+  test("q125: Morton encode is a single codegen projection — one exchange total (the zone agg)") {
+    val p = plan("q125_zorder_zonemap")
+    // detail-section entries "(n) Exchange" — one per exchange
+    val exchanges = p.linesIterator.count(_.matches("""^\(\d+\) Exchange.*"""))
+    assert(exchanges == 1, s"expected exactly the aggregate exchange, got $exchanges\n$p")
+  }
+
   test("whole-stage codegen covers the KPI aggregate (no interpreted hot path)") {
     // AQE only annotates codegen stages on the executed plan
     val df = SparkEntry.queries("q11_genre_kpis")(spark, sf)
