@@ -159,6 +159,57 @@ object EtlOps {
           coalesce(col("n"), lit(0L)).as("n"))
     }),
 
+    // MapType surface: per-user (event_type → count) maps built with
+    // map_from_entries, thresholded with the higher-order map_filter,
+    // and exploded back to rows. The map content is order-insensitive
+    // (collect_list order nondeterminism cannot leak), so the
+    // flattened result oracles as plain GROUP BY ... HAVING.
+    "q138_map_ops" -> ((s, d) => {
+      val counts = Tables(s, d).events
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      counts.groupBy("user_id")
+        .agg(map_from_entries(collect_list(struct(col("event_type"), col("n"))))
+          .as("m"))
+        .select(col("user_id"),
+          explode(map_filter(col("m"), (_, v) => v >= 3)))
+        .select(col("user_id"), col("key").as("event_type"), col("value").as("n"))
+    }),
+
+    // Unpivot (melt) — the inverse of q49's pivot, via the native
+    // Dataset.unpivot operator. Zero cells materialized by the pivot
+    // become explicit rows, so the oracle is the dates × types spine
+    // left-joined to the counts.
+    "q139_unpivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivoted = Tables(s, d).events
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+        .pivot("event_type", types).count()
+      val filled = pivoted.select(col("d") +: types.map(t =>
+        coalesce(col(t), lit(0L)).as(t)): _*)
+      filled.unpivot(Array(col("d")), types.map(col).toArray, "event_type", "n")
+    }),
+
+    // Gaps-and-islands: maximal runs of consecutive same-type events
+    // per user via the rn − rn_by_type island key (two parallel
+    // windows over the same partition ordering — no extra shuffle
+    // beyond the user partition). Emits one row per run.
+    "q140_event_runs" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wt = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, d).events
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rnt", row_number().over(wt))
+        .withColumn("island", col("rn") - col("rnt"))
+        .groupBy(col("user_id"), col("event_type"), col("island"))
+        .agg(count(lit(1)).cast("long").as("run_len"),
+          min(col("event_id")).as("first_event"))
+        .select(col("user_id"), col("event_type"), col("run_len"),
+          col("first_event"))
+    }),
+
     // Snapshot diff — the regression-check operator for any
     // incremental pipeline: per-customer order counts at the cutoff
     // vs now, full-outer on the key, rows classified added/changed/
@@ -284,6 +335,29 @@ object EtlOps {
            SELECT 1 FROM lineitem l
            WHERE l.l_orderkey = o.o_orderkey
              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)""",
+    "q138_map_ops" ->
+      """SELECT user_id, event_type, count(*) AS n
+         FROM events GROUP BY 1, 2 HAVING count(*) >= 3""",
+    "q139_unpivot" ->
+      """WITH dts AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS d FROM events),
+         ty AS (SELECT unnest(['click','error','purchase','signup','view'])
+                  AS event_type),
+         c AS (SELECT strftime(ts, '%Y-%m-%d') AS d, event_type, count(*) AS n
+               FROM events GROUP BY 1, 2)
+         SELECT dts.d, ty.event_type, coalesce(c.n, 0)::BIGINT AS n
+         FROM dts CROSS JOIN ty
+         LEFT JOIN c ON c.d = dts.d AND c.event_type = ty.event_type""",
+    "q140_event_runs" ->
+      """WITH x AS (
+           SELECT user_id, event_type, event_id,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS rn,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) AS rnt
+           FROM events)
+         SELECT user_id, event_type, count(*) AS run_len,
+                min(event_id) AS first_event
+         FROM x GROUP BY user_id, event_type, rn - rnt""",
     "q136_gap_fill" ->
       """WITH daily AS (
            SELECT user_id, ts::DATE AS day, count(*) AS n

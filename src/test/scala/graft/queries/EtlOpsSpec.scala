@@ -63,6 +63,31 @@ class EtlOpsSpec extends AnyFunSuite {
     assert(total == Tables(spark, sf).events.count())
   }
 
+  test("q140: runs partition each user's timeline — lengths sum to type counts, maximality holds") {
+    val runs = SparkEntry.queries("q140_event_runs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // run lengths per (user, type) sum to that type's event count
+    val sums = runs.groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sum).toMap
+    val direct = Tables(spark, sf).events
+      .groupBy(col("user_id"), col("event_type")).count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(sums == direct)
+    // maximality: reconstruct each user's timeline; consecutive runs
+    // (by first_event order) must alternate event types
+    val ev = Tables(spark, sf).events
+      .select(col("user_id"), col("event_id"), col("ts")).collect()
+      .map(r => r.getLong(1) -> (r.getLong(0), r.getTimestamp(2).getTime))
+      .toMap
+    runs.groupBy(_._1).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(r => (ev(r._4)._2, r._4))
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a._2 != b._2,
+          s"adjacent runs share type ${a._2} — run not maximal")
+        case _ =>
+      }
+    }
+  }
+
   test("q137: statuses partition the key space and counts are consistent") {
     val rows = SparkEntry.queries("q137_snapshot_diff")(spark, sf).collect()
     assert(rows.nonEmpty)
