@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE-style merge training (Sennrich et al., "Neural
+  * Machine Translation of Rare Words with Subword Units", 2016) at
+  * token grain: each round counts adjacent symbol pairs across the
+  * corpus, promotes the most frequent pair to a new merged symbol,
+  * and re-segments every sequence greedily left-to-right.
+  *
+  * The distributed shape is the standard one for iterative
+  * vocabulary induction:
+  *   - pair counting is a corpus-wide explode + hash aggregate
+  *     (map-side partials; only (pair, count) rows shuffle);
+  *   - the argmax is ONE row pulled to the driver per round — the
+  *     same broadcast-a-scalar lifecycle as k-means centroids;
+  *   - merge application is a per-row `aggregate` fold (greedy
+  *     left-to-right, so "a a a" under merge (a,a) becomes
+  *     "(aa) a" — the accumulator's last element is already the
+  *     merged symbol and cannot re-merge);
+  *   - sequences are localCheckpointed per round, otherwise round k
+  *     would recompute every previous fold on each action.
+  *
+  * Determinism: argmax ties break on (count desc, left asc, right
+  * asc); the fold is order-deterministic per sequence. Not SQL-
+  * expressible (an iterative stateful fold), so the driver gate is
+  * rows-only; BpeTrainSpec proves the merge table equals a
+  * single-node reference implementation.
+  */
+object BpeTrain {
+
+  /** Separator inside merged symbols; must not occur in input
+    * tokens (asserted on a corpus sample at train start).
+    */
+  val Sep = "+"
+
+  /** Train `k` merges over `docs(textCol)` (whitespace-tokenized).
+    * Returns one row per merge: (rank, left, right, pair_count),
+    * rank 1 = first merge learned.
+    */
+  def train(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sample = docs.select(col(textCol)).limit(100)
+      .collect().map(_.getString(0))
+    require(!sample.exists(_.contains(Sep)),
+      s"separator '$Sep' occurs in input tokens — pick another")
+
+    var seqs = docs.select(split(col(textCol), " ").as("syms"))
+      .filter(size(col("syms")) >= 2)
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= k && !exhausted) {
+      val top = seqs
+        .select(explode(transform(sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, l, r, c))
+        val lq = l.replace("'", "''")
+        val rq = r.replace("'", "''")
+        seqs = seqs.select(expr(
+          s"""aggregate(syms, cast(array() as array<string>),
+                (acc, x) -> CASE
+                  WHEN size(acc) > 0 AND element_at(acc, -1) = '$lq' AND x = '$rq'
+                  THEN concat(slice(acc, 1, size(acc) - 1),
+                              array('$lq$Sep$rq'))
+                  ELSE concat(acc, array(x)) END)""").as("syms"))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("rank", "left", "right", "pair_count")
+      .select(col("rank").cast("long").as("rank"), col("left"),
+        col("right"), col("pair_count"))
+  }
+}

@@ -210,6 +210,22 @@ object EtlOps {
           col("first_event"))
     }),
 
+    // Exact money arithmetic in DECIMAL: inputs cast to decimal
+    // BEFORE any arithmetic, so products and sums are exact base-10
+    // — no float accumulation order, no round(x, k) discipline
+    // needed. The contrast operator to the double+round recipes:
+    // this is how a financial pipeline sums revenue.
+    "q142_decimal_agg" -> ((s, d) => {
+      val p = col("l_extendedprice").cast("decimal(12,2)")
+      val disc = col("l_discount").cast("decimal(4,2)")
+      Tables(s, d).lineitem
+        .select(col("l_returnflag"), p.as("p"), (p * (lit(1) - disc)).as("rev"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("p")).cast("decimal(38,2)").as("sum_price"),
+          sum(col("rev")).cast("decimal(38,4)").as("sum_rev"),
+          count(lit(1)).as("n"))
+    }),
+
     // Snapshot diff — the regression-check operator for any
     // incremental pipeline: per-customer order counts at the cutoff
     // vs now, full-outer on the key, rows classified added/changed/
@@ -335,6 +351,13 @@ object EtlOps {
            SELECT 1 FROM lineitem l
            WHERE l.l_orderkey = o.o_orderkey
              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)""",
+    "q142_decimal_agg" ->
+      """SELECT l_returnflag,
+                sum(l_extendedprice::DECIMAL(12,2))::DECIMAL(38,2) AS sum_price,
+                sum(l_extendedprice::DECIMAL(12,2)
+                    * (1 - l_discount::DECIMAL(4,2)))::DECIMAL(38,4) AS sum_rev,
+                count(*) AS n
+         FROM lineitem GROUP BY 1""",
     "q138_map_ops" ->
       """SELECT user_id, event_type, count(*) AS n
          FROM events GROUP BY 1, 2 HAVING count(*) >= 3""",

@@ -320,6 +320,15 @@ object TextOps {
           ((col("n_docs") - col("n_unique")).cast("double") /
             col("n_docs").cast("double")).as("dup_rate"))),
 
+    // BPE-style merge training (Sennrich et al. 2016) at token
+    // grain: 6 rounds of distributed pair counting + greedy
+    // re-segmentation (operators.BpeTrain). Iterative stateful fold
+    // — not SQL-expressible, so this is a rows-only gate; the merge
+    // table is proven against a single-node reference implementation
+    // in BpeTrainSpec.
+    "q141_bpe_train" -> ((s, d) =>
+      graft.operators.BpeTrain.train(Tables(s, d).documents, "text", k = 6)),
+
     // Token-association mining: top bigrams by PMI's exact-rational
     // core lift = c_xy·N / (c_x·c_y) (log omitted — monotone, so
     // the RANKING is exactly PMI's; the rational hash-matches

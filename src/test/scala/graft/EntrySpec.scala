@@ -27,11 +27,14 @@ class EntrySpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracle without query: $extra")
   }
 
-  test("rows-only queries are exactly the approximate ops") {
+  test("rows-only queries are exactly the approximate / non-SQL-expressible ops") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("q36_minhash_lsh", "q37_simhash",
       "q38_ngram_jaccard", "q42_ann_lsh", "q43_winnow_fp", "q44_ann_ivf",
-      "q48_source_signatures", "q59_corpus_clean"))
+      "q48_source_signatures", "q59_corpus_clean",
+      // deterministic but an iterative stateful fold — no SQL oracle;
+      // BpeTrainSpec proves it against a reference implementation
+      "q141_bpe_train"))
   }
 
   test("every query runs non-empty on sf0.001") {

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.{Tables, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The distributed merge trainer must equal a single-node reference
+  * BPE implementation exactly — same pair counts (overlaps counted,
+  * as in the published algorithm), same tie-breaks, same greedy
+  * left-to-right re-segmentation.
+  */
+class BpeTrainSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Reference single-node trainer over tokenized sequences. */
+  private def reference(corpus: Seq[Array[String]], k: Int): Seq[(Int, String, String, Long)] = {
+    var seqs = corpus.filter(_.length >= 2)
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    for (rank <- 1 to k) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      seqs.foreach(s => s.sliding(2).foreach {
+        case Array(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + 1L
+        case _ =>
+      })
+      if (counts.nonEmpty) {
+        val ((l, r), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((rank, l, r, c))
+        seqs = seqs.map { s =>
+          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+          s.foreach { x =>
+            if (acc.nonEmpty && acc.last == l && x == r) {
+              acc.remove(acc.length - 1); acc += s"$l${BpeTrain.Sep}$r"
+            } else acc += x
+          }
+          acc.toArray
+        }
+      }
+    }
+    out.result()
+  }
+
+  test("distributed merges ≡ reference on the real sf0.001 corpus") {
+    import spark.implicits._
+    val texts = Tables(spark, "/root/testdata/sf0.001").documents
+      .select("text").collect().map(_.getString(0))
+    val expect = reference(texts.map(_.split(" ")), k = 4)
+    val got = BpeTrain.train(
+      texts.toSeq.toDF("text"), "text", k = 4)
+      .collect().map(r => (r.getLong(0).toInt, r.getString(1),
+        r.getString(2), r.getLong(3))).toSeq
+    assert(got == expect)
+  }
+
+  test("greedy overlap semantics: 'a a a a' merges to two pairs, count includes overlaps") {
+    import spark.implicits._
+    val got = BpeTrain.train(Seq("a a a a").toDF("text"), "text", k = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", "a", 3L))) // 3 adjacent pairs counted
+    // and round 2 merges the two merged symbols
+    val got2 = BpeTrain.train(Seq("a a a a").toDF("text"), "text", k = 2)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(got2(1) == ("a+a", "a+a"))
+  }
+
+  test("merge learning is hierarchical: later merges build on earlier symbols") {
+    import spark.implicits._
+    val corpus = Seq.fill(10)("x y z").toDF("text")
+    val merges = BpeTrain.train(corpus, "text", k = 2).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    // (x,y) wins round 1 by tie-break; round 2 merges (x+y, z)
+    assert(merges(0) == ("x", "y", 10L))
+    assert(merges(1) == ("x+y", "z", 10L))
+  }
+}
