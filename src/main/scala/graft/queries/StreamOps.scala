@@ -72,6 +72,39 @@ object StreamOps {
       StreamingKpi.segmentCountsStreamStatic(
         s, s"$d/events.parquet", s"$d/customer.parquet")),
 
+    // APPEND-mode windowed aggregate: only FINALIZED windows reach
+    // the sink (emitted when the watermark passes their end) — q50's
+    // update-mode twin with the opposite output contract. The oracle
+    // encodes the eviction boundary: windows ending at most
+    // max(ts) − 1h tolerance.
+    "q143_stream_append_windows" -> ((s, d) =>
+      StreamingKpi.hourlyCountsAppend(s, s"$d/events.parquet")),
+
+    // Multi-source streaming union: two disjoint slices of the
+    // stream merged before one watermarked aggregate. Oracle: plain
+    // per-type counts (the union must be loss- and dup-free).
+    "q144_stream_union" -> ((s, d) =>
+      StreamingKpi.unionTypeCounts(s, s"$d/events.parquet")),
+
+    // Typed cogroup (KeyValueGroupedDataset.cogroup): reduce-side
+    // per-key imperative logic over two inputs — the "genuine
+    // per-partition imperative" escape hatch, used here to merge
+    // event and order activity per key. Oracle: full-outer of the
+    // two keyed counts.
+    "q145_cogroup" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      val ev = Tables(s, d).events.select(col("user_id")).as[Long]
+      val or = Tables(s, d).orders.select(col("o_custkey")).as[Long]
+      ev.groupByKey(identity).cogroup(or.groupByKey(identity)) {
+        (k, evs, ors) =>
+          var ne = 0L; var no = 0L
+          evs.foreach(_ => ne += 1)
+          ors.foreach(_ => no += 1)
+          Iterator((k, ne, no))
+      }.toDF("key", "n_events", "n_orders")
+    }),
+
     // Spark's built-in session_window operator: per-(user, session)
     // grain with the session start = first event, same 30-min gap.
     "q52_session_window" -> ((s, d) => {
@@ -161,6 +194,24 @@ object StreamOps {
       """SELECT c_mktsegment, event_type, count(*) AS n
          FROM events JOIN customer ON user_id = c_custkey
          GROUP BY 1, 2""",
+    "q143_stream_append_windows" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events)
+         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                  AS window_start,
+                event_type, count(*) AS n
+         FROM events, mx
+         WHERE date_trunc('hour', ts) <= date_trunc('hour', m - INTERVAL 2 HOUR)
+         GROUP BY 1, 2""",
+    "q144_stream_union" ->
+      """SELECT event_type, count(*) AS n FROM events GROUP BY 1""",
+    "q145_cogroup" ->
+      """WITH e AS (SELECT user_id AS key, count(*) AS n_events
+                    FROM events GROUP BY 1),
+         o AS (SELECT o_custkey AS key, count(*) AS n_orders
+               FROM orders GROUP BY 1)
+         SELECT key, coalesce(n_events, 0)::BIGINT AS n_events,
+                coalesce(n_orders, 0)::BIGINT AS n_orders
+         FROM e FULL OUTER JOIN o USING (key)""",
     // same contract as q51 by design (see the query comment)
     "q104_sessionize_tws" ->
       """WITH x AS (

@@ -246,6 +246,67 @@ object StreamingKpi {
         .agg(count(lit(1)).as("n"))
     }, Seq("c_mktsegment", "event_type"))
 
+  /** APPEND-mode windowed aggregate — the other output contract
+    * (q50 is update mode): a window row is emitted exactly once,
+    * when the watermark passes its end, so the sink receives only
+    * FINALIZED windows. The trailing no-data micro-batch is
+    * required here (enabled by default; q50's drain disables it):
+    * the data batch advances the watermark, the no-data batch
+    * flushes the windows that fell behind it. Windows newer than
+    * max(event_time) − tolerance stay open and are correctly
+    * absent — the oracle encodes that eviction boundary.
+    */
+  def hourlyCountsAppend(
+      spark: SparkSession,
+      eventsPath: String,
+      latenessTolerance: String = "1 hour"): DataFrame = {
+    val workDir = tempWorkDir("graft-q143-")
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = scoped.readStream
+      .schema(eventsSchema)
+      .parquet(stageAsDir(eventsPath))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", latenessTolerance)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$workDir/out")
+      .option("checkpointLocation", s"$workDir/checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$workDir/out")
+  }
+
+  /** Streaming multi-source topology: two streams (here: disjoint
+    * type slices of the event stream) unioned before one stateful
+    * aggregate — the union is a stateless merge of sources, the
+    * watermark is computed across BOTH inputs.
+    */
+  def unionTypeCounts(
+      spark: SparkSession,
+      eventsPath: String,
+      latenessTolerance: String = "1 hour"): DataFrame =
+    upsertDrain(spark, "graft-q144-", { s =>
+      def src = s.readStream
+        .schema(eventsSchema)
+        .parquet(stageAsDir(eventsPath))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val interactive = src.filter(col("event_type").isin("click", "view"))
+      val rest = src.filter(!col("event_type").isin("click", "view"))
+      interactive.unionByName(rest)
+        .withWatermark("ts", latenessTolerance)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }, Seq("event_type"))
+
   /** Stream–stream inner join: clicks joined to the same user's
     * purchases within the following hour, both sides watermarked so
     * the join state is bounded (a click older than the watermark +
