@@ -226,6 +226,61 @@ object EtlOps {
           count(lit(1)).as("n"))
     }),
 
+    // Malformed-record handling on ingest: a JSONL staging of the
+    // corpus with a deterministic 10% of lines corrupted, read back
+    // PERMISSIVE with a corrupt-record column — the quarantine
+    // pattern every ingest pipeline needs (bad rows counted and
+    // kept, never silently dropped). Oracle recomputes the planted
+    // corruption rule from the clean table.
+    "q147_corrupt_records" -> ((s, d) => {
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft-q147-" + Integer.toHexString(d.hashCode)).toString
+      Tables(s, d).documents.select(
+        when(pmod(col("doc_id"), lit(10)) === 7,
+          concat(lit("{\"doc_id\": "), col("doc_id"), lit(", \"n_tokens\": #broken")))
+          .otherwise(to_json(struct(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))))
+          .as("value"))
+        .write.mode("overwrite").text(dir)
+      s.read.schema("doc_id LONG, n_tokens LONG, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(dir)
+        .agg(
+          sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_bad"),
+          sum(when(col("_corrupt_record").isNull, col("n_tokens"))
+            .otherwise(0L)).as("good_tokens"))
+    }),
+
+    // Spark 4 VARIANT: semi-structured props parsed once into the
+    // binary variant encoding, typed extraction via variant_get —
+    // the schema-on-read path that replaces per-query JSON string
+    // parsing. Oracle: DuckDB's JSON extraction over the same
+    // strings.
+    "q148_variant_json" -> ((s, d) =>
+      Tables(s, d).events
+        .select(expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))),
+
+    // Running distinct count over a window — DISTINCT isn't legal in
+    // window frames, so this is the standard first-occurrence-flag
+    // construction: rank within (user, type) marks the first sight,
+    // a running sum of flags over the user timeline counts the
+    // distinct types seen so far. Both engines build it identically.
+    "q149_running_distinct" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wType = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, d).events
+        .withColumn("first_flag",
+          when(row_number().over(wType) === 1, 1L).otherwise(0L))
+        .withColumn("types_seen", sum(col("first_flag")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("event_id"), col("user_id"), col("types_seen"))
+    }),
+
     // Snapshot diff — the regression-check operator for any
     // incremental pipeline: per-customer order counts at the cutoff
     // vs now, full-outer on the key, rows classified added/changed/
@@ -358,6 +413,30 @@ object EtlOps {
                     * (1 - l_discount::DECIMAL(4,2)))::DECIMAL(38,4) AS sum_rev,
                 count(*) AS n
          FROM lineitem GROUP BY 1""",
+    "q147_corrupt_records" ->
+      """SELECT sum(CASE WHEN doc_id % 10 <> 7 THEN 1 ELSE 0 END)::BIGINT AS n_good,
+                sum(CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END)::BIGINT AS n_bad,
+                sum(CASE WHEN doc_id % 10 <> 7
+                         THEN len(string_split(text, ' ')) ELSE 0 END)::BIGINT
+                  AS good_tokens
+         FROM documents""",
+    "q148_variant_json" ->
+      """SELECT json_extract(props, '$.k')::BIGINT AS k, count(*) AS n
+         FROM events GROUP BY 1""",
+    "q149_running_distinct" ->
+      """WITH x AS (
+           SELECT event_id, user_id,
+                  CASE WHEN row_number() OVER (
+                         PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id) = 1
+                       THEN 1 ELSE 0 END AS first_flag,
+                  ts
+           FROM events)
+         SELECT event_id, user_id,
+                sum(first_flag) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)::BIGINT
+                  AS types_seen
+         FROM x""",
     "q138_map_ops" ->
       """SELECT user_id, event_type, count(*) AS n
          FROM events GROUP BY 1, 2 HAVING count(*) >= 3""",

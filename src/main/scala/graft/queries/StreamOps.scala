@@ -86,6 +86,13 @@ object StreamOps {
     "q144_stream_union" -> ((s, d) =>
       StreamingKpi.unionTypeCounts(s, s"$d/events.parquet")),
 
+    // Stream–stream LEFT OUTER join: matches emit immediately,
+    // unmatched clicks emit with null purchase at state eviction —
+    // the join matrix's third member (inner q94, stream-static
+    // q128). Oracle encodes the null-emission horizon.
+    "q146_stream_left_join" -> ((s, d) =>
+      StreamingKpi.clickPurchaseLeftJoin(s, s"$d/events.parquet")),
+
     // Typed cogroup (KeyValueGroupedDataset.cogroup): reduce-side
     // per-key imperative logic over two inputs — the "genuine
     // per-partition imperative" escape hatch, used here to merge
@@ -204,6 +211,24 @@ object StreamOps {
          GROUP BY 1, 2""",
     "q144_stream_union" ->
       """SELECT event_type, count(*) AS n FROM events GROUP BY 1""",
+    "q146_stream_left_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts AS cts
+                    FROM events WHERE event_type = 'click'),
+         p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS pts
+               FROM events WHERE event_type = 'purchase'),
+         wm AS (SELECT least((SELECT epoch_us(max(cts)) // 1000 FROM c),
+                             (SELECT epoch_us(max(pts)) // 1000 FROM p))
+                       - 3600000 AS wm_ms),
+         m AS (SELECT c.user_id, c.click_id, p.purchase_id, c.cts
+               FROM c JOIN p ON c.user_id = p.p_user
+                 AND p.pts >= c.cts AND p.pts < c.cts + INTERVAL 1 HOUR),
+         um AS (SELECT c.user_id, c.click_id, NULL::BIGINT AS purchase_id
+                FROM c, wm
+                WHERE c.click_id NOT IN (SELECT click_id FROM m)
+                  AND epoch_us(c.cts) + 3600000000 < wm_ms * 1000)
+         SELECT user_id, click_id, purchase_id FROM m
+         UNION ALL
+         SELECT user_id, click_id, purchase_id FROM um""",
     "q145_cogroup" ->
       """WITH e AS (SELECT user_id AS key, count(*) AS n_events
                     FROM events GROUP BY 1),

@@ -355,6 +355,53 @@ object StreamingKpi {
     spark.read.parquet(s"$workDir/out")
   }
 
+  /** Stream–stream LEFT OUTER join — completes the streaming join
+    * matrix (inner q94, stream–static q128): matches emit in their
+    * micro-batch; an UNMATCHED click emits with null purchase only
+    * once the joint watermark proves no future purchase can match
+    * (click_ts + interval behind the watermark), i.e. at state
+    * eviction during the trailing no-data batch. Clicks still inside
+    * the matchable horizon are correctly absent; the oracle encodes
+    * that boundary (joint watermark = min of both streams' max event
+    * time, ms-floored, minus the tolerance).
+    */
+  def clickPurchaseLeftJoin(
+      spark: SparkSession,
+      eventsPath: String,
+      latenessTolerance: String = "1 hour"): DataFrame = {
+    val workDir = tempWorkDir("graft-q146-")
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    def src = scoped.readStream
+      .schema(eventsSchema)
+      .parquet(stageAsDir(eventsPath))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", latenessTolerance)
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", latenessTolerance)
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$workDir/out")
+      .option("checkpointLocation", s"$workDir/checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$workDir/out")
+  }
+
   /** Stage a file as a directory holding TWO copies (deterministic
     * duplicate delivery). Content-addressed like [[stageAsDir]] —
     * bounded across re-runs.
