@@ -281,6 +281,38 @@ object EtlOps {
         .select(col("event_id"), col("user_id"), col("types_seen"))
     }),
 
+    // Dynamic partition pruning: the fact is laid out partitioned by
+    // day; the dim side (top-5 busiest days) is only known at
+    // RUNTIME, so static pruning can't help — Spark injects a
+    // dynamic-pruning subquery into the partitioned scan (reusing
+    // the broadcast), and only 5 of the ~30 day directories are
+    // read. At 100 TB this is THE mechanism that makes
+    // fact-to-selective-dim joins viable on partitioned lakes.
+    // PlanSpec pins the dynamicpruning expression in the scan.
+    "q150_dpp" -> ((s, d) => {
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft-q150-" + Integer.toHexString(d.hashCode)).toString
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
+        Tables(s, d).events
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+          .write.mode("overwrite").partitionBy("day").parquet(dir)
+      val fact = s.read.parquet(dir)
+      val wTop = Window.orderBy(col("n").desc, col("day"))
+      val top5 = Tables(s, d).events
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 5).select(col("day"))
+      fact.join(broadcast(top5), Seq("day"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        // partition-column type inference may read `day` back as DATE;
+        // pin the output contract to the string form either way
+        .select(col("day").cast("string").as("day"),
+          col("n_events"), col("total_value"))
+    }),
+
     // Snapshot diff — the regression-check operator for any
     // incremental pipeline: per-customer order counts at the cutoff
     // vs now, full-outer on the key, rows classified added/changed/
@@ -413,6 +445,18 @@ object EtlOps {
                     * (1 - l_discount::DECIMAL(4,2)))::DECIMAL(38,4) AS sum_rev,
                 count(*) AS n
          FROM lineitem GROUP BY 1""",
+    "q150_dpp" ->
+      """WITH daily AS (
+           SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+           FROM events GROUP BY 1),
+         top5 AS (
+           SELECT day FROM daily
+           QUALIFY row_number() OVER (ORDER BY n DESC, day) <= 5)
+         SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
+                round(sum(value), 2) AS total_value
+         FROM events
+         WHERE strftime(ts, '%Y-%m-%d') IN (SELECT day FROM top5)
+         GROUP BY 1""",
     "q147_corrupt_records" ->
       """SELECT sum(CASE WHEN doc_id % 10 <> 7 THEN 1 ELSE 0 END)::BIGINT AS n_good,
                 sum(CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END)::BIGINT AS n_bad,

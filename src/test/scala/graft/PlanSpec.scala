@@ -154,6 +154,13 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly the aggregate exchange, got $exchanges\n$p")
   }
 
+  test("q150: the partitioned fact scan carries a dynamic-pruning partition filter") {
+    val df = SparkEntry.queries("q150_dpp")(spark, sf)
+    df.collect() // DPP subquery shows on the executed plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"), p.take(800))
+  }
+
   test("whole-stage codegen covers the KPI aggregate (no interpreted hot path)") {
     // AQE only annotates codegen stages on the executed plan
     val df = SparkEntry.queries("q11_genre_kpis")(spark, sf)
