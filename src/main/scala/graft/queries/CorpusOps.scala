@@ -192,6 +192,36 @@ object CorpusOps {
             greatest(col("seq_id") * cap, col("start"))).as("n_tokens_in_seq"))
     }),
 
+    // Deterministic negative sampling for contrastive training: each
+    // test-split anchor gets 3 negatives drawn from a BOUNDED,
+    // hash-selected train-split pool (32 docs, broadcast), ranked by
+    // a per-(anchor, candidate) hash with a different-source
+    // constraint. The bounded pool is what makes this linear — the
+    // naive anchors × corpus ranking is quadratic; a 32-row
+    // broadcast pool caps per-anchor work at 32 comparisons at any
+    // corpus size. Same split rule as q73 (md5 first hex digit).
+    "q151_negative_sampling" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val split = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val anchors = docs.filter(split > "d")
+        .select(col("doc_id").as("anchor_id"), col("source").as("a_src"))
+      val wPool = org.apache.spark.sql.expressions.Window
+        .orderBy(md5(concat(lit("pool:"), col("doc_id").cast("string"))),
+          col("doc_id"))
+      val pool = docs.filter(split <= "b")
+        .withColumn("prk", row_number().over(wPool))
+        .filter(col("prk") <= 32)
+        .select(col("doc_id").as("cand_id"), col("source").as("c_src"))
+      val wA = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("anchor_id")).orderBy(col("h"), col("cand_id"))
+      anchors.join(broadcast(pool), col("a_src") =!= col("c_src"))
+        .withColumn("h", md5(concat(col("anchor_id").cast("string"),
+          lit(":"), col("cand_id").cast("string"))))
+        .withColumn("rk", row_number().over(wA).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("anchor_id"), col("cand_id").as("neg_id"), col("rk"))
+    }),
+
     "q77_jsonl_source" -> ((s, d) => {
       val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft-q77-" + Integer.toHexString(d.hashCode)).toString
@@ -205,6 +235,29 @@ object CorpusOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q151_negative_sampling" ->
+      """WITH sp AS (
+           SELECT doc_id, source, substring(md5(doc_id::VARCHAR), 1, 1) AS s
+           FROM documents),
+         anchors AS (
+           SELECT doc_id AS anchor_id, source AS a_src FROM sp WHERE s > 'd'),
+         pool AS (
+           SELECT doc_id AS cand_id, source AS c_src FROM (
+             SELECT doc_id, source,
+                    row_number() OVER (
+                      ORDER BY md5('pool:' || doc_id::VARCHAR), doc_id) AS prk
+             FROM sp WHERE s <= 'b')
+           WHERE prk <= 32),
+         j AS (
+           SELECT anchor_id, cand_id,
+                  md5(anchor_id::VARCHAR || ':' || cand_id::VARCHAR) AS h
+           FROM anchors JOIN pool ON a_src <> c_src)
+         SELECT anchor_id, cand_id AS neg_id, rk FROM (
+           SELECT anchor_id, cand_id,
+                  row_number() OVER (
+                    PARTITION BY anchor_id ORDER BY h, cand_id)::BIGINT AS rk
+           FROM j)
+         WHERE rk <= 3""",
     "q106_sequence_pack" ->
       """WITH d AS (
            SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n
