@@ -313,6 +313,48 @@ object EtlOps {
           col("n_events"), col("total_value"))
     }),
 
+    // Data-quality expectations: a rule suite evaluated in ONE
+    // aggregation pass over the table (null checks, domain checks,
+    // uniqueness, bounds), then unpivoted to a per-rule report via
+    // the stack() generator. Integer observations + integer
+    // thresholds — the report hash-matches; a real deployment gates
+    // the pipeline on `pass`.
+    "q152_expectations" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      val agg = ev.agg(
+        sum(when(col("event_id").isNull, 1L).otherwise(0L)).as("o1"),
+        (count(lit(1)) - countDistinct(col("event_id"))).as("o2"),
+        sum(when(!col("event_type").isin(
+          "click", "view", "purchase", "signup", "error"), 1L)
+          .otherwise(0L)).as("o3"),
+        sum(when(col("value") < 0.0 || col("value").isNull, 1L)
+          .otherwise(0L)).as("o4"),
+        sum(when(col("user_id") < 0L, 1L).otherwise(0L)).as("o5"))
+      agg.select(expr(
+        """stack(5,
+             'event_id_not_null', o1,
+             'event_id_unique', o2,
+             'event_type_in_domain', o3,
+             'value_non_negative', o4,
+             'user_id_non_negative', o5) AS (rule, violations)"""))
+        .withColumn("pass", col("violations") === 0L)
+    }),
+
+    // Day-over-day spike detection on event volume: exact integer
+    // ratio test (n·10 > prev·13 ⟺ +30%), lag over the tiny daily
+    // aggregate — the alerting query every ingest pipeline runs.
+    "q153_spike_detection" -> ((s, d) => {
+      val daily = Tables(s, d).events
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("day")) // daily grain: tiny window
+      daily.withColumn("prev", lag(col("n"), 1).over(w))
+        .select(col("day"), col("n"),
+          coalesce(col("prev"), lit(0L)).as("prev"),
+          (col("prev").isNotNull && col("n") * 10 > col("prev") * 13)
+            .as("spike"))
+    }),
+
     // Snapshot diff — the regression-check operator for any
     // incremental pipeline: per-customer order counts at the cutoff
     // vs now, full-outer on the key, rows classified added/changed/
@@ -445,6 +487,32 @@ object EtlOps {
                     * (1 - l_discount::DECIMAL(4,2)))::DECIMAL(38,4) AS sum_rev,
                 count(*) AS n
          FROM lineitem GROUP BY 1""",
+    "q152_expectations" ->
+      """WITH a AS (
+           SELECT
+             sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS o1,
+             (count(*) - count(DISTINCT event_id))::BIGINT AS o2,
+             sum(CASE WHEN event_type NOT IN
+                   ('click','view','purchase','signup','error')
+                 THEN 1 ELSE 0 END)::BIGINT AS o3,
+             sum(CASE WHEN value < 0 OR value IS NULL THEN 1 ELSE 0 END)::BIGINT AS o4,
+             sum(CASE WHEN user_id < 0 THEN 1 ELSE 0 END)::BIGINT AS o5
+           FROM events)
+         SELECT rule, violations, violations = 0 AS pass FROM (
+           SELECT 'event_id_not_null' AS rule, o1 AS violations FROM a
+           UNION ALL SELECT 'event_id_unique', o2 FROM a
+           UNION ALL SELECT 'event_type_in_domain', o3 FROM a
+           UNION ALL SELECT 'value_non_negative', o4 FROM a
+           UNION ALL SELECT 'user_id_non_negative', o5 FROM a)""",
+    "q153_spike_detection" ->
+      """WITH daily AS (
+           SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+           FROM events GROUP BY 1)
+         SELECT day, n,
+                coalesce(lag(n) OVER (ORDER BY day), 0)::BIGINT AS prev,
+                (lag(n) OVER (ORDER BY day) IS NOT NULL
+                   AND n * 10 > lag(n) OVER (ORDER BY day) * 13) AS spike
+         FROM daily""",
     "q150_dpp" ->
       """WITH daily AS (
            SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
