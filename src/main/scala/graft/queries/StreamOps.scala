@@ -93,6 +93,13 @@ object StreamOps {
     "q146_stream_left_join" -> ((s, d) =>
       StreamingKpi.clickPurchaseLeftJoin(s, s"$d/events.parquet")),
 
+    // Stream–stream FULL OUTER join: unmatched rows from BOTH sides
+    // emit null-joined at state eviction — each side with its own
+    // horizon (clicks: cts + interval behind the watermark;
+    // purchases: pts itself behind it).
+    "q154_stream_full_join" -> ((s, d) =>
+      StreamingKpi.clickPurchaseFullJoin(s, s"$d/events.parquet")),
+
     // Typed cogroup (KeyValueGroupedDataset.cogroup): reduce-side
     // per-key imperative logic over two inputs — the "genuine
     // per-partition imperative" escape hatch, used here to merge
@@ -211,6 +218,29 @@ object StreamOps {
          GROUP BY 1, 2""",
     "q144_stream_union" ->
       """SELECT event_type, count(*) AS n FROM events GROUP BY 1""",
+    "q154_stream_full_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts AS cts
+                    FROM events WHERE event_type = 'click'),
+         p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS pts
+               FROM events WHERE event_type = 'purchase'),
+         wm AS (SELECT least((SELECT epoch_us(max(cts)) // 1000 FROM c),
+                             (SELECT epoch_us(max(pts)) // 1000 FROM p))
+                       - 3600000 AS wm_ms),
+         m AS (SELECT c.user_id, c.click_id, p.purchase_id
+               FROM c JOIN p ON c.user_id = p.p_user
+                 AND p.pts >= c.cts AND p.pts < c.cts + INTERVAL 1 HOUR),
+         uc AS (SELECT c.user_id, c.click_id, NULL::BIGINT AS purchase_id
+                FROM c, wm
+                WHERE c.click_id NOT IN (SELECT click_id FROM m)
+                  AND epoch_us(c.cts) + 3600000000 < wm_ms * 1000),
+         up AS (SELECT p.p_user AS user_id, NULL::BIGINT AS click_id,
+                       p.purchase_id
+                FROM p, wm
+                WHERE p.purchase_id NOT IN (SELECT purchase_id FROM m)
+                  AND epoch_us(p.pts) < wm_ms * 1000)
+         SELECT user_id, click_id, purchase_id FROM m
+         UNION ALL SELECT * FROM uc
+         UNION ALL SELECT * FROM up""",
     "q146_stream_left_join" ->
       """WITH c AS (SELECT event_id AS click_id, user_id, ts AS cts
                     FROM events WHERE event_type = 'click'),
