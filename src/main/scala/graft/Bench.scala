@@ -30,7 +30,9 @@ object Bench {
     // passes whose cost scales with corpus bytes (tf-idf, span
     // fingerprints, PMI)
     "q116_bloom_join", "q117_heavy_hitters", "q121_gap_outliers",
-    "q115_tfidf", "q119_span_dedup", "q124_pmi_bigrams")
+    "q115_tfidf", "q119_span_dedup", "q124_pmi_bigrams",
+    // layout + non-equi join shapes
+    "q150_dpp", "q127_band_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
