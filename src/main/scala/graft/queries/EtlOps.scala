@@ -355,6 +355,26 @@ object EtlOps {
             .as("spike"))
     }),
 
+    // Pipeline observability via observe()/CollectMetrics: the
+    // metrics ride the SAME pass as the observed action — no second
+    // scan — and surface on the driver through Observation. The gate
+    // emits them as a row and oracles against direct aggregates,
+    // proving the zero-extra-pass numbers are the real ones.
+    "q155_observe" -> ((s, d) => {
+      val obs = org.apache.spark.sql.Observation(s"q155-${d.hashCode}-${System.nanoTime}")
+      val df = Tables(s, d).events.observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("value") > 400.0, 1L).otherwise(0L)).as("n_high"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      df.write.mode("overwrite").format("noop").save()
+      val row = obs.get
+      import s.implicits._
+      Seq((row("n_rows").asInstanceOf[Long], row("n_high").asInstanceOf[Long],
+        row("min_id").asInstanceOf[Long], row("max_id").asInstanceOf[Long]))
+        .toDF("n_rows", "n_high", "min_id", "max_id")
+    }),
+
     // Snapshot diff — the regression-check operator for any
     // incremental pipeline: per-customer order counts at the cutoff
     // vs now, full-outer on the key, rows classified added/changed/
@@ -487,6 +507,11 @@ object EtlOps {
                     * (1 - l_discount::DECIMAL(4,2)))::DECIMAL(38,4) AS sum_rev,
                 count(*) AS n
          FROM lineitem GROUP BY 1""",
+    "q155_observe" ->
+      """SELECT count(*) AS n_rows,
+                sum(CASE WHEN value > 400 THEN 1 ELSE 0 END)::BIGINT AS n_high,
+                min(event_id) AS min_id, max(event_id) AS max_id
+         FROM events""",
     "q152_expectations" ->
       """WITH a AS (
            SELECT
