@@ -42,9 +42,10 @@ object BpeTrain {
   def train(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     val spark = docs.sparkSession
     require(k >= 1, s"k must be >= 1, got $k")
-    val sample = docs.select(col(textCol)).limit(100)
-      .collect().map(_.getString(0))
-    require(!sample.exists(_.contains(Sep)),
+    // exact (full-scan) collision guard: a sampled check would let a
+    // late-occurring separator silently alias merged symbols with
+    // real tokens
+    require(docs.filter(col(textCol).contains(Sep)).limit(1).count() == 0,
       s"separator '$Sep' occurs in input tokens — pick another")
 
     var seqs = docs.select(split(col(textCol), " ").as("syms"))
@@ -66,8 +67,11 @@ object BpeTrain {
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank, l, r, c))
-        val lq = l.replace("'", "''")
-        val rq = r.replace("'", "''")
+        // Spark SQL string literals treat backslash as an escape —
+        // escape it FIRST, then the quote
+        def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+        val lq = esc(l)
+        val rq = esc(r)
         seqs = seqs.select(expr(
           s"""aggregate(syms, cast(array() as array<string>),
                 (acc, x) -> CASE

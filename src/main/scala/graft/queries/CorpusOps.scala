@@ -205,12 +205,12 @@ object CorpusOps {
       val split = substring(md5(col("doc_id").cast("string")), 1, 1)
       val anchors = docs.filter(split > "d")
         .select(col("doc_id").as("anchor_id"), col("source").as("a_src"))
-      val wPool = org.apache.spark.sql.expressions.Window
-        .orderBy(md5(concat(lit("pool:"), col("doc_id").cast("string"))),
-          col("doc_id"))
+      // orderBy + limit plans as a parallel TakeOrderedAndProject —
+      // never a single-reducer global window just to pick 32 rows
       val pool = docs.filter(split <= "b")
-        .withColumn("prk", row_number().over(wPool))
-        .filter(col("prk") <= 32)
+        .select(col("doc_id"), col("source"),
+          md5(concat(lit("pool:"), col("doc_id").cast("string"))).as("ph"))
+        .orderBy(col("ph"), col("doc_id")).limit(32)
         .select(col("doc_id").as("cand_id"), col("source").as("c_src"))
       val wA = org.apache.spark.sql.expressions.Window
         .partitionBy(col("anchor_id")).orderBy(col("h"), col("cand_id"))

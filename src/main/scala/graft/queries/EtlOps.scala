@@ -14,19 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object EtlOps {
 
-  /** Session ids per event at a 30-minute gap (the q51 contract):
-    * (user_id, sid, event columns...). Shared by q133.
+  /** Session ids per event at a 30-minute gap — ONE source of truth:
+    * Sessionize.withSessionIds (the q51/q81/q104 contract), renamed
+    * to the local `sid` column. Shared by q133.
     */
-  private def withSessionIds(ev: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    ev.withColumn("tsu", unix_micros(col("ts")))
-      .withColumn("prev", lag(col("tsu"), 1).over(w))
-      .withColumn("new_s",
-        when(col("prev").isNull || col("tsu") - col("prev") > 1800000000L, 1L)
-          .otherwise(0L))
-      .withColumn("sid", sum(col("new_s")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-  }
+  private def withSessionIds(ev: DataFrame): DataFrame =
+    graft.streaming.Sessionize.withSessionIds(ev, gapMinutes = 30)
+      .withColumnRenamed("session_id", "sid")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -38,7 +32,9 @@ object EtlOps {
     // per-round localCheckpoint truncates the join lineage.
     "q131_bfs_hops" -> ((s, d) => {
       val toks = split(col("text"), " ")
-      val docs = Tables(s, d).documents
+      // single-file parquet arrives as ONE partition — fan out before
+      // the interpreted transform/explode pass (CLAUDE.md guard)
+      val docs = TextOps.parallelized(Tables(s, d).documents)
       val occ = docs.filter(size(toks) >= 2)
         .select(explode(transform(sequence(lit(1), size(toks) - 1),
           i => struct(element_at(toks, i).as("w1"),
@@ -292,10 +288,11 @@ object EtlOps {
     "q150_dpp" -> ((s, d) => {
       val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft-q150-" + Integer.toHexString(d.hashCode)).toString
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
-        Tables(s, d).events
-          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-          .write.mode("overwrite").partitionBy("day").parquet(dir)
+      // always rewrite: a marker-file cache would go stale if the
+      // source table changes under the same path
+      Tables(s, d).events
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.mode("overwrite").partitionBy("day").parquet(dir)
       val fact = s.read.parquet(dir)
       val wTop = Window.orderBy(col("n").desc, col("day"))
       val top5 = Tables(s, d).events
@@ -435,8 +432,12 @@ object EtlOps {
            SELECT event_id, user_id, ts FROM events
            WHERE event_type = 'purchase'),
          c AS (
-           SELECT user_id AS c_user, event_id AS c_id, ts AS c_ts FROM events
-           WHERE event_type = 'click'),
+           -- collapse same-(user, ts) clicks to max(event_id) BEFORE the
+           -- ASOF join: DuckDB's ASOF has no tie-break among equal
+           -- timestamps, while AsOfJoin deterministically keeps the max
+           -- struct — pre-collapsing makes both total-ordered
+           SELECT user_id AS c_user, max(event_id) AS c_id, ts AS c_ts
+           FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
          j AS (
            SELECT p.event_id, p.user_id, p.ts, c.c_id, c.c_ts
            FROM p ASOF LEFT JOIN c

@@ -16,23 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object ScaleOps {
 
-  /** Sessions as half-open intervals [s_start, s_end] per user at a
+  /** Sessions as intervals [s_start, s_end] (epoch µs) per user at a
     * 30-minute inactivity gap — the interval form of q51's
-    * sessionization (same flag + running-sum windows).
+    * sessionization, built on the SAME Sessionize.withSessionIds
+    * assignment so the contracts can never drift apart.
     */
-  private def sessionIntervals(ev: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.select(col("user_id"), col("event_id"), col("ts"),
-      unix_micros(col("ts")).as("tsu"))
-      .withColumn("prev", lag(col("tsu"), 1).over(w))
-      .withColumn("new_s",
-        when(col("prev").isNull || col("tsu") - col("prev") > 1800000000L, 1L)
-          .otherwise(0L))
-      .withColumn("sid", sum(col("new_s")).over(wRun))
-      .groupBy(col("user_id"), col("sid"))
-      .agg(min(col("tsu")).as("s_start"), max(col("tsu")).as("s_end"))
-  }
+  private def sessionIntervals(ev: DataFrame): DataFrame =
+    graft.streaming.Sessionize.withSessionIds(ev, gapMinutes = 30)
+      .groupBy(col("user_id"), col("session_id").as("sid"))
+      .agg(min(unix_micros(col("ts"))).as("s_start"),
+        max(unix_micros(col("ts"))).as("s_end"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -195,7 +188,9 @@ object ScaleOps {
       val scale = 1000000000L
       val base = scale * 15L / 100L
       val toks = split(col("text"), " ")
-      val docs = Tables(s, d).documents
+      // fan out the single-partition parquet before the interpreted
+      // transform/explode tokenize pass (CLAUDE.md guard)
+      val docs = TextOps.parallelized(Tables(s, d).documents)
       val occ = docs.filter(size(toks) >= 2)
         .select(explode(transform(sequence(lit(1), size(toks) - 1),
           i => struct(element_at(toks, i).as("w1"),

@@ -26,7 +26,7 @@ object TextOps {
     * Dedup.parallelized — same guard). No-op on real multi-file
     * inputs.
     */
-  private def parallelized(df: DataFrame): DataFrame = {
+  private[queries] def parallelized(df: DataFrame): DataFrame = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < math.max(parallelism / 2, 1))
       df.repartition(parallelism)
@@ -344,10 +344,12 @@ object TextOps {
         .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       val bi = occ.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
         .filter(col("c_xy") >= 5)
-      val uniAll = parallelized(Tables(s, d).documents)
+      val uni = parallelized(Tables(s, d).documents)
         .select(explode(tokens).as("tok"))
-      val uni = uniAll.groupBy("tok").agg(count(lit(1)).as("c"))
-      val nTok = uniAll.agg(count(lit(1)).as("n_tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      // total tokens from the vocab-sized aggregate — no second
+      // corpus explode
+      val nTok = uni.agg(sum(col("c")).as("n_tok"))
       bi.join(broadcast(uni.select(col("tok").as("w1"), col("c").as("c1"))), "w1")
         .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("c2"))), "w2")
         .crossJoin(nTok) // 1 row

@@ -23,7 +23,7 @@ object Sessionize {
   /** Shared session assignment: per-user gap flags plus a running
     * session ordinal — one shuffle on user_id, all window functions.
     */
-  private def withSessionIds(events: DataFrame, gapMinutes: Int): DataFrame = {
+  private[graft] def withSessionIds(events: DataFrame, gapMinutes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     events
