@@ -222,6 +222,24 @@ object CorpusOps {
         .select(col("anchor_id"), col("cand_id").as("neg_id"), col("rk"))
     }),
 
+    // Length-bucketed batching for inference/training: docs grouped
+    // into token-length buckets (pad waste bounded by the bucket
+    // width), then deterministic batch ids of 8 within each bucket.
+    // The batch-id window runs PER BUCKET — parallel across buckets,
+    // never a global sequence.
+    "q156_length_batching" -> ((s, d) => {
+      val nTok = size(split(col("text"), " "))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket")).orderBy(col("doc_id"))
+      Tables(s, d).documents
+        .select(col("doc_id"), nTok.cast("long").as("n_tokens"))
+        .withColumn("bucket", expr("n_tokens div 16"))
+        .withColumn("batch_in_bucket",
+          expr("(row_number() over (partition by bucket order by doc_id) - 1) div 8"))
+        .select(col("doc_id"), col("n_tokens"), col("bucket"),
+          col("batch_in_bucket").cast("long").as("batch_in_bucket"))
+    }),
+
     "q77_jsonl_source" -> ((s, d) => {
       val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft-q77-" + Integer.toHexString(d.hashCode)).toString
@@ -235,6 +253,14 @@ object CorpusOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q156_length_batching" ->
+      """SELECT doc_id,
+                len(string_split(text, ' '))::BIGINT AS n_tokens,
+                (len(string_split(text, ' ')) // 16)::BIGINT AS bucket,
+                ((row_number() OVER (
+                    PARTITION BY len(string_split(text, ' ')) // 16
+                    ORDER BY doc_id) - 1) // 8)::BIGINT AS batch_in_bucket
+         FROM documents""",
     "q151_negative_sampling" ->
       """WITH sp AS (
            SELECT doc_id, source, substring(md5(doc_id::VARCHAR), 1, 1) AS s
