@@ -302,6 +302,44 @@ object TextOps {
       out
     }),
 
+    // Cross-document span REMOVAL — the actual dedup transformation
+    // of Lee et al. (q119 is the detection half): every 20-token
+    // span occurring in ≥2 documents keeps only its canonical
+    // owner's copies (min doc_id); all other documents remove the
+    // UNION of token positions covered by their removable spans
+    // (overlapping spans counted once, via position explode +
+    // distinct). Emits the per-doc removal accounting a corpus
+    // release reports.
+    "q157_span_removal" -> ((s, d) => {
+      val W = 20
+      val base = Tables(s, d).documents.select(col("doc_id"), tokens.as("toks"))
+      val occ = parallelized(base.filter(size(col("toks")) >= W))
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(1), size(col("toks")) - (W - 1)),
+            i => md5(concat_ws(" ", slice(col("toks"), i, lit(W)))))))
+        .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val owners = occ.groupBy("g")
+        .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("owner"))
+        .filter(col("nd") >= 2)
+      val removable = occ.join(owners, "g")
+        .filter(col("doc_id") =!= col("owner"))
+      val removed = removable
+        .select(col("doc_id"),
+          explode(sequence(col("i"), col("i") + (W - 1))).as("p"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("p")).as("n_removed"))
+      val out = base
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+        .join(removed, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+        .withColumn("n_kept", col("n_tokens") - col("n_removed"))
+        .localCheckpoint() // per-doc rows only; release the span cache
+      occ.unpersist()
+      out
+    }),
+
     // Per-source dataset card — the summary block a corpus release
     // ships: volume, token mass, language spread, exact-dup rate.
     // One aggregation pass; dup rate via countDistinct(md5(text))
@@ -534,6 +572,29 @@ object TextOps {
                 coalesce(nsh.n_shared, 0)::BIGINT AS n_shared,
                 coalesce(nsh.n_shared, 0) > 0 AS flagged
          FROM t LEFT JOIN ns USING (doc_id) LEFT JOIN nsh USING (doc_id)""",
+    "q157_span_removal" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         e AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 20),
+         gr AS (
+           SELECT doc_id,
+                  unnest(range(1, len(toks) - 18)) AS i,
+                  unnest([md5(array_to_string(toks[j:j+19], ' '))
+                          FOR j IN range(1, len(toks) - 18)]) AS g
+           FROM e),
+         own AS (
+           SELECT g, min(doc_id) AS owner
+           FROM gr GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         rem AS (
+           SELECT gr.doc_id, unnest(range(gr.i, gr.i + 20)) AS p
+           FROM gr JOIN own ON gr.g = own.g AND gr.doc_id <> own.owner),
+         rc AS (
+           SELECT doc_id, count(DISTINCT p) AS n_removed FROM rem GROUP BY 1)
+         SELECT t.doc_id,
+                len(t.toks)::BIGINT AS n_tokens,
+                coalesce(rc.n_removed, 0)::BIGINT AS n_removed,
+                (len(t.toks) - coalesce(rc.n_removed, 0))::BIGINT AS n_kept
+         FROM t LEFT JOIN rc USING (doc_id)""",
     "q122_dataset_card" ->
       """SELECT source, count(*) AS n_docs,
                 sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
