@@ -28,8 +28,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                           q117 heavy hitters, q118 trailing
   *                           distinct, q120 RTBF purge, q121
   *                           distributed-quantile outliers, q123
-  *                           interval overlap); TextOps additions
-  *                           q115/q119/q122/q124
+  *                           interval overlap, q125 z-order, q126
+  *                           equi-depth, q127 band join, q129
+  *                           PageRank, q130 weighted median)
+  *  - queries.EtlOps:        ETL/analytics breadth (q131 BFS, q132
+  *                           attribution, q133 baskets, q134 C4
+  *                           rules, q135 decorrelated EXISTS, q136
+  *                           gap fill, q137 snapshot diff, q138 map
+  *                           ops, q139 unpivot, q140 runs, q142
+  *                           decimal, q147 corrupt records, q148
+  *                           variant, q149 running distinct, q150
+  *                           DPP, q152 expectations, q153 spikes,
+  *                           q155 observe)
+  *  - TextOps additions:     q115 tf-idf, q119 span detection, q122
+  *                           dataset card, q124 PMI, q141 BPE, q157
+  *                           span removal; CorpusOps additions: q151
+  *                           negatives, q156 length batching;
+  *                           StreamOps additions: q128/q143/q144/
+  *                           q145/q146/q154
   */
 object SparkEntry {
 

@@ -154,6 +154,13 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly the aggregate exchange, got $exchanges\n$p")
   }
 
+  test("q121: quantiles come from a range exchange, not a one-reducer percentile buffer") {
+    val p = plan("q121_gap_outliers")
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      "expected the DistributedQuantile range exchange")
+    assert(!p.contains("percentile"), "must not fall back to the percentile aggregate")
+  }
+
   test("q150: the partitioned fact scan carries a dynamic-pruning partition filter") {
     val df = SparkEntry.queries("q150_dpp")(spark, sf)
     df.collect() // DPP subquery shows on the executed plan

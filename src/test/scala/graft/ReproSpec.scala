@@ -43,7 +43,9 @@ class ReproSpec extends AnyFunSuite {
     "q129_pagerank_tokens", // iterative integer fixed point
     "q141_bpe_train",       // iterative argmax + fold
     "q151_negative_sampling", // hash-ranked bounded pool
-    "q50_stream_hourly"     // streaming drain through the upsert sink
+    "q50_stream_hourly",    // streaming drain through the upsert sink
+    "q154_stream_full_join",// watermark eviction horizons (both sides)
+    "q157_span_removal"     // position-union removal accounting
   )
 
   representatives.foreach { name =>
