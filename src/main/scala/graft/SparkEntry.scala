@@ -46,6 +46,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                           negatives, q156 length batching;
   *                           StreamOps additions: q128/q143/q144/
   *                           q145/q146/q154
+  *  - queries.LakeOps:       lake maintenance (q162 job-bookmark
+  *                           incremental ingest, q163 schema
+  *                           evolution, q164 compaction);
+  *                           Relational additions: q158/q159 set-op
+  *                           ALL, q160 recursive CTE, q161 posexplode
   */
 object SparkEntry {
 
@@ -81,7 +86,8 @@ object SparkEntry {
       graft.queries.CorpusOps.queries ++
       graft.queries.SourceOps.queries ++
       graft.queries.ScaleOps.queries ++
-      graft.queries.EtlOps.queries
+      graft.queries.EtlOps.queries ++
+      graft.queries.LakeOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables. Omitted for the approximate /
@@ -97,5 +103,6 @@ object SparkEntry {
       graft.queries.CorpusOps.oracleSql ++
       graft.queries.SourceOps.oracleSql ++
       graft.queries.ScaleOps.oracleSql ++
-      graft.queries.EtlOps.oracleSql
+      graft.queries.EtlOps.oracleSql ++
+      graft.queries.LakeOps.oracleSql
 }

@@ -1,0 +1,183 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-lake maintenance operators: incremental ingest with a job
+  * bookmark (the reference platform's job-bookmark contract — a run
+  * processes only landing files it has not seen before), schema
+  * evolution across parquet batches, and small-file compaction.
+  *
+  * Scale notes (100 TB design):
+  *  - The bookmark ledger stores FILE NAMES, not data — its size is
+  *    O(files ever landed), read once per run on the driver (the same
+  *    cardinality a real bookmark service holds). Row filtering never
+  *    happens: unseen files are enumerated and only those paths are
+  *    handed to the scan, so a run's cost is O(new data), the whole
+  *    point of incremental ingest.
+  *  - Schema evolution is resolved at read planning (mergeSchema
+  *    unions footers); old files never rewrite. The aggregate proves
+  *    rows from pre-evolution files surface with NULL in the added
+  *    column rather than being dropped or defaulted.
+  *  - Compaction is a repartition-write: the shuffle carries each row
+  *    once, and the output file count is the partition count — the
+  *    knob that turns 10k small files into reader-friendly chunks
+  *    without touching row content.
+  */
+object LakeOps {
+
+  /** Content-addressed scratch dir under java.io.tmpdir (same pattern
+    * as SourceOps.scratch — bounded across verify/bench re-runs).
+    */
+  private def scratch(tag: String, inputDir: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-$tag-" + Integer.toHexString(inputDir.hashCode)).toString
+
+  private def deleteRecursive(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.isDirectory(p)) {
+      val children = Files.list(p)
+      try children.forEach(deleteRecursive(_)) finally children.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
+  /** List the data files of a staged landing dir (parquet parts only,
+    * no _SUCCESS/CRC noise), as stable relative names.
+    */
+  private def dataFiles(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getName).sorted.toSeq
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Job-bookmark incremental ingest (the reference's Glue-bookmark
+    // contract): two landing drops arrive; run 1 processes drop 1 and
+    // records the file names it consumed in a bookmark ledger; run 2
+    // lists the landing dir, anti-joins the ledger ON FILE NAME, and
+    // processes ONLY the unseen files. The returned frame is run 2's
+    // per-type aggregate — the oracle computes the same thing from
+    // the second drop's rows (event_id % 10 >= 7), proving the
+    // bookmark neither re-processes old files nor drops new ones.
+    // File-grain bookmarks (not max-timestamp watermarks) are the
+    // lossless form: a late file full of old timestamps still gets
+    // processed exactly once.
+    "q162_bookmark_ingest" -> ((s, d) => {
+      val base = scratch("bookmark", d)
+      deleteRecursive(java.nio.file.Paths.get(base)) // idempotent re-runs
+      val landing = s"$base/landing"
+      val ledgerPath = java.nio.file.Paths.get(s"$base/ledger.txt")
+      val ev = Tables(s, d).events
+        .select(col("event_id"), col("event_type"), col("value"))
+
+      def drop(name: String, rows: DataFrame): Unit = {
+        val tmp = s"$base/stage-$name"
+        rows.repartition(2).write.mode(SaveMode.Overwrite).parquet(tmp)
+        val dst = java.nio.file.Paths.get(landing)
+        java.nio.file.Files.createDirectories(dst)
+        dataFiles(tmp).zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(tmp, f), dst.resolve(s"$name-$i.parquet"))
+        }
+      }
+
+      def run(): DataFrame = {
+        val seen: Set[String] =
+          if (java.nio.file.Files.exists(ledgerPath))
+            scala.io.Source.fromFile(ledgerPath.toFile).getLines().toSet
+          else Set.empty
+        val unseen = dataFiles(landing).filterNot(seen)
+        java.nio.file.Files.write(ledgerPath,
+          (seen ++ unseen).toSeq.sorted.mkString("\n").getBytes)
+        if (unseen.isEmpty) s.emptyDataFrame
+        else s.read.parquet(unseen.map(f => s"$landing/$f"): _*)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).as("id_sum"),
+            round(sum(col("value")), 2).as("total_value"))
+      }
+
+      drop("d1", ev.filter(col("event_id") % 10 < 7))
+      run().write.format("noop").mode(SaveMode.Overwrite).save() // run 1: consumes drop 1
+      drop("d2", ev.filter(col("event_id") % 10 >= 7))
+      run() // run 2: must see ONLY drop 2
+    }),
+
+    // Schema evolution: batch 1 lands (doc_id, source, n_chars);
+    // batch 2 lands with an ADDED rev column. mergeSchema unions the
+    // footers at planning time — no rewrite of old files — and the
+    // aggregate proves pre-evolution rows carry NULL rev (counted
+    // present-only) while nothing is dropped.
+    "q163_schema_evolution" -> ((s, d) => {
+      val dir = scratch("schevo", d)
+      deleteRecursive(java.nio.file.Paths.get(dir))
+      val docs = Tables(s, d).documents
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .write.mode(SaveMode.Append).parquet(dir)
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          (col("doc_id") % 5).as("rev"))
+        .write.mode(SaveMode.Append).parquet(dir)
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("rev")).as("n_with_rev"),
+          sum(col("rev")).as("rev_sum"),
+          sum(col("n_chars")).as("total_chars"))
+    }),
+
+    // Small-file compaction: the landing shape (many tiny parquet
+    // parts — here forced via maxRecordsPerFile) rewritten by one
+    // repartition into exactly 4 reader-friendly files. The result
+    // row carries the compacted layout's file count plus content
+    // checksums computed FROM THE COMPACTED COPY, so the oracle
+    // (original rows + the pinned file count) proves compaction
+    // changed layout and nothing else.
+    "q164_compaction" -> ((s, d) => {
+      val smallDir = scratch("small", d)
+      val compactDir = scratch("compact", d)
+      val ev = Tables(s, d).events.select(col("event_id"), col("value"))
+      // 100-row parts: genuinely "small files" at every sf (sf0.001's
+      // 1k-row events still lands 10 parts; sf0.1 lands ~1000)
+      ev.write.mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", 100).parquet(smallDir)
+      s.read.parquet(smallDir).repartition(4)
+        .write.mode(SaveMode.Overwrite).parquet(compactDir)
+      val before = dataFiles(smallDir).size.toLong
+      require(before >= 10,
+        s"compaction fixture degenerate: only $before small files")
+      s.read.parquet(compactDir)
+        // non-deterministic exprs can't sit inside agg arguments —
+        // bind the file name per row first, then aggregate
+        .withColumn("f", input_file_name())
+        .agg(
+          countDistinct(col("f")).as("n_files"),
+          count(lit(1)).as("n_rows"),
+          sum(col("event_id")).as("id_sum"),
+          round(sum(col("value")), 2).as("total_value"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q162_bookmark_ingest" ->
+      """SELECT event_type, count(*) AS n, sum(event_id)::BIGINT AS id_sum,
+                round(sum(value), 2) AS total_value
+         FROM events WHERE event_id % 10 >= 7 GROUP BY 1""",
+    "q163_schema_evolution" ->
+      """SELECT source, count(*) AS n_docs,
+                count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with_rev,
+                sum(CASE WHEN doc_id % 2 = 1 THEN doc_id % 5 END)::BIGINT AS rev_sum,
+                sum(n_chars)::BIGINT AS total_chars
+         FROM documents GROUP BY 1""",
+    "q164_compaction" ->
+      """SELECT 4::BIGINT AS n_files, count(*) AS n_rows,
+                sum(event_id)::BIGINT AS id_sum,
+                round(sum(value), 2) AS total_value
+         FROM events"""
+  )
+}

@@ -796,6 +796,73 @@ object Relational {
         .select(col("c_name"), col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
           col("o_totalprice"), col("total_qty"))
+    }),
+
+    // INTERSECT ALL — multiset semantics (min of multiplicities),
+    // the half of the set-op family q54/q55 don't cover. Spark plans
+    // intersectAll as a count-tagged aggregate + generate (no
+    // row-by-row matching): both sides shuffle once on the full row
+    // as key, so the cost profile is a groupBy, not a join explosion.
+    "q158_intersect_all" -> ((s, d) => {
+      val t = Tables(s, d)
+      val open = t.orders.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("cust_key"))
+      val big = t.orders.filter(col("o_totalprice") > 100000)
+        .select(col("o_custkey").as("cust_key"))
+      open.intersectAll(big)
+    }),
+
+    // EXCEPT ALL — multiset difference (multiplicities subtract),
+    // completing the set-op family.
+    "q159_except_all" -> ((s, d) => {
+      val t = Tables(s, d)
+      val open = t.orders.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("cust_key"))
+      val big = t.orders.filter(col("o_totalprice") > 100000)
+        .select(col("o_custkey").as("cust_key"))
+      open.exceptAll(big)
+    }),
+
+    // Recursive CTE (Spark 4 WITH RECURSIVE → UnionLoop): cumulative
+    // order counts along the month spine computed by a genuine
+    // linked-list recursion (month n reads month n-1's running
+    // total), not a window — exercising the iterative-plan surface
+    // end to end in pure SQL on both engines. The spine is ~80 rows
+    // (bounded by calendar time, NOT by data volume), so the
+    // recursion depth is scale-invariant: at 100 TB the months table
+    // is the same height, only the pre-aggregation underneath grows.
+    "q160_recursive_cte" -> ((s, d) => {
+      // depth = #months (~80 for the 7-year order range); default
+      // recursion budget is 100 — raise it so a longer spine can't
+      // hit the guard mid-query
+      s.conf.set("spark.sql.cteRecursionLevelLimit", "400")
+      Tables(s, d).orders
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("month"))))
+        .createOrReplaceTempView("q160_months")
+      s.sql("""
+        WITH RECURSIVE cum AS (
+          SELECT rn, month, n, n AS cum_n FROM q160_months WHERE rn = 1
+          UNION ALL
+          SELECT m.rn, m.month, m.n, c.cum_n + m.n
+          FROM cum c JOIN q160_months m ON m.rn = c.rn + 1
+        )
+        SELECT month, n, cum_n FROM cum""")
+    }),
+
+    // posexplode — ordinal-preserving flatten (position + element),
+    // the LATERAL VIEW surface; positions are what sequence models
+    // consume. Narrow generate, no shuffle; oracled against DuckDB's
+    // generate_subscripts/unnest pairing.
+    "q161_posexplode" -> ((s, d) => {
+      Tables(s, d).documents
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos0", "token")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+          col("token"))
+        .filter(col("pos") <= 8)
     })
   )
 
@@ -1175,6 +1242,32 @@ object Relational {
                 o_totalprice, total_qty
          FROM orders
          JOIN heavy ON o_orderkey = l_orderkey
-         JOIN customer ON o_custkey = c_custkey"""
+         JOIN customer ON o_custkey = c_custkey""",
+    "q158_intersect_all" ->
+      """SELECT o_custkey AS cust_key FROM orders WHERE o_orderstatus = 'O'
+         INTERSECT ALL
+         SELECT o_custkey FROM orders WHERE o_totalprice > 100000""",
+    "q159_except_all" ->
+      """SELECT o_custkey AS cust_key FROM orders WHERE o_orderstatus = 'O'
+         EXCEPT ALL
+         SELECT o_custkey FROM orders WHERE o_totalprice > 100000""",
+    "q160_recursive_cte" ->
+      """WITH RECURSIVE months AS (
+           SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n,
+                  row_number() OVER (ORDER BY strftime(o_orderdate, '%Y-%m')) AS rn
+           FROM orders GROUP BY 1),
+         cum AS (
+           SELECT rn, month, n, n AS cum_n FROM months WHERE rn = 1
+           UNION ALL
+           SELECT m.rn, m.month, m.n, c.cum_n + m.n
+           FROM cum c JOIN months m ON m.rn = c.rn + 1)
+         SELECT month, n, cum_n FROM cum""",
+    "q161_posexplode" ->
+      """SELECT doc_id, pos, token FROM (
+           SELECT doc_id,
+                  generate_subscripts(string_split(text, ' '), 1)::BIGINT AS pos,
+                  unnest(string_split(text, ' ')) AS token
+           FROM documents)
+         WHERE pos <= 8"""
   )
 }
