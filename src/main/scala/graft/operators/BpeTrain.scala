@@ -67,19 +67,7 @@ object BpeTrain {
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank, l, r, c))
-        // Spark SQL string literals treat backslash as an escape —
-        // escape it FIRST, then the quote
-        def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
-        val lq = esc(l)
-        val rq = esc(r)
-        seqs = seqs.select(expr(
-          s"""aggregate(syms, cast(array() as array<string>),
-                (acc, x) -> CASE
-                  WHEN size(acc) > 0 AND element_at(acc, -1) = '$lq' AND x = '$rq'
-                  THEN concat(slice(acc, 1, size(acc) - 1),
-                              array('$lq$Sep$rq'))
-                  ELSE concat(acc, array(x)) END)""").as("syms"))
-          .localCheckpoint()
+        seqs = applyMerge(seqs, "syms", l, r).localCheckpoint()
         rank += 1
       }
     }
@@ -87,5 +75,41 @@ object BpeTrain {
     merges.result().toDF("rank", "left", "right", "pair_count")
       .select(col("rank").cast("long").as("rank"), col("left"),
         col("right"), col("pair_count"))
+  }
+
+  /** Apply ONE merge (l, r) to an array-of-symbols column — the
+    * greedy left-to-right fold shared by training's re-segmentation
+    * and tokenizer APPLICATION (encode). Other columns pass through.
+    */
+  def applyMerge(df: DataFrame, symsCol: String, l: String, r: String): DataFrame = {
+    // Spark SQL string literals treat backslash as an escape —
+    // escape it FIRST, then the quote
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    val lq = esc(l)
+    val rq = esc(r)
+    df.withColumn(symsCol, expr(
+      s"""aggregate($symsCol, cast(array() as array<string>),
+            (acc, x) -> CASE
+              WHEN size(acc) > 0 AND element_at(acc, -1) = '$lq' AND x = '$rq'
+              THEN concat(slice(acc, 1, size(acc) - 1),
+                          array('$lq$Sep$rq'))
+              ELSE concat(acc, array(x)) END)"""))
+  }
+
+  /** Tokenizer APPLICATION: segment each doc with an already-trained
+    * merge table (rank order = application order, exactly as during
+    * training). The merge table is tokenizer-sized (k rows) — it
+    * lives in the PLAN as k chained folds, not in a join, so encode
+    * is a pure narrow map over the corpus: the right shape for
+    * re-tokenizing 100 TB under a frozen vocabulary. No per-round
+    * checkpoint here (one action downstream, no iterative re-use).
+    */
+  def encode(docs: DataFrame, textCol: String,
+             merges: Seq[(String, String)]): DataFrame = {
+    val base = docs
+      .withColumn("syms", split(col(textCol), " "))
+      .withColumn("n_syms_before", size(col("syms")).cast("long"))
+    merges.foldLeft(base) { case (df, (l, r)) => applyMerge(df, "syms", l, r) }
+      .withColumn("n_syms_after", size(col("syms")).cast("long"))
   }
 }

@@ -249,10 +249,37 @@ object CorpusOps {
       s.read.schema("doc_id LONG, text STRING, source STRING").json(dir)
         .select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    }),
+
+    // Token-budget sampling: each source contributes at most 1000
+    // tokens to the mix, chosen in deterministic hash order (md5 of
+    // doc_id — a fixed shuffle of the corpus, not "first files win").
+    // Greedy cumulative-sum-under-budget is the standard way a
+    // training mix hits per-source token targets; docs stay whole.
+    // One shuffle on source; the window is per-source parallel.
+    "q165_token_budget" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables(s, d).documents
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= 1000)
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q165_token_budget" ->
+      """SELECT doc_id, source, n_tokens, cum_tokens FROM (
+           SELECT doc_id, source,
+                  len(string_split(text, ' '))::BIGINT AS n_tokens,
+                  sum(len(string_split(text, ' ')))
+                    OVER (PARTITION BY source
+                          ORDER BY md5(doc_id::VARCHAR), doc_id
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+           FROM documents)
+         WHERE cum_tokens <= 1000""",
     "q156_length_batching" ->
       """SELECT doc_id,
                 len(string_split(text, ' '))::BIGINT AS n_tokens,

@@ -255,6 +255,30 @@ object ScaleOps {
         .select(col("user_id"), col("sid"), col("window_id"),
           (least(col("s_end"), col("w_end")) -
             greatest(col("s_start"), col("w_start"))).as("overlap_us"))
+    }),
+
+    // Mergeable HLL sketches (Apache DataSketches, built into Spark
+    // 4): per-event-type user sketches PLUS their union re-estimated
+    // — the sketch algebra that makes 100 TB distinct counts cheap:
+    // partials merge associatively across partitions/days/segments,
+    // so a year of daily sketches answers "distinct users any time
+    // range" without re-touching raw data. Estimates are
+    // deterministic for a fixed input multiset but engine-specific
+    // — rows-only gate; ScaleOpsSpec pins the ±5% envelope vs exact
+    // and union-consistency (union-of-sketches == sketch-of-union).
+    "q168_hll_sketch" -> ((s, d) => {
+      val perType = Tables(s, d).events
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          countDistinct(col("user_id")).as("exact"))
+      val union = perType.agg(
+        lit("ALL").as("event_type"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+        lit(null).cast("long").as("exact"))
+      perType
+        .select(col("event_type"),
+          hll_sketch_estimate(col("sk")).as("est"), col("exact"))
+        .unionByName(union)
     })
   )
 

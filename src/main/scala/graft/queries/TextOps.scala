@@ -367,6 +367,50 @@ object TextOps {
     "q141_bpe_train" -> ((s, d) =>
       graft.operators.BpeTrain.train(Tables(s, d).documents, "text", k = 6)),
 
+    // Tokenizer APPLICATION: re-segment every doc under the merge
+    // table q141 trains (same corpus, same k — the frozen-vocabulary
+    // lifecycle: train once, encode everywhere). The merge table is
+    // k rows pulled to the driver and baked into k chained folds —
+    // a pure narrow map over the corpus, no join, no shuffle.
+    // Deterministic but an iterative fold — rows-only gate; the
+    // encoding is proven against a single-node reference encoder in
+    // BpeTrainSpec, and compression (n_after <= n_before) plus
+    // round-trip (splitting merged symbols restores the original
+    // tokens) are pinned there too.
+    "q167_bpe_encode" -> ((s, d) => {
+      import graft.operators.BpeTrain
+      val docs = parallelized(Tables(s, d).documents)
+      val merges = BpeTrain.train(docs, "text", k = 6)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      BpeTrain.encode(docs.select(col("doc_id"), col("text")), "text", merges)
+        .select(col("doc_id"), col("n_syms_before"), col("n_syms_after"),
+          concat_ws(" ", col("syms")).as("encoded"))
+    }),
+
+    // URL extraction + domain histogram (the crawl-curation pass:
+    // which hosts feed the corpus, and how much). URLs are planted
+    // deterministically (the synthetic corpus has none) with the
+    // same construction in the oracle — one codegen'd
+    // extract-explode-aggregate pass; domain cardinality is
+    // host-sized, so the shuffle carries (domain, partial counts).
+    "q166_url_extract" -> ((s, d) => {
+      val planted = concat(col("text"),
+        lit(" see https://site"), (col("doc_id") % 50).cast("string"),
+        lit(".example.org/p/"), col("doc_id").cast("string"),
+        lit(" and http://mirror"), (col("doc_id") % 7).cast("string"),
+        lit(".example.net/x"))
+      val urlRe = "https?://[a-z0-9.-]+\\.example\\.(org|net)/[A-Za-z0-9/._-]*"
+      Tables(s, d).documents
+        .select(col("doc_id"),
+          explode(regexp_extract_all(planted, lit(urlRe), lit(0))).as("url"))
+        .select(col("doc_id"),
+          regexp_extract(col("url"), "https?://([a-z0-9.-]+)/", 1).as("domain"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("doc_id")).as("n_docs"))
+    }),
+
     // Token-association mining: top bigrams by PMI's exact-rational
     // core lift = c_xy·N / (c_x·c_y) (log omitted — monotone, so
     // the RANKING is exactly PMI's; the rational hash-matches
@@ -401,6 +445,22 @@ object TextOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q166_url_extract" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  text || ' see https://site' || (doc_id % 50)::VARCHAR ||
+                  '.example.org/p/' || doc_id::VARCHAR ||
+                  ' and http://mirror' || (doc_id % 7)::VARCHAR ||
+                  '.example.net/x' AS planted
+           FROM documents),
+         u AS (
+           SELECT doc_id,
+                  unnest(regexp_extract_all(planted,
+                    'https?://[a-z0-9.-]+\.example\.(?:org|net)/[A-Za-z0-9/._-]*')) AS url
+           FROM p)
+         SELECT regexp_extract(url, 'https?://([a-z0-9.-]+)/', 1) AS domain,
+                count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+         FROM u GROUP BY 1""",
     "q30_token_count" ->
       "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents",
     "q31_fingerprint" ->

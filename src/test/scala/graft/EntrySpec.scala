@@ -33,8 +33,12 @@ class EntrySpec extends AnyFunSuite {
       "q38_ngram_jaccard", "q42_ann_lsh", "q43_winnow_fp", "q44_ann_ivf",
       "q48_source_signatures", "q59_corpus_clean",
       // deterministic but an iterative stateful fold — no SQL oracle;
-      // BpeTrainSpec proves it against a reference implementation
-      "q141_bpe_train"))
+      // BpeTrainSpec proves train AND encode against a reference
+      // implementation
+      "q141_bpe_train", "q167_bpe_encode",
+      // sketch estimates are engine-specific; ScaleOpsSpec pins the
+      // ±5% envelope and union-consistency
+      "q168_hll_sketch"))
   }
 
   test("every query runs non-empty on sf0.001") {

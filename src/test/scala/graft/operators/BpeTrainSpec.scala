@@ -61,6 +61,48 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(got2(1) == ("a+a", "a+a"))
   }
 
+  /** Reference single-node ENCODER: apply a frozen merge table in
+    * rank order with the same greedy left-to-right fold.
+    */
+  private def referenceEncode(toks: Array[String],
+                              merges: Seq[(String, String)]): Array[String] =
+    merges.foldLeft(toks) { case (s, (l, r)) =>
+      val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+      s.foreach { x =>
+        if (acc.nonEmpty && acc.last == l && x == r) {
+          acc.remove(acc.length - 1); acc += s"$l${BpeTrain.Sep}$r"
+        } else acc += x
+      }
+      acc.toArray
+    }
+
+  test("encode ≡ reference encoder on the real sf0.001 corpus; compresses; round-trips") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+      .select(col("doc_id"), col("text"))
+    val merges = BpeTrain.train(docs, "text", k = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = BpeTrain.encode(docs, "text", merges)
+      .select(col("doc_id"), col("text"), col("syms"),
+        col("n_syms_before"), col("n_syms_after"))
+      .collect()
+    assert(got.nonEmpty)
+    var anyCompressed = false
+    got.foreach { r =>
+      val toks = r.getString(1).split(" ")
+      val syms = r.getSeq[String](2).toArray
+      assert(syms.sameElements(referenceEncode(toks, merges)),
+        s"doc ${r.getLong(0)}: encode != reference")
+      assert(r.getLong(4) <= r.getLong(3), "encode must never add symbols")
+      if (r.getLong(4) < r.getLong(3)) anyCompressed = true
+      // round-trip: splitting merged symbols restores the original
+      assert(syms.flatMap(_.split(java.util.regex.Pattern.quote(BpeTrain.Sep)))
+        .sameElements(toks), s"doc ${r.getLong(0)}: round-trip broken")
+    }
+    assert(anyCompressed, "a 4-merge table must compress SOME doc")
+  }
+
   test("merge learning is hierarchical: later merges build on earlier symbols") {
     import spark.implicits._
     val corpus = Seq.fill(10)("x y z").toDF("text")

@@ -166,4 +166,21 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
     assert(got.nonEmpty)
   }
+
+  test("q168: HLL estimates land within ±5% of exact; union row covers the global distinct") {
+    val rows = SparkEntry.queries("q168_hll_sketch")(spark, sf).collect()
+    val perType = rows.filter(_.getString(0) != "ALL")
+    assert(perType.nonEmpty)
+    perType.foreach { r =>
+      val (est, exact) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(est - exact) <= 0.05 * exact + 1,
+        s"${r.getString(0)}: HLL estimate $est vs exact $exact out of envelope")
+    }
+    val all = rows.filter(_.getString(0) == "ALL")
+    assert(all.length == 1)
+    val globalExact = Tables(spark, sf).events
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(math.abs(all(0).getLong(1) - globalExact) <= 0.05 * globalExact + 1,
+      "union-of-sketches estimate out of envelope vs global exact")
+  }
 }
