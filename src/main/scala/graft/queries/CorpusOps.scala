@@ -266,10 +266,43 @@ object CorpusOps {
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
         .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
         .filter(col("cum_tokens") <= 1000)
+    }),
+
+    // Fractional-epoch upsampling — the other half of the data
+    // recipe (q74 downsamples, this upsamples): per-source epoch
+    // weights 0.5/1.0/1.5/2.5 realized as floor(w) whole copies plus
+    // one md5-gated extra copy for the fractional part. Every copy
+    // is an explicit (doc, copy_idx) row, so downstream shuffling
+    // treats repeats as independent training examples. A narrow
+    // explode with fan-out = the epoch weight — no shuffle, no join;
+    // the recipe lives in the plan.
+    "q170_epoch_upsample" -> ((s, d) => {
+      val idx = substring(col("source"), 4, 16).cast("int")
+      val whole = when(idx % 4 === 0, 0).when(idx % 4 === 1, 1)
+        .when(idx % 4 === 2, 1).otherwise(2)
+      val frac = substring(
+        md5(concat(lit("ep"), col("doc_id").cast("string"))), 1, 2) < "80"
+      val copies = whole + when(frac, 1).otherwise(0)
+      Tables(s, d).documents
+        .select(col("doc_id"), col("source"), copies.as("n_copies"))
+        .filter(col("n_copies") >= 1)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(1L), col("n_copies").cast("long")))
+            .as("copy_idx"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q170_epoch_upsample" ->
+      """WITH c AS (
+           SELECT doc_id, source,
+                  (CASE substring(source, 4, 16)::INT % 4
+                     WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 2 END)
+                  + (CASE WHEN substring(md5('ep' || doc_id::VARCHAR), 1, 2) < '80'
+                          THEN 1 ELSE 0 END) AS n_copies
+           FROM documents)
+         SELECT doc_id, source, unnest(range(1, n_copies + 1)) AS copy_idx
+         FROM c WHERE n_copies >= 1""",
     "q165_token_budget" ->
       """SELECT doc_id, source, n_tokens, cum_tokens FROM (
            SELECT doc_id, source,

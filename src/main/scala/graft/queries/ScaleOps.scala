@@ -279,6 +279,61 @@ object ScaleOps {
         .select(col("event_type"),
           hll_sketch_estimate(col("sk")).as("est"), col("exact"))
         .unionByName(union)
+    }),
+
+    // Count-min sketch point-frequency estimates: the sketch is ONE
+    // distributed aggregate (fixed seed → deterministic), the probe
+    // set is the exact top-10 users, and the output carries exact
+    // next to estimate so the CMS guarantee (est >= exact, bounded
+    // overshoot) is visible in the row. At 100 TB the sketch is the
+    // only full-scan pass; probing is O(keys probed) driver work —
+    // the same "aggregate once, serve point lookups" lifecycle a
+    // real frequency service runs. Rows-only gate (CMS estimates
+    // aren't SQL-expressible); ScaleOpsSpec pins the envelope.
+    "q169_cms_freq" -> ((s, d) => {
+      import org.apache.spark.util.sketch.CountMinSketch
+      val ev = Tables(s, d).events
+      val skBytes = ev.select(
+        count_min_sketch(col("user_id"), lit(0.0001), lit(0.99), lit(42))
+          .as("sk")).head().getAs[Array[Byte]](0)
+      val cms = CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skBytes))
+      val top = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("user_id")).limit(10).collect()
+      import s.implicits._
+      top.map(r => (r.getLong(0), r.getLong(1),
+          cms.estimateCount(r.getLong(0))))
+        .toSeq.toDF("user_id", "exact", "cms_est")
+    }),
+
+    // Distributed global ORDER BY rank — the two-phase shape that
+    // replaces the one-reducer window: range-repartition on the sort
+    // key, rank WITHIN each range partition (parallel windows), then
+    // add broadcast per-partition prefix offsets. Output is the
+    // exact global row_number at any scale; the only full-order
+    // structure is the 32-entry offset table. The checkpoint pins
+    // one partition assignment across the offset-count action and
+    // the final pass.
+    "q171_global_rank" -> ((s, d) => {
+      val parts = Tables(s, d).events
+        .select(col("event_id"), col("value"))
+        .repartitionByRange(32, col("value"), col("event_id"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint()
+      val counts = parts.groupBy(col("pid")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val offsets: Map[Int, Long] = {
+        val sorted = counts.toSeq.sortBy(_._1)
+        sorted.map(_._1).zip(sorted.map(_._2).scanLeft(0L)(_ + _)).toMap
+      }
+      val w = Window.partitionBy(col("pid"))
+        .orderBy(col("value"), col("event_id"))
+      parts
+        .withColumn("rank",
+          row_number().over(w).cast("long") +
+            element_at(typedLit(offsets), col("pid")))
+        .select(col("event_id"), col("value"), col("rank"))
     })
   )
 
@@ -337,6 +392,10 @@ object ScaleOps {
   }.mkString(",\n         ")
 
   def oracleSql: Map[String, String] = Map(
+    "q171_global_rank" ->
+      """SELECT event_id, value,
+                row_number() OVER (ORDER BY value, event_id) AS rank
+         FROM events""",
     "q125_zorder_zonemap" ->
       """WITH b AS (
            SELECT l_partkey, l_suppkey,

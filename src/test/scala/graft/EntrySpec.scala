@@ -38,7 +38,10 @@ class EntrySpec extends AnyFunSuite {
       "q141_bpe_train", "q167_bpe_encode",
       // sketch estimates are engine-specific; ScaleOpsSpec pins the
       // ±5% envelope and union-consistency
-      "q168_hll_sketch"))
+      "q168_hll_sketch",
+      // CMS point estimates aren't SQL-expressible; ScaleOpsSpec pins
+      // est >= exact and the overshoot envelope
+      "q169_cms_freq"))
   }
 
   test("every query runs non-empty on sf0.001") {

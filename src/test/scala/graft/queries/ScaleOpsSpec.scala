@@ -183,4 +183,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(math.abs(all(0).getLong(1) - globalExact) <= 0.05 * globalExact + 1,
       "union-of-sketches estimate out of envelope vs global exact")
   }
+
+  test("q169: CMS never underestimates; overshoot bounded by eps * stream length") {
+    val ev = Tables(spark, sf).events
+    val n = ev.count()
+    val rows = SparkEntry.queries("q169_cms_freq")(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"user ${r.getLong(0)}: CMS must never underestimate")
+      assert(est <= exact + math.max(1L, (0.0001 * 3 * n).toLong),
+        s"user ${r.getLong(0)}: overshoot $est vs $exact beyond 3x eps*N")
+    }
+  }
+
+  test("q171: two-phase rank is a bijection onto 1..N and ordered by (value, event_id)") {
+    val got = SparkEntry.queries("q171_global_rank")(spark, sf)
+      .orderBy(col("rank")).collect()
+    assert(got.map(_.getLong(2)).toSeq == (1L to got.length.toLong),
+      "ranks must be exactly 1..N")
+    val sorted = got.map(r => (r.getDouble(1), r.getLong(0))).toSeq
+    assert(sorted == sorted.sorted, "rank order must equal (value, event_id) order")
+  }
 }

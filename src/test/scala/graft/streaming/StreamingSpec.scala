@@ -193,4 +193,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(upsert.count() == memory.count())
     assert(upsert.exceptAll(memory).isEmpty && memory.exceptAll(upsert).isEmpty)
   }
+
+  test("restart from checkpoint: second drain resumes exactly-once (no reprocess, no loss)") {
+    // The recovery contract a production stream lives by: a query
+    // that dies and restarts against the SAME checkpoint must (a)
+    // not re-count files it already processed, (b) pick up files
+    // that arrived while it was down, (c) restore its aggregation
+    // state. We prove all three by draining twice over a growing
+    // directory and checking the running per-type counts after each.
+    import graft.music.ParquetKeyedUpsertSink
+    val work = java.nio.file.Files.createTempDirectory("graft-restart-")
+    val srcDir = s"$work/src"
+    val ckpt = s"$work/ckpt"
+    val sink = ParquetKeyedUpsertSink(s"$work/out")
+    val ev = graft.Tables(spark, "/root/testdata/sf0.001").events
+      .select(col("event_id"), col("event_type"))
+
+    def drain(): Unit = {
+      val q = spark.readStream
+        .schema("event_id LONG, event_type STRING").parquet(srcDir)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val c = b.persist()
+          try { if (!c.isEmpty) sink.upsert(c, Seq("event_type")) }
+          finally c.unpersist()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def sinkCounts(): Map[String, Long] = sink.read(spark)
+      .select(col("event_type"), col("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def expect(cond: org.apache.spark.sql.Column): Map[String, Long] =
+      ev.filter(cond).groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    ev.filter(col("event_id") % 2 === 0)
+      .repartition(1).write.mode("append").parquet(srcDir)
+    drain()
+    assert(sinkCounts() == expect(col("event_id") % 2 === 0),
+      "first drain must equal the first half's counts")
+
+    // files land while the query is down; the restarted query must
+    // resume from the checkpoint's file log + state store
+    ev.filter(col("event_id") % 2 === 1)
+      .repartition(1).write.mode("append").parquet(srcDir)
+    drain()
+    assert(sinkCounts() == expect(lit(true)),
+      "after restart the running counts must cover BOTH halves exactly once")
+  }
 }
