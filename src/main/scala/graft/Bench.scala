@@ -32,7 +32,11 @@ object Bench {
     "q116_bloom_join", "q117_heavy_hitters", "q121_gap_outliers",
     "q115_tfidf", "q119_span_dedup", "q124_pmi_bigrams",
     // layout + non-equi join shapes
-    "q150_dpp", "q127_band_join")
+    "q150_dpp", "q127_band_join",
+    // round-6 additions: bookmark ingest (landing IO + ledger),
+    // tokenizer train+encode (the iterative fold pass), and the
+    // two-phase global rank (range exchange + parallel windows)
+    "q162_bookmark_ingest", "q167_bpe_encode", "q171_global_rank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

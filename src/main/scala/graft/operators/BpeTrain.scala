@@ -55,17 +55,23 @@ object BpeTrain {
     var rank = 1
     var exhausted = false
     while (rank <= k && !exhausted) {
+      // native pair extraction (AdjacentPairs): the per-round corpus
+      // pass; the -encoded pair's lexicographic order equals
+      // the (l, r) tuple order, so tie-breaks are unchanged
+      import org.apache.spark.sql.GraftColumnBridge
       val top = seqs
-        .select(explode(transform(sequence(lit(1), size(col("syms")) - 1),
-          i => struct(element_at(col("syms"), i).as("l"),
-            element_at(col("syms"), i + 1).as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .select(explode(GraftColumnBridge.column(
+          graft.functions.expressions.AdjacentPairs(
+            GraftColumnBridge.expression(col("syms"))))).as("p"))
+        .groupBy(col("p"))
         .agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("l"), col("r"))
+        .orderBy(col("c").desc, col("p"))
         .limit(1).collect()
       if (top.isEmpty) exhausted = true
       else {
-        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val parts = top(0).getString(0)
+          .split(graft.functions.expressions.AdjacentPairs.Sep, 2)
+        val (l, r, c) = (parts(0), parts(1), top(0).getLong(1))
         merges += ((rank, l, r, c))
         seqs = applyMerge(seqs, "syms", l, r).localCheckpoint()
         rank += 1
@@ -78,10 +84,22 @@ object BpeTrain {
   }
 
   /** Apply ONE merge (l, r) to an array-of-symbols column — the
-    * greedy left-to-right fold shared by training's re-segmentation
-    * and tokenizer APPLICATION (encode). Other columns pass through.
+    * greedy left-to-right pass shared by training's re-segmentation
+    * and tokenizer APPLICATION (encode). Native (BpeApplyMerges):
+    * the SQL-fold twin below costs an interpreted lambda call per
+    * ELEMENT per round, which dominated the train loop.
     */
   def applyMerge(df: DataFrame, symsCol: String, l: String, r: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    df.withColumn(symsCol, GraftColumnBridge.column(
+      graft.functions.expressions.BpeApplyMerges(
+        GraftColumnBridge.expression(col(symsCol)), Seq((l, r)), Sep)))
+  }
+
+  /** The SQL higher-order-function form of applyMerge — kept as the
+    * A/B reference the specs compare the native expression against.
+    */
+  def applyMergeSql(df: DataFrame, symsCol: String, l: String, r: String): DataFrame = {
     // Spark SQL string literals treat backslash as an escape —
     // escape it FIRST, then the quote
     def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
@@ -99,17 +117,36 @@ object BpeTrain {
   /** Tokenizer APPLICATION: segment each doc with an already-trained
     * merge table (rank order = application order, exactly as during
     * training). The merge table is tokenizer-sized (k rows) — it
-    * lives in the PLAN as k chained folds, not in a join, so encode
-    * is a pure narrow map over the corpus: the right shape for
-    * re-tokenizing 100 TB under a frozen vocabulary. No per-round
-    * checkpoint here (one action downstream, no iterative re-use).
+    * lives in the PLAN inside one native expression, not in a join,
+    * so encode is a pure narrow map over the corpus: the right shape
+    * for re-tokenizing 100 TB under a frozen vocabulary.
+    *
+    * The hot loop is `BpeApplyMerges` (native, one virtual call per
+    * row); `encodeComposed` keeps the k-chained-SQL-folds form as
+    * the A/B reference (BpeTrainSpec proves them identical).
     */
   def encode(docs: DataFrame, textCol: String,
              merges: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    docs
+      .withColumn("syms0", split(col(textCol), " "))
+      .withColumn("syms", GraftColumnBridge.column(
+        graft.functions.expressions.BpeApplyMerges(
+          GraftColumnBridge.expression(col("syms0")), merges, Sep)))
+      .withColumn("n_syms_before", size(col("syms0")).cast("long"))
+      .withColumn("n_syms_after", size(col("syms")).cast("long"))
+      .drop("syms0")
+  }
+
+  /** The composed (k chained SQL folds) encode — interpreted per
+    * element; kept as the A/B twin for the native expression.
+    */
+  def encodeComposed(docs: DataFrame, textCol: String,
+                     merges: Seq[(String, String)]): DataFrame = {
     val base = docs
       .withColumn("syms", split(col(textCol), " "))
       .withColumn("n_syms_before", size(col("syms")).cast("long"))
-    merges.foldLeft(base) { case (df, (l, r)) => applyMerge(df, "syms", l, r) }
+    merges.foldLeft(base) { case (df, (l, r)) => applyMergeSql(df, "syms", l, r) }
       .withColumn("n_syms_after", size(col("syms")).cast("long"))
   }
 }

@@ -393,6 +393,60 @@ object EtlOps {
             .when(col("b_cnt") === 0L, "removed")
             .when(col("a_cnt") === col("b_cnt"), "same")
             .otherwise("changed"))
+    }),
+
+    // Typed per-key imperative reduce (KeyValueGroupedDataset
+    // .mapGroups — the API class between cogroup q145 and
+    // transformWithState q104): each user's max inter-event gap,
+    // computed by sorting the user's own timestamps in memory. The
+    // group buffer is bounded by ONE user's activity (the same bound
+    // sessionization already assumes), and groups process in
+    // parallel after one shuffle on the key — the escape hatch shape
+    // for per-entity logic SQL can't express. Oracle: the lag-window
+    // formulation, proving the imperative path equals relational
+    // semantics.
+    "q172_max_gap" -> ((s, d) => {
+      import s.implicits._
+      Tables(s, d).events
+        .select(col("user_id"), unix_micros(col("ts")).as("tsu"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (uid, it) =>
+          val ts = it.map(_._2).toArray
+          java.util.Arrays.sort(ts)
+          var maxGap = 0L
+          var i = 1
+          while (i < ts.length) {
+            val g = ts(i) - ts(i - 1)
+            if (g > maxGap) maxGap = g
+            i += 1
+          }
+          (uid, ts.length.toLong, maxGap)
+        }
+        .toDF("user_id", "n_events", "max_gap_us")
+    }),
+
+    // Exact distributed moments: per-type (n, Σx, Σx², Σxy) entirely
+    // in DECIMAL — the mergeable building blocks of mean, variance
+    // and covariance (y = seconds into the day). Emitting the moment
+    // VECTOR instead of the final float statistic is the scale form:
+    // partials merge associatively across any partitioning (the
+    // sketch property, but exact), and the lossy division happens
+    // once at the consumer. Every value is base-10 exact →
+    // hash-matchable on any engine.
+    "q173_exact_moments" -> ((s, d) => {
+      val x = col("value").cast("decimal(12,2)")
+      Tables(s, d).events
+        .withColumn("day_us", unix_micros(col("ts")) -
+          unix_micros(date_trunc("day", col("ts"))))
+        // `div` (integer division) — `/` on longs is DOUBLE division
+        .select(col("event_type"), x.as("x"),
+          expr("day_us div 1000000").cast("decimal(10,0)").as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("decimal(38,2)").as("sum_x"),
+          sum(col("x") * col("x")).cast("decimal(38,4)").as("sum_x2"),
+          sum(col("x") * col("y")).cast("decimal(38,2)").as("sum_xy"))
     })
   )
 
@@ -501,6 +555,26 @@ object EtlOps {
            SELECT 1 FROM lineitem l
            WHERE l.l_orderkey = o.o_orderkey
              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)""",
+    "q172_max_gap" ->
+      """WITH g AS (
+           SELECT user_id,
+                  epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+           FROM events)
+         SELECT user_id, count(*) AS n_events,
+                coalesce(max(gap), 0)::BIGINT AS max_gap_us
+         FROM g GROUP BY 1""",
+    "q173_exact_moments" ->
+      """WITH b AS (
+           SELECT event_type, value::DECIMAL(12,2) AS x,
+                  ((epoch_us(ts) - epoch_us(date_trunc('day', ts)))
+                   // 1000000)::DECIMAL(10,0) AS y
+           FROM events)
+         SELECT event_type, count(*) AS n,
+                sum(x)::DECIMAL(38,2) AS sum_x,
+                sum(x * x)::DECIMAL(38,4) AS sum_x2,
+                sum(x * y)::DECIMAL(38,2) AS sum_xy
+         FROM b GROUP BY 1""",
     "q142_decimal_agg" ->
       """SELECT l_returnflag,
                 sum(l_extendedprice::DECIMAL(12,2))::DECIMAL(38,2) AS sum_price,

@@ -30,7 +30,10 @@ object DumpPlans {
     "q125_zorder_zonemap" -> "z-order zone map: Morton encode is one codegen projection; the zone aggregate is the only exchange in the plan",
     "q127_band_join" -> "banded theta join: |va-vb|<=δ as an equi-join on ⌊cents/δ⌋ buckets (3-way fan-out) — no BroadcastNestedLoopJoin/CartesianProduct",
     "q135_exists_decorrelated" -> "correlated EXISTS decorrelated: per-order max(l_shipdate) hash aggregate + equi-join — the non-equi semi join never becomes a nested loop",
-    "q115_tfidf" -> "TF-IDF: tf is the one corpus-sized shuffle; df joins by broadcast; the top-3 window is per-doc (WindowGroupLimit bounds it)")
+    "q115_tfidf" -> "TF-IDF: tf is the one corpus-sized shuffle; df joins by broadcast; the top-3 window is per-doc (WindowGroupLimit bounds it)",
+    "q158_intersect_all" -> "INTERSECT ALL: count-tagged aggregate + generate — multiset semantics with one shuffle per side, no join",
+    "q160_recursive_cte" -> "recursive CTE: Spark 4 UnionLoop drives the month-spine recursion natively",
+    "q171_global_rank" -> "global rank: pid-partitioned parallel windows over the range exchange; prefix offsets are plan literals — no single-reducer window")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

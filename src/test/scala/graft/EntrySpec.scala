@@ -48,8 +48,10 @@ class EntrySpec extends AnyFunSuite {
     // Legitimately empty at tiny scale, and oracled (the gate
     // compares empty == empty): q17 anti join (full referential
     // integrity), q55 except (at sf0.001's ~30-user pool every
-    // viewer also purchased).
-    val mayBeEmpty = Set("q17_anti_join", "q55_except")
+    // viewer also purchased), q159 except-all (every open-order
+    // custkey multiplicity is covered by the big-order multiset;
+    // 14 survivors appear at sf0.01).
+    val mayBeEmpty = Set("q17_anti_join", "q55_except", "q159_except_all")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val n = fn(spark, "/root/testdata/sf0.001").count()

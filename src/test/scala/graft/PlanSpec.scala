@@ -168,6 +168,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("dynamicpruning"), p.take(800))
   }
 
+  test("q158: INTERSECT ALL plans as count-tagged aggregates, never a join") {
+    val df = SparkEntry.queries("q158_intersect_all")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("join"), p.take(800))
+  }
+
+  test("q160: the recursive CTE executes through UnionLoop (native recursion, not an unrolled union)") {
+    val df = SparkEntry.queries("q160_recursive_cte")(spark, sf)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(p.contains("UnionLoop"), p.take(800))
+  }
+
+  test("q171: global rank windows are pid-partitioned — no single-partition window, no global sort") {
+    val df = SparkEntry.queries("q171_global_rank")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty, p.take(800))
+    assert(windowLines.forall(_.contains("pid")),
+      s"window must partition by pid:\n${windowLines.mkString("\n")}")
+    assert(!p.contains("Exchange SinglePartition"), p.take(800))
+  }
+
   test("whole-stage codegen covers the KPI aggregate (no interpreted hot path)") {
     // AQE only annotates codegen stages on the executed plan
     val df = SparkEntry.queries("q11_genre_kpis")(spark, sf)

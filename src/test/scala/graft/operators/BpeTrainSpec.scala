@@ -103,6 +103,22 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(anyCompressed, "a 4-merge table must compress SOME doc")
   }
 
+  test("native BpeApplyMerges ≡ composed SQL folds on the real corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+      .select(col("doc_id"), col("text"))
+    val merges = BpeTrain.train(docs, "text", k = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val native = BpeTrain.encode(docs, "text", merges)
+      .select(col("doc_id"), col("syms"))
+    val composed = BpeTrain.encodeComposed(docs, "text", merges)
+      .select(col("doc_id"), col("syms"))
+    assert(native.exceptAll(composed).isEmpty &&
+      composed.exceptAll(native).isEmpty,
+      "native expression must equal the SQL-fold composition row-for-row")
+  }
+
   test("merge learning is hierarchical: later merges build on earlier symbols") {
     import spark.implicits._
     val corpus = Seq.fill(10)("x y z").toDF("text")

@@ -244,4 +244,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(sinkCounts() == expect(lit(true)),
       "after restart the running counts must cover BOTH halves exactly once")
   }
+
+  test("maxFilesPerTrigger bounds each micro-batch to one file; result unchanged") {
+    // Backfill ingestion control: a directory of N files drained
+    // with maxFilesPerTrigger=1 must process in N bounded batches
+    // (the knob that keeps a 100k-file backlog from becoming one
+    // monster batch), and the final aggregate must equal the batch
+    // answer regardless of the batching.
+    val work = java.nio.file.Files.createTempDirectory("graft-mfpt-")
+    val srcDir = s"$work/src"
+    val ev = graft.Tables(spark, "/root/testdata/sf0.001").events
+      .select(col("event_id"), col("event_type"))
+    (0 until 4).foreach(i =>
+      ev.filter(col("event_id") % 4 === i)
+        .repartition(1).write.mode("append").parquet(srcDir))
+    val nFiles = new java.io.File(srcDir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(nFiles == 4)
+    var batches = 0
+    val q = spark.readStream
+      .schema("event_id LONG, event_type STRING")
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val c = b.persist()
+        try {
+          if (!c.isEmpty) {
+            batches += 1
+            c.write.mode("overwrite").parquet(s"$work/out")
+          }
+        } finally c.unpersist()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches == 4, s"expected 4 one-file micro-batches, saw $batches")
+    val got = spark.read.parquet(s"$work/out")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exp = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exp, "complete-mode final state must equal the batch aggregate")
+  }
 }
