@@ -334,6 +334,26 @@ object ScaleOps {
           row_number().over(w).cast("long") +
             element_at(typedLit(offsets), col("pid")))
         .select(col("event_id"), col("value"), col("rank"))
+    }),
+
+    // Mergeable approximate quantiles (Greenwald–Khanna style
+    // percentile_approx): per-type p50/p90/p99 from a bounded-size
+    // summary that merges associatively across partitions — the
+    // sketch twin of the exact DistributedQuantile (q121). At 100 TB
+    // the exact path costs a range exchange; the sketch path is one
+    // hash aggregate whose state is O(accuracy), the right tool when
+    // ±rank-ε is acceptable. Estimates are real data values but the
+    // picked rank is engine-specific — rows-only gate; ScaleOpsSpec
+    // pins the rank-error envelope against exact quantiles.
+    "q175_approx_quantile" -> ((s, d) => {
+      Tables(s, d).events
+        .groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("qs"))
+        .select(col("event_type"),
+          col("qs").getItem(0).as("p50"),
+          col("qs").getItem(1).as("p90"),
+          col("qs").getItem(2).as("p99"))
     })
   )
 

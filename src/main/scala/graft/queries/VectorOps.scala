@@ -125,6 +125,30 @@ object VectorOps {
               lit(255.0)).cast("long")).as("q"))
     }),
 
+    // Per-class centroid accounting over the QUANTIZED codes (q95's
+    // grid): per (label, dim) the count and exact integer code sum —
+    // the class-centroid building block (centroid = sum/n at the
+    // consumer) emitted in the exact-partials form, so embedding-
+    // space class analytics (drift, imbalance, separation audits)
+    // hash-match on any engine. Long-form (label, dim) keeps the
+    // aggregate a plain two-key hash agg — no array-typed shuffles.
+    "q174_class_centroids" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          col("x").cast("double").as("x"))
+      val stats = e.groupBy("dim").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      e.join(broadcast(stats), "dim")
+        .select(col("label"), col("dim"),
+          when(col("mx") === col("mn"), lit(0L))
+            .otherwise(least(
+              floor((col("x") - col("mn")) * lit(255.0) / (col("mx") - col("mn"))),
+              lit(255.0)).cast("long")).as("q"))
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sum_q"))
+    }),
+
     // ANN over int8-QUANTIZED vectors — the serving path after q95's
     // compression: per-dim stats (64-row aggregate, collected like
     // IVF centroids and embedded as plan literals — no join), codes
@@ -231,6 +255,19 @@ object VectorOps {
                 (CASE WHEN mx = mn THEN 0
                       ELSE least(floor((x - mn) * 255.0 / (mx - mn)), 255.0) END)::BIGINT AS q
          FROM e JOIN s USING (dim)""",
+    "q174_class_centroids" ->
+      """WITH e AS (
+           SELECT label::BIGINT AS label,
+                  unnest(range(len(embedding)))::BIGINT AS dim,
+                  unnest(embedding)::DOUBLE AS x
+           FROM embeddings),
+         s AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM e GROUP BY 1)
+         SELECT label, dim, count(*) AS n_vecs,
+                sum((CASE WHEN mx = mn THEN 0
+                          ELSE least(floor((x - mn) * 255.0 / (mx - mn)), 255.0)
+                     END)::BIGINT)::BIGINT AS sum_q
+         FROM e JOIN s USING (dim)
+         GROUP BY 1, 2""",
     "q101_quantized_ann" ->
       """WITH e AS (
            SELECT vec_id,

@@ -197,6 +197,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q175: approx quantiles land within rank error of the exact quantiles") {
+    val rows = SparkEntry.queries("q175_approx_quantile")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables(spark, sf).events
+    rows.foreach { r =>
+      val tpe = r.getString(0)
+      val vals = ev.filter(col("event_type") === tpe)
+        .select(col("value")).collect().map(_.getDouble(0)).sorted
+      Seq(0.50 -> r.getDouble(1), 0.90 -> r.getDouble(2),
+        0.99 -> r.getDouble(3)).foreach { case (q, est) =>
+        // rank of the estimate must sit within ±1% (plus ties) of q
+        val below = vals.count(_ < est).toDouble / vals.length
+        val upTo = vals.count(_ <= est).toDouble / vals.length
+        assert(below - 0.01 <= q && q <= upTo + 0.01,
+          s"$tpe p$q: estimate $est has rank window [$below,$upTo]")
+      }
+    }
+  }
+
   test("q171: two-phase rank is a bijection onto 1..N and ordered by (value, event_id)") {
     val got = SparkEntry.queries("q171_global_rank")(spark, sf)
       .orderBy(col("rank")).collect()
