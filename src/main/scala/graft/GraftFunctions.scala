@@ -54,8 +54,41 @@ object GraftFunctions {
     // |A ∩ B| of sorted duplicate-free long arrays (merge walk)
     "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
     // exact integer dot product over quantization-code arrays
-    "vec_dot_long" -> (es => VecDotLong(es(0), es(1)))
+    "vec_dot_long" -> (es => VecDotLong(es(0), es(1))),
+    // distinct word-n-gram shingle hashes; n must be a literal (it
+    // shapes the expression, same rule as minhash_sig's numPerm)
+    "shingle_hashes64" -> (es =>
+      graft.functions.expressions.ShingleHashes64(es.head, intLit(es, 1, 2,
+        "shingle_hashes64: n"))),
+    // adjacent symbol pairs of an array<string>, separator-encoded
+    "adjacent_pairs" -> (es =>
+      graft.functions.expressions.AdjacentPairs(es.head))
   )
+
+  /** Evaluate argument `idx` as a positive integer literal (or
+    * `default` when absent) — the shared rule for arguments that
+    * shape the expression tree.
+    */
+  private def intLit(e: Seq[Expression], idx: Int, default: Int,
+                     what: String): Int = {
+    if (e.length <= idx) default
+    else {
+      val arg = e(idx)
+      if (!arg.foldable) throw new IllegalArgumentException(
+        s"$what must be an integer literal, got a non-foldable expression")
+      val v = arg.eval() match {
+        case i: Int => i
+        case l: Long if l.isValidInt => l.toInt
+        case s: Short => s.toInt
+        case b: Byte => b.toInt
+        case other => throw new IllegalArgumentException(
+          s"$what must be an integer literal, got: $other")
+      }
+      if (v <= 0) throw new IllegalArgumentException(
+        s"$what must be positive, got: $v")
+      v
+    }
+  }
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (name, builder) =>

@@ -39,6 +39,18 @@ class GraftFunctionsSpec extends AnyFunSuite {
       "SELECT vec_dot_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) v")
       .collect().head.getLong(0)
     assert(dl == 32L)
+
+    // shingle_hashes64 SQL ≡ the ShingleHashes64 the dedup core uses
+    val shg = spark.sql(
+      "SELECT shingle_hashes64('a b c d', 2) v").collect().head
+      .getSeq[Long](0)
+    assert(shg.length == 3, "3 distinct 2-gram shingles of 4 tokens")
+
+    // adjacent_pairs: n-1 separator-encoded pairs, order preserved
+    val ap = spark.sql(
+      "SELECT adjacent_pairs(split('x y z', ' ')) v").collect().head
+      .getSeq[String](0)
+    assert(ap.length == 2 && ap(0).startsWith("x") && ap(0).endsWith("y"))
   }
 
   test("SQL inputs coerce to the declared element types (no silent stride misreads)") {
