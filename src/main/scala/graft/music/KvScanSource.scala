@@ -74,26 +74,66 @@ final class KvScanTable(tableSchema: StructType, props: util.Map[String, String]
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
+  /** Scan building with the two DSv2 pushdown surfaces a KV store
+    * can honor natively:
+    *  - column pruning — attribute maps are fetched per item anyway,
+    *    but only the REQUIRED columns are materialized into rows
+    *    (and an SDK-backed store would pass a projection expression);
+    *  - filter pushdown — attribute equality and existence tests
+    *    evaluate inside the scan (a real DynamoDB scan takes these
+    *    as FilterExpression), so fully-pushed predicates leave NO
+    *    post-scan Filter node in the plan.
+    * Unsupported predicates are returned as residuals for Spark to
+    * evaluate — correctness never depends on the store's abilities.
+    */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull}
+
+      private var required: StructType = tableSchema
+      private var pushed: Array[Filter] = Array.empty
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        val (sup, residual) = filters.partition {
+          case EqualTo(a, _: String) => tableSchema.fieldNames.contains(a)
+          case IsNotNull(a) => tableSchema.fieldNames.contains(a)
+          case _ => false
+        }
+        pushed = sup
+        residual
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = tableSchema
-        override def toBatch: Batch = new KvScanBatch(tableName, segments, tableSchema)
+        override def readSchema(): StructType = required
+        override def toBatch: Batch =
+          new KvScanBatch(tableName, segments, required, pushed)
+        override def description(): String =
+          s"graft-kv:$tableName pushed=[${pushed.mkString(", ")}] " +
+            s"columns=[${required.fieldNames.mkString(", ")}]"
       }
     }
 }
 
 private final case class KvSegmentPartition(segment: Int, total: Int) extends InputPartition
 
-private final class KvScanBatch(table: String, segments: Int, schema: StructType)
+private final class KvScanBatch(table: String, segments: Int, schema: StructType,
+                                pushed: Array[org.apache.spark.sql.sources.Filter])
     extends Batch {
 
   override def planInputPartitions(): Array[InputPartition] =
     Array.tabulate(segments)(i => KvSegmentPartition(i, segments))
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    import org.apache.spark.sql.sources.{EqualTo, IsNotNull}
     val tableName = table
     val fieldNames = schema.fieldNames.toSeq
+    val filters = pushed
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[KvSegmentPartition]
       new PartitionReader[InternalRow] {
@@ -106,8 +146,19 @@ private final class KvScanBatch(table: String, segments: Int, schema: StructType
           s"graft-kv: table '$tableName' not present in this executor's " +
             "registry — InMemoryKvClient only works in local mode; " +
             "substitute an SDK-backed KvBatchClient for cluster runs")
-        private val items =
-          InMemoryKvClient(tableName).scanSegment(p.segment, p.total).iterator
+        // pushed predicates evaluate against the attribute map BEFORE
+        // rows materialize — the FilterExpression position of a real
+        // KV scan
+        private def keep(attrs: Map[String, String]): Boolean =
+          filters.forall {
+            case EqualTo(a, v: String) => attrs.get(a).contains(v)
+            case IsNotNull(a) => attrs.contains(a)
+            case f => throw new IllegalStateException(
+              s"graft-kv: unpushable filter reached the reader: $f")
+          }
+        private val items = InMemoryKvClient(tableName)
+          .scanSegment(p.segment, p.total).iterator
+          .filter(i => keep(i.attrs))
         private var current: InternalRow = _
         override def next(): Boolean =
           if (!items.hasNext) false

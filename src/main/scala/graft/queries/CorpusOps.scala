@@ -153,6 +153,27 @@ object CorpusOps {
           col("total_chars").cast("long").as("total_chars"))
     }),
 
+    // KV serving with PUSHDOWN: the q80 table re-read through the
+    // DSv2 pushdown surfaces — the source-attribute equality
+    // evaluates INSIDE the scan (a KV FilterExpression; no post-scan
+    // Filter node — pinned in PipelineSpec) and only the required
+    // columns materialize into rows. The point-lookup shape a
+    // serving layer runs against a corpus-scale KV table.
+    "q176_kv_pushdown" -> ((s, d) => {
+      import graft.music.{BatchedKvSink, InMemoryKvClient, InMemoryKvServer}
+      val table = "q176_doc_stats_" + Integer.toHexString(d.hashCode)
+      InMemoryKvServer.reset(table) // idempotent re-runs
+      val agg = Tables(s, d).documents
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+      new BatchedKvSink(InMemoryKvClient(table)).upsert(agg, Seq("source"))
+      s.read.format("graft-kv")
+        .option("table", table).option("segments", "8").load()
+        .filter(col("source") === "src3")
+        .select(col("source"), col("n_docs").cast("long").as("n_docs"))
+    }),
+
     // GPT-style sequence PACKING (concat-and-chunk): documents are
     // laid end-to-end in deterministic doc_id order and cut into
     // fixed 2048-token training sequences; docs may straddle a cut.
@@ -293,6 +314,9 @@ object CorpusOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q176_kv_pushdown" ->
+      """SELECT source, count(*) AS n_docs
+         FROM documents WHERE source = 'src3' GROUP BY 1""",
     "q170_epoch_upsample" ->
       """WITH c AS (
            SELECT doc_id, source,

@@ -863,6 +863,24 @@ object Relational {
         .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
           col("token"))
         .filter(col("pos") <= 8)
+    }),
+
+    // IGNORE NULLS window navigation (first/last/nth non-null over a
+    // full-partition frame) — the gap-tolerant forms every
+    // sparse-measurement timeline needs. Nulls are planted
+    // deterministically (the data has none); emitted values are raw
+    // data points, not accumulations, so they hash-match.
+    "q177_ignore_nulls" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, d).events
+        .withColumn("v",
+          when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+        .select(col("user_id"), col("event_id"),
+          first(col("v"), ignoreNulls = true).over(w).as("fv"),
+          last(col("v"), ignoreNulls = true).over(w).as("lv"),
+          nth_value(col("v"), 2, ignoreNulls = true).over(w).as("nv2"))
     })
   )
 
@@ -1268,6 +1286,17 @@ object Relational {
                   generate_subscripts(string_split(text, ' '), 1)::BIGINT AS pos,
                   unnest(string_split(text, ' ')) AS token
            FROM documents)
-         WHERE pos <= 8"""
+         WHERE pos <= 8""",
+    "q177_ignore_nulls" ->
+      """WITH b AS (
+           SELECT user_id, event_id, ts,
+                  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+           FROM events)
+         SELECT user_id, event_id,
+                first_value(v IGNORE NULLS) OVER w AS fv,
+                last_value(v IGNORE NULLS) OVER w AS lv,
+                nth_value(v, 2 IGNORE NULLS) OVER w AS nv2
+         FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
   )
 }

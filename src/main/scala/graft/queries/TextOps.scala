@@ -388,6 +388,20 @@ object TextOps {
           concat_ws(" ", col("syms")).as("encoded"))
     }),
 
+    // Higher-order array algebra in one projection — filter /
+    // aggregate / exists over the token array without exploding
+    // (row count stays 1 per doc; the explode-free form matters when
+    // the per-doc reduction is all you need). Lambdas interpret per
+    // element, so this surface is for SEMANTICS; the hot dedup loops
+    // use the native expressions instead (CLAUDE.md note).
+    "q178_array_algebra" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      Tables(s, d).documents.select(col("doc_id"),
+        size(filter(toks, t => length(t) >= 5)).cast("long").as("n_long"),
+        aggregate(toks, lit(0L), (a, t) => a + length(t)).as("total_chars"),
+        exists(toks, t => t === "the").as("has_the"))
+    }),
+
     // URL extraction + domain histogram (the crawl-curation pass:
     // which hosts feed the corpus, and how much). URLs are planted
     // deterministically (the synthetic corpus has none) with the
@@ -445,6 +459,15 @@ object TextOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q178_array_algebra" ->
+      """SELECT doc_id,
+                len(list_filter(string_split(text, ' '),
+                    t -> len(t) >= 5))::BIGINT AS n_long,
+                list_aggregate(list_transform(string_split(text, ' '),
+                    t -> len(t)), 'sum')::BIGINT AS total_chars,
+                (len(list_filter(string_split(text, ' '),
+                    t -> t = 'the')) > 0) AS has_the
+         FROM documents""",
     "q166_url_extract" ->
       """WITH p AS (
            SELECT doc_id,

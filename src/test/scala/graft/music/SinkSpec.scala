@@ -124,6 +124,36 @@ class SinkSpec extends AnyFunSuite {
     assert(df.count() == 100)
   }
 
+  test("graft-kv pushdown: equality evaluates in the scan (no Filter node), columns prune") {
+    InMemoryKvServer.reset("t_push")
+    val sink = new BatchedKvSink(InMemoryKvClient("t_push"))
+    sink.upsert((1 to 40).map(i => (s"k$i", (i % 4).toString, i.toLong))
+      .toDF("k", "grp", "v"), Seq("k"))
+    val df = spark.read.format("graft-kv")
+      .option("table", "t_push").option("segments", "4").load()
+      .filter(org.apache.spark.sql.functions.col("grp") === "2")
+      .select("k", "v")
+    // fully-pushed predicate → Spark plans NO post-scan FilterExec
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Filter ("), s"expected no Filter node:\n$plan")
+    // pruned read schema: only the required columns
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!scan.contains("grp") || scan.contains("pushed"),
+      s"scan must prune or report pushdown:\n$scan")
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val exp = (1 to 40).filter(_ % 4 == 2).map(i => s"k$i" -> i.toString).toMap
+    assert(got == exp, "pushed scan must return exactly the matching rows")
+
+    // a predicate the store can't push (inequality) still answers
+    // correctly through the residual path
+    val lt = spark.read.format("graft-kv")
+      .option("table", "t_push").option("segments", "4").load()
+      .filter(org.apache.spark.sql.functions.col("v") > "35")
+    // all columns are strings, so ">" is STRING comparison on both sides
+    val expLt = (1 to 40).map(_.toString).count(_ > "35")
+    assert(lt.count() == expLt.toLong)
+  }
+
   test("graft-kv scanSegment segments are disjoint and cover the table") {
     InMemoryKvServer.reset("t_seg")
     val client = InMemoryKvClient("t_seg")
