@@ -434,6 +434,27 @@ object EtlOps {
     // sketch property, but exact), and the lossy division happens
     // once at the consumer. Every value is base-10 exact →
     // hash-matchable on any engine.
+    // Sequence-pattern matching (MATCH_RECOGNIZE's workhorse case):
+    // sessions whose ordered event-type string matches
+    // click …* purchase (sessions in this corpus cap at 3 events,
+    // so a 2-step funnel is the binding pattern). The ordered
+    // per-session sequence is
+    // ONE array_sort over collect_list (no second window pass), the
+    // pattern is a regex on the joined string — bounded by session
+    // length, parallel per session. Oracle: string_agg ORDER BY over
+    // the same session CTE.
+    "q179_sequence_pattern" -> ((s, d) => {
+      withSessionIds(Tables(s, d).events)
+        .groupBy(col("user_id"), col("sid").cast("long").as("sid"))
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")), ",").as("seq"),
+          count(lit(1)).as("n_events"))
+        .filter(col("seq").rlike("click.*purchase"))
+    }),
+
     "q173_exact_moments" -> ((s, d) => {
       val x = col("value").cast("decimal(12,2)")
       Tables(s, d).events
@@ -555,6 +576,26 @@ object EtlOps {
            SELECT 1 FROM lineitem l
            WHERE l.l_orderkey = o.o_orderkey
              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)""",
+    "q179_sequence_pattern" ->
+      """WITH x AS (
+           SELECT user_id, ts, event_id, event_type,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, ts, event_id, event_type,
+                  sum(new_session) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           FROM x),
+         g AS (
+           SELECT user_id, sid::BIGINT AS sid,
+                  string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
+                  count(*) AS n_events
+           FROM s GROUP BY 1, 2)
+         SELECT user_id, sid, seq, n_events FROM g
+         WHERE regexp_matches(seq, 'click.*purchase')""",
     "q172_max_gap" ->
       """WITH g AS (
            SELECT user_id,
