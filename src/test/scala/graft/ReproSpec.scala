@@ -45,7 +45,13 @@ class ReproSpec extends AnyFunSuite {
     "q151_negative_sampling", // hash-ranked bounded pool
     "q50_stream_hourly",    // streaming drain through the upsert sink
     "q154_stream_full_join",// watermark eviction horizons (both sides)
-    "q157_span_removal"     // position-union removal accounting
+    "q157_span_removal",    // position-union removal accounting
+    // round-5 additions
+    "q160_recursive_cte",   // UnionLoop recursion depth/termination
+    "q162_bookmark_ingest", // ledger state across two staged runs
+    "q167_bpe_encode",      // native merge-fold application
+    "q169_cms_freq",        // seeded CMS estimates
+    "q171_global_rank"      // range-partition + prefix offsets
   )
 
   representatives.foreach { name =>
