@@ -160,10 +160,32 @@ object LakeOps {
           count(lit(1)).as("n_rows"),
           sum(col("event_id")).as("id_sum"),
           round(sum(col("value")), 2).as("total_value"))
+    }),
+
+    // unionByName(allowMissingColumns) — the API-level face of q163's
+    // schema evolution: a v1 extract (no rev column) unioned with a
+    // v2 extract; missing columns null-fill BY NAME, not by position
+    // (the silent-corruption mode positional union invites when
+    // schemas drift).
+    "q182_union_evolve" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val v1 = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val v2 = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), (col("doc_id") % 5).as("rev"),
+          col("n_chars"), col("source")) // deliberately different order
+      v1.unionByName(v2, allowMissingColumns = true)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("rev"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q182_union_evolve" ->
+      """SELECT doc_id, source, n_chars, NULL::BIGINT AS rev
+         FROM documents WHERE doc_id % 2 = 0
+         UNION ALL
+         SELECT doc_id, source, n_chars, doc_id % 5
+         FROM documents WHERE doc_id % 2 = 1""",
     "q162_bookmark_ingest" ->
       """SELECT event_type, count(*) AS n, sum(event_id)::BIGINT AS id_sum,
                 round(sum(value), 2) AS total_value

@@ -83,10 +83,33 @@ object SourceOps {
         .filter(col("event_type") === "click")
         .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // Nested-JSON interchange: each doc serialized with an array-of-
+    // struct tags field, re-read through from_json with an explicit
+    // nested schema, and the array INLINE-exploded back to long form
+    // — the metadata-sidecar shape of every dataset exchange format.
+    // The oracle rebuilds the long form relationally, so a row
+    // proves the nested write→parse→explode path is lossless.
+    "q181_nested_json" -> ((s, d) => {
+      val tagsSchema = org.apache.spark.sql.types.DataType
+        .fromDDL("doc_id BIGINT, tags ARRAY<STRUCT<k: STRING, v: STRING>>")
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      Tables(s, d).documents
+        .select(to_json(struct(col("doc_id"), array(
+          struct(lit("lang").as("k"), col("lang").as("v")),
+          struct(lit("src").as("k"), col("source").as("v"))).as("tags"))).as("j"))
+        .select(from_json(col("j"), tagsSchema).as("p"))
+        .select(col("p.doc_id").as("doc_id"), explode(col("p.tags")).as("tag"))
+        .select(col("doc_id"), col("tag.k").as("k"), col("tag.v").as("v"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q181_nested_json" ->
+      """SELECT doc_id, 'lang' AS k, lang AS v FROM documents
+         UNION ALL
+         SELECT doc_id, 'src', source FROM documents""",
     "q110_partitioned_write" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
                 count(DISTINCT user_id) AS n_users

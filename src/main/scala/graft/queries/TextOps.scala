@@ -402,6 +402,46 @@ object TextOps {
         exists(toks, t => t === "the").as("has_the"))
     }),
 
+    // URL NORMALIZATION + dedup — the crawl-frontier canonicalizer:
+    // scheme/host case-folded, default port stripped, query+fragment
+    // dropped, trailing slash removed. Planted variants (case, port,
+    // query differ by doc) MUST collapse to one canonical URL per
+    // page; the output is the URL-dedup table (url_norm, n_docs).
+    // One codegen projection + a host-sized aggregate.
+    "q180_url_normalize" -> ((s, d) => {
+      val raw = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://Site")).otherwise(lit("https://site")),
+        (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 2 === 0, lit(".Example.ORG")).otherwise(lit(".example.org")),
+        when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+        lit("/p/"), (col("doc_id") % 100).cast("string"),
+        when(col("doc_id") % 2 === 1, lit("/?utm_source=feed#frag")).otherwise(lit("/")))
+      val host = regexp_replace(
+        lower(regexp_extract(raw, "^[A-Za-z]+://([^/]+)", 1)), ":443$", "")
+      val path = regexp_replace(
+        regexp_extract(raw, "^[A-Za-z]+://[^/]+([^?#]*)", 1), "/$", "")
+      Tables(s, d).documents
+        .select(concat(lit("https://"), host, path).as("url_norm"))
+        .groupBy(col("url_norm"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // Per-domain document cap — the frontier-politeness / diversity
+    // rule (≤ 5 docs per host, chosen in deterministic md5 order,
+    // not first-crawled-wins). Same shape as q165's budget but keyed
+    // on the planted domain; per-domain windows stay parallel.
+    "q183_domain_cap" -> ((s, d) => {
+      val domain = concat(lit("site"), (col("doc_id") % 50).cast("string"),
+        lit(".example.org"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("domain"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables(s, d).documents
+        .select(col("doc_id"), domain.as("domain"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+    }),
+
     // URL extraction + domain histogram (the crawl-curation pass:
     // which hosts feed the corpus, and how much). URLs are planted
     // deterministically (the synthetic corpus has none) with the
@@ -459,6 +499,33 @@ object TextOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q180_url_normalize" ->
+      """WITH r AS (
+           SELECT (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://Site' ELSE 'https://site' END)
+                  || (doc_id % 50)::VARCHAR
+                  || (CASE WHEN doc_id % 2 = 0 THEN '.Example.ORG' ELSE '.example.org' END)
+                  || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+                  || '/p/' || (doc_id % 100)::VARCHAR
+                  || (CASE WHEN doc_id % 2 = 1 THEN '/?utm_source=feed#frag' ELSE '/' END)
+                  AS raw
+           FROM documents),
+         n AS (
+           SELECT 'https://'
+                  || regexp_replace(lower(regexp_extract(raw, '^[A-Za-z]+://([^/]+)', 1)),
+                                    ':443$', '')
+                  || regexp_replace(regexp_extract(raw, '^[A-Za-z]+://[^/]+([^?#]*)', 1),
+                                    '/$', '') AS url_norm
+           FROM r)
+         SELECT url_norm, count(*) AS n_docs FROM n GROUP BY 1""",
+    "q183_domain_cap" ->
+      """SELECT doc_id, domain, rk FROM (
+           SELECT doc_id,
+                  'site' || (doc_id % 50)::VARCHAR || '.example.org' AS domain,
+                  row_number() OVER (
+                    PARTITION BY 'site' || (doc_id % 50)::VARCHAR || '.example.org'
+                    ORDER BY md5(doc_id::VARCHAR), doc_id)::BIGINT AS rk
+           FROM documents)
+         WHERE rk <= 5""",
     "q178_array_algebra" ->
       """SELECT doc_id,
                 len(list_filter(string_split(text, ' '),
