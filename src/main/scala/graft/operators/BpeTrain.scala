@@ -89,11 +89,19 @@ object BpeTrain {
     * the SQL-fold twin below costs an interpreted lambda call per
     * ELEMENT per round, which dominated the train loop.
     */
-  def applyMerge(df: DataFrame, symsCol: String, l: String, r: String): DataFrame = {
+  def applyMerge(df: DataFrame, symsCol: String, l: String, r: String): DataFrame =
+    applyMergeAll(df, symsCol, Seq((l, r)))
+
+  /** Apply an ordered merge TABLE to an existing array column — the
+    * encode core without the tokenize step (one native expression
+    * regardless of table size).
+    */
+  def applyMergeAll(df: DataFrame, symsCol: String,
+                    merges: Seq[(String, String)]): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     df.withColumn(symsCol, GraftColumnBridge.column(
       graft.functions.expressions.BpeApplyMerges(
-        GraftColumnBridge.expression(col(symsCol)), Seq((l, r)), Sep)))
+        GraftColumnBridge.expression(col(symsCol)), merges, Sep)))
   }
 
   /** The SQL higher-order-function form of applyMerge — kept as the
