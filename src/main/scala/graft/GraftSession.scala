@@ -25,6 +25,12 @@ object GraftSession {
       // Spark's µs TimestampType cannot hold; read as Long (ns since
       // epoch) and normalize in the loader (Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // managed tables (saveAsTable — the catalog surface) land in
+      // tmp, never in the repo working dir (static conf: the first
+      // session of the JVM decides)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {

@@ -114,4 +114,49 @@ object Multimodal {
       }
     }
   }
+
+  /** One embedding-feature row per (item, dim). */
+  final case class InferredFeature(doc_id: Long, dim: Long, feat: String)
+
+  /** STUB model — a deterministic per-(payload, dim) fingerprint in
+    * place of a real encoder. The BATCH signature is the contract:
+    * a real model amortizes weights/IO per call, so it must be
+    * handed groups of items, never one at a time.
+    */
+  object FakeModel {
+    def embed(batch: Seq[MediaItem], dims: Int): Seq[InferredFeature] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      batch.flatMap { m =>
+        (0L until dims.toLong).map { j =>
+          md.reset()
+          md.update(m.payload)
+          md.update(s":$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val hex = md.digest().map(b => f"$b%02x").mkString
+          InferredFeature(m.doc_id, j, hex.substring(0, 8))
+        }
+      }
+    }
+  }
+
+  /** Batched model INFERENCE over media payloads — the execution
+    * half of inference batching (q156 assigns batch ids; this runs
+    * the batches): each partition streams through `grouped(
+    * batchSize)` and the model is invoked once per GROUP, the
+    * per-call amortization a real encoder needs. `batches` (an
+    * accumulator) counts model invocations so tests can pin the
+    * batch shape without the batch structure leaking into the
+    * (partitioning-independent) output rows.
+    */
+  def batchedInfer(items: Dataset[MediaItem], batchSize: Int, dims: Int,
+                   batches: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[InferredFeature] = {
+    import items.sparkSession.implicits._
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    items.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batches.foreach(_.add(1))
+        FakeModel.embed(batch, dims)
+      }
+    }
+  }
 }

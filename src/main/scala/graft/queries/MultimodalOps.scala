@@ -29,6 +29,19 @@ object MultimodalOps {
       implicit val sp: SparkSession = s
       Multimodal.resize(Multimodal.asMedia(Tables(s, d).documents), w = 64, h = 64)
         .toDF().select("doc_id", "width", "height", "byte_len")
+    }),
+
+    // Batched model inference: payloads stream through the stub
+    // model in ≤32-item groups (one model call per GROUP — the
+    // weight/IO amortization a real encoder needs; MultimodalSpec
+    // pins the call count). Output rows are a pure function of
+    // (payload, dim), so the result is partitioning-independent and
+    // fully oracled even though the batching is physical.
+    "q185_batch_infer" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      Multimodal.batchedInfer(
+        Multimodal.asMedia(TextOps.parallelized(Tables(s, d).documents)),
+        batchSize = 32, dims = 4).toDF()
     })
   )
 
@@ -49,6 +62,11 @@ object MultimodalOps {
     "q62_media_resize" ->
       """SELECT doc_id, 64::BIGINT AS width, 64::BIGINT AS height,
                 least(octet_length(encode(text)), 4096)::BIGINT AS byte_len
-         FROM documents"""
+         FROM documents""",
+    "q185_batch_infer" ->
+      """WITH dims AS (SELECT unnest(range(4)) AS j)
+         SELECT doc_id, j::BIGINT AS dim,
+                substring(md5(text || ':' || j::VARCHAR), 1, 8) AS feat
+         FROM documents CROSS JOIN dims"""
   )
 }

@@ -91,6 +91,23 @@ object SourceOps {
     // — the metadata-sidecar shape of every dataset exchange format.
     // The oracle rebuilds the long form relationally, so a row
     // proves the nested write→parse→explode path is lossless.
+    // Catalog surface (the reference platform's Data-Catalog role):
+    // a managed table registered via saveAsTable, re-resolved BY NAME
+    // through the session catalog and aggregated — the decoupling of
+    // "where the files live" from "what the table is called" that a
+    // crawler/catalog provides. Overwrite keeps re-runs idempotent;
+    // the warehouse lives in tmp (GraftSession), never the repo.
+    "q184_catalog_table" -> ((s, d) => {
+      val tbl = "graft_docs_" + Integer.toHexString(d.hashCode)
+      Tables(s, d).documents
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").saveAsTable(tbl)
+      require(s.catalog.tableExists(tbl), s"catalog must resolve $tbl")
+      s.table(tbl)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    }),
+
     "q181_nested_json" -> ((s, d) => {
       val tagsSchema = org.apache.spark.sql.types.DataType
         .fromDDL("doc_id BIGINT, tags ARRAY<STRUCT<k: STRING, v: STRING>>")
@@ -106,6 +123,10 @@ object SourceOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q184_catalog_table" ->
+      """SELECT source, lang, count(*) AS n_docs,
+                sum(n_chars)::BIGINT AS total_chars
+         FROM documents GROUP BY 1, 2""",
     "q181_nested_json" ->
       """SELECT doc_id, 'lang' AS k, lang AS v FROM documents
          UNION ALL
