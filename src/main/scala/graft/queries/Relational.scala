@@ -881,10 +881,65 @@ object Relational {
           first(col("v"), ignoreNulls = true).over(w).as("fv"),
           last(col("v"), ignoreNulls = true).over(w).as("lv"),
           nth_value(col("v"), 2, ignoreNulls = true).over(w).as("nv2"))
+    }),
+
+    // SQL:2023 LISTAGG (Spark 4 native): ordered, DISTINCT-capable
+    // string aggregation — the report-friendly "which nations buy in
+    // this segment" rollup. WITHIN GROUP (ORDER BY) gives a total
+    // order inside each group, so the concatenation is deterministic
+    // and hash-oracles against DuckDB's ordered string_agg. Group
+    // state is bounded by the distinct-value universe (25 nations),
+    // not the fact cardinality — safe at any row count.
+    "q188_listagg" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.customer
+        .join(broadcast(t.nation),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(expr("listagg(DISTINCT n_name, ',') WITHIN GROUP (ORDER BY n_name)")
+            .as("nations"),
+          count(lit(1)).as("n_cust"))
+    }),
+
+    // Ordered-set / statistical aggregates: exact median (Spark 4
+    // Median — interpolated midpoint, identical IEEE arithmetic to
+    // DuckDB's quantile_cont so the double hash-matches) and
+    // deterministic mode — mode() WITHIN GROUP (ORDER BY k) breaks
+    // frequency ties by the lowest key, which the oracle reproduces
+    // with an explicit argmax window. The tie-broken form is the
+    // only mode that is stable across engines and partitionings.
+    "q189_stats_agg" -> ((s, d) => {
+      Tables(s, d).customer
+        .groupBy(col("c_mktsegment"))
+        .agg(expr("median(c_acctbal)").as("med_bal"),
+          expr("mode() WITHIN GROUP (ORDER BY c_nationkey)")
+            .cast("long").as("top_nation"),
+          count(lit(1)).as("n_cust"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q188_listagg" ->
+      """SELECT c_mktsegment,
+                string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations,
+                count(*)::BIGINT AS n_cust
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1""",
+    "q189_stats_agg" ->
+      """WITH m AS (
+           SELECT c_mktsegment, median(c_acctbal) AS med_bal,
+                  count(*)::BIGINT AS n_cust
+           FROM customer GROUP BY 1),
+         cnt AS (
+           SELECT c_mktsegment, c_nationkey, count(*) AS n
+           FROM customer GROUP BY 1, 2),
+         top AS (
+           SELECT c_mktsegment, c_nationkey::BIGINT AS top_nation
+           FROM (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                   ORDER BY n DESC, c_nationkey) AS rn FROM cnt)
+           WHERE rn = 1)
+         SELECT m.c_mktsegment, m.med_bal, t.top_nation, m.n_cust
+         FROM m JOIN top t USING (c_mktsegment)""",
     "q01_scan_project" ->
       "SELECT p_partkey, p_name, p_type FROM part",
     "q02_filter_pushdown" ->

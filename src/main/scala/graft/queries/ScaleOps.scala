@@ -354,6 +354,62 @@ object ScaleOps {
           col("qs").getItem(0).as("p50"),
           col("qs").getItem(1).as("p90"),
           col("qs").getItem(2).as("p99"))
+    }),
+
+    // Bitmap-index exact distinct (Spark 4 bitmap functions): each
+    // (type, 32768-id bucket) folds its users into a fixed-size bit
+    // vector via bitmap_construct_agg — associative, mergeable,
+    // byte-bounded state (4 KiB/bucket regardless of row count),
+    // then distinct = sum of popcounts. The RoaringBitmap-style
+    // shape: at 100 TB the shuffle carries |types|x|id-space/32768|
+    // bitmaps, not one row per (type, user) pair like count
+    // (DISTINCT)'s expand — and unlike HLL (q168) the answer is
+    // EXACT, so it hash-oracles against count(DISTINCT).
+    "q186_bitmap_distinct" -> ((s, d) => {
+      Tables(s, d).events
+        .select(col("event_type"),
+          expr("bitmap_bucket_number(user_id)").as("bkt"),
+          expr("bitmap_bit_position(user_id)").as("pos"))
+        .groupBy(col("event_type"), col("bkt"))
+        .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+        .groupBy(col("event_type"))
+        .agg(sum(expr("bitmap_count(bm)")).as("distinct_users"))
+    }),
+
+    // Day-over-day audience overlap WITHOUT a fact self-join:
+    // per-day user bitmaps (one distinct pass), pairs of adjacent
+    // days OR-merged per bucket (bitmap_or_agg), and the exact
+    // intersection recovered by inclusion-exclusion
+    // |A∩B| = |A|+|B|-|A∪B|. The classic retention self-join
+    // shuffles O(events) twice; this shuffles O(days x buckets)
+    // fixed-size bitmaps once — and stays exact (hash-oracled
+    // against the literal distinct-intersection join).
+    "q187_bitmap_overlap" -> ((s, d) => {
+      val bm = Tables(s, d).events
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        .select(col("day"),
+          expr("bitmap_bucket_number(user_id)").as("bkt"),
+          expr("bitmap_bit_position(user_id)").as("pos"))
+        .groupBy(col("day"), col("bkt"))
+        .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+      val totals = bm.groupBy(col("day"))
+        .agg(sum(expr("bitmap_count(bm)")).as("u"))
+      val unions = bm.select(col("day").as("pair_day"), col("bkt"), col("bm"))
+        .unionByName(bm.select(date_sub(col("day"), 1).as("pair_day"),
+          col("bkt"), col("bm")))
+        .groupBy(col("pair_day"), col("bkt"))
+        .agg(expr("bitmap_or_agg(bm)").as("bm"))
+        .groupBy(col("pair_day"))
+        .agg(sum(expr("bitmap_count(bm)")).as("u_union"))
+      unions
+        .join(totals.select(col("day").as("pair_day"), col("u").as("users_day")),
+          Seq("pair_day"))
+        .join(totals.select(date_sub(col("day"), 1).as("pair_day"),
+          col("u").as("users_next")), Seq("pair_day"))
+        .select(date_format(col("pair_day"), "yyyy-MM-dd").as("day"),
+          col("users_day"), col("users_next"),
+          (col("users_day") + col("users_next") - col("u_union"))
+            .as("common_users"))
     })
   )
 
@@ -412,6 +468,24 @@ object ScaleOps {
   }.mkString(",\n         ")
 
   def oracleSql: Map[String, String] = Map(
+    "q186_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS distinct_users
+         FROM events GROUP BY 1""",
+    "q187_bitmap_overlap" ->
+      """WITH ud AS (
+           SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+         tot AS (SELECT day, count(*)::BIGINT AS u FROM ud GROUP BY 1),
+         com AS (
+           SELECT a.day AS day, count(*)::BIGINT AS c
+           FROM ud a JOIN ud b
+             ON b.user_id = a.user_id AND b.day = a.day + INTERVAL 1 DAY
+           GROUP BY 1)
+         SELECT strftime(t1.day, '%Y-%m-%d') AS day,
+                t1.u AS users_day, t2.u AS users_next,
+                coalesce(c.c, 0)::BIGINT AS common_users
+         FROM tot t1
+         JOIN tot t2 ON t2.day = t1.day + INTERVAL 1 DAY
+         LEFT JOIN com c ON c.day = t1.day""",
     "q171_global_rank" ->
       """SELECT event_id, value,
                 row_number() OVER (ORDER BY value, event_id) AS rank
