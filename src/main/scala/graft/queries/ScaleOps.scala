@@ -410,6 +410,46 @@ object ScaleOps {
           col("users_day"), col("users_next"),
           (col("users_day") + col("users_next") - col("u_union"))
             .as("common_users"))
+    }),
+
+    // Theta-sketch set algebra (DataSketches): per-type user
+    // sketches, then pairwise INTERSECTION and UNION estimates —
+    // the set operations HLL (q168) structurally cannot answer.
+    // Sketch state is bounded (default lgK=12 → ≤4096 retained
+    // hashes) and associative across partitions; below that
+    // retention the sketch runs in exact mode, so at gate scales
+    // the estimates ARE the true counts and the query hash-oracles
+    // against the literal distinct-intersection SQL. At 100 TB the
+    // same plan degrades gracefully to ±ε estimates — accepting
+    // that trade (vs q187's exact bitmaps over a dense id space)
+    // is the operator's point.
+    "q191_theta_overlap" -> ((s, d) => {
+      val sk = Tables(s, d).events.groupBy(col("event_type"))
+        .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+      val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
+      val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"))
+      a.join(b, col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          expr("theta_sketch_estimate(theta_intersection(ska, skb))")
+            .as("common_users"),
+          expr("theta_sketch_estimate(theta_union(ska, skb))")
+            .as("union_users"))
+    }),
+
+    // approx_top_k (frequent-items sketch): "top tokens" from ONE
+    // mergeable bounded-state aggregate — no full token-universe
+    // groupBy shuffle, the serving-layer shape for frequency
+    // dashboards over unbounded vocabularies. Estimates are exact
+    // while the universe fits the sketch capacity (true at every
+    // gate sf) but the CONTRACT is approximate → rows-only gate;
+    // ScaleOpsSpec A/Bs item counts against the exact aggregate.
+    "q192_approx_topk" -> ((s, d) => {
+      Tables(s, d).documents.repartition(8)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .agg(expr("approx_top_k(tok, 10)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("token"),
+          col("e.count").cast("long").as("cnt_est"))
     })
   )
 
@@ -468,6 +508,26 @@ object ScaleOps {
   }.mkString(",\n         ")
 
   def oracleSql: Map[String, String] = Map(
+    "q191_theta_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+         types AS (SELECT DISTINCT event_type FROM events),
+         pairs AS (
+           SELECT a.event_type AS ta, b.event_type AS tb
+           FROM types a JOIN types b ON a.event_type < b.event_type),
+         com AS (
+           SELECT x.event_type AS ta, y.event_type AS tb, count(*)::BIGINT AS c
+           FROM tu x JOIN tu y
+             ON x.user_id = y.user_id AND x.event_type < y.event_type
+           GROUP BY 1, 2),
+         tot AS (SELECT event_type, count(*)::BIGINT AS u FROM tu GROUP BY 1)
+         SELECT p.ta AS type_a, p.tb AS type_b,
+                coalesce(c.c, 0)::BIGINT AS common_users,
+                (t1.u + t2.u - coalesce(c.c, 0))::BIGINT AS union_users
+         FROM pairs p
+         LEFT JOIN com c ON c.ta = p.ta AND c.tb = p.tb
+         JOIN tot t1 ON t1.event_type = p.ta
+         JOIN tot t2 ON t2.event_type = p.tb""",
+    // q192_approx_topk: approximate contract → rows-only check.
     "q186_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS distinct_users
          FROM events GROUP BY 1""",

@@ -495,10 +495,65 @@ object TextOps {
         .orderBy(col("lift").desc, col("w1"), col("w2"))
         .limit(50)
         .select(col("w1"), col("w2"), col("c_xy"), col("lift"))
+    }),
+
+    // Typo-correction fuzzy join (OCR / scrape-noise cleanup):
+    // deterministic single-char-deletion typos matched back to the
+    // vocabulary under an EXACTNESS-PRESERVING blocking scheme — a
+    // single edit keeps the first character or the last character
+    // (or both) intact, so every distance-≤1 pair appears in the
+    // union of two equi-joins on (edge char, length) keys; the
+    // |len(a)−len(b)| ≤ 1 band rides the key via a 3-way length
+    // fan-out on the vocab side. Candidates are bounded by the
+    // (char × length) bucket sizes, never the |typos| × |vocab|
+    // cross product a naive fuzzy join scans; the thresholded
+    // levenshtein(a, b, 1) verifies with early exit. Exact integer
+    // distances → hash-oracled against DuckDB's brute force.
+    "q190_fuzzy_match" -> ((s, d) => {
+      val toks = parallelized(Tables(s, d).documents)
+        .select(explode(tokens).as("w")).distinct()
+      val vocab = toks.filter(length(col("w")) >= 3)
+      val typos = toks
+        .filter(length(col("w")) >= 4 &&
+          substring(md5(col("w")), 2, 1) <= "7")
+        .withColumn("p",
+          (ascii(substring(md5(col("w")), 1, 1)) % length(col("w"))) + lit(1))
+        .select(expr("concat(substring(w, 1, p - 1), substring(w, p + 1))")
+          .as("typo"))
+        .distinct()
+        .withColumn("lt", length(col("typo")))
+        .withColumn("c1", substring(col("typo"), 1, 1))
+        .withColumn("cz", substring(col("typo"), -1, 1))
+      val vks = vocab
+        .withColumn("v1", substring(col("w"), 1, 1))
+        .withColumn("vz", substring(col("w"), -1, 1))
+        .withColumn("lk",
+          explode(array(length(col("w")) - 1, length(col("w")),
+            length(col("w")) + 1)))
+      typos.join(vks, col("c1") === col("v1") && col("lt") === col("lk"))
+        .unionByName(
+          typos.join(vks, col("cz") === col("vz") && col("lt") === col("lk")))
+        .select(col("typo"), col("w").as("vocab_token"))
+        .distinct()
+        .withColumn("dist", expr("levenshtein(typo, vocab_token, 1)").cast("long"))
+        .filter(col("dist") >= 0)
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q190_fuzzy_match" ->
+      """WITH toks AS (
+           SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),
+         vocab AS (SELECT w FROM toks WHERE length(w) >= 3),
+         typos AS (
+           SELECT DISTINCT concat(substr(w, 1, p - 1), substr(w, p + 1)) AS typo
+           FROM (SELECT w,
+                        (ascii(substr(md5(w), 1, 1)) % length(w)) + 1 AS p
+                 FROM toks
+                 WHERE length(w) >= 4 AND substr(md5(w), 2, 1) <= '7') t)
+         SELECT t.typo AS typo, v.w AS vocab_token,
+                levenshtein(t.typo, v.w)::BIGINT AS dist
+         FROM typos t JOIN vocab v ON levenshtein(t.typo, v.w) <= 1""",
     "q180_url_normalize" ->
       """WITH r AS (
            SELECT (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://Site' ELSE 'https://site' END)

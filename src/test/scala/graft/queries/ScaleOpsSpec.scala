@@ -224,4 +224,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     val sorted = got.map(r => (r.getDouble(1), r.getLong(0))).toSeq
     assert(sorted == sorted.sorted, "rank order must equal (value, event_id) order")
   }
+
+  test("q192: approx_top_k counts are exact while the vocab fits the sketch") {
+    val exact = Tables(spark, sf).documents
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("q192_approx_topk")(spark, sf).collect()
+    assert(got.length == 10)
+    got.foreach { r =>
+      assert(exact(r.getString(0)) == r.getLong(1),
+        s"token ${r.getString(0)}: sketch count ${r.getLong(1)} != exact")
+    }
+    // the emitted set is a true top-10: every emitted count >= every
+    // omitted count (ties at the boundary may swap members, so
+    // compare counts, not membership)
+    val minEmitted = got.map(_.getLong(1)).min
+    val omitted = exact.keySet -- got.map(_.getString(0)).toSet
+    assert(omitted.forall(t => exact(t) <= minEmitted))
+  }
 }
