@@ -468,6 +468,57 @@ object EtlOps {
           sum(col("x")).cast("decimal(38,2)").as("sum_x"),
           sum(col("x") * col("x")).cast("decimal(38,4)").as("sum_x2"),
           sum(col("x") * col("y")).cast("decimal(38,2)").as("sum_xy"))
+    }),
+
+    // EWMA smoothing in exact scaled-integer form: per-user
+    // exponential moving average over the trailing 8 events as a
+    // numerator/denominator pair — weights 2^(7-j) over lag(cents,j),
+    // denominator counting only the lags that exist. Eight codegen'd
+    // lag() columns, no collect_list buffer, no float accumulation —
+    // the emitted (num, den) pair is the exact rational the consumer
+    // divides, so it hash-matches across engines where a float EWMA
+    // never would. One window shuffle on user_id; frame cost is a
+    // constant 8 regardless of history length.
+    "q193_ewma" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val base = Tables(s, d).events
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      val lags = (0 to 7).map(j =>
+        (if (j == 0) col("cents") else lag(col("cents"), j).over(w),
+          1L << (7 - j)))
+      val num = lags.map { case (c, wt) => coalesce(c, lit(0L)) * lit(wt) }
+        .reduce(_ + _)
+      val den = lags.map { case (c, wt) =>
+        when(c.isNotNull, lit(wt)).otherwise(lit(0L)) }
+        .reduce(_ + _)
+      base.select(col("event_id"), col("user_id"),
+        num.as("ewma_num"), den.as("ewma_den"))
+    }),
+
+    // Volume-anomaly detection by an exact integer z-test: flag
+    // (type, day) cells whose count sits more than 2σ above the
+    // type's daily mean, evaluated WITHOUT division or floats —
+    // (n·N − S)² > 4·(N·Q − S²) over DECIMAL(38,0) cross-terms, so
+    // the verdict is bitwise-reproducible in any engine. Daily
+    // counts are a tiny aggregate; the stats join is broadcast-size
+    // (one row per type). The DECIMAL(38) headroom keeps the squares
+    // exact out to ~1e15-row days — actual 100 TB territory.
+    "q194_volume_anomaly" -> ((s, d) => {
+      val daily = Tables(s, d).events
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val dn = col("n").cast("decimal(38,0)")
+      val stats = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("nd"),
+          sum(dn).cast("decimal(38,0)").as("s"),
+          sum(dn * dn).cast("decimal(38,0)").as("q"))
+      daily.join(broadcast(stats), Seq("event_type"))
+        .filter(dn * col("nd") > col("s") &&
+          (dn * col("nd") - col("s")) * (dn * col("nd") - col("s")) >
+            lit(4) * (col("nd") * col("q") - col("s") * col("s")))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"))
     })
   )
 
@@ -485,6 +536,47 @@ object EtlOps {
   }.mkString(",\n         ")
 
   def oracleSql: Map[String, String] = Map(
+    "q193_ewma" ->
+      """WITH b AS (
+           SELECT event_id, user_id, ts,
+                  round(value * 100, 0)::BIGINT AS cents
+           FROM events),
+         l AS (
+           SELECT event_id, user_id, cents,
+                  lag(cents, 1) OVER w AS l1, lag(cents, 2) OVER w AS l2,
+                  lag(cents, 3) OVER w AS l3, lag(cents, 4) OVER w AS l4,
+                  lag(cents, 5) OVER w AS l5, lag(cents, 6) OVER w AS l6,
+                  lag(cents, 7) OVER w AS l7
+           FROM b
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT event_id, user_id,
+                (coalesce(cents,0)*128 + coalesce(l1,0)*64 + coalesce(l2,0)*32
+                 + coalesce(l3,0)*16 + coalesce(l4,0)*8 + coalesce(l5,0)*4
+                 + coalesce(l6,0)*2 + coalesce(l7,0))::BIGINT AS ewma_num,
+                (128 + CASE WHEN l1 IS NULL THEN 0 ELSE 64 END
+                     + CASE WHEN l2 IS NULL THEN 0 ELSE 32 END
+                     + CASE WHEN l3 IS NULL THEN 0 ELSE 16 END
+                     + CASE WHEN l4 IS NULL THEN 0 ELSE 8 END
+                     + CASE WHEN l5 IS NULL THEN 0 ELSE 4 END
+                     + CASE WHEN l6 IS NULL THEN 0 ELSE 2 END
+                     + CASE WHEN l7 IS NULL THEN 0 ELSE 1 END)::BIGINT
+                  AS ewma_den
+         FROM l""",
+    "q194_volume_anomaly" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+           FROM events GROUP BY 1, 2),
+         stats AS (
+           SELECT event_type,
+                  count(*)::DECIMAL(38,0) AS nd,
+                  sum(n::DECIMAL(38,0))::DECIMAL(38,0) AS s,
+                  sum(n::DECIMAL(38,0) * n::DECIMAL(38,0))::DECIMAL(38,0) AS q
+           FROM daily GROUP BY 1)
+         SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.n
+         FROM daily d JOIN stats t USING (event_type)
+         WHERE d.n::DECIMAL(38,0) * t.nd > t.s
+           AND (d.n::DECIMAL(38,0) * t.nd - t.s) * (d.n::DECIMAL(38,0) * t.nd - t.s)
+               > 4 * (t.nd * t.q - t.s * t.s)""",
     "q131_bfs_hops" ->
       s"""WITH t AS (
            SELECT string_split(text, ' ') AS toks FROM documents
