@@ -100,6 +100,13 @@ object StreamOps {
     "q154_stream_full_join" -> ((s, d) =>
       StreamingKpi.clickPurchaseFullJoin(s, s"$d/events.parquet")),
 
+    // Stream–stream RIGHT OUTER join: the left join's mirror,
+    // preserving purchases — unmatched purchases emit null-clicked
+    // once the watermark passes their own event time. Completes the
+    // inner/left/right/full streaming join matrix.
+    "q195_stream_right_join" -> ((s, d) =>
+      StreamingKpi.clickPurchaseRightJoin(s, s"$d/events.parquet")),
+
     // Typed cogroup (KeyValueGroupedDataset.cogroup): reduce-side
     // per-key imperative logic over two inputs — the "genuine
     // per-partition imperative" escape hatch, used here to merge
@@ -240,6 +247,24 @@ object StreamOps {
                   AND epoch_us(p.pts) < wm_ms * 1000)
          SELECT user_id, click_id, purchase_id FROM m
          UNION ALL SELECT * FROM uc
+         UNION ALL SELECT * FROM up""",
+    "q195_stream_right_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts AS cts
+                    FROM events WHERE event_type = 'click'),
+         p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS pts
+               FROM events WHERE event_type = 'purchase'),
+         wm AS (SELECT least((SELECT epoch_us(max(cts)) // 1000 FROM c),
+                             (SELECT epoch_us(max(pts)) // 1000 FROM p))
+                       - 3600000 AS wm_ms),
+         m AS (SELECT c.user_id, c.click_id, p.purchase_id
+               FROM c JOIN p ON c.user_id = p.p_user
+                 AND p.pts >= c.cts AND p.pts < c.cts + INTERVAL 1 HOUR),
+         up AS (SELECT p.p_user AS user_id, NULL::BIGINT AS click_id,
+                       p.purchase_id
+                FROM p, wm
+                WHERE p.purchase_id NOT IN (SELECT purchase_id FROM m)
+                  AND epoch_us(p.pts) < wm_ms * 1000)
+         SELECT user_id, click_id, purchase_id FROM m
          UNION ALL SELECT * FROM up""",
     "q146_stream_left_join" ->
       """WITH c AS (SELECT event_id AS click_id, user_id, ts AS cts

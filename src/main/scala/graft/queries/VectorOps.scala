@@ -206,10 +206,77 @@ object VectorOps {
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select(col("a_id"), col("b_id").as("neighbor_id"), col("rank"))
+    }),
+
+    // Test↔train SEMANTIC contamination over quantized codes: the
+    // embedding-space twin of q69's n-gram contamination. A held-out
+    // md5 split (~1/16) is checked against the train corpus by
+    // exact INTEGER cosine on q95's int8 grid —
+    // 25·dot² > 22·‖a‖²·‖b‖² ⟺ cos > √0.88 — evaluated by the
+    // native VecDotLong codegen loop with per-row norms computed
+    // once before the join. Integer arithmetic makes the verdict
+    // (and the emitted dot scores) bit-reproducible, so unlike
+    // float-cosine contamination this one is fully hash-oracled.
+    // Scale shape: the test side broadcasts (held-out splits are
+    // small by construction); cost is linear in the train corpus.
+    "q196_semantic_contamination" -> ((s, d) => {
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      val st = emb
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("dim"), col("x").cast("double").as("x"))
+        .groupBy("dim").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1)
+      val mnA = array(st.map(t => lit(t._2)).toIndexedSeq: _*)
+      val mxA = array(st.map(t => lit(t._3)).toIndexedSeq: _*)
+      val codes = emb.repartition(32).select(col("vec_id"),
+        transform(col("embedding"), (x, i) => {
+          val mn = element_at(mnA, i + 1)
+          val mx = element_at(mxA, i + 1)
+          when(mx === mn, lit(0L))
+            .otherwise(least(
+              floor((x.cast("double") - mn) * lit(255.0) / (mx - mn)),
+              lit(255.0)).cast("long"))
+        }).as("codes"))
+      val isTest = substring(md5(col("vec_id").cast("string")), 1, 1) === "0"
+      val test = codes.filter(isTest)
+        .select(col("vec_id").as("test_id"), col("codes").as("tc"),
+          Vec.dotLong(col("codes"), col("codes")).as("na"))
+      codes.filter(!isTest)
+        .withColumn("nb", Vec.dotLong(col("codes"), col("codes")))
+        .crossJoin(broadcast(test))
+        .withColumn("dot", Vec.dotLong(col("tc"), col("codes")))
+        .filter(col("dot") > 0 &&
+          lit(25L) * col("dot") * col("dot") > lit(22L) * col("na") * col("nb"))
+        .select(col("test_id"), col("vec_id").as("train_id"), col("dot"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q196_semantic_contamination" ->
+      """WITH e AS (
+           SELECT vec_id,
+                  unnest(range(len(embedding)))::BIGINT AS dim,
+                  unnest(embedding)::DOUBLE AS x
+           FROM embeddings),
+         s AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM e GROUP BY 1),
+         q AS (
+           SELECT vec_id, dim,
+                  (CASE WHEN mx = mn THEN 0
+                        ELSE least(floor((x - mn) * 255.0 / (mx - mn)), 255.0)
+                   END)::BIGINT AS q
+           FROM e JOIN s USING (dim)),
+         d AS (
+           SELECT a.vec_id AS test_id, b.vec_id AS train_id,
+                  sum(a.q * b.q)::BIGINT AS dot,
+                  sum(a.q * a.q)::BIGINT AS na,
+                  sum(b.q * b.q)::BIGINT AS nb
+           FROM q a JOIN q b ON a.dim = b.dim
+           WHERE substr(md5(a.vec_id::VARCHAR), 1, 1) = '0'
+             AND substr(md5(b.vec_id::VARCHAR), 1, 1) <> '0'
+           GROUP BY 1, 2)
+         SELECT test_id, train_id, dot
+         FROM d WHERE dot > 0 AND 25 * dot * dot > 22 * na * nb""",
     "q40_ann_topk" ->
       """SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                 row_number() OVER (PARTITION BY a.vec_id

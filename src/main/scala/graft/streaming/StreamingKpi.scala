@@ -448,6 +448,52 @@ object StreamingKpi {
     spark.read.parquet(s"$workDir/out")
   }
 
+  /** Stream–stream RIGHT OUTER join — the mirror of
+    * [[clickPurchaseLeftJoin]], preserving the purchase side:
+    * matches emit in their micro-batch; an UNMATCHED purchase emits
+    * with null click once the watermark passes its own event time
+    * (a purchase's matchable clicks satisfy cts ≤ pts < cts + 1h,
+    * so pts itself is the eviction horizon — the same purchase-side
+    * boundary the full outer join uses).
+    */
+  def clickPurchaseRightJoin(
+      spark: SparkSession,
+      eventsPath: String,
+      latenessTolerance: String = "1 hour"): DataFrame = {
+    val workDir = tempWorkDir("graft-q195-")
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    def src = scoped.readStream
+      .schema(eventsSchema)
+      .parquet(stageAsDir(eventsPath))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", latenessTolerance)
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", latenessTolerance)
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "right_outer")
+      .select(coalesce(col("user_id"), col("p_user")).as("user_id"),
+        col("click_id"), col("purchase_id"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$workDir/out")
+      .option("checkpointLocation", s"$workDir/checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$workDir/out")
+  }
+
   /** Stage a file as a directory holding TWO copies (deterministic
     * duplicate delivery). Content-addressed like [[stageAsDir]] —
     * bounded across re-runs.
