@@ -310,10 +310,45 @@ object CorpusOps {
         .select(col("doc_id"), col("source"),
           explode(sequence(lit(1L), col("n_copies").cast("long")))
             .as("copy_idx"))
+    }),
+
+    // Curriculum ordering: a global training order of
+    // (length band ASC, md5 shuffle within band) — short documents
+    // first, deterministically shuffled inside each difficulty tier.
+    // The rank is q171's two-phase construction (range exchange →
+    // parallel per-partition windows → broadcast prefix offsets), so
+    // the TOTAL order never funnels through a single-reducer window
+    // at any corpus size.
+    "q201_curriculum" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), expr("n_chars div 200").as("band"),
+          md5(concat(lit("cur"), col("doc_id").cast("string"))).as("h"))
+      val parts = docs
+        .repartitionByRange(16, col("band"), col("h"), col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint()
+      val counts = parts.groupBy(col("pid")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val offsets: Map[Int, Long] = {
+        val sorted = counts.toSeq.sortBy(_._1)
+        sorted.map(_._1).zip(sorted.map(_._2).scanLeft(0L)(_ + _)).toMap
+      }
+      val w = Window.partitionBy(col("pid"))
+        .orderBy(col("band"), col("h"), col("doc_id"))
+      parts
+        .withColumn("rank",
+          row_number().over(w).cast("long") +
+            element_at(typedLit(offsets), col("pid")))
+        .select(col("doc_id"), col("band"), col("rank"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q201_curriculum" ->
+      """SELECT doc_id, (n_chars // 200)::BIGINT AS band,
+                row_number() OVER (ORDER BY n_chars // 200,
+                  md5('cur' || doc_id::VARCHAR), doc_id) AS rank
+         FROM documents""",
     "q176_kv_pushdown" ->
       """SELECT source, count(*) AS n_docs
          FROM documents WHERE source = 'src3' GROUP BY 1""",

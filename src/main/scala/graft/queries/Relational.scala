@@ -901,6 +901,43 @@ object Relational {
           count(lit(1)).as("n_cust"))
     }),
 
+    // Generator with null preservation: explode_outer keeps parents
+    // whose array is EMPTY as a null row — LATERAL VIEW OUTER
+    // semantics, the form that doesn't silently drop documents from
+    // per-token rollups (an inner explode loses them; 5 docs here
+    // have no ≥6-char token). Oracle rebuilds the two branches
+    // (unnest + explicit null rows) relationally.
+    "q197_explode_outer" -> ((s, d) => {
+      Tables(s, d).documents
+        .select(col("doc_id"),
+          explode_outer(filter(split(col("text"), " "),
+            t => length(t) >= 6)).as("token"))
+    }),
+
+    // try_* error-tolerant evaluation under ANSI mode: malformed
+    // numerics (planted 'v' prefix), division by zero, and
+    // unparseable timestamps become NULL rows instead of query
+    // failures — the dirty-ingest contract. Strings are built from
+    // integer cents (never double→string formatting, which differs
+    // across engines); per_unit is one long/long IEEE division, so
+    // even the double column hash-matches.
+    "q198_try_ops" -> ((s, d) => {
+      Tables(s, d).events
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .withColumn("s",
+          when(col("event_id") % 5 === 0,
+            concat(lit("v"), col("cents").cast("string")))
+            .otherwise(col("cents").cast("string")))
+        .withColumn("ds",
+          when(col("event_id") % 7 === 0, lit("not-a-date"))
+            .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")))
+        .select(col("event_id"),
+          expr("try_cast(s AS BIGINT)").as("parsed_cents"),
+          expr("try_divide(cents, event_id % 3)").as("per_unit"),
+          date_format(expr("try_to_timestamp(ds, 'yyyy-MM-dd HH:mm:ss')"),
+            "yyyy-MM-dd HH:mm:ss").as("recovered"))
+    }),
+
     // Ordered-set / statistical aggregates: exact median (Spark 4
     // Median — interpolated midpoint, identical IEEE arithmetic to
     // DuckDB's quantile_cont so the double hash-matches) and
@@ -919,6 +956,33 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q197_explode_outer" ->
+      """WITH l AS (
+           SELECT doc_id,
+                  list_filter(string_split(text, ' '),
+                    x -> length(x) >= 6) AS ws
+           FROM documents)
+         SELECT doc_id, unnest(ws) AS token FROM l WHERE len(ws) > 0
+         UNION ALL
+         SELECT doc_id, NULL::VARCHAR AS token FROM l WHERE len(ws) = 0""",
+    "q198_try_ops" ->
+      """WITH b AS (
+           SELECT event_id, round(value * 100, 0)::BIGINT AS cents, ts
+           FROM events),
+         x AS (
+           SELECT event_id, cents,
+                  CASE WHEN event_id % 5 = 0 THEN 'v' || cents::VARCHAR
+                       ELSE cents::VARCHAR END AS s,
+                  CASE WHEN event_id % 7 = 0 THEN 'not-a-date'
+                       ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS ds
+           FROM b)
+         SELECT event_id,
+                TRY_CAST(s AS BIGINT) AS parsed_cents,
+                CASE WHEN event_id % 3 = 0 THEN NULL
+                     ELSE cents / (event_id % 3) END AS per_unit,
+                strftime(TRY_CAST(ds AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+                  AS recovered
+         FROM x""",
     "q188_listagg" ->
       """SELECT c_mktsegment,
                 string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations,

@@ -537,10 +537,60 @@ object TextOps {
         .distinct()
         .withColumn("dist", expr("levenshtein(typo, vocab_token, 1)").cast("long"))
         .filter(col("dist") >= 0)
+    }),
+
+    // regexp_extract_all → flatten: every match per document as its
+    // own row (the multi-match form q22-style single extracts can't
+    // express). The char-class pattern keeps Java and RE2 regex
+    // semantics identical; matches are non-overlapping left-to-right
+    // in both engines. Row-local codegen, one generator — no joins.
+    "q199_regex_all" -> ((s, d) => {
+      parallelized(Tables(s, d).documents)
+        .select(col("doc_id"),
+          explode(expr("regexp_extract_all(text, '[a-z]*a[a-z]*', 0)"))
+            .as("m"))
+    }),
+
+    // Tokenizer vocabulary coverage / OOV accounting: top-20 corpus
+    // vocabulary (deterministic (count, token) tie-break, TakeOrdered
+    // — never a global sort), broadcast back over the token stream,
+    // per-doc out-of-vocabulary counts and the exact int/int rate.
+    // The shape every "how much of my corpus does this tokenizer
+    // cover" audit needs: one corpus-sized shuffle (token counts),
+    // then a broadcast probe.
+    "q200_oov_rate" -> ((s, d) => {
+      val tf = parallelized(Tables(s, d).documents)
+        .select(col("doc_id"), explode(tokens).as("tok"))
+      val vocab = tf.groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(20)
+        .select(col("tok"), lit(1).as("in_v"))
+      tf.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          col("n_oov").cast("double") / col("n_tok").cast("double"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q199_regex_all" ->
+      """SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]*a[a-z]*')) AS m
+         FROM documents""",
+    "q200_oov_rate" ->
+      """WITH tf AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         v AS (
+           SELECT tok FROM (
+             SELECT tok, count(*) AS c FROM tf GROUP BY 1
+             ORDER BY c DESC, tok LIMIT 20))
+         SELECT doc_id, count(*)::BIGINT AS n_tok,
+                sum(CASE WHEN tok NOT IN (SELECT tok FROM v)
+                         THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+                sum(CASE WHEN tok NOT IN (SELECT tok FROM v)
+                         THEN 1 ELSE 0 END) * 1.0 / count(*) AS oov_rate
+         FROM tf GROUP BY doc_id""",
     "q190_fuzzy_match" ->
       """WITH toks AS (
            SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),
