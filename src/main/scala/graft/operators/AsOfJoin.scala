@@ -62,4 +62,53 @@ object AsOfJoin {
       .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
         rightValueCols.map(c => col(s"__m.$c").as(c)): _*)
   }
+
+  /** Forward as-of join (earliest-later match): each left row picks
+    * the right row with the SMALLEST `rightTs >= leftTs` for the
+    * same key — the "next event after" direction (e.g. first
+    * fulfillment after an order). Same union+window scale shape as
+    * [[latestEarlier]], with the timeline walked in descending
+    * order so the carry-forward holds the nearest LATER right row;
+    * right rows sort before left rows at equal timestamps, making
+    * the match inclusive. Right (key, ts) duplicates collapse to
+    * the min payload struct for determinism.
+    */
+  def earliestLater(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: Column,
+      leftTs: Column,
+      rightKey: Column,
+      rightTs: Column,
+      rightValueCols: Seq[String]): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val leftStructType = org.apache.spark.sql.types.StructType(
+      leftCols.map(c => left.schema(c)))
+    val rightVals = struct(rightValueCols.map(col): _*)
+
+    val r = right
+      .filter(rightTs.isNotNull)
+      .groupBy(rightKey.as("__k"), rightTs.as("__t"))
+      .agg(min(rightVals).as("__v"))
+      .withColumn("__side", lit(0))
+      .withColumn("__l", lit(null).cast(leftStructType))
+
+    val l = left.select(
+      leftKey.as("__k"), leftTs.as("__t"),
+      lit(1).as("__side"),
+      struct(leftCols.map(col): _*).as("__l"),
+      lit(null).cast(r.schema("__v").dataType).as("__v"))
+
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    r.select("__k", "__t", "__side", "__l", "__v")
+      .unionByName(l)
+      .withColumn("__m", last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
+        rightValueCols.map(c => col(s"__m.$c").as(c)): _*)
+  }
 }

@@ -470,6 +470,84 @@ object EtlOps {
           sum(col("x") * col("y")).cast("decimal(38,2)").as("sum_xy"))
     }),
 
+    // Incremental aggregate maintenance (additive IVM): a
+    // materialized daily rollup is refreshed by UNIONING the prior
+    // run's partials with partials of only the new arrivals, then
+    // re-combining — count and sum are mergeable, so the combined
+    // cell equals a full recompute even when the cutoff splits a
+    // day mid-stream (the cutoff here is deliberately 12:00). At
+    // 100 TB the refresh cost is O(delta) + O(|cells|), never a
+    // rescan of history; the oracle IS the full recompute, so the
+    // gate proves merge ≡ rebuild.
+    "q202_incremental_agg" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      val cutoff = lit("2024-01-20 12:00:00").cast("timestamp")
+      def partials(df: DataFrame): DataFrame = df
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      partials(ev.filter(col("ts") < cutoff))
+        .unionByName(partials(ev.filter(col("ts") >= cutoff)))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"), col("cents"))
+    }),
+
+    // Distributed least squares in exact-partials form: per-type
+    // regression of spend (cents) on time-of-day, emitted as the
+    // EXACT decimal rationals slope = num/den, intercept = num/den
+    // derived from (n, Σx, Σy, Σx², Σxy) — the q173 moment vector
+    // taken to its consumer. No division, no floats: the DECIMAL
+    // cross-terms are associative partials, so the same query is a
+    // one-pass map-side-combined aggregate at any scale, and the
+    // result hash-matches any engine bit for bit.
+    "q203_regression_exact" -> ((s, d) => {
+      val base = Tables(s, d).events.select(col("event_type"),
+        expr("(unix_micros(ts) - unix_micros(date_trunc('DAY', ts))) div 1000000")
+          .cast("decimal(18,0)").as("x"),
+        round(col("value") * 100, 0).cast("decimal(18,0)").as("y"))
+      base.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("decimal(18,0)").as("n"),
+          sum(col("x")).cast("decimal(18,0)").as("sx"),
+          sum(col("y")).cast("decimal(18,0)").as("sy"),
+          sum(col("x") * col("x")).cast("decimal(18,0)").as("sxx"),
+          sum(col("x") * col("y")).cast("decimal(18,0)").as("sxy"))
+        .select(col("event_type"),
+          (col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("decimal(38,0)").as("slope_num"),
+          (col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("decimal(38,0)").as("slope_den"),
+          (col("sy") * col("sxx") - col("sx") * col("sxy"))
+            .cast("decimal(38,0)").as("icept_num"))
+    }),
+
+    // Forward as-of join (earliest-later): each click matched to the
+    // FIRST purchase at-or-after it by the same user — time-to-
+    // convert, the mirror of q132's last-touch attribution. Same
+    // union+window shape (one shuffle over |C|+|P|, no pair
+    // explosion); the 24 h horizon filters after the match, which is
+    // equivalent because the earliest later purchase is the only
+    // candidate that could sit inside the window.
+    "q204_asof_forward" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("cts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), unix_micros(col("ts")).as("pts"))
+      AsOfJoin.earliestLater(clicks, purchases,
+        leftKey = col("user_id"), leftTs = col("cts"),
+        rightKey = col("p_user"), rightTs = col("pts"),
+        rightValueCols = Seq("purchase_id", "pts"))
+        .filter(col("pts").isNotNull &&
+          col("pts") <= col("cts") + lit(86400000000L))
+        .select(col("click_id"), col("purchase_id"),
+          (col("pts") - col("cts")).as("latency_us"))
+    }),
+
     // EWMA smoothing in exact scaled-integer form: per-user
     // exponential moving average over the trailing 8 events as a
     // numerator/denominator pair — weights 2^(7-j) over lag(cents,j),
@@ -536,6 +614,45 @@ object EtlOps {
   }.mkString(",\n         ")
 
   def oracleSql: Map[String, String] = Map(
+    "q202_incremental_agg" ->
+      """SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                count(*)::BIGINT AS n,
+                sum(round(value * 100, 0)::BIGINT)::BIGINT AS cents
+         FROM events GROUP BY 1, 2""",
+    "q203_regression_exact" ->
+      """WITH b AS (
+           SELECT event_type,
+                  ((epoch_us(ts) - epoch_us(date_trunc('day', ts))) // 1000000)
+                    ::DECIMAL(18,0) AS x,
+                  round(value * 100, 0)::DECIMAL(18,0) AS y
+           FROM events),
+         m AS (
+           SELECT event_type,
+                  count(*)::DECIMAL(38,0) AS n,
+                  sum(x)::DECIMAL(38,0) AS sx,
+                  sum(y)::DECIMAL(38,0) AS sy,
+                  sum(x * x)::DECIMAL(38,0) AS sxx,
+                  sum(x * y)::DECIMAL(38,0) AS sxy
+           FROM b GROUP BY 1)
+         SELECT event_type,
+                (n * sxy - sx * sy)::DECIMAL(38,0) AS slope_num,
+                (n * sxx - sx * sx)::DECIMAL(38,0) AS slope_den,
+                (sy * sxx - sx * sxy)::DECIMAL(38,0) AS icept_num
+         FROM m""",
+    "q204_asof_forward" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cts
+                    FROM events WHERE event_type = 'click'),
+         p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pts
+               FROM events WHERE event_type = 'purchase'),
+         m AS (SELECT c.click_id, c.user_id, c.cts, min(p.pts) AS pts
+               FROM c JOIN p ON p.user_id = c.user_id AND p.pts >= c.cts
+               GROUP BY 1, 2, 3),
+         sel AS (SELECT m.click_id, m.cts, m.pts,
+                        min(p.purchase_id) AS purchase_id
+                 FROM m JOIN p ON p.user_id = m.user_id AND p.pts = m.pts
+                 GROUP BY 1, 2, 3)
+         SELECT click_id, purchase_id, (pts - cts)::BIGINT AS latency_us
+         FROM sel WHERE pts <= cts + 86400000000""",
     "q193_ewma" ->
       """WITH b AS (
            SELECT event_id, user_id, ts,

@@ -249,6 +249,41 @@ object VectorOps {
         .filter(col("dot") > 0 &&
           lit(25L) * col("dot") * col("dot") > lit(22L) * col("na") * col("nb"))
         .select(col("test_id"), col("vec_id").as("train_id"), col("dot"))
+    }),
+
+    // ANN quality evaluation harness: recall@5 of the IVF index
+    // (q44's exact path) against brute-force ground truth, per
+    // query — the measurement every index rollout needs before
+    // trading exactness for probe cost. Both sides run in one job;
+    // the intersection count is an integer and recall an exact
+    // n/5 rational. Approximate input → rows-only gate;
+    // SimilaritySpec pins the corpus-level recall floor.
+    "q205_ann_recall" -> ((s, d) => {
+      val emb = Tables(s, d).embeddings
+      val cents = graft.operators.Similarity.kmeansCentroids(
+        emb, "vec_id", "embedding", nlist = 16)
+      val indexed = graft.operators.Similarity.ivfIndex(emb, "embedding", cents)
+      val queryIds = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"))
+      val ivf = graft.operators.Similarity.ivfTopK(indexed, "vec_id",
+        "embedding", queryIds, cents, nprobe = 4, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val qs = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      val brute = emb.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("sim", Vec.cosine(col("qv"), col("embedding")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      val hits = brute.join(ivf, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      queryIds.join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / 5.0).as("recall"))
     })
   )
 

@@ -47,4 +47,33 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.count() == events.count())
     assert(out.select("event_id").distinct().count() == events.count())
   }
+
+  test("earliest-later semantics: inclusive boundary, ties to min payload, no match → null") {
+    val left = Seq(
+      (100L, 1L, "2024-01-05 00:00:00"),
+      (101L, 1L, "2024-01-10 00:00:00"), // after every uid-1 order
+      (102L, 2L, "2024-01-02 00:00:00"),
+      (103L, 1L, "2024-01-06 00:00:00")) // equal to a right ts → inclusive
+      .toDF("event_id", "uid", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val right = Seq(
+      (1L, "2024-01-01 00:00:00", 7L),
+      (1L, "2024-01-06 00:00:00", 8L),
+      (1L, "2024-01-06 00:00:00", 9L), // duplicate ts → min oid wins
+      (2L, "2024-02-01 00:00:00", 10L))
+      .toDF("uid", "od", "oid")
+      .withColumn("od", col("od").cast("timestamp"))
+
+    val got = AsOfJoin.earliestLater(left, right,
+        leftKey = col("uid"), leftTs = col("ts"),
+        rightKey = col("uid"), rightTs = col("od"),
+        rightValueCols = Seq("oid"))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[Any]("oid")).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(got == Map(
+      100L -> Some(8L),   // next order is the 01-06 pair → min oid
+      101L -> None,       // nothing later for uid 1
+      102L -> Some(10L),  // uid 2's order is later → matches forward
+      103L -> Some(8L)))  // boundary: ts == od matches (inclusive)
+  }
 }

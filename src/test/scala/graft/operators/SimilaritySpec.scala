@@ -140,4 +140,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r12 >= 0.9, s"nprobe=12 recall=$r12")
     assert(r4 <= r8 && r8 <= r12, "recall must be monotone in nprobe")
   }
+
+  test("q205: recall harness agrees with its own ground truth and clears the floor") {
+    val rows = graft.SparkEntry.queries("q205_ann_recall")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 20, "one row per query")
+    rows.foreach { r =>
+      val (n, rec) = (r.getLong(1), r.getDouble(2))
+      assert(n >= 0 && n <= 5)
+      assert(rec == n.toDouble / 5.0, "recall must be the exact n/5 rational")
+    }
+    val mean = rows.map(_.getLong(1)).sum.toDouble / (5.0 * rows.length)
+    info(s"q205 corpus recall@5 (nprobe=4): $mean")
+    assert(mean >= 0.6, s"corpus recall floor: $mean")
+  }
 }
