@@ -36,7 +36,12 @@ object Bench {
     // round-6 additions: bookmark ingest (landing IO + ledger),
     // tokenizer train+encode (the iterative fold pass), and the
     // two-phase global rank (range exchange + parallel windows)
-    "q162_bookmark_ingest", "q167_bpe_encode", "q171_global_rank")
+    "q162_bookmark_ingest", "q167_bpe_encode", "q171_global_rank",
+    // round-7 additions: bitmap-index distinct (fixed-state exact
+    // distinct), blocked fuzzy join, the 8-lag EWMA window, integer
+    // semantic contamination, and the forward as-of union+window
+    "q186_bitmap_distinct", "q190_fuzzy_match", "q193_ewma",
+    "q196_semantic_contamination", "q204_asof_forward")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
