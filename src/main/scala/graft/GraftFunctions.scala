@@ -96,13 +96,17 @@ object GraftFunctions {
         name, builder, "built-in")
     }
 
-  private[graft] def inject(e: SparkSessionExtensions): Unit =
+  private[graft] def inject(e: SparkSessionExtensions): Unit = {
     fns.foreach { case (name, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", name),
         builder))
     }
+    // conf-gated (spark.graft.rewrite.bitmapDistinct) — a no-op
+    // unless explicitly enabled, so injecting unconditionally is safe
+    e.injectOptimizerRule(_ => graft.plans.BitmapDistinctRewrite)
+  }
 }
 
 /** `--conf spark.sql.extensions=graft.GraftExtensions` */

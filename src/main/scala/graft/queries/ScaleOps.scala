@@ -450,6 +450,30 @@ object ScaleOps {
         .select(explode(col("tk")).as("e"))
         .select(col("e.item").as("token"),
           col("e.count").cast("long").as("cnt_est"))
+    }),
+
+    // The OPTIMIZER-EXTENSION path to q186's bitmap shape: the query
+    // below is written as a plain count(DISTINCT) — the
+    // BitmapDistinctRewrite Rule[LogicalPlan] (scoped session,
+    // spark.graft.rewrite.bitmapDistinct=true) rewrites it into the
+    // two-phase bitmap aggregate automatically. A require() proves
+    // the rewrite actually engaged, so this gate can never silently
+    // degenerate into q19's plan; the oracle proves the rewritten
+    // plan computes exactly count(DISTINCT).
+    "q206_bitmap_rewrite" -> ((s, d) => {
+      val scoped = s.newSession()
+      scoped.experimental.extraOptimizations =
+        Seq(graft.plans.BitmapDistinctRewrite)
+      scoped.conf.set(graft.plans.BitmapDistinctRewrite.FLAG, "true")
+      scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      scoped.conf.set("spark.sql.shuffle.partitions", "32")
+      val df = Tables(scoped, d).events
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("distinct_users"))
+      require(df.queryExecution.optimizedPlan.toString
+          .contains("bitmap_construct_agg"),
+        "bitmap rewrite did not engage — q206 would just re-run q19's plan")
+      df
     })
   )
 
@@ -528,6 +552,9 @@ object ScaleOps {
          JOIN tot t1 ON t1.event_type = p.ta
          JOIN tot t2 ON t2.event_type = p.tb""",
     // q192_approx_topk: approximate contract → rows-only check.
+    "q206_bitmap_rewrite" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS distinct_users
+         FROM events GROUP BY 1""",
     "q186_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS distinct_users
          FROM events GROUP BY 1""",
