@@ -107,6 +107,14 @@ object StreamOps {
     "q195_stream_right_join" -> ((s, d) =>
       StreamingKpi.clickPurchaseRightJoin(s, s"$d/events.parquet")),
 
+    // transformWithState LIST state: per-user last-3 events with the
+    // state trimmed to k entries every batch — the bounded-history
+    // feature-store pattern (ValueState q104 folds scalars; this
+    // keeps an ordered COLLECTION bounded). Oracle: the batch
+    // row_number window over the same recency order.
+    "q207_tws_recent_list" -> ((s, d) =>
+      StreamingKpi.recentEventsTws(s, s"$d/events.parquet")),
+
     // Typed cogroup (KeyValueGroupedDataset.cogroup): reduce-side
     // per-key imperative logic over two inputs — the "genuine
     // per-partition imperative" escape hatch, used here to merge
@@ -248,6 +256,14 @@ object StreamOps {
          SELECT user_id, click_id, purchase_id FROM m
          UNION ALL SELECT * FROM uc
          UNION ALL SELECT * FROM up""",
+    "q207_tws_recent_list" ->
+      """WITH r AS (
+           SELECT user_id, event_id,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS slot
+           FROM events)
+         SELECT user_id, slot::BIGINT AS slot, event_id
+         FROM r WHERE slot <= 3""",
     "q195_stream_right_join" ->
       """WITH c AS (SELECT event_id AS click_id, user_id, ts AS cts
                     FROM events WHERE event_type = 'click'),

@@ -100,6 +100,53 @@ object Sessionize {
     }
   }
 
+  final case class RecentEvent(tsMicros: Long, event_id: Long)
+  final case class RecentSlot(user_id: Long, slot: Long, event_id: Long)
+
+  /** `transformWithState` with a named LIST state: per user, the k
+    * most recent events — the bounded per-key history every
+    * "last N actions" feature store keeps. Each batch merges the
+    * arrivals into the stored list, TRIMS back to k (state size is
+    * bounded by k per key forever, the property ValueState folds
+    * can't express and unbounded collect_list would violate), and
+    * re-emits the user's current slots. Recency order is
+    * (tsMicros, event_id) descending — a total order, so the final
+    * state is batch-reproducible no matter how arrivals split
+    * across micro-batches.
+    */
+  final class RecentEventsProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, RecentSlot] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ListState}
+    @transient private var state: ListState[RecentEvent] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getListState[RecentEvent]("recent",
+        org.apache.spark.sql.Encoders.product[RecentEvent], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[RecentSlot] = {
+      val prior = if (state.exists()) state.get().toSeq else Seq.empty
+      val merged = (prior ++ rows.map(e => RecentEvent(e.tsMicros, e.event_id)))
+        .sortBy(r => (-r.tsMicros, -r.event_id))
+        .take(k)
+      state.put(merged.toArray)
+      merged.iterator.zipWithIndex.map { case (r, i) =>
+        RecentSlot(key, i + 1L, r.event_id)
+      }
+    }
+  }
+
+  /** Per-user k most recent events over a keyed stream. */
+  def streamingRecentTws(events: Dataset[Event], k: Int): Dataset[RecentSlot] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new RecentEventsProcessor(k), TimeMode.None(), OutputMode.Update())
+  }
+
   /** [[streaming]] expressed through `transformWithState`. */
   def streamingTws(events: Dataset[Event], gapMinutes: Int): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._

@@ -219,6 +219,30 @@ object StreamingKpi {
       Sessionize.streamingTws(evs, gapMinutes).toDF()
     }, Seq("user_id"))
 
+  /** Per-user LAST-3 events via the `transformWithState` LIST state
+    * (Sessionize.RecentEventsProcessor): bounded per-key history,
+    * drained update-mode through the keyed upsert sink on
+    * (user_id, slot). The single AvailableNow drain leaves each
+    * slot's LAST update = the user's final top-3-by-recency, which
+    * is exactly the batch row_number window — the oracle.
+    */
+  def recentEventsTws(
+      spark: SparkSession,
+      eventsPath: String,
+      k: Int = 3): DataFrame =
+    upsertDrain(spark, "graft-q207-", { s =>
+      import s.implicits._
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val evs = s.readStream
+        .schema(eventsSchema)
+        .parquet(stageAsDir(eventsPath))
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("tsMicros"))
+        .as[Sessionize.Event]
+      Sessionize.streamingRecentTws(evs, k).toDF()
+    }, Seq("user_id", "slot"))
+
   /** Stream–STATIC join (the third join class after stream-stream
     * q94 and batch joins): the event stream enriched against a
     * static dimension snapshot, then aggregated per segment and

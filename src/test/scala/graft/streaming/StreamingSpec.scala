@@ -286,4 +286,37 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == exp, "complete-mode final state must equal the batch aggregate")
   }
+
+  test("transformWithState ListState trims to k across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Sessionize.Event]
+      val q = Sessionize.streamingRecentTws(mem.toDS(), k = 3)
+        .writeStream.format("memory").queryName("recent_tws")
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      // batch 1: events 1..4 at ts 10..40 → last-3 = (4,3,2)
+      mem.addData((1L to 4L).map(i => Sessionize.Event(i, 9L, i * 10L)): _*)
+      q.processAllAvailable()
+      // batch 2: a NEWER event 5 plus an OLDER-than-everything event
+      // 6 (ts 5) — 6 must not displace anything; state trimmed to 3
+      mem.addData(Sessionize.Event(5L, 9L, 50L), Sessionize.Event(6L, 9L, 5L))
+      q.processAllAvailable()
+      q.stop()
+      // update-mode memory sink: the LAST row per (user, slot) wins
+      val got = spark.table("recent_tws")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .zipWithIndex
+        .groupBy { case ((u, s, _), _) => (u, s) }
+        .map { case (k2, rows) => k2 -> rows.maxBy(_._2)._1._3 }
+      assert(got == Map((9L, 1L) -> 5L, (9L, 2L) -> 4L, (9L, 3L) -> 3L),
+        s"got $got")
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
 }
