@@ -172,6 +172,27 @@ object EtlOps {
         .select(col("user_id"), col("key").as("event_type"), col("value").as("n"))
     }),
 
+    // Map re-keying / re-valuing (q138 builds + filters; this
+    // REWRITES): transform_keys and transform_values run inside the
+    // map without exploding it — the per-key normalization pass a
+    // map-typed feature column needs. Exploded afterwards only for
+    // the row-sorting oracle; integer values keep it hash-exact.
+    "q212_map_transform" -> ((s, d) => {
+      val counts = Tables(s, d).events
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      counts.groupBy("user_id")
+        .agg(map_from_entries(collect_list(struct(col("event_type"), col("n"))))
+          .as("m"))
+        .select(col("user_id"),
+          explode(
+            transform_values(
+              transform_keys(col("m"), (k, _) => upper(k)),
+              (_, v) => v * 2L)))
+        .select(col("user_id"), col("key").as("event_type"),
+          col("value").as("n2"))
+    }),
+
     // Unpivot (melt) — the inverse of q49's pivot, via the native
     // Dataset.unpivot operator. Zero cells materialized by the pivot
     // become explicit rows, so the oracle is the dates × types spine
@@ -614,6 +635,10 @@ object EtlOps {
   }.mkString(",\n         ")
 
   def oracleSql: Map[String, String] = Map(
+    "q212_map_transform" ->
+      """SELECT user_id, upper(event_type) AS event_type,
+                (count(*) * 2)::BIGINT AS n2
+         FROM events GROUP BY user_id, event_type""",
     "q202_incremental_agg" ->
       """SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
                 count(*)::BIGINT AS n,

@@ -901,6 +901,58 @@ object Relational {
           count(lit(1)).as("n_cust"))
     }),
 
+    // Value-RANGE window frame (q98 is the time-range twin): for
+    // each order, how many same-priority orders price within
+    // ±1000.00 — the peer-band analytics frame. Ordering and
+    // boundaries are exact integer CENTS so the frame edges are
+    // unambiguous (a double ORDER BY with integral bounds is an
+    // analysis error anyway); value-based frames are tie-safe by
+    // construction.
+    "q208_value_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("cents"))
+        .rangeBetween(-100000L, 100000L)
+      Tables(s, d).orders
+        .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("cents"),
+          count(lit(1)).over(w).as("n_peers"),
+          sum(col("cents")).over(w).as("band_cents"))
+    }),
+
+    // Aggregate FILTER clause (SQL:2003): per-aggregate predicates
+    // in ONE pass over the fact — the idiomatic replacement for N
+    // self-joins or N CASE-wrapped sums when each measure has its
+    // own WHERE.
+    "q209_agg_filter" -> ((s, d) => {
+      Tables(s, d).events
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(
+          expr("count(*) FILTER (WHERE value >= 50)").as("n_high"),
+          expr("count(*) FILTER (WHERE value < 50)").as("n_low"),
+          expr("sum(cents) FILTER (WHERE user_id % 2 = 0)").as("even_cents"))
+    }),
+
+    // Nested-struct surgery without rebuild: withField adds/replaces
+    // struct members in place, dropFields removes them — the
+    // schema-evolution ETL surface for deeply nested records (a full
+    // struct() rebuild loses unrelated members and breaks on every
+    // upstream schema change). Flattened for the row-sorting oracle.
+    "q211_with_field" -> ((s, d) => {
+      Tables(s, d).documents
+        .select(col("doc_id"),
+          struct(col("lang").as("lang"), col("source").as("source"),
+            col("n_chars").as("n_chars")).as("meta"))
+        .withColumn("meta",
+          col("meta")
+            .withField("lang_upper", upper(col("meta.lang")))
+            .withField("n_chars", col("meta.n_chars") + 1))
+        .withColumn("meta", col("meta").dropFields("source"))
+        .select(col("doc_id"), col("meta.lang").as("lang"),
+          col("meta.lang_upper").as("lang_upper"),
+          col("meta.n_chars").as("n_chars1"))
+    }),
+
     // Generator with null preservation: explode_outer keeps parents
     // whose array is EMPTY as a null row — LATERAL VIEW OUTER
     // semantics, the form that doesn't silently drop documents from
@@ -956,6 +1008,28 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q208_value_range_frame" ->
+      """WITH b AS (
+           SELECT o_orderkey, o_orderpriority,
+                  round(o_totalprice * 100, 0)::BIGINT AS cents
+           FROM orders)
+         SELECT o_orderkey, o_orderpriority, cents,
+                count(*) OVER w AS n_peers,
+                sum(cents) OVER w AS band_cents
+         FROM b
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents
+           RANGE BETWEEN 100000 PRECEDING AND 100000 FOLLOWING)""",
+    "q209_agg_filter" ->
+      """SELECT event_type,
+                count(*) FILTER (WHERE value >= 50) AS n_high,
+                count(*) FILTER (WHERE value < 50) AS n_low,
+                sum(round(value * 100, 0)::BIGINT)
+                  FILTER (WHERE user_id % 2 = 0)::BIGINT AS even_cents
+         FROM events GROUP BY 1""",
+    "q211_with_field" ->
+      """SELECT doc_id, lang, upper(lang) AS lang_upper,
+                (n_chars + 1)::BIGINT AS n_chars1
+         FROM documents""",
     "q197_explode_outer" ->
       """WITH l AS (
            SELECT doc_id,

@@ -570,10 +570,39 @@ object TextOps {
           sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
         .withColumn("oov_rate",
           col("n_oov").cast("double") / col("n_tok").cast("double"))
+    }),
+
+    // Array set algebra between adjacent documents: token-SET
+    // intersect / union / except sizes (the building blocks q35's
+    // Jaccard core evaluates natively) exposed as the plain
+    // array_intersect / array_union / array_except surface. Sets
+    // are array_distinct + array_sort'd first, sizes are exact
+    // ints; the pairing is a narrow id-shift self-join.
+    "q210_array_setops" -> ((s, d) => {
+      val t = parallelized(Tables(s, d).documents)
+        .select(col("doc_id"), array_sort(array_distinct(tokens)).as("ts"))
+      val a = t.select(col("doc_id").as("a_id"), col("ts").as("sa"))
+      val b = t.select((col("doc_id") - 1).as("a_id"), col("ts").as("sb"))
+      a.join(b, "a_id")
+        .select(col("a_id"),
+          size(array_intersect(col("sa"), col("sb"))).cast("long").as("n_common"),
+          size(array_union(col("sa"), col("sb"))).cast("long").as("n_union"),
+          size(array_except(col("sa"), col("sb"))).cast("long").as("n_only_a"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q210_array_setops" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_sort(list_distinct(string_split(text, ' '))) AS ts
+           FROM documents)
+         SELECT a.doc_id AS a_id,
+                len(list_intersect(a.ts, b.ts))::BIGINT AS n_common,
+                len(list_distinct(list_concat(a.ts, b.ts)))::BIGINT AS n_union,
+                len(list_filter(a.ts, x -> NOT list_contains(b.ts, x)))::BIGINT
+                  AS n_only_a
+         FROM t a JOIN t b ON b.doc_id = a.doc_id + 1""",
     "q199_regex_all" ->
       """SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]*a[a-z]*')) AS m
          FROM documents""",
