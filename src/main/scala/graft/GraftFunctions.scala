@@ -62,7 +62,13 @@ object GraftFunctions {
         "shingle_hashes64: n"))),
     // adjacent symbol pairs of an array<string>, separator-encoded
     "adjacent_pairs" -> (es =>
-      graft.functions.expressions.AdjacentPairs(es.head))
+      graft.functions.expressions.AdjacentPairs(es.head)),
+    // exact per-group top-k values via a bounded mergeable min-heap
+    // (TypedImperativeAggregate) — k must be a literal (it bounds
+    // the buffer, same rule as minhash_sig's numPerm)
+    "topk_agg" -> (es =>
+      graft.functions.expressions.TopKAgg(es.head, intLit(es, 1, 10,
+        "topk_agg: k")))
   )
 
   /** Evaluate argument `idx` as a positive integer literal (or

@@ -474,6 +474,26 @@ object ScaleOps {
           .contains("bitmap_construct_agg"),
         "bitmap rewrite did not engage — q206 would just re-run q19's plan")
       df
+    }),
+
+    // Native top-k AGGREGATE (graft.functions.expressions.TopKAgg, a
+    // TypedImperativeAggregate): per-type top-10 values carried as a
+    // bounded k-element min-heap through the ordinary two-phase hash
+    // aggregate — map-side partial heaps, reduce-side heap merge, at
+    // most k longs per (group, partition) in the exchange. The
+    // window form shuffles and sorts the whole fact to rank it; this
+    // shuffles 10 longs per group. Output is the top-k multiset in
+    // descending order → partitioning-independent → hash-oracled.
+    "q213_topk_agg" -> ((s, d) => {
+      graft.GraftFunctions.register(s)
+      Tables(s, d).events
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(expr("topk_agg(cents, 10)").as("tk"))
+        .select(col("event_type"),
+          posexplode(col("tk")).as(Seq("pos0", "cents")))
+        .select(col("event_type"), (col("pos0") + 1).cast("long").as("pos"),
+          col("cents"))
     })
   )
 
@@ -555,6 +575,17 @@ object ScaleOps {
     "q206_bitmap_rewrite" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS distinct_users
          FROM events GROUP BY 1""",
+    "q213_topk_agg" ->
+      """WITH b AS (
+           SELECT event_type, round(value * 100, 0)::BIGINT AS cents
+           FROM events),
+         r AS (
+           SELECT event_type, cents,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY cents DESC) AS pos
+           FROM b)
+         SELECT event_type, pos::BIGINT AS pos, cents
+         FROM r WHERE pos <= 10""",
     "q186_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS distinct_users
          FROM events GROUP BY 1""",

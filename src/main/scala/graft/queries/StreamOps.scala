@@ -115,6 +115,14 @@ object StreamOps {
     "q207_tws_recent_list" -> ((s, d) =>
       StreamingKpi.recentEventsTws(s, s"$d/events.parquet")),
 
+    // transformWithState MAP state: per-user (event_type → count),
+    // each entry an independent state-store row (no whole-map
+    // rewrite per event). Completes the TWS state-variable matrix:
+    // ValueState (q104), ListState (q207), MapState (here). Oracle:
+    // the batch GROUP BY.
+    "q214_tws_map_counts" -> ((s, d) =>
+      StreamingKpi.typeCountsTws(s, s"$d/events.parquet")),
+
     // Typed cogroup (KeyValueGroupedDataset.cogroup): reduce-side
     // per-key imperative logic over two inputs — the "genuine
     // per-partition imperative" escape hatch, used here to merge
@@ -256,6 +264,9 @@ object StreamOps {
          SELECT user_id, click_id, purchase_id FROM m
          UNION ALL SELECT * FROM uc
          UNION ALL SELECT * FROM up""",
+    "q214_tws_map_counts" ->
+      """SELECT user_id, event_type, count(*) AS n
+         FROM events GROUP BY 1, 2""",
     "q207_tws_recent_list" ->
       """WITH r AS (
            SELECT user_id, event_id,

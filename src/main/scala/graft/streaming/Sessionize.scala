@@ -147,6 +147,52 @@ object Sessionize {
         new RecentEventsProcessor(k), TimeMode.None(), OutputMode.Update())
   }
 
+  final case class TypedEvent(event_id: Long, user_id: Long, event_type: String)
+  final case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** `transformWithState` with a named MAP state: per-user
+    * (event_type → running count) — the keyed sub-map every
+    * profile/feature store maintains. MapState stores each entry as
+    * its own state-store row, so updating one type's counter never
+    * rewrites the user's other counters (the ValueState-of-a-Map
+    * alternative rewrites the whole map per event — quadratic churn
+    * for wide maps). Only the types seen in the batch are updated
+    * and re-emitted.
+    */
+  final class TypeCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEvent, TypeCount] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, MapState, TimeMode, TimerValues, TTLConfig}
+    @transient private var state: MapState[String, Long] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getMapState[String, Long]("type_counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[TypedEvent],
+        timers: TimerValues): Iterator[TypeCount] = {
+      val arrivals = rows.foldLeft(Map.empty[String, Long]) { (m, e) =>
+        m.updated(e.event_type, m.getOrElse(e.event_type, 0L) + 1L)
+      }
+      arrivals.toSeq.sortBy(_._1).iterator.map { case (tpe, n) =>
+        val total = (if (state.containsKey(tpe)) state.getValue(tpe) else 0L) + n
+        state.updateValue(tpe, total)
+        TypeCount(key, tpe, total)
+      }
+    }
+  }
+
+  /** Per-(user, type) running counts over a keyed stream. */
+  def streamingTypeCountsTws(events: Dataset[TypedEvent]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new TypeCountsProcessor(), TimeMode.None(), OutputMode.Update())
+  }
+
   /** [[streaming]] expressed through `transformWithState`. */
   def streamingTws(events: Dataset[Event], gapMinutes: Int): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._

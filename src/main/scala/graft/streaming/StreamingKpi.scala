@@ -243,6 +243,27 @@ object StreamingKpi {
       Sessionize.streamingRecentTws(evs, k).toDF()
     }, Seq("user_id", "slot"))
 
+  /** Per-(user, type) running counts via the `transformWithState`
+    * MAP state (Sessionize.TypeCountsProcessor) — each type's
+    * counter is its own state-store entry, updated independently.
+    * Update-mode upsert drain on (user_id, event_type); the final
+    * sink row per key is the total count = the batch GROUP BY.
+    */
+  def typeCountsTws(
+      spark: SparkSession,
+      eventsPath: String): DataFrame =
+    upsertDrain(spark, "graft-q214-", { s =>
+      import s.implicits._
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val evs = s.readStream
+        .schema(eventsSchema)
+        .parquet(stageAsDir(eventsPath))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .as[Sessionize.TypedEvent]
+      Sessionize.streamingTypeCountsTws(evs).toDF()
+    }, Seq("user_id", "event_type"))
+
   /** Stream–STATIC join (the third join class after stream-stream
     * q94 and batch joins): the event stream enriched against a
     * static dimension snapshot, then aggregated per segment and

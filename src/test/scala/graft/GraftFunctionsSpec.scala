@@ -92,4 +92,27 @@ class GraftFunctionsSpec extends AnyFunSuite {
       .collect().head.getSeq[Long](0)
     assert(sig.length == 8)
   }
+
+  test("topk_agg: heap merge across partitions ≡ window top-k; nulls ignored; small groups") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // 1000 values across 8 partitions per group; planted ties at the
+    // k boundary (every value appears twice)
+    val df = (1L to 1000L).map(i => ("g" + (i % 3), i / 2))
+      .toDF("g", "v").repartition(8)
+    df.createOrReplaceTempView("tk_in")
+    val got = spark.sql(
+      "SELECT g, topk_agg(v, 5) AS tk FROM tk_in GROUP BY g")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val exp = df.collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (g, rows) =>
+        g -> rows.map(_._2).sorted(Ordering[Long].reverse).take(5).toSeq
+      }
+    assert(got == exp)
+    // nulls ignored; group smaller than k returns all its values
+    val small = spark.sql(
+      """SELECT topk_agg(v, 10) FROM VALUES (1L), (CAST(NULL AS LONG)), (3L) t(v)""")
+      .collect().head.getSeq[Long](0)
+    assert(small == Seq(3L, 1L))
+  }
 }
