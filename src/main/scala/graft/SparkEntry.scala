@@ -51,6 +51,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                           evolution, q164 compaction);
   *                           Relational additions: q158/q159 set-op
   *                           ALL, q160 recursive CTE, q161 posexplode
+  *  - round-5 additions:     ScaleOps q186/q187 bitmap distinct +
+  *                           overlap, q191 theta sketches, q192
+  *                           approx_top_k, q206 optimizer-rule
+  *                           bitmap rewrite, q213 native topk_agg;
+  *                           Relational q188/q189 listagg + ordered-
+  *                           set aggs, q197/q198 explode_outer +
+  *                           try_*, q208/q209/q211 range frame,
+  *                           FILTER clause, struct surgery; TextOps
+  *                           q190 fuzzy match, q199/q200 regex-all +
+  *                           OOV, q210 array set ops; EtlOps
+  *                           q193/q194 EWMA + anomaly, q202-q204
+  *                           IVM, exact regression, forward as-of,
+  *                           q212 map rewrite; VectorOps q196
+  *                           semantic contamination, q205 ANN
+  *                           recall; CorpusOps q201 curriculum;
+  *                           StreamOps q195 right-outer join,
+  *                           q207/q214 TWS List/Map state
   */
 object SparkEntry {
 

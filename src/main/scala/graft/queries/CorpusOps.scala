@@ -340,10 +340,63 @@ object CorpusOps {
           row_number().over(w).cast("long") +
             element_at(typedLit(offsets), col("pid")))
         .select(col("doc_id"), col("band"), col("rank"))
+    }),
+
+    // Exact-quota proportional sampling (largest-remainder method):
+    // a 100-doc sample allocated across sources EXACTLY proportional
+    // to size — floor(100·cᵢ/C) per source plus the leftover seats
+    // by largest remainder (source-name tie-break), then the first
+    // nᵢ docs per source in md5 order. All-integer allocation: the
+    // quota table is exact and sums to precisely 100 (the property
+    // per-row Bernoulli sampling like q74 can't give you). The
+    // allocation math runs on the source-count aggregate
+    // (broadcast-sized); the corpus pass is one md5-ranked window.
+    "q216_quota_sample" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val c = docs.groupBy(col("source")).agg(count(lit(1)).as("ci"))
+      val t = c.agg(sum(col("ci")).as("ct"))
+      val a0 = c.crossJoin(broadcast(t))
+        .withColumn("base", expr("(100 * ci) div ct"))
+        .withColumn("rem", (lit(100) * col("ci")) % col("ct"))
+      val r = a0.agg((lit(100L) - sum(col("base"))).as("extra"))
+      val wr = Window.orderBy(col("rem").desc, col("source"))
+      val alloc = a0.crossJoin(broadcast(r))
+        .withColumn("rn", row_number().over(wr))
+        .withColumn("n_i",
+          col("base") + when(col("rn") <= col("extra"), 1L).otherwise(0L))
+        .select(col("source"), col("n_i"))
+      val wd = Window.partitionBy(col("source"))
+        .orderBy(md5(concat(lit("qs"), col("doc_id").cast("string"))),
+          col("doc_id"))
+      docs.withColumn("rk", row_number().over(wd))
+        .join(broadcast(alloc), "source")
+        .filter(col("rk") <= col("n_i"))
+        .select(col("source"), col("doc_id"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q216_quota_sample" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS ci
+                    FROM documents GROUP BY 1),
+         t AS (SELECT sum(ci) AS ct FROM c),
+         a0 AS (SELECT source, ci, (100 * ci) // ct AS base,
+                       (100 * ci) % ct AS rem
+                FROM c, t),
+         r AS (SELECT 100 - sum(base) AS extra FROM a0),
+         alloc AS (
+           SELECT source,
+                  base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                                   <= extra THEN 1 ELSE 0 END AS n_i
+           FROM a0, r),
+         ranked AS (
+           SELECT source, doc_id,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5('qs' || doc_id::VARCHAR), doc_id) AS rk
+           FROM documents)
+         SELECT d.source, d.doc_id
+         FROM ranked d JOIN alloc a USING (source)
+         WHERE d.rk <= a.n_i""",
     "q201_curriculum" ->
       """SELECT doc_id, (n_chars // 200)::BIGINT AS band,
                 row_number() OVER (ORDER BY n_chars // 200,

@@ -901,6 +901,27 @@ object Relational {
           count(lit(1)).as("n_cust"))
     }),
 
+    // The pure-SQL surface end-to-end as a driver gate: tables
+    // registered as temp views (Sql.registerTables — the same
+    // catalog the spark-sql shell would see), then a multi-CTE
+    // window query in plain SQL text. Everything else in the
+    // inventory exercises the Dataset API; this proves the SQL
+    // front door reaches the identical plans.
+    "q215_sql_surface" -> ((s, d) => {
+      graft.Sql.registerTables(s, d)
+      s.sql("""
+        WITH daily AS (
+          SELECT event_type, to_date(ts) AS day, count(*) AS n
+          FROM events GROUP BY 1, 2),
+        ranked AS (
+          SELECT event_type, day, n,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY n DESC, day) AS rk
+          FROM daily)
+        SELECT event_type, date_format(day, 'yyyy-MM-dd') AS day, n, rk
+        FROM ranked WHERE rk <= 5""")
+    }),
+
     // Value-RANGE window frame (q98 is the time-range twin): for
     // each order, how many same-priority orders price within
     // ±1000.00 — the peer-band analytics frame. Ordering and
@@ -1008,6 +1029,17 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q215_sql_surface" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         ranked AS (
+           SELECT event_type, day, n,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY n DESC, day) AS rk
+           FROM daily)
+         SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n, rk
+         FROM ranked WHERE rk <= 5""",
     "q208_value_range_frame" ->
       """WITH b AS (
            SELECT o_orderkey, o_orderpriority,

@@ -494,6 +494,25 @@ object ScaleOps {
           posexplode(col("tk")).as(Seq("pos0", "cents")))
         .select(col("event_type"), (col("pos0") + 1).cast("long").as("pos"),
           col("cents"))
+    }),
+
+    // Winsorization at exact global percentiles: every value clipped
+    // into [p05, p95] computed by DistributedQuantile (range
+    // exchange + two-phase prefix sum — q121's machinery, so the
+    // interpolated fences are bit-identical to DuckDB's
+    // quantile_cont), then a broadcast clamp over the fact — one
+    // narrow pass, the outlier-robust normalization step before any
+    // float-sensitive training statistics.
+    "q217_winsorize" -> ((s, d) => {
+      val base = Tables(s, d).events
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      val fences = graft.operators.DistributedQuantile.exactQuantiles(
+        base, col("cents"), col("event_id"),
+        Seq("p05" -> 0.05, "p95" -> 0.95))
+      base.crossJoin(broadcast(fences))
+        .select(col("event_id"),
+          greatest(col("p05"),
+            least(col("p95"), col("cents").cast("double"))).as("winsorized"))
     })
   )
 
@@ -575,6 +594,15 @@ object ScaleOps {
     "q206_bitmap_rewrite" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS distinct_users
          FROM events GROUP BY 1""",
+    "q217_winsorize" ->
+      """WITH b AS (
+           SELECT event_id, round(value * 100, 0)::BIGINT AS cents
+           FROM events),
+         q AS (SELECT quantile_cont(cents, 0.05) AS p05,
+                      quantile_cont(cents, 0.95) AS p95 FROM b)
+         SELECT event_id,
+                greatest(p05, least(p95, cents::DOUBLE)) AS winsorized
+         FROM b, q""",
     "q213_topk_agg" ->
       """WITH b AS (
            SELECT event_type, round(value * 100, 0)::BIGINT AS cents

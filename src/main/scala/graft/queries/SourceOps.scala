@@ -99,6 +99,24 @@ object SourceOps {
     // the warehouse lives in tmp (GraftSession), never the repo.
     "q184_catalog_table" -> ((s, d) => {
       val tbl = "graft_docs_" + Integer.toHexString(d.hashCode)
+      // overwrite handles a table the CATALOG knows about, but a
+      // fresh session (in-memory catalog) plus a stale warehouse dir
+      // from a killed earlier run fails with LOCATION_ALREADY_EXISTS
+      // — clear the orphaned location first (it is ours by
+      // construction: content-addressed name under the graft
+      // warehouse in tmp)
+      if (!s.catalog.tableExists(tbl)) {
+        val loc = java.nio.file.Paths.get(
+          s.conf.get("spark.sql.warehouse.dir")
+            .stripPrefix("file:"), tbl.toLowerCase)
+        if (java.nio.file.Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          val all = java.nio.file.Files.walk(loc)
+          try all.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally all.close()
+        }
+      }
       Tables(s, d).documents
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
         .write.mode("overwrite").saveAsTable(tbl)

@@ -44,7 +44,13 @@ class EntrySpec extends AnyFunSuite {
       "q169_cms_freq",
       // GK quantile summaries pick engine-specific ranks; ScaleOpsSpec
       // pins the rank-error envelope vs exact quantiles
-      "q175_approx_quantile"))
+      "q175_approx_quantile",
+      // frequent-items sketch (exact at gate scales, approximate by
+      // contract); ScaleOpsSpec A/Bs counts against the exact agg
+      "q192_approx_topk",
+      // recall of an approximate index has no SQL oracle;
+      // SimilaritySpec pins the corpus-level floor
+      "q205_ann_recall"))
   }
 
   test("every query runs non-empty on sf0.001") {
