@@ -33,7 +33,13 @@ object DumpPlans {
     "q115_tfidf" -> "TF-IDF: tf is the one corpus-sized shuffle; df joins by broadcast; the top-3 window is per-doc (WindowGroupLimit bounds it)",
     "q158_intersect_all" -> "INTERSECT ALL: count-tagged aggregate + generate — multiset semantics with one shuffle per side, no join",
     "q160_recursive_cte" -> "recursive CTE: Spark 4 UnionLoop drives the month-spine recursion natively",
-    "q171_global_rank" -> "global rank: pid-partitioned parallel windows over the range exchange; prefix offsets are plan literals — no single-reducer window")
+    "q171_global_rank" -> "global rank: pid-partitioned parallel windows over the range exchange; prefix offsets are plan literals — no single-reducer window",
+    "q186_bitmap_distinct" -> "bitmap-index distinct: two-phase aggregate over fixed 4 KiB bucket bitmaps — the exchange carries (type, bucket) bitmaps, never one row per distinct pair",
+    "q193_ewma" -> "EWMA: eight codegen lag() columns in ONE window pass — no collect_list buffer, no float accumulation",
+    "q204_asof_forward" -> "forward as-of: union + single descending sort per key timeline — same no-explosion shape as the backward join",
+    "q206_bitmap_rewrite" -> "optimizer-rule rewrite: a PLAIN count(DISTINCT) query planned into the bitmap two-phase aggregate by BitmapDistinctRewrite",
+    "q213_topk_agg" -> "native TopKAgg: bounded min-heap through the ordinary two-phase ObjectHashAggregate — k longs per (group, partition) in the exchange, no window sort",
+    "q216_quota_sample" -> "largest-remainder quotas: allocation math on the broadcast-sized source aggregate; the corpus pass is one md5-ranked window")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the
