@@ -513,6 +513,45 @@ object ScaleOps {
         .select(col("event_id"),
           greatest(col("p05"),
             least(col("p95"), col("cents").cast("double"))).as("winsorized"))
+    }),
+
+    // DISCRETE per-group quantiles by explicit rank (q121/q175 are
+    // the interpolated/approximate forms): the value AT position
+    // ceil(p·n) of each type's sorted order — a real data point,
+    // zero interpolation, and the rank formula is written out
+    // identically in both engines (quantile_disc's off-by-one
+    // conventions differ across engines, so neither side uses it).
+    // One window pass per type partition; emitted values are exact
+    // longs.
+    "q218_quantile_disc" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("cents"), col("event_id"))
+      val base = Tables(s, d).events
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+      base.filter(col("rn") === ceil(col("n") * 0.5) ||
+          col("rn") === ceil(col("n") * 0.9))
+        .select(col("event_type"),
+          when(col("rn") === ceil(col("n") * 0.5), "p50")
+            .otherwise("p90").as("p"),
+          col("cents"))
+    }),
+
+    // Balanced shard assignment via ntile: each source's docs dealt
+    // into 4 near-equal shards in deterministic md5 order — the
+    // fixed-count balanced split (q75's 256-way hash shards trade
+    // balance for statelessness; ntile guarantees sizes differ by
+    // ≤1). Partitioned by source so every window runs parallel —
+    // never a global single-reducer ntile.
+    "q219_ntile_shards" -> ((s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(concat(lit("nt"), col("doc_id").cast("string"))),
+          col("doc_id"))
+      Tables(s, d).documents
+        .select(col("source"), col("doc_id"),
+          ntile(4).over(w).cast("long").as("shard"))
     })
   )
 
@@ -594,6 +633,28 @@ object ScaleOps {
     "q206_bitmap_rewrite" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS distinct_users
          FROM events GROUP BY 1""",
+    "q218_quantile_disc" ->
+      """WITH b AS (
+           SELECT event_type, event_id,
+                  round(value * 100, 0)::BIGINT AS cents
+           FROM events),
+         r AS (
+           SELECT event_type, cents,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY cents, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM b)
+         SELECT event_type,
+                CASE WHEN rn = ceil(n * 0.5) THEN 'p50' ELSE 'p90' END AS p,
+                cents
+         FROM r
+         WHERE rn = ceil(n * 0.5) OR rn = ceil(n * 0.9)""",
+    "q219_ntile_shards" ->
+      """SELECT source, doc_id,
+                ntile(4) OVER (PARTITION BY source
+                  ORDER BY md5('nt' || doc_id::VARCHAR), doc_id)::BIGINT
+                  AS shard
+         FROM documents""",
     "q217_winsorize" ->
       """WITH b AS (
            SELECT event_id, round(value * 100, 0)::BIGINT AS cents

@@ -183,6 +183,71 @@ object Sessionize {
     }
   }
 
+  final case class TimedEvent(event_id: Long, user_id: Long,
+    ts: java.sql.Timestamp)
+  final case class SessionClose(user_id: Long, n_events: Long, closed_at_ms: Long)
+
+  /** Event-time TIMERS in `transformWithState`: a session-timeout
+    * emitter. Each arrival extends the open session and (re)arms a
+    * timer at lastTs + gap; when the WATERMARK passes that instant
+    * the timer fires in `handleExpiredTimer` and the closed session
+    * is emitted and cleared. Stale timers (superseded by a newer
+    * arrival that re-armed later) are detected by comparing the
+    * expiry against the state's current deadline and ignored — the
+    * register-without-delete pattern that avoids a per-event
+    * deleteTimer round-trip to the state store.
+    */
+  final class SessionTimeoutProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TimedEvent, SessionClose] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[SessState] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessState]("open_sess",
+        org.apache.spark.sql.Encoders.product[SessState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[TimedEvent],
+        timers: TimerValues): Iterator[SessionClose] = {
+      val arrivals = rows.toSeq
+      val lastMs = arrivals.map(_.ts.getTime).max
+      val prior = if (state.exists()) state.get() else SessState(Long.MinValue, 0L, 0L)
+      val st = SessState(math.max(prior.lastTs, lastMs), 0L,
+        prior.nEvents + arrivals.size)
+      state.update(st)
+      getHandle.registerTimer(st.lastTs + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionClose] = {
+      if (!state.exists()) return Iterator.empty
+      val st = state.get()
+      // a stale timer from a superseded deadline — the session was
+      // extended after this timer was armed
+      if (expired.getExpiryTimeInMs < st.lastTs + gapMs) Iterator.empty
+      else {
+        state.clear()
+        Iterator.single(
+          SessionClose(key, st.nEvents, expired.getExpiryTimeInMs))
+      }
+    }
+  }
+
+  /** Session-timeout close events over a WATERMARKED keyed stream. */
+  def streamingSessionCloses(
+      events: Dataset[TimedEvent], gapMs: Long): Dataset[SessionClose] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionTimeoutProcessor(gapMs), TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Per-(user, type) running counts over a keyed stream. */
   def streamingTypeCountsTws(events: Dataset[TypedEvent]): Dataset[TypeCount] = {
     import events.sparkSession.implicits._

@@ -287,6 +287,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == exp, "complete-mode final state must equal the batch aggregate")
   }
 
+  test("transformWithState event-time timers close sessions at watermark + gap") {
+    implicit val sq = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Sessionize.TimedEvent]
+      def ev(id: Long, uid: Long, ms: Long) =
+        Sessionize.TimedEvent(id, uid, new java.sql.Timestamp(ms))
+      val q = Sessionize.streamingSessionCloses(mem.toDS(), gapMs = 60000L)
+        .writeStream.format("memory").queryName("sess_close")
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      // batch 1: user 5 active at t=10s and t=30s (one session, 2
+      // events; t=0 would tie the initial watermark and be dropped
+      // as late)
+      mem.addData(ev(1, 5L, 10000L), ev(2, 5L, 30000L))
+      q.processAllAvailable()
+      assert(spark.table("sess_close").isEmpty,
+        "session must stay open while the watermark is behind the deadline")
+      // batch 2: user 6 at t=200s pushes the watermark past 30s+60s →
+      // user 5's timer fires; user 6's own session stays open
+      mem.addData(ev(3, 6L, 200000L))
+      q.processAllAvailable()
+      // the timer fires during the batch AFTER the watermark advances
+      mem.addData(ev(4, 6L, 201000L))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("sess_close")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((5L, 2L)),
+        s"exactly user 5's 2-event session must close, got $got")
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("transformWithState ListState trims to k across micro-batches") {
     implicit val sq = spark.sqlContext
     val provKey = "spark.sql.streaming.stateStore.providerClass"
