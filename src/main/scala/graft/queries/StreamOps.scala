@@ -3,6 +3,7 @@ package graft.queries
 import graft.streaming.{Sessionize, StreamingKpi}
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Query bindings for the streaming / stateful operators, drained
   * synchronously so the driver's batch-oriented verify harness can
@@ -114,6 +115,32 @@ object StreamOps {
     // row_number window over the same recency order.
     "q207_tws_recent_list" -> ((s, d) =>
       StreamingKpi.recentEventsTws(s, s"$d/events.parquet")),
+
+    // DYNAMIC-gap session windows: each event contributes its own
+    // inactivity horizon (clicks 10 min, purchases 60 min, else
+    // 30 min) and session_window merges the overlapping [ts, ts+gap)
+    // intervals — engagement-dependent sessionization that a fixed
+    // gap (q52) can't express. The oracle replays the merge as a
+    // running-max interval walk: new session ⟺ ts >= max so far of
+    // (ts_i + gap_i), end = max(ts_i + gap_i) — the end-exclusive
+    // boundary matching Spark's split-at->=-gap semantics.
+    "q220_dynamic_session" -> ((s, d) => {
+      // session_window's dynamic gap must be CalendarIntervalType;
+      // ANSI `INTERVAL n MINUTES` literals are DayTimeIntervalType,
+      // so build the gaps with make_interval
+      val gap = when(col("event_type") === "click",
+          expr("make_interval(0,0,0,0,0,10,0)"))
+        .when(col("event_type") === "purchase",
+          expr("make_interval(0,0,0,0,1,0,0)"))
+        .otherwise(expr("make_interval(0,0,0,0,0,30,0)"))
+      Tables(s, d).events
+        .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("s_start"),
+          date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("s_end"),
+          col("n"))
+    }),
 
     // transformWithState MAP state: per-user (event_type → count),
     // each entry an independent state-store row (no whole-map
@@ -267,6 +294,32 @@ object StreamOps {
     "q214_tws_map_counts" ->
       """SELECT user_id, event_type, count(*) AS n
          FROM events GROUP BY 1, 2""",
+    "q220_dynamic_session" ->
+      """WITH g AS (
+           SELECT user_id, event_id, ts,
+                  CASE event_type WHEN 'click' THEN INTERVAL 10 MINUTE
+                                  WHEN 'purchase' THEN INTERVAL 60 MINUTE
+                                  ELSE INTERVAL 30 MINUTE END AS gap
+           FROM events),
+         x AS (
+           SELECT *, max(ts + gap) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS prev_end
+           FROM g),
+         s AS (
+           SELECT *, CASE WHEN prev_end IS NULL OR ts >= prev_end
+                          THEN 1 ELSE 0 END AS new_s
+           FROM x),
+         t AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           FROM s)
+         SELECT user_id,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+                strftime(max(ts + gap), '%Y-%m-%d %H:%M:%S') AS s_end,
+                count(*) AS n
+         FROM t GROUP BY user_id, sid""",
     "q207_tws_recent_list" ->
       """WITH r AS (
            SELECT user_id, event_id,
