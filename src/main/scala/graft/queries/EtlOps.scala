@@ -569,6 +569,62 @@ object EtlOps {
           (col("pts") - col("cts")).as("latency_us"))
     }),
 
+    // FIRST-touch attribution (q132 is last-touch): each purchase
+    // credited to the EARLIEST click inside its trailing 24 h fence.
+    // "Earliest within a window" has no carry-forward form, so the
+    // scale shape is a BANDED temporal join: clicks keyed by 24 h
+    // bucket, each purchase probes exactly two buckets (its own +
+    // the previous), fence filter, then min((cts, click_id)) per
+    // purchase — bounded fan-out of 2, no range explosion.
+    // Unattributed purchases stay as rows (left join back).
+    "q221_first_touch" -> ((s, d) => {
+      val B = 86400000000L
+      val ev = Tables(s, d).events
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("pts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+          unix_micros(col("ts")).as("cts"))
+        .withColumn("bkt", expr(s"cts div $B"))
+      val probes = purchases
+        .withColumn("bkt", explode(array(expr(s"pts div $B"),
+          expr(s"pts div $B - 1"))))
+      val first = probes
+        .join(clicks, col("c_user") === col("user_id") &&
+          probes("bkt") === clicks("bkt") &&
+          col("cts") >= col("pts") - B && col("cts") <= col("pts"))
+        .groupBy(col("event_id"))
+        .agg(min(struct(col("cts"), col("c_id"))).as("fc"))
+        .select(col("event_id").as("m_id"), col("fc.c_id").as("click_id"))
+      purchases.join(first, col("event_id") === col("m_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("click_id"),
+          col("click_id").isNotNull.as("attributed"))
+    }),
+
+    // Share-of-total ratio metrics over the daily aggregate: each
+    // (type, day) cell's share of its day and of its type as exact
+    // int/int rationals — window sums over the CELL table (days ×
+    // types rows), never a second pass over the fact.
+    "q222_share_ratios" -> ((s, d) => {
+      val daily = Tables(s, d).events
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val wd = Window.partitionBy(col("day"))
+      val wt = Window.partitionBy(col("event_type"))
+      daily
+        .withColumn("day_total", sum(col("n")).over(wd))
+        .withColumn("type_total", sum(col("n")).over(wt))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+          (col("n").cast("double") / col("day_total").cast("double"))
+            .as("share_of_day"),
+          (col("n").cast("double") / col("type_total").cast("double"))
+            .as("share_of_type"))
+    }),
+
     // EWMA smoothing in exact scaled-integer form: per-user
     // exponential moving average over the trailing 8 events as a
     // numerator/denominator pair — weights 2^(7-j) over lag(cents,j),
@@ -635,6 +691,33 @@ object EtlOps {
   }.mkString(",\n         ")
 
   def oracleSql: Map[String, String] = Map(
+    "q221_first_touch" ->
+      """WITH p AS (SELECT event_id, user_id, ts, epoch_us(ts) AS pts
+                    FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, event_id AS c_id, epoch_us(ts) AS cts
+               FROM events WHERE event_type = 'click'),
+         m AS (SELECT p.event_id AS eid, min(c.cts) AS fc_ts
+               FROM p JOIN c ON c.user_id = p.user_id
+                 AND c.cts BETWEEN p.pts - 86400000000 AND p.pts
+               GROUP BY 1),
+         sel AS (SELECT m.eid, min(c.c_id) AS click_id
+                 FROM m JOIN p ON p.event_id = m.eid
+                 JOIN c ON c.user_id = p.user_id AND c.cts = m.fc_ts
+                 GROUP BY 1)
+         SELECT p.event_id, p.user_id,
+                strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+                s.click_id,
+                s.click_id IS NOT NULL AS attributed
+         FROM p LEFT JOIN sel s ON s.eid = p.event_id""",
+    "q222_share_ratios" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+                n * 1.0 / sum(n) OVER (PARTITION BY day) AS share_of_day,
+                n * 1.0 / sum(n) OVER (PARTITION BY event_type)
+                  AS share_of_type
+         FROM daily""",
     "q212_map_transform" ->
       """SELECT user_id, upper(event_type) AS event_type,
                 (count(*) * 2)::BIGINT AS n2
