@@ -176,10 +176,47 @@ object LakeOps {
           col("n_chars"), col("source")) // deliberately different order
       v1.unionByName(v2, allowMissingColumns = true)
         .select(col("doc_id"), col("source"), col("n_chars"), col("rev"))
+    }),
+
+    // Writer-side parquet BLOOM FILTERS + clustered layout: the
+    // point-lookup tuning a serving lake applies — hash-repartition
+    // by the lookup key, sort within files, and write per-column
+    // bloom filters (parquet.bloom.filter.enabled#user_id). The
+    // reader's key predicate then skips row groups by bloom probe +
+    // narrowed min/max instead of scanning. The query result is the
+    // plain filtered aggregate (layout changes bytes touched, never
+    // rows); LakeOpsSpec opens the footers and asserts the bloom
+    // offsets actually exist for user_id and not for bystanders.
+    "q223_bloom_layout" -> ((s, d) => {
+      val dir = scratch("bloomlayout", d)
+      Tables(s, d).events
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .repartition(4, col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("event_id"))
+        .write.mode(SaveMode.Overwrite)
+        .option("parquet.bloom.filter.enabled#user_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#user_id", "100000")
+        // parquet-mr drops the bloom filter when a column is fully
+        // dictionary-encoded (the dictionary already answers point
+        // probes exactly); a low-cardinality gate corpus would hit
+        // that path, so force plain encoding for the keyed column to
+        // exercise the bloom machinery itself
+        .option("parquet.enable.dictionary#user_id", "false")
+        .parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("user_id") === 7)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q223_bloom_layout" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+                round(sum(value), 2) AS total_value
+         FROM events WHERE user_id = 7 GROUP BY 1""",
     "q182_union_evolve" ->
       """SELECT doc_id, source, n_chars, NULL::BIGINT AS rev
          FROM documents WHERE doc_id % 2 = 0

@@ -68,4 +68,47 @@ class LakeOpsSpec extends AnyFunSuite {
     assert(cum.select("month").distinct().count() == cum.count(),
       "one row per month")
   }
+
+  test("q223: written footers carry a bloom filter for user_id only; files are key-sorted") {
+    // run the query (it writes the layout as a side effect)
+    assert(LakeOps.queries("q223_bloom_layout")(spark, sf).count() > 0)
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-bloomlayout-" + Integer.toHexString(sf.hashCode))
+    val files = java.nio.file.Files.list(dir)
+    val parquets =
+      try {
+        import scala.jdk.CollectionConverters._
+        files.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+      } finally files.close()
+    assert(parquets.nonEmpty, s"no parquet files under $dir")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    parquets.foreach { p =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        conf, new org.apache.hadoop.fs.Path(p.toUri))
+      try {
+        import scala.jdk.CollectionConverters._
+        val rgs = reader.getFooter.getBlocks.asScala
+        assert(rgs.nonEmpty)
+        rgs.foreach { rg =>
+          val byName = rg.getColumns.asScala
+            .map(c => c.getPath.toDotString -> c).toMap
+          assert(byName("user_id").getBloomFilterOffset >= 0,
+            s"user_id bloom filter missing in $p")
+          assert(byName("event_type").getBloomFilterOffset < 0,
+            "bystander column must not pay for a bloom filter")
+        }
+        // sorted-by-key layout: user_id min/max monotone across the
+        // file's row groups
+        val ranges: Seq[(Long, Long)] = rgs.map { rg =>
+          val st = rg.getColumns.asScala
+            .find(_.getPath.toDotString == "user_id").get.getStatistics
+          (st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+            st.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+        }.toSeq
+        ranges.zip(ranges.drop(1)).foreach { case ((_, aMax), (bMin, _)) =>
+          assert(aMax <= bMin, s"row groups out of key order in $p")
+        }
+      } finally reader.close()
+    }
+  }
 }
