@@ -172,6 +172,29 @@ object EtlOps {
         .select(col("user_id"), col("key").as("event_type"), col("value").as("n"))
     }),
 
+    // VARIANT table function (q148 is scalar variant_get; this
+    // FLATTENS): a semi-structured tag array parsed once into a
+    // binary variant, then LATERAL variant_explode walks the array
+    // WITHOUT re-parsing per element — position-preserving, typed
+    // extraction per entry. variant_explode is a TABLE function
+    // (FROM-clause only), so the query goes through a temp view +
+    // SQL. Oracle rebuilds the long form relationally (lossless).
+    "q224_variant_explode" -> ((s, d) => {
+      Tables(s, d).documents
+        .select(col("doc_id"),
+          to_json(struct(array(
+            struct(lit("lang").as("k"), col("lang").as("v")),
+            struct(lit("src").as("k"), col("source").as("v"))).as("tags")))
+            .as("j"))
+        .createOrReplaceTempView("graft_q224_tags")
+      s.sql("""
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               variant_get(value, '$.k', 'string') AS k,
+               variant_get(value, '$.v', 'string') AS v
+        FROM graft_q224_tags,
+        LATERAL variant_explode(variant_get(parse_json(j), '$.tags'))""")
+    }),
+
     // Map re-keying / re-valuing (q138 builds + filters; this
     // REWRITES): transform_keys and transform_values run inside the
     // map without exploding it — the per-key normalization pass a
@@ -691,6 +714,11 @@ object EtlOps {
   }.mkString(",\n         ")
 
   def oracleSql: Map[String, String] = Map(
+    "q224_variant_explode" ->
+      """SELECT doc_id, 0::BIGINT AS pos, 'lang' AS k, lang AS v
+         FROM documents
+         UNION ALL
+         SELECT doc_id, 1::BIGINT, 'src', source FROM documents""",
     "q221_first_touch" ->
       """WITH p AS (SELECT event_id, user_id, ts, epoch_us(ts) AS pts
                     FROM events WHERE event_type = 'purchase'),

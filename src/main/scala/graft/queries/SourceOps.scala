@@ -126,6 +126,21 @@ object SourceOps {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
     }),
 
+    // XML scalar functions (xpath_*): column-built XML round-tripped
+    // through typed xpath extraction — the XML-bearing-column path
+    // (feeds, sitemaps, legacy exports) without needing a file
+    // source. Oracle: the original columns (lossless extraction).
+    "q225_xpath_roundtrip" -> ((s, d) => {
+      Tables(s, d).documents
+        .withColumn("xml", concat(lit("<doc><lang>"), col("lang"),
+          lit("</lang><src>"), col("source"), lit("</src><n>"),
+          col("n_chars").cast("string"), lit("</n></doc>")))
+        .select(col("doc_id"),
+          expr("xpath_string(xml, '/doc/lang')").as("lang2"),
+          expr("xpath_string(xml, '/doc/src')").as("src2"),
+          expr("xpath_long(xml, '/doc/n')").as("n2"))
+    }),
+
     "q181_nested_json" -> ((s, d) => {
       val tagsSchema = org.apache.spark.sql.types.DataType
         .fromDDL("doc_id BIGINT, tags ARRAY<STRUCT<k: STRING, v: STRING>>")
@@ -141,6 +156,10 @@ object SourceOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q225_xpath_roundtrip" ->
+      """SELECT doc_id, lang AS lang2, source AS src2,
+                n_chars::BIGINT AS n2
+         FROM documents""",
     "q184_catalog_table" ->
       """SELECT source, lang, count(*) AS n_docs,
                 sum(n_chars)::BIGINT AS total_chars

@@ -572,6 +572,24 @@ object TextOps {
           col("n_oov").cast("double") / col("n_tok").cast("double"))
     }),
 
+    // parse_url component extraction (q180 normalizes by regex; this
+    // is the STRUCTURED accessor a crawl pipeline should prefer):
+    // HOST / PATH / QUERY plus a single query parameter, over
+    // deterministically planted URLs — the oracle rebuilds each
+    // component from the construction rule.
+    "q226_parse_url" -> ((s, d) => {
+      Tables(s, d).documents
+        .withColumn("u", concat(lit("https://site"),
+          (col("doc_id") % 50).cast("string"), lit(".example.org/p/"),
+          (col("doc_id") % 100).cast("string"), lit("?utm=feed&page="),
+          (col("doc_id") % 7).cast("string"), lit("#frag")))
+        .select(col("doc_id"),
+          expr("parse_url(u, 'HOST')").as("host"),
+          expr("parse_url(u, 'PATH')").as("path"),
+          expr("parse_url(u, 'QUERY')").as("query"),
+          expr("parse_url(u, 'QUERY', 'page')").as("page"))
+    }),
+
     // Array set algebra between adjacent documents: token-SET
     // intersect / union / except sizes (the building blocks q35's
     // Jaccard core evaluates natively) exposed as the plain
@@ -592,6 +610,13 @@ object TextOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q226_parse_url" ->
+      """SELECT doc_id,
+                'site' || (doc_id % 50) || '.example.org' AS host,
+                '/p/' || (doc_id % 100) AS path,
+                'utm=feed&page=' || (doc_id % 7) AS query,
+                (doc_id % 7)::VARCHAR AS page
+         FROM documents""",
     "q210_array_setops" ->
       """WITH t AS (
            SELECT doc_id,
