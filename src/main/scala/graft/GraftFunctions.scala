@@ -68,7 +68,10 @@ object GraftFunctions {
     // the buffer, same rule as minhash_sig's numPerm)
     "topk_agg" -> (es =>
       graft.functions.expressions.TopKAgg(es.head, intLit(es, 1, 10,
-        "topk_agg: k")))
+        "topk_agg: k"))),
+    // Unicode NFC canonical composition (JDK Normalizer, codegen)
+    "nfc_normalize" -> (es =>
+      graft.functions.expressions.NfcNormalize(es.head))
   )
 
   /** Evaluate argument `idx` as a positive integer literal (or

@@ -92,7 +92,53 @@ object DedupOps {
     // star-rewriting algorithm instead of min-propagation — the two
     // share one DuckDB oracle, so this row proves star ≡ propagation
     // on the real corpus, not just the spec fixtures.
-    "q70_dup_clusters_star" -> ((s, d) => tokenJaccardClusters(s, d, star = true))
+    "q70_dup_clusters_star" -> ((s, d) => tokenJaccardClusters(s, d, star = true)),
+
+    // LSH parameter-sweep harness: the (bands × rows) tuning run an
+    // operator rollout does BEFORE committing a config. One planted
+    // near-duplicate per eligible doc (first token dropped), ONE
+    // shingle+signature pass (persisted / checkpointed), then each
+    // banding config generates its candidate set and is scored
+    // against the known plants: candidates, hits, recall. The
+    // driver-side loop is over 3 CONFIGS, never over data. Candidate
+    // counts are hash-seed-specific → rows-only gate; DedupSpec pins
+    // recall monotonicity in band count and the 16-band floor.
+    "q227_lsh_sweep" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val toks = split(col("text"), " ")
+      val base = Tables(s, d).documents.filter(size(toks) >= 20)
+        .select(col("doc_id").cast("long").as("id"), col("text"))
+      val twins = base.select((col("id") + 10000000L).as("id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      val all = base.unionByName(twins)
+        .repartition(s.sparkContext.defaultParallelism)
+      val shingled = all.select(col("id"),
+        array_sort(Dedup.shingleHashes(col("text"), 3)).as("sh"))
+      val sig = shingled
+        .withColumn("mh", Dedup.minHashSignature(col("sh"), 32))
+        .select("id", "mh").localCheckpoint()
+      val nTruth = base.count()
+      val rows = Seq(4, 8, 16).map { bands =>
+        val rpb = 32 / bands
+        val banded = sig.select(col("id"),
+          posexplode(array((0 until bands).map { b =>
+            xxhash64((0 until rpb).map(r =>
+              element_at(col("mh"), b * rpb + r + 1)): _*)
+          }: _*)).as(Seq("band", "bucket")))
+        val a = banded.select(col("band"), col("bucket"), col("id").as("a_id"))
+        val bb = banded.select(col("band"), col("bucket"), col("id").as("b_id"))
+        val cand = a.join(bb, Seq("band", "bucket"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct().localCheckpoint()
+        val nCand = cand.count()
+        val nHits = cand.filter(col("b_id") === col("a_id") + 10000000L).count()
+        (bands.toLong, rpb.toLong, nCand, nHits, nTruth,
+          nHits.toDouble / nTruth.toDouble)
+      }
+      import s.implicits._
+      rows.toDF("bands", "rows_per_band", "n_candidates", "n_hits",
+        "n_truth", "recall")
+    })
   )
 
   /** Shared by q67/q68/q70: hashed token sets → exact Jaccard ≥ 0.9

@@ -572,6 +572,28 @@ object TextOps {
           col("n_oov").cast("double") / col("n_tok").cast("double"))
     }),
 
+    // Unicode NFC normalization (native NfcNormalize codegen
+    // expression): composed and decomposed forms of the same visible
+    // text — planted here as "café" in both encodings by doc parity
+    // — collapse to one canonical string, the pass exact dedup and
+    // token counting need on any multilingual corpus. Oracle:
+    // DuckDB's nfc_normalize over the identically planted input;
+    // both engines implement standard Unicode NFC, so the outputs
+    // hash-match.
+    "q228_unicode_normalize" -> ((s, d) => {
+      import org.apache.spark.sql.GraftColumnBridge
+      def nfc(c: org.apache.spark.sql.Column) =
+        GraftColumnBridge.column(graft.functions.expressions.NfcNormalize(
+          GraftColumnBridge.expression(c)))
+      // composed U+00E9 vs decomposed e + combining acute U+0301 -
+      // byte-distinct, visually identical
+      val marker = when(col("doc_id") % 2 === 0, lit("caf\u00e9"))
+        .otherwise(lit("cafe\u0301"))
+      Tables(s, d).documents
+        .select(col("doc_id"),
+          nfc(concat(marker, lit("-"), col("source"))).as("norm"))
+    }),
+
     // parse_url component extraction (q180 normalizes by regex; this
     // is the STRUCTURED accessor a crawl pipeline should prefer):
     // HOST / PATH / QUERY plus a single query parameter, over
@@ -610,6 +632,9 @@ object TextOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q228_unicode_normalize" ->
+      """SELECT doc_id, 'caf' || chr(233) || '-' || source AS norm
+         FROM documents""",
     "q226_parse_url" ->
       """SELECT doc_id,
                 'site' || (doc_id % 50) || '.example.org' AS host,

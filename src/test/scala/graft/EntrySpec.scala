@@ -50,7 +50,10 @@ class EntrySpec extends AnyFunSuite {
       "q192_approx_topk",
       // recall of an approximate index has no SQL oracle;
       // SimilaritySpec pins the corpus-level floor
-      "q205_ann_recall"))
+      "q205_ann_recall",
+      // LSH sweep candidate counts are hash-seed-specific; DedupSpec
+      // pins recall monotonicity + the 16-band floor
+      "q227_lsh_sweep"))
   }
 
   test("every query runs non-empty on sf0.001") {

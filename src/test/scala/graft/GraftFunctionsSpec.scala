@@ -93,6 +93,18 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(sig.length == 8)
   }
 
+  test("nfc_normalize: composed ≡ decomposed; ASCII passes through untouched") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT nfc_normalize('caf\u00e9') = nfc_normalize('cafe\u0301') AS eq, " +
+        "nfc_normalize('plain ascii') AS a, " +
+        "length(nfc_normalize('cafe\u0301')) AS n")
+      .collect().head
+    assert(r.getBoolean(0), "NFC must unify composed and decomposed forms")
+    assert(r.getString(1) == "plain ascii")
+    assert(r.getInt(2) == 4, "decomposed pair must compose to one char")
+  }
+
   test("topk_agg: heap merge across partitions ≡ window top-k; nulls ignored; small groups") {
     GraftFunctions.register(spark)
     import spark.implicits._

@@ -264,4 +264,19 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sig1 == sig2)
   }
+
+  test("q227: sweep recall is monotone in band count and clears the 16-band floor") {
+    val rows = graft.SparkEntry.queries("q227_lsh_sweep")(
+      spark, "/root/testdata/sf0.001")
+      .orderBy(org.apache.spark.sql.functions.col("bands")).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getLong(0) * r.getLong(1) == 32, "bands x rows = numPerm")
+      assert(r.getLong(3) <= r.getLong(4), "hits cannot exceed truth")
+    }
+    val recalls = rows.map(_.getDouble(5))
+    assert(recalls(0) <= recalls(1) + 1e-12 && recalls(1) <= recalls(2) + 1e-12,
+      s"recall must not drop as bands narrow: ${recalls.toSeq}")
+    assert(recalls(2) >= 0.9, s"16-band recall floor: ${recalls(2)}")
+  }
 }
