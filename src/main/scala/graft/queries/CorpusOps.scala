@@ -372,10 +372,44 @@ object CorpusOps {
         .join(broadcast(alloc), "source")
         .filter(col("rk") <= col("n_i"))
         .select(col("source"), col("doc_id"))
+    }),
+
+    // GROUP-aware train/val/test split (q73 splits at the DOC grain;
+    // behavioral data must split at the USER grain or a user's
+    // events straddle train and eval — target leakage). Split is a
+    // pure function of md5(user_id); the leakage audit — users
+    // assigned to more than one split — is COMPUTED from the data
+    // (not assumed) and must be zero, which the oracle pins as a
+    // literal.
+    "q230_group_split" -> ((s, d) => {
+      val h = substring(md5(concat(lit("usr"),
+        col("user_id").cast("string"))), 1, 1)
+      val split = when(h <= "b", "train")
+        .when(h.isin("c", "d"), "val").otherwise("test")
+      val ev = Tables(s, d).events.withColumn("split", split)
+      val leak = ev.select(col("user_id"), col("split")).distinct()
+        .groupBy("user_id").agg(countDistinct(col("split")).as("ns"))
+        .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("leak_users"))
+      ev.groupBy(col("split"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .crossJoin(broadcast(leak))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q230_group_split" ->
+      """WITH e AS (
+           SELECT user_id,
+                  CASE WHEN substr(md5('usr' || user_id::VARCHAR), 1, 1) <= 'b'
+                         THEN 'train'
+                       WHEN substr(md5('usr' || user_id::VARCHAR), 1, 1)
+                         IN ('c', 'd') THEN 'val'
+                       ELSE 'test' END AS split
+           FROM events)
+         SELECT split, count(DISTINCT user_id)::BIGINT AS n_users,
+                count(*)::BIGINT AS n_events, 0::BIGINT AS leak_users
+         FROM e GROUP BY 1""",
     "q216_quota_sample" ->
       """WITH c AS (SELECT source, count(*)::BIGINT AS ci
                     FROM documents GROUP BY 1),

@@ -539,6 +539,45 @@ object ScaleOps {
           col("cents"))
     }),
 
+    // Distribution-drift report (the PSI shape with exact
+    // arithmetic): decile fences computed on the BASELINE window by
+    // DistributedQuantile (bit-exact interpolation), both windows
+    // bucketed by the broadcast fences (compare-chain, q126's
+    // pattern), and each bucket's share shift tested WITHOUT
+    // division: |nb·Na − na·Nb|·50 > Na·Nb ⟺ |Δshare| > 2%, in
+    // DECIMAL(38,0) so the verdict is exact at any count. The
+    // monitoring query a training-data pipeline runs before
+    // accepting a new ingest window.
+    "q229_drift_report" -> ((s, d) => {
+      val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+      val base = Tables(s, d).events
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      val wa = base.filter(col("ts") < cutoff)
+      val wb = base.filter(col("ts") >= cutoff)
+      val fences = graft.operators.DistributedQuantile.exactQuantiles(
+        wa, col("cents"), col("event_id"),
+        (1 to 9).map(i => (s"p$i", i / 10.0)))
+      def bucketed(df: DataFrame): DataFrame = df
+        .crossJoin(broadcast(fences))
+        .withColumn("bucket",
+          ((1 to 9).map(i =>
+            when(col("cents").cast("double") > col(s"p$i"), 1).otherwise(0))
+            .reduce(_ + _) + 1).cast("long"))
+      val ca = bucketed(wa).groupBy("bucket").agg(count(lit(1)).as("na"))
+      val cb = bucketed(wb).groupBy("bucket").agg(count(lit(1)).as("nb"))
+      val joined = ca.join(cb, Seq("bucket"), "left")
+        .select(col("bucket"), col("na"),
+          coalesce(col("nb"), lit(0L)).as("nb"))
+      val totals = joined.agg(sum(col("na")).as("tot_a"),
+        sum(col("nb")).as("tot_b"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      joined.crossJoin(broadcast(totals))
+        .select(col("bucket"), col("na"), col("nb"),
+          (abs(dec(col("nb")) * dec(col("tot_a")) -
+            dec(col("na")) * dec(col("tot_b"))) * lit(50) >
+            dec(col("tot_a")) * dec(col("tot_b"))).as("drifted"))
+    }),
+
     // Balanced shard assignment via ntile: each source's docs dealt
     // into 4 near-equal shards in deterministic md5 order — the
     // fixed-count balanced split (q75's 256-way hash shards trade
@@ -805,6 +844,45 @@ object ScaleOps {
          SELECT table_name, rows_before, rows_purged,
                 (rows_before - rows_purged)::BIGINT AS rows_after
          FROM (SELECT * FROM ev UNION ALL SELECT * FROM od)""",
+    "q229_drift_report" ->
+      """WITH b AS (
+           SELECT ts, round(value * 100, 0)::BIGINT AS cents FROM events),
+         a AS (SELECT cents FROM b WHERE ts < TIMESTAMP '2024-01-20 00:00:00'),
+         w2 AS (SELECT cents FROM b WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'),
+         f AS (SELECT quantile_cont(cents, 0.1) AS p1,
+                      quantile_cont(cents, 0.2) AS p2,
+                      quantile_cont(cents, 0.3) AS p3,
+                      quantile_cont(cents, 0.4) AS p4,
+                      quantile_cont(cents, 0.5) AS p5,
+                      quantile_cont(cents, 0.6) AS p6,
+                      quantile_cont(cents, 0.7) AS p7,
+                      quantile_cont(cents, 0.8) AS p8,
+                      quantile_cont(cents, 0.9) AS p9
+               FROM a),
+         ba AS (
+           SELECT 1 + (cents > p1)::INT + (cents > p2)::INT + (cents > p3)::INT
+                    + (cents > p4)::INT + (cents > p5)::INT + (cents > p6)::INT
+                    + (cents > p7)::INT + (cents > p8)::INT + (cents > p9)::INT
+                  AS bucket
+           FROM a, f),
+         bb AS (
+           SELECT 1 + (cents > p1)::INT + (cents > p2)::INT + (cents > p3)::INT
+                    + (cents > p4)::INT + (cents > p5)::INT + (cents > p6)::INT
+                    + (cents > p7)::INT + (cents > p8)::INT + (cents > p9)::INT
+                  AS bucket
+           FROM w2, f),
+         ca AS (SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS na
+                FROM ba GROUP BY 1),
+         cb AS (SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS nb
+                FROM bb GROUP BY 1),
+         j AS (SELECT ca.bucket, ca.na, coalesce(cb.nb, 0)::BIGINT AS nb
+               FROM ca LEFT JOIN cb USING (bucket)),
+         t AS (SELECT sum(na) AS tot_a, sum(nb) AS tot_b FROM j)
+         SELECT bucket, na, nb,
+                abs(nb::DECIMAL(38,0) * tot_a::DECIMAL(38,0)
+                    - na::DECIMAL(38,0) * tot_b::DECIMAL(38,0)) * 50
+                  > tot_a::DECIMAL(38,0) * tot_b::DECIMAL(38,0) AS drifted
+         FROM j, t""",
     "q121_gap_outliers" ->
       """WITH g AS (
            SELECT event_id, user_id,
