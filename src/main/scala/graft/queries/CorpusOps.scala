@@ -394,10 +394,57 @@ object CorpusOps {
         .agg(countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n_events"))
         .crossJoin(broadcast(leak))
+    }),
+
+    // Next-event training pairs (the SUPERVISED example builder; q81
+    // emits raw sequences): within each session, (2-event context →
+    // next event type) pairs via two lag() columns over one session
+    // ordering — session starts get a "^" boundary marker, the
+    // first event of a session never leaks the previous session as
+    // context. One window shuffle on (user, session); everything
+    // else is codegen.
+    "q232_next_event_pairs" -> ((s, d) => {
+      val sess = graft.streaming.Sessionize.withSessionIds(
+        Tables(s, d).events, gapMinutes = 30)
+      val w = Window.partitionBy(col("user_id"), col("session_id"))
+        .orderBy(col("ts"), col("event_id"))
+      sess
+        .withColumn("prev1", lag(col("event_type"), 1).over(w))
+        .withColumn("prev2", lag(col("event_type"), 2).over(w))
+        .filter(col("prev1").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          concat_ws(">", coalesce(col("prev2"), lit("^")), col("prev1"))
+            .as("context"),
+          col("event_type").as("label"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q232_next_event_pairs" ->
+      """WITH x AS (
+           SELECT user_id, event_id, ts, event_type,
+                  lag(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         f AS (
+           SELECT *, CASE WHEN prev_ts IS NULL
+                            OR ts - prev_ts > INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS new_s
+           FROM x),
+         t AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           FROM f),
+         l AS (
+           SELECT user_id, event_id, event_type,
+                  lag(event_type, 1) OVER w AS prev1,
+                  lag(event_type, 2) OVER w AS prev2
+           FROM t
+           WINDOW w AS (PARTITION BY user_id, sid ORDER BY ts, event_id))
+         SELECT user_id, event_id,
+                coalesce(prev2, '^') || '>' || prev1 AS context,
+                event_type AS label
+         FROM l WHERE prev1 IS NOT NULL""",
     "q230_group_split" ->
       """WITH e AS (
            SELECT user_id,

@@ -578,6 +578,39 @@ object ScaleOps {
             dec(col("tot_a")) * dec(col("tot_b"))).as("drifted"))
     }),
 
+    // GROUPED exact interpolated quantiles — the family completer
+    // (q121 global exact, q175 approx, q218 discrete): per-type
+    // q25/q50/q75 by the same (n−1)·p+1 bracket interpolation
+    // DistributedQuantile uses, but through PER-GROUP windows (each
+    // type's rank pass runs parallel; bracket rows are filtered
+    // before the aggregate so the final agg touches ≤ 6 rows per
+    // type). Doubles interpolate identically to quantile_cont —
+    // hash-exact.
+    "q231_grouped_quantiles" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("cents"), col("event_id"))
+      val base = Tables(s, d).events
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      val ps = Seq(("q25", 0.25), ("q50", 0.5), ("q75", 0.75))
+      val bracket = ps.map { case (_, p) =>
+        val pos = (col("n") - 1) * p + 1
+        col("rn") === floor(pos) || col("rn") === ceil(pos)
+      }.reduce(_ || _)
+      val aggs = ps.map { case (nm, p) =>
+        val pos = (col("n") - 1) * p + 1
+        val frac = pos - floor(pos).cast("double")
+        (sum(when(col("rn") === floor(pos),
+          col("cents").cast("double") * (lit(1.0) - frac)).otherwise(0.0)) +
+          sum(when(col("rn") === ceil(pos) && col("rn") =!= floor(pos),
+            col("cents").cast("double") * frac).otherwise(0.0))).as(nm)
+      }
+      base.filter(bracket).groupBy(col("event_type"))
+        .agg(aggs.head, aggs.tail: _*)
+    }),
+
     // Balanced shard assignment via ntile: each source's docs dealt
     // into 4 near-equal shards in deterministic md5 order — the
     // fixed-count balanced split (q75's 256-way hash shards trade
@@ -844,6 +877,15 @@ object ScaleOps {
          SELECT table_name, rows_before, rows_purged,
                 (rows_before - rows_purged)::BIGINT AS rows_after
          FROM (SELECT * FROM ev UNION ALL SELECT * FROM od)""",
+    "q231_grouped_quantiles" ->
+      """WITH b AS (
+           SELECT event_type, round(value * 100, 0)::BIGINT AS cents
+           FROM events)
+         SELECT event_type,
+                quantile_cont(cents, 0.25) AS q25,
+                quantile_cont(cents, 0.5) AS q50,
+                quantile_cont(cents, 0.75) AS q75
+         FROM b GROUP BY 1""",
     "q229_drift_report" ->
       """WITH b AS (
            SELECT ts, round(value * 100, 0)::BIGINT AS cents FROM events),
