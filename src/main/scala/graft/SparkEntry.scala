@@ -67,7 +67,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                           semantic contamination, q205 ANN
   *                           recall; CorpusOps q201 curriculum;
   *                           StreamOps q195 right-outer join,
-  *                           q207/q214 TWS List/Map state
+  *                           q207/q214 TWS List/Map state, q220
+  *                           dynamic-gap sessions; late round-5:
+  *                           q215-q219 SQL gate, quota sample,
+  *                           winsorize, discrete quantiles, ntile
+  *                           shards; q221/q222 first-touch + ratio
+  *                           shares; q223 parquet blooms; q224-q226
+  *                           variant/xpath/parse_url; q227/q228 LSH
+  *                           sweep + NFC normalize; q229-q232 drift
+  *                           report, group split, grouped quantiles,
+  *                           next-event pairs
   */
 object SparkEntry {
 

@@ -648,6 +648,23 @@ object EtlOps {
             .as("share_of_type"))
     }),
 
+    // Freshness / SLA audit: per-feed (event type) last-arrival lag
+    // against the newest event anywhere, stale flag at a 6 h budget
+    // — the data-ops check a scheduler gates downstream jobs on.
+    // Tiny aggregate + broadcast of one global row; exact integer
+    // microsecond lags.
+    "q234_freshness_audit" -> ((s, d) => {
+      val per = Tables(s, d).events
+        .groupBy(col("event_type"))
+        .agg(max(unix_micros(col("ts"))).as("last_us"),
+          count(lit(1)).as("n"))
+      per.crossJoin(broadcast(per.agg(max(col("last_us")).as("global_us"))))
+        .select(col("event_type"), col("n"),
+          (col("global_us") - col("last_us")).as("lag_us"),
+          (col("global_us") - col("last_us") > 6L * 3600L * 1000000L)
+            .as("stale"))
+    }),
+
     // EWMA smoothing in exact scaled-integer form: per-user
     // exponential moving average over the trailing 8 events as a
     // numerator/denominator pair — weights 2^(7-j) over lag(cents,j),
@@ -714,6 +731,16 @@ object EtlOps {
   }.mkString(",\n         ")
 
   def oracleSql: Map[String, String] = Map(
+    "q234_freshness_audit" ->
+      """WITH p AS (
+           SELECT event_type, max(epoch_us(ts)) AS last_us,
+                  count(*)::BIGINT AS n
+           FROM events GROUP BY 1),
+         g AS (SELECT max(last_us) AS global_us FROM p)
+         SELECT event_type, n,
+                (global_us - last_us)::BIGINT AS lag_us,
+                global_us - last_us > 21600000000 AS stale
+         FROM p, g""",
     "q224_variant_explode" ->
       """SELECT doc_id, 0::BIGINT AS pos, 'lang' AS k, lang AS v
          FROM documents

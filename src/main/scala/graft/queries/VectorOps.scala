@@ -284,10 +284,115 @@ object VectorOps {
         .select(col("query_id"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           (coalesce(col("n_hits"), lit(0L)).cast("double") / 5.0).as("recall"))
+    }),
+
+    // Semantic dedup keeping the most CENTRAL member (q78 keeps
+    // min-id): clusters from the exact cosine pairs + connected
+    // components, then each cluster's representative is the member
+    // nearest its centroid — scored WITHOUT floats by minimizing
+    // n·(x·x) − 2·(x·s) over int8 codes (≡ argmin ‖x − s/n‖², all
+    // cross terms integer via VecDotLong), so the centrality choice
+    // is bit-reproducible and the whole decision hash-oracles
+    // against DuckDB's recursive-CTE + integer-argmin replay. The
+    // cluster-sum vectors shuffle (cluster, dim) longs only.
+    "q233_semantic_keep_central" -> ((s, d) => {
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      val pairs = graft.operators.Similarity.cosineThresholdPairs(
+        emb, "vec_id", "embedding", threshold = 0.45, blocks = 32)
+      val clusters = graft.operators.Dedup
+        .duplicateClusters(pairs, emb.select("vec_id"))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"),
+          col("cluster_size"))
+      val st = emb
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("dim"), col("x").cast("double").as("x"))
+        .groupBy("dim").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1)
+      val mnA = array(st.map(t => lit(t._2)).toIndexedSeq: _*)
+      val mxA = array(st.map(t => lit(t._3)).toIndexedSeq: _*)
+      val codes = emb.repartition(32).select(col("vec_id"),
+        transform(col("embedding"), (x, i) => {
+          val mn = element_at(mnA, i + 1)
+          val mx = element_at(mxA, i + 1)
+          when(mx === mn, lit(0L))
+            .otherwise(least(
+              floor((x.cast("double") - mn) * lit(255.0) / (mx - mn)),
+              lit(255.0)).cast("long"))
+        }).as("codes"))
+      val member = codes
+        .withColumn("dot_self", Vec.dotLong(col("codes"), col("codes")))
+        .join(clusters, "vec_id")
+      val sums = member
+        .select(col("cluster_id"), posexplode(col("codes")).as(Seq("dim", "q")))
+        .groupBy("cluster_id", "dim").agg(sum(col("q")).as("sd"))
+      val dotS = member
+        .select(col("vec_id"), col("cluster_id"),
+          posexplode(col("codes")).as(Seq("dim", "q")))
+        .join(sums, Seq("cluster_id", "dim"))
+        .groupBy(col("vec_id"), col("cluster_id"))
+        .agg(sum(col("q") * col("sd")).as("dot_s"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("score"), col("vec_id"))
+      member.select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+          col("dot_self"))
+        .join(dotS, Seq("vec_id", "cluster_id"))
+        .withColumn("score",
+          col("cluster_size") * col("dot_self") - lit(2L) * col("dot_s"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("vec_id").as("keep_id"),
+          col("cluster_size"), col("score"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q233_semantic_keep_central" ->
+      """WITH RECURSIVE prs AS (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45),
+         edges AS (
+           SELECT a_id AS s, b_id AS d FROM prs
+           UNION SELECT b_id, a_id FROM prs),
+         reach AS (
+           SELECT vec_id AS s, vec_id AS d FROM embeddings
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         clu AS (
+           SELECT s AS vec_id, min(d) AS cluster_id FROM reach GROUP BY 1),
+         n AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+               FROM clu GROUP BY 1),
+         e AS (
+           SELECT vec_id,
+                  unnest(range(len(embedding)))::BIGINT AS dim,
+                  unnest(embedding)::DOUBLE AS x
+           FROM embeddings),
+         st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM e GROUP BY 1),
+         q AS (
+           SELECT vec_id, dim,
+                  (CASE WHEN mx = mn THEN 0
+                        ELSE least(floor((x - mn) * 255.0 / (mx - mn)), 255.0)
+                   END)::BIGINT AS q
+           FROM e JOIN st USING (dim)),
+         xx AS (SELECT vec_id, sum(q * q)::BIGINT AS dot_self
+                FROM q GROUP BY 1),
+         sv AS (SELECT c.cluster_id, q.dim, sum(q.q)::BIGINT AS sd
+                FROM q JOIN clu c USING (vec_id) GROUP BY 1, 2),
+         xs AS (SELECT q.vec_id, c.cluster_id,
+                       sum(q.q * s.sd)::BIGINT AS dot_s
+                FROM q JOIN clu c USING (vec_id)
+                JOIN sv s ON s.cluster_id = c.cluster_id AND s.dim = q.dim
+                GROUP BY 1, 2),
+         sc AS (
+           SELECT x.vec_id, x.cluster_id, n.cluster_size,
+                  (n.cluster_size * xx.dot_self - 2 * x.dot_s)::BIGINT AS score
+           FROM xs x JOIN n USING (cluster_id)
+           JOIN xx ON xx.vec_id = x.vec_id)
+         SELECT cluster_id, vec_id AS keep_id, cluster_size, score
+         FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY score, vec_id) AS rn FROM sc)
+         WHERE rn = 1""",
     "q196_semantic_contamination" ->
       """WITH e AS (
            SELECT vec_id,
