@@ -51,7 +51,14 @@ class ReproSpec extends AnyFunSuite {
     "q162_bookmark_ingest", // ledger state across two staged runs
     "q167_bpe_encode",      // native merge-fold application
     "q169_cms_freq",        // seeded CMS estimates
-    "q171_global_rank"      // range-partition + prefix offsets
+    "q171_global_rank",     // range-partition + prefix offsets
+    // round-6 additions
+    "q201_curriculum",      // repartitionByRange sampling determinism
+    "q206_bitmap_rewrite",  // optimizer-rule rewrite on a scoped session
+    "q213_topk_agg",        // imperative heap merge across partitions
+    "q216_quota_sample",    // largest-remainder allocation + md5 ranks
+    "q227_lsh_sweep",       // checkpointed signature reuse across configs
+    "q233_semantic_keep_central" // CC clusters + integer centrality argmin
   )
 
   representatives.foreach { name =>
