@@ -71,7 +71,10 @@ object GraftFunctions {
         "topk_agg: k"))),
     // Unicode NFC canonical composition (JDK Normalizer, codegen)
     "nfc_normalize" -> (es =>
-      graft.functions.expressions.NfcNormalize(es.head))
+      graft.functions.expressions.NfcNormalize(es.head)),
+    // DEFLATE-compressed byte length (compression-ratio quality gate)
+    "deflate_len" -> (es =>
+      graft.functions.expressions.DeflateLen(es.head))
   )
 
   /** Evaluate argument `idx` as a positive integer literal (or

@@ -648,6 +648,23 @@ object EtlOps {
             .as("share_of_type"))
     }),
 
+    // k-anonymity audit (the release-side privacy gate after q76's
+    // redaction and q112's pseudonymization): quasi-identifier cells
+    // (coarse user bucket × day) smaller than k = 5 are flagged for
+    // suppression — publishing them would isolate individuals. One
+    // aggregate over the QI projection; the suppression decision is
+    // an integer compare.
+    "q237_k_anonymity" -> ((s, d) => {
+      Tables(s, d).events
+        .select(expr("user_id div 10").as("user_bucket"),
+          to_date(col("ts")).as("day"))
+        .groupBy(col("user_bucket"), col("day"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_bucket"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+          (col("n") < 5).as("suppressed"))
+    }),
+
     // Freshness / SLA audit: per-feed (event type) last-arrival lag
     // against the newest event anywhere, stale flag at a 6 h budget
     // — the data-ops check a scheduler gates downstream jobs on.
@@ -731,6 +748,12 @@ object EtlOps {
   }.mkString(",\n         ")
 
   def oracleSql: Map[String, String] = Map(
+    "q237_k_anonymity" ->
+      """SELECT user_id // 10 AS user_bucket,
+                strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                count(*)::BIGINT AS n,
+                count(*) < 5 AS suppressed
+         FROM events GROUP BY 1, 2""",
     "q234_freshness_audit" ->
       """WITH p AS (
            SELECT event_type, max(epoch_us(ts)) AS last_us,

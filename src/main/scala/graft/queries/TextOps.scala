@@ -572,6 +572,42 @@ object TextOps {
           col("n_oov").cast("double") / col("n_tok").cast("double"))
     }),
 
+    // Compression-ratio quality signal (native DeflateLen codegen
+    // expression): repetitive/templated text compresses far below
+    // natural prose, so dlen/n_chars flags boilerplate with zero
+    // linguistic machinery — the CCNet/RefinedWeb-style gate.
+    // zlib output is implementation-specific → rows-only gate;
+    // TextOpsSpec pins run-to-run equality and the
+    // repetitive-compresses-more ordering.
+    "q235_deflate_ratio" -> ((s, d) => {
+      import org.apache.spark.sql.GraftColumnBridge
+      val dlen = GraftColumnBridge.column(
+        graft.functions.expressions.DeflateLen(
+          GraftColumnBridge.expression(col("text"))))
+      parallelized(Tables(s, d).documents)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+          dlen.as("dlen"))
+        .withColumn("ratio",
+          col("dlen").cast("double") / col("n_chars").cast("double"))
+        .withColumn("boilerplate", col("ratio") < 0.3)
+    }),
+
+    // Feature-hashing vectorizer (the hashing trick): each token
+    // folded to one of 64 dims by a deterministic md5-character
+    // mix, per-(doc, dim) integer counts — the classical sparse
+    // bag-of-words featurization with a FIXED dimensionality and no
+    // vocabulary pass. Long-form output keeps the shuffle a plain
+    // two-key aggregate; exact integers hash-oracle.
+    "q236_feature_hashing" -> ((s, d) => {
+      val h = md5(col("tok"))
+      val dim = (ascii(substring(h, 1, 1)) * 49 +
+        ascii(substring(h, 2, 1)) * 7 + ascii(substring(h, 3, 1))) % 64
+      parallelized(Tables(s, d).documents)
+        .select(col("doc_id"), explode(tokens).as("tok"))
+        .select(col("doc_id"), dim.cast("long").as("dim"))
+        .groupBy("doc_id", "dim").agg(count(lit(1)).as("cnt"))
+    }),
+
     // Unicode NFC normalization (native NfcNormalize codegen
     // expression): composed and decomposed forms of the same visible
     // text — planted here as "café" in both encodings by doc parity
@@ -632,6 +668,18 @@ object TextOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // q235_deflate_ratio: zlib output is implementation-specific →
+    // rows-only check (TextOpsSpec pins the semantics).
+    "q236_feature_hashing" ->
+      """WITH tf AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents)
+         SELECT doc_id,
+                ((ascii(substr(md5(tok), 1, 1)) * 49
+                  + ascii(substr(md5(tok), 2, 1)) * 7
+                  + ascii(substr(md5(tok), 3, 1))) % 64)::BIGINT AS dim,
+                count(*)::BIGINT AS cnt
+         FROM tf GROUP BY 1, 2""",
     "q228_unicode_normalize" ->
       """SELECT doc_id, 'caf' || chr(233) || '-' || source AS norm
          FROM documents""",

@@ -105,6 +105,28 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r.getInt(2) == 4, "decomposed pair must compose to one char")
   }
 
+  test("deflate_len: deterministic, repetitive text compresses below prose") {
+    GraftFunctions.register(spark)
+    val rep = "spam " * 200
+    val prose = (1 to 200).map(i => s"w${i * 7919 % 997}").mkString(" ")
+    val r = spark.sql(
+      s"SELECT deflate_len('$rep') AS a, deflate_len('$rep') AS a2, " +
+        s"deflate_len('$prose') AS b").collect().head
+    assert(r.getLong(0) == r.getLong(1), "must be run-to-run identical")
+    assert(r.getLong(0) < r.getLong(2),
+      "repetitive text must compress below varied text of similar length")
+    assert(r.getLong(0) > 0)
+    // q235 end-to-end: ratio in (0, ~1.1], two runs identical
+    val q = graft.SparkEntry.queries("q235_deflate_ratio")(
+      spark, "/root/testdata/sf0.001")
+    val rows = q.collect().map(r2 => r2.getLong(0) -> r2.getDouble(3)).toMap
+    assert(rows.values.forall(v => v > 0 && v < 1.2))
+    val again = graft.SparkEntry.queries("q235_deflate_ratio")(
+      spark, "/root/testdata/sf0.001")
+      .collect().map(r2 => r2.getLong(0) -> r2.getDouble(3)).toMap
+    assert(rows == again)
+  }
+
   test("topk_agg: heap merge across partitions ≡ window top-k; nulls ignored; small groups") {
     GraftFunctions.register(spark)
     import spark.implicits._
