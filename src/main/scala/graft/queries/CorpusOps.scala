@@ -416,10 +416,39 @@ object CorpusOps {
           concat_ws(">", coalesce(col("prev2"), lit("^")), col("prev1"))
             .as("context"),
           col("event_type").as("label"))
+    }),
+
+    // Recency-decay sampling: keep probability halves every 7 days
+    // of age — the freshness-weighted training sample. The weight
+    // 1/2^(age/7 weeks) is an exact BINARY rational, so selection is
+    // a pure integer compare: u = first 6 md5 hex digits (24 uniform
+    // bits) < 2^24 >> weeks. No floats anywhere; both engines decode
+    // the same hex so the kept set hash-matches exactly.
+    "q239_recency_sample" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      val mx = ev.agg(max(to_date(col("ts"))).as("mx"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("age_d",
+          datediff(col("mx"), to_date(col("ts"))).cast("long"))
+        .withColumn("u", expr(
+          "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 6), 16, 10) AS BIGINT)"))
+        .filter(col("u") <
+          expr("shiftright(16777216L, CAST(age_d div 7 AS INT))"))
+        .select(col("event_id"), col("age_d"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q239_recency_sample" ->
+      """WITH m AS (SELECT max(CAST(ts AS DATE)) AS mx FROM events),
+         b AS (
+           SELECT event_id,
+                  date_diff('day', CAST(ts AS DATE), mx)::BIGINT AS age_d
+           FROM events, m)
+         SELECT event_id, age_d
+         FROM b
+         WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 6))::BIGINT
+               < (16777216 >> (age_d // 7))""",
     "q232_next_event_pairs" ->
       """WITH x AS (
            SELECT user_id, event_id, ts, event_type,

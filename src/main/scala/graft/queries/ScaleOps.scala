@@ -578,6 +578,40 @@ object ScaleOps {
             dec(col("tot_a")) * dec(col("tot_b"))).as("drifted"))
     }),
 
+    // Zone-map CONSULT (q125 builds the index; this USES it): a
+    // (partkey, suppkey) box query first prunes to the zones whose
+    // per-dimension min/max intersect the box — a metadata-sized
+    // decision — then scans and exact-filters only rows in surviving
+    // zones. Skipping a non-overlapping zone cannot lose rows, so
+    // the aggregate oracles as the plain box filter; a require()
+    // proves pruning actually dropped zones (Z-ordering is what
+    // makes the zones narrow on BOTH dims — the locality q125's
+    // spec quantifies). At 100 TB the zone map is the manifest an
+    // Iceberg/Delta reader consults before touching data files.
+    "q238_zonemap_consult" -> ((s, d) => {
+      val (pLo, pHi, sLo, sHi) = (100L, 300L, 20L, 60L)
+      val rows = Tables(s, d).lineitem
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+          ZOrder.morton16(col("l_partkey"), col("l_suppkey")).as("z"))
+        .withColumn("zone", expr("z div 65536"))
+      val zones = rows.groupBy("zone")
+        .agg(min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+          min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
+        .localCheckpoint()
+      val hit = zones.filter(
+        col("max_part") >= pLo && col("min_part") <= pHi &&
+          col("max_supp") >= sLo && col("min_supp") <= sHi)
+      val nZones = zones.count()
+      val nHit = hit.count()
+      require(nHit < nZones,
+        s"zone map pruned nothing ($nHit/$nZones) — index degenerate")
+      rows.join(broadcast(hit.select(col("zone"))), "zone")
+        .filter(col("l_partkey").between(pLo, pHi) &&
+          col("l_suppkey").between(sLo, sHi))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+    }),
+
     // GROUPED exact interpolated quantiles — the family completer
     // (q121 global exact, q175 approx, q218 discrete): per-type
     // q25/q50/q75 by the same (n−1)·p+1 bracket interpolation
@@ -877,6 +911,13 @@ object ScaleOps {
          SELECT table_name, rows_before, rows_purged,
                 (rows_before - rows_purged)::BIGINT AS rows_after
          FROM (SELECT * FROM ev UNION ALL SELECT * FROM od)""",
+    "q238_zonemap_consult" ->
+      """SELECT l_suppkey, count(*)::BIGINT AS n,
+                sum(l_quantity) AS qty
+         FROM lineitem
+         WHERE l_partkey BETWEEN 100 AND 300
+           AND l_suppkey BETWEEN 20 AND 60
+         GROUP BY 1""",
     "q231_grouped_quantiles" ->
       """WITH b AS (
            SELECT event_type, round(value * 100, 0)::BIGINT AS cents
