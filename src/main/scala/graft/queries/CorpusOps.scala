@@ -435,10 +435,50 @@ object CorpusOps {
         .filter(col("u") <
           expr("shiftright(16777216L, CAST(age_d div 7 AS INT))"))
         .select(col("event_id"), col("age_d"))
+    }),
+
+    // The corpus RELEASE run, end to end in one dataflow: quality
+    // gate (C4-lite: token floor + language) → exact dedup keeping
+    // the min-id representative → per-source release accounting
+    // (surviving docs, token mass, duplicates removed). Each stage
+    // is an operator proven elsewhere (q134 / q32 / q122); this row
+    // set is the composed artifact a release manifest records, and
+    // the oracle replays the full chain relationally — so the
+    // COMPOSITION is gated, not just the parts.
+    "q240_release_pipeline" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val toks = split(col("text"), " ")
+      val filtered = docs.filter(size(toks) >= 30 && col("lang") === "en")
+      val kept = filtered
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      kept
+        .join(docs.select(col("doc_id"), col("source"),
+          size(toks).cast("long").as("nt")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("n_tokens"),
+          sum(col("n_copies") - 1).as("dups_removed"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q240_release_pipeline" ->
+      """WITH f AS (
+           SELECT * FROM documents
+           WHERE len(string_split(text, ' ')) >= 30 AND lang = 'en'),
+         k AS (
+           SELECT md5(text) AS fp, min(doc_id) AS doc_id,
+                  count(*) AS n_copies
+           FROM f GROUP BY 1),
+         e AS (
+           SELECT k.doc_id, k.n_copies, d.source,
+                  len(string_split(d.text, ' '))::BIGINT AS nt
+           FROM k JOIN documents d USING (doc_id))
+         SELECT source, count(*)::BIGINT AS n_docs,
+                sum(nt)::BIGINT AS n_tokens,
+                sum(n_copies - 1)::BIGINT AS dups_removed
+         FROM e GROUP BY 1""",
     "q239_recency_sample" ->
       """WITH m AS (SELECT max(CAST(ts AS DATE)) AS mx FROM events),
          b AS (
