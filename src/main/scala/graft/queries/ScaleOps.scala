@@ -589,11 +589,18 @@ object ScaleOps {
     // spec quantifies). At 100 TB the zone map is the manifest an
     // Iceberg/Delta reader consults before touching data files.
     "q238_zonemap_consult" -> ((s, d) => {
-      val (pLo, pHi, sLo, sHi) = (100L, 300L, 20L, 60L)
-      val rows = Tables(s, d).lineitem
+      // box chosen to be non-empty at every sf (key spaces scale
+      // with sf: partkey 0..200·sf·1000, suppkey 0..10·sf·1000)
+      val (pLo, pHi, sLo, sHi) = (10L, 120L, 1L, 6L)
+      val pre = Tables(s, d).lineitem
         .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
           ZOrder.morton16(col("l_partkey"), col("l_suppkey")).as("z"))
-        .withColumn("zone", expr("z div 65536"))
+      // fixed zone COUNT (64), not fixed zone width: the morton key
+      // space grows with the sf's key ranges, and a layout pins the
+      // number of zones (files/manifest entries), not their span
+      val zMax = pre.agg(max(col("z"))).collect()(0).getLong(0)
+      val zoneSize = math.max(1L, zMax / 64 + 1)
+      val rows = pre.withColumn("zone", expr(s"z div $zoneSize"))
       val zones = rows.groupBy("zone")
         .agg(min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
           min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
@@ -915,8 +922,8 @@ object ScaleOps {
       """SELECT l_suppkey, count(*)::BIGINT AS n,
                 sum(l_quantity) AS qty
          FROM lineitem
-         WHERE l_partkey BETWEEN 100 AND 300
-           AND l_suppkey BETWEEN 20 AND 60
+         WHERE l_partkey BETWEEN 10 AND 120
+           AND l_suppkey BETWEEN 1 AND 6
          GROUP BY 1""",
     "q231_grouped_quantiles" ->
       """WITH b AS (
