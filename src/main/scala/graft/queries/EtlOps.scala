@@ -648,6 +648,47 @@ object EtlOps {
             .as("share_of_type"))
     }),
 
+    // RFM customer segmentation: recency / frequency / monetary
+    // buckets with fixed integer thresholds (no floats — cents and
+    // day counts), rolled up to segment sizes — the classic
+    // lifecycle-marketing cube. One aggregate per customer, one tiny
+    // rollup; the global max date broadcasts as a 1-row frame.
+    "q241_rfm_segments" -> ((s, d) => {
+      val o = Tables(s, d).orders
+      val mx = o.agg(max(to_date(col("o_orderdate"))).as("mx"))
+      o.groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+          count(lit(1)).as("f"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+        .crossJoin(broadcast(mx))
+        .withColumn("r_days", datediff(col("mx"), col("last_d")).cast("long"))
+        .withColumn("r_b",
+          when(col("r_days") <= 30, 1L).when(col("r_days") <= 90, 2L)
+            .otherwise(3L))
+        .withColumn("f_b",
+          when(col("f") >= 15, 1L).when(col("f") >= 8, 2L).otherwise(3L))
+        .withColumn("m_b",
+          when(col("cents") >= 200000000L, 1L)
+            .when(col("cents") >= 100000000L, 2L).otherwise(3L))
+        .groupBy(col("r_b"), col("f_b"), col("m_b"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("cents"))
+    }),
+
+    // Revenue waterfall (the TPC-H pricing decomposition as a
+    // report): per ship month, gross → discount → net, entirely in
+    // DECIMAL with the data's exact scales (price 2dp × discount 2dp
+    // → 4dp) — base-10 exact, no float accumulation anywhere.
+    "q242_revenue_waterfall" -> ((s, d) => {
+      val price = col("l_extendedprice").cast("decimal(12,2)")
+      val disc = col("l_discount").cast("decimal(4,2)")
+      Tables(s, d).lineitem
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+        .agg(sum(price).cast("decimal(38,2)").as("gross"),
+          sum(price * disc).cast("decimal(38,4)").as("discount_amt"),
+          sum(price * (lit(1).cast("decimal(3,0)") - disc))
+            .cast("decimal(38,4)").as("net"))
+    }),
+
     // k-anonymity audit (the release-side privacy gate after q76's
     // redaction and q112's pseudonymization): quasi-identifier cells
     // (coarse user bucket × day) smaller than k = 5 are flagged for
@@ -748,6 +789,35 @@ object EtlOps {
   }.mkString(",\n         ")
 
   def oracleSql: Map[String, String] = Map(
+    "q241_rfm_segments" ->
+      """WITH m AS (SELECT max(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+         per AS (
+           SELECT o_custkey,
+                  max(CAST(o_orderdate AS DATE)) AS last_d,
+                  count(*)::BIGINT AS f,
+                  sum(round(o_totalprice * 100, 0)::BIGINT)::BIGINT AS cents
+           FROM orders GROUP BY 1),
+         b AS (
+           SELECT date_diff('day', last_d, mx) AS r_days, f, cents
+           FROM per, m)
+         SELECT (CASE WHEN r_days <= 30 THEN 1 WHEN r_days <= 90 THEN 2
+                      ELSE 3 END)::BIGINT AS r_b,
+                (CASE WHEN f >= 15 THEN 1 WHEN f >= 8 THEN 2
+                      ELSE 3 END)::BIGINT AS f_b,
+                (CASE WHEN cents >= 200000000 THEN 1
+                      WHEN cents >= 100000000 THEN 2
+                      ELSE 3 END)::BIGINT AS m_b,
+                count(*)::BIGINT AS n_customers,
+                sum(cents)::BIGINT AS cents
+         FROM b GROUP BY 1, 2, 3""",
+    "q242_revenue_waterfall" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS month,
+                sum(l_extendedprice::DECIMAL(12,2))::DECIMAL(38,2) AS gross,
+                sum(l_extendedprice::DECIMAL(12,2) * l_discount::DECIMAL(4,2))
+                  ::DECIMAL(38,4) AS discount_amt,
+                sum(l_extendedprice::DECIMAL(12,2)
+                    * (1 - l_discount::DECIMAL(4,2)))::DECIMAL(38,4) AS net
+         FROM lineitem GROUP BY 1""",
     "q237_k_anonymity" ->
       """SELECT user_id // 10 AS user_bucket,
                 strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
