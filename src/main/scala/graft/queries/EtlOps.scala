@@ -648,6 +648,58 @@ object EtlOps {
             .as("share_of_type"))
     }),
 
+    // Association metrics over the session baskets (q133 emits raw
+    // pair counts; this adds the DECISION numbers): support,
+    // confidence and lift per type pair from session-grain
+    // containment counts — lift as a single division of exact
+    // integer products (q124's discipline), so the doubles
+    // hash-match. All joins are broadcast-sized (|types| rows).
+    "q243_basket_lift" -> ((s, d) => {
+      val st = withSessionIds(Tables(s, d).events)
+        .select(col("user_id"), col("sid"), col("event_type")).distinct()
+      val singles = st.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_single"))
+      val total = st.select(col("user_id"), col("sid")).distinct()
+        .agg(count(lit(1)).as("n_sessions"))
+      val a = st.select(col("user_id"), col("sid"),
+        col("event_type").as("type_a"))
+      val b = st.select(col("user_id"), col("sid"),
+        col("event_type").as("type_b"))
+      a.join(b, Seq("user_id", "sid"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .join(broadcast(singles.select(col("event_type").as("type_a"),
+          col("n_single").as("n_a"))), "type_a")
+        .join(broadcast(singles.select(col("event_type").as("type_b"),
+          col("n_single").as("n_b"))), "type_b")
+        .crossJoin(broadcast(total))
+        .select(col("type_a"), col("type_b"), col("n_ab"),
+          (col("n_ab").cast("double") / col("n_sessions").cast("double"))
+            .as("support"),
+          (col("n_ab").cast("double") / col("n_a").cast("double"))
+            .as("confidence"),
+          ((col("n_ab") * col("n_sessions")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double")).as("lift"))
+    }),
+
+    // Weekly cohort retention matrix (q85 is the daily form): users
+    // bucketed by first-seen ISO week, activity counted per
+    // (cohort, week offset) — the canonical retention triangle.
+    // (user, week)-distinct is the only corpus-sized shuffle.
+    "q244_weekly_cohorts" -> ((s, d) => {
+      val uw = Tables(s, d).events
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk")).distinct()
+      val first = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+      uw.join(first, "user_id")
+        .withColumn("offset", expr("datediff(wk, cw) div 7").cast("long"))
+        .groupBy(col("cw"), col("offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+          col("offset"), col("n_users"))
+    }),
+
     // RFM customer segmentation: recency / frequency / monetary
     // buckets with fixed integer thresholds (no floats — cents and
     // day counts), rolled up to segment sizes — the classic
@@ -789,6 +841,54 @@ object EtlOps {
   }.mkString(",\n         ")
 
   def oracleSql: Map[String, String] = Map(
+    "q243_basket_lift" ->
+      """WITH x AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu,
+                  lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         f AS (
+           SELECT user_id, event_type, tsu, event_id,
+                  CASE WHEN prev IS NULL OR tsu - prev > 1800000000
+                       THEN 1 ELSE 0 END AS new_s
+           FROM x),
+         s0 AS (
+           SELECT user_id, event_type,
+                  sum(new_s) OVER (PARTITION BY user_id
+                    ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING)::BIGINT AS sid
+           FROM f),
+         st AS (SELECT DISTINCT user_id, sid, event_type FROM s0),
+         singles AS (
+           SELECT event_type, count(*)::BIGINT AS n_single
+           FROM st GROUP BY 1),
+         tot AS (
+           SELECT count(*)::BIGINT AS n_sessions
+           FROM (SELECT DISTINCT user_id, sid FROM st)),
+         prs AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  count(*)::BIGINT AS n_ab
+           FROM st a JOIN st b
+             ON a.user_id = b.user_id AND a.sid = b.sid
+            AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+         SELECT p.type_a, p.type_b, p.n_ab,
+                p.n_ab * 1.0 / t.n_sessions AS support,
+                p.n_ab * 1.0 / sa.n_single AS confidence,
+                (p.n_ab * t.n_sessions) * 1.0
+                  / (sa.n_single * sb.n_single) AS lift
+         FROM prs p
+         JOIN singles sa ON sa.event_type = p.type_a
+         JOIN singles sb ON sb.event_type = p.type_b, tot t""",
+    "q244_weekly_cohorts" ->
+      """WITH uw AS (
+           SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS wk
+           FROM events),
+         fst AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY 1)
+         SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+                (date_diff('day', cw, wk) // 7)::BIGINT AS "offset",
+                count(DISTINCT u.user_id)::BIGINT AS n_users
+         FROM uw u JOIN fst USING (user_id)
+         GROUP BY 1, 2""",
     "q241_rfm_segments" ->
       """WITH m AS (SELECT max(CAST(o_orderdate AS DATE)) AS mx FROM orders),
          per AS (
