@@ -254,15 +254,18 @@ object EtlOps {
     // BEFORE any arithmetic, so products and sums are exact base-10
     // — no float accumulation order, no round(x, k) discipline
     // needed. The contrast operator to the double+round recipes:
-    // this is how a financial pipeline sums revenue.
+    // this is how a financial pipeline sums revenue. The wide-decimal
+    // sums are EMITTED AS STRING (fixed scale, both engines render
+    // identical digits) — DECIMAL(38,x) has no hash-stable native
+    // representation across engines (pandas coerces it to float64).
     "q142_decimal_agg" -> ((s, d) => {
       val p = col("l_extendedprice").cast("decimal(12,2)")
       val disc = col("l_discount").cast("decimal(4,2)")
       Tables(s, d).lineitem
         .select(col("l_returnflag"), p.as("p"), (p * (lit(1) - disc)).as("rev"))
         .groupBy(col("l_returnflag"))
-        .agg(sum(col("p")).cast("decimal(38,2)").as("sum_price"),
-          sum(col("rev")).cast("decimal(38,4)").as("sum_rev"),
+        .agg(sum(col("p")).cast("decimal(38,2)").cast("string").as("sum_price"),
+          sum(col("rev")).cast("decimal(38,4)").cast("string").as("sum_rev"),
           count(lit(1)).as("n"))
     }),
 
@@ -499,6 +502,9 @@ object EtlOps {
         .filter(col("seq").rlike("click.*purchase"))
     }),
 
+    // Moment sums emitted AS STRING: DECIMAL(38,x) is exact inside
+    // both engines but has no hash-stable wire form (pandas/driver
+    // coerces wide decimals to float64) — fixed-scale string is.
     "q173_exact_moments" -> ((s, d) => {
       val x = col("value").cast("decimal(12,2)")
       Tables(s, d).events
@@ -509,9 +515,11 @@ object EtlOps {
           expr("day_us div 1000000").cast("decimal(10,0)").as("y"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("x")).cast("decimal(38,2)").as("sum_x"),
-          sum(col("x") * col("x")).cast("decimal(38,4)").as("sum_x2"),
-          sum(col("x") * col("y")).cast("decimal(38,2)").as("sum_xy"))
+          sum(col("x")).cast("decimal(38,2)").cast("string").as("sum_x"),
+          sum(col("x") * col("x")).cast("decimal(38,4)").cast("string")
+            .as("sum_x2"),
+          sum(col("x") * col("y")).cast("decimal(38,2)").cast("string")
+            .as("sum_xy"))
     }),
 
     // Incremental aggregate maintenance (additive IVM): a
@@ -559,12 +567,14 @@ object EtlOps {
           sum(col("x") * col("x")).cast("decimal(18,0)").as("sxx"),
           sum(col("x") * col("y")).cast("decimal(18,0)").as("sxy"))
         .select(col("event_type"),
+          // icept_num reaches ~1.27e19 — past int64 AND float64 exact
+          // range, so STRING is the only hash-stable emission.
           (col("n") * col("sxy") - col("sx") * col("sy"))
-            .cast("decimal(38,0)").as("slope_num"),
+            .cast("decimal(38,0)").cast("string").as("slope_num"),
           (col("n") * col("sxx") - col("sx") * col("sx"))
-            .cast("decimal(38,0)").as("slope_den"),
+            .cast("decimal(38,0)").cast("string").as("slope_den"),
           (col("sy") * col("sxx") - col("sx") * col("sxy"))
-            .cast("decimal(38,0)").as("icept_num"))
+            .cast("decimal(38,0)").cast("string").as("icept_num"))
     }),
 
     // Forward as-of join (earliest-later): each click matched to the
@@ -735,10 +745,12 @@ object EtlOps {
       val disc = col("l_discount").cast("decimal(4,2)")
       Tables(s, d).lineitem
         .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
-        .agg(sum(price).cast("decimal(38,2)").as("gross"),
-          sum(price * disc).cast("decimal(38,4)").as("discount_amt"),
+        // STRING emission: wide decimals have no hash-stable wire form.
+        .agg(sum(price).cast("decimal(38,2)").cast("string").as("gross"),
+          sum(price * disc).cast("decimal(38,4)").cast("string")
+            .as("discount_amt"),
           sum(price * (lit(1).cast("decimal(3,0)") - disc))
-            .cast("decimal(38,4)").as("net"))
+            .cast("decimal(38,4)").cast("string").as("net"))
     }),
 
     // k-anonymity audit (the release-side privacy gate after q76's
@@ -912,11 +924,13 @@ object EtlOps {
          FROM b GROUP BY 1, 2, 3""",
     "q242_revenue_waterfall" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS month,
-                sum(l_extendedprice::DECIMAL(12,2))::DECIMAL(38,2) AS gross,
+                sum(l_extendedprice::DECIMAL(12,2))::DECIMAL(38,2)::VARCHAR
+                  AS gross,
                 sum(l_extendedprice::DECIMAL(12,2) * l_discount::DECIMAL(4,2))
-                  ::DECIMAL(38,4) AS discount_amt,
+                  ::DECIMAL(38,4)::VARCHAR AS discount_amt,
                 sum(l_extendedprice::DECIMAL(12,2)
-                    * (1 - l_discount::DECIMAL(4,2)))::DECIMAL(38,4) AS net
+                    * (1 - l_discount::DECIMAL(4,2)))::DECIMAL(38,4)::VARCHAR
+                  AS net
          FROM lineitem GROUP BY 1""",
     "q237_k_anonymity" ->
       """SELECT user_id // 10 AS user_bucket,
@@ -991,9 +1005,9 @@ object EtlOps {
                   sum(x * y)::DECIMAL(38,0) AS sxy
            FROM b GROUP BY 1)
          SELECT event_type,
-                (n * sxy - sx * sy)::DECIMAL(38,0) AS slope_num,
-                (n * sxx - sx * sx)::DECIMAL(38,0) AS slope_den,
-                (sy * sxx - sx * sxy)::DECIMAL(38,0) AS icept_num
+                (n * sxy - sx * sy)::DECIMAL(38,0)::VARCHAR AS slope_num,
+                (n * sxx - sx * sx)::DECIMAL(38,0)::VARCHAR AS slope_den,
+                (sy * sxx - sx * sxy)::DECIMAL(38,0)::VARCHAR AS icept_num
          FROM m""",
     "q204_asof_forward" ->
       """WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cts
@@ -1177,15 +1191,17 @@ object EtlOps {
                    // 1000000)::DECIMAL(10,0) AS y
            FROM events)
          SELECT event_type, count(*) AS n,
-                sum(x)::DECIMAL(38,2) AS sum_x,
-                sum(x * x)::DECIMAL(38,4) AS sum_x2,
-                sum(x * y)::DECIMAL(38,2) AS sum_xy
+                sum(x)::DECIMAL(38,2)::VARCHAR AS sum_x,
+                sum(x * x)::DECIMAL(38,4)::VARCHAR AS sum_x2,
+                sum(x * y)::DECIMAL(38,2)::VARCHAR AS sum_xy
          FROM b GROUP BY 1""",
     "q142_decimal_agg" ->
       """SELECT l_returnflag,
-                sum(l_extendedprice::DECIMAL(12,2))::DECIMAL(38,2) AS sum_price,
+                sum(l_extendedprice::DECIMAL(12,2))::DECIMAL(38,2)::VARCHAR
+                  AS sum_price,
                 sum(l_extendedprice::DECIMAL(12,2)
-                    * (1 - l_discount::DECIMAL(4,2)))::DECIMAL(38,4) AS sum_rev,
+                    * (1 - l_discount::DECIMAL(4,2)))::DECIMAL(38,4)::VARCHAR
+                  AS sum_rev,
                 count(*) AS n
          FROM lineitem GROUP BY 1""",
     "q155_observe" ->

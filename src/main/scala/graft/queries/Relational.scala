@@ -929,6 +929,16 @@ object Relational {
     // unambiguous (a double ORDER BY with integral bounds is an
     // analysis error anyway); value-based frames are tie-safe by
     // construction.
+    //
+    // SCALE NOTE: the partition key o_orderpriority has only 5
+    // distinct values, so each window partition is |orders|/5 rows in
+    // ONE task — fine at test scale, a straggler at 100 TB. The
+    // scale-honest rewrite is q238's banded shape: key by
+    // (priority, cents div 100000) buckets, fan each row to its own
+    // + 2 adjacent buckets, aggregate per band — turning the
+    // monolithic RANGE frame into an equi-join-shaped plan that
+    // partitions by (priority, bucket). Kept as the frame form here
+    // because the operator under test IS the RANGE frame.
     "q208_value_range_frame" -> ((s, d) => {
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("cents"))
@@ -937,7 +947,9 @@ object Relational {
         .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
         .select(col("o_orderkey"), col("o_orderpriority"), col("cents"),
           count(lit(1)).over(w).as("n_peers"),
-          sum(col("cents")).over(w).as("band_cents"))
+          // explicit long: the oracle's windowed sum(BIGINT) is
+          // HUGEINT in DuckDB and must be ::BIGINT there too.
+          sum(col("cents")).over(w).cast("long").as("band_cents"))
     }),
 
     // Aggregate FILTER clause (SQL:2003): per-aggregate predicates
@@ -1047,7 +1059,7 @@ object Relational {
            FROM orders)
          SELECT o_orderkey, o_orderpriority, cents,
                 count(*) OVER w AS n_peers,
-                sum(cents) OVER w AS band_cents
+                (sum(cents) OVER w)::BIGINT AS band_cents
          FROM b
          WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents
            RANGE BETWEEN 100000 PRECEDING AND 100000 FOLLOWING)""",

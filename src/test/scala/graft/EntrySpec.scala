@@ -29,6 +29,8 @@ class EntrySpec extends AnyFunSuite {
 
   test("rows-only queries are exactly the approximate / non-SQL-expressible ops") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // keep this count in sync with CLAUDE.md's inventory note
+    assert(rowsOnly.size == 17, s"rows-only count drifted: ${rowsOnly.size}")
     assert(rowsOnly == Set("q36_minhash_lsh", "q37_simhash",
       "q38_ngram_jaccard", "q42_ann_lsh", "q43_winnow_fp", "q44_ann_ivf",
       "q48_source_signatures", "q59_corpus_clean",
@@ -69,9 +71,24 @@ class EntrySpec extends AnyFunSuite {
     val mayBeEmpty = Set("q17_anti_join", "q55_except", "q159_except_all")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
-        val n = fn(spark, "/root/testdata/sf0.001").count()
-        if (n > 0 || mayBeEmpty(name)) None else Some(s"$name: empty")
-      } catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+        val df = fn(spark, "/root/testdata/sf0.001")
+        val n = df.count()
+        // Hash-stability gate (r5 lesson — q142/q173/q203/q208/q242):
+        // an oracled query may not emit DecimalType wider than
+        // precision 18. DuckDB's fetchdf coerces wide DECIMAL (and
+        // windowed-sum HUGEINT) to float64, so the driver's canonical
+        // cell strings can never match Spark's exact Decimal — such
+        // columns must be emitted as STRING (or rescaled into int64).
+        val wideDec =
+          if (!SparkEntry.oracleSql.contains(name)) Nil
+          else df.schema.fields.collect {
+            case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]
+              && f.dataType.asInstanceOf[org.apache.spark.sql.types.DecimalType].precision > 18 =>
+              s"$name.${f.name}: ${f.dataType.simpleString} is hash-unstable (emit STRING)"
+          }
+        val empty = if (n > 0 || mayBeEmpty(name)) Nil else Seq(s"$name: empty")
+        wideDec ++ empty
+      } catch { case e: Throwable => Seq(s"$name: ${e.getMessage}") }
     }
     assert(failures.isEmpty, failures.mkString("; "))
   }

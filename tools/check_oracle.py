@@ -3,11 +3,24 @@
 
 Mimics the driver's gate: for each query dir in OUT_DIR, run the
 corresponding oracle SQL in DuckDB over the sf tables, sort columns
-by name, sort rows, and compare cell values (floats to ~1e-9 rel).
+by name, sort rows, and compare cell values.
+
+Comparison discipline (matches the driver's canonical-string hash):
+- float64 vs float64: tolerated to ~1e-9 rel (driver is exact; the
+  repo's float discipline keeps those bitwise anyway).
+- float vs non-float (Decimal, int): HARD FAIL. This is exactly the
+  class the driver red-flags — DuckDB DECIMAL / HUGEINT surfaces as
+  float64 through fetchdf while Spark's parquet keeps Decimal/int64,
+  so the canonical cell strings can never match. (r5 lesson: q142/
+  q173/q203/q208/q242.)
+- everything else: exact STRING-representation equality — value-equal
+  but differently-rendered cells (Decimal('1.20') vs 1.2) are the
+  driver's hash mismatch, so they are ours too.
 
 Usage: python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/verify_out
 """
 import sys, os, json, math
+import numpy as np
 import duckdb
 import pyarrow.parquet as pq
 import pandas as pd
@@ -25,16 +38,23 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
+def _is_float(x):
+    return isinstance(x, (float, np.floating))
+
 def cells_equal(a, b):
     if a is None and b is None: return True
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return str(a) == str(b)
-        if math.isnan(fa) and math.isnan(fb): return True
-        return fa == fb or abs(fa-fb) <= 1e-9*max(abs(fa),abs(fb),1.0)
-    return a == b
+    fa, fb = _is_float(a), _is_float(b)
+    if fa and fb:
+        if math.isnan(a) and math.isnan(b): return True
+        return a == b or abs(a-b) <= 1e-9*max(abs(a),abs(b),1.0)
+    if fa != fb:
+        # NaN-vs-None is the nullable-column pandas artifact, equal;
+        # any OTHER float/non-float pairing is a hash-unstable output
+        # type (DECIMAL>18 digits or HUGEINT on one side) — hard fail.
+        f = a if fa else b
+        o = b if fa else a
+        return o is None and math.isnan(f)
+    return str(a) == str(b)
 
 n_pass = n_fail = n_skip = 0
 for name in sorted(os.listdir(out_dir)):
