@@ -36,17 +36,23 @@ case class DeflateLen(child: Expression)
 }
 
 object DeflateLen {
+  // one native zlib handle + scratch buffer per executor thread,
+  // reset() between rows — constructing/end()ing a Deflater per row
+  // makes native handle churn dominate short-string workloads
+  private val local =
+    ThreadLocal.withInitial[(java.util.zip.Deflater, Array[Byte])](() =>
+      (new java.util.zip.Deflater(
+        java.util.zip.Deflater.BEST_COMPRESSION, /* nowrap = */ true),
+        new Array[Byte](8192)))
+
   def compressedLength(s: UTF8String): Long = {
     val bytes = s.getBytes
-    val d = new java.util.zip.Deflater(
-      java.util.zip.Deflater.BEST_COMPRESSION, /* nowrap = */ true)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val (d, buf) = local.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 }

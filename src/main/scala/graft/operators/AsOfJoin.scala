@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
   *
   * Right-side (key, ts) duplicates are collapsed to the max payload
   * struct first, so results are deterministic.
+  *
+  * Null contract (both directions): a left row with a NULL key or
+  * NULL timestamp can never satisfy an as-of predicate (SQL equality
+  * and ordering are both null-rejecting), so it surfaces in the
+  * output UNMATCHED (right value columns null) — it is never dropped
+  * and never allowed into the window walk, where null ordering
+  * (nulls-last under a descending sort) would hand it an arbitrary
+  * match. Null-key/ts right rows are filtered for the same reason.
   */
 object AsOfJoin {
 
@@ -29,39 +37,9 @@ object AsOfJoin {
       leftTs: Column,
       rightKey: Column,
       rightTs: Column,
-      rightValueCols: Seq[String]): DataFrame = {
-
-    val leftCols = left.columns.toSeq
-    val leftStructType = org.apache.spark.sql.types.StructType(
-      leftCols.map(c => left.schema(c)))
-    val rightVals = struct(rightValueCols.map(col): _*)
-
-    val r = right
-      // a null right timestamp can never satisfy ts >= rightTs, but
-      // it would sort nulls-first and poison the carry-forward
-      .filter(rightTs.isNotNull)
-      .groupBy(rightKey.as("__k"), rightTs.as("__t"))
-      .agg(max(rightVals).as("__v"))
-      .withColumn("__side", lit(0))
-      .withColumn("__l", lit(null).cast(leftStructType))
-
-    val l = left.select(
-      leftKey.as("__k"), leftTs.as("__t"),
-      lit(1).as("__side"),
-      struct(leftCols.map(col): _*).as("__l"),
-      lit(null).cast(r.schema("__v").dataType).as("__v"))
-
-    val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    r.select("__k", "__t", "__side", "__l", "__v")
-      .unionByName(l)
-      .withColumn("__m", last(col("__v"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
-        rightValueCols.map(c => col(s"__m.$c").as(c)): _*)
-  }
+      rightValueCols: Seq[String]): DataFrame =
+    impl(left, right, leftKey, leftTs, rightKey, rightTs, rightValueCols,
+      forward = false)
 
   /** Forward as-of join (earliest-later match): each left row picks
     * the right row with the SMALLEST `rightTs >= leftTs` for the
@@ -80,7 +58,19 @@ object AsOfJoin {
       leftTs: Column,
       rightKey: Column,
       rightTs: Column,
-      rightValueCols: Seq[String]): DataFrame = {
+      rightValueCols: Seq[String]): DataFrame =
+    impl(left, right, leftKey, leftTs, rightKey, rightTs, rightValueCols,
+      forward = true)
+
+  private def impl(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: Column,
+      leftTs: Column,
+      rightKey: Column,
+      rightTs: Column,
+      rightValueCols: Seq[String],
+      forward: Boolean): DataFrame = {
 
     val leftCols = left.columns.toSeq
     val leftStructType = org.apache.spark.sql.types.StructType(
@@ -88,9 +78,11 @@ object AsOfJoin {
     val rightVals = struct(rightValueCols.map(col): _*)
 
     val r = right
-      .filter(rightTs.isNotNull)
+      // null right ts/key can never match, and a null ts would sort
+      // into the timeline and poison the carry-forward
+      .filter(rightTs.isNotNull && rightKey.isNotNull)
       .groupBy(rightKey.as("__k"), rightTs.as("__t"))
-      .agg(min(rightVals).as("__v"))
+      .agg((if (forward) min(rightVals) else max(rightVals)).as("__v"))
       .withColumn("__side", lit(0))
       .withColumn("__l", lit(null).cast(leftStructType))
 
@@ -99,15 +91,21 @@ object AsOfJoin {
       lit(1).as("__side"),
       struct(leftCols.map(col): _*).as("__l"),
       lit(null).cast(r.schema("__v").dataType).as("__v"))
+    // null-key/ts left rows bypass the window entirely → unmatched
+    val lValid = l.filter(col("__k").isNotNull && col("__t").isNotNull)
+    val lUnmatched = l.filter(col("__k").isNull || col("__t").isNull)
+      .withColumn("__m", lit(null).cast(r.schema("__v").dataType))
 
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").desc, col("__side"))
+      .orderBy(if (forward) col("__t").desc else col("__t").asc,
+        col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     r.select("__k", "__t", "__side", "__l", "__v")
-      .unionByName(l)
+      .unionByName(lValid)
       .withColumn("__m", last(col("__v"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+      .unionByName(lUnmatched)
       .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
         rightValueCols.map(c => col(s"__m.$c").as(c)): _*)
   }

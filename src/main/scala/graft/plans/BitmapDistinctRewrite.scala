@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, BitmapBitPosition, BitmapBucketNumber, BitmapConstructAgg, BitmapCount, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, BitmapBitPosition, BitmapBucketNumber, BitmapConstructAgg, BitmapCount, Coalesce, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -102,10 +102,16 @@ object BitmapDistinctRewrite extends Rule[LogicalPlan] {
           (groupAttrs: Seq[NamedExpression]) ++ Seq(bucketAlias, bmAlias),
           agg.child)
 
+        // coalesce to 0: count(DISTINCT) over empty input is 0 (and
+        // non-nullable), but Sum over the zero inner rows of a
+        // global (no-GROUP-BY) aggregate is NULL — without this the
+        // rewrite silently changes an empty-input answer.
         val total = Alias(
-          AggregateExpression(
-            Sum(BitmapCount(bmAlias.toAttribute).replacement),
-            Complete, isDistinct = false),
+          Coalesce(Seq(
+            AggregateExpression(
+              Sum(BitmapCount(bmAlias.toAttribute).replacement),
+              Complete, isDistinct = false),
+            Literal(0L))),
           cntAlias.name)(exprId = cntAlias.exprId)
         val outer = agg.aggregateExpressions.map {
           case Alias(ae: AggregateExpression, _) if ae.isDistinct => total

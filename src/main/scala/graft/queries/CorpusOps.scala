@@ -432,8 +432,12 @@ object CorpusOps {
           datediff(col("mx"), to_date(col("ts"))).cast("long"))
         .withColumn("u", expr(
           "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 6), 16, 10) AS BIGINT)"))
-        .filter(col("u") <
-          expr("shiftright(16777216L, CAST(age_d div 7 AS INT))"))
+        // clamp the shift: Spark/Java shift semantics are mod-64, so
+        // age >= 448 days (shift >= 64) would WRAP back to a full
+        // keep-threshold while SQL `>>` engines yield 0 — past 24
+        // weeks the threshold is 0 anyway, pin it there explicitly
+        .filter(col("u") < when(expr("age_d div 7") >= 24, lit(0L))
+          .otherwise(expr("shiftright(16777216L, CAST(age_d div 7 AS INT))")))
         .select(col("event_id"), col("age_d"))
     }),
 
@@ -488,7 +492,8 @@ object CorpusOps {
          SELECT event_id, age_d
          FROM b
          WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 6))::BIGINT
-               < (16777216 >> (age_d // 7))""",
+               < (CASE WHEN age_d // 7 >= 24 THEN 0
+                       ELSE 16777216 >> (age_d // 7) END)""",
     "q232_next_event_pairs" ->
       """WITH x AS (
            SELECT user_id, event_id, ts, event_type,

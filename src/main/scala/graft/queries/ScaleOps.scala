@@ -565,8 +565,12 @@ object ScaleOps {
             .reduce(_ + _) + 1).cast("long"))
       val ca = bucketed(wa).groupBy("bucket").agg(count(lit(1)).as("na"))
       val cb = bucketed(wb).groupBy("bucket").agg(count(lit(1)).as("nb"))
-      val joined = ca.join(cb, Seq("bucket"), "left")
-        .select(col("bucket"), col("na"),
+      // FULL outer: a bucket populated only in the comparison window
+      // (possible when baseline ties collapse decile fences) is
+      // precisely a maximal-drift cell — a left join would silently
+      // drop it from the report and from tot_b
+      val joined = ca.join(cb, Seq("bucket"), "full")
+        .select(col("bucket"), coalesce(col("na"), lit(0L)).as("na"),
           coalesce(col("nb"), lit(0L)).as("nb"))
       val totals = joined.agg(sum(col("na")).as("tot_a"),
         sum(col("nb")).as("tot_b"))
@@ -965,8 +969,9 @@ object ScaleOps {
                 FROM ba GROUP BY 1),
          cb AS (SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS nb
                 FROM bb GROUP BY 1),
-         j AS (SELECT ca.bucket, ca.na, coalesce(cb.nb, 0)::BIGINT AS nb
-               FROM ca LEFT JOIN cb USING (bucket)),
+         j AS (SELECT bucket, coalesce(ca.na, 0)::BIGINT AS na,
+                      coalesce(cb.nb, 0)::BIGINT AS nb
+               FROM ca FULL JOIN cb USING (bucket)),
          t AS (SELECT sum(na) AS tot_a, sum(nb) AS tot_b FROM j)
          SELECT bucket, na, nb,
                 abs(nb::DECIMAL(38,0) * tot_a::DECIMAL(38,0)

@@ -79,9 +79,9 @@ class EntrySpec extends AnyFunSuite {
         // windowed-sum HUGEINT) to float64, so the driver's canonical
         // cell strings can never match Spark's exact Decimal — such
         // columns must be emitted as STRING (or rescaled into int64).
-        val wideDec =
+        val wideDec: Seq[String] =
           if (!SparkEntry.oracleSql.contains(name)) Nil
-          else df.schema.fields.collect {
+          else df.schema.fields.toSeq.collect {
             case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]
               && f.dataType.asInstanceOf[org.apache.spark.sql.types.DecimalType].precision > 18 =>
               s"$name.${f.name}: ${f.dataType.simpleString} is hash-unstable (emit STRING)"

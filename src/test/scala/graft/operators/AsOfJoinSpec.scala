@@ -76,4 +76,35 @@ class AsOfJoinSpec extends AnyFunSuite {
       102L -> Some(10L),  // uid 2's order is later → matches forward
       103L -> Some(8L)))  // boundary: ts == od matches (inclusive)
   }
+
+  test("null left key/ts rows surface unmatched in both directions, never dropped or mismatched") {
+    val left = Seq(
+      (100L, Some(1L), Some("2024-01-05 00:00:00")),
+      (101L, Some(1L), None),          // null ts → unmatched
+      (102L, None, Some("2024-01-05 00:00:00")), // null key → unmatched
+      (103L, None, None))
+      .toDF("event_id", "uid", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val right = Seq(
+      (Some(1L), Some("2024-01-01 00:00:00"), 7L),
+      (Some(1L), Some("2024-01-06 00:00:00"), 8L),
+      (None: Option[Long], Some("2024-01-02 00:00:00"), 66L), // null right key: never a match
+      (Some(1L), None: Option[String], 67L))                  // null right ts: never a match
+      .toDF("uid", "od", "oid")
+      .withColumn("od", col("od").cast("timestamp"))
+
+    for (dir <- Seq("back", "fwd")) {
+      val out = (if (dir == "back")
+        AsOfJoin.latestEarlier(left, right, col("uid"), col("ts"),
+          col("uid"), col("od"), Seq("oid"))
+      else
+        AsOfJoin.earliestLater(left, right, col("uid"), col("ts"),
+          col("uid"), col("od"), Seq("oid")))
+        .collect().map(r => r.getLong(0) ->
+          Option(r.getAs[Any]("oid")).map(_.asInstanceOf[Long])).toMap
+      assert(out.keySet == Set(100L, 101L, 102L, 103L), s"$dir: cardinality")
+      assert(out(100L) == (if (dir == "back") Some(7L) else Some(8L)), s"$dir")
+      assert(out(101L).isEmpty && out(102L).isEmpty && out(103L).isEmpty, s"$dir: $out")
+    }
+  }
 }

@@ -55,6 +55,18 @@ class BitmapDistinctRewriteSpec extends AnyFunSuite {
     s.conf.set(BitmapDistinctRewrite.FLAG, "true")
   }
 
+  test("global aggregate over empty (fully-filtered) input returns 0, not NULL") {
+    val s = rewritingSession()
+    // parquet-backed so the optimizer cannot statically fold the
+    // empty input away before the rewrite fires
+    val agg = graft.Tables(s, "/root/testdata/sf0.001").events
+      .filter(col("user_id") < 0) // matches nothing at runtime
+      .agg(countDistinct(col("user_id")).as("du"))
+    assert(agg.queryExecution.optimizedPlan.toString.contains("bitmap_construct_agg"))
+    val row = agg.collect().head
+    assert(!row.isNullAt(0) && row.getLong(0) == 0L)
+  }
+
   test("ineligible shapes pass through: non-integral column, multiple distincts, filter") {
     val s = rewritingSession()
     import s.implicits._
