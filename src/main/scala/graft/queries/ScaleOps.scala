@@ -158,6 +158,15 @@ object ScaleOps {
     // band filter. Turns an O(n²) inequality join into an equi-join
     // whose candidate count is data-density-bounded. Exact integer
     // cents both sides.
+    //
+    // OUTPUT-CARDINALITY BOUND: the result set itself is quadratic in
+    // per-bucket value density — 5.48 M pairs at sf0.1 (~1.5 M
+    // events over ~10k distinct cents values). That cost is inherent
+    // to the query's SEMANTICS (every qualifying pair is emitted),
+    // not to the plan: the plan's candidate work is within 3× of the
+    // output size. A consumer that only needs per-row band STATS
+    // should aggregate per bucket instead (q208's frame / q238's
+    // banded shapes) rather than materialize pairs.
     "q127_band_join" -> ((s, d) => {
       val delta = 5L
       val ev = Tables(s, d).events.select(col("event_id"),

@@ -39,7 +39,15 @@ object DumpPlans {
     "q204_asof_forward" -> "forward as-of: union + single descending sort per key timeline — same no-explosion shape as the backward join",
     "q206_bitmap_rewrite" -> "optimizer-rule rewrite: a PLAIN count(DISTINCT) query planned into the bitmap two-phase aggregate by BitmapDistinctRewrite",
     "q213_topk_agg" -> "native TopKAgg: bounded min-heap through the ordinary two-phase ObjectHashAggregate — k longs per (group, partition) in the exchange, no window sort",
-    "q216_quota_sample" -> "largest-remainder quotas: allocation math on the broadcast-sized source aggregate; the corpus pass is one md5-ranked window")
+    "q216_quota_sample" -> "largest-remainder quotas: allocation math on the broadcast-sized source aggregate; the corpus pass is one md5-ranked window",
+    // round-5 tail (q229–q244)
+    "q229_drift_report" -> "drift report: decile fences and window totals ride as broadcast 1-row frames; bucket counts are the only shuffles; drift verdicts are DECIMAL cross-multiplications (no division)",
+    "q233_semantic_keep_central" -> "centrality dedup: int8-code dot products via the VecDotLong codegen loop; the argmin-per-cluster is a bounded aggregate, not a window sort",
+    "q238_zonemap_consult" -> "zone-map consult: the zone decision is a metadata-sized aggregate; only surviving zones' rows reach the exact filter",
+    "q239_recency_sample" -> "recency-decay sample: pure map-side integer filter against one broadcast max-date row — zero corpus shuffles",
+    "q240_release_pipeline" -> "release composite: quality filter → fingerprint dedup aggregate → per-source accounting — three stages, two key-shaped exchanges, no window",
+    "q243_basket_lift" -> "basket lift: session-basket self-join keyed on (user, session) — pair fan-out bounded by distinct types per session; all metric denominators join back by broadcast",
+    "q244_weekly_cohorts" -> "weekly cohorts: (user, week)-distinct is the only corpus-sized shuffle; first-week assignment is a window-free min aggregate")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the
