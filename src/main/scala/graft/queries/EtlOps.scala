@@ -24,6 +24,88 @@ object EtlOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // SCD2 (type-2 slowly-changing dimension) build from an event
+    // log: per-user runs of consecutive equal attribute values
+    // collapse to ONE versioned row with [valid_from, valid_to)
+    // effective dating and a current flag — the warehouse operator
+    // every dimension load needs. Shape: two key-partitioned window
+    // passes (change flag → version number) + one aggregate; nothing
+    // global, so it parallelizes by user at any scale. Total order
+    // (ts, event_id) makes versions deterministic under ts ties.
+    "q248_scd2_history" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, d).events
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("attr"))
+        .withColumn("chg",
+          when(lag(col("attr"), 1).over(w).isNull ||
+            lag(col("attr"), 1).over(w) =!= col("attr"), 1L).otherwise(0L))
+        .withColumn("version", sum(col("chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("version"))
+        // attr is constant within a version; min is the deterministic pick
+        .agg(min(col("ts")).as("vf"),
+          min(col("attr")).as("attr"), count(lit(1)).as("n_events"))
+        .withColumn("vt", lead(col("vf"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("version"))))
+        .select(col("user_id"), col("version"), col("attr"),
+          date_format(col("vf"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("vt"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("vt").isNull.as("is_current"), col("n_events"))
+    }),
+
+    // MERGE INTO semantics (the batch-upsert statement) expressed as
+    // the full-outer merge plan Spark executes for it: a per-user
+    // delta batch merged into the pre-cutoff snapshot — WHEN MATCHED
+    // → additive update, WHEN NOT MATCHED → insert, target-only rows
+    // carried through unchanged, each row tagged with the action the
+    // merge took. One key-shaped shuffle per side; at 100 TB this is
+    // the same plan Delta/Iceberg MERGE compiles to (minus the
+    // file-level skipping, which q238's zone map models).
+    "q249_merge_upsert" -> ((s, d) => {
+      val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+      val ev = Tables(s, d).events
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      def agg(df: DataFrame) = df.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      val target = agg(ev.filter(col("ts") < cutoff))
+        .select(col("user_id"), col("n").as("t_n"), col("cents").as("t_cents"))
+      val delta = agg(ev.filter(col("ts") >= cutoff))
+        .select(col("user_id"), col("n").as("d_n"), col("cents").as("d_cents"))
+      target.join(delta, Seq("user_id"), "full")
+        .select(col("user_id"),
+          (coalesce(col("t_n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+            .as("n"),
+          (coalesce(col("t_cents"), lit(0L)) + coalesce(col("d_cents"), lit(0L)))
+            .as("cents"),
+          when(col("t_n").isNull, "insert")
+            .when(col("d_n").isNull, "keep").otherwise("update").as("action"))
+    }),
+
+    // CDC apply (change-data-capture replay): an ordered op log of
+    // upserts and deletes per key reduced to the final table state —
+    // last-writer-wins by (ts, event_id), keys whose LAST op is a
+    // delete vanish. The op log is derived deterministically from
+    // events ('error' rows play the delete). Shape: one window pass
+    // partitioned by key — the merge an incremental sink replays at
+    // any scale without ever materializing intermediate states.
+    "q250_cdc_apply" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables(s, d).events
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_ops", count(lit(1)).over(
+          Window.partitionBy(col("user_id"))))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .select(col("user_id"), col("cents"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+          col("n_ops"))
+    }),
+
     // BFS hop distances on the token-transition graph from the
     // corpus's most frequent token, 5 unrolled rounds — the frontier
     //-expansion iteration (edges ⋈ frontier per round, min-combine)
@@ -853,6 +935,57 @@ object EtlOps {
   }.mkString(",\n         ")
 
   def oracleSql: Map[String, String] = Map(
+    "q248_scd2_history" ->
+      """WITH o AS (
+           SELECT user_id, ts, event_id, event_type AS attr,
+                  CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                       THEN 1 ELSE 0 END AS chg
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         v AS (
+           SELECT *, sum(chg) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                     AS version
+           FROM o),
+         g AS (
+           SELECT user_id, version, min(ts) AS vf, min(attr) AS attr,
+                  count(*) AS n_events
+           FROM v GROUP BY 1, 2)
+         SELECT user_id, version::BIGINT AS version, attr,
+                strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+                strftime(lead(vf) OVER wv, '%Y-%m-%d %H:%M:%S') AS valid_to,
+                lead(vf) OVER wv IS NULL AS is_current, n_events
+         FROM g
+         WINDOW wv AS (PARTITION BY user_id ORDER BY version)""",
+    "q249_merge_upsert" ->
+      """WITH ev AS (
+           SELECT user_id, ts, round(value * 100, 0)::BIGINT AS cents
+           FROM events),
+         t AS (SELECT user_id, count(*) AS n, sum(cents) AS c FROM ev
+               WHERE ts < TIMESTAMP '2024-01-20 00:00:00' GROUP BY 1),
+         d AS (SELECT user_id, count(*) AS n, sum(cents) AS c FROM ev
+               WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' GROUP BY 1)
+         SELECT user_id,
+                (coalesce(t.n, 0) + coalesce(d.n, 0))::BIGINT AS n,
+                (coalesce(t.c, 0) + coalesce(d.c, 0))::BIGINT AS cents,
+                CASE WHEN t.n IS NULL THEN 'insert'
+                     WHEN d.n IS NULL THEN 'keep'
+                     ELSE 'update' END AS action
+         FROM t FULL JOIN d USING (user_id)""",
+    "q250_cdc_apply" ->
+      """WITH o AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                  round(value * 100, 0)::BIGINT AS cents,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn,
+                  count(*) OVER (PARTITION BY user_id) AS n_ops
+           FROM events)
+         SELECT user_id, cents,
+                strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+                n_ops::BIGINT AS n_ops
+         FROM o WHERE rn = 1 AND op <> 'D'""",
     "q243_basket_lift" ->
       """WITH x AS (
            SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu,

@@ -274,6 +274,19 @@ object Relational {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))),
 
+    // CUBE with grouping indicators (q24 is ROLLUP): all four
+    // grouping sets of (returnflag, linestatus) in ONE pass —
+    // Catalyst expands the cube as a single Expand + hash aggregate,
+    // so the fact is scanned once, not once per grouping set. The
+    // grouping() flags disambiguate a NULL data value from a
+    // rolled-up cell — the part naive GROUP BY unions get wrong.
+    "q247_cube_grouping" -> ((s, d) =>
+      Tables(s, d).lineitem
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"))),
+
     // CASE / conditional aggregation.
     "q25_case_agg" -> ((s, d) =>
       Tables(s, d).orders
@@ -1226,6 +1239,12 @@ object Relational {
     "q24_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q247_cube_grouping" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                sum(l_quantity) AS sum_qty,
+                grouping(l_returnflag)::BIGINT AS g_rf,
+                grouping(l_linestatus)::BIGINT AS g_ls
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
     "q25_case_agg" ->
       """SELECT o_orderpriority,
                 count(*) AS n_orders,

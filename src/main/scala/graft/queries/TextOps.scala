@@ -664,10 +664,91 @@ object TextOps {
           size(array_intersect(col("sa"), col("sb"))).cast("long").as("n_common"),
           size(array_union(col("sa"), col("sb"))).cast("long").as("n_union"),
           size(array_except(col("sa"), col("sb"))).cast("long").as("n_only_a"))
+    }),
+
+    // Gopher-style repetition filter (Rae et al. 2021 §A1.1): the
+    // fraction of a document occupied by its most frequent 2-gram,
+    // and the mass of repeated 2-grams, both as EXACT integers —
+    // verdicts by cross-multiplication, no division anywhere. Scale
+    // shape: the (doc, bigram) partial counts are map-side combined;
+    // at 100 TB this is the tf shuffle (q115's accepted shape),
+    // bounded by distinct (doc, bigram) pairs, with the per-doc
+    // reduce a fixed 4-number state.
+    "q245_repetition_filter" -> ((s, d) => {
+      val docs = parallelized(Tables(s, d).documents)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val bg = docs.select(col("doc_id"), explode(
+        expr("zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+          " (a, b) -> concat(a, ' ', b))")).as("bg"))
+      bg.groupBy(col("doc_id"), col("bg"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("long").as("n_bigrams"),
+          count(lit(1)).cast("long").as("n_distinct"),
+          max(col("c")).cast("long").as("top_count"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+          col("top_count"),
+          // Gopher: top-2gram fraction > 0.20 → drop; repeated-2gram
+          // mass (occurrences beyond first) > 0.40 → drop
+          (col("top_count") * 5 <= col("n_bigrams") &&
+            (col("n_bigrams") - col("n_distinct")) * 5 <= col("n_bigrams") * 2)
+            .as("keep"))
+    }),
+
+    // Bigram language-model scoring (the KenLM-perplexity proxy of a
+    // CCNet-style quality pipeline) in EXACT integer arithmetic: the
+    // corpus LM is c(a,b) / c(a,·); each document scores the SUM over
+    // its bigram occurrences of floor(1e6 · c(a,b) / c(a,·)) — a
+    // deterministic scaled log-free fluency proxy (higher = the
+    // corpus predicts the doc's transitions better). Scale shape:
+    // counts are map-side-combined aggregates; occurrences join the
+    // model BY KEY (bigram / prefix), never broadcastless-cartesian;
+    // at trillion-token scale the 1e6 scaling needs DECIMAL — noted,
+    // not needed at int64 until c(a,b) > 9.2e12.
+    "q246_bigram_lm_score" -> ((s, d) => {
+      val docs = parallelized(Tables(s, d).documents)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val occ = docs.select(col("doc_id"), explode(
+        expr("zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+          " (a, b) -> struct(a AS a, concat(a, ' ', b) AS bg))")).as("o"))
+        .select(col("doc_id"), col("o.a").as("a"), col("o.bg").as("bg"))
+      val cAb = occ.groupBy(col("bg")).agg(count(lit(1)).as("c_ab"))
+      val cA = occ.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
+      occ.join(cAb, "bg").join(cA, "a")
+        .withColumn("p6", expr("(1000000 * c_ab) div c_a"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          sum(col("p6")).cast("long").as("score6"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q245_repetition_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         o AS (SELECT doc_id, unnest(ws) AS tok,
+                      generate_subscripts(ws, 1) AS ord FROM t),
+         bg AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+                FROM o a JOIN o b
+                  ON b.doc_id = a.doc_id AND b.ord = a.ord + 1),
+         c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2)
+         SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+                count(*)::BIGINT AS n_distinct, max(c)::BIGINT AS top_count,
+                (max(c) * 5 <= sum(c)
+                 AND (sum(c) - count(*)) * 5 <= sum(c) * 2) AS keep
+         FROM c GROUP BY 1""",
+    "q246_bigram_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         o AS (SELECT doc_id, unnest(ws) AS tok,
+                      generate_subscripts(ws, 1) AS ord FROM t),
+         occ AS (SELECT a.doc_id, a.tok AS a, a.tok || ' ' || b.tok AS bg
+                 FROM o a JOIN o b
+                   ON b.doc_id = a.doc_id AND b.ord = a.ord + 1),
+         cab AS (SELECT bg, count(*) AS c_ab FROM occ GROUP BY 1),
+         ca AS (SELECT a, count(*) AS c_a FROM occ GROUP BY 1)
+         SELECT occ.doc_id, count(*)::BIGINT AS n_bigrams,
+                sum((1000000 * cab.c_ab) // ca.c_a)::BIGINT AS score6
+         FROM occ JOIN cab USING (bg) JOIN ca USING (a)
+         GROUP BY 1""",
     // q235_deflate_ratio: zlib output is implementation-specific →
     // rows-only check (TextOpsSpec pins the semantics).
     "q236_feature_hashing" ->
