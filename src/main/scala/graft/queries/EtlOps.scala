@@ -139,6 +139,55 @@ object EtlOps {
       dist
     }),
 
+    // Triangle counting + global clustering coefficient on the
+    // token-adjacency graph — the third classic distributed graph
+    // kernel next to q67/q70 (connected components), q129 (PageRank)
+    // and q131 (BFS). Scale shape is the degree-ordered edge
+    // ORIENTATION (Suri & Vassilvitskii 2011 / Cohen 2009): each
+    // undirected edge points from its (degree, node)-smaller endpoint,
+    // so every triangle has exactly ONE center with two out-edges and
+    // wedge enumeration is bounded by Σ C(outdeg, 2) = O(m^1.5) —
+    // never the Σ C(deg, 2) hub blow-up of naive wedge counting. The
+    // counts are exact integers; the coefficient stays a (3·tri,
+    // wedges) rational pair.
+    "q251_triangle_count" -> ((s, d) => {
+      val docs = TextOps.parallelized(Tables(s, d).documents)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      // undirected edge set, canonical a < b, distinct
+      val edges = docs.select(explode(
+        expr("zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+          " (x, y) -> struct(least(x, y) AS a, greatest(x, y) AS b))")).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      val deg = edges.select(col("a").as("n"))
+        .unionAll(edges.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      // orient each edge from the (deg, node)-smaller endpoint
+      val oriented = edges
+        .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+        .select(
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")), col("a"))
+            .otherwise(col("b")).as("u"),
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")), col("b"))
+            .otherwise(col("a")).as("v"))
+      val o2 = oriented.select(col("u"), col("v").as("w"))
+      val wedges = oriented.join(o2, "u").filter(col("v") < col("w"))
+      val tris = wedges.join(edges,
+        least(col("v"), col("w")) === col("a") &&
+          greatest(col("v"), col("w")) === col("b"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val nn = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("d * (d - 1) div 2")).cast("long").as("n_wedges"))
+      val ne = edges.agg(count(lit(1)).as("n_edges"))
+      nn.crossJoin(broadcast(ne)).crossJoin(broadcast(tris))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"))
+    }),
+
     // Last-touch ad attribution: each purchase attributed to the
     // same user's LATEST click at or before it, but only within a
     // 24 h lookback — the as-of join operator plus the lookback
@@ -958,6 +1007,35 @@ object EtlOps {
                 lead(vf) OVER wv IS NULL AS is_current, n_events
          FROM g
          WINDOW wv AS (PARTITION BY user_id ORDER BY version)""",
+    "q251_triangle_count" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         o AS (SELECT doc_id, unnest(ws) AS tok,
+                      generate_subscripts(ws, 1) AS ord FROM t),
+         adj AS (SELECT least(x.tok, y.tok) AS a, greatest(x.tok, y.tok) AS b
+                 FROM o x JOIN o y
+                   ON y.doc_id = x.doc_id AND y.ord = x.ord + 1
+                 WHERE x.tok <> y.tok),
+         e AS (SELECT DISTINCT a, b FROM adj),
+         deg AS (SELECT n, count(*) AS d FROM (
+                   SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+                 GROUP BY 1),
+         ori AS (SELECT CASE WHEN da.d < db.d
+                               OR (da.d = db.d AND e.a < e.b)
+                             THEN e.a ELSE e.b END AS u,
+                        CASE WHEN da.d < db.d
+                               OR (da.d = db.d AND e.a < e.b)
+                             THEN e.b ELSE e.a END AS v
+                 FROM e JOIN deg da ON da.n = e.a
+                        JOIN deg db ON db.n = e.b),
+         w AS (SELECT o1.v AS v, o2.v AS w FROM ori o1 JOIN ori o2
+               ON o1.u = o2.u AND o1.v < o2.v),
+         tri AS (SELECT count(*) AS n_triangles FROM w JOIN e
+                 ON e.a = least(w.v, w.w) AND e.b = greatest(w.v, w.w))
+         SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+                (SELECT count(*) FROM e)::BIGINT AS n_edges,
+                (SELECT sum(d * (d - 1) // 2) FROM deg)::BIGINT AS n_wedges,
+                n_triangles::BIGINT AS n_triangles
+         FROM tri""",
     "q249_merge_upsert" ->
       """WITH ev AS (
            SELECT user_id, ts, round(value * 100, 0)::BIGINT AS cents

@@ -78,6 +78,24 @@ object VectorOps {
         queryIds, cents, nprobe = 4, k = 5)
     }),
 
+    // Product-quantization ANN — the memory-bound scale path past
+    // q95/q101's int8 grid: 64 float dims → ONE packed long of 8
+    // 4-bit codes (32× compression), distance = 8 lookups in the
+    // precomputed centroid-pair tables. Codebooks train
+    // deterministically (hash-ordered sample, farthest-point init);
+    // scoring is exact long arithmetic so the RANKING is
+    // bit-reproducible — but the codebooks summarize the corpus, so
+    // the operator is approximate → rows-only; SimilaritySpec pins
+    // determinism + the recall floor vs exact cosine.
+    "q252_pq_ann" -> ((s, d) => {
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      val model = graft.operators.Pq.train(emb, "vec_id", "embedding")
+      val queryIds = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"))
+      graft.operators.Pq.topK(emb, "vec_id", "embedding", queryIds, model,
+        k = 5, rerank = 32)
+    }),
+
     // Multi-table sign-LSH near-dup join at a REAL near-dup
     // threshold (τ=0.8) — the regime cosineNearDupLsh is designed
     // for. The raw corpus has no pairs above ~0.51, so the query

@@ -30,7 +30,7 @@ class EntrySpec extends AnyFunSuite {
   test("rows-only queries are exactly the approximate / non-SQL-expressible ops") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep this count in sync with CLAUDE.md's inventory note
-    assert(rowsOnly.size == 17, s"rows-only count drifted: ${rowsOnly.size}")
+    assert(rowsOnly.size == 18, s"rows-only count drifted: ${rowsOnly.size}")
     assert(rowsOnly == Set("q36_minhash_lsh", "q37_simhash",
       "q38_ngram_jaccard", "q42_ann_lsh", "q43_winnow_fp", "q44_ann_ivf",
       "q48_source_signatures", "q59_corpus_clean",
@@ -58,7 +58,10 @@ class EntrySpec extends AnyFunSuite {
       "q227_lsh_sweep",
       // zlib byte counts are implementation-specific;
       // GraftFunctionsSpec pins determinism + the compression order
-      "q235_deflate_ratio"))
+      "q235_deflate_ratio",
+      // PQ codebooks summarize the corpus (trained, approximate);
+      // SimilaritySpec pins determinism + the recall floor
+      "q252_pq_ann"))
   }
 
   test("every query runs non-empty on sf0.001") {

@@ -154,4 +154,40 @@ class SimilaritySpec extends AnyFunSuite {
     info(s"q205 corpus recall@5 (nprobe=4): $mean")
     assert(mean >= 0.6, s"corpus recall floor: $mean")
   }
+
+  test("PQ ANN is deterministic (bit-identical reruns) and clears the recall floor") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 20).select(col("vec_id").as("query_id"))
+    def run(rerank: Int): Seq[(Long, Long, Long, Long)] = {
+      val model = Pq.train(emb, "vec_id", "embedding")
+      Pq.topK(emb, "vec_id", "embedding", queries, model, k = 5, rerank = rerank)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    }
+    // pure-ADC path: integer distances → bit-identical reruns
+    val a = run(rerank = 0)
+    val b = run(rerank = 0)
+    assert(a == b, "trained codebooks / packed codes / rankings must be reproducible")
+    assert(a.groupBy(_._1).size == 20 && a.size == 100, "5 neighbors per query")
+
+    // serving path (ADC shortlist 32 → exact rerank): recall@5 vs
+    // exact cosine, conservative corpus-level floor
+    val served = run(rerank = 32)
+    assert(served == run(rerank = 32), "rerank path must be reproducible too")
+    val exact = bruteTopK(5, 20)
+    val got = served.groupBy(_._1).map { case (q, rows) => q -> rows.map(_._2).toSet }
+    val hits = exact.map { case (q, ids) => (got(q) & ids.toSet).size }.sum
+    val recall = hits.toDouble / (5.0 * 20)
+    // pure-ADC recall, for the spec log (no floor — 4-bit codes on
+    // near-random data are honestly coarse; the serving path is the
+    // contract)
+    val gotAdc = a.groupBy(_._1).map { case (q, rows) => q -> rows.map(_._2).toSet }
+    val adcRecall = exact.map { case (q, ids) => (gotAdc(q) & ids.toSet).size }.sum
+      .toDouble / (5.0 * 20)
+    info(s"PQ (m=16, ksub=16) recall@5: ADC-only $adcRecall, shortlist-32+rerank $recall")
+    assert(recall >= 0.5, s"PQ serving recall floor: $recall")
+    assert(recall >= adcRecall, "exact rerank cannot reduce recall at equal shortlist")
+  }
 }
