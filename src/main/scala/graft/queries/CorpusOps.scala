@@ -46,6 +46,44 @@ object CorpusOps {
     lpad((col("doc_id") % 1000).cast("string"), 3, "0"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Importance-based data selection (the DSIR shape, Xie et al.
+    // 2023, made integer-exact): hash every token into 256 feature
+    // buckets (the md5-mix recipe q236 oracles), count each bucket's
+    // occurrences in the TARGET distribution (lang = 'en') vs the
+    // RAW pool (everything else), call a bucket distinctive when its
+    // relative rate is strictly higher in target — the float-free
+    // cross-multiplication t_n·R > r_n·T (done in Decimal so corpus-
+    // scale counts cannot overflow) — then score each raw doc by how
+    // many of its distinct features are distinctive and keep the
+    // top 50 (score desc, doc_id tie-break). The scale shape: one
+    // token-bucket aggregate over (feature, is_target) pairs, a
+    // 256-row broadcast of the distinctive set, one per-doc count —
+    // log-ratio DSIR with the same shuffles, no FP divergence.
+    "q255_importance_select" -> ((s, d) => {
+      val h = md5(col("tok"))
+      val feat = ((ascii(substring(h, 1, 1)) * 49 +
+        ascii(substring(h, 2, 1)) * 7 + ascii(substring(h, 3, 1))) % 256)
+        .cast("long")
+      val fd = TextOps.parallelized(Tables(s, d).documents)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), col("lang"), feat.as("f"))
+      val counts = fd.groupBy(col("f")).agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_n"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("r_n"))
+      val totals = counts.agg(sum(col("t_n")).as("tt"), sum(col("r_n")).as("rr"))
+      val distinctive = counts.crossJoin(broadcast(totals))
+        .filter(col("t_n").cast("decimal(38,0)") * col("rr") >
+          col("r_n").cast("decimal(38,0)") * col("tt"))
+        .select(col("f"))
+      fd.filter(col("lang") =!= "en")
+        .select(col("doc_id"), col("f")).distinct()
+        .join(broadcast(distinctive), "f")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(50)
+    }),
+
     // Context-window chunking with overlap: one row per (doc, chunk),
     // chunk = tokens [start, start+50), starts every 40 tokens. A
     // narrow generator (posexplode over a per-row sequence) — no
@@ -467,6 +505,29 @@ object CorpusOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q255_importance_select" ->
+      """WITH tf AS (
+           SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         fd AS (
+           SELECT doc_id, lang,
+                  ((ascii(substr(md5(tok), 1, 1)) * 49
+                    + ascii(substr(md5(tok), 2, 1)) * 7
+                    + ascii(substr(md5(tok), 3, 1))) % 256)::BIGINT AS f
+           FROM tf),
+         c AS (
+           SELECT f,
+                  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_n,
+                  sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS r_n
+           FROM fd GROUP BY 1),
+         tot AS (SELECT sum(t_n) AS tt, sum(r_n) AS rr FROM c),
+         dist AS (SELECT f FROM c, tot WHERE t_n * rr > r_n * tt)
+         SELECT doc_id, count(*)::BIGINT AS score
+         FROM (SELECT DISTINCT doc_id, f FROM fd WHERE lang <> 'en') df
+         JOIN dist USING (f)
+         GROUP BY 1
+         ORDER BY score DESC, doc_id
+         LIMIT 50""",
     "q240_release_pipeline" ->
       """WITH f AS (
            SELECT * FROM documents

@@ -27,6 +27,26 @@ object SourceOps {
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-$tag-" + Integer.toHexString(inputDir.hashCode)).toString
 
+  /** A killed earlier run can leave an orphaned managed-table
+    * location that a FRESH session's in-memory catalog knows nothing
+    * about — overwrite then fails with LOCATION_ALREADY_EXISTS.
+    * Clear it first (it is ours by construction: content-addressed
+    * name under the graft warehouse in tmp).
+    */
+  private def clearStaleLocation(s: SparkSession, tbl: String): Unit =
+    if (!s.catalog.tableExists(tbl)) {
+      val loc = java.nio.file.Paths.get(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        tbl.toLowerCase)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        val all = java.nio.file.Files.walk(loc)
+        try all.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally all.close()
+      }
+    }
+
   /** Explicit CSV read schema — header inference would cost an extra
     * pass and type inference is not deterministic enough for an
     * engine surface (S1's lesson from the reference: always pass the
@@ -126,6 +146,38 @@ object SourceOps {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
     }),
 
+    // Bucketed co-located fact–fact join: both facts land as
+    // managed tables bucketBy(8, join key), then join via
+    // sort-merge — the bucket layout IS the exchange, paid once at
+    // ingest and amortized across every downstream join on that
+    // key. The join itself plans with ZERO shuffle (PlanSpec pins
+    // exactly one Exchange in the whole plan — the final
+    // aggregate); at 100 TB that is the difference between
+    // re-shuffling two facts on every query and a layout decision.
+    // Money sums as exact integer cents (CLAUDE.md discipline).
+    "q253_bucketed_join" -> ((s, d) => {
+      val suf = Integer.toHexString(d.hashCode)
+      val tOrd = s"graft_bkt_orders_$suf"
+      val tLin = s"graft_bkt_lineitem_$suf"
+      clearStaleLocation(s, tOrd)
+      clearStaleLocation(s, tLin)
+      val t = Tables(s, d)
+      t.orders.select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable(tOrd)
+      t.lineitem.select(col("l_orderkey"), col("l_quantity"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+        .write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable(tLin)
+      val o = s.table(tOrd)
+      val l = s.table(tLin)
+      o.hint("merge").join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(col("cents")).as("sum_cents"))
+    }),
+
     // XML scalar functions (xpath_*): column-built XML round-tripped
     // through typed xpath extraction — the XML-bearing-column path
     // (feeds, sitemaps, legacy exports) without needing a file
@@ -156,6 +208,12 @@ object SourceOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q253_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+                sum(l_quantity)::BIGINT AS sum_qty,
+                sum(round(l_extendedprice * 100, 0)::BIGINT)::BIGINT AS sum_cents
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         GROUP BY 1""",
     "q225_xpath_roundtrip" ->
       """SELECT doc_id, lang AS lang2, source AS src2,
                 n_chars::BIGINT AS n2

@@ -608,6 +608,27 @@ object TextOps {
         .groupBy("doc_id", "dim").agg(count(lit(1)).as("cnt"))
     }),
 
+    // Inverted-index conjunctive search: the posting-list shape of
+    // every full-text engine as one relational pass — postings are
+    // restricted to the query terms BEFORE the shuffle (map-side
+    // selectivity: only (doc_id, term) pairs for the 3 query terms
+    // ever move), the AND is a count-distinct-terms gate, and the
+    // per-doc occurrence total is the tf evidence a ranker would
+    // consume. At 100 TB the shuffle is bounded by the query
+    // terms' posting lists, never the corpus.
+    "q254_conjunctive_search" -> ((s, d) => {
+      val terms = Seq("spark", "vector", "dup")
+      val posts = parallelized(Tables(s, d).documents)
+        .select(col("doc_id"), explode(tokens).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("occ"))
+      posts.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("occ")).as("n_occ"))
+        .filter(col("n_terms") === lit(terms.size))
+        .select(col("doc_id"), col("n_occ"))
+    }),
+
     // Unicode NFC normalization (native NfcNormalize codegen
     // expression): composed and decomposed forms of the same visible
     // text — planted here as "café" in both encodings by doc parity
@@ -751,6 +772,15 @@ object TextOps {
          GROUP BY 1""",
     // q235_deflate_ratio: zlib output is implementation-specific →
     // rows-only check (TextOpsSpec pins the semantics).
+    "q254_conjunctive_search" ->
+      """WITH tf AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         p AS (
+           SELECT doc_id, tok, count(*) AS occ FROM tf
+           WHERE tok IN ('spark', 'vector', 'dup') GROUP BY 1, 2)
+         SELECT doc_id, sum(occ)::BIGINT AS n_occ
+         FROM p GROUP BY 1 HAVING count(*) = 3""",
     "q236_feature_hashing" ->
       """WITH tf AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS tok

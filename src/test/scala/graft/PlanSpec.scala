@@ -154,6 +154,14 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly the aggregate exchange, got $exchanges\n$p")
   }
 
+  test("q253: bucketed fact–fact join has no join shuffle — the layout is the exchange") {
+    val p = plan("q253_bucketed_join")
+    assert(p.contains("SortMergeJoin"), "expected a sort-merge join over bucketed scans")
+    assert(p.contains("Bucketed: true"), s"scans must report bucketed reads\n${p.take(1200)}")
+    val exchanges = p.linesIterator.count(_.matches("""^\(\d+\) Exchange.*"""))
+    assert(exchanges == 1, s"expected only the final aggregate exchange, got $exchanges\n$p")
+  }
+
   test("q121: quantiles come from a range exchange, not a one-reducer percentile buffer") {
     val p = plan("q121_gap_outliers")
     assert(p.toLowerCase.contains("rangepartitioning"),
