@@ -77,6 +77,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                           sweep + NFC normalize; q229-q232 drift
   *                           report, group split, grouped quantiles,
   *                           next-event pairs
+  *  - round-6 additions:     q245-q255 (Gopher repetition, bigram LM,
+  *                           CUBE, SCD2, MERGE, CDC, triangles, PQ
+  *                           ANN, bucketed join, inverted index,
+  *                           DSIR); q256-q269: temperature mixing,
+  *                           k-core peel, Pareto skyline, incremental
+  *                           dedup, sequence match, CUSUM, RI audit,
+  *                           min-max scale, phrase search, golden
+  *                           record, item co-occurrence, TWAP, MAD
+  *                           outliers, hierarchy share
   */
 object SparkEntry {
 

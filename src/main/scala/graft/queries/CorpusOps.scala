@@ -84,6 +84,31 @@ object CorpusOps {
         .limit(50)
     }),
 
+    // Temperature-scaled source mixing (the Gopher/PaLM α = 1/2
+    // rebalance): per-source counts n_s give a flattened target
+    // k_s = min(n_s, 16·⌊√n_s⌋) — the keep RATE k_s/n_s ∝ n_s^(-1/2)
+    // downsamples dominant sources while small sources survive
+    // whole. Selection is Bernoulli by 20-bit md5 threshold with the
+    // float-free cross-multiplication u·n_s < k_s·2^20 (exact in
+    // int64 up to n_s ≈ 8.8e12 rows per source — documented bound;
+    // IEEE sqrt is correctly rounded so ⌊√n⌋ is engine-stable). The
+    // scale shape: one tiny per-source aggregate broadcast back, then
+    // a pure narrow filter — no window, no per-source sort, unlike
+    // rank-based selection which serializes each source's rows
+    // through one partition.
+    "q256_temperature_mix" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val stats = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_src"))
+        .withColumn("tgt", least(col("n_src"),
+          floor(sqrt(col("n_src").cast("double"))) * 16L))
+      docs.join(broadcast(stats), "source")
+        .withColumn("u", expr(
+          "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 5), 16, 10) AS BIGINT)"))
+        .filter(col("u") * col("n_src") < col("tgt") * lit(1048576L))
+        .select(col("doc_id"), col("source"), col("n_src"), col("tgt"))
+    }),
+
     // Context-window chunking with overlap: one row per (doc, chunk),
     // chunk = tokens [start, start+50), starts every 40 tokens. A
     // narrow generator (posexplode over a per-row sequence) — no
@@ -528,6 +553,15 @@ object CorpusOps {
          GROUP BY 1
          ORDER BY score DESC, doc_id
          LIMIT 50""",
+    "q256_temperature_mix" ->
+      """WITH st AS (
+           SELECT source, count(*)::BIGINT AS n_src,
+                  least(count(*), floor(sqrt(count(*)))::BIGINT * 16)::BIGINT AS tgt
+           FROM documents GROUP BY 1)
+         SELECT d.doc_id, d.source, st.n_src, st.tgt
+         FROM documents d JOIN st USING (source)
+         WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 5))::BIGINT * st.n_src
+               < st.tgt * 1048576""",
     "q240_release_pipeline" ->
       """WITH f AS (
            SELECT * FROM documents

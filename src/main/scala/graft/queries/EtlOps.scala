@@ -188,6 +188,254 @@ object EtlOps {
           col("n_triangles"))
     }),
 
+    // k-core peeling (k = 3, 5 unrolled rounds) on the q251 token-
+    // adjacency graph — the degeneracy-ordering kernel behind dense-
+    // community mining and graph sparsification. Each round: degree
+    // per endpoint (one (node)-keyed aggregate over the edge list),
+    // keep nodes with deg >= k, restrict edges to kept endpoints via
+    // two LEFT SEMI joins — shuffles carry (a, b) string pairs only,
+    // and localCheckpoint truncates the per-round lineage exactly as
+    // q67/q131 do. Output is the round-5 peel state (node, degree in
+    // the surviving subgraph): deterministic whether or not the peel
+    // has converged, and the same 5 rounds replay in the oracle as
+    // chained MATERIALIZED CTEs (inlined CTEs would re-expand the
+    // base scan ~5^5-fold).
+    "q257_kcore_peel" -> ((s, d) => {
+      val docs = TextOps.parallelized(Tables(s, d).documents)
+        .select(split(col("text"), " ").as("ws"))
+      var edges = docs.select(explode(
+        expr("zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+          " (x, y) -> struct(least(x, y) AS a, greatest(x, y) AS b))")).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct().localCheckpoint()
+      for (_ <- 1 to 5) {
+        val keep = edges.select(col("a").as("n"))
+          .unionAll(edges.select(col("b").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 3).select(col("n"))
+          // checkpointed: consumed by BOTH semi joins below — without
+          // this the degree aggregate runs twice per round
+          .localCheckpoint()
+        edges = edges
+          .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+          .localCheckpoint()
+      }
+      edges.select(col("a").as("tok")).unionAll(edges.select(col("b").as("tok")))
+        .groupBy("tok").agg(count(lit(1)).as("deg"))
+    }),
+
+    // 2-D Pareto skyline over orders — maximize recency, minimize
+    // price: an order is on the frontier iff no other order is both
+    // at-least-as-recent AND at-most-as-expensive with one strict.
+    // Skylines are DISTRIBUTIVE, so the scale shape is reduce-then-
+    // refine: (1) per-date min-cents — a plain hash aggregate, the
+    // only corpus-sized shuffle, because within a date anything above
+    // the min is dominated outright; (2) one running-min window scan
+    // over the ≤ |distinct dates| candidates (a few thousand rows at
+    // ANY corpus scale — dates bound the window, not order count,
+    // which is why the unpartitioned window is safe here); (3) equi-
+    // join the frontier coords back to recover every tied order.
+    // Ints end to end (2dp cents grid); the oracle states dominance
+    // independently as a NOT EXISTS anti-join over the candidates.
+    "q258_pareto_skyline" -> ((s, d) => {
+      val ord = Tables(s, d).orders.select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("odate"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val cand = ord.groupBy(col("odate")).agg(min(col("cents")).as("cents"))
+      val w = Window.orderBy(col("odate").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sky = cand.withColumn("later_min", min(col("cents")).over(w))
+        .filter(col("later_min").isNull || col("cents") < col("later_min"))
+        .select(col("odate"), col("cents"))
+      ord.join(sky, Seq("odate", "cents"))
+        .select(col("o_orderkey"),
+          date_format(col("odate"), "yyyy-MM-dd").as("order_date"),
+          col("cents"))
+    }),
+
+    // Event-sequence pattern matching (MATCH_RECOGNIZE-lite): each
+    // user's chronologically-ordered event-type initials fold into
+    // one journey string (c/e/p/s/v), matched against the strict
+    // ADJACENT funnel regex vc+p — a view immediately followed by
+    // clicks then a purchase, nothing interleaved (the containment
+    // form v.*c.*p matches ~every active user, so adjacency is what
+    // makes the detector informative). The sequence build is one
+    // per-user aggregate (sort_array over collect_list keeps the
+    // order inside the aggregate buffer — no separate window sort
+    // pass), and the regex runs row-local; users parallelize freely.
+    // Total order (ts, event_id) keeps ts-ties deterministic and the
+    // oracle is string_agg ORDER BY the same key.
+    "q260_sequence_match" -> ((s, d) => {
+      Tables(s, d).events
+        .groupBy(col("user_id"))
+        .agg(concat_ws("", transform(
+          sort_array(collect_list(struct(col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("c")))),
+          x => x.getField("c"))).as("seq"))
+        .filter(col("seq").rlike("vc+p"))
+        .select(col("user_id"), col("seq"))
+    }),
+
+    // Item-item co-occurrence recommender build: distinct (customer,
+    // part) baskets from the order facts, customer-keyed self-join
+    // emits co-purchase pairs (bounded by per-customer basket size
+    // squared — the classic explosion bound, NOT corpus²), symmetric
+    // expansion, then top-3 recommendations per item by count with a
+    // deterministic (n desc, item) tie-break. The windows partition
+    // by item — thousands of parallel partitions at any scale.
+    "q266_item_cooccurrence" -> ((s, d) => {
+      val t = Tables(s, d)
+      val bask = t.lineitem
+        .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+        .distinct()
+      val pairs = bask.select(col("cust"), col("part").as("pa"))
+        .join(bask.select(col("cust"), col("part").as("pb")), Seq("cust"))
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("n_co"))
+      val sym = pairs.unionByName(pairs.select(col("pb").as("pa"),
+        col("pa").as("pb"), col("n_co")))
+      val w = Window.partitionBy(col("pa")).orderBy(col("n_co").desc, col("pb"))
+      sym.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("pa").as("item"), col("pb").as("rec"), col("n_co"),
+          col("rk").cast("long").as("rk"))
+    }),
+
+    // Time-weighted average value per user (TWAP): the step-function
+    // integral Σ cents_i·Δt_i / Σ Δt_i between consecutive events —
+    // the price/sensor aggregation where arithmetic means lie. Δt is
+    // WHOLE SECONDS (µs div 1e6): keeps cents·Δt·Σ inside int64 for
+    // any realistic per-user horizon (10 y × 1e5 cents ≈ 3e13 —
+    // µs-weighting would overflow at 3e19), so num/den/floor-TWAP
+    // are all exact integers. One lead() per user partition; users
+    // with no measurable span (den = 0) are excluded honestly.
+    "q267_twap" -> ((s, d) => {
+      Tables(s, d).events
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("dt", expr("(lead(us) OVER (PARTITION BY user_id " +
+          "ORDER BY ts, event_id) - us) div 1000000"))
+        .filter(col("dt").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(col("cents") * col("dt")).as("num"),
+          sum(col("dt")).as("den"))
+        .filter(col("den") > 0)
+        .select(col("user_id"), col("num"), col("den"),
+          expr("num div den").as("twap_floor"))
+    }),
+
+    // Hierarchical rollup with share-of-parent: revenue per nation
+    // inside its region, shares in exact PERMILLE (rev·1000 div
+    // parent) — the allocation report every geo hierarchy ships.
+    // Nation/region dims broadcast; the only corpus-sized work is
+    // the customer-keyed revenue aggregate.
+    "q269_hierarchy_share" -> ((s, d) => {
+      val t = Tables(s, d)
+      val rev = t.orders
+        .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+        .join(t.customer.select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey")).agg(sum(col("cents")).as("nation_cents"))
+      val geo = broadcast(t.nation.select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey"))
+        .join(broadcast(t.region.select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey")))
+      val byNation = rev.join(geo, col("c_nationkey") === col("n_nationkey"))
+        .select(col("r_name").as("region"), col("n_name").as("nation"),
+          col("nation_cents"))
+      val byRegion = byNation.groupBy(col("region"))
+        .agg(sum(col("nation_cents")).as("region_cents"))
+      byNation.join(broadcast(byRegion), "region")
+        .select(col("region"), col("nation"), col("nation_cents"),
+          col("region_cents"),
+          expr("(nation_cents * 1000) div region_cents").as("share_pm"))
+    }),
+
+    // Referential-integrity audit across the star schema's three FK
+    // edges — the data-quality gate every warehouse load runs before
+    // publishing: per relationship, total child rows and how many
+    // have no parent (LEFT join against the parent's DISTINCT key
+    // projection; an orphan is a null hit). Keys-only shuffles; the
+    // nation/customer parents broadcast, and the one big-big edge
+    // (lineitem→orders) is a plain key-partitioned join AQE handles
+    // at any scale. The synthetic star is intact, so the audit's
+    // zero-orphan verdict is itself the assertion.
+    "q262_ri_audit" -> ((s, d) => {
+      val t = Tables(s, d)
+      def audit(rel: String, childKeys: DataFrame,
+                parentKeys: DataFrame): DataFrame =
+        childKeys
+          .join(parentKeys.distinct().withColumn("hit", lit(1)), Seq("k"), "left")
+          .agg(count(lit(1)).as("n_child"),
+            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+          .select(lit(rel).as("relationship"), col("n_child"),
+            col("n_orphans").cast("long").as("n_orphans"))
+      audit("lineitem.l_orderkey -> orders",
+          t.lineitem.select(col("l_orderkey").as("k")),
+          t.orders.select(col("o_orderkey").as("k")))
+        .unionByName(audit("orders.o_custkey -> customer",
+          t.orders.select(col("o_custkey").as("k")),
+          t.customer.select(col("c_custkey").as("k"))))
+        .unionByName(audit("customer.c_nationkey -> nation",
+          t.customer.select(col("c_nationkey").as("k")),
+          t.nation.select(col("n_nationkey").as("k"))))
+    }),
+
+    // Golden-record build (MDM survivorship): one consolidated
+    // profile per user from the event log — first/last seen, event
+    // volume, lifetime value in exact cents, and the MODAL event
+    // type (count desc, lexicographic tie-break). Two user-keyed
+    // aggregates + one rank window, all partitioned by user — no
+    // global state, so consolidation parallelizes at any cardinality.
+    "q265_golden_record" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      val prof = ev.groupBy(col("user_id")).agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_seen"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_seen"),
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+      val modal = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("user_id"))
+          .orderBy(col("n").desc, col("event_type"))))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_type").as("modal_type"))
+      prof.join(modal, "user_id")
+    }),
+
+    // CUSUM changepoint detection on the daily event-count series,
+    // per event type — the drift-localization twin of q194's anomaly
+    // flags: the changepoint is the day maximizing |S_i|, S_i =
+    // cum_i − i·total/n (cumulative deviation from the constant-rate
+    // null). Multiplying through by n keeps everything integer:
+    // dev_i = |n·cum_i − i·total| (bounded by n·total ≈ 3.7e15 at
+    // 1e12 events × 10 y of days — inside int64), so the argmax is
+    // bitwise-stable across engines. Two key-partitioned window
+    // passes + one rank; series parallelize by type.
+    "q261_cusum_changepoint" -> ((s, d) => {
+      val daily = Tables(s, d).events
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val tot = Window.partitionBy(col("event_type"))
+      val scored = daily
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("cum", sum(col("cnt")).over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(tot).cast("long"))
+        .withColumn("total", sum(col("cnt")).over(tot).cast("long"))
+        .withColumn("dev", abs(col("cum") * col("n") - col("i") * col("total")))
+      val best = Window.partitionBy(col("event_type"))
+        .orderBy(col("dev").desc, col("day"))
+      scored.withColumn("rk", row_number().over(best))
+        .filter(col("rk") === 1)
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("cp_day"),
+          col("dev").as("n_scaled_dev"), col("n"), col("total"))
+    }),
+
     // Last-touch ad attribution: each purchase attributed to the
     // same user's LATEST click at or before it, but only within a
     // 24 h lookback — the as-of join operator plus the lookback
@@ -1036,6 +1284,169 @@ object EtlOps {
                 (SELECT sum(d * (d - 1) // 2) FROM deg)::BIGINT AS n_wedges,
                 n_triangles::BIGINT AS n_triangles
          FROM tri""",
+    "q257_kcore_peel" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         o AS (SELECT doc_id, unnest(ws) AS tok,
+                      generate_subscripts(ws, 1) AS ord FROM t),
+         adj AS (SELECT least(x.tok, y.tok) AS a, greatest(x.tok, y.tok) AS b
+                 FROM o x JOIN o y
+                   ON y.doc_id = x.doc_id AND y.ord = x.ord + 1
+                 WHERE x.tok <> y.tok),
+         e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM adj),
+         k1 AS MATERIALIZED (
+           SELECT n FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)
+           GROUP BY 1 HAVING count(*) >= 3),
+         e1 AS MATERIALIZED (
+           SELECT e.a, e.b FROM e0 e JOIN k1 x ON x.n = e.a
+                                     JOIN k1 y ON y.n = e.b),
+         k2 AS MATERIALIZED (
+           SELECT n FROM (SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1)
+           GROUP BY 1 HAVING count(*) >= 3),
+         e2 AS MATERIALIZED (
+           SELECT e.a, e.b FROM e1 e JOIN k2 x ON x.n = e.a
+                                     JOIN k2 y ON y.n = e.b),
+         k3 AS MATERIALIZED (
+           SELECT n FROM (SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2)
+           GROUP BY 1 HAVING count(*) >= 3),
+         e3 AS MATERIALIZED (
+           SELECT e.a, e.b FROM e2 e JOIN k3 x ON x.n = e.a
+                                     JOIN k3 y ON y.n = e.b),
+         k4 AS MATERIALIZED (
+           SELECT n FROM (SELECT a AS n FROM e3 UNION ALL SELECT b FROM e3)
+           GROUP BY 1 HAVING count(*) >= 3),
+         e4 AS MATERIALIZED (
+           SELECT e.a, e.b FROM e3 e JOIN k4 x ON x.n = e.a
+                                     JOIN k4 y ON y.n = e.b),
+         k5 AS MATERIALIZED (
+           SELECT n FROM (SELECT a AS n FROM e4 UNION ALL SELECT b FROM e4)
+           GROUP BY 1 HAVING count(*) >= 3),
+         e5 AS MATERIALIZED (
+           SELECT e.a, e.b FROM e4 e JOIN k5 x ON x.n = e.a
+                                     JOIN k5 y ON y.n = e.b)
+         SELECT n AS tok, count(*)::BIGINT AS deg
+         FROM (SELECT a AS n FROM e5 UNION ALL SELECT b FROM e5)
+         GROUP BY 1""",
+    "q258_pareto_skyline" ->
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+                           round(o_totalprice * 100, 0)::BIGINT AS cents
+                    FROM orders),
+         c AS (SELECT odate, min(cents) AS cents FROM o GROUP BY 1),
+         sky AS (SELECT * FROM c t WHERE NOT EXISTS (
+                   SELECT 1 FROM c u
+                   WHERE u.odate >= t.odate AND u.cents <= t.cents
+                     AND (u.odate > t.odate OR u.cents < t.cents)))
+         SELECT o.o_orderkey, strftime(o.odate, '%Y-%m-%d') AS order_date,
+                o.cents
+         FROM o JOIN sky USING (odate, cents)""",
+    "q260_sequence_match" ->
+      """WITH sq AS (
+           SELECT user_id,
+                  string_agg(substr(event_type, 1, 1), ''
+                    ORDER BY ts, event_id) AS seq
+           FROM events GROUP BY 1)
+         SELECT user_id, seq FROM sq
+         WHERE regexp_matches(seq, 'vc+p')""",
+    "q266_item_cooccurrence" ->
+      """WITH bask AS (
+           SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+         p AS (SELECT a.part AS pa, b.part AS pb, count(*)::BIGINT AS n_co
+               FROM bask a JOIN bask b
+                 ON b.cust = a.cust AND a.part < b.part
+               GROUP BY 1, 2),
+         sym AS (SELECT pa, pb, n_co FROM p
+                 UNION ALL SELECT pb, pa, n_co FROM p),
+         r AS (SELECT pa AS item, pb AS rec, n_co,
+                 row_number() OVER (PARTITION BY pa
+                   ORDER BY n_co DESC, pb)::BIGINT AS rk
+               FROM sym)
+         SELECT item, rec, n_co, rk FROM r WHERE rk <= 3""",
+    "q267_twap" ->
+      """WITH b AS (
+           SELECT user_id, event_id, ts,
+                  round(value * 100, 0)::BIGINT AS cents,
+                  epoch_us(ts) AS us
+           FROM events),
+         l AS (SELECT *, (lead(us) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) - us) // 1000000 AS dt
+               FROM b),
+         a AS (SELECT user_id, sum(cents * dt)::BIGINT AS num,
+                      sum(dt)::BIGINT AS den
+               FROM l WHERE dt IS NOT NULL GROUP BY 1)
+         SELECT user_id, num, den, (num // den)::BIGINT AS twap_floor
+         FROM a WHERE den > 0""",
+    "q269_hierarchy_share" ->
+      """WITH rev AS (
+           SELECT c.c_nationkey,
+                  sum(round(o.o_totalprice * 100, 0)::BIGINT)::BIGINT AS nation_cents
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+           GROUP BY 1),
+         bn AS (SELECT r.r_name AS region, n.n_name AS nation,
+                       rev.nation_cents
+                FROM rev JOIN nation n ON n.n_nationkey = rev.c_nationkey
+                         JOIN region r ON r.r_regionkey = n.n_regionkey),
+         br AS (SELECT region, sum(nation_cents)::BIGINT AS region_cents
+                FROM bn GROUP BY 1)
+         SELECT bn.region, bn.nation, bn.nation_cents, br.region_cents,
+                ((bn.nation_cents * 1000) // br.region_cents)::BIGINT AS share_pm
+         FROM bn JOIN br USING (region)""",
+    "q262_ri_audit" ->
+      """SELECT 'lineitem.l_orderkey -> orders' AS relationship,
+                (SELECT count(*) FROM lineitem)::BIGINT AS n_child,
+                (SELECT count(*) FROM lineitem l
+                 LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+                   ON o.o_orderkey = l.l_orderkey
+                 WHERE o.o_orderkey IS NULL)::BIGINT AS n_orphans
+         UNION ALL
+         SELECT 'orders.o_custkey -> customer',
+                (SELECT count(*) FROM orders)::BIGINT,
+                (SELECT count(*) FROM orders r
+                 LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+                   ON c.c_custkey = r.o_custkey
+                 WHERE c.c_custkey IS NULL)::BIGINT
+         UNION ALL
+         SELECT 'customer.c_nationkey -> nation',
+                (SELECT count(*) FROM customer)::BIGINT,
+                (SELECT count(*) FROM customer c
+                 LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+                   ON n.n_nationkey = c.c_nationkey
+                 WHERE n.n_nationkey IS NULL)::BIGINT""",
+    "q265_golden_record" ->
+      """WITH prof AS (
+           SELECT user_id,
+                  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+                  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
+                  count(*)::BIGINT AS n_events,
+                  sum(round(value * 100, 0)::BIGINT)::BIGINT AS value_cents
+           FROM events GROUP BY 1),
+         m AS (SELECT user_id, event_type, count(*) AS n
+               FROM events GROUP BY 1, 2),
+         r AS (SELECT user_id, event_type AS modal_type,
+                      row_number() OVER (PARTITION BY user_id
+                        ORDER BY n DESC, event_type) AS rk
+               FROM m)
+         SELECT p.user_id, p.first_seen, p.last_seen, p.n_events,
+                p.value_cents, r.modal_type
+         FROM prof p JOIN r ON r.user_id = p.user_id AND r.rk = 1""",
+    "q261_cusum_changepoint" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS cnt
+           FROM events GROUP BY 1, 2),
+         sc AS (
+           SELECT event_type, day,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY day)::BIGINT AS i,
+                  (sum(cnt) OVER (PARTITION BY event_type
+                    ORDER BY day ROWS UNBOUNDED PRECEDING))::BIGINT AS cum,
+                  (count(*) OVER (PARTITION BY event_type))::BIGINT AS n,
+                  (sum(cnt) OVER (PARTITION BY event_type))::BIGINT AS total
+           FROM daily),
+         dv AS (SELECT *, abs(cum * n - i * total)::BIGINT AS dev FROM sc),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                  ORDER BY dev DESC, day) AS rk FROM dv)
+         SELECT event_type, strftime(day, '%Y-%m-%d') AS cp_day,
+                dev AS n_scaled_dev, n, total
+         FROM rk WHERE rk = 1""",
     "q249_merge_upsert" ->
       """WITH ev AS (
            SELECT user_id, ts, round(value * 100, 0)::BIGINT AS cents

@@ -524,6 +524,54 @@ object ScaleOps {
             least(col("p95"), col("cents").cast("double"))).as("winsorized"))
     }),
 
+    // MAD robust outlier detection — the median-based twin of q194's
+    // mean/σ z-test, immune to the very outliers it hunts: per type,
+    // med = the DISCRETE median (value at rank (n+1) div 2 — a real
+    // data point, rank formula written out so engine quantile
+    // conventions never differ), mad = discrete median of |x − med|,
+    // flag |x − med| > 3·mad. Everything integer cents; two window
+    // passes + two broadcast-sized joins, partitioned by type.
+    "q268_mad_outliers" -> ((s, d) => {
+      val base = Tables(s, d).events
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      def discreteMedian(df: DataFrame, c: String, out: String): DataFrame = {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col(c), col("event_id"))
+        df.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy(col("event_type"))))
+          .filter(col("rn") === expr("(n + 1) div 2"))
+          .select(col("event_type"), col(c).as(out))
+      }
+      val med = discreteMedian(base, "cents", "med")
+      val dev = base.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("cents") - col("med")))
+      val mad = discreteMedian(dev, "adev", "mad")
+      dev.join(broadcast(mad), "event_type")
+        .filter(col("adev") > col("mad") * 3)
+        .select(col("event_id"), col("event_type"), col("cents"),
+          col("med"), col("mad"))
+    }),
+
+    // Min-max feature scaling onto a fixed integer grid — the other
+    // half of feature prep next to q217's winsorize: per-type min/max
+    // cents (one tiny aggregate, broadcast back) map every value to
+    // ⌊(x−min)·10000 / (max−min)⌋ ∈ [0, 10000]. Integer division
+    // keeps it float-free and engine-exact; a degenerate constant
+    // feature (max = min) pins to 0 instead of dividing by zero.
+    // Pure narrow map after the broadcast — no second shuffle.
+    "q263_minmax_scale" -> ((s, d) => {
+      val base = Tables(s, d).events
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      val ext = base.groupBy(col("event_type"))
+        .agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+      base.join(broadcast(ext), "event_type")
+        .select(col("event_id"), col("event_type"),
+          when(col("mx") === col("mn"), 0L)
+            .otherwise(expr("((cents - mn) * 10000) div (mx - mn)"))
+            .cast("long").as("scaled"))
+    }),
+
     // DISCRETE per-group quantiles by explicit rank (q121/q175 are
     // the interpolated/approximate forms): the value AT position
     // ceil(p·n) of each type's sorted order — a real data point,
@@ -781,6 +829,35 @@ object ScaleOps {
                   ORDER BY md5('nt' || doc_id::VARCHAR), doc_id)::BIGINT
                   AS shard
          FROM documents""",
+    "q268_mad_outliers" ->
+      """WITH b AS (
+           SELECT event_id, event_type, round(value * 100, 0)::BIGINT AS cents
+           FROM events),
+         r1 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                  ORDER BY cents, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n FROM b),
+         med AS (SELECT event_type, cents AS med FROM r1 WHERE rn = (n+1)//2),
+         d AS (SELECT b.event_id, b.event_type, b.cents, m.med,
+                      abs(b.cents - m.med) AS adev
+               FROM b JOIN med m USING (event_type)),
+         r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                  ORDER BY adev, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n FROM d),
+         mad AS (SELECT event_type, adev AS mad FROM r2 WHERE rn = (n+1)//2)
+         SELECT d.event_id, d.event_type, d.cents, d.med, mad.mad
+         FROM d JOIN mad USING (event_type)
+         WHERE d.adev > 3 * mad.mad""",
+    "q263_minmax_scale" ->
+      """WITH b AS (
+           SELECT event_id, event_type, round(value * 100, 0)::BIGINT AS cents
+           FROM events),
+         ext AS (SELECT event_type, min(cents) AS mn, max(cents) AS mx
+                 FROM b GROUP BY 1)
+         SELECT b.event_id, b.event_type,
+                CASE WHEN ext.mx = ext.mn THEN 0
+                     ELSE (b.cents - ext.mn) * 10000 // (ext.mx - ext.mn)
+                END::BIGINT AS scaled
+         FROM b JOIN ext USING (event_type)""",
     "q217_winsorize" ->
       """WITH b AS (
            SELECT event_id, round(value * 100, 0)::BIGINT AS cents

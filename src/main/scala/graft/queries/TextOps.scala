@@ -72,6 +72,28 @@ object TextOps {
         .groupBy(md5(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))),
 
+    // Incremental (snapshot-vs-delta) dedup — the production shape
+    // of q32: the corpus is an immutable BASE snapshot (doc_id % 10
+    // != 0 here) and a freshly-ingested DELTA batch (doc_id % 10 =
+    // 0). A delta doc ships iff (a) it is the min-id representative
+    // of its content digest WITHIN the delta and (b) the digest
+    // appears nowhere in the base — one delta-side aggregate plus a
+    // LEFT ANTI join against the base's digest projection. Only
+    // md5 digests ever shuffle (never text), and the base is never
+    // re-clustered: daily ingestion costs O(|delta| + |base|·16 B),
+    // not a full-corpus re-dedup.
+    "q259_incremental_dedup" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val base = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(md5(col("text")).as("fp")).distinct()
+      val deltaRep = docs.filter(col("doc_id") % 10 === 0)
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("n_delta_copies"))
+      deltaRep.join(base, Seq("fp"), "left_anti")
+        .select(col("doc_id"), col("fp"), col("n_delta_copies"))
+    }),
+
     // Quality scoring: length / punctuation / stopword signals.
     // Ratios are exact rationals (int/int) → bit-identical across
     // engines.
@@ -629,6 +651,28 @@ object TextOps {
         .select(col("doc_id"), col("n_occ"))
     }),
 
+    // Positional phrase search — q254's conjunctive index upgraded
+    // with positions: postings become (doc_id, term, pos) and the
+    // phrase "fast table" is the pos₂ = pos₁ + 1 adjacency join
+    // between the two terms' lists. Postings are restricted to the
+    // query terms BEFORE any shuffle (map-side isin), the join is
+    // doc-keyed with the adjacency as a residual predicate, and the
+    // per-doc match count is the ranker evidence. Shuffle volume is
+    // the two posting lists — never the corpus — at any scale.
+    "q264_phrase_search" -> ((s, d) => {
+      val posts = parallelized(Tables(s, d).documents)
+        .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "tok")))
+        .filter(col("tok").isin("fast", "table"))
+      val a = posts.filter(col("tok") === "fast")
+        .select(col("doc_id"), col("pos").as("p1"))
+      val b = posts.filter(col("tok") === "table")
+        .select(col("doc_id"), col("pos").as("p2"))
+      a.join(b, Seq("doc_id"))
+        .filter(col("p2") === col("p1") + 1)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_phrase"))
+    }),
+
     // Unicode NFC normalization (native NfcNormalize codegen
     // expression): composed and decomposed forms of the same visible
     // text — planted here as "café" in both encodings by doc parity
@@ -901,6 +945,26 @@ object TextOps {
     "q32_exact_dedup" ->
       """SELECT md5(text) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies
          FROM documents GROUP BY 1""",
+    "q264_phrase_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         o AS (SELECT doc_id, unnest(ws) AS tok,
+                      generate_subscripts(ws, 1) AS ord FROM t)
+         SELECT a.doc_id, count(*)::BIGINT AS n_phrase
+         FROM o a JOIN o b
+           ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+         WHERE a.tok = 'fast' AND b.tok = 'table'
+         GROUP BY 1""",
+    "q259_incremental_dedup" ->
+      """WITH base AS (
+           SELECT DISTINCT md5(text) AS fp FROM documents
+           WHERE doc_id % 10 <> 0),
+         delta AS (
+           SELECT md5(text) AS fp, min(doc_id) AS doc_id,
+                  count(*)::BIGINT AS n_delta_copies
+           FROM documents WHERE doc_id % 10 = 0 GROUP BY 1)
+         SELECT d.doc_id, d.fp, d.n_delta_copies
+         FROM delta d LEFT JOIN base b ON b.fp = d.fp
+         WHERE b.fp IS NULL""",
     "q33_quality" ->
       """SELECT doc_id,
                 length(text)::BIGINT AS n_chars,
