@@ -406,6 +406,32 @@ object EtlOps {
       prof.join(modal, "user_id")
     }),
 
+    // OHLC bar building — the time-series downsampling every
+    // tick-to-candle pipeline runs: per (type, hour) bucket, open =
+    // first value, high/low = extremes, close = last value, plus
+    // tick volume. First/last are row_number window picks under the
+    // (ts, event_id) total order (engine first()/arg_min conventions
+    // differ, explicit ranks never do), folded into ONE per-bucket
+    // aggregate via rank-gated min/max. Buckets parallelize freely;
+    // all values integer cents.
+    "q272_ohlc_bars" -> ((s, d) => {
+      val base = Tables(s, d).events
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .withColumn("bar", date_trunc("hour", col("ts")))
+      val wA = Window.partitionBy(col("event_type"), col("bar"))
+        .orderBy(col("ts"), col("event_id"))
+      val wD = Window.partitionBy(col("event_type"), col("bar"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      base.withColumn("ra", row_number().over(wA))
+        .withColumn("rd", row_number().over(wD))
+        .groupBy(col("event_type"),
+          date_format(col("bar"), "yyyy-MM-dd HH:00").as("bar_hr"))
+        .agg(min(when(col("ra") === 1, col("cents"))).as("open"),
+          max(col("cents")).as("high"), min(col("cents")).as("low"),
+          min(when(col("rd") === 1, col("cents"))).as("close"),
+          count(lit(1)).as("n_ticks"))
+    }),
+
     // CUSUM changepoint detection on the daily event-count series,
     // per event type — the drift-localization twin of q194's anomaly
     // flags: the changepoint is the day maximizing |S_i|, S_i =
@@ -1428,6 +1454,24 @@ object EtlOps {
          SELECT p.user_id, p.first_seen, p.last_seen, p.n_events,
                 p.value_cents, r.modal_type
          FROM prof p JOIN r ON r.user_id = p.user_id AND r.rk = 1""",
+    "q272_ohlc_bars" ->
+      """WITH b AS (
+           SELECT event_type, event_id, ts,
+                  round(value * 100, 0)::BIGINT AS cents,
+                  date_trunc('hour', ts) AS bar
+           FROM events),
+         r AS (SELECT *,
+                 row_number() OVER (PARTITION BY event_type, bar
+                   ORDER BY ts, event_id) AS ra,
+                 row_number() OVER (PARTITION BY event_type, bar
+                   ORDER BY ts DESC, event_id DESC) AS rd
+               FROM b)
+         SELECT event_type, strftime(bar, '%Y-%m-%d %H:00') AS bar_hr,
+                min(CASE WHEN ra = 1 THEN cents END)::BIGINT AS open,
+                max(cents)::BIGINT AS high, min(cents)::BIGINT AS low,
+                min(CASE WHEN rd = 1 THEN cents END)::BIGINT AS close,
+                count(*)::BIGINT AS n_ticks
+         FROM r GROUP BY 1, 2""",
     "q261_cusum_changepoint" ->
       """WITH daily AS (
            SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS cnt

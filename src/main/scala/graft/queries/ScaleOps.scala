@@ -524,6 +524,23 @@ object ScaleOps {
             least(col("p95"), col("cents").cast("double"))).as("winsorized"))
     }),
 
+    // Join-key skew profiler — the pre-flight diagnostic that decides
+    // whether q89's salting is needed: per-key row counts, keys
+    // exceeding 1.2× the mean flagged via the float-free cross-
+    // multiplication n·n_keys·10 > n_rows·12, with the hotness ratio
+    // emitted as an exact percent (n·n_keys·100 div n_rows). One
+    // key aggregate + a 1-row broadcast; the profile output is
+    // bounded by the number of HOT keys, never the key space.
+    "q270_skew_profile" -> ((s, d) => {
+      val cnt = Tables(s, d).events
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      val tot = cnt.agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"))
+      cnt.crossJoin(broadcast(tot))
+        .filter(col("n") * col("n_keys") * 10 > col("n_rows") * 12)
+        .select(col("user_id"), col("n"), col("n_keys"), col("n_rows"),
+          expr("(n * n_keys * 100) div n_rows").as("x_avg_pct"))
+    }),
+
     // MAD robust outlier detection — the median-based twin of q194's
     // mean/σ z-test, immune to the very outliers it hunts: per type,
     // med = the DISCRETE median (value at rank (n+1) div 2 — a real
@@ -829,6 +846,15 @@ object ScaleOps {
                   ORDER BY md5('nt' || doc_id::VARCHAR), doc_id)::BIGINT
                   AS shard
          FROM documents""",
+    "q270_skew_profile" ->
+      """WITH c AS (SELECT user_id, count(*)::BIGINT AS n
+                    FROM events GROUP BY 1),
+         t AS (SELECT count(*)::BIGINT AS n_keys, sum(n)::BIGINT AS n_rows
+               FROM c)
+         SELECT c.user_id, c.n, t.n_keys, t.n_rows,
+                ((c.n * t.n_keys * 100) // t.n_rows)::BIGINT AS x_avg_pct
+         FROM c, t
+         WHERE c.n * t.n_keys * 10 > t.n_rows * 12""",
     "q268_mad_outliers" ->
       """WITH b AS (
            SELECT event_id, event_type, round(value * 100, 0)::BIGINT AS cents

@@ -651,6 +651,33 @@ object TextOps {
         .select(col("doc_id"), col("n_occ"))
     }),
 
+    // N-gram novelty scoring against a reference corpus — q259 asks
+    // "is this doc a duplicate?", this asks "how much of it is NEW?":
+    // per delta doc (doc_id % 10 = 0), the share of its distinct
+    // 8-gram fingerprints absent from the base snapshot's gram set.
+    // The novelty fraction drives dedup-aware mixing (upweight novel
+    // crawl, downweight boilerplate). Grams are md5 of the joined
+    // 8-token window (engine-reproducible, unlike seeded xxhash
+    // shingles); only 16-byte digests shuffle, and the base side is
+    // a distinct-projection — no text ever moves. The LEFT join's
+    // null-hit count is the novelty tally.
+    "q271_novelty_score" -> ((s, d) => {
+      val docs = parallelized(Tables(s, d).documents)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 8)
+      val grams = docs.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 7)," +
+          " i -> md5(array_join(slice(ws, i, 8), ' ')))")).as("g"))
+      val base = grams.filter(col("doc_id") % 10 =!= 0)
+        .select(col("g")).distinct().withColumn("hit", lit(1))
+      grams.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("g")).distinct()
+        .join(base, Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_novel"))
+    }),
+
     // Positional phrase search — q254's conjunctive index upgraded
     // with positions: postings become (doc_id, term, pos) and the
     // phrase "fast table" is the pos₂ = pos₁ + 1 adjacency join
@@ -945,6 +972,19 @@ object TextOps {
     "q32_exact_dedup" ->
       """SELECT md5(text) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies
          FROM documents GROUP BY 1""",
+    "q271_novelty_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents
+                    WHERE len(string_split(text, ' ')) >= 8),
+         g AS (SELECT doc_id,
+                      md5(array_to_string(list_slice(ws, i, i + 7), ' ')) AS g
+               FROM t, unnest(generate_series(1, len(ws) - 7)) AS s(i)),
+         base AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 <> 0),
+         delta AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 10 = 0)
+         SELECT d.doc_id, count(*)::BIGINT AS n_grams,
+                (count(*) FILTER (b.g IS NULL))::BIGINT AS n_novel
+         FROM delta d LEFT JOIN base b ON b.g = d.g
+         GROUP BY 1""",
     "q264_phrase_search" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          o AS (SELECT doc_id, unnest(ws) AS tok,

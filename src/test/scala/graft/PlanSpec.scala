@@ -162,6 +162,26 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected only the final aggregate exchange, got $exchanges\n$p")
   }
 
+  test("q258: skyline dominance never plans quadratically — no cartesian/nested-loop") {
+    val p = plan("q258_pareto_skyline")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+  }
+
+  test("q264: phrase adjacency is an equi-join over term-filtered postings") {
+    val p = plan("q264_phrase_search")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "adjacency must ride the doc_id equi-join as a residual, not a nested loop")
+    assert(p.contains("fast") && p.contains("table"),
+      "term filters must appear in the plan (postings restricted before the join)")
+  }
+
+  test("q266: co-occurrence self-join is customer-keyed — no cartesian blow-up") {
+    val p = plan("q266_item_cooccurrence")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+  }
+
   test("q121: quantiles come from a range exchange, not a one-reducer percentile buffer") {
     val p = plan("q121_gap_outliers")
     assert(p.toLowerCase.contains("rangepartitioning"),
