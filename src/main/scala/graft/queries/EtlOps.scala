@@ -406,6 +406,115 @@ object EtlOps {
       prof.join(modal, "user_id")
     }),
 
+    // Grain-uniqueness audit — the dbt-style "is this key actually
+    // the table's grain?" test, run for candidate grains of the
+    // lineitem fact: rows, distinct keys, and keys carrying
+    // duplicates for (l_orderkey) — NOT the grain — vs
+    // (l_orderkey, l_linenumber) — the true grain, 0 dups. One
+    // aggregate per candidate; verdicts are counts, so a load that
+    // silently double-writes fails the gate loudly.
+    "q276_grain_audit" -> ((s, d) => {
+      val li = Tables(s, d).lineitem
+      def audit(grain: String, keyed: DataFrame): DataFrame =
+        keyed.groupBy(col("k")).agg(count(lit(1)).as("n"))
+          .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_keys"),
+            sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_keys"))
+          .select(lit(grain).as("grain"),
+            col("n_rows").cast("long").as("n_rows"), col("n_keys"),
+            col("n_dup_keys").cast("long").as("n_dup_keys"))
+      audit("l_orderkey",
+          li.select(col("l_orderkey").cast("string").as("k")))
+        .unionByName(audit("l_orderkey+l_linenumber",
+          li.select(concat_ws(":", col("l_orderkey"),
+            col("l_linenumber")).as("k"))))
+    }),
+
+    // Compaction planner — q164 executes compaction, this PLANS it
+    // fleet-wide from metadata-sized aggregates: per source, total
+    // char mass, the 64 KiB-target file count ceil(chars/65536) (as
+    // the integer (chars + 65535) div 65536), and rows per planned
+    // file — the small-files report an object-store lake runs before
+    // every rewrite. One tiny aggregate; no data moves to plan.
+    "q277_file_plan" -> ((s, d) => {
+      Tables(s, d).documents
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .select(col("source"), col("n_docs"),
+          col("total_chars").cast("long").as("total_chars"),
+          expr("(total_chars + 65535) div 65536").as("planned_files"),
+          expr("n_docs div greatest(1L, (total_chars + 65535) div 65536)")
+            .as("docs_per_file"))
+    }),
+
+    // Period-over-period reporting: monthly revenue with
+    // month-over-month and year-over-year deltas in exact permille
+    // (delta·1000 div prior) — the growth lens every finance rollup
+    // ships. Two lag() picks over one month-ordered window per
+    // metric; months are few, so the unpartitioned window is
+    // metadata-sized at any corpus scale.
+    "q278_period_over_period" -> ((s, d) => {
+      val monthly = Tables(s, d).orders
+        .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(sum(col("cents")).as("rev_cents"))
+      val w = Window.orderBy(col("month"))
+      monthly
+        .withColumn("prev_m", lag(col("rev_cents"), 1).over(w))
+        .withColumn("prev_y", lag(col("rev_cents"), 12).over(w))
+        .select(col("month"), col("rev_cents"),
+          expr("CASE WHEN prev_m IS NULL OR prev_m = 0 THEN NULL " +
+            "ELSE ((rev_cents - prev_m) * 1000) div prev_m END").as("mom_pm"),
+          expr("CASE WHEN prev_y IS NULL OR prev_y = 0 THEN NULL " +
+            "ELSE ((rev_cents - prev_y) * 1000) div prev_y END").as("yoy_pm"))
+    }),
+
+    // Bounce-rate KPI: share of single-event sessions per day, in
+    // exact permille — the engagement headline a product dashboard
+    // derives from q51's sessionization. Session sizing is one
+    // user-partitioned aggregate; the daily rollup keys on the
+    // session's start date.
+    "q279_bounce_rate" -> ((s, d) => {
+      withSessionIds(Tables(s, d).events)
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_ev"), min(col("ts")).as("start_ts"))
+        .groupBy(date_format(col("start_ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_ev") === 1, 1L).otherwise(0L)).as("n_bounce"))
+        .select(col("day"), col("n_sessions"),
+          col("n_bounce").cast("long").as("n_bounce"),
+          expr("(n_bounce * 1000) div n_sessions").as("bounce_pm"))
+    }),
+
+    // Order-independent table fingerprints — the state-compare
+    // primitive behind "did anything change since the last run?"
+    // incremental orchestration: per table, row count + a checksum
+    // that is the SUM of 24-bit md5 integers over an engine-stable
+    // canonical row string (key + an integer-stable content column —
+    // never raw doubles, whose to-string rendering differs across
+    // engines). Sum is commutative, so the checksum needs no global
+    // sort at any scale; 6 independent one-row aggregates union.
+    "q273_table_fingerprint" -> ((s, d) => {
+      val t = Tables(s, d)
+      def fp(name: String, df: DataFrame, canonical: org.apache.spark.sql.Column): DataFrame =
+        df.select(canonical.as("__c"))
+          .select(expr(
+            "CAST(conv(substr(md5(__c), 1, 6), 16, 10) AS BIGINT)").as("u"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("u")).as("checksum"))
+          .select(lit(name).as("table_name"), col("n_rows"),
+            col("checksum").cast("long").as("checksum"))
+      fp("region", t.region, col("r_regionkey").cast("string"))
+        .unionByName(fp("nation", t.nation, col("n_nationkey").cast("string")))
+        .unionByName(fp("customer", t.customer,
+          concat_ws(":", col("c_custkey"), col("c_nationkey"))))
+        .unionByName(fp("orders", t.orders,
+          concat_ws(":", col("o_orderkey"),
+            round(col("o_totalprice") * 100, 0).cast("long"))))
+        .unionByName(fp("lineitem", t.lineitem,
+          concat_ws(":", col("l_orderkey"), col("l_linenumber"))))
+        .unionByName(fp("documents", t.documents,
+          concat_ws(":", col("doc_id"), col("n_chars"))))
+    }),
+
     // OHLC bar building — the time-series downsampling every
     // tick-to-candle pipeline runs: per (type, hour) bucket, open =
     // first value, high/low = extremes, close = last value, plus
@@ -1454,6 +1563,100 @@ object EtlOps {
          SELECT p.user_id, p.first_seen, p.last_seen, p.n_events,
                 p.value_cents, r.modal_type
          FROM prof p JOIN r ON r.user_id = p.user_id AND r.rk = 1""",
+    "q276_grain_audit" ->
+      """WITH a AS (
+           SELECT l_orderkey::VARCHAR AS k FROM lineitem),
+         ga AS (SELECT k, count(*) AS n FROM a GROUP BY 1),
+         b AS (
+           SELECT l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR AS k
+           FROM lineitem),
+         gb AS (SELECT k, count(*) AS n FROM b GROUP BY 1)
+         SELECT 'l_orderkey' AS grain, sum(n)::BIGINT AS n_rows,
+                count(*)::BIGINT AS n_keys,
+                (count(*) FILTER (n > 1))::BIGINT AS n_dup_keys
+         FROM ga
+         UNION ALL
+         SELECT 'l_orderkey+l_linenumber', sum(n)::BIGINT,
+                count(*)::BIGINT, (count(*) FILTER (n > 1))::BIGINT
+         FROM gb""",
+    "q277_file_plan" ->
+      """WITH s AS (
+           SELECT source, count(*)::BIGINT AS n_docs,
+                  sum(n_chars)::BIGINT AS total_chars
+           FROM documents GROUP BY 1)
+         SELECT source, n_docs, total_chars,
+                ((total_chars + 65535) // 65536)::BIGINT AS planned_files,
+                (n_docs // greatest(1, (total_chars + 65535) // 65536))::BIGINT
+                  AS docs_per_file
+         FROM s""",
+    "q278_period_over_period" ->
+      """WITH m AS (
+           SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                  sum(round(o_totalprice * 100, 0)::BIGINT)::BIGINT AS rev_cents
+           FROM orders GROUP BY 1),
+         l AS (SELECT month, rev_cents,
+                 lag(rev_cents, 1) OVER (ORDER BY month) AS prev_m,
+                 lag(rev_cents, 12) OVER (ORDER BY month) AS prev_y
+               FROM m)
+         SELECT month, rev_cents,
+                CASE WHEN prev_m IS NULL OR prev_m = 0 THEN NULL
+                     ELSE ((rev_cents - prev_m) * 1000) // prev_m
+                END::BIGINT AS mom_pm,
+                CASE WHEN prev_y IS NULL OR prev_y = 0 THEN NULL
+                     ELSE ((rev_cents - prev_y) * 1000) // prev_y
+                END::BIGINT AS yoy_pm
+         FROM l""",
+    "q279_bounce_rate" ->
+      """WITH x AS (
+           SELECT user_id, event_id, ts, epoch_us(ts) AS tsu,
+                  lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         f AS (SELECT *, CASE WHEN prev IS NULL OR tsu - prev > 1800000000
+                              THEN 1 ELSE 0 END AS new_s
+               FROM x),
+         s0 AS (SELECT user_id, ts,
+                  sum(new_s) OVER (PARTITION BY user_id
+                    ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING)::BIGINT AS sid
+                FROM f),
+         sess AS (SELECT user_id, sid, count(*) AS n_ev, min(ts) AS start_ts
+                  FROM s0 GROUP BY 1, 2),
+         daily AS (SELECT strftime(start_ts, '%Y-%m-%d') AS day,
+                          count(*)::BIGINT AS n_sessions,
+                          (count(*) FILTER (n_ev = 1))::BIGINT AS n_bounce
+                   FROM sess GROUP BY 1)
+         SELECT day, n_sessions, n_bounce,
+                ((n_bounce * 1000) // n_sessions)::BIGINT AS bounce_pm
+         FROM daily""",
+    "q273_table_fingerprint" ->
+      """SELECT 'region' AS table_name, count(*)::BIGINT AS n_rows,
+                sum(('0x' || substr(md5(r_regionkey::VARCHAR), 1, 6))::BIGINT)
+                  ::BIGINT AS checksum
+         FROM region
+         UNION ALL
+         SELECT 'nation', count(*)::BIGINT,
+                sum(('0x' || substr(md5(n_nationkey::VARCHAR), 1, 6))::BIGINT)::BIGINT
+         FROM nation
+         UNION ALL
+         SELECT 'customer', count(*)::BIGINT,
+                sum(('0x' || substr(md5(c_custkey::VARCHAR || ':' ||
+                  c_nationkey::VARCHAR), 1, 6))::BIGINT)::BIGINT
+         FROM customer
+         UNION ALL
+         SELECT 'orders', count(*)::BIGINT,
+                sum(('0x' || substr(md5(o_orderkey::VARCHAR || ':' ||
+                  (round(o_totalprice * 100, 0)::BIGINT)::VARCHAR), 1, 6))::BIGINT)::BIGINT
+         FROM orders
+         UNION ALL
+         SELECT 'lineitem', count(*)::BIGINT,
+                sum(('0x' || substr(md5(l_orderkey::VARCHAR || ':' ||
+                  l_linenumber::VARCHAR), 1, 6))::BIGINT)::BIGINT
+         FROM lineitem
+         UNION ALL
+         SELECT 'documents', count(*)::BIGINT,
+                sum(('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+                  n_chars::VARCHAR), 1, 6))::BIGINT)::BIGINT
+         FROM documents""",
     "q272_ohlc_bars" ->
       """WITH b AS (
            SELECT event_type, event_id, ts,

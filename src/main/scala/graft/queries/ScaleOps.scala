@@ -541,6 +541,47 @@ object ScaleOps {
           expr("(n * n_keys * 100) div n_rows").as("x_avg_pct"))
     }),
 
+    // Join-cardinality preflight — q270 profiles one side's skew,
+    // this predicts the OUTPUT of a self/equi join before running
+    // it: per-key counts → Σ n(k)² total pairs plus the top-5
+    // contributing keys. The estimate costs one aggregate over the
+    // key column only; the top-N is a k-row TakeOrdered, never a
+    // global sort. The guard that decides whether a q266-style
+    // pair build is safe to launch.
+    "q274_join_preflight" -> ((s, d) => {
+      val cnt = Tables(s, d).lineitem
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+        .withColumn("pairs", col("n") * col("n"))
+      val tot = cnt.agg(sum(col("pairs")).as("total_pairs"),
+        count(lit(1)).as("n_keys"))
+      cnt.orderBy(col("pairs").desc, col("l_partkey")).limit(5)
+        .crossJoin(broadcast(tot))
+        .select(col("l_partkey"), col("n"), col("pairs"),
+          col("total_pairs").cast("long").as("total_pairs"), col("n_keys"))
+    }),
+
+    // Equi-WIDTH histogram (q126 is equi-depth): per type, 16 fixed-
+    // width bins over the broadcast [min, max] — bin index and both
+    // edges derived by pure integer division so every engine draws
+    // identical fences. The layout histogram that drives zone-map
+    // and bin-packing decisions; one aggregate + a narrow bucketing
+    // pass.
+    "q275_histogram_equiwidth" -> ((s, d) => {
+      val base = Tables(s, d).events
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      val ext = base.groupBy(col("event_type"))
+        .agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+      base.join(broadcast(ext), "event_type")
+        .withColumn("bin", least(lit(15L),
+          expr("((cents - mn) * 16) div (mx - mn + 1)")))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("mn")).as("mn"), min(col("mx")).as("mx"))
+        .select(col("event_type"), col("bin"), col("n"),
+          expr("mn + (bin * (mx - mn + 1)) div 16").as("lo_edge"),
+          expr("mn + ((bin + 1) * (mx - mn + 1)) div 16 - 1").as("hi_edge"))
+    }),
+
     // MAD robust outlier detection — the median-based twin of q194's
     // mean/σ z-test, immune to the very outliers it hunts: per type,
     // med = the DISCRETE median (value at rank (n+1) div 2 — a real
@@ -846,6 +887,31 @@ object ScaleOps {
                   ORDER BY md5('nt' || doc_id::VARCHAR), doc_id)::BIGINT
                   AS shard
          FROM documents""",
+    "q274_join_preflight" ->
+      """WITH c AS (SELECT l_partkey, count(*)::BIGINT AS n,
+                           (count(*) * count(*))::BIGINT AS pairs
+                    FROM lineitem GROUP BY 1),
+         t AS (SELECT sum(pairs)::BIGINT AS total_pairs,
+                      count(*)::BIGINT AS n_keys FROM c)
+         SELECT c.l_partkey, c.n, c.pairs, t.total_pairs, t.n_keys
+         FROM c, t
+         ORDER BY c.pairs DESC, c.l_partkey LIMIT 5""",
+    "q275_histogram_equiwidth" ->
+      """WITH b AS (
+           SELECT event_type, round(value * 100, 0)::BIGINT AS cents
+           FROM events),
+         ext AS (SELECT event_type, min(cents) AS mn, max(cents) AS mx
+                 FROM b GROUP BY 1),
+         binned AS (
+           SELECT b.event_type,
+                  least(15, ((b.cents - ext.mn) * 16) // (ext.mx - ext.mn + 1))
+                    ::BIGINT AS bin,
+                  ext.mn, ext.mx
+           FROM b JOIN ext USING (event_type))
+         SELECT event_type, bin, count(*)::BIGINT AS n,
+                (mn + (bin * (mx - mn + 1)) // 16)::BIGINT AS lo_edge,
+                (mn + ((bin + 1) * (mx - mn + 1)) // 16 - 1)::BIGINT AS hi_edge
+         FROM binned GROUP BY 1, 2, mn, mx""",
     "q270_skew_profile" ->
       """WITH c AS (SELECT user_id, count(*)::BIGINT AS n
                     FROM events GROUP BY 1),
