@@ -118,6 +118,9 @@ object GraftFunctions {
     // conf-gated (spark.graft.rewrite.bitmapDistinct) — a no-op
     // unless explicitly enabled, so injecting unconditionally is safe
     e.injectOptimizerRule(_ => graft.plans.BitmapDistinctRewrite)
+    // only fires on AsOfJoinNode plans (built via NativeAsOfJoin's
+    // builder API) — inert for every other query
+    e.injectPlannerStrategy(_ => graft.plans.NativeAsOfJoin.AsOfJoinStrategy)
   }
 }
 

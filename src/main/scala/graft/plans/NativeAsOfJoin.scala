@@ -1,0 +1,252 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, BindReferences, BoundReference, Expression,
+  GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native as-of join — the whole-operator form of `AsOfJoin`'s
+  * union+window composition: a custom logical node, a planner
+  * Strategy, and a sort-merge physical operator, the (c) rung of the
+  * custom-operator ladder (compose → Expression → LogicalPlan +
+  * Strategy + SparkPlan).
+  *
+  * Semantics (identical to `graft.operators.AsOfJoin`, A/B-pinned in
+  * `NativeAsOfJoinSpec`): for every left row, attach the value
+  * columns of the right row with the greatest `rightTs <= leftTs`
+  * (backward) or smallest `rightTs >= leftTs` (forward) for the same
+  * key; unmatched and null-key/ts left rows surface with null value
+  * columns; null-key/ts right rows never match.
+  *
+  * Physical shape: both children hash-clustered on the key and
+  * sorted (key, ts) — EnsureRequirements inserts exactly one
+  * exchange + one sort per side — then a single streaming merge walk
+  * per partition holds ONE candidate row of state (backward) or a
+  * one-row lookahead (forward). Per-partition cost is
+  * O(|L| + |R|) with O(1) state: no union materialization, no
+  * window buffering, no last(ignoreNulls) carry chain — the operator
+  * a 100 TB × 100 TB as-of enrichment wants.
+  */
+object NativeAsOfJoin {
+
+  /** Logical node. Built PRE-RESOLVED (all expressions are
+    * attributes of the analyzed children), so the analyzer passes it
+    * through unchanged and DeduplicateRelations never has to guess
+    * about key/value expression rewrites.
+    *
+    * `valueOutput` (the node-produced nullable copies of the right
+    * value columns) is a CONSTRUCTOR field, minted exactly once by
+    * the builder: computing it inside `output` would re-mint fresh
+    * expression ids on every tree copy (ColumnPruning, AQE
+    * re-planning), detaching every downstream reference.
+    */
+  case class AsOfJoinNode(
+      left: LogicalPlan,
+      right: LogicalPlan,
+      leftKey: Attribute,
+      leftTs: Attribute,
+      rightKey: Attribute,
+      rightTs: Attribute,
+      rightValues: Seq[Attribute],
+      valueOutput: Seq[Attribute],
+      forward: Boolean) extends BinaryNode {
+    override def output: Seq[Attribute] = left.output ++ valueOutput
+    // declared node-produced — without this the node reports
+    // missingInput (the `!` plan marker)
+    override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+      org.apache.spark.sql.catalyst.expressions.AttributeSet(valueOutput)
+    override protected def withNewChildrenInternal(
+        newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+      copy(left = newLeft, right = newRight)
+  }
+
+  object AsOfJoinStrategy extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case n: AsOfJoinNode =>
+        AsOfJoinExec(planLater(n.left), planLater(n.right),
+          n.leftKey, n.leftTs, n.rightKey, n.rightTs, n.rightValues,
+          n.forward, n.left.output ++ n.valueOutput) :: Nil
+      case _ => Nil
+    }
+  }
+
+  case class AsOfJoinExec(
+      left: SparkPlan,
+      right: SparkPlan,
+      leftKey: Attribute,
+      leftTs: Attribute,
+      rightKey: Attribute,
+      rightTs: Attribute,
+      rightValues: Seq[Attribute],
+      forward: Boolean,
+      override val output: Seq[Attribute]) extends BinaryExecNode {
+
+    override def requiredChildDistribution: Seq[Distribution] =
+      ClusteredDistribution(leftKey :: Nil) ::
+        ClusteredDistribution(rightKey :: Nil) :: Nil
+
+    // The right side also orders by the payload columns: (key, ts)
+    // duplicates then resolve deterministically to the MAX payload
+    // backward (last duplicate consumed wins) and the MIN payload
+    // forward (first head wins) — bit-identical to the composed
+    // operator's max/min-struct collapse.
+    override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+      Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+        Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ++
+          rightValues.map(SortOrder(_, Ascending)))
+
+    override def outputPartitioning: Partitioning = left.outputPartitioning
+
+    // left (key, ts) order survives the merge walk
+    override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+    override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+      org.apache.spark.sql.catalyst.expressions.AttributeSet(
+        output.drop(left.output.size))
+
+    override protected def withNewChildrenInternal(
+        newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+      copy(left = newLeft, right = newRight)
+
+    protected override def doExecute(): RDD[InternalRow] = {
+      val lKeyB = BindReferences.bindReference(leftKey: Expression, left.output)
+      val lTsB = BindReferences.bindReference(leftTs: Expression, left.output)
+      val rKeyB = BindReferences.bindReference(rightKey: Expression, right.output)
+      val rTsB = BindReferences.bindReference(rightTs: Expression, right.output)
+      val keyOrd = GraftColumnBridge.interpretedOrdering(leftKey.dataType)
+      val tsOrd = GraftColumnBridge.interpretedOrdering(leftTs.dataType)
+      val rightVals = rightValues
+      val rightOut = right.output
+      val leftOut = left.output
+      val fwd = forward
+
+      left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+        val rValProj = UnsafeProjection.create(rightVals, rightOut)
+        val resultProj = UnsafeProjection.create(
+          (leftOut ++ rightVals).zipWithIndex.map { case (a, i) =>
+            BoundReference(i, a.dataType, nullable = true)
+          })
+        val nullVals = new GenericInternalRow(rightVals.size)
+        val joined = new JoinedRow
+        val rBuf = rIter.buffered
+
+        // eval'd UTF8String keys point into reused row buffers — copy
+        // anything retained across next()
+        def own(v: Any): Any = v match {
+          case s: UTF8String => s.clone()
+          case x => x
+        }
+
+        // backward state: payload + key of the last same-key right row
+        // consumed with rts <= current lts
+        var candKey: Any = null
+        var candVals: UnsafeRow = null
+
+        lIter.map { lr =>
+          val lk = lKeyB.eval(lr)
+          val lts = lTsB.eval(lr)
+          if (lk == null || lts == null) {
+            resultProj(joined(lr, nullVals))
+          } else if (!fwd) {
+            // consume right rows that are before-or-equal (key, ts)
+            var advance = true
+            while (advance && rBuf.hasNext) {
+              val hr = rBuf.head
+              val rk = rKeyB.eval(hr)
+              val rts = rTsB.eval(hr)
+              if (rk == null || rts == null) rBuf.next()
+              else {
+                val c = keyOrd.compare(rk, lk)
+                if (c < 0 || (c == 0 && tsOrd.compare(rts, lts) <= 0)) {
+                  if (c == 0) {
+                    candKey = own(rk)
+                    candVals = rValProj(hr).copy()
+                  }
+                  rBuf.next()
+                } else advance = false
+              }
+            }
+            val matched = candKey != null && keyOrd.compare(candKey, lk) == 0
+            resultProj(joined(lr, if (matched) candVals else nullVals))
+          } else {
+            // forward: advance right strictly before (key, ts); the
+            // surviving head (same key) is the earliest-later match —
+            // NOT consumed, so later left rows can share it
+            var advance = true
+            while (advance && rBuf.hasNext) {
+              val hr = rBuf.head
+              val rk = rKeyB.eval(hr)
+              val rts = rTsB.eval(hr)
+              if (rk == null || rts == null) rBuf.next()
+              else {
+                val c = keyOrd.compare(rk, lk)
+                if (c < 0 || (c == 0 && tsOrd.compare(rts, lts) < 0)) rBuf.next()
+                else advance = false
+              }
+            }
+            val matched = rBuf.hasNext && {
+              val rk = rKeyB.eval(rBuf.head)
+              rk != null && keyOrd.compare(rk, lk) == 0
+            }
+            resultProj(joined(lr, if (matched) rValProj(rBuf.head) else nullVals))
+          }
+        }
+      }
+    }
+  }
+
+  /** Register the planner strategy on a session (idempotent). */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+  }
+
+  private def attr(plan: LogicalPlan, name: String): Attribute =
+    plan.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"column '$name' not found in ${plan.output.map(_.name).mkString(", ")}"))
+
+  /** Backward as-of (latest `rightTs <= leftTs` per key). Column
+    * names must be unambiguous within each side. The right side is
+    * re-aliased defensively (fresh expression ids), so self-source
+    * as-of joins (left and right carved from the same table) plan
+    * cleanly.
+    */
+  def latestEarlier(left: DataFrame, right: DataFrame, leftKey: String,
+      leftTs: String, rightKey: String, rightTs: String,
+      rightValueCols: Seq[String]): DataFrame =
+    build(left, right, leftKey, leftTs, rightKey, rightTs, rightValueCols,
+      forward = false)
+
+  /** Forward as-of (earliest `rightTs >= leftTs` per key). */
+  def earliestLater(left: DataFrame, right: DataFrame, leftKey: String,
+      leftTs: String, rightKey: String, rightTs: String,
+      rightValueCols: Seq[String]): DataFrame =
+    build(left, right, leftKey, leftTs, rightKey, rightTs, rightValueCols,
+      forward = true)
+
+  private def build(left: DataFrame, right: DataFrame, leftKey: String,
+      leftTs: String, rightKey: String, rightTs: String,
+      rightValueCols: Seq[String], forward: Boolean): DataFrame = {
+    val spark = left.sparkSession
+    ensureRegistered(spark)
+    // fresh exprIds on the right so a self-source join never collides
+    val rFresh = right.toDF(right.columns.toIndexedSeq: _*)
+    val lPlan = GraftColumnBridge.analyzed(left)
+    val rPlan = GraftColumnBridge.analyzed(rFresh)
+    val rVals = rightValueCols.map(attr(rPlan, _))
+    val node = AsOfJoinNode(lPlan, rPlan,
+      attr(lPlan, leftKey), attr(lPlan, leftTs),
+      attr(rPlan, rightKey), attr(rPlan, rightTs),
+      rVals, rVals.map(_.withNullability(true).newInstance()), forward)
+    GraftColumnBridge.ofRows(spark, node)
+  }
+}

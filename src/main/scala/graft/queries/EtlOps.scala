@@ -406,6 +406,27 @@ object EtlOps {
       prof.join(modal, "user_id")
     }),
 
+    // q132's attribution core through the NATIVE as-of operator —
+    // the custom LogicalPlan + Strategy + SparkPlan path (one
+    // sort-merge walk with O(1) state per partition; exchange+sort
+    // per side and nothing else) instead of the union+window
+    // composition. Same oracle discipline as every as-of: the SQL
+    // side replays latest-earlier with a pair join + rank, so the
+    // driver gates the native exec's OUTPUT, not just its specs.
+    "q280_asof_native" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+          col("ts").as("c_ts"))
+      graft.plans.NativeAsOfJoin.latestEarlier(purchases, clicks,
+          "user_id", "ts", "c_user", "c_ts", Seq("c_id"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("c_id"))
+    }),
+
     // Grain-uniqueness audit — the dbt-style "is this key actually
     // the table's grain?" test, run for candidate grains of the
     // lineitem fact: rows, distinct keys, and keys carrying
@@ -1563,6 +1584,23 @@ object EtlOps {
          SELECT p.user_id, p.first_seen, p.last_seen, p.n_events,
                 p.value_cents, r.modal_type
          FROM prof p JOIN r ON r.user_id = p.user_id AND r.rk = 1""",
+    "q280_asof_native" ->
+      """WITH p AS (
+           SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+         c AS (
+           SELECT user_id AS c_user, event_id AS c_id, ts AS c_ts
+           FROM events WHERE event_type = 'click'),
+         j AS (
+           SELECT p.event_id, c.c_id,
+                  row_number() OVER (PARTITION BY p.event_id
+                    ORDER BY c.c_ts DESC, c.c_id DESC) AS rk
+           FROM p JOIN c ON c.c_user = p.user_id AND c.c_ts <= p.ts)
+         SELECT p.event_id, p.user_id,
+                strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+                j.c_id
+         FROM p LEFT JOIN (SELECT event_id, c_id FROM j WHERE rk = 1) j
+           ON j.event_id = p.event_id""",
     "q276_grain_audit" ->
       """WITH a AS (
            SELECT l_orderkey::VARCHAR AS k FROM lineitem),

@@ -1,0 +1,131 @@
+package graft.plans
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native as-of operator must be semantically indistinguishable
+  * from the composed union+window form (`graft.operators.AsOfJoin`)
+  * — including the inclusive boundary, the max/min payload collapse
+  * on right (key, ts) duplicates, and the null contract — while
+  * planning as ONE merge walk (exactly one exchange + one sort per
+  * side, no union, no window).
+  */
+class NativeAsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fixtureLeft: DataFrame = Seq(
+    (100L, 1L, "2024-01-05 00:00:00"),
+    (101L, 1L, "2024-01-10 00:00:00"),
+    (102L, 2L, "2024-01-02 00:00:00"),
+    (103L, 1L, "2024-01-06 00:00:00"))
+    .toDF("event_id", "uid", "ts")
+    .withColumn("ts", col("ts").cast("timestamp"))
+
+  private def fixtureRight: DataFrame = Seq(
+    (1L, "2024-01-01 00:00:00", 7L),
+    (1L, "2024-01-06 00:00:00", 8L),
+    (1L, "2024-01-06 00:00:00", 9L),
+    (2L, "2024-02-01 00:00:00", 10L))
+    .toDF("uid", "od", "oid")
+    .withColumn("od", col("od").cast("timestamp"))
+
+  test("backward: boundary inclusive, duplicate (key, ts) → max payload, no match → null") {
+    val got = NativeAsOfJoin.latestEarlier(fixtureLeft, fixtureRight,
+        "uid", "ts", "uid", "od", Seq("oid"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[Any]("oid")).map(_.asInstanceOf[Long])).toMap
+    assert(got == Map(100L -> Some(7L), 101L -> Some(9L),
+      102L -> None, 103L -> Some(9L)))
+  }
+
+  test("forward: boundary inclusive, duplicate (key, ts) → min payload, no match → null") {
+    val got = NativeAsOfJoin.earliestLater(fixtureLeft, fixtureRight,
+        "uid", "ts", "uid", "od", Seq("oid"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[Any]("oid")).map(_.asInstanceOf[Long])).toMap
+    assert(got == Map(100L -> Some(8L), 101L -> None,
+      102L -> Some(10L), 103L -> Some(8L)))
+  }
+
+  test("null contract matches the composed operator: null key/ts left rows surface unmatched") {
+    val left = Seq(
+      (1L, Option(5L), Option("2024-01-05 00:00:00")),
+      (2L, None, Option("2024-01-05 00:00:00")),
+      (3L, Option(5L), None))
+      .toDF("id", "uid", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val right = Seq((5L, "2024-01-01 00:00:00", 42L))
+      .toDF("uid", "od", "oid")
+      .withColumn("od", col("od").cast("timestamp"))
+    val got = NativeAsOfJoin.latestEarlier(left, right,
+        "uid", "ts", "uid", "od", Seq("oid"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[Any]("oid")).map(_.asInstanceOf[Long])).toMap
+    assert(got == Map(1L -> Some(42L), 2L -> None, 3L -> None))
+  }
+
+  test("A/B vs the composed operator on the real corpus, both directions (self-source)") {
+    val t = graft.Tables(spark, "/root/testdata/sf0.001")
+    val ev = t.events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+        col("ts").as("c_ts"))
+
+    for (fwd <- Seq(false, true)) {
+      val native =
+        if (fwd) NativeAsOfJoin.earliestLater(purchases, clicks,
+          "user_id", "ts", "c_user", "c_ts", Seq("c_id", "c_ts"))
+        else NativeAsOfJoin.latestEarlier(purchases, clicks,
+          "user_id", "ts", "c_user", "c_ts", Seq("c_id", "c_ts"))
+      val composed =
+        if (fwd) graft.operators.AsOfJoin.earliestLater(purchases, clicks,
+          leftKey = col("user_id"), leftTs = col("ts"),
+          rightKey = col("c_user"), rightTs = col("c_ts"),
+          rightValueCols = Seq("c_id", "c_ts"))
+        else graft.operators.AsOfJoin.latestEarlier(purchases, clicks,
+          leftKey = col("user_id"), leftTs = col("ts"),
+          rightKey = col("c_user"), rightTs = col("c_ts"),
+          rightValueCols = Seq("c_id", "c_ts"))
+      val n = native.collect().map(_.toSeq).toSet
+      val c = composed.select(native.columns.map(col): _*)
+        .collect().map(_.toSeq).toSet
+      assert(n == c, s"forward=$fwd: native/composed mismatch " +
+        s"(${n.size} vs ${c.size} distinct rows; " +
+        s"onlyNative=${(n -- c).take(3)}, onlyComposed=${(c -- n).take(3)})")
+    }
+  }
+
+  test("plan: one AsOfJoinExec, one exchange + one sort per side, no union/window") {
+    val t = graft.Tables(spark, "/root/testdata/sf0.001")
+    val purchases = t.events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = t.events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+        col("ts").as("c_ts"))
+    val df = NativeAsOfJoin.latestEarlier(purchases, clicks,
+      "user_id", "ts", "c_user", "c_ts", Seq("c_id"))
+    val p = df.queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the "Exec" suffix
+    assert(p.contains("AsOfJoin "), p.take(600))
+    assert(!p.contains("Union") && !p.contains("Window"),
+      "native operator must not fall back to the union+window composition")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected one exchange per side, got $exchanges\n$p")
+    val sorts = "Sort ".r.findAllIn(p).size
+    assert(sorts == 2, s"expected one sort per side, got $sorts")
+  }
+
+  test("empty right side: every left row unmatched, nothing drops") {
+    val left = fixtureLeft
+    val right = fixtureRight.filter(col("uid") < 0)
+    val got = NativeAsOfJoin.latestEarlier(left, right,
+      "uid", "ts", "uid", "od", Seq("oid"))
+    assert(got.count() == 4)
+    assert(got.filter(col("oid").isNotNull).count() == 0)
+  }
+}
