@@ -84,6 +84,29 @@ object CorpusOps {
         .limit(50)
     }),
 
+    // Per-source language-purity report — the mixture monitor next
+    // to q256's rebalance: Herfindahl concentration Σ share² in
+    // exact permille via the integer form Σ(n_lang²)·1000 div n²,
+    // plus the majority language (count desc, lang asc) and distinct
+    // language count. Two small aggregates; the per-source language
+    // histogram is the only corpus shuffle.
+    "q282_source_purity" -> ((s, d) => {
+      val byLang = Tables(s, d).documents
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n").desc, col("lang"))
+      byLang.withColumn("rk", row_number().over(w))
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("n_docs"),
+          count(lit(1)).as("n_langs"),
+          sum(col("n") * col("n")).as("sum_sq"),
+          min(when(col("rk") === 1, col("lang"))).as("majority_lang"))
+        .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+          col("n_langs"),
+          expr("(sum_sq * 1000) div (n_docs * n_docs)").as("purity_pm"),
+          col("majority_lang"))
+    }),
+
     // Temperature-scaled source mixing (the Gopher/PaLM α = 1/2
     // rebalance): per-source counts n_s give a flattened target
     // k_s = min(n_s, 16·⌊√n_s⌋) — the keep RATE k_s/n_s ∝ n_s^(-1/2)
@@ -553,6 +576,23 @@ object CorpusOps {
          GROUP BY 1
          ORDER BY score DESC, doc_id
          LIMIT 50""",
+    "q282_source_purity" ->
+      """WITH bl AS (
+           SELECT source, lang, count(*)::BIGINT AS n
+           FROM documents GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY source
+                 ORDER BY n DESC, lang) AS rk
+               FROM bl),
+         agg AS (
+           SELECT source, sum(n)::BIGINT AS n_docs,
+                  count(*)::BIGINT AS n_langs,
+                  sum(n * n)::BIGINT AS sum_sq,
+                  min(CASE WHEN rk = 1 THEN lang END) AS majority_lang
+           FROM r GROUP BY 1)
+         SELECT source, n_docs, n_langs,
+                ((sum_sq * 1000) // (n_docs * n_docs))::BIGINT AS purity_pm,
+                majority_lang
+         FROM agg""",
     "q256_temperature_mix" ->
       """WITH st AS (
            SELECT source, count(*)::BIGINT AS n_src,

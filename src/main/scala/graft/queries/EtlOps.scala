@@ -406,6 +406,50 @@ object EtlOps {
       prof.join(modal, "user_id")
     }),
 
+    // Audience-overlap matrix: exact Jaccard between every pair of
+    // event types' user sets, in permille — the segment-similarity
+    // report behind campaign dedup. One distinct (type, user)
+    // projection (the only corpus shuffle), a user-keyed pair
+    // self-join bounded by types-per-user², and the inclusion-
+    // exclusion union |A|+|B|−|A∩B| — no second pass over the fact.
+    "q283_audience_overlap" -> ((s, d) => {
+      val tu = Tables(s, d).events
+        .select(col("event_type").as("t"), col("user_id")).distinct()
+      val sizes = tu.groupBy(col("t")).agg(count(lit(1)).as("n"))
+      val inter = tu.select(col("t").as("ta"), col("user_id"))
+        .join(tu.select(col("t").as("tb"), col("user_id")), Seq("user_id"))
+        .filter(col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(broadcast(sizes.select(col("t").as("ta"), col("n").as("n_a"))), "ta")
+        .join(broadcast(sizes.select(col("t").as("tb"), col("n").as("n_b"))), "tb")
+        .select(col("ta"), col("tb"), col("n_a"), col("n_b"), col("n_inter"),
+          expr("(n_inter * 1000) div (n_a + n_b - n_inter)").as("jaccard_pm"))
+    }),
+
+    // Repeat-interval summary: per-user gaps between consecutive
+    // purchases (lag window), then the DISCRETE global median gap by
+    // the explicit (n+1) div 2 rank — the replenishment-cycle number
+    // a retention model consumes. Gap extraction partitions by user;
+    // the median rank runs over the (much smaller) gap set.
+    "q284_repeat_interval" -> ((s, d) => {
+      val p = Tables(s, d).events
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      val gaps = p
+        .withColumn("prev", lag(col("us"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))))
+        .filter(col("prev").isNotNull)
+        .select(col("user_id"), expr("(us - prev) div 1000000").as("gap_s"))
+      val w = Window.orderBy(col("gap_s"), col("user_id"))
+      gaps
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over())
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("n").cast("long").as("n_gaps"),
+          col("gap_s").as("median_gap_s"))
+    }),
+
     // q132's attribution core through the NATIVE as-of operator —
     // the custom LogicalPlan + Strategy + SparkPlan path (one
     // sort-merge walk with O(1) state per partition; exchange+sort
@@ -1584,6 +1628,36 @@ object EtlOps {
          SELECT p.user_id, p.first_seen, p.last_seen, p.n_events,
                 p.value_cents, r.modal_type
          FROM prof p JOIN r ON r.user_id = p.user_id AND r.rk = 1""",
+    "q283_audience_overlap" ->
+      """WITH tu AS (
+           SELECT DISTINCT event_type AS t, user_id FROM events),
+         sz AS (SELECT t, count(*)::BIGINT AS n FROM tu GROUP BY 1),
+         inter AS (
+           SELECT a.t AS ta, b.t AS tb, count(*)::BIGINT AS n_inter
+           FROM tu a JOIN tu b
+             ON b.user_id = a.user_id AND a.t < b.t
+           GROUP BY 1, 2)
+         SELECT i.ta, i.tb, sa.n AS n_a, sb.n AS n_b, i.n_inter,
+                ((i.n_inter * 1000) // (sa.n + sb.n - i.n_inter))::BIGINT
+                  AS jaccard_pm
+         FROM inter i JOIN sz sa ON sa.t = i.ta
+                      JOIN sz sb ON sb.t = i.tb""",
+    "q284_repeat_interval" ->
+      """WITH p AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us
+           FROM events WHERE event_type = 'purchase'),
+         g AS (SELECT user_id,
+                 us - lag(us) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id) AS d
+               FROM p),
+         gg AS (SELECT user_id, (d // 1000000)::BIGINT AS gap_s
+                FROM g WHERE d IS NOT NULL),
+         r AS (SELECT gap_s,
+                 row_number() OVER (ORDER BY gap_s, user_id) AS rn,
+                 (count(*) OVER ())::BIGINT AS n
+               FROM gg)
+         SELECT n AS n_gaps, gap_s AS median_gap_s
+         FROM r WHERE rn = (n + 1) // 2""",
     "q280_asof_native" ->
       """WITH p AS (
            SELECT event_id, user_id, ts FROM events

@@ -651,6 +651,27 @@ object TextOps {
         .select(col("doc_id"), col("n_occ"))
     }),
 
+    // Prefix top-k completion build — the autocomplete index: for
+    // every 1..3-char prefix of every corpus token (len >= 3), the
+    // highest-frequency completion (count desc, token asc). One
+    // (prefix, token) aggregate + a per-prefix rank window —
+    // thousands of independent prefix partitions at any vocabulary
+    // size, and the output is bounded by |prefixes|, not corpus.
+    "q281_prefix_topk" -> ((s, d) => {
+      val toks = parallelized(Tables(s, d).documents)
+        .select(explode(tokens).as("tok"))
+        .filter(length(col("tok")) >= 3)
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val prefixed = toks.select(explode(expr(
+        "transform(sequence(1, 3), i -> substr(tok, 1, i))")).as("prefix"),
+        col("tok"), col("cnt"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("prefix"))
+        .orderBy(col("cnt").desc, col("tok"))
+      prefixed.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("prefix"), col("tok").as("completion"), col("cnt"))
+    }),
+
     // N-gram novelty scoring against a reference corpus — q259 asks
     // "is this doc a duplicate?", this asks "how much of it is NEW?":
     // per delta doc (doc_id % 10 = 0), the share of its distinct
@@ -972,6 +993,19 @@ object TextOps {
     "q32_exact_dedup" ->
       """SELECT md5(text) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies
          FROM documents GROUP BY 1""",
+    "q281_prefix_topk" ->
+      """WITH tk AS (
+           SELECT tok, count(*)::BIGINT AS cnt
+           FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+           WHERE length(tok) >= 3 GROUP BY 1),
+         pf AS (
+           SELECT substr(tok, 1, i) AS prefix, tok, cnt
+           FROM tk, unnest(generate_series(1, 3)) AS s(i)),
+         r AS (SELECT prefix, tok, cnt,
+                 row_number() OVER (PARTITION BY prefix
+                   ORDER BY cnt DESC, tok) AS rk
+               FROM pf)
+         SELECT prefix, tok AS completion, cnt FROM r WHERE rk = 1""",
     "q271_novelty_score" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
                     FROM documents
