@@ -41,7 +41,14 @@ object Bench {
     // distinct), blocked fuzzy join, the 8-lag EWMA window, integer
     // semantic contamination, and the forward as-of union+window
     "q186_bitmap_distinct", "q190_fuzzy_match", "q193_ewma",
-    "q196_semantic_contamination", "q204_asof_forward")
+    "q196_semantic_contamination", "q204_asof_forward",
+    // round-8 additions: the two iterative graph kernels (oriented
+    // wedge counting, k-core peel), the corpus-bytes novelty scan,
+    // and the native as-of exec. q266's pair build (~14 s at sf0.1)
+    // stays off the headline — its cost is output cardinality
+    // (~10 M co-occurrence pairs), not plan shape.
+    "q251_triangle_count", "q257_kcore_peel",
+    "q271_novelty_score", "q280_asof_native")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -107,12 +114,13 @@ object Bench {
     // blind when BOTH samples land in the same contended window
     // (observed r5: 60.06 s recorded where an idle box reproduces
     // ~52 s; q127 9.4 s vs 1.5 s). The full-suite sf0.1 run is pinned
-    // at ~42-52 s idle (PLANS.md) — if the measured total blows past
+    // at ~47-57 s idle (PLANS.md; +~5 s of round-8 headline queries) —
+    // if the measured total blows past
     // that even though per-query min/max agreed, take ONE more
     // sample of every full-suite query and keep the min.
     val fullSuite = only.isEmpty && sfDir.endsWith("sf0.1")
-    if (fullSuite && results.map(_._2).filter(_ >= 0).sum > 55.0) {
-      System.err.println("[bench] total exceeds the ~52 s idle-box pin " +
+    if (fullSuite && results.map(_._2).filter(_ >= 0).sum > 60.0) {
+      System.err.println("[bench] total exceeds the ~57 s idle-box pin " +
         "with agreeing samples — whole-suite contention pass")
       results = results.map { case (name, t) =>
         if (t < 0) name -> t

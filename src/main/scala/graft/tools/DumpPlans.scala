@@ -47,7 +47,12 @@ object DumpPlans {
     "q239_recency_sample" -> "recency-decay sample: pure map-side integer filter against one broadcast max-date row — zero corpus shuffles",
     "q240_release_pipeline" -> "release composite: quality filter → fingerprint dedup aggregate → per-source accounting — three stages, two key-shaped exchanges, no window",
     "q243_basket_lift" -> "basket lift: session-basket self-join keyed on (user, session) — pair fan-out bounded by distinct types per session; all metric denominators join back by broadcast",
-    "q244_weekly_cohorts" -> "weekly cohorts: (user, week)-distinct is the only corpus-sized shuffle; first-week assignment is a window-free min aggregate")
+    "q244_weekly_cohorts" -> "weekly cohorts: (user, week)-distinct is the only corpus-sized shuffle; first-week assignment is a window-free min aggregate",
+    // round-6 (q256–q284)
+    "q258_pareto_skyline" -> "skyline: distributive reduce-then-refine — per-date min aggregate is the only corpus shuffle; the dominance scan runs over the date-bounded candidate set; tie orders equi-join back",
+    "q264_phrase_search" -> "phrase search: postings restricted to the two query terms BEFORE the shuffle; adjacency rides the doc_id equi-join as a residual — shuffle volume is posting lists, never corpus",
+    "q266_item_cooccurrence" -> "co-occurrence: customer-keyed pair self-join (explosion bounded by basket size squared); top-3 per item through per-item rank windows",
+    "q280_asof_native" -> "native as-of exec: one exchange + one sort per side feeding the O(1)-state merge walk — no union materialization, no window carry chain")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the
