@@ -58,7 +58,16 @@ class ReproSpec extends AnyFunSuite {
     "q213_topk_agg",        // imperative heap merge across partitions
     "q216_quota_sample",    // largest-remainder allocation + md5 ranks
     "q227_lsh_sweep",       // checkpointed signature reuse across configs
-    "q233_semantic_keep_central" // CC clusters + integer centrality argmin
+    "q233_semantic_keep_central", // CC clusters + integer centrality argmin
+    // round-7 additions
+    "q252_pq_ann",          // trained PQ codebooks + ADC shortlist
+    "q255_importance_select", // decimal cross-mult feature votes + top-k
+    "q256_temperature_mix", // sqrt-derived integer keep thresholds
+    "q257_kcore_peel",      // 5-round iterative peel over checkpoints
+    "q261_cusum_changepoint", // windowed argmax under dev/day tie-break
+    "q266_item_cooccurrence", // pair self-join + per-item rank windows
+    "q273_table_fingerprint", // order-independent checksum sums
+    "q280_asof_native"      // custom exec merge walk (partition order)
   )
 
   representatives.foreach { name =>
