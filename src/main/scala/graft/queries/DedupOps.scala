@@ -94,6 +94,19 @@ object DedupOps {
     // on the real corpus, not just the spec fixtures.
     "q70_dup_clusters_star" -> ((s, d) => tokenJaccardClusters(s, d, star = true)),
 
+    // Cluster-size distribution — the release-note view of q67's
+    // clustering: how many duplicate clusters exist at each size
+    // (size 1 = unique docs). One row per cluster (the min-id rep
+    // q68 keeps) then a tiny size histogram; the report a dedup
+    // rollout quotes ("N pairs, M triples collapsed").
+    "q286_cluster_sizes" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      tokenJaccardClusters(s, d)
+        .filter(col("doc_id") === col("cluster_id"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+    }),
+
     // LSH parameter-sweep harness: the (bands × rows) tuning run an
     // operator rollout does BEFORE committing a config. One planted
     // near-duplicate per eligible doc (first token dropped), ONE
@@ -188,6 +201,32 @@ object DedupOps {
          FROM reach GROUP BY s"""
 
   def oracleSql: Map[String, String] = Map(
+    "q286_cluster_sizes" ->
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+           FROM documents),
+         sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+           FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a_id, b_id FROM inter
+           JOIN sizes sa ON sa.doc_id = a_id
+           JOIN sizes sb ON sb.doc_id = b_id
+           WHERE c::DOUBLE / (sa.n + sb.n - c)::DOUBLE >= 0.9),
+         edges AS (
+           SELECT a_id AS s, b_id AS d FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         reach AS (
+           SELECT doc_id AS s, doc_id AS d FROM documents
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         cl AS (
+           SELECT s AS doc_id, min(d) AS cluster_id, count(*) AS cluster_size
+           FROM reach GROUP BY s)
+         SELECT cluster_size, count(*)::BIGINT AS n_clusters
+         FROM cl WHERE doc_id = cluster_id GROUP BY 1""",
     "q67_dup_clusters" -> clustersOracle,
     "q70_dup_clusters_star" -> clustersOracle,
     "q68_dedup_keep" ->

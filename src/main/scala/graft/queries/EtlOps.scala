@@ -384,6 +384,28 @@ object EtlOps {
           t.nation.select(col("n_nationkey").as("k"))))
     }),
 
+    // Orphan quarantine — the REMEDIATION step after q262's audit:
+    // simulate parent loss (orders with o_orderkey % 97 = 0 deemed
+    // missing), route referencing lineitems to quarantine with a
+    // reason code, pass the rest — and emit the routing manifest
+    // (disposition, rows, distinct keys) the load report records.
+    // One anti/semi join pair against the surviving parent keys.
+    "q287_orphan_quarantine" -> ((s, d) => {
+      val t = Tables(s, d)
+      val parents = t.orders.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey").as("k"))
+      val li = t.lineitem.select(col("l_orderkey"))
+      def manifest(disposition: String, rows: DataFrame): DataFrame =
+        rows.agg(count(lit(1)).as("n_rows"),
+          expr("count(DISTINCT l_orderkey)").as("n_keys"))
+          .select(lit(disposition).as("disposition"), col("n_rows"),
+            col("n_keys"))
+      manifest("quarantined:missing_parent",
+          li.join(parents, col("l_orderkey") === col("k"), "left_anti"))
+        .unionByName(manifest("passed",
+          li.join(parents, col("l_orderkey") === col("k"), "left_semi")))
+    }),
+
     // Golden-record build (MDM survivorship): one consolidated
     // profile per user from the event log — first/last seen, event
     // volume, lifetime value in exact cents, and the MODAL event
@@ -1628,6 +1650,17 @@ object EtlOps {
          SELECT p.user_id, p.first_seen, p.last_seen, p.n_events,
                 p.value_cents, r.modal_type
          FROM prof p JOIN r ON r.user_id = p.user_id AND r.rk = 1""",
+    "q287_orphan_quarantine" ->
+      """WITH parents AS (
+           SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 97 <> 0)
+         SELECT 'quarantined:missing_parent' AS disposition,
+                count(*)::BIGINT AS n_rows,
+                count(DISTINCT l_orderkey)::BIGINT AS n_keys
+         FROM lineitem l LEFT JOIN parents p ON p.k = l.l_orderkey
+         WHERE p.k IS NULL
+         UNION ALL
+         SELECT 'passed', count(*)::BIGINT, count(DISTINCT l_orderkey)::BIGINT
+         FROM lineitem l JOIN parents p ON p.k = l.l_orderkey""",
     "q283_audience_overlap" ->
       """WITH tu AS (
            SELECT DISTINCT event_type AS t, user_id FROM events),

@@ -287,6 +287,21 @@ object Relational {
           grouping(col("l_returnflag")).cast("long").as("g_rf"),
           grouping(col("l_linestatus")).cast("long").as("g_ls"))),
 
+    // Explicit GROUPING SETS — the general form behind q24 ROLLUP /
+    // q247 CUBE: exactly the three requested groupings (full pair,
+    // returnflag-only, grand total) in ONE Expand+aggregate pass,
+    // with grouping_id disambiguating rolled-up cells. A custom set
+    // list is what real reporting uses when the full cube is waste.
+    "q285_grouping_sets" -> ((s, d) => {
+      Tables(s, d).lineitem.createOrReplaceTempView("li_gsets")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+                      CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                      count(*) AS n, sum(l_quantity) AS sum_qty
+               FROM li_gsets
+               GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                       (l_returnflag), ())""")
+    }),
+
     // CASE / conditional aggregation.
     "q25_case_agg" -> ((s, d) =>
       Tables(s, d).orders
@@ -1245,6 +1260,13 @@ object Relational {
                 grouping(l_returnflag)::BIGINT AS g_rf,
                 grouping(l_linestatus)::BIGINT AS g_ls
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q285_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+                grouping(l_returnflag, l_linestatus)::BIGINT AS gid,
+                count(*) AS n, sum(l_quantity) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_returnflag), ())""",
     "q25_case_agg" ->
       """SELECT o_orderpriority,
                 count(*) AS n_orders,
