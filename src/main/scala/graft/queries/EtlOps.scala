@@ -384,6 +384,46 @@ object EtlOps {
           t.nation.select(col("n_nationkey").as("k"))))
     }),
 
+    // Markov transition matrix over the event stream: (from, to)
+    // bigram counts per user timeline plus the row-normalized share
+    // in exact permille — the behavior model q232's example builder
+    // feeds (this is the AGGREGATE view). One lead() per user
+    // partition, one two-key aggregate, 5×5 output.
+    "q288_transition_matrix" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val trans = Tables(s, d).events
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val fromTot = trans.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+      trans.join(broadcast(fromTot), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          col("n_from").cast("long").as("n_from"),
+          expr("(n * 1000) div n_from").as("share_pm"))
+    }),
+
+    // Time-to-event (survival) histogram: per user, whole days from
+    // FIRST view to the first purchase at-or-after it; users who
+    // never convert land in the censored bucket (-1) instead of
+    // vanishing — censoring is data, not absence. Two user-keyed
+    // min-aggregates + one integer-day bucketing; the histogram the
+    // conversion-lag model consumes.
+    "q289_time_to_event" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("v_us"))
+      val firstPurch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+        .join(firstView, "user_id")
+        .filter(col("p_us") >= col("v_us"))
+        .groupBy(col("user_id")).agg(min(col("p_us")).as("p_us"))
+      firstView.join(firstPurch, Seq("user_id"), "left")
+        .select(when(col("p_us").isNull, lit(-1L))
+          .otherwise(expr("(p_us - v_us) div 86400000000")).as("day_bucket"))
+        .groupBy(col("day_bucket")).agg(count(lit(1)).as("n_users"))
+    }),
+
     // Orphan quarantine — the REMEDIATION step after q262's audit:
     // simulate parent loss (orders with o_orderkey % 97 = 0 deemed
     // missing), route referencing lineitems to quarantine with a
@@ -1650,6 +1690,35 @@ object EtlOps {
          SELECT p.user_id, p.first_seen, p.last_seen, p.n_events,
                 p.value_cents, r.modal_type
          FROM prof p JOIN r ON r.user_id = p.user_id AND r.rk = 1""",
+    "q288_transition_matrix" ->
+      """WITH x AS (
+           SELECT user_id, event_type, ts, event_id,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS to_type
+           FROM events),
+         t AS (SELECT event_type AS from_type, to_type,
+                      count(*)::BIGINT AS n
+               FROM x WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         ft AS (SELECT from_type, sum(n)::BIGINT AS n_from FROM t GROUP BY 1)
+         SELECT t.from_type, t.to_type, t.n, ft.n_from,
+                ((t.n * 1000) // ft.n_from)::BIGINT AS share_pm
+         FROM t JOIN ft USING (from_type)""",
+    "q289_time_to_event" ->
+      """WITH fv AS (
+           SELECT user_id, min(epoch_us(ts)) AS v_us
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+         fp AS (
+           SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+           FROM events e JOIN fv ON fv.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fv.v_us
+           GROUP BY 1),
+         b AS (
+           SELECT CASE WHEN fp.p_us IS NULL THEN -1
+                       ELSE (fp.p_us - fv.v_us) // 86400000000
+                  END::BIGINT AS day_bucket
+           FROM fv LEFT JOIN fp ON fp.user_id = fv.user_id)
+         SELECT day_bucket, count(*)::BIGINT AS n_users
+         FROM b GROUP BY 1""",
     "q287_orphan_quarantine" ->
       """WITH parents AS (
            SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 97 <> 0)

@@ -269,6 +269,48 @@ object VectorOps {
         .select(col("test_id"), col("vec_id").as("train_id"), col("dot"))
     }),
 
+    // Hard-negative mining — q151 samples RANDOM negatives, this
+    // mines the similar-but-not-duplicate band contrastive training
+    // actually wants: for each md5-selected anchor (1/16 of vectors,
+    // q196's split), candidates with quantized cosine in [0.90, 0.92)
+    // — both fences as exact integer cross-multiplications over the
+    // int8 codes (100·dot² ≥ 81·na·nb AND 10⁴·dot² < 8464·na·nb,
+    // dot > 0),
+    // so the band is bit-reproducible and hash-oracled. The anchor
+    // set broadcasts; no all-pairs shuffle.
+    "q290_hard_negatives" -> ((s, d) => {
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      val st = emb
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("dim"), col("x").cast("double").as("x"))
+        .groupBy("dim").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1)
+      val mnA = array(st.map(t => lit(t._2)).toIndexedSeq: _*)
+      val mxA = array(st.map(t => lit(t._3)).toIndexedSeq: _*)
+      val codes = emb.repartition(32).select(col("vec_id"),
+        transform(col("embedding"), (x, i) => {
+          val mn = element_at(mnA, i + 1)
+          val mx = element_at(mxA, i + 1)
+          when(mx === mn, lit(0L))
+            .otherwise(least(
+              floor((x.cast("double") - mn) * lit(255.0) / (mx - mn)),
+              lit(255.0)).cast("long"))
+        }).as("codes"))
+      val isAnchor = substring(md5(col("vec_id").cast("string")), 1, 1) === "0"
+      val anchors = codes.filter(isAnchor)
+        .select(col("vec_id").as("anchor_id"), col("codes").as("ac"),
+          Vec.dotLong(col("codes"), col("codes")).as("na"))
+      codes.filter(!isAnchor)
+        .withColumn("nb", Vec.dotLong(col("codes"), col("codes")))
+        .crossJoin(broadcast(anchors))
+        .withColumn("dot", Vec.dotLong(col("ac"), col("codes")))
+        .filter(col("dot") > 0 &&
+          lit(100L) * col("dot") * col("dot") >= lit(81L) * col("na") * col("nb") &&
+          lit(10000L) * col("dot") * col("dot") < lit(8464L) * col("na") * col("nb"))
+        .select(col("anchor_id"), col("vec_id").as("negative_id"), col("dot"))
+    }),
+
     // ANN quality evaluation harness: recall@5 of the IVF index
     // (q44's exact path) against brute-force ground truth, per
     // query — the measurement every index rollout needs before
@@ -411,6 +453,31 @@ object VectorOps {
          FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
                  ORDER BY score, vec_id) AS rn FROM sc)
          WHERE rn = 1""",
+    "q290_hard_negatives" ->
+      """WITH e AS (
+           SELECT vec_id,
+                  unnest(range(len(embedding)))::BIGINT AS dim,
+                  unnest(embedding)::DOUBLE AS x
+           FROM embeddings),
+         s AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM e GROUP BY 1),
+         q AS (
+           SELECT vec_id, dim,
+                  (CASE WHEN mx = mn THEN 0
+                        ELSE least(floor((x - mn) * 255.0 / (mx - mn)), 255.0)
+                   END)::BIGINT AS q
+           FROM e JOIN s USING (dim)),
+         d AS (
+           SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
+                  sum(a.q * b.q)::BIGINT AS dot,
+                  sum(a.q * a.q)::BIGINT AS na,
+                  sum(b.q * b.q)::BIGINT AS nb
+           FROM q a JOIN q b ON a.dim = b.dim
+           WHERE substr(md5(a.vec_id::VARCHAR), 1, 1) = '0'
+             AND substr(md5(b.vec_id::VARCHAR), 1, 1) <> '0'
+           GROUP BY 1, 2)
+         SELECT anchor_id, negative_id, dot
+         FROM d WHERE dot > 0 AND 100 * dot * dot >= 81 * na * nb
+           AND 10000 * dot * dot < 8464 * na * nb""",
     "q196_semantic_contamination" ->
       """WITH e AS (
            SELECT vec_id,
