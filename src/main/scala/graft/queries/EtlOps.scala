@@ -384,6 +384,107 @@ object EtlOps {
           t.nation.select(col("n_nationkey").as("k"))))
     }),
 
+    // Window funnel (the ClickHouse windowFunnel shape): per view,
+    // the GREEDY chain view → earliest later click → earliest later
+    // purchase, each step fenced to 24 h; per-user max depth reached.
+    // Built by CHAINING the native as-of exec twice — step 2's left
+    // timestamp is step 1's (nullable) match, and the operator's
+    // null contract (null ts ⇒ unmatched, never dropped) is exactly
+    // funnel semantics for chains that already broke. Two merge
+    // walks, no pair explosion.
+    "q291_window_funnel" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id"), col("ts").as("v_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("c_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("p_ts"))
+      val s1 = graft.plans.NativeAsOfJoin.earliestLater(views, clicks,
+        "user_id", "v_ts", "cu", "c_ts", Seq("c_ts"))
+      val s2 = graft.plans.NativeAsOfJoin.earliestLater(s1, purchases,
+        "user_id", "c_ts", "pu", "p_ts", Seq("p_ts"))
+      val fence = 86400000000L // 24 h in µs
+      val cOk = col("c_ts").isNotNull &&
+        unix_micros(col("c_ts")) - unix_micros(col("v_ts")) <= fence
+      val pOk = cOk && col("p_ts").isNotNull &&
+        unix_micros(col("p_ts")) - unix_micros(col("c_ts")) <= fence
+      s2.select(col("user_id"),
+          when(pOk, 3L).when(cOk, 2L).otherwise(1L).as("depth"))
+        .groupBy(col("user_id"))
+        .agg(max(col("depth")).as("max_depth"))
+    }),
+
+    // SCD2 as-of-date read — the BITEMPORAL consumer of q248's
+    // versioned build: reconstruct every user's attribute state at
+    // the corpus midpoint instant (derived from the data, so the
+    // probe scales with the corpus): the version whose
+    // [valid_from, valid_to) interval contains the probe. Same
+    // window construction as the build; the probe is a broadcast
+    // 1-row frame.
+    "q292_scd2_asof" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val hist = Tables(s, d).events
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("attr"))
+        .withColumn("chg", when(lag(col("attr"), 1).over(w).isNull ||
+          lag(col("attr"), 1).over(w) =!= col("attr"), 1L).otherwise(0L))
+        .withColumn("version", sum(col("chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("version"))
+        .agg(min(unix_micros(col("ts"))).as("vf_us"), min(col("attr")).as("attr"))
+        .withColumn("vt_us", lead(col("vf_us"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("version"))))
+      val mid = Tables(s, d).events.agg(
+        expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("mid"))
+      hist.crossJoin(broadcast(mid))
+        .filter(col("vf_us") <= col("mid") &&
+          (col("vt_us").isNull || col("mid") < col("vt_us")))
+        .select(col("user_id"), col("version"), col("attr"))
+    }),
+
+    // Greedy budget allocation: fund orders in (priority, orderkey)
+    // order until the budget (10% of total cents, computed from the
+    // data) runs out — the waterfall/fill every planning system
+    // runs. The global running sum is the q171/q201 two-phase shape:
+    // range-partition on the funding order, per-partition prefix
+    // sums in PARALLEL windows, partition totals broadcast back as
+    // offsets — no single-reducer window at any scale. Output is the
+    // per-priority funding manifest.
+    "q293_budget_allocation" -> ((s, d) => {
+      val ord = Tables(s, d).orders.select(col("o_orderkey"),
+        col("o_orderpriority"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val budget = ord.agg(expr("sum(cents) div 10").as("budget"))
+      val parts = ord
+        .repartitionByRange(16, col("o_orderpriority"), col("o_orderkey"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint()
+      val sums = parts.groupBy(col("pid"))
+        .agg(sum(col("cents")).as("s"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val offsets: Map[Int, Long] = {
+        val sorted = sums.toSeq.sortBy(_._1)
+        sorted.map(_._1).zip(sorted.map(_._2).scanLeft(0L)(_ + _)).toMap
+      }
+      val w = Window.partitionBy(col("pid"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+      parts
+        .withColumn("cum",
+          sum(col("cents")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) +
+            element_at(typedLit(offsets), col("pid")))
+        .crossJoin(broadcast(budget))
+        .withColumn("funded", col("cum") <= col("budget"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("funded"), 1L).otherwise(0L)).as("n_funded"),
+          sum(when(col("funded"), col("cents")).otherwise(0L)).as("funded_cents"))
+        .select(col("o_orderpriority"), col("n_orders"),
+          col("n_funded").cast("long").as("n_funded"),
+          col("funded_cents").cast("long").as("funded_cents"))
+    }),
+
     // Markov transition matrix over the event stream: (from, to)
     // bigram counts per user timeline plus the row-normalized share
     // in exact permille — the behavior model q232's example builder
@@ -1690,6 +1791,70 @@ object EtlOps {
          SELECT p.user_id, p.first_seen, p.last_seen, p.n_events,
                 p.value_cents, r.modal_type
          FROM prof p JOIN r ON r.user_id = p.user_id AND r.rk = 1""",
+    "q291_window_funnel" ->
+      """WITH v AS (SELECT event_id AS v_id, user_id, epoch_us(ts) AS v_us
+                    FROM events WHERE event_type = 'view'),
+         c AS (SELECT user_id, epoch_us(ts) AS c_us
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, epoch_us(ts) AS p_us
+               FROM events WHERE event_type = 'purchase'),
+         fc AS (SELECT v.v_id, v.user_id, v.v_us, min(c.c_us) AS c_us
+                FROM v LEFT JOIN c
+                  ON c.user_id = v.user_id AND c.c_us >= v.v_us
+                GROUP BY 1, 2, 3),
+         fp AS (SELECT fc.v_id, fc.user_id, fc.v_us, fc.c_us,
+                       min(p.p_us) AS p_us
+                FROM fc LEFT JOIN p
+                  ON p.user_id = fc.user_id AND fc.c_us IS NOT NULL
+                     AND p.p_us >= fc.c_us
+                GROUP BY 1, 2, 3, 4),
+         d AS (SELECT user_id,
+                 CASE WHEN c_us IS NOT NULL AND c_us <= v_us + 86400000000
+                        AND p_us IS NOT NULL AND p_us <= c_us + 86400000000
+                      THEN 3
+                      WHEN c_us IS NOT NULL AND c_us <= v_us + 86400000000
+                      THEN 2 ELSE 1 END AS depth
+               FROM fp)
+         SELECT user_id, max(depth)::BIGINT AS max_depth
+         FROM d GROUP BY 1""",
+    "q292_scd2_asof" ->
+      """WITH b AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us, event_type AS attr
+           FROM events),
+         x AS (SELECT *, CASE WHEN lag(attr) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id) IS NULL
+                 OR lag(attr) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id) <> attr THEN 1 ELSE 0 END AS chg
+               FROM b),
+         v AS (SELECT *, (sum(chg) OVER (PARTITION BY user_id
+                 ORDER BY us, event_id ROWS UNBOUNDED PRECEDING))::BIGINT
+                 AS version
+               FROM x),
+         h AS (SELECT user_id, version, min(us) AS vf_us, min(attr) AS attr
+               FROM v GROUP BY 1, 2),
+         h2 AS (SELECT *, lead(vf_us) OVER (PARTITION BY user_id
+                  ORDER BY version) AS vt_us
+                FROM h),
+         m AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+               FROM events)
+         SELECT h2.user_id, h2.version, h2.attr
+         FROM h2, m
+         WHERE h2.vf_us <= m.mid AND (h2.vt_us IS NULL OR m.mid < h2.vt_us)""",
+    "q293_budget_allocation" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_orderpriority,
+                  round(o_totalprice * 100, 0)::BIGINT AS cents
+           FROM orders),
+         b AS (SELECT sum(cents) // 10 AS budget FROM o),
+         r AS (SELECT *, (sum(cents) OVER (
+                 ORDER BY o_orderpriority, o_orderkey
+                 ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+               FROM o)
+         SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+                (count(*) FILTER (cum <= b.budget))::BIGINT AS n_funded,
+                coalesce(sum(cents) FILTER (cum <= b.budget), 0)::BIGINT
+                  AS funded_cents
+         FROM r, b GROUP BY 1""",
     "q288_transition_matrix" ->
       """WITH x AS (
            SELECT user_id, event_type, ts, event_id,
