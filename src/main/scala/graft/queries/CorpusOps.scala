@@ -84,6 +84,59 @@ object CorpusOps {
         .limit(50)
     }),
 
+    // Temporal (leakage-free) split — the third canonical split next
+    // to q73's hash split and q230's group split: train = events
+    // before the 80% point of the corpus's WALL-CLOCK span (cutoff =
+    // min + 4·(max−min) div 5, a pure 1-row integer aggregate — no
+    // global rank pass at any scale), eval = at-or-after. The split
+    // manifest records counts, shares, and each side's day range.
+    "q296_temporal_split" -> ((s, d) => {
+      val ev = Tables(s, d).events
+        .select(col("event_id"), unix_micros(col("ts")).as("us"), col("ts"))
+      val cut = ev.agg(expr(
+        "(min(us) + ((max(us) - min(us)) * 4) div 5)").as("cut_us"))
+      val tot = ev.agg(count(lit(1)).as("n_total"))
+      ev.crossJoin(broadcast(cut))
+        .select(when(col("us") < col("cut_us"), "train")
+          .otherwise("eval").as("split"), col("ts"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_rows"),
+          date_format(min(col("ts")), "yyyy-MM-dd").as("first_day"),
+          date_format(max(col("ts")), "yyyy-MM-dd").as("last_day"))
+        .crossJoin(broadcast(tot))
+        .select(col("split"), col("n_rows"),
+          expr("(n_rows * 1000) div n_total").as("share_pm"),
+          col("first_day"), col("last_day"))
+    }),
+
+    // Split-parity audit — does q73's hash split preserve the
+    // language mix? Per (split, lang): the cell count against its
+    // expectation n_l·n_s/n, flagged when the share deviates by more
+    // than 20‰ — the comparison |n_sl·n − n_l·n_s|·50 > n_s·n runs
+    // in DECIMAL(38,0) cross-multiplication so corpus-scale counts
+    // cannot overflow and no float ratio is ever formed. Two small
+    // aggregates over the (split, lang) histogram.
+    "q297_split_parity" -> ((s, d) => {
+      val docs = Tables(s, d).documents.select(col("doc_id"), col("lang"),
+        when(substring(md5(col("doc_id").cast("string")), 1, 1) <= "b", "train")
+          .when(substring(md5(col("doc_id").cast("string")), 1, 1)
+            .isin("c", "d"), "val")
+          .otherwise("test").as("split"))
+      val cell = docs.groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_sl"))
+      val bySplit = cell.groupBy(col("split")).agg(sum(col("n_sl")).as("n_s"))
+      val byLang = cell.groupBy(col("lang")).agg(sum(col("n_sl")).as("n_l"))
+      val total = cell.agg(sum(col("n_sl")).as("n"))
+      cell.join(broadcast(bySplit), "split")
+        .join(broadcast(byLang), "lang")
+        .crossJoin(broadcast(total))
+        .select(col("split"), col("lang"), col("n_sl"),
+          col("n_s").cast("long").as("n_s"), col("n_l").cast("long").as("n_l"),
+          (abs(col("n_sl").cast("decimal(38,0)") * col("n") -
+            col("n_l").cast("decimal(38,0)") * col("n_s")) * 50 >
+            col("n_s").cast("decimal(38,0)") * col("n")).as("skewed"))
+    }),
+
     // Per-source language-purity report — the mixture monitor next
     // to q256's rebalance: Herfindahl concentration Σ share² in
     // exact permille via the integer form Σ(n_lang²)·1000 div n²,
@@ -576,6 +629,38 @@ object CorpusOps {
          GROUP BY 1
          ORDER BY score DESC, doc_id
          LIMIT 50""",
+    "q296_temporal_split" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS us, ts FROM events),
+         c AS (SELECT min(us) + ((max(us) - min(us)) * 4) // 5 AS cut_us
+               FROM e),
+         t AS (SELECT count(*)::BIGINT AS n_total FROM e),
+         s AS (SELECT CASE WHEN e.us < c.cut_us THEN 'train'
+                           ELSE 'eval' END AS split, e.ts
+               FROM e, c),
+         g AS (SELECT split, count(*)::BIGINT AS n_rows,
+                      strftime(min(ts), '%Y-%m-%d') AS first_day,
+                      strftime(max(ts), '%Y-%m-%d') AS last_day
+               FROM s GROUP BY 1)
+         SELECT split, n_rows, ((n_rows * 1000) // t.n_total)::BIGINT AS share_pm,
+                first_day, last_day
+         FROM g, t""",
+    "q297_split_parity" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+                  CASE WHEN substring(md5(doc_id::VARCHAR), 1, 1) <= 'b'
+                       THEN 'train'
+                       WHEN substring(md5(doc_id::VARCHAR), 1, 1) IN ('c', 'd')
+                       THEN 'val' ELSE 'test' END AS split
+           FROM documents),
+         cell AS (SELECT split, lang, count(*)::BIGINT AS n_sl
+                  FROM d GROUP BY 1, 2),
+         bs AS (SELECT split, sum(n_sl)::BIGINT AS n_s FROM cell GROUP BY 1),
+         bl AS (SELECT lang, sum(n_sl)::BIGINT AS n_l FROM cell GROUP BY 1),
+         t AS (SELECT sum(n_sl)::BIGINT AS n FROM cell)
+         SELECT cell.split, cell.lang, cell.n_sl, bs.n_s, bl.n_l,
+                abs(cell.n_sl::HUGEINT * t.n - bl.n_l::HUGEINT * bs.n_s) * 50
+                  > bs.n_s::HUGEINT * t.n AS skewed
+         FROM cell JOIN bs USING (split) JOIN bl USING (lang), t""",
     "q282_source_purity" ->
       """WITH bl AS (
            SELECT source, lang, count(*)::BIGINT AS n

@@ -94,6 +94,27 @@ object DedupOps {
     // on the real corpus, not just the spec fixtures.
     "q70_dup_clusters_star" -> ((s, d) => tokenJaccardClusters(s, d, star = true)),
 
+    // Quality-aware dedup keep — q68 keeps the MIN-ID representative;
+    // production dedup keeps the BEST copy: per q67 cluster, the
+    // member with the most tokens (the q33 length signal), doc_id
+    // tie-break. One rank window over the cluster assignment joined
+    // to a row-local quality score — the "which duplicate survives"
+    // policy upgraded without touching the clustering.
+    "q294_quality_keep" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val quality = Tables(s, d).documents.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+      tokenJaccardClusters(s, d)
+        .join(quality, "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("n_tokens"))
+    }),
+
     // Cluster-size distribution — the release-note view of q67's
     // clustering: how many duplicate clusters exist at each size
     // (size 1 = unique docs). One row per cluster (the min-id rep
@@ -201,6 +222,39 @@ object DedupOps {
          FROM reach GROUP BY s"""
 
   def oracleSql: Map[String, String] = Map(
+    "q294_quality_keep" ->
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+           FROM documents),
+         sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+           FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a_id, b_id FROM inter
+           JOIN sizes sa ON sa.doc_id = a_id
+           JOIN sizes sb ON sb.doc_id = b_id
+           WHERE c::DOUBLE / (sa.n + sb.n - c)::DOUBLE >= 0.9),
+         edges AS (
+           SELECT a_id AS s, b_id AS d FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         reach AS (
+           SELECT doc_id AS s, doc_id AS d FROM documents
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         cl AS (
+           SELECT s AS doc_id, min(d) AS cluster_id, count(*) AS cluster_size
+           FROM reach GROUP BY s),
+         q AS (SELECT doc_id,
+                      len(string_split(text, ' '))::BIGINT AS n_tokens
+               FROM documents),
+         r AS (SELECT cl.doc_id, cl.cluster_id, cl.cluster_size, q.n_tokens,
+                 row_number() OVER (PARTITION BY cl.cluster_id
+                   ORDER BY q.n_tokens DESC, cl.doc_id) AS rk
+               FROM cl JOIN q USING (doc_id))
+         SELECT doc_id, cluster_id, cluster_size, n_tokens
+         FROM r WHERE rk = 1""",
     "q286_cluster_sizes" ->
       """WITH RECURSIVE tok AS (
            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t

@@ -541,6 +541,24 @@ object ScaleOps {
           expr("(n * n_keys * 100) div n_rows").as("x_avg_pct"))
     }),
 
+    // Rank (quantile) normalization — the outlier-immune third of
+    // the feature-scaling family (q263 min-max, q217 winsorize):
+    // each value mapped to its within-type permille rank
+    // (rn·1000 div n) under the explicit (cents, event_id) total
+    // order. Uniform output marginals whatever the input
+    // distribution; one window pass per type partition.
+    "q295_rank_normalize" -> ((s, d) => {
+      val base = Tables(s, d).events
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("cents"), col("event_id"))
+      base.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+        .select(col("event_id"), col("event_type"),
+          expr("(rn * 1000) div n").as("rank_pm"))
+    }),
+
     // Join-cardinality preflight — q270 profiles one side's skew,
     // this predicts the OUTPUT of a self/equi join before running
     // it: per-key counts → Σ n(k)² total pairs plus the top-5
@@ -887,6 +905,17 @@ object ScaleOps {
                   ORDER BY md5('nt' || doc_id::VARCHAR), doc_id)::BIGINT
                   AS shard
          FROM documents""",
+    "q295_rank_normalize" ->
+      """WITH b AS (
+           SELECT event_id, event_type, round(value * 100, 0)::BIGINT AS cents
+           FROM events),
+         r AS (SELECT event_id, event_type,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY cents, event_id)::BIGINT AS rn,
+                 (count(*) OVER (PARTITION BY event_type))::BIGINT AS n
+               FROM b)
+         SELECT event_id, event_type, ((rn * 1000) // n)::BIGINT AS rank_pm
+         FROM r""",
     "q274_join_preflight" ->
       """WITH c AS (SELECT l_partkey, count(*)::BIGINT AS n,
                            (count(*) * count(*))::BIGINT AS pairs
