@@ -84,6 +84,39 @@ object CorpusOps {
         .limit(50)
     }),
 
+    // Release pipeline v2 — q240 composed the round-4 stages; this
+    // chains the round-6 ones end to end in ONE dataflow: C4-lite
+    // quality gate → exact dedup (min-id digest rep) → temperature-
+    // scaled source mixing (q256's integer Bernoulli) → hash split
+    // (q73) → per-(split, source) release manifest with doc counts,
+    // token mass, and the q273-style order-independent checksum. The
+    // COMPOSITION is what's gated: the oracle replays the whole
+    // chain relationally, so a change to any stage's semantics
+    // breaks this row even if the stage's own gate still passes.
+    "q300_release_v2" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+        .filter(size(split(col("text"), " ")) >= 30 && col("lang") === "en")
+      val rep = docs.groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val kept = docs.join(rep.select(col("doc_id")), "doc_id")
+      val stats = kept.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+        .withColumn("tgt", least(col("n_src"),
+          floor(sqrt(col("n_src").cast("double"))) * 16L))
+      val mixed = kept.join(broadcast(stats), "source")
+        .withColumn("u", expr(
+          "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 5), 16, 10) AS BIGINT)"))
+        .filter(col("u") * col("n_src") < col("tgt") * lit(1048576L))
+      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+      mixed
+        .withColumn("split", when(h <= "b", "train")
+          .when(h.isin("c", "d"), "val").otherwise("test"))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("token_mass"),
+          sum(expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 6)," +
+            " 16, 10) AS BIGINT)")).cast("long").as("checksum"))
+    }),
+
     // Temporal (leakage-free) split — the third canonical split next
     // to q73's hash split and q230's group split: train = events
     // before the 80% point of the corpus's WALL-CLOCK span (cutoff =
@@ -629,6 +662,31 @@ object CorpusOps {
          GROUP BY 1
          ORDER BY score DESC, doc_id
          LIMIT 50""",
+    "q300_release_v2" ->
+      """WITH f AS (
+           SELECT * FROM documents
+           WHERE len(string_split(text, ' ')) >= 30 AND lang = 'en'),
+         rep AS (SELECT md5(text) AS fp, min(doc_id) AS doc_id
+                 FROM f GROUP BY 1),
+         k AS (SELECT f.* FROM f JOIN rep ON rep.doc_id = f.doc_id),
+         st AS (SELECT source, count(*)::BIGINT AS n_src,
+                  least(count(*), floor(sqrt(count(*)))::BIGINT * 16)::BIGINT
+                    AS tgt
+                FROM k GROUP BY 1),
+         m AS (SELECT k.* FROM k JOIN st USING (source)
+               WHERE ('0x' || substr(md5(k.doc_id::VARCHAR), 1, 5))::BIGINT
+                     * st.n_src < st.tgt * 1048576),
+         sp AS (SELECT m.*,
+                  CASE WHEN substring(md5(doc_id::VARCHAR), 1, 1) <= 'b'
+                       THEN 'train'
+                       WHEN substring(md5(doc_id::VARCHAR), 1, 1) IN ('c', 'd')
+                       THEN 'val' ELSE 'test' END AS split
+                FROM m)
+         SELECT split, source, count(*)::BIGINT AS n_docs,
+                sum(len(string_split(text, ' ')))::BIGINT AS token_mass,
+                sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT)
+                  ::BIGINT AS checksum
+         FROM sp GROUP BY 1, 2""",
     "q296_temporal_split" ->
       """WITH e AS (SELECT event_id, epoch_us(ts) AS us, ts FROM events),
          c AS (SELECT min(us) + ((max(us) - min(us)) * 4) // 5 AS cut_us

@@ -384,6 +384,43 @@ object EtlOps {
           t.nation.select(col("n_nationkey").as("k"))))
     }),
 
+    // Top-N + OTHER bucketing — the reporting tail-lump every
+    // dashboard applies: the 5 highest-revenue customers keep their
+    // key, everything else rolls into 'OTHER'. Rank on a small
+    // aggregate (customer grain), re-aggregate after the relabel;
+    // the fact shuffles once.
+    "q298_other_bucket" -> ((s, d) => {
+      val byCust = Tables(s, d).orders
+        .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+        .groupBy(col("o_custkey")).agg(sum(col("cents")).as("cents"),
+          count(lit(1)).as("n_orders"))
+      val w = Window.orderBy(col("cents").desc, col("o_custkey"))
+      byCust.withColumn("rk", row_number().over(w))
+        .select(when(col("rk") <= 5, col("o_custkey").cast("string"))
+          .otherwise("OTHER").as("cust_bucket"), col("cents"), col("n_orders"))
+        .groupBy(col("cust_bucket"))
+        .agg(sum(col("cents")).cast("long").as("cents"),
+          sum(col("n_orders")).cast("long").as("n_orders"),
+          count(lit(1)).as("n_customers"))
+    }),
+
+    // First-digit (Benford) profile of order amounts — the fraud /
+    // data-entry screen: leading digit extracted from the exact
+    // cents STRING (never log10 floats), observed counts and
+    // permille shares per digit. One tiny aggregate; the judgment
+    // against Benford's curve stays with the consumer, the profile
+    // itself is engine-exact.
+    "q299_first_digit" -> ((s, d) => {
+      val digit = substring(round(col("o_totalprice") * 100, 0)
+        .cast("long").cast("string"), 1, 1)
+      val counts = Tables(s, d).orders
+        .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("n_total"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          expr("(n * 1000) div n_total").as("share_pm"))
+    }),
+
     // Window funnel (the ClickHouse windowFunnel shape): per view,
     // the GREEDY chain view → earliest later click → earliest later
     // purchase, each step fenced to 24 h; per-user max depth reached.
@@ -1791,6 +1828,29 @@ object EtlOps {
          SELECT p.user_id, p.first_seen, p.last_seen, p.n_events,
                 p.value_cents, r.modal_type
          FROM prof p JOIN r ON r.user_id = p.user_id AND r.rk = 1""",
+    "q298_other_bucket" ->
+      """WITH bc AS (
+           SELECT o_custkey,
+                  sum(round(o_totalprice * 100, 0)::BIGINT)::BIGINT AS cents,
+                  count(*)::BIGINT AS n_orders
+           FROM orders GROUP BY 1),
+         r AS (SELECT *, row_number() OVER (
+                 ORDER BY cents DESC, o_custkey) AS rk FROM bc)
+         SELECT CASE WHEN rk <= 5 THEN o_custkey::VARCHAR ELSE 'OTHER' END
+                  AS cust_bucket,
+                sum(cents)::BIGINT AS cents,
+                sum(n_orders)::BIGINT AS n_orders,
+                count(*)::BIGINT AS n_customers
+         FROM r GROUP BY 1""",
+    "q299_first_digit" ->
+      """WITH c AS (
+           SELECT substr((round(o_totalprice * 100, 0)::BIGINT)::VARCHAR, 1, 1)
+                    AS digit
+           FROM orders),
+         g AS (SELECT digit, count(*)::BIGINT AS n FROM c GROUP BY 1),
+         t AS (SELECT sum(n)::BIGINT AS n_total FROM g)
+         SELECT g.digit, g.n, ((g.n * 1000) // t.n_total)::BIGINT AS share_pm
+         FROM g, t""",
     "q291_window_funnel" ->
       """WITH v AS (SELECT event_id AS v_id, user_id, epoch_us(ts) AS v_us
                     FROM events WHERE event_type = 'view'),
