@@ -1326,6 +1326,31 @@ object EtlOps {
           col("n"), col("cents"))
     }),
 
+    // IVM equivalence audit — q202 SHIPS the incremental aggregate;
+    // this GATES its defining invariant: the partials-merged result
+    // and a direct batch recompute, exceptAll'd in both directions,
+    // must disagree on zero rows. One audit row (group counts + the
+    // pinned-at-0 mismatch) — the backfill-vs-incremental
+    // reconciliation every IVM deployment runs before cutover.
+    "q302_ivm_audit" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      val cutoff = lit("2024-01-20 12:00:00").cast("timestamp")
+      def partials(df: DataFrame): DataFrame = df
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      val incr = partials(ev.filter(col("ts") < cutoff))
+        .unionByName(partials(ev.filter(col("ts") >= cutoff)))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("n")).cast("long").as("n"),
+          sum(col("cents")).cast("long").as("cents"))
+      val batch = partials(ev)
+      val mismatch = incr.exceptAll(batch).unionAll(batch.exceptAll(incr))
+      incr.agg(count(lit(1)).as("n_groups_incr"))
+        .crossJoin(broadcast(batch.agg(count(lit(1)).as("n_groups_batch"))))
+        .crossJoin(broadcast(mismatch.agg(count(lit(1)).as("n_mismatch"))))
+    }),
+
     // Distributed least squares in exact-partials form: per-type
     // regression of spend (cents) on time-of-day, emitted as the
     // EXACT decimal rationals slope = num/den, intercept = num/den
@@ -2292,6 +2317,13 @@ object EtlOps {
       """SELECT user_id, upper(event_type) AS event_type,
                 (count(*) * 2)::BIGINT AS n2
          FROM events GROUP BY user_id, event_type""",
+    "q302_ivm_audit" ->
+      """WITH g AS (
+           SELECT event_type, CAST(ts AS DATE) AS day
+           FROM events GROUP BY 1, 2)
+         SELECT (SELECT count(*) FROM g)::BIGINT AS n_groups_incr,
+                (SELECT count(*) FROM g)::BIGINT AS n_groups_batch,
+                0::BIGINT AS n_mismatch""",
     "q202_incremental_agg" ->
       """SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
                 count(*)::BIGINT AS n,

@@ -287,6 +287,26 @@ object Relational {
           grouping(col("l_returnflag")).cast("long").as("g_rf"),
           grouping(col("l_linestatus")).cast("long").as("g_ls"))),
 
+    // Correlated LATERAL subquery with per-row ORDER BY + LIMIT —
+    // the SQL-surface twin of the q12 window top-k: each customer's
+    // two biggest orders via a lateral dependent subquery, which
+    // Catalyst decorrelates into the same rank-window plan (no
+    // per-row re-execution). Customers without orders drop (CROSS
+    // JOIN LATERAL semantics, identical in the oracle).
+    "q303_lateral_topn" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.customer.createOrReplaceTempView("cust_lat")
+      t.orders.createOrReplaceTempView("ord_lat")
+      s.sql("""SELECT c.c_custkey, o.o_orderkey, o.cents
+               FROM cust_lat c,
+               LATERAL (SELECT o_orderkey,
+                               CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                                 AS cents
+                        FROM ord_lat o
+                        WHERE o.o_custkey = c.c_custkey
+                        ORDER BY cents DESC, o_orderkey LIMIT 2) o""")
+    }),
+
     // Explicit GROUPING SETS — the general form behind q24 ROLLUP /
     // q247 CUBE: exactly the three requested groupings (full pair,
     // returnflag-only, grand total) in ONE Expand+aggregate pass,
@@ -1260,6 +1280,12 @@ object Relational {
                 grouping(l_returnflag)::BIGINT AS g_rf,
                 grouping(l_linestatus)::BIGINT AS g_ls
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q303_lateral_topn" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.cents
+         FROM customer c, LATERAL (
+           SELECT o_orderkey, round(o_totalprice * 100, 0)::BIGINT AS cents
+           FROM orders o WHERE o.o_custkey = c.c_custkey
+           ORDER BY cents DESC, o_orderkey LIMIT 2) o""",
     "q285_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
                 grouping(l_returnflag, l_linestatus)::BIGINT AS gid,

@@ -487,6 +487,27 @@ object TextOps {
           countDistinct(col("doc_id")).as("n_docs"))
     }),
 
+    // Crawl-frontier dedup ledger — the URL-seen-set at URL grain
+    // (q166 rolls to domains): per extracted URL, the first document
+    // to reference it (min doc_id — the crawl that "claimed" it) and
+    // the reference count. Unique per-doc paths stay singletons; the
+    // shared mirror URLs collapse — exactly the frontier ledger a
+    // crawler consults before re-fetching. (url, doc_id) pairs are
+    // the only shuffle.
+    "q301_url_frontier" -> ((s, d) => {
+      val planted = concat(col("text"),
+        lit(" see https://site"), (col("doc_id") % 50).cast("string"),
+        lit(".example.org/p/"), col("doc_id").cast("string"),
+        lit(" and http://mirror"), (col("doc_id") % 7).cast("string"),
+        lit(".example.net/x"))
+      val urlRe = "https?://[a-z0-9.-]+\\.example\\.(org|net)/[A-Za-z0-9/._-]*"
+      Tables(s, d).documents
+        .select(col("doc_id"),
+          explode(regexp_extract_all(planted, lit(urlRe), lit(0))).as("url"))
+        .groupBy(col("url"))
+        .agg(min(col("doc_id")).as("first_doc"), count(lit(1)).as("n_refs"))
+    }),
+
     // Token-association mining: top bigrams by PMI's exact-rational
     // core lift = c_xy·N / (c_x·c_y) (log omitted — monotone, so
     // the RANKING is exactly PMI's; the rational hash-matches
@@ -970,6 +991,21 @@ object TextOps {
                 (len(list_filter(string_split(text, ' '),
                     t -> t = 'the')) > 0) AS has_the
          FROM documents""",
+    "q301_url_frontier" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  text || ' see https://site' || (doc_id % 50)::VARCHAR ||
+                  '.example.org/p/' || doc_id::VARCHAR ||
+                  ' and http://mirror' || (doc_id % 7)::VARCHAR ||
+                  '.example.net/x' AS planted
+           FROM documents),
+         u AS (
+           SELECT doc_id,
+                  unnest(regexp_extract_all(planted,
+                    'https?://[a-z0-9.-]+\.example\.(?:org|net)/[A-Za-z0-9/._-]*')) AS url
+           FROM p)
+         SELECT url, min(doc_id) AS first_doc, count(*)::BIGINT AS n_refs
+         FROM u GROUP BY 1""",
     "q166_url_extract" ->
       """WITH p AS (
            SELECT doc_id,
