@@ -384,6 +384,59 @@ object EtlOps {
           t.nation.select(col("n_nationkey").as("k"))))
     }),
 
+    // Timezone-local rollup — the classic global-product pitfall
+    // done right: each user's events bucketed by THEIR local day
+    // (offset = user_id % 24 − 12 hours, a deterministic stand-in
+    // for a tz dimension), entirely in integer µs arithmetic so no
+    // session-timezone setting can bend the fences. Per local day:
+    // events and active users. At 100 TB this is one narrow shift +
+    // one aggregate — the point is the fences, not the plan.
+    "q304_local_time_rollup" -> ((s, d) => {
+      Tables(s, d).events
+        .select(col("user_id"),
+          expr("(unix_micros(ts) + ((user_id % 24) - 12) * 3600000000)" +
+            " div 86400000000").as("local_epoch_day"))
+        .groupBy(col("local_epoch_day"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("count(DISTINCT user_id)").as("n_users"))
+    }),
+
+    // Log2 (power-of-two) histogram — the long-tail shape for
+    // latency/size distributions where q275's fixed-width bins
+    // starve the head: bucket = ⌊log2(cents)⌋ derived from the
+    // BINARY STRING length (never float log2, whose boundary
+    // rounding differs across engines); exact [2^b, 2^(b+1)) edges.
+    "q305_log2_histogram" -> ((s, d) => {
+      val cents = round(col("value") * 100, 0).cast("long")
+      Tables(s, d).events
+        .select(col("event_type"), cents.as("cents"))
+        .filter(col("cents") > 0)
+        .withColumn("bucket", (length(bin(col("cents"))) - 1).cast("long"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("cents")).as("lo_seen"), max(col("cents")).as("hi_seen"))
+        .withColumn("lo_edge", expr("CAST(pow(2, bucket) AS BIGINT)"))
+    }),
+
+    // ID-sequence gap detection (islands & gaps): missing o_orderkey
+    // ranges via lag() over the ordered key stream — the sequence-
+    // completeness check a CDC/ingest pipeline runs to spot dropped
+    // batches. The synthetic keys are dense, so batch loss is
+    // SIMULATED (every 97th key dropped, the q287 trick) and the
+    // detector must recover exactly those holes. Emits each gap's
+    // [from, to] and width; one window pass (range-partitionable by
+    // key at scale).
+    "q306_id_gaps" -> ((s, d) => {
+      val w = Window.orderBy(col("o_orderkey"))
+      Tables(s, d).orders.select(col("o_orderkey"))
+        .filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("prev", lag(col("o_orderkey"), 1).over(w))
+        .filter(col("prev").isNotNull && col("o_orderkey") - col("prev") > 1)
+        .select((col("prev") + 1).as("gap_from"),
+          (col("o_orderkey") - 1).as("gap_to"),
+          (col("o_orderkey") - col("prev") - 1).as("gap_width"))
+    }),
+
     // Top-N + OTHER bucketing — the reporting tail-lump every
     // dashboard applies: the 5 highest-revenue customers keep their
     // key, everything else rolls into 'OTHER'. Rank on a small
@@ -1853,6 +1906,33 @@ object EtlOps {
          SELECT p.user_id, p.first_seen, p.last_seen, p.n_events,
                 p.value_cents, r.modal_type
          FROM prof p JOIN r ON r.user_id = p.user_id AND r.rk = 1""",
+    "q304_local_time_rollup" ->
+      """SELECT (epoch_us(ts) + ((user_id % 24) - 12) * 3600000000)
+                // 86400000000 AS local_epoch_day,
+                count(*)::BIGINT AS n_events,
+                count(DISTINCT user_id)::BIGINT AS n_users
+         FROM events GROUP BY 1""",
+    "q305_log2_histogram" ->
+      """WITH b AS (
+           SELECT event_type, round(value * 100, 0)::BIGINT AS cents
+           FROM events WHERE round(value * 100, 0) > 0),
+         k AS (SELECT event_type, cents,
+                 (length(printf('%b', cents)) - 1)::BIGINT AS bucket
+               FROM b)
+         SELECT event_type, bucket, count(*)::BIGINT AS n,
+                min(cents)::BIGINT AS lo_seen, max(cents)::BIGINT AS hi_seen,
+                pow(2, bucket)::BIGINT AS lo_edge
+         FROM k GROUP BY 1, 2""",
+    "q306_id_gaps" ->
+      """WITH k AS (
+           SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0),
+         l AS (SELECT o_orderkey,
+                 lag(o_orderkey) OVER (ORDER BY o_orderkey) AS prev
+               FROM k)
+         SELECT (prev + 1)::BIGINT AS gap_from,
+                (o_orderkey - 1)::BIGINT AS gap_to,
+                (o_orderkey - prev - 1)::BIGINT AS gap_width
+         FROM l WHERE prev IS NOT NULL AND o_orderkey - prev > 1""",
     "q298_other_bucket" ->
       """WITH bc AS (
            SELECT o_custkey,
