@@ -287,6 +287,47 @@ object Relational {
           grouping(col("l_returnflag")).cast("long").as("g_rf"),
           grouping(col("l_linestatus")).cast("long").as("g_ls"))),
 
+    // Correlated SCALAR subqueries — "orders above their customer's
+    // average" with the comparison cross-multiplied into integers
+    // (cents·n > Σcents), so no float average ever forms on either
+    // engine. Catalyst decorrelates both subqueries into one
+    // customer-grain aggregate joined back; the SQL surface is the
+    // operator under test.
+    "q307_scalar_subquery" -> ((s, d) => {
+      Tables(s, d).orders.createOrReplaceTempView("ord_ss")
+      s.sql("""SELECT o.o_orderkey, o.o_custkey,
+                      CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+               FROM ord_ss o
+               WHERE CAST(round(o.o_totalprice * 100, 0) AS BIGINT) *
+                     (SELECT count(*) FROM ord_ss o2
+                      WHERE o2.o_custkey = o.o_custkey)
+                     > (SELECT sum(CAST(round(o2.o_totalprice * 100, 0)
+                                        AS BIGINT))
+                        FROM ord_ss o2 WHERE o2.o_custkey = o.o_custkey)""")
+    }),
+
+    // The NOT IN null trap, demonstrated AND gated: a probe list
+    // carrying one NULL makes `NOT IN` return ZERO rows (three-
+    // valued logic: x <> NULL is UNKNOWN), while NOT EXISTS returns
+    // the true orphans — the single most common silent-wrong-answer
+    // in production SQL. Both counts in one row; identical standard
+    // semantics in the oracle prove the engine implements the
+    // trap, not a lenient shortcut.
+    "q308_not_in_trap" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.orders.createOrReplaceTempView("ord_nit")
+      t.customer.createOrReplaceTempView("cust_nit")
+      s.sql("""WITH probe AS (
+                 SELECT c_custkey AS k FROM cust_nit WHERE c_custkey % 7 = 0
+                 UNION ALL SELECT CAST(NULL AS BIGINT))
+               SELECT
+                 (SELECT count(*) FROM ord_nit o
+                  WHERE o.o_custkey NOT IN (SELECT k FROM probe)) AS n_not_in,
+                 (SELECT count(*) FROM ord_nit o
+                  WHERE NOT EXISTS (SELECT 1 FROM probe p
+                                    WHERE p.k = o.o_custkey)) AS n_not_exists""")
+    }),
+
     // Correlated LATERAL subquery with per-row ORDER BY + LIMIT —
     // the SQL-surface twin of the q12 window top-k: each customer's
     // two biggest orders via a lateral dependent subquery, which
@@ -1280,6 +1321,27 @@ object Relational {
                 grouping(l_returnflag)::BIGINT AS g_rf,
                 grouping(l_linestatus)::BIGINT AS g_ls
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q307_scalar_subquery" ->
+      """SELECT o.o_orderkey, o.o_custkey,
+                round(o.o_totalprice * 100, 0)::BIGINT AS cents
+         FROM orders o
+         WHERE round(o.o_totalprice * 100, 0)::BIGINT *
+               (SELECT count(*) FROM orders o2
+                WHERE o2.o_custkey = o.o_custkey)
+               > (SELECT sum(round(o2.o_totalprice * 100, 0)::BIGINT)
+                  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""",
+    "q308_not_in_trap" ->
+      """WITH probe AS (
+           SELECT c_custkey AS k FROM customer WHERE c_custkey % 7 = 0
+           UNION ALL SELECT NULL)
+         SELECT
+           (SELECT count(*) FROM orders o
+            WHERE o.o_custkey NOT IN (SELECT k FROM probe))::BIGINT
+             AS n_not_in,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM probe p
+                              WHERE p.k = o.o_custkey))::BIGINT
+             AS n_not_exists""",
     "q303_lateral_topn" ->
       """SELECT c.c_custkey, o.o_orderkey, o.cents
          FROM customer c, LATERAL (
