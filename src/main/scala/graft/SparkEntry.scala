@@ -85,7 +85,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                           dedup, sequence match, CUSUM, RI audit,
   *                           min-max scale, phrase search, golden
   *                           record, item co-occurrence, TWAP, MAD
-  *                           outliers, hierarchy share
+  *                           outliers, hierarchy share; q270-q284:
+  *                           skew/preflight profilers, novelty, OHLC,
+  *                           fingerprints, histograms, grain audit,
+  *                           file plan, MoM/YoY, bounce, prefix
+  *                           top-k, purity, overlap, intervals;
+  *                           q280 native as-of exec; q285-q308:
+  *                           grouping sets, cluster sizes, orphan
+  *                           quarantine, transitions, time-to-event,
+  *                           hard negatives, window funnel, SCD2
+  *                           as-of, budget allocation, quality keep,
+  *                           rank normalize, temporal split, parity
+  *                           audit, OTHER bucket, first digit,
+  *                           release v2, URL frontier, IVM audit,
+  *                           LATERAL/scalar subqueries, NOT IN trap,
+  *                           local-time rollup, log2 histogram, ID
+  *                           gaps
   */
 object SparkEntry {
 
