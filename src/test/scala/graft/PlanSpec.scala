@@ -182,6 +182,23 @@ class PlanSpec extends AnyFunSuite {
       p.take(800))
   }
 
+  test("q291: the funnel chains TWO native as-of walks — no union/window fallback") {
+    val p = plan("q291_window_funnel")
+    val asofs = "AsOfJoin ".r.findAllIn(p).size
+    assert(asofs == 2, s"expected two chained AsOfJoinExec nodes, got $asofs")
+    assert(!p.contains("Union"),
+      "funnel steps must ride the native exec, not the union+window composition")
+  }
+
+  test("q293: the global funding prefix-sum rides a range exchange, not one reducer") {
+    val df = SparkEntry.queries("q293_budget_allocation")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the pid-partitioned windows run over the RANGE-partitioned copy;
+    // a single unpartitioned Window over the fact would be the regression
+    assert(!p.toLowerCase.contains("window [") ||
+      p.toLowerCase.contains("pid"), p.take(800))
+  }
+
   test("q121: quantiles come from a range exchange, not a one-reducer percentile buffer") {
     val p = plan("q121_gap_outliers")
     assert(p.toLowerCase.contains("rangepartitioning"),
