@@ -384,6 +384,51 @@ object EtlOps {
           t.nation.select(col("n_nationkey").as("k"))))
     }),
 
+    // Identity stitching — the MDM/identity-graph build: users who
+    // share a device (planted device_id = user_id div 3, a 3-way
+    // collision structure) merge into one person via connected
+    // components over the shared-device pair list. Pair fan-out is
+    // bounded by users-per-device², and the CC machinery is q67's
+    // (label propagation, (id, label)-only shuffles). Output: each
+    // user's canonical person id + identity-cluster size.
+    "q309_identity_stitch" -> ((s, d) => {
+      val users = Tables(s, d).events.select(col("user_id")).distinct()
+        .withColumn("device_id", expr("user_id div 3"))
+      val a = users.select(col("device_id"), col("user_id").as("u1"))
+      val b = users.select(col("device_id"), col("user_id").as("u2"))
+      val pairs = a.join(b, Seq("device_id"))
+        .filter(col("u1") < col("u2"))
+        .select(col("u1"), col("u2"))
+      graft.operators.Dedup.duplicateClusters(pairs, users.select("user_id"))
+        .select(col("doc_id").as("user_id"), col("cluster_id").as("person_id"),
+          col("cluster_size"))
+    }),
+
+    // Hierarchy (bill-of-materials) rollup WITHOUT recursion: orders
+    // arranged in a planted 4-ary tree (parent = (k−1) div 4);
+    // subtree cents totals computed by exploding each node's ≤ 9
+    // ancestors (iterated integer division — a narrow generator)
+    // and aggregating once per ancestor. O(n·depth) rows, no
+    // iterative joins, no recursive CTE on the engine side — the
+    // ancestor-explosion trick that turns tree rollups into one
+    // hash aggregate at any scale.
+    "q310_bom_rollup" -> ((s, d) => {
+      val ord = Tables(s, d).orders.select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      // ancestors of k: fold k → (k−1) div 4 until the root (0);
+      // 9 steps cover 4^9 ≈ 262k keys. The chain is built by a
+      // higher-order aggregate over a constant sequence — a narrow
+      // generator, interpreted but over ≤ 10 elements per row.
+      val anc = ord.select(col("k"), col("cents"), explode(expr(
+        """aggregate(sequence(1, 9), array(k), (acc, i) ->
+             CASE WHEN element_at(acc, size(acc)) > 0
+                  THEN concat(acc, array((element_at(acc, size(acc)) - 1) div 4))
+                  ELSE acc END)""")).as("anc"))
+      anc.groupBy(col("anc").as("node"))
+        .agg(sum(col("cents")).as("subtree_cents"),
+          count(lit(1)).as("n_desc"))
+    }),
+
     // Timezone-local rollup — the classic global-product pitfall
     // done right: each user's events bucketed by THEIR local day
     // (offset = user_id % 24 − 12 hours, a deterministic stand-in
@@ -1906,6 +1951,34 @@ object EtlOps {
          SELECT p.user_id, p.first_seen, p.last_seen, p.n_events,
                 p.value_cents, r.modal_type
          FROM prof p JOIN r ON r.user_id = p.user_id AND r.rk = 1""",
+    "q309_identity_stitch" ->
+      """WITH RECURSIVE u AS (
+           SELECT DISTINCT user_id, user_id // 3 AS device_id FROM events),
+         p AS (SELECT a.user_id AS u1, b.user_id AS u2
+               FROM u a JOIN u b
+                 ON b.device_id = a.device_id AND a.user_id < b.user_id),
+         e AS (SELECT u1 AS s, u2 AS d FROM p
+               UNION SELECT u2, u1 FROM p),
+         reach AS (
+           SELECT user_id AS s, user_id AS d FROM u
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
+         SELECT s AS user_id, min(d) AS person_id,
+                count(*)::BIGINT AS cluster_size
+         FROM reach GROUP BY s""",
+    "q310_bom_rollup" ->
+      """WITH RECURSIVE o AS (
+           SELECT o_orderkey AS k,
+                  round(o_totalprice * 100, 0)::BIGINT AS cents
+           FROM orders),
+         anc AS (
+           SELECT k, cents, k AS node FROM o
+           UNION ALL
+           SELECT k, cents, (node - 1) // 4 AS node
+           FROM anc WHERE node > 0)
+         SELECT node, sum(cents)::BIGINT AS subtree_cents,
+                count(*)::BIGINT AS n_desc
+         FROM anc GROUP BY 1""",
     "q304_local_time_rollup" ->
       """SELECT (epoch_us(ts) + ((user_id % 24) - 12) * 3600000000)
                 // 86400000000 AS local_epoch_day,
