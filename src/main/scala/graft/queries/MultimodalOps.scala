@@ -42,6 +42,32 @@ object MultimodalOps {
       Multimodal.batchedInfer(
         Multimodal.asMedia(TextOps.parallelized(Tables(s, d).documents)),
         batchSize = 32, dims = 4).toDF()
+    }),
+
+    // Modality-balanced batch packing — multimodal training wants
+    // every batch at a FIXED modality ratio (3 text : 1 image here;
+    // modality tag derived deterministically, doc_id % 4 = 0 →
+    // image). Each modality gets its own md5-ranked order (the q75
+    // shuffle-shard discipline), then slots interleave: text rank t
+    // → (batch t div 3, slot t % 3), image rank i → (batch i,
+    // slot 3). Every batch that both streams can fill holds exactly
+    // the target mix; ranks are per-modality windows — two modest
+    // sorts, no global order.
+    "q311_modality_pack" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("modality")).orderBy(col("h"), col("doc_id"))
+      Tables(s, d).documents
+        .select(col("doc_id"),
+          when(col("doc_id") % 4 === 0, "image").otherwise("text")
+            .as("modality"),
+          md5(concat(lit("pack"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("rk", row_number().over(w).cast("long") - 1L)
+        .select(col("doc_id"), col("modality"),
+          when(col("modality") === "text", expr("rk div 3"))
+            .otherwise(col("rk")).as("batch_id"),
+          when(col("modality") === "text", expr("rk % 3"))
+            .otherwise(lit(3L)).as("slot"))
     })
   )
 
@@ -67,6 +93,23 @@ object MultimodalOps {
       """WITH dims AS (SELECT unnest(range(4)) AS j)
          SELECT doc_id, j::BIGINT AS dim,
                 substring(md5(text || ':' || j::VARCHAR), 1, 8) AS feat
-         FROM documents CROSS JOIN dims"""
+         FROM documents CROSS JOIN dims""",
+    "q311_modality_pack" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 4 = 0 THEN 'image' ELSE 'text' END
+                    AS modality,
+                  md5('pack' || doc_id::VARCHAR) AS h
+           FROM documents),
+         r AS (SELECT doc_id, modality,
+                 (row_number() OVER (PARTITION BY modality
+                    ORDER BY h, doc_id) - 1)::BIGINT AS rk
+               FROM t)
+         SELECT doc_id, modality,
+                (CASE WHEN modality = 'text' THEN rk // 3 ELSE rk END)::BIGINT
+                  AS batch_id,
+                (CASE WHEN modality = 'text' THEN rk % 3 ELSE 3 END)::BIGINT
+                  AS slot
+         FROM r"""
   )
 }
