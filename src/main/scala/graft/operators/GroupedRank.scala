@@ -1,0 +1,117 @@
+package graft.operators
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Two-phase distributed ranking — the scale-safe replacement for
+  * `row_number().over(Window.partitionBy(lowCardCol).orderBy(...))`.
+  *
+  * A window partitioned by a LOW-cardinality key (event_type: 5
+  * values, modality: 2) hands each key's ENTIRE corpus slice to one
+  * task — correct at test scale, a single-reducer sort at 100 TB.
+  * This operator produces the identical per-group `row_number` with
+  * distributed machinery only (the q171/q293 two-phase shape, shared
+  * with [[DistributedQuantile]]):
+  *
+  *   1. `repartitionByRange` on (group…, order…) — Spark's sampled
+  *      range exchange; every group's rows land in key order across
+  *      partitions, each partition sized by cluster parallelism,
+  *      never by group cardinality.
+  *   2. Local rank: a window partitioned by (partition-id, group…) —
+  *      P parallel sorts of ~1/P of the data each.
+  *   3. Offsets: per-(pid, group) counts — ≤ P·G rows, collected and
+  *      prefix-summed on the driver (the q171 offset-table
+  *      discipline; no window of ANY kind over an unpartitioned
+  *      frame) and broadcast-joined back. rank = offset + local.
+  *
+  * The `localCheckpoint` pins one partition assignment so the count
+  * action and the rank pass cannot see different samplings of the
+  * range exchange. Order columns must make the per-group order TOTAL
+  * (include a tiebreak) or ranks at partition boundaries are
+  * nondeterministic.
+  */
+object GroupedRank {
+
+  /** `df` plus column `rankName` = 1-based global row_number within
+    * each `groups` key, ordered by `order` (which must be a total
+    * order within the group). Runs P parallel window sorts
+    * regardless of group cardinality.
+    */
+  def withRank(df: DataFrame, groups: Seq[String], order: Seq[Column],
+               rankName: String, parts: Int = 0): DataFrame = {
+    require(order.nonEmpty, "order columns required (must be total)")
+    val s = df.sparkSession
+    val gCols = groups.map(col)
+    val p = if (parts > 0) parts
+      else math.max(s.sparkContext.defaultParallelism, 2)
+    val ranged = df.repartitionByRange(p, (gCols ++ order): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val countsDf = ranged
+      .groupBy(col("__pid") +: gCols: _*).agg(count(lit(1)).as("__cnt"))
+    // ≤ P·G rows: prefix-sum per group on the driver, rebuild as a
+    // broadcast offsets frame (row layout: __pid, groups…, __cnt)
+    val cntIdx = groups.size + 1
+    val offRows = countsDf.collect()
+      .groupBy(r => groups.indices.map(i => r.get(i + 1)))
+      .valuesIterator.flatMap { rs =>
+        val sorted = rs.sortBy(_.getInt(0))
+        sorted.zip(sorted.map(_.getLong(cntIdx)).scanLeft(0L)(_ + _))
+          .map { case (r, off) => Row.fromSeq(r.toSeq.init :+ off) }
+      }.toSeq
+    val offSchema = StructType(countsDf.schema.fields.init :+
+      StructField("__off", LongType, nullable = false))
+    val offsets = s.createDataFrame(offRows.asJava, offSchema)
+    val wLocal = Window.partitionBy(col("__pid") +: gCols: _*)
+      .orderBy(order: _*)
+    ranged.withColumn("__li", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), "__pid" +: groups)
+      .withColumn(rankName, col("__off") + col("__li"))
+      .drop("__pid", "__li", "__off")
+  }
+
+  /** Ungrouped variant: the exact global row_number over `order`
+    * (q171's shape) as a reusable call.
+    */
+  def withGlobalRank(df: DataFrame, order: Seq[Column], rankName: String,
+                     parts: Int = 0): DataFrame =
+    withRank(df, Seq.empty, order, rankName, parts)
+
+  /** `df` plus `prevName` = `lag(orderCol, 1)` over the GLOBAL
+    * `orderCol` order (total order required), computed without a
+    * single-task window: range-partition on the key, lag within each
+    * partition in parallel, then stitch each partition's first row
+    * to its global predecessor — the previous non-empty partition's
+    * max, computed on the driver from a ≤P-row bounds table. The
+    * islands-and-gaps primitive at any scale.
+    */
+  def withGlobalLag(df: DataFrame, orderCol: Column, prevName: String,
+                    parts: Int = 0): DataFrame = {
+    val s = df.sparkSession
+    val p = if (parts > 0) parts
+      else math.max(s.sparkContext.defaultParallelism, 2)
+    val ranged = df.repartitionByRange(p, orderCol)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    // per-partition max key (≤ P rows): each partition's first row's
+    // predecessor is the running max over all earlier partitions —
+    // range partitioning guarantees that IS the global predecessor
+    val boundsDf = ranged.groupBy(col("__pid")).agg(max(orderCol).as("__mx"))
+    val sorted = boundsDf.collect().sortBy(_.getInt(0))
+    val prevRows = sorted.zip(
+        sorted.scanLeft(null: Any)((acc, r) => r.get(1)).init)
+      .map { case (r, prev) => Row(r.get(0), prev) }.toSeq
+    val prevSchema = StructType(Seq(boundsDf.schema.fields.head,
+      boundsDf.schema.fields.last.copy(name = "__prev_mx", nullable = true)))
+    val bounds = s.createDataFrame(prevRows.asJava, prevSchema)
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(orderCol)
+    ranged.withColumn("__lag", lag(orderCol, 1).over(wLocal))
+      .join(broadcast(bounds), Seq("__pid"))
+      .withColumn(prevName, coalesce(col("__lag"), col("__prev_mx")))
+      .drop("__pid", "__lag", "__prev_mx")
+  }
+}

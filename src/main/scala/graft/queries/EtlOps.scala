@@ -123,11 +123,11 @@ object EtlOps {
             element_at(toks, i + 1).as("w2")))).as("p"))
         .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       val edges = occ.distinct().localCheckpoint()
-      val wSrc = Window.orderBy(col("n").desc, col("tok"))
+      // deterministic source pick: a 1-row TakeOrderedAndProject,
+      // not a global rank window over the whole vocabulary
       val src = docs.select(explode(toks).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("n"))
-        .withColumn("rk", row_number().over(wSrc))
-        .filter(col("rk") === 1).select(col("tok"))
+        .orderBy(col("n").desc, col("tok")).limit(1).select(col("tok"))
       var dist = src.withColumn("hops", lit(0L)).localCheckpoint()
       for (_ <- 1 to 5) {
         val expanded = edges.join(dist, edges("w1") === dist("tok"))
@@ -469,13 +469,16 @@ object EtlOps {
     // batches. The synthetic keys are dense, so batch loss is
     // SIMULATED (every 97th key dropped, the q287 trick) and the
     // detector must recover exactly those holes. Emits each gap's
-    // [from, to] and width; one window pass (range-partitionable by
-    // key at scale).
+    // [from, to] and width. The global lag goes through
+    // GroupedRank.withGlobalLag — range-partition on the key,
+    // per-partition lag in parallel, partition boundaries stitched
+    // via a broadcast ≤P-row bounds frame — never the one-task
+    // "No Partition Defined" window.
     "q306_id_gaps" -> ((s, d) => {
-      val w = Window.orderBy(col("o_orderkey"))
-      Tables(s, d).orders.select(col("o_orderkey"))
+      val keys = Tables(s, d).orders.select(col("o_orderkey"))
         .filter(col("o_orderkey") % 97 =!= 0)
-        .withColumn("prev", lag(col("o_orderkey"), 1).over(w))
+      graft.operators.GroupedRank
+        .withGlobalLag(keys, col("o_orderkey"), "prev")
         .filter(col("prev").isNotNull && col("o_orderkey") - col("prev") > 1)
         .select((col("prev") + 1).as("gap_from"),
           (col("o_orderkey") - 1).as("gap_to"),
@@ -484,17 +487,22 @@ object EtlOps {
 
     // Top-N + OTHER bucketing — the reporting tail-lump every
     // dashboard applies: the 5 highest-revenue customers keep their
-    // key, everything else rolls into 'OTHER'. Rank on a small
-    // aggregate (customer grain), re-aggregate after the relabel;
-    // the fact shuffles once.
+    // key, everything else rolls into 'OTHER'. Only 5 winners are
+    // wanted, so the pick is orderBy+limit (TakeOrderedAndProject —
+    // a per-partition top-5 merged on the driver, never a global
+    // rank window sorting every customer in one task) broadcast back
+    // as a relabel join; the fact shuffles once.
     "q298_other_bucket" -> ((s, d) => {
       val byCust = Tables(s, d).orders
         .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
         .groupBy(col("o_custkey")).agg(sum(col("cents")).as("cents"),
           count(lit(1)).as("n_orders"))
-      val w = Window.orderBy(col("cents").desc, col("o_custkey"))
-      byCust.withColumn("rk", row_number().over(w))
-        .select(when(col("rk") <= 5, col("o_custkey").cast("string"))
+      val top5 = byCust
+        .orderBy(col("cents").desc, col("o_custkey")).limit(5)
+        .select(col("o_custkey").as("top_key"))
+      byCust
+        .join(broadcast(top5), col("o_custkey") === col("top_key"), "left")
+        .select(when(col("top_key").isNotNull, col("o_custkey").cast("string"))
           .otherwise("OTHER").as("cust_bucket"), col("cents"), col("n_orders"))
         .groupBy(col("cust_bucket"))
         .agg(sum(col("cents")).cast("long").as("cents"),
@@ -729,7 +737,10 @@ object EtlOps {
     // purchases (lag window), then the DISCRETE global median gap by
     // the explicit (n+1) div 2 rank — the replenishment-cycle number
     // a retention model consumes. Gap extraction partitions by user;
-    // the median rank runs over the (much smaller) gap set.
+    // the median rank is O(purchases), so it runs through
+    // GroupedRank's two-phase global rank (range exchange + parallel
+    // windows + broadcast offsets), never a "No Partition Defined"
+    // window over the whole gap set.
     "q284_repeat_interval" -> ((s, d) => {
       val p = Tables(s, d).events
         .filter(col("event_type") === "purchase")
@@ -739,10 +750,10 @@ object EtlOps {
           Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))))
         .filter(col("prev").isNotNull)
         .select(col("user_id"), expr("(us - prev) div 1000000").as("gap_s"))
-      val w = Window.orderBy(col("gap_s"), col("user_id"))
-      gaps
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over())
+      val tot = gaps.agg(count(lit(1)).as("n"))
+      graft.operators.GroupedRank.withGlobalRank(gaps,
+          Seq(col("gap_s"), col("user_id")), "rn")
+        .crossJoin(broadcast(tot))
         .filter(col("rn") === expr("(n + 1) div 2"))
         .select(col("n").cast("long").as("n_gaps"),
           col("gap_s").as("median_gap_s"))

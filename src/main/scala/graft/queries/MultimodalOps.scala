@@ -51,18 +51,20 @@ object MultimodalOps {
     // shuffle-shard discipline), then slots interleave: text rank t
     // → (batch t div 3, slot t % 3), image rank i → (batch i,
     // slot 3). Every batch that both streams can fill holds exactly
-    // the target mix; ranks are per-modality windows — two modest
-    // sorts, no global order.
+    // the target mix. Modality cardinality is TWO, so a plain
+    // per-modality window would sort half the corpus in one task —
+    // the rank runs through GroupedRank's two-phase range exchange
+    // (P parallel sorts + broadcast offsets) instead.
     "q311_modality_pack" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("modality")).orderBy(col("h"), col("doc_id"))
-      Tables(s, d).documents
+      val tagged = Tables(s, d).documents
         .select(col("doc_id"),
           when(col("doc_id") % 4 === 0, "image").otherwise("text")
             .as("modality"),
           md5(concat(lit("pack"), col("doc_id").cast("string"))).as("h"))
-        .withColumn("rk", row_number().over(w).cast("long") - 1L)
+      graft.operators.GroupedRank.withRank(tagged, Seq("modality"),
+          Seq(col("h"), col("doc_id")), "rk1")
+        .withColumn("rk", col("rk1") - 1L)
         .select(col("doc_id"), col("modality"),
           when(col("modality") === "text", expr("rk div 3"))
             .otherwise(col("rk")).as("batch_id"),

@@ -545,16 +545,19 @@ object ScaleOps {
     // the feature-scaling family (q263 min-max, q217 winsorize):
     // each value mapped to its within-type permille rank
     // (rn·1000 div n) under the explicit (cents, event_id) total
-    // order. Uniform output marginals whatever the input
-    // distribution; one window pass per type partition.
+    // order. event_type is 5 values, so a plain per-type window is a
+    // 5-task sort of the whole corpus — the rank runs through
+    // GroupedRank's two-phase range-partition shape instead (P
+    // parallel sorts + broadcast offsets), and n per type is a
+    // broadcast 5-row aggregate.
     "q295_rank_normalize" -> ((s, d) => {
       val base = Tables(s, d).events
         .withColumn("cents", round(col("value") * 100, 0).cast("long"))
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("cents"), col("event_id"))
-      base.withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(
-          Window.partitionBy(col("event_type"))))
+      val totals = base.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.GroupedRank.withRank(base, Seq("event_type"),
+          Seq(col("cents"), col("event_id")), "rn")
+        .join(broadcast(totals), "event_type")
         .select(col("event_id"), col("event_type"),
           expr("(rn * 1000) div n").as("rank_pm"))
     }),
@@ -759,19 +762,20 @@ object ScaleOps {
     // GROUPED exact interpolated quantiles — the family completer
     // (q121 global exact, q175 approx, q218 discrete): per-type
     // q25/q50/q75 by the same (n−1)·p+1 bracket interpolation
-    // DistributedQuantile uses, but through PER-GROUP windows (each
-    // type's rank pass runs parallel; bracket rows are filtered
-    // before the aggregate so the final agg touches ≤ 6 rows per
-    // type). Doubles interpolate identically to quantile_cont —
-    // hash-exact.
+    // DistributedQuantile uses. The per-type rank goes through
+    // GroupedRank's two-phase range exchange (never a 5-task window
+    // over the raw corpus); n per type is a broadcast 5-row
+    // aggregate; bracket rows are filtered before the final agg so
+    // it touches ≤ 6 rows per type. Doubles interpolate identically
+    // to quantile_cont — hash-exact.
     "q231_grouped_quantiles" -> ((s, d) => {
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("cents"), col("event_id"))
-      val base = Tables(s, d).events
+      val cents = Tables(s, d).events
         .withColumn("cents", round(col("value") * 100, 0).cast("long"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n",
-          count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      val totals = cents.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val base = graft.operators.GroupedRank.withRank(cents,
+          Seq("event_type"), Seq(col("cents"), col("event_id")), "rn")
+        .join(broadcast(totals), "event_type")
       val ps = Seq(("q25", 0.25), ("q50", 0.5), ("q75", 0.75))
       val bracket = ps.map { case (_, p) =>
         val pos = (col("n") - 1) * p + 1

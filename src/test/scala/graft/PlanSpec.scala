@@ -235,6 +235,52 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"), p.take(800))
   }
 
+  test("grouped ranks ride pid-partitioned windows — no low-cardinality one-task sort") {
+    // the r6 verdict's seven single-task windows, rewritten through
+    // GroupedRank's two-phase range exchange: every remaining Window
+    // in the visible plan (post-checkpoint) must be __pid-partitioned
+    // (q284's per-user lag legitimately partitions by user_id)
+    for (q <- Seq("q295_rank_normalize", "q231_grouped_quantiles",
+        "q311_modality_pack", "q284_repeat_interval", "q306_id_gaps")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      val windowLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+      assert(windowLines.nonEmpty,
+        s"$q: expected the pid-partitioned rank window\n${p.take(400)}")
+      assert(windowLines.forall(l => l.contains("__pid") || l.contains("user_id")),
+        s"$q: window not pid-partitioned:\n${windowLines.mkString("\n")}")
+      // a 1-row broadcast count() legitimately plans SinglePartition;
+      // a WINDOW must never sit above one
+      val lines = p.linesIterator.toSeq
+      lines.zipWithIndex.filter(_._1.contains("Window [")).foreach { case (_, i) =>
+        val below = lines.drop(i + 1).take(3).mkString("\n")
+        assert(!below.contains("Exchange SinglePartition"),
+          s"$q: window over a single partition:\n$below")
+      }
+    }
+  }
+
+  test("q298: top-5 pick is a TakeOrdered, never a global rank window") {
+    val df = SparkEntry.queries("q298_other_bucket")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(!p.contains("Window ["),
+      s"top-5 must not rank every customer globally:\n${p.take(600)}")
+  }
+
+  test("q131: BFS source pick is a 1-row TakeOrdered over the vocabulary") {
+    // the pick itself (the BFS loop checkpoints eagerly, hiding it
+    // from the final plan) — rebuild it here, the q92 discipline
+    import org.apache.spark.sql.functions._
+    val toks = split(col("text"), " ")
+    val src = Tables(spark, sf).documents.select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(1).select(col("tok"))
+    val p = src.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(!p.contains("Window ["), p.take(600))
+  }
+
   test("whole-stage codegen covers the KPI aggregate (no interpreted hot path)") {
     // AQE only annotates codegen stages on the executed plan
     val df = SparkEntry.queries("q11_genre_kpis")(spark, sf)
