@@ -33,22 +33,28 @@ object Bench {
     "q115_tfidf", "q119_span_dedup", "q124_pmi_bigrams",
     // layout + non-equi join shapes
     "q150_dpp", "q127_band_join",
-    // round-6 additions: bookmark ingest (landing IO + ledger),
+    // round-5 additions: bookmark ingest (landing IO + ledger),
     // tokenizer train+encode (the iterative fold pass), and the
     // two-phase global rank (range exchange + parallel windows)
     "q162_bookmark_ingest", "q167_bpe_encode", "q171_global_rank",
-    // round-7 additions: bitmap-index distinct (fixed-state exact
-    // distinct), blocked fuzzy join, the 8-lag EWMA window, integer
-    // semantic contamination, and the forward as-of union+window
+    // late round-5 additions: bitmap-index distinct (fixed-state
+    // exact distinct), blocked fuzzy join, the 8-lag EWMA window,
+    // integer semantic contamination, and the forward as-of
     "q186_bitmap_distinct", "q190_fuzzy_match", "q193_ewma",
     "q196_semantic_contamination", "q204_asof_forward",
-    // round-8 additions: the two iterative graph kernels (oriented
+    // round-6 additions: the two iterative graph kernels (oriented
     // wedge counting, k-core peel), the corpus-bytes novelty scan,
     // and the native as-of exec. q266's pair build (~14 s at sf0.1)
     // stays off the headline — its cost is output cardinality
-    // (~10 M co-occurrence pairs), not plan shape.
+    // (~10 M co-occurrence pairs), not plan shape; q312_cooccur_topk
+    // is its capped headline twin.
     "q251_triangle_count", "q257_kcore_peel",
-    "q271_novelty_score", "q280_asof_native")
+    "q271_novelty_score", "q280_asof_native",
+    // round-7 additions: islands-and-gaps through the boundary-
+    // stitched distributed lag (the classic CDC shape — benching it
+    // guards the GroupedRank rewrite against regressing to a
+    // one-task window)
+    "q306_id_gaps")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -114,7 +120,7 @@ object Bench {
     // blind when BOTH samples land in the same contended window
     // (observed r5: 60.06 s recorded where an idle box reproduces
     // ~52 s; q127 9.4 s vs 1.5 s). The full-suite sf0.1 run is pinned
-    // at ~47-57 s idle (PLANS.md; +~5 s of round-8 headline queries) —
+    // at ~47-57 s idle (PLANS.md; +~5 s of round-6 headline queries) —
     // if the measured total blows past
     // that even though per-query min/max agreed, take ONE more
     // sample of every full-suite query and keep the min.
@@ -133,7 +139,21 @@ object Bench {
     val qJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}"""
+    println(line)
+    // stdout travels through sbt's [error]-prefixing + the driver's
+    // 2000-char tail truncation, which has eaten the per-query table
+    // every round ("parsed": null in each BENCH_r0N.json) — persist
+    // the line to a file so the artifact is parseable regardless
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench_out.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not persist bench_out.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

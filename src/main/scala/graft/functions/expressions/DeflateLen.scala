@@ -38,7 +38,10 @@ case class DeflateLen(child: Expression)
 object DeflateLen {
   // one native zlib handle + scratch buffer per executor thread,
   // reset() between rows — constructing/end()ing a Deflater per row
-  // makes native handle churn dominate short-string workloads
+  // makes native handle churn dominate short-string workloads.
+  // The handles are never end()'d: bounded at one per pool thread,
+  // reclaimed by the JDK's Deflater Cleaner when the thread dies —
+  // a deliberate reliance, not a leak
   private val local =
     ThreadLocal.withInitial[(java.util.zip.Deflater, Array[Byte])](() =>
       (new java.util.zip.Deflater(

@@ -80,6 +80,19 @@ case class PqEncode(
     packed
   }
 
+  // Array fields compare by reference, which would make two
+  // structurally identical encoders never semanticEquals — defeating
+  // canonicalization and common-subexpression elimination. Value
+  // equality restores that while keeping the unboxed Array hot loop.
+  override def equals(o: Any): Boolean = o match {
+    case p: PqEncode => child == p.child && m == p.m && ksub == p.ksub &&
+      dsub == p.dsub && java.util.Arrays.equals(codebook, p.codebook)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Int.box(m), Int.box(ksub), Int.box(dsub),
+      Int.box(java.util.Arrays.hashCode(codebook)))
+
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
     copy(child = newChild)
 }
@@ -120,6 +133,16 @@ case class PqDist(
     }
     dist
   }
+
+  // same reference-equality trap as PqEncode's codebook field
+  override def equals(o: Any): Boolean = o match {
+    case p: PqDist => left == p.left && right == p.right && m == p.m &&
+      ksub == p.ksub && java.util.Arrays.equals(tables, p.tables)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(left, right, Int.box(m), Int.box(ksub),
+      Int.box(java.util.Arrays.hashCode(tables)))
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PqDist =

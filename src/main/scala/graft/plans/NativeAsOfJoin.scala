@@ -243,9 +243,31 @@ object NativeAsOfJoin {
     val lPlan = GraftColumnBridge.analyzed(left)
     val rPlan = GraftColumnBridge.analyzed(rFresh)
     val rVals = rightValueCols.map(attr(rPlan, _))
-    val node = AsOfJoinNode(lPlan, rPlan,
-      attr(lPlan, leftKey), attr(lPlan, leftTs),
-      attr(rPlan, rightKey), attr(rPlan, rightTs),
+    val (lk, lt) = (attr(lPlan, leftKey), attr(lPlan, leftTs))
+    val (rk, rt) = (attr(rPlan, rightKey), attr(rPlan, rightTs))
+    // fail fast on mismatched sides: keyOrd/tsOrd are built from the
+    // LEFT types and applied to RIGHT eval values, so a long-vs-int
+    // drift would otherwise surface as a ClassCastException deep in
+    // the partition walk
+    require(lk.dataType == rk.dataType,
+      s"as-of key type mismatch: $leftKey is ${lk.dataType.simpleString}, " +
+        s"$rightKey is ${rk.dataType.simpleString}")
+    require(lt.dataType == rt.dataType,
+      s"as-of ts type mismatch: $leftTs is ${lt.dataType.simpleString}, " +
+        s"$rightTs is ${rt.dataType.simpleString}")
+    // nested key/ts types are rejected because the walk's own() only
+    // deep-copies UTF8String — an array/struct retained across
+    // rBuf.next() would silently read reused buffers
+    for (a <- Seq(lk, lt)) a.dataType match {
+      case _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType |
+           _: org.apache.spark.sql.types.StructType =>
+        throw new IllegalArgumentException(
+          s"as-of key/ts must be an atomic type; '${a.name}' is " +
+            a.dataType.simpleString)
+      case _ => ()
+    }
+    val node = AsOfJoinNode(lPlan, rPlan, lk, lt, rk, rt,
       rVals, rVals.map(_.withNullability(true).newInstance()), forward)
     GraftColumnBridge.ofRows(spark, node)
   }
