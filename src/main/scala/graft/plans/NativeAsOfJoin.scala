@@ -126,6 +126,15 @@ object NativeAsOfJoin {
       val rightOut = right.output
       val leftOut = left.output
       val fwd = forward
+      // the common case — long/int/timestamp/date keys — walks on
+      // primitive longs: ordinal reads + '<' comparisons, no per-row
+      // eval() boxing and no interpreted-ordering virtual dispatch
+      val fastGetters = for {
+        lkG <- NativeAsOfJoin.longGetter(leftKey, leftOut)
+        ltG <- NativeAsOfJoin.longGetter(leftTs, leftOut)
+        rkG <- NativeAsOfJoin.longGetter(rightKey, rightOut)
+        rtG <- NativeAsOfJoin.longGetter(rightTs, rightOut)
+      } yield (lkG, ltG, rkG, rtG)
 
       left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
         val rValProj = UnsafeProjection.create(rightVals, rightOut)
@@ -137,68 +146,168 @@ object NativeAsOfJoin {
         val joined = new JoinedRow
         val rBuf = rIter.buffered
 
-        // eval'd UTF8String keys point into reused row buffers — copy
-        // anything retained across next()
-        def own(v: Any): Any = v match {
-          case s: UTF8String => s.clone()
-          case x => x
-        }
-
-        // backward state: payload + key of the last same-key right row
-        // consumed with rts <= current lts
-        var candKey: Any = null
-        var candVals: UnsafeRow = null
-
-        lIter.map { lr =>
-          val lk = lKeyB.eval(lr)
-          val lts = lTsB.eval(lr)
-          if (lk == null || lts == null) {
-            resultProj(joined(lr, nullVals))
-          } else if (!fwd) {
-            // consume right rows that are before-or-equal (key, ts)
-            var advance = true
-            while (advance && rBuf.hasNext) {
+        if (fastGetters.isDefined) {
+          val (lkG, ltG, rkG, rtG) = fastGetters.get
+          // head cache: (key, ts) of the current right head, refreshed
+          // only when the buffer advances — each right row's key/ts is
+          // decoded exactly once across the whole walk
+          var headValid = false
+          var headKey = 0L
+          var headTs = 0L
+          def refreshHead(): Boolean = {
+            while (!headValid && rBuf.hasNext) {
               val hr = rBuf.head
-              val rk = rKeyB.eval(hr)
-              val rts = rTsB.eval(hr)
-              if (rk == null || rts == null) rBuf.next()
-              else {
-                val c = keyOrd.compare(rk, lk)
-                if (c < 0 || (c == 0 && tsOrd.compare(rts, lts) <= 0)) {
-                  if (c == 0) {
-                    candKey = own(rk)
-                    candVals = rValProj(hr).copy()
-                  }
-                  rBuf.next()
-                } else advance = false
+              if (rkG.isNull(hr) || rtG.isNull(hr)) rBuf.next()
+              else { headKey = rkG.get(hr); headTs = rtG.get(hr); headValid = true }
+            }
+            headValid
+          }
+          var candSet = false
+          var candKey = 0L
+          var candVals: UnsafeRow = null
+
+          lIter.map { lr =>
+            if (lkG.isNull(lr) || ltG.isNull(lr)) {
+              resultProj(joined(lr, nullVals))
+            } else {
+              val lk = lkG.get(lr)
+              val lts = ltG.get(lr)
+              if (!fwd) {
+                var advance = true
+                while (advance && refreshHead()) {
+                  if (headKey < lk || (headKey == lk && headTs <= lts)) {
+                    if (headKey == lk) {
+                      candSet = true; candKey = lk
+                      candVals = rValProj(rBuf.head).copy()
+                    }
+                    rBuf.next(); headValid = false
+                  } else advance = false
+                }
+                resultProj(joined(lr,
+                  if (candSet && candKey == lk) candVals else nullVals))
+              } else {
+                var advance = true
+                while (advance && refreshHead()) {
+                  if (headKey < lk || (headKey == lk && headTs < lts)) {
+                    rBuf.next(); headValid = false
+                  } else advance = false
+                }
+                val matched = refreshHead() && headKey == lk
+                resultProj(joined(lr,
+                  if (matched) rValProj(rBuf.head) else nullVals))
               }
             }
-            val matched = candKey != null && keyOrd.compare(candKey, lk) == 0
-            resultProj(joined(lr, if (matched) candVals else nullVals))
-          } else {
-            // forward: advance right strictly before (key, ts); the
-            // surviving head (same key) is the earliest-later match —
-            // NOT consumed, so later left rows can share it
-            var advance = true
-            while (advance && rBuf.hasNext) {
-              val hr = rBuf.head
-              val rk = rKeyB.eval(hr)
-              val rts = rTsB.eval(hr)
-              if (rk == null || rts == null) rBuf.next()
-              else {
-                val c = keyOrd.compare(rk, lk)
-                if (c < 0 || (c == 0 && tsOrd.compare(rts, lts) < 0)) rBuf.next()
-                else advance = false
+          }
+        } else {
+          // generic path: any atomic key/ts type via interpreted
+          // orderings. eval'd UTF8String keys point into reused row
+          // buffers — copy anything retained across next()
+          def own(v: Any): Any = v match {
+            case s: UTF8String => s.clone()
+            case x => x
+          }
+
+          // backward state: payload + key of the last same-key right
+          // row consumed with rts <= current lts
+          var candKey: Any = null
+          var candVals: UnsafeRow = null
+
+          lIter.map { lr =>
+            val lk = lKeyB.eval(lr)
+            val lts = lTsB.eval(lr)
+            if (lk == null || lts == null) {
+              resultProj(joined(lr, nullVals))
+            } else if (!fwd) {
+              // consume right rows that are before-or-equal (key, ts)
+              var advance = true
+              while (advance && rBuf.hasNext) {
+                val hr = rBuf.head
+                val rk = rKeyB.eval(hr)
+                val rts = rTsB.eval(hr)
+                if (rk == null || rts == null) rBuf.next()
+                else {
+                  val c = keyOrd.compare(rk, lk)
+                  if (c < 0 || (c == 0 && tsOrd.compare(rts, lts) <= 0)) {
+                    if (c == 0) {
+                      candKey = own(rk)
+                      candVals = rValProj(hr).copy()
+                    }
+                    rBuf.next()
+                  } else advance = false
+                }
               }
+              val matched = candKey != null && keyOrd.compare(candKey, lk) == 0
+              resultProj(joined(lr, if (matched) candVals else nullVals))
+            } else {
+              // forward: advance right strictly before (key, ts); the
+              // surviving head (same key) is the earliest-later match —
+              // NOT consumed, so later left rows can share it
+              var advance = true
+              while (advance && rBuf.hasNext) {
+                val hr = rBuf.head
+                val rk = rKeyB.eval(hr)
+                val rts = rTsB.eval(hr)
+                if (rk == null || rts == null) rBuf.next()
+                else {
+                  val c = keyOrd.compare(rk, lk)
+                  if (c < 0 || (c == 0 && tsOrd.compare(rts, lts) < 0)) rBuf.next()
+                  else advance = false
+                }
+              }
+              val matched = rBuf.hasNext && {
+                val rk = rKeyB.eval(rBuf.head)
+                rk != null && keyOrd.compare(rk, lk) == 0
+              }
+              resultProj(joined(lr, if (matched) rValProj(rBuf.head) else nullVals))
             }
-            val matched = rBuf.hasNext && {
-              val rk = rKeyB.eval(rBuf.head)
-              rk != null && keyOrd.compare(rk, lk) == 0
-            }
-            resultProj(joined(lr, if (matched) rValProj(rBuf.head) else nullVals))
           }
         }
       }
+    }
+  }
+
+  /** Primitive row accessor for long-backed atomic types. A plain
+    * `InternalRow => Long` lambda would box: Function1 specializes
+    * on primitive ARGUMENT types only, and InternalRow is an AnyRef,
+    * so calls route through the generic Object→Object bridge. An
+    * abstract class with a monomorphic call site keeps the walk
+    * allocation-free.
+    */
+  private[plans] abstract class LongGetter extends Serializable {
+    def isNull(r: InternalRow): Boolean
+    def get(r: InternalRow): Long
+  }
+
+  /** A getter when `a`'s type is long-backed (long/timestamp/int/
+    * date/short/byte); None otherwise → the generic interpreted walk.
+    */
+  private[plans] def longGetter(a: Attribute,
+      out: Seq[Attribute]): Option[LongGetter] = {
+    import org.apache.spark.sql.types._
+    val i = out.indexWhere(_.exprId == a.exprId)
+    if (i < 0) None
+    else a.dataType match {
+      case LongType | TimestampType | TimestampNTZType =>
+        Some(new LongGetter {
+          def isNull(r: InternalRow): Boolean = r.isNullAt(i)
+          def get(r: InternalRow): Long = r.getLong(i)
+        })
+      case IntegerType | DateType =>
+        Some(new LongGetter {
+          def isNull(r: InternalRow): Boolean = r.isNullAt(i)
+          def get(r: InternalRow): Long = r.getInt(i).toLong
+        })
+      case ShortType =>
+        Some(new LongGetter {
+          def isNull(r: InternalRow): Boolean = r.isNullAt(i)
+          def get(r: InternalRow): Long = r.getShort(i).toLong
+        })
+      case ByteType =>
+        Some(new LongGetter {
+          def isNull(r: InternalRow): Boolean = r.isNullAt(i)
+          def get(r: InternalRow): Long = r.getByte(i).toLong
+        })
+      case _ => None
     }
   }
 

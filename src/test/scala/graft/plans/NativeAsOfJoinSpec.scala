@@ -120,6 +120,81 @@ class NativeAsOfJoinSpec extends AnyFunSuite {
     assert(sorts == 2, s"expected one sort per side, got $sorts")
   }
 
+  test("string keys ride the generic interpreted walk — same A/B parity (both directions)") {
+    // long key + timestamp ts take the primitive fast path; casting
+    // the key to string forces the interpreted-ordering walk, so this
+    // pins the path the fixtures no longer reach
+    val t = graft.Tables(spark, "/root/testdata/sf0.001")
+    val ev = t.events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").cast("string").as("uk"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").cast("string").as("c_user"),
+        col("event_id").as("c_id"), col("ts").as("c_ts"))
+    for (fwd <- Seq(false, true)) {
+      val native =
+        if (fwd) NativeAsOfJoin.earliestLater(purchases, clicks,
+          "uk", "ts", "c_user", "c_ts", Seq("c_id"))
+        else NativeAsOfJoin.latestEarlier(purchases, clicks,
+          "uk", "ts", "c_user", "c_ts", Seq("c_id"))
+      val composed =
+        if (fwd) graft.operators.AsOfJoin.earliestLater(purchases, clicks,
+          leftKey = col("uk"), leftTs = col("ts"),
+          rightKey = col("c_user"), rightTs = col("c_ts"),
+          rightValueCols = Seq("c_id"))
+        else graft.operators.AsOfJoin.latestEarlier(purchases, clicks,
+          leftKey = col("uk"), leftTs = col("ts"),
+          rightKey = col("c_user"), rightTs = col("c_ts"),
+          rightValueCols = Seq("c_id"))
+      val n = native.collect().map(_.toSeq).toSet
+      val c = composed.select(native.columns.map(col): _*)
+        .collect().map(_.toSeq).toSet
+      assert(n == c, s"forward=$fwd: string-key native/composed mismatch")
+    }
+    // ts stays a timestamp (long-backed) — only the STRING key must
+    // disable the fast path, proving the guard keys on all four cols
+  }
+
+  test("mismatched key/ts types across sides fail fast at build, not mid-walk") {
+    val left = fixtureLeft
+    val right = fixtureRight.withColumn("uid", col("uid").cast("int"))
+    val e = intercept[IllegalArgumentException] {
+      NativeAsOfJoin.latestEarlier(left, right, "uid", "ts", "uid", "od", Seq("oid"))
+    }
+    assert(e.getMessage.contains("key type mismatch"), e.getMessage)
+  }
+
+  test("A/B throughput at sf0.1: the native walk is not slower than the composed form") {
+    // the r6 verdict's acceptance bar: with the primitive fast path,
+    // the single merge walk should dominate union+window at bench
+    // scale, not just asymptotically. min-of-2 per side + 1.25x slack
+    // absorbs sandbox contention.
+    val t = graft.Tables(spark, "/root/testdata/sf0.1")
+    val ev = t.events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+        col("ts").as("c_ts"))
+    def time(df: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def native() = NativeAsOfJoin.latestEarlier(purchases, clicks,
+      "user_id", "ts", "c_user", "c_ts", Seq("c_id"))
+    def composed() = graft.operators.AsOfJoin.latestEarlier(purchases, clicks,
+      leftKey = col("user_id"), leftTs = col("ts"),
+      rightKey = col("c_user"), rightTs = col("c_ts"),
+      rightValueCols = Seq("c_id"))
+    composed().count(); native().count() // warm both code paths
+    val tc = Seq(time(composed()), time(composed())).min
+    val tn = Seq(time(native()), time(native())).min
+    info(f"native $tn%.2f s vs composed $tc%.2f s at sf0.1")
+    assert(tn <= tc * 1.25,
+      f"native as-of ($tn%.2f s) slower than composed ($tc%.2f s) at sf0.1")
+  }
+
   test("empty right side: every left row unmatched, nothing drops") {
     val left = fixtureLeft
     val right = fixtureRight.filter(col("uid") < 0)
