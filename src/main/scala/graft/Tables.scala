@@ -34,6 +34,24 @@ final case class Tables(spark: SparkSession, dir: String) {
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
-  def documents: DataFrame  = t("documents")
-  def embeddings: DataFrame = t("embeddings")
+  /** The corpus tables fan out AT THE LOADER: the fixtures are
+    * single-file, single-row-group parquet, so every scan arrives as
+    * ONE partition and `spark.sql.files.maxPartitionBytes` cannot
+    * split it (byte-range splits of one row group yield empty
+    * partitions) — while nearly every consumer runs CPU-bound
+    * interpreted maps (shingling, LSH signatures, IVF assignment)
+    * that serialize on one core without a fan-out. Guarded the same
+    * way as the per-operator `parallelized()` helpers (which now
+    * no-op on these loaders): a real multi-file corpus at cluster
+    * scale already arrives split, and this repartition never fires.
+    */
+  private def fannedOut(df: DataFrame): DataFrame = {
+    val parallelism = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(parallelism / 2, 1))
+      df.repartition(parallelism)
+    else df
+  }
+
+  def documents: DataFrame  = fannedOut(t("documents"))
+  def embeddings: DataFrame = fannedOut(t("embeddings"))
 }
