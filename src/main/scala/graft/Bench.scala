@@ -53,8 +53,10 @@ object Bench {
     // round-7 additions: islands-and-gaps through the boundary-
     // stitched distributed lag (the classic CDC shape — benching it
     // guards the GroupedRank rewrite against regressing to a
-    // one-task window)
-    "q306_id_gaps")
+    // one-task window), and the capped co-occurrence top-k (q266's
+    // output through the bounded-heap aggregate instead of the
+    // 10 M-row window sort)
+    "q306_id_gaps", "q312_cooccur_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -101,6 +101,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                           LATERAL/scalar subqueries, NOT IN trap,
   *                           local-time rollup, log2 histogram, ID
   *                           gaps
+  *  - round-7 additions:     q312 basket co-occurrence top-k (bounded
+  *                           heap, no window sort), q313 decile
+  *                           assignment (two-phase rank), q315
+  *                           nearest-event bidirectional as-of
+  *                           (chained native walks)
   */
 object SparkEntry {
 

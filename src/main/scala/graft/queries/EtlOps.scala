@@ -304,6 +304,63 @@ object EtlOps {
           col("rk").cast("long").as("rk"))
     }),
 
+    // "Frequently bought together" top-3 — the headline-benchable
+    // co-occurrence serving query beside q266's customer-lifetime
+    // build: baskets are ORDERS (the classic market-basket grain —
+    // no dimension join, and pair volume is Σ C(items_per_order, 2),
+    // naturally bounded by basket size instead of customer lifetime).
+    // The ranked pick packs (n_co desc, rec asc) into one long
+    // (n_co<<32 | ~rec; exact while n_co<2^31 and rec<2^32 — true at
+    // every bench SF, a wider key space would widen the pack to a
+    // struct heap) and runs through the bounded k-heap TopKAgg —
+    // map-side partial heaps, ≤3 longs per (item, partition) in the
+    // exchange, both directions exploded ABOVE the counted exchange —
+    // never a window sort over the pair set, never a union that
+    // re-runs the pair aggregate.
+    "q312_cooccur_topk" -> ((s, d) => {
+      graft.GraftFunctions.register(s)
+      // ObjectHashAggregate (TopKAgg is a TypedImperativeAggregate)
+      // falls back to SORT-based aggregation after 128 distinct keys
+      // per partition — which would re-introduce exactly the giant
+      // sort this query exists to avoid. The per-key state is a
+      // 3-long heap, so a million-key hash map is still tiny.
+      s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
+      // ONE basket-keyed shuffle does everything the classic
+      // distinct + self-join would: repartition by order key (also
+      // the single-file fan-out), collect each basket's DEDUPED item
+      // set in place (the groupBy reuses the exchange — no second
+      // shuffle), and emit ordered pairs from the sorted set with an
+      // index-windowed lambda — pair volume is Σ C(basket, 2),
+      // bounded by basket size, never customer lifetime
+      val sets = Tables(s, d).lineitem
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("part"))
+        .repartition(32, col("bk"))
+        .groupBy(col("bk"))
+        .agg(sort_array(collect_set(col("part"))).as("ws"))
+      val pairs = sets.select(explode(expr(
+          "flatten(transform(ws, (x, i) -> " +
+            "transform(slice(ws, i + 2, size(ws)), y -> " +
+            "struct(x AS pa, y AS pb))))")).as("e"))
+        .groupBy(shiftleft(col("e.pa"), 32).plus(col("e.pb")).as("pair"))
+        .agg(count(lit(1)).as("n_co"))
+      val pa = shiftright(col("pair"), 32)
+      val pb = col("pair").bitwiseAND(lit(0xFFFFFFFFL))
+      pairs.select(explode(array(
+          struct(pa.as("item"),
+            (shiftleft(col("n_co"), 32) + (lit(0xFFFFFFFFL) - pb)).as("pk")),
+          struct(pb.as("item"),
+            (shiftleft(col("n_co"), 32) + (lit(0xFFFFFFFFL) - pa)).as("pk"))))
+          .as("e"))
+        .select(col("e.item").as("item"), col("e.pk").as("pk"))
+        .groupBy("item").agg(expr("topk_agg(pk, 3)").as("tk"))
+        .select(col("item"), posexplode(col("tk")).as(Seq("pos0", "pk")))
+        .select(col("item"),
+          (lit(0xFFFFFFFFL) - col("pk").bitwiseAND(lit(0xFFFFFFFFL))).as("rec"),
+          shiftright(col("pk"), 32).as("n_co"),
+          (col("pos0") + 1).cast("long").as("rk"))
+    }),
+
     // Time-weighted average value per user (TWAP): the step-function
     // integral Σ cents_i·Δt_i / Σ Δt_i between consecutive events —
     // the price/sensor aggregation where arithmetic means lie. Δt is
@@ -778,6 +835,37 @@ object EtlOps {
         .select(col("event_id"), col("user_id"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
           col("c_id"))
+    }),
+
+    // Nearest-event attribution — the BIDIRECTIONAL as-of: for every
+    // purchase, the click closest in time in EITHER direction (tie →
+    // the earlier one). Built by CHAINING the native as-of exec once
+    // backward and once forward (q291's composition trick: step 2's
+    // left key/ts are step 1's pass-throughs), then a pure projection
+    // picks the closer candidate — two merge walks, O(1) state, no
+    // pair explosion and no |Δt| window. The oracle replays both
+    // directions with rank-1 windows and the same tie rule, so the
+    // driver gates the chained exec's output exactly.
+    "q315_asof_nearest" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("event_id").as("c_id"),
+          col("ts").as("c_ts"))
+      val back = graft.plans.NativeAsOfJoin.latestEarlier(purchases, clicks,
+        "user_id", "ts", "cu", "c_ts", Seq("c_id", "c_ts"))
+        .withColumnRenamed("c_id", "b_id").withColumnRenamed("c_ts", "b_ts")
+      val both = graft.plans.NativeAsOfJoin.earliestLater(back, clicks,
+        "user_id", "ts", "cu", "c_ts", Seq("c_id", "c_ts"))
+        .withColumnRenamed("c_id", "f_id").withColumnRenamed("c_ts", "f_ts")
+      val bDelta = unix_micros(col("ts")) - unix_micros(col("b_ts"))
+      val fDelta = unix_micros(col("f_ts")) - unix_micros(col("ts"))
+      val pickBack = col("b_ts").isNotNull &&
+        (col("f_ts").isNull || bDelta <= fDelta)
+      both.select(col("event_id"), col("user_id"),
+        when(pickBack, col("b_id")).otherwise(col("f_id")).as("near_id"),
+        when(pickBack, -bDelta).otherwise(fDelta).cast("long").as("delta_us"))
     }),
 
     // Grain-uniqueness audit — the dbt-style "is this key actually
@@ -2191,6 +2279,53 @@ object EtlOps {
                 j.c_id
          FROM p LEFT JOIN (SELECT event_id, c_id FROM j WHERE rk = 1) j
            ON j.event_id = p.event_id""",
+    "q312_cooccur_topk" ->
+      """WITH bask AS (
+           SELECT DISTINCT l_orderkey AS bk, l_partkey AS part
+           FROM lineitem),
+         p AS (SELECT a.part AS pa, b.part AS pb, count(*)::BIGINT AS n_co
+               FROM bask a JOIN bask b
+                 ON b.bk = a.bk AND a.part < b.part
+               GROUP BY 1, 2),
+         sym AS (SELECT pa, pb, n_co FROM p
+                 UNION ALL SELECT pb, pa, n_co FROM p),
+         r AS (SELECT pa AS item, pb AS rec, n_co,
+                 row_number() OVER (PARTITION BY pa
+                   ORDER BY n_co DESC, pb)::BIGINT AS rk
+               FROM sym)
+         SELECT item, rec, n_co, rk FROM r WHERE rk <= 3""",
+    "q315_asof_nearest" ->
+      """WITH p AS (
+           SELECT event_id, user_id, ts, epoch_us(ts) AS us FROM events
+           WHERE event_type = 'purchase'),
+         c AS (
+           SELECT user_id AS cu, event_id AS c_id, ts AS c_ts,
+                  epoch_us(ts) AS c_us
+           FROM events WHERE event_type = 'click'),
+         b AS (
+           SELECT event_id, c_id, c_us FROM (
+             SELECT p.event_id, c.c_id, c.c_us,
+                    row_number() OVER (PARTITION BY p.event_id
+                      ORDER BY c.c_ts DESC, c.c_id DESC) AS rk
+             FROM p JOIN c ON c.cu = p.user_id AND c.c_ts <= p.ts)
+           WHERE rk = 1),
+         f AS (
+           SELECT event_id, c_id, c_us FROM (
+             SELECT p.event_id, c.c_id, c.c_us,
+                    row_number() OVER (PARTITION BY p.event_id
+                      ORDER BY c.c_ts ASC, c.c_id ASC) AS rk
+             FROM p JOIN c ON c.cu = p.user_id AND c.c_ts >= p.ts)
+           WHERE rk = 1)
+         SELECT p.event_id, p.user_id,
+                CASE WHEN b.c_id IS NOT NULL AND (f.c_id IS NULL OR
+                       p.us - b.c_us <= f.c_us - p.us)
+                     THEN b.c_id ELSE f.c_id END AS near_id,
+                (CASE WHEN b.c_id IS NOT NULL AND (f.c_id IS NULL OR
+                       p.us - b.c_us <= f.c_us - p.us)
+                     THEN b.c_us - p.us ELSE f.c_us - p.us END)::BIGINT
+                  AS delta_us
+         FROM p LEFT JOIN b ON b.event_id = p.event_id
+                LEFT JOIN f ON f.event_id = p.event_id""",
     "q276_grain_audit" ->
       """WITH a AS (
            SELECT l_orderkey::VARCHAR AS k FROM lineitem),

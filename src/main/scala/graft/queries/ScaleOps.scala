@@ -562,6 +562,25 @@ object ScaleOps {
           expr("(rn * 1000) div n").as("rank_pm"))
     }),
 
+    // Global decile assignment — the equal-frequency band label every
+    // feature store ships next to q295's permille rank: decile =
+    // ((rn−1)·10) div n + 1 over the (cents, event_id) total order,
+    // written as explicit integer arithmetic so both engines draw
+    // identical band edges (never ntile, whose remainder policy is
+    // engine-specific). The global rank is GroupedRank's two-phase
+    // range exchange; n is a broadcast 1-row count.
+    "q313_decile_assign" -> ((s, d) => {
+      val base = Tables(s, d).events
+        .select(col("event_id"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val tot = base.agg(count(lit(1)).as("n"))
+      graft.operators.GroupedRank.withGlobalRank(base,
+          Seq(col("cents"), col("event_id")), "rn")
+        .crossJoin(broadcast(tot))
+        .select(col("event_id"), col("cents"),
+          (expr("((rn - 1) * 10) div n") + 1L).as("decile"))
+    }),
+
     // Join-cardinality preflight — q270 profiles one side's skew,
     // this predicts the OUTPUT of a self/equi join before running
     // it: per-key counts → Σ n(k)² total pairs plus the top-5
@@ -919,6 +938,17 @@ object ScaleOps {
                  (count(*) OVER (PARTITION BY event_type))::BIGINT AS n
                FROM b)
          SELECT event_id, event_type, ((rn * 1000) // n)::BIGINT AS rank_pm
+         FROM r""",
+    "q313_decile_assign" ->
+      """WITH b AS (
+           SELECT event_id, round(value * 100, 0)::BIGINT AS cents
+           FROM events),
+         r AS (SELECT event_id, cents,
+                 (row_number() OVER (ORDER BY cents, event_id) - 1)::BIGINT
+                   AS rn0,
+                 (count(*) OVER ())::BIGINT AS n
+               FROM b)
+         SELECT event_id, cents, ((rn0 * 10) // n + 1)::BIGINT AS decile
          FROM r""",
     "q274_join_preflight" ->
       """WITH c AS (SELECT l_partkey, count(*)::BIGINT AS n,
