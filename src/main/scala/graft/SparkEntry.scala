@@ -105,7 +105,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                           heap, no window sort), q313 decile
   *                           assignment (two-phase rank), q315
   *                           nearest-event bidirectional as-of
-  *                           (chained native walks)
+  *                           (chained native walks), q314 vocab
+  *                           drift, q316 interleaved stream order,
+  *                           q317 T5 span corruption, q318 class
+  *                           weights
   */
 object SparkEntry {
 

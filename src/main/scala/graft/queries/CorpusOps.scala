@@ -46,6 +46,28 @@ object CorpusOps {
     lpad((col("doc_id") % 1000).cast("string"), 3, "0"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Source-interleaved stream order — the deterministic global
+    // training order that round-robins sources instead of q75's
+    // stateless hash shards: every source gets its own md5-shuffled
+    // rank (GroupedRank — 20 sources would otherwise mean 20 one-task
+    // window sorts), then the stream position is the global rank over
+    // (round, source), ALSO two-phase — so consecutive stream
+    // positions cycle through sources while each source's internal
+    // order stays shuffled. The property batch-wise loss smoothing
+    // wants, with zero residual single-task structure anywhere in
+    // the plan.
+    "q316_interleave_stream" -> ((s, d) => {
+      val tagged = Tables(s, d).documents
+        .select(col("doc_id"), col("source"),
+          md5(concat(lit("il"), col("doc_id").cast("string"))).as("h"))
+      val ranked = graft.operators.GroupedRank.withRank(tagged,
+        Seq("source"), Seq(col("h"), col("doc_id")), "rk")
+      graft.operators.GroupedRank.withGlobalRank(ranked,
+          Seq(col("rk"), col("source")), "stream_pos")
+        .select(col("doc_id"), col("source"), col("rk"),
+          col("stream_pos"))
+    }),
+
     // Importance-based data selection (the DSIR shape, Xie et al.
     // 2023, made integer-exact): hash every token into 256 feature
     // buckets (the md5-mix recipe q236 oracles), count each bucket's
@@ -639,6 +661,16 @@ object CorpusOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q316_interleave_stream" ->
+      """WITH r AS (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5('il' || doc_id::VARCHAR), doc_id)::BIGINT
+                    AS rk
+           FROM documents)
+         SELECT doc_id, source, rk,
+                row_number() OVER (ORDER BY rk, source)::BIGINT AS stream_pos
+         FROM r""",
     "q255_importance_select" ->
       """WITH tf AS (
            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok

@@ -59,11 +59,75 @@ object TextOps {
       Tables(s, d).documents
         .select(col("doc_id"), size(tokens).cast("long").as("n_tokens"))),
 
+    // Vocabulary drift between corpus versions — the release
+    // comparison a data-curation pipeline runs before swapping in a
+    // new crawl (q271 scores per-DOC novelty; this is the
+    // distribution view): token share in each half (doc_id parity
+    // stands in for version), per-token |Δ| in exact permille, top-20
+    // divergent tokens. One token-count aggregate per half (same
+    // single pass, conditional sums), 1-row broadcast totals, a
+    // 20-row TakeOrdered — the corpus shuffles once, vocab-bounded
+    // output.
+    "q314_vocab_drift" -> ((s, d) => {
+      val occ = parallelized(Tables(s, d).documents)
+        .select((col("doc_id") % 2 === 0).as("is_a"),
+          explode(tokens).as("tok"))
+      val counts = occ.groupBy(col("tok")).agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"))
+      val tot = counts.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("tok"), col("na").cast("long").as("na"),
+          col("nb").cast("long").as("nb"),
+          expr("(na * 1000) div ta").as("share_a_pm"),
+          expr("(nb * 1000) div tb").as("share_b_pm"),
+          expr("abs((na * 1000) div ta - (nb * 1000) div tb)").as("drift_pm"))
+        .orderBy(col("drift_pm").desc, col("tok")).limit(20)
+    }),
+
     // Document fingerprinting: content digest, the key for exact
     // dedup. At 100 TB the digest (16 bytes) is all that shuffles.
     "q31_fingerprint" -> ((s, d) =>
       Tables(s, d).documents
         .select(col("doc_id"), md5(col("text")).as("fp"))),
+
+    // T5-style span corruption (Raffel et al. 2020) — the denoising-
+    // objective prep that turns a clean document into (corrupted,
+    // target) training pairs: fixed 3-token spans, a span masked iff
+    // its md5(doc_id:span) leads with 0/1/2 (≈19%, deterministic —
+    // the engine-independent stand-in for the usual RNG), masked
+    // spans replaced by ordinal <X_k> sentinels in the input and
+    // emitted as "<X_k> tokens…" in the target. Pure per-document
+    // narrow projection: flags/prefix-sums are per-row array lambdas
+    // over ≤ tens of spans, nothing shuffles, nothing is stateful —
+    // the shape that lets objective prep run at ingest bandwidth.
+    "q317_span_corruption" -> ((s, d) => {
+      parallelized(Tables(s, d).documents)
+        .filter(size(tokens) >= 1)
+        .withColumn("toks", tokens)
+        .withColumn("spans",
+          expr("sequence(0, cast((size(toks) + 2) div 3 - 1 AS int))"))
+        .withColumn("flags", expr(
+          "transform(spans, s -> CASE WHEN substring(md5(concat(" +
+            "cast(doc_id AS string), ':', cast(s AS string))), 1, 1)" +
+            " IN ('0', '1', '2') THEN 1 ELSE 0 END)"))
+        .withColumn("cums", expr(
+          "transform(spans, s -> aggregate(slice(flags, 1, s), 0, " +
+            "(a, x) -> a + x))"))
+        .select(col("doc_id"),
+          size(col("spans")).cast("long").as("n_spans"),
+          expr("aggregate(flags, 0, (a, x) -> a + x)").cast("long")
+            .as("n_masked"),
+          expr("array_join(flatten(transform(spans, s -> " +
+            "IF(element_at(flags, s + 1) = 1, " +
+            "array(concat('<X_', cast(element_at(cums, s + 1) AS string)," +
+            " '>')), slice(toks, s * 3 + 1, 3)))), ' ')").as("corrupted"),
+          expr("array_join(flatten(transform(" +
+            "filter(spans, s -> element_at(flags, s + 1) = 1), s -> " +
+            "concat(array(concat('<X_', cast(element_at(cums, s + 1)" +
+            " AS string), '>')), slice(toks, s * 3 + 1, 3)))), ' ')")
+            .as("target"))
+    }),
 
     // Exact dedup: hash-groupBy on the digest, keep the smallest id
     // (deterministic representative pick).
@@ -857,6 +921,58 @@ object TextOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q314_vocab_drift" ->
+      """WITH o AS (
+           SELECT doc_id % 2 = 0 AS is_a, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         c AS (SELECT tok,
+                 (count(*) FILTER (is_a))::BIGINT AS na,
+                 (count(*) FILTER (NOT is_a))::BIGINT AS nb
+               FROM o GROUP BY 1),
+         t AS (SELECT sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb FROM c)
+         SELECT tok, na, nb,
+                ((na * 1000) // ta)::BIGINT AS share_a_pm,
+                ((nb * 1000) // tb)::BIGINT AS share_b_pm,
+                abs((na * 1000) // ta - (nb * 1000) // tb)::BIGINT AS drift_pm
+         FROM c, t
+         ORDER BY drift_pm DESC, tok LIMIT 20""",
+    "q317_span_corruption" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS ws,
+                  (len(string_split(text, ' ')) + 2) // 3 AS nspans
+           FROM documents
+           WHERE len(string_split(text, ' ')) >= 1),
+         sp AS (
+           SELECT doc_id, ws, nspans, unnest(range(nspans)) AS sidx
+           FROM t),
+         fl AS (
+           SELECT doc_id, ws, nspans, sidx,
+                  CASE WHEN substring(md5(doc_id::VARCHAR || ':' ||
+                         sidx::VARCHAR), 1, 1) IN ('0', '1', '2')
+                       THEN 1 ELSE 0 END AS f
+           FROM sp),
+         cu AS (
+           SELECT doc_id, ws, nspans, sidx, f,
+                  coalesce(sum(f) OVER (PARTITION BY doc_id ORDER BY sidx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS cum
+           FROM fl),
+         pieces AS (
+           SELECT doc_id, nspans, sidx, f,
+                  CASE WHEN f = 1
+                       THEN ['<X_' || cum::VARCHAR || '>']
+                       ELSE ws[sidx * 3 + 1 : sidx * 3 + 3] END AS cp,
+                  CASE WHEN f = 1
+                       THEN ['<X_' || cum::VARCHAR || '>'] ||
+                            ws[sidx * 3 + 1 : sidx * 3 + 3]
+                       ELSE []::VARCHAR[] END AS tp
+           FROM cu)
+         SELECT doc_id, nspans::BIGINT AS n_spans, sum(f)::BIGINT AS n_masked,
+                array_to_string(flatten(list(cp ORDER BY sidx)), ' ')
+                  AS corrupted,
+                coalesce(array_to_string(flatten(list(tp ORDER BY sidx)), ' '),
+                  '') AS target
+         FROM pieces GROUP BY doc_id, nspans""",
     "q245_repetition_filter" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          o AS (SELECT doc_id, unnest(ws) AS tok,

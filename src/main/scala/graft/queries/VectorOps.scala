@@ -21,6 +21,23 @@ import org.apache.spark.sql.functions._
 object VectorOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Class-imbalance weights — the loss-reweighting table an
+    // imbalanced classifier head trains with: per label, inverse-
+    // frequency weight w = N / (K·n_label) in exact permille plus
+    // the label share, and the flag for classes below half parity
+    // (n·K·2 < N — float-free cross-multiplication). One K-row
+    // aggregate over the label column only; nothing else shuffles.
+    "q318_class_weights" -> ((s, d) => {
+      val lab = Tables(s, d).embeddings.select(col("label").cast("long"))
+        .groupBy(col("label")).agg(count(lit(1)).as("n"))
+      val tot = lab.agg(sum(col("n")).as("nt"), count(lit(1)).as("k"))
+      lab.crossJoin(broadcast(tot))
+        .select(col("label"), col("n"),
+          expr("(n * 1000) div nt").as("share_pm"),
+          expr("(nt * 1000) div (k * n)").as("weight_pm"),
+          (col("n") * col("k") * 2 < col("nt")).as("underrepresented"))
+    }),
+
     // Brute-force exact top-k cosine neighbors for a query subset.
     "q40_ann_topk" -> ((s, d) => {
       val emb = Tables(s, d).embeddings
@@ -407,6 +424,15 @@ object VectorOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q318_class_weights" ->
+      """WITH c AS (SELECT label::BIGINT AS label, count(*)::BIGINT AS n
+                    FROM embeddings GROUP BY 1),
+         t AS (SELECT sum(n)::BIGINT AS nt, count(*)::BIGINT AS k FROM c)
+         SELECT label, n,
+                ((n * 1000) // nt)::BIGINT AS share_pm,
+                ((nt * 1000) // (k * n))::BIGINT AS weight_pm,
+                (n * k * 2 < nt) AS underrepresented
+         FROM c, t""",
     "q233_semantic_keep_central" ->
       """WITH RECURSIVE prs AS (
            SELECT a.vec_id AS a_id, b.vec_id AS b_id
