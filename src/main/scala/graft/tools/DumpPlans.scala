@@ -52,7 +52,19 @@ object DumpPlans {
     "q258_pareto_skyline" -> "skyline: distributive reduce-then-refine — per-date min aggregate is the only corpus shuffle; the dominance scan runs over the date-bounded candidate set; tie orders equi-join back",
     "q264_phrase_search" -> "phrase search: postings restricted to the two query terms BEFORE the shuffle; adjacency rides the doc_id equi-join as a residual — shuffle volume is posting lists, never corpus",
     "q266_item_cooccurrence" -> "co-occurrence: customer-keyed pair self-join (explosion bounded by basket size squared); top-3 per item through per-item rank windows",
-    "q280_asof_native" -> "native as-of exec: one exchange + one sort per side feeding the O(1)-state merge walk — no union materialization, no window carry chain")
+    "q280_asof_native" -> "native as-of exec: one exchange + one sort per side feeding the O(1)-state merge walk — no union materialization, no window carry chain",
+    // round-6 tail (q285–q311)
+    "q291_window_funnel" -> "window funnel: TWO chained native as-of walks (view→click→purchase) — two merge walks total, no union/window fallback, no per-step pair explosion",
+    "q293_budget_allocation" -> "greedy budget fill: range exchange + pid-partitioned prefix-sum windows with broadcast offsets (plan shown post-checkpoint — the range exchange is pinned at construction)",
+    "q295_rank_normalize" -> "rank normalization: GroupedRank two-phase — every window in the plan is (pid, type)-partitioned; per-type totals ride a broadcast join",
+    "q298_other_bucket" -> "top-N + OTHER: the 5 winners come from TakeOrderedAndProject + broadcast relabel — no global rank window over the customer aggregate",
+    "q306_id_gaps" -> "islands & gaps: boundary-stitched distributed lag — per-pid lag windows over the range exchange, partition predecessors joined from a broadcast ≤P-row bounds table",
+    "q311_modality_pack" -> "modality packing: the 2-value modality rank rides GroupedRank's range exchange — no half-corpus single-task sort; slot interleave is pure integer projection",
+    // round-7 (q312–q318)
+    "q312_cooccur_topk" -> "basket co-occurrence top-k: ONE basket-keyed exchange shared by repartition + collect_set, sorted-set pair explode, bounded-heap TopKAgg (≤3 longs per item per partition) — no pair-set window sort",
+    "q315_asof_nearest" -> "nearest-event as-of: backward + forward native as-of execs CHAINED — four exchanges/sorts total, O(1) walk state, closer-candidate pick is a pure projection",
+    "q316_interleave_stream" -> "interleaved stream order: per-source rank AND global (round, source) position both via GroupedRank — all windows pid-partitioned",
+    "q317_span_corruption" -> "T5 span corruption: one narrow codegen-friendly projection — flags/prefix sums/sentinels are per-row array lambdas; zero exchanges in the whole plan")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

@@ -67,7 +67,16 @@ class ReproSpec extends AnyFunSuite {
     "q261_cusum_changepoint", // windowed argmax under dev/day tie-break
     "q266_item_cooccurrence", // pair self-join + per-item rank windows
     "q273_table_fingerprint", // order-independent checksum sums
-    "q280_asof_native"      // custom exec merge walk (partition order)
+    "q280_asof_native",     // custom exec merge walk (partition order)
+    // round-6 tail + round-7 additions
+    "q293_budget_allocation", // range-exchange prefix sums + collected offsets
+    "q306_id_gaps",         // boundary-stitched distributed lag
+    "q309_identity_stitch", // CC over planted device links
+    "q311_modality_pack",   // GroupedRank two-phase per-modality rank
+    "q312_cooccur_topk",    // basket sets + bounded-heap top-k packing
+    "q315_asof_nearest",    // chained bidirectional native as-of walks
+    "q316_interleave_stream", // double two-phase rank (per-source + global)
+    "q317_span_corruption"  // md5 span masks + per-row prefix sums
   )
 
   representatives.foreach { name =>
