@@ -108,7 +108,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                           (chained native walks), q314 vocab
   *                           drift, q316 interleaved stream order,
   *                           q317 T5 span corruption, q318 class
-  *                           weights
+  *                           weights, q319 FD audit, q320 session
+  *                           paths, q321 stream-static enrichment
   */
 object SparkEntry {
 

@@ -868,6 +868,57 @@ object EtlOps {
         when(pickBack, -bDelta).otherwise(fDelta).cast("long").as("delta_us"))
     }),
 
+    // Functional-dependency audit — the column-dependency profiler
+    // beside q276's key-grain test: does LHS determine RHS? Four
+    // candidate FDs over the fact tables (two that hold, two that
+    // don't), each one distinct-project + per-LHS distinct-RHS count
+    // + a 1-row verdict — violations counted, not just flagged, so
+    // the report ranks cleanup effort. Scale shape: every audit
+    // shuffles (lhs, rhs) pairs once; verdicts are count-sized.
+    "q319_fd_audit" -> ((s, d) => {
+      val t = Tables(s, d)
+      def audit(fd: String, pairs: DataFrame): DataFrame =
+        pairs.toDF("lhs", "rhs").distinct()
+          .groupBy(col("lhs")).agg(count(lit(1)).as("n_rhs"))
+          .agg(count(lit(1)).as("n_lhs"),
+            sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("n_violating"))
+          .select(lit(fd).as("fd"), col("n_lhs"),
+            col("n_violating").cast("long").as("n_violating"),
+            (col("n_violating") === 0).as("holds"))
+      audit("l_orderkey,l_linenumber->l_partkey",
+          t.lineitem.select(concat_ws(":", col("l_orderkey"),
+            col("l_linenumber")), col("l_partkey").cast("string")))
+        .unionByName(audit("l_orderkey->l_returnflag",
+          t.lineitem.select(col("l_orderkey").cast("string"),
+            col("l_returnflag"))))
+        .unionByName(audit("o_orderkey->o_orderpriority",
+          t.orders.select(col("o_orderkey").cast("string"),
+            col("o_orderpriority"))))
+        .unionByName(audit("o_custkey->o_orderpriority",
+          t.orders.select(col("o_custkey").cast("string"),
+            col("o_orderpriority"))))
+    }),
+
+    // Top session paths — the path-analysis report behind every
+    // "how do users reach purchase" dashboard (q232 counts single
+    // transitions; this ranks PREFIX PATHS): per session, the first
+    // three event types in time order joined with '>', then the
+    // 10 most common paths with exact session counts. Session
+    // assignment shares q51's machinery; the per-session sequence is
+    // a sort_array(collect_list) aggregate (bounded by the 3-prefix),
+    // and the ranking is a 10-row TakeOrdered — never a global sort.
+    "q320_session_paths" -> ((s, d) => {
+      val paths = withSessionIds(Tables(s, d).events)
+        .groupBy(col("user_id"), col("sid"))
+        .agg(sort_array(collect_list(struct(
+          unix_micros(col("ts")).as("us"), col("event_id"),
+          col("event_type")))).as("seq"))
+        .select(concat_ws(">",
+          expr("transform(slice(seq, 1, 3), x -> x.event_type)")).as("path"))
+      paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path")).limit(10)
+    }),
+
     // Grain-uniqueness audit — the dbt-style "is this key actually
     // the table's grain?" test, run for candidate grains of the
     // lineitem fact: rows, distinct keys, and keys carrying
@@ -2326,6 +2377,61 @@ object EtlOps {
                   AS delta_us
          FROM p LEFT JOIN b ON b.event_id = p.event_id
                 LEFT JOIN f ON f.event_id = p.event_id""",
+    "q319_fd_audit" ->
+      """WITH a AS (SELECT DISTINCT l_orderkey::VARCHAR || ':' ||
+                      l_linenumber::VARCHAR AS lhs,
+                      l_partkey::VARCHAR AS rhs FROM lineitem),
+         ga AS (SELECT lhs, count(*) AS n FROM a GROUP BY 1),
+         b AS (SELECT DISTINCT l_orderkey::VARCHAR AS lhs, l_returnflag AS rhs
+               FROM lineitem),
+         gb AS (SELECT lhs, count(*) AS n FROM b GROUP BY 1),
+         c AS (SELECT DISTINCT o_orderkey::VARCHAR AS lhs,
+                      o_orderpriority AS rhs FROM orders),
+         gc AS (SELECT lhs, count(*) AS n FROM c GROUP BY 1),
+         e AS (SELECT DISTINCT o_custkey::VARCHAR AS lhs,
+                      o_orderpriority AS rhs FROM orders),
+         ge AS (SELECT lhs, count(*) AS n FROM e GROUP BY 1)
+         SELECT 'l_orderkey,l_linenumber->l_partkey' AS fd,
+                count(*)::BIGINT AS n_lhs,
+                (count(*) FILTER (n > 1))::BIGINT AS n_violating,
+                count(*) FILTER (n > 1) = 0 AS holds FROM ga
+         UNION ALL
+         SELECT 'l_orderkey->l_returnflag', count(*)::BIGINT,
+                (count(*) FILTER (n > 1))::BIGINT,
+                count(*) FILTER (n > 1) = 0 FROM gb
+         UNION ALL
+         SELECT 'o_orderkey->o_orderpriority', count(*)::BIGINT,
+                (count(*) FILTER (n > 1))::BIGINT,
+                count(*) FILTER (n > 1) = 0 FROM gc
+         UNION ALL
+         SELECT 'o_custkey->o_orderpriority', count(*)::BIGINT,
+                (count(*) FILTER (n > 1))::BIGINT,
+                count(*) FILTER (n > 1) = 0 FROM ge""",
+    "q320_session_paths" ->
+      """WITH x AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu,
+                  lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         f AS (
+           SELECT user_id, event_type, tsu, event_id,
+                  CASE WHEN prev IS NULL OR tsu - prev > 1800000000
+                       THEN 1 ELSE 0 END AS new_s
+           FROM x),
+         s0 AS (
+           SELECT user_id, event_type, tsu, event_id,
+                  sum(new_s) OVER (PARTITION BY user_id
+                    ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING)::BIGINT
+                    AS sid
+           FROM f),
+         sq AS (
+           SELECT user_id, sid,
+                  array_to_string(
+                    list(event_type ORDER BY tsu, event_id)[1:3], '>') AS path
+           FROM s0 GROUP BY 1, 2)
+         SELECT path, count(*)::BIGINT AS n_sessions
+         FROM sq GROUP BY 1
+         ORDER BY n_sessions DESC, path LIMIT 10""",
     "q276_grain_audit" ->
       """WITH a AS (
            SELECT l_orderkey::VARCHAR AS k FROM lineitem),

@@ -42,6 +42,15 @@ object StreamOps {
     "q79_stream_dedup" -> ((s, d) =>
       StreamingKpi.dedupedTypeCountsUpsert(s, s"$d/events.parquet")),
 
+    // Stream-STATIC enrichment: the event stream joined to the batch
+    // customer dim (broadcast per micro-batch, stateless) before the
+    // watermarked hourly aggregate — the reference-data lookup half
+    // of the join surface next to the stream-stream matrix. Oracle:
+    // the same mapping + join + hour bucket in batch SQL.
+    "q321_stream_static_enrich" -> ((s, d) =>
+      StreamingKpi.enrichedSegmentCountsUpsert(s, s"$d/events.parquet",
+        s"$d/customer.parquet")),
+
     // SLIDING windows (1h length, 15m slide — tumbling is the
     // degenerate slide = length case, q50): every event contributes
     // to exactly 4 overlapping windows. Oracle: explicit window
@@ -192,6 +201,16 @@ object StreamOps {
     "q79_stream_dedup" ->
       """SELECT event_type, count(DISTINCT event_id) AS n_events
          FROM events GROUP BY 1""",
+    "q321_stream_static_enrich" ->
+      """WITH n AS (SELECT count(*) AS nc FROM customer),
+         e AS (SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+                      user_id % nc + 1 AS ck
+               FROM events, n)
+         SELECT e.window_start, c.c_mktsegment AS segment,
+                count(*)::BIGINT AS n
+         FROM e JOIN customer c ON c.c_custkey = e.ck
+         GROUP BY 1, 2""",
     "q111_sliding_window" ->
       """WITH w AS (
            SELECT event_type, value,

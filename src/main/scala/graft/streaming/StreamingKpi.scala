@@ -94,6 +94,42 @@ object StreamingKpi {
       s => hourlyAgg(s, eventsPath, latenessTolerance),
       Seq("window_start", "event_type"))
 
+  /** Stream-STATIC enrichment (q321): the event stream joined to the
+    * batch customer dimension before a watermarked hourly aggregate —
+    * the reference-data lookup shape (enrich each record with a
+    * slowly-changing dim snapshot) that complements the
+    * stream-stream matrix (q94/q163/q195). The static side plans as
+    * a broadcast per micro-batch: no state, no watermark on the dim,
+    * and a dim refresh is just the next batch's re-resolution. The
+    * synthetic user→customer mapping (pmod into the key space) is
+    * derived from the dim's own count, so the query scales with the
+    * data; the oracle replays it in batch SQL.
+    */
+  def enrichedSegmentCountsUpsert(
+      spark: SparkSession,
+      eventsPath: String,
+      customerPath: String,
+      latenessTolerance: String = "1 hour"): DataFrame = {
+    val nCust = spark.read.parquet(customerPath).count()
+    upsertDrain(spark, "graft-q321-", { s =>
+      val dim = s.read.parquet(customerPath)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      s.readStream
+        .schema(eventsSchema)
+        .parquet(stageAsDir(eventsPath))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", latenessTolerance)
+        .withColumn("ck", pmod(col("user_id"), lit(nCust)) + 1L)
+        .join(broadcast(dim), col("ck") === col("c_custkey"))
+        .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("c_mktsegment").as("segment"), col("n"))
+    }, Seq("window_start", "segment"))
+  }
+
   /** Drain an update-mode streaming aggregate through the keyed
     * upsert sink and read the result back — the shared plumbing of
     * q50 (windowed hourly KPIs) and q79 (deduplicated type counts).
