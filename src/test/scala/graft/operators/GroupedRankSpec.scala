@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GroupedRank must be EXACTLY the window it replaces — on random
+  * data, including ties, skewed groups, empty order ranges, and
+  * partition counts that don't divide the data. Property-checked
+  * against the single-task `row_number()`/`lag()` reference with
+  * seeded scalacheck generators (sampled directly — scalatestplus
+  * isn't on the offline classpath).
+  */
+class GroupedRankSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  // (group, value) rows: few groups, heavy ties, skewed sizes
+  private def rowsGen: Gen[List[(String, Long)]] = for {
+    n <- Gen.chooseNum(1, 400)
+    rows <- Gen.listOfN(n, for {
+      g <- Gen.oneOf("a", "b", "c", "hot")
+      v <- Gen.chooseNum(0L, 20L) // dense → many ties
+    } yield (g, v))
+  } yield rows
+
+  test("withRank equals the per-group window row_number on random data") {
+    for (seed <- 1L to 5L) {
+      val rows = sample(rowsGen, seed).zipWithIndex
+        .map { case ((g, v), i) => (g, v, i.toLong) }
+      val df = rows.toDF("grp", "v", "id")
+      val got = GroupedRank.withRank(df, Seq("grp"),
+          Seq(col("v"), col("id")), "rk", parts = 7)
+        .select("grp", "v", "id", "rk").as[(String, Long, Long, Long)]
+        .collect().toSet
+      val w = Window.partitionBy(col("grp")).orderBy(col("v"), col("id"))
+      val want = df.withColumn("rk", row_number().over(w).cast("long"))
+        .select("grp", "v", "id", "rk").as[(String, Long, Long, Long)]
+        .collect().toSet
+      assert(got == want, s"seed=$seed: ${(got -- want).take(3)} vs " +
+        s"${(want -- got).take(3)}")
+    }
+  }
+
+  test("withGlobalRank equals the global window row_number") {
+    val rows = sample(rowsGen, 42L).zipWithIndex
+      .map { case ((g, v), i) => (g, v, i.toLong) }
+    val df = rows.toDF("grp", "v", "id")
+    val got = GroupedRank.withGlobalRank(df, Seq(col("v"), col("id")),
+        "rk", parts = 5)
+      .select("v", "id", "rk").as[(Long, Long, Long)].collect().toSet
+    val want = df.withColumn("rk",
+        row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .select("v", "id", "rk").as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("withGlobalLag equals the global window lag, boundaries stitched") {
+    for (seed <- 10L to 13L) {
+      // unique keys (lag over a total order)
+      val keys = sample(rowsGen, seed).map(_._2).zipWithIndex
+        .map { case (v, i) => v * 1000L + i }
+      val df = keys.toDF("k")
+      val got = GroupedRank.withGlobalLag(df, col("k"), "prev", parts = 6)
+        .select("k", "prev").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+        .toSet
+      val want = df.withColumn("prev",
+          lag(col("k"), 1).over(Window.orderBy(col("k"))))
+        .select("k", "prev").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+        .toSet
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("single row, single group, parts > rows") {
+    val df = Seq(("x", 9L, 0L)).toDF("grp", "v", "id")
+    val got = GroupedRank.withRank(df, Seq("grp"),
+      Seq(col("v"), col("id")), "rk", parts = 8)
+    assert(got.select("rk").as[Long].collect().toSeq == Seq(1L))
+  }
+}
