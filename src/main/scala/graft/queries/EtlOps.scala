@@ -868,6 +868,30 @@ object EtlOps {
         when(pickBack, -bDelta).otherwise(fDelta).cast("long").as("delta_us"))
     }),
 
+    // Out-of-orderness audit — the measurement that SIZES a
+    // watermark before anyone picks "1 hour" by folklore: per event
+    // (in event_id arrival order per user), lateness = running max
+    // event-time so far MINUS this event's time; bucketed into a
+    // log2-seconds histogram (q305's binary-string trick — no float
+    // log) plus the on-time count at bucket -1. One per-user window
+    // (corpus-keyed, parallel), then a histogram-sized aggregate.
+    "q323_ooo_audit" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, d).events
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("hwm", max(col("us")).over(w))
+        .withColumn("late_s",
+          when(col("hwm").isNull || col("hwm") <= col("us"), lit(-1L))
+            .otherwise(expr("(hwm - us) div 1000000")))
+        .withColumn("bucket",
+          when(col("late_s") <= 0, lit(-1L))
+            .otherwise((length(bin(col("late_s"))) - 1).cast("long")))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_events"),
+          max(col("late_s")).as("max_late_s"))
+    }),
+
     // Functional-dependency audit — the column-dependency profiler
     // beside q276's key-grain test: does LHS determine RHS? Four
     // candidate FDs over the fact tables (two that hold, two that

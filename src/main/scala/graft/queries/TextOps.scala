@@ -129,6 +129,30 @@ object TextOps {
             .as("target"))
     }),
 
+    // Source-distribution similarity matrix — the corpus-mixing
+    // diagnostic that tells you which sources are interchangeable
+    // (q314 diffs two versions; this compares ALL source pairs):
+    // per-source token shares in permille, pairwise HISTOGRAM
+    // INTERSECTION Σ min(share_a, share_b) — integer-exact, 1000 =
+    // identical distributions. One token aggregate (the only corpus
+    // shuffle), then a vocab-keyed pair join whose fan-out is
+    // sources-per-token², and a sources²-sized output.
+    "q322_source_similarity" -> ((s, d) => {
+      val counts = parallelized(Tables(s, d).documents)
+        .select(col("source"), explode(tokens).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+      val tots = counts.groupBy(col("source")).agg(sum(col("n")).as("tot"))
+      val shares = counts.join(broadcast(tots), "source")
+        .select(col("source"), col("tok"),
+          expr("(n * 1000) div tot").as("pm"))
+      shares.select(col("source").as("sa"), col("tok"), col("pm").as("pa"))
+        .join(shares.select(col("source").as("sb"), col("tok"),
+          col("pm").as("pb")), Seq("tok"))
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(sum(least(col("pa"), col("pb"))).cast("long").as("overlap_pm"))
+    }),
+
     // Exact dedup: hash-groupBy on the digest, keep the smallest id
     // (deterministic representative pick).
     "q32_exact_dedup" -> ((s, d) =>
@@ -921,6 +945,19 @@ object TextOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q322_source_similarity" ->
+      """WITH c AS (
+           SELECT source, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         cnt AS (SELECT source, tok, count(*)::BIGINT AS n
+                 FROM c GROUP BY 1, 2),
+         t AS (SELECT source, sum(n)::BIGINT AS tot FROM cnt GROUP BY 1),
+         sh AS (SELECT cnt.source, cnt.tok, (cnt.n * 1000) // t.tot AS pm
+                FROM cnt JOIN t USING (source))
+         SELECT a.source AS sa, b.source AS sb,
+                sum(least(a.pm, b.pm))::BIGINT AS overlap_pm
+         FROM sh a JOIN sh b ON b.tok = a.tok AND a.source < b.source
+         GROUP BY 1, 2""",
     "q314_vocab_drift" ->
       """WITH o AS (
            SELECT doc_id % 2 = 0 AS is_a, unnest(string_split(text, ' ')) AS tok
