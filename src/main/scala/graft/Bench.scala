@@ -98,6 +98,16 @@ object Bench {
       } finally freeLingeringBlocks()
       (System.nanoTime() - t0) / 1e9
     }
+    // q50 is the headline's only stateful streaming drain; its
+    // state-store load/commit I/O has known run-to-run variance
+    // (r6→r7 idle 1.26→1.94 s with no code change), so it always
+    // gets a third sample — min-of-3 instead of min-of-2.
+    val streamingDrains = Set("q50_stream_hourly")
+    // contention self-description: any query that needed divergence
+    // resampling marks the artifact, so a reader knows whether the
+    // run is an idle-box number or a contended one without
+    // cross-referencing CLAUDE.md's band
+    var sawDivergence = false
     var results = selected.flatMap { name =>
       qs.get(name).map { fn =>
         // min of two runs: the second is warm (JIT, codegen cache,
@@ -109,10 +119,12 @@ object Bench {
         val samples = scala.collection.mutable.ArrayBuffer(once(name, fn))
         if (samples.head >= 0) {
           samples += once(name, fn)
+          if (streamingDrains.contains(name) && samples.forall(_ >= 0))
+            samples += once(name, fn)
           var extra = 0
           while (samples.forall(_ >= 0) && extra < 2 &&
                  samples.max > 3.0 * math.max(samples.min, 0.05)) {
-            samples += once(name, fn); extra += 1
+            samples += once(name, fn); extra += 1; sawDivergence = true
           }
         }
         name -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
@@ -127,9 +139,11 @@ object Bench {
     // that even though per-query min/max agreed, take ONE more
     // sample of every full-suite query and keep the min.
     val fullSuite = only.isEmpty && sfDir.endsWith("sf0.1")
+    var wholeSuitePass = false
     if (fullSuite && results.map(_._2).filter(_ >= 0).sum > 60.0) {
       System.err.println("[bench] total exceeds the ~57 s idle-box pin " +
         "with agreeing samples — whole-suite contention pass")
+      wholeSuitePass = true
       results = results.map { case (name, t) =>
         if (t < 0) name -> t
         else {
@@ -141,8 +155,24 @@ object Bench {
     val qJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // artifact self-description (the r7 verdict's "trust idle numbers"
+    // discipline, carried IN the artifact): 1-minute load average and
+    // the box's live JVM count — a loadavg far above the core count or
+    // a second sbt JVM means this run raced other work and its numbers
+    // read high; `contended` aggregates the in-run signals (any >3x
+    // sample divergence, or the whole-suite resample pass firing)
+    val loadAvg = try {
+      scala.io.Source.fromFile("/proc/loadavg").getLines()
+        .next().split(" ")(0).toDouble
+    } catch { case _: Exception => -1.0 }
+    val jvms = try {
+      ProcessHandle.allProcesses().filter(p =>
+        p.info().command().map[Boolean](_.contains("java")).orElse(false))
+        .count().toInt
+    } catch { case _: Exception => -1 }
+    val contended = sawDivergence || wholeSuitePass
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","loadavg":$loadAvg%.2f,"jvms":$jvms,"contended":$contended}"""
     println(line)
     // stdout travels through sbt's [error]-prefixing + the driver's
     // 2000-char tail truncation, which has eaten the per-query table

@@ -23,16 +23,26 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** `ts` arrives as TIMESTAMP(NANOS) (read as Long under
-    * `spark.sql.legacy.parquet.nanosAsLong`); normalize to Spark's
-    * µs TimestampType with exact integer floor-division so
-    * second-granularity derivations agree with engines that keep ns.
+  /** `ts` has arrived from the fixture generator as THREE different
+    * parquet types across rounds — TIMESTAMP(NANOS) (read as Long
+    * under `spark.sql.legacy.parquet.nanosAsLong`), TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (Spark's TIMESTAMP_NTZ), and plain
+    * TIMESTAMP — so the loader normalizes ALL of them to Spark's µs
+    * TimestampType: ns→µs by exact integer floor-division, NTZ by a
+    * cast that is micros-exact because the session time zone is
+    * pinned to UTC (GraftSession.tune). Every consumer downstream
+    * (unix_micros, session_window, watermarks) sees one type.
     */
   def events: DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val raw = t("events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   /** The corpus tables fan out AT THE LOADER: the fixtures are
     * single-file, single-row-group parquet, so every scan arrives as

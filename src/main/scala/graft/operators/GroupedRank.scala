@@ -51,19 +51,37 @@ object GroupedRank {
     val ranged = df.repartitionByRange(p, (gCols ++ order): _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
+    // __dis rides the same counts aggregate to enforce the TOTAL
+    // order precondition at runtime (prose alone let q284 ship a
+    // tied order): duplicate (group, order…) tuples make boundary
+    // ranks nondeterministic, and because a range partition is a
+    // pure function of the key, duplicates always co-locate — the
+    // per-(pid, group) distinct count catches every violation.
     val countsDf = ranged
-      .groupBy(col("__pid") +: gCols: _*).agg(count(lit(1)).as("__cnt"))
+      .groupBy(col("__pid") +: gCols: _*)
+      .agg(count(lit(1)).as("__cnt"),
+        count_distinct(struct(order: _*)).as("__dis"))
     // ≤ P·G rows: prefix-sum per group on the driver, rebuild as a
     // broadcast offsets frame (row layout: __pid, groups…, __cnt)
     val cntIdx = groups.size + 1
-    val offRows = countsDf.collect()
+    val collected = countsDf.collect()
+    collected.foreach { r =>
+      require(r.getLong(cntIdx) == r.getLong(cntIdx + 1),
+        s"GroupedRank.withRank: order is not TOTAL within group " +
+          s"${groups.zipWithIndex.map { case (g, i) => s"$g=${r.get(i + 1)}" }
+            .mkString("(", ", ", ")")} — " +
+          s"${r.getLong(cntIdx) - r.getLong(cntIdx + 1)} duplicate order " +
+          "tuple(s); add a tiebreak column (ranks at partition " +
+          "boundaries would be nondeterministic)")
+    }
+    val offRows = collected
       .groupBy(r => groups.indices.map(i => r.get(i + 1)))
       .valuesIterator.flatMap { rs =>
         val sorted = rs.sortBy(_.getInt(0))
         sorted.zip(sorted.map(_.getLong(cntIdx)).scanLeft(0L)(_ + _))
-          .map { case (r, off) => Row.fromSeq(r.toSeq.init :+ off) }
+          .map { case (r, off) => Row.fromSeq(r.toSeq.dropRight(2) :+ off) }
       }.toSeq
-    val offSchema = StructType(countsDf.schema.fields.init :+
+    val offSchema = StructType(countsDf.schema.fields.dropRight(2) :+
       StructField("__off", LongType, nullable = false))
     val offsets = s.createDataFrame(offRows.asJava, offSchema)
     val wLocal = Window.partitionBy(col("__pid") +: gCols: _*)
@@ -99,14 +117,25 @@ object GroupedRank {
       .localCheckpoint()
     // per-partition max key (≤ P rows): each partition's first row's
     // predecessor is the running max over all earlier partitions —
-    // range partitioning guarantees that IS the global predecessor
-    val boundsDf = ranged.groupBy(col("__pid")).agg(max(orderCol).as("__mx"))
+    // range partitioning guarantees that IS the global predecessor.
+    // __nulls rides the same pass to enforce the no-nulls
+    // precondition at runtime: null order values range-sort into the
+    // first partition while max() ignores them, so the stitch would
+    // silently skip rows — fail loud instead.
+    val boundsDf = ranged.groupBy(col("__pid")).agg(max(orderCol).as("__mx"),
+      sum(when(orderCol.isNull, 1L).otherwise(0L)).as("__nulls"))
     val sorted = boundsDf.collect().sortBy(_.getInt(0))
+    val nNulls = sorted.map(_.getLong(2)).sum
+    require(nNulls == 0,
+      s"GroupedRank.withGlobalLag: order column contains $nNulls null " +
+        "value(s) — nulls range-sort into the first partition and the " +
+        "boundary max ignores them, so the stitched lag would silently " +
+        "mis-order; filter or coalesce nulls before lagging")
     val prevRows = sorted.zip(
         sorted.scanLeft(null: Any)((acc, r) => r.get(1)).init)
       .map { case (r, prev) => Row(r.get(0), prev) }.toSeq
     val prevSchema = StructType(Seq(boundsDf.schema.fields.head,
-      boundsDf.schema.fields.last.copy(name = "__prev_mx", nullable = true)))
+      boundsDf.schema.fields(1).copy(name = "__prev_mx", nullable = true)))
     val bounds = s.createDataFrame(prevRows.asJava, prevSchema)
     val wLocal = Window.partitionBy(col("__pid")).orderBy(orderCol)
     ranged.withColumn("__lag", lag(orderCol, 1).over(wLocal))

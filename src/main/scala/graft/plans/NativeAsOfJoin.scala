@@ -135,6 +135,17 @@ object NativeAsOfJoin {
         rkG <- NativeAsOfJoin.longGetter(rightKey, rightOut)
         rtG <- NativeAsOfJoin.longGetter(rightTs, rightOut)
       } yield (lkG, ltG, rkG, rtG)
+      // string keys with a long-backed ts: direct UTF8String binary
+      // compares (identical to Spark's StringType sort order), no
+      // eval() boxing, no interpreted-ordering dispatch — the key is
+      // only cloned when a backward candidate is captured, never per
+      // head refresh
+      val fastStrGetters = if (fastGetters.isDefined) None else for {
+        lkG <- NativeAsOfJoin.strGetter(leftKey, leftOut)
+        ltG <- NativeAsOfJoin.longGetter(leftTs, leftOut)
+        rkG <- NativeAsOfJoin.strGetter(rightKey, rightOut)
+        rtG <- NativeAsOfJoin.longGetter(rightTs, rightOut)
+      } yield (lkG, ltG, rkG, rtG)
 
       left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
         val rValProj = UnsafeProjection.create(rightVals, rightOut)
@@ -193,6 +204,61 @@ object NativeAsOfJoin {
                   } else advance = false
                 }
                 val matched = refreshHead() && headKey == lk
+                resultProj(joined(lr,
+                  if (matched) rValProj(rBuf.head) else nullVals))
+              }
+            }
+          }
+        } else if (fastStrGetters.isDefined) {
+          val (lkG, ltG, rkG, rtG) = fastStrGetters.get
+          // head key/ts point INTO the buffered head row — valid until
+          // rBuf.next(); headValid is cleared at every next(), so the
+          // cache never outlives its row
+          var headValid = false
+          var headKey: UTF8String = null
+          var headTs = 0L
+          def refreshHead(): Boolean = {
+            while (!headValid && rBuf.hasNext) {
+              val hr = rBuf.head
+              if (rkG.isNull(hr) || rtG.isNull(hr)) rBuf.next()
+              else { headKey = rkG.get(hr); headTs = rtG.get(hr); headValid = true }
+            }
+            headValid
+          }
+          // candKey is retained across next() → owned clone
+          var candKey: UTF8String = null
+          var candVals: UnsafeRow = null
+
+          lIter.map { lr =>
+            if (lkG.isNull(lr) || ltG.isNull(lr)) {
+              resultProj(joined(lr, nullVals))
+            } else {
+              val lk = lkG.get(lr)
+              val lts = ltG.get(lr)
+              if (!fwd) {
+                var advance = true
+                while (advance && refreshHead()) {
+                  val c = headKey.compareTo(lk)
+                  if (c < 0 || (c == 0 && headTs <= lts)) {
+                    if (c == 0) {
+                      candKey = headKey.clone()
+                      candVals = rValProj(rBuf.head).copy()
+                    }
+                    rBuf.next(); headValid = false
+                  } else advance = false
+                }
+                resultProj(joined(lr,
+                  if (candKey != null && candKey.compareTo(lk) == 0) candVals
+                  else nullVals))
+              } else {
+                var advance = true
+                while (advance && refreshHead()) {
+                  val c = headKey.compareTo(lk)
+                  if (c < 0 || (c == 0 && headTs < lts)) {
+                    rBuf.next(); headValid = false
+                  } else advance = false
+                }
+                val matched = refreshHead() && headKey.compareTo(lk) == 0
                 resultProj(joined(lr,
                   if (matched) rValProj(rBuf.head) else nullVals))
               }
@@ -306,6 +372,30 @@ object NativeAsOfJoin {
         Some(new LongGetter {
           def isNull(r: InternalRow): Boolean = r.isNullAt(i)
           def get(r: InternalRow): Long = r.getByte(i).toLong
+        })
+      case _ => None
+    }
+  }
+
+  /** UTF8String accessor for StringType attributes; the returned
+    * value points into the row's buffer — clone before retaining it
+    * across an iterator advance.
+    */
+  private[plans] abstract class StrGetter extends Serializable {
+    def isNull(r: InternalRow): Boolean
+    def get(r: InternalRow): UTF8String
+  }
+
+  private[plans] def strGetter(a: Attribute,
+      out: Seq[Attribute]): Option[StrGetter] = {
+    import org.apache.spark.sql.types._
+    val i = out.indexWhere(_.exprId == a.exprId)
+    if (i < 0) None
+    else a.dataType match {
+      case StringType =>
+        Some(new StrGetter {
+          def isNull(r: InternalRow): Boolean = r.isNullAt(i)
+          def get(r: InternalRow): UTF8String = r.getUTF8String(i)
         })
       case _ => None
     }

@@ -317,25 +317,33 @@ object EtlOps {
     // exchange, both directions exploded ABOVE the counted exchange —
     // never a window sort over the pair set, never a union that
     // re-runs the pair aggregate.
-    "q312_cooccur_topk" -> ((s, d) => {
-      graft.GraftFunctions.register(s)
+    "q312_cooccur_topk" -> ((s0, d) => {
       // ObjectHashAggregate (TopKAgg is a TypedImperativeAggregate)
       // falls back to SORT-based aggregation after 128 distinct keys
       // per partition — which would re-introduce exactly the giant
       // sort this query exists to avoid. The per-key state is a
-      // 3-long heap, so a million-key hash map is still tiny.
+      // 3-long heap, so a million-key hash map is still tiny. The
+      // override is scoped to a CHILD session (the upsertDrain
+      // pattern) so concurrent queries on the caller's session never
+      // observe it; the caller's shuffle width is re-pinned because
+      // newSession restarts from SparkContext defaults.
+      val s = s0.newSession()
       s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "1000000")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s0.conf.get("spark.sql.shuffle.partitions"))
+      graft.GraftFunctions.register(s)
       // ONE basket-keyed shuffle does everything the classic
       // distinct + self-join would: repartition by order key (also
-      // the single-file fan-out), collect each basket's DEDUPED item
-      // set in place (the groupBy reuses the exchange — no second
-      // shuffle), and emit ordered pairs from the sorted set with an
-      // index-windowed lambda — pair volume is Σ C(basket, 2),
-      // bounded by basket size, never customer lifetime
+      // the single-file fan-out, at the session's shuffle width —
+      // never a hardcoded task count), collect each basket's DEDUPED
+      // item set in place (the groupBy reuses the exchange — no
+      // second shuffle), and emit ordered pairs from the sorted set
+      // with an index-windowed lambda — pair volume is Σ C(basket,
+      // 2), bounded by basket size, never customer lifetime
       val sets = Tables(s, d).lineitem
         .select(col("l_orderkey").as("bk"), col("l_partkey").as("part"))
-        .repartition(32, col("bk"))
+        .repartition(col("bk"))
         .groupBy(col("bk"))
         .agg(sort_array(collect_set(col("part"))).as("ws"))
       val pairs = sets.select(explode(expr(
@@ -806,10 +814,14 @@ object EtlOps {
         .withColumn("prev", lag(col("us"), 1).over(
           Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))))
         .filter(col("prev").isNotNull)
-        .select(col("user_id"), expr("(us - prev) div 1000000").as("gap_s"))
+        .select(col("user_id"), col("event_id"),
+          expr("(us - prev) div 1000000").as("gap_s"))
       val tot = gaps.agg(count(lit(1)).as("n"))
+      // event_id tiebreak makes the rank order TOTAL (two equal gaps
+      // of one user are otherwise interchangeable — value-identical
+      // output, but GroupedRank's totality guard rightly objects)
       graft.operators.GroupedRank.withGlobalRank(gaps,
-          Seq(col("gap_s"), col("user_id")), "rn")
+          Seq(col("gap_s"), col("user_id"), col("event_id")), "rn")
         .crossJoin(broadcast(tot))
         .filter(col("rn") === expr("(n + 1) div 2"))
         .select(col("n").cast("long").as("n_gaps"),
@@ -873,14 +885,24 @@ object EtlOps {
     // (in event_id arrival order per user), lateness = running max
     // event-time so far MINUS this event's time; bucketed into a
     // log2-seconds histogram (q305's binary-string trick — no float
-    // log) plus the on-time count at bucket -1. One per-user window
-    // (corpus-keyed, parallel), then a histogram-sized aggregate.
+    // log) plus the on-time count at bucket -1. The fixture's
+    // arrival order is already time-sorted per user, so lateness is
+    // SIMULATED in-query (the q306/q287 trick): every 97th event_id
+    // arrives with its clock pulled back 1..1000 MINUTES (minutes,
+    // not seconds — per-user inter-event gaps swallow a seconds-scale
+    // pullback and the late path would fire only a handful of times)
+    // — the detector must find exactly those, at every SF. One
+    // per-user window (corpus-keyed, parallel), then a
+    // histogram-sized aggregate.
     "q323_ooo_audit" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
       Tables(s, d).events
         .select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("us"))
+          (unix_micros(col("ts")) -
+            when(col("event_id") % 97 === 0,
+              (col("event_id") % 1000 + 1) * 60000000L).otherwise(0L))
+            .as("us"))
         .withColumn("hwm", max(col("us")).over(w))
         .withColumn("late_s",
           when(col("hwm").isNull || col("hwm") <= col("us"), lit(-1L))
@@ -2180,6 +2202,24 @@ object EtlOps {
                 (o_orderkey - 1)::BIGINT AS gap_to,
                 (o_orderkey - prev - 1)::BIGINT AS gap_width
          FROM l WHERE prev IS NOT NULL AND o_orderkey - prev > 1""",
+    "q323_ooo_audit" ->
+      """WITH p AS (
+           SELECT user_id, event_id,
+                  epoch_us(ts) - CASE WHEN event_id % 97 = 0
+                    THEN (event_id % 1000 + 1) * 60000000 ELSE 0 END AS us
+           FROM events),
+         h AS (SELECT us, max(us) OVER (
+                 PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+               FROM p),
+         l AS (SELECT CASE WHEN hwm IS NULL OR hwm <= us THEN -1
+                        ELSE (hwm - us) // 1000000 END AS late_s
+               FROM h)
+         SELECT CASE WHEN late_s <= 0 THEN -1
+                  ELSE length(printf('%b', late_s)) - 1 END::BIGINT AS bucket,
+                count(*)::BIGINT AS n_events,
+                max(late_s)::BIGINT AS max_late_s
+         FROM l GROUP BY 1""",
     "q298_other_bucket" ->
       """WITH bc AS (
            SELECT o_custkey,

@@ -16,17 +16,30 @@ import org.apache.spark.sql.types._
   */
 object StreamingKpi {
 
-  /** The events parquet schema as the file source requires an
-    * explicit schema. `ts` is TIMESTAMP(NANOS) in the files → Long
-    * under `spark.sql.legacy.parquet.nanosAsLong` (see Tables).
+  /** The event stream source, normalized. The fixture generator has
+    * shipped `ts` as THREE parquet types across rounds (TIMESTAMP
+    * (NANOS) → Long under `spark.sql.legacy.parquet.nanosAsLong`;
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ; plain
+    * TIMESTAMP), and a file stream source needs an explicit schema —
+    * so probe the footer with a one-off batch read (metadata only, no
+    * scan) and normalize to µs TimestampType exactly as Tables.events
+    * does for batch (the NTZ cast is micros-exact under the UTC
+    * session time zone GraftSession pins).
     */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  private def eventsStreamFromDir(s: SparkSession, dir: String): DataFrame = {
+    val fileSchema = s.read.parquet(dir).schema
+    val src = s.readStream.schema(fileSchema).parquet(dir)
+    fileSchema("ts").dataType match {
+      case LongType =>
+        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        src.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => src
+    }
+  }
+
+  private def eventsStream(s: SparkSession, eventsPath: String): DataFrame =
+    eventsStreamFromDir(s, stageAsDir(eventsPath))
 
   /** The file stream source wants a directory; when handed a single
     * file, stage a copy under a content-addressed temp dir (the
@@ -49,10 +62,7 @@ object StreamingKpi {
   /** The windowed hourly aggregate (shared by both drain paths). */
   private def hourlyAgg(
       spark: SparkSession, eventsPath: String, latenessTolerance: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
-      .parquet(stageAsDir(eventsPath))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    eventsStream(spark, eventsPath)
       .withWatermark("ts", latenessTolerance)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
@@ -114,10 +124,7 @@ object StreamingKpi {
     upsertDrain(spark, "graft-q321-", { s =>
       val dim = s.read.parquet(customerPath)
         .select(col("c_custkey"), col("c_mktsegment"))
-      s.readStream
-        .schema(eventsSchema)
-        .parquet(stageAsDir(eventsPath))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      eventsStream(s, eventsPath)
         .withWatermark("ts", latenessTolerance)
         .withColumn("ck", pmod(col("user_id"), lit(nCust)) + 1L)
         .join(broadcast(dim), col("ck") === col("c_custkey"))
@@ -194,10 +201,7 @@ object StreamingKpi {
       latenessTolerance: String = "1 hour"): DataFrame = {
     val dupDir = stageDuplicated(eventsPath)
     upsertDrain(spark, "graft-q79-",
-      s => s.readStream
-        .schema(eventsSchema)
-        .parquet(dupDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      s => eventsStreamFromDir(s, dupDir)
         .withWatermark("ts", latenessTolerance)
         .dropDuplicatesWithinWatermark("event_id")
         .groupBy(col("event_type"))
@@ -216,10 +220,7 @@ object StreamingKpi {
       eventsPath: String,
       latenessTolerance: String = "1 hour"): DataFrame =
     upsertDrain(spark, "graft-q111-", s =>
-      s.readStream
-        .schema(eventsSchema)
-        .parquet(stageAsDir(eventsPath))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      eventsStream(s, eventsPath)
         .withWatermark("ts", latenessTolerance)
         .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
@@ -246,11 +247,9 @@ object StreamingKpi {
       // scoped to the drain's child session
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val evs = s.readStream
-        .schema(eventsSchema)
-        .parquet(stageAsDir(eventsPath))
+      val evs = eventsStream(s, eventsPath)
         .select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("tsMicros"))
+          unix_micros(col("ts")).as("tsMicros"))
         .as[Sessionize.Event]
       Sessionize.streamingTws(evs, gapMinutes).toDF()
     }, Seq("user_id"))
@@ -270,11 +269,9 @@ object StreamingKpi {
       import s.implicits._
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val evs = s.readStream
-        .schema(eventsSchema)
-        .parquet(stageAsDir(eventsPath))
+      val evs = eventsStream(s, eventsPath)
         .select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("tsMicros"))
+          unix_micros(col("ts")).as("tsMicros"))
         .as[Sessionize.Event]
       Sessionize.streamingRecentTws(evs, k).toDF()
     }, Seq("user_id", "slot"))
@@ -292,9 +289,7 @@ object StreamingKpi {
       import s.implicits._
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val evs = s.readStream
-        .schema(eventsSchema)
-        .parquet(stageAsDir(eventsPath))
+      val evs = eventsStream(s, eventsPath)
         .select(col("event_id"), col("user_id"), col("event_type"))
         .as[Sessionize.TypedEvent]
       Sessionize.streamingTypeCountsTws(evs).toDF()
@@ -317,10 +312,7 @@ object StreamingKpi {
     upsertDrain(spark, "graft-q128-", { s =>
       val dim = broadcast(s.read.parquet(customerPath)
         .select(col("c_custkey").as("user_id"), col("c_mktsegment")))
-      s.readStream
-        .schema(eventsSchema)
-        .parquet(stageAsDir(eventsPath))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      eventsStream(s, eventsPath)
         .withWatermark("ts", latenessTolerance)
         .join(dim, Seq("user_id"))
         .groupBy(col("c_mktsegment"), col("event_type"))
@@ -345,10 +337,7 @@ object StreamingKpi {
     val scoped = spark.newSession()
     scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     scoped.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = scoped.readStream
-      .schema(eventsSchema)
-      .parquet(stageAsDir(eventsPath))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = eventsStream(scoped, eventsPath)
       .withWatermark("ts", latenessTolerance)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -376,10 +365,7 @@ object StreamingKpi {
       eventsPath: String,
       latenessTolerance: String = "1 hour"): DataFrame =
     upsertDrain(spark, "graft-q144-", { s =>
-      def src = s.readStream
-        .schema(eventsSchema)
-        .parquet(stageAsDir(eventsPath))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      def src = eventsStream(s, eventsPath)
       val interactive = src.filter(col("event_type").isin("click", "view"))
       val rest = src.filter(!col("event_type").isin("click", "view"))
       interactive.unionByName(rest)
@@ -408,10 +394,7 @@ object StreamingKpi {
     scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     scoped.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     scoped.conf.set("spark.sql.shuffle.partitions", "8")
-    def src = scoped.readStream
-      .schema(eventsSchema)
-      .parquet(stageAsDir(eventsPath))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src = eventsStream(scoped, eventsPath)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -454,10 +437,7 @@ object StreamingKpi {
     val scoped = spark.newSession()
     scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     scoped.conf.set("spark.sql.shuffle.partitions", "8")
-    def src = scoped.readStream
-      .schema(eventsSchema)
-      .parquet(stageAsDir(eventsPath))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src = eventsStream(scoped, eventsPath)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -499,10 +479,7 @@ object StreamingKpi {
     val scoped = spark.newSession()
     scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     scoped.conf.set("spark.sql.shuffle.partitions", "8")
-    def src = scoped.readStream
-      .schema(eventsSchema)
-      .parquet(stageAsDir(eventsPath))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src = eventsStream(scoped, eventsPath)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -545,10 +522,7 @@ object StreamingKpi {
     val scoped = spark.newSession()
     scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     scoped.conf.set("spark.sql.shuffle.partitions", "8")
-    def src = scoped.readStream
-      .schema(eventsSchema)
-      .parquet(stageAsDir(eventsPath))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src = eventsStream(scoped, eventsPath)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))

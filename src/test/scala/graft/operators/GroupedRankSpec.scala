@@ -86,4 +86,31 @@ class GroupedRankSpec extends AnyFunSuite {
       Seq(col("v"), col("id")), "rk", parts = 8)
     assert(got.select("rk").as[Long].collect().toSeq == Seq(1L))
   }
+
+  test("withRank fails loud when the order is not total (duplicate tuples)") {
+    // two identical ("a", 5) order tuples — boundary ranks would be
+    // nondeterministic, so the precondition guard must throw, naming
+    // the group
+    val df = Seq(("a", 5L), ("a", 5L), ("a", 7L), ("b", 1L))
+      .toDF("grp", "v")
+    val e = intercept[IllegalArgumentException] {
+      GroupedRank.withRank(df, Seq("grp"), Seq(col("v")), "rk", parts = 3)
+        .count()
+    }
+    assert(e.getMessage.contains("not TOTAL"))
+    assert(e.getMessage.contains("grp=a"))
+    assert(e.getMessage.contains("tiebreak"))
+  }
+
+  test("withGlobalLag fails loud on a nullable order column with nulls") {
+    // nulls range-sort into the first partition while the bounds max
+    // ignores them — the guard must reject instead of mis-stitching
+    val df = Seq(Some(3L), None, Some(9L), Some(1L), None)
+      .toDF("k")
+    val e = intercept[IllegalArgumentException] {
+      GroupedRank.withGlobalLag(df, col("k"), "prev", parts = 3).count()
+    }
+    assert(e.getMessage.contains("2 null"))
+    assert(e.getMessage.contains("filter or coalesce"))
+  }
 }
