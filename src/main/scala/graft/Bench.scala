@@ -56,7 +56,12 @@ object Bench {
     // one-task window), and the capped co-occurrence top-k (q266's
     // output through the bounded-heap aggregate instead of the
     // 10 M-row window sort)
-    "q306_id_gaps", "q312_cooccur_topk")
+    "q306_id_gaps", "q312_cooccur_topk",
+    // round-8 addition: the sweep-line concurrency query — benching
+    // it guards the withRunningTotal range-exchange prefix sum (and
+    // the session machinery it rides) against regressing to a
+    // one-task running-sum window
+    "q324_session_concurrency")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

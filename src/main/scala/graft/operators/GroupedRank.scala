@@ -99,6 +99,57 @@ object GroupedRank {
                      parts: Int = 0): DataFrame =
     withRank(df, Seq.empty, order, rankName, parts)
 
+  /** `df` plus `totalName` = the GLOBAL running sum of `value` over
+    * the total `order` — the sweep-line / cumulative-balance
+    * primitive — without a single-task window: range-partition on
+    * the order, cumsum within each partition in parallel, then add
+    * each partition's offset (the sum of all earlier partitions,
+    * prefix-summed on the driver from a ≤P-row per-partition totals
+    * table, the q293 budget-allocation shape made reusable).
+    *
+    * `value` must be a non-null integral column (the per-partition
+    * totals are read back as longs); `order` must be TOTAL — both
+    * preconditions are enforced loudly by the same collected pass.
+    */
+  def withRunningTotal(df: DataFrame, order: Seq[Column], value: Column,
+                       totalName: String, parts: Int = 0): DataFrame = {
+    require(order.nonEmpty, "order columns required (must be total)")
+    val s = df.sparkSession
+    val p = if (parts > 0) parts
+      else math.max(s.sparkContext.defaultParallelism, 2)
+    val ranged = df.repartitionByRange(p, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val statsDf = ranged.groupBy(col("__pid"))
+      .agg(sum(value).cast("long").as("__sum"), count(lit(1)).as("__cnt"),
+        count_distinct(struct(order: _*)).as("__dis"),
+        sum(when(value.isNull, 1L).otherwise(0L)).as("__nulls"))
+    val rows = statsDf.collect().sortBy(_.getInt(0))
+    rows.foreach { r =>
+      require(r.getLong(4) == 0L,
+        s"GroupedRank.withRunningTotal: value column contains nulls — a " +
+          "running sum over nulls silently skips rows; coalesce first")
+      require(r.getLong(2) == r.getLong(3),
+        s"GroupedRank.withRunningTotal: order is not TOTAL " +
+          s"(${r.getLong(2) - r.getLong(3)} duplicate order tuple(s)) — " +
+          "intermediate running values would be nondeterministic; add a " +
+          "tiebreak column")
+    }
+    val offRows = rows.zip(
+        rows.scanLeft(0L)((acc, r) => acc + r.getLong(1)).init)
+      .map { case (r, off) => Row(r.getInt(0), off) }.toSeq
+    val offSchema = StructType(Seq(
+      StructField("__pid", statsDf.schema.fields.head.dataType, nullable = false),
+      StructField("__off", LongType, nullable = false)))
+    val offsets = s.createDataFrame(offRows.asJava, offSchema)
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.withColumn("__run", sum(value).over(wLocal).cast("long"))
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn(totalName, col("__off") + col("__run"))
+      .drop("__pid", "__run", "__off")
+  }
+
   /** `df` plus `prevName` = `lag(orderCol, 1)` over the GLOBAL
     * `orderCol` order (total order required), computed without a
     * single-task window: range-partition on the key, lag within each

@@ -914,6 +914,107 @@ object EtlOps {
           max(col("late_s")).as("max_late_s"))
     }),
 
+    // Session-concurrency sweep line — the capacity question behind
+    // every "how many users are on RIGHT NOW" dashboard: sessions
+    // (q51's 30-min-gap machinery) become ±1 edge events at their
+    // [start, end+1µs) bounds, the global running sum of deltas over
+    // the (t, delta, user, sid) TOTAL order is the live concurrency,
+    // and per-day maxima summarize it. The running sum is
+    // GroupedRank.withRunningTotal — range exchange + P parallel
+    // cumsums + broadcast ≤P-row prefix offsets — never a one-task
+    // "No Partition Defined" window; edge volume is 2·sessions, two
+    // orders below the event count.
+    "q324_session_concurrency" -> ((s, d) => {
+      val sess = withSessionIds(Tables(s, d).events)
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(unix_micros(col("ts"))).as("s_us"),
+          (max(unix_micros(col("ts"))) + 1L).as("e_us"))
+      val edges = sess.select(col("user_id"), col("sid"),
+          explode(array(
+            struct(col("s_us").as("t_us"), lit(1L).as("delta")),
+            struct(col("e_us").as("t_us"), lit(-1L).as("delta")))).as("e"))
+        .select(col("e.t_us").as("t_us"), col("e.delta").as("delta"),
+          col("user_id"), col("sid"))
+      graft.operators.GroupedRank.withRunningTotal(edges,
+          Seq(col("t_us"), col("delta"), col("user_id"), col("sid")),
+          col("delta"), "conc")
+        .groupBy(expr("t_us div 86400000000").as("epoch_day"))
+        .agg(max(col("conc")).as("max_concurrent"),
+          count(lit(1)).as("n_edges"))
+    }),
+
+    // Event-mix Gini impurity per user — the engagement-diversity
+    // feature beside q318's class weights: impurity
+    // = 1 − Σ share², computed in exact integer permille
+    // ((n²−Σc²)·1000 div n², no float shares), then a histogram over
+    // permille-centile buckets. Two key-shaped aggregates (user×type,
+    // then user), output histogram-sized — the per-user frame never
+    // funnels anywhere.
+    "q325_type_gini" -> ((s, d) => {
+      Tables(s, d).events
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("ss"))
+        .select(expr("((n * n - ss) * 1000) div (n * n)").as("gini_pm"))
+        // div 10 buckets: the synthetic users cluster inside one
+        // permille centile (764..799 at sf0.01), so centile buckets
+        // would collapse the histogram to a single row
+        .groupBy(expr("gini_pm div 10").as("bucket"))
+        .agg(count(lit(1)).as("n_users"),
+          min(col("gini_pm")).as("min_pm"), max(col("gini_pm")).as("max_pm"))
+    }),
+
+    // Incremental aggregate maintenance — the materialized-view
+    // refresh algebra every warehouse lives on: the pre-cutoff BASE
+    // aggregate is built once and STORED (parquet scratch, like
+    // q150's layout copies), the refresh scans ONLY the delta
+    // partition and merges partials by algebraic addition (count and
+    // sum are mergeable; a full-outer union-aggregate re-derives the
+    // exact full-history aggregate). The oracle recomputes from
+    // scratch — the gate proves delta + stored base ≡ full rescan.
+    "q326_incremental_agg" -> ((s, d) => {
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft-q326-" + Integer.toHexString(d.hashCode)).toString
+      val cutoff = lit("1999-01-01").cast("timestamp")
+      val o = Tables(s, d).orders
+        .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+      o.filter(col("o_orderdate") < cutoff)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .write.mode("overwrite").parquet(dir)
+      val base = s.read.parquet(dir)
+      val delta = o.filter(col("o_orderdate") >= cutoff)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      base.unionByName(delta)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("n")).cast("long").as("n_orders"),
+          sum(col("cents")).cast("long").as("cents"))
+    }),
+
+    // k-anonymity audit — the privacy gate a dataset release runs
+    // before shipping quasi-identifiers: for each k in {2, 5, 10,
+    // 20}, how many (nation, segment) equivalence classes have
+    // fewer than k members, and how many rows sit in them (the
+    // re-identification exposure). One QI-shaped aggregate, a 4-way
+    // bounded fan-out of the group-size frame, verdicts k-sized —
+    // output shape is constant at every SF even when violations
+    // vanish at scale.
+    "q328_k_anonymity" -> ((s, d) => {
+      Tables(s, d).customer
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("n"), explode(array(
+          lit(2L), lit(5L), lit(10L), lit(20L))).as("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n") < col("k"), 1L).otherwise(0L))
+            .cast("long").as("n_violating_groups"),
+          sum(when(col("n") < col("k"), col("n")).otherwise(0L))
+            .cast("long").as("n_rows_at_risk"))
+    }),
+
     // Functional-dependency audit — the column-dependency profiler
     // beside q276's key-grain test: does LHS determine RHS? Four
     // candidate FDs over the fact tables (two that hold, two that
@@ -2220,6 +2321,63 @@ object EtlOps {
                 count(*)::BIGINT AS n_events,
                 max(late_s)::BIGINT AS max_late_s
          FROM l GROUP BY 1""",
+    "q324_session_concurrency" ->
+      """WITH x AS (
+           SELECT user_id, event_id, epoch_us(ts) AS tsu,
+                  lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         f AS (SELECT user_id, tsu, event_id,
+                 CASE WHEN prev IS NULL OR tsu - prev > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+               FROM x),
+         s0 AS (SELECT user_id, tsu,
+                  sum(new_s) OVER (PARTITION BY user_id
+                    ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING)::BIGINT
+                    AS sid
+                FROM f),
+         iv AS (SELECT user_id, sid, min(tsu) AS s_us, max(tsu) + 1 AS e_us
+                FROM s0 GROUP BY 1, 2),
+         ed AS (SELECT s_us AS t_us, 1 AS delta, user_id, sid FROM iv
+                UNION ALL
+                SELECT e_us, -1, user_id, sid FROM iv),
+         r AS (SELECT t_us,
+                 sum(delta) OVER (ORDER BY t_us, delta, user_id, sid
+                   ROWS UNBOUNDED PRECEDING)::BIGINT AS conc
+               FROM ed)
+         SELECT t_us // 86400000000 AS epoch_day,
+                max(conc)::BIGINT AS max_concurrent,
+                count(*)::BIGINT AS n_edges
+         FROM r GROUP BY 1""",
+    "q325_type_gini" ->
+      """WITH c AS (
+           SELECT user_id, event_type, count(*)::BIGINT AS c
+           FROM events GROUP BY 1, 2),
+         g AS (SELECT user_id, sum(c)::BIGINT AS n, sum(c * c)::BIGINT AS ss
+               FROM c GROUP BY 1),
+         p AS (SELECT (((n * n - ss) * 1000) // (n * n))::BIGINT AS gini_pm
+               FROM g)
+         SELECT (gini_pm // 10)::BIGINT AS bucket,
+                count(*)::BIGINT AS n_users,
+                min(gini_pm)::BIGINT AS min_pm,
+                max(gini_pm)::BIGINT AS max_pm
+         FROM p GROUP BY 1""",
+    "q326_incremental_agg" ->
+      """SELECT o_custkey, count(*)::BIGINT AS n_orders,
+                sum(round(o_totalprice * 100, 0)::BIGINT)::BIGINT AS cents
+         FROM orders GROUP BY 1""",
+    "q328_k_anonymity" ->
+      """WITH g AS (
+           SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n
+           FROM customer GROUP BY 1, 2),
+         e AS (SELECT g.n, k.k
+               FROM g CROSS JOIN (VALUES (2), (5), (10), (20)) AS k(k))
+         SELECT k::BIGINT AS k, count(*)::BIGINT AS n_groups,
+                sum(CASE WHEN n < k THEN 1 ELSE 0 END)::BIGINT
+                  AS n_violating_groups,
+                sum(CASE WHEN n < k THEN n ELSE 0 END)::BIGINT
+                  AS n_rows_at_risk
+         FROM e GROUP BY 1""",
     "q298_other_bucket" ->
       """WITH bc AS (
            SELECT o_custkey,

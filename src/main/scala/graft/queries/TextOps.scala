@@ -153,6 +153,31 @@ object TextOps {
         .agg(sum(least(col("pa"), col("pb"))).cast("long").as("overlap_pm"))
     }),
 
+    // Vocabulary truncation coverage — the decision report behind
+    // every "how big does the tokenizer vocab need to be" call
+    // (q82 builds the vocab; this measures what truncating it COSTS):
+    // keep the top-16 tokens by (count desc, token) — a TakeOrdered,
+    // never a corpus sort — broadcast the kept set, and report per
+    // source the exact permille of token INSTANCES that survive plus
+    // how many distinct types fall to <unk>. The corpus tokenizes
+    // once; everything after the broadcast join is source-keyed.
+    "q327_vocab_truncate" -> ((s, d) => {
+      val tok = parallelized(Tables(s, d).documents)
+        .select(col("source"), explode(tokens).as("tok"))
+      val kept = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(16)
+        .select(col("tok"), lit(1L).as("keep"))
+      tok.join(broadcast(kept), Seq("tok"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("keep").isNotNull, 1L).otherwise(0L)).as("n_kept"),
+          countDistinct(when(col("keep").isNull, col("tok")))
+            .as("n_unk_types"))
+        .select(col("source"), col("n_tokens"),
+          expr("(n_kept * 1000) div n_tokens").as("covered_pm"),
+          col("n_unk_types"))
+    }),
+
     // Exact dedup: hash-groupBy on the digest, keep the smallest id
     // (deterministic representative pick).
     "q32_exact_dedup" -> ((s, d) =>
@@ -958,6 +983,23 @@ object TextOps {
                 sum(least(a.pm, b.pm))::BIGINT AS overlap_pm
          FROM sh a JOIN sh b ON b.tok = a.tok AND a.source < b.source
          GROUP BY 1, 2""",
+    "q327_vocab_truncate" ->
+      """WITH tk AS (
+           SELECT source, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         v AS (SELECT tok FROM (
+                 SELECT tok, row_number() OVER (
+                   ORDER BY count(*) DESC, tok) AS rk
+                 FROM tk GROUP BY tok)
+               WHERE rk <= 16),
+         j AS (SELECT tk.source, tk.tok, v.tok IS NOT NULL AS keep
+               FROM tk LEFT JOIN v ON v.tok = tk.tok)
+         SELECT source, count(*)::BIGINT AS n_tokens,
+                ((sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000)
+                  // count(*))::BIGINT AS covered_pm,
+                count(DISTINCT CASE WHEN NOT keep THEN tok END)::BIGINT
+                  AS n_unk_types
+         FROM j GROUP BY 1""",
     "q314_vocab_drift" ->
       """WITH o AS (
            SELECT doc_id % 2 = 0 AS is_a, unnest(string_split(text, ' ')) AS tok

@@ -64,7 +64,16 @@ object DumpPlans {
     "q312_cooccur_topk" -> "basket co-occurrence top-k: ONE basket-keyed exchange shared by repartition + collect_set, sorted-set pair explode, bounded-heap TopKAgg (≤3 longs per item per partition) — no pair-set window sort",
     "q315_asof_nearest" -> "nearest-event as-of: backward + forward native as-of execs CHAINED — four exchanges/sorts total, O(1) walk state, closer-candidate pick is a pure projection",
     "q316_interleave_stream" -> "interleaved stream order: per-source rank AND global (round, source) position both via GroupedRank — all windows pid-partitioned",
-    "q317_span_corruption" -> "T5 span corruption: one narrow codegen-friendly projection — flags/prefix sums/sentinels are per-row array lambdas; zero exchanges in the whole plan")
+    "q317_span_corruption" -> "T5 span corruption: one narrow codegen-friendly projection — flags/prefix sums/sentinels are per-row array lambdas; zero exchanges in the whole plan",
+    // round-8 (q319–q323; q321 is a streaming drain — its plan is the
+    // sink read-back, so like q50 it is pinned by spec, not here)
+    "q319_fd_audit" -> "FD audit: each candidate FD is one (lhs, rhs)-distinct aggregate chain ending in a 1-row verdict; the four audits union count-sized frames — no window anywhere",
+    "q320_session_paths" -> "session paths: q51's session assignment, per-session prefix via a bounded sort_array(collect_list) aggregate, ranking via a 10-row TakeOrderedAndProject — never a global sort",
+    "q322_source_similarity" -> "source similarity: ONE corpus token aggregate; the histogram-intersection pair join is keyed on token and bounded by sources² — document text never re-shuffles",
+    "q323_ooo_audit" -> "OOO audit: lateness simulation is a pure projection; the running max is a per-user (corpus-keyed, parallel) window; the output aggregate is histogram-sized",
+    "q324_session_concurrency" -> "sweep-line concurrency: the global running sum rides withRunningTotal's range exchange + pid-partitioned cumsum windows with broadcast prefix offsets (plan shown post-checkpoint) — never a one-task running-sum window; edge volume is 2·sessions",
+    "q326_incremental_agg" -> "incremental aggregate maintenance: the refresh side scans the STORED base parquet and aggregates ONLY the delta date slice; the merge is one key-shaped union aggregate — no full-history rescan in the refresh plan",
+    "q327_vocab_truncate" -> "vocab truncation coverage: the vocab pick is a 16-row TakeOrderedAndProject broadcast back onto the token stream; the coverage report is source-keyed — the corpus tokenizes exactly once")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

@@ -76,7 +76,16 @@ class ReproSpec extends AnyFunSuite {
     "q312_cooccur_topk",    // basket sets + bounded-heap top-k packing
     "q315_asof_nearest",    // chained bidirectional native as-of walks
     "q316_interleave_stream", // double two-phase rank (per-source + global)
-    "q317_span_corruption"  // md5 span masks + per-row prefix sums
+    "q317_span_corruption", // md5 span masks + per-row prefix sums
+    // round-8 additions
+    "q319_fd_audit",        // distinct-pair shuffles + 1-row verdict union
+    "q320_session_paths",   // session ids + collect_list prefix + TakeOrdered
+    "q321_stream_static_enrich", // stream-static drain (q50's repro harness shape)
+    "q322_source_similarity", // token-histogram intersection pair join
+    "q323_ooo_audit",       // per-user running-max lateness histogram
+    "q324_session_concurrency", // range-exchange global running sum
+    "q326_incremental_agg", // stored base + delta partial-agg merge
+    "q327_vocab_truncate"   // TakeOrdered vocab + broadcast coverage join
   )
 
   representatives.foreach { name =>

@@ -87,6 +87,40 @@ class GroupedRankSpec extends AnyFunSuite {
     assert(got.select("rk").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("withRunningTotal equals the global window running sum") {
+    for (seed <- 20L to 23L) {
+      val rows = sample(rowsGen, seed).zipWithIndex
+        .map { case ((_, v), i) => (v * 7L - 60L, i.toLong) } // ± values
+      val df = rows.toDF("delta", "id")
+      val got = GroupedRank.withRunningTotal(df,
+          Seq(col("delta"), col("id")), col("delta"), "run", parts = 6)
+        .select("delta", "id", "run").as[(Long, Long, Long)]
+        .collect().toSet
+      val want = df.withColumn("run",
+          sum(col("delta")).over(Window.orderBy(col("delta"), col("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("delta", "id", "run").as[(Long, Long, Long)]
+        .collect().toSet
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("withRunningTotal fails loud on duplicate order tuples and null values") {
+    val dup = Seq((1L, 1L), (1L, 1L), (2L, 1L)).toDF("k", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      GroupedRank.withRunningTotal(dup, Seq(col("k")), col("v"), "run",
+        parts = 2)
+    }
+    assert(e1.getMessage.contains("not TOTAL"))
+    val nul = Seq((1L, Some(1L)), (2L, None), (3L, Some(2L)))
+      .toDF("k", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      GroupedRank.withRunningTotal(nul, Seq(col("k")), col("v"), "run",
+        parts = 2)
+    }
+    assert(e2.getMessage.contains("nulls"))
+  }
+
   test("withRank fails loud when the order is not total (duplicate tuples)") {
     // two identical ("a", 5) order tuples — boundary ranks would be
     // nondeterministic, so the precondition guard must throw, naming
