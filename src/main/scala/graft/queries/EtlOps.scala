@@ -1015,6 +1015,46 @@ object EtlOps {
             .cast("long").as("n_rows_at_risk"))
     }),
 
+    // Lang×source independence screen — the corpus-mix audit that
+    // catches "source X is quietly all-German" before training: the
+    // contingency matrix of (lang, source) with each cell's signed
+    // deviation from independence, (o·N − r·c)·1000 div (r·c), in
+    // exact integer permille (the chi-square direction without the
+    // float square). One doc-shaped aggregate; margins are broadcast
+    // frames; the 5×20 matrix is the output.
+    "q329_lang_source_matrix" -> ((s, d) => {
+      val o = Tables(s, d).documents
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+      val r = o.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+      val c = o.groupBy(col("source")).agg(sum(col("o")).as("c"))
+      val n = o.agg(sum(col("o")).as("n"))
+      o.join(broadcast(r), "lang").join(broadcast(c), "source")
+        .crossJoin(broadcast(n))
+        .select(col("lang"), col("source"), col("o"),
+          expr("((o * n - r * c) * 1000) div (r * c)").as("dev_pm"))
+    }),
+
+    // Rate-limit audit — the abuse/bot screen an ingest gate runs:
+    // an event is OVER-RATE when its user produced more than 5
+    // events in the trailing 10 minutes (value-RANGE frame over µs,
+    // tie-consistent by construction: equal timestamps share a
+    // frame). Per event type: total, over-rate count, and the
+    // worst burst. The window is user-keyed (parallel at any scale);
+    // the output is type-sized.
+    "q330_rate_audit" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-599999999L, 0)
+      Tables(s, d).events
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("in_win", count(lit(1)).over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("in_win") > 5, 1L).otherwise(0L))
+            .cast("long").as("n_over_rate"),
+          max(col("in_win")).as("max_in_window"))
+    }),
+
     // Functional-dependency audit — the column-dependency profiler
     // beside q276's key-grain test: does LHS determine RHS? Four
     // candidate FDs over the fact tables (two that hold, two that
@@ -2366,6 +2406,30 @@ object EtlOps {
       """SELECT o_custkey, count(*)::BIGINT AS n_orders,
                 sum(round(o_totalprice * 100, 0)::BIGINT)::BIGINT AS cents
          FROM orders GROUP BY 1""",
+    "q329_lang_source_matrix" ->
+      """WITH o AS (
+           SELECT lang, source, count(*)::BIGINT AS o
+           FROM documents GROUP BY 1, 2),
+         r AS (SELECT lang, sum(o)::BIGINT AS r FROM o GROUP BY 1),
+         c AS (SELECT source, sum(o)::BIGINT AS c FROM o GROUP BY 1),
+         n AS (SELECT sum(o)::BIGINT AS n FROM o)
+         SELECT o.lang, o.source, o.o,
+                (((o.o * n.n - r.r * c.c) * 1000)
+                  // (r.r * c.c))::BIGINT AS dev_pm
+         FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n""",
+    "q330_rate_audit" ->
+      """WITH e AS (
+           SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         w AS (SELECT event_type,
+                 count(*) OVER (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN 599999999 PRECEDING AND CURRENT ROW)
+                   ::BIGINT AS in_win
+               FROM e)
+         SELECT event_type, count(*)::BIGINT AS n_events,
+                sum(CASE WHEN in_win > 5 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_over_rate,
+                max(in_win)::BIGINT AS max_in_window
+         FROM w GROUP BY 1""",
     "q328_k_anonymity" ->
       """WITH g AS (
            SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n

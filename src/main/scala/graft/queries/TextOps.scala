@@ -53,6 +53,18 @@ object TextOps {
     expr(s"size(filter(split(text, ' '), t -> t IN ($inList)))").cast("long")
   }
 
+  /** The q34 argmax (first language with a strictly greater marker
+    * count than the running best wins — ties keep the earlier
+    * language), shared with the q331 confusion audit.
+    */
+  private def predLangCol: org.apache.spark.sql.Column = {
+    val counts = langMarkers.map { case (l, ms) => l -> markerCount(ms) }
+    counts.tail.foldLeft(
+      (counts.head._2, lit(counts.head._1))) { case ((bc, bl), (l, c)) =>
+      (when(c > bc, c).otherwise(bc), when(c > bc, lit(l)).otherwise(bl))
+    }._2
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting (whitespace tokenizer).
     "q30_token_count" -> ((s, d) =>
@@ -228,15 +240,27 @@ object TextOps {
     // argmax with fixed preference order on ties.
     "q34_lang_id" -> ((s, d) => {
       val counts = langMarkers.map { case (l, ms) => l -> markerCount(ms) }
-      // argmax via chained when(): first language whose count is
-      // >= all later ones and > all earlier ones' running max.
-      val best = counts.tail.foldLeft(
-        (counts.head._2, lit(counts.head._1))) { case ((bc, bl), (l, c)) =>
-        (when(c > bc, c).otherwise(bc), when(c > bc, lit(l)).otherwise(bl))
-      }
+      // argmax via chained when() (predLangCol): first language whose
+      // count is strictly greater than the running best wins.
       Tables(s, d).documents.select(
         (counts.map { case (l, c) => c.as(s"c_$l") } :+
-          best._2.as("pred_lang") :+ col("doc_id").as("doc_id")): _*)
+          predLangCol.as("pred_lang") :+ col("doc_id").as("doc_id")): _*)
+    }),
+
+    // Language-ID confusion matrix — the classifier-quality audit on
+    // top of q34: predicted vs labeled language counts plus each
+    // cell's share of its TRUE-label row in exact permille (the
+    // per-language recall diagonal falls out). One doc-shaped
+    // aggregate; row totals ride a broadcast join; output is the
+    // 5×5-bounded matrix.
+    "q331_langid_confusion" -> ((s, d) => {
+      val m = Tables(s, d).documents
+        .select(col("lang"), predLangCol.as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+      val t = m.groupBy(col("lang")).agg(sum(col("n")).as("t"))
+      m.join(broadcast(t), "lang")
+        .select(col("lang"), col("pred_lang"), col("n"),
+          expr("(n * 1000) div t").as("share_pm"))
     }),
 
     // BPE-ish regex token counting: alpha runs / digit runs / single
@@ -1298,6 +1322,28 @@ object TextOps {
                      ELSE 'en' END AS pred_lang,
                 doc_id
          FROM c""",
+    "q331_langid_confusion" ->
+      """WITH c AS (
+           SELECT lang,
+                  len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of')))::BIGINT AS c_en,
+                  len(list_filter(string_split(text, ' '), t -> t IN ('el','la','los','que')))::BIGINT AS c_es,
+                  len(list_filter(string_split(text, ' '), t -> t IN ('der','die','und','ist')))::BIGINT AS c_de,
+                  len(list_filter(string_split(text, ' '), t -> t IN ('le','les','des','est')))::BIGINT AS c_fr,
+                  len(list_filter(string_split(text, ' '), t -> t IN ('de','shi','bu','le')))::BIGINT AS c_zh
+           FROM documents),
+         p AS (SELECT lang,
+                 CASE WHEN c_zh > greatest(c_en, c_es, c_de, c_fr) THEN 'zh'
+                      WHEN c_fr > greatest(c_en, c_es, c_de) THEN 'fr'
+                      WHEN c_de > greatest(c_en, c_es) THEN 'de'
+                      WHEN c_es > c_en THEN 'es'
+                      ELSE 'en' END AS pred_lang
+               FROM c),
+         m AS (SELECT lang, pred_lang, count(*)::BIGINT AS n
+               FROM p GROUP BY 1, 2),
+         t AS (SELECT lang, sum(n)::BIGINT AS t FROM m GROUP BY 1)
+         SELECT m.lang, m.pred_lang, m.n,
+                ((m.n * 1000) // t.t)::BIGINT AS share_pm
+         FROM m JOIN t USING (lang)""",
     "q39_bpe_tokens" ->
       """SELECT doc_id,
                 len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS n_bpe_tokens
