@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructField, StructType}
 
 /** Two-phase distributed ranking — the scale-safe replacement for
   * `row_number().over(Window.partitionBy(lowCardCol).orderBy(...))`.
@@ -114,6 +114,12 @@ object GroupedRank {
   def withRunningTotal(df: DataFrame, order: Seq[Column], value: Column,
                        totalName: String, parts: Int = 0): DataFrame = {
     require(order.nonEmpty, "order columns required (must be total)")
+    val valueType = df.select(value).schema.head.dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(valueType),
+      s"GroupedRank.withRunningTotal: value must be integral " +
+        s"(Byte/Short/Int/Long), got $valueType — a fractional value " +
+        "would be silently truncated by the long cast on the " +
+        "per-partition offsets; cast or round explicitly first")
     val s = df.sparkSession
     val p = if (parts > 0) parts
       else math.max(s.sparkContext.defaultParallelism, 2)

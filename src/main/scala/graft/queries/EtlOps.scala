@@ -974,8 +974,12 @@ object EtlOps {
     // exact full-history aggregate). The oracle recomputes from
     // scratch — the gate proves delta + stored base ≡ full rescan.
     "q326_incremental_agg" -> ((s, d) => {
+      // scratch path carries the PID: keyed on the data dir alone,
+      // two concurrent JVMs on the same fixture (Verify and Bench
+      // side by side) would race an overwrite against a read
       val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft-q326-" + Integer.toHexString(d.hashCode)).toString
+        "graft-q326-" + Integer.toHexString(d.hashCode) +
+          "-p" + ProcessHandle.current().pid()).toString
       val cutoff = lit("1999-01-01").cast("timestamp")
       val o = Tables(s, d).orders
         .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))

@@ -264,7 +264,7 @@ object VectorOps {
         .sortBy(_._1)
       val mnA = array(st.map(t => lit(t._2)).toIndexedSeq: _*)
       val mxA = array(st.map(t => lit(t._3)).toIndexedSeq: _*)
-      val codes = emb.repartition(32).select(col("vec_id"),
+      val codes = emb.select(col("vec_id"),
         transform(col("embedding"), (x, i) => {
           val mn = element_at(mnA, i + 1)
           val mx = element_at(mxA, i + 1)
@@ -305,7 +305,7 @@ object VectorOps {
         .sortBy(_._1)
       val mnA = array(st.map(t => lit(t._2)).toIndexedSeq: _*)
       val mxA = array(st.map(t => lit(t._3)).toIndexedSeq: _*)
-      val codes = emb.repartition(32).select(col("vec_id"),
+      val codes = emb.select(col("vec_id"),
         transform(col("embedding"), (x, i) => {
           val mn = element_at(mnA, i + 1)
           val mx = element_at(mxA, i + 1)
@@ -388,7 +388,7 @@ object VectorOps {
         .sortBy(_._1)
       val mnA = array(st.map(t => lit(t._2)).toIndexedSeq: _*)
       val mxA = array(st.map(t => lit(t._3)).toIndexedSeq: _*)
-      val codes = emb.repartition(32).select(col("vec_id"),
+      val codes = emb.select(col("vec_id"),
         transform(col("embedding"), (x, i) => {
           val mn = element_at(mnA, i + 1)
           val mx = element_at(mxA, i + 1)

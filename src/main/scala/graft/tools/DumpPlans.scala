@@ -73,7 +73,11 @@ object DumpPlans {
     "q323_ooo_audit" -> "OOO audit: lateness simulation is a pure projection; the running max is a per-user (corpus-keyed, parallel) window; the output aggregate is histogram-sized",
     "q324_session_concurrency" -> "sweep-line concurrency: the global running sum rides withRunningTotal's range exchange + pid-partitioned cumsum windows with broadcast prefix offsets (plan shown post-checkpoint) — never a one-task running-sum window; edge volume is 2·sessions",
     "q326_incremental_agg" -> "incremental aggregate maintenance: the refresh side scans the STORED base parquet and aggregates ONLY the delta date slice; the merge is one key-shaped union aggregate — no full-history rescan in the refresh plan",
-    "q327_vocab_truncate" -> "vocab truncation coverage: the vocab pick is a 16-row TakeOrderedAndProject broadcast back onto the token stream; the coverage report is source-keyed — the corpus tokenizes exactly once")
+    "q327_vocab_truncate" -> "vocab truncation coverage: the vocab pick is a 16-row TakeOrderedAndProject broadcast back onto the token stream; the coverage report is source-keyed — the corpus tokenizes exactly once",
+    // round-8 snapshot tail (q329–q331)
+    "q329_lang_source_matrix" -> "lang×source independence: ONE doc-shaped aggregate; row/col margins and the grand total all join back by broadcast; deviation is exact integer permille — output is langs×sources-sized",
+    "q330_rate_audit" -> "rate-limit audit: the trailing-10-minute burst count is a user-keyed value-RANGE window (parallel at any scale, no single-task window); the report is one event-type-sized aggregate",
+    "q331_langid_confusion" -> "lang-ID confusion matrix: marker votes + argmax are narrow per-doc projections; the matrix is one (lang, pred)-keyed aggregate with row totals joined by broadcast — 5×5-bounded output")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

@@ -281,6 +281,50 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window ["), p.take(600))
   }
 
+  test("q324: concurrency sweep rides pid-partitioned cumsums + broadcast offsets") {
+    // withRunningTotal checkpoints the range-partitioned copy, so the
+    // range exchange itself ran at construction; what the final plan
+    // must show is the scale-safe REMAINDER: cumsum windows keyed by
+    // __pid (never a "No Partition Defined" one-task window) and the
+    // ≤P-row prefix-offset join arriving by broadcast
+    val df = SparkEntry.queries("q324_session_concurrency")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val windowLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty, p.take(800))
+    assert(windowLines.forall(_.contains("pid")),
+      s"running-sum window must partition by pid:\n${windowLines.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"prefix offsets must broadcast:\n${p.take(800)}")
+    assert(!p.contains("Exchange SinglePartition"), p.take(800))
+  }
+
+  test("q326: refresh scans the delta only — base comes from the stored parquet") {
+    // the materialized-view algebra is only incremental if the orders
+    // fact is scanned ONCE (delta leg, with the cutoff pushed to the
+    // scan) and the base leg reads the parquet scratch
+    val df = SparkEntry.queries("q326_incremental_agg")(spark, sf)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val ordersScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("orders"))
+    assert(ordersScans == 1,
+      s"orders must be scanned exactly once (the delta), got $ordersScans:\n${p.take(900)}")
+    assert(p.contains("graft-q326"),
+      s"base must read the stored scratch parquet:\n${p.take(900)}")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("o_orderdate"),
+      s"delta cutoff must push to the orders scan:\n$pushed")
+  }
+
+  test("q330: rate-limit window is user-keyed — no single-task window, no global sort") {
+    val df = SparkEntry.queries("q330_rate_audit")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val windowLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty, p.take(800))
+    assert(windowLines.forall(_.contains("user_id")),
+      s"range frame must partition by user_id:\n${windowLines.mkString("\n")}")
+    assert(!p.contains("Exchange SinglePartition"), p.take(800))
+  }
+
   test("whole-stage codegen covers the KPI aggregate (no interpreted hot path)") {
     // AQE only annotates codegen stages on the executed plan
     val df = SparkEntry.queries("q11_genre_kpis")(spark, sf)

@@ -85,7 +85,11 @@ class ReproSpec extends AnyFunSuite {
     "q323_ooo_audit",       // per-user running-max lateness histogram
     "q324_session_concurrency", // range-exchange global running sum
     "q326_incremental_agg", // stored base + delta partial-agg merge
-    "q327_vocab_truncate"   // TakeOrdered vocab + broadcast coverage join
+    "q327_vocab_truncate",  // TakeOrdered vocab + broadcast coverage join
+    "q328_k_anonymity",     // k-fan-out over the QI group-size frame
+    "q329_lang_source_matrix", // broadcast margins + integer-permille deviation
+    "q330_rate_audit",      // user-keyed value-RANGE burst window
+    "q331_langid_confusion" // marker-vote argmax + broadcast row totals
   )
 
   representatives.foreach { name =>

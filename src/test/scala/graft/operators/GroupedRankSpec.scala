@@ -121,6 +121,42 @@ class GroupedRankSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("nulls"))
   }
 
+  test("withRunningTotal fails loud on a fractional value column") {
+    // a DoubleType value would be silently truncated by the long
+    // casts in the offsets and the per-partition cumsum — the guard
+    // must reject it eagerly, before any job runs
+    val frac = Seq((1L, 0.5), (2L, 1.5)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      GroupedRank.withRunningTotal(frac, Seq(col("k")), col("v"), "run",
+        parts = 2)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
+  test("withRunningTotal boundary stitching under adversarial partitioning") {
+    // parts ≈ rows/2 forces MANY range partitions over FEW rows —
+    // most partitions hold 0–2 rows, so nearly every row sits at a
+    // prefix-offset boundary (including empty partitions between
+    // occupied ones). The stitched result must still be exactly the
+    // single-task window, for every seed.
+    for (seed <- 30L to 35L) {
+      val rows = sample(rowsGen, seed).zipWithIndex
+        .map { case ((_, v), i) => (v * 13L - 130L, i.toLong) } // ± values
+      val df = rows.toDF("delta", "id")
+      val p = math.max(rows.size / 2, 2)
+      val got = GroupedRank.withRunningTotal(df,
+          Seq(col("delta"), col("id")), col("delta"), "run", parts = p)
+        .select("delta", "id", "run").as[(Long, Long, Long)]
+        .collect().toSet
+      val want = df.withColumn("run",
+          sum(col("delta")).over(Window.orderBy(col("delta"), col("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("delta", "id", "run").as[(Long, Long, Long)]
+        .collect().toSet
+      assert(got == want, s"seed=$seed parts=$p")
+    }
+  }
+
   test("withRank fails loud when the order is not total (duplicate tuples)") {
     // two identical ("a", 5) order tuples — boundary ranks would be
     // nondeterministic, so the precondition guard must throw, naming

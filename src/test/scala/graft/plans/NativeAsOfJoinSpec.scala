@@ -189,8 +189,12 @@ class NativeAsOfJoinSpec extends AnyFunSuite {
       rightKey = col("c_user"), rightTs = col("c_ts"),
       rightValueCols = Seq("c_id"))
     composed().count(); native().count() // warm both code paths
-    val tc = Seq(time(composed()), time(composed())).min
-    val tn = Seq(time(native()), time(native())).min
+    var tc = Seq(time(composed()), time(composed())).min
+    var tn = Seq(time(native()), time(native())).min
+    if (tn > tc * 1.25) { // divergence resample: one more sample per
+      tc = math.min(tc, time(composed())) // side before failing — the
+      tn = math.min(tn, time(native())) // unit suite sees ~3x timing
+    } // swings under background load (CLAUDE.md), same guard as Bench
     info(f"native $tn%.2f s vs composed $tc%.2f s at sf0.1")
     assert(tn <= tc * 1.25,
       f"native as-of ($tn%.2f s) slower than composed ($tc%.2f s) at sf0.1")
@@ -220,8 +224,12 @@ class NativeAsOfJoinSpec extends AnyFunSuite {
       rightKey = col("c_user"), rightTs = col("c_ts"),
       rightValueCols = Seq("c_id"))
     composed().count(); native().count()
-    val tc = Seq(time(composed()), time(composed())).min
-    val tn = Seq(time(native()), time(native())).min
+    var tc = Seq(time(composed()), time(composed())).min
+    var tn = Seq(time(native()), time(native())).min
+    if (tn > tc * 1.25) { // divergence resample, same guard as the
+      tc = math.min(tc, time(composed())) // int-key A/B above
+      tn = math.min(tn, time(native()))
+    }
     info(f"string-key native $tn%.2f s vs composed $tc%.2f s at sf0.1")
     assert(tn <= tc * 1.25,
       f"string-key native as-of ($tn%.2f s) slower than composed ($tc%.2f s)")
