@@ -2079,6 +2079,213 @@ object EtlOps {
             lit(4) * (col("nd") * col("q") - col("s") * col("s")))
         .select(col("event_type"),
           date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"))
+    }),
+
+    // SCD Type 2 dimension build — the change-log → validity-interval
+    // transform every warehouse dimension load runs: per customer,
+    // the o_orderpriority stream in (date, orderkey) order collapses
+    // consecutive duplicates, each surviving change opens an interval
+    // [valid_from, valid_to) closed by the NEXT change (null = the
+    // current row). Two customer-keyed windows (lag to collapse,
+    // lead to close) — parallel at any scale, no global sort; the
+    // orderkey tie-break makes the per-key order total so the
+    // collapse is deterministic in both engines.
+    "q332_scd2_build" -> ((s, d) => {
+      val w = Window.partitionBy(col("custkey"))
+        .orderBy(col("valid_from"), col("o_orderkey"))
+      val log = Tables(s, d).orders.select(
+        col("o_custkey").as("custkey"),
+        // o_orderdate is NTZ since the r8 fixture regen; the LTZ cast
+        // is micros-exact because the session TZ is pinned UTC
+        unix_micros(col("o_orderdate").cast("timestamp")).as("valid_from"),
+        col("o_orderkey"), col("o_orderpriority").as("priority"))
+      log.withColumn("prev", lag(col("priority"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("priority"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .select(col("custkey"), col("priority"), col("valid_from"),
+          col("valid_to"), col("valid_to").isNull.as("is_current"))
+    }),
+
+    // Data-quality expectation suite — the dbt-test / Deequ-style
+    // release gate: five declarative expectations (not-null, unique,
+    // accepted-values, referential integrity, range), each one
+    // aggregate (RI is an anti join), unioned into a constant-shape
+    // report with violation COUNTS so cleanup effort is ranked, not
+    // just flagged. Every check is a single scan + key-shaped or
+    // 1-row aggregate — the report costs one pass per table at any
+    // scale.
+    "q333_dq_expectations" -> ((s, d) => {
+      val t = Tables(s, d)
+      def report(name: String, checked: DataFrame): DataFrame =
+        checked.select(lit(name).as("expectation"),
+          col("n_checked").cast("long").as("n_checked"),
+          col("n_violations").cast("long").as("n_violations"),
+          (col("n_violations") === 0).as("pass"))
+      val notNull = report("orders.o_custkey not_null",
+        t.orders.agg(count(lit(1)).as("n_checked"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+            .as("n_violations")))
+      val unique = report("orders.o_orderkey unique",
+        t.orders.agg(count(lit(1)).as("n_checked"),
+          (count(lit(1)) - count_distinct(col("o_orderkey")))
+            .as("n_violations")))
+      val accepted = report("orders.o_orderstatus accepted_values",
+        t.orders.agg(count(lit(1)).as("n_checked"),
+          sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+            .otherwise(0L)).as("n_violations")))
+      val ri = report("orders.o_custkey ref_integrity customer",
+        t.orders.agg(count(lit(1)).as("n_checked")).crossJoin(
+          t.orders.join(t.customer,
+            col("o_custkey") === col("c_custkey"), "left_anti")
+            .agg(count(lit(1)).as("n_violations"))))
+      val range = report("lineitem.l_discount range",
+        t.lineitem.agg(count(lit(1)).as("n_checked"),
+          sum(when(col("l_discount") < 0.0 || col("l_discount") > 1.0, 1L)
+            .otherwise(0L)).as("n_violations")))
+      notNull.unionByName(unique).unionByName(accepted)
+        .unionByName(ri).unionByName(range)
+    }),
+
+    // CDC MERGE apply — the upsert/delete reconciliation every lake
+    // table runs on a change feed: the change set is derived
+    // deterministically from the fixtures (each customer's LATEST
+    // order re-prices their balance; custkey≡0 mod 7 → DELETE,
+    // ≡2 mod 7 also INSERTs a shifted new key), then applied to the
+    // customer snapshot with full MERGE semantics in ONE key-shaped
+    // full-outer join: matched deletes drop, matched updates take
+    // the new balance, inserts land with a NEW segment, untouched
+    // snapshot rows survive as 'kept'. The latest-order pick is a
+    // max(struct) aggregate — no window, no second shuffle.
+    "q334_cdc_merge" -> ((s, d) => {
+      val t = Tables(s, d)
+      val snap = t.customer.select(col("c_custkey").as("custkey"),
+        col("c_mktsegment").as("segment"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("bal_cents"))
+      val latest = t.orders
+        .select(col("o_custkey").as("custkey"), struct(
+          unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+          col("o_orderkey"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+          .as("o"))
+        .groupBy(col("custkey")).agg(max(col("o")).as("m"))
+        .select(col("custkey"), col("m.cents").as("new_bal"))
+      val upserts = latest.select(col("custkey"),
+        when(col("custkey") % 7 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        col("new_bal"))
+      val inserts = latest.filter(col("custkey") % 7 === 2)
+        .select((col("custkey") + 1000000L).as("custkey"), lit("I").as("op"),
+          col("new_bal"))
+      val changes = upserts.unionByName(inserts)
+      snap.join(changes, Seq("custkey"), "full_outer")
+        .filter(coalesce(col("op"), lit("")) =!= "D" &&
+          // orphan updates/deletes (no snapshot row) are no-ops
+          !(col("segment").isNull && col("op") === "U"))
+        .select(col("custkey"),
+          when(col("op") === "I", lit("NEW")).otherwise(col("segment"))
+            .as("segment"),
+          when(col("op").isNotNull, col("new_bal")).otherwise(col("bal_cents"))
+            .as("bal_cents"),
+          when(col("op") === "I", lit("inserted"))
+            .when(col("op") === "U", lit("updated"))
+            .otherwise(lit("kept")).as("src"))
+    }),
+
+    // Table diff — the migration-reconciliation report (data-diff):
+    // version B is a deterministic in-query perturbation of the
+    // customer snapshot (mod-17 rows dropped, mod-11 balances bumped,
+    // mod-13 segments rewritten, mod-19 keys duplicated under a
+    // shifted id), and the diff is ONE key-shaped full-outer join
+    // folded into a constant-shape report: rows only in A / only in
+    // B, identical rows, and per-COLUMN change counts so the report
+    // says what drifted, not just that something did.
+    "q335_table_diff" -> ((s, d) => {
+      val a = Tables(s, d).customer.select(col("c_custkey").as("custkey"),
+        col("c_mktsegment").as("segment"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("bal_cents"))
+      val b0 = a.filter(col("custkey") % 17 =!= 0)
+        .select(col("custkey"),
+          when(col("custkey") % 13 === 0, lit("MIGRATED"))
+            .otherwise(col("segment")).as("segment"),
+          when(col("custkey") % 11 === 0, col("bal_cents") + 500L)
+            .otherwise(col("bal_cents")).as("bal_cents"))
+      val b = b0.unionByName(a.filter(col("custkey") % 19 === 0)
+        .select((col("custkey") + 2000000L).as("custkey"), col("segment"),
+          col("bal_cents")))
+      a.select(col("custkey"), col("segment").as("seg_a"),
+          col("bal_cents").as("bal_a"))
+        .join(b.select(col("custkey"), col("segment").as("seg_b"),
+          col("bal_cents").as("bal_b")), Seq("custkey"), "full_outer")
+        .agg(
+          sum(when(col("seg_b").isNull && col("seg_a").isNotNull, 1L)
+            .otherwise(0L)).cast("long").as("n_only_a"),
+          sum(when(col("seg_a").isNull && col("seg_b").isNotNull, 1L)
+            .otherwise(0L)).cast("long").as("n_only_b"),
+          sum(when(col("seg_a").isNotNull && col("seg_b").isNotNull, 1L)
+            .otherwise(0L)).cast("long").as("n_common"),
+          sum(when(col("seg_a").isNotNull && col("seg_b").isNotNull &&
+            col("seg_a") =!= col("seg_b"), 1L).otherwise(0L))
+            .cast("long").as("n_segment_changed"),
+          sum(when(col("seg_a").isNotNull && col("seg_b").isNotNull &&
+            col("bal_a") =!= col("bal_b"), 1L).otherwise(0L))
+            .cast("long").as("n_balance_changed"),
+          sum(when(col("seg_a").isNotNull && col("seg_b").isNotNull &&
+            col("seg_a") === col("seg_b") && col("bal_a") === col("bal_b"),
+            1L).otherwise(0L)).cast("long").as("n_identical"))
+    }),
+
+    // Retention cohort matrix — the weekly retention triangle every
+    // growth dashboard starts from (q244 assigns cohorts; this is
+    // the full cohort × offset matrix): cohort = a user's first
+    // active epoch-week (integer div — never engine-specific week()
+    // semantics), each (cohort, offset) cell counts distinct active
+    // users, and retention is exact permille of the cohort's size.
+    // The (user, week)-distinct is the one corpus-sized shuffle;
+    // cohorts and cell counts are key-shaped; cohort sizes join back
+    // by broadcast (cohort-count rows).
+    "q336_retention_matrix" -> ((s, d) => {
+      val uw = Tables(s, d).events
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        // integer div — Column./ is TRUE division (would go double)
+        .select(col("user_id"), expr("us div 604800000000").as("week"))
+        .distinct()
+      val cohort = uw.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      val size = cohort.groupBy(col("cohort_week"))
+        .agg(count(lit(1)).as("cohort_size"))
+      uw.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("offset_w"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(size), Seq("cohort_week"))
+        .select(col("cohort_week"), col("offset_w"), col("n_active"),
+          expr("(n_active * 1000) div cohort_size").as("retention_pm"))
+    }),
+
+    // Session-gap sensitivity sweep — how many sessions would each
+    // gap threshold produce (the parameter-sizing run behind q51's
+    // fixed 30-minute gap): ONE per-user lag pass computes every
+    // inter-event delta, a 4-way bounded fan-out evaluates gaps
+    // {5, 15, 30, 60} min, and a session starts where the delta is
+    // null or >= gap (q52's end-exclusive session_window discipline).
+    // Events-per-session in exact permille. The window is user-keyed;
+    // the fan-out multiplies rows 4× but stays narrow.
+    "q337_gap_sweep" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val deltas = Tables(s, d).events
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("delta", col("us") - lag(col("us"), 1).over(w))
+      deltas.select(col("delta"),
+          explode(array(lit(5L), lit(15L), lit(30L), lit(60L)))
+            .as("gap_min"))
+        .groupBy(col("gap_min"))
+        .agg(sum(when(col("delta").isNull ||
+            col("delta") >= col("gap_min") * 60000000L, 1L).otherwise(0L))
+            .cast("long").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .select(col("gap_min"), col("n_sessions"), col("n_events"),
+          expr("(n_events * 1000) div n_sessions").as("events_per_session_pm"))
     })
   )
 
@@ -2421,6 +2628,160 @@ object EtlOps {
                 (((o.o * n.n - r.r * c.c) * 1000)
                   // (r.r * c.c))::BIGINT AS dev_pm
          FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n""",
+    "q332_scd2_build" ->
+      """WITH log AS (
+           SELECT o_custkey AS custkey, epoch_us(o_orderdate) AS valid_from,
+                  o_orderkey, o_orderpriority AS priority
+           FROM orders),
+         ch AS (SELECT *, lag(priority) OVER (PARTITION BY custkey
+                  ORDER BY valid_from, o_orderkey) AS prev FROM log),
+         c2 AS (SELECT * FROM ch
+                WHERE prev IS NULL OR prev <> priority)
+         SELECT custkey, priority, valid_from::BIGINT AS valid_from,
+                (lead(valid_from) OVER (PARTITION BY custkey
+                  ORDER BY valid_from, o_orderkey))::BIGINT AS valid_to,
+                (lead(valid_from) OVER (PARTITION BY custkey
+                  ORDER BY valid_from, o_orderkey)) IS NULL AS is_current
+         FROM c2""",
+    "q333_dq_expectations" ->
+      """SELECT 'orders.o_custkey not_null' AS expectation,
+                count(*)::BIGINT AS n_checked,
+                sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+                  AS n_violations,
+                sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+                  AS pass
+         FROM orders
+         UNION ALL
+         SELECT 'orders.o_orderkey unique', count(*)::BIGINT,
+                (count(*) - count(DISTINCT o_orderkey))::BIGINT,
+                count(*) = count(DISTINCT o_orderkey)
+         FROM orders
+         UNION ALL
+         SELECT 'orders.o_orderstatus accepted_values', count(*)::BIGINT,
+                sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                  THEN 1 ELSE 0 END)::BIGINT,
+                sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                  THEN 1 ELSE 0 END) = 0
+         FROM orders
+         UNION ALL
+         SELECT 'orders.o_custkey ref_integrity customer',
+                (SELECT count(*) FROM orders)::BIGINT,
+                (SELECT count(*) FROM orders o WHERE NOT EXISTS (
+                  SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey))::BIGINT,
+                (SELECT count(*) FROM orders o WHERE NOT EXISTS (
+                  SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey)) = 0
+         UNION ALL
+         SELECT 'lineitem.l_discount range', count(*)::BIGINT,
+                sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                  THEN 1 ELSE 0 END)::BIGINT,
+                sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                  THEN 1 ELSE 0 END) = 0
+         FROM lineitem""",
+    "q334_cdc_merge" ->
+      """WITH snap AS (
+           SELECT c_custkey AS custkey, c_mktsegment AS segment,
+                  round(c_acctbal * 100, 0)::BIGINT AS bal_cents
+           FROM customer),
+         latest AS (
+           SELECT custkey, cents AS new_bal FROM (
+             SELECT o_custkey AS custkey,
+                    round(o_totalprice * 100, 0)::BIGINT AS cents,
+                    row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY epoch_us(o_orderdate) DESC,
+                               o_orderkey DESC) AS rk
+             FROM orders) WHERE rk = 1),
+         changes AS (
+           SELECT custkey,
+                  CASE WHEN custkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+                  new_bal
+           FROM latest
+           UNION ALL
+           SELECT custkey + 1000000, 'I', new_bal
+           FROM latest WHERE custkey % 7 = 2)
+         SELECT coalesce(s.custkey, g.custkey) AS custkey,
+                CASE WHEN g.op = 'I' THEN 'NEW' ELSE s.segment END
+                  AS segment,
+                CASE WHEN g.op IS NOT NULL THEN g.new_bal
+                     ELSE s.bal_cents END AS bal_cents,
+                CASE WHEN g.op = 'I' THEN 'inserted'
+                     WHEN g.op = 'U' THEN 'updated'
+                     ELSE 'kept' END AS src
+         FROM snap s FULL OUTER JOIN changes g ON s.custkey = g.custkey
+         WHERE coalesce(g.op, '') <> 'D'
+           AND NOT (s.segment IS NULL AND g.op = 'U')""",
+    "q335_table_diff" ->
+      """WITH a AS (
+           SELECT c_custkey AS custkey, c_mktsegment AS segment,
+                  round(c_acctbal * 100, 0)::BIGINT AS bal_cents
+           FROM customer),
+         b AS (
+           SELECT custkey,
+                  CASE WHEN custkey % 13 = 0 THEN 'MIGRATED'
+                       ELSE segment END AS segment,
+                  CASE WHEN custkey % 11 = 0 THEN bal_cents + 500
+                       ELSE bal_cents END AS bal_cents
+           FROM a WHERE custkey % 17 <> 0
+           UNION ALL
+           SELECT custkey + 2000000, segment, bal_cents
+           FROM a WHERE custkey % 19 = 0),
+         j AS (SELECT a.segment AS seg_a, a.bal_cents AS bal_a,
+                      b.segment AS seg_b, b.bal_cents AS bal_b
+               FROM a FULL OUTER JOIN b ON a.custkey = b.custkey)
+         SELECT sum(CASE WHEN seg_b IS NULL AND seg_a IS NOT NULL
+                  THEN 1 ELSE 0 END)::BIGINT AS n_only_a,
+                sum(CASE WHEN seg_a IS NULL AND seg_b IS NOT NULL
+                  THEN 1 ELSE 0 END)::BIGINT AS n_only_b,
+                sum(CASE WHEN seg_a IS NOT NULL AND seg_b IS NOT NULL
+                  THEN 1 ELSE 0 END)::BIGINT AS n_common,
+                sum(CASE WHEN seg_a IS NOT NULL AND seg_b IS NOT NULL
+                  AND seg_a <> seg_b THEN 1 ELSE 0 END)::BIGINT
+                  AS n_segment_changed,
+                sum(CASE WHEN seg_a IS NOT NULL AND seg_b IS NOT NULL
+                  AND bal_a <> bal_b THEN 1 ELSE 0 END)::BIGINT
+                  AS n_balance_changed,
+                sum(CASE WHEN seg_a IS NOT NULL AND seg_b IS NOT NULL
+                  AND seg_a = seg_b AND bal_a = bal_b
+                  THEN 1 ELSE 0 END)::BIGINT AS n_identical
+         FROM j""",
+    "q336_retention_matrix" ->
+      """WITH uw AS (
+           SELECT DISTINCT user_id,
+                  epoch_us(ts) // 604800000000 AS week
+           FROM events),
+         cohort AS (SELECT user_id, min(week) AS cohort_week
+                    FROM uw GROUP BY 1),
+         sz AS (SELECT cohort_week, count(*)::BIGINT AS cohort_size
+                FROM cohort GROUP BY 1),
+         cell AS (SELECT c.cohort_week,
+                         (uw.week - c.cohort_week)::BIGINT AS offset_w,
+                         count(*)::BIGINT AS n_active
+                  FROM uw JOIN cohort c USING (user_id)
+                  GROUP BY 1, 2)
+         SELECT cell.cohort_week, cell.offset_w, cell.n_active,
+                ((cell.n_active * 1000) // sz.cohort_size)::BIGINT
+                  AS retention_pm
+         FROM cell JOIN sz USING (cohort_week)""",
+    "q337_gap_sweep" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         d AS (SELECT us - lag(us) OVER (PARTITION BY user_id
+                 ORDER BY us, event_id) AS delta
+               FROM e),
+         f AS (SELECT d.delta, g.gap_min
+               FROM d CROSS JOIN (VALUES (5), (15), (30), (60))
+                 AS g(gap_min)),
+         s AS (SELECT gap_min::BIGINT AS gap_min,
+                 sum(CASE WHEN delta IS NULL
+                   OR delta >= gap_min::BIGINT * 60000000 THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_sessions,
+                 count(*)::BIGINT AS n_events
+               FROM f GROUP BY 1)
+         SELECT gap_min, n_sessions, n_events,
+                ((n_events * 1000) // n_sessions)::BIGINT
+                  AS events_per_session_pm
+         FROM s""",
     "q330_rate_audit" ->
       """WITH e AS (
            SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

@@ -77,7 +77,14 @@ object DumpPlans {
     // round-8 snapshot tail (q329–q331)
     "q329_lang_source_matrix" -> "lang×source independence: ONE doc-shaped aggregate; row/col margins and the grand total all join back by broadcast; deviation is exact integer permille — output is langs×sources-sized",
     "q330_rate_audit" -> "rate-limit audit: the trailing-10-minute burst count is a user-keyed value-RANGE window (parallel at any scale, no single-task window); the report is one event-type-sized aggregate",
-    "q331_langid_confusion" -> "lang-ID confusion matrix: marker votes + argmax are narrow per-doc projections; the matrix is one (lang, pred)-keyed aggregate with row totals joined by broadcast — 5×5-bounded output")
+    "q331_langid_confusion" -> "lang-ID confusion matrix: marker votes + argmax are narrow per-doc projections; the matrix is one (lang, pred)-keyed aggregate with row totals joined by broadcast — 5×5-bounded output",
+    // round-9 (q332–q337)
+    "q332_scd2_build" -> "SCD Type 2 build: the duplicate-collapse lag and the interval-close lead are both customer-keyed windows — parallel at any scale, never a global sort",
+    "q333_dq_expectations" -> "DQ expectation suite: five one-pass checks (not-null/unique/accepted/range are single aggregates; referential integrity is a left-anti join) unioned into a constant-shape report",
+    "q334_cdc_merge" -> "CDC MERGE apply: the latest-order change derivation is a max(struct) aggregate (no window); delete/update/insert semantics fold into ONE key-shaped full-outer join",
+    "q335_table_diff" -> "table diff: version B is a narrow in-query perturbation; the reconciliation is ONE key-shaped full-outer join folded into a 1-row per-column change report",
+    "q336_retention_matrix" -> "retention matrix: the (user, week)-distinct is the only corpus-sized shuffle; cohort assignment is a min aggregate (no window); cohort sizes join back by broadcast",
+    "q337_gap_sweep" -> "session-gap sweep: ONE user-keyed lag pass computes every delta; the 4-gap fan-out is a narrow explode; the report is gap-sized")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

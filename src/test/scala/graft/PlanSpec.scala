@@ -315,6 +315,24 @@ class PlanSpec extends AnyFunSuite {
       s"delta cutoff must push to the orders scan:\n$pushed")
   }
 
+  test("q332: SCD2 collapse and close windows are customer-keyed — never a global sort") {
+    val df = SparkEntry.queries("q332_scd2_build")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val windowLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty, p.take(800))
+    assert(windowLines.forall(_.contains("custkey")),
+      s"SCD2 windows must partition by custkey:\n${windowLines.mkString("\n")}")
+    assert(!p.contains("Exchange SinglePartition"), p.take(800))
+  }
+
+  test("q334: CDC latest-change pick is an aggregate, the merge one full-outer join") {
+    val df = SparkEntry.queries("q334_cdc_merge")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window ["),
+      s"latest-order pick must be a max(struct) aggregate, not a rank window:\n${p.take(800)}")
+    assert(p.contains("FullOuter"), p.take(800))
+  }
+
   test("q330: rate-limit window is user-keyed — no single-task window, no global sort") {
     val df = SparkEntry.queries("q330_rate_audit")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

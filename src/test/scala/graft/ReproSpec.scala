@@ -89,7 +89,12 @@ class ReproSpec extends AnyFunSuite {
     "q328_k_anonymity",     // k-fan-out over the QI group-size frame
     "q329_lang_source_matrix", // broadcast margins + integer-permille deviation
     "q330_rate_audit",      // user-keyed value-RANGE burst window
-    "q331_langid_confusion" // marker-vote argmax + broadcast row totals
+    "q331_langid_confusion", // marker-vote argmax + broadcast row totals
+    // round-9 additions
+    "q332_scd2_build",      // lag collapse + lead close windows
+    "q334_cdc_merge",       // max(struct) latest pick + full-outer merge
+    "q336_retention_matrix", // (user, week)-distinct + broadcast sizes
+    "q337_gap_sweep"        // user-keyed lag + 4-way fan-out
   )
 
   representatives.foreach { name =>
