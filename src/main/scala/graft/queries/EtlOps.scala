@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.AsOfJoin
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2286,6 +2286,281 @@ object EtlOps {
           count(lit(1)).as("n_events"))
         .select(col("gap_min"), col("n_sessions"), col("n_events"),
           expr("(n_events * 1000) div n_sessions").as("events_per_session_pm"))
+    }),
+
+    // Join-key skew audit — the pre-flight a 100 TB join runs before
+    // picking a strategy (salt? AQE skew split? broadcast?): for
+    // three join-key columns, row/key counts, the heaviest key's row
+    // count, the top-10 keys' combined rows, and max-over-mean in
+    // exact permille (1000 = perfectly uniform). Each column costs
+    // one key-shaped aggregate + a 10-row TakeOrdered; top-10 SUMs
+    // are tie-safe (equal counts at the boundary sum identically).
+    "q338_join_skew_audit" -> ((s, d) => {
+      val t = Tables(s, d)
+      def audit(name: String, keyed: DataFrame): DataFrame = {
+        val counts = keyed.toDF("k")
+          .groupBy(col("k")).agg(count(lit(1)).as("c"))
+        val top10 = counts.orderBy(col("c").desc, col("k")).limit(10)
+          .agg(sum(col("c")).as("top10_rows"))
+        counts.agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+            max(col("c")).as("max_key_rows"))
+          .crossJoin(top10)
+          .select(lit(name).as("key_col"), col("n_rows"), col("n_keys"),
+            col("max_key_rows"), col("top10_rows").cast("long").as("top10_rows"),
+            expr("(max_key_rows * n_keys * 1000) div n_rows")
+              .as("max_over_mean_pm"))
+      }
+      audit("lineitem.l_partkey", t.lineitem.select(col("l_partkey")))
+        .unionByName(audit("lineitem.l_suppkey",
+          t.lineitem.select(col("l_suppkey"))))
+        .unionByName(audit("orders.o_custkey",
+          t.orders.select(col("o_custkey"))))
+    }),
+
+    // Winsorization at exact rank fences — outlier clipping by the
+    // DEFINED quantile (value at row_number ⌈n/100⌉ / ⌊99n/100⌋ under
+    // a total (cents, orderkey) order — never an interpolated float
+    // percentile): the global rank rides GroupedRank's two-phase
+    // range exchange, the two fence rows reduce to a 1-row broadcast
+    // frame, and the clip is a narrow projection. The corpus is
+    // ranked once; nothing else shuffles.
+    "q339_winsorize" -> ((s, d) => {
+      val o = Tables(s, d).orders.select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val ranked = graft.operators.GroupedRank.withGlobalRank(o,
+        Seq(col("cents"), col("o_orderkey")), "rk")
+      val n = o.agg(count(lit(1)).as("n"))
+      val fences = ranked.crossJoin(broadcast(n))
+        .filter(col("rk") === expr("greatest((n * 1) div 100, 1L)") ||
+          col("rk") === expr("greatest((n * 99) div 100, 1L)"))
+        .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      ranked.crossJoin(broadcast(fences))
+        .select(col("o_orderkey"), col("cents"),
+          greatest(least(col("cents"), col("hi")), col("lo"))
+            .as("clipped_cents"),
+          (col("cents") < col("lo") || col("cents") > col("hi"))
+            .as("was_clipped"))
+    }),
+
+    // Conjunctive keyword search (boolean AND retrieval) — the
+    // posting-list intersection beside q264's phrase search: the
+    // three highest-document-frequency tokens are the query
+    // (deterministic tie-break), and a doc qualifies when it
+    // contains ALL three. The posting lists are restricted to the
+    // three terms BEFORE any shuffle (broadcast semi join), so the
+    // intersection shuffles three posting lists, never the corpus;
+    // per-term hit counts ride along for ranking.
+    "q340_conjunctive_search" -> ((s, d) => {
+      val occ = Tables(s, d).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val terms = occ.distinct().groupBy(col("token"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token")).limit(3)
+        .select(col("token"))
+      occ.join(broadcast(terms), "token")
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("hits"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("hits")).as("total_hits"))
+        .filter(col("n_terms") === 3)
+        .select(col("doc_id"), col("total_hits").cast("long").as("total_hits"))
+    }),
+
+    // Time-grid resample + LOCF — the forward-fill every feature
+    // store runs to align irregular events to a model's hourly grid:
+    // per user, the densified [first, last] hour span (sequence +
+    // explode — grid size is span-bounded, not corpus-bounded), the
+    // hour's LAST observation (max(struct) pick, no window), then
+    // last-observation-carried-forward via the engine-portable
+    // fill-group trick: a running count of non-null observations
+    // keys each gap to its head row, and a per-(user, fill-group)
+    // max propagates it — no IGNORE NULLS dependence, identical
+    // semantics in any engine. All windows user-keyed.
+    "q341_locf_resample" -> ((s, d) => {
+      val ev = Tables(s, d).events.select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+        .withColumn("hour", expr("us div 3600000000"))
+      val hourly = ev.groupBy(col("user_id"), col("hour"))
+        .agg(max(struct(col("us"), col("event_id"), col("cents"))).as("m"))
+        .select(col("user_id"), col("hour"), col("m.cents").as("obs_cents"))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
+        .select(col("user_id"),
+          explode(sequence(col("mn"), col("mx"))).as("hour"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hour"), "left")
+        .withColumn("fill_id",
+          sum(when(col("obs_cents").isNotNull, 1L).otherwise(0L)).over(w))
+        .withColumn("cents", max(col("obs_cents"))
+          .over(Window.partitionBy(col("user_id"), col("fill_id"))))
+        .select(col("user_id"), col("hour"), col("cents"),
+          col("obs_cents").isNull.as("filled"))
+    }),
+
+    // Last-touch attribution — the marketing-attribution join: every
+    // purchase credits the LATEST click at-or-before it (the native
+    // as-of merge walk), but only within a 7-day window — stale
+    // clicks attribute to 'none'. Channel is derived from the click's
+    // props k (integer bucket). One as-of walk + a narrow projection;
+    // the attribution report is channel-sized.
+    "q342_last_touch" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_us"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+          unix_micros(col("ts")).as("c_us"),
+          (get_json_object(col("props"), "$.k").cast("long") % 4)
+            .as("c_chan"))
+      val attributed = graft.plans.NativeAsOfJoin.latestEarlier(
+          purchases, clicks, "user_id", "p_us", "c_user", "c_us",
+          Seq("c_id", "c_us", "c_chan"))
+        .withColumn("channel",
+          when(col("c_id").isNull ||
+            col("p_us") - col("c_us") > 604800000000L, lit("none"))
+            .otherwise(concat(lit("ch"), col("c_chan"))))
+      attributed.groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("cents")).cast("long").as("cents"))
+    }),
+
+    // MAD outlier summary — robust stats beside q121's quantile
+    // outliers: median and MAD at exact RANK positions ((n+1) div 2
+    // under a total order — rank-defined, never an interpolated
+    // float), outliers flagged by the integer 4×MAD rule. Both rank
+    // picks ride GroupedRank's two-phase range exchange; each fence
+    // folds to a 1-row broadcast frame; the corpus is scanned thrice
+    // (rank, deviation rank, flag) with no driver-side loop.
+    "q343_mad_outliers" -> ((s, d) => {
+      val o = Tables(s, d).orders.select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val n = o.agg(count(lit(1)).as("n"))
+      def rankPick(df: DataFrame, value: String, tie: String): DataFrame =
+        graft.operators.GroupedRank.withGlobalRank(df,
+            Seq(col(value), col(tie)), "rk")
+          .crossJoin(broadcast(n))
+          .filter(col("rk") === expr("(n + 1) div 2"))
+          .agg(min(col(value)).as(s"${value}_med"))
+      val med = rankPick(o, "cents", "o_orderkey")
+      val dev = o.crossJoin(broadcast(med))
+        .select(col("o_orderkey"),
+          abs(col("cents") - col("cents_med")).as("adev"))
+      val mad = rankPick(dev, "adev", "o_orderkey")
+      o.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("cents_med")).as("median_cents"),
+          min(col("adev_med")).as("mad_cents"),
+          sum(when(abs(col("cents") - col("cents_med")) >
+            lit(4L) * col("adev_med"), 1L).otherwise(0L))
+            .cast("long").as("n_outliers"))
+    }),
+
+    // Seasonal-naive backtest — the forecasting baseline every
+    // capacity plan starts from: predict each (type, day) count with
+    // the count 7 days earlier, score per type with the exact
+    // integer MAPE surrogate sum|err|·1000 div sum(actual). Daily
+    // counts are a tiny key-shaped aggregate; the lag-7 lookup is a
+    // self-join on (type, day−7) — no window, no corpus re-shuffle.
+    "q344_seasonal_backtest" -> ((s, d) => {
+      val daily = Tables(s, d).events
+        .select(col("event_type"), unix_micros(col("ts")).as("us"))
+        .select(col("event_type"), expr("us div 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val base = daily.select(col("event_type"),
+        (col("day") + 7L).as("day"), col("n").as("pred"))
+      daily.join(base, Seq("event_type", "day"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("n") - col("pred"))).cast("long").as("sum_abs_err"),
+          sum(col("n")).cast("long").as("total_actual"))
+        .select(col("event_type"), col("n_days"), col("sum_abs_err"),
+          col("total_actual"),
+          expr("(sum_abs_err * 1000) div total_actual").as("mape_pm"))
+    }),
+
+    // A/B experiment readout — deterministic md5 arm split (q75's
+    // hash-rank discipline: first hex nibble < '8' → arm A, ≈50/50),
+    // per-arm user conversion (≥1 purchase), and the two-proportion
+    // z-test at |z| > 2 evaluated as ONE exact integer
+    // cross-multiplication over DECIMAL(38,0):
+    // (cA·nB − cB·nA)²·N > 4·c·(N−c)·nA·nB — no floats, no pooled-
+    // variance division, bit-identical in any engine (q194's
+    // discipline). Two user-shaped aggregates; the verdict is 1 row.
+    "q345_ab_ztest" -> ((s, d) => {
+      val users = Tables(s, d).events
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+        .withColumn("arm",
+          when(substring(md5(col("user_id").cast("string")), 1, 1)
+            .isin("0", "1", "2", "3", "4", "5", "6", "7"), lit("A"))
+            .otherwise(lit("B")))
+      val arms = users.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+      val a = arms.filter(col("arm") === "A")
+        .select(col("n_users").as("na"), col("n_conv").as("ca"))
+      val b = arms.filter(col("arm") === "B")
+        .select(col("n_users").as("nb"), col("n_conv").as("cb"))
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      a.crossJoin(b).select(
+        col("na"), col("ca").cast("long").as("ca"),
+        col("nb"), col("cb").cast("long").as("cb"),
+        expr("(ca * 1000) div na").as("conv_a_pm"),
+        expr("(cb * 1000) div nb").as("conv_b_pm"),
+        (dec(col("ca") * col("nb") - col("cb") * col("na")) *
+          dec(col("ca") * col("nb") - col("cb") * col("na")) *
+          dec(col("na") + col("nb")) >
+          dec(lit(4)) * dec(col("ca") + col("cb")) *
+            dec(col("na") + col("nb") - col("ca") - col("cb")) *
+            dec(col("na")) * dec(col("nb"))).as("significant"))
+    }),
+
+    // Grouped top-k WITH TIES — the rank-semantics variant q12's
+    // row_number top-k cannot express: per event type, every day
+    // whose count reaches the top-3 DENSE ranks (ties all included,
+    // no tie-break dropped rows). dense_rank is deterministic under
+    // ties by construction; the window is type-keyed and
+    // WindowGroupLimit bounds its state exactly like q12's.
+    "q346_topk_ties" -> ((s, d) => {
+      val daily = Tables(s, d).events
+        .select(col("event_type"), unix_micros(col("ts")).as("us"))
+        .select(col("event_type"), expr("us div 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("n").desc)
+      daily.withColumn("rk", dense_rank().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+    }),
+
+    // Compaction bin-packing plan — the small-files maintenance op
+    // every lake runs: monthly "files" (size = row count) packed
+    // into ≈8 contiguous bins by cumulative size, bin = (running−1)
+    // div target. The cumulative sum is withRunningTotal's range
+    // exchange (its second production call site beside q324) — the
+    // planner stays parallel even over a million-file listing; the
+    // per-bin fill report is bin-sized.
+    "q347_compaction_plan" -> ((s, d) => {
+      val files = Tables(s, d).orders
+        .select(date_format(col("o_orderdate").cast("timestamp"),
+          "yyyy-MM").as("file_id"))
+        .groupBy(col("file_id")).agg(count(lit(1)).as("size"))
+      val total = files.agg(sum(col("size")).cast("long").as("total"))
+      val planned = graft.operators.GroupedRank.withRunningTotal(
+          files, Seq(col("file_id")), col("size"), "running")
+        .crossJoin(broadcast(total))
+        .select(col("file_id"), col("size"), col("running"),
+          expr("(running - 1) div ((total + 7) div 8)").as("bin"))
+      planned.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("size")).cast("long").as("bin_rows"),
+          min(col("file_id")).as("first_file"),
+          max(col("file_id")).as("last_file"))
     })
   )
 
@@ -2628,6 +2903,203 @@ object EtlOps {
                 (((o.o * n.n - r.r * c.c) * 1000)
                   // (r.r * c.c))::BIGINT AS dev_pm
          FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n""",
+    "q343_mad_outliers" ->
+      """WITH o AS (
+           SELECT o_orderkey,
+                  round(o_totalprice * 100, 0)::BIGINT AS cents
+           FROM orders),
+         n AS (SELECT count(*)::BIGINT AS n FROM o),
+         r AS (SELECT cents, row_number() OVER (ORDER BY cents,
+                 o_orderkey) AS rk FROM o),
+         med AS (SELECT min(cents)::BIGINT AS cents_med
+                 FROM r CROSS JOIN n WHERE rk = (n + 1) // 2),
+         dv AS (SELECT o.o_orderkey,
+                  abs(o.cents - m.cents_med) AS adev
+                FROM o CROSS JOIN med m),
+         r2 AS (SELECT adev, row_number() OVER (ORDER BY adev,
+                  o_orderkey) AS rk FROM dv),
+         mad AS (SELECT min(adev)::BIGINT AS adev_med
+                 FROM r2 CROSS JOIN n WHERE rk = (n + 1) // 2),
+         f AS (SELECT count(*)::BIGINT AS n_orders,
+                 sum(CASE WHEN abs(o.cents - m.cents_med) >
+                   4 * d.adev_med THEN 1 ELSE 0 END)::BIGINT
+                   AS n_outliers
+               FROM o CROSS JOIN med m CROSS JOIN mad d)
+         SELECT f.n_orders, m.cents_med AS median_cents,
+                d.adev_med AS mad_cents, f.n_outliers
+         FROM f CROSS JOIN med m CROSS JOIN mad d""",
+    "q344_seasonal_backtest" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  count(*)::BIGINT AS n
+           FROM events GROUP BY 1, 2),
+         j AS (SELECT d.event_type, d.n, b.n AS pred
+               FROM daily d JOIN daily b
+                 ON b.event_type = d.event_type AND b.day = d.day - 7)
+         SELECT event_type, count(*)::BIGINT AS n_days,
+                sum(abs(n - pred))::BIGINT AS sum_abs_err,
+                sum(n)::BIGINT AS total_actual,
+                ((sum(abs(n - pred)) * 1000) // sum(n))::BIGINT AS mape_pm
+         FROM j GROUP BY 1""",
+    "q345_ab_ztest" ->
+      """WITH u AS (
+           SELECT user_id, max(CASE WHEN event_type = 'purchase'
+             THEN 1 ELSE 0 END)::BIGINT AS converted
+           FROM events GROUP BY 1),
+         w AS (SELECT *, CASE WHEN substring(md5(user_id::VARCHAR), 1, 1)
+                 IN ('0','1','2','3','4','5','6','7') THEN 'A'
+                 ELSE 'B' END AS arm FROM u),
+         arms AS (SELECT arm, count(*)::BIGINT AS n_users,
+                    sum(converted)::BIGINT AS n_conv
+                  FROM w GROUP BY 1),
+         a AS (SELECT n_users AS na, n_conv AS ca FROM arms
+               WHERE arm = 'A'),
+         b AS (SELECT n_users AS nb, n_conv AS cb FROM arms
+               WHERE arm = 'B')
+         SELECT na, ca, nb, cb,
+                ((ca * 1000) // na)::BIGINT AS conv_a_pm,
+                ((cb * 1000) // nb)::BIGINT AS conv_b_pm,
+                ((ca * nb - cb * na)::HUGEINT
+                   * (ca * nb - cb * na)::HUGEINT
+                   * (na + nb)::HUGEINT >
+                 4::HUGEINT * (ca + cb)::HUGEINT
+                   * (na + nb - ca - cb)::HUGEINT
+                   * na::HUGEINT * nb::HUGEINT) AS significant
+         FROM a CROSS JOIN b""",
+    "q346_topk_ties" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  count(*)::BIGINT AS n
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, day::BIGINT AS day, n,
+                rk::BIGINT AS rk
+         FROM (SELECT *, dense_rank() OVER (PARTITION BY event_type
+                 ORDER BY n DESC) AS rk FROM daily)
+         WHERE rk <= 3""",
+    "q347_compaction_plan" ->
+      """WITH files AS (
+           SELECT strftime(o_orderdate, '%Y-%m') AS file_id,
+                  count(*)::BIGINT AS size
+           FROM orders GROUP BY 1),
+         t AS (SELECT sum(size)::BIGINT AS total FROM files),
+         r AS (SELECT *, sum(size) OVER (ORDER BY file_id
+                 ROWS UNBOUNDED PRECEDING)::BIGINT AS running
+               FROM files),
+         p AS (SELECT r.file_id, r.size, r.running,
+                 ((r.running - 1) // ((t.total + 7) // 8))::BIGINT AS bin
+               FROM r CROSS JOIN t)
+         SELECT bin, count(*)::BIGINT AS n_files,
+                sum(size)::BIGINT AS bin_rows,
+                min(file_id) AS first_file, max(file_id) AS last_file
+         FROM p GROUP BY 1""",
+    "q338_join_skew_audit" ->
+      """WITH c1 AS (SELECT l_partkey AS k, count(*)::BIGINT AS c
+                     FROM lineitem GROUP BY 1),
+         c2 AS (SELECT l_suppkey AS k, count(*)::BIGINT AS c
+                FROM lineitem GROUP BY 1),
+         c3 AS (SELECT o_custkey AS k, count(*)::BIGINT AS c
+                FROM orders GROUP BY 1),
+         a1 AS (SELECT 'lineitem.l_partkey' AS key_col,
+                  sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+                  max(c)::BIGINT AS max_key_rows,
+                  (SELECT sum(c) FROM (SELECT c FROM c1
+                    ORDER BY c DESC, k LIMIT 10))::BIGINT AS top10_rows
+                FROM c1),
+         a2 AS (SELECT 'lineitem.l_suppkey',
+                  sum(c)::BIGINT, count(*)::BIGINT, max(c)::BIGINT,
+                  (SELECT sum(c) FROM (SELECT c FROM c2
+                    ORDER BY c DESC, k LIMIT 10))::BIGINT
+                FROM c2),
+         a3 AS (SELECT 'orders.o_custkey',
+                  sum(c)::BIGINT, count(*)::BIGINT, max(c)::BIGINT,
+                  (SELECT sum(c) FROM (SELECT c FROM c3
+                    ORDER BY c DESC, k LIMIT 10))::BIGINT
+                FROM c3)
+         SELECT key_col, n_rows, n_keys, max_key_rows, top10_rows,
+                ((max_key_rows * n_keys * 1000) // n_rows)::BIGINT
+                  AS max_over_mean_pm
+         FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+               UNION ALL SELECT * FROM a3)""",
+    "q339_winsorize" ->
+      """WITH o AS (
+           SELECT o_orderkey,
+                  round(o_totalprice * 100, 0)::BIGINT AS cents
+           FROM orders),
+         r AS (SELECT *, row_number() OVER (ORDER BY cents, o_orderkey)
+                 ::BIGINT AS rk FROM o),
+         n AS (SELECT count(*)::BIGINT AS n FROM o),
+         f AS (SELECT min(cents)::BIGINT AS lo, max(cents)::BIGINT AS hi
+               FROM r CROSS JOIN n
+               WHERE rk = greatest((n * 1) // 100, 1)
+                  OR rk = greatest((n * 99) // 100, 1))
+         SELECT o_orderkey, cents,
+                greatest(least(cents, hi), lo)::BIGINT AS clipped_cents,
+                (cents < lo OR cents > hi) AS was_clipped
+         FROM o CROSS JOIN f""",
+    "q340_conjunctive_search" ->
+      """WITH occ AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         dfq AS (SELECT token, count(*)::BIGINT AS df
+                 FROM (SELECT DISTINCT doc_id, token FROM occ)
+                 GROUP BY 1),
+         terms AS (SELECT token FROM dfq ORDER BY df DESC, token LIMIT 3),
+         h AS (SELECT o.doc_id, o.token, count(*)::BIGINT AS hits
+               FROM occ o JOIN terms t USING (token) GROUP BY 1, 2),
+         agg AS (SELECT doc_id, count(*)::BIGINT AS n_terms,
+                   sum(hits)::BIGINT AS total_hits
+                 FROM h GROUP BY 1)
+         SELECT doc_id, total_hits FROM agg WHERE n_terms = 3""",
+    "q341_locf_resample" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS us, event_id,
+                  round(value * 100, 0)::BIGINT AS cents,
+                  epoch_us(ts) // 3600000000 AS hour
+           FROM events),
+         h AS (SELECT user_id, hour, cents AS obs_cents,
+                 row_number() OVER (PARTITION BY user_id, hour
+                   ORDER BY us DESC, event_id DESC) AS rk
+               FROM e),
+         ho AS (SELECT user_id, hour, obs_cents FROM h WHERE rk = 1),
+         sp AS (SELECT user_id, min(hour) AS mn, max(hour) AS mx
+                FROM e GROUP BY 1),
+         grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS hour
+                  FROM sp),
+         j AS (SELECT g.user_id, g.hour, ho.obs_cents
+               FROM grid g LEFT JOIN ho
+                 ON ho.user_id = g.user_id AND ho.hour = g.hour),
+         f AS (SELECT *, sum(CASE WHEN obs_cents IS NOT NULL
+                   THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+                   ORDER BY hour ROWS UNBOUNDED PRECEDING) AS fill_id
+               FROM j)
+         SELECT user_id, hour::BIGINT AS hour,
+                (max(obs_cents) OVER (PARTITION BY user_id, fill_id))
+                  ::BIGINT AS cents,
+                (obs_cents IS NULL) AS filled
+         FROM f""",
+    "q342_last_touch" ->
+      """WITH p AS (
+           SELECT event_id, user_id, epoch_us(ts) AS p_us,
+                  round(value * 100, 0)::BIGINT AS cents
+           FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id AS c_user, event_id AS c_id,
+                 epoch_us(ts) AS c_us,
+                 (json_extract_string(props, '$.k')::BIGINT % 4) AS c_chan
+               FROM events WHERE event_type = 'click'),
+         j AS (SELECT p.event_id, p.p_us, c.c_us, c.c_chan,
+                 row_number() OVER (PARTITION BY p.event_id
+                   ORDER BY c.c_us DESC, c.c_id DESC) AS rk
+               FROM p JOIN c ON c.c_user = p.user_id
+                 AND c.c_us <= p.p_us),
+         b AS (SELECT p.event_id, p.cents,
+                 CASE WHEN j.c_us IS NULL
+                        OR p.p_us - j.c_us > 604800000000 THEN 'none'
+                      ELSE 'ch' || j.c_chan::VARCHAR END AS channel
+               FROM p LEFT JOIN (SELECT * FROM j WHERE rk = 1) j
+                 USING (event_id))
+         SELECT channel, count(*)::BIGINT AS n_purchases,
+                sum(cents)::BIGINT AS cents
+         FROM b GROUP BY 1""",
     "q332_scd2_build" ->
       """WITH log AS (
            SELECT o_custkey AS custkey, epoch_us(o_orderdate) AS valid_from,

@@ -84,7 +84,15 @@ object DumpPlans {
     "q334_cdc_merge" -> "CDC MERGE apply: the latest-order change derivation is a max(struct) aggregate (no window); delete/update/insert semantics fold into ONE key-shaped full-outer join",
     "q335_table_diff" -> "table diff: version B is a narrow in-query perturbation; the reconciliation is ONE key-shaped full-outer join folded into a 1-row per-column change report",
     "q336_retention_matrix" -> "retention matrix: the (user, week)-distinct is the only corpus-sized shuffle; cohort assignment is a min aggregate (no window); cohort sizes join back by broadcast",
-    "q337_gap_sweep" -> "session-gap sweep: ONE user-keyed lag pass computes every delta; the 4-gap fan-out is a narrow explode; the report is gap-sized")
+    "q337_gap_sweep" -> "session-gap sweep: ONE user-keyed lag pass computes every delta; the 4-gap fan-out is a narrow explode; the report is gap-sized",
+    "q338_join_skew_audit" -> "join-key skew audit: each column is one key-shaped aggregate + a 10-row TakeOrdered; the report is 3 rows — the pre-flight that decides salt/AQE-skew/broadcast",
+    "q339_winsorize" -> "winsorization: the global rank rides GroupedRank's range exchange + pid windows; the two fence rows fold to a 1-row broadcast frame; the clip is a narrow projection",
+    "q340_conjunctive_search" -> "conjunctive search: posting lists are term-filtered by a broadcast semi join BEFORE any shuffle — the intersection shuffles 3 posting lists, never the corpus",
+    "q341_locf_resample" -> "LOCF resample: hourly last-observation is a max(struct) aggregate (no window); the grid is a span-bounded sequence explode; the fill-group trick keeps LOCF engine-portable; all windows user-keyed",
+    "q342_last_touch" -> "last-touch attribution: ONE native as-of merge walk + a narrow recency/channel projection; the report is channel-sized — no rank-window replay, no pair explosion",
+    "q343_mad_outliers" -> "MAD outliers: both rank picks (median, MAD) ride GroupedRank's two-phase range exchange and fold to 1-row broadcast frames; the 4×MAD flag is a narrow scan — no interpolated percentile, no one-reducer sort",
+    "q345_ab_ztest" -> "A/B z-test: two user-shaped aggregates; the |z|>2 verdict is ONE DECIMAL(38,0) cross-multiplication — no floats, no pooled-variance division; output is 1 row",
+    "q347_compaction_plan" -> "compaction planner: the cumulative-size pack rides withRunningTotal's range exchange (2nd production call site); bin assignment is a broadcast-total projection; the report is bin-sized")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

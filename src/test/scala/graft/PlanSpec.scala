@@ -241,7 +241,8 @@ class PlanSpec extends AnyFunSuite {
     // in the visible plan (post-checkpoint) must be __pid-partitioned
     // (q284's per-user lag legitimately partitions by user_id)
     for (q <- Seq("q295_rank_normalize", "q231_grouped_quantiles",
-        "q311_modality_pack", "q284_repeat_interval", "q306_id_gaps")) {
+        "q311_modality_pack", "q284_repeat_interval", "q306_id_gaps",
+        "q339_winsorize")) {
       val df = SparkEntry.queries(q)(spark, sf)
       val p = df.queryExecution.executedPlan.toString
       val windowLines = p.linesIterator.filter(_.contains("Window [")).toSeq
@@ -331,6 +332,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window ["),
       s"latest-order pick must be a max(struct) aggregate, not a rank window:\n${p.take(800)}")
     assert(p.contains("FullOuter"), p.take(800))
+  }
+
+  test("q342: attribution rides the native as-of walk — no union/window fallback") {
+    val df = SparkEntry.queries("q342_last_touch")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"),
+      s"last-touch must use the native as-of exec:\n${p.take(800)}")
+    assert(!p.contains("Window ["),
+      s"no rank-window replay expected:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
   test("q330: rate-limit window is user-keyed — no single-task window, no global sort") {

@@ -94,7 +94,13 @@ class ReproSpec extends AnyFunSuite {
     "q332_scd2_build",      // lag collapse + lead close windows
     "q334_cdc_merge",       // max(struct) latest pick + full-outer merge
     "q336_retention_matrix", // (user, week)-distinct + broadcast sizes
-    "q337_gap_sweep"        // user-keyed lag + 4-way fan-out
+    "q337_gap_sweep",       // user-keyed lag + 4-way fan-out
+    "q339_winsorize",       // two-phase global rank + fence frame
+    "q341_locf_resample",   // max(struct) pick + fill-group LOCF
+    "q342_last_touch",      // native as-of walk + recency cutoff
+    "q343_mad_outliers",    // double rank pick (median + MAD fences)
+    "q345_ab_ztest",        // md5 arms + decimal cross-mult verdict
+    "q347_compaction_plan"  // withRunningTotal cumulative bin pack
   )
 
   representatives.foreach { name =>
