@@ -61,7 +61,12 @@ object Bench {
     // it guards the withRunningTotal range-exchange prefix sum (and
     // the session machinery it rides) against regressing to a
     // one-task running-sum window
-    "q324_session_concurrency")
+    "q324_session_concurrency",
+    // round-9 additions: the CDC merge (the key-shaped full-outer
+    // join plus max(struct) change derivation) and the LOCF resample
+    // (grid explode + user-keyed fill windows — the densify shape
+    // whose cost is grid-size, not corpus-size)
+    "q334_cdc_merge", "q341_locf_resample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

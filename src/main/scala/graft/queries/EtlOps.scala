@@ -2561,6 +2561,97 @@ object EtlOps {
           sum(col("size")).cast("long").as("bin_rows"),
           min(col("file_id")).as("first_file"),
           max(col("file_id")).as("last_file"))
+    }),
+
+    // Join-cardinality estimation study — the optimizer-statistics
+    // validation a CBO ships with: the EXACT join output size
+    // Σ_k cA(k)·cB(k) (computed on the count tables — distinct-key
+    // sized, the join itself never runs) vs the 64-bucket hash-
+    // histogram upper bound Σ_b cA_b·cB_b, overshoot in exact
+    // permille. Two joins studied; everything is count-table-sized
+    // after the first aggregate — the estimator costs nothing at
+    // any corpus scale.
+    "q348_join_cardinality" -> ((s, d) => {
+      val t = Tables(s, d)
+      def study(name: String, aKeys: DataFrame, bKeys: DataFrame): DataFrame = {
+        val a = aKeys.toDF("k").groupBy(col("k")).agg(count(lit(1)).as("ca"))
+        val b = bKeys.toDF("k").groupBy(col("k")).agg(count(lit(1)).as("cb"))
+        val exact = a.join(b, "k")
+          .agg(sum(col("ca") * col("cb")).cast("long").as("exact_rows"))
+        // modulo buckets, not a hash: the estimator study needs the
+        // SAME binning in the DuckDB oracle, and keys are integral
+        val ab = a.groupBy(pmod(col("k"), lit(64)).as("bkt"))
+          .agg(sum(col("ca")).as("ca"))
+        val bb = b.groupBy(pmod(col("k"), lit(64)).as("bkt"))
+          .agg(sum(col("cb")).as("cb"))
+        val est = ab.join(bb, "bkt")
+          .agg(sum(col("ca") * col("cb")).cast("long").as("bucket_est"))
+        exact.crossJoin(est).select(lit(name).as("join_name"),
+          col("exact_rows"), col("bucket_est"),
+          expr("((bucket_est - exact_rows) * 1000) div exact_rows")
+            .as("over_pm"))
+      }
+      study("orders-customer",
+          t.orders.select(col("o_custkey")),
+          t.customer.select(col("c_custkey")))
+        .unionByName(study("lineitem-orders",
+          t.lineitem.select(col("l_orderkey")),
+          t.orders.select(col("o_orderkey"))))
+    }),
+
+    // Keyword-in-context (KWIC) snippet extraction — the search-
+    // result highlighter beside q264's phrase search and q340's
+    // boolean retrieval: every occurrence of the corpus's highest-df
+    // term with ±2 tokens of context. The term arrives as a 1-row
+    // broadcast frame; occurrence positions and the context slices
+    // are pure per-document array lambdas (1-based, bounds-clipped
+    // slice — never an ANSI element_at past the end); zero corpus
+    // shuffles after the df pick.
+    "q349_kwic" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val term = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .distinct().groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token")).limit(1)
+        .select(col("token").as("term"))
+      docs.crossJoin(broadcast(term))
+        .select(col("doc_id"), col("term"),
+          split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("term"), col("toks"),
+          posexplode(col("toks")).as(Seq("p0", "token")))
+        .filter(col("token") === col("term"))
+        .withColumn("q", col("p0") + 1)
+        .select(col("doc_id"), col("q").cast("long").as("pos"),
+          concat_ws(" ", slice(col("toks"),
+            greatest(col("q") - 2, lit(1)),
+            col("q") - greatest(col("q") - 2, lit(1)))).as("left_ctx"),
+          col("term"),
+          concat_ws(" ", slice(col("toks"), col("q") + 1, lit(2)))
+            .as("right_ctx"))
+    }),
+
+    // Session bounce report — the web-analytics staple on top of
+    // q51's sessions: per (entry event type, exit event type),
+    // session counts and the single-event bounce rate in exact
+    // permille. Entry/exit picks are min/max(struct) aggregates over
+    // the session grain (no second window beyond session assignment);
+    // the report is type²-bounded.
+    "q350_bounce_report" -> ((s, d) => {
+      val sess = withSessionIds(Tables(s, d).events)
+        .select(col("user_id"), col("sid"),
+          struct(unix_micros(col("ts")).as("us"), col("event_id"),
+            col("event_type")).as("e"))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("e")).getField("event_type").as("entry_type"),
+          max(col("e")).getField("event_type").as("exit_type"),
+          count(lit(1)).as("n_events"))
+      sess.groupBy(col("entry_type"), col("exit_type"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L))
+            .cast("long").as("n_bounces"))
+        .select(col("entry_type"), col("exit_type"), col("n_sessions"),
+          col("n_bounces"),
+          expr("(n_bounces * 1000) div n_sessions").as("bounce_pm"))
     })
   )
 
@@ -2903,6 +2994,91 @@ object EtlOps {
                 (((o.o * n.n - r.r * c.c) * 1000)
                   // (r.r * c.c))::BIGINT AS dev_pm
          FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n""",
+    "q348_join_cardinality" ->
+      """WITH a1 AS (SELECT o_custkey AS k, count(*)::BIGINT AS ca
+                     FROM orders GROUP BY 1),
+         b1 AS (SELECT c_custkey AS k, count(*)::BIGINT AS cb
+                FROM customer GROUP BY 1),
+         a2 AS (SELECT l_orderkey AS k, count(*)::BIGINT AS ca
+                FROM lineitem GROUP BY 1),
+         b2 AS (SELECT o_orderkey AS k, count(*)::BIGINT AS cb
+                FROM orders GROUP BY 1),
+         s1 AS (SELECT 'orders-customer' AS join_name,
+                  (SELECT sum(ca * cb) FROM a1 JOIN b1 USING (k))
+                    ::BIGINT AS exact_rows,
+                  (SELECT sum(x.ca * y.cb) FROM
+                    (SELECT k % 64 AS bkt, sum(ca) AS ca FROM a1
+                     GROUP BY 1) x
+                    JOIN (SELECT k % 64 AS bkt, sum(cb) AS cb FROM b1
+                     GROUP BY 1) y USING (bkt))::BIGINT AS bucket_est),
+         s2 AS (SELECT 'lineitem-orders',
+                  (SELECT sum(ca * cb) FROM a2 JOIN b2 USING (k))
+                    ::BIGINT,
+                  (SELECT sum(x.ca * y.cb) FROM
+                    (SELECT k % 64 AS bkt, sum(ca) AS ca FROM a2
+                     GROUP BY 1) x
+                    JOIN (SELECT k % 64 AS bkt, sum(cb) AS cb FROM b2
+                     GROUP BY 1) y USING (bkt))::BIGINT)
+         SELECT join_name, exact_rows, bucket_est,
+                (((bucket_est - exact_rows) * 1000) // exact_rows)
+                  ::BIGINT AS over_pm
+         FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)""",
+    "q349_kwic" ->
+      """WITH occ AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         dfq AS (SELECT token, count(*)::BIGINT AS df
+                 FROM (SELECT DISTINCT doc_id, token FROM occ)
+                 GROUP BY 1),
+         term AS (SELECT token AS term FROM dfq
+                  ORDER BY df DESC, token LIMIT 1),
+         tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents),
+         pos AS (SELECT doc_id, toks,
+                   generate_subscripts(toks, 1) AS q,
+                   unnest(toks) AS token
+                 FROM tk)
+         SELECT p.doc_id, p.q::BIGINT AS pos,
+                coalesce(array_to_string(
+                  p.toks[greatest(p.q - 2, 1):(p.q - 1)], ' '), '')
+                  AS left_ctx,
+                t.term,
+                coalesce(array_to_string(
+                  p.toks[(p.q + 1):(p.q + 2)], ' '), '') AS right_ctx
+         FROM pos p CROSS JOIN term t WHERE p.token = t.term""",
+    "q350_bounce_report" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events),
+         d AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                 OR us - lag(us) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS new_s
+               FROM e
+               WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         s0 AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                  ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+                  ::BIGINT AS sid
+                FROM d),
+         w2 AS (SELECT user_id, sid, event_type,
+                  row_number() OVER (PARTITION BY user_id, sid
+                    ORDER BY us, event_id) AS rn_a,
+                  row_number() OVER (PARTITION BY user_id, sid
+                    ORDER BY us DESC, event_id DESC) AS rn_d,
+                  count(*) OVER (PARTITION BY user_id, sid) AS n_events
+                FROM s0),
+         sess AS (SELECT user_id, sid,
+                    min(CASE WHEN rn_a = 1 THEN event_type END)
+                      AS entry_type,
+                    min(CASE WHEN rn_d = 1 THEN event_type END)
+                      AS exit_type,
+                    min(n_events)::BIGINT AS n_events
+                  FROM w2 GROUP BY 1, 2)
+         SELECT entry_type, exit_type, count(*)::BIGINT AS n_sessions,
+                sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_bounces,
+                ((sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000)
+                  // count(*))::BIGINT AS bounce_pm
+         FROM sess GROUP BY 1, 2""",
     "q343_mad_outliers" ->
       """WITH o AS (
            SELECT o_orderkey,

@@ -92,7 +92,10 @@ object DumpPlans {
     "q342_last_touch" -> "last-touch attribution: ONE native as-of merge walk + a narrow recency/channel projection; the report is channel-sized — no rank-window replay, no pair explosion",
     "q343_mad_outliers" -> "MAD outliers: both rank picks (median, MAD) ride GroupedRank's two-phase range exchange and fold to 1-row broadcast frames; the 4×MAD flag is a narrow scan — no interpolated percentile, no one-reducer sort",
     "q345_ab_ztest" -> "A/B z-test: two user-shaped aggregates; the |z|>2 verdict is ONE DECIMAL(38,0) cross-multiplication — no floats, no pooled-variance division; output is 1 row",
-    "q347_compaction_plan" -> "compaction planner: the cumulative-size pack rides withRunningTotal's range exchange (2nd production call site); bin assignment is a broadcast-total projection; the report is bin-sized")
+    "q347_compaction_plan" -> "compaction planner: the cumulative-size pack rides withRunningTotal's range exchange (2nd production call site); bin assignment is a broadcast-total projection; the report is bin-sized",
+    "q348_join_cardinality" -> "join-cardinality study: exact output size and the 64-bucket histogram bound both computed on COUNT TABLES (distinct-key sized) — the joins under study never execute",
+    "q349_kwic" -> "KWIC snippets: the term is a 1-row broadcast frame; occurrence positions and ±2-token context slices are per-document array lambdas — zero corpus shuffles after the df pick",
+    "q350_bounce_report" -> "bounce report: q51's session assignment; entry/exit are min/max(struct) picks inside ONE session-grain aggregate; the report is type²-bounded")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

@@ -100,7 +100,9 @@ class ReproSpec extends AnyFunSuite {
     "q342_last_touch",      // native as-of walk + recency cutoff
     "q343_mad_outliers",    // double rank pick (median + MAD fences)
     "q345_ab_ztest",        // md5 arms + decimal cross-mult verdict
-    "q347_compaction_plan"  // withRunningTotal cumulative bin pack
+    "q347_compaction_plan", // withRunningTotal cumulative bin pack
+    "q349_kwic",            // broadcast term + per-doc context slices
+    "q350_bounce_report"    // session entry/exit min/max struct picks
   )
 
   representatives.foreach { name =>
