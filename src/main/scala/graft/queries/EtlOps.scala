@@ -2652,6 +2652,90 @@ object EtlOps {
         .select(col("entry_type"), col("exit_type"), col("n_sessions"),
           col("n_bounces"),
           expr("(n_bounces * 1000) div n_sessions").as("bounce_pm"))
+    }),
+
+    // JSON-lines source round-trip — the landing-zone format beside
+    // the CSV (S1-S3) and parquet surfaces: documents written as
+    // lang-partitioned JSONL (the write escapes, the read unescapes —
+    // content-exact round-trip), read back with an EXPLICIT schema
+    // (schema inference scans a 100 TB landing zone twice; a real
+    // ingest always pins the contract), aggregated to a per-(lang,
+    // source) report the oracle recomputes from the parquet truth.
+    "q351_jsonl_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft-q351-" + Integer.toHexString(d.hashCode) +
+          "-p" + ProcessHandle.current().pid()).toString
+      Tables(s, d).documents
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .write.mode("overwrite").partitionBy("lang").json(dir)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType)))
+      s.read.schema(schema).json(dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          sum(length(col("text"))).cast("long").as("sum_text_len"))
+    }),
+
+    // l-diversity audit — q328's k-anonymity complement: a QI class
+    // is safe only if its SENSITIVE attribute is diverse too, or the
+    // class re-identifies by homogeneity even at k. Per (nation,
+    // segment) class: distinct balance-band sensitive values; for
+    // l ∈ {2, 3, 5}, classes below l and their rows at risk. Two
+    // key-shaped aggregates + the bounded l fan-out — constant-shape
+    // output at every SF.
+    "q352_l_diversity" -> ((s, d) => {
+      val cls = Tables(s, d).customer
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          expr("cast(round(c_acctbal * 100, 0) as bigint) div 100000")
+            .as("band"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("band")).as("n_distinct"))
+      cls.select(col("n_rows"), col("n_distinct"),
+          explode(array(lit(2L), lit(3L), lit(5L))).as("l"))
+        .groupBy(col("l"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("n_distinct") < col("l"), 1L).otherwise(0L))
+            .cast("long").as("n_below_l"),
+          sum(when(col("n_distinct") < col("l"), col("n_rows"))
+            .otherwise(0L)).cast("long").as("n_rows_at_risk"))
+    }),
+
+    // User-accumulation curve — the growth dashboard's cumulative
+    // registered-vs-active view: per active day, new users (first-
+    // ever activity), cumulative known users (withRunningTotal's
+    // THIRD production call site — the range-exchange prefix sum
+    // stays the one cumulative primitive), same-day actives, and
+    // stickiness = actives·1000 div known. First-day assignment is a
+    // min aggregate; the day frame is date-cardinality-sized.
+    "q353_user_accumulation" -> ((s, d) => {
+      val ud = Tables(s, d).events
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .select(col("user_id"), expr("us div 86400000000").as("day"))
+        .distinct()
+      val firstDay = ud.groupBy(col("user_id")).agg(min(col("day")).as("fd"))
+      val newByDay = firstDay.groupBy(col("fd").as("day"))
+        .agg(count(lit(1)).as("new_users"))
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("active_users"))
+      val days = dau.join(newByDay, Seq("day"), "left")
+        .select(col("day"), col("active_users"),
+          coalesce(col("new_users"), lit(0L)).as("new_users"))
+      graft.operators.GroupedRank.withRunningTotal(days,
+          Seq(col("day")), col("new_users"), "known_users")
+        .select(col("day"), col("new_users"), col("active_users"),
+          col("known_users"),
+          expr("(active_users * 1000) div known_users").as("stickiness_pm"))
     })
   )
 
@@ -2994,6 +3078,46 @@ object EtlOps {
                 (((o.o * n.n - r.r * c.c) * 1000)
                   // (r.r * c.c))::BIGINT AS dev_pm
          FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n""",
+    "q351_jsonl_roundtrip" ->
+      """SELECT lang, source, count(*)::BIGINT AS n_docs,
+                sum(n_chars)::BIGINT AS sum_chars,
+                sum(length(text))::BIGINT AS sum_text_len
+         FROM documents GROUP BY 1, 2""",
+    "q352_l_diversity" ->
+      """WITH cls AS (
+           SELECT c_nationkey, c_mktsegment,
+                  count(*)::BIGINT AS n_rows,
+                  count(DISTINCT round(c_acctbal * 100, 0)::BIGINT
+                    // 100000)::BIGINT AS n_distinct
+           FROM customer GROUP BY 1, 2),
+         e AS (SELECT cls.n_rows, cls.n_distinct, l.l
+               FROM cls CROSS JOIN (VALUES (2), (3), (5)) AS l(l))
+         SELECT l::BIGINT AS l, count(*)::BIGINT AS n_classes,
+                sum(CASE WHEN n_distinct < l THEN 1 ELSE 0 END)::BIGINT
+                  AS n_below_l,
+                sum(CASE WHEN n_distinct < l THEN n_rows ELSE 0 END)
+                  ::BIGINT AS n_rows_at_risk
+         FROM e GROUP BY 1""",
+    "q353_user_accumulation" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id,
+                  epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         fd AS (SELECT user_id, min(day) AS fd FROM ud GROUP BY 1),
+         nb AS (SELECT fd AS day, count(*)::BIGINT AS new_users
+                FROM fd GROUP BY 1),
+         dau AS (SELECT day, count(*)::BIGINT AS active_users
+                 FROM ud GROUP BY 1),
+         days AS (SELECT dau.day, dau.active_users,
+                    coalesce(nb.new_users, 0)::BIGINT AS new_users
+                  FROM dau LEFT JOIN nb USING (day)),
+         r AS (SELECT *, sum(new_users) OVER (ORDER BY day
+                 ROWS UNBOUNDED PRECEDING)::BIGINT AS known_users
+               FROM days)
+         SELECT day::BIGINT AS day, new_users, active_users, known_users,
+                ((active_users * 1000) // known_users)::BIGINT
+                  AS stickiness_pm
+         FROM r""",
     "q348_join_cardinality" ->
       """WITH a1 AS (SELECT o_custkey AS k, count(*)::BIGINT AS ca
                      FROM orders GROUP BY 1),

@@ -95,7 +95,9 @@ object DumpPlans {
     "q347_compaction_plan" -> "compaction planner: the cumulative-size pack rides withRunningTotal's range exchange (2nd production call site); bin assignment is a broadcast-total projection; the report is bin-sized",
     "q348_join_cardinality" -> "join-cardinality study: exact output size and the 64-bucket histogram bound both computed on COUNT TABLES (distinct-key sized) — the joins under study never execute",
     "q349_kwic" -> "KWIC snippets: the term is a 1-row broadcast frame; occurrence positions and ±2-token context slices are per-document array lambdas — zero corpus shuffles after the df pick",
-    "q350_bounce_report" -> "bounce report: q51's session assignment; entry/exit are min/max(struct) picks inside ONE session-grain aggregate; the report is type²-bounded")
+    "q350_bounce_report" -> "bounce report: q51's session assignment; entry/exit are min/max(struct) picks inside ONE session-grain aggregate; the report is type²-bounded",
+    "q352_l_diversity" -> "l-diversity: two key-shaped aggregates + the bounded l fan-out — q328's homogeneity complement, constant-shape output",
+    "q353_user_accumulation" -> "user accumulation: first-day is a min aggregate; the cumulative known-users sum rides withRunningTotal's range exchange (3rd call site); the curve is date-cardinality-sized")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

@@ -102,7 +102,9 @@ class ReproSpec extends AnyFunSuite {
     "q345_ab_ztest",        // md5 arms + decimal cross-mult verdict
     "q347_compaction_plan", // withRunningTotal cumulative bin pack
     "q349_kwic",            // broadcast term + per-doc context slices
-    "q350_bounce_report"    // session entry/exit min/max struct picks
+    "q350_bounce_report",   // session entry/exit min/max struct picks
+    "q351_jsonl_roundtrip", // partitioned JSONL write + schema'd read
+    "q353_user_accumulation" // withRunningTotal day-grain cumsum
   )
 
   representatives.foreach { name =>
