@@ -84,4 +84,26 @@ class SourceOpsSpec extends AnyFunSuite {
     val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
     assert(pushed.contains("id"), s"filter not pushed: $pushed")
   }
+
+  test("JSONL round-trip preserves hostile strings (q351's write+read path)") {
+    // q351's oracle gates aggregate parity on the benign fixture; this
+    // pins the escaping corner cases: embedded quotes, newlines, tabs,
+    // unicode, and backslashes must survive the JSON writer's escape +
+    // the reader's unescape byte-for-byte. Null string stays null and
+    // empty stays empty — JSONL, unlike bare CSV, distinguishes them
+    // without a null-marker convention.
+    val dir = tmp("jsonl")
+    val withBackslash = hostile :+ Row(9L, "back\\slash \\n literal", 2.0)
+    val jdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(withBackslash, 2), schema)
+    jdf.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(schema).json(dir)
+    assert(back.count() == withBackslash.size)
+    assert(back.exceptAll(jdf).isEmpty && jdf.exceptAll(back).isEmpty)
+    val byId = back.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(6L).isNullAt(1), "null string must stay null")
+    assert(byId(7L).getString(1) == "", "empty string must stay empty")
+    assert(byId(4L).getString(1) == "newline\ninside")
+    assert(byId(9L).getString(1) == "back\\slash \\n literal")
+  }
 }
