@@ -2736,6 +2736,89 @@ object EtlOps {
         .select(col("day"), col("new_users"), col("active_users"),
           col("known_users"),
           expr("(active_users * 1000) div known_users").as("stickiness_pm"))
+    }),
+
+    // Interval coalescing — the overlapping-interval merge every
+    // billing/uptime/coverage report runs: each event opens a 5-min
+    // activity interval, overlapping intervals fuse into islands
+    // (new island ⟺ start > running max of all EARLIER ends — the
+    // strict-overlap rule), and the per-user report counts islands
+    // and exactly-covered seconds. Both windows are user-keyed; the
+    // running-max frame is rows-to-previous (never the current row),
+    // so touching-but-not-overlapping intervals stay separate.
+    "q354_interval_coalesce" -> ((s, d) => {
+      val iv = Tables(s, d).events
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) + 300000000L).as("e_us"))
+      val wPrev = Window.partitionBy(col("user_id"))
+        .orderBy(col("s_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy(col("user_id"))
+        .orderBy(col("s_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val islands = iv
+        .withColumn("prev_max_e", max(col("e_us")).over(wPrev))
+        .withColumn("new_island",
+          when(col("prev_max_e").isNull ||
+            col("s_us") > col("prev_max_e"), 1L).otherwise(0L))
+        .withColumn("island", sum(col("new_island")).over(wRun))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("s_us")).as("is_us"), max(col("e_us")).as("ie_us"),
+          count(lit(1)).as("n_events"))
+      islands.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("ie_us") - col("is_us")).cast("long").as("covered_us"),
+          sum(col("n_events")).cast("long").as("n_events"))
+        .select(col("user_id"), col("n_islands"),
+          expr("covered_us div 1000000").as("covered_sec"), col("n_events"))
+    }),
+
+    // MMR diversified re-rank — search-result diversification (and
+    // the diverse-exemplar pick a training-data curator runs): the
+    // top-20 docs by term relevance are greedily re-ranked, each
+    // pick maximizing relevance·1000 − 50·(max token overlap with
+    // anything already picked) — all integer, deterministic doc_id
+    // tie-break. The corpus work (hits, candidate token sets, the
+    // ≤20²-pair overlap matrix) is distributed and candidate-
+    // bounded; the greedy itself folds over a ≤20-row collected
+    // matrix (the bounded driver-side fetch pattern of the
+    // GroupedRank offsets) and returns the 5-row ranking.
+    "q355_mmr_rerank" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val occ = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      val term = occ.distinct().groupBy(col("token"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token")).limit(1)
+        .select(col("token").as("term"))
+      val hits = occ.join(broadcast(term), col("token") === col("term"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("h"))
+      val cand = hits.orderBy(col("h").desc, col("doc_id")).limit(20)
+      val ct = occ.join(broadcast(cand.select(col("doc_id"))), "doc_id")
+        .distinct()
+      val ov = ct.toDF("da", "token")
+        .join(ct.toDF("db", "token"), "token")
+        .filter(col("da") =!= col("db"))
+        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("ov"))
+      // bounded driver-side greedy: ≤20 candidates, ≤380 pairs
+      val cands = cand.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val ovMap = ov.collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      val remaining = scala.collection.mutable.LinkedHashSet(cands: _*)
+      while (picks.size < 5 && remaining.nonEmpty) {
+        val scored = remaining.toSeq.map { case (doc, h) =>
+          val pen = if (picks.isEmpty) 0L
+            else picks.map(p => ovMap.getOrElse((doc, p._2), 0L)).max
+          (doc, h, h * 1000L - 50L * pen)
+        }
+        val best = scored.minBy { case (doc, _, score) => (-score, doc) }
+        picks += (((picks.size + 1).toLong, best._1, best._2, best._3))
+        remaining.filterInPlace(_._1 != best._1)
+      }
+      import s.implicits._
+      picks.toSeq.toDF("pick", "doc_id", "hits", "score")
     })
   )
 
@@ -3078,6 +3161,104 @@ object EtlOps {
                 (((o.o * n.n - r.r * c.c) * 1000)
                   // (r.r * c.c))::BIGINT AS dev_pm
          FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n""",
+    "q355_mmr_rerank" ->
+      """WITH occ AS MATERIALIZED (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         dfq AS (SELECT token, count(*)::BIGINT AS df
+                 FROM (SELECT DISTINCT doc_id, token FROM occ)
+                 GROUP BY 1),
+         term AS (SELECT token AS term FROM dfq
+                  ORDER BY df DESC, token LIMIT 1),
+         hits AS MATERIALIZED (
+           SELECT o.doc_id, count(*)::BIGINT AS h
+           FROM occ o JOIN term t ON o.token = t.term GROUP BY 1),
+         cand AS MATERIALIZED (
+           SELECT doc_id, h FROM hits ORDER BY h DESC, doc_id LIMIT 20),
+         ct AS MATERIALIZED (
+           SELECT DISTINCT o.doc_id, o.token
+           FROM occ o JOIN cand c USING (doc_id)),
+         ov AS MATERIALIZED (
+           SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS ov
+           FROM ct a JOIN ct b ON a.token = b.token
+             AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2),
+         s1 AS MATERIALIZED (
+           SELECT 1::BIGINT AS pick, doc_id, h,
+                  (h * 1000)::BIGINT AS score
+           FROM cand ORDER BY h DESC, doc_id LIMIT 1),
+         p1 AS (SELECT doc_id FROM s1),
+         s2 AS MATERIALIZED (
+           SELECT 2::BIGINT AS pick, doc_id, h, score FROM (
+             SELECT c.doc_id, c.h,
+                    (c.h * 1000 - 50 * coalesce(max(o.ov), 0))::BIGINT
+                      AS score
+             FROM cand c LEFT JOIN ov o ON o.da = c.doc_id
+               AND o.db IN (SELECT doc_id FROM p1)
+             WHERE c.doc_id NOT IN (SELECT doc_id FROM p1)
+             GROUP BY 1, 2)
+           ORDER BY score DESC, doc_id LIMIT 1),
+         p2 AS (SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2),
+         s3 AS MATERIALIZED (
+           SELECT 3::BIGINT AS pick, doc_id, h, score FROM (
+             SELECT c.doc_id, c.h,
+                    (c.h * 1000 - 50 * coalesce(max(o.ov), 0))::BIGINT
+                      AS score
+             FROM cand c LEFT JOIN ov o ON o.da = c.doc_id
+               AND o.db IN (SELECT doc_id FROM p2)
+             WHERE c.doc_id NOT IN (SELECT doc_id FROM p2)
+             GROUP BY 1, 2)
+           ORDER BY score DESC, doc_id LIMIT 1),
+         p3 AS (SELECT doc_id FROM p2 UNION ALL SELECT doc_id FROM s3),
+         s4 AS MATERIALIZED (
+           SELECT 4::BIGINT AS pick, doc_id, h, score FROM (
+             SELECT c.doc_id, c.h,
+                    (c.h * 1000 - 50 * coalesce(max(o.ov), 0))::BIGINT
+                      AS score
+             FROM cand c LEFT JOIN ov o ON o.da = c.doc_id
+               AND o.db IN (SELECT doc_id FROM p3)
+             WHERE c.doc_id NOT IN (SELECT doc_id FROM p3)
+             GROUP BY 1, 2)
+           ORDER BY score DESC, doc_id LIMIT 1),
+         p4 AS (SELECT doc_id FROM p3 UNION ALL SELECT doc_id FROM s4),
+         s5 AS MATERIALIZED (
+           SELECT 5::BIGINT AS pick, doc_id, h, score FROM (
+             SELECT c.doc_id, c.h,
+                    (c.h * 1000 - 50 * coalesce(max(o.ov), 0))::BIGINT
+                      AS score
+             FROM cand c LEFT JOIN ov o ON o.da = c.doc_id
+               AND o.db IN (SELECT doc_id FROM p4)
+             WHERE c.doc_id NOT IN (SELECT doc_id FROM p4)
+             GROUP BY 1, 2)
+           ORDER BY score DESC, doc_id LIMIT 1)
+         SELECT pick, doc_id, h AS hits, score FROM (
+           SELECT * FROM s1 UNION ALL SELECT * FROM s2
+           UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+           UNION ALL SELECT * FROM s5)""",
+    "q354_interval_coalesce" ->
+      """WITH iv AS (
+           SELECT user_id, event_id, epoch_us(ts) AS s_us,
+                  epoch_us(ts) + 300000000 AS e_us
+           FROM events),
+         m AS (SELECT *, max(e_us) OVER (PARTITION BY user_id
+                 ORDER BY s_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_max_e
+               FROM iv),
+         f AS (SELECT *, CASE WHEN prev_max_e IS NULL
+                 OR s_us > prev_max_e THEN 1 ELSE 0 END AS new_island
+               FROM m),
+         g AS (SELECT *, sum(new_island) OVER (PARTITION BY user_id
+                 ORDER BY s_us, event_id ROWS UNBOUNDED PRECEDING)
+                 AS island
+               FROM f),
+         isl AS (SELECT user_id, island, min(s_us) AS is_us,
+                   max(e_us) AS ie_us, count(*)::BIGINT AS n_events
+                 FROM g GROUP BY 1, 2)
+         SELECT user_id, count(*)::BIGINT AS n_islands,
+                (sum(ie_us - is_us) // 1000000)::BIGINT AS covered_sec,
+                sum(n_events)::BIGINT AS n_events
+         FROM isl GROUP BY 1""",
     "q351_jsonl_roundtrip" ->
       """SELECT lang, source, count(*)::BIGINT AS n_docs,
                 sum(n_chars)::BIGINT AS sum_chars,

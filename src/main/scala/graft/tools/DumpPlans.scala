@@ -97,7 +97,9 @@ object DumpPlans {
     "q349_kwic" -> "KWIC snippets: the term is a 1-row broadcast frame; occurrence positions and ±2-token context slices are per-document array lambdas — zero corpus shuffles after the df pick",
     "q350_bounce_report" -> "bounce report: q51's session assignment; entry/exit are min/max(struct) picks inside ONE session-grain aggregate; the report is type²-bounded",
     "q352_l_diversity" -> "l-diversity: two key-shaped aggregates + the bounded l fan-out — q328's homogeneity complement, constant-shape output",
-    "q353_user_accumulation" -> "user accumulation: first-day is a min aggregate; the cumulative known-users sum rides withRunningTotal's range exchange (3rd call site); the curve is date-cardinality-sized")
+    "q353_user_accumulation" -> "user accumulation: first-day is a min aggregate; the cumulative known-users sum rides withRunningTotal's range exchange (3rd call site); the curve is date-cardinality-sized",
+    "q354_interval_coalesce" -> "interval coalescing: user-keyed rows-to-previous running-max window marks islands (strict-overlap rule); island and user reports are key-shaped aggregates — no pair joins",
+    "q355_mmr_rerank" -> "MMR re-rank: hits/candidates/overlap matrix all distributed and candidate-bounded (≤20² pairs); the greedy folds over a ≤20-row collected matrix — the bounded driver-side fetch pattern")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

@@ -104,7 +104,9 @@ class ReproSpec extends AnyFunSuite {
     "q349_kwic",            // broadcast term + per-doc context slices
     "q350_bounce_report",   // session entry/exit min/max struct picks
     "q351_jsonl_roundtrip", // partitioned JSONL write + schema'd read
-    "q353_user_accumulation" // withRunningTotal day-grain cumsum
+    "q353_user_accumulation", // withRunningTotal day-grain cumsum
+    "q354_interval_coalesce", // rows-to-previous running-max islands
+    "q355_mmr_rerank"       // collected-matrix greedy re-rank
   )
 
   representatives.foreach { name =>
