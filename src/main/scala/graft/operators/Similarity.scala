@@ -256,23 +256,59 @@ object Similarity {
       blocks: Int = 32): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val block = pmod(xxhash64(col(idCol)), lit(blocks.toLong))
-    val a = emb.select(col(idCol).as("a_id"), col(vecCol).as("va"), block.as("ba"))
-    val b = emb.select(col(idCol).as("b_id"), col(vecCol).as("vb"), block.as("bb"))
+    // Identical-vector collapse (the jaccardPairs discipline): a
+    // 100 TB web corpus is 30-60% exact duplicates, and duplicated
+    // documents embed to the SAME vector — one window shuffle groups
+    // equal arrays under a min-id representative so the quadratic
+    // triangle join runs over DISTINCT vectors only; verdicts expand
+    // back to member cross pairs afterward. Exactness is preserved:
+    // cosine is a pure function of the two vectors.
+    val reps = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("rep", min(col("id")).over(Window.partitionBy(col("v"))))
+    val members = reps.select(col("rep"), col("id")) // ids only — tiny
+    val dvecs = reps.filter(col("id") === col("rep"))
+      .select(col("id"), col("v"))
+    val block = pmod(xxhash64(col("id")), lit(blocks.toLong))
+    val a = dvecs.select(col("id").as("a_id"), col("v").as("va"),
+      block.as("ba"))
+    val b = dvecs.select(col("id").as("b_id"), col("v").as("vb"),
+      block.as("bb"))
     // every unordered block combo once; the tiny combo table
     // broadcast-fans each side out to its partner blocks, then the
     // composite (ba, bb) equi-join gives B(B+1)/2 balanced work units
     val combos = (for { i <- 0 until blocks; j <- i until blocks }
       yield (i.toLong, j.toLong)).toDF("ba", "bb")
-    a.join(broadcast(combos), "ba")
+    val repPairs = a.join(broadcast(combos), "ba")
       .join(b.join(broadcast(combos), "bb"), Seq("ba", "bb"))
       // same-block combo evaluates each unordered pair once via the
       // id order; cross-block combos are already unique by key order
       .filter(col("ba") =!= col("bb") || col("a_id") < col("b_id"))
-      .filter(Vec.cosine(col("va"), col("vb")) >= threshold)
+      // NaN guard: a zero-norm vector yields cosine 0/0 = NaN, and
+      // Spark orders NaN ABOVE every value — an unguarded >= would
+      // pair degenerate vectors with the whole corpus
+      .filter(Vec.cosine(col("va"), col("vb")) >= threshold &&
+        !isnan(Vec.cosine(col("va"), col("vb"))))
       // cross-block pairs carry no id-order guarantee — canonicalize
       .select(least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"))
+    // expansion: a verdict between reps covers every member cross
+    // pair; a multi-member group adds its internal pairs whenever
+    // the shared vector passes its own self-cosine (norm > 0 — a
+    // zero vector matches nothing, per the NaN guard)
+    val cross = repPairs
+      .join(members.select(col("rep").as("a_id"), col("id").as("ma")), "a_id")
+      .join(members.select(col("rep").as("b_id"), col("id").as("mb")), "b_id")
+      .select(least(col("ma"), col("mb")).as("a_id"),
+        greatest(col("ma"), col("mb")).as("b_id"))
+    val intra = dvecs
+      .filter(Vec.cosine(col("v"), col("v")) >= threshold &&
+        !isnan(Vec.cosine(col("v"), col("v"))))
+      .select(col("id").as("rep"))
+      .join(members.select(col("rep"), col("id").as("ma")), "rep")
+      .join(members.select(col("rep"), col("id").as("mb")), "rep")
+      .filter(col("ma") < col("mb"))
+      .select(col("ma").as("a_id"), col("mb").as("b_id"))
+    cross.unionByName(intra)
   }
 
   /** Near-duplicate pairs (cosine ≥ `threshold`) via multi-table
@@ -326,7 +362,10 @@ object Similarity {
     val verified = candidates
       .join(vecs.select(col("id").as("a_id"), col("v").as("va")), "a_id")
       .join(vecs.select(col("id").as("b_id"), col("v").as("vb")), "b_id")
-      .filter(Vec.cosine(col("va"), col("vb")) >= threshold)
+      // NaN guard, same as cosineThresholdPairs: zero-norm vectors
+      // cosine to NaN, which Spark orders above every threshold
+      .filter(Vec.cosine(col("va"), col("vb")) >= threshold &&
+        !isnan(Vec.cosine(col("va"), col("vb"))))
       .select("a_id", "b_id")
       .localCheckpoint() // see minHashLsh: materialize + GC-cleanable
     banded.unpersist()

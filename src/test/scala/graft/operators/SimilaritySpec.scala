@@ -89,6 +89,38 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("cosine-threshold join collapses identical vectors — candidates O(distinct²), expansion exact") {
+    // the jaccardPairs discipline ported to embeddings: 5 exact
+    // copies of every vector must produce exactly 25× the base cross
+    // pairs plus C(5,2)=10 internal pairs per (nonzero) group — and
+    // the triangle join must have run over the 500 distinct vectors,
+    // not the 2500-row corpus
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = Similarity.cosineThresholdPairs(emb, "vec_id", "embedding",
+      threshold = 0.45, blocks = 8).count()
+    val nVec = emb.count()
+    val fiveX = (0 until 5).map(i =>
+      emb.select((col("vec_id") + lit(i * 100000L)).as("vec_id"),
+        col("embedding"))).reduce(_ unionByName _)
+    val got = Similarity.cosineThresholdPairs(fiveX, "vec_id", "embedding",
+      threshold = 0.45, blocks = 8).count()
+    assert(got == 25L * base + 10L * nVec,
+      s"expected ${25L * base + 10L * nVec} (= 25·$base cross + 10·$nVec intra), got $got")
+  }
+
+  test("identical ZERO vectors never pair — the collapse preserves the norm-0 rule") {
+    import spark.implicits._
+    val z = Seq(
+      (1L, Array(0f, 0f, 0f, 0f)), (2L, Array(0f, 0f, 0f, 0f)),
+      (3L, Array(1f, 0f, 0f, 0f)), (4L, Array(1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.cosineThresholdPairs(z, "vec_id", "embedding",
+        threshold = 0.5, blocks = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the unit-vector twins pair; the zero-vector twins must not
+    assert(got == Set((3L, 4L)), got.toString)
+  }
+
   test("LSH near-dup finds every planted duplicate at τ=0.9 (documented miss bound)") {
     // 40 random base vectors (max pairwise sim 0.69 at 64 dims) + 10
     // perturbed copies at cosine 0.93–0.95 — a corpus with the gapped
