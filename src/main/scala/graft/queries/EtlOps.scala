@@ -2819,6 +2819,88 @@ object EtlOps {
       }
       import s.implicits._
       picks.toSeq.toDF("pick", "doc_id", "hits", "score")
+    }),
+
+    // RFM segmentation — the classic customer-value grid: recency
+    // (latest order day), frequency (order count), monetary (total
+    // cents), each cut into quintiles by EXPLICIT integer rank math
+    // ((rk−1)·5 div n + 1 over a total (metric, custkey) order — the
+    // q313 decile discipline, never engine-specific ntile), combined
+    // into a 3-digit segment code. Three GroupedRank range exchanges
+    // over the customer aggregate; the report is segment-sized.
+    "q356_rfm_segments" -> ((s, d) => {
+      val rfm = Tables(s, d).orders
+        .select(col("o_custkey").as("custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .groupBy(col("custkey"))
+        .agg(max(expr("us div 86400000000")).as("r_day"),
+          count(lit(1)).as("f_n"), sum(col("cents")).as("m_cents"))
+      val n = rfm.agg(count(lit(1)).as("n"))
+      def quintile(df: DataFrame, metric: String, qName: String): DataFrame =
+        graft.operators.GroupedRank.withGlobalRank(df,
+            Seq(col(metric), col("custkey")), "rk")
+          .crossJoin(broadcast(n))
+          .withColumn(qName, expr("(rk - 1) * 5 div n + 1"))
+          .drop("rk", "n")
+      val scored = quintile(quintile(quintile(rfm,
+        "r_day", "r_q"), "f_n", "f_q"), "m_cents", "m_q")
+      scored.groupBy((col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+          .as("segment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("m_cents")).cast("long").as("segment_cents"))
+    }),
+
+    // Dormancy / reactivation report — the lifecycle audit behind
+    // every churn model: a reactivation is a return after >2 days of
+    // inactivity (gap between consecutive ACTIVE DAYS, not raw
+    // events; 2 days sits inside the fixture's gap distribution —
+    // max observed gap is 3/4/6 days at sf0.001/0.01/0.1, so the
+    // histogram is non-degenerate at every SF, the q323 lesson).
+    // One user-keyed lag over the day-distinct frame, then a
+    // histogram of per-user reactivation counts — user-shaped work,
+    // histogram-sized output.
+    "q357_reactivation" -> ((s, d) => {
+      val ud = Tables(s, d).events
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .select(col("user_id"), expr("us div 86400000000").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      ud.withColumn("gap", col("day") - lag(col("day"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("gap") > 2L, 1L).otherwise(0L))
+          .as("n_reactivations"))
+        .groupBy(col("n_reactivations"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // Revenue-concentration (Lorenz) curve — "what share of revenue
+    // do the top k% of customers carry": customers ranked by spend
+    // DESC (descending order realized as a negated-cents total order
+    // — struct-based total-order checks can't carry sort directions),
+    // cumulative revenue via withRunningTotal (4th call site),
+    // reported at customer deciles in exact permille. The 80/20
+    // headline falls out of the decile table.
+    "q358_pareto_curve" -> ((s, d) => {
+      val spend = Tables(s, d).orders
+        .select(col("o_custkey").as("custkey"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .groupBy(col("custkey")).agg(sum(col("cents")).cast("long").as("cents"))
+        .withColumn("negc", -col("cents"))
+      val ranked = graft.operators.GroupedRank.withGlobalRank(spend,
+        Seq(col("negc"), col("custkey")), "rk")
+      val run = graft.operators.GroupedRank.withRunningTotal(ranked,
+        Seq(col("negc"), col("custkey")), col("cents"), "cum_cents")
+      val tot = spend.agg(sum(col("cents")).cast("long").as("total"),
+        count(lit(1)).as("n"))
+      run.crossJoin(broadcast(tot))
+        .withColumn("decile", expr("(rk - 1) * 10 div n + 1"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_customers"),
+          max(col("cum_cents")).as("max_cum"))
+        .crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_customers"),
+          expr("(max_cum * 1000) div total").as("cum_revenue_pm"))
     })
   )
 
@@ -3161,6 +3243,64 @@ object EtlOps {
                 (((o.o * n.n - r.r * c.c) * 1000)
                   // (r.r * c.c))::BIGINT AS dev_pm
          FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n""",
+    "q356_rfm_segments" ->
+      """WITH rfm AS (
+           SELECT o_custkey AS custkey,
+                  max(epoch_us(o_orderdate) // 86400000000) AS r_day,
+                  count(*)::BIGINT AS f_n,
+                  sum(round(o_totalprice * 100, 0)::BIGINT)::BIGINT
+                    AS m_cents
+           FROM orders GROUP BY 1),
+         n AS (SELECT count(*)::BIGINT AS n FROM rfm),
+         q AS (SELECT custkey, m_cents,
+                 (row_number() OVER (ORDER BY r_day, custkey) - 1) * 5
+                   // n.n + 1 AS r_q,
+                 (row_number() OVER (ORDER BY f_n, custkey) - 1) * 5
+                   // n.n + 1 AS f_q,
+                 (row_number() OVER (ORDER BY m_cents, custkey) - 1) * 5
+                   // n.n + 1 AS m_q
+               FROM rfm CROSS JOIN n)
+         SELECT (r_q * 100 + f_q * 10 + m_q)::BIGINT AS segment,
+                count(*)::BIGINT AS n_customers,
+                sum(m_cents)::BIGINT AS segment_cents
+         FROM q GROUP BY 1""",
+    "q357_reactivation" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id,
+                  epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         g AS (SELECT user_id,
+                 day - lag(day) OVER (PARTITION BY user_id
+                   ORDER BY day) AS gap
+               FROM ud),
+         u AS (SELECT user_id,
+                 sum(CASE WHEN gap > 2 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_reactivations
+               FROM g GROUP BY 1)
+         SELECT n_reactivations, count(*)::BIGINT AS n_users
+         FROM u GROUP BY 1""",
+    "q358_pareto_curve" ->
+      """WITH spend AS (
+           SELECT o_custkey AS custkey,
+                  sum(round(o_totalprice * 100, 0)::BIGINT)::BIGINT
+                    AS cents
+           FROM orders GROUP BY 1),
+         t AS (SELECT sum(cents)::BIGINT AS total,
+                 count(*)::BIGINT AS n FROM spend),
+         r AS (SELECT custkey, cents,
+                 row_number() OVER (ORDER BY cents DESC, custkey)
+                   ::BIGINT AS rk,
+                 sum(cents) OVER (ORDER BY cents DESC, custkey
+                   ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cents
+               FROM spend),
+         dec AS (SELECT ((rk - 1) * 10 // t.n + 1)::BIGINT AS decile,
+                   count(*)::BIGINT AS n_customers,
+                   max(cum_cents)::BIGINT AS max_cum
+                 FROM r CROSS JOIN t GROUP BY 1)
+         SELECT d.decile, d.n_customers,
+                ((d.max_cum * 1000) // t.total)::BIGINT
+                  AS cum_revenue_pm
+         FROM dec d CROSS JOIN t""",
     "q355_mmr_rerank" ->
       """WITH occ AS MATERIALIZED (
            SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -99,7 +99,9 @@ object DumpPlans {
     "q352_l_diversity" -> "l-diversity: two key-shaped aggregates + the bounded l fan-out — q328's homogeneity complement, constant-shape output",
     "q353_user_accumulation" -> "user accumulation: first-day is a min aggregate; the cumulative known-users sum rides withRunningTotal's range exchange (3rd call site); the curve is date-cardinality-sized",
     "q354_interval_coalesce" -> "interval coalescing: user-keyed rows-to-previous running-max window marks islands (strict-overlap rule); island and user reports are key-shaped aggregates — no pair joins",
-    "q355_mmr_rerank" -> "MMR re-rank: hits/candidates/overlap matrix all distributed and candidate-bounded (≤20² pairs); the greedy folds over a ≤20-row collected matrix — the bounded driver-side fetch pattern")
+    "q355_mmr_rerank" -> "MMR re-rank: hits/candidates/overlap matrix all distributed and candidate-bounded (≤20² pairs); the greedy folds over a ≤20-row collected matrix — the bounded driver-side fetch pattern",
+    "q356_rfm_segments" -> "RFM segmentation: three GroupedRank range exchanges over the customer aggregate, explicit integer quintile math — never ntile, never a one-task rank; report is segment-sized",
+    "q358_pareto_curve" -> "Lorenz curve: spend rank and cumulative revenue both ride range exchanges over the negated-cents total order (withRunningTotal's 4th call site); deciles in exact permille")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

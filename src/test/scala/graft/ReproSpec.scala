@@ -106,7 +106,9 @@ class ReproSpec extends AnyFunSuite {
     "q351_jsonl_roundtrip", // partitioned JSONL write + schema'd read
     "q353_user_accumulation", // withRunningTotal day-grain cumsum
     "q354_interval_coalesce", // rows-to-previous running-max islands
-    "q355_mmr_rerank"       // collected-matrix greedy re-rank
+    "q355_mmr_rerank",      // collected-matrix greedy re-rank
+    "q356_rfm_segments",    // triple GroupedRank quintile cuts
+    "q358_pareto_curve"     // desc rank + withRunningTotal deciles
   )
 
   representatives.foreach { name =>
