@@ -2150,10 +2150,11 @@ object EtlOps {
     // table runs on a change feed: the change set is derived
     // deterministically from the fixtures (each customer's LATEST
     // order re-prices their balance; custkey≡0 mod 7 → DELETE,
-    // ≡2 mod 7 also INSERTs a shifted new key), then applied to the
-    // customer snapshot with full MERGE semantics in ONE key-shaped
-    // full-outer join: matched deletes drop, matched updates take
-    // the new balance, inserts land with a NEW segment, untouched
+    // ≡2 mod 7 also INSERTs a shifted new key), then applied through
+    // the reusable `Cdc.applyChanges` operator (ONE key-shaped
+    // full-outer join, the full MERGE matrix, property-checked in
+    // CdcSpec against a reference Map fold): matched deletes drop,
+    // updates re-price, inserts land with a NEW segment, untouched
     // snapshot rows survive as 'kept'. The latest-order pick is a
     // max(struct) aggregate — no window, no second shuffle.
     "q334_cdc_merge" -> ((s, d) => {
@@ -2175,19 +2176,18 @@ object EtlOps {
       val inserts = latest.filter(col("custkey") % 7 === 2)
         .select((col("custkey") + 1000000L).as("custkey"), lit("I").as("op"),
           col("new_bal"))
+      // a CDC feed carries FULL value rows: updates re-price but keep
+      // the current segment (resolved here, where the feed is built),
+      // inserts land with a NEW segment
       val changes = upserts.unionByName(inserts)
-      snap.join(changes, Seq("custkey"), "full_outer")
-        .filter(coalesce(col("op"), lit("")) =!= "D" &&
-          // orphan updates/deletes (no snapshot row) are no-ops
-          !(col("segment").isNull && col("op") === "U"))
-        .select(col("custkey"),
-          when(col("op") === "I", lit("NEW")).otherwise(col("segment"))
+        .join(snap.select(col("custkey"), col("segment").as("cur_seg")),
+          Seq("custkey"), "left")
+        .select(col("custkey"), col("op"),
+          when(col("op") === "I", lit("NEW")).otherwise(col("cur_seg"))
             .as("segment"),
-          when(col("op").isNotNull, col("new_bal")).otherwise(col("bal_cents"))
-            .as("bal_cents"),
-          when(col("op") === "I", lit("inserted"))
-            .when(col("op") === "U", lit("updated"))
-            .otherwise(lit("kept")).as("src"))
+          col("new_bal").as("bal_cents"))
+      graft.operators.Cdc.applyChanges(snap, changes,
+        "custkey", Seq("segment", "bal_cents"))
     }),
 
     // Table diff — the migration-reconciliation report (data-diff):
@@ -2367,36 +2367,19 @@ object EtlOps {
     }),
 
     // Time-grid resample + LOCF — the forward-fill every feature
-    // store runs to align irregular events to a model's hourly grid:
-    // per user, the densified [first, last] hour span (sequence +
-    // explode — grid size is span-bounded, not corpus-bounded), the
-    // hour's LAST observation (max(struct) pick, no window), then
-    // last-observation-carried-forward via the engine-portable
-    // fill-group trick: a running count of non-null observations
-    // keys each gap to its head row, and a per-(user, fill-group)
-    // max propagates it — no IGNORE NULLS dependence, identical
-    // semantics in any engine. All windows user-keyed.
+    // store runs to align irregular events to a model's hourly grid.
+    // The machinery (span-bounded sequence grid, max(struct) last-
+    // observation pick, engine-portable fill-group carry) lives in
+    // the reusable `Resample.locfGrid` operator, property-checked in
+    // ResampleSpec against a per-key sorted-scan reference.
     "q341_locf_resample" -> ((s, d) => {
       val ev = Tables(s, d).events.select(col("user_id"),
         unix_micros(col("ts")).as("us"), col("event_id"),
         round(col("value") * 100, 0).cast("long").as("cents"))
-        .withColumn("hour", expr("us div 3600000000"))
-      val hourly = ev.groupBy(col("user_id"), col("hour"))
-        .agg(max(struct(col("us"), col("event_id"), col("cents"))).as("m"))
-        .select(col("user_id"), col("hour"), col("m.cents").as("obs_cents"))
-      val grid = ev.groupBy(col("user_id"))
-        .agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
-        .select(col("user_id"),
-          explode(sequence(col("mn"), col("mx"))).as("hour"))
-      val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      grid.join(hourly, Seq("user_id", "hour"), "left")
-        .withColumn("fill_id",
-          sum(when(col("obs_cents").isNotNull, 1L).otherwise(0L)).over(w))
-        .withColumn("cents", max(col("obs_cents"))
-          .over(Window.partitionBy(col("user_id"), col("fill_id"))))
-        .select(col("user_id"), col("hour"), col("cents"),
-          col("obs_cents").isNull.as("filled"))
+      graft.operators.Resample.locfGrid(ev, "user_id", "us", "event_id",
+          "cents", slotWidth = 3600000000L)
+        .select(col("user_id"), col("slot").as("hour"), col("cents"),
+          col("filled"))
     }),
 
     // Last-touch attribution — the marketing-attribution join: every
