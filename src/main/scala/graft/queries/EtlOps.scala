@@ -2884,6 +2884,58 @@ object EtlOps {
         .crossJoin(broadcast(tot))
         .select(col("decile"), col("n_customers"),
           expr("(max_cum * 1000) div total").as("cum_revenue_pm"))
+    }),
+
+    // Contributor capping — the per-author contribution limit every
+    // LLM corpus applies so prolific sources can't dominate training
+    // (the fairness twin of q75's global shuffle): each user keeps at
+    // most 40 events, selected by md5 rank (deterministic, unbiased
+    // by time or type), and the report shows per-type survival in
+    // exact permille. The rank window is user-keyed — parallel at
+    // any user cardinality; the cap is a rank filter, never a
+    // per-user collect.
+    "q359_user_cap" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("h"), col("event_id"))
+      Tables(s, d).events
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("h", md5(col("event_id").cast("string")))
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("rk") <= 40, 1L).otherwise(0L)).cast("long")
+            .as("n_kept"))
+        .select(col("event_type"), col("n_events"), col("n_kept"),
+          expr("(n_kept * 1000) div n_events").as("keep_pm"))
+    }),
+
+    // Schema-evolution read — the source capability a long-lived
+    // lake dataset forces: generation 1 was written WITHOUT the
+    // quality column, generation 2 adds it; a mergeSchema read must
+    // union the schemas, surface generation-1 rows with null quality,
+    // and keep the partition-discovery gen column queryable. The
+    // report per generation gates exactly that contract. Scratch is
+    // per-process (the q326 discipline).
+    "q360_schema_evolution" -> ((s, d) => {
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft-q360-" + Integer.toHexString(d.hashCode) +
+          "-p" + ProcessHandle.current().pid()).toString
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$dir/gen=1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .withColumn("quality_pm",
+          expr("(n_chars * 1000) div (n_chars + 100)"))
+        .write.mode("overwrite").parquet(s"$dir/gen=2")
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .groupBy(col("gen"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("quality_pm").isNull, 1L).otherwise(0L))
+            .cast("long").as("n_quality_null"),
+          count_distinct(col("lang")).as("n_langs"))
+        .select(col("gen").cast("long").as("gen"), col("n_docs"),
+          col("n_quality_null"), col("n_langs"))
     })
   )
 
@@ -3226,6 +3278,25 @@ object EtlOps {
                 (((o.o * n.n - r.r * c.c) * 1000)
                   // (r.r * c.c))::BIGINT AS dev_pm
          FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n""",
+    "q359_user_cap" ->
+      """WITH r AS (
+           SELECT event_type,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY md5(event_id::VARCHAR), event_id) AS rk
+           FROM events)
+         SELECT event_type, count(*)::BIGINT AS n_events,
+                sum(CASE WHEN rk <= 40 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_kept,
+                ((sum(CASE WHEN rk <= 40 THEN 1 ELSE 0 END) * 1000)
+                  // count(*))::BIGINT AS keep_pm
+         FROM r GROUP BY 1""",
+    "q360_schema_evolution" ->
+      """SELECT (1 + (doc_id % 2))::BIGINT AS gen,
+                count(*)::BIGINT AS n_docs,
+                sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_quality_null,
+                count(DISTINCT lang)::BIGINT AS n_langs
+         FROM documents GROUP BY 1""",
     "q356_rfm_segments" ->
       """WITH rfm AS (
            SELECT o_custkey AS custkey,

@@ -101,7 +101,9 @@ object DumpPlans {
     "q354_interval_coalesce" -> "interval coalescing: user-keyed rows-to-previous running-max window marks islands (strict-overlap rule); island and user reports are key-shaped aggregates — no pair joins",
     "q355_mmr_rerank" -> "MMR re-rank: hits/candidates/overlap matrix all distributed and candidate-bounded (≤20² pairs); the greedy folds over a ≤20-row collected matrix — the bounded driver-side fetch pattern",
     "q356_rfm_segments" -> "RFM segmentation: three GroupedRank range exchanges over the customer aggregate, explicit integer quintile math — never ntile, never a one-task rank; report is segment-sized",
-    "q358_pareto_curve" -> "Lorenz curve: spend rank and cumulative revenue both ride range exchanges over the negated-cents total order (withRunningTotal's 4th call site); deciles in exact permille")
+    "q358_pareto_curve" -> "Lorenz curve: spend rank and cumulative revenue both ride range exchanges over the negated-cents total order (withRunningTotal's 4th call site); deciles in exact permille",
+    "q359_user_cap" -> "contributor capping: the md5 fairness rank is a user-keyed window (parallel at any user cardinality); the cap is a rank filter, never a per-user collect; report is type-sized",
+    "q360_schema_evolution" -> "schema evolution: mergeSchema read unions the two generations' schemas; partition discovery yields the gen column; gen-1 rows surface null quality — the long-lived-dataset contract, gated per generation")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

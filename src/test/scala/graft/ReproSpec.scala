@@ -108,7 +108,9 @@ class ReproSpec extends AnyFunSuite {
     "q354_interval_coalesce", // rows-to-previous running-max islands
     "q355_mmr_rerank",      // collected-matrix greedy re-rank
     "q356_rfm_segments",    // triple GroupedRank quintile cuts
-    "q358_pareto_curve"     // desc rank + withRunningTotal deciles
+    "q358_pareto_curve",    // desc rank + withRunningTotal deciles
+    "q359_user_cap",        // md5 fairness rank + cap filter
+    "q360_schema_evolution" // two-generation mergeSchema read-back
   )
 
   representatives.foreach { name =>
