@@ -242,7 +242,7 @@ class PlanSpec extends AnyFunSuite {
     // (q284's per-user lag legitimately partitions by user_id)
     for (q <- Seq("q295_rank_normalize", "q231_grouped_quantiles",
         "q311_modality_pack", "q284_repeat_interval", "q306_id_gaps",
-        "q339_winsorize")) {
+        "q339_winsorize", "q356_rfm_segments", "q358_pareto_curve")) {
       val df = SparkEntry.queries(q)(spark, sf)
       val p = df.queryExecution.executedPlan.toString
       val windowLines = p.linesIterator.filter(_.contains("Window [")).toSeq
