@@ -2936,6 +2936,74 @@ object EtlOps {
           count_distinct(col("lang")).as("n_langs"))
         .select(col("gen").cast("long").as("gen"), col("n_docs"),
           col("n_quality_null"), col("n_langs"))
+    }),
+
+    // Exact WEIGHTED median — the inventory-valuation / price-index
+    // statistic plain medians get wrong: the price at which half the
+    // shipped QUANTITY sits below. Defined at exact rank (first
+    // price whose cumulative weight ≥ half the total — never an
+    // interpolated percentile); the cumulative weight rides
+    // withRunningTotal's range exchange (5th call site), the
+    // crossing row is a 1-row min-aggregate pick. Reported per
+    // return flag via an integer-safe 2·cum ≥ total compare.
+    "q361_weighted_median" -> ((s, d) => {
+      val items = Tables(s, d).lineitem
+        .select(col("l_returnflag").as("flag"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+          col("l_quantity").cast("long").as("qty"),
+          col("l_orderkey"), col("l_linenumber"))
+      // per-flag totals AND each flag's preceding-flags offset come
+      // from the flag-sized aggregate (the 3-row unpartitioned window
+      // is a bounded aggregate frame — the documented exception);
+      // the corpus-sized running weight rides the range exchange over
+      // the GLOBAL (flag, cents, line) order, and per-flag cum falls
+      // out by subtracting the broadcast offset
+      val tot = items.groupBy(col("flag"))
+        .agg(sum(col("qty")).cast("long").as("total_qty"))
+      val wOff = Window.orderBy(col("flag"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = tot.withColumn("off",
+        coalesce(sum(col("total_qty")).over(wOff), lit(0L)))
+      val run = graft.operators.GroupedRank.withRunningTotal(items,
+        Seq(col("flag"), col("cents"), col("l_orderkey"),
+          col("l_linenumber")),
+        col("qty"), "cum_all")
+      run.select(col("flag"), col("cents"), col("cum_all"))
+        .join(broadcast(offs), "flag")
+        .select(col("flag"), col("cents"), col("total_qty"),
+          (col("cum_all") - col("off")).as("cum"))
+        .filter(lit(2L) * col("cum") >= col("total_qty"))
+        .groupBy(col("flag"))
+        .agg(min(col("cents")).as("weighted_median_cents"),
+          min(col("total_qty")).as("total_qty"))
+    }),
+
+    // Time-to-convert distribution — the funnel-latency histogram a
+    // growth team reads next to q291's step funnel: per user, the
+    // FIRST view and the FIRST purchase AFTER it (min aggregates —
+    // no window over events), the gap in log2-minute buckets plus a
+    // never-converted bucket (−1). User-shaped work; the histogram
+    // is bucket-sized. log2 via the BINARY-STRING length (q305's
+    // trick — float log2 flips at power-of-two boundaries).
+    "q362_time_to_convert" -> ((s, d) => {
+      val ev = Tables(s, d).events
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .join(firstView, "user_id")
+        .filter(col("us") >= col("v_us"))
+        .groupBy(col("user_id"))
+        .agg(min(col("us") - col("v_us")).as("gap_us"))
+      firstView.join(conv.select(col("user_id"), col("gap_us")),
+          Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("gap_us").isNull, lit(-1L))
+            .otherwise((length(bin(expr("gap_us div 60000000") + 1)) - 1)
+              .cast("long"))
+            .as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_users"))
     })
   )
 
@@ -3278,6 +3346,42 @@ object EtlOps {
                 (((o.o * n.n - r.r * c.c) * 1000)
                   // (r.r * c.c))::BIGINT AS dev_pm
          FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n""",
+    "q361_weighted_median" ->
+      """WITH items AS (
+           SELECT l_returnflag AS flag,
+                  round(l_extendedprice * 100, 0)::BIGINT AS cents,
+                  l_quantity::BIGINT AS qty,
+                  l_orderkey, l_linenumber
+           FROM lineitem),
+         tot AS (SELECT flag, sum(qty)::BIGINT AS total_qty
+                 FROM items GROUP BY 1),
+         r AS (SELECT flag, cents,
+                 sum(qty) OVER (PARTITION BY flag
+                   ORDER BY cents, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+               FROM items)
+         SELECT r.flag, min(r.cents)::BIGINT AS weighted_median_cents,
+                min(t.total_qty)::BIGINT AS total_qty
+         FROM r JOIN tot t ON t.flag = r.flag
+         WHERE 2 * r.cum >= t.total_qty
+         GROUP BY 1""",
+    "q362_time_to_convert" ->
+      """WITH e AS (
+           SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         fv AS (SELECT user_id, min(us) AS v_us
+                FROM e WHERE event_type = 'view' GROUP BY 1),
+         conv AS (SELECT e.user_id, min(e.us - fv.v_us) AS gap_us
+                  FROM e JOIN fv USING (user_id)
+                  WHERE e.event_type = 'purchase' AND e.us >= fv.v_us
+                  GROUP BY 1),
+         b AS (SELECT fv.user_id,
+                 CASE WHEN c.gap_us IS NULL THEN -1
+                   ELSE length(printf('%b',
+                     c.gap_us // 60000000 + 1)) - 1
+                 END::BIGINT AS bucket
+               FROM fv LEFT JOIN conv c USING (user_id))
+         SELECT bucket, count(*)::BIGINT AS n_users
+         FROM b GROUP BY 1""",
     "q359_user_cap" ->
       """WITH r AS (
            SELECT event_type,

@@ -110,7 +110,9 @@ class ReproSpec extends AnyFunSuite {
     "q356_rfm_segments",    // triple GroupedRank quintile cuts
     "q358_pareto_curve",    // desc rank + withRunningTotal deciles
     "q359_user_cap",        // md5 fairness rank + cap filter
-    "q360_schema_evolution" // two-generation mergeSchema read-back
+    "q360_schema_evolution", // two-generation mergeSchema read-back
+    "q361_weighted_median", // global cumsum − broadcast flag offsets
+    "q362_time_to_convert"  // min-aggregate funnel latency histogram
   )
 
   representatives.foreach { name =>
