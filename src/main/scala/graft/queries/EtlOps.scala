@@ -3004,6 +3004,41 @@ object EtlOps {
               .cast("long"))
             .as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("n_users"))
+    }),
+
+    // Manifest-pinned snapshot read (time travel) — the lakehouse
+    // primitive under every AS OF query: three append "commits" each
+    // add a parquet file, each commit writes a JSON manifest listing
+    // its full file set, and a reader pinned to manifest v2 sees
+    // EXACTLY commits 1-2 — no directory listing, no torn reads from
+    // the in-flight commit 3. The manifest fetch is a bounded
+    // metadata read (manifest-sized, like every table format's);
+    // the data read unions only the pinned files. Scratch is
+    // per-process (q326 discipline).
+    "q363_snapshot_read" -> ((s, d) => {
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft-q363-" + Integer.toHexString(d.hashCode) +
+          "-p" + ProcessHandle.current().pid()).toString
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      (1 to 3).foreach { k =>
+        docs.filter(col("doc_id") % 3 === (k - 1))
+          .write.mode("overwrite").parquet(s"$dir/files/c$k")
+        val members = (1 to k).map(i => s"""{"path":"$dir/files/c$i"}""")
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$dir/manifests"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir/manifests/v$k.json"),
+          members.mkString("\n").getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+      }
+      val pinned = s.read.schema("path STRING")
+        .json(s"$dir/manifests/v2.json")
+        .collect().map(_.getString(0)) // bounded: manifest-sized
+      s.read.parquet(pinned: _*)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
     })
   )
 
@@ -3346,6 +3381,10 @@ object EtlOps {
                 (((o.o * n.n - r.r * c.c) * 1000)
                   // (r.r * c.c))::BIGINT AS dev_pm
          FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n""",
+    "q363_snapshot_read" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+                sum(n_chars)::BIGINT AS sum_chars
+         FROM documents WHERE doc_id % 3 IN (0, 1) GROUP BY 1""",
     "q361_weighted_median" ->
       """WITH items AS (
            SELECT l_returnflag AS flag,

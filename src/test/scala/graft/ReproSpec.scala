@@ -112,7 +112,8 @@ class ReproSpec extends AnyFunSuite {
     "q359_user_cap",        // md5 fairness rank + cap filter
     "q360_schema_evolution", // two-generation mergeSchema read-back
     "q361_weighted_median", // global cumsum − broadcast flag offsets
-    "q362_time_to_convert"  // min-aggregate funnel latency histogram
+    "q362_time_to_convert", // min-aggregate funnel latency histogram
+    "q363_snapshot_read"    // manifest-pinned file-set union read
   )
 
   representatives.foreach { name =>
