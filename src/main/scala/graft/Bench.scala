@@ -82,10 +82,25 @@ object Bench {
     // drives the 1-minute average to ~10 by itself, so an end-of-run
     // read always looks contended regardless of the box's real state
     // (r8: idle box, start 0.07, end 9.05)
-    val loadAvg = try {
+    def readLoadAvg(): Double = try {
       scala.io.Source.fromFile("/proc/loadavg").getLines()
         .next().split(" ")(0).toDouble
     } catch { case _: Exception => -1.0 }
+    val load0 = readLoadAvg()
+    // Bounded settle-retry (r9 directive): both r8 and r9 driver
+    // artifacts landed contended:true because the driver box was
+    // still draining the test suite when the bench started, so the
+    // archived numbers kept needing a judge re-run to trust. One
+    // 60 s sleep + re-snapshot gives the 1-minute average time to
+    // decay; the retry itself is recorded in the artifact so a
+    // reader can tell a settled run from a genuinely contended one.
+    val loadRetried = load0 > 4.0
+    if (loadRetried) {
+      System.err.println(f"[bench] pre-run loadavg $load0%.2f > 4.0 — " +
+        "sleeping 60 s once for the box to settle before measuring")
+      Thread.sleep(60000L)
+    }
+    val loadAvg = if (loadRetried) readLoadAvg() else load0
     val qs = SparkEntry.queries
     // one warm-up action so JVM/codegen startup isn't billed to q1
     qs("q01_scan_project")(spark, sfDir).count()
@@ -197,7 +212,7 @@ object Bench {
     } catch { case _: Exception => -1 }
     val contended = sawDivergence || wholeSuitePass || loadAvg > 4.0
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","loadavg":$loadAvg%.2f,"jvms":$jvms,"contended":$contended}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","loadavg":$loadAvg%.2f,"loadavg_initial":$load0%.2f,"load_retry":$loadRetried,"jvms":$jvms,"contended":$contended}"""
     println(line)
     // stdout travels through sbt's [error]-prefixing + the driver's
     // 2000-char tail truncation, which has eaten the per-query table

@@ -237,15 +237,13 @@ object Dedup {
     * worst-case candidate cost drops from O(n²) to O(distinct²).
     */
   /** Each set labeled with its identical-set group's min-id
-    * representative: one shuffle groups equal arrays. Factored out so
-    * the plan-dump tool can show the collapsed candidate join.
+    * representative: one shuffle groups equal arrays (the shared
+    * [[Collapse.byValue]] machinery). Factored out so the plan-dump
+    * tool can show the collapsed candidate join.
     */
-  private[graft] def repLabeled(sets0: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    sets0.select(col("id"), col("ts"))
-      .withColumn("rep", min(col("id")).over(Window.partitionBy(col("ts"))))
+  private[graft] def repLabeled(sets0: DataFrame): DataFrame =
+    Collapse.byValue(sets0, "ts", "id").labeled
       .withColumn("n", size(col("ts")))
-  }
 
   /** `maxCandidateFactor`: optional operational tripwire — fail
     * loudly when the candidate count exceeds `factor × distinct
@@ -297,26 +295,21 @@ object Dedup {
         col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
 
-    // inter-group expansion: every member cross pair inherits the
-    // representatives' verdict; least/greatest re-canonicalizes and
-    // na/nb swap with it (they are the sides' set sizes)
-    val inter = verifiedReps
-      .join(members.select(col("rep").as("a_id"), col("id").as("xa")), "a_id")
-      .join(members.select(col("rep").as("b_id"), col("id").as("xb")), "b_id")
-      .select(least(col("xa"), col("xb")).as("a_id"),
-        greatest(col("xa"), col("xb")).as("b_id"), col("c"),
-        when(col("xa") < col("xb"), col("na")).otherwise(col("nb")).cast("long").as("na"),
-        when(col("xa") < col("xb"), col("nb")).otherwise(col("na")).cast("long").as("nb"),
+    // inter-group expansion (shared Collapse machinery): every member
+    // cross pair inherits the representatives' verdict; the sides' set
+    // sizes na/nb swap with the canonicalization flag
+    val inter = Collapse.expandInterPairs(verifiedReps, members)
+      .select(col("a_id"), col("b_id"), col("c"),
+        when(!col("swapped"), col("na")).otherwise(col("nb")).cast("long").as("na"),
+        when(!col("swapped"), col("nb")).otherwise(col("na")).cast("long").as("nb"),
         col("jaccard"))
 
     // intra-group expansion: pairs of identical non-empty sets are
     // exact duplicates — c = n, jaccard = 1.0 (empty sets keep the
-    // pre-collapse 0/0 = NaN semantics: never a pair)
-    val intra = members.as("x").join(members.as("y"),
-        col("x.rep") === col("y.rep") && col("x.id") < col("y.id"))
-      .select(col("x.rep").as("rep"), col("x.id").as("a_id"), col("y.id").as("b_id"))
-      .join(dsets.select(col("id").as("rep"), col("n")), "rep")
-      .filter(col("n") > 0)
+    // pre-collapse 0/0 = NaN semantics: never a pair — expressed as
+    // the eligibility frame, per Collapse's edge-rule-ownership doc)
+    val intra = Collapse.intraPairs(members,
+        dsets.filter(col("n") > 0).select(col("id").as("rep"), col("n")))
       .select(col("a_id"), col("b_id"), col("n").cast("long").as("c"),
         col("n").cast("long").as("na"), col("n").cast("long").as("nb"),
         lit(1.0).as("jaccard"))

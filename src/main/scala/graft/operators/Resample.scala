@@ -32,9 +32,18 @@ object Resample {
       valueCol: String, // integral observation
       slotWidth: Long): DataFrame = {
     require(slotWidth > 0, s"slotWidth must be positive, got $slotWidth")
+    // FLOOR division, matching the documented Math.floorDiv
+    // reference semantics: plain `div` truncates toward zero, which
+    // would merge the slots on either side of zero for negative
+    // order values (epoch micros before 1970, signed deltas). Spark's
+    // `%` carries the dividend's sign, so a negative remainder is
+    // exactly the truncate-vs-floor disagreement case — subtract 1
+    // there. Pure integer math, ANSI-safe (slotWidth > 0 required).
     val slotted = events
       .select(col(keyCol), col(orderCol), col(tieCol), col(valueCol))
-      .withColumn("__slot", expr(s"$orderCol div ${slotWidth}L"))
+      .withColumn("__slot", expr(
+        s"$orderCol div ${slotWidth}L - " +
+          s"(CASE WHEN $orderCol % ${slotWidth}L < 0 THEN 1L ELSE 0L END)"))
     val perSlot = slotted
       .groupBy(col(keyCol), col("__slot"))
       .agg(max(struct(col(orderCol), col(tieCol), col(valueCol))).as("__m"))

@@ -256,18 +256,18 @@ object Similarity {
       blocks: Int = 32): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    // Identical-vector collapse (the jaccardPairs discipline): a
-    // 100 TB web corpus is 30-60% exact duplicates, and duplicated
-    // documents embed to the SAME vector — one window shuffle groups
-    // equal arrays under a min-id representative so the quadratic
-    // triangle join runs over DISTINCT vectors only; verdicts expand
-    // back to member cross pairs afterward. Exactness is preserved:
-    // cosine is a pure function of the two vectors.
-    val reps = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("rep", min(col("id")).over(Window.partitionBy(col("v"))))
-    val members = reps.select(col("rep"), col("id")) // ids only — tiny
-    val dvecs = reps.filter(col("id") === col("rep"))
-      .select(col("id"), col("v"))
+    // Identical-vector collapse (the shared Collapse machinery, same
+    // discipline as jaccardPairs): a 100 TB web corpus is 30-60%
+    // exact duplicates, and duplicated documents embed to the SAME
+    // vector — one window shuffle groups equal arrays under a min-id
+    // representative so the quadratic triangle join runs over
+    // DISTINCT vectors only; verdicts expand back to member cross
+    // pairs afterward. Exactness is preserved: cosine is a pure
+    // function of the two vectors.
+    val collapsed = Collapse.byValue(
+      emb.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "id")
+    val members = collapsed.members // ids only — tiny
+    val dvecs = collapsed.distinct
     val block = pmod(xxhash64(col("id")), lit(blocks.toLong))
     val a = dvecs.select(col("id").as("a_id"), col("v").as("va"),
       block.as("ba"))
@@ -285,29 +285,28 @@ object Similarity {
       .filter(col("ba") =!= col("bb") || col("a_id") < col("b_id"))
       // NaN guard: a zero-norm vector yields cosine 0/0 = NaN, and
       // Spark orders NaN ABOVE every value — an unguarded >= would
-      // pair degenerate vectors with the whole corpus
-      .filter(Vec.cosine(col("va"), col("vb")) >= threshold &&
-        !isnan(Vec.cosine(col("va"), col("vb"))))
+      // pair degenerate vectors with the whole corpus. Projected to
+      // a column FIRST so the hottest expression in the repo is
+      // evaluated exactly once per candidate regardless of codegen
+      // subexpression elimination.
+      .withColumn("cos", Vec.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold && !isnan(col("cos")))
       // cross-block pairs carry no id-order guarantee — canonicalize
       .select(least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"))
-    // expansion: a verdict between reps covers every member cross
-    // pair; a multi-member group adds its internal pairs whenever
-    // the shared vector passes its own self-cosine (norm > 0 — a
-    // zero vector matches nothing, per the NaN guard)
-    val cross = repPairs
-      .join(members.select(col("rep").as("a_id"), col("id").as("ma")), "a_id")
-      .join(members.select(col("rep").as("b_id"), col("id").as("mb")), "b_id")
-      .select(least(col("ma"), col("mb")).as("a_id"),
-        greatest(col("ma"), col("mb")).as("b_id"))
-    val intra = dvecs
-      .filter(Vec.cosine(col("v"), col("v")) >= threshold &&
-        !isnan(Vec.cosine(col("v"), col("v"))))
+    // expansion (shared Collapse machinery): a verdict between reps
+    // covers every member cross pair; a multi-member group adds its
+    // internal pairs whenever the shared vector passes its own
+    // self-cosine (norm > 0 — a zero vector matches nothing, per the
+    // NaN guard) — the eligibility frame expresses that edge rule
+    val cross = Collapse.expandInterPairs(repPairs, members)
+      .select(col("a_id"), col("b_id"))
+    val eligible = dvecs
+      .withColumn("selfcos", Vec.cosine(col("v"), col("v")))
+      .filter(col("selfcos") >= threshold && !isnan(col("selfcos")))
       .select(col("id").as("rep"))
-      .join(members.select(col("rep"), col("id").as("ma")), "rep")
-      .join(members.select(col("rep"), col("id").as("mb")), "rep")
-      .filter(col("ma") < col("mb"))
-      .select(col("ma").as("a_id"), col("mb").as("b_id"))
+    val intra = Collapse.intraPairs(members, eligible)
+      .select(col("a_id"), col("b_id"))
     cross.unionByName(intra)
   }
 
@@ -363,9 +362,10 @@ object Similarity {
       .join(vecs.select(col("id").as("a_id"), col("v").as("va")), "a_id")
       .join(vecs.select(col("id").as("b_id"), col("v").as("vb")), "b_id")
       // NaN guard, same as cosineThresholdPairs: zero-norm vectors
-      // cosine to NaN, which Spark orders above every threshold
-      .filter(Vec.cosine(col("va"), col("vb")) >= threshold &&
-        !isnan(Vec.cosine(col("va"), col("vb"))))
+      // cosine to NaN, which Spark orders above every threshold.
+      // Single projected evaluation — no reliance on codegen CSE.
+      .withColumn("cos", Vec.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold && !isnan(col("cos")))
       .select("a_id", "b_id")
       .localCheckpoint() // see minHashLsh: materialize + GC-cleanable
     banded.unpersist()

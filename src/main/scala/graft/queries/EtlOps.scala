@@ -2724,11 +2724,14 @@ object EtlOps {
     // Interval coalescing — the overlapping-interval merge every
     // billing/uptime/coverage report runs: each event opens a 5-min
     // activity interval, overlapping intervals fuse into islands
-    // (new island ⟺ start > running max of all EARLIER ends — the
-    // strict-overlap rule), and the per-user report counts islands
-    // and exactly-covered seconds. Both windows are user-keyed; the
-    // running-max frame is rows-to-previous (never the current row),
-    // so touching-but-not-overlapping intervals stay separate.
+    // (new island ⟺ start > running max of all EARLIER ends), and
+    // the per-user report counts islands and exactly-covered
+    // seconds. Both windows are user-keyed; the running-max frame is
+    // rows-to-previous (never the current row). NOTE the merge rule
+    // at touch points: an interval starting EXACTLY at the previous
+    // max end fuses into the island (start > prev_max_e is false),
+    // the usual uptime/billing convention — a zero-length gap is no
+    // gap. The oracle encodes the same `>` rule.
     "q354_interval_coalesce" -> ((s, d) => {
       val iv = Tables(s, d).events
         .select(col("user_id"), col("event_id"),
@@ -3995,8 +3998,9 @@ object EtlOps {
                   AS segment,
                 CASE WHEN g.op IS NOT NULL THEN g.new_bal
                      ELSE s.bal_cents END AS bal_cents,
-                CASE WHEN g.op = 'I' THEN 'inserted'
-                     WHEN g.op = 'U' THEN 'updated'
+                CASE WHEN g.op = 'I' AND s.custkey IS NULL
+                       THEN 'inserted'
+                     WHEN g.op IS NOT NULL THEN 'updated'
                      ELSE 'kept' END AS src
          FROM snap s FULL OUTER JOIN changes g ON s.custkey = g.custkey
          WHERE coalesce(g.op, '') <> 'D'

@@ -452,8 +452,12 @@ object ScaleOps {
     // while the universe fits the sketch capacity (true at every
     // gate sf) but the CONTRACT is approximate → rows-only gate;
     // ScaleOpsSpec A/Bs item counts against the exact aggregate.
+    // Fan-out is the shared single-file guard (session parallelism),
+    // never a hardcoded task count — the sketch partials are
+    // mergeable, so more partitions = more map-side parallelism at
+    // zero exchange cost beyond the final 1-group merge.
     "q192_approx_topk" -> ((s, d) => {
-      Tables(s, d).documents.repartition(8)
+      TextOps.parallelized(Tables(s, d).documents)
         .select(explode(split(col("text"), " ")).as("tok"))
         .agg(expr("approx_top_k(tok, 10)").as("tk"))
         .select(explode(col("tk")).as("e"))

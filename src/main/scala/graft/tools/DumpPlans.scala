@@ -91,16 +91,20 @@ object DumpPlans {
     "q341_locf_resample" -> "LOCF resample: hourly last-observation is a max(struct) aggregate (no window); the grid is a span-bounded sequence explode; the fill-group trick keeps LOCF engine-portable; all windows user-keyed",
     "q342_last_touch" -> "last-touch attribution: ONE native as-of merge walk + a narrow recency/channel projection; the report is channel-sized — no rank-window replay, no pair explosion",
     "q343_mad_outliers" -> "MAD outliers: both rank picks (median, MAD) ride GroupedRank's two-phase range exchange and fold to 1-row broadcast frames; the 4×MAD flag is a narrow scan — no interpolated percentile, no one-reducer sort",
+    "q344_seasonal_backtest" -> "seasonal backtest: daily counts are a tiny key-shaped aggregate; the lag-7 lookup is a self-join on (type, day−7) over the COUNT table — no corpus window, no second corpus shuffle; integer MAPE surrogate",
     "q345_ab_ztest" -> "A/B z-test: two user-shaped aggregates; the |z|>2 verdict is ONE DECIMAL(38,0) cross-multiplication — no floats, no pooled-variance division; output is 1 row",
+    "q346_topk_ties" -> "grouped top-k WITH TIES: dense_rank over the type-keyed daily-count window — WindowGroupLimit bounds per-group state exactly like q12's row_number path; ties all survive by rank semantics",
     "q347_compaction_plan" -> "compaction planner: the cumulative-size pack rides withRunningTotal's range exchange (2nd production call site); bin assignment is a broadcast-total projection; the report is bin-sized",
     "q348_join_cardinality" -> "join-cardinality study: exact output size and the 64-bucket histogram bound both computed on COUNT TABLES (distinct-key sized) — the joins under study never execute",
     "q349_kwic" -> "KWIC snippets: the term is a 1-row broadcast frame; occurrence positions and ±2-token context slices are per-document array lambdas — zero corpus shuffles after the df pick",
     "q350_bounce_report" -> "bounce report: q51's session assignment; entry/exit are min/max(struct) picks inside ONE session-grain aggregate; the report is type²-bounded",
+    "q351_jsonl_roundtrip" -> "JSONL round-trip: partitioned text write + EXPLICIT-schema read-back — no double inference scan; the parity check is a key-shaped join over the written partitions",
     "q352_l_diversity" -> "l-diversity: two key-shaped aggregates + the bounded l fan-out — q328's homogeneity complement, constant-shape output",
     "q353_user_accumulation" -> "user accumulation: first-day is a min aggregate; the cumulative known-users sum rides withRunningTotal's range exchange (3rd call site); the curve is date-cardinality-sized",
     "q354_interval_coalesce" -> "interval coalescing: user-keyed rows-to-previous running-max window marks islands (strict-overlap rule); island and user reports are key-shaped aggregates — no pair joins",
     "q355_mmr_rerank" -> "MMR re-rank: hits/candidates/overlap matrix all distributed and candidate-bounded (≤20² pairs); the greedy folds over a ≤20-row collected matrix — the bounded driver-side fetch pattern",
     "q356_rfm_segments" -> "RFM segmentation: three GroupedRank range exchanges over the customer aggregate, explicit integer quintile math — never ntile, never a one-task rank; report is segment-sized",
+    "q357_reactivation" -> "reactivation histogram: (user, day)-distinct is the only corpus shuffle; ONE user-keyed lag marks >2-day gaps; two key-shaped aggregates fold to a histogram-sized report",
     "q358_pareto_curve" -> "Lorenz curve: spend rank and cumulative revenue both ride range exchanges over the negated-cents total order (withRunningTotal's 4th call site); deciles in exact permille",
     "q359_user_cap" -> "contributor capping: the md5 fairness rank is a user-keyed window (parallel at any user cardinality); the cap is a rank filter, never a per-user collect; report is type-sized",
     "q360_schema_evolution" -> "schema evolution: mergeSchema read unions the two generations' schemas; partition discovery yields the gen column; gen-1 rows surface null quality — the long-lived-dataset contract, gated per generation",

@@ -240,20 +240,42 @@ class PlanSpec extends AnyFunSuite {
     // GroupedRank's two-phase range exchange: every remaining Window
     // in the visible plan (post-checkpoint) must be __pid-partitioned
     // (q284's per-user lag legitimately partitions by user_id)
+    // r9 verdict item 2: EVERY call site in OPERATORS.md's
+    // scale-safe-family table is gated here (or in its own test) so a
+    // refactor can't silently de-pid one — q293/q343/q347/q353/q361
+    // joined the loop in r10
     for (q <- Seq("q295_rank_normalize", "q231_grouped_quantiles",
         "q311_modality_pack", "q284_repeat_interval", "q306_id_gaps",
-        "q339_winsorize", "q356_rfm_segments", "q358_pareto_curve")) {
+        "q339_winsorize", "q356_rfm_segments", "q358_pareto_curve",
+        "q293_budget_allocation", "q343_mad_outliers",
+        "q347_compaction_plan", "q353_user_accumulation",
+        "q361_weighted_median", "q313_decile_assign",
+        "q316_interleave_stream", "q323_ooo_audit")) {
+      // documented bounded-frame exceptions: q361's flag-total offset
+      // window runs unpartitioned over a ≤|returnflag|-row (3-row)
+      // PRE-AGGREGATED frame — inline-justified in EtlOps; every
+      // OTHER window in those plans still must be pid-keyed
+      val boundedFrameOk: Map[String, String] =
+        Map("q361_weighted_median" -> "windowspecdefinition(flag#")
+      def isBoundedException(q: String, l: String): Boolean =
+        boundedFrameOk.get(q).exists(l.contains)
       val df = SparkEntry.queries(q)(spark, sf)
       val p = df.queryExecution.executedPlan.toString
       val windowLines = p.linesIterator.filter(_.contains("Window [")).toSeq
       assert(windowLines.nonEmpty,
         s"$q: expected the pid-partitioned rank window\n${p.take(400)}")
-      assert(windowLines.forall(l => l.contains("__pid") || l.contains("user_id")),
+      // q293 predates the __pid naming convention (plain `pid`), so
+      // match either — same check q171's gate uses
+      assert(windowLines.forall(l => l.contains("pid") || l.contains("user_id") ||
+          isBoundedException(q, l)),
         s"$q: window not pid-partitioned:\n${windowLines.mkString("\n")}")
       // a 1-row broadcast count() legitimately plans SinglePartition;
-      // a WINDOW must never sit above one
+      // a WINDOW must never sit above one (bounded-frame exceptions
+      // excepted — their whole point is a tiny single-task frame)
       val lines = p.linesIterator.toSeq
-      lines.zipWithIndex.filter(_._1.contains("Window [")).foreach { case (_, i) =>
+      lines.zipWithIndex.filter { case (l, _) =>
+        l.contains("Window [") && !isBoundedException(q, l)
+      }.foreach { case (_, i) =>
         val below = lines.drop(i + 1).take(3).mkString("\n")
         assert(!below.contains("Exchange SinglePartition"),
           s"$q: window over a single partition:\n$below")

@@ -99,7 +99,9 @@ class ReproSpec extends AnyFunSuite {
     "q341_locf_resample",   // max(struct) pick + fill-group LOCF
     "q342_last_touch",      // native as-of walk + recency cutoff
     "q343_mad_outliers",    // double rank pick (median + MAD fences)
+    "q344_seasonal_backtest", // count-table lag-7 self-join MAPE
     "q345_ab_ztest",        // md5 arms + decimal cross-mult verdict
+    "q346_topk_ties",       // dense_rank WITH-TIES group limit
     "q347_compaction_plan", // withRunningTotal cumulative bin pack
     "q349_kwic",            // broadcast term + per-doc context slices
     "q350_bounce_report",   // session entry/exit min/max struct picks
@@ -108,6 +110,7 @@ class ReproSpec extends AnyFunSuite {
     "q354_interval_coalesce", // rows-to-previous running-max islands
     "q355_mmr_rerank",      // collected-matrix greedy re-rank
     "q356_rfm_segments",    // triple GroupedRank quintile cuts
+    "q357_reactivation",    // user-keyed lag gap histogram
     "q358_pareto_curve",    // desc rank + withRunningTotal deciles
     "q359_user_cap",        // md5 fairness rank + cap filter
     "q360_schema_evolution", // two-generation mergeSchema read-back
