@@ -3010,40 +3010,86 @@ object EtlOps {
     }),
 
     // Manifest-pinned snapshot read (time travel) — the lakehouse
-    // primitive under every AS OF query: three append "commits" each
-    // add a parquet file, each commit writes a JSON manifest listing
-    // its full file set, and a reader pinned to manifest v2 sees
-    // EXACTLY commits 1-2 — no directory listing, no torn reads from
-    // the in-flight commit 3. The manifest fetch is a bounded
-    // metadata read (manifest-sized, like every table format's);
-    // the data read unions only the pinned files. Scratch is
-    // per-process (q326 discipline).
+    // primitive under every AS OF query: three append commits through
+    // the reusable `operators/Manifest` (immutable vN.json manifests,
+    // atomic-rename publish), and a reader pinned to v2 sees EXACTLY
+    // commits 1-2 — no directory listing, no torn reads from the
+    // in-flight commit 3. The manifest fetch is a bounded metadata
+    // read (manifest-sized, like every table format's); the data read
+    // unions only the pinned files. Scratch is per-process (q326
+    // discipline), rebuilt fresh per invocation (commits are
+    // errorifexists — the append-only contract).
     "q363_snapshot_read" -> ((s, d) => {
-      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft-q363-" + Integer.toHexString(d.hashCode) +
-          "-p" + ProcessHandle.current().pid()).toString
+      val root = freshScratch("q363", d)
       val docs = Tables(s, d).documents
         .select(col("doc_id"), col("lang"), col("n_chars"))
       (1 to 3).foreach { k =>
-        docs.filter(col("doc_id") % 3 === (k - 1))
-          .write.mode("overwrite").parquet(s"$dir/files/c$k")
-        val members = (1 to k).map(i => s"""{"path":"$dir/files/c$i"}""")
-        java.nio.file.Files.createDirectories(
-          java.nio.file.Paths.get(s"$dir/manifests"))
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"$dir/manifests/v$k.json"),
-          members.mkString("\n").getBytes(
-            java.nio.charset.StandardCharsets.UTF_8))
+        graft.operators.Manifest.commitAdd(
+          docs.filter(col("doc_id") % 3 === (k - 1)), root, s"c$k")
       }
-      val pinned = s.read.schema("path STRING")
-        .json(s"$dir/manifests/v2.json")
-        .collect().map(_.getString(0)) // bounded: manifest-sized
-      s.read.parquet(pinned: _*)
+      graft.operators.Manifest.read(s, root, 2)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("sum_chars"))
+    }),
+
+    // Compaction REPLACE commit under snapshot isolation — the
+    // maintenance leg q363's time travel was missing (r9 verdict
+    // item 6): the two small member files compact into one rewritten
+    // file published as a REPLACE commit (new files + new manifest,
+    // nothing the old versions reference is touched), and the query
+    // proves the contract end-to-end by aggregating BOTH the pinned
+    // pre-compaction version and the post-compaction current version
+    // and joining them — `pre_post_match` is computed from the two
+    // reads, not assumed. ManifestSpec proves the stronger isolation
+    // property (a pinned reader materialized AFTER the rewrite still
+    // sees the old file set); file-count assertions prove the
+    // compaction actually shrank the member list (3 → 2).
+    "q364_compaction_commit" -> ((s, d) => {
+      val root = freshScratch("q364", d)
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      (1 to 3).foreach { k =>
+        graft.operators.Manifest.commitAdd(
+          docs.filter(col("doc_id") % 3 === (k - 1)), root, s"c$k")
+      }
+      val vPre = graft.operators.Manifest.currentVersion(root) // = 3
+      val small = Seq(s"$root/files/c1", s"$root/files/c2")
+      val rewritten = s.read.parquet(small: _*)
+      val vPost = graft.operators.Manifest.commitReplace(
+        rewritten, root, small, "compact1")
+      // the replace must actually compact: 3 members → 2
+      require(graft.operators.Manifest.members(root, vPre).size == 3 &&
+        graft.operators.Manifest.members(root, vPost).size == 2,
+        "q364: replace commit did not shrink the member list 3 -> 2")
+      def agg(v: Int, suffix: String) =
+        graft.operators.Manifest.read(s, root, v)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as(s"n_docs$suffix"),
+            sum(col("n_chars")).cast("long").as(s"sum_chars$suffix"))
+      agg(vPre, "").join(agg(vPost, "_post"), Seq("lang"), "full_outer")
+        .select(col("lang"), col("n_docs"), col("sum_chars"),
+          (col("n_docs") === col("n_docs_post") &&
+            col("sum_chars") === col("sum_chars_post")).as("pre_post_match"))
     })
   )
+
+  /** Per-process scratch root, wiped and recreated on every call —
+    * the Manifest queries re-run inside one JVM (bench min-of-2,
+    * ReproSpec's double run) and their commits are deliberately
+    * errorifexists, so each invocation starts from an empty table.
+    */
+  private def freshScratch(tag: String, d: String): String = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-$tag-" + Integer.toHexString(d.hashCode) +
+        "-p" + ProcessHandle.current().pid())
+    if (java.nio.file.Files.exists(p)) {
+      val it = java.nio.file.Files.walk(p).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]()).iterator()
+      while (it.hasNext) java.nio.file.Files.delete(it.next())
+    }
+    p.toString
+  }
 
   /** Five unrolled BFS rounds sharing one recurrence with the Spark
     * loop.
@@ -3388,6 +3434,11 @@ object EtlOps {
       """SELECT lang, count(*)::BIGINT AS n_docs,
                 sum(n_chars)::BIGINT AS sum_chars
          FROM documents WHERE doc_id % 3 IN (0, 1) GROUP BY 1""",
+    "q364_compaction_commit" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+                sum(n_chars)::BIGINT AS sum_chars,
+                true AS pre_post_match
+         FROM documents GROUP BY 1""",
     "q361_weighted_median" ->
       """WITH items AS (
            SELECT l_returnflag AS flag,

@@ -110,7 +110,8 @@ object DumpPlans {
     "q360_schema_evolution" -> "schema evolution: mergeSchema read unions the two generations' schemas; partition discovery yields the gen column; gen-1 rows surface null quality — the long-lived-dataset contract, gated per generation",
     "q361_weighted_median" -> "weighted median: corpus-sized cumulative weight rides withRunningTotal's range exchange (5th call site); flag totals + prefix offsets are a 3-row broadcast frame; the crossing pick is a key-shaped min aggregate",
     "q362_time_to_convert" -> "time-to-convert: first-view/first-purchase are min aggregates (no event window); log2 buckets via the binary-string trick; histogram-sized output",
-    "q363_snapshot_read" -> "snapshot read: the manifest fetch is a bounded metadata read; the data scan unions ONLY the pinned files — no directory listing, no torn read from the in-flight commit")
+    "q363_snapshot_read" -> "snapshot read: the manifest fetch is a bounded metadata read; the data scan unions ONLY the pinned files — no directory listing, no torn read from the in-flight commit",
+    "q364_compaction_commit" -> "compaction replace commit: small members rewritten into one file + atomic-rename manifest publish; pre/post reads are two pinned manifest unions joined on lang — the parity column is computed, never assumed")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

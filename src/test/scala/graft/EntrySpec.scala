@@ -27,6 +27,15 @@ class EntrySpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracle without query: $extra")
   }
 
+  test("the full query inventory count matches the documented board") {
+    // r9 verdict polish item: only the rows-only subset was pinned,
+    // so a silently DROPPED oracled query would not have failed the
+    // suite. Keep in sync with CLAUDE.md's inventory note — a new
+    // query bumps this in the SAME commit.
+    assert(SparkEntry.queries.size == 364,
+      s"query inventory drifted: ${SparkEntry.queries.size} (expected 364)")
+  }
+
   test("rows-only queries are exactly the approximate / non-SQL-expressible ops") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep this count in sync with CLAUDE.md's inventory note

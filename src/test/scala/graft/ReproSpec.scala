@@ -116,7 +116,9 @@ class ReproSpec extends AnyFunSuite {
     "q360_schema_evolution", // two-generation mergeSchema read-back
     "q361_weighted_median", // global cumsum − broadcast flag offsets
     "q362_time_to_convert", // min-aggregate funnel latency histogram
-    "q363_snapshot_read"    // manifest-pinned file-set union read
+    "q363_snapshot_read",   // manifest-pinned file-set union read
+    // round-10 additions
+    "q364_compaction_commit" // replace commit + pre/post parity join
   )
 
   representatives.foreach { name =>
