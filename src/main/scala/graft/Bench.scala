@@ -136,11 +136,16 @@ object Bench {
     // (r6→r7 idle 1.26→1.94 s with no code change), so it always
     // gets a third sample — min-of-3 instead of min-of-2.
     val streamingDrains = Set("q50_stream_hourly")
-    // contention self-description: any query that needed divergence
-    // resampling marks the artifact, so a reader knows whether the
-    // run is an idle-box number or a contended one without
-    // cross-referencing CLAUDE.md's band
-    var sawDivergence = false
+    // contention self-description: queries whose WARM samples
+    // diverged are NAMED in the artifact, so a reader can judge the
+    // flag instead of trusting it. Two r10 falsifiability fixes
+    // (three consecutive idle runs still flagged contended:true):
+    // (a) the divergence floor rises 0.05 → 0.25 s — a 0.08 s vs
+    // 0.30 s pair on a sub-second query is scheduler jitter, not a
+    // poisoned window; (b) ONE divergent query no longer flags the
+    // whole run — real neighbor contention poisons a time WINDOW,
+    // which spans multiple queries, so the flag needs >= 2.
+    val divergent = scala.collection.mutable.ArrayBuffer.empty[String]
     var results = selected.flatMap { name =>
       qs.get(name).map { fn =>
         // min of two runs: the second is warm (JIT, codegen cache,
@@ -166,8 +171,8 @@ object Bench {
           // idle run reported true). Resampling above still keys off
           // all samples — min stays correct — but the flag doesn't.
           val warm = samples.drop(1).filter(_ >= 0)
-          if (warm.size >= 2 && warm.max > 3.0 * math.max(warm.min, 0.05))
-            sawDivergence = true
+          if (warm.size >= 2 && warm.max > 3.0 * math.max(warm.min, 0.25))
+            divergent += name
         }
         name -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
       }
@@ -176,14 +181,15 @@ object Bench {
     // blind when BOTH samples land in the same contended window
     // (observed r5: 60.06 s recorded where an idle box reproduces
     // ~52 s; q127 9.4 s vs 1.5 s). The full-suite sf0.1 run is pinned
-    // at ~47-57 s idle (PLANS.md; +~5 s of round-6 headline queries) —
-    // if the measured total blows past
-    // that even though per-query min/max agreed, take ONE more
-    // sample of every full-suite query and keep the min.
+    // at ~55-60 s idle (r10: three consecutive settled-box runs read
+    // 56.8/57.3/59.4 s over the 61 headline queries) — if the
+    // measured total blows past that even though per-query min/max
+    // agreed, take ONE more sample of every full-suite query and
+    // keep the min.
     val fullSuite = only.isEmpty && sfDir.endsWith("sf0.1")
     var wholeSuitePass = false
-    if (fullSuite && results.map(_._2).filter(_ >= 0).sum > 60.0) {
-      System.err.println("[bench] total exceeds the ~57 s idle-box pin " +
+    if (fullSuite && results.map(_._2).filter(_ >= 0).sum > 65.0) {
+      System.err.println("[bench] total exceeds the ~60 s idle-box pin " +
         "with agreeing samples — whole-suite contention pass")
       wholeSuitePass = true
       results = results.map { case (name, t) =>
@@ -210,9 +216,10 @@ object Bench {
         p.info().command().map[Boolean](_.contains("java")).orElse(false))
         .count().toInt
     } catch { case _: Exception => -1 }
-    val contended = sawDivergence || wholeSuitePass || loadAvg > 4.0
+    val contended = divergent.size >= 2 || wholeSuitePass || loadAvg > 4.0
+    val divJson = divergent.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","loadavg":$loadAvg%.2f,"loadavg_initial":$load0%.2f,"load_retry":$loadRetried,"jvms":$jvms,"contended":$contended}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","loadavg":$loadAvg%.2f,"loadavg_initial":$load0%.2f,"load_retry":$loadRetried,"jvms":$jvms,"divergent":$divJson,"contended":$contended}"""
     println(line)
     // stdout travels through sbt's [error]-prefixing + the driver's
     // 2000-char tail truncation, which has eaten the per-query table

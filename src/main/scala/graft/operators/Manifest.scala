@@ -3,7 +3,8 @@ package graft.operators
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Manifest-pinned table format — the reusable time-travel +
   * maintenance-with-isolation primitive grown out of q363's snapshot
@@ -64,21 +65,13 @@ object Manifest {
     }
   }
 
-  /** Member file list of a published version — bounded, manifest-sized. */
-  def members(root: String, version: Int): Seq[String] = {
-    val p = manifestPath(root, version)
-    require(Files.exists(p), s"Manifest: version $version not published under $root")
-    scala.jdk.CollectionConverters.ListHasAsScala(
-      Files.readAllLines(p, StandardCharsets.UTF_8)).asScala.toSeq
-      .filter(_.nonEmpty)
-      .map { line =>
-        // one {"path": "..."} object per line; extracted without a
-        // JSON library dependency (the writer below is the only
-        // producer, so the shape is fixed)
-        val i = line.indexOf("\"path\":\"") + 8
-        line.substring(i, line.indexOf('"', i))
-      }
-  }
+  /** Member file list of a published version — bounded, manifest-sized.
+    * Lines are `{"path": "...", ...stats}` objects; the path field is
+    * extracted without a JSON library (the writer below is the only
+    * producer, so the shape is fixed).
+    */
+  def members(root: String, version: Int): Seq[String] =
+    membersRaw(root, version).map(pathOf)
 
   /** Pinned snapshot read: unions EXACTLY `version`'s files. */
   def read(spark: SparkSession, root: String, version: Int): DataFrame = {
@@ -87,14 +80,16 @@ object Manifest {
     spark.read.parquet(ms: _*)
   }
 
-  /** Publish `paths` as the next version via temp-file + atomic
+  /** Publish member LINES as the next version via temp-file + atomic
     * rename — a reader can never observe a half-written manifest.
+    * Lines pass through verbatim so per-member stats survive every
+    * later commit that keeps the member.
     */
-  private def publish(root: String, paths: Seq[String]): Int = {
+  private def publish(root: String, lines: Seq[String]): Int = {
     val dir = manifestsDir(root)
     Files.createDirectories(dir)
     val next = currentVersion(root) + 1
-    val body = paths.map(p => s"""{"path":"$p"}""").mkString("\n")
+    val body = lines.mkString("\n")
     val tmp = dir.resolve(s".v$next.json.tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     try
@@ -111,16 +106,90 @@ object Manifest {
   }
 
   /** ADD commit: write `df` as a new member directory and publish
-    * previous members + the new one. Returns the new version.
+    * previous members + the new one. `statsCols` (integral columns)
+    * embed per-member min/max in the manifest line — the data-
+    * skipping stats [[prunedMembers]] reads, costing one tiny
+    * aggregate at commit time, saving whole-file scans forever after.
+    * Returns the new version.
     */
-  def commitAdd(df: DataFrame, root: String, name: String): Int = {
+  def commitAdd(
+      df: DataFrame,
+      root: String,
+      name: String,
+      statsCols: Seq[String] = Nil): Int = {
     val target = s"$root/files/$name"
     df.write.mode("errorifexists").parquet(target)
     val prev = currentVersion(root)
-    val base = if (prev == 0) Seq.empty else members(root, prev)
-    require(!base.contains(target),
+    val base = if (prev == 0) Seq.empty else membersRaw(root, prev)
+    require(!base.exists(pathOf(_) == target),
       s"Manifest: $target is already a member of v$prev")
-    publish(root, base :+ target)
+    publish(root, base :+ memberLine(target, statsJson(df, statsCols)))
+  }
+
+  /** `,"min_c":lo,"max_c":hi` fragments for each stats column — one
+    * bounded aggregate over the committed frame. Integral columns
+    * only (string min/max needs collation pinning; out of scope).
+    */
+  private def statsJson(df: DataFrame, statsCols: Seq[String]): String =
+    if (statsCols.isEmpty) ""
+    else {
+      import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+      val aggs = statsCols.flatMap(c => Seq(
+        fmin(col(c)).cast("long").as(s"__mn_$c"),
+        fmax(col(c)).cast("long").as(s"__mx_$c")))
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0) // 1 row
+      statsCols.zipWithIndex.map { case (c, i) =>
+        s""","min_$c":${row.getLong(2 * i)},"max_$c":${row.getLong(2 * i + 1)}"""
+      }.mkString
+    }
+
+  private def memberLine(path: String, statsFragment: String): String =
+    s"""{"path":"$path"$statsFragment}"""
+
+  private def pathOf(line: String): String = {
+    val i = line.indexOf("\"path\":\"") + 8
+    line.substring(i, line.indexOf('"', i))
+  }
+
+  /** Raw manifest lines of a version (path + any stats fields). */
+  private def membersRaw(root: String, version: Int): Seq[String] = {
+    val p = manifestPath(root, version)
+    require(Files.exists(p), s"Manifest: version $version not published under $root")
+    scala.jdk.CollectionConverters.ListHasAsScala(
+      Files.readAllLines(p, StandardCharsets.UTF_8)).asScala.toSeq
+      .filter(_.nonEmpty)
+  }
+
+  /** Member paths whose `[min_col, max_col]` stats range intersects
+    * `[lo, hi]` — manifest-level data skipping (the Iceberg shape): a
+    * selective read consults member stats and scans ONLY candidate
+    * files. A member WITHOUT stats for `colName` is conservatively
+    * kept (rewrites that dropped stats stay correct, just unpruned).
+    * Stats pruning is an optimization only — the caller still applies
+    * the row-level filter to the pruned union.
+    */
+  def prunedMembers(
+      root: String,
+      version: Int,
+      colName: String,
+      lo: Long,
+      hi: Long): Seq[String] = {
+    def field(line: String, key: String): Option[Long] = {
+      val tag = s""""$key":"""
+      val i = line.indexOf(tag)
+      if (i < 0) None
+      else {
+        val from = i + tag.length
+        val end = line.indexWhere(c => c == ',' || c == '}', from)
+        Some(line.substring(from, end).toLong)
+      }
+    }
+    membersRaw(root, version).filter { line =>
+      (field(line, s"min_$colName"), field(line, s"max_$colName")) match {
+        case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+        case _ => true // no stats → must read
+      }
+    }.map(pathOf)
   }
 
   /** REPLACE commit (compaction / rewrite): `df` must be the exact
@@ -136,13 +205,142 @@ object Manifest {
       name: String): Int = {
     val prev = currentVersion(root)
     require(prev > 0, s"Manifest: cannot replace in an empty table $root")
-    val base = members(root, prev)
-    val missing = replaced.filterNot(base.contains)
+    val base = membersRaw(root, prev)
+    val missing = replaced.filterNot(r => base.exists(pathOf(_) == r))
     require(missing.isEmpty,
       s"Manifest: replace targets not in v$prev: ${missing.mkString(", ")}")
     require(replaced.nonEmpty, "Manifest: nothing to replace")
     val target = s"$root/files/$name"
     df.write.mode("errorifexists").parquet(target)
-    publish(root, base.filterNot(replaced.contains) :+ target)
+    // kept members pass through with their stats; the rewrite carries
+    // none (conservative — prunedMembers always reads stats-less files)
+    publish(root, base.filterNot(l => replaced.contains(pathOf(l)))
+      :+ memberLine(target, ""))
+  }
+
+  /** Copy-on-write row-level DELETE: rewrite ONLY the member files
+    * that contain matching rows (each minus its matches), leave every
+    * untouched member in place, publish one replace commit. This is
+    * the Iceberg/Delta COW delete shape — at 100 TB the rewrite cost
+    * is proportional to the AFFECTED files, not the table, because
+    * the per-member probe is a bounded `limit(1)` existence check
+    * that parquet row-group stats can short-circuit. Returns the new
+    * version, or the current one if nothing matched (no empty
+    * commits). `nameTag` prefixes the rewritten member dirs.
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      root: String,
+      predicate: org.apache.spark.sql.Column,
+      nameTag: String): Int = {
+    val prev = currentVersion(root)
+    require(prev > 0, s"Manifest: cannot delete from an empty table $root")
+    val base = membersRaw(root, prev)
+    // member-level pruning: a file with no matching row is NOT
+    // rewritten (its bytes stay shared with every older version)
+    val affected = base.map(pathOf).filter { m =>
+      spark.read.parquet(m).filter(predicate).limit(1).count() > 0
+    }
+    if (affected.isEmpty) prev
+    else {
+      val rewritten = affected.zipWithIndex.map { case (m, i) =>
+        val survivors = spark.read.parquet(m).filter(!predicate)
+        val target = s"$root/files/$nameTag-$i"
+        survivors.write.mode("errorifexists").parquet(target)
+        memberLine(target, "")
+      }
+      publish(root, base.filterNot(l => affected.contains(pathOf(l)))
+        ++ rewritten)
+    }
+  }
+
+  /** Idempotent keyed append (exactly-once ingest): only rows of `df`
+    * whose `keyCol` is absent from the current snapshot are written;
+    * a batch that is entirely already-present publishes NOTHING (the
+    * version does not advance — re-delivering a batch is a no-op,
+    * the at-least-once-upstream contract every ingest needs). The
+    * dedup is one key-shaped left-anti join against the snapshot.
+    * Returns the (possibly unchanged) current version.
+    */
+  def idempotentAppend(
+      df: DataFrame,
+      root: String,
+      name: String,
+      keyCol: String): Int = {
+    val spark = df.sparkSession
+    val prev = currentVersion(root)
+    val fresh =
+      if (prev == 0) df
+      else df.join(read(spark, root, prev).select(keyCol),
+        Seq(keyCol), "left_anti")
+    // the existence probe is bounded (limit(1)), not a full count
+    if (fresh.limit(1).count() == 0) prev
+    else commitAdd(fresh, root, name)
+  }
+
+  /** Row-level change feed between two published versions (the
+    * `table_changes` read every downstream incremental consumer
+    * wants): ONE key-shaped full-outer join between the two pinned
+    * snapshot reads classifies every key as inserted / deleted /
+    * changed (any value column differs) / unchanged — unchanged rows
+    * drop, the feed carries the TO-side values for inserts/changes
+    * and FROM-side for deletes. `keyCol` must be unique per version
+    * (it is a table key); value comparison is null-safe.
+    */
+  def diff(
+      spark: SparkSession,
+      root: String,
+      vFrom: Int,
+      vTo: Int,
+      keyCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(valueCols.nonEmpty, "Manifest.diff: valueCols required")
+    val from = read(spark, root, vFrom).select(col(keyCol) +: lit(true).as("__f")
+      +: valueCols.map(c => col(c).as(s"__f_$c")): _*)
+    val to = read(spark, root, vTo).select(col(keyCol) +: lit(true).as("__t")
+      +: valueCols.map(c => col(c).as(s"__t_$c")): _*)
+    val changed = valueCols.map(c =>
+      !(col(s"__f_$c") <=> col(s"__t_$c"))).reduce(_ || _)
+    from.join(to, Seq(keyCol), "full_outer")
+      .withColumn("change_type",
+        when(col("__f").isNull, lit("inserted"))
+          .when(col("__t").isNull, lit("deleted"))
+          .when(changed, lit("changed")))
+      .filter(col("change_type").isNotNull)
+      .select(col(keyCol) +: col("change_type") +:
+        valueCols.map(c =>
+          when(col("change_type") === "deleted", col(s"__f_$c"))
+            .otherwise(col(s"__t_$c")).as(c)): _*)
+  }
+
+  /** Expire versions older than `keepVersions` back from the head and
+    * delete data files no retained version references. The retained
+    * window keeps reading bit-identically (their manifests and every
+    * file they reference survive); expired manifests are removed so a
+    * reader can no longer pin them. Returns (expired versions,
+    * deleted member dirs).
+    */
+  def vacuum(root: String, keepVersions: Int): (Seq[Int], Seq[String]) = {
+    require(keepVersions >= 1, "Manifest: must keep at least one version")
+    val head = currentVersion(root)
+    require(head > 0, s"Manifest: cannot vacuum an empty table $root")
+    val keepFrom = math.max(1, head - keepVersions + 1)
+    val retained = (keepFrom to head).flatMap(v => members(root, v)).toSet
+    val expired = (1 until keepFrom).toSeq
+    val orphans = expired.flatMap(v => members(root, v)).distinct
+      .filterNot(retained.contains)
+    // order matters for crash safety: manifests FIRST (so no reader
+    // can pin a version whose files are about to go), then the files
+    expired.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
+    orphans.foreach { m =>
+      val p = Paths.get(m)
+      if (Files.exists(p)) {
+        val it = Files.walk(p).sorted(
+          java.util.Comparator.reverseOrder[Path]()).iterator()
+        while (it.hasNext) Files.delete(it.next())
+      }
+    }
+    (expired, orphans)
   }
 }

@@ -3071,6 +3071,286 @@ object EtlOps {
         .select(col("lang"), col("n_docs"), col("sum_chars"),
           (col("n_docs") === col("n_docs_post") &&
             col("sum_chars") === col("sum_chars_post")).as("pre_post_match"))
+    }),
+
+    // Copy-on-write row-level DELETE — GDPR/right-to-forget against a
+    // manifest table: the predicate targets rows in ONE member file
+    // (lang='de' ∧ doc_id≡0 mod 3 lives only in c1), and
+    // Manifest.deleteWhere rewrites ONLY that member (bounded
+    // limit(1) existence probe per member — parquet stats
+    // short-circuit it at scale), so at 100 TB the delete pays for
+    // the affected files, never the table. The require proves the
+    // COW discipline held (c2/c3 bytes untouched and still
+    // referenced); the aggregate proves the rows are really gone.
+    "q365_delete_commit" -> ((s, d) => {
+      val root = freshScratch("q365", d)
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      (1 to 3).foreach { k =>
+        graft.operators.Manifest.commitAdd(
+          docs.filter(col("doc_id") % 3 === (k - 1)), root, s"c$k")
+      }
+      val vPost = graft.operators.Manifest.deleteWhere(s, root,
+        col("lang") === "de" && col("doc_id") % 3 === 0, "del")
+      val ms = graft.operators.Manifest.members(root, vPost)
+      require(ms.contains(s"$root/files/c2") && ms.contains(s"$root/files/c3")
+        && !ms.contains(s"$root/files/c1"),
+        s"q365: COW delete must rewrite ONLY the affected member, got $ms")
+      graft.operators.Manifest.read(s, root, vPost)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+    }),
+
+    // Deterministic stratified hash sampling — the corpus
+    // downsampling step every training mix runs, made REPRODUCIBLE
+    // (the q75/q359 md5 discipline): a doc survives iff its md5 first
+    // hex nibble < 4 (a fixed 25% rate), so the sample is a pure
+    // function of doc_id — re-runs, engines, and partitionings all
+    // agree, and NO shuffle is needed to sample (a narrow filter at
+    // any scale; rand()-based sampling is neither reproducible nor
+    // oracle-able). Report per language: totals, sampled counts/chars,
+    // achieved permille.
+    "q366_stratified_sample" -> ((s, d) => {
+      val keep = substring(md5(col("doc_id").cast("string")), 1, 1)
+        .isin("0", "1", "2", "3")
+      Tables(s, d).documents
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(keep, 1L).otherwise(0L)).cast("long").as("n_sampled"),
+          sum(when(keep, col("n_chars")).otherwise(0L)).cast("long")
+            .as("sampled_chars"))
+        .withColumn("sampled_permille",
+          expr("n_sampled * 1000 div n_total"))
+    }),
+
+    // Idempotent keyed ingest (exactly-once append) — the landing
+    // contract for at-least-once upstreams: re-delivered batches must
+    // not duplicate rows OR advance the version. Batch 2 overlaps
+    // batch 1 (only the odd ids are new → one key-shaped anti join
+    // gates the commit), batch 3 is a FULL redelivery of batch 1 and
+    // publishes nothing — the require proves the no-op, the aggregate
+    // proves the table holds each document exactly once.
+    "q367_idempotent_ingest" -> ((s, d) => {
+      val root = freshScratch("q367", d)
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.operators.Manifest.commitAdd(
+        docs.filter(col("doc_id") % 2 === 0), root, "b0")
+      val v2 = graft.operators.Manifest.idempotentAppend(
+        docs, root, "b1", "doc_id")
+      val v3 = graft.operators.Manifest.idempotentAppend(
+        docs.filter(col("doc_id") % 2 === 0), root, "b2", "doc_id")
+      require(v2 == 2 && v3 == 2,
+        s"q367: redelivery must be a version no-op, got v2=$v2 v3=$v3")
+      graft.operators.Manifest.read(s, root, v3)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+    }),
+
+    // Duplicate-3-gram repetition score — the Gopher/MassiveText
+    // quality rule ("fraction of text inside repeated n-grams") that
+    // catches boilerplate and template spam exact-dedup misses: per
+    // doc, permille of 3-grams that are repeats of an earlier one
+    // (total − distinct over total), reported per language. The gram
+    // build is a per-doc array lambda (no explode — the corpus never
+    // shuffles at doc grain; fan-out via the single-file guard since
+    // the lambdas run interpreted); integer permille keeps the oracle
+    // bitwise. Docs under 3 tokens have no 3-grams and drop (none at
+    // shipped SFs — min doc is 10 tokens).
+    "q368_repetition_score" -> ((s, d) => {
+      TextOps.parallelized(Tables(s, d).documents)
+        .select(col("doc_id"), col("lang"),
+          split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= 3)
+        .withColumn("grams", expr(
+          "transform(sequence(0, size(ts) - 3), " +
+            "i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"))
+        .withColumn("dup_permille", expr(
+          "(size(grams) - size(array_distinct(grams))) * 1000 " +
+            "div size(grams)").cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(dup_permille) div count(1)").cast("long")
+            .as("avg_dup3_permille"),
+          max(col("dup_permille")).cast("long").as("max_dup3_permille"))
+    }),
+
+    // Cohort LTV curve — q336's retention matrix with money on it:
+    // users cohorted by first-purchase week, revenue accumulated by
+    // age-in-weeks, each cohort's curve in exact permille of its
+    // lifetime total ("when does a cohort deliver its value"). All
+    // corpus work is user-/purchase-shaped aggregates; the cumulative
+    // window partitions by cohort over a week²-cardinality
+    // PRE-AGGREGATED frame (≤25 rows at any corpus scale — inline-
+    // justified like the q361 offset frame, not a corpus window).
+    "q369_cohort_ltv" -> ((s, d) => {
+      val p = Tables(s, d).events
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("wk"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val cohort = p.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+      val cells = p.join(cohort, "user_id")
+        .groupBy(col("cw"), (col("wk") - col("cw")).as("age"))
+        .agg(sum(col("cents")).cast("long").as("revenue_cents"))
+      val wCum = Window.partitionBy(col("cw")).orderBy(col("age"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = cells.groupBy(col("cw"))
+        .agg(sum(col("revenue_cents")).cast("long").as("cohort_cents"))
+      cells
+        .withColumn("cum_cents",
+          sum(col("revenue_cents")).over(wCum).cast("long"))
+        .join(broadcast(tot), "cw")
+        .select(col("cw").as("cohort_week"), col("age"),
+          col("revenue_cents"), col("cum_cents"),
+          expr("cum_cents * 1000 div cohort_cents").as("ltv_permille"))
+    }),
+
+    // Manifest stats-pruned read (data skipping) — the Iceberg-shape
+    // selective scan: each ADD commit embeds min/max doc_id stats in
+    // its manifest line (one bounded aggregate at commit time), and a
+    // range read consults the STATS to skip whole members before any
+    // data IO — at 100 TB a selective query reads the manifest plus
+    // the intersecting files, never the table. The require proves the
+    // skip really happened (members r2/r3 never touched); the
+    // row-level filter still applies to the pruned union — stats
+    // pruning is an optimization, never the semantics.
+    "q370_stats_pruned_read" -> ((s, d) => {
+      val root = freshScratch("q370", d)
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.operators.Manifest.commitAdd(
+        docs.filter(col("doc_id") < 10), root, "r1", Seq("doc_id"))
+      graft.operators.Manifest.commitAdd(
+        docs.filter(col("doc_id") >= 10 && col("doc_id") < 20), root,
+        "r2", Seq("doc_id"))
+      graft.operators.Manifest.commitAdd(
+        docs.filter(col("doc_id") >= 20), root, "r3", Seq("doc_id"))
+      val v = graft.operators.Manifest.currentVersion(root)
+      val pruned = graft.operators.Manifest.prunedMembers(
+        root, v, "doc_id", 5L, 8L)
+      require(pruned == Seq(s"$root/files/r1"),
+        s"q370: stats must prune to the single intersecting member, got $pruned")
+      s.read.parquet(pruned: _*)
+        .filter(col("doc_id") >= 5 && col("doc_id") <= 8)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+    }),
+
+    // Positional phrase search — the adjacency leg q340's conjunctive
+    // (bag-of-words) search cannot express: the corpus's most frequent
+    // bigram is derived first (1-row TakeOrdered broadcast — the q92
+    // discipline), then matched EXACTLY via positional postings:
+    // per-term posting lists are term-filtered by broadcast joins
+    // BEFORE any shuffle, and the phrase hit is postings(t1) ⋈
+    // postings(t2) on (doc, pos+1) — the inverted-index phrase plan,
+    // never a LIKE scan over text. Report per language: matched docs
+    // and total occurrences.
+    "q371_phrase_search" -> ((s, d) => {
+      val docs = TextOps.parallelized(Tables(s, d).documents)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ts"))
+      val postings = docs
+        .select(col("doc_id"), col("lang"),
+          posexplode(col("ts")).as(Seq("pos", "tok")))
+      val topBigram = docs
+        // size >= 2 guard: sequence(0, size-2) runs DESCENDING on a
+        // 1-token doc and would index ts[-1] (ANSI throws)
+        .filter(size(col("ts")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(ts) - 2), " +
+            "i -> concat_ws(' ', ts[i], ts[i+1]))")).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(1)
+        .select(col("bigram"),
+          split(col("bigram"), " ").getItem(0).as("t1"),
+          split(col("bigram"), " ").getItem(1).as("t2"))
+      val p1 = postings.join(broadcast(topBigram.select(col("t1"))),
+        col("tok") === col("t1")).select(col("doc_id"), col("lang"),
+        col("pos").as("p1"))
+      val p2 = postings.join(broadcast(topBigram.select(col("t2"))),
+        col("tok") === col("t2")).select(col("doc_id").as("d2"),
+        col("pos").as("p2"))
+      p1.join(p2, col("doc_id") === col("d2") && col("p2") === col("p1") + 1)
+        .groupBy(col("lang"))
+        .agg(count_distinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+        .crossJoin(broadcast(topBigram.select(col("bigram").as("phrase"))))
+    }),
+
+    // Linear multi-touch attribution — q342's last-touch counterpart:
+    // every click in the 7 days BEFORE a purchase shares the credit
+    // equally, in exact integer permille (1000 div k each, remainder
+    // to the EARLIEST touch so the split sums to exactly 1000 —
+    // deterministic, no floats); clickless purchases credit 'none'.
+    // The window join is user-keyed (parallel at any user count), the
+    // per-purchase k/earliest come from ONE purchase-keyed window
+    // pass, and the report is channel-sized.
+    "q372_linear_attribution" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"),
+          unix_micros(col("ts")).as("c_us"),
+          concat(lit("ch"),
+            get_json_object(col("props"), "$.k").cast("long") % 4)
+            .as("channel"))
+      val touched = purchases.join(clicks, Seq("user_id"))
+        .filter(col("c_us") <= col("p_us") &&
+          col("p_us") - col("c_us") <= 604800000000L)
+      val wP = Window.partitionBy(col("p_id"))
+      val credited = touched
+        .withColumn("k", count(lit(1)).over(wP))
+        .withColumn("first_c",
+          min(struct(col("c_us"), col("c_id"))).over(wP))
+        .withColumn("credit_pm",
+          expr("1000 div k") +
+            when(col("first_c") === struct(col("c_us"), col("c_id")),
+              expr("1000 - k * (1000 div k)")).otherwise(lit(0L)))
+      val none = purchases.join(
+          touched.select(col("p_id")).distinct(), Seq("p_id"), "left_anti")
+        .select(lit("none").as("channel"), lit(1000L).as("credit_pm"))
+      credited.select(col("channel"), col("credit_pm"))
+        .unionByName(none)
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit_pm")).cast("long").as("credit_pm_total"))
+    }),
+
+    // Version-diff change feed (table_changes) — what an incremental
+    // downstream consumer reads instead of the full table: commits
+    // build v1..v3, a COW delete makes v4, and Manifest.diff derives
+    // the row-level feed between two pinned versions with ONE
+    // key-shaped full-outer join (inserted / deleted / changed;
+    // unchanged rows never leave the join). The report folds the two
+    // feeds (v1→v3 inserts, v3→v4 deletes) into change_type × lang
+    // counts.
+    "q373_version_diff" -> ((s, d) => {
+      val root = freshScratch("q373", d)
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      (1 to 3).foreach { k =>
+        graft.operators.Manifest.commitAdd(
+          docs.filter(col("doc_id") % 3 === (k - 1)), root, s"c$k")
+      }
+      graft.operators.Manifest.deleteWhere(s, root,
+        col("lang") === "de" && col("doc_id") % 3 === 0, "del")
+      val growth = graft.operators.Manifest.diff(s, root, 1, 3,
+        "doc_id", Seq("lang", "n_chars"))
+      val deletion = graft.operators.Manifest.diff(s, root, 3, 4,
+        "doc_id", Seq("lang", "n_chars"))
+      // "diff_window", not "window": WINDOW is a SQL keyword and the
+      // oracle column names must match byte-for-byte
+      growth.select(lit("v1_to_v3").as("diff_window"), col("change_type"),
+          col("lang"))
+        .unionByName(deletion.select(lit("v3_to_v4").as("diff_window"),
+          col("change_type"), col("lang")))
+        .groupBy(col("diff_window"), col("change_type"), col("lang"))
+        .agg(count(lit(1)).as("n_rows"))
     })
   )
 
@@ -3439,6 +3719,126 @@ object EtlOps {
                 sum(n_chars)::BIGINT AS sum_chars,
                 true AS pre_post_match
          FROM documents GROUP BY 1""",
+    "q365_delete_commit" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+                sum(n_chars)::BIGINT AS sum_chars
+         FROM documents
+         WHERE NOT (lang = 'de' AND doc_id % 3 = 0) GROUP BY 1""",
+    "q366_stratified_sample" ->
+      """SELECT lang, count(*)::BIGINT AS n_total,
+                sum(CASE WHEN substring(md5(doc_id::VARCHAR), 1, 1)
+                      IN ('0', '1', '2', '3') THEN 1 ELSE 0 END)::BIGINT
+                  AS n_sampled,
+                sum(CASE WHEN substring(md5(doc_id::VARCHAR), 1, 1)
+                      IN ('0', '1', '2', '3') THEN n_chars ELSE 0 END)::BIGINT
+                  AS sampled_chars,
+                (sum(CASE WHEN substring(md5(doc_id::VARCHAR), 1, 1)
+                      IN ('0', '1', '2', '3') THEN 1 ELSE 0 END) * 1000
+                  // count(*))::BIGINT AS sampled_permille
+         FROM documents GROUP BY 1""",
+    "q367_idempotent_ingest" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+                sum(n_chars)::BIGINT AS sum_chars
+         FROM documents GROUP BY 1""",
+    "q368_repetition_score" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+                    FROM documents),
+         e AS (SELECT doc_id, lang, unnest(ws) AS tok,
+                      generate_subscripts(ws, 1) AS ord FROM t),
+         g AS (SELECT a.doc_id, a.lang,
+                      a.tok || ' ' || b.tok || ' ' || c.tok AS gram
+               FROM e a
+               JOIN e b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+               JOIN e c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2),
+         pd AS (SELECT doc_id, lang, count(*) AS total,
+                       count(DISTINCT gram) AS dist
+                FROM g GROUP BY 1, 2),
+         dp AS (SELECT lang,
+                       ((total - dist) * 1000 // total)::BIGINT
+                         AS dup_permille
+                FROM pd)
+         SELECT lang, count(*)::BIGINT AS n_docs,
+                (sum(dup_permille) // count(*))::BIGINT AS avg_dup3_permille,
+                max(dup_permille)::BIGINT AS max_dup3_permille
+         FROM dp GROUP BY 1""",
+    "q370_stats_pruned_read" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+                sum(n_chars)::BIGINT AS sum_chars
+         FROM documents WHERE doc_id BETWEEN 5 AND 8 GROUP BY 1""",
+    "q371_phrase_search" ->
+      """WITH t AS MATERIALIZED (
+           SELECT doc_id, lang, string_split(text, ' ') AS ws
+           FROM documents),
+         e AS MATERIALIZED (
+           SELECT doc_id, lang, unnest(ws) AS tok,
+                  generate_subscripts(ws, 1) AS ord FROM t),
+         bg AS (SELECT a.tok || ' ' || b.tok AS bigram, count(*) AS n
+                FROM e a
+                JOIN e b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+                GROUP BY 1),
+         top1 AS MATERIALIZED (
+           SELECT bigram FROM bg ORDER BY n DESC, bigram LIMIT 1),
+         hits AS (SELECT a.doc_id, a.lang
+                  FROM e a
+                  JOIN e b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+                  JOIN top1 ON a.tok || ' ' || b.tok = top1.bigram)
+         SELECT lang, count(DISTINCT doc_id)::BIGINT AS n_docs,
+                count(*)::BIGINT AS n_occurrences,
+                (SELECT bigram FROM top1) AS phrase
+         FROM hits GROUP BY 1""",
+    "q372_linear_attribution" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+                    FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, event_id AS c_id, epoch_us(ts) AS c_us,
+                      'ch' || (json_extract_string(props, '$.k')::BIGINT
+                        % 4)::VARCHAR AS channel
+               FROM events WHERE event_type = 'click'),
+         m AS (SELECT p.p_id, c.c_id, c.c_us, c.channel
+               FROM p JOIN c ON c.user_id = p.user_id
+                 AND c.c_us <= p.p_us
+                 AND p.p_us - c.c_us <= 604800000000),
+         m2 AS (SELECT m.*, count(*) OVER (PARTITION BY p_id) AS k,
+                       row_number() OVER (PARTITION BY p_id
+                         ORDER BY c_us, c_id) AS rn
+                FROM m),
+         cr AS (SELECT channel,
+                       (1000 // k) + CASE WHEN rn = 1
+                         THEN 1000 - k * (1000 // k) ELSE 0 END
+                         AS credit_pm
+                FROM m2
+                UNION ALL
+                SELECT 'none' AS channel, 1000 AS credit_pm
+                FROM p WHERE p_id NOT IN (SELECT p_id FROM m))
+         SELECT channel, count(*)::BIGINT AS n_touches,
+                sum(credit_pm)::BIGINT AS credit_pm_total
+         FROM cr GROUP BY 1""",
+    "q373_version_diff" ->
+      """SELECT 'v1_to_v3' AS diff_window, 'inserted' AS change_type,
+                lang, count(*)::BIGINT AS n_rows
+         FROM documents WHERE doc_id % 3 IN (1, 2) GROUP BY 3
+         UNION ALL
+         SELECT 'v3_to_v4' AS diff_window, 'deleted' AS change_type,
+                lang, count(*)::BIGINT AS n_rows
+         FROM documents WHERE lang = 'de' AND doc_id % 3 = 0 GROUP BY 3""",
+    "q369_cohort_ltv" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
+                           round(value * 100, 0)::BIGINT AS cents
+                    FROM events WHERE event_type = 'purchase'),
+         cohort AS (SELECT user_id, min(wk) AS cw FROM p GROUP BY 1),
+         cells AS (SELECT c.cw, p.wk - c.cw AS age,
+                          sum(p.cents)::BIGINT AS revenue_cents
+                   FROM p JOIN cohort c ON c.user_id = p.user_id
+                   GROUP BY 1, 2),
+         tot AS (SELECT cw, sum(revenue_cents)::BIGINT AS cohort_cents
+                 FROM cells GROUP BY 1)
+         SELECT cells.cw AS cohort_week, cells.age, cells.revenue_cents,
+                (sum(cells.revenue_cents) OVER (PARTITION BY cells.cw
+                   ORDER BY cells.age ROWS UNBOUNDED PRECEDING))::BIGINT
+                  AS cum_cents,
+                ((sum(cells.revenue_cents) OVER (PARTITION BY cells.cw
+                   ORDER BY cells.age ROWS UNBOUNDED PRECEDING)) * 1000
+                  // t.cohort_cents)::BIGINT AS ltv_permille
+         FROM cells JOIN tot t ON t.cw = cells.cw""",
     "q361_weighted_median" ->
       """WITH items AS (
            SELECT l_returnflag AS flag,

@@ -111,7 +111,16 @@ object DumpPlans {
     "q361_weighted_median" -> "weighted median: corpus-sized cumulative weight rides withRunningTotal's range exchange (5th call site); flag totals + prefix offsets are a 3-row broadcast frame; the crossing pick is a key-shaped min aggregate",
     "q362_time_to_convert" -> "time-to-convert: first-view/first-purchase are min aggregates (no event window); log2 buckets via the binary-string trick; histogram-sized output",
     "q363_snapshot_read" -> "snapshot read: the manifest fetch is a bounded metadata read; the data scan unions ONLY the pinned files — no directory listing, no torn read from the in-flight commit",
-    "q364_compaction_commit" -> "compaction replace commit: small members rewritten into one file + atomic-rename manifest publish; pre/post reads are two pinned manifest unions joined on lang — the parity column is computed, never assumed")
+    "q364_compaction_commit" -> "compaction replace commit: small members rewritten into one file + atomic-rename manifest publish; pre/post reads are two pinned manifest unions joined on lang — the parity column is computed, never assumed",
+    "q365_delete_commit" -> "COW delete: per-member limit(1) existence probes pick the affected files; ONLY those rewrite (require-proved) — delete cost follows affected files, never table size; the read is the pinned post-version union",
+    "q366_stratified_sample" -> "stratified hash sample: survival is a pure md5(doc_id) function — a NARROW filter folded into one lang-shaped aggregate; no shuffle to sample, reproducible across engines/partitionings",
+    "q367_idempotent_ingest" -> "idempotent ingest: one key-shaped left-anti join gates each append; a redelivered batch publishes nothing (require-proved version no-op); the read unions the manifest's file set",
+    "q368_repetition_score" -> "repetition score: 3-gram build + dup-permille are per-doc array lambdas (no explode — the corpus never shuffles at doc grain, fan-out via the single-file guard); one lang-shaped aggregate",
+    "q369_cohort_ltv" -> "cohort LTV: purchase- and user-shaped aggregates only; the cumulative window partitions by cohort over a ≤weeks² PRE-AGGREGATED frame; cohort totals join back by broadcast; exact permille",
+    "q370_stats_pruned_read" -> "stats-pruned read: manifest min/max stats skip whole members BEFORE any data IO (require-proved single-member scan); the row filter still applies to the pruned union — pruning is an optimization, never the semantics",
+    "q371_phrase_search" -> "phrase search: top bigram is a 1-row TakeOrdered broadcast; postings are term-filtered by broadcast joins BEFORE any shuffle; the phrase hit is postings(t1) ⋈ postings(t2) on (doc, pos+1) — never a LIKE scan",
+    "q372_linear_attribution" -> "linear attribution: user-keyed 7-day window join; k and earliest touch from ONE purchase-keyed window pass; integer permille split sums to exactly 1000 per purchase (remainder to earliest); channel-sized report",
+    "q373_version_diff" -> "version diff: each change feed is ONE key-shaped full-outer join between two pinned manifest reads; unchanged rows never leave the join; the report is change_type × lang sized")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

@@ -118,7 +118,16 @@ class ReproSpec extends AnyFunSuite {
     "q362_time_to_convert", // min-aggregate funnel latency histogram
     "q363_snapshot_read",   // manifest-pinned file-set union read
     // round-10 additions
-    "q364_compaction_commit" // replace commit + pre/post parity join
+    "q364_compaction_commit", // replace commit + pre/post parity join
+    "q365_delete_commit",   // COW delete, affected-member rewrite only
+    "q366_stratified_sample", // md5 survival filter + lang aggregate
+    "q367_idempotent_ingest", // anti-join-gated append, no-op redelivery
+    "q368_repetition_score", // per-doc 3-gram dup permille lambdas
+    "q369_cohort_ltv",      // cohort-keyed cumulative revenue permille
+    "q370_stats_pruned_read", // manifest stats skip + filtered union
+    "q371_phrase_search",   // derived top bigram + positional postings
+    "q372_linear_attribution", // window join + integer credit split
+    "q373_version_diff"     // two pinned-version full-outer diffs
   )
 
   representatives.foreach { name =>

@@ -101,4 +101,99 @@ class ManifestSpec extends AnyFunSuite {
     }
     assert(Manifest.currentVersion(root) == 1, "failed add must not publish")
   }
+
+  test("deleteWhere rewrites ONLY affected members and removes exactly the matches") {
+    val root = freshRoot("delete")
+    Manifest.commitAdd(frame(0 until 10), root, "a")   // ids 0-9
+    Manifest.commitAdd(frame(10 until 20), root, "b")  // ids 10-19
+    Manifest.commitAdd(frame(20 until 30), root, "c")  // ids 20-29
+    // predicate hits members a and c, never b
+    val v = Manifest.deleteWhere(spark, root,
+      col("id") < 3 || col("id") >= 27, "del")
+    assert(v == 4)
+    val ms = Manifest.members(root, v)
+    assert(ms.contains(s"$root/files/b"), "untouched member must survive")
+    assert(!ms.contains(s"$root/files/a") && !ms.contains(s"$root/files/c"))
+    assert(Manifest.read(spark, root, v).select("id").as[Long].collect().toSet
+      == (3L until 27L).toSet)
+    // pinned pre-delete version still reads everything
+    assert(Manifest.read(spark, root, 3).count() == 30)
+    // a no-match predicate publishes nothing
+    assert(Manifest.deleteWhere(spark, root, col("id") === 999L, "del2") == v)
+  }
+
+  test("idempotentAppend lands each key once and no-ops on redelivery") {
+    val root = freshRoot("idem")
+    assert(Manifest.idempotentAppend(frame(0 until 10), root, "b0", "id") == 1)
+    // overlapping batch: only 10-14 are new
+    assert(Manifest.idempotentAppend(frame(5 until 15), root, "b1", "id") == 2)
+    assert(Manifest.read(spark, root, 2).select("id").as[Long].collect().toSet
+      == (0L until 15L).toSet)
+    // full redelivery: no publish, version unchanged
+    assert(Manifest.idempotentAppend(frame(0 until 15), root, "b2", "id") == 2)
+    assert(Manifest.currentVersion(root) == 2)
+  }
+
+  test("stats pruning keeps exactly the intersecting members and survives later commits") {
+    val root = freshRoot("stats")
+    Manifest.commitAdd(frame(0 until 10), root, "a", Seq("id"))
+    Manifest.commitAdd(frame(10 until 20), root, "b", Seq("id"))
+    Manifest.commitAdd(frame(20 until 30), root, "c", Seq("id"))
+    assert(Manifest.prunedMembers(root, 3, "id", 12, 14)
+      == Seq(s"$root/files/b"))
+    assert(Manifest.prunedMembers(root, 3, "id", 9, 10).toSet
+      == Set(s"$root/files/a", s"$root/files/b")) // boundary inclusive
+    assert(Manifest.prunedMembers(root, 3, "id", 100, 200).isEmpty)
+    // an un-statted column prunes nothing (conservative)
+    assert(Manifest.prunedMembers(root, 3, "payload", 0, 0).size == 3)
+    // stats survive a later commit that keeps the member…
+    Manifest.commitAdd(frame(30 until 35), root, "d") // no stats
+    assert(Manifest.prunedMembers(root, 4, "id", 12, 14).toSet
+      == Set(s"$root/files/b", s"$root/files/d")) // d: no stats → kept
+    // …and a replace keeps the UNTOUCHED members' stats while the
+    // rewrite itself is conservatively unpruned
+    val v5 = Manifest.commitReplace(
+      spark.read.parquet(s"$root/files/a"), root, Seq(s"$root/files/a"), "a2")
+    assert(Manifest.prunedMembers(root, v5, "id", 12, 14).toSet
+      == Set(s"$root/files/b", s"$root/files/d", s"$root/files/a2"))
+  }
+
+  test("diff classifies inserted/deleted/changed with null-safe compare") {
+    val root = freshRoot("diff")
+    val v1rows = Seq((1L, Option("x")), (2L, Option("y")),
+      (3L, Option.empty[String]))
+    Manifest.commitAdd(v1rows.toDF("id", "payload"), root, "a")
+    // v2: id 2 changed, id 3 unchanged (null == null), id 4 inserted,
+    // id 1 deleted
+    val small = Seq(s"$root/files/a")
+    val v2rows = Seq((2L, Option("Y")), (3L, Option.empty[String]),
+      (4L, Option("z")))
+    Manifest.commitReplace(v2rows.toDF("id", "payload"), root, small, "b")
+    val got = Manifest.diff(spark, root, 1, 2, "id", Seq("payload"))
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(got == Set(
+      (1L, "deleted", Some("x")),   // FROM-side values for deletes
+      (2L, "changed", Some("Y")),   // TO-side values for changes
+      (4L, "inserted", Some("z"))), got.toString)
+  }
+
+  test("vacuum deletes only files no retained version references") {
+    val root = freshRoot("vacuum")
+    Manifest.commitAdd(frame(0 until 10), root, "a")
+    Manifest.commitAdd(frame(10 until 20), root, "b")
+    val small = Seq(s"$root/files/a", s"$root/files/b")
+    Manifest.commitReplace(spark.read.parquet(small: _*), root, small, "ab")
+    Manifest.commitAdd(frame(20 until 25), root, "c")   // head v4
+    val (expired, deleted) = Manifest.vacuum(root, keepVersions = 2)
+    assert(expired == Seq(1, 2), expired.toString)
+    // a and b are only referenced by expired v1/v2 → deleted; ab/c live
+    assert(deleted.toSet == small.toSet, deleted.toString)
+    assert(!Files.exists(Paths.get(root, "files", "a")))
+    assert(Files.exists(Paths.get(root, "files", "ab")))
+    // retained versions still read bit-identically
+    assert(Manifest.read(spark, root, 3).count() == 20)
+    assert(Manifest.read(spark, root, 4).count() == 25)
+    // expired pins are gone loudly, not silently empty
+    intercept[IllegalArgumentException] { Manifest.read(spark, root, 1) }
+  }
 }
