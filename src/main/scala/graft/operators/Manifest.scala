@@ -278,6 +278,167 @@ object Manifest {
     else commitAdd(fresh, root, name)
   }
 
+  /** Has a commit tagged `nameTag` (an [[applyCdcBatch]] /
+    * [[upsert]] member-name prefix) already been published? The
+    * member list IS the ledger: a batch's members are named
+    * `<nameTag>-...`, so redelivering an applied batch is detected
+    * from the manifest alone — no side channel, and the check is
+    * manifest-sized metadata.
+    */
+  def tagApplied(root: String, nameTag: String): Boolean =
+    currentVersion(root) match {
+      case 0 => false
+      case v => members(root, v)
+        .exists(_.startsWith(s"$root/files/$nameTag-"))
+    }
+
+  /** Copy-on-write MERGE of one CDC batch into the table — the DML
+    * leg that completes append ([[commitAdd]]) and delete
+    * ([[deleteWhere]]). `changes` carries `keyCol`, an `op` column
+    * (∈ D / U / I) and value columns; exactly ONE row per key
+    * (collapse multi-change keys upstream — enforced loudly, the
+    * [[Cdc.applyChanges]] discipline) and the MERGE matrix is the
+    * same as [[Cdc]]'s:
+    *
+    *   - matched + D   → row deleted
+    *   - matched + U/I → value columns replaced by the change's
+    *   - unmatched + I → row inserted
+    *   - unmatched + U / unmatched + D → no-op (orphans ignored)
+    *
+    * Physical shape (the Iceberg/Delta COW MERGE at 100 TB):
+    *   1. ONE pass over the snapshot — keys semi-joined against the
+    *      batch with `input_file_name` carried along — yields both
+    *      the affected-member set (bounded collect: ≤ one row per
+    *      member file, manifest-sized metadata) and the matched-key
+    *      frame. Unaffected members are never read again, never
+    *      rewritten, and keep their stats lines.
+    *   2. Each affected member is rewritten minus the batch's keys
+    *      (orphan keys are vacuously absent).
+    *   3. Surviving change rows (inserts + matched upserts) land as
+    *      ONE new member; orphan-U rows never materialize.
+    *   4. Everything publishes as a single atomic version — readers
+    *      see the whole MERGE or none of it.
+    *
+    * The cost is proportional to the AFFECTED files plus the batch,
+    * never the table. An all-orphan / all-no-op batch publishes
+    * nothing and the version does not advance.
+    *
+    * Members are named `<nameTag>-r<i>` / `<nameTag>-new`, making
+    * `nameTag` the idempotency ledger key [[tagApplied]] reads; a
+    * crashed earlier attempt (files written, manifest unpublished)
+    * is recovered by deleting its unreferenced `<nameTag>-` dirs
+    * before writing — safe precisely because no manifest references
+    * them. Returns the (possibly unchanged) current version.
+    */
+  def applyCdcBatch(
+      changes: DataFrame,
+      root: String,
+      keyCol: String,
+      nameTag: String): Int = {
+    import org.apache.spark.sql.functions._
+    val spark = changes.sparkSession
+    val prev = currentVersion(root)
+    require(prev > 0, s"Manifest: applyCdcBatch needs an initialized table $root")
+    require(!tagApplied(root, nameTag),
+      s"Manifest: batch '$nameTag' is already applied to $root — " +
+        "redelivery must be skipped by the caller (tagApplied)")
+    val dup = changes.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"Manifest.applyCdcBatch: multiple change rows for key " +
+        s"${dup.headOption.map(_.get(0))} — a multi-change key has no " +
+        "deterministic MERGE result; collapse the batch to one row per key first")
+
+    recoverTag(root, nameTag)
+    val valueCols = changes.columns.filterNot(c => c == keyCol || c == "op").toSeq
+    val base = membersRaw(root, prev)
+    val memberDirs = base.map(pathOf)
+    val keys = changes.select(col(keyCol)).persist()
+
+    // one snapshot pass: which keys match, and in which member files
+    val hits = spark.read.parquet(memberDirs: _*)
+      .select(col(keyCol), input_file_name().as("__file"))
+      .join(keys, Seq(keyCol), "left_semi")
+      .persist()
+    val hitFiles = hits.select(col("__file")).distinct()
+      .collect().map(r => new java.net.URI(r.getString(0)).getPath)
+    val affected = memberDirs.filter(m => hitFiles.exists(_.startsWith(m + "/")))
+    val present = hits.select(col(keyCol)).distinct()
+
+    // surviving change rows: inserts + matched upserts (orphan U drops)
+    val appendRows = changes
+      .join(present.withColumn("__present", lit(true)), Seq(keyCol), "left")
+      .filter(col("op") =!= "D" &&
+        (col("op") === "I" || col("__present").isNotNull))
+      .select(col(keyCol) +: valueCols.map(col): _*)
+      .persist()
+    val hasAppend = appendRows.limit(1).count() > 0
+
+    val result =
+      if (affected.isEmpty && !hasAppend) prev // pure no-op batch
+      else {
+        val rewritten = affected.zipWithIndex.map { case (m, i) =>
+          val survivors = spark.read.parquet(m)
+            .join(keys, Seq(keyCol), "left_anti")
+          val target = s"$root/files/$nameTag-r$i"
+          survivors.write.mode("errorifexists").parquet(target)
+          memberLine(target, "")
+        }
+        val appended =
+          if (!hasAppend) Seq.empty
+          else {
+            val target = s"$root/files/$nameTag-new"
+            appendRows.write.mode("errorifexists").parquet(target)
+            Seq(memberLine(target, ""))
+          }
+        publish(root, base.filterNot(l => affected.contains(pathOf(l)))
+          ++ rewritten ++ appended)
+      }
+    hits.unpersist(); keys.unpersist(); appendRows.unpersist()
+    result
+  }
+
+  /** Delete `<nameTag>-` member dirs a crashed [[applyCdcBatch]]
+    * attempt left behind (written but never published). Only
+    * UNREFERENCED dirs go — every published version keeps its files.
+    */
+  private def recoverTag(root: String, nameTag: String): Unit = {
+    val filesDir = Paths.get(root, "files")
+    if (Files.isDirectory(filesDir)) {
+      val head = currentVersion(root)
+      val referenced: Set[String] =
+        (1 to head).flatMap(v => members(root, v)).toSet
+      val it = Files.list(filesDir).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val asMember = s"$root/files/${p.getFileName}"
+        if (p.getFileName.toString.startsWith(s"$nameTag-") &&
+            !referenced.contains(asMember)) {
+          val walk = Files.walk(p).sorted(
+            java.util.Comparator.reverseOrder[Path]()).iterator()
+          while (walk.hasNext) Files.delete(walk.next())
+        }
+      }
+    }
+  }
+
+  /** Keyed UPSERT (insert-or-update): every row of `updates` lands —
+    * replacing the row with its key if one exists, inserting
+    * otherwise — via [[applyCdcBatch]] with op = I (whose matrix
+    * makes matched-I an update and unmatched-I an insert; there are
+    * no orphan no-ops in an upsert). One row per key, enforced there.
+    */
+  def upsert(
+      updates: DataFrame,
+      root: String,
+      keyCol: String,
+      nameTag: String): Int = {
+    import org.apache.spark.sql.functions.lit
+    require(!updates.columns.contains("op"),
+      "Manifest.upsert: updates must not carry an 'op' column (use applyCdcBatch)")
+    applyCdcBatch(updates.withColumn("op", lit("I")), root, keyCol, nameTag)
+  }
+
   /** Row-level change feed between two published versions (the
     * `table_changes` read every downstream incremental consumer
     * wants): ONE key-shaped full-outer join between the two pinned

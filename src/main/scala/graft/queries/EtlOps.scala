@@ -3351,6 +3351,88 @@ object EtlOps {
           col("change_type"), col("lang")))
         .groupBy(col("diff_window"), col("change_type"), col("lang"))
         .agg(count(lit(1)).as("n_rows"))
+    }),
+
+    // Copy-on-write keyed UPSERT — the MERGE leg that completes the
+    // manifest DML matrix (append q363, delete q365, now
+    // insert-or-update): updates to keys ≡ 0 mod 15 (all inside
+    // member c1, since c1 holds ≡ 0 mod 3) replace rows, inserts
+    // with NEGATIVE keys (provably outside the doc_id ≥ 0 domain —
+    // the q334-advice discipline) land as new rows, and the whole
+    // MERGE publishes as ONE atomic version. The require proves the
+    // COW contract: c2/c3 are untouched (their bytes stay shared
+    // with every older version) because the one-pass
+    // input_file_name probe found no updated key in them.
+    "q374_upsert_commit" -> ((s, d) => {
+      val root = freshScratch("q374", d)
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      (1 to 3).foreach { k =>
+        graft.operators.Manifest.commitAdd(
+          docs.filter(col("doc_id") % 3 === (k - 1)), root, s"c$k")
+      }
+      val upd = docs.filter(col("doc_id") % 15 === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 1000).as("n_chars"))
+      val ins = docs.filter(col("doc_id") % 7 === 0)
+        .select((-col("doc_id") - 1).as("doc_id"), col("lang"),
+          (col("n_chars") + 7).as("n_chars"))
+      val v = graft.operators.Manifest.upsert(
+        upd.unionByName(ins), root, "doc_id", "u1")
+      val ms = graft.operators.Manifest.members(root, v)
+      require(ms.contains(s"$root/files/c2") && ms.contains(s"$root/files/c3")
+        && !ms.contains(s"$root/files/c1"),
+        s"q374: COW upsert must rewrite ONLY the affected member, got $ms")
+      graft.operators.Manifest.read(s, root, v)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+    }),
+
+    // Streaming CDC ingestion into the manifest table — the
+    // Structured Streaming, CDC-MERGE, and table-format legs wired
+    // end-to-end: a three-file change feed drains through
+    // foreachBatch (maxFilesPerTrigger=1, modification-time order —
+    // the upstream log's delivery order), each micro-batch lands as
+    // ONE atomic COW MERGE commit, and the member-name ledger makes
+    // redelivered batches a no-op (LakeIngestSpec proves that by
+    // re-draining). Batch 2's U on keys batch 1 deleted exercises
+    // the orphan-U no-op of the Cdc matrix; the require pins one
+    // version per batch (base + 3). Final state is a pure function
+    // of the feed → hash-oracled.
+    "q375_stream_cdc_ingest" -> ((s, d) => {
+      val root = freshScratch("q375", d)
+      val feed = s"$root/feed"; val table = s"$root/table"
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.operators.Manifest.commitAdd(docs, table, "base")
+      // stage the feed as one parquet FILE per batch with pinned,
+      // strictly increasing mtimes — the file source's batch order
+      def stage(name: String, mtime: Long, df: DataFrame): Unit =
+        graft.streaming.LakeIngest.stageBatchFile(feed, name, mtime, df)
+      val opCols = Seq(col("doc_id"), col("op"), col("lang"), col("n_chars"))
+      stage("b0.parquet", 1000000L, docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit("U").as("op"), col("lang"),
+          (col("n_chars") + 100).as("n_chars")).select(opCols: _*))
+      stage("b1.parquet", 2000000L, docs.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), lit("D").as("op"), col("lang"),
+          col("n_chars")).select(opCols: _*))
+      stage("b2.parquet", 3000000L,
+        docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), lit("U").as("op"), col("lang"),
+            (col("n_chars") + 200).as("n_chars"))
+          .unionByName(docs.filter(col("doc_id") % 6 === 0)
+            .select((-col("doc_id") - 1).as("doc_id"), lit("I").as("op"),
+              col("lang"), (col("n_chars") + 5).as("n_chars")))
+          .select(opCols: _*))
+      val v = graft.streaming.LakeIngest.cdcFeedToManifest(
+        s, feed, s"$root/ckpt", table, "doc_id")
+      require(v == 4,
+        s"q375: 3 CDC batches over the base must publish v4, got v$v")
+      graft.operators.Manifest.read(s, table, v)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
     })
   )
 
@@ -3820,6 +3902,30 @@ object EtlOps {
          SELECT 'v3_to_v4' AS diff_window, 'deleted' AS change_type,
                 lang, count(*)::BIGINT AS n_rows
          FROM documents WHERE lang = 'de' AND doc_id % 3 = 0 GROUP BY 3""",
+    "q374_upsert_commit" ->
+      """WITH merged AS (
+           SELECT lang,
+                  CASE WHEN doc_id % 15 = 0 THEN n_chars + 1000
+                       ELSE n_chars END AS n_chars
+           FROM documents
+           UNION ALL
+           SELECT lang, n_chars + 7 AS n_chars
+           FROM documents WHERE doc_id % 7 = 0)
+         SELECT lang, count(*)::BIGINT AS n_docs,
+                sum(n_chars)::BIGINT AS sum_chars
+         FROM merged GROUP BY 1""",
+    "q375_stream_cdc_ingest" ->
+      """WITH merged AS (
+           SELECT lang,
+                  CASE WHEN doc_id % 10 = 0 THEN n_chars + 200
+                       ELSE n_chars END AS n_chars
+           FROM documents WHERE doc_id % 4 <> 0
+           UNION ALL
+           SELECT lang, n_chars + 5 AS n_chars
+           FROM documents WHERE doc_id % 6 = 0)
+         SELECT lang, count(*)::BIGINT AS n_docs,
+                sum(n_chars)::BIGINT AS sum_chars
+         FROM merged GROUP BY 1""",
     "q369_cohort_ltv" ->
       """WITH p AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
                            round(value * 100, 0)::BIGINT AS cents

@@ -263,6 +263,47 @@ object TextOps {
           expr("(n * 1000) div t").as("share_pm"))
     }),
 
+    // Cohen's kappa — chance-corrected agreement between the labeled
+    // language and q34's predictor, the single-number audit on top of
+    // q331's confusion matrix (label quality for weak supervision:
+    // raw accuracy flatters any skewed label distribution; kappa
+    // subtracts what agreeing-by-luck would score). One doc-shaped
+    // aggregate builds the ≤25-cell matrix; everything after runs on
+    // that matrix (row/col margins, the Σ rᵢcᵢ chance term via a
+    // class-keyed join of 5-row frames, three 1-row broadcast cross
+    // joins). Exact integer permille; the n·a and n² products run in
+    // DECIMAL(38,0) (HUGEINT in the oracle) because n² overflows
+    // BIGINT beyond ~3e9 docs — `div` on decimals still yields
+    // BIGINT, so the OUTPUT stays oracle-safe.
+    "q376_cohen_kappa" -> ((s, d) => {
+      val cell = Tables(s, d).documents
+        .select(col("lang"), predLangCol.as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("nn"))
+      val rows = cell.groupBy(col("lang").as("cls"))
+        .agg(sum(col("nn")).as("r"))
+      val cols = cell.groupBy(col("pred_lang").as("cls"))
+        .agg(sum(col("nn")).as("c"))
+      val chance = rows.join(cols, "cls")
+        .agg(coalesce(sum(col("r").cast("decimal(19,0)")
+          * col("c").cast("decimal(19,0)")), lit(0).cast("decimal(38,0)"))
+          .as("s"))
+      val totals = cell.agg(
+        sum(col("nn")).cast("long").as("n"),
+        coalesce(sum(when(col("lang") === col("pred_lang"), col("nn"))),
+          lit(0L)).cast("long").as("a"))
+      totals.crossJoin(chance)
+        .select(col("n").as("n_docs"), col("a").as("n_agree"),
+          expr("a * 1000 div n").as("po_permille"),
+          expr("s * 1000 div (CAST(n AS DECIMAL(38,0)) * n)")
+            .as("pe_permille"),
+          // n² = S ⇔ both marginals are degenerate (one class): kappa
+          // is undefined there and the div would raise under ANSI
+          expr("CASE WHEN CAST(n AS DECIMAL(38,0)) * n - s = 0 THEN NULL " +
+            "ELSE (CAST(n AS DECIMAL(38,0)) * a - s) * 1000 " +
+            "div (CAST(n AS DECIMAL(38,0)) * n - s) END").as("kappa_permille"))
+    }),
+
     // BPE-ish regex token counting: alpha runs / digit runs / single
     // punctuation, the shape of a byte-pair pre-tokenizer.
     "q39_bpe_tokens" -> ((s, d) =>
@@ -1344,6 +1385,41 @@ object TextOps {
          SELECT m.lang, m.pred_lang, m.n,
                 ((m.n * 1000) // t.t)::BIGINT AS share_pm
          FROM m JOIN t USING (lang)""",
+    "q376_cohen_kappa" ->
+      """WITH c AS (
+           SELECT lang,
+                  len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of')))::BIGINT AS c_en,
+                  len(list_filter(string_split(text, ' '), t -> t IN ('el','la','los','que')))::BIGINT AS c_es,
+                  len(list_filter(string_split(text, ' '), t -> t IN ('der','die','und','ist')))::BIGINT AS c_de,
+                  len(list_filter(string_split(text, ' '), t -> t IN ('le','les','des','est')))::BIGINT AS c_fr,
+                  len(list_filter(string_split(text, ' '), t -> t IN ('de','shi','bu','le')))::BIGINT AS c_zh
+           FROM documents),
+         p AS (SELECT lang,
+                 CASE WHEN c_zh > greatest(c_en, c_es, c_de, c_fr) THEN 'zh'
+                      WHEN c_fr > greatest(c_en, c_es, c_de) THEN 'fr'
+                      WHEN c_de > greatest(c_en, c_es) THEN 'de'
+                      WHEN c_es > c_en THEN 'es'
+                      ELSE 'en' END AS pred_lang
+               FROM c),
+         cell AS (SELECT lang, pred_lang, count(*)::BIGINT AS nn
+                  FROM p GROUP BY 1, 2),
+         r AS (SELECT lang AS cls, sum(nn)::BIGINT AS r FROM cell GROUP BY 1),
+         cc AS (SELECT pred_lang AS cls, sum(nn)::BIGINT AS c
+                FROM cell GROUP BY 1),
+         t AS (SELECT sum(nn)::BIGINT AS n,
+                      coalesce(sum(CASE WHEN lang = pred_lang THEN nn END),
+                               0)::BIGINT AS a
+               FROM cell),
+         s AS (SELECT coalesce(sum(r.r::HUGEINT * cc.c), 0) AS s
+               FROM r JOIN cc USING (cls))
+         SELECT t.n AS n_docs, t.a AS n_agree,
+                (t.a * 1000 // t.n)::BIGINT AS po_permille,
+                (s.s * 1000 // (t.n::HUGEINT * t.n))::BIGINT AS pe_permille,
+                CASE WHEN t.n::HUGEINT * t.n - s.s = 0 THEN NULL
+                     ELSE ((t.n::HUGEINT * t.a - s.s) * 1000
+                            // (t.n::HUGEINT * t.n - s.s))::BIGINT
+                END AS kappa_permille
+         FROM t CROSS JOIN s""",
     "q39_bpe_tokens" ->
       """SELECT doc_id,
                 len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS n_bpe_tokens

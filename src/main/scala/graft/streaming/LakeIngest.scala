@@ -1,0 +1,99 @@
+package graft.streaming
+
+import graft.operators.Manifest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming CDC ingestion into a [[graft.operators.Manifest]] table
+  * — the three legs (Structured Streaming, CDC MERGE, versioned
+  * table format) wired end-to-end: a file-based change feed drains
+  * through `foreachBatch`, each micro-batch applies as exactly ONE
+  * atomic manifest commit (COW rewrite of the affected members plus
+  * one appended member), and the member-name ledger makes redelivery
+  * a no-op.
+  *
+  * Exactly-once without a transaction log sidecar: `foreachBatch` is
+  * at-least-once, so each batch commits under the tag `b<batchId>`
+  * and [[Manifest.tagApplied]] skips a batch whose tag is already in
+  * the member list — the manifest itself is the ledger (the same
+  * idea as Delta's `txn` action / Iceberg's snapshot `sequence`).
+  * A crash BETWEEN data write and manifest publish leaves
+  * unreferenced `b<id>-` dirs; `applyCdcBatch` garbage-collects
+  * those before retrying, so every observable version is a complete
+  * MERGE. Downstream readers pin versions and never see a torn
+  * batch.
+  *
+  * Scale: per micro-batch cost is affected-files + batch-size (the
+  * COW MERGE shape), state is zero (no watermarks — CDC feeds are
+  * key-ordered by the upstream log, and within-batch collapse is the
+  * caller's contract, as in [[graft.operators.Cdc]]).
+  */
+object LakeIngest {
+
+  /** Stage `df` as ONE parquet file named `name` in `feedDir` with a
+    * pinned mtime — the file source drains oldest-first, so staged
+    * mtimes define the batch order (a test/fixture helper; real
+    * deployments land feed files from the upstream log with natural
+    * arrival times).
+    */
+  def stageBatchFile(
+      feedDir: String,
+      name: String,
+      mtime: Long,
+      df: DataFrame): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = s"$feedDir-stage-$name"
+    df.coalesce(1).write.parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).iterator()
+    var src: java.nio.file.Path = null
+    while (part.hasNext) {
+      val p = part.next()
+      if (p.getFileName.toString.endsWith(".parquet")) src = p
+    }
+    Files.createDirectories(Paths.get(feedDir))
+    val dst = Paths.get(feedDir, name)
+    Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(mtime))
+  }
+
+  /** Drain every file currently in `feedDir` (one micro-batch per
+    * feed file, in modification-time order — the upstream log's
+    * delivery order) into the manifest table at `root`, committing
+    * one version per non-no-op batch. Returns the final version.
+    *
+    * The feed schema is `keyCol`, `op` ∈ D/U/I, value columns; one
+    * row per key PER FILE (the per-batch collapse contract).
+    */
+  def cdcFeedToManifest(
+      spark: SparkSession,
+      feedDir: String,
+      checkpointDir: String,
+      root: String,
+      keyCol: String): Int = {
+    val schema = spark.read.parquet(feedDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feedDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // foreachBatch frames recompute per action; applyCdcBatch
+        // runs several (uniqueness probe, snapshot semi-join, the
+        // member rewrites) — persist once here
+        val cached = batch.persist()
+        try {
+          val tag = s"b$batchId"
+          // at-least-once delivery → ledger check makes it exactly-once
+          if (!Manifest.tagApplied(root, tag)) {
+            Manifest.applyCdcBatch(cached, root, keyCol, tag)
+          }
+          ()
+        } finally { cached.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Manifest.currentVersion(root)
+  }
+}

@@ -120,7 +120,10 @@ object DumpPlans {
     "q370_stats_pruned_read" -> "stats-pruned read: manifest min/max stats skip whole members BEFORE any data IO (require-proved single-member scan); the row filter still applies to the pruned union — pruning is an optimization, never the semantics",
     "q371_phrase_search" -> "phrase search: top bigram is a 1-row TakeOrdered broadcast; postings are term-filtered by broadcast joins BEFORE any shuffle; the phrase hit is postings(t1) ⋈ postings(t2) on (doc, pos+1) — never a LIKE scan",
     "q372_linear_attribution" -> "linear attribution: user-keyed 7-day window join; k and earliest touch from ONE purchase-keyed window pass; integer permille split sums to exactly 1000 per purchase (remainder to earliest); channel-sized report",
-    "q373_version_diff" -> "version diff: each change feed is ONE key-shaped full-outer join between two pinned manifest reads; unchanged rows never leave the join; the report is change_type × lang sized")
+    "q373_version_diff" -> "version diff: each change feed is ONE key-shaped full-outer join between two pinned manifest reads; unchanged rows never leave the join; the report is change_type × lang sized",
+    "q374_upsert_commit" -> "COW upsert: ONE input_file_name semi-join pass finds affected members + matched keys; only affected members rewrite (require-proved), surviving changes land as one appended member, the whole MERGE publishes atomically",
+    "q375_stream_cdc_ingest" -> "streaming CDC ingest: foreachBatch drains the feed one file per micro-batch; each batch is one atomic COW MERGE commit; the member-name ledger (tagApplied) makes redelivery exactly-once; final read is the pinned-version union",
+    "q376_cohen_kappa" -> "Cohen's kappa: one doc-shaped aggregate builds the ≤25-cell confusion matrix; margins, the Σ rᵢcᵢ chance term, and the permille arithmetic all run on class-cardinality frames; DECIMAL(38,0) products keep n² exact past BIGINT")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

@@ -127,7 +127,10 @@ class ReproSpec extends AnyFunSuite {
     "q370_stats_pruned_read", // manifest stats skip + filtered union
     "q371_phrase_search",   // derived top bigram + positional postings
     "q372_linear_attribution", // window join + integer credit split
-    "q373_version_diff"     // two pinned-version full-outer diffs
+    "q373_version_diff",    // two pinned-version full-outer diffs
+    "q374_upsert_commit",   // COW MERGE, affected-member rewrite only
+    "q375_stream_cdc_ingest", // foreachBatch CDC drain, ledgered commits
+    "q376_cohen_kappa"      // exact-integer chance-corrected agreement
   )
 
   representatives.foreach { name =>

@@ -177,6 +177,107 @@ class ManifestSpec extends AnyFunSuite {
       (4L, "inserted", Some("z"))), got.toString)
   }
 
+  test("applyCdcBatch applies the full MERGE matrix in one atomic version") {
+    val root = freshRoot("cdc")
+    Manifest.commitAdd(frame(0 until 10), root, "a")   // ids 0-9
+    Manifest.commitAdd(frame(10 until 20), root, "b")  // ids 10-19
+    val changes = Seq(
+      (1L, "D", "x"),      // matched D   → deleted
+      (11L, "U", "upd"),   // matched U   → replaced
+      (5L, "I", "re"),     // matched I   → treated as U (idempotent upsert)
+      (50L, "I", "new"),   // orphan  I   → inserted
+      (99L, "U", "x"),     // orphan  U   → no-op
+      (98L, "D", "x")      // orphan  D   → no-op
+    ).toDF("id", "op", "payload")
+    val v = Manifest.applyCdcBatch(changes, root, "id", "t1")
+    assert(v == 3)
+    val expected = ((0 until 20).toSet - 1)
+      .map(i => (i.toLong, s"v$i")) - ((5L, "v5")) - ((11L, "v11")) +
+      ((5L, "re")) + ((11L, "upd")) + ((50L, "new"))
+    assert(Manifest.read(spark, root, v)
+      .as[(Long, String)].collect().toSet == expected)
+    // both members held changed keys → both rewrote, one appended member
+    assert(Manifest.members(root, v).toSet == Set(
+      s"$root/files/t1-r0", s"$root/files/t1-r1", s"$root/files/t1-new"))
+    // the pinned pre-MERGE version is untouched
+    assert(Manifest.read(spark, root, 2).count() == 20)
+    // ledger: the tag is applied; a verbatim re-apply is refused loudly
+    assert(Manifest.tagApplied(root, "t1"))
+    assert(!Manifest.tagApplied(root, "t2"))
+    intercept[IllegalArgumentException] {
+      Manifest.applyCdcBatch(changes, root, "id", "t1")
+    }
+  }
+
+  test("applyCdcBatch rewrites ONLY members holding changed keys") {
+    val root = freshRoot("cdc-cow")
+    Manifest.commitAdd(frame(0 until 10), root, "a")
+    Manifest.commitAdd(frame(10 until 20), root, "b")
+    val changes = Seq((2L, "D", "x"), (3L, "U", "u3"))
+      .toDF("id", "op", "payload")
+    val v = Manifest.applyCdcBatch(changes, root, "id", "t1")
+    val ms = Manifest.members(root, v)
+    assert(ms.contains(s"$root/files/b"), "untouched member must survive")
+    assert(!ms.contains(s"$root/files/a"))
+    assert(Manifest.read(spark, root, v).count() == 19)
+  }
+
+  test("an all-orphan batch publishes nothing") {
+    val root = freshRoot("cdc-noop")
+    Manifest.commitAdd(frame(0 until 10), root, "a")
+    val orphans = Seq((50L, "U", "x"), (51L, "D", "x"))
+      .toDF("id", "op", "payload")
+    assert(Manifest.applyCdcBatch(orphans, root, "id", "t1") == 1)
+    assert(Manifest.currentVersion(root) == 1)
+    assert(!Manifest.tagApplied(root, "t1"))
+  }
+
+  test("applyCdcBatch enforces one change row per key loudly") {
+    val root = freshRoot("cdc-dup")
+    Manifest.commitAdd(frame(0 until 5), root, "a")
+    val dup = Seq((1L, "U", "x"), (1L, "D", "y")).toDF("id", "op", "payload")
+    val e = intercept[IllegalArgumentException] {
+      Manifest.applyCdcBatch(dup, root, "id", "t1")
+    }
+    assert(e.getMessage.contains("collapse"), e.getMessage)
+  }
+
+  test("a crashed attempt's unreferenced tag dirs are recovered on retry") {
+    val root = freshRoot("cdc-crash")
+    Manifest.commitAdd(frame(0 until 10), root, "a")
+    // simulate a crash between data write and manifest publish:
+    // the tag dir exists but no manifest references it
+    val orphanDir = Paths.get(root, "files", "t1-new")
+    Files.createDirectories(orphanDir)
+    Files.write(orphanDir.resolve("stray.parquet"), Array[Byte](1, 2, 3))
+    val changes = Seq((0L, "U", "u0"), (30L, "I", "new"))
+      .toDF("id", "op", "payload")
+    val v = Manifest.applyCdcBatch(changes, root, "id", "t1")
+    assert(v == 2)
+    assert(Manifest.read(spark, root, v)
+      .as[(Long, String)].collect().toSet ==
+      ((1 until 10).map(i => (i.toLong, s"v$i")).toSet
+        + ((0L, "u0")) + ((30L, "new"))))
+  }
+
+  test("upsert replaces existing keys and inserts new ones") {
+    val root = freshRoot("upsert")
+    Manifest.commitAdd(frame(0 until 10), root, "a")
+    val v = Manifest.upsert(
+      Seq((3L, "U3"), (42L, "U42")).toDF("id", "payload"),
+      root, "id", "u1")
+    assert(v == 2)
+    assert(Manifest.read(spark, root, v)
+      .as[(Long, String)].collect().toSet ==
+      ((0 until 10).toSet - 3).map(i => (i.toLong, s"v$i"))
+        + ((3L, "U3")) + ((42L, "U42")))
+    // an op column in the updates is refused (that's applyCdcBatch's API)
+    intercept[IllegalArgumentException] {
+      Manifest.upsert(Seq((1L, "x", "U")).toDF("id", "payload", "op"),
+        root, "id", "u2")
+    }
+  }
+
   test("vacuum deletes only files no retained version references") {
     val root = freshRoot("vacuum")
     Manifest.commitAdd(frame(0 until 10), root, "a")

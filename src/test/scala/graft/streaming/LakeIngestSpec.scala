@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.operators.Manifest
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end contract of the streaming CDC → manifest ingest:
+  * one atomic commit per micro-batch in feed order, and redelivery
+  * (a second drain over the same feed with a fresh checkpoint —
+  * at-least-once's worst case) is a version no-op because the
+  * manifest's member names are the batch ledger.
+  */
+class LakeIngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def stage(feedDir: String, name: String, mtime: Long,
+      df: DataFrame): Unit =
+    LakeIngest.stageBatchFile(feedDir, name, mtime, df)
+
+  test("drains one commit per batch in feed order; redelivery is a no-op") {
+    val root = TestSpark.tmpDir("lakeingest").toString
+    val table = s"$root/table"; val feed = s"$root/feed"
+    Manifest.commitAdd(
+      (0 until 20).map(i => (i.toLong, s"v$i")).toDF("id", "payload"),
+      table, "base")
+
+    // b0: update ids 0-4; b1: delete ids 0-1 (overwriting b0's update
+    // — order matters), insert id 100
+    stage(feed, "b0.parquet", 1000000L,
+      (0 until 5).map(i => (i.toLong, "U", "u")).toDF("id", "op", "payload"))
+    stage(feed, "b1.parquet", 2000000L,
+      (Seq((0L, "D", "x"), (1L, "D", "x"), (100L, "I", "new")))
+        .toDF("id", "op", "payload"))
+
+    val v = LakeIngest.cdcFeedToManifest(
+      spark, feed, s"$root/ckpt1", table, "id")
+    assert(v == 3, s"one commit per batch over the base: expected v3, got v$v")
+
+    val expected = ((2 until 5).map(i => (i.toLong, "u")) ++
+      (5 until 20).map(i => (i.toLong, s"v$i")) :+ ((100L, "new"))).toSet
+    assert(Manifest.read(spark, table, v)
+      .as[(Long, String)].collect().toSet == expected)
+
+    // redelivery: same feed, FRESH checkpoint → both batches re-fire,
+    // the ledger skips both, nothing publishes
+    val v2 = LakeIngest.cdcFeedToManifest(
+      spark, feed, s"$root/ckpt2", table, "id")
+    assert(v2 == 3, s"redelivered batches must not publish, got v$v2")
+    assert(Manifest.read(spark, table, 3)
+      .as[(Long, String)].collect().toSet == expected)
+
+    // and a RESUMED checkpoint doesn't even re-fire the batches
+    val v3 = LakeIngest.cdcFeedToManifest(
+      spark, feed, s"$root/ckpt1", table, "id")
+    assert(v3 == 3)
+  }
+}
