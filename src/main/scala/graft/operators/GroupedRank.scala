@@ -156,6 +156,28 @@ object GroupedRank {
       .drop("__pid", "__run", "__off")
   }
 
+  /** One row per DISTINCT value of `valueCol`: (`__v`, `s2Name`),
+    * where `s2Name` = TWICE the midrank (average competition rank,
+    * the Spearman/Mann-Whitney tie convention) of that value in the
+    * global ranking of `df`'s rows by `valueCol`. Doubling keeps the
+    * statistic integral — a run of `cnt` equal values starting at
+    * rank `r` has average rank `r + (cnt−1)/2`, so twice it is
+    * `2·cum − cnt + 1` with `cum` the inclusive running count.
+    * Join back on the value to midrank every row; rows never
+    * shuffle — only the value-cardinality frame does, and its
+    * cumulative count rides [[withRunningTotal]]'s range exchange
+    * (never a one-task window). `valueCol` must be non-null
+    * (filter/coalesce first — a null value-group would midrank
+    * nondeterministically across engines).
+    */
+  def scaledMidranks(df: DataFrame, valueCol: Column,
+                     s2Name: String): DataFrame = {
+    val vals = df.groupBy(valueCol.as("__v")).agg(count(lit(1)).as("__cnt"))
+    withRunningTotal(vals, Seq(col("__v")), col("__cnt"), "__cum")
+      .select(col("__v"),
+        (col("__cum") * 2 - col("__cnt") + 1).as(s2Name))
+  }
+
   /** `df` plus `prevName` = `lag(orderCol, 1)` over the GLOBAL
     * `orderCol` order (total order required), computed without a
     * single-task window: range-partition on the key, lag within each

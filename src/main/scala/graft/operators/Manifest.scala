@@ -110,20 +110,28 @@ object Manifest {
     * embed per-member min/max in the manifest line — the data-
     * skipping stats [[prunedMembers]] reads, costing one tiny
     * aggregate at commit time, saving whole-file scans forever after.
+    * `partition` tags the member with categorical partition values
+    * (`part_k:v` fragments) for [[prunedMembersByPartition]] — the
+    * writer asserts the member holds ONLY rows of that partition
+    * (Hive layout contract; not re-validated here).
     * Returns the new version.
     */
   def commitAdd(
       df: DataFrame,
       root: String,
       name: String,
-      statsCols: Seq[String] = Nil): Int = {
+      statsCols: Seq[String] = Nil,
+      partition: Map[String, String] = Map.empty): Int = {
     val target = s"$root/files/$name"
     df.write.mode("errorifexists").parquet(target)
     val prev = currentVersion(root)
     val base = if (prev == 0) Seq.empty else membersRaw(root, prev)
     require(!base.exists(pathOf(_) == target),
       s"Manifest: $target is already a member of v$prev")
-    publish(root, base :+ memberLine(target, statsJson(df, statsCols)))
+    val partJson = partition.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""","part_$k":"$v"""" }.mkString
+    publish(root,
+      base :+ memberLine(target, statsJson(df, statsCols) + partJson))
   }
 
   /** `,"min_c":lo,"max_c":hi` fragments for each stats column — one
@@ -188,6 +196,31 @@ object Manifest {
       (field(line, s"min_$colName"), field(line, s"max_$colName")) match {
         case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
         case _ => true // no stats → must read
+      }
+    }.map(pathOf)
+  }
+
+  /** Hive/Iceberg-style PARTITION pruning, the categorical complement
+    * of [[prunedMembers]]' numeric min/max skipping: member paths of
+    * `version` whose `part_<key>` tag equals `value`, plus every
+    * member WITHOUT the tag (conservative — unpartitioned or
+    * differently-partitioned members must still be read). Commit
+    * partition tags via [[commitAdd]]'s `partition` argument. Like
+    * stats pruning, this is an optimization only — the caller still
+    * applies the row-level predicate to the pruned union.
+    */
+  def prunedMembersByPartition(
+      root: String,
+      version: Int,
+      key: String,
+      value: String): Seq[String] = {
+    val tag = s""""part_$key":"""
+    membersRaw(root, version).filter { line =>
+      val i = line.indexOf(tag)
+      if (i < 0) true // untagged → must read
+      else {
+        val from = i + tag.length + 1 // past the opening quote
+        line.substring(from, line.indexOf('"', from)) == value
       }
     }.map(pathOf)
   }

@@ -3433,6 +3433,98 @@ object EtlOps {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("sum_chars"))
+    }),
+
+    // Spearman rank correlation between doc length in chars and in
+    // tokens — the drift/agreement statistic between two quality
+    // signals, EXACT where Pearson can't be (its √ is irrational):
+    // midranks keep ties deterministic, doubling keeps them integral
+    // (GroupedRank.scaledMidranks — value-cardinality frames +
+    // withRunningTotal range exchanges, call sites 6-7; corpus rows
+    // never shuffle, they broadcast-join their value's midrank).
+    // ρ = 1 − 6Σd²/(n(n²−1)) with the ×2 scaling folded in:
+    // ρ_pm = (2n(n²−1) − 3Σd₂²)·1000 div 2n(n²−1), all DECIMAL(38,0)
+    // (n³ passes BIGINT at ~2e6 docs); Σd₂² surfaces as STRING (the
+    // wide-decimal oracle discipline). The d² formula with midranks
+    // is the documented tie convention — both engines replay it.
+    "q377_spearman" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val sx = graft.operators.GroupedRank.scaledMidranks(
+        docs, col("n_chars"), "sx")
+      val sy = graft.operators.GroupedRank.scaledMidranks(
+        docs, col("n_tokens"), "sy")
+      val dd = docs.join(sx, docs("n_chars") === sx("__v")).drop("__v")
+        .join(sy, col("n_tokens") === sy("__v")).drop("__v")
+        .withColumn("__d", (col("sx") - col("sy")).cast("decimal(19,0)"))
+      dd.agg(count(lit(1)).cast("long").as("n"),
+          sum(col("__d") * col("__d")).as("sd2"))
+        .select(col("n").as("n_docs"),
+          col("sd2").cast("string").as("sum_d2_scaled"),
+          expr("(2 * CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n - 1)" +
+            " - 3 * sd2) * 1000 div " +
+            "(2 * CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n - 1))")
+            .as("rho_permille"))
+    }),
+
+    // Mann-Whitney U — the nonparametric two-sample location test
+    // (are English docs longer?) next to q345's parametric z-test:
+    // no normality assumption, EXACT integer arithmetic via the same
+    // doubled midranks (shared machinery with q377; call site 8).
+    // 2U₁ = 2R₁ − n₁(n₁+1) with 2R₁ = Σ s₂ over the en group; the
+    // effect size U₁/(n₁n₂) is the common-language AUC, in exact
+    // permille. Products in DECIMAL(38,0)/HUGEINT (2R₁ ≤ 2n²); U
+    // itself surfaces as STRING.
+    "q378_mann_whitney" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val m = graft.operators.GroupedRank.scaledMidranks(
+        docs, col("n_chars"), "s2")
+      val a = docs.join(m, docs("n_chars") === m("__v")).drop("__v")
+        .withColumn("grp",
+          when(col("lang") === "en", lit("en")).otherwise(lit("other")))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("s2").cast("decimal(19,0)")).as("r2"))
+      val en = a.filter(col("grp") === "en")
+        .select(col("n").as("n_en"), col("r2").as("r2_en"))
+      val ot = a.filter(col("grp") === "other")
+        .select(col("n").as("n_other"))
+      en.crossJoin(ot).select(
+        col("n_en"), col("n_other"),
+        expr("CAST(r2_en - CAST(n_en AS DECIMAL(38,0)) * (n_en + 1) AS STRING)")
+          .as("u2_en"),
+        expr("(r2_en - CAST(n_en AS DECIMAL(38,0)) * (n_en + 1)) * 500 div " +
+          "(CAST(n_en AS DECIMAL(38,0)) * n_other)").as("auc_permille"))
+    }),
+
+    // Partition-pruned manifest read — the Hive-layout leg next to
+    // q370's numeric min/max skipping: per-language ADD commits tag
+    // their members with part_lang, and a lang='de' read consults
+    // ONLY the manifest to skip four of five members before any data
+    // IO (require-proved). Untagged members are conservatively read;
+    // the row-level filter still applies to the pruned union —
+    // pruning is an optimization, never the semantics.
+    "q379_partition_pruned_read" -> ((s, d) => {
+      val root = freshScratch("q379", d)
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Seq("en", "es", "de", "fr", "zh").foreach { l =>
+        graft.operators.Manifest.commitAdd(
+          docs.filter(col("lang") === l), root, s"p-$l",
+          partition = Map("lang" -> l))
+      }
+      val v = graft.operators.Manifest.currentVersion(root)
+      val pruned = graft.operators.Manifest.prunedMembersByPartition(
+        root, v, "lang", "de")
+      require(pruned == Seq(s"$root/files/p-de"),
+        s"q379: partition pruning must keep exactly the de member, got $pruned")
+      s.read.parquet(pruned: _*)
+        .filter(col("lang") === "de")
+        .groupBy(expr("doc_id % 5").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
     })
   )
 
@@ -3926,6 +4018,50 @@ object EtlOps {
          SELECT lang, count(*)::BIGINT AS n_docs,
                 sum(n_chars)::BIGINT AS sum_chars
          FROM merged GROUP BY 1""",
+    "q377_spearman" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+                           len(string_split(text, ' '))::BIGINT AS n_tokens
+                    FROM documents),
+         vx AS (SELECT n_chars AS v, count(*)::BIGINT AS cnt
+                FROM d GROUP BY 1),
+         mx AS (SELECT v, 2 * sum(cnt) OVER (ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) - cnt + 1 AS s
+                FROM vx),
+         vy AS (SELECT n_tokens AS v, count(*)::BIGINT AS cnt
+                FROM d GROUP BY 1),
+         my AS (SELECT v, 2 * sum(cnt) OVER (ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) - cnt + 1 AS s
+                FROM vy),
+         j AS (SELECT x.s::HUGEINT - y.s::HUGEINT AS dd
+               FROM d JOIN mx x ON x.v = d.n_chars
+                      JOIN my y ON y.v = d.n_tokens),
+         agg AS (SELECT count(*)::BIGINT AS n, sum(dd * dd) AS sd2 FROM j)
+         SELECT n AS n_docs, sd2::VARCHAR AS sum_d2_scaled,
+                ((2 * n::HUGEINT * (n::HUGEINT * n - 1) - 3 * sd2) * 1000
+                  // (2 * n::HUGEINT * (n::HUGEINT * n - 1)))::BIGINT
+                  AS rho_permille
+         FROM agg""",
+    "q378_mann_whitney" ->
+      """WITH v AS (SELECT n_chars AS val, count(*)::BIGINT AS cnt
+                    FROM documents GROUP BY 1),
+         m AS (SELECT val, 2 * sum(cnt) OVER (ORDER BY val
+                   ROWS UNBOUNDED PRECEDING) - cnt + 1 AS s2
+               FROM v),
+         j AS (SELECT CASE WHEN d.lang = 'en' THEN 'en' ELSE 'other' END
+                        AS grp, m.s2
+               FROM documents d JOIN m ON m.val = d.n_chars),
+         a AS (SELECT grp, count(*)::BIGINT AS n, sum(s2::HUGEINT) AS r2
+               FROM j GROUP BY 1)
+         SELECT e.n AS n_en, o.n AS n_other,
+                (e.r2 - e.n::HUGEINT * (e.n + 1))::VARCHAR AS u2_en,
+                ((e.r2 - e.n::HUGEINT * (e.n + 1)) * 500
+                  // (e.n::HUGEINT * o.n))::BIGINT AS auc_permille
+         FROM (SELECT * FROM a WHERE grp = 'en') e
+              CROSS JOIN (SELECT * FROM a WHERE grp = 'other') o""",
+    "q379_partition_pruned_read" ->
+      """SELECT doc_id % 5 AS bucket, count(*)::BIGINT AS n_docs,
+                sum(n_chars)::BIGINT AS sum_chars
+         FROM documents WHERE lang = 'de' GROUP BY 1""",
     "q369_cohort_ltv" ->
       """WITH p AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
                            round(value * 100, 0)::BIGINT AS cents

@@ -123,7 +123,10 @@ object DumpPlans {
     "q373_version_diff" -> "version diff: each change feed is ONE key-shaped full-outer join between two pinned manifest reads; unchanged rows never leave the join; the report is change_type × lang sized",
     "q374_upsert_commit" -> "COW upsert: ONE input_file_name semi-join pass finds affected members + matched keys; only affected members rewrite (require-proved), surviving changes land as one appended member, the whole MERGE publishes atomically",
     "q375_stream_cdc_ingest" -> "streaming CDC ingest: foreachBatch drains the feed one file per micro-batch; each batch is one atomic COW MERGE commit; the member-name ledger (tagApplied) makes redelivery exactly-once; final read is the pinned-version union",
-    "q376_cohen_kappa" -> "Cohen's kappa: one doc-shaped aggregate builds the ≤25-cell confusion matrix; margins, the Σ rᵢcᵢ chance term, and the permille arithmetic all run on class-cardinality frames; DECIMAL(38,0) products keep n² exact past BIGINT")
+    "q376_cohen_kappa" -> "Cohen's kappa: one doc-shaped aggregate builds the ≤25-cell confusion matrix; margins, the Σ rᵢcᵢ chance term, and the permille arithmetic all run on class-cardinality frames; DECIMAL(38,0) products keep n² exact past BIGINT",
+    "q377_spearman" -> "Spearman ρ: doubled midranks from value-cardinality frames riding withRunningTotal's range exchange (scaledMidranks ×2); corpus rows broadcast-join their value's midrank, never globally sort; DECIMAL(38,0) keeps n³ and Σd² exact",
+    "q378_mann_whitney" -> "Mann-Whitney U: one shared scaledMidranks pass; group rank-sums are a 2-row aggregate, U and the AUC permille are 1-row broadcast cross-join arithmetic — exact integers end to end",
+    "q379_partition_pruned_read" -> "partition-pruned read: part_lang manifest tags skip 4 of 5 members BEFORE any data IO (require-proved); untagged members are conservatively read; the row filter still applies to the pruned union")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

@@ -250,7 +250,10 @@ class PlanSpec extends AnyFunSuite {
         "q293_budget_allocation", "q343_mad_outliers",
         "q347_compaction_plan", "q353_user_accumulation",
         "q361_weighted_median", "q313_decile_assign",
-        "q316_interleave_stream", "q323_ooo_audit")) {
+        "q316_interleave_stream", "q323_ooo_audit",
+        // r10: the scaledMidranks call sites (value-grain cumulative
+        // counts riding withRunningTotal — q377 ×2, q378 ×1)
+        "q377_spearman", "q378_mann_whitney")) {
       // documented bounded-frame exceptions: q361's flag-total offset
       // window runs unpartitioned over a ≤|returnflag|-row (3-row)
       // PRE-AGGREGATED frame — inline-justified in EtlOps; every

@@ -130,7 +130,10 @@ class ReproSpec extends AnyFunSuite {
     "q373_version_diff",    // two pinned-version full-outer diffs
     "q374_upsert_commit",   // COW MERGE, affected-member rewrite only
     "q375_stream_cdc_ingest", // foreachBatch CDC drain, ledgered commits
-    "q376_cohen_kappa"      // exact-integer chance-corrected agreement
+    "q376_cohen_kappa",     // exact-integer chance-corrected agreement
+    "q377_spearman",        // doubled-midrank exact rank correlation
+    "q378_mann_whitney",    // doubled-midrank exact U + AUC permille
+    "q379_partition_pruned_read" // part_lang tag skip + filtered union
   )
 
   representatives.foreach { name =>

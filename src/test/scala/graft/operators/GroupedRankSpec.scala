@@ -172,6 +172,28 @@ class GroupedRankSpec extends AnyFunSuite {
     assert(e.getMessage.contains("tiebreak"))
   }
 
+  test("scaledMidranks equals twice the brute-force average rank, ties included") {
+    for (seed <- 40L to 45L) {
+      val rows = sample(rowsGen, seed).map(_._2) // heavy-tie values
+      val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+        .repartition(7) // adversarial: value runs split across parts
+      val got = GroupedRank.scaledMidranks(df, col("v"), "s2")
+        .as[(Long, Long)].collect().toMap
+      // brute force: 2 × average 1-based rank of each value's run
+      val sorted = rows.sorted
+      val want = sorted.zipWithIndex.groupBy(_._1).map { case (v, rs) =>
+        v -> rs.map { case (_, i) => i.toLong + 1 }.sum * 2 / rs.size
+      }
+      assert(got == want, s"seed=$seed: got=${got.toSeq.sorted.take(5)} " +
+        s"want=${want.toSeq.sorted.take(5)}")
+      // the defining invariant: Σ over ROWS of s2 = 2·Σ 1..n = n(n+1)
+      val n = rows.size.toLong
+      val total = rows.map(got).sum
+      assert(total == n * (n + 1), s"seed=$seed: Σs2=$total ≠ n(n+1)")
+    }
+  }
+
   test("withGlobalLag fails loud on a nullable order column with nulls") {
     // nulls range-sort into the first partition while the bounds max
     // ignores them — the guard must reject instead of mis-stitching

@@ -278,6 +278,29 @@ class ManifestSpec extends AnyFunSuite {
     }
   }
 
+  test("partition tags prune by equality; untagged members are conservatively read") {
+    val root = freshRoot("part")
+    Manifest.commitAdd(frame(0 until 5), root, "pa",
+      partition = Map("lang" -> "en"))
+    Manifest.commitAdd(frame(5 until 9), root, "pb",
+      partition = Map("lang" -> "de"))
+    Manifest.commitAdd(frame(9 until 12), root, "pc") // untagged
+    assert(Manifest.prunedMembersByPartition(root, 3, "lang", "de").toSet
+      == Set(s"$root/files/pb", s"$root/files/pc"))
+    assert(Manifest.prunedMembersByPartition(root, 3, "lang", "en").toSet
+      == Set(s"$root/files/pa", s"$root/files/pc"))
+    // an unknown key prunes nothing (every member lacks the tag)
+    assert(Manifest.prunedMembersByPartition(root, 3, "nope", "x").size == 3)
+    // partition tags coexist with min/max stats on the same member
+    Manifest.commitAdd(frame(12 until 20), root, "pd",
+      statsCols = Seq("id"), partition = Map("lang" -> "de"))
+    assert(Manifest.prunedMembersByPartition(root, 4, "lang", "de").toSet
+      == Set(s"$root/files/pb", s"$root/files/pc", s"$root/files/pd"))
+    assert(Manifest.prunedMembers(root, 4, "id", 13, 14).toSet
+      == Set(s"$root/files/pa", s"$root/files/pb", s"$root/files/pc",
+        s"$root/files/pd")) // only pd has stats; others conservatively kept
+  }
+
   test("vacuum deletes only files no retained version references") {
     val root = freshRoot("vacuum")
     Manifest.commitAdd(frame(0 until 10), root, "a")
