@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, when}
 
 /** Manifest-pinned table format — the reusable time-travel +
   * maintenance-with-isolation primitive grown out of q363's snapshot
@@ -487,6 +487,38 @@ object Manifest {
       vFrom: Int,
       vTo: Int,
       keyCol: String,
+      valueCols: Seq[String]): DataFrame =
+    diffJoined(spark, root, vFrom, vTo, keyCol, valueCols)
+      .select(col(keyCol) +: col("change_type") +:
+        valueCols.map(c =>
+          when(col("change_type") === "deleted", col(s"__f_$c"))
+            .otherwise(col(s"__t_$c")).as(c)): _*)
+
+  /** [[diff]] with BOTH sides' values (`old_<c>` / `new_<c>`, null on
+    * the missing side) — what incremental aggregate maintenance
+    * needs: subtracting a changed row from its OLD group and adding
+    * it to its NEW one requires both images, and a one-sided feed
+    * cannot express a row that moved groups. Same single key-shaped
+    * full-outer join; unchanged rows still never leave it.
+    */
+  def diffBoth(
+      spark: SparkSession,
+      root: String,
+      vFrom: Int,
+      vTo: Int,
+      keyCol: String,
+      valueCols: Seq[String]): DataFrame =
+    diffJoined(spark, root, vFrom, vTo, keyCol, valueCols)
+      .select(col(keyCol) +: col("change_type") +:
+        (valueCols.map(c => col(s"__f_$c").as(s"old_$c")) ++
+          valueCols.map(c => col(s"__t_$c").as(s"new_$c"))): _*)
+
+  private def diffJoined(
+      spark: SparkSession,
+      root: String,
+      vFrom: Int,
+      vTo: Int,
+      keyCol: String,
       valueCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     require(valueCols.nonEmpty, "Manifest.diff: valueCols required")
@@ -502,10 +534,6 @@ object Manifest {
           .when(col("__t").isNull, lit("deleted"))
           .when(changed, lit("changed")))
       .filter(col("change_type").isNotNull)
-      .select(col(keyCol) +: col("change_type") +:
-        valueCols.map(c =>
-          when(col("change_type") === "deleted", col(s"__f_$c"))
-            .otherwise(col(s"__t_$c")).as(c)): _*)
   }
 
   /** Expire versions older than `keepVersions` back from the head and

@@ -3525,6 +3525,97 @@ object EtlOps {
         .groupBy(expr("doc_id % 5").as("bucket"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("sum_chars"))
+    }),
+
+    // Wilcoxon signed-rank — the PAIRED nonparametric test closing
+    // the family (q378 Mann-Whitney = unpaired, q345 z = parametric):
+    // per user, even-week minus odd-week purchase cents ("did
+    // spending shift?"), zero diffs dropped (the standard
+    // convention), |d| midranked with the shared doubled-midrank
+    // machinery (call site 9), W⁺ = Σ ranks of positive diffs.
+    // 2W⁺ surfaces as STRING (Σs₂ = n(n+1) passes BIGINT only to
+    // ~3e9 pairs); W⁺/(n(n+1)/2) — the signed-rank effect size —
+    // in exact permille, 500 ≈ no shift.
+    "q380_wilcoxon" -> ((s, d) => {
+      val du = Tables(s, d).events
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          when(expr("(unix_micros(ts) div 604800000000) % 2") === 0,
+            round(col("value") * 100, 0).cast("long"))
+            .otherwise(-(round(col("value") * 100, 0).cast("long")))
+            .as("signed"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("signed")).cast("long").as("d"))
+        .filter(col("d") =!= 0)
+        .withColumn("ad", abs(col("d")))
+      val m = graft.operators.GroupedRank.scaledMidranks(
+        du, col("ad"), "s2")
+      du.join(m, du("ad") === m("__v")).drop("__v")
+        .agg(count(lit(1)).cast("long").as("n"),
+          coalesce(sum(when(col("d") > 0, col("s2").cast("decimal(19,0)"))),
+            lit(0).cast("decimal(19,0)")).as("w2"),
+          sum(when(col("d") > 0, 1L).otherwise(0L)).cast("long").as("np"))
+        .select(col("n").as("n_pairs"), col("np").as("n_pos"),
+          col("w2").cast("decimal(38,0)").cast("string").as("w2_plus"),
+          expr("CASE WHEN n = 0 THEN NULL ELSE CAST(w2 AS DECIMAL(38,0)) " +
+            "* 1000 div (CAST(n AS DECIMAL(38,0)) * (n + 1)) END")
+            .as("wplus_permille"))
+    }),
+
+    // Change-feed incremental view maintenance — the mutation leg
+    // q202/q302's append-only IVM cannot express: a per-lang
+    // aggregate maintained from v1 by applying Manifest.diffBoth
+    // deltas across an upsert (v2: updates that MOVE rows to a new
+    // lang group + inserts) and a COW delete (v3). Both row images
+    // matter: a changed row subtracts (old_lang, old_chars) and adds
+    // (new_lang, new_chars) — one-sided feeds cannot maintain a
+    // group-keyed aggregate under group moves. `ivm_match` is
+    // COMPUTED by joining the maintained aggregate against the
+    // direct v3 recompute (the q364 parity discipline); zero-count
+    // groups drop like the recompute drops them.
+    "q381_ivm_changefeed" -> ((s, d) => {
+      val root = freshScratch("q381", d)
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.operators.Manifest.commitAdd(docs, root, "base") // v1
+      val upd = docs.filter(col("doc_id") % 9 === 0)
+        .select(col("doc_id"), lit("zz").as("lang"),
+          (col("n_chars") + 50).as("n_chars"))
+      val ins = docs.filter(col("doc_id") % 11 === 0)
+        .select((-col("doc_id") - 1).as("doc_id"), col("lang"),
+          (col("n_chars") + 3).as("n_chars"))
+      graft.operators.Manifest.upsert(
+        upd.unionByName(ins), root, "doc_id", "u1")          // v2
+      graft.operators.Manifest.deleteWhere(s, root,
+        col("doc_id") % 8 === 0 && col("doc_id") >= 0, "del") // v3
+      val agg1 = graft.operators.Manifest.read(s, root, 1)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("sc"))
+      def delta(vf: Int, vt: Int): DataFrame = {
+        val f = graft.operators.Manifest.diffBoth(
+          s, root, vf, vt, "doc_id", Seq("lang", "n_chars"))
+        f.filter(col("change_type").isin("deleted", "changed"))
+          .select(col("old_lang").as("lang"), lit(-1L).as("n"),
+            (-col("old_n_chars")).cast("long").as("sc"))
+          .unionByName(
+            f.filter(col("change_type").isin("inserted", "changed"))
+              .select(col("new_lang").as("lang"), lit(1L).as("n"),
+                col("new_n_chars").cast("long").as("sc")))
+      }
+      val maintained = agg1.unionByName(delta(1, 2)).unionByName(delta(2, 3))
+        .groupBy(col("lang"))
+        .agg(sum(col("n")).cast("long").as("n_docs_ivm"),
+          sum(col("sc")).cast("long").as("sum_chars_ivm"))
+        .filter(col("n_docs_ivm") > 0)
+      val direct = graft.operators.Manifest.read(s, root, 3)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+      direct.join(maintained, Seq("lang"), "full_outer")
+        .select(col("lang"), col("n_docs"), col("sum_chars"),
+          (col("n_docs") === col("n_docs_ivm") &&
+            col("sum_chars") === col("sum_chars_ivm")).as("ivm_match"))
     })
   )
 
@@ -4062,6 +4153,41 @@ object EtlOps {
       """SELECT doc_id % 5 AS bucket, count(*)::BIGINT AS n_docs,
                 sum(n_chars)::BIGINT AS sum_chars
          FROM documents WHERE lang = 'de' GROUP BY 1""",
+    "q380_wilcoxon" ->
+      """WITH pu AS (
+           SELECT user_id,
+                  sum(CASE WHEN (epoch_us(ts) // 604800000000) % 2 = 0
+                        THEN round(value * 100, 0)::BIGINT
+                        ELSE -round(value * 100, 0)::BIGINT END)::BIGINT AS d
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         nz AS (SELECT d, abs(d) AS ad FROM pu WHERE d <> 0),
+         v AS (SELECT ad, count(*)::BIGINT AS cnt FROM nz GROUP BY 1),
+         m AS (SELECT ad, 2 * sum(cnt) OVER (ORDER BY ad
+                   ROWS UNBOUNDED PRECEDING) - cnt + 1 AS s2
+               FROM v),
+         j AS (SELECT nz.d, m.s2 FROM nz JOIN m USING (ad)),
+         agg AS (SELECT count(*)::BIGINT AS n,
+                        coalesce(sum(CASE WHEN d > 0 THEN s2::HUGEINT END),
+                                 0) AS w2,
+                        sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS np
+                 FROM j)
+         SELECT n AS n_pairs, np AS n_pos, w2::VARCHAR AS w2_plus,
+                CASE WHEN n = 0 THEN NULL
+                     ELSE (w2 * 1000 // (n::HUGEINT * (n + 1)))::BIGINT
+                END AS wplus_permille
+         FROM agg""",
+    "q381_ivm_changefeed" ->
+      """WITH fin AS (
+           SELECT CASE WHEN doc_id % 9 = 0 THEN 'zz' ELSE lang END AS lang,
+                  CASE WHEN doc_id % 9 = 0 THEN n_chars + 50
+                       ELSE n_chars END AS n_chars
+           FROM documents WHERE doc_id % 8 <> 0
+           UNION ALL
+           SELECT lang, n_chars + 3 AS n_chars
+           FROM documents WHERE doc_id % 11 = 0)
+         SELECT lang, count(*)::BIGINT AS n_docs,
+                sum(n_chars)::BIGINT AS sum_chars, true AS ivm_match
+         FROM fin GROUP BY 1""",
     "q369_cohort_ltv" ->
       """WITH p AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
                            round(value * 100, 0)::BIGINT AS cents

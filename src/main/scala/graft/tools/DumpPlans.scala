@@ -126,7 +126,9 @@ object DumpPlans {
     "q376_cohen_kappa" -> "Cohen's kappa: one doc-shaped aggregate builds the ≤25-cell confusion matrix; margins, the Σ rᵢcᵢ chance term, and the permille arithmetic all run on class-cardinality frames; DECIMAL(38,0) products keep n² exact past BIGINT",
     "q377_spearman" -> "Spearman ρ: doubled midranks from value-cardinality frames riding withRunningTotal's range exchange (scaledMidranks ×2); corpus rows broadcast-join their value's midrank, never globally sort; DECIMAL(38,0) keeps n³ and Σd² exact",
     "q378_mann_whitney" -> "Mann-Whitney U: one shared scaledMidranks pass; group rank-sums are a 2-row aggregate, U and the AUC permille are 1-row broadcast cross-join arithmetic — exact integers end to end",
-    "q379_partition_pruned_read" -> "partition-pruned read: part_lang manifest tags skip 4 of 5 members BEFORE any data IO (require-proved); untagged members are conservatively read; the row filter still applies to the pruned union")
+    "q379_partition_pruned_read" -> "partition-pruned read: part_lang manifest tags skip 4 of 5 members BEFORE any data IO (require-proved); untagged members are conservatively read; the row filter still applies to the pruned union",
+    "q380_wilcoxon" -> "Wilcoxon signed-rank: per-user paired diff is one user-keyed aggregate; |d| midranks ride the value-grain range exchange (scaledMidranks call site 9); W+ and its permille effect size are 1-row exact arithmetic",
+    "q381_ivm_changefeed" -> "change-feed IVM: each delta is ONE diffBoth full-outer join emitting both row images (old-group subtract + new-group add — group moves maintainable); the parity column is computed against the direct recompute, never assumed")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

@@ -133,7 +133,9 @@ class ReproSpec extends AnyFunSuite {
     "q376_cohen_kappa",     // exact-integer chance-corrected agreement
     "q377_spearman",        // doubled-midrank exact rank correlation
     "q378_mann_whitney",    // doubled-midrank exact U + AUC permille
-    "q379_partition_pruned_read" // part_lang tag skip + filtered union
+    "q379_partition_pruned_read", // part_lang tag skip + filtered union
+    "q380_wilcoxon",        // paired signed-rank, doubled midranks
+    "q381_ivm_changefeed"   // diffBoth deltas vs direct recompute
   )
 
   representatives.foreach { name =>

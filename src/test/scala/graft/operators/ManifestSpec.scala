@@ -301,6 +301,29 @@ class ManifestSpec extends AnyFunSuite {
         s"$root/files/pd")) // only pd has stats; others conservatively kept
   }
 
+  test("diffBoth carries both row images — group moves are expressible") {
+    val root = freshRoot("diffboth")
+    Manifest.commitAdd(Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L))
+      .toDF("id", "grp", "x"), root, "a")
+    // v2: id 2 moves de→en with a new value, id 3 deleted, id 4 inserted
+    Manifest.commitReplace(
+      Seq((1L, "en", 10L), (2L, "en", 25L), (4L, "fr", 40L))
+        .toDF("id", "grp", "x"),
+      root, Seq(s"$root/files/a"), "b")
+    val got = Manifest.diffBoth(spark, root, 1, 2, "id", Seq("grp", "x"))
+      .as[(Long, String, Option[String], Option[Long],
+        Option[String], Option[Long])].collect().toSet
+    assert(got == Set(
+      (2L, "changed", Some("de"), Some(20L), Some("en"), Some(25L)),
+      (3L, "deleted", Some("en"), Some(30L), None, None),
+      (4L, "inserted", None, None, Some("fr"), Some(40L))), got.toString)
+    // the one-sided feed loses the old group — diffBoth is why IVM
+    // under group moves needs both images
+    val oneSided = Manifest.diff(spark, root, 1, 2, "id", Seq("grp", "x"))
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(oneSided.contains((2L, "changed", "en", 25L)))
+  }
+
   test("vacuum deletes only files no retained version references") {
     val root = freshRoot("vacuum")
     Manifest.commitAdd(frame(0 until 10), root, "a")
