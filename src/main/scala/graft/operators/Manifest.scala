@@ -121,7 +121,8 @@ object Manifest {
       root: String,
       name: String,
       statsCols: Seq[String] = Nil,
-      partition: Map[String, String] = Map.empty): Int = {
+      partition: Map[String, String] = Map.empty,
+      bloomCols: Seq[String] = Nil): Int = {
     val target = s"$root/files/$name"
     df.write.mode("errorifexists").parquet(target)
     val prev = currentVersion(root)
@@ -130,8 +131,70 @@ object Manifest {
       s"Manifest: $target is already a member of v$prev")
     val partJson = partition.toSeq.sortBy(_._1)
       .map { case (k, v) => s""","part_$k":"$v"""" }.mkString
-    publish(root,
-      base :+ memberLine(target, statsJson(df, statsCols) + partJson))
+    publish(root, base :+ memberLine(target,
+      statsJson(df, statsCols) + partJson + bloomJson(df, root, name, bloomCols)))
+  }
+
+  /** Per-member bloom SIDECAR files (the Iceberg-puffin / Delta
+    * bloom-index shape) for [[prunedMembersByKey]] point-lookup
+    * skipping — the case min/max stats cannot prune: a hash- or
+    * round-robin-distributed key overlaps every member's range, but
+    * its bloom answers "definitely not here" per member. Built with
+    * Spark's distributed `stat.bloomFilter` (deterministic seed,
+    * bit-OR merge → partitioning-independent), sized by an exact
+    * count at 1% FPP, written beside the data under `blooms/` so the
+    * manifest itself stays metadata-small; the member line carries
+    * only the sidecar path. Integral key columns only.
+    */
+  private def bloomJson(
+      df: DataFrame, root: String, name: String,
+      bloomCols: Seq[String]): String =
+    if (bloomCols.isEmpty) ""
+    else {
+      val n = math.max(df.count(), 1L)
+      bloomCols.map { c =>
+        val bf = df.stat.bloomFilter(c, n, 0.01)
+        val p = Paths.get(bloomPath(root, name, c))
+        Files.createDirectories(p.getParent)
+        val os = Files.newOutputStream(p)
+        try bf.writeTo(os) finally os.close()
+        s""","bloom_$c":"$p""""
+      }.mkString
+    }
+
+  private def bloomPath(root: String, name: String, c: String): String =
+    s"$root/blooms/$name-$c.bloom"
+
+  /** Member paths of `version` that MIGHT contain `key` in `colName`
+    * per their bloom sidecars — point-lookup data skipping where
+    * [[prunedMembers]]' min/max can't help. No false negatives (the
+    * bloom guarantee): a member holding the key is always kept;
+    * ~1% of non-holders survive as false positives and the row-level
+    * filter drops their rows. Members without a bloom (or with a
+    * lost sidecar) are conservatively kept. The sidecar reads are
+    * bounded by member count — metadata-scale, never data.
+    */
+  def prunedMembersByKey(
+      root: String,
+      version: Int,
+      colName: String,
+      key: Long): Seq[String] = {
+    val tag = s""""bloom_$colName":"""
+    membersRaw(root, version).filter { line =>
+      val i = line.indexOf(tag)
+      if (i < 0) true // no bloom → must read
+      else {
+        val from = i + tag.length + 1 // past the opening quote
+        val p = Paths.get(line.substring(from, line.indexOf('"', from)))
+        if (!Files.exists(p)) true // lost sidecar → conservative
+        else {
+          val is = Files.newInputStream(p)
+          try org.apache.spark.util.sketch.BloomFilter.readFrom(is)
+            .mightContainLong(key)
+          finally is.close()
+        }
+      }
+    }.map(pathOf)
   }
 
   /** `,"min_c":lo,"max_c":hi` fragments for each stats column — one
@@ -561,6 +624,18 @@ object Manifest {
         val it = Files.walk(p).sorted(
           java.util.Comparator.reverseOrder[Path]()).iterator()
         while (it.hasNext) Files.delete(it.next())
+      }
+      // an orphan member's bloom sidecars go with it (named
+      // `<member-basename>-<col>.bloom` under blooms/)
+      val blooms = Paths.get(root, "blooms")
+      if (Files.isDirectory(blooms)) {
+        val base = p.getFileName.toString
+        val bit = Files.list(blooms).iterator()
+        while (bit.hasNext) {
+          val b = bit.next()
+          if (b.getFileName.toString.startsWith(s"$base-"))
+            Files.delete(b)
+        }
       }
     }
     (expired, orphans)

@@ -3616,6 +3616,41 @@ object EtlOps {
         .select(col("lang"), col("n_docs"), col("sum_chars"),
           (col("n_docs") === col("n_docs_ivm") &&
             col("sum_chars") === col("sum_chars_ivm")).as("ivm_match"))
+    }),
+
+    // Bloom-pruned point lookup — the skipping leg min/max stats
+    // structurally CANNOT serve: members split by doc_id mod 3
+    // interleave, so every member's [min,max] covers every interior
+    // key (require-proved: the stats prune keeps all 3), but each
+    // member's bloom sidecar (commit-time distributed build,
+    // deterministic seed, Iceberg-puffin shape) answers "definitely
+    // not here". No false negatives — each key's true member is
+    // always kept (require-proved); ~1% false positives survive the
+    // prune and the row-level filter drops their rows, so the RESULT
+    // is exact whatever the bloom answers. Three point reads union
+    // into the report.
+    "q382_bloom_pruned_read" -> ((s, d) => {
+      val root = freshScratch("q382", d)
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      (1 to 3).foreach { k =>
+        graft.operators.Manifest.commitAdd(
+          docs.filter(col("doc_id") % 3 === (k - 1)), root, s"c$k",
+          statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+      }
+      val v = graft.operators.Manifest.currentVersion(root)
+      // interior key: the interleaved layout defeats min/max pruning
+      require(graft.operators.Manifest
+        .prunedMembers(root, v, "doc_id", 34, 34).size == 3,
+        "q382: interleaved members must defeat min/max stats pruning")
+      Seq(33L, 34L, 35L).map { k =>
+        val pruned = graft.operators.Manifest
+          .prunedMembersByKey(root, v, "doc_id", k)
+        require(pruned.contains(s"$root/files/c${k % 3 + 1}"),
+          s"q382: bloom pruning lost key $k's member (false negative)")
+        s.read.parquet(pruned: _*).filter(col("doc_id") === k)
+      }.reduce(_ unionByName _)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
     })
   )
 
@@ -4188,6 +4223,9 @@ object EtlOps {
          SELECT lang, count(*)::BIGINT AS n_docs,
                 sum(n_chars)::BIGINT AS sum_chars, true AS ivm_match
          FROM fin GROUP BY 1""",
+    "q382_bloom_pruned_read" ->
+      """SELECT doc_id, lang, n_chars
+         FROM documents WHERE doc_id IN (33, 34, 35)""",
     "q369_cohort_ltv" ->
       """WITH p AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
                            round(value * 100, 0)::BIGINT AS cents

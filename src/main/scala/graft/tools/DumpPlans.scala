@@ -128,7 +128,8 @@ object DumpPlans {
     "q378_mann_whitney" -> "Mann-Whitney U: one shared scaledMidranks pass; group rank-sums are a 2-row aggregate, U and the AUC permille are 1-row broadcast cross-join arithmetic — exact integers end to end",
     "q379_partition_pruned_read" -> "partition-pruned read: part_lang manifest tags skip 4 of 5 members BEFORE any data IO (require-proved); untagged members are conservatively read; the row filter still applies to the pruned union",
     "q380_wilcoxon" -> "Wilcoxon signed-rank: per-user paired diff is one user-keyed aggregate; |d| midranks ride the value-grain range exchange (scaledMidranks call site 9); W+ and its permille effect size are 1-row exact arithmetic",
-    "q381_ivm_changefeed" -> "change-feed IVM: each delta is ONE diffBoth full-outer join emitting both row images (old-group subtract + new-group add — group moves maintainable); the parity column is computed against the direct recompute, never assumed")
+    "q381_ivm_changefeed" -> "change-feed IVM: each delta is ONE diffBoth full-outer join emitting both row images (old-group subtract + new-group add — group moves maintainable); the parity column is computed against the direct recompute, never assumed",
+    "q382_bloom_pruned_read" -> "bloom-pruned point lookup: interleaved members defeat min/max stats (require-proved); per-member bloom sidecars skip before any data IO with no false negatives; FP members' rows drop in the row filter — result exact whatever the bloom answers")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

@@ -135,7 +135,8 @@ class ReproSpec extends AnyFunSuite {
     "q378_mann_whitney",    // doubled-midrank exact U + AUC permille
     "q379_partition_pruned_read", // part_lang tag skip + filtered union
     "q380_wilcoxon",        // paired signed-rank, doubled midranks
-    "q381_ivm_changefeed"   // diffBoth deltas vs direct recompute
+    "q381_ivm_changefeed",  // diffBoth deltas vs direct recompute
+    "q382_bloom_pruned_read" // bloom sidecar point-lookup skipping
   )
 
   representatives.foreach { name =>

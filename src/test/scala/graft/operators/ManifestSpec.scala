@@ -324,6 +324,50 @@ class ManifestSpec extends AnyFunSuite {
     assert(oneSided.contains((2L, "changed", "en", 25L)))
   }
 
+  test("bloom sidecars: no false negatives, real skipping, conservative fallbacks") {
+    val root = freshRoot("bloom")
+    // interleaved split: min/max stats are useless, blooms are not
+    val all = (0 until 300).map(_.toLong)
+    def part(r: Int) = all.filter(_ % 3 == r).map(i => (i, s"v$i"))
+      .toDF("id", "payload")
+    (0 until 3).foreach(r => Manifest.commitAdd(part(r), root, s"c$r",
+      statsCols = Seq("id"), bloomCols = Seq("id")))
+    // every member's [min,max] covers interior keys → stats keep all 3
+    assert(Manifest.prunedMembers(root, 3, "id", 150, 150).size == 3)
+    // no false negatives: every present key keeps its true member
+    for (k <- 0L until 300L by 17L) {
+      val pruned = Manifest.prunedMembersByKey(root, 3, "id", k)
+      assert(pruned.contains(s"$root/files/c${k % 3}"),
+        s"false negative for key $k")
+    }
+    // real skipping: across present keys, some prune below 3 members
+    // (FP rate ~1%/member — deterministic build, so this is stable)
+    val sizes = (0L until 300L by 7L).map(k =>
+      Manifest.prunedMembersByKey(root, 3, "id", k).size)
+    assert(sizes.exists(_ < 3), s"bloom pruning never skipped: $sizes")
+    // absent keys mostly prune to zero members
+    val absent = (10000L until 10050L).map(k =>
+      Manifest.prunedMembersByKey(root, 3, "id", k).size)
+    assert(absent.count(_ == 0) > 40, s"absent-key pruning weak: $absent")
+    // un-bloomed column and lost sidecar are conservatively read
+    assert(Manifest.prunedMembersByKey(root, 3, "payload", 1L).size == 3)
+    Files.delete(Paths.get(root, "blooms", "c0-id.bloom"))
+    val lost = Manifest.prunedMembersByKey(root, 3, "id", 0L)
+    assert(lost.contains(s"$root/files/c0"), "lost sidecar must be kept")
+  }
+
+  test("vacuum GCs orphan members' bloom sidecars with them") {
+    val root = freshRoot("bloomvac")
+    Manifest.commitAdd(frame(0 until 10), root, "a", bloomCols = Seq("id"))
+    Manifest.commitAdd(frame(10 until 20), root, "b", bloomCols = Seq("id"))
+    val small = Seq(s"$root/files/a", s"$root/files/b")
+    Manifest.commitReplace(spark.read.parquet(small: _*), root, small, "ab")
+    Manifest.commitAdd(frame(20 until 25), root, "c")
+    Manifest.vacuum(root, keepVersions = 2)
+    assert(!Files.exists(Paths.get(root, "blooms", "a-id.bloom")))
+    assert(!Files.exists(Paths.get(root, "blooms", "b-id.bloom")))
+  }
+
   test("vacuum deletes only files no retained version references") {
     val root = freshRoot("vacuum")
     Manifest.commitAdd(frame(0 until 10), root, "a")
