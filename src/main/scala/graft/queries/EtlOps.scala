@@ -3651,6 +3651,65 @@ object EtlOps {
         s.read.parquet(pruned: _*).filter(col("doc_id") === k)
       }.reduce(_ unionByName _)
         .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
+    // Content-defined chunk dedup — the STORAGE dedup shape (rsync/
+    // LBFS/backup dedup) next to the shingle family: chunk boundaries
+    // fall where a content hash of the local 4-gram has a fixed
+    // prefix (md5 first nibble '0', rate 1/16 → ~16-char expected
+    // chunks), so an insertion re-chunks only its neighborhood —
+    // fixed-width chunking would shift every later boundary and
+    // defeat dedup. Boundaries and chunk digests are per-doc array
+    // lambdas (interpreted → parallelized() fan-out; the corpus
+    // never shuffles at doc grain); only (lang, digest) pairs explode
+    // into the distinct count. md5 is the boundary hash because both
+    // engines share it bit-for-bit (xxhash64 has no DuckDB twin).
+    "q383_cdc_chunk_dedup" -> ((s, d) => {
+      TextOps.parallelized(Tables(s, d).documents)
+        .select(col("lang"), col("text"))
+        .withColumn("bs", expr(
+          "concat(array(1), " +
+            "filter(sequence(2, length(text)), " +
+            "i -> startswith(md5(substring(text, i, 4)), '0')), " +
+            "array(length(text) + 1))"))
+        .withColumn("dg", explode(expr(
+          "transform(sequence(1, size(bs) - 1), " +
+            "j -> md5(substring(text, element_at(bs, j), " +
+            "element_at(bs, j + 1) - element_at(bs, j))))")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_chunks"),
+          count_distinct(col("dg")).as("n_distinct"),
+          expr("(count(1) - count(DISTINCT dg)) * 1000 div count(1)")
+            .cast("long").as("dup_permille"))
+    }),
+
+    // t-closeness audit — the distribution leg of the privacy family
+    // (q352's l-diversity counts distinct sensitive values; this
+    // measures how far each quasi-group's sensitive DISTRIBUTION
+    // drifts from the global one): per source, the L1 distance
+    // between its lang distribution and the corpus's, in exact
+    // permille (Σ_c |n_gc·n − n_c·n_g| · 1000 div (n_g·n) — common
+    // denominator, no floats). The grid is (source × lang)-bounded
+    // with absent cells at 0 (they still contribute |0 − p(c)|);
+    // corpus work is ONE cell-grain aggregate, everything after runs
+    // on ≤25-row frames. DECIMAL(38,0) keeps n_gc·n exact past ~3e9.
+    "q384_t_closeness" -> ((s, d) => {
+      val cell = Tables(s, d).documents
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("ngc"))
+      val g = cell.groupBy(col("source")).agg(sum(col("ngc")).as("ng"))
+      val c = cell.groupBy(col("lang")).agg(sum(col("ngc")).as("nc"))
+      val n = cell.agg(sum(col("ngc")).as("n"))
+      g.crossJoin(c)
+        .join(cell, Seq("source", "lang"), "left")
+        .withColumn("ngc", coalesce(col("ngc"), lit(0L)))
+        .crossJoin(broadcast(n))
+        .groupBy(col("source"))
+        .agg(max(col("ng")).cast("long").as("n_rows"),
+          expr("sum(abs(CAST(ngc AS DECIMAL(38,0)) * n " +
+            "- CAST(nc AS DECIMAL(38,0)) * ng)) * 1000 " +
+            "div (max(CAST(ng AS DECIMAL(38,0))) * max(n))")
+            .as("l1_permille"))
     })
   )
 
@@ -4226,6 +4285,39 @@ object EtlOps {
     "q382_bloom_pruned_read" ->
       """SELECT doc_id, lang, n_chars
          FROM documents WHERE doc_id IN (33, 34, 35)""",
+    "q383_cdc_chunk_dedup" ->
+      """WITH pts AS (
+           SELECT lang, text,
+                  [1] || list_filter(range(2, length(text) + 1),
+                           i -> md5(substring(text, i, 4)) LIKE '0%')
+                      || [length(text) + 1] AS bs
+           FROM documents),
+         ch AS (
+           SELECT lang,
+                  md5(substring(text, bs[j], bs[j + 1] - bs[j])) AS dg
+           FROM pts, UNNEST(range(1, len(bs))) AS t(j))
+         SELECT lang, count(*)::BIGINT AS n_chunks,
+                count(DISTINCT dg)::BIGINT AS n_distinct,
+                ((count(*) - count(DISTINCT dg)) * 1000
+                  // count(*))::BIGINT AS dup_permille
+         FROM ch GROUP BY 1""",
+    "q384_t_closeness" ->
+      """WITH cell AS (SELECT source, lang, count(*)::BIGINT AS ngc
+                       FROM documents GROUP BY 1, 2),
+         g AS (SELECT source, sum(ngc)::BIGINT AS ng FROM cell GROUP BY 1),
+         c AS (SELECT lang, sum(ngc)::BIGINT AS nc FROM cell GROUP BY 1),
+         n AS (SELECT sum(ngc)::BIGINT AS n FROM cell),
+         grid AS (
+           SELECT g.source, g.ng, c.nc, coalesce(cell.ngc, 0) AS ngc
+           FROM g CROSS JOIN c
+                LEFT JOIN cell ON cell.source = g.source
+                              AND cell.lang = c.lang)
+         SELECT grid.source, max(grid.ng)::BIGINT AS n_rows,
+                (sum(abs(grid.ngc::HUGEINT * n.n
+                         - grid.nc::HUGEINT * grid.ng)) * 1000
+                  // (max(grid.ng)::HUGEINT * max(n.n)))::BIGINT
+                  AS l1_permille
+         FROM grid CROSS JOIN n GROUP BY 1""",
     "q369_cohort_ltv" ->
       """WITH p AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
                            round(value * 100, 0)::BIGINT AS cents

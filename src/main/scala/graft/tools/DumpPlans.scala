@@ -129,7 +129,9 @@ object DumpPlans {
     "q379_partition_pruned_read" -> "partition-pruned read: part_lang manifest tags skip 4 of 5 members BEFORE any data IO (require-proved); untagged members are conservatively read; the row filter still applies to the pruned union",
     "q380_wilcoxon" -> "Wilcoxon signed-rank: per-user paired diff is one user-keyed aggregate; |d| midranks ride the value-grain range exchange (scaledMidranks call site 9); W+ and its permille effect size are 1-row exact arithmetic",
     "q381_ivm_changefeed" -> "change-feed IVM: each delta is ONE diffBoth full-outer join emitting both row images (old-group subtract + new-group add — group moves maintainable); the parity column is computed against the direct recompute, never assumed",
-    "q382_bloom_pruned_read" -> "bloom-pruned point lookup: interleaved members defeat min/max stats (require-proved); per-member bloom sidecars skip before any data IO with no false negatives; FP members' rows drop in the row filter — result exact whatever the bloom answers")
+    "q382_bloom_pruned_read" -> "bloom-pruned point lookup: interleaved members defeat min/max stats (require-proved); per-member bloom sidecars skip before any data IO with no false negatives; FP members' rows drop in the row filter — result exact whatever the bloom answers",
+    "q383_cdc_chunk_dedup" -> "content-defined chunking: boundaries + digests are per-doc array lambdas (fan-out via the single-file guard); only (lang, digest) pairs explode into the distinct count — the corpus never shuffles at doc grain",
+    "q384_t_closeness" -> "t-closeness: ONE cell-grain corpus aggregate; margins, the bounded source×lang grid (absent cells at 0), and the common-denominator L1 permille all run on ≤25-row frames with DECIMAL(38,0) products")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

@@ -136,7 +136,9 @@ class ReproSpec extends AnyFunSuite {
     "q379_partition_pruned_read", // part_lang tag skip + filtered union
     "q380_wilcoxon",        // paired signed-rank, doubled midranks
     "q381_ivm_changefeed",  // diffBoth deltas vs direct recompute
-    "q382_bloom_pruned_read" // bloom sidecar point-lookup skipping
+    "q382_bloom_pruned_read", // bloom sidecar point-lookup skipping
+    "q383_cdc_chunk_dedup", // content-defined boundaries + digests
+    "q384_t_closeness"      // L1 distribution drift per quasi-group
   )
 
   representatives.foreach { name =>
