@@ -321,6 +321,99 @@ object Dedup {
     out
   }
 
+  /** Exact containment-threshold self-join over the same sorted-hash
+    * sets as [[jaccardPairs]] — the ASYMMETRIC twin: C(A→B) =
+    * |A∩B|/|A| ≥ tNum/tDen means A sits (mostly) inside B — quotes,
+    * partial copies, templated supersets — with NO upper bound on
+    * |B|, which is exactly what Jaccard cannot express (a 50-token
+    * quote inside a 5000-token page has Jaccard ≈ 0.01 but
+    * containment 1.0). Threshold arithmetic is fully INTEGER:
+    * req = ⌈t·|A|⌉ = (tNum·n + tDen−1) div tDen, verification keeps
+    * c ≥ req — no float boundary cases on either engine.
+    *
+    * Exactness-preserving prunes:
+    *  - A-side prefix filter: a qualifying pair shares an element in
+    *    A's first n − req + 1 hash-ordered elements (all common
+    *    elements past the prefix ⇒ c ≤ req − 1).
+    *  - B-side FULL postings — the price of asymmetry: no length
+    *    filter bounds |B| below its partner, so every element of B
+    *    must be indexable. Only (id, n, element) rows shuffle,
+    *    term-sharded like the q69 contamination join.
+    *  - Position filter min(|A|−pa, |B|−pb) ≥ req and size filter
+    *    |B| ≥ req, both inside the candidate join.
+    *  - Identical-set collapse (shared [[Collapse]] machinery): the
+    *    quadratic join runs over DISTINCT sets; intra-group ordered
+    *    pairs are full containments both ways (c = n ≥ req always),
+    *    inter-group verdicts expand ORIENTATION-PRESERVING (the
+    *    canonicalizing expandInterPairs would destroy the direction).
+    *
+    * Output ORDERED pairs (`a_id` contained in `b_id`): a_id, b_id,
+    * c, na, nb — all long. Empty sets never pair (0/0 undefined).
+    */
+  private[graft] def containmentPairs(
+      sets0: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tNum <= tDen,
+      s"containment threshold must be in (0, 1], got $tNum/$tDen")
+    val labeled = Collapse.byValue(sets0, "ts", "id").labeled
+      .withColumn("n", size(col("ts")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val members = labeled.select(col("rep"), col("id"))
+    val dsets = labeled.filter(col("id") === col("rep") && col("n") > 0)
+      .select(col("id"), col("ts"), col("n"))
+      .withColumn("req", expr(s"($tNum * n + ${tDen - 1}) div $tDen"))
+
+    val verifiedReps = containmentCandidates(dsets)
+      .join(dsets.select(col("id").as("a_id"), col("ts").as("ta"),
+        col("n").as("na"), col("req")), "a_id")
+      .join(dsets.select(col("id").as("b_id"), col("ts").as("tb"),
+        col("n").as("nb")), "b_id")
+      .withColumn("c", sortedIntersectCount(col("ta"), col("tb")))
+      .filter(col("c") >= col("req"))
+      .select(col("a_id"), col("b_id"), col("c"),
+        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"))
+
+    val inter = verifiedReps
+      .join(members.select(col("rep").as("a_id"), col("id").as("__ma")), "a_id")
+      .join(members.select(col("rep").as("b_id"), col("id").as("__mb")), "b_id")
+      .select(col("__ma").as("a_id"), col("__mb").as("b_id"),
+        col("c"), col("na"), col("nb"))
+
+    // intra: identical non-empty sets fully contain each other, both
+    // directions (c = na = nb = n and req ≤ n always since t ≤ 1)
+    val intraU = Collapse.intraPairs(members,
+      dsets.select(col("id").as("rep"), col("n")))
+    val intra = intraU.select(col("a_id"), col("b_id"), col("n"))
+      .unionByName(intraU.select(col("b_id").as("a_id"),
+        col("a_id").as("b_id"), col("n")))
+      .select(col("a_id"), col("b_id"), col("n").cast("long").as("c"),
+        col("n").cast("long").as("na"), col("n").cast("long").as("nb"))
+
+    val out = inter.unionByName(intra).localCheckpoint()
+    labeled.unpersist()
+    out
+  }
+
+  /** Containment candidate generation over `(id, ts, n, req)` sets —
+    * A-side prefix postings against B-side FULL postings with the
+    * position and size filters, exposed separately so specs and the
+    * plan-dump tool can show the candidate join (the driver-facing
+    * query checkpoints past it). Exact: every qualifying ordered pair
+    * appears, with false positives verified downstream.
+    */
+  private[graft] def containmentCandidates(dsets: DataFrame): DataFrame = {
+    val aPref = dsets.select(col("id"), col("n"), col("req"),
+      posexplode(slice(col("ts"), lit(1), col("n") - col("req") + 1))
+        .as(Seq("p", "t")))
+    val bAll = dsets.select(col("id"), col("n"),
+      posexplode(col("ts")).as(Seq("p", "t")))
+    aPref.as("a").join(bAll.as("b"),
+        col("a.t") === col("b.t") && col("a.id") =!= col("b.id") &&
+        col("b.n") >= col("a.req") &&
+        least(col("a.n") - col("a.p"), col("b.n") - col("b.p")) >= col("a.req"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+  }
+
   /** AllPairs/PPJoin candidate generation over `(id, ts, n)` sets —
     * the prefix/length/position-filter join, exposed separately so
     * specs can measure candidate counts directly. Exactness: every

@@ -433,6 +433,22 @@ object TextOps {
       Dedup.jaccardPairs(sets, threshold = 0.9)
     }),
 
+    // Exact CONTAINMENT join (C(A→B) = |A∩B|/|A| ≥ 49/50) — the
+    // asymmetric dedup leg Jaccard can't see: a short doc quoted
+    // inside a long one scores near-zero Jaccard but containment 1.
+    // ORDERED pairs (a inside b) via Dedup.containmentPairs: A-side
+    // prefix filter + B-side full postings + position/size filters +
+    // identical-set collapse, threshold and permille all in integer
+    // arithmetic (c·50 ≥ 49·na — no float boundaries to disagree
+    // on). The quote/partial-copy detector of the dedup suite.
+    "q385_containment_join" -> ((s, d) => {
+      val sets = Tables(s, d).documents.select(
+        col("doc_id").as("id"),
+        array_sort(transform(array_distinct(tokens), t => xxhash64(t))).as("ts"))
+      Dedup.containmentPairs(sets, 49, 50)
+        .withColumn("containment_pm", expr("c * 1000 div na"))
+    }),
+
     // Cross-source contamination (train/test decontamination): how
     // many of each doc's distinct 3-grams appear verbatim in another
     // source. Exact; DuckDB rebuilds the grams with a list
@@ -1500,6 +1516,21 @@ object TextOps {
          JOIN sizes sa ON sa.doc_id = a_id
          JOIN sizes sb ON sb.doc_id = b_id
          WHERE c::DOUBLE / (sa.n + sb.n - c)::DOUBLE >= 0.9""",
+    "q385_containment_join" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+           FROM documents),
+         sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+           FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2)
+         SELECT a_id, b_id, c, sa.n AS na, sb.n AS nb,
+                (c * 1000 // sa.n)::BIGINT AS containment_pm
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = a_id
+         JOIN sizes sb ON sb.doc_id = b_id
+         WHERE c * 50 >= sa.n * 49""",
     "q69_contamination" ->
       """WITH t AS (
            SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),

@@ -131,7 +131,8 @@ object DumpPlans {
     "q381_ivm_changefeed" -> "change-feed IVM: each delta is ONE diffBoth full-outer join emitting both row images (old-group subtract + new-group add — group moves maintainable); the parity column is computed against the direct recompute, never assumed",
     "q382_bloom_pruned_read" -> "bloom-pruned point lookup: interleaved members defeat min/max stats (require-proved); per-member bloom sidecars skip before any data IO with no false negatives; FP members' rows drop in the row filter — result exact whatever the bloom answers",
     "q383_cdc_chunk_dedup" -> "content-defined chunking: boundaries + digests are per-doc array lambdas (fan-out via the single-file guard); only (lang, digest) pairs explode into the distinct count — the corpus never shuffles at doc grain",
-    "q384_t_closeness" -> "t-closeness: ONE cell-grain corpus aggregate; margins, the bounded source×lang grid (absent cells at 0), and the common-denominator L1 permille all run on ≤25-row frames with DECIMAL(38,0) products")
+    "q384_t_closeness" -> "t-closeness: ONE cell-grain corpus aggregate; margins, the bounded source×lang grid (absent cells at 0), and the common-denominator L1 permille all run on ≤25-row frames with DECIMAL(38,0) products",
+    "q385_containment_join" -> "containment join: final plan is the post-checkpoint scan (see containment_core extra for the candidate join); threshold and permille are integer arithmetic — c·50 ≥ 49·na, no float boundaries")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the
@@ -154,6 +155,23 @@ object DumpPlans {
         val dsets = graft.operators.Dedup.repLabeled(sets)
           .filter(col("id") === col("rep")).select("id", "ts", "n")
         graft.operators.Dedup.allPairsCandidates(dsets, 0.9)
+      }),
+    ("containment_core (q385 candidate stage)",
+      "asymmetric containment candidate join over DISTINCT sets: A-side " +
+        "prefix postings (n − ⌈t·n⌉ + 1 hash-ordered elements) against B-side " +
+        "FULL postings — the price of no upper length bound — with integer " +
+        "position/size filters. Dumped pre-localCheckpoint like jaccard_core.",
+      (s: org.apache.spark.sql.SparkSession) => {
+        import org.apache.spark.sql.functions._
+        val sets = graft.Tables(s, sfDir).documents.select(
+          col("doc_id").as("id"),
+          array_sort(transform(array_distinct(split(col("text"), " ")),
+            t => xxhash64(t))).as("ts"))
+        val dsets = graft.operators.Dedup.repLabeled(sets)
+          .filter(col("id") === col("rep")).select("id", "ts", "n")
+          .filter(col("n") > 0)
+          .withColumn("req", expr("(49 * n + 49) div 50"))
+        graft.operators.Dedup.containmentCandidates(dsets)
       }),
     ("sign_lsh_core (q71 candidate + verify stages)",
       "multi-table sign-LSH near-dup (same shape as cosineNearDupLsh, whose " +

@@ -138,7 +138,8 @@ class ReproSpec extends AnyFunSuite {
     "q381_ivm_changefeed",  // diffBoth deltas vs direct recompute
     "q382_bloom_pruned_read", // bloom sidecar point-lookup skipping
     "q383_cdc_chunk_dedup", // content-defined boundaries + digests
-    "q384_t_closeness"      // L1 distribution drift per quasi-group
+    "q384_t_closeness",     // L1 distribution drift per quasi-group
+    "q385_containment_join" // asymmetric exact containment pairs
   )
 
   representatives.foreach { name =>

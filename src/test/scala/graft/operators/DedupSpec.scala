@@ -136,6 +136,41 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("containmentPairs ≡ brute force: ordered, asymmetric, tie-exact, dup-collapsed") {
+    import org.apache.spark.sql.functions._
+    val next = graft.TestSpark.splitmix(7L)
+    val universe = (1L to 40L).map(_ => next()).distinct
+    // diverse sizes incl. planted strict subsets and exact duplicates
+    // (the collapse + both-direction intra path)
+    val base: Seq[(Long, Seq[Long])] = (0 until 40).map { i =>
+      val size = 3 + math.floorMod(next(), 28L).toInt
+      val s = scala.collection.mutable.LinkedHashSet.empty[Long]
+      while (s.size < size) s += universe(math.floorMod(next(), universe.length.toLong).toInt)
+      (i.toLong, s.toSeq.sorted)
+    }
+    val sets = base ++
+      base.take(5).map { case (id, ts) => (id + 100, ts.take(math.max(ts.size * 4 / 5, 1))) } ++ // subsets
+      base.take(3).map { case (id, ts) => (id + 200, ts) } // exact dups
+    val df = sets.toDF("id", "ts")
+    def brute(tn: Int, td: Int): Set[(Long, Long, Long)] = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      c = sa.toSet.intersect(sb.toSet).size
+      if c.toLong * td >= sa.size.toLong * tn // exact integer threshold
+    } yield (a, b, c.toLong)).toSet
+    for ((tn, td) <- Seq((1, 2), (4, 5), (49, 50), (1, 1))) {
+      val got = Dedup.containmentPairs(df, tn, td)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == brute(tn, td),
+        s"t=$tn/$td missing=${(brute(tn, td) -- got).take(3)} " +
+          s"extra=${(got -- brute(tn, td)).take(3)}")
+    }
+    // asymmetry: some pair qualifies one way only at 4/5
+    val oneWay = Dedup.containmentPairs(df, 4, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oneWay.exists { case (a, b) => !oneWay.contains((b, a)) },
+      "expected at least one strictly one-directional containment")
+  }
+
   test("jaccardPairs collapses identical sets: exact under 10× duplication, candidates stay O(distinct²)") {
     import org.apache.spark.sql.functions._
     // 40 distinct sets over a LOW-ENTROPY universe (20 elements) —
