@@ -3697,6 +3697,85 @@ object EtlOps {
       val cell = Tables(s, d).documents
         .groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("ngc"))
+      tClosenessReport(cell)
+    }),
+
+    // Rank-ANOVA readout (the Kruskal-Wallis per-group view): each
+    // language's average doubled midrank of doc length against its
+    // expectation — Σ_rows s₂ = n(n+1) exactly, so a group's
+    // expected Σ is n_i·(n+1) and the deviation permille is pure
+    // integer arithmetic (positive = longer-than-corpus docs).
+    // Shares the q377/q378/q380 midrank machinery (call site 10);
+    // group sums are lang-cardinality frames, the corpus only pays
+    // the one value-grain pass. Emitting per-group deviations
+    // instead of the single H statistic keeps the math exact (H's
+    // 12/(n(n+1)) Σ R²/n_i denominators have no common integer
+    // form) and is the actionable readout anyway.
+    "q386_rank_anova" -> ((s, d) => {
+      val docs = Tables(s, d).documents.select(col("lang"), col("n_chars"))
+      val m = graft.operators.GroupedRank.scaledMidranks(
+        docs, col("n_chars"), "s2")
+      val tot = docs.agg(count(lit(1)).cast("long").as("n"))
+      docs.join(m, docs("n_chars") === m("__v")).drop("__v")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("s2").cast("decimal(19,0)")).as("s2sum"))
+        .crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"),
+          col("s2sum").cast("decimal(38,0)").cast("string").as("s2_sum"),
+          expr("(s2sum - CAST(n_docs AS DECIMAL(38,0)) * (n + 1)) * 1000 " +
+            "div (CAST(n_docs AS DECIMAL(38,0)) * (n + 1))")
+            .as("dev_permille"))
+    }),
+
+    // Kendall concordance sufficient statistics — the pair-ordering
+    // agreement between chars and tokens, complementing q377's
+    // Spearman (Kendall weighs each discordant pair once where
+    // Spearman squares rank gaps): concordant/discordant counted on
+    // the (x, y) VALUE GRID, so the quadratic pair space collapses
+    // to grid-cell pairs (cells² work, corpus-independent once
+    // aggregated; the corpus pays one cell-grain pass). τ_b's √ is
+    // irrational, so the exact integers C, D, tied_x, tied_y ship
+    // as STRINGs (the q203 sufficient-statistics discipline) with
+    // τ_a = (C−D)/n₀ in exact permille.
+    "q387_kendall_stats" -> ((s, d) => {
+      val cells = Tables(s, d).documents
+        .select(col("n_chars").as("x"),
+          size(split(col("text"), " ")).cast("long").as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cnt"))
+      val a = cells.select(col("x").as("x1"), col("y").as("y1"),
+        col("cnt").cast("decimal(19,0)").as("c1"))
+      val b = cells.select(col("x").as("x2"), col("y").as("y2"),
+        col("cnt").cast("decimal(19,0)").as("c2"))
+      val cd = a.join(b, col("x2") > col("x1"))
+        .agg(
+          coalesce(sum(when(col("y2") > col("y1"), col("c1") * col("c2"))),
+            lit(0).cast("decimal(38,0)")).as("cc"),
+          coalesce(sum(when(col("y2") < col("y1"), col("c1") * col("c2"))),
+            lit(0).cast("decimal(38,0)")).as("dd"))
+      def tieSum(key: String) = cells.groupBy(col(key))
+        .agg(sum(col("cnt")).as("m"))
+        .agg(coalesce(sum(expr(
+          "CAST(m AS DECIMAL(19,0)) * (m - 1) div 2").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as(s"t_$key"))
+      val tot = Tables(s, d).documents.agg(count(lit(1)).cast("long").as("n"))
+      cd.crossJoin(broadcast(tieSum("x"))).crossJoin(broadcast(tieSum("y")))
+        .crossJoin(broadcast(tot))
+        .select(col("n").as("n_docs"),
+          col("cc").cast("string").as("concordant"),
+          col("dd").cast("string").as("discordant"),
+          col("t_x").cast("string").as("tied_x"),
+          col("t_y").cast("string").as("tied_y"),
+          expr("(cc - dd) * 2000 div (CAST(n AS DECIMAL(38,0)) * (n - 1))")
+            .as("tau_a_permille"))
+    })
+  )
+
+  /** q384's report body, factored so the query map entry stays at
+    * altitude: margins, the bounded grid with absent cells at 0, and
+    * the common-denominator L1 permille.
+    */
+  private def tClosenessReport(cell: DataFrame): DataFrame = {
       val g = cell.groupBy(col("source")).agg(sum(col("ngc")).as("ng"))
       val c = cell.groupBy(col("lang")).agg(sum(col("ngc")).as("nc"))
       val n = cell.agg(sum(col("ngc")).as("n"))
@@ -3710,8 +3789,7 @@ object EtlOps {
             "- CAST(nc AS DECIMAL(38,0)) * ng)) * 1000 " +
             "div (max(CAST(ng AS DECIMAL(38,0))) * max(n))")
             .as("l1_permille"))
-    })
-  )
+  }
 
   /** Per-process scratch root, wiped and recreated on every call —
     * the Manifest queries re-run inside one JVM (bench min-of-2,
@@ -4318,6 +4396,47 @@ object EtlOps {
                   // (max(grid.ng)::HUGEINT * max(n.n)))::BIGINT
                   AS l1_permille
          FROM grid CROSS JOIN n GROUP BY 1""",
+    "q386_rank_anova" ->
+      """WITH v AS (SELECT n_chars AS val, count(*)::BIGINT AS cnt
+                    FROM documents GROUP BY 1),
+         m AS (SELECT val, 2 * sum(cnt) OVER (ORDER BY val
+                   ROWS UNBOUNDED PRECEDING) - cnt + 1 AS s2
+               FROM v),
+         j AS (SELECT d.lang, m.s2
+               FROM documents d JOIN m ON m.val = d.n_chars),
+         g AS (SELECT lang, count(*)::BIGINT AS n_docs,
+                      sum(s2::HUGEINT) AS s2sum
+               FROM j GROUP BY 1),
+         t AS (SELECT count(*)::BIGINT AS n FROM documents)
+         SELECT g.lang, g.n_docs, g.s2sum::VARCHAR AS s2_sum,
+                ((g.s2sum - g.n_docs::HUGEINT * (t.n + 1)) * 1000
+                  // (g.n_docs::HUGEINT * (t.n + 1)))::BIGINT
+                  AS dev_permille
+         FROM g CROSS JOIN t""",
+    "q387_kendall_stats" ->
+      """WITH cells AS (
+           SELECT n_chars AS x, len(string_split(text, ' '))::BIGINT AS y,
+                  count(*)::BIGINT AS cnt
+           FROM documents GROUP BY 1, 2),
+         cd AS (
+           SELECT coalesce(sum(CASE WHEN b.y > a.y
+                    THEN a.cnt::HUGEINT * b.cnt END), 0) AS cc,
+                  coalesce(sum(CASE WHEN b.y < a.y
+                    THEN a.cnt::HUGEINT * b.cnt END), 0) AS dd
+           FROM cells a JOIN cells b ON b.x > a.x),
+         tx AS (SELECT coalesce(sum(m::HUGEINT * (m - 1) // 2), 0) AS t_x
+                FROM (SELECT sum(cnt)::BIGINT AS m FROM cells GROUP BY x)),
+         ty AS (SELECT coalesce(sum(m::HUGEINT * (m - 1) // 2), 0) AS t_y
+                FROM (SELECT sum(cnt)::BIGINT AS m FROM cells GROUP BY y)),
+         t AS (SELECT count(*)::BIGINT AS n FROM documents)
+         SELECT t.n AS n_docs,
+                cd.cc::VARCHAR AS concordant,
+                cd.dd::VARCHAR AS discordant,
+                tx.t_x::VARCHAR AS tied_x,
+                ty.t_y::VARCHAR AS tied_y,
+                ((cd.cc - cd.dd) * 2000
+                  // (t.n::HUGEINT * (t.n - 1)))::BIGINT AS tau_a_permille
+         FROM cd CROSS JOIN tx CROSS JOIN ty CROSS JOIN t""",
     "q369_cohort_ltv" ->
       """WITH p AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
                            round(value * 100, 0)::BIGINT AS cents

@@ -132,7 +132,9 @@ object DumpPlans {
     "q382_bloom_pruned_read" -> "bloom-pruned point lookup: interleaved members defeat min/max stats (require-proved); per-member bloom sidecars skip before any data IO with no false negatives; FP members' rows drop in the row filter — result exact whatever the bloom answers",
     "q383_cdc_chunk_dedup" -> "content-defined chunking: boundaries + digests are per-doc array lambdas (fan-out via the single-file guard); only (lang, digest) pairs explode into the distinct count — the corpus never shuffles at doc grain",
     "q384_t_closeness" -> "t-closeness: ONE cell-grain corpus aggregate; margins, the bounded source×lang grid (absent cells at 0), and the common-denominator L1 permille all run on ≤25-row frames with DECIMAL(38,0) products",
-    "q385_containment_join" -> "containment join: final plan is the post-checkpoint scan (see containment_core extra for the candidate join); threshold and permille are integer arithmetic — c·50 ≥ 49·na, no float boundaries")
+    "q385_containment_join" -> "containment join: final plan is the post-checkpoint scan (see containment_core extra for the candidate join); threshold and permille are integer arithmetic — c·50 ≥ 49·na, no float boundaries",
+    "q386_rank_anova" -> "rank ANOVA: one value-grain midrank pass (scaledMidranks call site 10); per-lang Σs₂ against its n_i(n+1) expectation is lang-cardinality arithmetic with a 1-row broadcast total",
+    "q387_kendall_stats" -> "Kendall statistics: the quadratic pair space collapses to the (x,y) value grid — one cell-grain corpus aggregate, then a grid-bounded x-ordered cell join classifies concordant/discordant in bulk (c1·c2 per cell pair); ties from the margins; exact integers as STRINGs")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

@@ -252,8 +252,9 @@ class PlanSpec extends AnyFunSuite {
         "q361_weighted_median", "q313_decile_assign",
         "q316_interleave_stream", "q323_ooo_audit",
         // r10: the scaledMidranks call sites (value-grain cumulative
-        // counts riding withRunningTotal — q377 ×2, q378 ×1, q380 ×1)
-        "q377_spearman", "q378_mann_whitney", "q380_wilcoxon")) {
+        // counts riding withRunningTotal — q377 ×2, q378/q380/q386 ×1)
+        "q377_spearman", "q378_mann_whitney", "q380_wilcoxon",
+        "q386_rank_anova")) {
       // documented bounded-frame exceptions: q361's flag-total offset
       // window runs unpartitioned over a ≤|returnflag|-row (3-row)
       // PRE-AGGREGATED frame — inline-justified in EtlOps; every

@@ -139,7 +139,9 @@ class ReproSpec extends AnyFunSuite {
     "q382_bloom_pruned_read", // bloom sidecar point-lookup skipping
     "q383_cdc_chunk_dedup", // content-defined boundaries + digests
     "q384_t_closeness",     // L1 distribution drift per quasi-group
-    "q385_containment_join" // asymmetric exact containment pairs
+    "q385_containment_join", // asymmetric exact containment pairs
+    "q386_rank_anova",      // per-group midrank deviation permille
+    "q387_kendall_stats"    // grid-collapsed concordance counts
   )
 
   representatives.foreach { name =>

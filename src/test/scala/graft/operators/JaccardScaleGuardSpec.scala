@@ -83,6 +83,32 @@ class JaccardScaleGuardSpec extends AnyFunSuite {
         "means the AllPairs prefix filtering or the identical-set collapse broke")
   }
 
+  test("containment: 10× duplication keeps candidates O(distinct²), ordered expansion exact") {
+    // the containment join shares the collapse discipline: its B-side
+    // FULL postings make candidate growth the bigger risk, so the
+    // same executable guard applies — candidates are a function of
+    // DISTINCT sets only, and verdicts expand ordered (each base doc
+    // → 10·9 intra pairs, each 1× ordered pair → 100 copies)
+    val docs = Tables(spark, dir).documents.select("doc_id", "text")
+    val nDocs = docs.count()
+    val tenX = (0 until 10).map(i =>
+      docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+        col("text"))).reduce(_ unionByName _)
+    def dsets(s: DataFrame): DataFrame =
+      Dedup.repLabeled(s).filter(col("id") === col("rep"))
+        .select(col("id"), col("ts"), col("n")).filter(col("n") > 0)
+        .withColumn("req", expr("(49 * n + 49) div 50"))
+    val c1 = Dedup.containmentCandidates(dsets(sets(docs))).count()
+    val c10 = Dedup.containmentCandidates(dsets(sets(tenX))).count()
+    assert(c10 == c1,
+      s"containment candidates grew with corpus size: $c10 on 10× vs $c1 on 1×")
+    val p1 = Dedup.containmentPairs(sets(docs), 49, 50).count()
+    val p10 = Dedup.containmentPairs(sets(tenX), 49, 50).count()
+    assert(p10 == 90L * nDocs + 100L * p1,
+      s"ordered expansion wrong: $p10 pairs on 10× (expected " +
+        s"${90L * nDocs + 100L * p1} = 90·$nDocs intra + 100·$p1 cross)")
+  }
+
   test("the maxCandidateFactor tripwire trips on a corpus the filters cannot bound") {
     // near-identical low-entropy sets (every doc shares one long
     // common token run) defeat prefix filtering by construction —
