@@ -468,9 +468,8 @@ object Manifest {
         (col("op") === "I" || col("__present").isNotNull))
       .select(col(keyCol) +: valueCols.map(col): _*)
       .persist()
-    val hasAppend = appendRows.limit(1).count() > 0
-
-    val result =
+    try {
+      val hasAppend = appendRows.limit(1).count() > 0
       if (affected.isEmpty && !hasAppend) prev // pure no-op batch
       else {
         val rewritten = affected.zipWithIndex.map { case (m, i) =>
@@ -490,8 +489,12 @@ object Manifest {
         publish(root, base.filterNot(l => affected.contains(pathOf(l)))
           ++ rewritten ++ appended)
       }
-    hits.unpersist(); keys.unpersist(); appendRows.unpersist()
-    result
+    } finally {
+      // unpersist on every path — a failed member write must not
+      // leak cached frames (the crashed attempt's files are GC'd by
+      // recoverTag on the retry)
+      hits.unpersist(); keys.unpersist(); appendRows.unpersist()
+    }
   }
 
   /** Delete `<nameTag>-` member dirs a crashed [[applyCdcBatch]]
@@ -502,8 +505,12 @@ object Manifest {
     val filesDir = Paths.get(root, "files")
     if (Files.isDirectory(filesDir)) {
       val head = currentVersion(root)
+      // vacuum may have expired early manifests — only surviving
+      // versions can reference files (expired versions' exclusive
+      // files are already deleted by vacuum itself)
       val referenced: Set[String] =
-        (1 to head).flatMap(v => members(root, v)).toSet
+        (1 to head).filter(v => Files.exists(manifestPath(root, v)))
+          .flatMap(v => members(root, v)).toSet
       val it = Files.list(filesDir).iterator()
       while (it.hasNext) {
         val p = it.next()

@@ -3667,10 +3667,16 @@ object EtlOps {
     "q383_cdc_chunk_dedup" -> ((s, d) => {
       TextOps.parallelized(Tables(s, d).documents)
         .select(col("lang"), col("text"))
+        // greatest(…, 2) + the i <= length guard: Spark's sequence
+        // REVERSES when start > stop (sequence(2,1) = [2,1]) while
+        // DuckDB's range(2,2) is empty — without the guard a 1-char
+        // text would diverge between the engines (latent at shipped
+        // fixtures, min doc ≈ 19 chars)
         .withColumn("bs", expr(
           "concat(array(1), " +
-            "filter(sequence(2, length(text)), " +
-            "i -> startswith(md5(substring(text, i, 4)), '0')), " +
+            "filter(sequence(2, greatest(length(text), 2)), " +
+            "i -> i <= length(text) " +
+            "AND startswith(md5(substring(text, i, 4)), '0')), " +
             "array(length(text) + 1))"))
         .withColumn("dg", explode(expr(
           "transform(sequence(1, size(bs) - 1), " +

@@ -368,6 +368,19 @@ class ManifestSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(root, "blooms", "b-id.bloom")))
   }
 
+  test("applyCdcBatch works after vacuum (expired manifests are skipped, not read)") {
+    val root = freshRoot("cdc-vac")
+    Manifest.commitAdd(frame(0 until 10), root, "a")
+    Manifest.commitAdd(frame(10 until 20), root, "b")
+    Manifest.vacuum(root, keepVersions = 1) // v1 expired, manifest gone
+    val v = Manifest.applyCdcBatch(
+      Seq((0L, "U", "u0")).toDF("id", "op", "payload"), root, "id", "t1")
+    assert(v == 3)
+    assert(Manifest.read(spark, root, v)
+      .as[(Long, String)].collect().toSet ==
+      ((1 until 20).map(i => (i.toLong, s"v$i")).toSet + ((0L, "u0"))))
+  }
+
   test("vacuum deletes only files no retained version references") {
     val root = freshRoot("vacuum")
     Manifest.commitAdd(frame(0 until 10), root, "a")
