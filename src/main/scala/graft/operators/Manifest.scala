@@ -613,6 +613,127 @@ object Manifest {
     * reader can no longer pin them. Returns (expired versions,
     * deleted member dirs).
     */
+  // ───── Merge-on-read equality deletes (the Iceberg v2 delete-file
+  // leg; [[deleteWhere]] is the copy-on-write alternative) ─────
+  //
+  // A COW delete pays a rewrite of every affected member NOW; an MOR
+  // delete writes only a tiny DELETE FILE (the keys to drop) and
+  // readers subtract it with one anti-join — the right trade when
+  // deletes are small, frequent, and latency-sensitive (streaming
+  // CDC, RTBF queues) and the table is 100 TB: commit cost follows
+  // the delete batch, never the data. The read-side debt is paid
+  // back by [[compactDeletes]], which folds all delete files into
+  // their affected members in one replace commit. Equality deletes
+  // (keys) rather than positional deletes (file, row-ordinal) are
+  // deliberate: Spark has no stable row ordinal inside a member
+  // (splits re-order), while a key set is engine-portable, and this
+  // matches the Iceberg v2 equality-delete design, where writers
+  // that cannot know positions (streaming) emit key-based deletes.
+
+  private val KindDelete = """"kind":"delete""""
+
+  private def keyColOf(line: String): String = {
+    val tag = """"key":""""
+    val i = line.indexOf(tag) + tag.length
+    line.substring(i, line.indexOf('"', i))
+  }
+
+  /** Data member paths of `version` (members that are not delete
+    * files). Identical to [[members]] on tables that never took an
+    * MOR delete.
+    */
+  def dataMembers(root: String, version: Int): Seq[String] =
+    membersRaw(root, version).filterNot(_.contains(KindDelete)).map(pathOf)
+
+  /** (path, keyCol) of each equality-delete member of `version`. */
+  def deleteMembers(root: String, version: Int): Seq[(String, String)] =
+    membersRaw(root, version).filter(_.contains(KindDelete))
+      .map(l => (pathOf(l), keyColOf(l)))
+
+  /** MOR DELETE commit: write `keys` (single column `keyCol`) as a
+    * delete member and publish. NO data member is read, probed, or
+    * rewritten — the commit cost is the key batch alone. Readers
+    * must use [[readMor]]; [[read]] on a table with delete members
+    * would union incompatible schemas (loudly, via parquet schema
+    * merge failure — never silently wrong rows).
+    */
+  def commitEqualityDelete(
+      keys: DataFrame,
+      root: String,
+      name: String,
+      keyCol: String): Int = {
+    val prev = currentVersion(root)
+    require(prev > 0, s"Manifest: cannot delete from an empty table $root")
+    val target = s"$root/files/$name"
+    keys.select(keyCol).distinct().write.mode("errorifexists").parquet(target)
+    publish(root, membersRaw(root, prev)
+      :+ memberLine(target, s""","kind":"delete","key":"$keyCol""""))
+  }
+
+  /** Merge-on-read snapshot: union of `version`'s data members MINUS
+    * every key its delete members carry — one broadcast-sized
+    * left-anti join per distinct delete key column (delete files are
+    * commit-batch-sized; at 100 TB the anti-join's build side is the
+    * delete set, so the data side streams through unshuffled).
+    */
+  def readMor(spark: SparkSession, root: String, version: Int): DataFrame = {
+    val data = dataMembers(root, version)
+    require(data.nonEmpty, s"Manifest: version $version of $root has no data")
+    val base = spark.read.parquet(data: _*)
+    deleteMembers(root, version).groupBy(_._2).foldLeft(base) {
+      case (df, (keyCol, files)) =>
+        df.join(
+          org.apache.spark.sql.functions.broadcast(
+            spark.read.parquet(files.map(_._1): _*).select(keyCol).distinct()),
+          Seq(keyCol), "left_anti")
+    }
+  }
+
+  /** Fold every delete member into the data (the MOR maintenance
+    * op): affected data members (bounded per-member semi-join
+    * probes) are rewritten minus the delete keys, unaffected members
+    * pass through with their stats, delete members leave the
+    * manifest — all in ONE replace-shaped commit, so a reader sees
+    * either the debt (data + delete files) or the settled table,
+    * never a half-applied state. Pinned readers of older versions
+    * still see the pre-compaction members (nothing is mutated).
+    * Returns the new version (or `prev` when there is no debt).
+    */
+  def compactDeletes(
+      spark: SparkSession,
+      root: String,
+      nameTag: String): Int = {
+    val prev = currentVersion(root)
+    require(prev > 0, s"Manifest: cannot compact an empty table $root")
+    val dels = deleteMembers(root, prev)
+    if (dels.isEmpty) prev
+    else {
+      val keyFrames = dels.groupBy(_._2).map { case (k, fs) =>
+        k -> spark.read.parquet(fs.map(_._1): _*).select(k).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      val affected = dataMembers(root, prev).filter { m =>
+        val df = spark.read.parquet(m)
+        keyFrames.exists { case (k, kf) =>
+          df.join(kf, Seq(k), "left_semi").limit(1).count() > 0
+        }
+      }
+      val rewritten = affected.zipWithIndex.map { case (m, i) =>
+        val survivors = keyFrames.foldLeft(spark.read.parquet(m)) {
+          case (df, (k, kf)) => df.join(kf, Seq(k), "left_anti")
+        }
+        val target = s"$root/files/$nameTag-$i"
+        survivors.write.mode("errorifexists").parquet(target)
+        memberLine(target, "")
+      }
+      val gone = dels.map(_._1).toSet ++ affected
+      val next = publish(root, membersRaw(root, prev)
+        .filterNot(l => gone.contains(pathOf(l))) ++ rewritten)
+      keyFrames.values.foreach(_.unpersist())
+      next
+    }
+  }
+
   def vacuum(root: String, keepVersions: Int): (Seq[Int], Seq[String]) = {
     require(keepVersions >= 1, "Manifest: must keep at least one version")
     val head = currentVersion(root)

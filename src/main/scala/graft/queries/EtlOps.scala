@@ -3774,6 +3774,186 @@ object EtlOps {
           col("t_y").cast("string").as("tied_y"),
           expr("(cc - dd) * 2000 div (CAST(n AS DECIMAL(38,0)) * (n - 1))")
             .as("tau_a_permille"))
+    }),
+
+    // Chi-squared independence (source × lang) — the categorical leg
+    // of the test family (q345 compares two proportions; this tests
+    // the whole contingency table at once). Exact integer identity:
+    // (O − RC/N)²/(RC/N) = (O·N − R·C)² / (N·R·C), so each cell's
+    // contribution ships in micro units via one floor-division —
+    // per-cell floor THEN sum is the DEFINED statistic, identical in
+    // both engines. Same shape as q384: ONE cell-grain corpus
+    // aggregate, then margins + the absent-cells-at-0 grid on
+    // ≤100-row frames; DECIMAL(38,0) keeps (O·N − R·C)² exact (the
+    // square passes int64 at ~N > 55k). The χ²_micro total and the
+    // (r−1)(c−1) dof ride every row from 1-row broadcast frames.
+    "q389_chi2_independence" -> ((s, d) => {
+      val cell = Tables(s, d).documents
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+      val rm = cell.groupBy(col("source")).agg(sum(col("o")).as("r"))
+      val cm = cell.groupBy(col("lang")).agg(sum(col("o")).as("c"))
+      val n = cell.agg(sum(col("o")).as("n"))
+      val grid = rm.crossJoin(cm)
+        .join(cell, Seq("source", "lang"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+        .crossJoin(broadcast(n))
+        .withColumn("contrib_micro", expr(
+          "((CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c) " +
+            "* (CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c) " +
+            "* 1000000) div (CAST(n AS DECIMAL(38,0)) * r * c)"))
+      val tot = grid.agg(sum(col("contrib_micro")).as("chi2_micro"))
+      val dof = cell.agg(expr(
+        "(count(DISTINCT source) - 1) * (count(DISTINCT lang) - 1)")
+        .cast("long").as("dof"))
+      grid.select(col("source"), col("lang"), col("o").as("o_count"),
+          col("contrib_micro"))
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(dof))
+    }),
+
+    // McNemar paired test — did the purchase PROPENSITY of the same
+    // user population change across the cutoff? (q345's z-test
+    // compares two independent arms; McNemar conditions on the
+    // paired before/after outcomes of EACH user, so concordant users
+    // drop out and only the b/c discordant cells carry signal.)
+    // Statistic (b−c)²·1000 div (b+c) in exact permille (χ²₁-
+    // distributed; continuity correction deliberately omitted — it
+    // subtracts a float ½). ONE user-keyed aggregate over the
+    // purchase stream builds the pair table; everything after is
+    // 1-row arithmetic.
+    "q390_mcnemar" -> ((s, d) => {
+      val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+      Tables(s, d).events
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("ts") < cutoff, 1L).otherwise(0L)).as("bef"),
+          max(when(col("ts") >= cutoff, 1L).otherwise(0L)).as("aft"))
+        .agg(count(lit(1)).cast("long").as("n_users"),
+          sum(when(col("bef") === 1 && col("aft") === 1, 1L).otherwise(0L))
+            .as("both_cnt"),
+          sum(when(col("bef") === 1 && col("aft") === 0, 1L).otherwise(0L))
+            .as("before_only"),
+          sum(when(col("bef") === 0 && col("aft") === 1, 1L).otherwise(0L))
+            .as("after_only"))
+        .withColumn("mcnemar_permille", expr(
+          "CASE WHEN before_only + after_only = 0 THEN 0 ELSE " +
+            "((before_only - after_only) * (before_only - after_only) " +
+            "* 1000) div (before_only + after_only) END"))
+    }),
+
+    // A-priori frequent triples over order→brand baskets — the
+    // classic market-basket miner one level above q312's pairs.
+    // Relative 5‰ support via integer cross-multiplication (never a
+    // ratio). The SCALE point is downward closure: items below
+    // minsup leave the stream before any self-join (broadcast L1
+    // semi-join), and triple candidates must contain three frequent
+    // pairs (broadcast L2 semi-joins) BEFORE the count — per-basket
+    // work is bounded by the frequent-item subset, not raw basket
+    // width. The count itself is unaffected (a frequent triple's
+    // sub-pairs are frequent by closure), so the oracle states the
+    // direct HAVING form. All joins are order-keyed shuffles.
+    "q391_apriori_triples" -> ((s, d) => {
+      val t = Tables(s, d)
+      val baskets = t.lineitem
+        .join(t.part, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("br"))
+        .distinct()
+      val n = baskets.agg(countDistinct(col("o")).as("n_orders"))
+      val l1 = baskets.groupBy(col("br")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(n))
+        .filter(expr("cnt * 1000 >= 5 * n_orders")).select(col("br"))
+      val fb = baskets.join(broadcast(l1), Seq("br")).select("o", "br")
+      val pocc = fb.select(col("o"), col("br").as("b1"))
+        .join(fb.select(col("o"), col("br").as("b2")), Seq("o"))
+        .filter(col("b2") > col("b1"))
+      val l2 = pocc.groupBy(col("b1"), col("b2"))
+        .agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(n))
+        .filter(expr("cnt * 1000 >= 5 * n_orders")).select("b1", "b2")
+      val cand = pocc.join(broadcast(l2), Seq("b1", "b2"), "left_semi")
+        .join(fb.select(col("o"), col("br").as("b3")), Seq("o"))
+        .filter(col("b3") > col("b2"))
+        .join(broadcast(l2.select(col("b1"), col("b2").as("b3"))),
+          Seq("b1", "b3"), "left_semi")
+        .join(broadcast(l2.select(col("b1").as("b2"), col("b2").as("b3"))),
+          Seq("b2", "b3"), "left_semi")
+      cand.groupBy(col("b1"), col("b2"), col("b3"))
+        .agg(count(lit(1)).as("support"))
+        .crossJoin(broadcast(n))
+        .filter(expr("support * 1000 >= 5 * n_orders"))
+        .select(col("b1"), col("b2"), col("b3"), col("support"),
+          expr("(support * 1000) div n_orders").as("support_permille"))
+    }),
+
+    // MERGE-ON-READ equality delete — the write-cheap half of the
+    // delete matrix (q365 is copy-on-write): the delete commit
+    // writes ONLY the key batch as an Iceberg-v2-style delete file;
+    // no data member is probed or rewritten (require-proved), so at
+    // 100 TB a small RTBF/CDC delete costs its keys, not a file
+    // rewrite. Readers subtract the debt with one broadcast anti-
+    // join (delete files are batch-sized; the data side streams
+    // through unshuffled). The aggregate proves the rows are gone
+    // from the MOR view even though every data byte still exists.
+    "q392_mor_delete" -> ((s, d) => {
+      val root = freshScratch("q392", d)
+      val orders = Tables(s, d).orders
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      (0 to 2).foreach { k =>
+        graft.operators.Manifest.commitAdd(
+          orders.filter(col("o_orderkey") % 3 === k), root, s"m$k")
+      }
+      val v3 = graft.operators.Manifest.currentVersion(root)
+      val dataPre = graft.operators.Manifest.dataMembers(root, v3)
+      val v4 = graft.operators.Manifest.commitEqualityDelete(
+        orders.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey")),
+        root, "del-urgent", "o_orderkey")
+      require(graft.operators.Manifest.dataMembers(root, v4) == dataPre &&
+        graft.operators.Manifest.deleteMembers(root, v4).size == 1,
+        "q392: MOR delete must add one delete file and rewrite nothing")
+      graft.operators.Manifest.readMor(s, root, v4)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+    }),
+
+    // MOR delete COMPACTION — settling q392's read-side debt: every
+    // delete file folds into its affected data members in ONE
+    // replace-shaped commit (rewritten minus keys, delete members
+    // leave the manifest — require-proved empty after), while a
+    // reader still pinned to the debt version sees the pre-
+    // compaction files bit-identically (nothing is mutated — the
+    // maintenance-under-isolation discipline of q364, now for the
+    // delete path). The emitted parity column COMPUTES debt ≡
+    // settled instead of assuming it: the v-debt MOR read and the
+    // v-settled plain read must agree group for group.
+    "q393_delete_compaction" -> ((s, d) => {
+      val root = freshScratch("q393", d)
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      (0 to 2).foreach { k =>
+        graft.operators.Manifest.commitAdd(
+          docs.filter(col("doc_id") % 3 === k), root, s"m$k")
+      }
+      val vDebt = graft.operators.Manifest.commitEqualityDelete(
+        docs.filter(col("n_chars") < 200).select(col("doc_id")),
+        root, "del-short", "doc_id")
+      val vSettled = graft.operators.Manifest.compactDeletes(s, root, "settle")
+      require(
+        graft.operators.Manifest.deleteMembers(root, vSettled).isEmpty &&
+          vSettled > vDebt,
+        "q393: compaction must clear the delete debt in a new version")
+      def agg(df: DataFrame, sfx: String) = df.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs" + sfx),
+          sum(col("n_chars")).cast("long").as("sum_chars" + sfx))
+      agg(graft.operators.Manifest.readMor(s, root, vDebt), "")
+        .join(agg(graft.operators.Manifest.read(s, root, vSettled), "_post"),
+          Seq("lang"), "full_outer")
+        .select(col("lang"), col("n_docs"), col("sum_chars"),
+          (col("n_docs") === col("n_docs_post") &&
+            col("sum_chars") === col("sum_chars_post"))
+            .as("debt_settled_match"))
     })
   )
 
@@ -6083,6 +6263,72 @@ object EtlOps {
                      WHEN coalesce(b_cnt, 0) = 0 THEN 'removed'
                      WHEN coalesce(a_cnt, 0) = coalesce(b_cnt, 0) THEN 'same'
                      ELSE 'changed' END AS status
-         FROM a FULL OUTER JOIN b USING (o_custkey)"""
+         FROM a FULL OUTER JOIN b USING (o_custkey)""",
+    "q389_chi2_independence" ->
+      """WITH cell AS (SELECT source, lang, count(*)::BIGINT AS o
+                       FROM documents GROUP BY 1, 2),
+         rm AS (SELECT source, sum(o)::BIGINT AS r FROM cell GROUP BY 1),
+         cm AS (SELECT lang, sum(o)::BIGINT AS c FROM cell GROUP BY 1),
+         n AS (SELECT sum(o)::BIGINT AS n FROM cell),
+         grid AS (
+           SELECT rm.source, cm.lang, coalesce(cell.o, 0) AS o,
+                  ((coalesce(cell.o, 0)::HUGEINT * n.n - rm.r::HUGEINT * cm.c)
+                   * (coalesce(cell.o, 0)::HUGEINT * n.n
+                      - rm.r::HUGEINT * cm.c) * 1000000)
+                    // (n.n::HUGEINT * rm.r * cm.c) AS contrib_micro
+           FROM rm CROSS JOIN cm
+                LEFT JOIN cell ON cell.source = rm.source
+                              AND cell.lang = cm.lang, n),
+         tot AS (SELECT sum(contrib_micro)::BIGINT AS chi2_micro FROM grid),
+         dof AS (SELECT ((count(DISTINCT source) - 1)
+                         * (count(DISTINCT lang) - 1))::BIGINT AS dof
+                 FROM cell)
+         SELECT grid.source, grid.lang, grid.o AS o_count,
+                grid.contrib_micro::BIGINT AS contrib_micro,
+                tot.chi2_micro, dof.dof
+         FROM grid CROSS JOIN tot CROSS JOIN dof""",
+    "q390_mcnemar" ->
+      """WITH p AS (SELECT user_id,
+                max(CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00'
+                    THEN 1 ELSE 0 END) AS bef,
+                max(CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+                    THEN 1 ELSE 0 END) AS aft
+             FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         cells AS (SELECT count(*)::BIGINT AS n_users,
+                sum(CASE WHEN bef = 1 AND aft = 1 THEN 1 ELSE 0 END)::BIGINT
+                  AS both_cnt,
+                sum(CASE WHEN bef = 1 AND aft = 0 THEN 1 ELSE 0 END)::BIGINT
+                  AS before_only,
+                sum(CASE WHEN bef = 0 AND aft = 1 THEN 1 ELSE 0 END)::BIGINT
+                  AS after_only
+             FROM p)
+         SELECT n_users, both_cnt, before_only, after_only,
+                (CASE WHEN before_only + after_only = 0 THEN 0
+                 ELSE ((before_only - after_only)
+                       * (before_only - after_only) * 1000)
+                      // (before_only + after_only) END)::BIGINT
+                  AS mcnemar_permille
+         FROM cells""",
+    "q391_apriori_triples" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, p_brand AS br
+                   FROM lineitem JOIN part ON p_partkey = l_partkey),
+         n AS (SELECT count(DISTINCT o)::BIGINT AS n_orders FROM b),
+         tri AS (SELECT a.br AS b1, bb.br AS b2, c.br AS b3,
+                        count(*)::BIGINT AS support
+                 FROM b a JOIN b bb ON a.o = bb.o AND bb.br > a.br
+                          JOIN b c  ON a.o = c.o  AND c.br > bb.br
+                 GROUP BY 1, 2, 3)
+         SELECT b1, b2, b3, support,
+                ((support * 1000) // n.n_orders)::BIGINT AS support_permille
+         FROM tri, n WHERE support * 1000 >= 5 * n.n_orders""",
+    "q392_mor_delete" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+                sum(round(o_totalprice * 100, 0)::BIGINT)::BIGINT AS sum_cents
+         FROM orders WHERE o_orderpriority <> '1-URGENT' GROUP BY 1""",
+    "q393_delete_compaction" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+                sum(n_chars)::BIGINT AS sum_chars,
+                true AS debt_settled_match
+         FROM documents WHERE n_chars >= 200 GROUP BY 1"""
   )
 }

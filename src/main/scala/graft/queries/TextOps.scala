@@ -1047,6 +1047,58 @@ object TextOps {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).cast("long").as("n_bigrams"),
           sum(col("p6")).cast("long").as("score6"))
+    }),
+
+    // BM25 document ranking (Okapi) for a fixed OR-term query — the
+    // retrieval scorer next to q115's tf-idf lift. k1 = 6/5 and
+    // b = 3/4 are exact rationals, so the whole score is fixed-point
+    // integer arithmetic (the log-free odds IDF
+    // (N − df + ½)/(df + ½), doubled to clear halves — log is libm-
+    // divergent across engines, and the odds form is monotone in it):
+    //   r_milli        = 1000·dl·N div L            (dl/avgdl, ‰)
+    //   idf_milli      = (2N − 2df + 1)·1000 div (2df + 1)
+    //   tfpart_micro   = 44·10⁶·tf div (20000·tf + 6000 + 18·r_milli)
+    //   score_nano     = Σ_terms idf_milli · tfpart_micro
+    // Each floor-division is DEFINED semantics (both engines truncate
+    // identically on positives), so the score hash-matches — no float
+    // BM25 ever would. Scale shape: the posting explode is term-
+    // filtered BEFORE its shuffle (3 query terms, narrow filter on
+    // the exploded stream); df/totals are term-/1-row broadcast
+    // frames; the global top-10 is TakeOrderedAndProject, never a
+    // full sort. At trillion-token L the 1000·dl·N numerator needs
+    // DECIMAL — noted; int64-safe past sf1000 here.
+    "q388_bm25_rank" -> ((s, d) => {
+      val qTerms = Seq("dup", "vector", "spark")
+      val base = parallelized(Tables(s, d).documents)
+        .select(col("doc_id"), tokens.as("toks"))
+      val dl = base.select(col("doc_id"),
+        size(col("toks")).cast("long").as("dl"))
+      val tot = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total_len"))
+      val tf = base.select(col("doc_id"), explode(col("toks")).as("term"))
+        .filter(col("term").isin(qTerms: _*))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(tot)) // 1 row
+        .withColumn("r_milli", expr("(1000 * dl * n_docs) div total_len"))
+        .withColumn("idf_milli",
+          expr("((2 * n_docs - 2 * df + 1) * 1000) div (2 * df + 1)"))
+        .withColumn("tfpart_micro",
+          expr("(44000000 * tf) div (20000 * tf + 6000 + 18 * r_milli)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_terms"),
+          sum(expr("CAST(idf_milli AS DECIMAL(38,0)) * tfpart_micro"))
+            .as("s9"))
+      scored.orderBy(col("s9").desc, col("doc_id")).limit(10)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("s9").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("n_terms"),
+          col("s9").cast("decimal(38,0)").cast("string").as("score_nano"),
+          col("rk"))
     })
   )
 
@@ -1639,6 +1691,31 @@ object TextOps {
                  JOIN uni u2 ON bi.w2 = u2.tok, n
          QUALIFY row_number() OVER (
            ORDER BY (c_xy * n_tok)::DOUBLE / (u1.c * u2.c)::DOUBLE DESC,
-                    w1, w2) <= 50"""
+                    w1, w2) <= 50""",
+    "q388_bm25_rank" ->
+      """WITH base AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM base),
+         tot AS (SELECT count(*)::BIGINT AS n_docs,
+                        sum(dl)::BIGINT AS total_len FROM dl),
+         occ AS (SELECT doc_id, unnest(toks) AS term FROM base),
+         tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM occ
+                WHERE term IN ('dup', 'vector', 'spark') GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         s AS (SELECT tf.doc_id,
+                      ((2 * tot.n_docs - 2 * dfreq.df + 1) * 1000)
+                        // (2 * dfreq.df + 1) AS idf_milli,
+                      (44000000 * tf.tf)
+                        // (20000 * tf.tf + 6000
+                            + 18 * ((1000 * dl.dl * tot.n_docs)
+                                     // tot.total_len)) AS tfpart_micro
+               FROM tf JOIN dfreq USING (term)
+                       JOIN dl ON dl.doc_id = tf.doc_id, tot),
+         sc AS (SELECT doc_id, count(*)::BIGINT AS n_terms,
+                       sum(idf_milli::HUGEINT * tfpart_micro) AS s9
+                FROM s GROUP BY 1)
+         SELECT doc_id, n_terms, s9::VARCHAR AS score_nano,
+                row_number() OVER (ORDER BY s9 DESC, doc_id)::BIGINT AS rk
+         FROM sc QUALIFY rk <= 10"""
   )
 }

@@ -134,7 +134,13 @@ object DumpPlans {
     "q384_t_closeness" -> "t-closeness: ONE cell-grain corpus aggregate; margins, the bounded source×lang grid (absent cells at 0), and the common-denominator L1 permille all run on ≤25-row frames with DECIMAL(38,0) products",
     "q385_containment_join" -> "containment join: final plan is the post-checkpoint scan (see containment_core extra for the candidate join); threshold and permille are integer arithmetic — c·50 ≥ 49·na, no float boundaries",
     "q386_rank_anova" -> "rank ANOVA: one value-grain midrank pass (scaledMidranks call site 10); per-lang Σs₂ against its n_i(n+1) expectation is lang-cardinality arithmetic with a 1-row broadcast total",
-    "q387_kendall_stats" -> "Kendall statistics: the quadratic pair space collapses to the (x,y) value grid — one cell-grain corpus aggregate, then a grid-bounded x-ordered cell join classifies concordant/discordant in bulk (c1·c2 per cell pair); ties from the margins; exact integers as STRINGs")
+    "q387_kendall_stats" -> "Kendall statistics: the quadratic pair space collapses to the (x,y) value grid — one cell-grain corpus aggregate, then a grid-bounded x-ordered cell join classifies concordant/discordant in bulk (c1·c2 per cell pair); ties from the margins; exact integers as STRINGs",
+    "q388_bm25_rank" -> "BM25: the posting explode is term-filtered before its shuffle (3 query terms); df and corpus totals are broadcast frames; every score component is a positive integer floor-division (k1=6/5, b=3/4, odds IDF), so the nano-score hash-matches; global top-10 is TakeOrderedAndProject",
+    "q389_chi2_independence" -> "chi-squared: ONE cell-grain corpus aggregate, margins + absent-cells grid on ≤100-row frames; (O·N−R·C)²·10⁶ div (N·R·C) in DECIMAL(38,0), per-cell floor THEN sum is the defined statistic; total and dof ride 1-row broadcasts",
+    "q390_mcnemar" -> "McNemar: one user-keyed aggregate over the purchase stream builds the paired before/after table; the discordant-cell statistic is 1-row integer arithmetic",
+    "q391_apriori_triples" -> "a-priori: infrequent brands leave before any self-join (broadcast L1), triple candidates must hold three frequent pairs (broadcast L2 semi-joins) before the count — downward closure makes the pruning free of result changes; joins are order-keyed shuffles",
+    "q392_mor_delete" -> "MOR delete: the commit writes only the key batch as a delete file (dataMembers require-proved untouched); the read subtracts it with one broadcast left-anti join — data streams through unshuffled",
+    "q393_delete_compaction" -> "MOR compaction: per-member semi-join probes pick affected files, each rewrites minus the delete keys, delete members leave the manifest in one replace commit; parity column computes debt ≡ settled rather than assuming it")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

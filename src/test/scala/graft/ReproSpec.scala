@@ -141,7 +141,13 @@ class ReproSpec extends AnyFunSuite {
     "q384_t_closeness",     // L1 distribution drift per quasi-group
     "q385_containment_join", // asymmetric exact containment pairs
     "q386_rank_anova",      // per-group midrank deviation permille
-    "q387_kendall_stats"    // grid-collapsed concordance counts
+    "q387_kendall_stats",   // grid-collapsed concordance counts
+    "q388_bm25_rank",       // fixed-point BM25 + TakeOrdered top-10
+    "q389_chi2_independence", // cell-grain grid + decimal contributions
+    "q390_mcnemar",         // paired purchase-propensity discordance
+    "q391_apriori_triples", // closure-pruned basket triple counts
+    "q392_mor_delete",      // equality-delete file + anti-join read
+    "q393_delete_compaction" // delete-debt fold + pinned-debt parity
   )
 
   representatives.foreach { name =>

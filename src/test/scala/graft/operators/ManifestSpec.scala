@@ -400,4 +400,58 @@ class ManifestSpec extends AnyFunSuite {
     // expired pins are gone loudly, not silently empty
     intercept[IllegalArgumentException] { Manifest.read(spark, root, 1) }
   }
+
+  test("MOR equality delete: key-batch commit, anti-join read, no rewrite") {
+    val root = freshRoot("mor")
+    Manifest.commitAdd(frame(0 until 10), root, "a")
+    Manifest.commitAdd(frame(10 until 20), root, "b")
+    val dataPre = Manifest.dataMembers(root, 2)
+    val v = Manifest.commitEqualityDelete(
+      Seq(3L, 7L, 15L, 999L).toDF("id"), root, "d1", "id")
+    assert(v == 3)
+    // the commit wrote ONLY the delete file — data members untouched
+    assert(Manifest.dataMembers(root, v) == dataPre)
+    assert(Manifest.deleteMembers(root, v) == Seq((s"$root/files/d1", "id")))
+    // MOR read subtracts the keys; the orphan key 999 is a no-op
+    assert(Manifest.readMor(spark, root, v).select("id").as[Long]
+      .collect().toSet == ((0L until 20L).toSet -- Set(3L, 7L, 15L)))
+    // a second delete batch stacks (debt accumulates across commits)
+    val v2 = Manifest.commitEqualityDelete(
+      Seq(0L, 3L).toDF("id"), root, "d2", "id")
+    assert(Manifest.readMor(spark, root, v2).select("id").as[Long]
+      .collect().toSet == ((1L until 20L).toSet -- Set(3L, 7L, 15L)))
+    // the pre-delete pin still reads everything via MOR semantics too
+    assert(Manifest.readMor(spark, root, 2).count() == 20)
+  }
+
+  test("compactDeletes folds the debt, drops delete members, leaves pins intact") {
+    val root = freshRoot("mor-compact")
+    Manifest.commitAdd(frame(0 until 10), root, "a")   // affected
+    Manifest.commitAdd(frame(10 until 20), root, "b")  // NOT affected
+    Manifest.commitAdd(frame(20 until 30), root, "c")  // affected
+    val vDebt = Manifest.commitEqualityDelete(
+      Seq(1L, 2L, 25L).toDF("id"), root, "d1", "id")
+    val vSettled = Manifest.compactDeletes(spark, root, "settle")
+    assert(vSettled == vDebt + 1)
+    // delete debt cleared; untouched member survives by reference
+    assert(Manifest.deleteMembers(root, vSettled).isEmpty)
+    val ms = Manifest.members(root, vSettled)
+    assert(ms.contains(s"$root/files/b"), "unaffected member must survive")
+    assert(!ms.contains(s"$root/files/a") && !ms.contains(s"$root/files/c"))
+    // settled plain read ≡ debt MOR read
+    val want = (0L until 30L).toSet -- Set(1L, 2L, 25L)
+    assert(Manifest.read(spark, root, vSettled).select("id").as[Long]
+      .collect().toSet == want)
+    assert(Manifest.readMor(spark, root, vDebt).select("id").as[Long]
+      .collect().toSet == want)
+    // the debt pin still sees its full pre-delete data files
+    assert(Manifest.dataMembers(root, vDebt)
+      .forall(p => Files.exists(Paths.get(p))))
+    // no debt → no-op, version does not advance
+    assert(Manifest.compactDeletes(spark, root, "settle2") == vSettled)
+    // vacuum after compaction GCs the delete file with the old versions
+    Manifest.vacuum(root, keepVersions = 1)
+    assert(!Files.exists(Paths.get(root, "files", "d1")))
+    assert(Manifest.read(spark, root, vSettled).count() == 27)
+  }
 }
