@@ -3954,6 +3954,89 @@ object EtlOps {
           (col("n_docs") === col("n_docs_post") &&
             col("sum_chars") === col("sum_chars_post"))
             .as("debt_settled_match"))
+    }),
+
+    // Entity resolution with survivorship — the CLUSTER half q102's
+    // blocked pair matching stops short of: edit-distance matches
+    // (levenshtein ≤ 2) become connected components
+    // (Dedup.duplicateClusters — min-label propagation, the q43/q68
+    // machinery), and each cluster elects a GOLDEN RECORD by
+    // survivorship rules (canonical name from the min-key member,
+    // max price, min size, membership counts). Scale shape: the
+    // match space is the identical-name collapse first (one
+    // name-grain aggregate — the q35/q41 discipline), so the
+    // quadratic candidate join runs on DISTINCT names only — a
+    // generator-bounded vocabulary here, a blocked candidate set in
+    // the general case; the BroadcastNestedLoopJoin below is that
+    // bounded grid, never the part table against itself. CC
+    // shuffles (id, label) pairs only; payloads re-join at the end.
+    "q394_entity_resolution" -> ((s, d) => {
+      val parts = Tables(s, d).part.select(col("p_partkey"), col("p_name"),
+        round(col("p_retailprice") * 100, 0).cast("long").as("cents"),
+        col("p_size").cast("long").as("psize"))
+      val names = parts.groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("rep"))
+      val a = names.select(col("rep").as("a_rep"), col("p_name").as("a_name"))
+      val b = names.select(col("rep").as("b_rep"), col("p_name").as("b_name"))
+      val pairs = a.crossJoin(b) // distinct-name grid, vocab-bounded
+        .filter(col("a_rep") < col("b_rep") &&
+          levenshtein(col("a_name"), col("b_name")) <= 2)
+        .select(col("a_rep"), col("b_rep"))
+      val clusters = graft.operators.Dedup
+        .duplicateClusters(pairs, names.select(col("rep")))
+        .withColumnRenamed("doc_id", "rep")
+      val canon = names.join(clusters, Seq("rep"))
+        .filter(col("rep") === col("cluster_id"))
+        .select(col("cluster_id"), col("p_name").as("canonical_name"))
+      parts.join(names, Seq("p_name")).join(clusters, Seq("rep"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct(col("p_name")).as("n_names"),
+          max(col("cents")).as("max_price_cents"),
+          min(col("psize")).as("min_size"))
+        .join(canon, Seq("cluster_id"))
+    }),
+
+    // Windowed sequential-pattern support (the SPAM / windowed-
+    // PrefixSpan counting step): for every ordered event-type triple,
+    // how many users exhibit it as a SUBSEQUENCE completing within
+    // 6 h? Distinct from q260 (strict adjacency) and q291 (fixed
+    // funnel): all 125 patterns at once, gaps allowed, span bounded.
+    // Per user the check is exact greedy earliest-completion — from
+    // each t1 occurrence take the first t2 after it, then the first
+    // t3 after that; if ANY start completes inside the window the
+    // pattern is supported (greedy is optimal for a fixed window:
+    // any witness's t1 start admits an earliest-completion witness
+    // no longer than it). Shape: one (user, type) aggregate holds
+    // sorted µs arrays; the type³ fan-out is 125 bounded rows per
+    // user; the lambdas are interpreted but per-user work is
+    // |history|²-bounded and embarrassingly user-parallel — no
+    // corpus-grain shuffle after the first aggregate.
+    "q395_seq_support" -> ((s, d) => {
+      val big = Long.MaxValue
+      val win = 6L * 3600L * 1000000L
+      val ut = Tables(s, d).events
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sort_array(collect_list(unix_micros(col("ts")))).as("a"))
+      val x1 = ut.select(col("user_id"), col("event_type").as("t1"),
+        col("a").as("a1"))
+      val x2 = ut.select(col("user_id"), col("event_type").as("t2"),
+        col("a").as("a2"))
+      val x3 = ut.select(col("user_id"), col("event_type").as("t3"),
+        col("a").as("a3"))
+      val n = Tables(s, d).events
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      x1.join(x2, Seq("user_id")).join(x3, Seq("user_id"))
+        .withColumn("ok", expr(
+          s"exists(a1, s -> coalesce(array_min(filter(a3, z -> z > " +
+            s"coalesce(array_min(filter(a2, y -> y > s)), ${big}L))), " +
+            s"${big}L) - s <= ${win}L)"))
+        .filter(col("ok"))
+        .groupBy(col("t1"), col("t2"), col("t3"))
+        .agg(count(lit(1)).as("support_users"))
+        .crossJoin(broadcast(n))
+        .select(col("t1"), col("t2"), col("t3"), col("support_users"),
+          expr("(support_users * 1000) div n_users").as("support_permille"))
     })
   )
 
@@ -6329,6 +6412,58 @@ object EtlOps {
       """SELECT lang, count(*)::BIGINT AS n_docs,
                 sum(n_chars)::BIGINT AS sum_chars,
                 true AS debt_settled_match
-         FROM documents WHERE n_chars >= 200 GROUP BY 1"""
+         FROM documents WHERE n_chars >= 200 GROUP BY 1""",
+    "q394_entity_resolution" ->
+      """WITH RECURSIVE parts AS (
+           SELECT p_partkey, p_name,
+                  round(p_retailprice * 100, 0)::BIGINT AS cents,
+                  p_size::BIGINT AS psize FROM part),
+         names AS (SELECT p_name, min(p_partkey) AS rep FROM parts
+                   GROUP BY 1),
+         e AS (SELECT a.rep AS s, b.rep AS d FROM names a JOIN names b
+               ON b.rep > a.rep AND levenshtein(a.p_name, b.p_name) <= 2),
+         edges AS (SELECT s, d FROM e UNION SELECT d AS s, s AS d FROM e),
+         reach AS (
+           SELECT rep AS node, rep AS r FROM names
+           UNION
+           SELECT reach.node, edges.d AS r
+           FROM reach JOIN edges ON edges.s = reach.r),
+         lab AS (SELECT node AS rep, min(r) AS cluster_id FROM reach
+                 GROUP BY 1),
+         mem AS (SELECT parts.p_name, parts.cents, parts.psize,
+                        lab.cluster_id
+                 FROM parts JOIN names ON names.p_name = parts.p_name
+                            JOIN lab ON lab.rep = names.rep),
+         canon AS (SELECT lab.cluster_id, names.p_name AS canonical_name
+                   FROM names JOIN lab ON lab.rep = names.rep
+                   WHERE names.rep = lab.cluster_id),
+         g AS (SELECT cluster_id, count(*)::BIGINT AS n_members,
+                      count(DISTINCT p_name)::BIGINT AS n_names,
+                      max(cents)::BIGINT AS max_price_cents,
+                      min(psize)::BIGINT AS min_size
+               FROM mem GROUP BY 1)
+         SELECT g.cluster_id, g.n_members, g.n_names, g.max_price_cents,
+                g.min_size, canon.canonical_name
+         FROM g JOIN canon USING (cluster_id)""",
+    "q395_seq_support" ->
+      """WITH ut AS (SELECT user_id, event_type AS t,
+                list_sort(list(epoch_us(ts))) AS a
+             FROM events GROUP BY 1, 2),
+         n AS (SELECT count(DISTINCT user_id)::BIGINT AS n_users
+               FROM events),
+         tri AS (SELECT x1.user_id, x1.t AS t1, x2.t AS t2, x3.t AS t3,
+                 len(list_filter(x1.a, s ->
+                   coalesce(list_min(list_filter(x3.a, z -> z >
+                     coalesce(list_min(list_filter(x2.a, y -> y > s)),
+                       9223372036854775807))), 9223372036854775807)
+                     - s <= 21600000000)) > 0 AS ok
+             FROM ut x1 JOIN ut x2 USING (user_id)
+                        JOIN ut x3 USING (user_id)),
+         sup AS (SELECT t1, t2, t3, count(*)::BIGINT AS support_users
+                 FROM tri WHERE ok GROUP BY 1, 2, 3)
+         SELECT t1, t2, t3, support_users,
+                ((support_users * 1000) // n.n_users)::BIGINT
+                  AS support_permille
+         FROM sup, n"""
   )
 }

@@ -140,7 +140,9 @@ object DumpPlans {
     "q390_mcnemar" -> "McNemar: one user-keyed aggregate over the purchase stream builds the paired before/after table; the discordant-cell statistic is 1-row integer arithmetic",
     "q391_apriori_triples" -> "a-priori: infrequent brands leave before any self-join (broadcast L1), triple candidates must hold three frequent pairs (broadcast L2 semi-joins) before the count — downward closure makes the pruning free of result changes; joins are order-keyed shuffles",
     "q392_mor_delete" -> "MOR delete: the commit writes only the key batch as a delete file (dataMembers require-proved untouched); the read subtracts it with one broadcast left-anti join — data streams through unshuffled",
-    "q393_delete_compaction" -> "MOR compaction: per-member semi-join probes pick affected files, each rewrites minus the delete keys, delete members leave the manifest in one replace commit; parity column computes debt ≡ settled rather than assuming it")
+    "q393_delete_compaction" -> "MOR compaction: per-member semi-join probes pick affected files, each rewrites minus the delete keys, delete members leave the manifest in one replace commit; parity column computes debt ≡ settled rather than assuming it",
+    "q394_entity_resolution" -> "entity resolution: identical-name collapse first, so the quadratic match join runs on DISTINCT names (vocab-bounded BroadcastNestedLoopJoin); CC shuffles (id,label) pairs only; survivorship is one cluster-keyed aggregate + the canonical-name join",
+    "q395_seq_support" -> "sequence support: one (user,type) aggregate holds sorted µs arrays; the type-cube fan-out is 125 bounded rows/user, greedy earliest-completion runs in interpreted lambdas with |history|²-bounded per-user work — no corpus-grain shuffle after the first aggregate")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

@@ -147,7 +147,9 @@ class ReproSpec extends AnyFunSuite {
     "q390_mcnemar",         // paired purchase-propensity discordance
     "q391_apriori_triples", // closure-pruned basket triple counts
     "q392_mor_delete",      // equality-delete file + anti-join read
-    "q393_delete_compaction" // delete-debt fold + pinned-debt parity
+    "q393_delete_compaction", // delete-debt fold + pinned-debt parity
+    "q394_entity_resolution", // name collapse + CC + survivorship
+    "q395_seq_support"      // windowed greedy subsequence counting
   )
 
   representatives.foreach { name =>
