@@ -4037,6 +4037,76 @@ object EtlOps {
         .crossJoin(broadcast(n))
         .select(col("t1"), col("t2"), col("t3"), col("support_users"),
           expr("(support_users * 1000) div n_users").as("support_permille"))
+    }),
+
+    // Kaplan-Meier survival curve for time-to-first-purchase with
+    // right censoring (q362 histograms the converters only; KM is
+    // the estimator that uses NON-converters correctly — censored at
+    // their last observed day, they leave the risk set without
+    // counting as events). S(t) = ∏_{steps ≤ t} (n_u − d_u)/n_u in
+    // ppm fixed point, FLOORED AT EACH STEP — the defined statistic,
+    // identical in both engines (a float product would drift).
+    // Shape: one user-keyed aggregate builds (T, event); everything
+    // after runs at duration-day grain (≤ observation-window rows —
+    // the unpartitioned risk-set window is over that bounded frame);
+    // the prefix products fold a broadcast packed-long step array
+    // (n_risk·10⁹ + d), slice-per-step, O(steps²) on ≤31 rows.
+    "q396_kaplan_meier" -> ((s, d) => {
+      val u = Tables(s, d).events.groupBy(col("user_id")).agg(
+        min(col("ts")).as("t0"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tp"),
+        max(col("ts")).as("tl"))
+      val dur = u.select(
+        when(col("tp").isNotNull, datediff(col("tp"), col("t0")))
+          .otherwise(datediff(col("tl"), col("t0"))).cast("long").as("t"),
+        col("tp").isNotNull.cast("long").as("ev"))
+      val byt = dur.groupBy(col("t")).agg(sum(col("ev")).as("d"),
+        sum(lit(1L) - col("ev")).as("c"), count(lit(1)).as("cnt"))
+      val tot = dur.agg(count(lit(1)).as("n"))
+      val wRisk = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val risk = byt.crossJoin(broadcast(tot)) // duration-day grain frame
+        .withColumn("n_risk", col("n") - sum(col("cnt")).over(wRisk) + col("cnt"))
+      val steps = risk.filter(col("d") > 0)
+        .withColumn("idx", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("t"))))
+        .withColumn("pack", col("n_risk") * 1000000000L + col("d"))
+      val arr = steps.agg(expr(
+        "transform(sort_array(collect_list(struct(t, pack))), x -> x.pack)")
+        .as("a"))
+      steps.crossJoin(broadcast(arr))
+        .select(col("t").as("t_days"), col("n_risk"), col("d").as("d_events"),
+          col("c").as("censored_here"),
+          expr("aggregate(slice(a, 1, CAST(idx AS INT)), 1000000L, " +
+            "(acc, x) -> (acc * ((x div 1000000000L) - (x % 1000000000L))) " +
+            "div (x div 1000000000L))").as("surv_ppm"))
+    }),
+
+    // Classic one-way ANOVA sufficient statistics (cents by return
+    // flag) — the parametric sibling of q386's rank ANOVA, shipped
+    // as the q203/q387 sufficient-statistics discipline: n_i, ΣX,
+    // ΣX² per group reconstruct SSB/SSW/F exactly, while F itself
+    // has no common integer form. ΣX² needs DECIMAL(38,0) (cents²
+    // sums pass int64 fast) and ships as STRING; the actionable
+    // per-group readout is the mean deviation from the grand mean in
+    // exact permille via cross-multiplication. ONE map-side-combined
+    // aggregate over the fact table; the grand totals are a 1-row
+    // broadcast.
+    "q397_anova_stats" -> ((s, d) => {
+      val li = Tables(s, d).lineitem.select(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      val g = li.groupBy(col("flag")).agg(
+        count(lit(1)).as("n_i"),
+        sum(col("cents")).as("s_i"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("q_i"))
+      val tot = g.agg(sum(col("n_i")).as("n"), sum(col("s_i")).as("s"))
+      g.crossJoin(broadcast(tot))
+        .select(col("flag"), col("n_i"),
+          col("s_i").cast("string").as("sum_cents"),
+          col("q_i").cast("decimal(38,0)").cast("string").as("sumsq_cents"),
+          expr("(CAST(s_i AS DECIMAL(38,0)) * n - CAST(s AS DECIMAL(38,0)) " +
+            "* n_i) * 1000 div (CAST(s AS DECIMAL(38,0)) * n_i)")
+            .as("mean_dev_permille"))
     })
   )
 
@@ -6464,6 +6534,48 @@ object EtlOps {
          SELECT t1, t2, t3, support_users,
                 ((support_users * 1000) // n.n_users)::BIGINT
                   AS support_permille
-         FROM sup, n"""
+         FROM sup, n""",
+    "q396_kaplan_meier" ->
+      """WITH u AS (
+           SELECT user_id, min(ts) AS t0,
+                  min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+                  max(ts) AS tl
+           FROM events GROUP BY 1),
+         dur AS (SELECT user_id,
+                   CASE WHEN tp IS NOT NULL THEN date_diff('day', t0, tp)
+                        ELSE date_diff('day', t0, tl) END::BIGINT AS t,
+                   (tp IS NOT NULL)::BIGINT AS ev
+                 FROM u),
+         byt AS (SELECT t, sum(ev)::BIGINT AS d, sum(1 - ev)::BIGINT AS c,
+                        count(*)::BIGINT AS cnt FROM dur GROUP BY 1),
+         tot AS (SELECT count(*)::BIGINT AS n FROM dur),
+         risk AS (SELECT byt.*, tot.n
+                    - sum(cnt) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                    + cnt AS n_risk
+                  FROM byt, tot),
+         steps AS (SELECT t, d, c, n_risk,
+                          row_number() OVER (ORDER BY t) AS idx
+                   FROM risk WHERE d > 0),
+         arr AS (SELECT list(n_risk * 1000000000 + d ORDER BY t) AS a
+                 FROM steps)
+         SELECT s.t AS t_days, s.n_risk::BIGINT AS n_risk,
+                s.d AS d_events, s.c AS censored_here,
+                list_reduce(list_prepend(1000000::BIGINT, a[1:s.idx]),
+                  (acc, x) -> (acc * ((x // 1000000000) - (x % 1000000000)))
+                              // (x // 1000000000))::BIGINT AS surv_ppm
+         FROM steps s, arr""",
+    "q397_anova_stats" ->
+      """WITH li AS (SELECT l_returnflag AS flag,
+                round(l_extendedprice * 100, 0)::BIGINT AS cents
+             FROM lineitem),
+         g AS (SELECT flag, count(*)::BIGINT AS n_i, sum(cents)::BIGINT AS s_i,
+                      sum(cents::HUGEINT * cents) AS q_i
+               FROM li GROUP BY 1),
+         tot AS (SELECT sum(n_i)::BIGINT AS n, sum(s_i)::BIGINT AS s FROM g)
+         SELECT flag, n_i, s_i::VARCHAR AS sum_cents,
+                q_i::VARCHAR AS sumsq_cents,
+                ((s_i::HUGEINT * n - s::HUGEINT * n_i) * 1000
+                  // (s::HUGEINT * n_i))::BIGINT AS mean_dev_permille
+         FROM g CROSS JOIN tot"""
   )
 }

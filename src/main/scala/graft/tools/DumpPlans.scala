@@ -142,7 +142,9 @@ object DumpPlans {
     "q392_mor_delete" -> "MOR delete: the commit writes only the key batch as a delete file (dataMembers require-proved untouched); the read subtracts it with one broadcast left-anti join — data streams through unshuffled",
     "q393_delete_compaction" -> "MOR compaction: per-member semi-join probes pick affected files, each rewrites minus the delete keys, delete members leave the manifest in one replace commit; parity column computes debt ≡ settled rather than assuming it",
     "q394_entity_resolution" -> "entity resolution: identical-name collapse first, so the quadratic match join runs on DISTINCT names (vocab-bounded BroadcastNestedLoopJoin); CC shuffles (id,label) pairs only; survivorship is one cluster-keyed aggregate + the canonical-name join",
-    "q395_seq_support" -> "sequence support: one (user,type) aggregate holds sorted µs arrays; the type-cube fan-out is 125 bounded rows/user, greedy earliest-completion runs in interpreted lambdas with |history|²-bounded per-user work — no corpus-grain shuffle after the first aggregate")
+    "q395_seq_support" -> "sequence support: one (user,type) aggregate holds sorted µs arrays; the type-cube fan-out is 125 bounded rows/user, greedy earliest-completion runs in interpreted lambdas with |history|²-bounded per-user work — no corpus-grain shuffle after the first aggregate",
+    "q396_kaplan_meier" -> "Kaplan-Meier: one user-keyed aggregate builds (T, event); the risk-set window and prefix-product folds run at duration-day grain (≤ observation-window rows, broadcast packed-step array, O(steps²) slice folds)",
+    "q397_anova_stats" -> "ANOVA sufficient stats: ONE map-side-combined aggregate over the fact table (n_i, ΣX, ΣX² per flag); grand totals are a 1-row broadcast; ΣX² in DECIMAL(38,0) as STRING, mean deviations by integer cross-multiplication")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

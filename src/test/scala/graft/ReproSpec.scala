@@ -149,7 +149,9 @@ class ReproSpec extends AnyFunSuite {
     "q392_mor_delete",      // equality-delete file + anti-join read
     "q393_delete_compaction", // delete-debt fold + pinned-debt parity
     "q394_entity_resolution", // name collapse + CC + survivorship
-    "q395_seq_support"      // windowed greedy subsequence counting
+    "q395_seq_support",     // windowed greedy subsequence counting
+    "q396_kaplan_meier",    // packed-step prefix-product survival
+    "q397_anova_stats"      // decimal sufficient statistics + permille
   )
 
   representatives.foreach { name =>
