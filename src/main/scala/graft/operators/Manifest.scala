@@ -613,6 +613,53 @@ object Manifest {
     * reader can no longer pin them. Returns (expired versions,
     * deleted member dirs).
     */
+  // ───── Named refs (branches/tags) — the WAP leg ─────
+  //
+  // A ref is a name → version pointer published with the same
+  // temp-file + atomic-rename discipline as manifests. Readers that
+  // follow a ref instead of the head version get WRITE-AUDIT-PUBLISH
+  // (the Iceberg branch workflow): a writer commits new versions
+  // freely (staging), audits them, and only then swings the ref —
+  // downstream readers never observe an unaudited commit, and a
+  // failed audit costs nothing to roll back (the ref simply never
+  // moves). Refs are metadata-sized and versions are immutable, so a
+  // ref swing is atomic table-wide regardless of data volume.
+
+  private def refPath(root: String, name: String): Path =
+    Paths.get(root, "refs", name)
+
+  /** Point ref `name` at `version` (create or move) — atomic. */
+  def setRef(root: String, name: String, version: Int): Unit = {
+    require(Files.exists(manifestPath(root, version)),
+      s"Manifest: cannot ref unpublished version $version of $root")
+    val p = refPath(root, name)
+    Files.createDirectories(p.getParent)
+    val tmp = p.getParent.resolve(s".$name.tmp")
+    Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
+    try Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Version a ref points at; None if the ref does not exist. */
+  def refVersion(root: String, name: String): Option[Int] = {
+    val p = refPath(root, name)
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .trim.toInt)
+  }
+
+  /** Read the snapshot a ref points at (loud on a missing ref). */
+  def readRef(spark: SparkSession, root: String, name: String): DataFrame = {
+    val v = refVersion(root, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"Manifest: ref $name does not exist under $root"))
+    read(spark, root, v)
+  }
+
   // ───── Merge-on-read equality deletes (the Iceberg v2 delete-file
   // leg; [[deleteWhere]] is the copy-on-write alternative) ─────
   //
@@ -739,8 +786,26 @@ object Manifest {
     val head = currentVersion(root)
     require(head > 0, s"Manifest: cannot vacuum an empty table $root")
     val keepFrom = math.max(1, head - keepVersions + 1)
-    val retained = (keepFrom to head).flatMap(v => members(root, v)).toSet
-    val expired = (1 until keepFrom).toSeq
+    // ref'd versions are PINNED whatever the retention window says —
+    // expiring a version a branch/tag points at would break every
+    // reader following it (the Iceberg rule: refs extend retention)
+    val refDir = Paths.get(root, "refs")
+    val refPins: Set[Int] =
+      if (!Files.isDirectory(refDir)) Set.empty
+      else {
+        val it = Files.list(refDir).iterator()
+        val b = Set.newBuilder[Int]
+        while (it.hasNext) {
+          val f = it.next()
+          if (!f.getFileName.toString.startsWith("."))
+            b += new String(Files.readAllBytes(f),
+              StandardCharsets.UTF_8).trim.toInt
+        }
+        b.result()
+      }
+    val keptVersions = (keepFrom to head).toSet ++ refPins
+    val retained = keptVersions.toSeq.flatMap(v => members(root, v)).toSet
+    val expired = (1 until keepFrom).filterNot(refPins.contains).toSeq
     val orphans = expired.flatMap(v => members(root, v)).distinct
       .filterNot(retained.contains)
     // order matters for crash safety: manifests FIRST (so no reader

@@ -3976,12 +3976,7 @@ object EtlOps {
         col("p_size").cast("long").as("psize"))
       val names = parts.groupBy(col("p_name"))
         .agg(min(col("p_partkey")).as("rep"))
-      val a = names.select(col("rep").as("a_rep"), col("p_name").as("a_name"))
-      val b = names.select(col("rep").as("b_rep"), col("p_name").as("b_name"))
-      val pairs = a.crossJoin(b) // distinct-name grid, vocab-bounded
-        .filter(col("a_rep") < col("b_rep") &&
-          levenshtein(col("a_name"), col("b_name")) <= 2)
-        .select(col("a_rep"), col("b_rep"))
+      val pairs = erMatchPairs(names)
       val clusters = graft.operators.Dedup
         .duplicateClusters(pairs, names.select(col("rep")))
         .withColumnRenamed("doc_id", "rep")
@@ -4107,8 +4102,228 @@ object EtlOps {
           expr("(CAST(s_i AS DECIMAL(38,0)) * n - CAST(s AS DECIMAL(38,0)) " +
             "* n_i) * 1000 div (CAST(s AS DECIMAL(38,0)) * n_i)")
             .as("mean_dev_permille"))
+    }),
+
+    // Deterministic WEIGHTED priority sampling — q60/q366 sample
+    // uniformly; here longer documents must be proportionally MORE
+    // likely (token-budget curation samples by content mass, not doc
+    // count). Priority = md5₂₄(doc_id)·10⁶ div n_chars: the md5 int
+    // is a fixed uniform draw, dividing by the weight shrinks heavy
+    // docs' priorities (the integer determinization of weighted
+    // bottom-k / Efraimidis-Spirakis priority sampling — inclusion
+    // is monotone in weight, reproducible across engines, re-runs
+    // and partitionings, where rand()-based weighted sampling is
+    // none of those). Bottom-10 per source via a source-keyed window
+    // (never a global sort); the sampled-mass permille rides a
+    // broadcast of source totals + a 10-row bounded window.
+    "q398_weighted_sample" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val tot = docs.groupBy(col("source")).agg(sum(col("n_chars")).as("w_src"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("pri"), col("doc_id"))
+      val sampled = docs
+        .withColumn("pri", expr(
+          "(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) " +
+            "AS BIGINT) * 1000000) div n_chars"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+      sampled.join(broadcast(tot), Seq("source"))
+        .withColumn("sample_w",
+          sum(col("n_chars")).over(Window.partitionBy(col("source"))))
+        .select(col("source"), col("doc_id"), col("n_chars"), col("pri"),
+          col("rk"), expr("(sample_w * 1000) div w_src").as("sampled_mass_pm"))
+    }),
+
+    // WRITE-AUDIT-PUBLISH — the Iceberg branch workflow on Manifest
+    // refs: writers commit staging versions freely at the HEAD, a
+    // bounded audit (1-row aggregate verdict) gates the atomic swing
+    // of the `main` ref, and downstream readers — who follow the ref,
+    // never the head — cannot observe an unaudited commit. A failed
+    // audit costs nothing to roll back: the ref simply never moves.
+    // The require proves the protocol (ref at base while staged, at
+    // the staged version only after the audit passed); the aggregate
+    // is computed through readRef, the reader's actual path.
+    "q399_wap_publish" -> ((s, d) => {
+      val root = freshScratch("q399", d)
+      val orders = Tables(s, d).orders
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      graft.operators.Manifest.commitAdd(
+        orders.filter(col("o_orderkey") % 3 === 0), root, "m0")
+      val vBase = graft.operators.Manifest.commitAdd(
+        orders.filter(col("o_orderkey") % 3 === 1), root, "m1")
+      graft.operators.Manifest.setRef(root, "main", vBase)
+      val staged = orders.filter(col("o_orderkey") % 3 === 2)
+      val vStaged = graft.operators.Manifest.commitAdd(staged, root, "m2")
+      require(graft.operators.Manifest.refVersion(root, "main")
+        .contains(vBase),
+        "q399: the ref must stay at base while the commit is staged")
+      // the audit verdict is a bounded 1-row collect (the q355/q363
+      // discipline): nonempty batch, no null keys, no negative cents
+      val a = staged.agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("nulls"),
+        sum(when(col("cents") < 0L, 1L).otherwise(0L)).as("neg"))
+        .collect()(0)
+      val pass = a.getLong(0) > 0 && a.getLong(1) == 0 && a.getLong(2) == 0
+      if (pass) graft.operators.Manifest.setRef(root, "main", vStaged)
+      require(graft.operators.Manifest.refVersion(root, "main")
+        .contains(if (pass) vStaged else vBase),
+        "q399: ref must move exactly when the audit passes")
+      graft.operators.Manifest.readRef(s, root, "main")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .withColumn("audit_passed", lit(pass))
+    }),
+
+    // Exact linear-regression sufficient statistics (chars → tokens
+    // per language): n, Σx, Σy, Σxy, Σx² reconstruct the OLS fit
+    // exactly (the q397 discipline applied to regression), and the
+    // actionable readouts — slope and intercept in exact permille —
+    // are pure DECIMAL(38,0) cross-multiplications:
+    //   slope·10³    = (n·Σxy − Σx·Σy)·1000 div (n·Σx² − Σx·Σx)
+    //   intercept·10³ = (Σy·Σx² − Σx·Σxy)·1000 div (n·Σx² − Σx·Σx)
+    // ONE map-side-combined aggregate over the corpus; no floats, so
+    // the fit hash-matches (float OLS accumulates in engine-specific
+    // order).
+    "q400_linreg_stats" -> ((s, d) => {
+      Tables(s, d).documents
+        .select(col("lang"), col("n_chars").as("x"),
+          size(split(col("text"), " ")).cast("long").as("y"))
+        .groupBy(col("lang")).agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+        .select(col("lang"), col("n"), col("sx"), col("sy"),
+          col("sxy").cast("decimal(38,0)").cast("string").as("sum_xy"),
+          col("sxx").cast("decimal(38,0)").cast("string").as("sum_xx"),
+          expr("(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000 " +
+            "div (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)")
+            .as("slope_permille"),
+          expr("(CAST(sy AS DECIMAL(38,0)) * sxx - CAST(sx AS " +
+            "DECIMAL(38,0)) * sxy) * 1000 div (n * sxx - " +
+            "CAST(sx AS DECIMAL(38,0)) * sx)").as("intercept_permille"))
+    }),
+
+    // Price-volume bridge (the BI revenue-change decomposition):
+    // each brand's 1996→1997 revenue delta splits into a VOLUME
+    // effect ((V₂−V₁)·r₁ — what changing unit volume alone would
+    // have done at the old rate) and a PRICE/RATE effect (the exact
+    // remainder), with rate r₁ = R₁/V₁ applied by cross-
+    // multiplication: volume_effect = (V₂−V₁)·R₁ div V₁, floored —
+    // and integer division truncates toward zero identically in both
+    // engines for the negative deltas, so no sign-splitting (the
+    // q257-note discipline). The identity Δ = volume + price holds
+    // BY CONSTRUCTION (price is the remainder). One brand×year
+    // aggregate is the only corpus shuffle; the bridge joins two
+    // ≤|brands|-row frames (defined on brands present in both years).
+    "q401_price_volume_bridge" -> ((s, d) => {
+      val t = Tables(s, d)
+      val li = t.lineitem.join(t.part, col("l_partkey") === col("p_partkey"))
+        .filter(year(col("l_shipdate")).isin(1996, 1997))
+        .select(col("p_brand").as("brand"), year(col("l_shipdate")).as("yr"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+          col("l_quantity").cast("long").as("qty"))
+      val g = li.groupBy(col("brand"), col("yr"))
+        .agg(sum(col("cents")).as("r"), sum(col("qty")).as("v"))
+      val y1 = g.filter(col("yr") === 1996)
+        .select(col("brand"), col("r").as("r1"), col("v").as("v1"))
+      val y2 = g.filter(col("yr") === 1997)
+        .select(col("brand"), col("r").as("r2"), col("v").as("v2"))
+      y1.join(y2, Seq("brand"))
+        .withColumn("delta_cents", col("r2") - col("r1"))
+        .withColumn("volume_effect_cents",
+          expr("((v2 - v1) * r1) div v1"))
+        .select(col("brand"), col("r1"), col("v1"), col("r2"), col("v2"),
+          col("delta_cents"), col("volume_effect_cents"),
+          (col("delta_cents") - col("volume_effect_cents"))
+            .as("price_effect_cents"))
+    }),
+
+    // Half-life–decayed attribution — the missing member of the
+    // credit family (q132 last-touch, q221 first-touch, q372 linear):
+    // each purchase credits its trailing-7-day clicks with weight
+    // 2^(7−age_days), so yesterday's click earns twice last week's.
+    // Credit per click = cents·w div Σw, FLOORED (the q372 integer-
+    // credit discipline — remainders deliberately unassigned, the
+    // defined statistic in both engines); weights are exact powers
+    // of two via shiftleft, never a float exp(). Join shape: the
+    // user-keyed purchase×click equi-join + day-range filter (the
+    // q372 window), credit grouped to the age histogram.
+    "q402_decay_attribution" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"),
+          to_date(col("ts")).as("pd"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), to_date(col("ts")).as("cd"))
+      val touches = p.join(c, Seq("user_id"))
+        .withColumn("age", datediff(col("pd"), col("cd")).cast("long"))
+        .filter(col("age") >= 0 && col("age") <= 7)
+        .withColumn("w", expr("shiftleft(1L, CAST(7 - age AS INT))"))
+      val byP = touches.groupBy(col("pid"), col("cents"))
+        .agg(sum(col("w")).as("sumw"))
+      touches.join(byP.select(col("pid"), col("sumw")), Seq("pid"))
+        .withColumn("credit", expr("(cents * w) div sumw"))
+        .groupBy(col("age"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit")).cast("long").as("credited_cents"))
+    }),
+
+    // k-anonymity GENERALIZATION ladder — q328 audits violations;
+    // this EXECUTES the fix: (source, lang) groups under k = 5
+    // coarsen source→'*' (level 1), still-small groups coarsen
+    // lang→'*' too (level 2), so every published group either meets
+    // k or is fully generalized. Two bounded rounds over the
+    // ≤|source×lang| cell grid (the corpus pays ONE cell aggregate);
+    // membership is decided per ORIGINAL cell, then sizes re-
+    // aggregate per output group — the ladder is deterministic, no
+    // row ever visits two levels.
+    "q403_kanon_generalize" -> ((s, d) => {
+      val k = 5L
+      val cell = Tables(s, d).documents
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n0"))
+      val l1 = cell.withColumn("ok0", col("n0") >= k)
+      // level-1 candidate sizes: lang totals over the SMALL cells only
+      val small = l1.filter(!col("ok0"))
+      val langTot = small.groupBy(col("lang")).agg(sum(col("n0")).as("n1"))
+      val routed = l1.join(langTot, Seq("lang"), "left")
+        .withColumn("lvl",
+          when(col("ok0"), 0L)
+            .when(col("n1") >= k, 1L)
+            .otherwise(2L))
+        .select(
+          when(col("lvl") === 0L, col("source")).otherwise(lit("*"))
+            .as("source_out"),
+          when(col("lvl") <= 1L, col("lang")).otherwise(lit("*"))
+            .as("lang_out"),
+          col("lvl"), col("n0"))
+      routed.groupBy(col("source_out"), col("lang_out"), col("lvl"))
+        .agg(sum(col("n0")).as("group_size"),
+          count(lit(1)).as("n_cells_merged"))
     })
   )
+
+  /** q394's candidate stage, factored for the PlanSpec gate — q394's
+    * own final plan is the post-checkpoint RDD scan (the CC operator
+    * checkpoints per round), so the grid join must be introspected
+    * here, pre-checkpoint. `names` is the identical-name collapse
+    * (p_name, rep); the grid is distinct-name × distinct-name (vocab-
+    * bounded, never the part table against itself). The 3-arg
+    * levenshtein runs the BANDED DP (O(len·k), early exit, -1 past
+    * the threshold) — same predicate as `<= 2`, cheaper per pair.
+    */
+  private[graft] def erMatchPairs(names: DataFrame): DataFrame = {
+    val a = names.select(col("rep").as("a_rep"), col("p_name").as("a_name"))
+    val b = names.select(col("rep").as("b_rep"), col("p_name").as("b_name"))
+    a.crossJoin(b)
+      .filter(col("a_rep") < col("b_rep") &&
+        levenshtein(col("a_name"), col("b_name"), 2) >= 0)
+      .select(col("a_rep"), col("b_rep"))
+  }
 
   /** q384's report body, factored so the query map entry stays at
     * altitude: margins, the bounded grid with absent cells at 0, and
@@ -6576,6 +6791,97 @@ object EtlOps {
                 q_i::VARCHAR AS sumsq_cents,
                 ((s_i::HUGEINT * n - s::HUGEINT * n_i) * 1000
                   // (s::HUGEINT * n_i))::BIGINT AS mean_dev_permille
-         FROM g CROSS JOIN tot"""
+         FROM g CROSS JOIN tot""",
+    "q398_weighted_sample" ->
+      """WITH docs AS (
+           SELECT doc_id, source, n_chars,
+                  (('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT
+                    * 1000000) // n_chars AS pri
+           FROM documents),
+         tot AS (SELECT source, sum(n_chars)::BIGINT AS w_src FROM documents
+                 GROUP BY 1),
+         sampled AS (
+           SELECT doc_id, source, n_chars, pri,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY pri, doc_id)::BIGINT AS rk
+           FROM docs QUALIFY rk <= 10)
+         SELECT s.source, s.doc_id, s.n_chars, s.pri, s.rk,
+                ((sum(s.n_chars) OVER (PARTITION BY s.source))::BIGINT * 1000
+                  // tot.w_src)::BIGINT AS sampled_mass_pm
+         FROM sampled s JOIN tot USING (source)""",
+    "q399_wap_publish" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+                sum(round(o_totalprice * 100, 0)::BIGINT)::BIGINT AS sum_cents,
+                true AS audit_passed
+         FROM orders GROUP BY 1""",
+    "q400_linreg_stats" ->
+      """WITH d AS (SELECT lang, n_chars AS x,
+                len(string_split(text, ' '))::BIGINT AS y
+             FROM documents),
+         g AS (SELECT lang, count(*)::BIGINT AS n,
+                      sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                      sum(x::HUGEINT * y) AS sxy,
+                      sum(x::HUGEINT * x) AS sxx
+               FROM d GROUP BY 1)
+         SELECT lang, n, sx, sy,
+                sxy::VARCHAR AS sum_xy, sxx::VARCHAR AS sum_xx,
+                ((n * sxy - sx::HUGEINT * sy) * 1000
+                  // (n * sxx - sx::HUGEINT * sx))::BIGINT
+                  AS slope_permille,
+                ((sy::HUGEINT * sxx - sx::HUGEINT * sxy) * 1000
+                  // (n * sxx - sx::HUGEINT * sx))::BIGINT
+                  AS intercept_permille
+         FROM g""",
+    "q401_price_volume_bridge" ->
+      """WITH li AS (
+           SELECT p_brand AS brand, year(l_shipdate) AS yr,
+                  round(l_extendedprice * 100, 0)::BIGINT AS cents,
+                  l_quantity::BIGINT AS qty
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE year(l_shipdate) IN (1996, 1997)),
+         g AS (SELECT brand, yr, sum(cents)::BIGINT AS r,
+                      sum(qty)::BIGINT AS v
+               FROM li GROUP BY 1, 2),
+         y1 AS (SELECT brand, r AS r1, v AS v1 FROM g WHERE yr = 1996),
+         y2 AS (SELECT brand, r AS r2, v AS v2 FROM g WHERE yr = 1997)
+         SELECT brand, r1, v1, r2, v2, (r2 - r1)::BIGINT AS delta_cents,
+                (((v2 - v1) * r1) // v1)::BIGINT AS volume_effect_cents,
+                ((r2 - r1) - ((v2 - v1) * r1) // v1)::BIGINT
+                  AS price_effect_cents
+         FROM y1 JOIN y2 USING (brand)""",
+    "q402_decay_attribution" ->
+      """WITH p AS (SELECT user_id, event_id AS pid, ts::DATE AS pd,
+                round(value * 100, 0)::BIGINT AS cents
+             FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts::DATE AS cd FROM events
+               WHERE event_type = 'click'),
+         touches AS (
+           SELECT p.pid, p.cents,
+                  date_diff('day', c.cd, p.pd)::BIGINT AS age,
+                  (1::BIGINT << (7 - date_diff('day', c.cd, p.pd)))::BIGINT
+                    AS w
+           FROM p JOIN c USING (user_id)
+           WHERE date_diff('day', c.cd, p.pd) BETWEEN 0 AND 7),
+         byp AS (SELECT pid, sum(w)::BIGINT AS sumw FROM touches GROUP BY 1)
+         SELECT age, count(*)::BIGINT AS n_touches,
+                sum((t.cents * t.w) // byp.sumw)::BIGINT AS credited_cents
+         FROM touches t JOIN byp USING (pid) GROUP BY 1""",
+    "q403_kanon_generalize" ->
+      """WITH cell AS (SELECT source, lang, count(*)::BIGINT AS n0
+                       FROM documents GROUP BY 1, 2),
+         l1 AS (SELECT *, n0 >= 5 AS ok0 FROM cell),
+         langtot AS (SELECT lang, sum(n0)::BIGINT AS n1 FROM l1
+                     WHERE NOT ok0 GROUP BY 1),
+         routed AS (SELECT
+             CASE WHEN ok0 THEN source ELSE '*' END AS source_out,
+             CASE WHEN ok0 OR coalesce(n1, 0) >= 5 THEN lang
+                  ELSE '*' END AS lang_out,
+             (CASE WHEN ok0 THEN 0 WHEN coalesce(n1, 0) >= 5 THEN 1
+                   ELSE 2 END)::BIGINT AS lvl,
+             n0
+           FROM l1 LEFT JOIN langtot USING (lang))
+         SELECT source_out, lang_out, lvl, sum(n0)::BIGINT AS group_size,
+                count(*)::BIGINT AS n_cells_merged
+         FROM routed GROUP BY 1, 2, 3"""
   )
 }

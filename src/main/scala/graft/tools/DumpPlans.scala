@@ -144,7 +144,13 @@ object DumpPlans {
     "q394_entity_resolution" -> "entity resolution: identical-name collapse first, so the quadratic match join runs on DISTINCT names (vocab-bounded BroadcastNestedLoopJoin); CC shuffles (id,label) pairs only; survivorship is one cluster-keyed aggregate + the canonical-name join",
     "q395_seq_support" -> "sequence support: one (user,type) aggregate holds sorted µs arrays; the type-cube fan-out is 125 bounded rows/user, greedy earliest-completion runs in interpreted lambdas with |history|²-bounded per-user work — no corpus-grain shuffle after the first aggregate",
     "q396_kaplan_meier" -> "Kaplan-Meier: one user-keyed aggregate builds (T, event); the risk-set window and prefix-product folds run at duration-day grain (≤ observation-window rows, broadcast packed-step array, O(steps²) slice folds)",
-    "q397_anova_stats" -> "ANOVA sufficient stats: ONE map-side-combined aggregate over the fact table (n_i, ΣX, ΣX² per flag); grand totals are a 1-row broadcast; ΣX² in DECIMAL(38,0) as STRING, mean deviations by integer cross-multiplication")
+    "q397_anova_stats" -> "ANOVA sufficient stats: ONE map-side-combined aggregate over the fact table (n_i, ΣX, ΣX² per flag); grand totals are a 1-row broadcast; ΣX² in DECIMAL(38,0) as STRING, mean deviations by integer cross-multiplication",
+    "q398_weighted_sample" -> "weighted sampling: priority md5₂₄(id)·10⁶ div weight is a narrow per-row expression (no shuffle to sample); bottom-10 per source via a source-keyed window, never a global sort; mass permille from broadcast totals + a 10-row window",
+    "q399_wap_publish" -> "WAP: staging commits land at the head while readers follow the main REF; the audit is a bounded 1-row aggregate verdict gating the atomic ref swing; the emitted aggregate reads through readRef — the reader's actual path",
+    "q400_linreg_stats" -> "OLS sufficient stats: ONE map-side-combined corpus aggregate (n, Σx, Σy, Σxy, Σx² per lang); slope/intercept are exact-permille DECIMAL(38,0) cross-multiplications — no float accumulation anywhere",
+    "q401_price_volume_bridge" -> "price-volume bridge: one brand×year aggregate is the only corpus shuffle; the bridge itself joins two ≤|brands|-row frames; volume effect is a floored cross-multiplied rate, price effect the exact remainder (Δ = vol + price by construction)",
+    "q402_decay_attribution" -> "decayed attribution: user-keyed purchase×click equi-join + day-range filter (the q372 window shape); weights are exact powers of two (shiftleft), credits floored per click against the per-purchase weight total",
+    "q403_kanon_generalize" -> "k-anon ladder: the corpus pays ONE (source,lang) cell aggregate; both coarsening rounds run on the bounded cell grid with broadcast lang totals — no row ever visits two levels")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

@@ -381,6 +381,59 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"), p.take(800))
   }
 
+  test("q388: BM25 top-10 plans as TakeOrdered; posting filter precedes its shuffle") {
+    val p = plan("q388_bm25_rank")
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-10 must never be a full sort")
+    // the term filter must run on the exploded stream BEFORE the
+    // (doc_id, term) aggregate exchange: walking from the Generate
+    // line toward its ancestors (upward in the printed tree), a
+    // Filter must appear before any Exchange
+    val lines = p.linesIterator.toSeq
+    val gen = lines.indexWhere(_.contains("Generate ("))
+    assert(gen >= 0, "expected an explode for the posting stream")
+    val above = lines.slice(0, gen).reverse
+    val filterAt = above.indexWhere(_.contains("Filter ("))
+    val exchangeAt = above.indexWhere(_.contains("Exchange ("))
+    assert(filterAt >= 0 && (exchangeAt < 0 || filterAt < exchangeAt),
+      s"term filter must precede the posting shuffle:\n${p.take(1200)}")
+  }
+
+  test("q391: a-priori prunes are broadcast semi-joins, never shuffled") {
+    val p = plan("q391_apriori_triples")
+    val semis = p.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
+    assert(semis >= 3,
+      s"expected >=3 broadcast L2 semi-joins (got $semis):\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q394: the quadratic ER match runs on the distinct-name grid only") {
+    // q394's own final plan is the post-checkpoint RDD scan (the CC
+    // operator checkpoints per round) — introspect the candidate
+    // stage pre-checkpoint, the q35/q385 extras discipline
+    import org.apache.spark.sql.functions.{col, min => fmin}
+    val names = spark.read.parquet(s"$sf/part.parquet")
+      .groupBy(col("p_name")).agg(fmin(col("p_partkey")).as("rep"))
+    val p = graft.queries.EtlOps.erMatchPairs(names)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the nested-loop operands must be the name-grain AGGREGATES —
+    // the part scan itself never feeds a quadratic join directly
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected the bounded distinct-name grid join:\n${p.take(800)}")
+    assert(p.contains("HashAggregate"),
+      "identical-name collapse must aggregate before the grid join")
+  }
+
+  test("q395: no corpus-grain shuffle after the (user,type) aggregate") {
+    val p = plan("q395_seq_support")
+    // the type-cube joins must be user-keyed equi-joins; the only
+    // nested-loop is the 1-row n_users broadcast at the very end
+    assert(!p.contains("Exchange SinglePartition,"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("user_id"), "type-cube joins must key on user_id")
+  }
+
   test("whole-stage codegen covers the KPI aggregate (no interpreted hot path)") {
     // AQE only annotates codegen stages on the executed plan
     val df = SparkEntry.queries("q11_genre_kpis")(spark, sf)

@@ -151,7 +151,13 @@ class ReproSpec extends AnyFunSuite {
     "q394_entity_resolution", // name collapse + CC + survivorship
     "q395_seq_support",     // windowed greedy subsequence counting
     "q396_kaplan_meier",    // packed-step prefix-product survival
-    "q397_anova_stats"      // decimal sufficient statistics + permille
+    "q397_anova_stats",     // decimal sufficient statistics + permille
+    "q398_weighted_sample", // md5-div-weight bottom-k per source
+    "q399_wap_publish",     // audit-gated atomic ref swing read
+    "q400_linreg_stats",    // decimal OLS sufficient statistics
+    "q401_price_volume_bridge", // brand-year frames + floored identity
+    "q402_decay_attribution", // power-of-two weights + floored credits
+    "q403_kanon_generalize" // two-round cell-grid coarsening ladder
   )
 
   representatives.foreach { name =>

@@ -401,6 +401,39 @@ class ManifestSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Manifest.read(spark, root, 1) }
   }
 
+  test("refs: atomic swing, head-isolation, loud on unpublished targets") {
+    val root = freshRoot("refs")
+    Manifest.commitAdd(frame(0 until 10), root, "a")
+    Manifest.commitAdd(frame(10 until 20), root, "b")
+    assert(Manifest.refVersion(root, "main").isEmpty)
+    Manifest.setRef(root, "main", 2)
+    assert(Manifest.refVersion(root, "main").contains(2))
+    // staging commits advance the head but never the ref
+    Manifest.commitAdd(frame(20 until 30), root, "c")
+    assert(Manifest.currentVersion(root) == 3)
+    assert(Manifest.readRef(spark, root, "main").count() == 20)
+    // publish = one atomic swing; readers now see the audited commit
+    Manifest.setRef(root, "main", 3)
+    assert(Manifest.readRef(spark, root, "main").count() == 30)
+    // a ref can never dangle
+    intercept[IllegalArgumentException] { Manifest.setRef(root, "x", 99) }
+    intercept[IllegalArgumentException] { Manifest.readRef(spark, root, "x") }
+  }
+
+  test("vacuum pins ref'd versions past the retention window") {
+    val root = freshRoot("refs-vacuum")
+    Manifest.commitAdd(frame(0 until 10), root, "a")   // v1 — ref'd
+    Manifest.setRef(root, "old", 1)
+    Manifest.commitAdd(frame(10 until 20), root, "b")  // v2
+    Manifest.commitAdd(frame(20 until 25), root, "c")  // v3 head
+    val (expired, deleted) = Manifest.vacuum(root, keepVersions = 1)
+    // v1 is outside the window but pinned by the ref; v2 expires
+    assert(expired == Seq(2), expired.toString)
+    assert(!deleted.contains(s"$root/files/a"), deleted.toString)
+    assert(Manifest.readRef(spark, root, "old").count() == 10)
+    intercept[IllegalArgumentException] { Manifest.read(spark, root, 2) }
+  }
+
   test("MOR equality delete: key-batch commit, anti-join read, no rewrite") {
     val root = freshRoot("mor")
     Manifest.commitAdd(frame(0 until 10), root, "a")
