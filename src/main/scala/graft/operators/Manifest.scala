@@ -132,7 +132,8 @@ object Manifest {
     val partJson = partition.toSeq.sortBy(_._1)
       .map { case (k, v) => s""","part_$k":"$v"""" }.mkString
     publish(root, base :+ memberLine(target,
-      statsJson(df, statsCols) + partJson + bloomJson(df, root, name, bloomCols)))
+      statsJson(df, statsCols) + partJson +
+        bloomJson(df, root, name, bloomCols) + seqJson(prev)))
   }
 
   /** Per-member bloom SIDECAR files (the Iceberg-puffin / Delta
@@ -216,6 +217,26 @@ object Manifest {
 
   private def memberLine(path: String, statsFragment: String): String =
     s"""{"path":"$path"$statsFragment}"""
+
+  /** `,"seq":<next version>` — the COMMIT SEQUENCE a new member is
+    * born in. Merge-on-read needs it: an equality delete applies
+    * only to data members with a SMALLER sequence (the Iceberg v2
+    * rule), so a key deleted in commit 5 and re-added in commit 7
+    * lives — the delete never sees the younger member.
+    */
+  private def seqJson(prev: Int): String = s""","seq":${prev + 1}"""
+
+  /** Numeric field of a manifest line (seq, min_*, max_*). */
+  private def numField(line: String, key: String): Option[Long] = {
+    val tag = s""""$key":"""
+    val i = line.indexOf(tag)
+    if (i < 0) None
+    else {
+      val from = i + tag.length
+      val end = line.indexWhere(c => c == ',' || c == '}', from)
+      Some(line.substring(from, end).toLong)
+    }
+  }
 
   private def pathOf(line: String): String = {
     val i = line.indexOf("\"path\":\"") + 8
@@ -311,7 +332,7 @@ object Manifest {
     // kept members pass through with their stats; the rewrite carries
     // none (conservative — prunedMembers always reads stats-less files)
     publish(root, base.filterNot(l => replaced.contains(pathOf(l)))
-      :+ memberLine(target, ""))
+      :+ memberLine(target, seqJson(prev)))
   }
 
   /** Copy-on-write row-level DELETE: rewrite ONLY the member files
@@ -343,7 +364,7 @@ object Manifest {
         val survivors = spark.read.parquet(m).filter(!predicate)
         val target = s"$root/files/$nameTag-$i"
         survivors.write.mode("errorifexists").parquet(target)
-        memberLine(target, "")
+        memberLine(target, seqJson(prev))
       }
       publish(root, base.filterNot(l => affected.contains(pathOf(l)))
         ++ rewritten)
@@ -477,14 +498,14 @@ object Manifest {
             .join(keys, Seq(keyCol), "left_anti")
           val target = s"$root/files/$nameTag-r$i"
           survivors.write.mode("errorifexists").parquet(target)
-          memberLine(target, "")
+          memberLine(target, seqJson(prev))
         }
         val appended =
           if (!hasAppend) Seq.empty
           else {
             val target = s"$root/files/$nameTag-new"
             appendRows.write.mode("errorifexists").parquet(target)
-            Seq(memberLine(target, ""))
+            Seq(memberLine(target, seqJson(prev)))
           }
         publish(root, base.filterNot(l => affected.contains(pathOf(l)))
           ++ rewritten ++ appended)
@@ -697,12 +718,32 @@ object Manifest {
     membersRaw(root, version).filter(_.contains(KindDelete))
       .map(l => (pathOf(l), keyColOf(l)))
 
+  /** Data member (path, seq) pairs. A member without a seq field
+    * (pre-seq layouts) reads as seq 0 — the oldest, so every delete
+    * applies to it (the conservative legacy behavior).
+    */
+  private def dataMembersSeq(root: String, version: Int): Seq[(String, Long)] =
+    membersRaw(root, version).filterNot(_.contains(KindDelete))
+      .map(l => (pathOf(l), numField(l, "seq").getOrElse(0L)))
+
+  /** Delete member (path, keyCol, seq). A delete without a seq reads
+    * as Long.MaxValue — it applies to everything (legacy behavior).
+    */
+  private def deleteMembersSeq(
+      root: String, version: Int): Seq[(String, String, Long)] =
+    membersRaw(root, version).filter(_.contains(KindDelete))
+      .map(l => (pathOf(l), keyColOf(l),
+        numField(l, "seq").getOrElse(Long.MaxValue)))
+
   /** MOR DELETE commit: write `keys` (single column `keyCol`) as a
     * delete member and publish. NO data member is read, probed, or
-    * rewritten — the commit cost is the key batch alone. Readers
-    * must use [[readMor]]; [[read]] on a table with delete members
-    * would union incompatible schemas (loudly, via parquet schema
-    * merge failure — never silently wrong rows).
+    * rewritten — the commit cost is the key batch alone. The member
+    * line carries the commit SEQUENCE: the delete applies only to
+    * data members born in EARLIER commits (the Iceberg v2 rule), so
+    * a key re-added later lives. Readers must use [[readMor]];
+    * [[read]] on a table with delete members would union
+    * incompatible schemas (loudly, via parquet schema merge failure
+    * — never silently wrong rows).
     */
   def commitEqualityDelete(
       keys: DataFrame,
@@ -714,25 +755,39 @@ object Manifest {
     val target = s"$root/files/$name"
     keys.select(keyCol).distinct().write.mode("errorifexists").parquet(target)
     publish(root, membersRaw(root, prev)
-      :+ memberLine(target, s""","kind":"delete","key":"$keyCol""""))
+      :+ memberLine(target,
+        s""","kind":"delete","key":"$keyCol"""" + seqJson(prev)))
   }
 
   /** Merge-on-read snapshot: union of `version`'s data members MINUS
-    * every key its delete members carry — one broadcast-sized
-    * left-anti join per distinct delete key column (delete files are
-    * commit-batch-sized; at 100 TB the anti-join's build side is the
-    * delete set, so the data side streams through unshuffled).
+    * the delete keys that APPLY to each — a delete applies to a data
+    * member iff the member's commit sequence is older (delete seq >
+    * member seq), so re-added keys survive. Members group by their
+    * applicable-delete set (bounded by the delete count, metadata-
+    * sized), each group subtracts with one broadcast-sized left-anti
+    * join per key column — at 100 TB the anti-join's build side is
+    * the delete batch, the data side streams through unshuffled.
     */
   def readMor(spark: SparkSession, root: String, version: Int): DataFrame = {
-    val data = dataMembers(root, version)
+    val data = dataMembersSeq(root, version)
     require(data.nonEmpty, s"Manifest: version $version of $root has no data")
-    val base = spark.read.parquet(data: _*)
-    deleteMembers(root, version).groupBy(_._2).foldLeft(base) {
-      case (df, (keyCol, files)) =>
-        df.join(
-          org.apache.spark.sql.functions.broadcast(
-            spark.read.parquet(files.map(_._1): _*).select(keyCol).distinct()),
-          Seq(keyCol), "left_anti")
+    val dels = deleteMembersSeq(root, version)
+    if (dels.isEmpty) spark.read.parquet(data.map(_._1): _*)
+    else {
+      val groups = data.groupBy { case (_, mseq) =>
+        dels.filter(_._3 > mseq).map(_._1).toSet
+      }
+      groups.map { case (delPaths, ms) =>
+        val base = spark.read.parquet(ms.map(_._1): _*)
+        dels.filter(d => delPaths.contains(d._1)).groupBy(_._2)
+          .foldLeft(base) { case (df, (keyCol, files)) =>
+            df.join(
+              org.apache.spark.sql.functions.broadcast(
+                spark.read.parquet(files.map(_._1): _*)
+                  .select(keyCol).distinct()),
+              Seq(keyCol), "left_anti")
+          }
+      }.reduce(_.unionByName(_))
     }
   }
 
@@ -752,31 +807,39 @@ object Manifest {
       nameTag: String): Int = {
     val prev = currentVersion(root)
     require(prev > 0, s"Manifest: cannot compact an empty table $root")
-    val dels = deleteMembers(root, prev)
+    val dels = deleteMembersSeq(root, prev)
     if (dels.isEmpty) prev
     else {
-      val keyFrames = dels.groupBy(_._2).map { case (k, fs) =>
-        k -> spark.read.parquet(fs.map(_._1): _*).select(k).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // one persisted key frame per delete member — each data member
+      // subtracts only the deletes that APPLY to it (younger seq)
+      val keyFrames = dels.map { case (p, k, dseq) =>
+        (p, k, dseq,
+          spark.read.parquet(p).select(k).distinct()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       }
-      val affected = dataMembers(root, prev).filter { m =>
+      val affected = dataMembersSeq(root, prev).filter { case (m, mseq) =>
         val df = spark.read.parquet(m)
-        keyFrames.exists { case (k, kf) =>
-          df.join(kf, Seq(k), "left_semi").limit(1).count() > 0
+        keyFrames.exists { case (_, k, dseq, kf) =>
+          dseq > mseq &&
+            df.join(kf, Seq(k), "left_semi").limit(1).count() > 0
         }
       }
-      val rewritten = affected.zipWithIndex.map { case (m, i) =>
+      val rewritten = affected.zipWithIndex.map { case ((m, mseq), i) =>
         val survivors = keyFrames.foldLeft(spark.read.parquet(m)) {
-          case (df, (k, kf)) => df.join(kf, Seq(k), "left_anti")
+          case (df, (_, k, dseq, kf)) =>
+            if (dseq > mseq) df.join(kf, Seq(k), "left_anti") else df
         }
         val target = s"$root/files/$nameTag-$i"
         survivors.write.mode("errorifexists").parquet(target)
-        memberLine(target, "")
+        // the rewrite is born in THIS commit: younger than every
+        // existing delete, so none re-applies to it
+        memberLine(target, seqJson(prev))
       }
-      val gone = dels.map(_._1).toSet ++ affected
+      val affectedPaths = affected.map(_._1).toSet
+      val gone = dels.map(_._1).toSet ++ affectedPaths
       val next = publish(root, membersRaw(root, prev)
         .filterNot(l => gone.contains(pathOf(l))) ++ rewritten)
-      keyFrames.values.foreach(_.unpersist())
+      keyFrames.foreach(_._4.unpersist())
       next
     }
   }

@@ -4304,6 +4304,76 @@ object EtlOps {
       routed.groupBy(col("source_out"), col("lang_out"), col("lvl"))
         .agg(sum(col("n0")).as("group_size"),
           count(lit(1)).as("n_cells_merged"))
+    }),
+
+    // Bellman-Ford bounded-hop cheapest path — the WEIGHTED sibling
+    // of q131's BFS on the token-transition graph: edge cost
+    // 1 + 10⁶ div c(a→b) makes rare transitions expensive (the
+    // integer stand-in for −log p without libm), and four relax
+    // rounds give the exact ≤4-hop cheapest cost from the minimum
+    // token. Each round is one edge⋈labels join + a per-node min —
+    // (tok, dist) pairs only, localCheckpoint truncating lineage
+    // (the q131/q257 loop shape); the oracle replays the rounds as
+    // MATERIALIZED CTEs. Deterministic converged or not: the output
+    // is DEFINED as the round-4 state.
+    "q404_bellman_ford" -> ((s, d) => {
+      val docs = TextOps.parallelized(Tables(s, d).documents)
+        .select(split(col("text"), " ").as("ws"))
+      val edges = docs.select(explode(expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+          " (x, y) -> struct(x AS a, y AS b))")).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .filter(col("a") =!= col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+        .select(col("a"), col("b"), expr("1 + 1000000 div c").as("w"))
+        .localCheckpoint()
+      var labels = edges.agg(min(col("a")).as("tok"))
+        .select(col("tok"), lit(0L).as("dist")).localCheckpoint()
+      for (_ <- 1 to 4) {
+        val relaxed = edges.join(labels.withColumnRenamed("tok", "a"), "a")
+          .select(col("b").as("tok"), (col("dist") + col("w")).as("dist"))
+        labels = labels.unionByName(relaxed)
+          .groupBy(col("tok")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint()
+      }
+      labels
+    }),
+
+    // Streaming merge-on-read delete ingestion — the RTBF/CDC-delete
+    // queue as a STREAM (q375 streams upserts copy-on-write; deletes
+    // deserve the cheap path): each micro-batch of doomed keys
+    // commits ONE equality-delete file (no data member probed or
+    // rewritten), the batch-id member-name ledger makes redelivery
+    // exactly-once, and a reader following readMor converges to the
+    // fully-deleted view. The require pins the protocol (3 delete
+    // commits on top of the base version, all data members
+    // untouched); the aggregate reads through readMor and oracles as
+    // the plain NOT-IN filter.
+    "q405_stream_mor_deletes" -> ((s, d) => {
+      val root = freshScratch("q405", d)
+      val feed = s"$root/feed"; val table = s"$root/table"
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.operators.Manifest.commitAdd(docs, table, "base")
+      val dataPre = graft.operators.Manifest.dataMembers(table, 1)
+      def stage(name: String, mtime: Long, df: DataFrame): Unit =
+        graft.streaming.LakeIngest.stageBatchFile(feed, name, mtime, df)
+      stage("k0.parquet", 1000000L,
+        docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
+      stage("k1.parquet", 2000000L,
+        docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")))
+      stage("k2.parquet", 3000000L,
+        docs.filter(col("doc_id") % 3 === 0).select(col("doc_id")))
+      val v = graft.streaming.LakeIngest.deleteFeedToMor(
+        s, feed, s"$root/ckpt", table, "doc_id")
+      require(v == 4 &&
+        graft.operators.Manifest.dataMembers(table, v) == dataPre &&
+        graft.operators.Manifest.deleteMembers(table, v).size == 3,
+        "q405: 3 delete batches must commit 3 delete files, rewrite nothing")
+      graft.operators.Manifest.readMor(s, table, v)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
     })
   )
 
@@ -6882,6 +6952,41 @@ object EtlOps {
            FROM l1 LEFT JOIN langtot USING (lang))
          SELECT source_out, lang_out, lvl, sum(n0)::BIGINT AS group_size,
                 count(*)::BIGINT AS n_cells_merged
-         FROM routed GROUP BY 1, 2, 3"""
+         FROM routed GROUP BY 1, 2, 3""",
+    "q404_bellman_ford" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         o AS (SELECT doc_id, unnest(ws) AS tok,
+                      generate_subscripts(ws, 1) AS ord FROM t),
+         adj AS (SELECT x.tok AS a, y.tok AS b FROM o x JOIN o y
+                 ON y.doc_id = x.doc_id AND y.ord = x.ord + 1
+                 WHERE x.tok <> y.tok),
+         e AS MATERIALIZED (
+           SELECT a, b, (1 + 1000000 // count(*))::BIGINT AS w
+           FROM adj GROUP BY 1, 2),
+         l0 AS MATERIALIZED (SELECT min(a) AS tok, 0::BIGINT AS dist FROM e),
+         l1 AS MATERIALIZED (SELECT tok, min(dist)::BIGINT AS dist FROM (
+           SELECT tok, dist FROM l0
+           UNION ALL SELECT e.b AS tok, l0.dist + e.w AS dist
+           FROM l0 JOIN e ON e.a = l0.tok) GROUP BY 1),
+         l2 AS MATERIALIZED (SELECT tok, min(dist)::BIGINT AS dist FROM (
+           SELECT tok, dist FROM l1
+           UNION ALL SELECT e.b AS tok, l1.dist + e.w AS dist
+           FROM l1 JOIN e ON e.a = l1.tok) GROUP BY 1),
+         l3 AS MATERIALIZED (SELECT tok, min(dist)::BIGINT AS dist FROM (
+           SELECT tok, dist FROM l2
+           UNION ALL SELECT e.b AS tok, l2.dist + e.w AS dist
+           FROM l2 JOIN e ON e.a = l2.tok) GROUP BY 1),
+         l4 AS MATERIALIZED (SELECT tok, min(dist)::BIGINT AS dist FROM (
+           SELECT tok, dist FROM l3
+           UNION ALL SELECT e.b AS tok, l3.dist + e.w AS dist
+           FROM l3 JOIN e ON e.a = l3.tok) GROUP BY 1)
+         SELECT tok, dist FROM l4""",
+    "q405_stream_mor_deletes" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+                sum(n_chars)::BIGINT AS sum_chars
+         FROM documents
+         WHERE NOT (doc_id % 7 = 0 OR doc_id % 5 = 0 OR doc_id % 3 = 0)
+         GROUP BY 1"""
   )
 }

@@ -96,4 +96,46 @@ object LakeIngest {
     q.awaitTermination()
     Manifest.currentVersion(root)
   }
+
+  /** Drain a DELETE-KEY feed into merge-on-read delete files: each
+    * non-empty micro-batch commits ONE equality-delete member
+    * ([[Manifest.commitEqualityDelete]] — the key batch alone, no
+    * data member probed or rewritten), named by the batch id so
+    * at-least-once redelivery is a no-op (the same member-name
+    * ledger [[cdcFeedToManifest]] uses). Readers following
+    * [[Manifest.readMor]] see each delete as soon as its batch
+    * commits; [[Manifest.compactDeletes]] settles the accumulated
+    * debt offline. At 100 TB the streaming RTBF/CDC-delete queue
+    * costs per key batch, never per table — the COW alternative
+    * would rewrite affected members inside the micro-batch.
+    */
+  def deleteFeedToMor(
+      spark: SparkSession,
+      feedDir: String,
+      checkpointDir: String,
+      root: String,
+      keyCol: String): Int = {
+    val schema = spark.read.parquet(feedDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feedDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cached = batch.persist()
+        try {
+          val tag = s"del-b$batchId"
+          if (!Manifest.tagApplied(root, tag) &&
+            cached.limit(1).count() > 0) {
+            Manifest.commitEqualityDelete(
+              cached.select(keyCol), root, s"$tag-keys", keyCol)
+          }
+          ()
+        } finally { cached.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Manifest.currentVersion(root)
+  }
 }

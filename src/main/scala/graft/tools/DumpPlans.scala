@@ -150,7 +150,9 @@ object DumpPlans {
     "q400_linreg_stats" -> "OLS sufficient stats: ONE map-side-combined corpus aggregate (n, Σx, Σy, Σxy, Σx² per lang); slope/intercept are exact-permille DECIMAL(38,0) cross-multiplications — no float accumulation anywhere",
     "q401_price_volume_bridge" -> "price-volume bridge: one brand×year aggregate is the only corpus shuffle; the bridge itself joins two ≤|brands|-row frames; volume effect is a floored cross-multiplied rate, price effect the exact remainder (Δ = vol + price by construction)",
     "q402_decay_attribution" -> "decayed attribution: user-keyed purchase×click equi-join + day-range filter (the q372 window shape); weights are exact powers of two (shiftleft), credits floored per click against the per-purchase weight total",
-    "q403_kanon_generalize" -> "k-anon ladder: the corpus pays ONE (source,lang) cell aggregate; both coarsening rounds run on the bounded cell grid with broadcast lang totals — no row ever visits two levels")
+    "q403_kanon_generalize" -> "k-anon ladder: the corpus pays ONE (source,lang) cell aggregate; both coarsening rounds run on the bounded cell grid with broadcast lang totals — no row ever visits two levels",
+    "q404_bellman_ford" -> "Bellman-Ford: per round one edge⋈labels join + per-node min over (tok,dist) pairs only, localCheckpoint truncating lineage (the q131/q257 loop shape); output DEFINED as the round-4 state",
+    "q405_stream_mor_deletes" -> "streaming MOR deletes: each micro-batch commits ONE equality-delete file (no data member probed/rewritten), batch-id ledger makes redelivery exactly-once; the aggregate reads through readMor — base members require-proved untouched")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

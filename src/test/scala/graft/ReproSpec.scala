@@ -157,7 +157,9 @@ class ReproSpec extends AnyFunSuite {
     "q400_linreg_stats",    // decimal OLS sufficient statistics
     "q401_price_volume_bridge", // brand-year frames + floored identity
     "q402_decay_attribution", // power-of-two weights + floored credits
-    "q403_kanon_generalize" // two-round cell-grid coarsening ladder
+    "q403_kanon_generalize", // two-round cell-grid coarsening ladder
+    "q404_bellman_ford",    // 4-round weighted relax + per-node min
+    "q405_stream_mor_deletes" // streamed delete files + readMor drain
   )
 
   representatives.foreach { name =>

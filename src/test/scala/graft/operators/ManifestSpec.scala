@@ -457,6 +457,29 @@ class ManifestSpec extends AnyFunSuite {
     assert(Manifest.readMor(spark, root, 2).count() == 20)
   }
 
+  test("equality deletes respect commit sequence: a re-added key lives") {
+    val root = freshRoot("mor-seq")
+    Manifest.commitAdd(frame(0 until 10), root, "a")        // seq 1
+    Manifest.commitEqualityDelete(
+      Seq(3L, 4L).toDF("id"), root, "d1", "id")             // seq 2
+    // key 3 re-added AFTER the delete — the delete is older than this
+    // member, so it must NOT apply (the Iceberg v2 sequence rule)
+    Manifest.commitAdd(frame(3 until 4), root, "b")         // seq 3
+    val v = Manifest.currentVersion(root)
+    assert(Manifest.readMor(spark, root, v).select("id").as[Long]
+      .collect().toSet == ((0L until 10L).toSet - 4L),
+      "re-added key must survive an older delete")
+    // compaction must preserve exactly that view
+    val vs = Manifest.compactDeletes(spark, root, "settle")
+    assert(Manifest.read(spark, root, vs).select("id").as[Long]
+      .collect().toSet == ((0L until 10L).toSet - 4L))
+    // and a NEW delete (younger than everything) kills it again
+    Manifest.commitEqualityDelete(Seq(3L).toDF("id"), root, "d2", "id")
+    assert(Manifest.readMor(spark, root, Manifest.currentVersion(root))
+      .select("id").as[Long].collect().toSet
+      == ((0L until 10L).toSet -- Set(3L, 4L)))
+  }
+
   test("compactDeletes folds the debt, drops delete members, leaves pins intact") {
     val root = freshRoot("mor-compact")
     Manifest.commitAdd(frame(0 until 10), root, "a")   // affected
