@@ -574,4 +574,56 @@ object Dedup {
       array_sort(shingleHashes(col(textCol), shingleN)).as("ts"))
     jaccardPairs(sets, threshold, maxCandidateFactor).select("a_id", "b_id")
   }
+
+  /** Exact cross-set n-gram Jaccard pairs ≥ `threshold` between a
+    * DELTA batch and a standing BASE corpus — the INCREMENTAL
+    * ingestion dedup. The point at 100 TB: a daily batch must check
+    * against the corpus WITHOUT re-pairing base×base (what running
+    * [[ngramJaccardPairs]] on the union would do — the full-corpus
+    * quadratic cost every day). AllPairs prefix filtering holds
+    * cross-side unchanged (one global hash order, a qualifying pair
+    * shares an element inside BOTH prefixes, symmetric length +
+    * position filters), so only (id, n, prefix-element) rows
+    * shuffle, the delta side is batch-sized (AQE broadcasts it),
+    * and the base pays one term-sharded prefix index scan.
+    * Verification is [[jaccardPairs]]' sorted merge walk. Output:
+    * (a_id ∈ delta, b_id ∈ base).
+    */
+  def crossJaccardPairs(
+      delta: DataFrame,
+      base: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccard threshold must be in (0, 1], got $threshold")
+    val tau = lit(threshold)
+    def sets(df: DataFrame) = parallelized(df).select(col(idCol).as("id"),
+      array_sort(shingleHashes(col(textCol), shingleN)).as("ts"))
+      .withColumn("n", size(col("ts")))
+    def prefixes(s: DataFrame) = {
+      val prefixLen = (col("n") - ceil(col("n") * tau).cast("int") + 1)
+      s.select(col("id"), col("n"),
+        posexplode(slice(col("ts"), lit(1), prefixLen)).as(Seq("p", "t")))
+    }
+    val d = sets(delta)
+    val b = sets(base)
+    val cand = prefixes(d).as("a").join(prefixes(b).as("b"),
+        col("a.t") === col("b.t") &&
+        col("b.n") >= col("a.n") * tau && col("a.n") >= col("b.n") * tau &&
+        least(col("a.n") - col("a.p"), col("b.n") - col("b.p")) >=
+          (tau / (lit(1.0) + tau)) * (col("a.n") + col("b.n")))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    cand
+      .join(d.select(col("id").as("a_id"), col("ts").as("ta"),
+        col("n").as("na")), "a_id")
+      .join(b.select(col("id").as("b_id"), col("ts").as("tb"),
+        col("n").as("nb")), "b_id")
+      .withColumn("c", sortedIntersectCount(col("ta"), col("tb")))
+      .filter(col("c").cast("double") /
+        (col("na") + col("nb") - col("c")).cast("double") >= threshold)
+      .select(col("a_id"), col("b_id"))
+  }
 }

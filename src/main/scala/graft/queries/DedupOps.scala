@@ -31,6 +31,23 @@ object DedupOps {
       Dedup.ngramJaccardPairs(Tables(s, d).documents, "doc_id", "text",
         shingleN = 2, threshold = 0.25)),
 
+    // INCREMENTAL ingestion dedup — the daily-batch shape: the delta
+    // (every 5th doc stands in for today's crawl) checks against the
+    // standing base for exact 3-gram Jaccard ≥ 0.5 WITHOUT the
+    // base×base self-join a full q38 run would re-pay; cross-side
+    // AllPairs prefix filtering keeps it exact (Dedup
+    // .crossJaccardPairs — spec-A/B'd against the union self-join
+    // restricted to cross pairs).
+    "q406_incremental_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables(s, d).documents
+      Dedup.crossJaccardPairs(
+          docs.filter(col("doc_id") % 5 === 4),
+          docs.filter(col("doc_id") % 5 =!= 4),
+          "doc_id", "text", shingleN = 3, threshold = 0.5)
+        .select(col("a_id").as("delta_id"), col("b_id").as("base_id"))
+    }),
+
     // Rolling-hash winnowing sketch (xxhash64 shingles → k-min);
     // no DuckDB xxhash64 → rows-only. The sketch is exploded to
     // (doc_id, pos, minhash) scalar rows: the driver's rows-only
@@ -309,6 +326,26 @@ object DedupOps {
            FROM reach GROUP BY s)
          SELECT l.doc_id, doc.source, l.cluster_size
          FROM lab l JOIN documents doc ON doc.doc_id = l.doc_id
-         WHERE l.doc_id = l.cluster_id"""
+         WHERE l.doc_id = l.cluster_id""",
+    "q406_incremental_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                doc_id % 5 = 4 AS is_delta FROM documents),
+         g AS (SELECT doc_id, is_delta,
+                 CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                      ELSE [array_to_string(ws[i:i+2], ' ')
+                            FOR i IN range(1, len(ws) - 1)] END AS gs
+               FROM t),
+         tok AS (SELECT doc_id, is_delta,
+                        unnest(list_distinct(gs)) AS tk FROM g),
+         sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+         inter AS (SELECT a.doc_id AS delta_id, b.doc_id AS base_id,
+                          count(*) AS c
+                   FROM tok a JOIN tok b ON a.tk = b.tk
+                   WHERE a.is_delta AND NOT b.is_delta
+                   GROUP BY 1, 2)
+         SELECT delta_id, base_id FROM inter
+         JOIN sizes sa ON sa.doc_id = delta_id
+         JOIN sizes sb ON sb.doc_id = base_id
+         WHERE c * 2 >= (sa.n + sb.n - c)"""
   )
 }

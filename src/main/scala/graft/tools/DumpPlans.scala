@@ -152,7 +152,8 @@ object DumpPlans {
     "q402_decay_attribution" -> "decayed attribution: user-keyed purchase×click equi-join + day-range filter (the q372 window shape); weights are exact powers of two (shiftleft), credits floored per click against the per-purchase weight total",
     "q403_kanon_generalize" -> "k-anon ladder: the corpus pays ONE (source,lang) cell aggregate; both coarsening rounds run on the bounded cell grid with broadcast lang totals — no row ever visits two levels",
     "q404_bellman_ford" -> "Bellman-Ford: per round one edge⋈labels join + per-node min over (tok,dist) pairs only, localCheckpoint truncating lineage (the q131/q257 loop shape); output DEFINED as the round-4 state",
-    "q405_stream_mor_deletes" -> "streaming MOR deletes: each micro-batch commits ONE equality-delete file (no data member probed/rewritten), batch-id ledger makes redelivery exactly-once; the aggregate reads through readMor — base members require-proved untouched")
+    "q405_stream_mor_deletes" -> "streaming MOR deletes: each micro-batch commits ONE equality-delete file (no data member probed/rewritten), batch-id ledger makes redelivery exactly-once; the aggregate reads through readMor — base members require-proved untouched",
+    "q406_incremental_dedup" -> "incremental dedup: cross-side AllPairs prefix join — only (id, n, prefix-element) rows shuffle, the batch-sized delta side broadcasts, base×base pairs never form; verification is the sorted merge walk")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

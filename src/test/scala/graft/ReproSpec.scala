@@ -159,7 +159,8 @@ class ReproSpec extends AnyFunSuite {
     "q402_decay_attribution", // power-of-two weights + floored credits
     "q403_kanon_generalize", // two-round cell-grid coarsening ladder
     "q404_bellman_ford",    // 4-round weighted relax + per-node min
-    "q405_stream_mor_deletes" // streamed delete files + readMor drain
+    "q405_stream_mor_deletes", // streamed delete files + readMor drain
+    "q406_incremental_dedup" // cross-side AllPairs delta-vs-base join
   )
 
   representatives.foreach { name =>

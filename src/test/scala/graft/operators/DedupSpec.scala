@@ -314,4 +314,26 @@ class DedupSpec extends AnyFunSuite {
       s"recall must not drop as bands narrow: ${recalls.toSeq}")
     assert(recalls(2) >= 0.9, s"16-band recall floor: ${recalls(2)}")
   }
+
+  test("crossJaccardPairs ≡ union self-join restricted to cross pairs") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val delta = docs.filter(col("doc_id") % 5 === 4)
+    val base = docs.filter(col("doc_id") % 5 =!= 4)
+    for (t <- Seq(0.3, 0.5, 0.7)) {
+      val cross = Dedup.crossJaccardPairs(delta, base, "doc_id", "text",
+          shingleN = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // brute force: the full self-join on the union, canonical a<b
+      // order undone and restricted to (delta, base) sides
+      val all = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          shingleN = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val want = (all ++ all.map(_.swap))
+        .filter { case (a, b) => a % 5 == 4 && b % 5 != 4 }.toSet
+      assert(cross == want,
+        s"t=$t: cross=${cross.size} brute=${want.size} " +
+          s"missing=${(want -- cross).take(3)} extra=${(cross -- want).take(3)}")
+    }
+  }
 }
