@@ -133,7 +133,8 @@ object Manifest {
       .map { case (k, v) => s""","part_$k":"$v"""" }.mkString
     publish(root, base :+ memberLine(target,
       statsJson(df, statsCols) + partJson +
-        bloomJson(df, root, name, bloomCols) + seqJson(prev)))
+        bloomJson(df, root, name, bloomCols) + seqJson(prev) +
+        rowsJson(df.sparkSession, target)))
   }
 
   /** Per-member bloom SIDECAR files (the Iceberg-puffin / Delta
@@ -217,6 +218,20 @@ object Manifest {
 
   private def memberLine(path: String, statsFragment: String): String =
     s"""{"path":"$path"$statsFragment}"""
+
+  /** `,"rows":N` — the member's EXACT row count, read back from the
+    * freshly-written parquet FOOTERS (empty required schema → row-
+    * group metadata only, no data pages decoded): the Iceberg
+    * `record_count` analog. Every DATA member line carries it, so
+    * [[metadataRowCounts]] can answer COUNT(*) (total or per
+    * partition tag) from the manifest alone — a metadata-scale
+    * answer a 100 TB table would otherwise pay a full scan for.
+    * Counting the WRITTEN files (not `df`) keeps the stat true by
+    * construction even for nondeterministic upstream plans.
+    */
+  private def rowsJson(
+      spark: org.apache.spark.sql.SparkSession, target: String): String =
+    s""","rows":${spark.read.parquet(target).count()}"""
 
   /** `,"seq":<next version>` — the COMMIT SEQUENCE a new member is
     * born in. Merge-on-read needs it: an equality delete applies
@@ -332,7 +347,8 @@ object Manifest {
     // kept members pass through with their stats; the rewrite carries
     // none (conservative — prunedMembers always reads stats-less files)
     publish(root, base.filterNot(l => replaced.contains(pathOf(l)))
-      :+ memberLine(target, seqJson(prev)))
+      :+ memberLine(target, seqJson(prev) +
+        rowsJson(df.sparkSession, target)))
   }
 
   /** Copy-on-write row-level DELETE: rewrite ONLY the member files
@@ -364,7 +380,7 @@ object Manifest {
         val survivors = spark.read.parquet(m).filter(!predicate)
         val target = s"$root/files/$nameTag-$i"
         survivors.write.mode("errorifexists").parquet(target)
-        memberLine(target, seqJson(prev))
+        memberLine(target, seqJson(prev) + rowsJson(spark, target))
       }
       publish(root, base.filterNot(l => affected.contains(pathOf(l)))
         ++ rewritten)
@@ -498,14 +514,14 @@ object Manifest {
             .join(keys, Seq(keyCol), "left_anti")
           val target = s"$root/files/$nameTag-r$i"
           survivors.write.mode("errorifexists").parquet(target)
-          memberLine(target, seqJson(prev))
+          memberLine(target, seqJson(prev) + rowsJson(spark, target))
         }
         val appended =
           if (!hasAppend) Seq.empty
           else {
             val target = s"$root/files/$nameTag-new"
             appendRows.write.mode("errorifexists").parquet(target)
-            Seq(memberLine(target, seqJson(prev)))
+            Seq(memberLine(target, seqJson(prev) + rowsJson(spark, target)))
           }
         publish(root, base.filterNot(l => affected.contains(pathOf(l)))
           ++ rewritten ++ appended)
@@ -735,6 +751,34 @@ object Manifest {
       .map(l => (pathOf(l), keyColOf(l),
         numField(l, "seq").getOrElse(Long.MaxValue)))
 
+  /** Exact (path, partition tags, row count) per DATA member of
+    * `version`, answered from MANIFEST LINES ALONE — zero data IO.
+    * This is the Iceberg metadata-only COUNT(*) path: every writer
+    * records the member's footer-exact `rows` stat at commit, so
+    * total and per-partition-tag counts are a manifest parse, not a
+    * 100 TB scan. Loud (never silently wrong) when the version has
+    * equality-delete members (merge-on-read debt makes line counts
+    * an overcount — [[compactDeletes]] first, or fall back to
+    * [[readMor]]) or a data member predating the rows stat.
+    */
+  def metadataRowCounts(
+      root: String,
+      version: Int): Seq[(String, Map[String, String], Long)] = {
+    require(deleteMembersSeq(root, version).isEmpty,
+      s"Manifest: v$version of $root carries merge-on-read delete " +
+        "debt — metadata counts would overcount; compactDeletes " +
+        "first or count through readMor")
+    val PartTag = """"part_([A-Za-z0-9_]+)":"([^"]*)"""".r
+    membersRaw(root, version).filterNot(_.contains(KindDelete)).map { l =>
+      val rows = numField(l, "rows").getOrElse(throw new IllegalStateException(
+        s"Manifest: member ${pathOf(l)} predates the rows stat — " +
+          "rewrite (commitReplace) to make this table metadata-countable"))
+      val tags = PartTag.findAllMatchIn(l)
+        .map(m => m.group(1) -> m.group(2)).toMap
+      (pathOf(l), tags, rows)
+    }
+  }
+
   /** MOR DELETE commit: write `keys` (single column `keyCol`) as a
     * delete member and publish. NO data member is read, probed, or
     * rewritten — the commit cost is the key batch alone. The member
@@ -833,7 +877,7 @@ object Manifest {
         survivors.write.mode("errorifexists").parquet(target)
         // the rewrite is born in THIS commit: younger than every
         // existing delete, so none re-applies to it
-        memberLine(target, seqJson(prev))
+        memberLine(target, seqJson(prev) + rowsJson(spark, target))
       }
       val affectedPaths = affected.map(_._1).toSet
       val gone = dels.map(_._1).toSet ++ affectedPaths

@@ -310,6 +310,60 @@ object Similarity {
     cross.unionByName(intra)
   }
 
+  /** Exact cross-side cosine pairs ≥ `threshold` between a
+    * batch-sized QUERY set and a standing corpus — the SEMANTIC
+    * contamination check (eval set vs training corpus), the vector
+    * sibling of [[Dedup.crossJaccardPairs]]. Every (query row,
+    * corpus row) pair at or above the threshold is emitted as
+    * (q_id, c_id); sides are roles, not an unordered pair — no
+    * canonicalization, no intra-side pairs.
+    *
+    * Scale design: the query side is an EVAL SET — thousands of
+    * rows at any corpus scale — so its collapsed representatives
+    * broadcast and the corpus streams through the codegen'd cosine
+    * filter ONCE, with zero corpus shuffle beyond the identical-
+    * vector collapse window. Both sides collapse first (the shared
+    * [[Collapse]] discipline: a duplicated eval prompt and its 40
+    * corpus near-copies cost ONE representative evaluation, not
+    * 40); verdicts expand through each side's own member list. The
+    * NaN guard keeps zero-norm vectors (cosine 0/0) from matching
+    * the corpus; the cosine is projected once, never re-evaluated.
+    * For symmetric big×big joins use [[cosineNearDupLsh]] on the
+    * union instead — a broadcast query side is this operator's
+    * contract, enforced loudly by `maxQueryRows`.
+    */
+  def crossCosinePairs(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      maxQueryRows: Long = 1000000L): DataFrame = {
+    val q = Collapse.byValue(
+      queries.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "id")
+    val c = Collapse.byValue(
+      parallelized(corpus.select(col(idCol).as("id"), col(vecCol).as("v"))),
+      "v", "id")
+    // loud broadcast-contract guard: a bounded limit probe, not a
+    // full count — the query side must be eval-set-sized
+    val probe = q.distinct.limit((maxQueryRows + 1).toInt).count()
+    require(probe <= maxQueryRows,
+      s"crossCosinePairs query side exceeds $maxQueryRows distinct " +
+        "vectors — this operator broadcasts the query side; use " +
+        "cosineNearDupLsh on the union for big-big joins")
+    val repPairs = c.distinct
+      .select(col("id").as("c_id"), col("v").as("vc"))
+      .crossJoin(broadcast(q.distinct
+        .select(col("id").as("q_id"), col("v").as("vq"))))
+      .withColumn("cos", Vec.cosine(col("vq"), col("vc")))
+      .filter(col("cos") >= threshold && !isnan(col("cos")))
+      .select(col("q_id"), col("c_id"))
+    repPairs
+      .join(q.members.select(col("rep").as("q_id"), col("id").as("__q")), "q_id")
+      .join(c.members.select(col("rep").as("c_id"), col("id").as("__c")), "c_id")
+      .select(col("__q").as("q_id"), col("__c").as("c_id"))
+  }
+
   /** Near-duplicate pairs (cosine ≥ `threshold`) via multi-table
     * sign-LSH candidate generation + exact VecCosine verify — the
     * 100 TB path for REAL near-dup thresholds (τ ≥ ~0.7), where the

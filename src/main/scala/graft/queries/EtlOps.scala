@@ -4374,6 +4374,166 @@ object EtlOps {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("sum_chars"))
+    }),
+
+    // Partition-SPEC evolution — the Iceberg behavior q379's static
+    // pruning stops short of: the table starts life UNPARTITIONED
+    // (one untagged gen-1 member), the spec later evolves to (lang),
+    // and gen-2 commits tag their members. A lang='de' read prunes
+    // gen-2 down to its de member while conservatively keeping the
+    // pre-evolution member (no tag → must read) — old files NEVER
+    // rewrite on a spec change, and the row-level filter on the
+    // pruned union keeps the answer exact. The require pins the
+    // pruning outcome (4 of 5 gen-2 members skipped, gen-1 kept).
+    "q408_partition_evolution" -> ((s, d) => {
+      val root = freshScratch("q408", d)
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.operators.Manifest.commitAdd(
+        docs.filter(col("doc_id") % 2 === 0), root, "g1-all")
+      Seq("de", "en", "es", "fr", "zh").foreach { l =>
+        graft.operators.Manifest.commitAdd(
+          docs.filter(col("doc_id") % 2 === 1 && col("lang") === l),
+          root, s"g2-$l", partition = Map("lang" -> l))
+      }
+      val v = graft.operators.Manifest.currentVersion(root)
+      val pruned = graft.operators.Manifest.prunedMembersByPartition(
+        root, v, "lang", "de")
+      require(pruned.toSet ==
+          Set(s"$root/files/g1-all", s"$root/files/g2-de"),
+        s"q408: must keep the untagged gen-1 member + the de gen-2 " +
+          s"member, got $pruned")
+      s.read.parquet(pruned: _*)
+        .filter(col("lang") === "de")
+        .groupBy(expr("doc_id % 7").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+    }),
+
+    // Metadata-only COUNT(*) — the Iceberg scan-free aggregate: every
+    // writer records each member's footer-exact `rows` stat at commit
+    // (Manifest.rowsJson), so per-language counts are a MANIFEST
+    // PARSE — the answer never touches a data page, which at 100 TB
+    // is the difference between milliseconds and a full-table scan.
+    // The result frame is built from driver-side metadata alone
+    // (require-proved: one member per language, counts summing to the
+    // committed total); the oracle recomputes from the rows.
+    "q409_metadata_count" -> ((s, d) => {
+      val root = freshScratch("q409", d)
+      val docs = Tables(s, d).documents.select(col("doc_id"), col("lang"))
+      Seq("de", "en", "es", "fr", "zh").foreach { l =>
+        graft.operators.Manifest.commitAdd(
+          docs.filter(col("lang") === l), root, s"p-$l",
+          partition = Map("lang" -> l))
+      }
+      val v = graft.operators.Manifest.currentVersion(root)
+      val stats = graft.operators.Manifest.metadataRowCounts(root, v)
+      require(stats.size == 5 && stats.forall(_._2.contains("lang")),
+        s"q409: expected 5 lang-tagged members, got $stats")
+      import s.implicits._
+      stats.map { case (_, tags, n) => (tags("lang"), n) }
+        .toDF("lang", "n_docs")
+    }),
+
+    // Incremental maintenance of a NON-algebraic aggregate — the
+    // textbook-hard IVM case q381's count/sum feed sidesteps: MIN
+    // cannot fold deletes. Inserts stay algebraic (least of view and
+    // batch mins, no base access); a delete touches the view only
+    // when it removes a group's CURRENT min — those DIRTY groups
+    // (deleted-min == view-min, conservative) recompute over
+    // base∖deletes restricted by a broadcast semi-join, so at 100 TB
+    // the recompute scans the dirty groups' slice, never the table.
+    // New-group inserts ride the full-outer merge. The maintained
+    // view IS the result — the oracle recomputes the final state
+    // from scratch, so a wrong maintenance path hash-mismatches.
+    "q410_ivm_min_deletes" -> ((s, d) => {
+      val base = Tables(s, d).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      // the standing materialized view: per-lang min + count
+      val view = base.groupBy(col("lang"))
+        .agg(min(col("n_chars")).as("mn"), count(lit(1)).as("n"))
+      val dels = base.filter(col("doc_id") % 6 === 0)
+      val ins = base.filter(col("doc_id") % 13 === 0)
+        .select((-col("doc_id") - 1).as("doc_id"),
+          when(col("doc_id") % 2 === 0, col("lang")).otherwise(lit("xx"))
+            .as("lang"),
+          (col("n_chars") - 7).as("n_chars"))
+      val dsum = dels.groupBy(col("lang"))
+        .agg(min(col("n_chars")).as("dmn"), count(lit(1)).as("dn"))
+      val isum = ins.groupBy(col("lang"))
+        .agg(min(col("n_chars")).as("imn"), count(lit(1)).as("in_n"))
+      // dirty groups: a deleted row carried the group's current min
+      val dirty = view.join(dsum, "lang")
+        .filter(col("dmn") === col("mn")).select(col("lang"))
+      // targeted recompute: ONLY the dirty groups' surviving base rows
+      val rec = base.join(dels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .join(broadcast(dirty), Seq("lang"), "left_semi")
+        .groupBy(col("lang")).agg(min(col("n_chars")).as("rmn"))
+      view
+        .join(dsum, Seq("lang"), "full_outer")
+        .join(isum, Seq("lang"), "full_outer")
+        .join(rec, Seq("lang"), "full_outer")
+        .withColumn("recomputed", col("rmn").isNotNull ||
+          (col("dmn").isNotNull && col("dmn") === col("mn")))
+        .withColumn("n_docs", coalesce(col("n"), lit(0L)) -
+          coalesce(col("dn"), lit(0L)) + coalesce(col("in_n"), lit(0L)))
+        .filter(col("n_docs") > 0)
+        // survivor min: recomputed groups take rmn (null = emptied by
+        // deletes), clean groups keep mn; inserts fold via least
+        .withColumn("smn",
+          when(col("recomputed"), col("rmn")).otherwise(col("mn")))
+        .withColumn("min_chars",
+          least(coalesce(col("smn"), col("imn")),
+            coalesce(col("imn"), col("smn"))).cast("long"))
+        .select(col("lang"), col("n_docs"), col("min_chars"),
+          col("recomputed"))
+    }),
+
+    // Cross-table ATOMIC transaction — the consistency leg
+    // single-table formats lack: a dim table and a stats table must
+    // move together or a reader's join sees torn state. The writer
+    // commits each table's v2 SEPARATELY (dim first); between those
+    // commits the raw table heads ARE torn (require-proved: dim head
+    // has more rows than stats v1), but a reader resolving versions
+    // through txn 1 still sees the old CONSISTENT pair — the join
+    // invariant (equal row counts) holds at every txn, never in
+    // between. The result is the txn-2 join; operators.Txn publishes
+    // one atomic metadata record per transaction.
+    "q412_cross_table_txn" -> ((s, d) => {
+      val root = freshScratch("q412", d)
+      val dimT = s"$root/dim"; val statT = s"$root/stats"
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val half = docs.filter(col("doc_id") % 2 === 0)
+      graft.operators.Manifest.commitAdd(
+        half.select(col("doc_id"), col("lang")), dimT, "b1")
+      graft.operators.Manifest.commitAdd(
+        half.select(col("doc_id"), col("n_chars")), statT, "b1")
+      val t1 = graft.operators.Txn.commit(root,
+        Map(dimT -> 1, statT -> 1))
+      // the interleaved writer: dim's v2 lands FIRST...
+      graft.operators.Manifest.commitAdd(
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang")), dimT, "b2")
+      // ...and at THIS instant the raw heads are torn, but the txn
+      // reader is not (the whole point):
+      val a1 = graft.operators.Txn.readAt(s, root, t1, dimT).count()
+      val b1 = graft.operators.Txn.readAt(s, root, t1, statT).count()
+      val tornHead = graft.operators.Manifest.read(s, dimT,
+        graft.operators.Manifest.currentVersion(dimT)).count()
+      require(a1 == b1 && tornHead > b1,
+        s"q412: txn read must stay consistent ($a1 vs $b1) while the " +
+          s"raw head is torn ($tornHead)")
+      graft.operators.Manifest.commitAdd(
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("n_chars")), statT, "b2")
+      val t2 = graft.operators.Txn.commit(root,
+        Map(dimT -> 2, statT -> 2))
+      graft.operators.Txn.readAt(s, root, t2, dimT)
+        .join(graft.operators.Txn.readAt(s, root, t2, statT), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
     })
   )
 
@@ -6987,6 +7147,42 @@ object EtlOps {
                 sum(n_chars)::BIGINT AS sum_chars
          FROM documents
          WHERE NOT (doc_id % 7 = 0 OR doc_id % 5 = 0 OR doc_id % 3 = 0)
-         GROUP BY 1"""
+         GROUP BY 1""",
+    "q408_partition_evolution" ->
+      """SELECT doc_id % 7 AS bucket, count(*)::BIGINT AS n_docs,
+                sum(n_chars)::BIGINT AS sum_chars
+         FROM documents WHERE lang = 'de'
+         GROUP BY 1""",
+    "q409_metadata_count" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs
+         FROM documents WHERE lang IN ('de','en','es','fr','zh')
+         GROUP BY 1""",
+    "q410_ivm_min_deletes" ->
+      """WITH dels AS (SELECT doc_id, lang, n_chars FROM documents
+                       WHERE doc_id % 6 = 0),
+         ins AS (SELECT -d.doc_id - 1 AS doc_id,
+                        CASE WHEN d.doc_id % 2 = 0 THEN d.lang
+                             ELSE 'xx' END AS lang,
+                        d.n_chars - 7 AS n_chars
+                 FROM documents d WHERE d.doc_id % 13 = 0),
+         base_mn AS (SELECT lang, min(n_chars) AS mn FROM documents
+                     GROUP BY 1),
+         del_mn AS (SELECT lang, min(n_chars) AS dmn FROM dels GROUP BY 1),
+         flag AS (SELECT b.lang, coalesce(d.dmn = b.mn, FALSE) AS rc
+                  FROM base_mn b LEFT JOIN del_mn d USING (lang)),
+         final AS (
+           SELECT lang, count(*)::BIGINT AS n_docs,
+                  min(n_chars)::BIGINT AS min_chars
+           FROM (SELECT doc_id, lang, n_chars FROM documents
+                 WHERE doc_id % 6 <> 0
+                 UNION ALL SELECT doc_id, lang, n_chars FROM ins)
+           GROUP BY 1)
+         SELECT f.lang, f.n_docs, f.min_chars,
+                coalesce(fl.rc, FALSE) AS recomputed
+         FROM final f LEFT JOIN flag fl USING (lang)""",
+    "q412_cross_table_txn" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+                sum(n_chars)::BIGINT AS sum_chars
+         FROM documents GROUP BY 1"""
   )
 }

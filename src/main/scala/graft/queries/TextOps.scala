@@ -1099,6 +1099,33 @@ object TextOps {
         .select(col("doc_id"), col("n_terms"),
           col("s9").cast("decimal(38,0)").cast("string").as("score_nano"),
           col("rk"))
+    }),
+
+    // Context-length truncation audit — the capacity-planning readout
+    // a tokenize-and-truncate training pipeline needs BEFORE it picks
+    // a sequence length: for each candidate context limit, how many
+    // documents truncate, how many tokens fall off, and the exact
+    // permille of corpus tokens kept. ONE corpus pass computes token
+    // counts; a broadcast 4-row limit spine fans each doc to its 4
+    // verdicts (bounded ×4, never a per-limit rescan); integer-only
+    // output. At 100 TB this is the difference between auditing four
+    // sequence lengths in one job and four.
+    "q411_truncation_audit" -> ((s, d) => {
+      val toks = Tables(s, d).documents
+        .select(col("doc_id"), size(split(col("text"), " ")).as("tk"))
+      val lims = s.range(1).select(
+        explode(array(lit(16), lit(32), lit(64), lit(96))).as("lim"))
+      toks.crossJoin(broadcast(lims))
+        .groupBy(col("lim"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("tk") > col("lim"), 1L).otherwise(0L))
+            .cast("long").as("n_truncated"),
+          sum(greatest(col("tk") - col("lim"), lit(0)))
+            .cast("long").as("tokens_lost"),
+          sum(least(col("tk"), col("lim"))).cast("long").as("tokens_kept"))
+        .withColumn("kept_permille",
+          expr("(tokens_kept * 1000) div (tokens_kept + tokens_lost)"))
+        .withColumn("lim", col("lim").cast("long"))
     })
   )
 
@@ -1716,6 +1743,22 @@ object TextOps {
                 FROM s GROUP BY 1)
          SELECT doc_id, n_terms, s9::VARCHAR AS score_nano,
                 row_number() OVER (ORDER BY s9 DESC, doc_id)::BIGINT AS rk
-         FROM sc QUALIFY rk <= 10"""
+         FROM sc QUALIFY rk <= 10""",
+    "q411_truncation_audit" ->
+      """WITH t AS (SELECT doc_id,
+                len(string_split(text, ' '))::BIGINT AS tk
+              FROM documents),
+         g AS (SELECT lim, count(*)::BIGINT AS n_docs,
+                 sum(CASE WHEN tk > lim THEN 1 ELSE 0 END)::BIGINT
+                   AS n_truncated,
+                 sum(greatest(tk - lim, 0))::BIGINT AS tokens_lost,
+                 sum(least(tk, lim))::BIGINT AS tokens_kept
+               FROM t CROSS JOIN (SELECT unnest([16, 32, 64, 96]) AS lim)
+               GROUP BY 1)
+         SELECT lim::BIGINT AS lim, n_docs, n_truncated, tokens_lost,
+                tokens_kept,
+                (tokens_kept * 1000) // (tokens_kept + tokens_lost)
+                  AS kept_permille
+         FROM g"""
   )
 }

@@ -420,6 +420,25 @@ object VectorOps {
         .filter(col("rn") === 1)
         .select(col("cluster_id"), col("vec_id").as("keep_id"),
           col("cluster_size"), col("score"))
+    }),
+
+    // SEMANTIC contamination check — the embedding-space sibling of
+    // q406's incremental text dedup and the third contamination
+    // level after q69's n-gram overlap: an eval set (every 10th
+    // vector stands in for a benchmark) is checked against the
+    // training corpus for cosine ≥ 0.45 (a known ≥1e-4 gap in the
+    // data's sim distribution, same fence as q41). The eval side
+    // broadcasts; the corpus streams through the codegen'd cosine
+    // ONCE — no corpus pair join, no corpus shuffle beyond the
+    // identical-vector collapse (Similarity.crossCosinePairs,
+    // spec-A/B'd vs brute force incl. planted duplicates).
+    "q407_semantic_contamination" -> ((s, d) => {
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      graft.operators.Similarity.crossCosinePairs(
+          emb.filter(col("vec_id") % 10 === 7),
+          emb.filter(col("vec_id") % 10 =!= 7),
+          "vec_id", "embedding", threshold = 0.45)
+        .select(col("q_id").as("eval_id"), col("c_id").as("corpus_id"))
     })
   )
 
@@ -609,7 +628,12 @@ object VectorOps {
                   ORDER BY score DESC, neighbor_id) AS rank,
                 score
          FROM d
-         QUALIFY rank <= 5"""
+         QUALIFY rank <= 5""",
+    "q407_semantic_contamination" ->
+      """SELECT a.vec_id AS eval_id, b.vec_id AS corpus_id
+         FROM embeddings a JOIN embeddings b
+           ON a.vec_id % 10 = 7 AND b.vec_id % 10 <> 7
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"""
     // q42_ann_lsh: approximate, not SQL-expressible → rows-only check.
   )
 }

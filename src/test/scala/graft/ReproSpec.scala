@@ -160,7 +160,13 @@ class ReproSpec extends AnyFunSuite {
     "q403_kanon_generalize", // two-round cell-grid coarsening ladder
     "q404_bellman_ford",    // 4-round weighted relax + per-node min
     "q405_stream_mor_deletes", // streamed delete files + readMor drain
-    "q406_incremental_dedup" // cross-side AllPairs delta-vs-base join
+    "q406_incremental_dedup", // cross-side AllPairs delta-vs-base join
+    "q407_semantic_contamination", // broadcast eval side × streamed corpus cosine
+    "q408_partition_evolution", // untagged gen-1 + lang-tagged gen-2 pruning
+    "q409_metadata_count",  // manifest-only COUNT(*), zero data IO
+    "q410_ivm_min_deletes", // dirty-group-only MIN recompute
+    "q411_truncation_audit", // 4-limit context-length loss readout
+    "q412_cross_table_txn"  // atomic multi-table pins vs torn heads
   )
 
   representatives.foreach { name =>

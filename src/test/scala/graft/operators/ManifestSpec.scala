@@ -510,4 +510,78 @@ class ManifestSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(root, "files", "d1")))
     assert(Manifest.read(spark, root, vSettled).count() == 27)
   }
+
+  test("metadataRowCounts answers COUNT(*) from the manifest alone, with partition tags") {
+    val root = freshRoot("meta-count")
+    Manifest.commitAdd(frame(0 until 10), root, "a",
+      partition = Map("grp" -> "x"))
+    Manifest.commitAdd(frame(10 until 25), root, "b",
+      partition = Map("grp" -> "y"))
+    Manifest.commitAdd(frame(25 until 30), root, "c") // untagged
+    val v = Manifest.currentVersion(root)
+    val got = Manifest.metadataRowCounts(root, v)
+      .map { case (p, tags, n) => (p.split('/').last, tags, n) }.toSet
+    assert(got == Set(
+      ("a", Map("grp" -> "x"), 10L),
+      ("b", Map("grp" -> "y"), 15L),
+      ("c", Map.empty[String, String], 5L)), got.toString)
+    assert(got.toSeq.map(_._3).sum == Manifest.read(spark, root, v).count())
+  }
+
+  test("rows stats stay exact through COW delete, CDC, and compaction; MOR debt fails loudly") {
+    val root = freshRoot("meta-count-writers")
+    Manifest.commitAdd(frame(0 until 10), root, "a")
+    Manifest.commitAdd(frame(10 until 20), root, "b")
+    // COW delete rewrites member a — its rewrite must carry fresh rows
+    Manifest.deleteWhere(spark, root, col("id") < 3, "del")
+    def total(v: Int) =
+      Manifest.metadataRowCounts(root, v).map(_._3).sum
+    assert(total(Manifest.currentVersion(root)) == 17)
+    // CDC batch: update 2 keys, insert 1, delete 1 → 16 rows... then
+    // verify metadata total tracks the real count exactly
+    val ch = Seq((5L, "nv5", "U"), (99L, "v99", "I"), (15L, "", "D"))
+      .toDF("id", "payload", "op")
+    Manifest.applyCdcBatch(ch, root, "id", "cdc1")
+    val vCdc = Manifest.currentVersion(root)
+    assert(total(vCdc) == Manifest.read(spark, root, vCdc).count())
+    // MOR delete debt → metadata counts would overcount → loud
+    val vDebt = Manifest.commitEqualityDelete(
+      Seq(7L).toDF("id"), root, "d1", "id")
+    val e = intercept[IllegalArgumentException] {
+      Manifest.metadataRowCounts(root, vDebt)
+    }
+    assert(e.getMessage.contains("delete debt"))
+    // compaction settles the debt; counts are metadata-answerable again
+    val vSettled = Manifest.compactDeletes(spark, root, "settle")
+    assert(total(vSettled) == Manifest.read(spark, root, vSettled).count())
+  }
+
+  test("Txn: atomic cross-table pins survive interleaved commits; loud on bad pins") {
+    val root = freshRoot("txn")
+    val ta = s"$root/a"; val tb = s"$root/b"
+    Manifest.commitAdd(frame(0 until 10), ta, "b1")
+    Manifest.commitAdd(frame(0 until 10), tb, "b1")
+    // a txn cannot pin an unpublished version
+    intercept[IllegalArgumentException] {
+      Txn.commit(root, Map(ta -> 1, tb -> 2))
+    }
+    val t1 = Txn.commit(root, Map(ta -> 1, tb -> 1))
+    assert(t1 == 1 && Txn.current(root) == 1)
+    // interleaved writer: a's v2 lands, b lags — raw heads torn
+    Manifest.commitAdd(frame(10 until 25), ta, "b2")
+    assert(Txn.readAt(spark, root, t1, ta).count() == 10)
+    assert(Txn.readAt(spark, root, t1, tb).count() == 10)
+    assert(Manifest.read(spark, ta, 2).count() == 25) // the torn head
+    Manifest.commitAdd(frame(10 until 25), tb, "b2")
+    val t2 = Txn.commit(root, Map(ta -> 2, tb -> 2))
+    assert(Txn.pins(root, t2) == Map(ta -> 2, tb -> 2))
+    assert(Txn.readAt(spark, root, t2, ta).count() == 25)
+    // the old txn still resolves the old consistent pair
+    assert(Txn.readAt(spark, root, t1, ta).count() == 10)
+    // reads of a table the txn does not pin fail loudly
+    intercept[IllegalArgumentException] {
+      Txn.readAt(spark, root, t1, s"$root/zzz")
+    }
+    intercept[IllegalArgumentException] { Txn.pins(root, 99) }
+  }
 }

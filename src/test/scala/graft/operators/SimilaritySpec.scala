@@ -121,6 +121,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == Set((3L, 4L)), got.toString)
   }
 
+  test("crossCosinePairs ≡ brute force cross-side (incl. planted duplicates on both sides)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // plant exact copies on BOTH sides (+200000 preserves vec_id % 10,
+    // so each copy lands on its original's side) — the collapse +
+    // cross-side expansion path must reproduce every member pair
+    val planted = emb.unionByName(emb.filter(col("vec_id") < 30)
+      .select((col("vec_id") + lit(200000L)).as("vec_id"), col("embedding")))
+    val q = planted.filter(col("vec_id") % 10 === 7)
+    val c = planted.filter(col("vec_id") % 10 =!= 7)
+    for (t <- Seq(0.3, 0.45)) {
+      val got = Similarity.crossCosinePairs(q, c, "vec_id", "embedding", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = q.select(col("vec_id").as("q_id"), col("embedding").as("vq"))
+        .crossJoin(c.select(col("vec_id").as("c_id"), col("embedding").as("vc")))
+        .filter(graft.functions.Vec.cosine(col("vq"), col("vc")) >= t)
+        .select("q_id", "c_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute, s"t=$t: got=${got.size} brute=${brute.size}")
+    }
+  }
+
+  test("crossCosinePairs: zero-norm vectors match nothing; oversize query side fails loudly") {
+    import spark.implicits._
+    val q = Seq((1L, Array(0f, 0f, 0f)), (2L, Array(1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val c = Seq((10L, Array(0f, 0f, 0f)), (11L, Array(1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.crossCosinePairs(q, c, "vec_id", "embedding", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the unit vectors pair cross-side; neither zero vector pairs with
+    // ANYTHING — not even the identical zero vector on the other side
+    assert(got == Set((2L, 11L)), got.toString)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.crossCosinePairs(q, c, "vec_id", "embedding", 0.5,
+        maxQueryRows = 1L)
+    }
+    assert(e.getMessage.contains("broadcasts the query side"))
+  }
+
   test("LSH near-dup finds every planted duplicate at τ=0.9 (documented miss bound)") {
     // 40 random base vectors (max pairwise sim 0.69 at 64 dims) + 10
     // perturbed copies at cosine 0.93–0.95 — a corpus with the gapped
