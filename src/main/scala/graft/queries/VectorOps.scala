@@ -422,17 +422,17 @@ object VectorOps {
           col("cluster_size"), col("score"))
     }),
 
-    // SEMANTIC contamination check — the embedding-space sibling of
-    // q406's incremental text dedup and the third contamination
-    // level after q69's n-gram overlap: an eval set (every 10th
-    // vector stands in for a benchmark) is checked against the
+    // EXACT contamination check — the exact float-cosine leg next
+    // to q196's quantized-int8 screen, and the embedding-space
+    // sibling of q406's incremental text dedup: an eval set (every
+    // 10th vector stands in for a benchmark) is checked against the
     // training corpus for cosine ≥ 0.45 (a known ≥1e-4 gap in the
     // data's sim distribution, same fence as q41). The eval side
     // broadcasts; the corpus streams through the codegen'd cosine
     // ONCE — no corpus pair join, no corpus shuffle beyond the
     // identical-vector collapse (Similarity.crossCosinePairs,
     // spec-A/B'd vs brute force incl. planted duplicates).
-    "q407_semantic_contamination" -> ((s, d) => {
+    "q407_exact_contamination" -> ((s, d) => {
       val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
       graft.operators.Similarity.crossCosinePairs(
           emb.filter(col("vec_id") % 10 === 7),
@@ -629,7 +629,7 @@ object VectorOps {
                 score
          FROM d
          QUALIFY rank <= 5""",
-    "q407_semantic_contamination" ->
+    "q407_exact_contamination" ->
       """SELECT a.vec_id AS eval_id, b.vec_id AS corpus_id
          FROM embeddings a JOIN embeddings b
            ON a.vec_id % 10 = 7 AND b.vec_id % 10 <> 7

@@ -154,7 +154,7 @@ object DumpPlans {
     "q404_bellman_ford" -> "Bellman-Ford: per round one edge⋈labels join + per-node min over (tok,dist) pairs only, localCheckpoint truncating lineage (the q131/q257 loop shape); output DEFINED as the round-4 state",
     "q405_stream_mor_deletes" -> "streaming MOR deletes: each micro-batch commits ONE equality-delete file (no data member probed/rewritten), batch-id ledger makes redelivery exactly-once; the aggregate reads through readMor — base members require-proved untouched",
     "q406_incremental_dedup" -> "incremental dedup: cross-side AllPairs prefix join — only (id, n, prefix-element) rows shuffle, the batch-sized delta side broadcasts, base×base pairs never form; verification is the sorted merge walk",
-    "q407_semantic_contamination" -> "semantic contamination: eval-side reps BROADCAST (BroadcastNestedLoopJoin), the corpus streams through ONE projected codegen cosine — no corpus pair join; both sides identical-vector-collapsed, verdicts expand per side",
+    "q407_exact_contamination" -> "semantic contamination: eval-side reps BROADCAST (BroadcastNestedLoopJoin), the corpus streams through ONE projected codegen cosine — no corpus pair join; both sides identical-vector-collapsed, verdicts expand per side",
     "q408_partition_evolution" -> "partition-spec evolution: pre-evolution member untagged → conservatively read, gen-2 pruned to the matching lang tag (4 of 5 members skipped before any IO); old files never rewrite on a spec change, row filter keeps exactness",
     "q409_metadata_count" -> "metadata-only COUNT(*): per-member footer-exact rows stat recorded at commit, per-lang counts answered by a MANIFEST PARSE — the plan is a LocalTableScan of driver metadata, zero data pages read",
     "q410_ivm_min_deletes" -> "non-algebraic IVM: inserts fold via least (no base access); only DIRTY groups (deleted-min == view-min) recompute, restricted by a broadcast semi-join — the recompute scans the dirty slice, never the table",

@@ -161,7 +161,7 @@ class ReproSpec extends AnyFunSuite {
     "q404_bellman_ford",    // 4-round weighted relax + per-node min
     "q405_stream_mor_deletes", // streamed delete files + readMor drain
     "q406_incremental_dedup", // cross-side AllPairs delta-vs-base join
-    "q407_semantic_contamination", // broadcast eval side × streamed corpus cosine
+    "q407_exact_contamination", // broadcast eval side × streamed corpus cosine
     "q408_partition_evolution", // untagged gen-1 + lang-tagged gen-2 pruning
     "q409_metadata_count",  // manifest-only COUNT(*), zero data IO
     "q410_ivm_min_deletes", // dirty-group-only MIN recompute
