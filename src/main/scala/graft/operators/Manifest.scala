@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, when}
+import org.apache.spark.sql.functions.{col, lit, when}
 
 /** Manifest-pinned table format — the reusable time-travel +
   * maintenance-with-isolation primitive grown out of q363's snapshot
@@ -750,6 +750,69 @@ object Manifest {
     membersRaw(root, version).filter(_.contains(KindDelete))
       .map(l => (pathOf(l), keyColOf(l),
         numField(l, "seq").getOrElse(Long.MaxValue)))
+
+  /** Three-way merge of a BRANCH table back into MAIN — the
+    * lakeFS/dolt operation [[setRef]]'s linear write-audit-publish
+    * refs cannot express: both lines diverged from a common base
+    * snapshot, and the merge applies the branch's changes-since-base
+    * onto main's head with key-level git semantics. A key whose
+    * post-change image differs between the sides (null-safe over all
+    * value columns; deletes carry null images, so both-deleted and
+    * identical edits CONVERGE silently) is a CONFLICT: with
+    * `branchWins = false` main's outcome survives, with `true` the
+    * branch's does. Returns (merged version, conflicts frame) — the
+    * conflicts carry both sides' change types and images for review.
+    *
+    * Cost at 100 TB: two key-shaped diffs (each one full-outer join
+    * of two pinned snapshots) + one CDC apply whose rewrite touches
+    * only members holding merged keys; the conflict frame is
+    * change-set-sized, never table-sized. Value columns must be
+    * non-null (a null image means "deleted" to the convergence
+    * rule — same contract as [[diffBoth]] consumers).
+    */
+  def mergeBranch(
+      spark: SparkSession,
+      mainRoot: String,
+      mainBase: Int,
+      branchRoot: String,
+      branchBase: Int,
+      keyCol: String,
+      valueCols: Seq[String],
+      nameTag: String,
+      branchWins: Boolean = false): (Int, DataFrame) = {
+    val bd = diffBoth(spark, branchRoot, branchBase,
+      currentVersion(branchRoot), keyCol, valueCols)
+    val md = diffBoth(spark, mainRoot, mainBase,
+      currentVersion(mainRoot), keyCol, valueCols)
+    val joined = bd.as("b")
+      .join(md.as("m"), col(s"b.$keyCol") === col(s"m.$keyCol"), "left")
+    // both sides touched the key and landed on the SAME image → the
+    // edits converged (incl. both-deleted: null <=> null) — no
+    // conflict, and nothing to apply
+    val sameNew = valueCols
+      .map(c => col(s"b.new_$c") <=> col(s"m.new_$c"))
+      .reduce(_ && _)
+    val conflicts = joined
+      .filter(col("m.change_type").isNotNull && !sameNew)
+      .select(col(s"b.$keyCol").as(keyCol) +:
+        col("b.change_type").as("branch_change") +:
+        col("m.change_type").as("main_change") +:
+        valueCols.flatMap(c => Seq(
+          col(s"b.new_$c").as(s"branch_$c"),
+          col(s"m.new_$c").as(s"main_$c"))): _*)
+    val apply = joined
+      .filter(col("m.change_type").isNull ||
+        (lit(branchWins) && !sameNew))
+      .select(col(s"b.$keyCol").as(keyCol) +:
+        valueCols.map(c => col(s"b.new_$c").as(c)) :+
+        // non-deletes apply as "I" (true upsert): with branchWins a
+        // branch EDIT must resurrect a key main deleted, and
+        // applyCdcBatch drops orphan "U"s but upserts matched AND
+        // unmatched "I"s — exactly the override semantics needed
+        when(col("b.change_type") === "deleted", lit("D"))
+          .otherwise(lit("I")).as("op"): _*)
+    (applyCdcBatch(apply, mainRoot, keyCol, nameTag), conflicts)
+  }
 
   /** Exact (path, partition tags, row count) per DATA member of
     * `version`, answered from MANIFEST LINES ALONE — zero data IO.

@@ -657,6 +657,53 @@ object CorpusOps {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("nt")).as("n_tokens"),
           sum(col("n_copies") - 1).as("dups_removed"))
+    }),
+
+    // Greedy coverage-based data SELECTION — the submodular
+    // facility-location shape behind modern "pick the most
+    // informative subset" curation: 8 greedy rounds, each picking
+    // the document adding the most UNCOVERED vocabulary (tie-break
+    // doc_id), exact 1-1/e guarantee by submodularity. The coverage
+    // unit is distinct BIGRAMS (the unigram vocab of this corpus is
+    // 31 tokens — one doc covers it; bigrams give a 900+ element
+    // universe). Per round the corpus pays one (doc, bigram)-distinct
+    // anti-join + aggregate; the covered set is the picked docs'
+    // vocabulary (≤K docs — broadcast-sized), the picked list is K
+    // driver-held ids, and the bigram frame persists across rounds —
+    // nothing quadratic, nothing driver-sized but the answer. The
+    // oracle replays all 8 rounds as MATERIALIZED CTEs (the
+    // q355/q257 discipline).
+    "q414_coverage_select" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val bgs = transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+      val tok = Tables(s, d).documents
+        .filter(size(toks) >= 2)
+        .select(col("doc_id"), explode(array_distinct(bgs)).as("tk"))
+        .persist()
+      try {
+        var picked = Vector.empty[(Long, Long)] // (doc_id, gain)
+        for (_ <- 1 to 8) {
+          val ids = picked.map(_._1)
+          val remaining =
+            if (ids.isEmpty) tok else tok.filter(!col("doc_id").isin(ids: _*))
+          val uncovered =
+            if (ids.isEmpty) remaining
+            else remaining.join(
+              tok.filter(col("doc_id").isin(ids: _*))
+                .select(col("tk")).distinct(),
+              Seq("tk"), "left_anti")
+          val top = uncovered
+            .groupBy(col("doc_id")).agg(count(lit(1)).as("g"))
+            .orderBy(col("g").desc, col("doc_id"))
+            .limit(1).collect()(0)
+          picked :+= ((top.getLong(0), top.getLong(1)))
+        }
+        import s.implicits._
+        picked.zipWithIndex.map { case ((id, g), i) =>
+          (i + 1L, id, g, picked.take(i + 1).map(_._2).sum)
+        }.toDF("rank", "doc_id", "gain", "covered_total")
+      } finally { tok.unpersist(); () }
     })
   )
 
@@ -988,6 +1035,42 @@ object CorpusOps {
          FROM documents""",
     "q80_kv_serving" ->
       """SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
-         FROM documents GROUP BY 1"""
+         FROM documents GROUP BY 1""",
+    // 8 greedy rounds replayed as MATERIALIZED CTEs (generated — each
+    // round is the same block over the previous round's state)
+    "q414_coverage_select" -> {
+      val head =
+        """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents WHERE len(string_split(text, ' ')) >= 2),
+           tok AS MATERIALIZED (
+             SELECT doc_id,
+                    unnest(list_distinct(
+                      [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]))
+                      AS tk
+             FROM ws),
+           p1 AS MATERIALIZED (
+             SELECT doc_id, count(*)::BIGINT AS g FROM tok
+             GROUP BY 1 ORDER BY g DESC, doc_id LIMIT 1),
+           s1 AS MATERIALIZED (SELECT doc_id, 1::BIGINT AS rank, g FROM p1)"""
+      val steps = (2 to 8).map { r =>
+        s""",
+           c${r - 1} AS MATERIALIZED (
+             SELECT DISTINCT tk FROM tok
+             WHERE doc_id IN (SELECT doc_id FROM s${r - 1})),
+           p$r AS MATERIALIZED (
+             SELECT t.doc_id, count(*)::BIGINT AS g FROM tok t
+             WHERE t.doc_id NOT IN (SELECT doc_id FROM s${r - 1})
+               AND t.tk NOT IN (SELECT tk FROM c${r - 1})
+             GROUP BY 1 ORDER BY g DESC, t.doc_id LIMIT 1),
+           s$r AS MATERIALIZED (
+             SELECT * FROM s${r - 1}
+             UNION ALL SELECT doc_id, $r::BIGINT, g FROM p$r)"""
+      }.mkString
+      head + steps + """
+           SELECT a.rank, a.doc_id, a.g AS gain,
+                  (SELECT sum(b.g) FROM s8 b
+                   WHERE b.rank <= a.rank)::BIGINT AS covered_total
+           FROM s8 a"""
+    }
   )
 }

@@ -4534,6 +4534,53 @@ object EtlOps {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("sum_chars"))
+    }),
+
+    // Three-way BRANCH MERGE — the lakeFS/dolt operation q399's
+    // linear WAP refs can't express: main and a branch diverge from
+    // the same base (main: +10 to every 5th doc, deletes every 11th
+    // non-5th; branch: +100 to every 7th, inserts a new doc per
+    // 17th), then the branch merges back with git key semantics.
+    // Conflicts = keys both sides touched with DIFFERENT outcomes
+    // (%35 edit/edit, %7∧%11∖%5 edit/delete); policy main-wins keeps
+    // main's image. Cost: two key-shaped diffs + one CDC apply whose
+    // rewrite touches only members holding merged keys. Output: the
+    // merged per-lang state plus the conflict count — the oracle
+    // recomputes both from the rules, so a wrong merge matrix
+    // hash-mismatches.
+    "q413_branch_merge" -> ((s, d) => {
+      val root = freshScratch("q413", d)
+      val mainT = s"$root/main"; val branchT = s"$root/branch"
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.operators.Manifest.commitAdd(docs, mainT, "base")
+      graft.operators.Manifest.commitAdd(docs, branchT, "base")
+      val mainCh = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 10).as("n_chars"), lit("U").as("op"))
+        .unionByName(
+          docs.filter(col("doc_id") % 11 === 0 && col("doc_id") % 5 =!= 0)
+            .select(col("doc_id"), col("lang"), col("n_chars"),
+              lit("D").as("op")))
+      graft.operators.Manifest.applyCdcBatch(mainCh, mainT, "doc_id", "m2")
+      val brCh = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 100).as("n_chars"), lit("U").as("op"))
+        .unionByName(docs.filter(col("doc_id") % 17 === 0)
+          .select((-col("doc_id") - 1).as("doc_id"), col("lang"),
+            (col("n_chars") + 3).as("n_chars"), lit("I").as("op")))
+      graft.operators.Manifest.applyCdcBatch(brCh, branchT, "doc_id", "b2")
+      val (vm, conflicts) = graft.operators.Manifest.mergeBranch(
+        s, mainT, 1, branchT, 1, "doc_id", Seq("lang", "n_chars"), "mrg")
+      val conf = conflicts
+        .groupBy(coalesce(col("main_lang"), col("branch_lang")).as("lang"))
+        .agg(count(lit(1)).cast("long").as("n_conflicts"))
+      graft.operators.Manifest.read(s, mainT, vm)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .join(conf, Seq("lang"), "left")
+        .withColumn("n_conflicts", coalesce(col("n_conflicts"), lit(0L)))
     })
   )
 
@@ -7183,6 +7230,28 @@ object EtlOps {
     "q412_cross_table_txn" ->
       """SELECT lang, count(*)::BIGINT AS n_docs,
                 sum(n_chars)::BIGINT AS sum_chars
-         FROM documents GROUP BY 1"""
+         FROM documents GROUP BY 1""",
+    "q413_branch_merge" ->
+      """WITH merged AS (
+           SELECT doc_id, lang,
+                  n_chars + CASE WHEN doc_id % 5 = 0 THEN 10
+                                 WHEN doc_id % 7 = 0 THEN 100
+                                 ELSE 0 END AS n_chars
+           FROM documents
+           WHERE NOT (doc_id % 11 = 0 AND doc_id % 5 <> 0)
+           UNION ALL
+           SELECT -doc_id - 1, lang, n_chars + 3 FROM documents
+           WHERE doc_id % 17 = 0),
+         conf AS (
+           SELECT lang, count(*)::BIGINT AS n_conflicts FROM documents
+           WHERE doc_id % 35 = 0
+              OR (doc_id % 7 = 0 AND doc_id % 11 = 0 AND doc_id % 5 <> 0)
+           GROUP BY 1),
+         g AS (SELECT lang, count(*)::BIGINT AS n_docs,
+                      sum(n_chars)::BIGINT AS sum_chars
+               FROM merged GROUP BY 1)
+         SELECT g.lang, g.n_docs, g.sum_chars,
+                coalesce(c.n_conflicts, 0) AS n_conflicts
+         FROM g LEFT JOIN conf c USING (lang)"""
   )
 }

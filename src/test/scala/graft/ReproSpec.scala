@@ -166,7 +166,9 @@ class ReproSpec extends AnyFunSuite {
     "q409_metadata_count",  // manifest-only COUNT(*), zero data IO
     "q410_ivm_min_deletes", // dirty-group-only MIN recompute
     "q411_truncation_audit", // 4-limit context-length loss readout
-    "q412_cross_table_txn"  // atomic multi-table pins vs torn heads
+    "q412_cross_table_txn", // atomic multi-table pins vs torn heads
+    "q413_branch_merge",    // three-way diff merge, git key semantics
+    "q414_coverage_select"  // 8-round greedy submodular vocab cover
   )
 
   representatives.foreach { name =>

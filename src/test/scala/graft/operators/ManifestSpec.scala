@@ -556,6 +556,49 @@ class ManifestSpec extends AnyFunSuite {
     assert(total(vSettled) == Manifest.read(spark, root, vSettled).count())
   }
 
+  test("mergeBranch applies clean changes, reports conflicts, and the policy flips them") {
+    def setup(tag: String): (String, String) = {
+      val root = freshRoot(tag)
+      val mainT = s"$root/m"; val brT = s"$root/b"
+      Manifest.commitAdd(frame(0 until 10), mainT, "base")
+      Manifest.commitAdd(frame(0 until 10), brT, "base")
+      Manifest.applyCdcBatch(
+        Seq((1L, "m1", "U"), (2L, "", "D"), (5L, "same5", "U"))
+          .toDF("id", "payload", "op"), mainT, "id", "m2")
+      Manifest.applyCdcBatch(
+        Seq((1L, "b1", "U"), (2L, "b2", "U"), (5L, "same5", "U"),
+          (7L, "b7", "U"), (99L, "v99", "I"), (3L, "", "D"))
+          .toDF("id", "payload", "op"), brT, "id", "b2")
+      (mainT, brT)
+    }
+    val (m1, b1) = setup("mrg-main")
+    val (v, confl) = Manifest.mergeBranch(
+      spark, m1, 1, b1, 1, "id", Seq("payload"), "mrg")
+    val got = Manifest.read(spark, m1, v)
+      .as[(Long, String)].collect().toMap
+    // clean: 7 edited, 99 inserted, 3 deleted; converged: 5 (same
+    // image both sides); conflicts (main wins): 1 keeps m1, 2 stays
+    // deleted
+    val want = (0 until 10).map(i => i.toLong -> s"v$i").toMap ++
+      Map(1L -> "m1", 5L -> "same5", 7L -> "b7", 99L -> "v99") --
+      Seq(2L, 3L)
+    assert(got == want, got.toString)
+    val cs = confl.select("id", "branch_change", "main_change").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(cs == Set((1L, "changed", "changed"),
+      (2L, "changed", "deleted")), cs.toString)
+    // branch-wins on a fresh pair: conflicted keys take the branch
+    // image — including RESURRECTING the key main deleted
+    val (m2, b2) = setup("mrg-bw")
+    val (v2, c2) = Manifest.mergeBranch(
+      spark, m2, 1, b2, 1, "id", Seq("payload"), "mrg",
+      branchWins = true)
+    val got2 = Manifest.read(spark, m2, v2)
+      .as[(Long, String)].collect().toMap
+    assert(got2 == want ++ Map(1L -> "b1", 2L -> "b2"), got2.toString)
+    assert(c2.count() == 2) // same conflicts, different resolution
+  }
+
   test("Txn: atomic cross-table pins survive interleaved commits; loud on bad pins") {
     val root = freshRoot("txn")
     val ta = s"$root/a"; val tb = s"$root/b"
