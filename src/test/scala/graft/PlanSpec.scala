@@ -434,6 +434,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("user_id"), "type-cube joins must key on user_id")
   }
 
+  test("q406: incremental dedup joins are all equi — base×base never forms a cartesian") {
+    val df = SparkEntry.queries("q406_incremental_dedup")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix-filter candidate generation must stay equi-join:\n${p.take(800)}")
+  }
+
+  test("q407: eval side broadcasts, the corpus streams through one nested-loop pass") {
+    val df = SparkEntry.queries("q407_exact_contamination")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the threshold filter is non-equi, so the broadcast CROSS join is
+    // the intended shape — what must NOT happen is a shuffled corpus
+    // pair join
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"eval reps must broadcast into a nested-loop pass:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"),
+      s"never a shuffled cartesian:\n${p.take(800)}")
+  }
+
+  test("q410: the dirty-group recompute is restricted by a broadcast semi-join") {
+    val df = SparkEntry.queries("q410_ivm_min_deletes")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"dirty groups must broadcast into a semi-join:\n${p.take(800)}")
+    assert(!p.contains("Exchange SinglePartition"), p.take(800))
+  }
+
   test("whole-stage codegen covers the KPI aggregate (no interpreted hot path)") {
     // AQE only annotates codegen stages on the executed plan
     val df = SparkEntry.queries("q11_genre_kpis")(spark, sf)
