@@ -595,21 +595,62 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleN: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
+    crossJaccardPairsPre(
+      jaccardSets(delta, idCol, textCol, shingleN),
+      jaccardSets(base, idCol, textCol, shingleN),
+      threshold)
+
+  /** The (id, sorted-shingle-set, set-size) frame the exact Jaccard
+    * family runs over — exposed so a standing corpus can MATERIALIZE
+    * it once (e.g. into a [[Manifest]] table) and amortize the
+    * shingling across every later incremental probe. Columns:
+    * (id, ts: array<long> ascending, n: int).
+    */
+  def jaccardSets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3): DataFrame =
+    parallelized(df).select(col(idCol).as("id"),
+      array_sort(shingleHashes(col(textCol), shingleN)).as("ts"))
+      .withColumn("n", size(col("ts")))
+
+  /** The AllPairs prefix-index rows of a [[jaccardSets]] frame for a
+    * FIXED threshold: (id, n, p, t) — one row per element of each
+    * set's filtering prefix, the only rows an incremental candidate
+    * probe shuffles. The prefix length depends on `threshold`, so a
+    * persisted index serves probes at that threshold (or HIGHER —
+    * more selective thresholds need shorter prefixes, so candidates
+    * stay a superset and the verify stage keeps exactness; probing
+    * BELOW the build threshold would miss pairs and must rebuild).
+    */
+  def jaccardPrefixes(sets: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccard threshold must be in (0, 1], got $threshold")
     val tau = lit(threshold)
-    def sets(df: DataFrame) = parallelized(df).select(col(idCol).as("id"),
-      array_sort(shingleHashes(col(textCol), shingleN)).as("ts"))
-      .withColumn("n", size(col("ts")))
-    def prefixes(s: DataFrame) = {
-      val prefixLen = (col("n") - ceil(col("n") * tau).cast("int") + 1)
-      s.select(col("id"), col("n"),
-        posexplode(slice(col("ts"), lit(1), prefixLen)).as(Seq("p", "t")))
-    }
-    val d = sets(delta)
-    val b = sets(base)
-    val cand = prefixes(d).as("a").join(prefixes(b).as("b"),
+    val prefixLen = (col("n") - ceil(col("n") * tau).cast("int") + 1)
+    sets.select(col("id"), col("n"),
+      posexplode(slice(col("ts"), lit(1), prefixLen)).as(Seq("p", "t")))
+  }
+
+  /** [[crossJaccardPairs]] over PRE-BUILT set frames (see
+    * [[jaccardSets]]) — the incremental-index form: the base side's
+    * sets (and their [[jaccardPrefixes]]) can come from storage, so
+    * a daily probe pays shingling for the delta alone.
+    */
+  def crossJaccardPairsPre(
+      deltaSets: DataFrame,
+      baseSets: DataFrame,
+      threshold: Double,
+      basePrefixes: Option[DataFrame] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccard threshold must be in (0, 1], got $threshold")
+    val tau = lit(threshold)
+    val d = deltaSets
+    val b = baseSets
+    val cand = jaccardPrefixes(d, threshold).as("a")
+      .join(basePrefixes.getOrElse(jaccardPrefixes(b, threshold)).as("b"),
         col("a.t") === col("b.t") &&
         col("b.n") >= col("a.n") * tau && col("a.n") >= col("b.n") * tau &&
         least(col("a.n") - col("a.p"), col("b.n") - col("b.p")) >=

@@ -189,8 +189,59 @@ object DedupOps {
       import s.implicits._
       rows.toDF("bands", "rows_per_band", "n_candidates", "n_hits",
         "n_truth", "recall")
+    }),
+
+    // Incremental dedup against a PERSISTED prefix index — the
+    // production form of q406: the standing corpus' shingle sets and
+    // AllPairs prefix rows are built ONCE and stored as Manifest
+    // tables (base commit, then day-1's append), so the day-2 probe
+    // pays shingling for its own batch alone and reads the index
+    // from parquet — at 100 TB the daily cost drops from
+    // O(corpus shingling) to O(batch) + an index scan. Exactness
+    // preserved (Dedup.crossJaccardPairsPre — spec-A/B'd against the
+    // direct computation through a parquet round-trip); PlanSpec
+    // pins that the probe scans documents ONCE (the delta).
+    "q415_indexed_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val root = freshScratch("q415", d)
+      val setsT = s"$root/sets"; val prefT = s"$root/prefixes"
+      val t = 0.4
+      val docs = Tables(s, d).documents
+      val bs = Dedup.jaccardSets(
+        docs.filter(col("doc_id") % 7 >= 1 && col("doc_id") % 7 <= 3),
+        "doc_id", "text", 3)
+      graft.operators.Manifest.commitAdd(bs, setsT, "base")
+      graft.operators.Manifest.commitAdd(
+        Dedup.jaccardPrefixes(bs, t), prefT, "base")
+      val d1 = Dedup.jaccardSets(
+        docs.filter(col("doc_id") % 7 >= 4), "doc_id", "text", 3)
+      graft.operators.Manifest.commitAdd(d1, setsT, "day1")
+      graft.operators.Manifest.commitAdd(
+        Dedup.jaccardPrefixes(d1, t), prefT, "day1")
+      val ds = Dedup.jaccardSets(
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", 3)
+      Dedup.crossJaccardPairsPre(ds,
+          graft.operators.Manifest.read(s, setsT, 2), t,
+          basePrefixes = Some(graft.operators.Manifest.read(s, prefT, 2)))
+        .select(col("a_id").as("delta_id"), col("b_id").as("base_id"))
     })
   )
+
+  /** PID-scoped scratch (the EtlOps.freshScratch pattern): content-
+    * addressed by input dir, wiped per run so verify/bench re-runs
+    * start clean.
+    */
+  private def freshScratch(tag: String, d: String): String = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-$tag-" + Integer.toHexString(d.hashCode) +
+        "-p" + ProcessHandle.current().pid())
+    if (java.nio.file.Files.exists(p)) {
+      val it = java.nio.file.Files.walk(p).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]()).iterator()
+      while (it.hasNext) java.nio.file.Files.delete(it.next())
+    }
+    p.toString
+  }
 
   /** Shared by q67/q68/q70: hashed token sets → exact Jaccard ≥ 0.9
     * pairs → connected components (one definition, so the queries
@@ -346,6 +397,26 @@ object DedupOps {
          SELECT delta_id, base_id FROM inter
          JOIN sizes sa ON sa.doc_id = delta_id
          JOIN sizes sb ON sb.doc_id = base_id
-         WHERE c * 2 >= (sa.n + sb.n - c)"""
+         WHERE c * 2 >= (sa.n + sb.n - c)""",
+    "q415_indexed_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                doc_id % 7 = 0 AS is_delta FROM documents),
+         g AS (SELECT doc_id, is_delta,
+                 CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                      ELSE [array_to_string(ws[i:i+2], ' ')
+                            FOR i IN range(1, len(ws) - 1)] END AS gs
+               FROM t),
+         tok AS (SELECT doc_id, is_delta,
+                        unnest(list_distinct(gs)) AS tk FROM g),
+         sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+         inter AS (SELECT a.doc_id AS delta_id, b.doc_id AS base_id,
+                          count(*) AS c
+                   FROM tok a JOIN tok b ON a.tk = b.tk
+                   WHERE a.is_delta AND NOT b.is_delta
+                   GROUP BY 1, 2)
+         SELECT delta_id, base_id FROM inter
+         JOIN sizes sa ON sa.doc_id = delta_id
+         JOIN sizes sb ON sb.doc_id = base_id
+         WHERE c * 5 >= 2 * (sa.n + sb.n - c)"""
   )
 }

@@ -161,7 +161,8 @@ object DumpPlans {
     "q411_truncation_audit" -> "truncation audit: ONE corpus token-count pass × a broadcast 4-row limit spine — bounded ×4 fan-out, never a per-limit rescan; integer-only permille output",
     "q412_cross_table_txn" -> "cross-table txn: per-table commits interleave freely; ONE atomic metadata record pins the consistent (table → version) set — txn readers join pinned snapshots, raw-head torn state require-proved unreachable through the log",
     "q413_branch_merge" -> "branch merge: two key-shaped three-way diffs + ONE CDC apply touching only members with merged keys; conflicts (differing outcomes on both sides) are change-set-sized, convergent edits cost nothing",
-    "q414_coverage_select" -> "greedy coverage selection: per round ONE anti-join + aggregate over the persisted (doc, token)-distinct frame; covered vocab is K docs' tokens (broadcast-sized), picked list is K driver ids — never quadratic, never a corpus collect")
+    "q414_coverage_select" -> "greedy coverage selection: per round ONE anti-join + aggregate over the persisted (doc, token)-distinct frame; covered vocab is K docs' tokens (broadcast-sized), picked list is K driver ids — never quadratic, never a corpus collect",
+    "q415_indexed_dedup" -> "indexed incremental dedup: the day-2 probe shingles ITS batch alone, candidates come from the parquet-stored AllPairs prefix index (PlanSpec pins no corpus re-scan); daily cost O(batch) + index scan, exactness via the merge-walk verify")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

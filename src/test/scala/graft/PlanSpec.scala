@@ -462,6 +462,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"), p.take(800))
   }
 
+  test("q415: the day-2 probe shingles the delta only — the index comes from stored parquet") {
+    val df = SparkEntry.queries("q415_indexed_dedup")(spark, sf)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // documents appears only for the DELTA batch (twice: prefix leg +
+    // verify leg of the same small frame); the base corpus must come
+    // from the persisted index, never be re-shingled
+    val docScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("documents"))
+    assert(docScans <= 2,
+      s"base corpus must not be re-scanned, got $docScans documents scans:\n${p.take(900)}")
+    assert(p.contains("graft-q415"),
+      s"index must read from the scratch manifest tables:\n${p.take(900)}")
+  }
+
   test("whole-stage codegen covers the KPI aggregate (no interpreted hot path)") {
     // AQE only annotates codegen stages on the executed plan
     val df = SparkEntry.queries("q11_genre_kpis")(spark, sf)

@@ -168,7 +168,8 @@ class ReproSpec extends AnyFunSuite {
     "q411_truncation_audit", // 4-limit context-length loss readout
     "q412_cross_table_txn", // atomic multi-table pins vs torn heads
     "q413_branch_merge",    // three-way diff merge, git key semantics
-    "q414_coverage_select"  // 8-round greedy submodular vocab cover
+    "q414_coverage_select", // 8-round greedy submodular vocab cover
+    "q415_indexed_dedup"    // persisted prefix index, delta-only shingling
   )
 
   representatives.foreach { name =>

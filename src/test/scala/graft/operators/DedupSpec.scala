@@ -315,6 +315,30 @@ class DedupSpec extends AnyFunSuite {
     assert(recalls(2) >= 0.9, s"16-band recall floor: ${recalls(2)}")
   }
 
+  test("prefix-index probe (parquet round-trip, incl. a coarser index) ≡ direct cross pairs") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val delta = docs.filter(col("doc_id") % 7 === 0)
+    val base = docs.filter(col("doc_id") % 7 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-prefixidx").toString
+    val bs = Dedup.jaccardSets(base, "doc_id", "text", 3)
+    bs.write.parquet(s"$dir/sets")
+    // index built at τ=0.4 (longer prefixes)
+    Dedup.jaccardPrefixes(bs, 0.4).write.parquet(s"$dir/pref")
+    val storedSets = spark.read.parquet(s"$dir/sets")
+    val storedPref = spark.read.parquet(s"$dir/pref")
+    for (t <- Seq(0.4, 0.6)) { // probe AT and ABOVE the build threshold
+      val ds = Dedup.jaccardSets(delta, "doc_id", "text", 3)
+      val got = Dedup.crossJaccardPairsPre(ds, storedSets, t,
+          basePrefixes = Some(storedPref))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = Dedup.crossJaccardPairs(delta, base, "doc_id", "text",
+          shingleN = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"t=$t: got=${got.size} want=${want.size}")
+    }
+  }
+
   test("crossJaccardPairs ≡ union self-join restricted to cross pairs") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
