@@ -829,8 +829,77 @@ object ScaleOps {
       Tables(s, d).documents
         .select(col("source"), col("doc_id"),
           ntile(4).over(w).cast("long").as("shard"))
+    }),
+
+    // 2-D spatial distance join — the planar sibling of q127's 1-D
+    // band join: customers get deterministic md5-planted coordinates
+    // on a 100k×100k integer grid, and every pair within Euclidean
+    // distance 3000 is found by GRID BUCKETING — one side replicated
+    // to its 9 neighbor cells (broadcast 9-row offset spine), the
+    // other keyed by home cell, so candidates form via a pure
+    // (cx, cy) equi-join and the exact dx²+dy² ≤ r² filter runs
+    // streaming inside it. Cell size = radius guarantees no misses;
+    // candidate cost is density-bounded per cell, never n² — at
+    // 100 TB the only shuffle is points keyed by cell. All integer
+    // math; pair appears exactly once (a<b, replicated→home walk).
+    "q416_spatial_join" -> ((s, d) =>
+      spatialPairs(s, plantedPoints(s, d))),
+
+    // Density clustering over the q416 grid join — DBSCAN with
+    // eps = 3000, minPts = 2 IS "distance-threshold pairs →
+    // connected components → drop singletons": the pair generation
+    // stays the density-bounded grid equi-join, the CC labeling is
+    // the shared min-label propagation (Dedup.duplicateClusters),
+    // and noise points (no neighbor within eps) fall out with the
+    // size-≥2 filter. Output: one row per cluster under its min-key
+    // representative. The oracle rebuilds components with the
+    // recursive-closure CTE over the brute-force pair list (the
+    // q67/q78 discipline).
+    "q417_spatial_clusters" -> ((s, d) => {
+      val pts = plantedPoints(s, d)
+      val pairs = spatialPairs(s, pts).select(col("a_key"), col("b_key"))
+      graft.operators.Dedup.duplicateClusters(pairs, pts.select(col("k")))
+        .filter(col("cluster_size") >= 2 &&
+          col("doc_id") === col("cluster_id"))
+        .select(col("cluster_id").as("cluster_rep"), col("cluster_size"))
     })
   )
+
+  /** Deterministic md5-planted integer coordinates on a 100k×100k
+    * grid (the q75/q183 planting discipline, reproducible in DuckDB
+    * as `('0x' || substr(md5(k), …))::BIGINT`).
+    */
+  private def plantedPoints(s: SparkSession, d: String): DataFrame = {
+    def coord(from: Int) = expr(
+      s"CAST(conv(substr(md5(CAST(c_custkey AS STRING)), $from, 5), " +
+        "16, 10) AS BIGINT) % 100000")
+    Tables(s, d).customer
+      .select(col("c_custkey").as("k"), coord(1).as("x"), coord(6).as("y"))
+  }
+
+  /** Exact pairs within Euclidean distance 3000 via 9-cell grid
+    * bucketing (see the q416 scaladoc): (cx, cy) equi-join only,
+    * integer dx²+dy² verify streamed inside, each pair exactly once.
+    */
+  private def spatialPairs(s: SparkSession, pts: DataFrame): DataFrame = {
+    import s.implicits._
+    val offs = Seq(-1, 0, 1).flatMap(i => Seq(-1, 0, 1).map(j => (i, j)))
+      .toDF("ox", "oy")
+    val a = pts.crossJoin(broadcast(offs))
+      .select(col("k").as("a_key"), col("x").as("ax"), col("y").as("ay"),
+        (expr("x div 3000") + col("ox")).as("cx"),
+        (expr("y div 3000") + col("oy")).as("cy"))
+    val b = pts.select(col("k").as("b_key"), col("x").as("bx"),
+      col("y").as("by"),
+      expr("x div 3000").as("cx"), expr("y div 3000").as("cy"))
+    a.join(b, Seq("cx", "cy"))
+      .filter(col("a_key") < col("b_key"))
+      .withColumn("dist2",
+        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by")))
+      .filter(col("dist2") <= lit(9000000L)) // 3000²
+      .select(col("a_key"), col("b_key"), col("dist2"))
+  }
 
   /** Erasure-request list: the distinct users whose id ≡ 3 (mod 7)
     * — a deterministic stand-in for an arbitrary GDPR request
@@ -1269,6 +1338,41 @@ object ScaleOps {
                 (least(s.s_end, w.w_end) - greatest(s.s_start, w.w_start))::BIGINT
                   AS overlap_us
          FROM sess s JOIN win w
-           ON s.s_start < w.w_end AND w.w_start < s.s_end"""
+           ON s.s_start < w.w_end AND w.w_start < s.s_end""",
+    // brute-force n² reference — the grid join must be invisible
+    "q416_spatial_join" ->
+      """WITH p AS (SELECT c_custkey AS k,
+             ('0x' || substr(md5(c_custkey::VARCHAR), 1, 5))::BIGINT
+               % 100000 AS x,
+             ('0x' || substr(md5(c_custkey::VARCHAR), 6, 5))::BIGINT
+               % 100000 AS y
+           FROM customer)
+         SELECT a.k AS a_key, b.k AS b_key,
+                ((a.x - b.x) * (a.x - b.x)
+                  + (a.y - b.y) * (a.y - b.y))::BIGINT AS dist2
+         FROM p a JOIN p b ON a.k < b.k
+         WHERE (a.x - b.x) * (a.x - b.x)
+               + (a.y - b.y) * (a.y - b.y) <= 9000000""",
+    "q417_spatial_clusters" ->
+      """WITH RECURSIVE p AS (SELECT c_custkey AS k,
+             ('0x' || substr(md5(c_custkey::VARCHAR), 1, 5))::BIGINT
+               % 100000 AS x,
+             ('0x' || substr(md5(c_custkey::VARCHAR), 6, 5))::BIGINT
+               % 100000 AS y
+           FROM customer),
+         pairs AS (
+           SELECT a.k AS a_id, b.k AS b_id FROM p a JOIN p b ON a.k < b.k
+           WHERE (a.x - b.x) * (a.x - b.x)
+                 + (a.y - b.y) * (a.y - b.y) <= 9000000),
+         edges AS (
+           SELECT a_id AS s, b_id AS d FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         reach AS (
+           SELECT k AS s, k AS d FROM p
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+         SELECT s AS cluster_rep, count(*) AS cluster_size
+         FROM reach GROUP BY s
+         HAVING s = min(d) AND count(*) >= 2"""
   )
 }

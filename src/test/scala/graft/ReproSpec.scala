@@ -169,7 +169,9 @@ class ReproSpec extends AnyFunSuite {
     "q412_cross_table_txn", // atomic multi-table pins vs torn heads
     "q413_branch_merge",    // three-way diff merge, git key semantics
     "q414_coverage_select", // 8-round greedy submodular vocab cover
-    "q415_indexed_dedup"    // persisted prefix index, delta-only shingling
+    "q415_indexed_dedup",   // persisted prefix index, delta-only shingling
+    "q416_spatial_join",    // 9-cell grid bucketing, exact int distance
+    "q417_spatial_clusters" // DBSCAN(eps,minPts=2) = grid pairs + CC
   )
 
   representatives.foreach { name =>
