@@ -105,6 +105,24 @@ object Manifest {
     next
   }
 
+  /** Pinned snapshot read ACROSS SCHEMA GENERATIONS: like [[read]]
+    * but resolves the union schema from EVERY member's footer
+    * (mergeSchema), so members written before a column existed
+    * surface NULL there instead of depending on which file the
+    * schema was sampled from. This is the evolution contract every
+    * long-lived table needs: old files never rewrite when a column
+    * arrives, and row-level maintenance ([[deleteWhere]], which
+    * probes and rewrites members INDIVIDUALLY, each under its own
+    * schema) keeps working across generations. Footer merge costs
+    * O(members) at planning — metadata-scale.
+    */
+  def readEvolved(
+      spark: SparkSession, root: String, version: Int): DataFrame = {
+    val ms = members(root, version)
+    require(ms.nonEmpty, s"Manifest: version $version of $root is empty")
+    spark.read.option("mergeSchema", "true").parquet(ms: _*)
+  }
+
   /** ADD commit: write `df` as a new member directory and publish
     * previous members + the new one. `statsCols` (integral columns)
     * embed per-member min/max in the manifest line — the data-

@@ -4581,6 +4581,37 @@ object EtlOps {
           sum(col("n_chars")).cast("long").as("sum_chars"))
         .join(conf, Seq("lang"), "left")
         .withColumn("n_conflicts", coalesce(col("n_conflicts"), lit(0L)))
+    }),
+
+    // Schema evolution UNDER row-level maintenance — the interplay
+    // q360's mergeSchema read and q366's COW delete each show alone:
+    // gen-1 members predate the n_chars column, gen-2 members carry
+    // it, old files never rewrite when the column arrives, and a COW
+    // delete then probes and rewrites members INDIVIDUALLY — each
+    // under its OWN generation's schema. Manifest.readEvolved
+    // resolves the union schema from every member footer
+    // (metadata-scale), so gen-1 rows surface NULL n_chars instead
+    // of depending on which file the reader sampled. Output: per
+    // lang, surviving docs, docs with a known n_chars, their sum.
+    "q418_evolving_maintenance" -> ((s, d) => {
+      val root = freshScratch("q418", d)
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.operators.Manifest.commitAdd(
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang")), root, "gen1")
+      graft.operators.Manifest.commitAdd(
+        docs.filter(col("doc_id") % 2 === 1), root, "gen2")
+      // %5 hits both parities → BOTH generations' members rewrite
+      graft.operators.Manifest.deleteWhere(s, root,
+        col("doc_id") % 5 === 3, "del")
+      val v = graft.operators.Manifest.currentVersion(root)
+      graft.operators.Manifest.readEvolved(s, root, v)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          count(col("n_chars")).cast("long").as("n_with_chars"),
+          coalesce(sum(col("n_chars")), lit(0L)).cast("long")
+            .as("sum_chars"))
     })
   )
 
@@ -7252,6 +7283,14 @@ object EtlOps {
                FROM merged GROUP BY 1)
          SELECT g.lang, g.n_docs, g.sum_chars,
                 coalesce(c.n_conflicts, 0) AS n_conflicts
-         FROM g LEFT JOIN conf c USING (lang)"""
+         FROM g LEFT JOIN conf c USING (lang)""",
+    "q418_evolving_maintenance" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+                sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_with_chars,
+                coalesce(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END),
+                  0)::BIGINT AS sum_chars
+         FROM documents WHERE doc_id % 5 <> 3
+         GROUP BY 1"""
   )
 }

@@ -171,7 +171,8 @@ class ReproSpec extends AnyFunSuite {
     "q414_coverage_select", // 8-round greedy submodular vocab cover
     "q415_indexed_dedup",   // persisted prefix index, delta-only shingling
     "q416_spatial_join",    // 9-cell grid bucketing, exact int distance
-    "q417_spatial_clusters" // DBSCAN(eps,minPts=2) = grid pairs + CC
+    "q417_spatial_clusters", // DBSCAN(eps,minPts=2) = grid pairs + CC
+    "q418_evolving_maintenance" // mergeSchema read × per-schema COW rewrites
   )
 
   representatives.foreach { name =>

@@ -599,6 +599,27 @@ class ManifestSpec extends AnyFunSuite {
     assert(c2.count() == 2) // same conflicts, different resolution
   }
 
+  test("readEvolved unions schema generations; COW delete rewrites each under its own schema") {
+    val root = freshRoot("evolve")
+    Manifest.commitAdd(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "payload"), root, "g1")
+    Manifest.commitAdd(
+      Seq((10L, "x", 100L), (11L, "y", 200L)).toDF("id", "payload", "extra"),
+      root, "g2")
+    val v2 = Manifest.currentVersion(root)
+    val got = Manifest.readEvolved(spark, root, v2)
+    assert(got.columns.sorted.toSeq == Seq("extra", "id", "payload"))
+    assert(got.filter(col("extra").isNull).count() == 3,
+      "pre-evolution rows must surface NULL in the added column")
+    // a COW delete hitting BOTH generations rewrites each member
+    // under its own schema
+    val v3 = Manifest.deleteWhere(spark, root, col("id") % 10 === 1, "del")
+    val after = Manifest.readEvolved(spark, root, v3)
+    assert(after.select("id").as[Long].collect().toSet == Set(2L, 3L, 10L))
+    // the pinned pre-delete snapshot is unaffected
+    assert(Manifest.readEvolved(spark, root, v2).count() == 5)
+  }
+
   test("Txn: atomic cross-table pins survive interleaved commits; loud on bad pins") {
     val root = freshRoot("txn")
     val ta = s"$root/a"; val tb = s"$root/b"
