@@ -620,6 +620,87 @@ class ManifestSpec extends AnyFunSuite {
     assert(Manifest.readEvolved(spark, root, v2).count() == 5)
   }
 
+  test("mergeBranch equals the git-semantics fold on random divergent feeds (both policies)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    // base keys 0..30; edits (U/D) restricted to live base keys;
+    // inserts share the 100..106 range on BOTH sides so I/I
+    // convergence and I/I conflicts both occur
+    val caseGen = for {
+      nSnap <- Gen.chooseNum(1, 25)
+      snap <- Gen.listOfN(nSnap, for {
+        k <- Gen.chooseNum(0L, 30L); v <- Gen.chooseNum(-50L, 50L)
+      } yield (k, v))
+      mEd <- Gen.listOfN(15, for {
+        k <- Gen.chooseNum(0L, 30L); op <- Gen.oneOf("U", "D")
+        v <- Gen.chooseNum(-50L, 50L)
+      } yield (k, op, v))
+      mIn <- Gen.listOfN(4, for {
+        k <- Gen.chooseNum(100L, 106L); v <- Gen.chooseNum(-50L, 50L)
+      } yield (k, "I", v))
+      bEd <- Gen.listOfN(15, for {
+        k <- Gen.chooseNum(0L, 30L); op <- Gen.oneOf("U", "D")
+        v <- Gen.chooseNum(-50L, 50L)
+      } yield (k, op, v))
+      bIn <- Gen.listOfN(4, for {
+        k <- Gen.chooseNum(100L, 106L); v <- Gen.chooseNum(-50L, 50L)
+      } yield (k, "I", v))
+    } yield {
+      val s = snap.distinctBy(_._1)
+      val keys = s.map(_._1).toSet
+      (s, (mEd.filter(o => keys(o._1)) ++ mIn).distinctBy(_._1),
+        (bEd.filter(o => keys(o._1)) ++ bIn).distinctBy(_._1))
+    }
+    def applyOps(st: Map[Long, Long],
+        ops: Seq[(Long, String, Long)]): Map[Long, Long] =
+      ops.foldLeft(st) {
+        case (m, (k, "D", _)) => m - k
+        case (m, (k, _, v))   => m + (k -> v)
+      }
+    for (seed <- 1L to 6L; branchWins <- Seq(false, true)) {
+      val (snap, mOps, bOps) = sample(caseGen, seed)
+      val root = freshRoot(s"mrg-prop-$seed-$branchWins")
+      val mainT = s"$root/m"; val brT = s"$root/b"
+      Manifest.commitAdd(snap.toDF("id", "v"), mainT, "base")
+      Manifest.commitAdd(snap.toDF("id", "v"), brT, "base")
+      Manifest.applyCdcBatch(
+        mOps.map(o => (o._1, o._3, o._2)).toDF("id", "v", "op"),
+        mainT, "id", "m2")
+      Manifest.applyCdcBatch(
+        bOps.map(o => (o._1, o._3, o._2)).toDF("id", "v", "op"),
+        brT, "id", "b2")
+      val snapMap = snap.toMap
+      val mHead = applyOps(snapMap, mOps)
+      val bHead = applyOps(snapMap, bOps)
+      val mTouched = (snapMap.keySet ++ mHead.keySet)
+        .filter(k => snapMap.get(k) != mHead.get(k))
+      val bTouched = (snapMap.keySet ++ bHead.keySet)
+        .filter(k => snapMap.get(k) != bHead.get(k))
+      var exp = mHead
+      var confKeys = Set.empty[Long]
+      for (k <- bTouched) {
+        val bOut = bHead.get(k); val mOut = mHead.get(k)
+        if (!mTouched(k))
+          exp = bOut.fold(exp - k)(v => exp + (k -> v))
+        else if (bOut != mOut) {
+          confKeys += k
+          if (branchWins) exp = bOut.fold(exp - k)(v => exp + (k -> v))
+        }
+      }
+      val (vm, confl) = Manifest.mergeBranch(
+        spark, mainT, 1, brT, 1, "id", Seq("v"), "mrg", branchWins)
+      val got = Manifest.read(spark, mainT, vm)
+        .as[(Long, Long)].collect().toMap
+      assert(got == exp,
+        s"seed=$seed bw=$branchWins:\n got=$got\n exp=$exp\n m=$mOps\n b=$bOps")
+      val gotConf = confl.select("id").as[Long].collect().toSet
+      assert(gotConf == confKeys,
+        s"seed=$seed bw=$branchWins conflicts: got=$gotConf exp=$confKeys")
+    }
+  }
+
   test("Txn: atomic cross-table pins survive interleaved commits; loud on bad pins") {
     val root = freshRoot("txn")
     val ta = s"$root/a"; val tb = s"$root/b"
