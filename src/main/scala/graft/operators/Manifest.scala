@@ -769,6 +769,28 @@ object Manifest {
       .map(l => (pathOf(l), keyColOf(l),
         numField(l, "seq").getOrElse(Long.MaxValue)))
 
+  /** Rows ADDED between two published versions of an APPEND-ONLY
+    * table, read from exactly the member files the later versions
+    * committed — the O(delta) change feed add-only manifests give
+    * for free (no key diff, no snapshot scan; the member-set
+    * difference IS the delta). Loud (never silently wrong) when a
+    * member was removed/rewritten in between — that is not
+    * append-only history, use [[diff]]/[[diffBoth]] instead.
+    */
+  def addedRows(
+      spark: SparkSession, root: String, vFrom: Int, vTo: Int): DataFrame = {
+    require(vFrom <= vTo, s"Manifest: addedRows $vFrom > $vTo")
+    val from = members(root, vFrom).toSet
+    val to = members(root, vTo)
+    val removed = from -- to.toSet
+    require(removed.isEmpty,
+      s"Manifest: $root v$vFrom→v$vTo is not append-only " +
+        s"(removed: ${removed.mkString(", ")}) — use diff/diffBoth")
+    val added = to.filterNot(from)
+    if (added.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(added: _*)
+  }
+
   /** Three-way merge of a BRANCH table back into MAIN — the
     * lakeFS/dolt operation [[setRef]]'s linear write-audit-publish
     * refs cannot express: both lines diverged from a common base

@@ -4612,6 +4612,65 @@ object EtlOps {
           count(col("n_chars")).cast("long").as("n_with_chars"),
           coalesce(sum(col("n_chars")), lit(0L)).cast("long")
             .as("sum_chars"))
+    }),
+
+    // JOIN incremental view maintenance across a cross-table
+    // transaction — the hard IVM case (q381 maintains one table,
+    // q410 a non-algebraic aggregate; a JOIN view needs the
+    // two-sided delta rule ΔJ = ΔA⋈B₂ ∪ A₁⋈ΔB, which counts every
+    // new pair exactly once incl. ΔA⋈ΔB). Deltas are FREE here:
+    // both tables are append-only between txn 1 and txn 2, so
+    // Manifest.addedRows reads exactly the member files the later
+    // commits added — O(delta) IO, no key diffing, no snapshot
+    // rescan — and the Txn pins make the two tables' versions
+    // consistent at both ends. The maintained view IS the result;
+    // the oracle computes the t2 join from scratch, so a wrong
+    // delta rule hash-mismatches.
+    "q419_join_ivm_txn" -> ((s, d) => {
+      val root = freshScratch("q419", d)
+      val dimT = s"$root/dim"; val statT = s"$root/stats"
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.operators.Manifest.commitAdd(
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang")), dimT, "b1")
+      graft.operators.Manifest.commitAdd(
+        docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("n_chars")), statT, "b1")
+      val t1 = graft.operators.Txn.commit(root, Map(dimT -> 1, statT -> 1))
+      // neither side becomes exhaustive — the t2 join is a proper
+      // subset of the corpus, so the delta rule has to be RIGHT
+      graft.operators.Manifest.commitAdd(
+        docs.filter(col("doc_id") % 2 === 1 && col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"), col("lang")), dimT, "b2")
+      graft.operators.Manifest.commitAdd(
+        docs.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("n_chars")), statT, "b2")
+      val t2 = graft.operators.Txn.commit(root, Map(dimT -> 2, statT -> 2))
+      val p1 = graft.operators.Txn.pins(root, t1)
+      val p2 = graft.operators.Txn.pins(root, t2)
+      // the standing view at txn 1
+      val j1 = graft.operators.Txn.readAt(s, root, t1, dimT)
+        .join(graft.operators.Txn.readAt(s, root, t1, statT), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("sc"))
+      // two-sided delta: ΔA ⋈ B₂ (new dims × the FULL new stats)
+      // ∪ A₁ ⋈ ΔB (OLD dims × new stats) — ΔA⋈ΔB pairs land in the
+      // first leg only, so nothing double-counts
+      val dA = graft.operators.Manifest.addedRows(
+        s, dimT, p1(dimT), p2(dimT))
+      val dB = graft.operators.Manifest.addedRows(
+        s, statT, p1(statT), p2(statT))
+      val leg1 = dA.join(
+        graft.operators.Txn.readAt(s, root, t2, statT), "doc_id")
+      val leg2 = graft.operators.Txn.readAt(s, root, t1, dimT).join(dB, "doc_id")
+      val delta = leg1.unionByName(leg2)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("sc"))
+      j1.unionByName(delta)
+        .groupBy(col("lang"))
+        .agg(sum(col("n")).cast("long").as("n_pairs"),
+          sum(col("sc")).cast("long").as("sum_chars"))
     })
   )
 
@@ -7291,6 +7350,13 @@ object EtlOps {
                 coalesce(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END),
                   0)::BIGINT AS sum_chars
          FROM documents WHERE doc_id % 5 <> 3
+         GROUP BY 1""",
+    "q419_join_ivm_txn" ->
+      """SELECT lang, count(*)::BIGINT AS n_pairs,
+                sum(n_chars)::BIGINT AS sum_chars
+         FROM documents
+         WHERE NOT (doc_id % 2 = 1 AND doc_id % 5 = 0)
+           AND NOT (doc_id % 3 <> 0 AND doc_id % 7 = 0)
          GROUP BY 1"""
   )
 }

@@ -165,7 +165,8 @@ object DumpPlans {
     "q415_indexed_dedup" -> "indexed incremental dedup: the day-2 probe shingles ITS batch alone, candidates come from the parquet-stored AllPairs prefix index (PlanSpec pins no corpus re-scan); daily cost O(batch) + index scan, exactness via the merge-walk verify",
     "q416_spatial_join" -> "2-D spatial join: points keyed by grid cell (the only shuffle), one side fanned to 9 neighbor cells by a broadcast offset spine — candidates form in a pure (cx,cy) equi-join, exact integer dx²+dy² filter streams inside it; never a cartesian",
     "q417_spatial_clusters" -> "DBSCAN(eps=3000, minPts=2): the density-bounded grid pair join feeds the shared min-label CC propagation (checkpointed lineage); noise drops via the size filter — no pair-space materialization beyond the threshold survivors",
-    "q418_evolving_maintenance" -> "schema evolution under maintenance: old members never rewrite when a column arrives; the COW delete probes/rewrites members INDIVIDUALLY under their own schema; readEvolved merges footers at metadata-scale and gen-1 rows surface NULL")
+    "q418_evolving_maintenance" -> "schema evolution under maintenance: old members never rewrite when a column arrives; the COW delete probes/rewrites members INDIVIDUALLY under their own schema; readEvolved merges footers at metadata-scale and gen-1 rows surface NULL",
+    "q419_join_ivm_txn" -> "join IVM: deltas are the ADDED MEMBER FILES alone (append-only manifests — O(delta) IO, no key diff), txn pins make both tables' versions consistent; the two-sided rule ΔA⋈B₂ ∪ A₁⋈ΔB counts every new pair once")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

@@ -172,7 +172,8 @@ class ReproSpec extends AnyFunSuite {
     "q415_indexed_dedup",   // persisted prefix index, delta-only shingling
     "q416_spatial_join",    // 9-cell grid bucketing, exact int distance
     "q417_spatial_clusters", // DBSCAN(eps,minPts=2) = grid pairs + CC
-    "q418_evolving_maintenance" // mergeSchema read × per-schema COW rewrites
+    "q418_evolving_maintenance", // mergeSchema read × per-schema COW rewrites
+    "q419_join_ivm_txn"     // two-sided join delta over O(delta) member reads
   )
 
   representatives.foreach { name =>

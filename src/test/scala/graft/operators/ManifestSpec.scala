@@ -620,6 +620,27 @@ class ManifestSpec extends AnyFunSuite {
     assert(Manifest.readEvolved(spark, root, v2).count() == 5)
   }
 
+  test("addedRows reads exactly the delta members; loud on rewritten history") {
+    val root = freshRoot("added")
+    Manifest.commitAdd(frame(0 until 10), root, "a")
+    Manifest.commitAdd(frame(10 until 15), root, "b")
+    Manifest.commitAdd(frame(15 until 18), root, "c")
+    assert(Manifest.addedRows(spark, root, 1, 3)
+      .select("id").as[Long].collect().toSet == (10L until 18L).toSet)
+    assert(Manifest.addedRows(spark, root, 2, 2).isEmpty)
+    // a COW rewrite breaks append-only history → loud, never wrong
+    Manifest.deleteWhere(spark, root, col("id") === 4, "del")
+    val v4 = Manifest.currentVersion(root)
+    val e = intercept[IllegalArgumentException] {
+      Manifest.addedRows(spark, root, 1, v4)
+    }
+    assert(e.getMessage.contains("not append-only"))
+    // from AFTER the rewrite, history is append-only again
+    Manifest.commitAdd(frame(18 until 20), root, "d")
+    assert(Manifest.addedRows(spark, root, v4, v4 + 1)
+      .select("id").as[Long].collect().toSet == Set(18L, 19L))
+  }
+
   test("mergeBranch equals the git-semantics fold on random divergent feeds (both policies)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
