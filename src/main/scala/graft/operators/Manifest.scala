@@ -24,7 +24,11 @@ import org.apache.spark.sql.functions.{col, lit, when}
   * Commit protocol (the Iceberg/Delta discipline at its smallest):
   *  1. write the NEW data files completely;
   *  2. render the next manifest to a temp file;
-  *  3. publish with an ATOMIC rename to `v<N+1>.json`.
+  *  3. publish with an atomic EXCLUSIVE claim (hard link) of
+  *     `v<N+1>.json`, where N is the version the commit was computed
+  *     against — a compare-and-swap: a concurrent writer that landed
+  *     first owns the slot, and this commit fails loudly instead of
+  *     publishing a member list that lost the winner's files.
   * Manifests are immutable once published and data files are
   * append-only, so a reader that pinned version k sees exactly vk's
   * file set forever — a concurrent add or replace commit creates new
@@ -81,27 +85,51 @@ object Manifest {
   }
 
   /** Publish member LINES as the next version via temp-file + atomic
-    * rename — a reader can never observe a half-written manifest.
-    * Lines pass through verbatim so per-member stats survive every
-    * later commit that keeps the member.
+    * EXCLUSIVE claim — a reader can never observe a half-written
+    * manifest, and a concurrent writer can never silently erase one.
+    * The claim is `link(2)` (hard-link the temp file to the version
+    * path): POSIX guarantees it fails atomically when the target
+    * exists, which is exactly the optimistic-concurrency primitive
+    * version-numbered table formats need — a plain rename would
+    * REPLACE a concurrently-published manifest and lose its commit.
+    * The loser gets a loud ConcurrentModificationException: its
+    * member list was computed against a head that no longer exists,
+    * so the CALLER must recompute against the new head and retry —
+    * publishing stale lines under the next slot would drop the
+    * winner's members. Lines pass through verbatim so per-member
+    * stats survive every later commit that keeps the member.
+    *
+    * `basedOn` is the version the caller computed `lines` AGAINST —
+    * the commit publishes as exactly `basedOn + 1`, making every
+    * commit a compare-and-swap: if any other writer landed first,
+    * that slot is claimed and THIS commit fails loudly instead of
+    * publishing a member list that silently drops the winner's
+    * files (the lost-update the race spec reproduces).
     */
-  private def publish(root: String, lines: Seq[String]): Int = {
+  private def publish(root: String, lines: Seq[String], basedOn: Int): Int = {
     val dir = manifestsDir(root)
     Files.createDirectories(dir)
-    val next = currentVersion(root) + 1
+    val next = basedOn + 1
     val body = lines.mkString("\n")
-    val tmp = dir.resolve(s".v$next.json.tmp")
+    val tmp = dir.resolve(s".v$next.json.tmp-${ProcessHandle.current().pid()}" +
+      s"-${Thread.currentThread().getId}")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    try
-      Files.move(tmp, manifestPath(root, next),
-        StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case _: java.nio.file.AtomicMoveNotSupportedException =>
-        // non-POSIX fallback; still a rename, just without the
-        // atomicity guarantee (test filesystems are always POSIX)
-        Files.move(tmp, manifestPath(root, next),
-          StandardCopyOption.REPLACE_EXISTING)
-    }
+    try {
+      try Files.createLink(manifestPath(root, next), tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new java.util.ConcurrentModificationException(
+            s"Manifest: v$next of $root was published concurrently — " +
+              "this commit was computed against a stale head; recompute " +
+              "and retry")
+        case _: UnsupportedOperationException =>
+          // no hard links on this filesystem: fall back to rename
+          // (atomic visibility, but WITHOUT the exclusive-claim race
+          // guarantee; test filesystems are always POSIX)
+          Files.move(tmp, manifestPath(root, next),
+            StandardCopyOption.ATOMIC_MOVE)
+      }
+    } finally Files.deleteIfExists(tmp)
     next
   }
 
@@ -152,7 +180,7 @@ object Manifest {
     publish(root, base :+ memberLine(target,
       statsJson(df, statsCols) + partJson +
         bloomJson(df, root, name, bloomCols) + seqJson(prev) +
-        rowsJson(df.sparkSession, target)))
+        rowsJson(df.sparkSession, target)), prev)
   }
 
   /** Per-member bloom SIDECAR files (the Iceberg-puffin / Delta
@@ -366,7 +394,7 @@ object Manifest {
     // none (conservative — prunedMembers always reads stats-less files)
     publish(root, base.filterNot(l => replaced.contains(pathOf(l)))
       :+ memberLine(target, seqJson(prev) +
-        rowsJson(df.sparkSession, target)))
+        rowsJson(df.sparkSession, target)), prev)
   }
 
   /** Copy-on-write row-level DELETE: rewrite ONLY the member files
@@ -401,7 +429,7 @@ object Manifest {
         memberLine(target, seqJson(prev) + rowsJson(spark, target))
       }
       publish(root, base.filterNot(l => affected.contains(pathOf(l)))
-        ++ rewritten)
+        ++ rewritten, prev)
     }
   }
 
@@ -542,7 +570,7 @@ object Manifest {
             Seq(memberLine(target, seqJson(prev) + rowsJson(spark, target)))
           }
         publish(root, base.filterNot(l => affected.contains(pathOf(l)))
-          ++ rewritten ++ appended)
+          ++ rewritten ++ appended, prev)
       }
     } finally {
       // unpersist on every path — a failed member write must not
@@ -903,7 +931,7 @@ object Manifest {
     keys.select(keyCol).distinct().write.mode("errorifexists").parquet(target)
     publish(root, membersRaw(root, prev)
       :+ memberLine(target,
-        s""","kind":"delete","key":"$keyCol"""" + seqJson(prev)))
+        s""","kind":"delete","key":"$keyCol"""" + seqJson(prev)), prev)
   }
 
   /** Merge-on-read snapshot: union of `version`'s data members MINUS
@@ -985,7 +1013,7 @@ object Manifest {
       val affectedPaths = affected.map(_._1).toSet
       val gone = dels.map(_._1).toSet ++ affectedPaths
       val next = publish(root, membersRaw(root, prev)
-        .filterNot(l => gone.contains(pathOf(l))) ++ rewritten)
+        .filterNot(l => gone.contains(pathOf(l))) ++ rewritten, prev)
       keyFrames.foreach(_._4.unpersist())
       next
     }

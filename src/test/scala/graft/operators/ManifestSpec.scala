@@ -620,6 +620,46 @@ class ManifestSpec extends AnyFunSuite {
     assert(Manifest.readEvolved(spark, root, v2).count() == 5)
   }
 
+  test("concurrent committers never lose a manifest (exclusive version claims)") {
+    import scala.jdk.CollectionConverters._
+    for (attempt <- 1 to 4) {
+      val root = freshRoot(s"race$attempt")
+      Manifest.commitAdd(frame(0 until 5), root, "base")
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      val results =
+        new java.util.concurrent.ConcurrentLinkedQueue[(String, Either[Throwable, Int])]()
+      val writers = Seq("w1" -> (10 until 15), "w2" -> (20 until 25)).map {
+        case (name, range) =>
+          new Thread(() => {
+            latch.await()
+            try results.add(name -> Right(
+              Manifest.commitAdd(frame(range), root, name)))
+            catch { case e: Throwable => results.add(name -> Left(e)) }
+          })
+      }
+      writers.foreach(_.start()); latch.countDown(); writers.foreach(_.join())
+      val rs = results.asScala.toMap
+      // a loser may exist, but ONLY as a loud stale-head rejection —
+      // never a silently replaced (lost) manifest
+      val losers = rs.collect { case (n, Left(e)) => (n, e) }
+      assert(losers.values.forall(
+        _.isInstanceOf[java.util.ConcurrentModificationException]),
+        losers.map { case (n, e) => s"$n: $e" }.mkString("; "))
+      val winners = rs.collect { case (n, Right(v)) => (n, v) }
+      assert(winners.nonEmpty, "at least one writer must land")
+      assert(winners.values.toSet.size == winners.size,
+        "winners claim DISTINCT versions")
+      val head = Manifest.currentVersion(root)
+      assert(head == 1 + winners.size, s"head $head vs ${winners.size} winners")
+      val ms = Manifest.members(root, head).map(_.split('/').last).toSet
+      assert(ms.contains("base"))
+      winners.keys.foreach(n => assert(ms.contains(n),
+        s"winner $n's member must be referenced by the head manifest"))
+      // every winner's data is readable at head — nothing was erased
+      assert(Manifest.read(spark, root, head).count() == 5L + 5 * winners.size)
+    }
+  }
+
   test("addedRows reads exactly the delta members; loud on rewritten history") {
     val root = freshRoot("added")
     Manifest.commitAdd(frame(0 until 10), root, "a")
