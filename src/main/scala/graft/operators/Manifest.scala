@@ -852,8 +852,11 @@ object Manifest {
       currentVersion(branchRoot), keyCol, valueCols)
     val md = diffBoth(spark, mainRoot, mainBase,
       currentVersion(mainRoot), keyCol, valueCols)
+    // change-set-sized; materialized ONCE so the apply commit and the
+    // conflicts frame don't each re-run the two snapshot diffs
     val joined = bd.as("b")
       .join(md.as("m"), col(s"b.$keyCol") === col(s"m.$keyCol"), "left")
+      .localCheckpoint()
     // both sides touched the key and landed on the SAME image → the
     // edits converged (incl. both-deleted: null <=> null) — no
     // conflict, and nothing to apply
