@@ -133,6 +133,36 @@ object Manifest {
     next
   }
 
+  /** Optimistic-concurrency retry around [[publish]] — the LIVENESS
+    * half of the CAS contract (r10 made lost updates impossible;
+    * this makes progress automatic). `computeLines` receives the
+    * CURRENT head version and must return the full member-line list
+    * to publish as `head + 1`, recomputing anything head-dependent
+    * (base member list, seq fields, validity checks) from scratch —
+    * a loser's recompute sees the winner's commit, so nothing is
+    * dropped. Non-CAS failures (e.g. a replace target the winner
+    * rewrote) propagate immediately: they mean the commit's PREMISE
+    * died, not just its slot, and only the caller can decide what
+    * that means. Bounded attempts keep pathological contention loud
+    * instead of livelocked.
+    */
+  def commitWithRetry(root: String, maxAttempts: Int = 5)(
+      computeLines: Int => Seq[String]): Int = {
+    require(maxAttempts >= 1, s"Manifest: maxAttempts=$maxAttempts")
+    var attempt = 0
+    var ret = -1
+    while (ret < 0) {
+      val head = currentVersion(root)
+      try ret = publish(root, computeLines(head), head)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    ret
+  }
+
   /** Pinned snapshot read ACROSS SCHEMA GENERATIONS: like [[read]]
     * but resolves the union schema from EVERY member's footer
     * (mergeSchema), so members written before a column existed
@@ -171,16 +201,20 @@ object Manifest {
       bloomCols: Seq[String] = Nil): Int = {
     val target = s"$root/files/$name"
     df.write.mode("errorifexists").parquet(target)
-    val prev = currentVersion(root)
-    val base = if (prev == 0) Seq.empty else membersRaw(root, prev)
-    require(!base.exists(pathOf(_) == target),
-      s"Manifest: $target is already a member of v$prev")
     val partJson = partition.toSeq.sortBy(_._1)
       .map { case (k, v) => s""","part_$k":"$v"""" }.mkString
-    publish(root, base :+ memberLine(target,
-      statsJson(df, statsCols) + partJson +
-        bloomJson(df, root, name, bloomCols) + seqJson(prev) +
-        rowsJson(df.sparkSession, target)), prev)
+    // data-dependent fragments compute ONCE (the member's bytes are
+    // head-independent); only the head-derived parts (base list, seq)
+    // recompute inside the CAS retry
+    val frag = statsJson(df, statsCols) + partJson +
+      bloomJson(df, root, name, bloomCols) +
+      rowsJson(df.sparkSession, target)
+    commitWithRetry(root) { prev =>
+      val base = if (prev == 0) Seq.empty else membersRaw(root, prev)
+      require(!base.exists(pathOf(_) == target),
+        s"Manifest: $target is already a member of v$prev")
+      base :+ memberLine(target, frag + seqJson(prev))
+    }
   }
 
   /** Per-member bloom SIDECAR files (the Iceberg-puffin / Delta
@@ -304,10 +338,26 @@ object Manifest {
     line.substring(i, line.indexOf('"', i))
   }
 
-  /** Raw manifest lines of a version (path + any stats fields). */
+  /** Raw manifest lines of a version (path + any stats fields).
+    * Loud on a VACUUMED pin: a version below the head whose manifest
+    * is gone was expired by [[vacuum]] — the reader's pin outlived
+    * the keep window. Naming the cause here is the retention
+    * contract's last line of defense: every snapshot read resolves
+    * through this, so an expired pin can never silently read partial
+    * data (the manifest goes before the files, so there is nothing
+    * ambiguous to read).
+    */
   private def membersRaw(root: String, version: Int): Seq[String] = {
     val p = manifestPath(root, version)
-    require(Files.exists(p), s"Manifest: version $version not published under $root")
+    if (!Files.exists(p)) {
+      val head = currentVersion(root)
+      if (version >= 1 && version <= head) throw new IllegalStateException(
+        s"Manifest: version $version of $root was VACUUMED (head is " +
+          s"v$head) — the pinned reader outlived the keep window; pin a " +
+          "ref (setRef) or vacuum with a larger keepVersions / txnRoots")
+      else throw new IllegalArgumentException(
+        s"Manifest: version $version not published under $root (head v$head)")
+    }
     scala.jdk.CollectionConverters.ListHasAsScala(
       Files.readAllLines(p, StandardCharsets.UTF_8)).asScala.toSeq
       .filter(_.nonEmpty)
@@ -381,20 +431,31 @@ object Manifest {
       root: String,
       replaced: Seq[String],
       name: String): Int = {
-    val prev = currentVersion(root)
-    require(prev > 0, s"Manifest: cannot replace in an empty table $root")
-    val base = membersRaw(root, prev)
-    val missing = replaced.filterNot(r => base.exists(pathOf(_) == r))
-    require(missing.isEmpty,
-      s"Manifest: replace targets not in v$prev: ${missing.mkString(", ")}")
     require(replaced.nonEmpty, "Manifest: nothing to replace")
+    def validatedBase(prev: Int): Seq[String] = {
+      require(prev > 0, s"Manifest: cannot replace in an empty table $root")
+      val base = membersRaw(root, prev)
+      val missing = replaced.filterNot(r => base.exists(pathOf(_) == r))
+      require(missing.isEmpty,
+        s"Manifest: replace targets not in v$prev: ${missing.mkString(", ")}")
+      base
+    }
+    // fast-fail BEFORE the data write (an invalid call must not leak
+    // a member dir), then re-validate inside the CAS retry: a retry
+    // is legal only while every replace target survives in the new
+    // head — if a concurrent winner rewrote one, this commit's
+    // premise is gone and the require fails loudly instead of
+    // resurrecting a replaced member
+    validatedBase(currentVersion(root))
     val target = s"$root/files/$name"
     df.write.mode("errorifexists").parquet(target)
-    // kept members pass through with their stats; the rewrite carries
-    // none (conservative — prunedMembers always reads stats-less files)
-    publish(root, base.filterNot(l => replaced.contains(pathOf(l)))
-      :+ memberLine(target, seqJson(prev) +
-        rowsJson(df.sparkSession, target)), prev)
+    val rows = rowsJson(df.sparkSession, target)
+    commitWithRetry(root) { prev =>
+      // kept members pass through with their stats; the rewrite carries
+      // none (conservative — prunedMembers always reads stats-less files)
+      validatedBase(prev).filterNot(l => replaced.contains(pathOf(l))) :+
+        memberLine(target, seqJson(prev) + rows)
+    }
   }
 
   /** Copy-on-write row-level DELETE: rewrite ONLY the member files
@@ -447,14 +508,38 @@ object Manifest {
       name: String,
       keyCol: String): Int = {
     val spark = df.sparkSession
-    val prev = currentVersion(root)
-    val fresh =
-      if (prev == 0) df
-      else df.join(read(spark, root, prev).select(keyCol),
-        Seq(keyCol), "left_anti")
-    // the existence probe is bounded (limit(1)), not a full count
-    if (fresh.limit(1).count() == 0) prev
-    else commitAdd(fresh, root, name)
+    // hand-rolled CAS loop (not commitWithRetry): the key-dedup
+    // anti-join is part of the commit's PREMISE, so a lost race must
+    // re-dedup against the WINNER's snapshot — two writers racing the
+    // same batch converge to one member + one no-op instead of
+    // duplicate keys. Each attempt writes an attempt-suffixed member
+    // (parquet dirs are immutable); a failed attempt's dir is
+    // unreferenced by any manifest and harmless.
+    var attempt = 0
+    var ret = -1
+    while (ret < 0) {
+      val prev = currentVersion(root)
+      val fresh =
+        if (prev == 0) df
+        else df.join(read(spark, root, prev).select(keyCol),
+          Seq(keyCol), "left_anti")
+      // the existence probe is bounded (limit(1)), not a full count
+      if (fresh.limit(1).count() == 0) ret = prev
+      else {
+        val target = s"$root/files/$name" +
+          (if (attempt == 0) "" else s"-r$attempt")
+        fresh.write.mode("errorifexists").parquet(target)
+        val base = if (prev == 0) Seq.empty else membersRaw(root, prev)
+        try ret = publish(root, base :+ memberLine(target,
+          seqJson(prev) + rowsJson(spark, target)), prev)
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            attempt += 1
+            if (attempt >= 5) throw e
+        }
+      }
+    }
+    ret
   }
 
   /** Has a commit tagged `nameTag` (an [[applyCdcBatch]] /
@@ -515,18 +600,42 @@ object Manifest {
       keyCol: String,
       nameTag: String): Int = {
     import org.apache.spark.sql.functions._
-    val spark = changes.sparkSession
-    val prev = currentVersion(root)
-    require(prev > 0, s"Manifest: applyCdcBatch needs an initialized table $root")
-    require(!tagApplied(root, nameTag),
-      s"Manifest: batch '$nameTag' is already applied to $root — " +
-        "redelivery must be skipped by the caller (tagApplied)")
     val dup = changes.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1).limit(1).collect()
     require(dup.isEmpty,
       s"Manifest.applyCdcBatch: multiple change rows for key " +
         s"${dup.headOption.map(_.get(0))} — a multi-change key has no " +
         "deterministic MERGE result; collapse the batch to one row per key first")
+    // CAS-retry loop: a lost race re-runs the WHOLE merge against the
+    // winner's head (affected members, survivors, appends all change
+    // when the winner touched the same files), with recoverTag GC'ing
+    // the failed attempt's unpublished member dirs first — the same
+    // recovery path a crashed attempt takes
+    var attempt = 0
+    var ret = -1
+    while (ret < 0) {
+      try ret = applyCdcOnce(changes, root, keyCol, nameTag)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= 5) throw e
+      }
+    }
+    ret
+  }
+
+  private def applyCdcOnce(
+      changes: DataFrame,
+      root: String,
+      keyCol: String,
+      nameTag: String): Int = {
+    import org.apache.spark.sql.functions._
+    val spark = changes.sparkSession
+    val prev = currentVersion(root)
+    require(prev > 0, s"Manifest: applyCdcBatch needs an initialized table $root")
+    require(!tagApplied(root, nameTag),
+      s"Manifest: batch '$nameTag' is already applied to $root — " +
+        "redelivery must be skipped by the caller (tagApplied)")
 
     recoverTag(root, nameTag)
     val valueCols = changes.columns.filterNot(c => c == keyCol || c == "op").toSeq
@@ -815,7 +924,10 @@ object Manifest {
       s"Manifest: $root v$vFrom→v$vTo is not append-only " +
         s"(removed: ${removed.mkString(", ")}) — use diff/diffBoth")
     val added = to.filterNot(from)
-    if (added.isEmpty) spark.emptyDataFrame
+    // an empty delta must still carry the TABLE's schema — the
+    // schema-less emptyDataFrame would break every caller that
+    // references columns (e.g. q419's join on the delta)
+    if (added.isEmpty) read(spark, root, vTo).limit(0)
     else spark.read.parquet(added: _*)
   }
 
@@ -1022,7 +1134,23 @@ object Manifest {
     }
   }
 
-  def vacuum(root: String, keepVersions: Int): (Seq[Int], Seq[String]) = {
+  /** Expire manifests below the keep window and delete their
+    * now-unreferenced member files. Three pin sources EXTEND
+    * retention beyond `keepVersions` (the Iceberg rule: refs extend
+    * retention): the keep window itself, branch/tag refs
+    * ([[setRef]]), and — when `txnRoots` names the [[Txn]] logs
+    * layered over this table — every version a published cross-table
+    * transaction record pins. Omitting a live txn root breaks every
+    * `Txn.readAt` through the expired pin; the failure is LOUD
+    * (membersRaw names the vacuumed version), never a partial read,
+    * but liveness of old txn reads is the caller's retention
+    * contract: pass the txn roots, or vacuum only below the oldest
+    * live txn.
+    */
+  def vacuum(
+      root: String,
+      keepVersions: Int,
+      txnRoots: Seq[String] = Nil): (Seq[Int], Seq[String]) = {
     require(keepVersions >= 1, "Manifest: must keep at least one version")
     val head = currentVersion(root)
     require(head > 0, s"Manifest: cannot vacuum an empty table $root")
@@ -1031,7 +1159,7 @@ object Manifest {
     // expiring a version a branch/tag points at would break every
     // reader following it (the Iceberg rule: refs extend retention)
     val refDir = Paths.get(root, "refs")
-    val refPins: Set[Int] =
+    val localPins: Set[Int] =
       if (!Files.isDirectory(refDir)) Set.empty
       else {
         val it = Files.list(refDir).iterator()
@@ -1044,9 +1172,20 @@ object Manifest {
         }
         b.result()
       }
-    val keptVersions = (keepFrom to head).toSet ++ refPins
+    // txn-pinned versions of THIS table, gathered from every
+    // published transaction record in the given logs — metadata-sized
+    val refPins: Set[Int] = localPins ++ txnRoots.flatMap { tr =>
+      (1 to Txn.current(tr)).flatMap(id => Txn.pins(tr, id).get(root))
+    }
+    // an EARLIER vacuum may already have expired part of the range —
+    // only versions whose manifest survives are readable (and only
+    // those need expiring); a txn/ref pin added AFTER its version was
+    // vacuumed can't resurrect it
+    def live(v: Int): Boolean = Files.exists(manifestPath(root, v))
+    val keptVersions = ((keepFrom to head).toSet ++ refPins).filter(live)
     val retained = keptVersions.toSeq.flatMap(v => members(root, v)).toSet
-    val expired = (1 until keepFrom).filterNot(refPins.contains).toSeq
+    val expired = (1 until keepFrom).filterNot(refPins.contains)
+      .filter(live).toSeq
     val orphans = expired.flatMap(v => members(root, v)).distinct
       .filterNot(retained.contains)
     // order matters for crash safety: manifests FIRST (so no reader

@@ -63,6 +63,22 @@ object Pq {
         if (n == 0.0) v else v.map(_ / n)
       }
     require(sample.nonEmpty, "Pq.train: empty corpus")
+    trainVectors(sample, m, ksub, iters)
+  }
+
+  /** Codebook training over ALREADY-PREPARED sample vectors — no
+    * normalization (the caller decides the geometry). This is the
+    * residual-training entry the IVF-PQ composition needs: coarse
+    * residuals are NOT unit vectors (their magnitude is the
+    * information), so [[train]]'s unit-normalize would be wrong for
+    * them.
+    */
+  def trainVectors(
+      sample: Array[Array[Double]],
+      m: Int,
+      ksub: Int,
+      iters: Int = 10): Model = {
+    require(sample.nonEmpty, "Pq.trainVectors: empty sample")
     val dim = sample.head.length
     require(dim % m == 0, s"Pq.train: dim $dim not divisible by m=$m")
     val dsub = dim / m
@@ -241,5 +257,161 @@ object Pq {
         .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"),
           col("pq_d"))
     }
+  }
+
+  /** IVF-PQ composed ANN — the standard FAISS IVFPQ recipe (Jégou
+    * et al. 2011 §V), composing the repo's two existing legs (q44's
+    * IVF coarse quantizer, q252's PQ codes) into the
+    * billion-vector-serving shape:
+    *
+    *   1. coarse quantizer: `nlist` spherical-k-means centroids
+    *      ([[Similarity.kmeansCentroids]], deterministic);
+    *   2. ONE shared PQ codebook trained on coarse RESIDUALS
+    *      `r = unit(v) − c(list)` — residuals concentrate near 0
+    *      regardless of which list a vector landed in, which is why
+    *      the shared codebook quantizes them far better than raw
+    *      vectors (the whole point of the composition);
+    *   3. index: per-vector (list, packed residual code) — 4+8 bytes
+    *      per row in the serving shuffle, floats never move;
+    *   4. search: probe `nprobe` lists per query, encode the QUERY's
+    *      residual against each probed list's centroid, symmetric
+    *      ADC ([[PqDist]], exact integer) against only that list's
+    *      codes, shortlist top-`rerank`, exact-cosine re-rank.
+    *
+    * Candidate IO is proportional to the PROBED lists only — the
+    * scan never touches the other `nlist − nprobe` lists' rows
+    * (IvfPqSpec pins the candidate count to the probed lists' sizes)
+    * — and per-candidate cost is `m` table lookups on two longs.
+    * Deterministic end to end: trained artifacts are
+    * sample-hash-ordered, scoring is integer, ties break on id.
+    * Approximate by construction → rows-only driver gate; IvfPqSpec
+    * pins determinism and the recall floor vs exact cosine top-k.
+    */
+  def ivfPqTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: DataFrame, // single column `query_id`
+      nlist: Int,
+      nprobe: Int,
+      k: Int,
+      m: Int = 16,
+      ksub: Int = 16,
+      rerank: Int = 32,
+      sampleN: Int = 2048): DataFrame = {
+    require(rerank >= k, s"ivfPqTopK: rerank=$rerank must be >= k=$k")
+    val cents = Similarity.kmeansCentroids(emb, idCol, vecCol, nlist)
+    require(cents.nonEmpty, "ivfPqTopK: no centroids (empty corpus?)")
+    require(nprobe >= 1 && nprobe <= cents.length,
+      s"ivfPqTopK: nprobe=$nprobe out of range [1, ${cents.length}]")
+    val dim = cents.head.length
+    require(dim % m == 0, s"ivfPqTopK: dim $dim not divisible by m=$m")
+    val flatCents: Array[Float] = cents.flatten.toArray
+
+    // residual codebook: same deterministic hash-ordered sample rule
+    // as train(), with the coarse assignment + residual computed
+    // in-driver (sampleN rows, never the corpus)
+    val sample: Array[Array[Double]] = emb
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .orderBy(xxhash64(col("__id")), col("__id"))
+      .limit(sampleN)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val residuals = sample.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      val u = if (n == 0.0) v else v.map(_ / n)
+      var best = 0
+      var bestSim = Double.NegativeInfinity
+      var j = 0
+      while (j < cents.length) {
+        var s = 0.0; var d = 0
+        while (d < dim) { s += u(d) * cents(j)(d); d += 1 }
+        if (s > bestSim) { bestSim = s; best = j } // tie → lowest index
+        j += 1
+      }
+      Array.tabulate(dim)(d => u(d) - cents(best)(d))
+    }
+    val model = trainVectors(residuals, m, ksub)
+
+    def resCode(vec: Column, list: Column): Column =
+      GraftColumnBridge.column(graft.functions.expressions.PqEncodeResidual(
+        GraftColumnBridge.expression(vec),
+        GraftColumnBridge.expression(list.cast("int")),
+        flatCents, model.codebook, model.m, model.ksub, model.dsub))
+    def adcDist(vec: Column, list: Column, code: Column): Column =
+      GraftColumnBridge.column(graft.functions.expressions.PqAdcResidual(
+        GraftColumnBridge.expression(vec),
+        GraftColumnBridge.expression(list.cast("int")),
+        GraftColumnBridge.expression(code),
+        flatCents, model.codebook, model.m, model.ksub, model.dsub))
+
+    // index: (id, list, residual code) — one narrow codegen pass
+    val indexed = Similarity.ivfIndex(emb, vecCol, cents)
+      .select(col(idCol), col("ivf_list"),
+        resCode(col(vecCol), col("ivf_list")).as("code"))
+
+    val queries = emb.join(queryIds, emb(idCol) === queryIds("query_id"))
+      .select(col("query_id"), col(vecCol).as("qv"))
+    // top-nprobe lists per query via the literal-sized score array —
+    // narrow, no window; the query KEEPS its float vector (queries
+    // are few — the broadcast side), so scoring can run ASYMMETRIC
+    // ADC: only the candidate side is 4-bit-coded, halving the
+    // quantization noise of the symmetric code-to-code path
+    val probes = queries
+      .withColumn("__probe", explode(slice(reverse(array_sort(
+        Similarity.centroidScores(col("qv"), cents))), 1, nprobe)))
+      .select(col("query_id"), col("qv"),
+        (-col("__probe.ni")).as("ivf_list"))
+
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_d"), col(idCol))
+    val shortlist = probes.join(indexed, Seq("ivf_list"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("pq_d", adcDist(col("qv"), col("ivf_list"), col("code")))
+      .drop("qv")
+      .withColumn("rank", row_number().over(wAdc).cast("long"))
+      .filter(col("rank") <= rerank)
+
+    // exact re-rank: only shortlist rows ever touch float vectors
+    val vecs = emb.select(col(idCol).as("__vid"), col(vecCol).as("__vv"))
+    val qvecs = emb.join(queryIds, emb(idCol) === queryIds("query_id"))
+      .select(col("query_id").as("__qid"), col(vecCol).as("__qv"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col(idCol))
+    shortlist
+      .join(vecs, shortlist(idCol) === col("__vid"))
+      .join(broadcast(qvecs), col("query_id") === col("__qid"))
+      .withColumn("sim", Vec.cosine(col("__qv"), col("__vv")))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"))
+  }
+
+  /** The probe-stage candidate frame of [[ivfPqTopK]] — factored so
+    * IvfPqSpec can pin "candidate IO ∝ probed lists only" by
+    * counting, without re-deriving the join shape. Columns:
+    * (query_id, ivf_list, id, pq_d).
+    */
+  private[graft] def ivfPqCandidates(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: DataFrame,
+      nlist: Int,
+      nprobe: Int,
+      m: Int = 16,
+      ksub: Int = 16,
+      sampleN: Int = 2048): DataFrame = {
+    val cents = Similarity.kmeansCentroids(emb, idCol, vecCol, nlist)
+    val indexed = Similarity.ivfIndex(emb, vecCol, cents)
+      .select(col(idCol), col("ivf_list"))
+    val queries = emb.join(queryIds, emb(idCol) === queryIds("query_id"))
+      .select(col("query_id"), col(vecCol).as("qv"))
+    val probes = queries
+      .withColumn("__probe", explode(slice(reverse(array_sort(
+        Similarity.centroidScores(col("qv"), cents))), 1, nprobe)))
+      .select(col("query_id"), (-col("__probe.ni")).as("ivf_list"))
+    probes.join(indexed, Seq("ivf_list"))
+      .filter(col(idCol) =!= col("query_id"))
   }
 }

@@ -143,7 +143,7 @@ object Similarity {
     * order breaks similarity ties toward the SMALLEST centroid index.
     * Evaluated per row inside whole-stage codegen — no join.
     */
-  private def centroidScores(vecCol: Column, cents: Array[Array[Float]]): Column =
+  private[operators] def centroidScores(vecCol: Column, cents: Array[Array[Float]]): Column =
     array(cents.zipWithIndex.map { case (cv, i) =>
       struct(
         Vec.cosine(vecCol, typedlit(cv.toSeq)).as("s"),

@@ -11,10 +11,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * table A's new commit paired with table B's old one). A
   * transaction record pins a CONSISTENT set of (table root →
   * version) pairs and publishes with the same temp-file +
-  * atomic-rename protocol as manifests, so readers that resolve
-  * table versions THROUGH a transaction id can never observe a torn
-  * cross-table state, no matter how the underlying per-table commits
-  * interleave with the read.
+  * hard-link COMPARE-AND-SWAP slot claim as manifests, so readers
+  * that resolve table versions THROUGH a transaction id can never
+  * observe a torn cross-table state, and concurrent committers can
+  * never silently overwrite each other's records, no matter how the
+  * underlying per-table commits interleave with the read.
   *
   * Protocol (mirrors multi-table transaction coordinators layered on
   * snapshot tables): writers commit each table normally (those
@@ -56,6 +57,19 @@ object Txn {
     * transaction. Every pinned version must already be published in
     * its table — a txn can never reference an unreadable snapshot.
     * Returns the new txn id.
+    *
+    * Slot claims are COMPARE-AND-SWAP, mirroring `Manifest.publish`:
+    * the record is written to a writer-unique temp file and
+    * hard-linked (`link(2)`, atomic-fail-if-exists) to the id slot —
+    * a plain rename would silently REPLACE a concurrently published
+    * record, losing that transaction (the exact lost-update class
+    * the manifest CAS closes, in the component whose whole contract
+    * is atomicity). Unlike a manifest commit, a txn record's CONTENT
+    * is head-independent (it pins explicit versions, not a member
+    * list computed against a head), so losing a slot race is retried
+    * internally with the next free id — liveness for free, with a
+    * loud ConcurrentModificationException only if contention outlasts
+    * the attempt bound.
     */
   def commit(root: String, pins: Map[String, Int]): Int = {
     require(pins.nonEmpty, "Txn: empty transaction")
@@ -65,20 +79,41 @@ object Txn {
     }
     val dir = txnsDir(root)
     Files.createDirectories(dir)
-    val next = current(root) + 1
     val body = pins.toSeq.sortBy(_._1)
       .map { case (t, v) => s"""{"table":"$t","version":$v}""" }
       .mkString("\n")
-    val tmp = dir.resolve(s".t$next.json.tmp")
+    val tmp = dir.resolve(s".txn.tmp-${ProcessHandle.current().pid()}" +
+      s"-${Thread.currentThread().getId}")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    try
-      Files.move(tmp, txnPath(root, next), StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case _: java.nio.file.AtomicMoveNotSupportedException =>
-        Files.move(tmp, txnPath(root, next),
-          StandardCopyOption.REPLACE_EXISTING)
-    }
-    next
+    try {
+      var attempt = 0
+      var claimed = -1
+      while (claimed < 0) {
+        val next = current(root) + 1
+        try {
+          try {
+            Files.createLink(txnPath(root, next), tmp)
+            claimed = next
+          } catch {
+            case _: UnsupportedOperationException =>
+              // no hard links on this filesystem: rename fallback
+              // (atomic visibility, WITHOUT the exclusive-claim race
+              // guarantee; test filesystems are always POSIX)
+              Files.move(tmp, txnPath(root, next),
+                StandardCopyOption.ATOMIC_MOVE)
+              claimed = next
+          }
+        } catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            attempt += 1
+            if (attempt >= 10) throw new java.util.ConcurrentModificationException(
+              s"Txn: could not claim a slot in $root after $attempt " +
+                s"attempts (last contested: t$next) — contention outlasted " +
+                "the retry bound")
+        }
+      }
+      claimed
+    } finally Files.deleteIfExists(tmp)
   }
 
   /** The (table root → version) pins of a published transaction. */

@@ -683,7 +683,8 @@ object CorpusOps {
         .persist()
       try {
         var picked = Vector.empty[(Long, Long)] // (doc_id, gain)
-        for (_ <- 1 to 8) {
+        var exhausted = false
+        for (_ <- 1 to 8 if !exhausted) {
           val ids = picked.map(_._1)
           val remaining =
             if (ids.isEmpty) tok else tok.filter(!col("doc_id").isin(ids: _*))
@@ -693,11 +694,17 @@ object CorpusOps {
               tok.filter(col("doc_id").isin(ids: _*))
                 .select(col("tk")).distinct(),
               Seq("tk"), "left_anti")
-          val top = uncovered
+          // headOption, not (0): when the bigram universe is fully
+          // covered before round 8 (tiny corpora), no document adds
+          // coverage — stop gracefully with fewer rows instead of an
+          // ArrayIndexOutOfBoundsException (r10 advice)
+          uncovered
             .groupBy(col("doc_id")).agg(count(lit(1)).as("g"))
             .orderBy(col("g").desc, col("doc_id"))
-            .limit(1).collect()(0)
-          picked :+= ((top.getLong(0), top.getLong(1)))
+            .limit(1).collect().headOption match {
+            case Some(top) => picked :+= ((top.getLong(0), top.getLong(1)))
+            case None => exhausted = true
+          }
         }
         import s.implicits._
         picked.zipWithIndex.map { case ((id, g), i) =>

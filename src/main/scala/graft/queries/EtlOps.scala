@@ -3964,11 +3964,12 @@ object EtlOps {
     // survivorship rules (canonical name from the min-key member,
     // max price, min size, membership counts). Scale shape: the
     // match space is the identical-name collapse first (one
-    // name-grain aggregate — the q35/q41 discipline), so the
-    // quadratic candidate join runs on DISTINCT names only — a
-    // generator-bounded vocabulary here, a blocked candidate set in
-    // the general case; the BroadcastNestedLoopJoin below is that
-    // bounded grid, never the part table against itself. CC
+    // name-grain aggregate — the q35/q41 discipline), then
+    // EntityBlocking.edCandidatePairs generates a LOSSLESS blocked
+    // candidate set (q-gram count filtering + DF-ordered AllPairs
+    // prefixes + length window — equi-joins only, sub-quadratic
+    // growth pinned by ErScaleGuardSpec) and the banded levenshtein
+    // verifies candidates only — never name × name. CC
     // shuffles (id, label) pairs only; payloads re-join at the end.
     "q394_entity_resolution" -> ((s, d) => {
       val parts = Tables(s, d).part.select(col("p_partkey"), col("p_name"),
@@ -4671,25 +4672,93 @@ object EtlOps {
         .groupBy(col("lang"))
         .agg(sum(col("n")).cast("long").as("n_pairs"),
           sum(col("sc")).cast("long").as("sum_chars"))
+    }),
+
+    // Streaming maintenance COMPOSITION (r10 verdict item 6): q405
+    // streams MOR delete commits, q393 settles debt offline — here
+    // the stream settles its OWN debt mid-flight: four delete
+    // batches drain with maxDeleteDebt=2, so batches 2 and 4 each
+    // trip an in-stream compactDeletes (the require pins the event
+    // log exactly: compactions after b1 and b3, none elsewhere, zero
+    // debt at head). The isolation proof rides the result itself:
+    // the mid-stream pin (the version holding deletes b0+b1, taken
+    // BEFORE the first compaction) is read through readMor AFTER
+    // both compactions rewrote every data member it references —
+    // the pinned aggregate must still equal the exact b0+b1 delete
+    // state (the oracle's mid CTE), or the compaction broke snapshot
+    // isolation. Final state oracles as the all-batches NOT-IN.
+    "q421_stream_auto_compact" -> ((s, d) => {
+      val root = freshScratch("q421", d)
+      val feed = s"$root/feed"; val table = s"$root/table"
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      // two base members so compaction exercises multi-member rewrites
+      graft.operators.Manifest.commitAdd(
+        docs.filter(col("doc_id") % 2 === 0), table, "base-even")
+      graft.operators.Manifest.commitAdd(
+        docs.filter(col("doc_id") % 2 === 1), table, "base-odd")
+      def stage(name: String, mtime: Long, df: DataFrame): Unit =
+        graft.streaming.LakeIngest.stageBatchFile(feed, name, mtime, df)
+      stage("k0.parquet", 1000000L,
+        docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
+      stage("k1.parquet", 2000000L,
+        docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")))
+      stage("k2.parquet", 3000000L,
+        docs.filter(col("doc_id") % 3 === 0).select(col("doc_id")))
+      stage("k3.parquet", 4000000L,
+        docs.filter(col("doc_id") % 11 === 0).select(col("doc_id")))
+      val events = graft.streaming.LakeIngest.deleteFeedToMorAutoCompact(
+        s, feed, s"$root/ckpt", table, "doc_id", maxDeleteDebt = 2)
+      val head = graft.operators.Manifest.currentVersion(table)
+      require(events.map(_.compactedTo.isDefined) ==
+          Seq(false, true, false, true) &&
+          events(1).compactedTo.contains(events(1).deleteVersion + 1) &&
+          head == events(3).compactedTo.get &&
+          graft.operators.Manifest.deleteMembers(table, head).isEmpty,
+        s"q421: expected compactions exactly after b1 and b3 with zero " +
+          s"debt at head, got $events (head $head)")
+      val midPin = events(1).deleteVersion // b0+b1 deletes, pre-compaction
+      val mid = graft.operators.Manifest.readMor(s, table, midPin)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_mid"),
+          sum(col("n_chars")).cast("long").as("chars_mid"))
+      val fin = graft.operators.Manifest.readMor(s, table, head)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_final"),
+          sum(col("n_chars")).cast("long").as("chars_final"))
+      mid.join(fin, Seq("lang"), "left")
+        .select(col("lang"), col("n_mid").cast("long").as("n_mid"),
+          col("chars_mid"),
+          coalesce(col("n_final"), lit(0L)).cast("long").as("n_final"),
+          coalesce(col("chars_final"), lit(0L)).as("chars_final"))
     })
   )
 
-  /** q394's candidate stage, factored for the PlanSpec gate — q394's
-    * own final plan is the post-checkpoint RDD scan (the CC operator
-    * checkpoints per round), so the grid join must be introspected
-    * here, pre-checkpoint. `names` is the identical-name collapse
-    * (p_name, rep); the grid is distinct-name × distinct-name (vocab-
-    * bounded, never the part table against itself). The 3-arg
-    * levenshtein runs the BANDED DP (O(len·k), early exit, -1 past
-    * the threshold) — same predicate as `<= 2`, cheaper per pair.
+  /** q394's candidate+verify stage, factored for the PlanSpec gate —
+    * q394's own final plan is the post-checkpoint RDD scan (the CC
+    * operator checkpoints per round), so the match join must be
+    * introspected here, pre-checkpoint. `names` is the identical-name
+    * collapse (p_name, rep). Candidates come from
+    * [[graft.operators.EntityBlocking.edCandidatePairs]] — lossless
+    * q-gram count filtering + DF-ordered AllPairs prefix join +
+    * length window, never a cross join over the name grid (the r10
+    * distinct-name cross join was still O(distinct²), and TPC-H part
+    * names are near-unique, so "distinct" ≈ the part table — the
+    * blocked join is the 100×-safe shape). The 3-arg levenshtein
+    * VERIFY runs the BANDED DP (O(len·k), early exit, -1 past the
+    * threshold) — same predicate as `<= 2`, cheaper per pair — over
+    * candidates only.
     */
   private[graft] def erMatchPairs(names: DataFrame): DataFrame = {
-    val a = names.select(col("rep").as("a_rep"), col("p_name").as("a_name"))
-    val b = names.select(col("rep").as("b_rep"), col("p_name").as("b_name"))
-    a.crossJoin(b)
-      .filter(col("a_rep") < col("b_rep") &&
-        levenshtein(col("a_name"), col("b_name"), 2) >= 0)
-      .select(col("a_rep"), col("b_rep"))
+    val cand = graft.operators.EntityBlocking
+      .edCandidatePairs(names, "rep", "p_name", maxEdits = 2)
+    cand
+      .join(names.select(col("rep").as("a_id"), col("p_name").as("a_name")),
+        "a_id")
+      .join(names.select(col("rep").as("b_id"), col("p_name").as("b_name")),
+        "b_id")
+      .filter(levenshtein(col("a_name"), col("b_name"), 2) >= 0)
+      .select(col("a_id").as("a_rep"), col("b_id").as("b_rep"))
   }
 
   /** q384's report body, factored so the query map entry stays at
@@ -7357,6 +7426,24 @@ object EtlOps {
          FROM documents
          WHERE NOT (doc_id % 2 = 1 AND doc_id % 5 = 0)
            AND NOT (doc_id % 3 <> 0 AND doc_id % 7 = 0)
-         GROUP BY 1"""
+         GROUP BY 1""",
+    "q421_stream_auto_compact" ->
+      """WITH mid AS (
+           SELECT lang, count(*)::BIGINT AS n_mid,
+                  sum(n_chars)::BIGINT AS chars_mid
+           FROM documents
+           WHERE doc_id % 7 <> 0 AND doc_id % 5 <> 0
+           GROUP BY 1),
+         fin AS (
+           SELECT lang, count(*)::BIGINT AS n_final,
+                  sum(n_chars)::BIGINT AS chars_final
+           FROM documents
+           WHERE doc_id % 7 <> 0 AND doc_id % 5 <> 0
+             AND doc_id % 3 <> 0 AND doc_id % 11 <> 0
+           GROUP BY 1)
+         SELECT mid.lang, mid.n_mid, mid.chars_mid,
+                coalesce(fin.n_final, 0)::BIGINT AS n_final,
+                coalesce(fin.chars_final, 0)::BIGINT AS chars_final
+         FROM mid LEFT JOIN fin USING (lang)"""
   )
 }

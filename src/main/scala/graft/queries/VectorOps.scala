@@ -113,6 +113,22 @@ object VectorOps {
         k = 5, rerank = 32)
     }),
 
+    // IVF-PQ composed ANN (r10 verdict item 5) — q44's coarse
+    // quantizer + q252's PQ codes in the standard FAISS IVFPQ
+    // arrangement: vectors index as (list, packed residual code),
+    // search probes nprobe lists, scores symmetric integer ADC
+    // against residual codebooks, and exact-reranks the shortlist.
+    // Candidate IO ∝ probed lists only (IvfPqSpec pins the count);
+    // trained artifacts make it approximate → rows-only; IvfPqSpec
+    // pins determinism + the recall floor vs exact cosine top-k.
+    "q420_ivfpq_ann" -> ((s, d) => {
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      val queryIds = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"))
+      graft.operators.Pq.ivfPqTopK(emb, "vec_id", "embedding", queryIds,
+        nlist = 16, nprobe = 4, k = 5)
+    }),
+
     // Multi-table sign-LSH near-dup join at a REAL near-dup
     // threshold (τ=0.8) — the regime cosineNearDupLsh is designed
     // for. The raw corpus has no pairs above ~0.51, so the query

@@ -109,6 +109,77 @@ object LakeIngest {
     * costs per key batch, never per table — the COW alternative
     * would rewrite affected members inside the micro-batch.
     */
+  /** One auto-compaction decision of [[deleteFeedToMorAutoCompact]]:
+    * the version the batch's delete commit produced, and — when the
+    * debt threshold tripped — the version the mid-stream compaction
+    * published.
+    */
+  final case class AutoCompactEvent(
+      batchId: Long, deleteVersion: Int, compactedTo: Option[Int])
+
+  /** [[deleteFeedToMor]] with MID-STREAM debt settlement — the full
+    * streaming-maintenance loop (r10 verdict item 6): each micro-
+    * batch commits its equality-delete file, and whenever the
+    * accumulated MOR debt (count of live delete members) reaches
+    * `maxDeleteDebt`, the drain triggers [[Manifest.compactDeletes]]
+    * INSIDE the stream, folding the debt into rewritten data members
+    * before the next batch lands. This is the knob production MOR
+    * tables run on: unbounded debt makes every read pay the
+    * anti-join stack; compacting every batch makes ingestion pay COW
+    * prices — the threshold buys both cheap deletes and bounded read
+    * amplification.
+    *
+    * Isolation across the boundary comes free from the manifest:
+    * compaction ADDS a version (rewritten members + dropped delete
+    * lines) and deletes nothing physical, so a reader pinned to any
+    * pre-compaction version still resolves its exact member set —
+    * `readMor` at that pin returns byte-identical rows before and
+    * after the compaction commit (q421 emits both sides of that
+    * equality; ManifestSpec pins it row-for-row).
+    *
+    * Returns the per-batch event log (driver-side, foreachBatch runs
+    * on the driver) — metadata-sized, one row per feed file.
+    */
+  def deleteFeedToMorAutoCompact(
+      spark: SparkSession,
+      feedDir: String,
+      checkpointDir: String,
+      root: String,
+      keyCol: String,
+      maxDeleteDebt: Int): Seq[AutoCompactEvent] = {
+    require(maxDeleteDebt >= 1,
+      s"deleteFeedToMorAutoCompact: maxDeleteDebt=$maxDeleteDebt")
+    val events = scala.collection.mutable.ArrayBuffer.empty[AutoCompactEvent]
+    val schema = spark.read.parquet(feedDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feedDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cached = batch.persist()
+        try {
+          val tag = s"del-b$batchId"
+          if (!Manifest.tagApplied(root, tag) &&
+            cached.limit(1).count() > 0) {
+            val dv = Manifest.commitEqualityDelete(
+              cached.select(keyCol), root, s"$tag-keys", keyCol)
+            val debt = Manifest.deleteMembers(root, dv).size
+            val compacted =
+              if (debt >= maxDeleteDebt)
+                Some(Manifest.compactDeletes(spark, root, s"cmp-b$batchId"))
+              else None
+            events += AutoCompactEvent(batchId, dv, compacted)
+          }
+          ()
+        } finally { cached.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    events.toSeq
+  }
+
   def deleteFeedToMor(
       spark: SparkSession,
       feedDir: String,

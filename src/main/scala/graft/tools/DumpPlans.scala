@@ -141,7 +141,7 @@ object DumpPlans {
     "q391_apriori_triples" -> "a-priori: infrequent brands leave before any self-join (broadcast L1), triple candidates must hold three frequent pairs (broadcast L2 semi-joins) before the count — downward closure makes the pruning free of result changes; joins are order-keyed shuffles",
     "q392_mor_delete" -> "MOR delete: the commit writes only the key batch as a delete file (dataMembers require-proved untouched); the read subtracts it with one broadcast left-anti join — data streams through unshuffled",
     "q393_delete_compaction" -> "MOR compaction: per-member semi-join probes pick affected files, each rewrites minus the delete keys, delete members leave the manifest in one replace commit; parity column computes debt ≡ settled rather than assuming it",
-    "q394_entity_resolution" -> "entity resolution: identical-name collapse first, so the quadratic match join runs on DISTINCT names (vocab-bounded BroadcastNestedLoopJoin); CC shuffles (id,label) pairs only; survivorship is one cluster-keyed aggregate + the canonical-name join",
+    "q394_entity_resolution" -> "entity resolution: identical-name collapse, then EntityBlocking.edCandidatePairs (lossless q-gram count filtering + DF-ordered AllPairs prefixes, equi-joins only — no name grid) feeds the banded-levenshtein verify; CC shuffles (id,label) pairs only; survivorship is one cluster-keyed aggregate + the canonical-name join",
     "q395_seq_support" -> "sequence support: one (user,type) aggregate holds sorted µs arrays; the type-cube fan-out is 125 bounded rows/user, greedy earliest-completion runs in interpreted lambdas with |history|²-bounded per-user work — no corpus-grain shuffle after the first aggregate",
     "q396_kaplan_meier" -> "Kaplan-Meier: one user-keyed aggregate builds (T, event); the risk-set window and prefix-product folds run at duration-day grain (≤ observation-window rows, broadcast packed-step array, O(steps²) slice folds)",
     "q397_anova_stats" -> "ANOVA sufficient stats: ONE map-side-combined aggregate over the fact table (n_i, ΣX, ΣX² per flag); grand totals are a 1-row broadcast; ΣX² in DECIMAL(38,0) as STRING, mean deviations by integer cross-multiplication",
@@ -166,7 +166,9 @@ object DumpPlans {
     "q416_spatial_join" -> "2-D spatial join: points keyed by grid cell (the only shuffle), one side fanned to 9 neighbor cells by a broadcast offset spine — candidates form in a pure (cx,cy) equi-join, exact integer dx²+dy² filter streams inside it; never a cartesian",
     "q417_spatial_clusters" -> "DBSCAN(eps=3000, minPts=2): the density-bounded grid pair join feeds the shared min-label CC propagation (checkpointed lineage); noise drops via the size filter — no pair-space materialization beyond the threshold survivors",
     "q418_evolving_maintenance" -> "schema evolution under maintenance: old members never rewrite when a column arrives; the COW delete probes/rewrites members INDIVIDUALLY under their own schema; readEvolved merges footers at metadata-scale and gen-1 rows surface NULL",
-    "q419_join_ivm_txn" -> "join IVM: deltas are the ADDED MEMBER FILES alone (append-only manifests — O(delta) IO, no key diff), txn pins make both tables' versions consistent; the two-sided rule ΔA⋈B₂ ∪ A₁⋈ΔB counts every new pair once")
+    "q419_join_ivm_txn" -> "join IVM: deltas are the ADDED MEMBER FILES alone (append-only manifests — O(delta) IO, no key diff), txn pins make both tables' versions consistent; the two-sided rule ΔA⋈B₂ ∪ A₁⋈ΔB counts every new pair once",
+    "q420_ivfpq_ann" -> "IVF-PQ ANN: candidates restricted to the probed lists (ivf_list equi-join), residual codes scored by integer ADC, floats touched only by the shortlist re-rank",
+    "q421_stream_auto_compact" -> "streaming auto-compaction: per-batch delete commits + in-stream debt-triggered compactDeletes; the emitted frame joins the pre-compaction pinned readMor against the head readMor")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

@@ -32,14 +32,14 @@ class EntrySpec extends AnyFunSuite {
     // so a silently DROPPED oracled query would not have failed the
     // suite. Keep in sync with CLAUDE.md's inventory note — a new
     // query bumps this in the SAME commit.
-    assert(SparkEntry.queries.size == 419,
-      s"query inventory drifted: ${SparkEntry.queries.size} (expected 419)")
+    assert(SparkEntry.queries.size == 421,
+      s"query inventory drifted: ${SparkEntry.queries.size} (expected 421)")
   }
 
   test("rows-only queries are exactly the approximate / non-SQL-expressible ops") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep this count in sync with CLAUDE.md's inventory note
-    assert(rowsOnly.size == 18, s"rows-only count drifted: ${rowsOnly.size}")
+    assert(rowsOnly.size == 19, s"rows-only count drifted: ${rowsOnly.size}")
     assert(rowsOnly == Set("q36_minhash_lsh", "q37_simhash",
       "q38_ngram_jaccard", "q42_ann_lsh", "q43_winnow_fp", "q44_ann_ivf",
       "q48_source_signatures", "q59_corpus_clean",
@@ -70,7 +70,11 @@ class EntrySpec extends AnyFunSuite {
       "q235_deflate_ratio",
       // PQ codebooks summarize the corpus (trained, approximate);
       // SimilaritySpec pins determinism + the recall floor
-      "q252_pq_ann"))
+      "q252_pq_ann",
+      // IVF-PQ composed ANN: coarse centroids + residual codebooks
+      // are both trained artifacts; IvfPqSpec pins determinism, the
+      // recall floor, and probed-lists-only candidate IO
+      "q420_ivfpq_ann"))
   }
 
   test("every query runs non-empty on sf0.001") {

@@ -408,21 +408,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
-  test("q394: the quadratic ER match runs on the distinct-name grid only") {
+  test("q394: the ER match runs on blocked candidates only — no cross join") {
     // q394's own final plan is the post-checkpoint RDD scan (the CC
     // operator checkpoints per round) — introspect the candidate
-    // stage pre-checkpoint, the q35/q385 extras discipline
+    // stage pre-checkpoint, the q35/q385 extras discipline. Since
+    // r11 the candidates come from EntityBlocking.edCandidatePairs
+    // (q-gram prefix blocking): every join in the match stage must
+    // be an EQUI-join — the O(distinct²) name grid never forms.
     import org.apache.spark.sql.functions.{col, min => fmin}
     val names = spark.read.parquet(s"$sf/part.parquet")
       .groupBy(col("p_name")).agg(fmin(col("p_partkey")).as("rep"))
     val p = graft.queries.EtlOps.erMatchPairs(names)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
-    // the nested-loop operands must be the name-grain AGGREGATES —
-    // the part scan itself never feeds a quadratic join directly
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      s"expected the bounded distinct-name grid join:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"),
+      s"blocked ER must never form the name-pair cross product:\n${p.take(800)}")
+    // the only nested-loop allowed is the broadcast shorts bucket
+    // (vacuous-bound strings, tiny by construction) — the main
+    // candidate path is the prefix-gram equi-join
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected the prefix-gram equi-join:\n${p.take(800)}")
     assert(p.contains("HashAggregate"),
-      "identical-name collapse must aggregate before the grid join")
+      "identical-name collapse must aggregate before candidate generation")
   }
 
   test("q395: no corpus-grain shuffle after the (user,type) aggregate") {

@@ -173,7 +173,10 @@ class ReproSpec extends AnyFunSuite {
     "q416_spatial_join",    // 9-cell grid bucketing, exact int distance
     "q417_spatial_clusters", // DBSCAN(eps,minPts=2) = grid pairs + CC
     "q418_evolving_maintenance", // mergeSchema read × per-schema COW rewrites
-    "q419_join_ivm_txn"     // two-sided join delta over O(delta) member reads
+    "q419_join_ivm_txn",    // two-sided join delta over O(delta) member reads
+    // round-11 additions
+    "q420_ivfpq_ann",       // trained coarse centroids + residual codebooks
+    "q421_stream_auto_compact" // mid-stream debt-triggered compaction
   )
 
   representatives.foreach { name =>

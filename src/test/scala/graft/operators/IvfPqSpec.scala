@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the IVF-PQ composed ANN (q420, r10 verdict item 5):
+  * determinism (trained artifacts are sample-hash-ordered, scoring
+  * is exact integer ADC, ties break on id), the recall floor vs
+  * exact cosine top-k, and the scale property the composition
+  * exists for — candidate IO proportional to the PROBED lists only.
+  */
+class IvfPqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+
+  private def queryIds(n: Int) =
+    emb.filter(col("vec_id") < n).select(col("vec_id").as("query_id"))
+
+  private def bruteTopK(k: Int, nQueries: Int): Map[Long, Set[Long]] = {
+    val vs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na) / math.sqrt(nb)
+    }
+    (0L until nQueries.toLong).map { q =>
+      q -> vs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vs(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+    }.toMap
+  }
+
+  test("IVF-PQ top-k is bitwise run-to-run deterministic") {
+    def run(): Seq[String] =
+      Pq.ivfPqTopK(emb, "vec_id", "embedding", queryIds(20),
+        nlist = 16, nprobe = 4, k = 5)
+        .collect().map(r => s"${r.getLong(0)}|${r.getLong(1)}|${r.getLong(2)}")
+        .sorted.toSeq
+    val a = run(); val b = run()
+    assert(a.nonEmpty && a == b,
+      "IVF-PQ ranking must be identical across runs (trained artifacts " +
+        "are deterministic, ADC is integer, ties break on id)")
+  }
+
+  test("IVF-PQ recall@5 meets the floor vs exact cosine; full probe + big rerank ≈ exact") {
+    val exact = bruteTopK(5, 20)
+    def recallAt(nprobe: Int, rerank: Int): Double = {
+      val got = Pq.ivfPqTopK(emb, "vec_id", "embedding", queryIds(20),
+          nlist = 16, nprobe = nprobe, k = 5, rerank = rerank)
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+      (0L until 20L).map { q =>
+        got.getOrElse(q, Set.empty).intersect(exact(q)).size / 5.0
+      }.sum / 20.0
+    }
+    val r4 = recallAt(4, 32)
+    val r16 = recallAt(16, 64)
+    info(s"IVF-PQ recall@5: nprobe=4/rerank=32 → $r4; nprobe=16/rerank=64 → $r16")
+    // nprobe=4 probes a quarter of the lists over PQ-coded residuals
+    // — the serving configuration's floor
+    assert(r4 >= 0.5, s"nprobe=4 recall collapsed: $r4")
+    // probing every list with a generous rerank leaves only PQ
+    // shortlist error — near-exact
+    assert(r16 >= 0.9, s"full-probe recall must be near-exact: $r16")
+    assert(r16 >= r4, "recall must not degrade with more probes")
+  }
+
+  test("candidate IO is exactly the probed lists' rows — never the other lists") {
+    val nlist = 16; val nprobe = 4
+    val cands = Pq.ivfPqCandidates(emb, "vec_id", "embedding", queryIds(20),
+      nlist, nprobe)
+    // per query: exactly nprobe distinct probed lists
+    val listsPerQuery = cands.groupBy("query_id")
+      .agg(countDistinct(col("ivf_list")).as("nl"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(listsPerQuery.values.forall(_ == nprobe.toLong),
+      s"probe fan-out drifted: $listsPerQuery")
+    // per (query, probed list): every row of that list (minus the
+    // query itself) and NOTHING else — candidate count == list size
+    // − self-hit, which pins "IO ∝ probed lists"
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", nlist)
+    val indexed = Similarity.ivfIndex(emb, "embedding", cents)
+    val sizes = indexed.groupBy("ivf_list").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val ownList = indexed.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("ivf_list"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byQL = cands.groupBy("query_id", "ivf_list").count()
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2)))
+    assert(byQL.nonEmpty)
+    byQL.foreach { case ((q, l), n) =>
+      val expect = sizes(l) - (if (ownList(q) == l) 1L else 0L)
+      assert(n == expect,
+        s"query $q list $l: $n candidates vs list size ${sizes(l)} " +
+          s"(self in list: ${ownList(q) == l})")
+    }
+  }
+}

@@ -397,8 +397,11 @@ class ManifestSpec extends AnyFunSuite {
     // retained versions still read bit-identically
     assert(Manifest.read(spark, root, 3).count() == 20)
     assert(Manifest.read(spark, root, 4).count() == 25)
-    // expired pins are gone loudly, not silently empty
-    intercept[IllegalArgumentException] { Manifest.read(spark, root, 1) }
+    // expired pins are gone loudly, not silently empty — and the
+    // error NAMES the cause (r10 verdict item 7: a vacuumed pin must
+    // be distinguishable from a version that never existed)
+    val e = intercept[IllegalStateException] { Manifest.read(spark, root, 1) }
+    assert(e.getMessage.contains("VACUUMED"), e.getMessage)
   }
 
   test("refs: atomic swing, head-isolation, loud on unpublished targets") {
@@ -431,7 +434,8 @@ class ManifestSpec extends AnyFunSuite {
     assert(expired == Seq(2), expired.toString)
     assert(!deleted.contains(s"$root/files/a"), deleted.toString)
     assert(Manifest.readRef(spark, root, "old").count() == 10)
-    intercept[IllegalArgumentException] { Manifest.read(spark, root, 2) }
+    val e = intercept[IllegalStateException] { Manifest.read(spark, root, 2) }
+    assert(e.getMessage.contains("VACUUMED"), e.getMessage)
   }
 
   test("MOR equality delete: key-batch commit, anti-join read, no rewrite") {
@@ -620,7 +624,7 @@ class ManifestSpec extends AnyFunSuite {
     assert(Manifest.readEvolved(spark, root, v2).count() == 5)
   }
 
-  test("concurrent committers never lose a manifest (exclusive version claims)") {
+  test("concurrent committers ALL land (CAS safety + commitWithRetry liveness)") {
     import scala.jdk.CollectionConverters._
     for (attempt <- 1 to 4) {
       val root = freshRoot(s"race$attempt")
@@ -639,24 +643,24 @@ class ManifestSpec extends AnyFunSuite {
       }
       writers.foreach(_.start()); latch.countDown(); writers.foreach(_.join())
       val rs = results.asScala.toMap
-      // a loser may exist, but ONLY as a loud stale-head rejection —
-      // never a silently replaced (lost) manifest
+      // r10 proved SAFETY (the loser fails loudly instead of erasing
+      // the winner); commitAdd's CAS retry adds LIVENESS: the loser
+      // recomputes against the winner's head and lands too — a race
+      // now yields TWO commits, zero exceptions
       val losers = rs.collect { case (n, Left(e)) => (n, e) }
-      assert(losers.values.forall(
-        _.isInstanceOf[java.util.ConcurrentModificationException]),
-        losers.map { case (n, e) => s"$n: $e" }.mkString("; "))
+      assert(losers.isEmpty,
+        "every committer must land via retry: " +
+          losers.map { case (n, e) => s"$n: $e" }.mkString("; "))
       val winners = rs.collect { case (n, Right(v)) => (n, v) }
-      assert(winners.nonEmpty, "at least one writer must land")
-      assert(winners.values.toSet.size == winners.size,
-        "winners claim DISTINCT versions")
+      assert(winners.size == 2 && winners.values.toSet.size == 2,
+        s"both writers claim DISTINCT versions: $winners")
       val head = Manifest.currentVersion(root)
-      assert(head == 1 + winners.size, s"head $head vs ${winners.size} winners")
+      assert(head == 3, s"head $head after base + two racing commits")
       val ms = Manifest.members(root, head).map(_.split('/').last).toSet
-      assert(ms.contains("base"))
-      winners.keys.foreach(n => assert(ms.contains(n),
-        s"winner $n's member must be referenced by the head manifest"))
-      // every winner's data is readable at head — nothing was erased
-      assert(Manifest.read(spark, root, head).count() == 5L + 5 * winners.size)
+      assert(ms == Set("base", "w1", "w2"),
+        s"head manifest must reference every commit's member: $ms")
+      // every writer's data is readable at head — nothing was erased
+      assert(Manifest.read(spark, root, head).count() == 15L)
     }
   }
 
@@ -667,7 +671,12 @@ class ManifestSpec extends AnyFunSuite {
     Manifest.commitAdd(frame(15 until 18), root, "c")
     assert(Manifest.addedRows(spark, root, 1, 3)
       .select("id").as[Long].collect().toSet == (10L until 18L).toSet)
-    assert(Manifest.addedRows(spark, root, 2, 2).isEmpty)
+    val empty = Manifest.addedRows(spark, root, 2, 2)
+    assert(empty.isEmpty)
+    // an empty delta still carries the table schema — column
+    // references (e.g. an IVM join on the delta) must resolve
+    assert(empty.columns.sorted.toSeq == Seq("id", "payload"),
+      s"empty delta lost the member schema: ${empty.columns.toSeq}")
     // a COW rewrite breaks append-only history → loud, never wrong
     Manifest.deleteWhere(spark, root, col("id") === 4, "del")
     val v4 = Manifest.currentVersion(root)

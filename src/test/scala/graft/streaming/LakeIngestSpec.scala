@@ -56,4 +56,47 @@ class LakeIngestSpec extends AnyFunSuite {
       spark, feed, s"$root/ckpt1", table, "id")
     assert(v3 == 3)
   }
+
+  test("auto-compact settles MOR debt mid-stream; pinned readers are row-identical across the boundary") {
+    val root = TestSpark.tmpDir("lakeautocompact").toString
+    val table = s"$root/table"; val feed = s"$root/feed"
+    Manifest.commitAdd(
+      (0 until 15).map(i => (i.toLong, s"v$i")).toDF("id", "payload"),
+      table, "base-a")
+    Manifest.commitAdd(
+      (15 until 30).map(i => (i.toLong, s"v$i")).toDF("id", "payload"),
+      table, "base-b")
+
+    stage(feed, "k0.parquet", 1000000L, Seq(0L, 20L).toDF("id"))
+    stage(feed, "k1.parquet", 2000000L, Seq(1L, 21L).toDF("id"))
+    stage(feed, "k2.parquet", 3000000L, Seq(2L, 22L).toDF("id"))
+
+    val events = LakeIngest.deleteFeedToMorAutoCompact(
+      spark, feed, s"$root/ckpt", table, "id", maxDeleteDebt = 2)
+    // debt threshold 2 → the second delete commit trips compaction;
+    // the third leaves one delete member outstanding
+    assert(events.map(_.compactedTo.isDefined) == Seq(false, true, false),
+      events.toString)
+    val midPin = events(1).deleteVersion // deletes k0+k1, pre-compaction
+    val compacted = events(1).compactedTo.get
+
+    // ISOLATION across the boundary: the pinned pre-compaction MOR
+    // read and the compacted read are the same rows, row for row —
+    // compaction may rewrite members, never meanings
+    def rows(v: Int): Set[(Long, String)] =
+      Manifest.readMor(spark, table, v).as[(Long, String)].collect().toSet
+    val mid = rows(midPin)
+    assert(mid == rows(compacted),
+      "pinned pre-compaction read diverged from the compacted snapshot")
+    assert(mid == (0 until 30).map(i => (i.toLong, s"v$i")).toSet --
+      Set((0L, "v0"), (1L, "v1"), (20L, "v20"), (21L, "v21")),
+      s"mid-state rows wrong: $mid")
+
+    // final state: k2's delete member is still outstanding MOR debt
+    val head = Manifest.currentVersion(table)
+    assert(Manifest.deleteMembers(table, head).size == 1)
+    assert(rows(head) == (0 until 30).map(i => (i.toLong, s"v$i")).toSet --
+      Set((0L, "v0"), (1L, "v1"), (2L, "v2"), (20L, "v20"), (21L, "v21"),
+        (22L, "v22")))
+  }
 }
