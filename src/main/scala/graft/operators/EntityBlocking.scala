@@ -76,16 +76,77 @@ object EntityBlocking {
       nameCol: String,
       maxEdits: Int = 2,
       q: Int = 3): DataFrame = {
+    val (prefix, shorts) = prefixFrames(names, idCol, nameCol, maxEdits, q)
+    val lenOk = abs(col("a.len") - col("b.len")) <= maxEdits
+    val main = prefix.as("a").join(prefix.as("b"),
+        col("a.t") === col("b.t") && col("a.id") < col("b.id") && lenOk)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+    val shortPairs = shorts.as("a").join(broadcast(shorts.as("b")),
+        col("a.id") < col("b.id") && lenOk)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+    main.unionByName(shortPairs).distinct()
+  }
+
+  /** CROSS-SIDE candidate pairs between a DELTA batch and a standing
+    * BASE — the incremental entity-resolution shape (daily records
+    * matched against the master without re-pairing base×base, the
+    * [[Dedup.crossJaccardPairs]] discipline applied to edit
+    * distance). Both sides' prefixes are computed under ONE global
+    * (document frequency, gram) order derived from the UNION — the
+    * prefix-filter theorem needs a single total order across sides.
+    * Output: (a_id ∈ delta, b_id ∈ base), lossless for
+    * `ED <= maxEdits`. Ids may repeat across sides (they live in
+    * different tables).
+    */
+  def edCandidatePairsCross(
+      delta: DataFrame,
+      base: DataFrame,
+      idCol: String,
+      nameCol: String,
+      maxEdits: Int = 2,
+      q: Int = 3): DataFrame = {
+    val sideTagged = delta.select(col(idCol), col(nameCol))
+      .withColumn("__side", lit("d"))
+      .unionByName(base.select(col(idCol), col(nameCol))
+        .withColumn("__side", lit("b")))
+    // one prefix pass over the union (shared DF order), split after
+    val (prefix, shorts) = prefixFrames(
+      sideTagged.withColumn("__sid",
+        concat(col("__side"), lit("|"), col(idCol).cast("string"))),
+      "__sid", nameCol, maxEdits, q)
+    def side(df: DataFrame, s: String): DataFrame =
+      df.filter(substring(col("id"), 1, 1) === s)
+        .withColumn("rid", expr("substring(id, 3)"))
+    val lenOk = abs(col("a.len") - col("b.len")) <= maxEdits
+    val main = side(prefix, "d").as("a")
+      .join(side(prefix, "b").as("b"), col("a.t") === col("b.t") && lenOk)
+      .select(col("a.rid").as("a_id"), col("b.rid").as("b_id"))
+    val shortPairs = side(shorts, "d").as("a")
+      .join(broadcast(side(shorts, "b").as("b")), lenOk)
+      .select(col("a.rid").as("a_id"), col("b.rid").as("b_id"))
+    main.unionByName(shortPairs).distinct()
+  }
+
+  /** The shared blocking frames: DF-ordered AllPairs prefixes (the
+    * only rows the candidate join shuffles — `k*q + 1` per record)
+    * and the vacuous-bound shorts bucket (`<= k*q` grams: no shared
+    * gram required at `ED <= k`, paired exhaustively by callers).
+    */
+  private def prefixFrames(
+      names: DataFrame,
+      idCol: String,
+      nameCol: String,
+      maxEdits: Int,
+      q: Int): (DataFrame, DataFrame) = {
     require(maxEdits >= 1, s"edCandidatePairs: maxEdits=$maxEdits must be >= 1")
     val kq = maxEdits * q
     val g = names
       .select(col(idCol).as("id"), length(col(nameCol)).as("len"),
         charGrams(col(nameCol), q).as("gs"))
       .withColumn("m", size(col("gs")))
-
     // DF-ordered AllPairs prefixes: explode once, count gram document
     // frequency, re-collect each record's grams sorted rare-first,
-    // keep the first kq+1 — the only rows the candidate join shuffles
+    // keep the first kq+1
     val ex = g.select(col("id"), col("len"), explode(col("gs")).as("t"))
     val dfreq = ex.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val prefix = ex.join(dfreq, "t")
@@ -94,20 +155,7 @@ object EntityBlocking {
         1, kq + 1).as("ps"))
       .select(col("id"), col("len"), explode(col("ps")).as("e"))
       .select(col("id"), col("len"), col("e.t").as("t"))
-
-    val lenOk = abs(col("a.len") - col("b.len")) <= maxEdits
-    val main = prefix.as("a").join(prefix.as("b"),
-        col("a.t") === col("b.t") && col("a.id") < col("b.id") && lenOk)
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-
-    // vacuous-bound bucket: both sides <= kq grams need no shared
-    // gram at ED <= k — exhaustive within the length window, tiny
-    // by construction (strings shorter than kq + q - 1 chars)
     val shorts = g.filter(col("m") <= kq).select(col("id"), col("len"))
-    val shortPairs = shorts.as("a").join(broadcast(shorts.as("b")),
-        col("a.id") < col("b.id") && lenOk)
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-
-    main.unionByName(shortPairs).distinct()
+    (prefix, shorts)
   }
 }

@@ -1025,6 +1025,37 @@ object Manifest {
     }
   }
 
+  /** Metadata-only MIN/MAX of a stats column — [[metadataRowCounts]]'
+    * sibling: every member's per-column min/max landed in its
+    * manifest line at commit time, so the table-level extrema fold
+    * from the manifest alone — zero data IO (the Iceberg
+    * scan-free MIN/MAX aggregate). LOUD when any data member lacks
+    * the stat (an untracked member makes the fold a lie) or when MOR
+    * delete debt could have removed an extremal row — same
+    * conservatism as the row-count path.
+    */
+  def metadataMinMax(
+      root: String,
+      version: Int,
+      colName: String): (Long, Long) = {
+    require(deleteMembersSeq(root, version).isEmpty,
+      s"Manifest: v$version of $root carries merge-on-read delete " +
+        "debt — a deleted row may hold the extremum; compactDeletes " +
+        "first or aggregate through readMor")
+    val stats = membersRaw(root, version).filterNot(_.contains(KindDelete))
+      .map { l =>
+        (numField(l, s"min_$colName"), numField(l, s"max_$colName")) match {
+          case (Some(mn), Some(mx)) => (mn, mx)
+          case _ => throw new IllegalStateException(
+            s"Manifest: member ${pathOf(l)} has no $colName stats — " +
+              "commit with statsCols (or rewrite) to make this table " +
+              "metadata-foldable")
+        }
+      }
+    require(stats.nonEmpty, s"Manifest: v$version of $root is empty")
+    (stats.map(_._1).min, stats.map(_._2).max)
+  }
+
   /** MOR DELETE commit: write `keys` (single column `keyCol`) as a
     * delete member and publish. NO data member is read, probed, or
     * rewritten — the commit cost is the key batch alone. The member
@@ -1133,6 +1164,23 @@ object Manifest {
       next
     }
   }
+
+  /** RESTORE — time travel made writable: publish `version`'s exact
+    * member list as a NEW head (the Iceberg rollback / Delta RESTORE
+    * shape). Metadata-only: no data file moves, the bad commits'
+    * versions stay published and readable (auditable) until vacuum
+    * expires them, and the restored lines keep their original seq
+    * fields so MOR delete applicability is unchanged. CAS-retried
+    * like every commit; rolling back TO the current head republishes
+    * it (an explicit no-op commit, version still advances — callers
+    * guard if they care).
+    */
+  def rollbackTo(root: String, version: Int): Int =
+    commitWithRetry(root) { prev =>
+      require(version >= 1 && version <= prev,
+        s"Manifest: cannot roll back $root to v$version (head is v$prev)")
+      membersRaw(root, version)
+    }
 
   /** Expire manifests below the keep window and delete their
     * now-unreferenced member files. Three pin sources EXTEND

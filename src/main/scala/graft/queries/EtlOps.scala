@@ -4731,6 +4731,499 @@ object EtlOps {
           col("chars_mid"),
           coalesce(col("n_final"), lit(0L)).cast("long").as("n_final"),
           coalesce(col("chars_final"), lit(0L)).as("chars_final"))
+    }),
+
+    // CLUSTERED WRITE × manifest stats — the composition q125
+    // (z-order zone maps) and q370 (stats-pruned reads) each show
+    // half of: members are written as MORTON-ORDER OCTILES over
+    // (n_chars, n_tokens), so each member's per-column min/max
+    // stats are narrow on BOTH dims, and a 2-D box query prunes
+    // members on the manifest alone. The same corpus written as
+    // HASH buckets (every member spans the full range) prunes
+    // NOTHING — the require pins clustered < unclustered pruned
+    // counts, the measurable "clustering buys skipping" claim
+    // (Delta/Iceberg OPTIMIZE ZORDER's whole point). The row-level
+    // filter on the pruned union keeps the answer exact, so the
+    // aggregate oracles as the plain box filter. The octile split
+    // rides GroupedRank.withGlobalRank (range exchange, no
+    // single-task sort); the corpus count is one bounded scalar.
+    "q423_clustered_commit" -> ((s, d) => {
+      val root = freshScratch("q423", d)
+      val clus = s"$root/clustered"; val rand = s"$root/hashed"
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .localCheckpoint()
+      val coded = docs.withColumn("mz", graft.operators.ZOrder.morton16(
+        col("n_chars").cast("int"), col("n_tokens").cast("int")))
+      val n = docs.count()
+      val ranked = graft.operators.GroupedRank.withGlobalRank(
+        coded, Seq(col("mz"), col("doc_id")), "rk")
+        .withColumn("bucket", expr(s"((rk - 1) * 8) div $n"))
+        .localCheckpoint()
+      for (b <- 0 until 8) {
+        graft.operators.Manifest.commitAdd(
+          ranked.filter(col("bucket") === b)
+            .select(col("doc_id"), col("lang"), col("n_chars"),
+              col("n_tokens")),
+          clus, s"m$b", statsCols = Seq("n_chars", "n_tokens"))
+        graft.operators.Manifest.commitAdd(
+          docs.filter(pmod(xxhash64(col("doc_id")), lit(8)) === b),
+          rand, s"m$b", statsCols = Seq("n_chars", "n_tokens"))
+      }
+      def pruned(t: String): Seq[String] =
+        graft.operators.Manifest.prunedMembers(t, 8, "n_chars", 0L, 200L)
+          .intersect(graft.operators.Manifest
+            .prunedMembers(t, 8, "n_tokens", 0L, 40L))
+      val (pc, pr) = (pruned(clus), pruned(rand))
+      require(pc.nonEmpty && pc.size < pr.size,
+        s"q423: clustering must buy member skipping — clustered keeps " +
+          s"${pc.size}, hashed keeps ${pr.size}")
+      s.read.parquet(pc: _*)
+        .filter(col("n_chars") <= 200 && col("n_tokens") <= 40)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          sum(col("n_tokens")).cast("long").as("sum_tokens"))
+    }),
+
+    // Exact PERMUTATION TEST (resampling inference) — the
+    // distribution-free sibling of q345's z-test: is the observed
+    // arm difference in conversion larger than chance relabelings
+    // produce? 64 deterministic permutations reassign every user by
+    // md5(salt p ‖ user); the extremeness compare is exact rational
+    // cross-multiplication in DECIMAL(38,0) — |ca/na − cb/nb| ≥
+    // |cA/nA − cB/nB| without ever dividing, so varying arm sizes
+    // per permutation cost no precision. Shape: one user-grain
+    // aggregate, a 64-way bounded fan-out (explode over a literal
+    // sequence), one (p, arm) aggregate — never a corpus-sized
+    // shuffle beyond the first; the p-value is the add-one permille
+    // (n_extreme+1)/(P+1).
+    "q424_permutation_test" -> ((s, d) => {
+      val users = Tables(s, d).events
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+        .localCheckpoint()
+      def armOf(salt: Column) = when(
+        substring(md5(concat(salt, lit("|"), col("user_id").cast("string"))),
+          1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7"), "A")
+        .otherwise("B")
+      // column names must differ from the per-permutation na/ca/nb/cb
+      // in more than case — Spark resolves case-insensitively
+      val obs = users.withColumn("arm", armOf(lit("obs")))
+        .groupBy()
+        .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("obs_na"),
+          sum(when(col("arm") === "A", col("conv")).otherwise(0L))
+            .as("obs_ca"),
+          sum(when(col("arm") === "B", 1L).otherwise(0L)).as("obs_nb"),
+          sum(when(col("arm") === "B", col("conv")).otherwise(0L))
+            .as("obs_cb"))
+      val perms = users
+        .select(col("user_id"), col("conv"),
+          explode(sequence(lit(0), lit(63))).as("p"))
+        .withColumn("arm", armOf(col("p").cast("string")))
+        .groupBy(col("p"))
+        .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("na"),
+          sum(when(col("arm") === "A", col("conv")).otherwise(0L)).as("ca"),
+          sum(when(col("arm") === "B", 1L).otherwise(0L)).as("nb"),
+          sum(when(col("arm") === "B", col("conv")).otherwise(0L)).as("cb"))
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      perms.crossJoin(broadcast(obs))
+        .withColumn("extreme",
+          abs(dec(col("ca") * col("nb") - col("cb") * col("na"))) *
+            dec(col("obs_na") * col("obs_nb")) >=
+            abs(dec(col("obs_ca") * col("obs_nb") -
+              col("obs_cb") * col("obs_na"))) *
+              dec(col("na") * col("nb")))
+        .groupBy()
+        .agg(count(lit(1)).cast("long").as("n_perms"),
+          sum(when(col("extreme"), 1L).otherwise(0L)).cast("long")
+            .as("n_extreme"),
+          max(expr("(obs_ca * 1000) div obs_na - (obs_cb * 1000) div obs_nb"))
+            .cast("long").as("obs_diff_permille"))
+        .withColumn("p_permille",
+          expr("((n_extreme + 1) * 1000) div (n_perms + 1)"))
+    }),
+
+    // Incrementally-MAINTAINED inverted index — q233's search index
+    // made a lakehouse citizen: the postings table (bigram → doc_id)
+    // is itself a Manifest table, and when the base table grows, the
+    // index maintenance pays O(delta) — postings are extracted from
+    // Manifest.addedRows' member files alone, never by re-shingling
+    // the standing corpus (the q415 discipline applied to index
+    // builds). A lookup then answers from the INDEX (term →
+    // postings → payload join); the term derives deterministically
+    // (min bigram with document frequency in [5, 50]) so the oracle
+    // recomputes the same search from scratch. At 100 TB the daily
+    // index bill is the new documents' postings plus one manifest
+    // commit.
+    "q425_incremental_index" -> ((s, d) => {
+      val root = freshScratch("q425", d)
+      val base = s"$root/docs"; val idx = s"$root/index"
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+      def postings(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1)," +
+            " slice(split(text, ' '), 2, size(split(text, ' ')) - 1)," +
+            " (x, y) -> concat(x, ' ', y))")).as("bg"))
+        .distinct()
+      graft.operators.Manifest.commitAdd(
+        docs.filter(col("doc_id") % 2 === 0), base, "b1")
+      graft.operators.Manifest.commitAdd(
+        postings(graft.operators.Manifest.read(s, base, 1)), idx, "b1")
+      graft.operators.Manifest.commitAdd(
+        docs.filter(col("doc_id") % 2 === 1), base, "b2")
+      graft.operators.Manifest.commitAdd(
+        postings(graft.operators.Manifest.addedRows(s, base, 1, 2)),
+        idx, "b2")
+      val index = graft.operators.Manifest.read(s, idx, 2)
+      val term = index.groupBy(col("bg"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df").between(5, 50))
+        .agg(min(col("bg")).as("bg"))
+      val hits = index.join(broadcast(term), Seq("bg"))
+        .select(col("bg"), col("doc_id")).distinct()
+      graft.operators.Manifest.read(s, base, 2)
+        .join(hits, Seq("doc_id"))
+        .groupBy(col("bg"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+    }),
+
+    // Theil–Sen ROBUST trend — the estimator OLS (q400) is not:
+    // the median of all pairwise day-count slopes shrugs off the
+    // outlier days that drag a least-squares line. Slopes stay
+    // EXACT rationals (num, den): the order key is the IEEE double
+    // num/den (bit-identical across engines for identical long
+    // inputs) with (num, den) tie-breaks — a deterministic total
+    // order without rational arithmetic in the sort. The pair grid
+    // and the median window run over the day-grain aggregate
+    // (≤ C(31,2) rows at every sf — bounded, pre-aggregated frame,
+    // the q1562-style justification for the unpartitioned window).
+    "q426_theil_sen" -> ((s, d) => {
+      val daily = Tables(s, d).events
+        .select(expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n"))
+      val pairs = daily.as("a")
+        .join(daily.as("b"), col("b.day") > col("a.day"))
+        .select((col("b.n") - col("a.n")).cast("long").as("num"),
+          (col("b.day") - col("a.day")).cast("long").as("den"))
+      val np = pairs.agg(count(lit(1)).cast("long").as("n_pairs"))
+      val w = Window.orderBy(col("slope"), col("num"), col("den"))
+      pairs
+        .withColumn("slope",
+          col("num").cast("double") / col("den").cast("double"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(np))
+        .filter(col("rk") === expr("(n_pairs + 1) div 2"))
+        .select(col("num").as("med_num"), col("den").as("med_den"),
+          col("n_pairs"),
+          expr("(num * 1000) div den").as("slope_permille"))
+    }),
+
+    // ROLLBACK / RESTORE — time travel made WRITABLE (the q363
+    // family reads old versions; this resumes writing from one): a
+    // bad commit lands, an audit catches it, Manifest.rollbackTo
+    // republishes the last good member list as a new head
+    // (metadata-only — no data file moves), and ingestion continues
+    // on top. The bad version STAYS readable (auditable) — the
+    // require pins the whole protocol: head numbering, the restored
+    // state matching v2 exactly, and the bad batch still visible at
+    // v3. The final aggregate oracles as good-batches-only; the bad
+    // batch's row count rides along as an audit column.
+    "q427_rollback_restore" -> ((s, d) => {
+      val root = freshScratch("q427", d)
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.operators.Manifest.commitAdd(
+        docs.filter(col("doc_id") % 3 === 0), root, "c1")
+      graft.operators.Manifest.commitAdd(
+        docs.filter(col("doc_id") % 3 === 1), root, "c2")
+      // the BAD batch: re-delivers c1's rows (a duplicate-ingest bug)
+      graft.operators.Manifest.commitAdd(
+        docs.filter(col("doc_id") % 3 === 0), root, "bad")
+      val badRows = graft.operators.Manifest.read(s, root, 3).count() -
+        graft.operators.Manifest.read(s, root, 2).count()
+      val v4 = graft.operators.Manifest.rollbackTo(root, 2)
+      val v5 = graft.operators.Manifest.commitAdd(
+        docs.filter(col("doc_id") % 3 === 2), root, "c3")
+      require(v4 == 4 && v5 == 5 &&
+        graft.operators.Manifest.members(root, 4) ==
+          graft.operators.Manifest.members(root, 2) &&
+        graft.operators.Manifest.members(root, 3)
+          .exists(_.endsWith("/bad")),
+        "q427: restore must republish v2's exact member list and " +
+          "leave the bad version readable")
+      graft.operators.Manifest.read(s, root, v5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .withColumn("bad_rows_quarantined", lit(badRows).cast("long"))
+    }),
+
+    // ATOMIC quarantine ingest — validation routing made a
+    // TRANSACTION: each batch splits into valid rows (main table)
+    // and rule-violating rows (quarantine table, carrying the rule
+    // name), and a cross-table Txn pins BOTH commits, so a reader
+    // resolving through the txn can never see accepted rows without
+    // their quarantine complement (the torn-audit state ad-hoc
+    // dual-writes allow). Rule here: n_chars < 100 → quarantined.
+    // Two batches, two txns; the result reads both tables AT txn 2
+    // and oracles as plain rule filters.
+    "q428_quarantine_ingest" -> ((s, d) => {
+      val root = freshScratch("q428", d)
+      val main = s"$root/main"; val quar = s"$root/quarantine"
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      def ingest(batch: DataFrame, tag: String): Int = {
+        graft.operators.Manifest.commitAdd(
+          batch.filter(col("n_chars") >= 100), main, tag)
+        graft.operators.Manifest.commitAdd(
+          batch.filter(col("n_chars") < 100)
+            .withColumn("rule", lit("min_chars_100")),
+          quar, tag)
+        graft.operators.Txn.commit(root,
+          Map(main -> graft.operators.Manifest.currentVersion(main),
+            quar -> graft.operators.Manifest.currentVersion(quar)))
+      }
+      ingest(docs.filter(col("doc_id") % 2 === 0), "b1")
+      val t2 = ingest(docs.filter(col("doc_id") % 2 === 1), "b2")
+      val ok = graft.operators.Txn.readAt(s, root, t2, main)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_valid"),
+          sum(col("n_chars")).cast("long").as("chars_valid"))
+      val bad = graft.operators.Txn.readAt(s, root, t2, quar)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_quarantined"))
+      ok.join(bad, Seq("lang"), "full")
+        .select(col("lang"),
+          coalesce(col("n_valid"), lit(0L)).cast("long").as("n_valid"),
+          coalesce(col("chars_valid"), lit(0L)).cast("long")
+            .as("chars_valid"),
+          coalesce(col("n_quarantined"), lit(0L)).cast("long")
+            .as("n_quarantined"))
+    }),
+
+    // Mann–Kendall trend TEST — q426's Theil–Sen slope says how
+    // steep; this says whether a monotone trend EXISTS: S = Σ_{i<j}
+    // sign(n_j − n_i) over the day order, variance with the exact
+    // tie correction (18·Var = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) over
+    // tied-count groups), and the 95% verdict by the continuity-
+    // corrected compare 625·18·(|S|−1)² > 2401·V18 — the z > 1.96
+    // test as pure integer cross-multiplication (1.96 = 49/25,
+    // squared), no sqrt, no floats. τ_a = S/C(n,2) rides along in
+    // permille. All frames are the bounded day-grain aggregate.
+    "q429_mann_kendall" -> ((s, d) => {
+      val daily = Tables(s, d).events
+        .select(expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val sStat = daily.as("a")
+        .join(daily.as("b"), col("b.day") > col("a.day"))
+        .agg(sum(signum(col("b.n") - col("a.n")).cast("long")).as("s_stat"))
+      val base = daily.agg(count(lit(1)).as("nd"))
+        .select(col("nd"),
+          expr("nd * (nd - 1) * (2 * nd + 5)").as("vbase"))
+      val ties = daily.groupBy(col("n")).agg(count(lit(1)).as("t"))
+        .filter(col("t") > 1)
+        .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L))
+          .as("vties"))
+      sStat.crossJoin(broadcast(base)).crossJoin(broadcast(ties))
+        .select(col("nd").cast("long").as("n_days"),
+          col("s_stat").cast("long").as("s_stat"),
+          (col("vbase") - col("vties")).cast("long").as("v18"),
+          expr("(s_stat * 2000) div (nd * (nd - 1))").cast("long")
+            .as("tau_permille"))
+        .withColumn("trend_significant",
+          expr("CAST(11250 AS DECIMAL(38,0)) * (abs(s_stat) - 1) " +
+            "* (abs(s_stat) - 1) > CAST(2401 AS DECIMAL(38,0)) * v18"))
+    }),
+
+    // INCREMENTAL entity resolution — the daily-MDM shape q394's
+    // self-match stops short of: a new batch of records matched
+    // against the standing MASTER without ever re-pairing
+    // master×master (the q406 delta-vs-base discipline applied to
+    // edit distance). Candidates come from
+    // EntityBlocking.edCandidatePairsCross — both sides' q-gram
+    // prefixes under ONE union-derived DF order, so the blocking
+    // stays lossless cross-side — and the banded levenshtein
+    // verifies candidates only. Output: the match-multiplicity
+    // histogram (0 matches = a NEW entity entering the master; 2+ =
+    // a merge candidate needing review), the triage every MDM
+    // ingest runs. Oracle replays the brute-force grid.
+    "q430_incremental_er" -> ((s, d) => {
+      val parts = Tables(s, d).part.select(col("p_partkey"), col("p_name"))
+      val master = parts.filter(col("p_partkey") % 3 =!= 0)
+        .groupBy(col("p_name")).agg(min(col("p_partkey")).as("rep"))
+      val batch = parts.filter(col("p_partkey") % 3 === 0)
+        .groupBy(col("p_name")).agg(min(col("p_partkey")).as("rep"))
+      val cand = graft.operators.EntityBlocking.edCandidatePairsCross(
+        batch, master, "rep", "p_name")
+      val matches = cand
+        .select(col("a_id").cast("long").as("b_rep"),
+          col("b_id").cast("long").as("m_rep"))
+        .join(batch.select(col("rep").as("b_rep"),
+          col("p_name").as("b_name")), "b_rep")
+        .join(master.select(col("rep").as("m_rep"),
+          col("p_name").as("m_name")), "m_rep")
+        .filter(levenshtein(col("b_name"), col("m_name"), 2) >= 0)
+      batch.select(col("rep").as("b_rep"))
+        .join(matches.groupBy(col("b_rep")).agg(count(lit(1)).as("nm")),
+          Seq("b_rep"), "left")
+        .withColumn("nm", coalesce(col("nm"), lit(0L)))
+        .groupBy(col("nm").cast("long").as("n_matches"))
+        .agg(count(lit(1)).cast("long").as("n_entities"))
+    }),
+
+    // Metadata-only MIN/MAX — metadataRowCounts' (q409) sibling:
+    // per-member column stats land in the manifest at commit, so
+    // table-level extrema (and the row count) fold from manifest
+    // lines alone — ZERO data IO, the Iceberg scan-free aggregate.
+    // Six members make the fold non-trivial; the emitted row is
+    // built from driver-held metadata and oracles as the plain
+    // SELECT min/max/count.
+    "q431_metadata_minmax" -> ((s, d) => {
+      val root = freshScratch("q431", d)
+      val docs = Tables(s, d).documents.select(col("doc_id"), col("n_chars"))
+      for (b <- 0 until 6)
+        graft.operators.Manifest.commitAdd(
+          docs.filter(col("doc_id") % 6 === b), root, s"m$b",
+          statsCols = Seq("n_chars"))
+      val (mn, mx) = graft.operators.Manifest.metadataMinMax(root, 6, "n_chars")
+      val rows = graft.operators.Manifest.metadataRowCounts(root, 6)
+        .map(_._3).sum
+      import s.implicits._
+      Seq((mn, mx, rows)).toDF("min_chars", "max_chars", "n_rows")
+    }),
+
+    // Conjunctive (AND) search — q371's phrase lookup generalized to
+    // multi-term boolean retrieval: three query terms derive
+    // deterministically (the 1st/3rd/5th RAREST tokens by document
+    // frequency — the rarest-first order is also the execution
+    // discipline: real engines intersect postings starting from the
+    // shortest list), and a document qualifies iff it contains ALL
+    // three. The conjunction is one distinct-postings pass + a
+    // broadcast term join + a doc-grain count==3 filter — never a
+    // per-term corpus rescan. The term-ranking window runs over the
+    // bounded vocabulary aggregate.
+    "q432_conjunctive_search" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val toks = docs.select(col("doc_id"), col("lang"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val dfr = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val w = Window.orderBy(col("df"), col("tok")) // vocab-sized frame
+      val terms = dfr.withColumn("rk", row_number().over(w))
+        .filter(col("rk").isin(1, 3, 5)).select(col("tok"))
+      val termList = terms.agg(
+        concat_ws(",", sort_array(collect_list(col("tok")))).as("terms"))
+      toks.join(broadcast(terms), Seq("tok"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("k"))
+        .filter(col("k") === 3)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+        .crossJoin(broadcast(termList))
+    }),
+
+    // Fano factor (burstiness) of daily event arrivals per type —
+    // variance-to-mean as an EXACT rational: with n days, s = Σc,
+    // q = Σc², sample Var/mean = (n·q − s²) / ((n−1)·s), emitted in
+    // permille by integer division. F ≈ 1000 is Poisson-like
+    // arrivals; far above = bursty days — the traffic-shape audit
+    // behind capacity planning and bot screens. One (type, day)
+    // aggregate then a type-grain fold; no floats anywhere.
+    "q433_fano_burstiness" -> ((s, d) => {
+      val daily = Tables(s, d).events
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("c"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("c")).as("s"),
+          sum(col("c") * col("c")).as("q"))
+        .select(col("event_type"), col("n_days").cast("long").as("n_days"),
+          col("s").cast("long").as("total_events"),
+          expr("(1000 * (n_days * q - s * s)) div ((n_days - 1) * s)")
+            .cast("long").as("fano_permille"))
+    }),
+
+    // l-DIVERSITY audit — the third leg of the privacy trio (q217
+    // k-anonymity: cell size; q384 t-closeness: distribution drift;
+    // here: a quasi-identifier cell is safe only if its SENSITIVE
+    // attribute takes at least l distinct values — a k-anonymous
+    // cell where everyone shares one sensitive value still leaks).
+    // Quasi-identifiers: (lang, source); sensitive: the document
+    // length class. Per cell: size and distinct sensitive values;
+    // the verdict column flags l >= 3. One two-key aggregate.
+    "q434_l_diversity" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+        .select(col("lang"), col("source"),
+          when(col("n_chars") < 150, "short")
+            .when(col("n_chars") < 300, "medium")
+            .otherwise("long").as("len_class"))
+      docs.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).cast("long").as("cell_size"),
+          countDistinct(col("len_class")).cast("long").as("l_distinct"))
+        .withColumn("diverse_l3", col("l_distinct") >= 3)
+    }),
+
+    // Layout-health AUDIT from metadata alone — the OPTIMIZE advisor
+    // every table service runs: member count, extrema and skew of
+    // per-member row counts, all folded from manifest `rows` stats
+    // (zero data IO — the q409/q431 discipline applied to layout
+    // health). Members here are the per-lang partitions, so their
+    // sizes — and the audit's every number — replay exactly from the
+    // documents table in the oracle. skew = 1000·max·n/total (1000 =
+    // perfectly balanced).
+    "q435_layout_audit" -> ((s, d) => {
+      val root = freshScratch("q435", d)
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Seq("de", "en", "es", "fr", "zh").foreach { l =>
+        graft.operators.Manifest.commitAdd(
+          docs.filter(col("lang") === l), root, s"p-$l",
+          partition = Map("lang" -> l))
+      }
+      val counts = graft.operators.Manifest
+        .metadataRowCounts(root, 5).map(_._3)
+      import s.implicits._
+      Seq((counts.size.toLong, counts.min, counts.max, counts.sum,
+        1000L * counts.max * counts.size / counts.sum))
+        .toDF("n_members", "min_rows", "max_rows", "total_rows",
+          "skew_permille")
+    }),
+
+    // Out-of-orderness audit — the measurement that SIZES a
+    // streaming watermark: per user, each event's lateness is the
+    // gap to the maximum event-time seen so far (the running max a
+    // stream's state would hold); the histogram of lateness tells
+    // you what delay bound loses which fraction of events. Running
+    // max is a user-keyed cumulative window (key-partitioned — no
+    // global window); lateness buckets by powers of ~an hour; exact
+    // µs integers throughout.
+    "q436_out_of_order_audit" -> ((s, d) => {
+      val ev = Tables(s, d).events
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+      // ARRIVAL order is event_id (the log's append sequence);
+      // ordering by ts would make every event trivially in-order
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val late = ev
+        .withColumn("prior_max", max(col("us")).over(w))
+        .withColumn("lateness_us",
+          greatest(coalesce(col("prior_max") - col("us"), lit(0L)), lit(0L)))
+      late.select(
+          when(col("lateness_us") === 0, "in_order")
+            .when(col("lateness_us") <= 3600000000L, "lt_1h")
+            .when(col("lateness_us") <= 21600000000L, "lt_6h")
+            .otherwise("gt_6h").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("long").as("n_events"))
     })
   )
 
@@ -7444,6 +7937,221 @@ object EtlOps {
          SELECT mid.lang, mid.n_mid, mid.chars_mid,
                 coalesce(fin.n_final, 0)::BIGINT AS n_final,
                 coalesce(fin.chars_final, 0)::BIGINT AS chars_final
-         FROM mid LEFT JOIN fin USING (lang)"""
+         FROM mid LEFT JOIN fin USING (lang)""",
+    "q423_clustered_commit" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+                sum(n_chars)::BIGINT AS sum_chars,
+                sum(len(string_split(text, ' ')))::BIGINT AS sum_tokens
+         FROM documents
+         WHERE n_chars <= 200 AND len(string_split(text, ' ')) <= 40
+         GROUP BY 1""",
+    "q424_permutation_test" ->
+      """WITH u AS (
+           SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase' THEN 1
+                      ELSE 0 END)::BIGINT AS conv
+           FROM events GROUP BY 1),
+         obs AS (
+           SELECT sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)::BIGINT
+                    AS obs_na,
+                  sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END)::BIGINT
+                    AS obs_ca,
+                  sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)::BIGINT
+                    AS obs_nb,
+                  sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END)::BIGINT
+                    AS obs_cb
+           FROM (SELECT conv,
+                   CASE WHEN substr(md5('obs' || '|' || user_id::VARCHAR),
+                     1, 1) IN ('0','1','2','3','4','5','6','7')
+                     THEN 'A' ELSE 'B' END AS arm FROM u)),
+         perms AS (
+           SELECT p,
+                  sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)::BIGINT AS na,
+                  sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END)::BIGINT AS ca,
+                  sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)::BIGINT AS nb,
+                  sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END)::BIGINT AS cb
+           FROM (SELECT u.conv, g.p,
+                   CASE WHEN substr(md5(g.p::VARCHAR || '|'
+                     || u.user_id::VARCHAR), 1, 1)
+                     IN ('0','1','2','3','4','5','6','7')
+                     THEN 'A' ELSE 'B' END AS arm
+                 FROM u CROSS JOIN (SELECT range AS p FROM range(64)) g)
+           GROUP BY 1),
+         x AS (
+           SELECT count(*)::BIGINT AS n_perms,
+                  sum(CASE WHEN
+                    abs((ca * nb - cb * na)::DECIMAL(38,0))
+                      * (obs_na * obs_nb)::DECIMAL(38,0) >=
+                    abs((obs_ca * obs_nb - obs_cb * obs_na)::DECIMAL(38,0))
+                      * (na * nb)::DECIMAL(38,0)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_extreme,
+                  max((obs_ca * 1000) // obs_na
+                      - (obs_cb * 1000) // obs_nb)::BIGINT
+                    AS obs_diff_permille
+           FROM perms, obs)
+         SELECT n_perms, n_extreme, obs_diff_permille,
+                ((n_extreme + 1) * 1000) // (n_perms + 1) AS p_permille
+         FROM x""",
+    "q425_incremental_index" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+             FROM documents),
+         u AS (SELECT doc_id, unnest(ws) AS tok,
+                      generate_subscripts(ws, 1) AS ord FROM t),
+         b AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || c.tok AS bg
+               FROM u a JOIN u c
+                 ON c.doc_id = a.doc_id AND c.ord = a.ord + 1),
+         term AS (SELECT min(bg) AS bg FROM (
+                    SELECT bg, count(DISTINCT doc_id) AS df
+                    FROM b GROUP BY 1)
+                  WHERE df BETWEEN 5 AND 50),
+         hits AS (SELECT DISTINCT b.bg, b.doc_id
+                  FROM b JOIN term USING (bg))
+         SELECT hits.bg, d.lang, count(*)::BIGINT AS n_docs,
+                sum(d.n_chars)::BIGINT AS sum_chars
+         FROM documents d JOIN hits ON hits.doc_id = d.doc_id
+         GROUP BY 1, 2""",
+    "q426_theil_sen" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+                  count(*)::BIGINT AS n
+           FROM events GROUP BY 1),
+         p AS (SELECT (b.n - a.n)::BIGINT AS num,
+                      (b.day - a.day)::BIGINT AS den
+               FROM daily a JOIN daily b ON b.day > a.day),
+         c AS (SELECT count(*)::BIGINT AS n_pairs FROM p),
+         r AS (SELECT num, den,
+                      row_number() OVER (ORDER BY num / den, num, den)
+                        AS rk
+               FROM p)
+         SELECT r.num AS med_num, r.den AS med_den, c.n_pairs,
+                (r.num * 1000) // r.den AS slope_permille
+         FROM r, c WHERE r.rk = (c.n_pairs + 1) // 2""",
+    "q427_rollback_restore" ->
+      """WITH bad AS (
+           SELECT count(*)::BIGINT AS bad_rows_quarantined
+           FROM documents WHERE doc_id % 3 = 0)
+         SELECT lang, count(*)::BIGINT AS n_docs,
+                sum(n_chars)::BIGINT AS sum_chars,
+                max(bad.bad_rows_quarantined)::BIGINT
+                  AS bad_rows_quarantined
+         FROM documents, bad GROUP BY 1""",
+    "q428_quarantine_ingest" ->
+      """WITH ok AS (
+           SELECT lang, count(*)::BIGINT AS n_valid,
+                  sum(n_chars)::BIGINT AS chars_valid
+           FROM documents WHERE n_chars >= 100 GROUP BY 1),
+         bad AS (
+           SELECT lang, count(*)::BIGINT AS n_quarantined
+           FROM documents WHERE n_chars < 100 GROUP BY 1)
+         SELECT coalesce(ok.lang, bad.lang) AS lang,
+                coalesce(ok.n_valid, 0)::BIGINT AS n_valid,
+                coalesce(ok.chars_valid, 0)::BIGINT AS chars_valid,
+                coalesce(bad.n_quarantined, 0)::BIGINT AS n_quarantined
+         FROM ok FULL JOIN bad ON ok.lang = bad.lang""",
+    "q429_mann_kendall" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+                  count(*)::BIGINT AS n
+           FROM events GROUP BY 1),
+         s AS (SELECT sum(sign(b.n - a.n))::BIGINT AS s_stat
+               FROM daily a JOIN daily b ON b.day > a.day),
+         base AS (SELECT count(*)::BIGINT AS nd,
+                         (count(*) * (count(*) - 1)
+                           * (2 * count(*) + 5))::BIGINT AS vbase
+                  FROM daily),
+         ties AS (SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)),
+                           0)::BIGINT AS vties
+                  FROM (SELECT count(*)::BIGINT AS t FROM daily
+                        GROUP BY n HAVING count(*) > 1))
+         SELECT base.nd AS n_days, s.s_stat,
+                (base.vbase - ties.vties)::BIGINT AS v18,
+                (s.s_stat * 2000) // (base.nd * (base.nd - 1))
+                  AS tau_permille,
+                11250::DECIMAL(38,0) * (abs(s.s_stat) - 1)
+                  * (abs(s.s_stat) - 1) >
+                  2401::DECIMAL(38,0) * (base.vbase - ties.vties)
+                  AS trend_significant
+         FROM s, base, ties""",
+    "q430_incremental_er" ->
+      """WITH m AS (SELECT p_name, min(p_partkey) AS rep FROM part
+                    WHERE p_partkey % 3 <> 0 GROUP BY 1),
+         b AS (SELECT p_name, min(p_partkey) AS rep FROM part
+               WHERE p_partkey % 3 = 0 GROUP BY 1),
+         mm AS (SELECT b.rep AS br, count(*)::BIGINT AS nm
+                FROM b JOIN m ON levenshtein(b.p_name, m.p_name) <= 2
+                GROUP BY 1),
+         x AS (SELECT b.rep, coalesce(mm.nm, 0)::BIGINT AS nm
+               FROM b LEFT JOIN mm ON mm.br = b.rep)
+         SELECT nm AS n_matches, count(*)::BIGINT AS n_entities
+         FROM x GROUP BY 1""",
+    "q431_metadata_minmax" ->
+      """SELECT min(n_chars)::BIGINT AS min_chars,
+                max(n_chars)::BIGINT AS max_chars,
+                count(*)::BIGINT AS n_rows
+         FROM documents""",
+    "q432_conjunctive_search" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' ')))
+             AS tok
+           FROM documents),
+         dfr AS (SELECT tok, count(*)::BIGINT AS df FROM toks GROUP BY 1),
+         terms AS (SELECT tok FROM (
+                     SELECT tok, row_number() OVER (ORDER BY df, tok) AS rk
+                     FROM dfr) WHERE rk IN (1, 3, 5)),
+         tl AS (SELECT string_agg(tok, ',' ORDER BY tok) AS terms
+                FROM terms),
+         hits AS (SELECT doc_id, lang FROM toks JOIN terms USING (tok)
+                  GROUP BY 1, 2 HAVING count(*) = 3)
+         SELECT lang, count(*)::BIGINT AS n_docs, max(tl.terms) AS terms
+         FROM hits, tl GROUP BY 1""",
+    "q433_fano_burstiness" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  count(*)::BIGINT AS c
+           FROM events GROUP BY 1, 2),
+         agg AS (
+           SELECT event_type, count(*)::BIGINT AS n_days,
+                  sum(c)::BIGINT AS s, sum(c * c)::BIGINT AS q
+           FROM daily GROUP BY 1)
+         SELECT event_type, n_days, s AS total_events,
+                ((1000 * (n_days * q - s * s))
+                  // ((n_days - 1) * s))::BIGINT AS fano_permille
+         FROM agg""",
+    "q434_l_diversity" ->
+      """WITH d AS (
+           SELECT lang, source,
+                  CASE WHEN n_chars < 150 THEN 'short'
+                       WHEN n_chars < 300 THEN 'medium'
+                       ELSE 'long' END AS len_class
+           FROM documents)
+         SELECT lang, source, count(*)::BIGINT AS cell_size,
+                count(DISTINCT len_class)::BIGINT AS l_distinct,
+                count(DISTINCT len_class) >= 3 AS diverse_l3
+         FROM d GROUP BY 1, 2""",
+    "q435_layout_audit" ->
+      """WITH c AS (SELECT lang, count(*)::BIGINT AS r
+                    FROM documents GROUP BY 1)
+         SELECT count(*)::BIGINT AS n_members,
+                min(r)::BIGINT AS min_rows,
+                max(r)::BIGINT AS max_rows,
+                sum(r)::BIGINT AS total_rows,
+                ((1000 * max(r) * count(*)) // sum(r))::BIGINT
+                  AS skew_permille
+         FROM c""",
+    "q436_out_of_order_audit" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
+                    FROM events),
+         l AS (SELECT us,
+                      max(us) OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS pm
+               FROM e),
+         b AS (SELECT CASE
+                 WHEN greatest(coalesce(pm - us, 0), 0) = 0 THEN 'in_order'
+                 WHEN pm - us <= 3600000000 THEN 'lt_1h'
+                 WHEN pm - us <= 21600000000 THEN 'lt_6h'
+                 ELSE 'gt_6h' END AS bucket
+               FROM l)
+         SELECT bucket, count(*)::BIGINT AS n_events FROM b GROUP BY 1"""
   )
 }

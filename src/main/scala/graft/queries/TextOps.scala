@@ -1126,6 +1126,44 @@ object TextOps {
         .withColumn("kept_permille",
           expr("(tokens_kept * 1000) div (tokens_kept + tokens_lost)"))
         .withColumn("lim", col("lim").cast("long"))
+    }),
+
+    // Multi-needle SUBSTRING blocklist screen — the safety-filter
+    // audit a curation pipeline runs before release: for each
+    // blocked term, how many documents contain it and how often in
+    // total. Needles here derive deterministically from the corpus
+    // (top-5 tokens of length ≥ 4 by (count desc, token asc) — a
+    // stand-in for the externally-supplied blocklist). Occurrence
+    // counting is the pure-builtin identity
+    // (len(text) − len(replace(text, needle, ''))) / len(needle) —
+    // exact, codegen'd, non-overlapping (both engines' replace
+    // semantics). Scale shape: the needle list broadcasts (M rows),
+    // the corpus streams through ONCE per the M-way nested-loop
+    // expansion with all M compares inside codegen — at blocklists
+    // beyond a few hundred terms the upgrade path is an automaton
+    // expression (Aho–Corasick), same join shape.
+    "q422_blocklist_screen" -> ((s, d) => {
+      val docs = Tables(s, d).documents.select(col("doc_id"), col("text"))
+      val needles = docs
+        .select(explode(split(col("text"), " ")).as("needle"))
+        .filter(length(col("needle")) >= 4)
+        .groupBy(col("needle")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("needle"))
+        .limit(5)
+        .select(col("needle"))
+      val total = docs.agg(count(lit(1)).as("n_docs_total"))
+      docs.crossJoin(broadcast(needles))
+        .select(col("doc_id"), col("needle"),
+          expr("(length(text) - length(replace(text, needle, ''))) div " +
+            "length(needle)").cast("long").as("occ"))
+        .groupBy(col("needle"))
+        .agg(sum(when(col("occ") > 0, 1L).otherwise(0L))
+          .cast("long").as("n_docs_hit"),
+          sum(col("occ")).cast("long").as("total_occurrences"))
+        .crossJoin(broadcast(total))
+        .withColumn("hit_permille",
+          expr("(n_docs_hit * 1000) div n_docs_total"))
+        .drop("n_docs_total")
     })
   )
 
@@ -1759,6 +1797,25 @@ object TextOps {
                 tokens_kept,
                 (tokens_kept * 1000) // (tokens_kept + tokens_lost)
                   AS kept_permille
-         FROM g"""
+         FROM g""",
+    "q422_blocklist_screen" ->
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS needle
+             FROM documents),
+         needles AS (
+           SELECT needle FROM tk WHERE length(needle) >= 4
+           GROUP BY 1 ORDER BY count(*) DESC, needle LIMIT 5),
+         occ AS (
+           SELECT n.needle,
+                  (length(d.text) - length(replace(d.text, n.needle, '')))
+                    // length(n.needle) AS occ
+           FROM documents d CROSS JOIN needles n),
+         tot AS (SELECT count(*)::BIGINT AS n FROM documents)
+         SELECT occ.needle,
+                sum(CASE WHEN occ > 0 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_docs_hit,
+                sum(occ)::BIGINT AS total_occurrences,
+                ((sum(CASE WHEN occ > 0 THEN 1 ELSE 0 END) * 1000)
+                  // max(tot.n))::BIGINT AS hit_permille
+         FROM occ, tot GROUP BY 1"""
   )
 }

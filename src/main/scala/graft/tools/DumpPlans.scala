@@ -168,7 +168,20 @@ object DumpPlans {
     "q418_evolving_maintenance" -> "schema evolution under maintenance: old members never rewrite when a column arrives; the COW delete probes/rewrites members INDIVIDUALLY under their own schema; readEvolved merges footers at metadata-scale and gen-1 rows surface NULL",
     "q419_join_ivm_txn" -> "join IVM: deltas are the ADDED MEMBER FILES alone (append-only manifests — O(delta) IO, no key diff), txn pins make both tables' versions consistent; the two-sided rule ΔA⋈B₂ ∪ A₁⋈ΔB counts every new pair once",
     "q420_ivfpq_ann" -> "IVF-PQ ANN: candidates restricted to the probed lists (ivf_list equi-join), residual codes scored by integer ADC, floats touched only by the shortlist re-rank",
-    "q421_stream_auto_compact" -> "streaming auto-compaction: per-batch delete commits + in-stream debt-triggered compactDeletes; the emitted frame joins the pre-compaction pinned readMor against the head readMor")
+    "q421_stream_auto_compact" -> "streaming auto-compaction: per-batch delete commits + in-stream debt-triggered compactDeletes; the emitted frame joins the pre-compaction pinned readMor against the head readMor",
+    "q422_blocklist_screen" -> "blocklist screen: needle list broadcasts (BroadcastNestedLoopJoin over 5 rows), corpus streams once, occurrence arithmetic inside codegen",
+    "q423_clustered_commit" -> "clustered write: the final read unions ONLY the stats-pruned members (manifest-level skipping); the box filter is row-level exact on the survivors",
+    "q424_permutation_test" -> "permutation test: one user-grain aggregate, a literal 64-way explode, one (p, arm) aggregate, decimal cross-mult compare against the broadcast observed row",
+    "q425_incremental_index" -> "incremental index: the lookup joins the broadcast derived term against stored postings, then payloads — the corpus is never re-shingled at query time",
+    "q426_theil_sen" -> "Theil-Sen: day-grain aggregate, bounded pair grid, one unpartitioned median window over <=C(31,2) pre-aggregated rows",
+    "q427_rollback_restore" -> "rollback/restore: the final read unions the restored member list + the resumed commit; the bad version's files are never re-read",
+    "q428_quarantine_ingest" -> "quarantine ingest: both legs read through ONE txn's pins; per-table aggregates full-join on lang",
+    "q429_mann_kendall" -> "Mann-Kendall: day-grain aggregate, bounded sign-pair grid, tie groups from one (n)-keyed aggregate, integer verdict",
+    "q430_incremental_er" -> "incremental ER: batch and master prefixes equi-join on shared grams (one union-derived DF order); master x master never forms; banded levenshtein verifies candidates only",
+    "q432_conjunctive_search" -> "conjunctive search: vocabulary-sized term window, broadcast term join over distinct postings, doc-grain count==3 filter",
+    "q433_fano_burstiness" -> "Fano: one (type, day) aggregate then a type-grain integer fold — two hash aggregates, nothing else",
+    "q434_l_diversity" -> "l-diversity: one (lang, source) aggregate with a distinct count — nothing else",
+    "q436_out_of_order_audit" -> "out-of-order audit: user-keyed cumulative max window in arrival order, then one bucket aggregate")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

@@ -176,7 +176,22 @@ class ReproSpec extends AnyFunSuite {
     "q419_join_ivm_txn",    // two-sided join delta over O(delta) member reads
     // round-11 additions
     "q420_ivfpq_ann",       // trained coarse centroids + residual codebooks
-    "q421_stream_auto_compact" // mid-stream debt-triggered compaction
+    "q421_stream_auto_compact", // mid-stream debt-triggered compaction
+    "q422_blocklist_screen", // corpus-derived needles + replace counting
+    "q423_clustered_commit", // morton octile write + 2-D stats pruning
+    "q424_permutation_test", // md5 relabelings + decimal cross-mult
+    "q425_incremental_index", // delta-only postings maintenance
+    "q426_theil_sen",       // pairwise slope median, double-order pick
+    "q427_rollback_restore", // metadata-only restore + resumed ingest
+    "q428_quarantine_ingest", // txn-atomic valid/quarantine routing
+    "q429_mann_kendall",    // integer trend test, tie-corrected
+    "q430_incremental_er",  // cross-side blocked candidates vs master
+    "q431_metadata_minmax", // manifest-only extrema fold
+    "q432_conjunctive_search", // rarest-first AND retrieval
+    "q433_fano_burstiness", // exact variance-to-mean permille
+    "q434_l_diversity",     // sensitive-attribute distinct audit
+    "q435_layout_audit",    // manifest-only layout health fold
+    "q436_out_of_order_audit" // arrival-order running-max lateness
   )
 
   representatives.foreach { name =>

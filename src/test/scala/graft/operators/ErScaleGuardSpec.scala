@@ -109,6 +109,39 @@ class ErScaleGuardSpec extends AnyFunSuite {
       s"shorts bucket wrong: $got")
   }
 
+  test("cross-side blocked ER pairs are EXACTLY the brute-force cross grid's") {
+    // the q430 shape: a delta batch against a standing master — the
+    // union-derived DF order must keep the prefix filter lossless
+    // ACROSS sides (a per-side order would break the theorem)
+    val all = corpus(1200, seed = 23L).cache()
+    try {
+      val delta = all.filter(col("rep") % 3 === 0)
+      val master = all.filter(col("rep") % 3 =!= 0)
+      val blocked = EntityBlocking
+        .edCandidatePairsCross(delta, master, "rep", "p_name")
+        .select(col("a_id").cast("long").as("a_rep"),
+          col("b_id").cast("long").as("b_rep"))
+        .join(delta.select(col("rep").as("a_rep"),
+          col("p_name").as("a_name")), "a_rep")
+        .join(master.select(col("rep").as("b_rep"),
+          col("p_name").as("b_name")), "b_rep")
+        .filter(levenshtein(col("a_name"), col("b_name"), 2) >= 0)
+        .select(col("a_rep"), col("b_rep")).cache()
+      val brute = delta.select(col("rep").as("a_rep"),
+          col("p_name").as("a_name"))
+        .crossJoin(master.select(col("rep").as("b_rep"),
+          col("p_name").as("b_name")))
+        .filter(levenshtein(col("a_name"), col("b_name"), 2) >= 0)
+        .select(col("a_rep"), col("b_rep")).cache()
+      val nb = brute.count()
+      assert(nb >= 20, s"fixture degenerate: only $nb cross pairs")
+      assert(blocked.count() == nb &&
+        blocked.except(brute).isEmpty && brute.except(blocked).isEmpty,
+        "cross-side blocking lost or invented a pair")
+      blocked.unpersist(); brute.unpersist()
+    } finally all.unpersist()
+  }
+
   test("10x corpus: candidate volume grows sub-quadratically") {
     val n1 = corpus(1500, seed = 11L)
     val n10 = corpus(15000, seed = 11L)

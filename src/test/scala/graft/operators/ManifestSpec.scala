@@ -664,6 +664,24 @@ class ManifestSpec extends AnyFunSuite {
     }
   }
 
+  test("rollbackTo republishes an old member list; history stays readable") {
+    val root = freshRoot("rollback")
+    Manifest.commitAdd(frame(0 until 5), root, "a")
+    Manifest.commitAdd(frame(5 until 8), root, "b")
+    Manifest.commitAdd(frame(100 until 110), root, "oops")
+    val v = Manifest.rollbackTo(root, 2)
+    assert(v == 4, "restore is a NEW commit, not history rewriting")
+    assert(Manifest.members(root, 4) == Manifest.members(root, 2))
+    assert(Manifest.read(spark, root, 4).count() == 8)
+    // the bad version remains pinned and auditable
+    assert(Manifest.read(spark, root, 3).count() == 18)
+    // ingestion resumes on the restored line
+    Manifest.commitAdd(frame(8 until 10), root, "c")
+    assert(Manifest.read(spark, root, 5)
+      .select("id").as[Long].collect().toSet == (0L until 10L).toSet)
+    intercept[IllegalArgumentException] { Manifest.rollbackTo(root, 99) }
+  }
+
   test("addedRows reads exactly the delta members; loud on rewritten history") {
     val root = freshRoot("added")
     Manifest.commitAdd(frame(0 until 10), root, "a")

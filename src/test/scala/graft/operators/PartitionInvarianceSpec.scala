@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partition-layout invariance — the distribution property the
+  * DuckDB-oracle discipline silently depends on: every operator's
+  * RESULT must be a pure function of the input's rows, never of how
+  * those rows happen to be split across partitions (a cluster
+  * repartitions data constantly — AQE, scale-up, input file count).
+  * ReproSpec pins run-to-run determinism at ONE layout; this pins
+  * equality ACROSS layouts for the operator families with real
+  * partition-sensitivity surface: range-exchange ranks/cumsums,
+  * candidate joins, trained-artifact ANN, per-partition summaries.
+  */
+class PartitionInvarianceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def fingerprint(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted
+    df.select(cols.head, cols.tail: _*).collect()
+      .map(_.toSeq.map(v => if (v == null) "␀" else v.toString).mkString("|"))
+      .sorted.toSeq
+  }
+
+  private def invariant(name: String)(run: DataFrame => DataFrame)(
+      input: DataFrame): Unit = {
+    val a = fingerprint(run(input.repartition(2)))
+    val b = fingerprint(run(input.repartition(13)))
+    assert(a.nonEmpty, s"$name: empty result makes the check vacuous")
+    assert(a == b, s"$name: result depends on the input partition layout")
+  }
+
+  test("global rank + running total are layout-invariant") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    invariant("withGlobalRank")(df => GroupedRank.withGlobalRank(
+      df, Seq(col("n_chars"), col("doc_id")), "rk"))(docs)
+    invariant("withRunningTotal")(df => GroupedRank.withRunningTotal(
+      df, Seq(col("n_chars"), col("doc_id")), col("n_chars"), "rt"))(docs)
+  }
+
+  test("exact Jaccard pairs are layout-invariant") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    invariant("jaccardPairs")(df => Dedup.ngramJaccardPairs(
+      df, "doc_id", "text", shingleN = 3, threshold = 0.5))(docs)
+  }
+
+  test("ER candidate blocking is layout-invariant") {
+    val names = spark.read.parquet(s"$sf/part.parquet")
+      .groupBy(col("p_name")).agg(min(col("p_partkey")).as("rep"))
+    invariant("edCandidatePairs")(df => EntityBlocking.edCandidatePairs(
+      df, "rep", "p_name", maxEdits = 2))(names)
+  }
+
+  test("trained-artifact ANN (IVF-PQ) is layout-invariant") {
+    // the hash-ordered training sample is a TakeOrdered — the same
+    // rows in the same order whatever the layout; the ADC ranking is
+    // integer; ties break on id
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    invariant("ivfPqTopK") { df =>
+      val q = df.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"))
+      Pq.ivfPqTopK(df, "vec_id", "embedding", q, nlist = 8, nprobe = 2, k = 5)
+    }(emb)
+  }
+
+  test("Misra-Gries heavy hitters stay EXACT across layouts") {
+    // the per-partition summary differs by layout; the exact
+    // recount pass must erase that difference
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"))
+    invariant("heavyHitters")(df => HeavyHitters.frequentKeys(
+      df, col("user_id"), k = 20))(ev)
+  }
+}
