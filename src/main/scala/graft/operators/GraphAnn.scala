@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.functions.Vec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph-based ANN — the navigable-neighbor-graph family (NSW/HNSW,
+  * Malkov & Yashunin 2016) re-expressed as BATCH dataflow: an
+  * offline k-NN GRAPH over the corpus, then greedy BEAM SEARCH that
+  * walks it toward each query. The trade vs IVF-PQ (the repo's other
+  * scale path): graph search touches O(beam · hops · degree)
+  * candidates per query — independent of list sizes — at the cost of
+  * an offline graph build; it is the serving shape when queries are
+  * many and latency-bound.
+  *
+  * Both stages are deterministic end to end (the oracle discipline):
+  * the graph build scores exact cosine over IVF-restricted
+  * candidates with (sim desc, id) tie-breaks; search expands from
+  * the global min-id entry node with the same ordering; hop count is
+  * a fixed bound (a data-dependent convergence loop would be
+  * partition-order-sensitive through checkpoint timing — fixed
+  * rounds are the q129/q131 iterative discipline).
+  *
+  * Scale notes:
+  *  - build candidates are the IVF probe join (n·nprobe/nlist of the
+  *    pair space, never n²), shuffling (id, list) keys + vectors
+  *    once; per-source top-k is a key-partitioned window;
+  *  - search keeps the QUERY side broadcast (queries are few — the
+  *    serving asymmetry) and the graph sharded by src; each hop is
+  *    one frontier⋈graph equi-join + one per-query window over
+  *    ≤ beam·degree rows; visited-set dedup is exact (groupBy max);
+  *  - approximate by construction (IVF candidate misses + greedy
+  *    walk) → rows-only driver gates; GraphAnnSpec pins determinism
+  *    and recall floors vs exact cosine.
+  */
+object GraphAnn {
+
+  /** Directed k-NN graph: for every vector, its `k` most-cosine-
+    * similar neighbors among IVF-candidate peers (same probed
+    * lists). Output: (src, dst, rank) — rank 1 = nearest.
+    */
+  def knnGraph(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val cents = Similarity.kmeansCentroids(emb, idCol, vecCol, nlist)
+    require(cents.nonEmpty, "knnGraph: no centroids (empty corpus?)")
+    require(nprobe >= 1 && nprobe <= cents.length,
+      s"knnGraph: nprobe=$nprobe out of range [1, ${cents.length}]")
+    val indexed = Similarity.ivfIndex(emb, vecCol, cents)
+      .select(col(idCol).as("dst"), col("ivf_list"),
+        col(vecCol).as("dv"))
+    // EVERY vector is a source: no broadcast anywhere — the probe
+    // fan-out and the candidate join are plain shuffled equi-joins
+    // (the offline-build shape, unlike ivfPqTopK's few-query serving)
+    val probes = Similarity.ivfIndex(emb, vecCol, cents)
+      .select(col(idCol).as("src"), col(vecCol).as("sv"))
+      .withColumn("__probe", explode(slice(reverse(array_sort(
+        Similarity.centroidScores(col("sv"), cents))), 1, nprobe)))
+      .select(col("src"), col("sv"), (-col("__probe.ni")).as("ivf_list"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst"))
+    probes.join(indexed, Seq("ivf_list"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("sim", Vec.cosine(col("sv"), col("dv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("dst"), col("rank"))
+  }
+
+  /** Greedy beam search over a [[knnGraph]]: start every query at
+    * the global min-id entry node, expand the frontier's out-edges
+    * `hops` times keeping the `beam` best-scoring visited nodes per
+    * query, return the final top-`kOut`. Scores are exact cosine
+    * against the query vector; ties break on id everywhere.
+    */
+  def beamSearch(
+      graph: DataFrame,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: DataFrame, // single column `query_id`
+      beam: Int,
+      hops: Int,
+      kOut: Int): DataFrame = {
+    require(beam >= kOut, s"beamSearch: beam=$beam must be >= kOut=$kOut")
+    require(hops >= 1, s"beamSearch: hops=$hops")
+    val vecs = emb.select(col(idCol).as("node"), col(vecCol).as("nv"))
+    val queries = emb.join(queryIds, emb(idCol) === queryIds("query_id"))
+      .select(col("query_id"), col(vecCol).as("qv"))
+      .localCheckpoint() // broadcast side, scored against every visit
+    val entry = emb.agg(min(col(idCol)).as("node"))
+      .collect()(0).getLong(0) // one driver scalar — the entry point
+    val wBeam = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("node"))
+    def scored(nodes: DataFrame): DataFrame =
+      nodes.join(vecs, Seq("node"))
+        .join(broadcast(queries), Seq("query_id"))
+        .withColumn("sim", Vec.cosine(col("qv"), col("nv")))
+        .select(col("query_id"), col("node"), col("sim"))
+    var visited = scored(queries.select(col("query_id"))
+      .withColumn("node", lit(entry))).localCheckpoint()
+    var frontier = visited
+    for (_ <- 1 to hops) {
+      val expanded = frontier
+        .join(graph.withColumnRenamed("src", "node"), Seq("node"))
+        .select(col("query_id"), col("dst").as("node"))
+        // drop already-visited nodes before scoring (exact dedup)
+        .join(visited.select(col("query_id"), col("node")),
+          Seq("query_id", "node"), "left_anti")
+        .distinct()
+      val newlyScored = scored(expanded)
+      visited = visited.unionByName(newlyScored)
+        .withColumn("rk", row_number().over(wBeam))
+        .filter(col("rk") <= beam)
+        .drop("rk")
+        .localCheckpoint()
+      // the next frontier is the CURRENT beam (greedy best-first in
+      // batch form: every beam member expands — a wider exploration
+      // than scalar HNSW's single-best walk, natural in dataflow)
+      frontier = visited
+    }
+    visited
+      .filter(col("node") =!= col("query_id"))
+      .withColumn("rank", row_number().over(wBeam).cast("long"))
+      .filter(col("rank") <= kOut)
+      .select(col("query_id"), col("node").as("neighbor_id"), col("rank"))
+  }
+}

@@ -129,6 +129,34 @@ object VectorOps {
         nlist = 16, nprobe = 4, k = 5)
     }),
 
+    // Offline k-NN GRAPH build (the NSW/HNSW index's substrate):
+    // per-vector top-8 cosine neighbors among IVF-candidate peers —
+    // every vector is a SOURCE, so the build uses plain shuffled
+    // equi-joins (no broadcast anywhere, unlike the few-query
+    // serving paths). Approximate via the IVF candidate restriction
+    // → rows-only; GraphAnnSpec pins determinism, degree bounds, and
+    // edge recall vs exact neighbors.
+    "q437_knn_graph" -> ((s, d) => {
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      graft.operators.GraphAnn.knnGraph(emb, "vec_id", "embedding", k = 8)
+    }),
+
+    // Graph ANN serving: greedy BEAM SEARCH over the q437 graph —
+    // per query O(beam · hops · degree) candidates, independent of
+    // list sizes (the latency-bound serving shape IVF trades away).
+    // Deterministic walk (min-id entry, (sim, id) orders, fixed
+    // hops) but approximate end-to-end → rows-only; GraphAnnSpec
+    // pins the recall floor vs exact cosine top-k.
+    "q438_graph_ann" -> ((s, d) => {
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      val graph = graft.operators.GraphAnn.knnGraph(
+        emb, "vec_id", "embedding", k = 8).localCheckpoint()
+      val queryIds = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"))
+      graft.operators.GraphAnn.beamSearch(graph, emb, "vec_id", "embedding",
+        queryIds, beam = 24, hops = 4, kOut = 5)
+    }),
+
     // Multi-table sign-LSH near-dup join at a REAL near-dup
     // threshold (τ=0.8) — the regime cosineNearDupLsh is designed
     // for. The raw corpus has no pairs above ~0.51, so the query

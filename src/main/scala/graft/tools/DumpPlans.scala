@@ -181,7 +181,9 @@ object DumpPlans {
     "q432_conjunctive_search" -> "conjunctive search: vocabulary-sized term window, broadcast term join over distinct postings, doc-grain count==3 filter",
     "q433_fano_burstiness" -> "Fano: one (type, day) aggregate then a type-grain integer fold — two hash aggregates, nothing else",
     "q434_l_diversity" -> "l-diversity: one (lang, source) aggregate with a distinct count — nothing else",
-    "q436_out_of_order_audit" -> "out-of-order audit: user-keyed cumulative max window in arrival order, then one bucket aggregate")
+    "q436_out_of_order_audit" -> "out-of-order audit: user-keyed cumulative max window in arrival order, then one bucket aggregate",
+    "q437_knn_graph" -> "knn graph build: shuffled probe and candidate equi-joins (no broadcast — every vector is a source), per-src top-k window",
+    "q438_graph_ann" -> "graph ANN: per-hop frontier-to-graph equi-join + per-query beam window; query vectors broadcast (the serving asymmetry)")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

@@ -32,14 +32,14 @@ class EntrySpec extends AnyFunSuite {
     // so a silently DROPPED oracled query would not have failed the
     // suite. Keep in sync with CLAUDE.md's inventory note — a new
     // query bumps this in the SAME commit.
-    assert(SparkEntry.queries.size == 436,
-      s"query inventory drifted: ${SparkEntry.queries.size} (expected 436)")
+    assert(SparkEntry.queries.size == 438,
+      s"query inventory drifted: ${SparkEntry.queries.size} (expected 438)")
   }
 
   test("rows-only queries are exactly the approximate / non-SQL-expressible ops") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep this count in sync with CLAUDE.md's inventory note
-    assert(rowsOnly.size == 19, s"rows-only count drifted: ${rowsOnly.size}")
+    assert(rowsOnly.size == 21, s"rows-only count drifted: ${rowsOnly.size}")
     assert(rowsOnly == Set("q36_minhash_lsh", "q37_simhash",
       "q38_ngram_jaccard", "q42_ann_lsh", "q43_winnow_fp", "q44_ann_ivf",
       "q48_source_signatures", "q59_corpus_clean",
@@ -74,7 +74,11 @@ class EntrySpec extends AnyFunSuite {
       // IVF-PQ composed ANN: coarse centroids + residual codebooks
       // are both trained artifacts; IvfPqSpec pins determinism, the
       // recall floor, and probed-lists-only candidate IO
-      "q420_ivfpq_ann"))
+      "q420_ivfpq_ann",
+      // graph ANN: the k-NN graph is IVF-candidate-restricted and
+      // the beam walk greedy — GraphAnnSpec pins determinism, degree
+      // bounds, and recall floors
+      "q437_knn_graph", "q438_graph_ann"))
   }
 
   test("every query runs non-empty on sf0.001") {

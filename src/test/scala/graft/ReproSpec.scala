@@ -191,7 +191,9 @@ class ReproSpec extends AnyFunSuite {
     "q433_fano_burstiness", // exact variance-to-mean permille
     "q434_l_diversity",     // sensitive-attribute distinct audit
     "q435_layout_audit",    // manifest-only layout health fold
-    "q436_out_of_order_audit" // arrival-order running-max lateness
+    "q436_out_of_order_audit", // arrival-order running-max lateness
+    "q437_knn_graph",       // IVF-candidate neighbor graph build
+    "q438_graph_ann"        // fixed-hop greedy beam walk
   )
 
   representatives.foreach { name =>
