@@ -5114,8 +5114,12 @@ object EtlOps {
         explode(array_distinct(split(col("text"), " "))).as("tok"))
       val dfr = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val w = Window.orderBy(col("df"), col("tok")) // vocab-sized frame
+      // 3 rows, materialized once — both consumers (the postings
+      // join and the label column) would otherwise re-derive it and
+      // re-scan the corpus
       val terms = dfr.withColumn("rk", row_number().over(w))
         .filter(col("rk").isin(1, 3, 5)).select(col("tok"))
+        .localCheckpoint()
       val termList = terms.agg(
         concat_ws(",", sort_array(collect_list(col("tok")))).as("terms"))
       toks.join(broadcast(terms), Seq("tok"))
@@ -5224,6 +5228,77 @@ object EtlOps {
             .otherwise("gt_6h").as("bucket"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).cast("long").as("n_events"))
+    }),
+
+    // Benjamini–Hochberg FDR over a FAMILY of permutation tests —
+    // the multiple-testing discipline q424's single test stops short
+    // of: one q424-style permutation test per event type (does the
+    // md5 arm assignment shift that type's per-user event RATE?),
+    // then BH at FDR 10%: rank p-values ascending, k* = max k with
+    // p_(k)·m ≤ k·100‰, reject ranks ≤ k*. Every quantity is exact
+    // integer/DECIMAL (cross-multiplied extremeness, add-one
+    // permille p-values, the BH inequality in permille), and the BH
+    // window runs over the m-row type frame (bounded). Shape: one
+    // (user,type) count aggregate, a 32-way bounded fan-out, arm
+    // sizes computed once per permutation from the distinct-user
+    // frame.
+    "q441_bh_fdr" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      val users = ev.select(col("user_id")).distinct().localCheckpoint()
+      val ut = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c")).localCheckpoint()
+      def armOf(salt: Column) = when(
+        substring(md5(concat(salt, lit("|"), col("user_id").cast("string"))),
+          1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7"), "A")
+        .otherwise("B")
+      val sizes = users
+        .select(col("user_id"), explode(sequence(lit(0), lit(31))).as("p"))
+        .withColumn("arm", armOf(col("p").cast("string")))
+        .groupBy(col("p"))
+        .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("na"),
+          sum(when(col("arm") === "B", 1L).otherwise(0L)).as("nb"))
+      val obsSizes = users.withColumn("arm", armOf(lit("obs")))
+        .groupBy()
+        .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("obs_na"),
+          sum(when(col("arm") === "B", 1L).otherwise(0L)).as("obs_nb"))
+      val permCounts = ut
+        .select(col("user_id"), col("event_type"), col("c"),
+          explode(sequence(lit(0), lit(31))).as("p"))
+        .withColumn("arm", armOf(col("p").cast("string")))
+        .groupBy(col("event_type"), col("p"))
+        .agg(sum(when(col("arm") === "A", col("c")).otherwise(0L)).as("ca"),
+          sum(when(col("arm") === "B", col("c")).otherwise(0L)).as("cb"))
+      val obsCounts = ut.withColumn("arm", armOf(lit("obs")))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("arm") === "A", col("c")).otherwise(0L))
+          .as("obs_ca"),
+          sum(when(col("arm") === "B", col("c")).otherwise(0L)).as("obs_cb"))
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val pvals = permCounts.join(broadcast(sizes), "p")
+        .join(broadcast(obsCounts), "event_type")
+        .crossJoin(broadcast(obsSizes))
+        .withColumn("extreme",
+          abs(dec(col("ca") * col("nb") - col("cb") * col("na"))) *
+            dec(col("obs_na") * col("obs_nb")) >=
+            abs(dec(col("obs_ca") * col("obs_nb") -
+              col("obs_cb") * col("obs_na"))) * dec(col("na") * col("nb")))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("extreme"), 1L).otherwise(0L)).as("ne"))
+        .withColumn("p_permille", expr("((ne + 1) * 1000) div 33"))
+        .drop("ne")
+      val mF = pvals.agg(count(lit(1)).cast("long").as("m"))
+      // the BH walk runs over the m-row per-type frame — bounded
+      val w = Window.orderBy(col("p_permille"), col("event_type"))
+      val ranked = pvals.crossJoin(broadcast(mF))
+        .withColumn("bh_rank", row_number().over(w).cast("long"))
+        .withColumn("ok", col("p_permille") * col("m") <=
+          col("bh_rank") * 100)
+      val kmax = ranked.filter(col("ok"))
+        .agg(coalesce(max(col("bh_rank")), lit(0L)).as("kmax"))
+      ranked.crossJoin(broadcast(kmax))
+        .select(col("event_type"), col("p_permille").cast("long")
+          .as("p_permille"), col("bh_rank"),
+          (col("bh_rank") <= col("kmax")).as("rejected"))
     })
   )
 
@@ -8152,6 +8227,68 @@ object EtlOps {
                  WHEN pm - us <= 21600000000 THEN 'lt_6h'
                  ELSE 'gt_6h' END AS bucket
                FROM l)
-         SELECT bucket, count(*)::BIGINT AS n_events FROM b GROUP BY 1"""
+         SELECT bucket, count(*)::BIGINT AS n_events FROM b GROUP BY 1""",
+    "q441_bh_fdr" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         ut AS (SELECT user_id, event_type, count(*)::BIGINT AS c
+                FROM events GROUP BY 1, 2),
+         ua AS (SELECT u.user_id, g.p,
+                  CASE WHEN substr(md5(g.p::VARCHAR || '|'
+                    || u.user_id::VARCHAR), 1, 1)
+                    IN ('0','1','2','3','4','5','6','7')
+                    THEN 'A' ELSE 'B' END AS arm
+                FROM u CROSS JOIN (SELECT range AS p FROM range(32)) g),
+         sizes AS (SELECT p,
+                     sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)::BIGINT
+                       AS na,
+                     sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)::BIGINT
+                       AS nb
+                   FROM ua GROUP BY 1),
+         uo AS (SELECT user_id,
+                  CASE WHEN substr(md5('obs' || '|' || user_id::VARCHAR),
+                    1, 1) IN ('0','1','2','3','4','5','6','7')
+                    THEN 'A' ELSE 'B' END AS arm FROM u),
+         osz AS (SELECT
+                   sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)::BIGINT
+                     AS obs_na,
+                   sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)::BIGINT
+                     AS obs_nb
+                 FROM uo),
+         pc AS (SELECT ut.event_type, ua.p,
+                  sum(CASE WHEN ua.arm = 'A' THEN ut.c ELSE 0 END)::BIGINT
+                    AS ca,
+                  sum(CASE WHEN ua.arm = 'B' THEN ut.c ELSE 0 END)::BIGINT
+                    AS cb
+                FROM ut JOIN ua ON ua.user_id = ut.user_id GROUP BY 1, 2),
+         oc AS (SELECT ut.event_type,
+                  sum(CASE WHEN uo.arm = 'A' THEN ut.c ELSE 0 END)::BIGINT
+                    AS obs_ca,
+                  sum(CASE WHEN uo.arm = 'B' THEN ut.c ELSE 0 END)::BIGINT
+                    AS obs_cb
+                FROM ut JOIN uo ON uo.user_id = ut.user_id GROUP BY 1),
+         pv AS (SELECT pc.event_type,
+                  sum(CASE WHEN
+                    abs((pc.ca * s.nb - pc.cb * s.na)::DECIMAL(38,0))
+                      * (o.obs_na * o.obs_nb)::DECIMAL(38,0) >=
+                    abs((oc.obs_ca * o.obs_nb
+                      - oc.obs_cb * o.obs_na)::DECIMAL(38,0))
+                      * (s.na * s.nb)::DECIMAL(38,0)
+                    THEN 1 ELSE 0 END)::BIGINT AS ne
+                FROM pc JOIN sizes s USING (p)
+                        JOIN oc USING (event_type), osz o
+                GROUP BY 1),
+         pp AS (SELECT event_type, ((ne + 1) * 1000) // 33 AS p_permille
+                FROM pv),
+         mm AS (SELECT count(*)::BIGINT AS m FROM pp),
+         rk AS (SELECT event_type, p_permille,
+                  row_number() OVER (ORDER BY p_permille, event_type)
+                    AS bh_rank
+                FROM pp),
+         km AS (SELECT coalesce(max(bh_rank), 0)::BIGINT AS kmax
+                FROM rk, mm WHERE p_permille * mm.m <= bh_rank * 100)
+         SELECT rk.event_type, rk.p_permille::BIGINT AS p_permille,
+                rk.bh_rank::BIGINT AS bh_rank,
+                rk.bh_rank <= km.kmax AS rejected
+         FROM rk, km"""
   )
 }

@@ -1164,6 +1164,72 @@ object TextOps {
         .withColumn("hit_permille",
           expr("(n_docs_hit * 1000) div n_docs_total"))
         .drop("n_docs_total")
+    }),
+
+    // Curation dedup with KEEP-BEST survivorship — the q68 keep-one
+    // decision upgraded from "min id" to "best QUALITY": exact
+    // token-Jaccard near-dup pairs (the q35 AllPairs machinery) →
+    // connected components → per cluster keep the LONGEST member
+    // (n_chars, tie → min doc_id; length as the quality stand-in a
+    // real pipeline would replace with q33's score). Emits one row
+    // per cluster with the kept member and the discard count — the
+    // curation ledger. CC shuffles (id, label) pairs only; the
+    // argmax is one max-struct aggregate, never a window over the
+    // corpus.
+    "q439_curation_dedup" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val sets = docs.select(col("doc_id").as("id"),
+        array_sort(transform(array_distinct(tokens), t => xxhash64(t))).as("ts"))
+      val pairs = Dedup.jaccardPairs(sets, threshold = 0.9)
+        .select("a_id", "b_id")
+      val clusters = Dedup.duplicateClusters(pairs, docs.select(col("doc_id")))
+      clusters.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).cast("long").as("cluster_size"),
+          max(struct(col("n_chars").as("nc"),
+            (-col("doc_id")).as("nid"))).as("b"))
+        .select(col("cluster_id"), (-col("b.nid")).as("kept_doc_id"),
+          col("b.nc").cast("long").as("kept_chars"), col("cluster_size"),
+          (col("cluster_size") - 1).cast("long").as("n_discarded"))
+    }),
+
+    // Contamination-AWARE train/test split — q73's md5 split made
+    // leak-safe: after the deterministic split, any train document
+    // sharing a word 3-gram with ANY test document is quarantined
+    // from training (the Lee/Brown-style decontamination every eval
+    // pipeline owes its numbers to). Shape: per-doc distinct 3-grams
+    // once; the test side's gram set is small (≈12% of docs) and
+    // drives a semi-join against the train side — the q407
+    // broadcast-eval asymmetry; per-lang attrition is the readout.
+    "q440_decontaminated_split" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val tagged = docs.withColumn("is_test",
+        substring(md5(concat(lit("dsplit"), col("doc_id").cast("string"))),
+          1, 1).isin("0", "1"))
+      val g = TextOps.parallelized(tagged)
+        .select(col("doc_id"), col("is_test"), explode(expr(
+          "CASE WHEN size(split(text, ' ')) >= 3 THEN " +
+            "transform(sequence(1, size(split(text, ' ')) - 2), i -> " +
+            "concat_ws(' ', element_at(split(text, ' '), i), " +
+            "element_at(split(text, ' '), i + 1), " +
+            "element_at(split(text, ' '), i + 2))) " +
+            "ELSE array() END")).as("g3"))
+        .distinct()
+      val testGrams = g.filter(col("is_test")).select(col("g3")).distinct()
+      val contaminated = g.filter(!col("is_test"))
+        .join(testGrams, Seq("g3"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .withColumn("contam", lit(true))
+      tagged.filter(!col("is_test"))
+        .join(contaminated, Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_train"),
+          sum(when(col("contam"), 1L).otherwise(0L)).cast("long")
+            .as("n_contaminated"),
+          sum(when(col("contam").isNull, 1L).otherwise(0L)).cast("long")
+            .as("n_clean"),
+          sum(when(col("contam").isNull, col("n_chars")).otherwise(0L))
+            .cast("long").as("clean_chars"))
     })
   )
 
@@ -1816,6 +1882,67 @@ object TextOps {
                 sum(occ)::BIGINT AS total_occurrences,
                 ((sum(CASE WHEN occ > 0 THEN 1 ELSE 0 END) * 1000)
                   // max(tot.n))::BIGINT AS hit_permille
-         FROM occ, tot GROUP BY 1"""
+         FROM occ, tot GROUP BY 1""",
+    "q439_curation_dedup" ->
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+           FROM documents),
+         sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+           FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         prs AS (
+           SELECT a_id, b_id FROM inter
+           JOIN sizes sa ON sa.doc_id = a_id
+           JOIN sizes sb ON sb.doc_id = b_id
+           WHERE c::DOUBLE / (sa.n + sb.n - c)::DOUBLE >= 0.9),
+         edges AS (SELECT a_id AS s, b_id AS d FROM prs
+                   UNION SELECT b_id, a_id FROM prs),
+         reach AS (
+           SELECT doc_id AS s, doc_id AS d FROM documents
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         clu AS (SELECT s AS doc_id, min(d) AS cluster_id
+                 FROM reach GROUP BY 1),
+         mem AS (SELECT c.cluster_id, d.doc_id, d.n_chars
+                 FROM documents d JOIN clu c USING (doc_id)),
+         best AS (SELECT cluster_id, doc_id AS kept_doc_id,
+                         n_chars AS kept_chars,
+                         row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY n_chars DESC, doc_id) AS rk
+                  FROM mem),
+         sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+                FROM mem GROUP BY 1)
+         SELECT b.cluster_id, b.kept_doc_id,
+                b.kept_chars::BIGINT AS kept_chars, sz.cluster_size,
+                (sz.cluster_size - 1)::BIGINT AS n_discarded
+         FROM best b JOIN sz USING (cluster_id) WHERE b.rk = 1""",
+    "q440_decontaminated_split" ->
+      """WITH t AS (
+           SELECT doc_id, lang, n_chars,
+                  substr(md5('dsplit' || doc_id::VARCHAR), 1, 1)
+                    IN ('0', '1') AS is_test,
+                  string_split(text, ' ') AS ws
+           FROM documents),
+         u AS (SELECT doc_id, is_test, unnest(ws) AS tokk,
+                      generate_subscripts(ws, 1) AS ord FROM t),
+         g AS (SELECT DISTINCT a.doc_id, a.is_test,
+                      a.tokk || ' ' || b.tokk || ' ' || c.tokk AS g3
+               FROM u a
+               JOIN u b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+               JOIN u c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2),
+         tg AS (SELECT DISTINCT g3 FROM g WHERE is_test),
+         cont AS (SELECT DISTINCT g.doc_id
+                  FROM g JOIN tg USING (g3) WHERE NOT g.is_test)
+         SELECT t.lang, count(*)::BIGINT AS n_train,
+                sum(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0
+                    END)::BIGINT AS n_contaminated,
+                sum(CASE WHEN cont.doc_id IS NULL THEN 1 ELSE 0
+                    END)::BIGINT AS n_clean,
+                sum(CASE WHEN cont.doc_id IS NULL THEN t.n_chars ELSE 0
+                    END)::BIGINT AS clean_chars
+         FROM t LEFT JOIN cont ON cont.doc_id = t.doc_id
+         WHERE NOT t.is_test GROUP BY 1"""
   )
 }

@@ -183,7 +183,10 @@ object DumpPlans {
     "q434_l_diversity" -> "l-diversity: one (lang, source) aggregate with a distinct count — nothing else",
     "q436_out_of_order_audit" -> "out-of-order audit: user-keyed cumulative max window in arrival order, then one bucket aggregate",
     "q437_knn_graph" -> "knn graph build: shuffled probe and candidate equi-joins (no broadcast — every vector is a source), per-src top-k window",
-    "q438_graph_ann" -> "graph ANN: per-hop frontier-to-graph equi-join + per-query beam window; query vectors broadcast (the serving asymmetry)")
+    "q438_graph_ann" -> "graph ANN: per-hop frontier-to-graph equi-join + per-query beam window; query vectors broadcast (the serving asymmetry)",
+    "q439_curation_dedup" -> "curation dedup: q35 candidate machinery + CC (post-checkpoint scan) + one cluster-keyed max-struct argmax",
+    "q440_decontaminated_split" -> "decontaminated split: per-doc distinct 3-grams once; the test gram set semi-joins the train side; per-lang fold",
+    "q441_bh_fdr" -> "BH-FDR: (user,type) counts once, 32-way bounded explode, broadcast obs/size joins, m-row BH window")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

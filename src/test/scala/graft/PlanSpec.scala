@@ -483,6 +483,35 @@ class PlanSpec extends AnyFunSuite {
       s"index must read from the scratch manifest tables:\n${p.take(900)}")
   }
 
+  test("q430: incremental ER joins are all equi — master×master never forms") {
+    val p = plan("q430_incremental_er")
+    assert(!p.contains("CartesianProduct"),
+      s"blocked cross-side ER must never form a cross product:\n${p.take(800)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected the shared-gram equi-join:\n${p.take(800)}")
+  }
+
+  test("q440: the test gram set drives a semi-join against the train side") {
+    val p = plan("q440_decontaminated_split")
+    assert(p.contains("LeftSemi"),
+      s"contamination must be a semi-join, never a full gram join:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q432: the conjunction is one broadcast term join, no per-term rescan") {
+    val p = plan("q432_conjunctive_search")
+    // exactly one scan of documents feeds the postings side (the
+    // term-derivation scan + the postings scan share the same
+    // distinct-token frame; a per-term rescan would multiply scans)
+    val docScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("documents"))
+    assert(docScans <= 2,
+      s"per-term corpus rescans detected ($docScans documents scans):\n${p.take(900)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the 3-term list must broadcast:\n${p.take(800)}")
+  }
+
   test("whole-stage codegen covers the KPI aggregate (no interpreted hot path)") {
     // AQE only annotates codegen stages on the executed plan
     val df = SparkEntry.queries("q11_genre_kpis")(spark, sf)

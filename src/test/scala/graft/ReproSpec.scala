@@ -193,7 +193,10 @@ class ReproSpec extends AnyFunSuite {
     "q435_layout_audit",    // manifest-only layout health fold
     "q436_out_of_order_audit", // arrival-order running-max lateness
     "q437_knn_graph",       // IVF-candidate neighbor graph build
-    "q438_graph_ann"        // fixed-hop greedy beam walk
+    "q438_graph_ann",       // fixed-hop greedy beam walk
+    "q439_curation_dedup",  // jaccard clusters + keep-best survivorship
+    "q440_decontaminated_split", // 3-gram leak quarantine after md5 split
+    "q441_bh_fdr"           // per-type permutation tests + BH walk
   )
 
   representatives.foreach { name =>
