@@ -682,6 +682,24 @@ class ManifestSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Manifest.rollbackTo(root, 99) }
   }
 
+  test("vacuum after rollback keeps the restored files, GCs the bad version's") {
+    val root = freshRoot("rollback-vacuum")
+    Manifest.commitAdd(frame(0 until 5), root, "a")     // v1
+    Manifest.commitAdd(frame(100 until 120), root, "oops") // v2 (bad)
+    Manifest.rollbackTo(root, 1)                        // v3 == v1's members
+    Manifest.commitAdd(frame(5 until 9), root, "b")     // v4 head
+    val (expired, deleted) = Manifest.vacuum(root, keepVersions = 2)
+    // v1 and v2 expire; member `a` survives (v3/v4 reference it),
+    // the bad commit's member is now truly orphaned and GC'd
+    assert(expired.toSet == Set(1, 2), expired.toString)
+    assert(deleted.exists(_.endsWith("/oops")), deleted.toString)
+    assert(!deleted.exists(_.endsWith("/a")), deleted.toString)
+    assert(Manifest.read(spark, root, 4)
+      .select("id").as[Long].collect().toSet == (0L until 9L).toSet)
+    val e = intercept[IllegalStateException] { Manifest.read(spark, root, 2) }
+    assert(e.getMessage.contains("VACUUMED"), e.getMessage)
+  }
+
   test("addedRows reads exactly the delta members; loud on rewritten history") {
     val root = freshRoot("added")
     Manifest.commitAdd(frame(0 until 10), root, "a")
