@@ -5299,6 +5299,83 @@ object EtlOps {
         .select(col("event_type"), col("p_permille").cast("long")
           .as("p_permille"), col("bh_rank"),
           (col("bh_rank") <= col("kmax")).as("rejected"))
+    }),
+
+    // Version-history TIMELINE from metadata alone — the table's
+    // growth curve (version → member count, cumulative rows) folded
+    // from each published manifest's `rows` stats, zero data IO at
+    // any version (q409/q431/q435's discipline extended across the
+    // whole history — the "how did this table grow" audit every
+    // catalog UI renders). Four residue-class commits make the
+    // curve; the oracle replays it as cumulative residue counts.
+    "q442_version_timeline" -> ((s, d) => {
+      val root = freshScratch("q442", d)
+      val docs = Tables(s, d).documents.select(col("doc_id"), col("n_chars"))
+      for (b <- 0 until 4)
+        graft.operators.Manifest.commitAdd(
+          docs.filter(col("doc_id") % 4 === b), root, s"m$b")
+      import s.implicits._
+      (1 to 4).map { v =>
+        val counts = graft.operators.Manifest.metadataRowCounts(root, v)
+        (v.toLong, counts.size.toLong, counts.map(_._3).sum)
+      }.toDF("version", "n_members", "total_rows")
+    }),
+
+    // First-order MARKOV transition matrix over each user's event
+    // stream — the behavioral-LM building block (and the q83 bigram
+    // table's event-space twin): per (prev → next) event-type pair
+    // the count and the Laplace-smoothed transition probability in
+    // permille, (c+1)·1000 div (row_total + |types|) — integer
+    // exact, so the whole matrix hash-matches. One user-keyed lag
+    // window (event-time order, event_id tie-break), one pair
+    // aggregate; the type universe is a broadcast scalar.
+    "q443_markov_transitions" -> ((s, d) => {
+      val ev = Tables(s, d).events
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val pairs = ev.withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("c"))
+      val k = ev.agg(countDistinct(col("event_type")).as("k"))
+      val rt = pairs.groupBy(col("prev")).agg(sum(col("c")).as("rt"))
+      pairs.join(rt, "prev").crossJoin(broadcast(k))
+        .select(col("prev"), col("next"), col("c").cast("long").as("c"),
+          expr("((c + 1) * 1000) div (rt + k)").cast("long")
+            .as("p_permille"))
+    }),
+
+    // Frequent session-opening PATHS — the path-mining readout
+    // behind onboarding/funnel design: each (user, day) session's
+    // first three event types (event-time order, id tie-break) form
+    // a path string; the top-10 paths by support with a
+    // deterministic tie-break. Sessions shorter than 3 events are
+    // excluded (no partial paths). Per-session work is one
+    // key-partitioned window + one max-struct-free aggregate; the
+    // top-10 is TakeOrdered, never a global sort.
+    "q444_session_paths" -> ((s, d) => {
+      val ev = Tables(s, d).events
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("day", expr("us div 86400000000"))
+      val w = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("us"), col("event_id"))
+      val paths = ev.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          concat_ws(">", sort_array(collect_list(
+            struct(col("rn"), col("event_type")))).getField("event_type"))
+            .as("path"))
+        .filter(col("n") === 3)
+      paths.groupBy(col("path"))
+        .agg(count(lit(1)).cast("long").as("support"))
+        .orderBy(col("support").desc, col("path"))
+        .limit(10)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("support").desc, col("path"))).cast("long"))
     })
   )
 
@@ -8289,6 +8366,47 @@ object EtlOps {
          SELECT rk.event_type, rk.p_permille::BIGINT AS p_permille,
                 rk.bh_rank::BIGINT AS bh_rank,
                 rk.bh_rank <= km.kmax AS rejected
-         FROM rk, km"""
+         FROM rk, km""",
+    "q442_version_timeline" ->
+      """WITH r AS (SELECT doc_id % 4 AS b FROM documents),
+         c AS (SELECT b, count(*)::BIGINT AS n FROM r GROUP BY 1),
+         v AS (SELECT range + 1 AS version FROM range(4))
+         SELECT v.version::BIGINT AS version,
+                v.version::BIGINT AS n_members,
+                sum(CASE WHEN c.b < v.version THEN c.n ELSE 0 END)::BIGINT
+                  AS total_rows
+         FROM v CROSS JOIN c GROUP BY 1, 2""",
+    "q443_markov_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           epoch_us(ts) AS us FROM events),
+         p AS (SELECT event_type AS next,
+                      lag(event_type) OVER (PARTITION BY user_id
+                        ORDER BY us, event_id) AS prev
+               FROM e),
+         c AS (SELECT prev, next, count(*)::BIGINT AS c FROM p
+               WHERE prev IS NOT NULL GROUP BY 1, 2),
+         k AS (SELECT count(DISTINCT event_type)::BIGINT AS k FROM events),
+         rt AS (SELECT prev, sum(c)::BIGINT AS rt FROM c GROUP BY 1)
+         SELECT c.prev, c.next, c.c,
+                (((c.c + 1) * 1000) // (rt.rt + k.k))::BIGINT AS p_permille
+         FROM c JOIN rt USING (prev), k""",
+    "q444_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           epoch_us(ts) AS us,
+                           epoch_us(ts) // 86400000000 AS day
+                    FROM events),
+         r AS (SELECT user_id, day, event_type,
+                      row_number() OVER (PARTITION BY user_id, day
+                        ORDER BY us, event_id) AS rn
+               FROM e),
+         p AS (SELECT user_id, day, count(*) AS n,
+                      string_agg(event_type, '>' ORDER BY rn) AS path
+               FROM r WHERE rn <= 3 GROUP BY 1, 2),
+         s AS (SELECT path, count(*)::BIGINT AS support FROM p
+               WHERE n = 3 GROUP BY 1),
+         t AS (SELECT path, support,
+                      row_number() OVER (ORDER BY support DESC, path) AS rk
+               FROM s)
+         SELECT path, support, rk::BIGINT AS rk FROM t WHERE rk <= 10"""
   )
 }

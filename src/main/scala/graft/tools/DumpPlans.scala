@@ -186,7 +186,9 @@ object DumpPlans {
     "q438_graph_ann" -> "graph ANN: per-hop frontier-to-graph equi-join + per-query beam window; query vectors broadcast (the serving asymmetry)",
     "q439_curation_dedup" -> "curation dedup: q35 candidate machinery + CC (post-checkpoint scan) + one cluster-keyed max-struct argmax",
     "q440_decontaminated_split" -> "decontaminated split: per-doc distinct 3-grams once; the test gram set semi-joins the train side; per-lang fold",
-    "q441_bh_fdr" -> "BH-FDR: (user,type) counts once, 32-way bounded explode, broadcast obs/size joins, m-row BH window")
+    "q441_bh_fdr" -> "BH-FDR: (user,type) counts once, 32-way bounded explode, broadcast obs/size joins, m-row BH window",
+    "q443_markov_transitions" -> "Markov transitions: one user-keyed lag window, one pair aggregate, broadcast type-count scalar",
+    "q444_session_paths" -> "session paths: (user,day)-keyed window trims to 3 rows, path aggregate, TakeOrdered top-10")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

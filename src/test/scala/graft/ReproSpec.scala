@@ -196,7 +196,10 @@ class ReproSpec extends AnyFunSuite {
     "q438_graph_ann",       // fixed-hop greedy beam walk
     "q439_curation_dedup",  // jaccard clusters + keep-best survivorship
     "q440_decontaminated_split", // 3-gram leak quarantine after md5 split
-    "q441_bh_fdr"           // per-type permutation tests + BH walk
+    "q441_bh_fdr",          // per-type permutation tests + BH walk
+    "q442_version_timeline", // metadata growth curve across versions
+    "q443_markov_transitions", // user-keyed lag pairs + smoothed permille
+    "q444_session_paths"    // per-session opening trigram top-10
   )
 
   representatives.foreach { name =>
