@@ -5376,6 +5376,207 @@ object EtlOps {
         .limit(10)
         .withColumn("rk", row_number().over(
           Window.orderBy(col("support").desc, col("path"))).cast("long"))
+    }),
+
+    // Lag-k AUTOCORRELATION of the daily event-count series (lags
+    // 1–7) — the time-series diagnostic that finds weekly seasonality
+    // before anyone fits a model (q344's seasonal-naive baseline owes
+    // its lag-7 choice to exactly this readout). Exact integer
+    // throughout: centering is scaled through by n
+    // (cₜ = n·xₜ − Σx, a long), the Σ cₜ·cₜ₊ₖ numerators and the
+    // Σ cₜ² denominator accumulate in DECIMAL(38,0) (c² ~ 1e28 at
+    // 100 TB daily volumes — past int64, inside HUGEINT/DECIMAL38),
+    // and the permille ratio is integral division (truncation toward
+    // zero agrees across engines for negative numerators — pinned in
+    // the working notes). Scale shape: ONE corpus pass builds the
+    // day-grain counts; everything after runs on the tiny day frame
+    // (self-join on day+k via a broadcast 7-row lag spine, 1-row
+    // broadcast totals) — gaps in the calendar simply contribute no
+    // pair.
+    "q446_acf_daily" -> ((s, d) => {
+      val daily = Tables(s, d).events
+        .select(expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("x"))
+      val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      val c = daily.crossJoin(broadcast(tot)) // 1 row
+        .select(col("day"), expr("n * x - sx").as("c"))
+      val den = c.agg(
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("den"))
+      val lags = s.range(1)
+        .select(explode(expr("sequence(1, 7)")).as("lag"))
+      c.crossJoin(broadcast(lags))
+        .withColumn("jday", col("day") + col("lag"))
+        .join(c.select(col("day").as("jday"), col("c").as("c2")), "jday")
+        .groupBy(col("lag"))
+        .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c2")).as("num"),
+          count(lit(1)).cast("long").as("n_pairs"))
+        .crossJoin(broadcast(den)) // 1 row
+        .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+          expr("(1000 * num) div den").cast("long").as("acf_permille"))
+    }),
+
+    // Off-policy REPLAY evaluation (Li et al.'s replay method) — the
+    // offline answer to "how good would this recommender have been"
+    // before any A/B test: the target policy (recommend each user's
+    // modal event type over STRICTLY EARLIER days, ties to the
+    // lexicographically smallest type) is replayed against the log;
+    // per day, how many logged events the policy would have matched,
+    // in exact permille. First-active-day events have no history and
+    // drop out via the inner join — the estimator only scores days
+    // where the policy is defined. Scale shape: the corpus collapses
+    // to (user, type, day) counts in ONE pass; the history fold is a
+    // triangular join on that day-grain frame (bounded by
+    // calendar² × |types| per user, never event²); the argmax is a
+    // (user, day)-keyed window over the same bounded frame.
+    "q449_policy_replay" -> ((s, d) => {
+      val ev = Tables(s, d).events
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+      val cnt = ev.groupBy(col("user_id"), col("event_type"), col("day"))
+        .agg(count(lit(1)).as("c"))
+      val spine = cnt.select(col("user_id"), col("day")).distinct()
+      val hist = spine
+        .join(cnt.select(col("user_id"), col("event_type"),
+          col("day").as("hday"), col("c")), Seq("user_id"))
+        .filter(col("hday") < col("day"))
+        .groupBy(col("user_id"), col("day"), col("event_type"))
+        .agg(sum(col("c")).as("hc"))
+      val pred = hist.withColumn("rk", row_number().over(
+        Window.partitionBy(col("user_id"), col("day"))
+          .orderBy(col("hc").desc, col("event_type"))))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("day"), col("event_type").as("pred"))
+      ev.join(pred, Seq("user_id", "day"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).cast("long").as("n_eval"),
+          sum(when(col("event_type") === col("pred"), 1L).otherwise(0L))
+            .cast("long").as("n_matched"))
+        .withColumn("match_permille",
+          expr("(n_matched * 1000) div n_eval"))
+    }),
+
+    // RENDEZVOUS (highest-random-weight) hashing reshard audit — the
+    // capacity-planning readout before a shard-count change: growing
+    // 16 → 20 shards, what fraction of keys MOVE under HRW
+    // (argmax over shards of md5(key # shard) — Thaler/Ravishankar's
+    // guarantee: only keys whose new argmax is a NEW shard move,
+    // ≈ 4/20) vs naive mod hashing (≈ 19/20 move — the reshard
+    // stampede HRW exists to avoid). The argmax compares the fixed-
+    // width lowercase-hex md5 STRINGS directly (byte-lexicographic in
+    // both engines — no integer conversion needed) via one max-struct
+    // aggregate. Scale shape: keys fan out ×36 against a broadcast
+    // (config, shard) spine, then collapse in the same key-keyed
+    // aggregate — key-shaped, no window, no shuffle beyond the one
+    // aggregate.
+    "q451_rendezvous_reshard" -> ((s, d) => {
+      val keys = Tables(s, d).customer.select(col("c_custkey").as("k"))
+      val spine = s.range(1).select(explode(expr(
+        "flatten(transform(array(16, 20), " +
+          "n -> transform(sequence(0, n - 1), " +
+          "sh -> struct(n AS cfg, sh AS sh))))")).as("p"))
+        .select(col("p.cfg").as("cfg"), col("p.sh").as("sh"))
+      val hrw = keys.crossJoin(broadcast(spine))
+        .withColumn("h",
+          md5(concat(col("k").cast("string"), lit("#"),
+            col("sh").cast("string"))))
+        .groupBy(col("k"), col("cfg"))
+        .agg(max(struct(col("h"), col("sh"))).as("top"))
+        .groupBy(col("k"))
+        .agg(max(when(col("cfg") === 16, col("top.sh"))).as("hrw16"),
+          max(when(col("cfg") === 20, col("top.sh"))).as("hrw20"))
+      val audit = hrw
+        .withColumn("mod16", col("k") % 16)
+        .withColumn("mod20", col("k") % 20)
+        .agg(count(lit(1)).cast("long").as("n_keys"),
+          sum(when(col("hrw16") =!= col("hrw20"), 1L).otherwise(0L))
+            .cast("long").as("hrw_moved"),
+          sum(when(col("mod16") =!= col("mod20"), 1L).otherwise(0L))
+            .cast("long").as("mod_moved"))
+      audit.select(
+        explode(array(
+          struct(lit("hrw").as("method"), col("n_keys"),
+            col("hrw_moved").as("n_moved"),
+            expr("(hrw_moved * 1000) div n_keys").as("moved_permille")),
+          struct(lit("mod").as("method"), col("n_keys"),
+            col("mod_moved").as("n_moved"),
+            expr("(mod_moved * 1000) div n_keys").as("moved_permille"))))
+          .as("r"))
+        .select(col("r.method"), col("r.n_keys"), col("r.n_moved"),
+          col("r.moved_permille"))
+    }),
+
+    // Integer HITS (Kleinberg hubs/authorities) on the user → type
+    // bipartite engagement graph — the OTHER eigenvector ranking next
+    // to q129's PageRank, run UN-normalized for two exact iterations
+    // (a¹ = Wᵀ·1, h¹ = W·a¹, a² = Wᵀ·h¹ — pure integer matrix-vector
+    // products; normalization only rescales, so the RANKING is the
+    // true HITS ranking and the raw scores stay hash-exact).
+    // Magnitudes cube with corpus size → a² rides DECIMAL(38,0) and
+    // is emitted as STRING (wide-decimal oracle discipline). Scale
+    // shape: W collapses to (user, type, w) counts in one pass; each
+    // iteration is a key-shaped aggregate against the type-bounded
+    // authority vector (broadcast).
+    "q452_hits_scores" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Tables(s, d).events
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("w"))
+      val a1 = w.groupBy(col("event_type"))
+        .agg(sum(col("w")).as("a1"))
+      val h1 = w.join(broadcast(a1), "event_type")
+        .groupBy(col("user_id"))
+        .agg(sum(expr("CAST(w AS DECIMAL(38,0)) * a1")).as("h1"))
+      val a2 = w.join(h1, "user_id")
+        .groupBy(col("event_type"))
+        .agg(sum(expr("CAST(w AS DECIMAL(38,0)) * h1")).as("a2"))
+      a2.join(broadcast(a1), "event_type")
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("a2").desc, col("event_type"))).cast("long"))
+        .select(col("event_type"), col("a1").cast("long").as("a1"),
+          col("a2").cast("decimal(38,0)").cast("string").as("a2"),
+          col("rk"))
+    }),
+
+    // Two-sample KOLMOGOROV–SMIRNOV drift statistic — the
+    // distribution-shift detector every training/serving-skew monitor
+    // runs: D = max_x |F₁(x) − F₂(x)| between the click and purchase
+    // value distributions, computed EXACTLY by cross-multiplying the
+    // cumulative counts through both sample sizes
+    // (D_scaled = max |n₂·cum₁ − n₁·cum₂|, all integers on the 2dp
+    // cents grid; D_permille = 1000·D_scaled div (n₁·n₂) with the
+    // products in DECIMAL(38,0) — n₁·n₂ passes int64 near 10⁹ rows
+    // per side). Reports the statistic AND the value where the gap
+    // peaks (min cents among maximizers). Scale shape: one corpus
+    // pass to per-cents counts; the cumulative walk is an
+    // unpartitioned window over the DISTINCT-CENTS support frame —
+    // value-grid-bounded, never event-sized.
+    "q453_ks_drift" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, d).events
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val counts = ev.groupBy(col("cents"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("c1"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("c2"))
+      val tot = counts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      val wOrd = Window.orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = counts
+        .withColumn("cum1", sum(col("c1")).over(wOrd))
+        .withColumn("cum2", sum(col("c2")).over(wOrd))
+        .crossJoin(broadcast(tot)) // 1 row
+        .withColumn("d", expr(
+          "abs(CAST(n2 AS DECIMAL(38,0)) * cum1" +
+            " - CAST(n1 AS DECIMAL(38,0)) * cum2)"))
+      cum.orderBy(col("d").desc, col("cents")).limit(1)
+        .select(col("n1").cast("long").as("n1"),
+          col("n2").cast("long").as("n2"),
+          col("cents").as("d_at_cents"),
+          expr("(1000 * d) div (CAST(n1 AS DECIMAL(38,0)) * n2)")
+            .cast("long").as("d_permille"))
     })
   )
 
@@ -8407,6 +8608,112 @@ object EtlOps {
          t AS (SELECT path, support,
                       row_number() OVER (ORDER BY support DESC, path) AS rk
                FROM s)
-         SELECT path, support, rk::BIGINT AS rk FROM t WHERE rk <= 10"""
+         SELECT path, support, rk::BIGINT AS rk FROM t WHERE rk <= 10""",
+    "q446_acf_daily" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                           count(*)::BIGINT AS x
+                    FROM events GROUP BY 1),
+         t AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx FROM d),
+         c AS (SELECT day, (t.n * d.x - t.sx)::HUGEINT AS c FROM d, t),
+         den AS (SELECT sum(c * c) AS den FROM c),
+         l AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag),
+         num AS (SELECT l.lag, sum(a.c * b.c) AS num,
+                        count(*)::BIGINT AS n_pairs
+                 FROM l
+                 JOIN c a ON true
+                 JOIN c b ON b.day = a.day + l.lag
+                 GROUP BY 1)
+         SELECT num.lag::BIGINT AS lag, num.n_pairs,
+                ((1000 * num.num) // den.den)::BIGINT AS acf_permille
+         FROM num, den""",
+    "q449_policy_replay" ->
+      """WITH e AS (SELECT user_id, event_type,
+                           epoch_us(ts) // 86400000000 AS day FROM events),
+         cnt AS (SELECT user_id, event_type, day, count(*)::BIGINT AS c
+                 FROM e GROUP BY 1, 2, 3),
+         spine AS (SELECT DISTINCT user_id, day FROM cnt),
+         hist AS (SELECT s.user_id, s.day, c.event_type,
+                         sum(c.c)::BIGINT AS hc
+                  FROM spine s
+                  JOIN cnt c ON c.user_id = s.user_id AND c.day < s.day
+                  GROUP BY 1, 2, 3),
+         pred AS (SELECT user_id, day, event_type AS pred FROM (
+                    SELECT user_id, day, event_type,
+                           row_number() OVER (PARTITION BY user_id, day
+                             ORDER BY hc DESC, event_type) AS rk
+                    FROM hist) WHERE rk = 1),
+         m AS (SELECT e.day, count(*)::BIGINT AS n_eval,
+                      sum(CASE WHEN e.event_type = p.pred THEN 1 ELSE 0
+                          END)::BIGINT AS n_matched
+               FROM e JOIN pred p ON p.user_id = e.user_id
+                                  AND p.day = e.day
+               GROUP BY 1)
+         SELECT day::BIGINT AS day, n_eval, n_matched,
+                ((n_matched * 1000) // n_eval)::BIGINT AS match_permille
+         FROM m""",
+    "q451_rendezvous_reshard" ->
+      """WITH k AS (SELECT c_custkey AS k FROM customer),
+         spine AS (SELECT cfg, unnest(range(cfg)) AS sh
+                   FROM (SELECT unnest([16, 20]) AS cfg)),
+         hr AS (SELECT k.k, s.cfg, s.sh,
+                       md5(k.k::VARCHAR || '#' || s.sh::VARCHAR) AS h
+                FROM k CROSS JOIN spine s),
+         top AS (SELECT k, cfg, arg_max(sh, h) AS sh FROM hr
+                 GROUP BY 1, 2),
+         p AS (SELECT k,
+                      max(CASE WHEN cfg = 16 THEN sh END) AS hrw16,
+                      max(CASE WHEN cfg = 20 THEN sh END) AS hrw20
+               FROM top GROUP BY 1),
+         a AS (SELECT count(*)::BIGINT AS n_keys,
+                      sum(CASE WHEN hrw16 <> hrw20 THEN 1 ELSE 0
+                          END)::BIGINT AS hrw_moved,
+                      sum(CASE WHEN k % 16 <> k % 20 THEN 1 ELSE 0
+                          END)::BIGINT AS mod_moved
+               FROM p)
+         SELECT 'hrw' AS method, n_keys, hrw_moved AS n_moved,
+                ((hrw_moved * 1000) // n_keys)::BIGINT AS moved_permille
+         FROM a
+         UNION ALL
+         SELECT 'mod' AS method, n_keys, mod_moved AS n_moved,
+                ((mod_moved * 1000) // n_keys)::BIGINT AS moved_permille
+         FROM a""",
+    "q452_hits_scores" ->
+      """WITH w AS (SELECT user_id, event_type, count(*)::BIGINT AS w
+                    FROM events GROUP BY 1, 2),
+         av1 AS (SELECT event_type, sum(w)::BIGINT AS a1 FROM w
+                 GROUP BY 1),
+         hv1 AS (SELECT w.user_id, sum(w.w::HUGEINT * av1.a1) AS h1
+                 FROM w JOIN av1 USING (event_type) GROUP BY 1),
+         av2 AS (SELECT w.event_type, sum(w.w::HUGEINT * hv1.h1) AS av
+                 FROM w JOIN hv1 USING (user_id) GROUP BY 1)
+         SELECT av2.event_type, av1.a1, av2.av::VARCHAR AS a2,
+                row_number() OVER (ORDER BY av2.av DESC,
+                                   av2.event_type)::BIGINT AS rk
+         FROM av2 JOIN av1 USING (event_type)""",
+    "q453_ks_drift" ->
+      """WITH e AS (SELECT event_type, round(value * 100, 0)::BIGINT
+                      AS cents
+                    FROM events
+                    WHERE event_type IN ('click', 'purchase')),
+         c AS (SELECT cents,
+                      sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                          END)::BIGINT AS c1,
+                      sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                          END)::BIGINT AS c2
+               FROM e GROUP BY 1),
+         t AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2
+               FROM c),
+         cu AS (SELECT cents,
+                       sum(c1) OVER (ORDER BY cents)::BIGINT AS cum1,
+                       sum(c2) OVER (ORDER BY cents)::BIGINT AS cum2
+                FROM c),
+         dd AS (SELECT cents,
+                       abs(t.n2::HUGEINT * cum1 - t.n1::HUGEINT * cum2)
+                         AS d,
+                       t.n1, t.n2
+                FROM cu, t)
+         SELECT n1, n2, cents AS d_at_cents,
+                ((1000 * d) // (n1::HUGEINT * n2))::BIGINT AS d_permille
+         FROM dd QUALIFY row_number() OVER (ORDER BY d DESC, cents) = 1"""
   )
 }

@@ -1230,6 +1230,200 @@ object TextOps {
             .as("n_clean"),
           sum(when(col("contam").isNull, col("n_chars")).otherwise(0L))
             .cast("long").as("clean_chars"))
+    }),
+
+    // Reciprocal-rank fusion (RRF) — the hybrid-search combiner every
+    // production retrieval stack runs (Cormack/Clarke/Buettcher, the
+    // BM25+dense recipe): THREE ranked lists for the same query —
+    // q388's integer BM25, a coverage list (#distinct query terms,
+    // then total tf), and a static doc prior (n_chars, the stand-in
+    // for a quality/freshness signal over the matched candidates) —
+    // each cut to its top-20 by TakeOrdered, then fused by
+    // score = Σ 1000000 div (60 + rank_i) over the lists a doc
+    // appears in (missing → 0, standard RRF). Every rank rides a
+    // deterministic total order and every division is positive-int
+    // floor, so the fused ranking hash-matches where float fusion
+    // never would. Scale shape: corpus work is q388's (term-filtered
+    // posting explode, broadcast df/len stats); fusion itself touches
+    // only the ≤60-row union of the lists, and the per-list rank
+    // windows run over ≤20 rows post-limit.
+    "q445_rrf_fusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val qTerms = Seq("dup", "vector", "spark")
+      val base = parallelized(Tables(s, d).documents)
+        .select(col("doc_id"), col("n_chars"), tokens.as("toks"))
+      val dl = base.select(col("doc_id"),
+        size(col("toks")).cast("long").as("dl"))
+      val tot = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total_len"))
+      val tf = base.select(col("doc_id"), explode(col("toks")).as("term"))
+        .filter(col("term").isin(qTerms: _*))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val bm = tf
+        .join(broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(tot)) // 1 row
+        .withColumn("r_milli", expr("(1000 * dl * n_docs) div total_len"))
+        .withColumn("idf_milli",
+          expr("((2 * n_docs - 2 * df + 1) * 1000) div (2 * df + 1)"))
+        .withColumn("tfpart_micro",
+          expr("(44000000 * tf) div (20000 * tf + 6000 + 18 * r_milli)"))
+        .groupBy(col("doc_id"))
+        .agg(sum(expr("CAST(idf_milli AS DECIMAL(38,0)) * tfpart_micro"))
+          .as("s9"),
+          countDistinct(col("term")).as("nt"), sum(col("tf")).as("tft"))
+      val l1 = bm.orderBy(col("s9").desc, col("doc_id")).limit(20)
+        .withColumn("rk1", row_number().over(
+          Window.orderBy(col("s9").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rk1"))
+      val l2 = bm.orderBy(col("nt").desc, col("tft").desc, col("doc_id"))
+        .limit(20)
+        .withColumn("rk2", row_number().over(
+          Window.orderBy(col("nt").desc, col("tft").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rk2"))
+      val l3 = bm.select(col("doc_id"))
+        .join(base.select(col("doc_id"), col("n_chars")), "doc_id")
+        .orderBy(col("n_chars").desc, col("doc_id")).limit(20)
+        .withColumn("rk3", row_number().over(
+          Window.orderBy(col("n_chars").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rk3"))
+      val fused = l1.join(l2, Seq("doc_id"), "full")
+        .join(l3, Seq("doc_id"), "full")
+        .withColumn("rrf_ppm", expr(
+          "coalesce(1000000 div (60 + rk1), 0)" +
+            " + coalesce(1000000 div (60 + rk2), 0)" +
+            " + coalesce(1000000 div (60 + rk3), 0)").cast("long"))
+      fused.orderBy(col("rrf_ppm").desc, col("doc_id")).limit(10)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rrf_ppm").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"),
+          coalesce(col("rk1"), lit(0)).cast("long").as("rk1"),
+          coalesce(col("rk2"), lit(0)).cast("long").as("rk2"),
+          coalesce(col("rk3"), lit(0)).cast("long").as("rk3"),
+          col("rrf_ppm"), col("rk"))
+    }),
+
+    // Pseudo-relevance-feedback query expansion (Rocchio/RM1 family)
+    // — the classic two-pass retrieval loop: a tf-ranked first pass
+    // for the seed term picks the top-5 feedback docs; their most
+    // frequent content tokens (length ≥ 4, seed excluded, top-3 by
+    // count desc / term asc) become the expanded query; the second
+    // pass scores every doc by (#matched expanded terms, total tf).
+    // Integer counts and deterministic tie-breaks end to end. Scale
+    // shape: both posting passes filter BEFORE their shuffles (the
+    // first on the seed term, the second on the ≤4-term broadcast
+    // query set); the feedback-doc set is a 5-row broadcast; the
+    // top-10 is TakeOrdered.
+    "q447_prf_expansion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val seed = "vector"
+      val base = parallelized(Tables(s, d).documents)
+        .select(col("doc_id"), tokens.as("toks"))
+      val occ = base.select(col("doc_id"), explode(col("toks")).as("term"))
+      val fb = occ.filter(col("term") === seed)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("doc_id")).limit(5)
+        .select(col("doc_id"))
+      val expTerms = occ.join(broadcast(fb), "doc_id")
+        .filter(length(col("term")) >= 4 && col("term") =!= seed)
+        .groupBy(col("term")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("term")).limit(3)
+        .select(col("term"))
+      val qset = expTerms.unionByName(
+        s.range(1).select(lit(seed).as("term")))
+      val scored = occ.join(broadcast(qset), "term")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("term")).cast("long").as("n_matched"),
+          count(lit(1)).cast("long").as("tf_total"))
+      scored.orderBy(col("n_matched").desc, col("tf_total").desc,
+        col("doc_id")).limit(10)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n_matched").desc, col("tf_total").desc,
+            col("doc_id"))).cast("long"))
+    }),
+
+    // Label-propagation COMMUNITY DETECTION (synchronous LPA,
+    // Raghavan et al.) over the token co-occurrence graph — the
+    // community structure q67's connected components cannot see (CC
+    // merges everything reachable; LPA's weighted majority vote
+    // splits a connected graph into dense neighborhoods — topic-ish
+    // clusters here). Graph: adjacent-token bigrams with count ≥ 3,
+    // symmetrized and weight-summed; labels start as the node itself;
+    // each round every node adopts the label with the largest
+    // incident weight (tie → lexicographically smallest), THREE
+    // synchronous rounds unrolled (fixed rounds keep it oracle-
+    // replayable; convergence detection is q67's loud-fail pattern).
+    // Scale shape: rounds shuffle (node, label) pairs against the
+    // edge list only — never documents; the vote argmax is a
+    // node-keyed window over the vocab-bounded candidate frame.
+    "q448_label_propagation" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = parallelized(Tables(s, d).documents)
+        .select(col("doc_id"), tokens.as("ws"))
+      val pairs = t.select(explode(
+        expr("zip_with(slice(ws, 1, size(ws) - 1)," +
+          " slice(ws, 2, size(ws) - 1)," +
+          " (a, b) -> struct(a AS a, b AS b))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .filter(col("a") =!= col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 3)
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"),
+        col("c"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst"),
+          col("c")))
+        .groupBy(col("src"), col("dst")).agg(sum(col("c")).as("w"))
+      def round(labels: DataFrame): DataFrame = {
+        val votes = edges
+          .join(labels.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src"), col("label")).agg(sum(col("w")).as("sw"))
+        votes.withColumn("rk", row_number().over(
+          Window.partitionBy(col("src"))
+            .orderBy(col("sw").desc, col("label"))))
+          .filter(col("rk") === 1)
+          .select(col("src").as("node"), col("label"))
+      }
+      val l0 = edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+      val l3 = round(round(round(l0)))
+      val sizes = l3.groupBy(col("label"))
+        .agg(count(lit(1)).cast("long").as("community_size"))
+      l3.join(sizes, "label").select(col("node"), col("label"),
+        col("community_size"))
+    }),
+
+    // RAKE keyword extraction (Rose et al.) — the unsupervised
+    // keyword scorer next to tf-idf (q115) and BM25 (q388): text
+    // splits into candidate PHRASES at stopword boundaries; within
+    // phrases each word accumulates freq (+1 per occurrence) and
+    // degree (+phrase length per occurrence, self included); the
+    // RAKE score degree/freq is emitted in exact permille
+    // (1000·Σdeg div Σfreq — words in long phrases win). Top-20
+    // words with freq ≥ 3 by (score desc, word). Scale shape: the
+    // phrase split is one narrow pass (stopwords → '|' marker, split,
+    // explode); scoring is a word-keyed aggregate; the top-20 is
+    // TakeOrdered.
+    "q450_rake_keywords" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+      val phrases = parallelized(Tables(s, d).documents)
+        .select(explode(split(expr(
+          s"array_join(transform(split(text, ' '), " +
+            s"t -> CASE WHEN t IN ($stopList) THEN '|' ELSE t END), ' ')"),
+          "\\s*\\|\\s*")).as("ph"))
+        .filter(col("ph") =!= "")
+        .select(split(col("ph"), " ").as("pw"))
+      val contrib = phrases
+        .select(size(col("pw")).as("plen"), explode(col("pw")).as("word"))
+      val scored = contrib.groupBy(col("word"))
+        .agg(count(lit(1)).cast("long").as("freq"),
+          sum(col("plen")).cast("long").as("degree"))
+        .filter(col("freq") >= 3)
+        .withColumn("score_pm", expr("(1000 * degree) div freq"))
+      scored.orderBy(col("score_pm").desc, col("word")).limit(20)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("score_pm").desc, col("word"))).cast("long"))
     })
   )
 
@@ -1943,6 +2137,131 @@ object TextOps {
                 sum(CASE WHEN cont.doc_id IS NULL THEN t.n_chars ELSE 0
                     END)::BIGINT AS clean_chars
          FROM t LEFT JOIN cont ON cont.doc_id = t.doc_id
-         WHERE NOT t.is_test GROUP BY 1"""
+         WHERE NOT t.is_test GROUP BY 1""",
+    "q445_rrf_fusion" ->
+      """WITH base AS (
+           SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+           FROM documents),
+         dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM base),
+         tot AS (SELECT count(*)::BIGINT AS n_docs,
+                        sum(dl)::BIGINT AS total_len FROM dl),
+         occ AS (SELECT doc_id, unnest(toks) AS term FROM base),
+         tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM occ
+                WHERE term IN ('dup', 'vector', 'spark') GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         s AS (SELECT tf.doc_id, tf.tf,
+                      ((2 * tot.n_docs - 2 * dfreq.df + 1) * 1000)
+                        // (2 * dfreq.df + 1) AS idf_milli,
+                      (44000000 * tf.tf)
+                        // (20000 * tf.tf + 6000
+                            + 18 * ((1000 * dl.dl * tot.n_docs)
+                                     // tot.total_len)) AS tfpart_micro
+               FROM tf JOIN dfreq USING (term)
+                       JOIN dl ON dl.doc_id = tf.doc_id, tot),
+         bm AS (SELECT doc_id, sum(idf_milli::HUGEINT * tfpart_micro) AS s9,
+                       count(*)::BIGINT AS nt, sum(tf)::BIGINT AS tft
+                FROM s GROUP BY 1),
+         l1 AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY s9 DESC, doc_id) AS rk1
+                FROM bm QUALIFY rk1 <= 20),
+         l2 AS (SELECT doc_id, row_number() OVER (
+                  ORDER BY nt DESC, tft DESC, doc_id) AS rk2
+                FROM bm QUALIFY rk2 <= 20),
+         l3 AS (SELECT bm.doc_id, row_number() OVER (
+                  ORDER BY base.n_chars DESC, bm.doc_id) AS rk3
+                FROM bm JOIN base USING (doc_id) QUALIFY rk3 <= 20),
+         f AS (SELECT coalesce(l1.doc_id, l2.doc_id, l3.doc_id) AS doc_id,
+                      l1.rk1, l2.rk2, l3.rk3,
+                      (coalesce(1000000 // (60 + l1.rk1), 0)
+                        + coalesce(1000000 // (60 + l2.rk2), 0)
+                        + coalesce(1000000 // (60 + l3.rk3), 0))::BIGINT
+                        AS rrf_ppm
+               FROM l1
+               FULL JOIN l2 ON l2.doc_id = l1.doc_id
+               FULL JOIN l3 ON l3.doc_id = coalesce(l1.doc_id, l2.doc_id))
+         SELECT doc_id, coalesce(rk1, 0)::BIGINT AS rk1,
+                coalesce(rk2, 0)::BIGINT AS rk2,
+                coalesce(rk3, 0)::BIGINT AS rk3, rrf_ppm,
+                row_number() OVER (ORDER BY rrf_ppm DESC, doc_id)::BIGINT
+                  AS rk
+         FROM f QUALIFY rk <= 10""",
+    "q447_prf_expansion" ->
+      """WITH base AS MATERIALIZED (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         fb AS MATERIALIZED (
+           SELECT doc_id FROM base WHERE term = 'vector'
+           GROUP BY 1 ORDER BY count(*) DESC, doc_id LIMIT 5),
+         ex AS MATERIALIZED (
+           SELECT term FROM base JOIN fb USING (doc_id)
+           WHERE length(term) >= 4 AND term <> 'vector'
+           GROUP BY 1 ORDER BY count(*) DESC, term LIMIT 3),
+         qs AS (SELECT term FROM ex UNION ALL SELECT 'vector' AS term),
+         sc AS (SELECT doc_id,
+                       count(DISTINCT term)::BIGINT AS n_matched,
+                       count(*)::BIGINT AS tf_total
+                FROM base JOIN qs USING (term) GROUP BY 1)
+         SELECT doc_id, n_matched, tf_total,
+                row_number() OVER (ORDER BY n_matched DESC, tf_total DESC,
+                                   doc_id)::BIGINT AS rk
+         FROM sc QUALIFY rk <= 10""",
+    "q448_label_propagation" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+         p AS (SELECT unnest([{'a': toks[i], 'b': toks[i+1]}
+                              FOR i IN range(1, len(toks))],
+                             recursive := true)
+               FROM t),
+         bg AS (SELECT a, b, count(*)::BIGINT AS c FROM p
+                WHERE a <> b GROUP BY 1, 2 HAVING count(*) >= 3),
+         e AS MATERIALIZED (
+           SELECT src, dst, sum(c)::BIGINT AS w FROM (
+             SELECT a AS src, b AS dst, c FROM bg
+             UNION ALL SELECT b AS src, a AS dst, c FROM bg)
+           GROUP BY 1, 2),
+         l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         l1 AS MATERIALIZED (
+           SELECT src AS node, label FROM (
+             SELECT e.src, l0.label, sum(e.w) AS sw,
+                    row_number() OVER (PARTITION BY e.src
+                      ORDER BY sum(e.w) DESC, l0.label) AS rk
+             FROM e JOIN l0 ON l0.node = e.dst GROUP BY 1, 2)
+           WHERE rk = 1),
+         l2 AS MATERIALIZED (
+           SELECT src AS node, label FROM (
+             SELECT e.src, l1.label, sum(e.w) AS sw,
+                    row_number() OVER (PARTITION BY e.src
+                      ORDER BY sum(e.w) DESC, l1.label) AS rk
+             FROM e JOIN l1 ON l1.node = e.dst GROUP BY 1, 2)
+           WHERE rk = 1),
+         l3 AS MATERIALIZED (
+           SELECT src AS node, label FROM (
+             SELECT e.src, l2.label, sum(e.w) AS sw,
+                    row_number() OVER (PARTITION BY e.src
+                      ORDER BY sum(e.w) DESC, l2.label) AS rk
+             FROM e JOIN l2 ON l2.node = e.dst GROUP BY 1, 2)
+           WHERE rk = 1),
+         sz AS (SELECT label, count(*)::BIGINT AS community_size
+                FROM l3 GROUP BY 1)
+         SELECT l3.node, l3.label, sz.community_size
+         FROM l3 JOIN sz USING (label)""",
+    "q450_rake_keywords" ->
+      """WITH ph AS (
+           SELECT unnest(string_split_regex(array_to_string(
+                    list_transform(string_split(text, ' '),
+                      t -> CASE WHEN t IN ('the', 'a', 'of', 'and', 'to')
+                           THEN '|' ELSE t END), ' '),
+                    '\s*\|\s*')) AS ph
+           FROM documents),
+         pw AS (SELECT string_split(ph, ' ') AS pw FROM ph WHERE ph <> ''),
+         c AS (SELECT len(pw)::BIGINT AS plen, unnest(pw) AS word FROM pw),
+         sc AS (SELECT word, count(*)::BIGINT AS freq,
+                       sum(plen)::BIGINT AS degree
+                FROM c GROUP BY 1 HAVING count(*) >= 3)
+         SELECT word, freq, degree,
+                ((1000 * degree) // freq)::BIGINT AS score_pm,
+                row_number() OVER (
+                  ORDER BY (1000 * degree) // freq DESC, word)::BIGINT AS rk
+         FROM sc QUALIFY rk <= 20"""
   )
 }

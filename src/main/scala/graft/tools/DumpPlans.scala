@@ -188,7 +188,16 @@ object DumpPlans {
     "q440_decontaminated_split" -> "decontaminated split: per-doc distinct 3-grams once; the test gram set semi-joins the train side; per-lang fold",
     "q441_bh_fdr" -> "BH-FDR: (user,type) counts once, 32-way bounded explode, broadcast obs/size joins, m-row BH window",
     "q443_markov_transitions" -> "Markov transitions: one user-keyed lag window, one pair aggregate, broadcast type-count scalar",
-    "q444_session_paths" -> "session paths: (user,day)-keyed window trims to 3 rows, path aggregate, TakeOrdered top-10")
+    "q444_session_paths" -> "session paths: (user,day)-keyed window trims to 3 rows, path aggregate, TakeOrdered top-10",
+    "q445_rrf_fusion" -> "RRF fusion: q388 corpus shape per list, each list TakeOrdered top-20, fusion over the <=60-row union",
+    "q446_acf_daily" -> "daily ACF: one corpus pass to day grain, then broadcast lag spine + day-frame self-join",
+    "q447_prf_expansion" -> "PRF expansion: seed-filtered posting pass, 5-row feedback + 4-term query broadcasts, TakeOrdered top-10",
+    "q448_label_propagation" -> "LPA: rounds shuffle (node,label) vs the bigram edge list only; vote argmax = node-keyed window on the vocab-bounded frame",
+    "q449_policy_replay" -> "policy replay: one corpus pass to (user,type,day) counts, triangular history join on the day-grain frame, (user,day) argmax window",
+    "q450_rake_keywords" -> "RAKE: narrow phrase split, word-keyed aggregate, TakeOrdered top-20",
+    "q451_rendezvous_reshard" -> "HRW reshard: keys x36 against a broadcast (cfg,shard) spine, one key-keyed max-struct argmax, no window",
+    "q452_hits_scores" -> "HITS: (user,type) counts once; each iteration a key-shaped aggregate vs the broadcast type-bounded authority vector",
+    "q453_ks_drift" -> "KS drift: one corpus pass to per-cents counts; cumulative walk on the value-grid-bounded support frame")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

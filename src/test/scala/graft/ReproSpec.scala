@@ -199,7 +199,16 @@ class ReproSpec extends AnyFunSuite {
     "q441_bh_fdr",          // per-type permutation tests + BH walk
     "q442_version_timeline", // metadata growth curve across versions
     "q443_markov_transitions", // user-keyed lag pairs + smoothed permille
-    "q444_session_paths"    // per-session opening trigram top-10
+    "q444_session_paths",   // per-session opening trigram top-10
+    "q445_rrf_fusion",      // three TakeOrdered lists fused by integer RRF
+    "q446_acf_daily",       // scaled-integer lag-k autocorrelation
+    "q447_prf_expansion",   // two-pass feedback retrieval
+    "q448_label_propagation", // 3 synchronous weighted-majority rounds
+    "q449_policy_replay",   // modal-type policy replayed on the log
+    "q450_rake_keywords",   // stopword-split phrases, degree/freq permille
+    "q451_rendezvous_reshard", // HRW vs mod movement on a 16->20 regrow
+    "q452_hits_scores",     // two exact un-normalized HITS iterations
+    "q453_ks_drift"         // cross-multiplied two-sample KS statistic
   )
 
   representatives.foreach { name =>
