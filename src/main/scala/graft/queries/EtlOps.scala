@@ -5577,6 +5577,233 @@ object EtlOps {
           col("cents").as("d_at_cents"),
           expr("(1000 * d) div (CAST(n1 AS DECIMAL(38,0)) * n2)")
             .cast("long").as("d_permille"))
+    }),
+
+    // CUPED variance-reduced experiment readout (Deng et al.) — the
+    // estimator every mature experimentation platform applies before
+    // calling a winner: users md5-split 50/50 into arms, the metric
+    // (second-half spend cents) adjusted by the pre-experiment
+    // covariate (first-half spend) via θ = cov(x,y)/var(x). Every
+    // moment is an integer cross-product (θ's numerator n·Σxy−Σx·Σy
+    // and denominator n·Σx²−(Σx)² in DECIMAL(38,0)); the raw and
+    // adjusted arm differences are exact rationals reduced over the
+    // common denominator nA·nB (and ·den for the adjusted one), so
+    // the milli-cent outputs are single truncating divisions — no
+    // float ever forms. At 10⁹-user scale the adjusted-diff cross
+    // product wants DECIMAL(76) or a gcd reduction — noted, int128-
+    // safe here. Scale shape: ONE corpus pass to per-user (x, y),
+    // then 1-row aggregates; nothing beyond the user-keyed reduce.
+    "q454_cuped_lift" -> ((s, d) => {
+      val ev = Tables(s, d).events
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val split = ev.agg(expr("(min(day) + max(day) + 1) div 2")
+        .as("split_day"))
+      val peruser = ev.crossJoin(broadcast(split)) // 1 row
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("day") < col("split_day"), col("cents"))
+          .otherwise(0L)).as("x"),
+          sum(when(col("day") >= col("split_day"), col("cents"))
+            .otherwise(0L)).as("y"))
+        .withColumn("arm", when(substring(
+          md5(concat(lit("cuped"), col("user_id").cast("string"))), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), "A")
+          .otherwise("B"))
+      val m = peruser.agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("nb"),
+        sum(when(col("arm") === "A", col("x")).otherwise(0L)).as("sxa"),
+        sum(when(col("arm") === "B", col("x")).otherwise(0L)).as("sxb"),
+        sum(when(col("arm") === "A", col("y")).otherwise(0L)).as("sya"),
+        sum(when(col("arm") === "B", col("y")).otherwise(0L)).as("syb"))
+      m.select(col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        expr("(1000 * (n * sxy - CAST(sx AS DECIMAL(38,0)) * sy))" +
+          " div (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)")
+          .cast("long").as("theta_permille"),
+        expr("(1000 * (CAST(sya AS DECIMAL(38,0)) * nb" +
+          " - CAST(syb AS DECIMAL(38,0)) * na))" +
+          " div (CAST(na AS DECIMAL(38,0)) * nb)")
+          .cast("long").as("raw_diff_milli"),
+        expr("(1000 * ((CAST(sya AS DECIMAL(38,0)) * nb" +
+          " - CAST(syb AS DECIMAL(38,0)) * na)" +
+          " * (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)" +
+          " - (n * sxy - CAST(sx AS DECIMAL(38,0)) * sy)" +
+          " * (CAST(sxa AS DECIMAL(38,0)) * nb" +
+          " - CAST(sxb AS DECIMAL(38,0)) * na)))" +
+          " div ((CAST(na AS DECIMAL(38,0)) * nb)" +
+          " * (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx))")
+          .cast("long").as("cuped_diff_milli"))
+    }),
+
+    // Group-aware STRATIFIED K-fold audit — the leakage-safe CV
+    // split (GroupKFold) plus the balance readout that decides
+    // whether it is USABLE: every event of a user lands in the
+    // user's fold (fold = first-two-hex-chars of md5 % 5 — the same
+    // arithmetic both engines can state, so assignment is part of
+    // the oracle), and per fold the audit reports user/event counts
+    // plus the worst per-type composition deviation from the global
+    // mix in permille (the stratification check; group splits
+    // CANNOT stratify exactly — this measures how far off this one
+    // is). Scale shape: one pass to (fold, type) counts; the
+    // deviation fold runs on the 5×|types| frame; leakage is zero by
+    // construction — the audit recomputes it anyway (distinct
+    // (user, fold) pairs vs distinct users) so a broken assignment
+    // goes loud.
+    "q455_groupkfold_audit" -> ((s, d) => {
+      val hexv = "(instr('0123456789abcdef', substring(h, 1, 1)) - 1)" +
+        " * 16 + (instr('0123456789abcdef', substring(h, 2, 1)) - 1)"
+      val ev = Tables(s, d).events
+        .select(col("user_id"), col("event_type"))
+        .withColumn("h",
+          md5(concat(lit("fold"), col("user_id").cast("string"))))
+        .withColumn("fold", expr(s"($hexv) % 5").cast("long"))
+      val ft = ev.groupBy(col("fold"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val fsum = ft.groupBy(col("fold"))
+        .agg(sum(col("c")).as("nf"))
+      val tsum = ft.groupBy(col("event_type"))
+        .agg(sum(col("c")).as("nt"))
+      val tot = ft.agg(sum(col("c")).as("n"))
+      val users = ev.groupBy(col("fold"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      val leak = ev.select(col("user_id"), col("fold")).distinct()
+        .groupBy(col("user_id")).agg(count(lit(1)).as("nf"))
+        .agg(sum(when(col("nf") > 1, 1L).otherwise(0L)).as("leaked"))
+      ft.join(fsum, "fold").join(broadcast(tsum), "event_type")
+        .crossJoin(broadcast(tot)) // 1 row
+        .withColumn("dev", abs(expr("(1000 * c) div nf")
+          - expr("(1000 * nt) div n")))
+        .groupBy(col("fold"))
+        .agg(max(col("dev")).cast("long").as("max_type_dev_permille"))
+        .join(users, "fold").join(fsum, "fold")
+        .crossJoin(broadcast(leak)) // 1 row
+        .select(col("fold"), col("n_users").cast("long").as("n_users"),
+          col("nf").cast("long").as("n_events"),
+          col("max_type_dev_permille"),
+          col("leaked").cast("long").as("leaked_users"))
+    }),
+
+    // Tokenizer FERTILITY audit — the multilingual cost readout
+    // (tokens-per-word drives training cost per language; high-
+    // fertility languages pay more per word): a fixed-stride 4-char
+    // subword splitter stands in for the tokenizer (deterministic,
+    // oracle-stateable — q141's trained BPE has no SQL twin), so per
+    // language the audit reports words, subword tokens
+    // (Σ ceil(len/4) = (len+3) div 4 per word), fertility in
+    // permille, and chars-per-token in centi. ONE narrow corpus pass
+    // (explode words, two integer folds), language-bounded output.
+    "q456_fertility_audit" -> ((s, d) => {
+      val words = Tables(s, d).documents
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .select(col("lang"), length(col("w")).cast("long").as("len"))
+      words.groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_words"),
+          sum(expr("(len + 3) div 4")).cast("long").as("n_subtokens"),
+          sum(col("len")).cast("long").as("n_chars"))
+        .withColumn("fertility_permille",
+          expr("(1000 * n_subtokens) div n_words"))
+        .withColumn("chars_per_token_centi",
+          expr("(100 * n_chars) div n_subtokens"))
+    }),
+
+    // Split-CONFORMAL prediction calibration + coverage audit
+    // (Vovk; Lei et al.) — the distribution-free uncertainty
+    // machinery ML platforms bolt onto any point predictor: per
+    // event type, a rank-exact calibration median (even days) is the
+    // predictor; nonconformity = |cents − median|; the conformal
+    // quantile q̂ is the ⌈0.9·(n+1)⌉-th smallest calibration score
+    // (capped at n — the finite-sample rule), and the audit reports
+    // the empirical coverage of median ± q̂ on the held-out odd days
+    // — the ≥90% guarantee made checkable. Every rank pick walks a
+    // CUMULATIVE COUNT over the per-(type, score) grid (q453's
+    // discipline) — support-bounded, never an event-sized sort.
+    "q457_conformal_coverage" -> ((s, d) => {
+      val ev = Tables(s, d).events
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .withColumn("is_cal", col("day") % 2 === 0)
+      val calGrid = ev.filter(col("is_cal"))
+        .groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("c"))
+      val calN = calGrid.groupBy(col("event_type"))
+        .agg(sum(col("c")).as("n_cal"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = calGrid.withColumn("cum", sum(col("c")).over(wCum))
+        .join(broadcast(calN), "event_type")
+        .filter(col("cum") >= expr("(n_cal + 1) div 2"))
+        .groupBy(col("event_type")).agg(min(col("cents")).as("med"))
+      val scoreGrid = ev.filter(col("is_cal"))
+        .join(broadcast(med), "event_type")
+        .select(col("event_type"), abs(col("cents") - col("med")).as("sc"))
+        .groupBy(col("event_type"), col("sc")).agg(count(lit(1)).as("c"))
+      val wSc = Window.partitionBy(col("event_type")).orderBy(col("sc"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val qhat = scoreGrid.withColumn("cum", sum(col("c")).over(wSc))
+        .join(broadcast(calN), "event_type")
+        .filter(col("cum") >=
+          expr("least((9 * (n_cal + 1) + 9) div 10, n_cal)"))
+        .groupBy(col("event_type")).agg(min(col("sc")).as("qhat"))
+      ev.filter(!col("is_cal"))
+        .join(broadcast(med), "event_type")
+        .join(broadcast(qhat), "event_type")
+        .join(broadcast(calN), "event_type")
+        .groupBy(col("event_type"), col("n_cal"), col("med"), col("qhat"))
+        .agg(count(lit(1)).cast("long").as("n_test"),
+          sum(when(abs(col("cents") - col("med")) <= col("qhat"), 1L)
+            .otherwise(0L)).cast("long").as("n_covered"))
+        .select(col("event_type"), col("n_cal").cast("long").as("n_cal"),
+          col("n_test"), col("med").cast("long").as("med_cents"),
+          col("qhat").cast("long").as("qhat"),
+          expr("(n_covered * 1000) div n_test").as("coverage_permille"))
+    }),
+
+    // QUANTILE NORMALIZATION by exact rank mapping — the
+    // feature-alignment transform (microarray lineage, now every
+    // cross-domain feature store): map the purchase-value
+    // distribution onto the click-value distribution by matching
+    // ranks, read out at the deciles. For decile k, the purchase
+    // value at rank ⌈k·n_p/10⌉ and the click value at the
+    // proportionally mapped rank ⌈r·n_c/n_p⌉ — every pick a minimum
+    // over a cumulative-count walk on the per-cents grid (support-
+    // bounded, never an event sort), every rank integer ceil
+    // division. Scale shape: one corpus pass to the two grids; the
+    // decile spine is a broadcast 10-row fan-out.
+    "q458_quantile_normalize" -> ((s, d) => {
+      val ev = Tables(s, d).events
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      def grid(t: String) = ev.filter(col("event_type") === t)
+        .groupBy(col("cents")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          Window.orderBy(col("cents"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val pg = grid("purchase")
+      val cg = grid("click")
+      val np = pg.agg(max(col("cum")).as("n_p"))
+      val nc = cg.agg(max(col("cum")).as("n_c"))
+      val deciles = s.range(1)
+        .select(explode(expr("sequence(1, 10)")).as("dec"))
+        .crossJoin(broadcast(np)).crossJoin(broadcast(nc))
+        .withColumn("r_p", expr("(dec * n_p + 9) div 10"))
+        .withColumn("r_c", expr("(r_p * n_c + n_p - 1) div n_p"))
+      val pval = deciles.join(pg, col("cum") >= col("r_p"))
+        .groupBy(col("dec"), col("r_p"), col("r_c"))
+        .agg(min(col("cents")).as("purchase_cents"))
+      pval.join(cg, col("cum") >= col("r_c"))
+        .groupBy(col("dec"), col("purchase_cents"))
+        .agg(min(col("cents")).as("normalized_click_cents"))
+        .select(col("dec").cast("long").as("dec"), col("purchase_cents"),
+          col("normalized_click_cents"))
     })
   )
 
@@ -8714,6 +8941,164 @@ object EtlOps {
                 FROM cu, t)
          SELECT n1, n2, cents AS d_at_cents,
                 ((1000 * d) // (n1::HUGEINT * n2))::BIGINT AS d_permille
-         FROM dd QUALIFY row_number() OVER (ORDER BY d DESC, cents) = 1"""
+         FROM dd QUALIFY row_number() OVER (ORDER BY d DESC, cents) = 1""",
+    "q454_cuped_lift" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                           round(value * 100, 0)::BIGINT AS cents
+                    FROM events),
+         sp AS (SELECT (min(day) + max(day) + 1) // 2 AS split_day
+                FROM e),
+         pu AS (SELECT user_id,
+                       sum(CASE WHEN day < sp.split_day THEN cents
+                           ELSE 0 END)::BIGINT AS x,
+                       sum(CASE WHEN day >= sp.split_day THEN cents
+                           ELSE 0 END)::BIGINT AS y,
+                       CASE WHEN substr(md5('cuped' || user_id::VARCHAR),
+                                        1, 1)
+                            IN ('0','1','2','3','4','5','6','7')
+                            THEN 'A' ELSE 'B' END AS arm
+                FROM e, sp GROUP BY user_id, arm),
+         m AS (SELECT count(*)::HUGEINT AS n,
+                      sum(x::HUGEINT * y) AS sxy,
+                      sum(x::HUGEINT * x) AS sxx,
+                      sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+                      sum(CASE WHEN arm = 'A' THEN 1 ELSE 0
+                          END)::HUGEINT AS na,
+                      sum(CASE WHEN arm = 'B' THEN 1 ELSE 0
+                          END)::HUGEINT AS nb,
+                      sum(CASE WHEN arm = 'A' THEN x ELSE 0
+                          END)::HUGEINT AS sxa,
+                      sum(CASE WHEN arm = 'B' THEN x ELSE 0
+                          END)::HUGEINT AS sxb,
+                      sum(CASE WHEN arm = 'A' THEN y ELSE 0
+                          END)::HUGEINT AS sya,
+                      sum(CASE WHEN arm = 'B' THEN y ELSE 0
+                          END)::HUGEINT AS syb
+               FROM pu)
+         SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+                ((1000 * (n * sxy - sx * sy))
+                  // (n * sxx - sx * sx))::BIGINT AS theta_permille,
+                ((1000 * (sya * nb - syb * na))
+                  // (na * nb))::BIGINT AS raw_diff_milli,
+                ((1000 * ((sya * nb - syb * na) * (n * sxx - sx * sx)
+                          - (n * sxy - sx * sy) * (sxa * nb - sxb * na)))
+                  // ((na * nb) * (n * sxx - sx * sx)))::BIGINT
+                  AS cuped_diff_milli
+         FROM m""",
+    "q455_groupkfold_audit" ->
+      """WITH e AS (
+           SELECT user_id, event_type,
+                  ((instr('0123456789abcdef',
+                          substr(md5('fold' || user_id::VARCHAR), 1, 1))
+                    - 1) * 16
+                   + (instr('0123456789abcdef',
+                            substr(md5('fold' || user_id::VARCHAR), 2, 1))
+                      - 1)) % 5 AS fold
+           FROM events),
+         ft AS (SELECT fold, event_type, count(*)::BIGINT AS c
+                FROM e GROUP BY 1, 2),
+         fsum AS (SELECT fold, sum(c)::BIGINT AS nf FROM ft GROUP BY 1),
+         tsum AS (SELECT event_type, sum(c)::BIGINT AS nt FROM ft
+                  GROUP BY 1),
+         tot AS (SELECT sum(c)::BIGINT AS n FROM ft),
+         users AS (SELECT fold, count(DISTINCT user_id)::BIGINT AS n_users
+                   FROM e GROUP BY 1),
+         leak AS (SELECT sum(CASE WHEN nf2 > 1 THEN 1 ELSE 0
+                      END)::BIGINT AS leaked
+                  FROM (SELECT user_id, count(DISTINCT fold) AS nf2
+                        FROM e GROUP BY 1)),
+         dev AS (SELECT ft.fold,
+                        max(abs((1000 * ft.c) // fsum.nf
+                                - (1000 * tsum.nt) // tot.n))::BIGINT
+                          AS max_type_dev_permille
+                 FROM ft JOIN fsum USING (fold)
+                         JOIN tsum USING (event_type), tot
+                 GROUP BY 1)
+         SELECT dev.fold::BIGINT AS fold, users.n_users,
+                fsum.nf AS n_events, dev.max_type_dev_permille,
+                leak.leaked AS leaked_users
+         FROM dev JOIN users USING (fold) JOIN fsum USING (fold), leak""",
+    "q456_fertility_audit" ->
+      """WITH w0 AS (SELECT lang, unnest(string_split(text, ' ')) AS wd
+                     FROM documents),
+         w AS (SELECT lang, length(wd)::BIGINT AS len FROM w0),
+         g AS (SELECT lang, count(*)::BIGINT AS n_words,
+                      sum((len + 3) // 4)::BIGINT AS n_subtokens,
+                      sum(len)::BIGINT AS n_chars
+               FROM w WHERE len > 0 GROUP BY 1)
+         SELECT lang, n_words, n_subtokens, n_chars,
+                ((1000 * n_subtokens) // n_words)::BIGINT
+                  AS fertility_permille,
+                ((100 * n_chars) // n_subtokens)::BIGINT
+                  AS chars_per_token_centi
+         FROM g""",
+    "q457_conformal_coverage" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                           round(value * 100, 0)::BIGINT AS cents
+                    FROM events),
+         ev AS (SELECT event_type, cents, (day % 2 = 0) AS is_cal FROM e),
+         cg AS (SELECT event_type, cents, count(*)::BIGINT AS c
+                FROM ev WHERE is_cal GROUP BY 1, 2),
+         cn AS (SELECT event_type, sum(c)::BIGINT AS n_cal FROM cg
+                GROUP BY 1),
+         cc AS (SELECT event_type, cents,
+                       sum(c) OVER (PARTITION BY event_type
+                         ORDER BY cents)::BIGINT AS cum
+                FROM cg),
+         med AS (SELECT cc.event_type, min(cents)::BIGINT AS med
+                 FROM cc JOIN cn USING (event_type)
+                 WHERE cum >= (n_cal + 1) // 2 GROUP BY 1),
+         sg AS (SELECT ev.event_type, abs(cents - med)::BIGINT AS sc,
+                       count(*)::BIGINT AS c
+                FROM ev JOIN med USING (event_type)
+                WHERE is_cal GROUP BY 1, 2),
+         scc AS (SELECT event_type, sc,
+                        sum(c) OVER (PARTITION BY event_type
+                          ORDER BY sc)::BIGINT AS cum
+                 FROM sg),
+         qh AS (SELECT scc.event_type, min(sc)::BIGINT AS qhat
+                FROM scc JOIN cn USING (event_type)
+                WHERE cum >= least((9 * (n_cal + 1) + 9) // 10, n_cal)
+                GROUP BY 1),
+         t AS (SELECT ev.event_type, count(*)::BIGINT AS n_test,
+                      sum(CASE WHEN abs(cents - med) <= qhat THEN 1
+                          ELSE 0 END)::BIGINT AS n_covered
+               FROM ev JOIN med USING (event_type)
+                       JOIN qh USING (event_type)
+               WHERE NOT is_cal GROUP BY 1)
+         SELECT t.event_type, cn.n_cal, t.n_test, med.med AS med_cents,
+                qh.qhat,
+                ((n_covered * 1000) // n_test)::BIGINT
+                  AS coverage_permille
+         FROM t JOIN cn USING (event_type) JOIN med USING (event_type)
+                JOIN qh USING (event_type)""",
+    "q458_quantile_normalize" ->
+      """WITH e AS (SELECT event_type, round(value * 100, 0)::BIGINT
+                      AS cents
+                    FROM events
+                    WHERE event_type IN ('click', 'purchase')),
+         pg0 AS (SELECT cents, count(*)::BIGINT AS c FROM e
+                 WHERE event_type = 'purchase' GROUP BY 1),
+         pg AS (SELECT cents,
+                       sum(c) OVER (ORDER BY cents)::BIGINT AS cum
+                FROM pg0),
+         cg0 AS (SELECT cents, count(*)::BIGINT AS c FROM e
+                 WHERE event_type = 'click' GROUP BY 1),
+         cg AS (SELECT cents,
+                       sum(c) OVER (ORDER BY cents)::BIGINT AS cum
+                FROM cg0),
+         np AS (SELECT max(cum)::BIGINT AS n_p FROM pg),
+         nc AS (SELECT max(cum)::BIGINT AS n_c FROM cg),
+         d AS (SELECT unnest(range(1, 11)) AS dec),
+         dd AS (SELECT d.dec, (d.dec * np.n_p + 9) // 10 AS r_p,
+                       (((d.dec * np.n_p + 9) // 10) * nc.n_c
+                         + np.n_p - 1) // np.n_p AS r_c
+                FROM d, np, nc),
+         pv AS (SELECT dd.dec, dd.r_c,
+                       min(pg.cents)::BIGINT AS purchase_cents
+                FROM dd JOIN pg ON pg.cum >= dd.r_p GROUP BY 1, 2)
+         SELECT pv.dec::BIGINT AS dec, pv.purchase_cents,
+                min(cg.cents)::BIGINT AS normalized_click_cents
+         FROM pv JOIN cg ON cg.cum >= pv.r_c GROUP BY 1, 2"""
   )
 }

@@ -1424,6 +1424,38 @@ object TextOps {
       scored.orderBy(col("score_pm").desc, col("word")).limit(20)
         .withColumn("rk", row_number().over(
           Window.orderBy(col("score_pm").desc, col("word"))).cast("long"))
+    }),
+
+    // TRENDING top-k diff — the week-over-week leaderboard churn
+    // readout (new entrants, dropouts, rank moves) every trending/
+    // monitoring surface renders: token top-20 by frequency in each
+    // corpus snapshot (doc_id parity stands in for the two time
+    // windows), full-outer-joined into a per-token status
+    // (new / dropped / up / down / flat). Ranks ride deterministic
+    // (count desc, token) orders; absent ranks emit 0. Scale shape:
+    // each snapshot's top-20 is TakeOrdered off one token-keyed
+    // count; the diff join touches ≤40 rows.
+    "q459_trending_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val occ = parallelized(Tables(s, d).documents)
+        .select((col("doc_id") % 2 === 0).as("snap1"),
+          explode(tokens).as("tok"))
+      def top(side: Boolean) = occ.filter(col("snap1") === side)
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(20)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("c").desc, col("tok"))))
+      val t1 = top(true).select(col("tok"), col("rk").as("rk1"))
+      val t2 = top(false).select(col("tok"), col("rk").as("rk2"))
+      t1.join(t2, Seq("tok"), "full")
+        .select(col("tok"),
+          coalesce(col("rk1"), lit(0)).cast("long").as("rk1"),
+          coalesce(col("rk2"), lit(0)).cast("long").as("rk2"),
+          when(col("rk1").isNull, "new")
+            .when(col("rk2").isNull, "dropped")
+            .when(col("rk2") < col("rk1"), "up")
+            .when(col("rk2") > col("rk1"), "down")
+            .otherwise("flat").as("status"))
     })
   )
 
@@ -2262,6 +2294,25 @@ object TextOps {
                 ((1000 * degree) // freq)::BIGINT AS score_pm,
                 row_number() OVER (
                   ORDER BY (1000 * degree) // freq DESC, word)::BIGINT AS rk
-         FROM sc QUALIFY rk <= 20"""
+         FROM sc QUALIFY rk <= 20""",
+    "q459_trending_topk" ->
+      """WITH occ AS (SELECT doc_id % 2 = 0 AS snap1,
+                             unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+         t1 AS (SELECT tok, row_number() OVER (
+                  ORDER BY count(*) DESC, tok) AS rk1
+                FROM occ WHERE snap1 GROUP BY tok QUALIFY rk1 <= 20),
+         t2 AS (SELECT tok, row_number() OVER (
+                  ORDER BY count(*) DESC, tok) AS rk2
+                FROM occ WHERE NOT snap1 GROUP BY tok QUALIFY rk2 <= 20)
+         SELECT coalesce(t1.tok, t2.tok) AS tok,
+                coalesce(rk1, 0)::BIGINT AS rk1,
+                coalesce(rk2, 0)::BIGINT AS rk2,
+                CASE WHEN rk1 IS NULL THEN 'new'
+                     WHEN rk2 IS NULL THEN 'dropped'
+                     WHEN rk2 < rk1 THEN 'up'
+                     WHEN rk2 > rk1 THEN 'down'
+                     ELSE 'flat' END AS status
+         FROM t1 FULL JOIN t2 ON t2.tok = t1.tok"""
   )
 }

@@ -197,7 +197,13 @@ object DumpPlans {
     "q450_rake_keywords" -> "RAKE: narrow phrase split, word-keyed aggregate, TakeOrdered top-20",
     "q451_rendezvous_reshard" -> "HRW reshard: keys x36 against a broadcast (cfg,shard) spine, one key-keyed max-struct argmax, no window",
     "q452_hits_scores" -> "HITS: (user,type) counts once; each iteration a key-shaped aggregate vs the broadcast type-bounded authority vector",
-    "q453_ks_drift" -> "KS drift: one corpus pass to per-cents counts; cumulative walk on the value-grid-bounded support frame")
+    "q453_ks_drift" -> "KS drift: one corpus pass to per-cents counts; cumulative walk on the value-grid-bounded support frame",
+    "q454_cuped_lift" -> "CUPED: one corpus pass to per-user (x,y), 1-row moment aggregate, exact-rational outputs",
+    "q455_groupkfold_audit" -> "GroupKFold audit: one pass to (fold,type) counts; deviation fold on the 5x|types| frame; leakage recount",
+    "q456_fertility_audit" -> "fertility: one narrow explode pass, language-bounded aggregate",
+    "q457_conformal_coverage" -> "conformal: rank picks walk cumulative counts on (type,score) grids, never an event sort; test pass joins 3 broadcast frames",
+    "q458_quantile_normalize" -> "quantile norm: one pass to two cents grids; decile spine fans against the support-bounded cums",
+    "q459_trending_topk" -> "trending: per-snapshot token counts, TakeOrdered top-20s, <=40-row diff join")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

@@ -208,7 +208,13 @@ class ReproSpec extends AnyFunSuite {
     "q450_rake_keywords",   // stopword-split phrases, degree/freq permille
     "q451_rendezvous_reshard", // HRW vs mod movement on a 16->20 regrow
     "q452_hits_scores",     // two exact un-normalized HITS iterations
-    "q453_ks_drift"         // cross-multiplied two-sample KS statistic
+    "q453_ks_drift",        // cross-multiplied two-sample KS statistic
+    "q454_cuped_lift",      // exact-rational CUPED adjustment
+    "q455_groupkfold_audit", // md5-fold assignment + stratification dev
+    "q456_fertility_audit", // fixed-stride subword fertility per lang
+    "q457_conformal_coverage", // rank-exact split-conformal quantile
+    "q458_quantile_normalize", // decile rank mapping across dists
+    "q459_trending_topk"    // top-20 leaderboard churn between snapshots
   )
 
   representatives.foreach { name =>
