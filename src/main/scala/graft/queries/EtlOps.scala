@@ -5339,6 +5339,9 @@ object EtlOps {
         .filter(col("prev").isNotNull)
         .groupBy(col("prev"), col("event_type").as("next"))
         .agg(count(lit(1)).as("c"))
+        // |types|²-bounded, read by the row totals and the final
+        // join — the lag window never re-runs
+        .localCheckpoint()
       val k = ev.agg(countDistinct(col("event_type")).as("k"))
       val rt = pairs.groupBy(col("prev")).agg(sum(col("c")).as("rt"))
       pairs.join(rt, "prev").crossJoin(broadcast(k))
@@ -5397,6 +5400,10 @@ object EtlOps {
       val daily = Tables(s, d).events
         .select(expr("unix_micros(ts) div 86400000000").as("day"))
         .groupBy(col("day")).agg(count(lit(1)).as("x"))
+        // day-grain and referenced by totals, the centered frame and
+        // both sides of every lag join — materialize the one corpus
+        // pass
+        .localCheckpoint()
       val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
       val c = daily.crossJoin(broadcast(tot)) // 1 row
         .select(col("day"), expr("n * x - sx").as("c"))
@@ -5434,6 +5441,10 @@ object EtlOps {
           expr("unix_micros(ts) div 86400000000").as("day"))
       val cnt = ev.groupBy(col("user_id"), col("event_type"), col("day"))
         .agg(count(lit(1)).as("c"))
+        // (user, type, day)-grain, read by the spine AND both sides
+        // of the triangular history join — one corpus pass,
+        // materialized
+        .localCheckpoint()
       val spine = cnt.select(col("user_id"), col("day")).distinct()
       val hist = spine
         .join(cnt.select(col("user_id"), col("event_type"),
@@ -5521,6 +5532,9 @@ object EtlOps {
       val w = Tables(s, d).events
         .groupBy(col("user_id"), col("event_type"))
         .agg(count(lit(1)).as("w"))
+        // (user, type)-grain W feeds every iteration — one corpus
+        // pass, materialized
+        .localCheckpoint()
       val a1 = w.groupBy(col("event_type"))
         .agg(sum(col("w")).as("a1"))
       val h1 = w.join(broadcast(a1), "event_type")
@@ -5561,6 +5575,9 @@ object EtlOps {
           .as("c1"),
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
             .as("c2"))
+        // support-grid-bounded, referenced by totals and the
+        // cumulative walk — one corpus pass, materialized
+        .localCheckpoint()
       val tot = counts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
       val wOrd = Window.orderBy(col("cents"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -5663,16 +5680,24 @@ object EtlOps {
         .withColumn("h",
           md5(concat(lit("fold"), col("user_id").cast("string"))))
         .withColumn("fold", expr(s"($hexv) % 5").cast("long"))
-      val ft = ev.groupBy(col("fold"), col("event_type"))
+      // ONE corpus pass to the (fold, type, user) grain — user-
+      // bounded, far below event grain at 100 TB — then every
+      // downstream readout (composition, user counts, leakage
+      // recount) folds this materialized frame, never the events
+      val ftu = ev.groupBy(col("fold"), col("event_type"), col("user_id"))
         .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val ft = ftu.groupBy(col("fold"), col("event_type"))
+        .agg(sum(col("c")).as("c"))
+        .localCheckpoint() // 5 x |types| rows, read four times
       val fsum = ft.groupBy(col("fold"))
         .agg(sum(col("c")).as("nf"))
       val tsum = ft.groupBy(col("event_type"))
         .agg(sum(col("c")).as("nt"))
       val tot = ft.agg(sum(col("c")).as("n"))
-      val users = ev.groupBy(col("fold"))
-        .agg(countDistinct(col("user_id")).as("n_users"))
-      val leak = ev.select(col("user_id"), col("fold")).distinct()
+      val users = ftu.select(col("fold"), col("user_id")).distinct()
+        .groupBy(col("fold")).agg(count(lit(1)).as("n_users"))
+      val leak = ftu.select(col("user_id"), col("fold")).distinct()
         .groupBy(col("user_id")).agg(count(lit(1)).as("nf"))
         .agg(sum(when(col("nf") > 1, 1L).otherwise(0L)).as("leaked"))
       ft.join(fsum, "fold").join(broadcast(tsum), "event_type")
@@ -5725,14 +5750,20 @@ object EtlOps {
     // CUMULATIVE COUNT over the per-(type, score) grid (q453's
     // discipline) — support-bounded, never an event-sized sort.
     "q457_conformal_coverage" -> ((s, d) => {
-      val ev = Tables(s, d).events
+      // ONE corpus pass to the (type, cents, split) count grid —
+      // support-bounded and materialized; the median pick, the score
+      // grid, the conformal quantile AND the holdout coverage all
+      // fold this grid, never the events
+      val grid = Tables(s, d).events
         .select(col("event_type"),
           expr("unix_micros(ts) div 86400000000").as("day"),
           round(col("value") * 100, 0).cast("long").as("cents"))
         .withColumn("is_cal", col("day") % 2 === 0)
-      val calGrid = ev.filter(col("is_cal"))
-        .groupBy(col("event_type"), col("cents"))
+        .groupBy(col("event_type"), col("cents"), col("is_cal"))
         .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val calGrid = grid.filter(col("is_cal"))
+        .select(col("event_type"), col("cents"), col("c"))
       val calN = calGrid.groupBy(col("event_type"))
         .agg(sum(col("c")).as("n_cal"))
       val wCum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
@@ -5741,10 +5772,11 @@ object EtlOps {
         .join(broadcast(calN), "event_type")
         .filter(col("cum") >= expr("(n_cal + 1) div 2"))
         .groupBy(col("event_type")).agg(min(col("cents")).as("med"))
-      val scoreGrid = ev.filter(col("is_cal"))
+      val scoreGrid = calGrid
         .join(broadcast(med), "event_type")
-        .select(col("event_type"), abs(col("cents") - col("med")).as("sc"))
-        .groupBy(col("event_type"), col("sc")).agg(count(lit(1)).as("c"))
+        .select(col("event_type"), abs(col("cents") - col("med")).as("sc"),
+          col("c"))
+        .groupBy(col("event_type"), col("sc")).agg(sum(col("c")).as("c"))
       val wSc = Window.partitionBy(col("event_type")).orderBy(col("sc"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val qhat = scoreGrid.withColumn("cum", sum(col("c")).over(wSc))
@@ -5752,14 +5784,14 @@ object EtlOps {
         .filter(col("cum") >=
           expr("least((9 * (n_cal + 1) + 9) div 10, n_cal)"))
         .groupBy(col("event_type")).agg(min(col("sc")).as("qhat"))
-      ev.filter(!col("is_cal"))
+      grid.filter(!col("is_cal"))
         .join(broadcast(med), "event_type")
         .join(broadcast(qhat), "event_type")
         .join(broadcast(calN), "event_type")
         .groupBy(col("event_type"), col("n_cal"), col("med"), col("qhat"))
-        .agg(count(lit(1)).cast("long").as("n_test"),
-          sum(when(abs(col("cents") - col("med")) <= col("qhat"), 1L)
-            .otherwise(0L)).cast("long").as("n_covered"))
+        .agg(sum(col("c")).cast("long").as("n_test"),
+          sum(when(abs(col("cents") - col("med")) <= col("qhat"),
+            col("c")).otherwise(0L)).cast("long").as("n_covered"))
         .select(col("event_type"), col("n_cal").cast("long").as("n_cal"),
           col("n_test"), col("med").cast("long").as("med_cents"),
           col("qhat").cast("long").as("qhat"),
@@ -5782,11 +5814,15 @@ object EtlOps {
         .filter(col("event_type").isin("click", "purchase"))
         .select(col("event_type"),
           round(col("value") * 100, 0).cast("long").as("cents"))
+      // each grid is support-bounded and referenced by the totals,
+      // the decile pick and the rank mapping — one corpus pass each,
+      // materialized
       def grid(t: String) = ev.filter(col("event_type") === t)
         .groupBy(col("cents")).agg(count(lit(1)).as("c"))
         .withColumn("cum", sum(col("c")).over(
           Window.orderBy(col("cents"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .localCheckpoint()
       val pg = grid("purchase")
       val cg = grid("click")
       val np = pg.agg(max(col("cum")).as("n_p"))

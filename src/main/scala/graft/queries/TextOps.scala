@@ -1273,6 +1273,10 @@ object TextOps {
         .agg(sum(expr("CAST(idf_milli AS DECIMAL(38,0)) * tfpart_micro"))
           .as("s9"),
           countDistinct(col("term")).as("nt"), sum(col("tf")).as("tft"))
+        // candidate-bounded (docs matching >=1 term) and referenced
+        // by all three lists — materialize once so the corpus BM25
+        // pass never re-runs per list
+        .localCheckpoint()
       val l1 = bm.orderBy(col("s9").desc, col("doc_id")).limit(20)
         .withColumn("rk1", row_number().over(
           Window.orderBy(col("s9").desc, col("doc_id"))))
@@ -1369,11 +1373,16 @@ object TextOps {
         .filter(col("a") =!= col("b"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= 3)
+      // the edge list is vocab²-bounded and every round references
+      // it — materialize ONCE (eager localCheckpoint, the q67/q131
+      // iterative discipline) so the corpus explode never re-runs;
+      // per-round checkpoints truncate the join lineage the same way
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"),
         col("c"))
         .unionByName(pairs.select(col("b").as("src"), col("a").as("dst"),
           col("c")))
         .groupBy(col("src"), col("dst")).agg(sum(col("c")).as("w"))
+        .localCheckpoint()
       def round(labels: DataFrame): DataFrame = {
         val votes = edges
           .join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -1383,6 +1392,7 @@ object TextOps {
             .orderBy(col("sw").desc, col("label"))))
           .filter(col("rk") === 1)
           .select(col("src").as("node"), col("label"))
+          .localCheckpoint()
       }
       val l0 = edges.select(col("src").as("node")).distinct()
         .withColumn("label", col("node"))
@@ -1437,11 +1447,14 @@ object TextOps {
     // count; the diff join touches ≤40 rows.
     "q459_trending_topk" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val occ = parallelized(Tables(s, d).documents)
+      // ONE corpus pass to (snapshot, token) counts — vocab-bounded,
+      // materialized so neither snapshot's top-20 re-explodes
+      val cnt = parallelized(Tables(s, d).documents)
         .select((col("doc_id") % 2 === 0).as("snap1"),
           explode(tokens).as("tok"))
-      def top(side: Boolean) = occ.filter(col("snap1") === side)
-        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("snap1"), col("tok")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      def top(side: Boolean) = cnt.filter(col("snap1") === side)
         .orderBy(col("c").desc, col("tok")).limit(20)
         .withColumn("rk", row_number().over(
           Window.orderBy(col("c").desc, col("tok"))))

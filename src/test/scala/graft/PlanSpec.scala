@@ -512,6 +512,50 @@ class PlanSpec extends AnyFunSuite {
       s"the 3-term list must broadcast:\n${p.take(800)}")
   }
 
+  test("q445: every fused list is TakeOrdered; the corpus BM25 pass is materialized once") {
+    val p = plan("q445_rrf_fusion")
+    val takes = p.linesIterator.count(_.contains("TakeOrderedAndProject"))
+    assert(takes >= 4, // 3 lists + the fused top-10
+      s"expected >=4 TakeOrdered (3 lists + fusion), got $takes:\n${p.take(900)}")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // bm rides a localCheckpoint: the lists must read the
+    // materialized candidate frame, not re-run the posting explode
+    assert(p.contains("Scan ExistingRDD"),
+      "the BM25 candidate frame must be materialized (localCheckpoint)")
+    val generates = p.linesIterator.count(_.contains("Generate ("))
+    assert(generates == 0,
+      s"a posting explode in the list plans means the corpus pass re-runs per list ($generates):\n${p.take(900)}")
+  }
+
+  test("q448: LPA rounds fold the materialized edge list — the corpus explode never re-runs") {
+    val p = plan("q448_label_propagation")
+    assert(p.contains("Scan ExistingRDD"),
+      "edges/labels must be checkpointed RDDs")
+    assert(!p.contains("Scan parquet"),
+      s"a parquet scan in the final plan means a round re-derives the corpus:\n${p.take(900)}")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q449: the history fold is an equi-join on the day-grain frame, events read once") {
+    val p = plan("q449_policy_replay")
+    assert(!p.contains("CartesianProduct"),
+      s"triangular join must stay user-keyed:\n${p.take(800)}")
+    // cnt is checkpointed: the only parquet read left is the final
+    // event-grain match join — one scan, everything else day-grain
+    val evScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("events"))
+    assert(evScans <= 1,
+      s"expected <=1 events scan (history folds the materialized counts), got $evScans")
+  }
+
+  test("q457: conformal picks fold the one materialized (type, cents, split) grid") {
+    val p = plan("q457_conformal_coverage")
+    assert(p.contains("Scan ExistingRDD"), "grid must be checkpointed")
+    assert(!p.contains("Scan parquet"),
+      s"a parquet scan means a pick re-reads events instead of the grid:\n${p.take(900)}")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("whole-stage codegen covers the KPI aggregate (no interpreted hot path)") {
     // AQE only annotates codegen stages on the executed plan
     val df = SparkEntry.queries("q11_genre_kpis")(spark, sf)
