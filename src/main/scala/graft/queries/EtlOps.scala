@@ -5840,6 +5840,188 @@ object EtlOps {
         .agg(min(col("cents")).as("normalized_click_cents"))
         .select(col("dec").cast("long").as("dec"), col("purchase_cents"),
           col("normalized_click_cents"))
+    }),
+
+    // Nearest-covariate MATCHING (propensity-score-matching shape,
+    // with replacement) — the observational-causal estimator run
+    // when there is no experiment: treated = users whose first-half
+    // MAX purchase reaches the user-grain median of that statistic
+    // (a rank-exact, two-sided-by-construction exposure split —
+    // "ever purchases" degenerates on this corpus where every user
+    // does); covariate = first-half activity count; outcome =
+    // second-half spend cents. Each treated user matches the control
+    // with the nearest covariate (backward/forward nearest via the
+    // q204 union+window walk over the covariate axis — running
+    // last-control IGNORE NULLS under each direction's total order,
+    // closer side wins, |diff| ties to the backward match, same-cov
+    // control ties resolved by the walk's id order), and the
+    // readout contrasts the
+    // naive treated−control mean gap with the matched ATT, both as
+    // exact single-division milli-cents. Scale shape: one corpus
+    // pass to user grain; the matching walk is two windows over the
+    // user-grain frame under a total (cov, side, id) order —
+    // user-bounded, never event-sized; all sums in DECIMAL(38,0).
+    "q462_covariate_matching" -> ((s, d) => {
+      val ev = Tables(s, d).events
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val split = ev.agg(expr("(min(day) + max(day) + 1) div 2")
+        .as("split_day"))
+      val users0 = ev.crossJoin(broadcast(split)) // 1 row
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("day") < col("split_day"), 1L).otherwise(0L))
+          .as("cov"),
+          sum(when(col("day") >= col("split_day"), col("cents"))
+            .otherwise(0L)).as("y"),
+          max(when(col("event_type") === "purchase"
+            && col("day") < col("split_day"), col("cents"))
+            .otherwise(0L)).as("mp"))
+        .localCheckpoint() // user grain, walked twice + folded
+      val mGrid = users0.groupBy(col("mp")).agg(count(lit(1)).as("c"))
+      val mTot = mGrid.agg(sum(col("c")).as("n"))
+      val mMed = mGrid.withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("mp"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(mTot))
+        .filter(col("cum") >= expr("(n + 1) div 2"))
+        .agg(min(col("mp")).as("mp_med"))
+      val users = users0.crossJoin(broadcast(mMed)) // 1 row
+        .withColumn("treated",
+          when(col("mp") >= col("mp_med"), 1L).otherwise(0L))
+      // side 0 = control, 1 = treated: under (cov, side, id) order a
+      // running last-control is the backward nearest; the reverse
+      // order gives the forward nearest
+      val wB = Window.orderBy(col("cov"), col("treated"), col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = Window.orderBy(col("cov").desc, col("treated").desc,
+        col("user_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ctl = when(col("treated") === 0,
+        struct(col("cov"), col("user_id"), col("y")))
+      val matched = users
+        .withColumn("b", last(ctl, ignoreNulls = true).over(wB))
+        .withColumn("f", last(ctl, ignoreNulls = true).over(wF))
+        .filter(col("treated") === 1)
+        .withColumn("m", when(col("f").isNull, col("b"))
+          .when(col("b").isNull, col("f"))
+          .when(abs(col("f.cov") - col("cov"))
+            < abs(col("cov") - col("b.cov")), col("f"))
+          .otherwise(col("b")))
+        .filter(col("m").isNotNull)
+      val naive = users.agg(
+        sum(when(col("treated") === 1, col("y")).otherwise(0L)).as("syt"),
+        sum(when(col("treated") === 0, col("y")).otherwise(0L)).as("syc"),
+        sum(col("treated")).as("nt"),
+        sum(lit(1L) - col("treated")).as("nc"))
+      val att = matched.agg(
+        count(lit(1)).as("n_matched"),
+        sum(expr("CAST(y - m.y AS DECIMAL(38,0))")).as("sdiff"))
+      att.crossJoin(broadcast(naive)) // 1 row
+        .select(col("nt").cast("long").as("n_treated"),
+          col("nc").cast("long").as("n_control"),
+          col("n_matched").cast("long").as("n_matched"),
+          expr("(1000 * (CAST(syt AS DECIMAL(38,0)) * nc" +
+            " - CAST(syc AS DECIMAL(38,0)) * nt))" +
+            " div (CAST(nt AS DECIMAL(38,0)) * nc)")
+            .cast("long").as("naive_diff_milli"),
+          expr("(1000 * sdiff) div n_matched").cast("long")
+            .as("att_milli"))
+    }),
+
+    // BLOCK-BOOTSTRAP confidence interval for mean daily spend —
+    // the uncertainty band every metrics dashboard should draw and
+    // almost none compute exactly: 32 deterministic bootstrap
+    // replicas resample the DAY blocks with replacement (draw (b, i)
+    // picks day-rank md5-hex('boot'·b·'#'·i) % n — hash-seeded, so
+    // the whole CI is replayable bit-for-bit in the oracle), each
+    // replica's mean is an exact single division, and the 90% band
+    // reads the 2nd / 31st order statistics of the 32 replica means.
+    // Scale shape: ONE corpus pass to the day grain; the resample
+    // fan-out is 32 × n_days rows of (rank, day-total) — calendar-
+    // bounded, never event-sized.
+    "q463_bootstrap_ci" -> ((s, d) => {
+      val hexAt = (src: String, i: Int) =>
+        s"(instr('0123456789abcdef', substring($src, $i, 1)) - 1)"
+      val daily = Tables(s, d).events
+        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .groupBy(col("day")).agg(sum(col("cents")).as("t"))
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("day"))).cast("long") - 1)
+        .localCheckpoint() // day grain, read by draws + point est
+      val tot = daily.agg(count(lit(1)).as("n"), sum(col("t")).as("st"))
+      val reps = s.range(1)
+        .select(explode(expr("sequence(0, 31)")).as("b"))
+      val draws = daily.select(col("r").as("i"))
+        .crossJoin(broadcast(reps))
+        .crossJoin(broadcast(tot)) // 1 row
+        .withColumn("h", md5(concat(lit("boot"), col("b").cast("string"),
+          lit("#"), col("i").cast("string"))))
+        .withColumn("idx", expr(
+          s"((${hexAt("h", 1)} * 256 + ${hexAt("h", 2)} * 16" +
+            s" + ${hexAt("h", 3)}) % n)"))
+      val means = draws
+        .join(daily.select(col("r").as("idx"), col("t")), "idx")
+        .groupBy(col("b"))
+        .agg(expr("(1000 * sum(t)) div count(1)").as("mean_milli"))
+      val band = means
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("mean_milli"), col("b"))))
+        .agg(min(when(col("rk") === 2, col("mean_milli"))).as("lo"),
+          min(when(col("rk") === 31, col("mean_milli"))).as("hi"),
+          count(lit(1)).as("n_replicas"))
+      band.crossJoin(broadcast(tot)) // 1 row
+        .select(col("n").cast("long").as("n_days"),
+          col("n_replicas").cast("long").as("n_replicas"),
+          expr("(1000 * st) div n").cast("long").as("point_milli"),
+          col("lo").cast("long").as("boot_lo_milli"),
+          col("hi").cast("long").as("boot_hi_milli"))
+    }),
+
+    // LEAD–LAG cross-correlation (CCF) between the click and
+    // purchase daily series — q446's ACF twin and the detector
+    // behind "purchases follow clicks by k days" claims: for lags
+    // −7…7, the centered cross products Σ aₜ·bₜ₊ₖ (both series
+    // centered by the scale-through n·x − Σx trick, all integral),
+    // normalized without any sqrt as the SQUARED correlation in ppm
+    // — 10⁶·num² div (Σa²·Σb²) — with the sign carried separately,
+    // plus the strength rank across lags. Scale shape: one corpus
+    // pass to the (day, click, purchase) grain; lag joins ride a
+    // broadcast 15-row spine against the day frame.
+    "q464_leadlag_ccf" -> ((s, d) => {
+      val daily = Tables(s, d).events
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+        .localCheckpoint() // day grain
+      val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"))
+      val c = daily.crossJoin(broadcast(tot)) // 1 row
+        .select(col("day"), expr("n * x - sx").as("a"),
+          expr("n * y - sy").as("b"))
+        .localCheckpoint() // referenced by both lag sides + denoms
+      val den = c.agg(
+        sum(expr("CAST(a AS DECIMAL(38,0)) * a")).as("saa"),
+        sum(expr("CAST(b AS DECIMAL(38,0)) * b")).as("sbb"))
+      val lags = s.range(1)
+        .select(explode(expr("sequence(-7, 7)")).as("lag"))
+      val num = c.crossJoin(broadcast(lags))
+        .withColumn("jday", col("day") + col("lag"))
+        .join(c.select(col("day").as("jday"), col("b").as("b2")), "jday")
+        .groupBy(col("lag"))
+        .agg(sum(expr("CAST(a AS DECIMAL(38,0)) * b2")).as("num"),
+          count(lit(1)).cast("long").as("n_pairs"))
+      num.crossJoin(broadcast(den)) // 1 row
+        .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+          signum(col("num")).cast("long").as("sign"),
+          expr("(1000000 * num * num) div (saa * sbb)").cast("long")
+            .as("r2_ppm"))
+        .withColumn("strength_rank", row_number().over(
+          Window.orderBy(col("r2_ppm").desc, col("lag"))).cast("long"))
     })
   )
 
@@ -9135,6 +9317,135 @@ object EtlOps {
                 FROM dd JOIN pg ON pg.cum >= dd.r_p GROUP BY 1, 2)
          SELECT pv.dec::BIGINT AS dec, pv.purchase_cents,
                 min(cg.cents)::BIGINT AS normalized_click_cents
-         FROM pv JOIN cg ON cg.cum >= pv.r_c GROUP BY 1, 2"""
+         FROM pv JOIN cg ON cg.cum >= pv.r_c GROUP BY 1, 2""",
+    "q462_covariate_matching" ->
+      """WITH e AS (SELECT user_id, event_type,
+                           epoch_us(ts) // 86400000000 AS day,
+                           round(value * 100, 0)::BIGINT AS cents
+                    FROM events),
+         sp AS (SELECT (min(day) + max(day) + 1) // 2 AS split_day
+                FROM e),
+         u0 AS (SELECT user_id,
+                       sum(CASE WHEN day < sp.split_day THEN 1 ELSE 0
+                           END)::BIGINT AS cov,
+                       sum(CASE WHEN day >= sp.split_day THEN cents
+                           ELSE 0 END)::BIGINT AS y,
+                       max(CASE WHEN event_type = 'purchase'
+                                AND day < sp.split_day THEN cents
+                           ELSE 0 END)::BIGINT AS mp
+                FROM e, sp GROUP BY user_id),
+         mg AS (SELECT mp, count(*)::BIGINT AS c FROM u0 GROUP BY 1),
+         mt AS (SELECT sum(c)::BIGINT AS n FROM mg),
+         mc AS (SELECT mp, sum(c) OVER (ORDER BY mp)::BIGINT AS cum
+                FROM mg),
+         mm0 AS (SELECT min(mp) AS mp_med FROM mc, mt
+                 WHERE cum >= (n + 1) // 2),
+         u AS (SELECT user_id, cov, y,
+                      CASE WHEN mp >= mm0.mp_med THEN 1 ELSE 0
+                      END::BIGINT AS treated
+               FROM u0, mm0),
+         w AS (SELECT *,
+                      last_value(CASE WHEN treated = 0 THEN
+                          {'cov': cov, 'user_id': user_id, 'y': y} END
+                        IGNORE NULLS)
+                        OVER (ORDER BY cov, treated, user_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS b,
+                      last_value(CASE WHEN treated = 0 THEN
+                          {'cov': cov, 'user_id': user_id, 'y': y} END
+                        IGNORE NULLS)
+                        OVER (ORDER BY cov DESC, treated DESC,
+                              user_id DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS f
+               FROM u),
+         m AS (SELECT *, CASE WHEN f IS NULL THEN b
+                              WHEN b IS NULL THEN f
+                              WHEN abs(f.cov - cov) < abs(cov - b.cov)
+                              THEN f ELSE b END AS mm
+               FROM w WHERE treated = 1),
+         n AS (SELECT sum(CASE WHEN treated = 1 THEN y ELSE 0
+                           END)::HUGEINT AS syt,
+                      sum(CASE WHEN treated = 0 THEN y ELSE 0
+                           END)::HUGEINT AS syc,
+                      sum(treated)::HUGEINT AS nt,
+                      sum(1 - treated)::HUGEINT AS nc
+               FROM u),
+         a AS (SELECT count(*)::BIGINT AS n_matched,
+                      sum((y - mm.y)::HUGEINT) AS sdiff
+               FROM m WHERE mm IS NOT NULL)
+         SELECT n.nt::BIGINT AS n_treated, n.nc::BIGINT AS n_control,
+                a.n_matched,
+                ((1000 * (n.syt * n.nc - n.syc * n.nt))
+                  // (n.nt * n.nc))::BIGINT AS naive_diff_milli,
+                ((1000 * a.sdiff) // a.n_matched)::BIGINT AS att_milli
+         FROM a, n""",
+    "q463_bootstrap_ci" ->
+      """WITH dy AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                            sum(round(value * 100, 0)::BIGINT)::BIGINT
+                              AS t
+                     FROM events GROUP BY 1),
+         dr AS (SELECT day, t,
+                       row_number() OVER (ORDER BY day) - 1 AS r
+                FROM dy),
+         tt AS (SELECT count(*)::BIGINT AS n, sum(t)::BIGINT AS st
+                FROM dr),
+         reps AS (SELECT unnest(range(32)) AS b),
+         draws AS (SELECT reps.b, dr.r AS i,
+                          md5('boot' || reps.b::VARCHAR || '#'
+                              || dr.r::VARCHAR) AS h
+                   FROM dr CROSS JOIN reps),
+         ix AS (SELECT b,
+                       ((instr('0123456789abcdef', substr(h, 1, 1)) - 1)
+                          * 256
+                        + (instr('0123456789abcdef', substr(h, 2, 1))
+                           - 1) * 16
+                        + (instr('0123456789abcdef', substr(h, 3, 1))
+                           - 1)) % tt.n AS idx
+                FROM draws, tt),
+         means AS (SELECT b, (1000 * sum(dr.t)) // count(*) AS mean_milli
+                   FROM ix JOIN dr ON dr.r = ix.idx GROUP BY 1),
+         band AS (SELECT min(CASE WHEN rk = 2 THEN mean_milli END) AS lo,
+                         min(CASE WHEN rk = 31 THEN mean_milli END)
+                           AS hi,
+                         count(*)::BIGINT AS n_replicas
+                  FROM (SELECT b, mean_milli, row_number() OVER (
+                          ORDER BY mean_milli, b) AS rk FROM means))
+         SELECT tt.n::BIGINT AS n_days, band.n_replicas,
+                ((1000 * tt.st) // tt.n)::BIGINT AS point_milli,
+                band.lo::BIGINT AS boot_lo_milli,
+                band.hi::BIGINT AS boot_hi_milli
+         FROM band, tt""",
+    "q464_leadlag_ccf" ->
+      """WITH dy AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                            sum(CASE WHEN event_type = 'click' THEN 1
+                                ELSE 0 END)::BIGINT AS x,
+                            sum(CASE WHEN event_type = 'purchase' THEN 1
+                                ELSE 0 END)::BIGINT AS y
+                     FROM events
+                     WHERE event_type IN ('click', 'purchase')
+                     GROUP BY 1),
+         tt AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                       sum(y)::BIGINT AS sy FROM dy),
+         c AS (SELECT day, (tt.n * dy.x - tt.sx)::HUGEINT AS a,
+                      (tt.n * dy.y - tt.sy)::HUGEINT AS b
+               FROM dy, tt),
+         den AS (SELECT sum(a * a) AS saa, sum(b * b) AS sbb FROM c),
+         l AS (SELECT unnest(range(-7, 8)) AS lag),
+         num AS (SELECT l.lag, sum(ca.a * cb.b) AS num,
+                        count(*)::BIGINT AS n_pairs
+                 FROM l
+                 JOIN c ca ON true
+                 JOIN c cb ON cb.day = ca.day + l.lag
+                 GROUP BY 1),
+         r AS (SELECT lag::BIGINT AS lag, n_pairs,
+                      sign(num)::BIGINT AS sign,
+                      ((1000000 * num * num)
+                        // (den.saa * den.sbb))::BIGINT AS r2_ppm
+               FROM num, den)
+         SELECT lag, n_pairs, sign, r2_ppm,
+                row_number() OVER (ORDER BY r2_ppm DESC, lag)::BIGINT
+                  AS strength_rank
+         FROM r"""
   )
 }

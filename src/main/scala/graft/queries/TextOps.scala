@@ -1469,6 +1469,83 @@ object TextOps {
             .when(col("rk2") < col("rk1"), "up")
             .when(col("rk2") > col("rk1"), "down")
             .otherwise("flat").as("status"))
+    }),
+
+    // FAIRNESS audit of a selection rule (disparate impact / the
+    // EEOC four-fifths rule) — the release gate a curation filter
+    // must pass before its output ships: the rule here is the
+    // corpus's own median-length cut (rank-exact global median of
+    // n_chars — selection rules correlate with language, which is
+    // the point), and per language the audit reports the selection
+    // rate plus the disparate-impact ratio against the
+    // BEST-selected group, rate_l / rate_ref as the exact integer
+    // cross-multiplication 1000·sel_l·n_ref div (n_l·sel_ref), with
+    // the <800‰ four-fifths flag. Scale shape: one pass to per-
+    // (lang, n_chars) counts; the median walks the support grid; the
+    // audit folds the language-bounded frame.
+    "q460_fairness_audit" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val grid = Tables(s, d).documents
+        .groupBy(col("lang"), col("n_chars"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // support-bounded, read three times
+      val tot = grid.agg(sum(col("c")).as("n"))
+      val wCum = Window.orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = grid.groupBy(col("n_chars")).agg(sum(col("c")).as("c"))
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .crossJoin(broadcast(tot))
+        .filter(col("cum") >= expr("(n + 1) div 2"))
+        .agg(min(col("n_chars")).as("med"))
+      val byLang = grid.crossJoin(broadcast(med)) // 1 row
+        .groupBy(col("lang"))
+        .agg(sum(col("c")).as("n_docs"),
+          sum(when(col("n_chars") >= col("med"), col("c"))
+            .otherwise(0L)).as("n_selected"))
+        .withColumn("sel_permille",
+          expr("(1000 * n_selected) div n_docs"))
+      val ref = byLang
+        .orderBy(col("sel_permille").desc, col("lang")).limit(1)
+        .select(col("n_docs").as("n_ref"),
+          col("n_selected").as("sel_ref"))
+      byLang.crossJoin(broadcast(ref)) // 1 row
+        .select(col("lang"), col("n_docs").cast("long").as("n_docs"),
+          col("n_selected").cast("long").as("n_selected"),
+          col("sel_permille").cast("long").as("sel_permille"),
+          expr("(1000 * n_selected * n_ref) div (n_docs * sel_ref)")
+            .cast("long").as("di_permille"))
+        .withColumn("fails_four_fifths", col("di_permille") < 800)
+    }),
+
+    // RELIABILITY diagram (calibration curve) for the q34 language-
+    // ID scorer — the eval readout that decides whether a
+    // classifier's confidence MEANS anything: per document, the
+    // 'en'-evidence share p̂ = 1000·en_markers div (all_markers + 1)
+    // (the +1 keeps marker-free docs defined); documents bucket by
+    // p̂ div 100, and each bucket reports its mean stated confidence
+    // vs the observed 'en' rate in permille plus the signed gap —
+    // a calibrated scorer hugs the diagonal. One corpus pass
+    // (marker counts are codegen'd array filters), bucket-bounded
+    // output.
+    "q461_reliability_diagram" -> ((s, d) => {
+      val en = markerCount(langMarkers.head._2)
+      val all = langMarkers.map(lm => markerCount(lm._2))
+        .reduce(_ + _)
+      val base = Tables(s, d).documents
+        .select(col("lang"), en.as("en_m"), all.as("all_m"))
+        .select(col("lang"),
+          expr("(1000 * en_m) div (all_m + 1)").as("phat"))
+      base.withColumn("bucket", expr("phat div 100"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("phat")).as("sp"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pos"))
+        .select(col("bucket").cast("long").as("bucket"), col("n"),
+          expr("sp div n").cast("long").as("mean_confidence_permille"),
+          expr("(1000 * pos) div n").cast("long")
+            .as("observed_en_permille"),
+          expr("sp div n - (1000 * pos) div n").cast("long")
+            .as("gap_permille"))
     })
   )
 
@@ -2326,6 +2403,59 @@ object TextOps {
                      WHEN rk2 < rk1 THEN 'up'
                      WHEN rk2 > rk1 THEN 'down'
                      ELSE 'flat' END AS status
-         FROM t1 FULL JOIN t2 ON t2.tok = t1.tok"""
+         FROM t1 FULL JOIN t2 ON t2.tok = t1.tok""",
+    "q460_fairness_audit" ->
+      """WITH g AS (SELECT lang, n_chars, count(*)::BIGINT AS c
+                    FROM documents GROUP BY 1, 2),
+         tot AS (SELECT sum(c)::BIGINT AS n FROM g),
+         mg AS (SELECT n_chars, sum(c)::BIGINT AS c FROM g GROUP BY 1),
+         mc AS (SELECT n_chars,
+                       sum(c) OVER (ORDER BY n_chars)::BIGINT AS cum
+                FROM mg),
+         med AS (SELECT min(n_chars) AS med FROM mc, tot
+                 WHERE cum >= (n + 1) // 2),
+         bl AS (SELECT lang, sum(c)::BIGINT AS n_docs,
+                       sum(CASE WHEN n_chars >= med.med THEN c ELSE 0
+                           END)::BIGINT AS n_selected
+                FROM g, med GROUP BY 1),
+         bl2 AS (SELECT lang, n_docs, n_selected,
+                        (1000 * n_selected) // n_docs AS sel_permille
+                 FROM bl),
+         ref AS (SELECT n_docs AS n_ref, n_selected AS sel_ref FROM bl2
+                 ORDER BY sel_permille DESC, lang LIMIT 1)
+         SELECT lang, n_docs, n_selected,
+                sel_permille::BIGINT AS sel_permille,
+                ((1000 * n_selected * n_ref)
+                  // (n_docs * sel_ref))::BIGINT AS di_permille,
+                ((1000 * n_selected * n_ref)
+                  // (n_docs * sel_ref)) < 800 AS fails_four_fifths
+         FROM bl2, ref""",
+    "q461_reliability_diagram" ->
+      """WITH b AS (SELECT lang,
+                len(list_filter(string_split(text, ' '),
+                  t -> t IN ('the', 'a', 'and', 'of')))::BIGINT AS en_m,
+                (len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the', 'a', 'and', 'of')))
+                 + len(list_filter(string_split(text, ' '),
+                     t -> t IN ('el', 'la', 'los', 'que')))
+                 + len(list_filter(string_split(text, ' '),
+                     t -> t IN ('der', 'die', 'und', 'ist')))
+                 + len(list_filter(string_split(text, ' '),
+                     t -> t IN ('le', 'les', 'des', 'est')))
+                 + len(list_filter(string_split(text, ' '),
+                     t -> t IN ('de', 'shi', 'bu', 'le'))))::BIGINT
+                  AS all_m
+              FROM documents),
+         p AS (SELECT lang, (1000 * en_m) // (all_m + 1) AS phat FROM b),
+         g AS (SELECT phat // 100 AS bucket, count(*)::BIGINT AS n,
+                      sum(phat)::BIGINT AS sp,
+                      sum(CASE WHEN lang = 'en' THEN 1 ELSE 0
+                          END)::BIGINT AS pos
+               FROM p GROUP BY 1)
+         SELECT bucket::BIGINT AS bucket, n,
+                (sp // n)::BIGINT AS mean_confidence_permille,
+                ((1000 * pos) // n)::BIGINT AS observed_en_permille,
+                (sp // n - (1000 * pos) // n)::BIGINT AS gap_permille
+         FROM g"""
   )
 }

@@ -203,7 +203,12 @@ object DumpPlans {
     "q456_fertility_audit" -> "fertility: one narrow explode pass, language-bounded aggregate",
     "q457_conformal_coverage" -> "conformal: rank picks walk cumulative counts on (type,score) grids, never an event sort; test pass joins 3 broadcast frames",
     "q458_quantile_normalize" -> "quantile norm: one pass to two cents grids; decile spine fans against the support-bounded cums",
-    "q459_trending_topk" -> "trending: per-snapshot token counts, TakeOrdered top-20s, <=40-row diff join")
+    "q459_trending_topk" -> "trending: per-snapshot token counts, TakeOrdered top-20s, <=40-row diff join",
+    "q460_fairness_audit" -> "fairness: one pass to the (lang, n_chars) grid; median walk + audit fold the language-bounded frame",
+    "q461_reliability_diagram" -> "reliability: one corpus pass (codegen marker filters), bucket-bounded aggregate",
+    "q462_covariate_matching" -> "matching: one pass to user grain; two IGNORE-NULLS walks under total (cov, side, id) orders",
+    "q463_bootstrap_ci" -> "bootstrap: one pass to day grain; 32 x n_days hash-seeded draws against the materialized day frame",
+    "q464_leadlag_ccf" -> "CCF: one pass to the two-series day grain; 15-row broadcast lag spine against the centered frame")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

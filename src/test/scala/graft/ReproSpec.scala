@@ -214,7 +214,12 @@ class ReproSpec extends AnyFunSuite {
     "q456_fertility_audit", // fixed-stride subword fertility per lang
     "q457_conformal_coverage", // rank-exact split-conformal quantile
     "q458_quantile_normalize", // decile rank mapping across dists
-    "q459_trending_topk"    // top-20 leaderboard churn between snapshots
+    "q459_trending_topk",   // top-20 leaderboard churn between snapshots
+    "q460_fairness_audit",  // four-fifths disparate-impact screen
+    "q461_reliability_diagram", // confidence-bucket calibration curve
+    "q462_covariate_matching", // nearest-covariate ATT vs naive gap
+    "q463_bootstrap_ci",    // hash-seeded day-block bootstrap band
+    "q464_leadlag_ccf"      // signed squared cross-correlation by lag
   )
 
   representatives.foreach { name =>
