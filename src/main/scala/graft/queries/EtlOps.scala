@@ -6022,6 +6022,31 @@ object EtlOps {
             .as("r2_ppm"))
         .withColumn("strength_rank", row_number().over(
           Window.orderBy(col("r2_ppm").desc, col("lag"))).cast("long"))
+    }),
+
+    // Index-of-DISPERSION (Fano factor) burstiness audit — the
+    // one-number overdispersion check capacity planners run on every
+    // arrival series (Poisson traffic sits at 1000‰; bursty traffic
+    // blows past it and breaks per-day autoscaling assumptions):
+    // per event type, D = var/mean of the daily counts as the exact
+    // integral form 1000·(n·Σx² − S²) div (n·S) — population
+    // variance scaled through by n², no float moment anywhere;
+    // ≥1500‰ flags the type as bursty. One corpus pass to the
+    // (type, day) grain, type-bounded output.
+    "q467_dispersion_index" -> ((s, d) => {
+      Tables(s, d).events
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+        .select(col("event_type"), col("n").cast("long").as("n_days"),
+          col("s").cast("long").as("total"),
+          expr("(1000 * (n * sxx - CAST(s AS DECIMAL(38,0)) * s))" +
+            " div (n * CAST(s AS DECIMAL(38,0)))").cast("long")
+            .as("d_permille"))
+        .withColumn("bursty", col("d_permille") >= 1500)
     })
   )
 
@@ -9446,6 +9471,21 @@ object EtlOps {
          SELECT lag, n_pairs, sign, r2_ppm,
                 row_number() OVER (ORDER BY r2_ppm DESC, lag)::BIGINT
                   AS strength_rank
-         FROM r"""
+         FROM r""",
+    "q467_dispersion_index" ->
+      """WITH d AS (SELECT event_type,
+                           epoch_us(ts) // 86400000000 AS day,
+                           count(*)::BIGINT AS x
+                    FROM events GROUP BY 1, 2),
+         g AS (SELECT event_type, count(*)::BIGINT AS n,
+                      sum(x)::BIGINT AS s,
+                      sum(x::HUGEINT * x) AS sxx
+               FROM d GROUP BY 1)
+         SELECT event_type, n AS n_days, s AS total,
+                ((1000 * (n * sxx - s::HUGEINT * s))
+                  // (n * s::HUGEINT))::BIGINT AS d_permille,
+                ((1000 * (n * sxx - s::HUGEINT * s))
+                  // (n * s::HUGEINT)) >= 1500 AS bursty
+         FROM g"""
   )
 }

@@ -1546,6 +1546,72 @@ object TextOps {
             .as("observed_en_permille"),
           expr("sp div n - (1000 * pos) div n").cast("long")
             .as("gap_permille"))
+    }),
+
+    // ZIPF conformity audit — the corpus-health screen that flags
+    // synthetic, templated or spam-heavy text before it trains
+    // anything: natural language keeps rank·frequency roughly
+    // constant across the head of the vocabulary, so per top-100
+    // token the audit emits rank·freq normalized by the rank-1
+    // frequency in exact permille plus the absolute deviation from
+    // the ideal 1000‰. One token-count aggregate, top-100 via
+    // TakeOrdered, rank window over the 100-row frame, 1-row max
+    // broadcast.
+    "q465_zipf_audit" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cnt = parallelized(Tables(s, d).documents)
+        .select(explode(tokens).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // vocab-bounded, read by top + max
+      val top = cnt.orderBy(col("c").desc, col("tok")).limit(100)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("c").desc, col("tok"))).cast("long"))
+      val f1 = cnt.agg(max(col("c")).as("f1"))
+      top.crossJoin(broadcast(f1)) // 1 row
+        .select(col("rk"), col("tok"), col("c").cast("long").as("freq"),
+          expr("(1000 * rk * c) div f1").cast("long").as("rf_permille"),
+          abs(expr("(1000 * rk * c) div f1") - 1000).cast("long")
+            .as("zipf_dev_permille"))
+    }),
+
+    // HEAPS'-law vocabulary GROWTH curve — the saturation readout
+    // that tells a crawl whether more data still buys new types:
+    // docs order by doc_id into deciles; each token charges its
+    // FIRST decile (min doc rank — one vocab-bounded argmin);
+    // per decile the audit reports new types, cumulative vocabulary
+    // and cumulative token occurrences (the (N, V) pairs Heaps' law
+    // fits). One corpus pass to (doc, token) grain; the doc-rank
+    // window runs on the doc-grain frame; the cumulative walk is 10
+    // rows.
+    "q466_heaps_curve" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val nDocs = Tables(s, d).documents.agg(count(lit(1)).as("nd"))
+      val ranks = Tables(s, d).documents.select(col("doc_id"))
+        .withColumn("drk", row_number().over(
+          Window.orderBy(col("doc_id"))).cast("long") - 1)
+        .crossJoin(broadcast(nDocs)) // 1 row
+        .withColumn("decile", expr("(drk * 10) div nd + 1"))
+        .select(col("doc_id"), col("decile"))
+        .localCheckpoint() // doc grain, joined twice
+      val occ = parallelized(Tables(s, d).documents)
+        .select(col("doc_id"), explode(tokens).as("tok"))
+        .join(ranks, "doc_id")
+        .localCheckpoint() // (doc, token) grain, folded twice
+      val newTypes = occ.groupBy(col("tok"))
+        .agg(min(col("decile")).as("decile"))
+        .groupBy(col("decile")).agg(count(lit(1)).as("new_types"))
+      val toks = occ.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_tokens"))
+      val wCum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      toks.join(newTypes, Seq("decile"), "left")
+        .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+        .withColumn("vocab_cum", sum(col("new_types")).over(wCum))
+        .withColumn("tokens_cum", sum(col("n_tokens")).over(wCum))
+        .select(col("decile").cast("long").as("decile"),
+          col("new_types").cast("long").as("new_types"),
+          col("vocab_cum").cast("long").as("vocab_cum"),
+          col("tokens_cum").cast("long").as("tokens_cum"))
     })
   )
 
@@ -2456,6 +2522,42 @@ object TextOps {
                 (sp // n)::BIGINT AS mean_confidence_permille,
                 ((1000 * pos) // n)::BIGINT AS observed_en_permille,
                 (sp // n - (1000 * pos) // n)::BIGINT AS gap_permille
-         FROM g"""
+         FROM g""",
+    "q465_zipf_audit" ->
+      """WITH c AS (SELECT unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+         cnt AS (SELECT tok, count(*)::BIGINT AS c FROM c GROUP BY 1),
+         f1 AS (SELECT max(c)::BIGINT AS f1 FROM cnt),
+         top AS (SELECT tok, c, row_number() OVER (
+                   ORDER BY c DESC, tok)::BIGINT AS rk
+                 FROM cnt QUALIFY rk <= 100)
+         SELECT top.rk, top.tok, top.c AS freq,
+                ((1000 * top.rk * top.c) // f1.f1)::BIGINT
+                  AS rf_permille,
+                abs((1000 * top.rk * top.c) // f1.f1 - 1000)::BIGINT
+                  AS zipf_dev_permille
+         FROM top, f1""",
+    "q466_heaps_curve" ->
+      """WITH nd AS (SELECT count(*)::BIGINT AS nd FROM documents),
+         r AS (SELECT doc_id,
+                      (row_number() OVER (ORDER BY doc_id) - 1) AS drk
+               FROM documents),
+         dec AS (SELECT r.doc_id, (r.drk * 10) // nd.nd + 1 AS decile
+                 FROM r, nd),
+         occ AS (SELECT d.doc_id, dec.decile,
+                        unnest(string_split(d.text, ' ')) AS tok
+                 FROM documents d JOIN dec ON dec.doc_id = d.doc_id),
+         nt AS (SELECT decile, count(*)::BIGINT AS new_types FROM (
+                  SELECT tok, min(decile) AS decile FROM occ GROUP BY 1)
+                GROUP BY 1),
+         tk AS (SELECT decile, count(*)::BIGINT AS n_tokens FROM occ
+                GROUP BY 1)
+         SELECT tk.decile::BIGINT AS decile,
+                coalesce(nt.new_types, 0)::BIGINT AS new_types,
+                sum(coalesce(nt.new_types, 0))
+                  OVER (ORDER BY tk.decile)::BIGINT AS vocab_cum,
+                sum(tk.n_tokens)
+                  OVER (ORDER BY tk.decile)::BIGINT AS tokens_cum
+         FROM tk LEFT JOIN nt USING (decile)"""
   )
 }

@@ -208,7 +208,10 @@ object DumpPlans {
     "q461_reliability_diagram" -> "reliability: one corpus pass (codegen marker filters), bucket-bounded aggregate",
     "q462_covariate_matching" -> "matching: one pass to user grain; two IGNORE-NULLS walks under total (cov, side, id) orders",
     "q463_bootstrap_ci" -> "bootstrap: one pass to day grain; 32 x n_days hash-seeded draws against the materialized day frame",
-    "q464_leadlag_ccf" -> "CCF: one pass to the two-series day grain; 15-row broadcast lag spine against the centered frame")
+    "q464_leadlag_ccf" -> "CCF: one pass to the two-series day grain; 15-row broadcast lag spine against the centered frame",
+    "q465_zipf_audit" -> "Zipf: one token-count aggregate, TakeOrdered top-100, 1-row max broadcast",
+    "q466_heaps_curve" -> "Heaps: one pass to (doc,token) grain; first-decile argmin vocab-bounded; 10-row cumulative walk",
+    "q467_dispersion_index" -> "dispersion: one pass to (type,day) grain, type-bounded moment fold")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

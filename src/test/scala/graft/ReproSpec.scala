@@ -219,7 +219,10 @@ class ReproSpec extends AnyFunSuite {
     "q461_reliability_diagram", // confidence-bucket calibration curve
     "q462_covariate_matching", // nearest-covariate ATT vs naive gap
     "q463_bootstrap_ci",    // hash-seeded day-block bootstrap band
-    "q464_leadlag_ccf"      // signed squared cross-correlation by lag
+    "q464_leadlag_ccf",     // signed squared cross-correlation by lag
+    "q465_zipf_audit",      // rank x freq conformity on the vocab head
+    "q466_heaps_curve",     // per-decile new types + cumulative vocab
+    "q467_dispersion_index" // integral Fano factor per event type
   )
 
   representatives.foreach { name =>
