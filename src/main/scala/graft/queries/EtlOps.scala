@@ -6047,6 +6047,121 @@ object EtlOps {
             " div (n * CAST(s AS DECIMAL(38,0)))").cast("long")
             .as("d_permille"))
         .withColumn("bursty", col("d_permille") >= 1500)
+    }),
+
+    // MIX-SHIFT decomposition (Oaxaca–Blinder shape) — the "why did
+    // the metric move" analysis every metrics review runs by hand:
+    // the period-over-period change in mean event value splits, per
+    // segment (event type), into a MIX effect (the segment's traffic
+    // share moved), a RATE effect (the segment's own mean moved) and
+    // the interaction — Δ = Σ_seg (mix + rate + inter) by algebra.
+    // Every effect is one exact integer cross-multiplication over
+    // the common denominator (shares n_sp/n_p, rates s_sp/n_sp; the
+    // four-way product wants DECIMAL(76) at 10⁹-row segments —
+    // noted, int128-safe here), floored once to milli-cents. One
+    // corpus pass to (segment, period) sums; the decomposition folds
+    // the segment-bounded frame.
+    "q468_mix_decomposition" -> ((s, d) => {
+      val ev = Tables(s, d).events
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val split = ev.agg(expr("(min(day) + max(day) + 1) div 2")
+        .as("split_day"))
+      val seg = ev.crossJoin(broadcast(split)) // 1 row
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("day") < col("split_day"), 1L).otherwise(0L))
+          .as("ns1"),
+          sum(when(col("day") >= col("split_day"), 1L).otherwise(0L))
+            .as("ns2"),
+          sum(when(col("day") < col("split_day"), col("cents"))
+            .otherwise(0L)).as("ss1"),
+          sum(when(col("day") >= col("split_day"), col("cents"))
+            .otherwise(0L)).as("ss2"))
+        .localCheckpoint() // segment-bounded, read by totals + fold
+      val tot = seg.agg(sum(col("ns1")).as("n1"), sum(col("ns2")).as("n2"))
+      seg.crossJoin(broadcast(tot)) // 1 row
+        .select(col("event_type"),
+          col("ns1").cast("long").as("n_events_p1"),
+          col("ns2").cast("long").as("n_events_p2"),
+          expr("(1000 * (CAST(ns2 AS DECIMAL(38,0)) * n1" +
+            " - CAST(ns1 AS DECIMAL(38,0)) * n2) * ss1)" +
+            " div (CAST(n1 AS DECIMAL(38,0)) * n2 * ns1)")
+            .cast("long").as("mix_milli"),
+          expr("(1000 * (CAST(ns1 AS DECIMAL(38,0)) * ss2" +
+            " - CAST(ss1 AS DECIMAL(38,0)) * ns2))" +
+            " div (CAST(n1 AS DECIMAL(38,0)) * ns2)")
+            .cast("long").as("rate_milli"),
+          expr("(1000 * (CAST(ns2 AS DECIMAL(38,0)) * n1" +
+            " - CAST(ns1 AS DECIMAL(38,0)) * n2)" +
+            " * (CAST(ss2 AS DECIMAL(38,0)) * ns1" +
+            " - CAST(ss1 AS DECIMAL(38,0)) * ns2))" +
+            " div (CAST(n1 AS DECIMAL(38,0)) * n2 * ns1 * ns2)")
+            .cast("long").as("interaction_milli"))
+    }),
+
+    // SAMPLE-RATIO-MISMATCH check — the first sanity gate every
+    // experimentation platform runs before reading ANY metric (a
+    // broken randomizer invalidates everything downstream): the q454
+    // md5 arms against the designed 50/50, the one-degree χ² for
+    // equal proportions in exact milli ((n_a − n_b)²·1000 div
+    // (n_a + n_b)) and the 3.841-critical-value flag. One user-grain
+    // distinct + one 1-row fold.
+    "q469_srm_check" -> ((s, d) => {
+      Tables(s, d).events
+        .select(col("user_id")).distinct()
+        .withColumn("arm", when(substring(
+          md5(concat(lit("cuped"), col("user_id").cast("string"))), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), "A")
+          .otherwise("B"))
+        .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"))
+        .select(col("n_a").cast("long").as("n_a"),
+          col("n_b").cast("long").as("n_b"),
+          expr("((n_a - n_b) * (n_a - n_b) * 1000) div (n_a + n_b)")
+            .cast("long").as("chi2_milli"))
+        .withColumn("srm_detected", col("chi2_milli") > 3841)
+    }),
+
+    // SIMPSON'S-PARADOX reversal detector — the segment audit that
+    // catches a pooled readout contradicting every segment it is
+    // made of (the mix, not the treatment, moved the metric): per
+    // event type, the SIGN of the arm difference in mean value
+    // (exact cross-multiplication sya·nb − syb·na, never a
+    // division), beside the pooled sign; reversed = the segment
+    // disagrees with the pooled direction. One corpus pass to
+    // (segment, arm) sums; signs fold segment-bounded frames.
+    "q470_simpson_detector" -> ((s, d) => {
+      val ev = Tables(s, d).events
+        .select(col("event_type"), col("user_id"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .withColumn("arm", when(substring(
+          md5(concat(lit("cuped"), col("user_id").cast("string"))), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), "A")
+          .otherwise("B"))
+      val seg = ev.groupBy(col("event_type"))
+        .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("na"),
+          sum(when(col("arm") === "B", 1L).otherwise(0L)).as("nb"),
+          sum(when(col("arm") === "A", col("cents")).otherwise(0L))
+            .as("sya"),
+          sum(when(col("arm") === "B", col("cents")).otherwise(0L))
+            .as("syb"))
+        .localCheckpoint() // segment-bounded
+      val pooled = seg.agg(sum(col("na")).as("pna"),
+        sum(col("nb")).as("pnb"), sum(col("sya")).as("psya"),
+        sum(col("syb")).as("psyb"))
+        .select(signum(expr("CAST(psya AS DECIMAL(38,0)) * pnb" +
+          " - CAST(psyb AS DECIMAL(38,0)) * pna")).cast("long")
+          .as("pooled_sign"))
+      seg.crossJoin(broadcast(pooled)) // 1 row
+        .select(col("event_type"), col("na").cast("long").as("n_a"),
+          col("nb").cast("long").as("n_b"),
+          signum(expr("CAST(sya AS DECIMAL(38,0)) * nb" +
+            " - CAST(syb AS DECIMAL(38,0)) * na")).cast("long")
+            .as("segment_sign"),
+          col("pooled_sign"))
+        .withColumn("reversed", col("segment_sign") =!= 0
+          && col("segment_sign") =!= col("pooled_sign"))
     })
   )
 
@@ -9486,6 +9601,84 @@ object EtlOps {
                   // (n * s::HUGEINT))::BIGINT AS d_permille,
                 ((1000 * (n * sxx - s::HUGEINT * s))
                   // (n * s::HUGEINT)) >= 1500 AS bursty
-         FROM g"""
+         FROM g""",
+    "q468_mix_decomposition" ->
+      """WITH e AS (SELECT event_type,
+                           epoch_us(ts) // 86400000000 AS day,
+                           round(value * 100, 0)::BIGINT AS cents
+                    FROM events),
+         sp AS (SELECT (min(day) + max(day) + 1) // 2 AS split_day
+                FROM e),
+         seg AS (SELECT event_type,
+                        sum(CASE WHEN day < sp.split_day THEN 1 ELSE 0
+                            END)::HUGEINT AS ns1,
+                        sum(CASE WHEN day >= sp.split_day THEN 1 ELSE 0
+                            END)::HUGEINT AS ns2,
+                        sum(CASE WHEN day < sp.split_day THEN cents
+                            ELSE 0 END)::HUGEINT AS ss1,
+                        sum(CASE WHEN day >= sp.split_day THEN cents
+                            ELSE 0 END)::HUGEINT AS ss2
+                 FROM e, sp GROUP BY 1),
+         tot AS (SELECT sum(ns1)::HUGEINT AS n1, sum(ns2)::HUGEINT AS n2
+                 FROM seg)
+         SELECT seg.event_type,
+                seg.ns1::BIGINT AS n_events_p1,
+                seg.ns2::BIGINT AS n_events_p2,
+                ((1000 * (seg.ns2 * tot.n1 - seg.ns1 * tot.n2) * seg.ss1)
+                  // (tot.n1 * tot.n2 * seg.ns1))::BIGINT AS mix_milli,
+                ((1000 * (seg.ns1 * seg.ss2 - seg.ss1 * seg.ns2))
+                  // (tot.n1 * seg.ns2))::BIGINT AS rate_milli,
+                ((1000 * (seg.ns2 * tot.n1 - seg.ns1 * tot.n2)
+                        * (seg.ss2 * seg.ns1 - seg.ss1 * seg.ns2))
+                  // (tot.n1 * tot.n2 * seg.ns1 * seg.ns2))::BIGINT
+                  AS interaction_milli
+         FROM seg, tot""",
+    "q469_srm_check" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         a AS (SELECT sum(CASE WHEN substr(md5('cuped'
+                        || user_id::VARCHAR), 1, 1)
+                        IN ('0','1','2','3','4','5','6','7')
+                        THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                      sum(CASE WHEN substr(md5('cuped'
+                        || user_id::VARCHAR), 1, 1)
+                        IN ('0','1','2','3','4','5','6','7')
+                        THEN 0 ELSE 1 END)::BIGINT AS n_b
+               FROM u)
+         SELECT n_a, n_b,
+                (((n_a - n_b) * (n_a - n_b) * 1000)
+                  // (n_a + n_b))::BIGINT AS chi2_milli,
+                (((n_a - n_b) * (n_a - n_b) * 1000)
+                  // (n_a + n_b)) > 3841 AS srm_detected
+         FROM a""",
+    "q470_simpson_detector" ->
+      """WITH e AS (SELECT event_type,
+                           round(value * 100, 0)::BIGINT AS cents,
+                           CASE WHEN substr(md5('cuped'
+                             || user_id::VARCHAR), 1, 1)
+                             IN ('0','1','2','3','4','5','6','7')
+                             THEN 'A' ELSE 'B' END AS arm
+                    FROM events),
+         seg AS (SELECT event_type,
+                        sum(CASE WHEN arm = 'A' THEN 1 ELSE 0
+                            END)::HUGEINT AS na,
+                        sum(CASE WHEN arm = 'B' THEN 1 ELSE 0
+                            END)::HUGEINT AS nb,
+                        sum(CASE WHEN arm = 'A' THEN cents ELSE 0
+                            END)::HUGEINT AS sya,
+                        sum(CASE WHEN arm = 'B' THEN cents ELSE 0
+                            END)::HUGEINT AS syb
+                 FROM e GROUP BY 1),
+         pooled AS (SELECT sign(sum(sya) * sum(nb)
+                           - sum(syb) * sum(na))::BIGINT AS pooled_sign
+                    FROM seg)
+         SELECT seg.event_type, seg.na::BIGINT AS n_a,
+                seg.nb::BIGINT AS n_b,
+                sign(seg.sya * seg.nb - seg.syb * seg.na)::BIGINT
+                  AS segment_sign,
+                pooled.pooled_sign,
+                sign(seg.sya * seg.nb - seg.syb * seg.na) <> 0
+                  AND sign(seg.sya * seg.nb - seg.syb * seg.na)
+                      <> pooled.pooled_sign AS reversed
+         FROM seg, pooled"""
   )
 }

@@ -211,7 +211,10 @@ object DumpPlans {
     "q464_leadlag_ccf" -> "CCF: one pass to the two-series day grain; 15-row broadcast lag spine against the centered frame",
     "q465_zipf_audit" -> "Zipf: one token-count aggregate, TakeOrdered top-100, 1-row max broadcast",
     "q466_heaps_curve" -> "Heaps: one pass to (doc,token) grain; first-decile argmin vocab-bounded; 10-row cumulative walk",
-    "q467_dispersion_index" -> "dispersion: one pass to (type,day) grain, type-bounded moment fold")
+    "q467_dispersion_index" -> "dispersion: one pass to (type,day) grain, type-bounded moment fold",
+    "q468_mix_decomposition" -> "mix-shift: one pass to (segment,period) sums; effects fold the segment-bounded frame",
+    "q469_srm_check" -> "SRM: user-grain distinct + 1-row chi-square fold",
+    "q470_simpson_detector" -> "Simpson: one pass to (segment,arm) sums; signs via cross-multiplication, never division")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

@@ -222,7 +222,10 @@ class ReproSpec extends AnyFunSuite {
     "q464_leadlag_ccf",     // signed squared cross-correlation by lag
     "q465_zipf_audit",      // rank x freq conformity on the vocab head
     "q466_heaps_curve",     // per-decile new types + cumulative vocab
-    "q467_dispersion_index" // integral Fano factor per event type
+    "q467_dispersion_index", // integral Fano factor per event type
+    "q468_mix_decomposition", // per-segment mix/rate/interaction split
+    "q469_srm_check",       // integral chi-square on the md5 arms
+    "q470_simpson_detector" // segment-vs-pooled sign reversals
   )
 
   representatives.foreach { name =>
