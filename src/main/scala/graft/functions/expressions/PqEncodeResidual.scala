@@ -141,6 +141,7 @@ case class PqAdcResidual(
     with ImplicitCastInputTypes with CodegenFallback {
 
   require(m >= 1 && m <= 16, s"m=$m out of packed-long range [1, 16]")
+  require(ksub >= 1 && ksub <= 16, s"ksub=$ksub needs more than 4 bits")
   require(codebook.length == m * ksub * dsub,
     s"codebook length ${codebook.length} != m*ksub*dsub = ${m * ksub * dsub}")
   require(centroids.length % (m * dsub) == 0,
@@ -173,6 +174,12 @@ case class PqAdcResidual(
     var j = 0
     while (j < m) {
       val c = ((packed >>> (4 * j)) & 0xFL).toInt
+      // a code nibble >= ksub is a corrupt/foreign packed long: with
+      // ksub < 16 it would silently index a NEIGHBORING subquantizer's
+      // codebook block (wrong distance) or walk off the array on the
+      // last subspace — follow the null contract the other malformed
+      // inputs use instead
+      if (c >= ksub) return null
       val base = (j * ksub + c) * dsub
       var d = 0
       while (d < dsub) {

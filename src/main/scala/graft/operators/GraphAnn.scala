@@ -93,8 +93,14 @@ object GraphAnn {
     val queries = emb.join(queryIds, emb(idCol) === queryIds("query_id"))
       .select(col("query_id"), col(vecCol).as("qv"))
       .localCheckpoint() // broadcast side, scored against every visit
-    val entry = emb.agg(min(col(idCol)).as("node"))
-      .collect()(0).getLong(0) // one driver scalar — the entry point
+    // one driver scalar — the entry point. min() over an empty frame
+    // yields a single null row: fail with a NAMED error (knnGraph
+    // guards the same case), and fetch type-agnostically so a
+    // non-Long id column doesn't ClassCastException here.
+    val entryRow = emb.agg(min(col(idCol)).as("node")).collect()(0)
+    require(!entryRow.isNullAt(0),
+      "beamSearch: empty corpus — no entry node to start the walk from")
+    val entry = entryRow.get(0)
     val wBeam = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("node"))
     def scored(nodes: DataFrame): DataFrame =

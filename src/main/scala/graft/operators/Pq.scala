@@ -273,10 +273,13 @@ object Pq {
     *      vectors (the whole point of the composition);
     *   3. index: per-vector (list, packed residual code) — 4+8 bytes
     *      per row in the serving shuffle, floats never move;
-    *   4. search: probe `nprobe` lists per query, encode the QUERY's
-    *      residual against each probed list's centroid, symmetric
-    *      ADC ([[PqDist]], exact integer) against only that list's
-    *      codes, shortlist top-`rerank`, exact-cosine re-rank.
+    *   4. search: probe `nprobe` lists per query, form the QUERY's
+    *      exact residual against each probed list's centroid, and
+    *      score by ASYMMETRIC ADC ([[PqAdcResidual]], exact integer —
+    *      only the candidate side is 4-bit-coded, halving the
+    *      quantization noise of symmetric code-to-code [[PqDist]])
+    *      against only that list's codes, shortlist top-`rerank`,
+    *      exact-cosine re-rank.
     *
     * Candidate IO is proportional to the PROBED lists only — the
     * scan never touches the other `nlist − nprobe` lists' rows

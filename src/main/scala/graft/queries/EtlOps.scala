@@ -5430,10 +5430,14 @@ object EtlOps {
     // per day, how many logged events the policy would have matched,
     // in exact permille. First-active-day events have no history and
     // drop out via the inner join — the estimator only scores days
-    // where the policy is defined. Scale shape: the corpus collapses
-    // to (user, type, day) counts in ONE pass; the history fold is a
-    // triangular join on that day-grain frame (bounded by
-    // calendar² × |types| per user, never event²); the argmax is a
+    // where the policy is defined. Scale shape (r11 rewrite — the
+    // triangular self-join is gone): the corpus collapses to
+    // (user, type, day) counts in ONE pass; history is a RUNNING
+    // cumulative count per (user, type) over the user's active-day ×
+    // type grid — O(days · types) rows per user instead of the old
+    // O(days² · types) self-join intermediate, and the window is
+    // (user, type)-partitioned, so heavy users parallelize by type
+    // and never re-pair their own history; the argmax is a
     // (user, day)-keyed window over the same bounded frame.
     "q449_policy_replay" -> ((s, d) => {
       val ev = Tables(s, d).events
@@ -5441,17 +5445,27 @@ object EtlOps {
           expr("unix_micros(ts) div 86400000000").as("day"))
       val cnt = ev.groupBy(col("user_id"), col("event_type"), col("day"))
         .agg(count(lit(1)).as("c"))
-        // (user, type, day)-grain, read by the spine AND both sides
-        // of the triangular history join — one corpus pass,
-        // materialized
+        // (user, type, day)-grain, read by the spine, the type set
+        // and the grid fill — one corpus pass, materialized
         .localCheckpoint()
       val spine = cnt.select(col("user_id"), col("day")).distinct()
-      val hist = spine
-        .join(cnt.select(col("user_id"), col("event_type"),
-          col("day").as("hday"), col("c")), Seq("user_id"))
-        .filter(col("hday") < col("day"))
-        .groupBy(col("user_id"), col("day"), col("event_type"))
-        .agg(sum(col("c")).as("hc"))
+      val types = cnt.select(col("user_id"), col("event_type")).distinct()
+      // every (active day × ever-seen type) cell, zero-filled where
+      // the type didn't fire that day: the cumulative fold needs the
+      // cell to EXIST to carry history forward to later days
+      val grid = spine.join(types, Seq("user_id"))
+        .join(cnt, Seq("user_id", "event_type", "day"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val wCum = Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // strictly-earlier history = inclusive running sum minus today;
+      // hc > 0 keeps exactly the types with >=1 earlier occurrence
+      // (the old inner-join semantics)
+      val hist = grid
+        .withColumn("hc", sum(col("c")).over(wCum) - col("c"))
+        .filter(col("hc") > 0)
       val pred = hist.withColumn("rk", row_number().over(
         Window.partitionBy(col("user_id"), col("day"))
           .orderBy(col("hc").desc, col("event_type"))))
@@ -5857,10 +5871,12 @@ object EtlOps {
     // control ties resolved by the walk's id order), and the
     // readout contrasts the
     // naive treated−control mean gap with the matched ATT, both as
-    // exact single-division milli-cents. Scale shape: one corpus
-    // pass to user grain; the matching walk is two windows over the
-    // user-grain frame under a total (cov, side, id) order —
-    // user-bounded, never event-sized; all sums in DECIMAL(38,0).
+    // exact single-division milli-cents. Scale shape (r11 fix): one
+    // corpus pass to user grain; the matching walk runs over the
+    // cov-SUPPORT grid (one row per distinct covariate value — the
+    // q453/q457 support-grid discipline), never a window over the
+    // user grain; treated users join their match back by cov
+    // equality against the broadcast grid; all sums DECIMAL(38,0).
     "q462_covariate_matching" -> ((s, d) => {
       val ev = Tables(s, d).events
         .select(col("user_id"), col("event_type"),
@@ -5889,20 +5905,46 @@ object EtlOps {
       val users = users0.crossJoin(broadcast(mMed)) // 1 row
         .withColumn("treated",
           when(col("mp") >= col("mp_med"), 1L).otherwise(0L))
-      // side 0 = control, 1 = treated: under (cov, side, id) order a
-      // running last-control is the backward nearest; the reverse
-      // order gives the forward nearest
-      val wB = Window.orderBy(col("cov"), col("treated"), col("user_id"))
+        .localCheckpoint() // user grain, read by grid + matched + naive
+      // cov-SUPPORT-GRID walk (the r11 rewrite): the match depends
+      // only on the treated user's cov — under the (cov, side, id)
+      // total order every same-cov control precedes every same-cov
+      // treated, so the backward nearest is "the max-id control at
+      // the largest control-cov <= c" and the forward nearest (the
+      // reverse order) "the min-id control at the smallest
+      // control-cov > c". Collapse controls to ONE row per cov value
+      // carrying both direction representatives (the walk's id tie
+      // rules preserved exactly), run the two IGNORE-NULLS lasts
+      // over the combined cov support — a value-bounded grid, never
+      // an unpartitioned window over the user grain — and join
+      // treated users back by cov equality (grid broadcast:
+      // activity-count support, orders of magnitude under user
+      // cardinality).
+      val ctlGrid = users.filter(col("treated") === 0)
+        .groupBy(col("cov"))
+        .agg(max(struct(col("user_id"), col("y"))).as("cb"),
+          min(struct(col("user_id"), col("y"))).as("cf"))
+      val support = users.filter(col("treated") === 1)
+        .select(col("cov")).distinct()
+        .unionByName(ctlGrid.select(col("cov"))).distinct()
+        .join(ctlGrid, Seq("cov"), "left")
+      val wB = Window.orderBy(col("cov"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wF = Window.orderBy(col("cov").desc, col("treated").desc,
-        col("user_id").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val ctl = when(col("treated") === 0,
-        struct(col("cov"), col("user_id"), col("y")))
-      val matched = users
-        .withColumn("b", last(ctl, ignoreNulls = true).over(wB))
-        .withColumn("f", last(ctl, ignoreNulls = true).over(wF))
-        .filter(col("treated") === 1)
+      // strictly-greater cov: under the reverse order same-cov
+      // controls sort AFTER same-cov treated rows, so the forward
+      // window excludes the current grid row
+      val wF = Window.orderBy(col("cov").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val walked = support
+        .withColumn("b", last(when(col("cb").isNotNull,
+          struct(col("cov"), col("cb.user_id").as("user_id"),
+            col("cb.y").as("y"))), ignoreNulls = true).over(wB))
+        .withColumn("f", last(when(col("cf").isNotNull,
+          struct(col("cov"), col("cf.user_id").as("user_id"),
+            col("cf.y").as("y"))), ignoreNulls = true).over(wF))
+        .select(col("cov"), col("b"), col("f"))
+      val matched = users.filter(col("treated") === 1)
+        .join(broadcast(walked), Seq("cov"))
         .withColumn("m", when(col("f").isNull, col("b"))
           .when(col("b").isNull, col("f"))
           .when(abs(col("f.cov") - col("cov"))

@@ -1580,15 +1580,17 @@ object TextOps {
     // FIRST decile (min doc rank — one vocab-bounded argmin);
     // per decile the audit reports new types, cumulative vocabulary
     // and cumulative token occurrences (the (N, V) pairs Heaps' law
-    // fits). One corpus pass to (doc, token) grain; the doc-rank
-    // window runs on the doc-grain frame; the cumulative walk is 10
-    // rows.
+    // fits). One corpus pass to (doc, token) grain; the doc rank
+    // rides GroupedRank's two-phase range exchange (P parallel
+    // sorts — NEVER an unpartitioned window over the doc grain, the
+    // r11 finding); the cumulative walk is 10 rows.
     "q466_heaps_curve" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val nDocs = Tables(s, d).documents.agg(count(lit(1)).as("nd"))
-      val ranks = Tables(s, d).documents.select(col("doc_id"))
-        .withColumn("drk", row_number().over(
-          Window.orderBy(col("doc_id"))).cast("long") - 1)
+      val ranks = graft.operators.GroupedRank.withGlobalRank(
+          Tables(s, d).documents.select(col("doc_id")),
+          Seq(col("doc_id")), "drk1")
+        .withColumn("drk", col("drk1") - 1)
         .crossJoin(broadcast(nDocs)) // 1 row
         .withColumn("decile", expr("(drk * 10) div nd + 1"))
         .select(col("doc_id"), col("decile"))

@@ -116,8 +116,9 @@ object VectorOps {
     // IVF-PQ composed ANN (r10 verdict item 5) — q44's coarse
     // quantizer + q252's PQ codes in the standard FAISS IVFPQ
     // arrangement: vectors index as (list, packed residual code),
-    // search probes nprobe lists, scores symmetric integer ADC
-    // against residual codebooks, and exact-reranks the shortlist.
+    // search probes nprobe lists, scores asymmetric integer ADC
+    // (PqAdcResidual: the query residual stays exact, only the
+    // candidate side is coded) and exact-reranks the shortlist.
     // Candidate IO ∝ probed lists only (IvfPqSpec pins the count);
     // trained artifacts make it approximate → rows-only; IvfPqSpec
     // pins determinism + the recall floor vs exact cosine top-k.

@@ -11,6 +11,11 @@ import java.nio.file.{Files, Paths}
   * Usage: runMain graft.tools.DumpPlans [sfDir] [outFile]
   */
 object DumpPlans {
+  // Deliberately ABSENT from picks: q431/q435/q442 — their
+  // results are driver-built metadata frames (manifest parses /
+  // LocalTableScan of commit-log stats), so the "plan" is a local
+  // scan with nothing to pin; the scale claim for those lives in the
+  // Manifest specs (metadata-only answering), not in a physical plan.
   private val picks = Seq(
     "q02_filter_pushdown" -> "filters reach the parquet scan (PushedFilters)",
     "q09_join_null_filter" -> "broadcast dim join; LEFT OUTER eliminated to Inner by the null-rejecting filter",
@@ -193,7 +198,7 @@ object DumpPlans {
     "q446_acf_daily" -> "daily ACF: one corpus pass to day grain, then broadcast lag spine + day-frame self-join",
     "q447_prf_expansion" -> "PRF expansion: seed-filtered posting pass, 5-row feedback + 4-term query broadcasts, TakeOrdered top-10",
     "q448_label_propagation" -> "LPA: rounds shuffle (node,label) vs the bigram edge list only; vote argmax = node-keyed window on the vocab-bounded frame",
-    "q449_policy_replay" -> "policy replay: one corpus pass to (user,type,day) counts, triangular history join on the day-grain frame, (user,day) argmax window",
+    "q449_policy_replay" -> "policy replay: one corpus pass to (user,type,day) counts, (user,type)-keyed cumulative window over the zero-filled day x type grid (no self-join), (user,day) argmax window",
     "q450_rake_keywords" -> "RAKE: narrow phrase split, word-keyed aggregate, TakeOrdered top-20",
     "q451_rendezvous_reshard" -> "HRW reshard: keys x36 against a broadcast (cfg,shard) spine, one key-keyed max-struct argmax, no window",
     "q452_hits_scores" -> "HITS: (user,type) counts once; each iteration a key-shaped aggregate vs the broadcast type-bounded authority vector",
@@ -206,11 +211,11 @@ object DumpPlans {
     "q459_trending_topk" -> "trending: per-snapshot token counts, TakeOrdered top-20s, <=40-row diff join",
     "q460_fairness_audit" -> "fairness: one pass to the (lang, n_chars) grid; median walk + audit fold the language-bounded frame",
     "q461_reliability_diagram" -> "reliability: one corpus pass (codegen marker filters), bucket-bounded aggregate",
-    "q462_covariate_matching" -> "matching: one pass to user grain; two IGNORE-NULLS walks under total (cov, side, id) orders",
+    "q462_covariate_matching" -> "matching: one pass to user grain; two IGNORE-NULLS walks over the cov-SUPPORT grid (value-bounded, both direction representatives pre-aggregated), treated users join back by cov",
     "q463_bootstrap_ci" -> "bootstrap: one pass to day grain; 32 x n_days hash-seeded draws against the materialized day frame",
     "q464_leadlag_ccf" -> "CCF: one pass to the two-series day grain; 15-row broadcast lag spine against the centered frame",
     "q465_zipf_audit" -> "Zipf: one token-count aggregate, TakeOrdered top-100, 1-row max broadcast",
-    "q466_heaps_curve" -> "Heaps: one pass to (doc,token) grain; first-decile argmin vocab-bounded; 10-row cumulative walk",
+    "q466_heaps_curve" -> "Heaps: one pass to (doc,token) grain; doc rank via GroupedRank's range exchange; first-decile argmin vocab-bounded; 10-row cumulative walk",
     "q467_dispersion_index" -> "dispersion: one pass to (type,day) grain, type-bounded moment fold",
     "q468_mix_decomposition" -> "mix-shift: one pass to (segment,period) sums; effects fold the segment-bounded frame",
     "q469_srm_check" -> "SRM: user-grain distinct + 1-row chi-square fold",

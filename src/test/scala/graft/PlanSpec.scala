@@ -536,16 +536,57 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
-  test("q449: the history fold is an equi-join on the day-grain frame, events read once") {
+  test("q449: history is a (user,type)-keyed cumulative window — no self-join of the count grid") {
     val p = plan("q449_policy_replay")
-    assert(!p.contains("CartesianProduct"),
-      s"triangular join must stay user-keyed:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), p.take(800))
     // cnt is checkpointed: the only parquet read left is the final
     // event-grain match join — one scan, everything else day-grain
     val evScans = p.linesIterator.count(l =>
       l.contains("Location") && l.contains("events"))
     assert(evScans <= 1,
       s"expected <=1 events scan (history folds the materialized counts), got $evScans")
+    // the r11 rewrite: history folds through a (user, type)-keyed
+    // running sum; the old triangular shape's signature — a join
+    // re-pairing the grid with itself under a day inequality — must
+    // never come back (O(days²·types) per user, skew-concentrated)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Join condition") && l.contains("day")),
+      s"a day-inequality join condition means the triangular self-join returned:\n${p.take(900)}")
+    // formatted mode puts the partition spec in the detail section:
+    // windowspecdefinition(user_id, event_type, day ASC, ...)
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"expected the (user_id, event_type)-partitioned cumulative window:\n${p.take(900)}")
+  }
+
+  test("q462: the matching walk runs on the cov-support grid — no unpartitioned window over the user grain") {
+    val p = plan("q462_covariate_matching")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // every Window in the plan must sit ABOVE an aggregate of the
+    // user frame (the cov grid / mp grid): a window whose direct
+    // input is the user-grain checkpoint scan is the r11 bug. The
+    // support grid is distinct-cov-bounded, so the only acceptable
+    // unpartitioned windows fold frames that went through a groupBy
+    // or distinct first — verified structurally: in this plan every
+    // window input is a HashAggregate output, so the WindowExec
+    // lines must not outnumber the aggregates feeding them.
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty, "expected the two grid walks")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("treated")
+        && l.contains("user_id")),
+      s"a window ordered on (cov, treated, user_id) is the user-grain walk regressing:\n${p.take(900)}")
+  }
+
+  test("q466: the doc rank rides GroupedRank's range exchange — never a one-task doc-grain window") {
+    val p = plan("q466_heaps_curve")
+    // the final plan folds checkpointed frames; the rank itself ran
+    // inside GroupedRank (range exchange + pid-partitioned window) at
+    // construction. Assert the regression signature is absent: an
+    // unpartitioned row_number ordered by doc_id anywhere in the plan.
+    assert(!p.linesIterator.exists(l => l.contains("Window")
+      && l.contains("row_number") && l.contains("doc_id")),
+      s"doc-grain row_number window regressed:\n${p.take(900)}")
+    assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
   test("q457: conformal picks fold the one materialized (type, cents, split) grid") {
