@@ -172,13 +172,37 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val chunks = maxHamming + 1
-    val bitsPer = 64 / chunks
     val fp = parallelized(docs)
       .select(col(idCol).as("id"), simHash(col(textCol)).as("fp"))
-    val chunked = fp.select(col("id"), col("fp"),
+    hammingPairs64(fp, maxHamming)
+  }
+
+  /** Near-dup pairs among 64-bit fingerprints `(id: long, fp: long)`
+    * by Hamming distance ≤ `maxHamming` — the blocking core shared
+    * by text SimHash (q37) and perceptual media dHash (q471). Split
+    * the fingerprint into `maxHamming + 1` DISJOINT bit chunks: any
+    * pair within distance d ≤ maxHamming has ≥1 chunk with zero
+    * differing bits (pigeonhole), so candidates form in chunk-
+    * equality equi-joins — never a cross join — and the exact
+    * `bit_count` verify keeps the output EQUAL to the brute-force
+    * Hamming join. The pigeonhole argument requires the chunks to
+    * COVER all 64 bits, i.e. `maxHamming + 1` divides 64 (use
+    * maxHamming in 0/1/3/7/15/31/63) — enforced loudly: a partial
+    * cover would silently miss pairs whose differing bits fall in
+    * the uncovered remainder.
+    */
+  def hammingPairs64(fps: DataFrame, maxHamming: Int): DataFrame = {
+    val chunks = maxHamming + 1
+    require(chunks >= 1 && 64 % chunks == 0,
+      s"hammingPairs64: maxHamming + 1 = $chunks must divide 64 " +
+        "(maxHamming in 0/1/3/7/15/31/63) — a partial chunk cover " +
+        "silently misses pairs whose differing bits fall outside " +
+        "the chunks")
+    val bitsPer = 64 / chunks
+    val baseMask = if (bitsPer == 64) -1L else (1L << bitsPer) - 1
+    val chunked = fps.select(col("id"), col("fp"),
       posexplode(array((0 until chunks).map { c =>
-        col("fp").bitwiseAND(lit(((1L << bitsPer) - 1) << (c * bitsPer)))
+        col("fp").bitwiseAND(lit(baseMask << (c * bitsPer)))
       }: _*)).as(Seq("chunk", "ckey")))
     val a = chunked.select(col("chunk"), col("ckey"), col("id").as("a_id"), col("fp").as("fpa"))
     val b = chunked.select(col("chunk"), col("ckey"), col("id").as("b_id"), col("fp").as("fpb"))

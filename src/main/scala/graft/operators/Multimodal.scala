@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: media payloads ride through the
@@ -113,6 +113,37 @@ object Multimodal {
           width = w, height = h, n_frames = f)
       }
     }
+  }
+
+  /** 64-bit perceptual difference-hash of a `binary` payload column
+    * (see [[graft.functions.expressions.DHash64]] — stubbed stripe
+    * "decode", real gradient hash). One codegen pass per payload.
+    */
+  def dHash(payloadCol: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.expressions.DHash64(
+      GraftColumnBridge.expression(payloadCol)))
+  }
+
+  /** Perceptual near-dup pairs over a media frame: dHash gradient
+    * fingerprints, then the SHARED Hamming-banded candidate join +
+    * exact bit_count verify ([[Dedup.hammingPairs64]] — the q37
+    * blocking core; pigeonhole chunks, never a cross join, output
+    * EQUAL to the brute-force Hamming join over the fingerprints).
+    * This is how image-heavy corpora dedup: byte digests (q32) break
+    * on any re-encode and token shingles don't exist for pixels —
+    * perceptual hashes survive small edits, so near-dups land within
+    * a small Hamming radius. Only (id, fp) rows ever shuffle; the
+    * payloads stay in their input partitions.
+    */
+  def perceptualNearDupPairs(
+      media: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fps = media.select(col(idCol).as("id"),
+      dHash(col(payloadCol)).as("fp"))
+    Dedup.hammingPairs64(fps, maxHamming)
   }
 
   /** One embedding-feature row per (item, dim). */

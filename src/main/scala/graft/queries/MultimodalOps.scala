@@ -44,6 +44,35 @@ object MultimodalOps {
         batchSize = 32, dims = 4).toDF()
     }),
 
+    // Perceptual media NEAR-DUP (r11 verdict item 5) — the dedup leg
+    // byte digests and token shingles cannot give an image corpus
+    // (a re-encode changes every byte; pixels have no tokens):
+    // dHash gradient fingerprints over the stub-decoded payload
+    // stripes, Hamming-banded candidate join (pigeonhole chunks —
+    // the q37 blocking core, shared via Dedup.hammingPairs64), exact
+    // bit_count verify. The raw corpus has no near-dup payloads, so
+    // the query plants one single-byte-edited twin per doc_id < 100
+    // (first byte replaced, id offset 10M): the edit perturbs one
+    // stripe sum, flipping at most 2 gradient bits, so plants land
+    // at Hamming <= 2 while unrelated pairs sit near the random-
+    // fingerprint mean (~32 bits). The fingerprint summarizes the
+    // payload (approximate by construction) → rows-only;
+    // PerceptualDedupSpec pins planted recall, brute-force equality
+    // (blocking losslessness) and layout determinism.
+    "q471_perceptual_neardup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables(s, d).documents
+      val base = docs
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val twins = docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(lit("~"), expr("substring(text, 2)"))
+            .cast("binary").as("payload"))
+      Multimodal.perceptualNearDupPairs(
+        TextOps.parallelized(base.unionByName(twins)),
+        "doc_id", "payload", maxHamming = 3)
+    }),
+
     // Modality-balanced batch packing — multimodal training wants
     // every batch at a FIXED modality ratio (3 text : 1 image here;
     // modality tag derived deterministically, doc_id % 4 = 0 →

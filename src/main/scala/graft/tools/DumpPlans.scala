@@ -219,7 +219,8 @@ object DumpPlans {
     "q467_dispersion_index" -> "dispersion: one pass to (type,day) grain, type-bounded moment fold",
     "q468_mix_decomposition" -> "mix-shift: one pass to (segment,period) sums; effects fold the segment-bounded frame",
     "q469_srm_check" -> "SRM: user-grain distinct + 1-row chi-square fold",
-    "q470_simpson_detector" -> "Simpson: one pass to (segment,arm) sums; signs via cross-multiplication, never division")
+    "q470_simpson_detector" -> "Simpson: one pass to (segment,arm) sums; signs via cross-multiplication, never division",
+    "q471_perceptual_neardup" -> "perceptual near-dup: one codegen dHash pass, pigeonhole chunk equi-join over (id, fp) longs only, exact bit_count verify — payloads never shuffle")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

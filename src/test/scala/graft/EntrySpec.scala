@@ -32,14 +32,14 @@ class EntrySpec extends AnyFunSuite {
     // so a silently DROPPED oracled query would not have failed the
     // suite. Keep in sync with CLAUDE.md's inventory note — a new
     // query bumps this in the SAME commit.
-    assert(SparkEntry.queries.size == 470,
-      s"query inventory drifted: ${SparkEntry.queries.size} (expected 470)")
+    assert(SparkEntry.queries.size == 471,
+      s"query inventory drifted: ${SparkEntry.queries.size} (expected 471)")
   }
 
   test("rows-only queries are exactly the approximate / non-SQL-expressible ops") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep this count in sync with CLAUDE.md's inventory note
-    assert(rowsOnly.size == 21, s"rows-only count drifted: ${rowsOnly.size}")
+    assert(rowsOnly.size == 22, s"rows-only count drifted: ${rowsOnly.size}")
     assert(rowsOnly == Set("q36_minhash_lsh", "q37_simhash",
       "q38_ngram_jaccard", "q42_ann_lsh", "q43_winnow_fp", "q44_ann_ivf",
       "q48_source_signatures", "q59_corpus_clean",
@@ -78,7 +78,11 @@ class EntrySpec extends AnyFunSuite {
       // graph ANN: the k-NN graph is IVF-candidate-restricted and
       // the beam walk greedy — GraphAnnSpec pins determinism, degree
       // bounds, and recall floors
-      "q437_knn_graph", "q438_graph_ann"))
+      "q437_knn_graph", "q438_graph_ann",
+      // perceptual dHash summarizes payloads (approximate by
+      // construction); PerceptualDedupSpec pins planted recall,
+      // brute-force equality and layout determinism
+      "q471_perceptual_neardup"))
   }
 
   /** ONE shared pass over the full inventory at sf0.001: per-query

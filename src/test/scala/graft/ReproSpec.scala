@@ -225,7 +225,8 @@ class ReproSpec extends AnyFunSuite {
     "q467_dispersion_index", // integral Fano factor per event type
     "q468_mix_decomposition", // per-segment mix/rate/interaction split
     "q469_srm_check",       // integral chi-square on the md5 arms
-    "q470_simpson_detector" // segment-vs-pooled sign reversals
+    "q470_simpson_detector", // segment-vs-pooled sign reversals
+    "q471_perceptual_neardup" // dHash Hamming pairs incl. planted twins
   )
 
   representatives.foreach { name =>
