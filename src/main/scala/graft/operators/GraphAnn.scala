@@ -49,6 +49,20 @@ object GraphAnn {
       nprobe: Int = 4): DataFrame = {
     val cents = Similarity.kmeansCentroids(emb, idCol, vecCol, nlist)
     require(cents.nonEmpty, "knnGraph: no centroids (empty corpus?)")
+    knnGraphWithCentroids(emb, idCol, vecCol, k, cents, nprobe)
+  }
+
+  /** [[knnGraph]] under a CALLER-SUPPLIED coarse quantizer — the
+    * build core, split out so incremental maintenance (and its spec)
+    * can rebuild under the BASE corpus's frozen centroids.
+    */
+  def knnGraphWithCentroids(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      cents: Array[Array[Float]],
+      nprobe: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= cents.length,
       s"knnGraph: nprobe=$nprobe out of range [1, ${cents.length}]")
     val indexed = Similarity.ivfIndex(emb, vecCol, cents)
@@ -57,11 +71,7 @@ object GraphAnn {
     // EVERY vector is a source: no broadcast anywhere — the probe
     // fan-out and the candidate join are plain shuffled equi-joins
     // (the offline-build shape, unlike ivfPqTopK's few-query serving)
-    val probes = Similarity.ivfIndex(emb, vecCol, cents)
-      .select(col(idCol).as("src"), col(vecCol).as("sv"))
-      .withColumn("__probe", explode(slice(reverse(array_sort(
-        Similarity.centroidScores(col("sv"), cents))), 1, nprobe)))
-      .select(col("src"), col("sv"), (-col("__probe.ni")).as("ivf_list"))
+    val probes = ivfProbes(emb, idCol, vecCol, cents, nprobe)
     val w = Window.partitionBy(col("src"))
       .orderBy(col("sim").desc, col("dst"))
     probes.join(indexed, Seq("ivf_list"))
@@ -70,6 +80,124 @@ object GraphAnn {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("src"), col("dst"), col("rank"))
+  }
+
+  /** (src, sv, ivf_list) — each vector fanned to its `nprobe` best
+    * coarse lists (one narrow codegen projection + bounded explode,
+    * the q44 assignment shape).
+    */
+  private[operators] def ivfProbes(
+      emb: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Float]], nprobe: Int): DataFrame =
+    emb.select(col(idCol).as("src"), col(vecCol).as("sv"))
+      .withColumn("__probe", explode(slice(reverse(array_sort(
+        Similarity.centroidScores(col("sv"), cents))), 1, nprobe)))
+      .select(col("src"), col("sv"), (-col("__probe.ni")).as("ivf_list"))
+
+  /** Incremental k-NN-graph MAINTENANCE — corpora grow daily, and a
+    * from-scratch rebuild re-pairs base×base every day (`q437`'s
+    * build is O(n²/nlist·nprobe)). `knnGraphDelta` folds a delta
+    * batch in with delta-shaped work only (the q406/q415
+    * delta-vs-base discipline applied to the ANN graph):
+    *
+    *   - the coarse quantizer is the BASE build's (retrained
+    *     deterministically from `baseEmb` — identical inputs give
+    *     identical centroids, so this IS the base graph's quantizer);
+    *   - DELTA sources draw candidates from base+delta members of
+    *     their probed lists — the from-scratch rule, delta-sized;
+    *   - affected BASE sources merge their STORED top-k edges with
+    *     ONLY the delta vectors that landed in their probed lists
+    *     and re-take top-k. base×base pairs NEVER re-form: merging a
+    *     stored top-k with the delta candidates is EXACT, because
+    *     any true top-k element over (base ∪ delta) candidates is
+    *     either a delta candidate or already inside the stored top-k
+    *     (stored edges are the top-k of the base candidates).
+    *   - untouched base sources (no delta vector in any probed list)
+    *     keep their rows VERBATIM — an anti-join, no re-rank.
+    *
+    * Hence the fold equals a frozen-centroid rebuild over
+    * base ∪ delta bit for bit (GraphAnnSpec pins the equality), at
+    * O(|delta| · list-size) pair work instead of O(|base|²/nlist).
+    * Requires base and delta id sets disjoint (delta ids are new
+    * arrivals). Stored-edge similarities are recomputed from the
+    * vectors (edge-bounded joins — O(n·k) rows, never pairs);
+    * [[Vec.cosine]] is deterministic, so recomputed sims equal the
+    * build-time sims exactly and the (sim desc, dst) tie order is
+    * preserved.
+    */
+  def knnGraphDelta(
+      baseGraph: DataFrame, // (src, dst, rank) from the base build
+      baseEmb: DataFrame,
+      deltaEmb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val cents = Similarity.kmeansCentroids(baseEmb, idCol, vecCol, nlist)
+    require(cents.nonEmpty, "knnGraphDelta: empty base corpus")
+    require(nprobe >= 1 && nprobe <= cents.length,
+      s"knnGraphDelta: nprobe=$nprobe out of range [1, ${cents.length}]")
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst"))
+    // delta sources: the full from-scratch rule against base+delta
+    // members of the probed lists (delta-sized pair work)
+    val allIndexed = Similarity.ivfIndex(
+        baseEmb.unionByName(deltaEmb), vecCol, cents)
+      .select(col(idCol).as("dst"), col("ivf_list"), col(vecCol).as("dv"))
+    val deltaEdges = ivfProbes(deltaEmb, idCol, vecCol, cents, nprobe)
+      .join(allIndexed, Seq("ivf_list"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("sim", Vec.cosine(col("sv"), col("dv")))
+      .select(col("src"), col("dst"), col("sim"))
+    // base sources: NEW candidates are base-probe × delta-member
+    // pairs only (the structural base×base guarantee — the join's
+    // dst side derives from deltaEmb alone)
+    val newCands = knnGraphDeltaCandidates(baseEmb, deltaEmb, idCol,
+      vecCol, cents, nprobe)
+    // stored edges, sims recomputed from the vectors (edge-bounded)
+    val bv = baseEmb.select(col(idCol), col(vecCol))
+    val stored = baseGraph
+      .join(bv.select(col(idCol).as("src"), col(vecCol).as("sv")), Seq("src"))
+      .join(bv.select(col(idCol).as("dst"), col(vecCol).as("dv")), Seq("dst"))
+      .withColumn("sim", Vec.cosine(col("sv"), col("dv")))
+      .select(col("src"), col("dst"), col("sim"))
+    val affectedSrcs = newCands.select(col("src")).distinct()
+    val affected = stored.join(affectedSrcs, Seq("src"), "left_semi")
+      .unionByName(newCands.select(col("src"), col("dst"), col("sim")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("dst"), col("rank"))
+    val untouched = baseGraph
+      .join(affectedSrcs, Seq("src"), "left_anti")
+      .select(col("src"), col("dst"), col("rank"))
+    val deltaRanked = deltaEdges
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("dst"), col("rank"))
+    untouched.unionByName(affected).unionByName(deltaRanked)
+  }
+
+  /** The base-side NEW candidate frame of [[knnGraphDelta]]:
+    * (src, dst, sim) where src is a base vector, dst a DELTA vector
+    * sharing a probed list. Exposed (the ivfPqCandidates pattern) so
+    * GraphAnnSpec can pin "base×base never re-forms" structurally —
+    * every dst here is a delta id, and the count equals the
+    * base-probe ⋈ delta-list join size.
+    */
+  def knnGraphDeltaCandidates(
+      baseEmb: DataFrame,
+      deltaEmb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[Array[Float]],
+      nprobe: Int): DataFrame = {
+    val deltaIndexed = Similarity.ivfIndex(deltaEmb, vecCol, cents)
+      .select(col(idCol).as("dst"), col("ivf_list"), col(vecCol).as("dv"))
+    ivfProbes(baseEmb, idCol, vecCol, cents, nprobe)
+      .join(deltaIndexed, Seq("ivf_list"))
+      .withColumn("sim", Vec.cosine(col("sv"), col("dv")))
+      .select(col("src"), col("dst"), col("sim"))
   }
 
   /** Greedy beam search over a [[knnGraph]]: start every query at

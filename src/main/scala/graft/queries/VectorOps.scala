@@ -158,6 +158,29 @@ object VectorOps {
         queryIds, beam = 24, hops = 4, kOut = 5)
     }),
 
+    // Incremental k-NN-graph MAINTENANCE (r11 verdict item 6) —
+    // corpora grow daily and q437's from-scratch build re-pairs
+    // base x base every day. The delta fold reuses the base coarse
+    // quantizer: delta vectors probe the existing lists for their
+    // own edges; affected base sources re-rank their STORED top-k
+    // against only the delta arrivals sharing a probed list (base x
+    // base never re-forms — GraphAnnSpec pins the candidate count to
+    // the probe x delta-list join exactly); untouched sources keep
+    // their rows by anti-join. The fold EQUALS a frozen-centroid
+    // rebuild bit for bit (merging a stored top-k with delta-only
+    // candidates is lossless). Approximate via the IVF candidate
+    // restriction → rows-only; GraphAnnSpec pins determinism, the
+    // rebuild equality, and the recall floor vs a fresh rebuild.
+    "q472_knn_graph_delta" -> ((s, d) => {
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      val baseEmb = emb.filter(col("vec_id") % 10 =!= 0)
+      val deltaEmb = emb.filter(col("vec_id") % 10 === 0)
+      val base = graft.operators.GraphAnn.knnGraph(
+        baseEmb, "vec_id", "embedding", k = 8).localCheckpoint()
+      graft.operators.GraphAnn.knnGraphDelta(base, baseEmb, deltaEmb,
+        "vec_id", "embedding", k = 8)
+    }),
+
     // Multi-table sign-LSH near-dup join at a REAL near-dup
     // threshold (τ=0.8) — the regime cosineNearDupLsh is designed
     // for. The raw corpus has no pairs above ~0.51, so the query

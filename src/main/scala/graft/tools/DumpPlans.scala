@@ -220,7 +220,8 @@ object DumpPlans {
     "q468_mix_decomposition" -> "mix-shift: one pass to (segment,period) sums; effects fold the segment-bounded frame",
     "q469_srm_check" -> "SRM: user-grain distinct + 1-row chi-square fold",
     "q470_simpson_detector" -> "Simpson: one pass to (segment,arm) sums; signs via cross-multiplication, never division",
-    "q471_perceptual_neardup" -> "perceptual near-dup: one codegen dHash pass, pigeonhole chunk equi-join over (id, fp) longs only, exact bit_count verify — payloads never shuffle")
+    "q471_perceptual_neardup" -> "perceptual near-dup: one codegen dHash pass, pigeonhole chunk equi-join over (id, fp) longs only, exact bit_count verify — payloads never shuffle",
+    "q472_knn_graph_delta" -> "knn-graph delta fold: delta probes join the indexed union; base sources merge STORED edges (post-checkpoint scan) with probe x delta candidates only; untouched rows pass through an anti-join")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

@@ -226,7 +226,8 @@ class ReproSpec extends AnyFunSuite {
     "q468_mix_decomposition", // per-segment mix/rate/interaction split
     "q469_srm_check",       // integral chi-square on the md5 arms
     "q470_simpson_detector", // segment-vs-pooled sign reversals
-    "q471_perceptual_neardup" // dHash Hamming pairs incl. planted twins
+    "q471_perceptual_neardup", // dHash Hamming pairs incl. planted twins
+    "q472_knn_graph_delta"  // delta fold == frozen-centroid rebuild
   )
 
   representatives.foreach { name =>

@@ -81,4 +81,95 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(recallWide >= recall,
       "wider beam + more hops must not reduce recall")
   }
+
+  // ---- incremental maintenance (q472, r11 verdict item 6) ----
+
+  private def baseEmb = emb.filter(col("vec_id") % 10 =!= 0)
+  private def deltaEmb = emb.filter(col("vec_id") % 10 === 0)
+
+  test("delta fold: bitwise deterministic and EQUAL to the frozen-centroid rebuild") {
+    val base = GraphAnn.knnGraph(baseEmb, "vec_id", "embedding", k = 8)
+      .localCheckpoint()
+    def fold() = GraphAnn.knnGraphDelta(base, baseEmb, deltaEmb,
+        "vec_id", "embedding", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val got = fold()
+    assert(got == fold(), "delta fold must be bitwise reproducible")
+    // the exactness claim: folding stored top-k edges with delta-only
+    // candidates equals rebuilding base∪delta under the base's frozen
+    // quantizer — merging a stored top-k with the delta candidates
+    // loses nothing (any true top-k element is delta or stored)
+    val cents = Similarity.kmeansCentroids(baseEmb, "vec_id", "embedding", 16)
+    val rebuild = GraphAnn.knnGraphWithCentroids(
+        baseEmb.unionByName(deltaEmb), "vec_id", "embedding", 8, cents,
+        nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(got == rebuild,
+      "delta fold must equal the frozen-centroid rebuild bit for bit")
+  }
+
+  test("delta fold: base x base never re-forms; untouched rows survive verbatim") {
+    val base = GraphAnn.knnGraph(baseEmb, "vec_id", "embedding", k = 8)
+      .localCheckpoint()
+    val cents = Similarity.kmeansCentroids(baseEmb, "vec_id", "embedding", 16)
+    val cands = GraphAnn.knnGraphDeltaCandidates(baseEmb, deltaEmb,
+      "vec_id", "embedding", cents, nprobe = 4).localCheckpoint()
+    val deltaIds = deltaEmb.collect().map(_.getLong(0)).toSet
+    val candRows = cands.collect()
+    assert(candRows.nonEmpty)
+    assert(candRows.forall(r => deltaIds.contains(r.getLong(1))),
+      "a base-side candidate paired a non-delta dst — base x base re-formed")
+    // candidate IO == base probes x delta list members, exactly (the
+    // ivfPqCandidates discipline): the pair work is delta-shaped
+    val deltaSizes = Similarity.ivfIndex(deltaEmb, "embedding", cents)
+      .groupBy(col("ivf_list")).count()
+    val expected = GraphAnn.ivfProbes(baseEmb, "vec_id", "embedding",
+        cents, 4)
+      .join(deltaSizes, Seq("ivf_list"))
+      .agg(sum(col("count"))).collect()(0).getLong(0)
+    assert(candRows.length.toLong == expected,
+      s"base-side candidates ${candRows.length} != probe x delta-list size $expected")
+    // untouched base sources (no delta in any probed list) keep their
+    // stored rows verbatim
+    val folded = GraphAnn.knnGraphDelta(base, baseEmb, deltaEmb,
+        "vec_id", "embedding", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val affected = candRows.map(_.getLong(0)).toSet
+    val untouchedStored = base.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filterNot(t => affected.contains(t._1)).toSet
+    assert(untouchedStored.subsetOf(folded),
+      "untouched base rows must survive the fold verbatim")
+  }
+
+  test("delta fold: edge quality holds vs the TRUE from-scratch rebuild (fresh centroids)") {
+    val base = GraphAnn.knnGraph(baseEmb, "vec_id", "embedding", k = 8)
+      .localCheckpoint()
+    val folded = GraphAnn.knnGraphDelta(base, baseEmb, deltaEmb,
+        "vec_id", "embedding", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val fresh = GraphAnn.knnGraph(baseEmb.unionByName(deltaEmb),
+        "vec_id", "embedding", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // two IVF-restricted graphs under DIFFERENT quantizers (stale
+    // base centroids vs fresh base∪delta centroids) legitimately
+    // disagree on candidate sets — the meaningful recall statement
+    // is ABSOLUTE edge quality vs exact neighbors: the fold's rank-1
+    // edges must hit the true NN about as often as the rebuild's
+    // (sampled across base and delta sources alike)
+    def rank1Hits(g: Seq[(Long, Long, Long)], sample: Seq[Long]): Int = {
+      val bySrc = g.groupBy(_._1)
+      val exact = bruteTopK(1, sample)
+      sample.count(s => bySrc(s).minBy(_._3)._2 == exact(s).head)
+    }
+    val sample = folded.map(_._1).distinct.sorted.take(100)
+    val foldHits = rank1Hits(folded, sample)
+    val freshHits = rank1Hits(fresh, sample)
+    info(s"true-NN rank-1 edges: fold $foldHits/100 vs fresh rebuild $freshHits/100")
+    assert(foldHits >= 65, s"fold edge quality collapsed: $foldHits/100")
+    assert(foldHits >= freshHits - 10,
+      s"fold quality ($foldHits) fell >10 below the rebuild's ($freshHits)")
+  }
 }
