@@ -14,6 +14,24 @@ import org.apache.spark.sql.functions._
   */
 object EtlOps {
 
+  /** Loud DECIMAL(38,0) overflow envelope (r11 verdict item 8). The
+    * wide-decimal cross products in q454/q468 are safe at any gate
+    * scale but exceed DECIMAL(38,0) around 10⁹-row segments; rather
+    * than letting ANSI mode throw a generic ArithmeticException deep
+    * inside codegen, every factor that participates in a product
+    * passes this envelope first: |factor| > 10¹⁷ raises a NAMED
+    * error saying which operator hit the ceiling and what to do
+    * (10¹⁷ on every factor keeps 1000·a·b under 10³⁸ with margin).
+    * `assert_true` rides the value expression itself, so column
+    * pruning can never drop the check.
+    */
+  private[graft] def decimalEnvelope(value: Column, op: String): Column =
+    when(assert_true(abs(value) <= expr("CAST(100000000000000000 AS DECIMAL(38,0))"),
+      lit(s"$op: cross-product factor exceeds the DECIMAL(38,0) envelope " +
+        "(|factor| > 1e17) — gcd-reduce the rational or split the product " +
+        "into two 64-bit limbs before multiplying")).isNull,
+      value)
+
   /** Session ids per event at a 30-minute gap — ONE source of truth:
     * Sessionize.withSessionIds (the q51/q81/q104 contract), renamed
     * to the local `sid` column. Shared by q133.
@@ -5652,24 +5670,29 @@ object EtlOps {
         sum(when(col("arm") === "B", col("x")).otherwise(0L)).as("sxb"),
         sum(when(col("arm") === "A", col("y")).otherwise(0L)).as("sya"),
         sum(when(col("arm") === "B", col("y")).otherwise(0L)).as("syb"))
-      m.select(col("na").cast("long").as("n_a"),
-        col("nb").cast("long").as("n_b"),
-        expr("(1000 * (n * sxy - CAST(sx AS DECIMAL(38,0)) * sy))" +
-          " div (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)")
-          .cast("long").as("theta_permille"),
-        expr("(1000 * (CAST(sya AS DECIMAL(38,0)) * nb" +
-          " - CAST(syb AS DECIMAL(38,0)) * na))" +
-          " div (CAST(na AS DECIMAL(38,0)) * nb)")
-          .cast("long").as("raw_diff_milli"),
-        expr("(1000 * ((CAST(sya AS DECIMAL(38,0)) * nb" +
-          " - CAST(syb AS DECIMAL(38,0)) * na)" +
-          " * (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)" +
-          " - (n * sxy - CAST(sx AS DECIMAL(38,0)) * sy)" +
-          " * (CAST(sxa AS DECIMAL(38,0)) * nb" +
-          " - CAST(sxb AS DECIMAL(38,0)) * na)))" +
-          " div ((CAST(na AS DECIMAL(38,0)) * nb)" +
-          " * (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx))")
-          .cast("long").as("cuped_diff_milli"))
+      // the adjusted-diff CROSS PRODUCT (ydiff·varx − covxy·xdiff) is
+      // the expression that outgrows DECIMAL(38,0) at 10⁹-user scale
+      // — every factor passes the named 1e17 envelope first (r11
+      // item 8: loud failure with a remedy, not an ANSI surprise)
+      m.withColumn("ydiff", expr("CAST(sya AS DECIMAL(38,0)) * nb" +
+          " - CAST(syb AS DECIMAL(38,0)) * na"))
+        .withColumn("xdiff", expr("CAST(sxa AS DECIMAL(38,0)) * nb" +
+          " - CAST(sxb AS DECIMAL(38,0)) * na"))
+        .withColumn("varx", expr("n * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+        .withColumn("covxy", expr("n * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+        .withColumn("gy", decimalEnvelope(col("ydiff"), "q454_cuped_lift"))
+        .withColumn("gx", decimalEnvelope(col("xdiff"), "q454_cuped_lift"))
+        .withColumn("gv", decimalEnvelope(col("varx"), "q454_cuped_lift"))
+        .withColumn("gc", decimalEnvelope(col("covxy"), "q454_cuped_lift"))
+        .select(col("na").cast("long").as("n_a"),
+          col("nb").cast("long").as("n_b"),
+          expr("(1000 * covxy) div varx")
+            .cast("long").as("theta_permille"),
+          expr("(1000 * ydiff) div (CAST(na AS DECIMAL(38,0)) * nb)")
+            .cast("long").as("raw_diff_milli"),
+          expr("(1000 * (gy * gv - gc * gx))" +
+            " div ((CAST(na AS DECIMAL(38,0)) * nb) * varx)")
+            .cast("long").as("cuped_diff_milli"))
     }),
 
     // Group-aware STRATIFIED K-fold audit — the leakage-safe CV
@@ -6122,23 +6145,35 @@ object EtlOps {
             .otherwise(0L)).as("ss2"))
         .localCheckpoint() // segment-bounded, read by totals + fold
       val tot = seg.agg(sum(col("ns1")).as("n1"), sum(col("ns2")).as("n2"))
+      // the share-diff × value-sum and share-diff × rate-diff
+      // four-way products outgrow DECIMAL(38,0) at 10⁹-row segments
+      // — every product factor (numerator AND denominator) passes
+      // the named 1e17 envelope first (r11 item 8)
       seg.crossJoin(broadcast(tot)) // 1 row
+        .withColumn("sharediff", expr("CAST(ns2 AS DECIMAL(38,0)) * n1" +
+          " - CAST(ns1 AS DECIMAL(38,0)) * n2"))
+        .withColumn("ratediff", expr("CAST(ss2 AS DECIMAL(38,0)) * ns1" +
+          " - CAST(ss1 AS DECIMAL(38,0)) * ns2"))
+        .withColumn("gsh", decimalEnvelope(col("sharediff"),
+          "q468_mix_decomposition"))
+        .withColumn("grt", decimalEnvelope(col("ratediff"),
+          "q468_mix_decomposition"))
+        .withColumn("gs1", decimalEnvelope(
+          expr("CAST(ss1 AS DECIMAL(38,0))"), "q468_mix_decomposition"))
+        .withColumn("gnp", decimalEnvelope(
+          expr("CAST(n1 AS DECIMAL(38,0)) * n2"), "q468_mix_decomposition"))
+        .withColumn("gnsp", decimalEnvelope(
+          expr("CAST(ns1 AS DECIMAL(38,0)) * ns2"), "q468_mix_decomposition"))
         .select(col("event_type"),
           col("ns1").cast("long").as("n_events_p1"),
           col("ns2").cast("long").as("n_events_p2"),
-          expr("(1000 * (CAST(ns2 AS DECIMAL(38,0)) * n1" +
-            " - CAST(ns1 AS DECIMAL(38,0)) * n2) * ss1)" +
-            " div (CAST(n1 AS DECIMAL(38,0)) * n2 * ns1)")
+          expr("(1000 * gsh * gs1) div (gnp * ns1)")
             .cast("long").as("mix_milli"),
           expr("(1000 * (CAST(ns1 AS DECIMAL(38,0)) * ss2" +
             " - CAST(ss1 AS DECIMAL(38,0)) * ns2))" +
             " div (CAST(n1 AS DECIMAL(38,0)) * ns2)")
             .cast("long").as("rate_milli"),
-          expr("(1000 * (CAST(ns2 AS DECIMAL(38,0)) * n1" +
-            " - CAST(ns1 AS DECIMAL(38,0)) * n2)" +
-            " * (CAST(ss2 AS DECIMAL(38,0)) * ns1" +
-            " - CAST(ss1 AS DECIMAL(38,0)) * ns2))" +
-            " div (CAST(n1 AS DECIMAL(38,0)) * n2 * ns1 * ns2)")
+          expr("(1000 * gsh * grt) div (gnp * gnsp)")
             .cast("long").as("interaction_milli"))
     }),
 

@@ -69,6 +69,40 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     }(emb)
   }
 
+  /** Layout invariance for full SparkEntry queries: rerun the REAL
+    * query path under a deliberately hostile layout — tiny input
+    * splits (many scan partitions) and a different shuffle width —
+    * and demand the identical fingerprint. Exercises the operators
+    * whose correctness rests on deterministic walks and hash-seeded
+    * draws without duplicating their logic here.
+    */
+  private def confInvariant(name: String): Unit = {
+    def run() = fingerprint(graft.SparkEntry.queries(name)(spark, sf))
+    val shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val a = run()
+    assert(a.nonEmpty, s"$name: empty result makes the check vacuous")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      val b = run()
+      assert(a == b, s"$name: result depends on the physical layout")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", shuffle)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+    }
+  }
+
+  test("experiment-analytics operators are layout-invariant") {
+    // r11 verdict item 7: the operators whose correctness rests on
+    // deterministic walks (q462's support-grid matching after the
+    // r11 rewrite), hash-seeded draws (q463's bootstrap), and exact
+    // integer folds (q468-q470)
+    Seq("q462_covariate_matching", "q463_bootstrap_ci",
+      "q468_mix_decomposition", "q469_srm_check",
+      "q470_simpson_detector").foreach(confInvariant)
+  }
+
   test("Misra-Gries heavy hitters stay EXACT across layouts") {
     // the per-partition summary differs by layout; the exact
     // recount pass must erase that difference
