@@ -1614,6 +1614,106 @@ object TextOps {
           col("new_types").cast("long").as("new_types"),
           col("vocab_cum").cast("long").as("vocab_cum"),
           col("tokens_cum").cast("long").as("tokens_cum"))
+    }),
+
+    // GOPHER-style quality RULE PACK (Rae et al. 2021, Table A1 —
+    // the MassiveText filter battery, adapted to this single-space
+    // ASCII corpus: the line/bullet rules are vacuous here, the
+    // word-shape rules are not): per document, word count, mean and
+    // max word length (mean via Σlen = n_chars − n_tokens + 1, the
+    // single-space identity — no per-token fold), numeric-token and
+    // non-alphabetic-token shares, duplicate-token share, stopword
+    // count, and the composite pass flag a curation pipeline keys
+    // on. All shares exact integral permille; ONE narrow corpus
+    // pass, no shuffle at all (the plan is scan → project).
+    "q473_gopher_quality" -> ((s, d) => {
+      val n = size(tokens).cast("long")
+      parallelized(Tables(s, d).documents).select(
+          col("doc_id"),
+          n.as("n_tokens"),
+          (length(col("text")).cast("long") - n + 1).as("sum_len"),
+          array_max(transform(tokens, t => length(t))).cast("long")
+            .as("max_wordlen"),
+          size(filter(tokens, t => t.rlike("^[0-9]+$"))).cast("long")
+            .as("n_numeric"),
+          size(filter(tokens, t => !t.rlike("^[A-Za-z]+$"))).cast("long")
+            .as("n_nonalpha"),
+          size(array_distinct(tokens)).cast("long").as("n_distinct"),
+          markerCount(stopwords).as("n_stopwords"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("(1000 * sum_len) div n_tokens").as("mean_wordlen_milli"),
+          col("max_wordlen"),
+          expr("(1000 * n_numeric) div n_tokens").as("numeric_permille"),
+          expr("(1000 * n_nonalpha) div n_tokens").as("nonalpha_permille"),
+          expr("(1000 * (n_tokens - n_distinct)) div n_tokens")
+            .as("dup_token_permille"),
+          col("n_stopwords"))
+        .withColumn("gopher_pass",
+          col("n_tokens") >= 50 && col("n_tokens") <= 100000 &&
+            col("mean_wordlen_milli") >= 3000 &&
+            col("mean_wordlen_milli") <= 10000 &&
+            col("nonalpha_permille") <= 200 &&
+            col("dup_token_permille") <= 300 &&
+            col("n_stopwords") >= 2)
+    }),
+
+    // TOP-n-GRAM character concentration (the other Gopher
+    // repetition rule, beside q475's run detector): per document,
+    // the 3-gram covering the most characters (count × gram length,
+    // deterministic (count desc, gram) argmax) and its share of the
+    // document in exact permille — templated/boilerplate text
+    // concentrates its mass in one phrase. Guarded for <3-token
+    // docs (the q440 descending-sequence ANSI trap). One corpus
+    // pass; the count and argmax are doc-keyed.
+    "q474_top_ngram_chars" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val grams = parallelized(Tables(s, d).documents)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          tokens.as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), col("n_chars"),
+          explode(expr("transform(sequence(1, size(ws) - 2), i -> " +
+            "concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), " +
+            "element_at(ws, i + 2)))")).as("gram"))
+      val cnt = grams
+        .groupBy(col("doc_id"), col("n_chars"), col("gram"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("c").desc, col("gram"))
+      cnt.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("gram").as("top_gram"),
+          col("c").cast("long").as("n_occurrences"),
+          expr("(1000 * c * length(gram)) div n_chars")
+            .as("top_gram_chars_permille"))
+        .withColumn("repetitive", col("top_gram_chars_permille") >= 200)
+    }),
+
+    // LONGEST SAME-TOKEN RUN — the degenerate-generation detector
+    // ("the the the …" loops that survive every length filter):
+    // islands-and-gaps over each document's token sequence (pos −
+    // per-(doc, token) rank is constant exactly on a consecutive
+    // run), longest run per doc with a deterministic (run desc,
+    // token, start) argmax. One corpus pass; both windows are
+    // doc-keyed (never unpartitioned).
+    "q475_token_runs" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = parallelized(Tables(s, d).documents)
+        .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "tok")))
+      val wTok = Window.partitionBy(col("doc_id"), col("tok"))
+        .orderBy(col("pos"))
+      val runs = toks
+        .withColumn("grp", col("pos") - row_number().over(wTok))
+        .groupBy(col("doc_id"), col("tok"), col("grp"))
+        .agg(count(lit(1)).as("run"), min(col("pos")).as("start_pos"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("run").desc, col("tok"), col("start_pos"))
+      runs.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("tok").as("run_token"),
+          col("run").cast("long").as("max_run"),
+          col("start_pos").cast("long").as("start_pos"))
+        .withColumn("degenerate", col("max_run") >= 3)
     })
   )
 
@@ -2560,6 +2660,80 @@ object TextOps {
                   OVER (ORDER BY tk.decile)::BIGINT AS vocab_cum,
                 sum(tk.n_tokens)
                   OVER (ORDER BY tk.decile)::BIGINT AS tokens_cum
-         FROM tk LEFT JOIN nt USING (decile)"""
+         FROM tk LEFT JOIN nt USING (decile)""",
+    "q473_gopher_quality" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS ws,
+                  length(text)::BIGINT AS nc
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+                  len(ws)::BIGINT AS n_tokens,
+                  (nc - len(ws) + 1)::BIGINT AS sum_len,
+                  list_max(list_transform(ws, w -> length(w)))::BIGINT AS max_wordlen,
+                  len(list_filter(ws, w -> regexp_matches(w, '^[0-9]+$')))::BIGINT AS n_numeric,
+                  len(list_filter(ws, w -> NOT regexp_matches(w, '^[A-Za-z]+$')))::BIGINT AS n_nonalpha,
+                  len(list_distinct(ws))::BIGINT AS n_distinct,
+                  len(list_filter(ws, w -> w IN ('the', 'a', 'of', 'and', 'to')))::BIGINT AS n_stopwords
+           FROM t),
+         r AS (
+           SELECT doc_id, n_tokens,
+                  (1000 * sum_len) // n_tokens AS mean_wordlen_milli,
+                  max_wordlen,
+                  (1000 * n_numeric) // n_tokens AS numeric_permille,
+                  (1000 * n_nonalpha) // n_tokens AS nonalpha_permille,
+                  (1000 * (n_tokens - n_distinct)) // n_tokens AS dup_token_permille,
+                  n_stopwords
+           FROM m)
+         SELECT *,
+                (n_tokens BETWEEN 50 AND 100000
+                 AND mean_wordlen_milli BETWEEN 3000 AND 10000
+                 AND nonalpha_permille <= 200
+                 AND dup_token_permille <= 300
+                 AND n_stopwords >= 2) AS gopher_pass
+         FROM r""",
+    "q474_top_ngram_chars" ->
+      """WITH t AS (
+           SELECT doc_id, n_chars::BIGINT AS n_chars,
+                  string_split(text, ' ') AS ws
+           FROM documents
+           WHERE len(string_split(text, ' ')) >= 3),
+         g AS (
+           SELECT doc_id, n_chars,
+                  unnest(list_transform(range(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS gram
+           FROM t),
+         c AS (SELECT doc_id, n_chars, gram, count(*)::BIGINT AS c
+               FROM g GROUP BY 1, 2, 3),
+         r AS (SELECT *, row_number() OVER (
+                 PARTITION BY doc_id ORDER BY c DESC, gram) AS rk
+               FROM c)
+         SELECT doc_id, gram AS top_gram, c AS n_occurrences,
+                (1000 * c * length(gram)) // n_chars AS top_gram_chars_permille,
+                ((1000 * c * length(gram)) // n_chars >= 200) AS repetitive
+         FROM r WHERE rk = 1""",
+    "q475_token_runs" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         p AS (
+           SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos,
+                  unnest(ws) AS tok
+           FROM t),
+         r AS (
+           SELECT doc_id, tok, pos,
+                  pos - row_number() OVER (
+                    PARTITION BY doc_id, tok ORDER BY pos) AS grp
+           FROM p),
+         runs AS (
+           SELECT doc_id, tok, grp, count(*)::BIGINT AS run,
+                  min(pos)::BIGINT AS start_pos
+           FROM r GROUP BY 1, 2, 3),
+         top AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY doc_id ORDER BY run DESC, tok, start_pos) AS rk
+           FROM runs)
+         SELECT doc_id, tok AS run_token, run AS max_run, start_pos,
+                (run >= 3) AS degenerate
+         FROM top WHERE rk = 1"""
   )
 }

@@ -221,7 +221,10 @@ object DumpPlans {
     "q469_srm_check" -> "SRM: user-grain distinct + 1-row chi-square fold",
     "q470_simpson_detector" -> "Simpson: one pass to (segment,arm) sums; signs via cross-multiplication, never division",
     "q471_perceptual_neardup" -> "perceptual near-dup: one codegen dHash pass, pigeonhole chunk equi-join over (id, fp) longs only, exact bit_count verify — payloads never shuffle",
-    "q472_knn_graph_delta" -> "knn-graph delta fold: delta probes join the indexed union; base sources merge STORED edges (post-checkpoint scan) with probe x delta candidates only; untouched rows pass through an anti-join")
+    "q472_knn_graph_delta" -> "knn-graph delta fold: delta probes join the indexed union; base sources merge STORED edges (post-checkpoint scan) with probe x delta candidates only; untouched rows pass through an anti-join",
+    "q473_gopher_quality" -> "Gopher rule pack: ONE narrow scan -> project, zero shuffles — every rule a codegen/HOF column expression",
+    "q474_top_ngram_chars" -> "top-3-gram concentration: bounded gram explode, (doc, gram) count, doc-keyed argmax window",
+    "q475_token_runs" -> "token runs: posexplode + (doc, tok)-keyed islands window, run aggregate, doc-keyed argmax — never unpartitioned")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

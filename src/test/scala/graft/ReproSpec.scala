@@ -227,7 +227,10 @@ class ReproSpec extends AnyFunSuite {
     "q469_srm_check",       // integral chi-square on the md5 arms
     "q470_simpson_detector", // segment-vs-pooled sign reversals
     "q471_perceptual_neardup", // dHash Hamming pairs incl. planted twins
-    "q472_knn_graph_delta"  // delta fold == frozen-centroid rebuild
+    "q472_knn_graph_delta", // delta fold == frozen-centroid rebuild
+    "q473_gopher_quality",  // per-doc rule pack + composite pass flag
+    "q474_top_ngram_chars", // top-3-gram char concentration argmax
+    "q475_token_runs"       // longest same-token run (islands walk)
   )
 
   representatives.foreach { name =>
