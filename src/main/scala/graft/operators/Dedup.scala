@@ -515,6 +515,112 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
   }
 
+  /** Incremental connected-components MAINTENANCE — the delta
+    * discipline (q406 dedup probes, q430 ER, q472 k-NN graph)
+    * applied to the cluster assignment itself: a standing corpus's
+    * [[duplicateClusters]] labels are a persisted artifact, and a
+    * daily batch must never re-run CC over the full edge set.
+    *
+    * Contraction argument (the union-find view): base labels are
+    * EXACT components of the base edges, and new edges only add
+    * connectivity — so CC(base ∪ delta) equals CC over the
+    * CONTRACTED graph whose nodes are the base labels touched by
+    * delta edges plus the delta ids, expanded back through the
+    * old→new label mapping. Because labels are component-min ids,
+    * the contracted min-label IS the merged component's min id, so
+    * the output is bit-identical to a from-scratch run (the q67
+    * oracle applies unchanged — DedupSpec pins the equality, the
+    * driver hash-pins it against DuckDB's recursive CTE).
+    *
+    * Scale shape: every operation against the O(n) label table is a
+    * BROADCAST semi/anti join keyed by the delta-bounded touched
+    * set — the base table never shuffles; the CC loop runs on the
+    * contracted graph (≤ one node per touched component, regardless
+    * of component sizes); merged sizes fold the stored sizes instead
+    * of recounting members. Inputs: `baseLabels` (doc_id,
+    * cluster_id, cluster_size — a prior run's output), `deltaIds`
+    * (one id column, NEW nodes, disjoint from base), `deltaPairs`
+    * (two id columns; delta–delta, delta–base and base–base edges
+    * all legal). Unknown edge endpoints fail loudly.
+    */
+  def incrementalClusters(
+      baseLabels: DataFrame,
+      deltaIds: DataFrame,
+      deltaPairs: DataFrame,
+      maxIters: Int = 50): DataFrame = {
+    val p = deltaPairs.select(col(deltaPairs.columns.head).as("a"),
+      col(deltaPairs.columns(1)).as("b"))
+    val dIds = deltaIds.select(col(deltaIds.columns.head).as("id"))
+      .localCheckpoint() // delta-sized, read by lab + singles
+    val lab = baseLabels.select(col("doc_id").as("id"),
+        col("cluster_id").as("lab"))
+      .unionByName(dIds.select(col("id"), col("id").as("lab")))
+    // restrict the label lookup to edge endpoints FIRST — a
+    // broadcast semi keyed by the delta-bounded endpoint set, so the
+    // base label table streams map-side and never shuffles
+    val endpoints = p.select(col("a").as("id"))
+      .unionByName(p.select(col("b").as("id"))).distinct()
+      .localCheckpoint()
+    val labTouched = lab.join(broadcast(endpoints), Seq("id"), "left_semi")
+      .localCheckpoint() // delta-bounded
+    val missing = endpoints.join(labTouched, Seq("id"), "left_anti").count()
+    require(missing == 0,
+      s"incrementalClusters: $missing edge endpoint(s) are neither base " +
+        "docs nor delta ids — an inner contraction join would silently " +
+        "drop their edges")
+    // contract edges to label space; same-component edges vanish
+    val contracted = p
+      .join(labTouched.select(col("id").as("a"), col("lab").as("la")), "a")
+      .join(labTouched.select(col("id").as("b"), col("lab").as("lb")), "b")
+      .filter(col("la") =!= col("lb"))
+      .select(col("la"), col("lb")).distinct()
+      .localCheckpoint()
+    val touched = contracted.select(col("la").as("id"))
+      .unionByName(contracted.select(col("lb").as("id"))).distinct()
+      .localCheckpoint() // ≤ 2·|delta edges| labels
+    // CC on the contracted graph only — component count, not size,
+    // bounds the work
+    val mapping = duplicateClusters(contracted, touched, maxIters)
+      .select(col("doc_id").as("old_lab"), col("cluster_id").as("new_lab"))
+      .localCheckpoint()
+    // merged sizes fold STORED sizes (+1 per merged delta singleton)
+    val oldSizes = baseLabels.select(col("cluster_id").as("old_lab"),
+        col("cluster_size")).distinct()
+      .join(broadcast(touched.select(col("id").as("old_lab"))),
+        Seq("old_lab"), "left_semi")
+      .unionByName(dIds.select(col("id").as("old_lab"),
+        lit(1L).as("cluster_size"))
+        .join(broadcast(touched.select(col("id").as("old_lab"))),
+          Seq("old_lab"), "left_semi"))
+    val newSizes = oldSizes.join(broadcast(mapping), Seq("old_lab"))
+      .groupBy(col("new_lab"))
+      .agg(sum(col("cluster_size")).as("cluster_size"))
+      .localCheckpoint() // touched-space
+    // untouched base rows survive VERBATIM via a broadcast anti join
+    val untouched = baseLabels
+      .join(broadcast(touched.select(col("id").as("cluster_id"))),
+        Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    // touched base rows relabel through the (broadcast) mapping
+    val relabeledBase = baseLabels
+      .join(broadcast(mapping.withColumnRenamed("old_lab", "cluster_id")),
+        Seq("cluster_id"))
+      .select(col("doc_id"), col("new_lab").as("cluster_id"))
+    val relabeledDelta = dIds
+      .join(broadcast(mapping.withColumnRenamed("old_lab", "id")), Seq("id"))
+      .select(col("id").as("doc_id"), col("new_lab").as("cluster_id"))
+    val merged = relabeledBase.unionByName(relabeledDelta)
+      .join(broadcast(newSizes.withColumnRenamed("new_lab", "cluster_id")),
+        Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    // delta nodes in NO edge stay singletons
+    val deltaSingles = dIds
+      .join(broadcast(touched), Seq("id"), "left_anti")
+      .select(col("id").as("doc_id"), col("id").as("cluster_id"),
+        lit(1L).as("cluster_size"))
+    untouched.unionByName(merged).unionByName(deltaSingles)
+  }
+
   /** One star-rewriting round (Kiveris et al., "Connected Components
     * in MapReduce and Beyond", SoCC'14): every node points its
     * strictly larger (large-star) or strictly smaller (small-star)

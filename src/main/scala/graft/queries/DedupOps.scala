@@ -48,6 +48,42 @@ object DedupOps {
         .select(col("a_id").as("delta_id"), col("b_id").as("base_id"))
     }),
 
+    // INCREMENTAL duplicate clustering (the delta discipline applied
+    // to the CLUSTER ASSIGNMENT itself — the artifact q406's pair
+    // probe feeds): day-1 clusters the base (doc_id % 5 != 4) from
+    // its own exact-Jaccard pairs; day-2 the delta batch arrives —
+    // cross pairs probe the base via AllPairs prefixes (the q406
+    // machinery: base×base never re-pairs), delta-internal pairs
+    // self-join the batch alone, and incrementalClusters folds both
+    // into the STORED labels by contraction: CC runs over the
+    // touched labels only (one node per affected component),
+    // untouched rows survive verbatim through a broadcast anti join,
+    // merged sizes fold stored sizes. The fold is DEFINED to equal a
+    // from-scratch run — so the q67 oracle applies verbatim and the
+    // driver hash-pins an incremental operator against DuckDB's
+    // recursive transitive closure.
+    "q476_incremental_clusters" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables(s, d).documents
+      def sets(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id").as("id"),
+          array_sort(transform(array_distinct(split(col("text"), " ")),
+            t => xxhash64(t))).as("ts"))
+      val base = docs.filter(col("doc_id") % 5 =!= 4)
+      val delta = docs.filter(col("doc_id") % 5 === 4)
+      val baseLabels = Dedup.duplicateClusters(
+        Dedup.jaccardPairs(sets(base), threshold = 0.9)
+          .select("a_id", "b_id"),
+        base.select("doc_id")).localCheckpoint()
+      val cross = Dedup.crossJaccardPairsPre(
+        sets(delta).withColumn("n", size(col("ts"))),
+        sets(base).withColumn("n", size(col("ts"))), threshold = 0.9)
+      val inner = Dedup.jaccardPairs(sets(delta), threshold = 0.9)
+        .select("a_id", "b_id")
+      Dedup.incrementalClusters(baseLabels, delta.select("doc_id"),
+        cross.unionByName(inner))
+    }),
+
     // Rolling-hash winnowing sketch (xxhash64 shingles → k-min);
     // no DuckDB xxhash64 → rows-only. The sketch is exploded to
     // (doc_id, pos, minhash) scalar rows: the driver's rows-only
@@ -351,6 +387,9 @@ object DedupOps {
          FROM cl WHERE doc_id = cluster_id GROUP BY 1""",
     "q67_dup_clusters" -> clustersOracle,
     "q70_dup_clusters_star" -> clustersOracle,
+    // the incremental fold is DEFINED to equal the from-scratch run,
+    // so the same recursive-CTE oracle pins all three
+    "q476_incremental_clusters" -> clustersOracle,
     "q68_dedup_keep" ->
       """WITH RECURSIVE tok AS (
            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t

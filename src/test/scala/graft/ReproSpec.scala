@@ -230,7 +230,8 @@ class ReproSpec extends AnyFunSuite {
     "q472_knn_graph_delta", // delta fold == frozen-centroid rebuild
     "q473_gopher_quality",  // per-doc rule pack + composite pass flag
     "q474_top_ngram_chars", // top-3-gram char concentration argmax
-    "q475_token_runs"       // longest same-token run (islands walk)
+    "q475_token_runs",      // longest same-token run (islands walk)
+    "q476_incremental_clusters" // contraction fold == from-scratch CC
   )
 
   representatives.foreach { name =>

@@ -360,4 +360,45 @@ class DedupSpec extends AnyFunSuite {
           s"missing=${(want -- cross).take(3)} extra=${(cross -- want).take(3)}")
     }
   }
+
+  test("incrementalClusters ≡ from-scratch CC, covering every merge shape") {
+    import org.apache.spark.sql.functions.col
+    // base: {1,2,3} via (1,2),(2,3); {5,6}; singletons 4, 7
+    val baseIds = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val basePairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val baseLabels = Dedup.duplicateClusters(basePairs, baseIds)
+      .localCheckpoint()
+    // delta: 10 joins {1,2,3} (delta-base); 11 isolated (no edges);
+    // 12-13 form a delta-delta pair; (5, 3) is a BASE-BASE edge
+    // merging {5,6} into {1,2,3}
+    val deltaIds = Seq(10L, 11L, 12L, 13L).toDF("doc_id")
+    val deltaPairs = Seq((10L, 3L), (12L, 13L), (5L, 3L)).toDF("a", "b")
+    val got = Dedup.incrementalClusters(baseLabels, deltaIds, deltaPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Dedup.duplicateClusters(
+        basePairs.unionByName(deltaPairs),
+        baseIds.unionByName(deltaIds))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    // shape checks the equality alone can't distinguish: untouched
+    // base singletons verbatim; the isolated delta id a singleton;
+    // the triple merge {1,2,3}+{5,6}+{10} sized 6 under min label 1
+    assert(got.contains((4L, 4L, 1L)) && got.contains((7L, 7L, 1L)))
+    assert(got.contains((11L, 11L, 1L)))
+    assert(got.contains((10L, 1L, 6L)) && got.contains((6L, 1L, 6L)))
+    assert(got.contains((12L, 12L, 2L)) && got.contains((13L, 12L, 2L)))
+  }
+
+  test("incrementalClusters: an unknown edge endpoint fails loudly") {
+    import org.apache.spark.sql.functions.col
+    val baseLabels = Dedup.duplicateClusters(
+        Seq((1L, 2L)).toDF("a", "b"), Seq(1L, 2L).toDF("doc_id"))
+      .localCheckpoint()
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalClusters(baseLabels, Seq(10L).toDF("doc_id"),
+        Seq((10L, 99L)).toDF("a", "b"))
+    }
+    assert(e.getMessage.contains("edge endpoint"))
+  }
 }
