@@ -425,4 +425,83 @@ object Similarity {
     banded.unpersist()
     verified
   }
+
+  /** Multi-probe sign-LSH ANN (Lv et al., VLDB'07, the 1-step probe
+    * sequence): single-bucket LSH ANN (q42's shape) loses near
+    * neighbors that fall JUST across one hyperplane — they land in
+    * an adjacent bucket. Multi-probe recovers them WITHOUT more
+    * tables: each query also probes the buckets reached by flipping
+    * its lowest-|margin| sign bits — the planes the query sits
+    * closest to, exactly where a true neighbor most likely
+    * disagrees. The corpus index is untouched (ONE bucket per
+    * vector); only the few queries fan out `nProbes` ways, so
+    * candidate IO is ~nProbes × single-probe cost while index size
+    * stays 1× (the memory trade that makes multi-probe the standard
+    * production LSH).
+    *
+    * Deterministic end to end: planes are literals, margins exact
+    * float64 in the SAME accumulation order as the bucket bits
+    * ([[graft.functions.Vec.lshBucket]]'s zip_with fold), |margin|
+    * ties break to the lower plane index, scoring is exact cosine
+    * with (sim desc, id) ties. Approximate by construction →
+    * rows-only; MultiProbeSpec pins determinism, the recall
+    * improvement over single-probe, and candidate IO == probed
+    * buckets' rows exactly.
+    */
+  def multiProbeTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: DataFrame, // single column `query_id`
+      planes: Array[Array[Double]],
+      nProbes: Int,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nid"))
+    multiProbeCandidates(emb, idCol, vecCol, queryIds, planes, nProbes)
+      .withColumn("sim", Vec.cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nid").as("neighbor_id"), col("rank"))
+  }
+
+  /** The candidate frame of [[multiProbeTopK]] —
+    * (query_id, qv, bucket probed, nid, nv) — exposed (the
+    * ivfPqCandidates pattern) so MultiProbeSpec can pin candidate IO
+    * to the probed buckets' rows exactly.
+    */
+  def multiProbeCandidates(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: DataFrame,
+      planes: Array[Array[Double]],
+      nProbes: Int): DataFrame = {
+    require(nProbes >= 1 && nProbes <= planes.length + 1,
+      s"multiProbe: nProbes=$nProbes out of range [1, ${planes.length + 1}] " +
+        "(the base bucket plus at most one flip per plane)")
+    val indexed = parallelized(emb)
+      .select(col(idCol).as("nid"), col(vecCol).as("nv"),
+        Vec.lshBucket(col(vecCol), planes).as("bucket"))
+    // queries are FEW (the serving asymmetry): the margin sort and
+    // probe fan-out run interpreted per query row, then the probed
+    // (query, bucket) spine BROADCASTS into the index join — the
+    // corpus never shuffles
+    val margins = array(planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit).toIndexedSeq: _*)
+      struct(abs(Vec.dot(plane, col("qv"))).as("m"), lit(i).as("i"))
+    }: _*)
+    val queries = emb.join(queryIds, col(idCol) === col("query_id"))
+      .select(col("query_id"), col(vecCol).as("qv"))
+      .withColumn("bucket", Vec.lshBucket(col("qv"), planes))
+      .withColumn("flips", slice(array_sort(margins), 1, nProbes - 1))
+      .withColumn("bucket", explode(concat(array(col("bucket")),
+        transform(col("flips"), f =>
+          col("bucket").bitwiseXOR(element_at(
+            array(planes.indices.map(i => lit(1L << i)): _*),
+            f.getField("i") + 1))))))
+      .select(col("query_id"), col("qv"), col("bucket"))
+    broadcast(queries).join(indexed, Seq("bucket"))
+      .filter(col("query_id") =!= col("nid"))
+  }
 }

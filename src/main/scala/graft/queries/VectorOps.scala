@@ -296,7 +296,7 @@ object VectorOps {
     // bucket per vector, exact rerank within bucket. Approximate —
     // verified by a rows-only check plus RecallSpec in ScalaTest.
     "q42_ann_lsh" -> ((s, d) => {
-      val planes = Vec.deterministicPlanes(nPlanes = 8, dim = 64)
+      val planes = Vec.deterministicPlanes(nPlanes = 6, dim = 64)
       val emb = Tables(s, d).embeddings
         .withColumn("bucket", Vec.lshBucket(col("embedding"), planes))
       val a = emb.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("va"))
@@ -309,6 +309,26 @@ object VectorOps {
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select(col("a_id"), col("b_id").as("neighbor_id"), col("rank"))
+    }),
+
+    // MULTI-PROBE sign-LSH ANN (Lv et al., VLDB'07) — q42's bucketed
+    // ANN upgraded to the production memory trade: instead of more
+    // tables (more index copies), each query ALSO probes the buckets
+    // reached by flipping its lowest-|margin| sign bits — the planes
+    // it sits closest to, exactly where a true neighbor most likely
+    // landed across. Corpus index stays 1× (one bucket per vector);
+    // only the 20 queries fan out 4 ways and broadcast into the
+    // bucket join. Approximate → rows-only; MultiProbeSpec pins
+    // determinism, recall(multi) > recall(single), the recall floor,
+    // and candidate IO == probed buckets' rows exactly.
+    "q477_multiprobe_lsh" -> ((s, d) => {
+      val planes = graft.functions.Vec.deterministicPlanes(
+        nPlanes = 6, dim = 64)
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      val queryIds = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"))
+      graft.operators.Similarity.multiProbeTopK(emb, "vec_id", "embedding",
+        queryIds, planes, nProbes = 4, k = 5)
     }),
 
     // Test↔train SEMANTIC contamination over quantized codes: the

@@ -225,7 +225,8 @@ object DumpPlans {
     "q473_gopher_quality" -> "Gopher rule pack: ONE narrow scan -> project, zero shuffles — every rule a codegen/HOF column expression",
     "q474_top_ngram_chars" -> "top-3-gram concentration: bounded gram explode, (doc, gram) count, doc-keyed argmax window",
     "q475_token_runs" -> "token runs: posexplode + (doc, tok)-keyed islands window, run aggregate, doc-keyed argmax — never unpartitioned",
-    "q476_incremental_clusters" -> "incremental CC: every touch of the base label table is a BroadcastHashJoin semi/anti (the table never shuffles); the CC loop folds the contracted touched-label graph (post-checkpoint scans)")
+    "q476_incremental_clusters" -> "incremental CC: every touch of the base label table is a BroadcastHashJoin semi/anti (the table never shuffles); the CC loop folds the contracted touched-label graph (post-checkpoint scans)",
+    "q477_multiprobe_lsh" -> "multi-probe LSH: corpus indexed once (narrow bucket projection); the probed (query, bucket) spine broadcasts into the bucket equi-join — the corpus never shuffles")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

@@ -32,14 +32,14 @@ class EntrySpec extends AnyFunSuite {
     // so a silently DROPPED oracled query would not have failed the
     // suite. Keep in sync with CLAUDE.md's inventory note — a new
     // query bumps this in the SAME commit.
-    assert(SparkEntry.queries.size == 476,
-      s"query inventory drifted: ${SparkEntry.queries.size} (expected 476)")
+    assert(SparkEntry.queries.size == 477,
+      s"query inventory drifted: ${SparkEntry.queries.size} (expected 477)")
   }
 
   test("rows-only queries are exactly the approximate / non-SQL-expressible ops") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep this count in sync with CLAUDE.md's inventory note
-    assert(rowsOnly.size == 23, s"rows-only count drifted: ${rowsOnly.size}")
+    assert(rowsOnly.size == 24, s"rows-only count drifted: ${rowsOnly.size}")
     assert(rowsOnly == Set("q36_minhash_lsh", "q37_simhash",
       "q38_ngram_jaccard", "q42_ann_lsh", "q43_winnow_fp", "q44_ann_ivf",
       "q48_source_signatures", "q59_corpus_clean",
@@ -79,6 +79,10 @@ class EntrySpec extends AnyFunSuite {
       // the beam walk greedy — GraphAnnSpec pins determinism, degree
       // bounds, and recall floors
       "q437_knn_graph", "q438_graph_ann",
+      // multi-probe LSH inherits q42's bucketed approximation;
+      // MultiProbeSpec pins determinism, recall(multi) > recall(1),
+      // and candidate IO == probed buckets exactly
+      "q477_multiprobe_lsh",
       // delta fold inherits q437's IVF approximation; GraphAnnSpec
       // pins frozen-rebuild equality, delta-shaped candidate IO,
       // determinism, and the fresh-rebuild recall floor

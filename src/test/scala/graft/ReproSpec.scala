@@ -231,7 +231,8 @@ class ReproSpec extends AnyFunSuite {
     "q473_gopher_quality",  // per-doc rule pack + composite pass flag
     "q474_top_ngram_chars", // top-3-gram char concentration argmax
     "q475_token_runs",      // longest same-token run (islands walk)
-    "q476_incremental_clusters" // contraction fold == from-scratch CC
+    "q476_incremental_clusters", // contraction fold == from-scratch CC
+    "q477_multiprobe_lsh"   // margin-ordered probe fan-out, exact rerank
   )
 
   representatives.foreach { name =>
