@@ -84,6 +84,29 @@ object DedupOps {
         cross.unionByName(inner))
     }),
 
+    // STREAMING incremental clustering — the q476 contraction fold
+    // driven end-to-end by Structured Streaming: three "daily" batch
+    // files (doc_id % 3, mtime-ordered) drain through foreachBatch;
+    // batch 0 bootstraps a from-scratch clustering, each later batch
+    // probes the STANDING sets for cross pairs (AllPairs prefixes —
+    // base×base never re-pairs), self-joins its own batch, and folds
+    // into the standing labels by contraction. The fold is bit-
+    // identical to from-scratch at every step (inductively), so the
+    // drained stream's final assignment hash-pins against the q67
+    // recursive-CTE oracle VERBATIM — a streaming operator under a
+    // full SQL oracle.
+    "q478_stream_clusters" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables(s, d).documents.select(col("doc_id"), col("text"))
+      val feed = freshScratch("q478feed", d)
+      val ckpt = freshScratch("q478ckpt", d)
+      (0 until 3).foreach { b =>
+        graft.streaming.LakeIngest.stageBatchFile(feed, s"day$b.parquet",
+          1000L * (b + 1), docs.filter(col("doc_id") % 3 === b))
+      }
+      graft.streaming.StreamingClusters.docFeedToClusters(s, feed, ckpt)
+    }),
+
     // Rolling-hash winnowing sketch (xxhash64 shingles → k-min);
     // no DuckDB xxhash64 → rows-only. The sketch is exploded to
     // (doc_id, pos, minhash) scalar rows: the driver's rows-only
@@ -388,8 +411,10 @@ object DedupOps {
     "q67_dup_clusters" -> clustersOracle,
     "q70_dup_clusters_star" -> clustersOracle,
     // the incremental fold is DEFINED to equal the from-scratch run,
-    // so the same recursive-CTE oracle pins all three
+    // so the same recursive-CTE oracle pins all four (q478 is the
+    // STREAMING drive of the same fold)
     "q476_incremental_clusters" -> clustersOracle,
+    "q478_stream_clusters" -> clustersOracle,
     "q68_dedup_keep" ->
       """WITH RECURSIVE tok AS (
            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t

@@ -232,7 +232,8 @@ class ReproSpec extends AnyFunSuite {
     "q474_top_ngram_chars", // top-3-gram char concentration argmax
     "q475_token_runs",      // longest same-token run (islands walk)
     "q476_incremental_clusters", // contraction fold == from-scratch CC
-    "q477_multiprobe_lsh"   // margin-ordered probe fan-out, exact rerank
+    "q477_multiprobe_lsh",  // margin-ordered probe fan-out, exact rerank
+    "q478_stream_clusters"  // streaming contraction fold, full oracle
   )
 
   representatives.foreach { name =>
