@@ -43,7 +43,11 @@ object LakeIngest {
       df: DataFrame): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = s"$feedDir-stage-$name"
-    df.coalesce(1).write.parquet(tmp)
+    // overwrite + clean up the stage dir afterwards: the stage path
+    // is a SIBLING of feedDir, so a per-query scratch wipe doesn't
+    // cover it — a second staging in the same process (ReproSpec
+    // reruns, q478) must not trip PATH_ALREADY_EXISTS on leftovers
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
     val part = Files.list(Paths.get(tmp)).iterator()
     var src: java.nio.file.Path = null
     while (part.hasNext) {
@@ -55,6 +59,9 @@ object LakeIngest {
     Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING)
     Files.setLastModifiedTime(dst,
       java.nio.file.attribute.FileTime.fromMillis(mtime))
+    val rest = Files.walk(Paths.get(tmp)).sorted(
+      java.util.Comparator.reverseOrder[java.nio.file.Path]()).iterator()
+    while (rest.hasNext) Files.delete(rest.next())
   }
 
   /** Drain every file currently in `feedDir` (one micro-batch per
