@@ -589,6 +589,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("q476: every touch of the label table is a broadcast join — it never shuffles") {
+    val p = plan("q476_incremental_clusters")
+    // the base labels arrive as a checkpointed RDD; the untouched
+    // anti join, the relabel join and the size join must all build
+    // on the delta-bounded side
+    assert(p.contains("Scan ExistingRDD"), "labels must be checkpointed")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join means the label table shuffled:\n${p.take(900)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("LeftAnti"),
+      "untouched rows must pass through the broadcast anti join")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("q457: conformal picks fold the one materialized (type, cents, split) grid") {
     val p = plan("q457_conformal_coverage")
     assert(p.contains("Scan ExistingRDD"), "grid must be checkpointed")
