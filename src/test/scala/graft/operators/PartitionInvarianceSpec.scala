@@ -103,6 +103,16 @@ class PartitionInvarianceSpec extends AnyFunSuite {
       "q470_simpson_detector").foreach(confInvariant)
   }
 
+  test("r12 incremental/streaming operators are layout-invariant") {
+    // the delta k-NN-graph fold (trained centroids + stored-edge
+    // merge), the contraction CC fold (broadcast label touches), and
+    // the streaming drive of the same fold (batch files + standing
+    // state) — each must fingerprint identically under hostile
+    // splits and a different shuffle width
+    Seq("q472_knn_graph_delta", "q476_incremental_clusters",
+      "q478_stream_clusters").foreach(confInvariant)
+  }
+
   test("Misra-Gries heavy hitters stay EXACT across layouts") {
     // the per-partition summary differs by layout; the exact
     // recount pass must erase that difference
