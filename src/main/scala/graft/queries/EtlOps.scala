@@ -23,10 +23,15 @@ object EtlOps {
     * error saying which operator hit the ceiling and what to do
     * (10¹⁷ on every factor keeps 1000·a·b under 10³⁸ with margin).
     * `assert_true` rides the value expression itself, so column
-    * pruning can never drop the check.
+    * pruning can never drop the check. NULL-TRANSPARENT (r12
+    * advice): `assert_true` throws on a null condition, so a null
+    * factor (a degenerate/empty aggregation upstream) must pass the
+    * guard explicitly — it propagates null exactly as the unguarded
+    * expression did, and only genuine magnitude violations fire.
     */
   private[graft] def decimalEnvelope(value: Column, op: String): Column =
-    when(assert_true(abs(value) <= expr("CAST(100000000000000000 AS DECIMAL(38,0))"),
+    when(assert_true(value.isNull ||
+      abs(value) <= expr("CAST(100000000000000000 AS DECIMAL(38,0))"),
       lit(s"$op: cross-product factor exceeds the DECIMAL(38,0) envelope " +
         "(|factor| > 1e17) — gcd-reduce the rational or split the product " +
         "into two 64-bit limbs before multiplying")).isNull,

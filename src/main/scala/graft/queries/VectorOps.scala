@@ -295,8 +295,11 @@ object VectorOps {
     // LSH-bucketed ANN (the scale path): deterministic sign-LSH
     // bucket per vector, exact rerank within bucket. Approximate —
     // verified by a rows-only check plus RecallSpec in ScalaTest.
+    // 8 planes = 256 buckets (the query's long-standing config —
+    // q477's multi-probe variant runs its OWN 6-plane index; the
+    // two deliberately do not share a plane family, r12 advice).
     "q42_ann_lsh" -> ((s, d) => {
-      val planes = Vec.deterministicPlanes(nPlanes = 6, dim = 64)
+      val planes = Vec.deterministicPlanes(nPlanes = 8, dim = 64)
       val emb = Tables(s, d).embeddings
         .withColumn("bucket", Vec.lshBucket(col("embedding"), planes))
       val a = emb.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("va"))

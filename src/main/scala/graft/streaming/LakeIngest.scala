@@ -48,20 +48,27 @@ object LakeIngest {
     // cover it — a second staging in the same process (ReproSpec
     // reruns, q478) must not trip PATH_ALREADY_EXISTS on leftovers
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = Files.list(Paths.get(tmp)).iterator()
+    // Files.list / Files.walk hold a directory handle until closed —
+    // unclosed they leak one fd per staging call across a long-lived
+    // test JVM (r12 advice)
     var src: java.nio.file.Path = null
-    while (part.hasNext) {
-      val p = part.next()
-      if (p.getFileName.toString.endsWith(".parquet")) src = p
+    scala.util.Using.resource(Files.list(Paths.get(tmp))) { stream =>
+      val part = stream.iterator()
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) src = p
+      }
     }
     Files.createDirectories(Paths.get(feedDir))
     val dst = Paths.get(feedDir, name)
     Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING)
     Files.setLastModifiedTime(dst,
       java.nio.file.attribute.FileTime.fromMillis(mtime))
-    val rest = Files.walk(Paths.get(tmp)).sorted(
-      java.util.Comparator.reverseOrder[java.nio.file.Path]()).iterator()
-    while (rest.hasNext) Files.delete(rest.next())
+    scala.util.Using.resource(Files.walk(Paths.get(tmp))) { stream =>
+      val rest = stream.sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]()).iterator()
+      while (rest.hasNext) Files.delete(rest.next())
+    }
   }
 
   /** Drain every file currently in `feedDir` (one micro-batch per

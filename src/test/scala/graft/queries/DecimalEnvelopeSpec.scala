@@ -24,6 +24,17 @@ class DecimalEnvelopeSpec extends AnyFunSuite {
     assert(got == Seq("-99999999999999999", "0", "99999999999999999").sorted)
   }
 
+  test("NULL factors pass through as null — never a misleading overflow error") {
+    // r12 advice: assert_true throws on a NULL condition, so a null
+    // sum from a degenerate/empty aggregation used to surface as the
+    // envelope error; the guard must be null-transparent instead
+    val got = dec("42").select(
+      EtlOps.decimalEnvelope(expr("CAST(NULL AS DECIMAL(38,0))"), "spec").as("g"))
+      .collect()
+    assert(got.length == 1 && got(0).isNullAt(0),
+      "a null factor must propagate null through the envelope")
+  }
+
   test("a factor beyond 1e17 fails with the NAMED operator error") {
     val e = intercept[Exception] {
       dec("100000000000000001")
