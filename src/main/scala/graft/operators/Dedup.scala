@@ -191,16 +191,83 @@ object Dedup {
     * cover would silently miss pairs whose differing bits fall in
     * the uncovered remainder.
     */
-  def hammingPairs64(fps: DataFrame, maxHamming: Int): DataFrame = {
+  def hammingPairs64(
+      fps: DataFrame,
+      maxHamming: Int,
+      maxCandidateFactor: Option[Double] = None): DataFrame = {
     val chunks = maxHamming + 1
     require(chunks >= 1 && 64 % chunks == 0,
       s"hammingPairs64: maxHamming + 1 = $chunks must divide 64 " +
         "(maxHamming in 0/1/3/7/15/31/63) — a partial chunk cover " +
         "silently misses pairs whose differing bits fall outside " +
         "the chunks")
+    // IDENTICAL-FINGERPRINT COLLAPSE (r12 verdict item 2): a
+    // dup-heavy media corpus — the workload perceptual dedup exists
+    // for; crawls carry the same logo/banner 10⁴–10⁶ times — puts
+    // all n copies of a fingerprint in the same chunk buckets, so
+    // the raw pigeonhole join forms all O(n²) pairs. Run the
+    // quadratic join over DISTINCT fingerprints only (min-id
+    // representative per fp — the shared [[Collapse]] machinery the
+    // Jaccard join uses) and expand afterwards: intra-group pairs
+    // are Hamming 0 ≤ maxHamming always, and an inter-group verdict
+    // for (repA, repB) holds verbatim for every member cross pair
+    // (identical fingerprints ⇒ identical XOR). Exactness preserved;
+    // worst-case candidate cost O(distinct²), not O(n²).
+    val reps = Collapse.byValue(fps, "fp", "id").labeled
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val members = reps.select(col("rep"), col("id"))
+    val dfps = reps.filter(col("id") === col("rep"))
+      .select(col("id"), col("fp"))
+
+    val candidates0 = hammingCandidates64(dfps, maxHamming)
+    val candidates = if (maxCandidateFactor.isDefined)
+      candidates0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else candidates0
+    // operational tripwire mirroring jaccardPairs: fail loudly when
+    // the chunk blocking degenerates (e.g. a corpus whose distinct
+    // fingerprints still share chunk keys near-universally) instead
+    // of letting an O(distinct²) slide into a 100 TB run unnoticed
+    maxCandidateFactor.foreach { f =>
+      val nFps = dfps.count()
+      val nCand = candidates.count()
+      if (nCand > f * math.max(nFps, 1L)) {
+        candidates.unpersist()
+        reps.unpersist()
+        throw new IllegalStateException(
+          s"hammingPairs64: $nCand candidate pairs over $nFps distinct " +
+            s"fingerprints exceeds the $f× tripwire — the chunk blocking " +
+            "has degenerated (low-entropy fingerprints). Lower maxHamming " +
+            "(more, narrower chunks) or raise maxCandidateFactor.")
+      }
+    }
+
+    val verifiedReps = candidates
+      .filter(bit_count(col("fpa").bitwiseXOR(col("fpb"))) <= maxHamming)
+      .select("a_id", "b_id")
+    val inter = Collapse.expandInterPairs(verifiedReps, members)
+      .select("a_id", "b_id")
+    val intra = Collapse.intraPairs(members, dfps.select(col("id").as("rep")))
+      .select("a_id", "b_id")
+    val out = inter.unionByName(intra)
+      .localCheckpoint() // see minHashLsh: materialize + GC-cleanable
+    if (maxCandidateFactor.isDefined) candidates.unpersist()
+    reps.unpersist()
+    out
+  }
+
+  /** The pigeonhole chunk-equality candidate join of
+    * [[hammingPairs64]] over DISTINCT fingerprints `(id, fp)` —
+    * exposed separately (the allPairsCandidates pattern) so specs
+    * can pin candidate counts directly. Output: (a_id, b_id, fpa,
+    * fpb), every true pair present (false positives verified
+    * downstream by the exact bit_count).
+    */
+  private[graft] def hammingCandidates64(
+      dfps: DataFrame, maxHamming: Int): DataFrame = {
+    val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
     val baseMask = if (bitsPer == 64) -1L else (1L << bitsPer) - 1
-    val chunked = fps.select(col("id"), col("fp"),
+    val chunked = dfps.select(col("id"), col("fp"),
       posexplode(array((0 until chunks).map { c =>
         col("fp").bitwiseAND(lit(baseMask << (c * bitsPer)))
       }: _*)).as(Seq("chunk", "ckey")))
@@ -209,8 +276,6 @@ object Dedup {
     a.join(b, Seq("chunk", "ckey"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id", "fpa", "fpb").distinct()
-      .filter(bit_count(col("fpa").bitwiseXOR(col("fpb"))) <= maxHamming)
-      .select("a_id", "b_id")
   }
 
   /** Winnowing fingerprint (rolling-hash document sketch): the k
@@ -548,10 +613,49 @@ object Dedup {
       deltaIds: DataFrame,
       deltaPairs: DataFrame,
       maxIters: Int = 50): DataFrame = {
+    val d = incrementalClustersDelta(baseLabels, deltaIds, deltaPairs, maxIters)
+    // untouched base rows survive VERBATIM via a broadcast anti join
+    val untouched = baseLabels
+      .join(broadcast(d.touched.select(col("id").as("cluster_id"))),
+        Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    untouched.unionByName(d.changed)
+  }
+
+  /** The CHANGED label rows of an [[incrementalClusters]] fold plus
+    * the touched old-label set — what a PERSISTED label table needs
+    * to advance by a keyed COW upsert (q478's streaming state): the
+    * in-memory composition re-reads untouched rows per fold, but a
+    * [[Manifest]]-backed table keeps untouched members verbatim on
+    * storage and rewrites only members carrying changed keys, so the
+    * fold's state IO follows the delta, never the corpus.
+    */
+  final case class LabelDelta(changed: DataFrame, touched: DataFrame)
+
+  /** See [[incrementalClusters]] (same contraction argument, same
+    * inputs/guards); returns only rows whose assignment this fold
+    * creates or changes — relabeled members of touched components
+    * plus the delta rows — and the touched old-label frame
+    * (localCheckpoint-materialized, delta-bounded).
+    */
+  def incrementalClustersDelta(
+      baseLabels: DataFrame,
+      deltaIds: DataFrame,
+      deltaPairs: DataFrame,
+      maxIters: Int = 50): LabelDelta = {
     val p = deltaPairs.select(col(deltaPairs.columns.head).as("a"),
       col(deltaPairs.columns(1)).as("b"))
     val dIds = deltaIds.select(col(deltaIds.columns.head).as("id"))
       .localCheckpoint() // delta-sized, read by lab + singles
+    // the documented disjointness contract, ENFORCED (r12 advice): a
+    // delta id already present in base would put two rows in the
+    // label lookup and emit duplicate/contradictory output silently.
+    // Broadcast the delta side so the base table streams map-side.
+    require(baseLabels.select(col("doc_id").as("id"))
+        .join(broadcast(dIds), Seq("id"), "left_semi").isEmpty,
+      "incrementalClusters: deltaIds overlap base doc_ids — delta ids " +
+        "must be NEW arrivals (disjoint from baseLabels), or the label " +
+        "lookup would carry duplicate rows per overlapping id")
     val lab = baseLabels.select(col("doc_id").as("id"),
         col("cluster_id").as("lab"))
       .unionByName(dIds.select(col("id"), col("id").as("lab")))
@@ -596,11 +700,6 @@ object Dedup {
       .groupBy(col("new_lab"))
       .agg(sum(col("cluster_size")).as("cluster_size"))
       .localCheckpoint() // touched-space
-    // untouched base rows survive VERBATIM via a broadcast anti join
-    val untouched = baseLabels
-      .join(broadcast(touched.select(col("id").as("cluster_id"))),
-        Seq("cluster_id"), "left_anti")
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
     // touched base rows relabel through the (broadcast) mapping
     val relabeledBase = baseLabels
       .join(broadcast(mapping.withColumnRenamed("old_lab", "cluster_id")),
@@ -618,7 +717,7 @@ object Dedup {
       .join(broadcast(touched), Seq("id"), "left_anti")
       .select(col("id").as("doc_id"), col("id").as("cluster_id"),
         lit(1L).as("cluster_size"))
-    untouched.unionByName(merged).unionByName(deltaSingles)
+    LabelDelta(merged.unionByName(deltaSingles), touched)
   }
 
   /** One star-rewriting round (Kiveris et al., "Connected Components
@@ -768,18 +867,27 @@ object Dedup {
     * [[jaccardSets]]) — the incremental-index form: the base side's
     * sets (and their [[jaccardPrefixes]]) can come from storage, so
     * a daily probe pays shingling for the delta alone.
+    *
+    * `maxCandidateFactor`: optional tripwire mirroring
+    * [[jaccardPairs]]' — fail loudly when candidates exceed
+    * `factor × delta docs`, i.e. a low-τ misconfiguration (or a
+    * degenerate batch) is heading toward probing most of the
+    * standing corpus per delta doc. The guard is what keeps a
+    * STREAMING drain (q478) from silently exploding one micro-batch
+    * into a corpus-sized candidate join at 100 TB.
     */
   def crossJaccardPairsPre(
       deltaSets: DataFrame,
       baseSets: DataFrame,
       threshold: Double,
-      basePrefixes: Option[DataFrame] = None): DataFrame = {
+      basePrefixes: Option[DataFrame] = None,
+      maxCandidateFactor: Option[Double] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccard threshold must be in (0, 1], got $threshold")
     val tau = lit(threshold)
     val d = deltaSets
     val b = baseSets
-    val cand = jaccardPrefixes(d, threshold).as("a")
+    val cand0 = jaccardPrefixes(d, threshold).as("a")
       .join(basePrefixes.getOrElse(jaccardPrefixes(b, threshold)).as("b"),
         col("a.t") === col("b.t") &&
         col("b.n") >= col("a.n") * tau && col("a.n") >= col("b.n") * tau &&
@@ -787,7 +895,23 @@ object Dedup {
           (tau / (lit(1.0) + tau)) * (col("a.n") + col("b.n")))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
-    cand
+    val cand = if (maxCandidateFactor.isDefined)
+      cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else cand0
+    maxCandidateFactor.foreach { f =>
+      val nDelta = d.count() // delta-sized count — cheap by contract
+      val nCand = cand.count()
+      if (nCand > f * math.max(nDelta, 1L)) {
+        cand.unpersist()
+        throw new IllegalStateException(
+          s"crossJaccardPairsPre: $nCand candidate pairs for $nDelta delta " +
+            s"docs exceeds the $f× tripwire — the threshold ($threshold) is " +
+            "too low for this corpus (near-corpus-sized probe per doc). " +
+            "Raise the threshold, switch to the approximate minhash twin, " +
+            "or raise maxCandidateFactor.")
+      }
+    }
+    val out = cand
       .join(d.select(col("id").as("a_id"), col("ts").as("ta"),
         col("n").as("na")), "a_id")
       .join(b.select(col("id").as("b_id"), col("ts").as("tb"),
@@ -796,5 +920,12 @@ object Dedup {
       .filter(col("c").cast("double") /
         (col("na") + col("nb") - col("c")).cast("double") >= threshold)
       .select(col("a_id"), col("b_id"))
+    if (maxCandidateFactor.isDefined) {
+      // materialize before releasing the candidate cache (the
+      // jaccardPairs discipline: checkpointed blocks GC with the frame)
+      val o = out.localCheckpoint()
+      cand.unpersist()
+      o
+    } else out
   }
 }
