@@ -88,23 +88,27 @@ object DedupOps {
     // driven end-to-end by Structured Streaming: three "daily" batch
     // files (doc_id % 3, mtime-ordered) drain through foreachBatch;
     // batch 0 bootstraps a from-scratch clustering, each later batch
-    // probes the STANDING sets for cross pairs (AllPairs prefixes —
-    // base×base never re-pairs), self-joins its own batch, and folds
-    // into the standing labels by contraction. The fold is bit-
-    // identical to from-scratch at every step (inductively), so the
-    // drained stream's final assignment hash-pins against the q67
-    // recursive-CTE oracle VERBATIM — a streaming operator under a
-    // full SQL oracle.
+    // probes the PERSISTED prefix index (crossJaccardPairsPre's
+    // basePrefixes — base×base never re-pairs, and the standing
+    // corpus is never re-materialized: sets/prefixes are append-only
+    // Manifest tables, labels a keyed COW upsert of changed rows,
+    // the member tags the exactly-once ledger — r12 verdict item 1).
+    // The fold is bit-identical to from-scratch at every step
+    // (inductively), so the drained stream's final assignment
+    // hash-pins against the q67 recursive-CTE oracle VERBATIM — a
+    // streaming operator under a full SQL oracle.
     "q478_stream_clusters" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val docs = Tables(s, d).documents.select(col("doc_id"), col("text"))
       val feed = freshScratch("q478feed", d)
       val ckpt = freshScratch("q478ckpt", d)
+      val state = freshScratch("q478state", d)
       (0 until 3).foreach { b =>
         graft.streaming.LakeIngest.stageBatchFile(feed, s"day$b.parquet",
           1000L * (b + 1), docs.filter(col("doc_id") % 3 === b))
       }
-      graft.streaming.StreamingClusters.docFeedToClusters(s, feed, ckpt)
+      graft.streaming.StreamingClusters.docFeedToClusters(s, feed, ckpt,
+        state)
     }),
 
     // Rolling-hash winnowing sketch (xxhash64 shingles → k-min);

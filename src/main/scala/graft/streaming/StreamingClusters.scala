@@ -1,103 +1,205 @@
 package graft.streaming
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Manifest}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 /** STREAMING incremental duplicate clustering — the q476 contraction
-  * fold driven by a Structured Streaming corpus feed: documents land
-  * as daily batch files, each micro-batch probes the STANDING corpus
-  * for exact-Jaccard pairs (cross-side AllPairs prefixes — base×base
-  * never re-pairs, the q406 shape), self-joins its own batch, and
-  * folds both into the standing labels via
-  * [[Dedup.incrementalClusters]] (CC over touched components only,
-  * untouched rows verbatim). The standing state — labels + the
-  * shingle-set frame the next probe needs — advances once per batch
-  * and is `localCheckpoint`-materialized, so batch k+1 never re-pays
-  * batch k's work.
+  * fold driven by a Structured Streaming corpus feed, with the
+  * standing state PERSISTED as three [[Manifest]] tables (the q375
+  * recipe, r12 verdict item 1):
   *
-  * Because the fold is bit-identical to a from-scratch run at every
-  * step (the q476 contraction argument, applied inductively over
-  * batches), the DRAINED stream's final assignment equals one
+  *   - `<state>/sets`     — (id, ts, n) shingle-set rows, ONE
+  *     appended member per batch (append-only: batch k+1 never
+  *     rewrites or re-materializes batch k's sets);
+  *   - `<state>/prefixes` — the AllPairs prefix index rows at the
+  *     drain's threshold, likewise one appended member per batch —
+  *     so each micro-batch probe reads the STORED index
+  *     ([[Dedup.crossJaccardPairsPre]]'s `basePrefixes`, the q415
+  *     persisted-index discipline) instead of re-deriving prefixes
+  *     from the full standing corpus;
+  *   - `<state>/labels`   — (doc_id, cluster_id, cluster_size),
+  *     advanced by a keyed COW upsert of ONLY the fold's changed
+  *     rows ([[Dedup.incrementalClustersDelta]]): untouched members
+  *     stay verbatim on storage, so label IO follows the touched
+  *     components, never the corpus.
+  *
+  * Per-batch work is therefore delta-shaped end to end: shingling
+  * O(batch); the probe shuffles the BATCH's prefix rows against one
+  * term-sharded scan of the stored index; contraction CC is
+  * touched-component-sized; the only frames ever
+  * `localCheckpoint`-materialized are batch-sized or
+  * touched-bounded (StreamingClustersSpec pins this).
+  *
+  * Exactly-once + RESTARTABILITY: `foreachBatch` is at-least-once,
+  * and each batch's labels commit writes a durable per-batch REF on
+  * the labels table — the ledger that makes redelivery a no-op (a
+  * ref, not a member-name tag, because later batches' COW rewrites
+  * replace the members an earlier batch published; the name tag
+  * remains the crash-window fallback — see `labelsApplied`). Because
+  * the ledger and the state live in the same durable tables, a kill
+  * + restart
+  * with the same checkpoint/state dirs resumes mid-stream: committed
+  * batches skip, the next batch folds onto the PERSISTED labels —
+  * bit-identical to an uninterrupted drain (spec-pinned). Commit
+  * order makes the crash windows safe: sets and prefixes land first
+  * (idempotently — an orphan data dir from a crash between write and
+  * publish is GC'd on retry), labels last. A crash after the
+  * sets/prefix commit but before the labels commit re-runs the fold
+  * with the batch's own sets visible on the base side — harmless by
+  * construction: the extra candidate pairs are the batch's internal
+  * pairs (already unioned in) plus (x,x) self-loops, and connected
+  * components are invariant under duplicate edges and self-loops.
+  *
+  * The fold is bit-identical to a from-scratch run at every step
+  * (the q476 contraction argument, applied inductively over
+  * batches), so the DRAINED stream's final assignment equals one
   * from-scratch clustering of everything that arrived — which is why
   * q478 can hash-pin a STREAMING operator against the q67 recursive-
   * CTE oracle verbatim.
   *
-  * Delivery: `foreachBatch` is at-least-once; a driver-side seen-set
-  * keyed by batchId makes the fold idempotent (the in-memory twin of
-  * LakeIngest's member-name ledger — state here is session-lived, so
-  * the guard only needs to cover within-run redelivery; a restartable
-  * deployment would persist labels+sets as a [[graft.operators.Manifest]]
-  * table and tag versions by batch id, exactly the q375 recipe).
-  *
-  * Scale per batch: shingling O(batch); the probe shuffles prefix
-  * rows of the batch against the standing prefix index; contraction
-  * CC is touched-component-sized; the label table is only ever
-  * touched through broadcast semi/anti joins.
+  * `maxCandidateFactor` (optional) arms [[Dedup.crossJaccardPairsPre]]'s
+  * candidate tripwire per batch: a low-τ misconfiguration fails the
+  * drain loudly instead of exploding one micro-batch into a
+  * corpus-sized candidate join (r12 verdict item 7).
   */
 object StreamingClusters {
 
-  private def tokenSets(docs: DataFrame): DataFrame =
+  private[streaming] def tokenSets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id").as("id"),
         array_sort(transform(array_distinct(split(col("text"), " ")),
           t => xxhash64(t))).as("ts"))
       .withColumn("n", size(col("ts")))
 
+  /** Idempotent append of one batch's member to an append-only state
+    * table: a no-op when the tag is already a member (redelivery); a
+    * data dir orphaned by a crash between parquet write and manifest
+    * publish is unreferenced (the tag is absent) and GC'd before the
+    * retry — the [[Manifest.applyCdcBatch]] recovery discipline.
+    */
+  private def appendOnce(df: DataFrame, root: String, tag: String): Unit =
+    if (!Manifest.tagApplied(root, tag)) {
+      val target = java.nio.file.Paths.get(root, "files", s"$tag-data")
+      if (java.nio.file.Files.exists(target))
+        scala.util.Using.resource(java.nio.file.Files.walk(target)) { st =>
+          val it = st.sorted(
+            java.util.Comparator.reverseOrder[java.nio.file.Path]()).iterator()
+          while (it.hasNext) java.nio.file.Files.delete(it.next())
+        }
+      Manifest.commitAdd(df, root, s"$tag-data")
+      ()
+    }
+
+  /** Has batch `tag` committed its labels? The durable ledger is a
+    * REF per applied batch (refs are never rewritten), because member
+    * NAMES alone cannot ledger a COW table: batch k+1's upsert
+    * rewrites the members batch k published, erasing k's name tags.
+    * The member-name check remains as the crash-window fallback: a
+    * crash between the upsert and the ref write retries while this
+    * batch is still the frontier — no later batch has rewritten its
+    * members yet — so the tag is visible and the ref heals.
+    */
+  private def labelsApplied(labRoot: String, tag: String): Boolean =
+    Manifest.refVersion(labRoot, tag).isDefined ||
+      (Manifest.tagApplied(labRoot, tag) && {
+        Manifest.setRef(labRoot, tag, Manifest.currentVersion(labRoot))
+        true
+      })
+
+  /** Fold ONE batch of (doc_id, text) documents into the persisted
+    * state under `stateDir`, committing under `tag` — exposed as the
+    * unit StreamingClustersSpec drives directly (materialization and
+    * candidate-IO pins, crash-window re-entry). Idempotent: a tag
+    * already in the labels ledger returns without reading the batch.
+    */
+  def foldBatch(
+      spark: SparkSession,
+      docs: DataFrame,
+      stateDir: String,
+      tag: String,
+      threshold: Double,
+      maxCandidateFactor: Option[Double] = None): Unit = {
+    val setsRoot = s"$stateDir/sets"
+    val prefRoot = s"$stateDir/prefixes"
+    val labRoot = s"$stateDir/labels"
+    if (labelsApplied(labRoot, tag)) return
+    // the batch's sets — the fold's ONLY corpus-text scan, and the
+    // only input-sized materialization (batch-sized by definition)
+    val bSets = tokenSets(docs).localCheckpoint()
+    val bIds = bSets.select(col("id").as("doc_id"))
+    val inner = Dedup.jaccardPairs(
+        bSets.select(col("id"), col("ts")), threshold)
+      .select(col("a_id"), col("b_id"))
+    val bootstrap = Manifest.currentVersion(labRoot) == 0
+    val changed =
+      if (bootstrap) {
+        // bootstrap: the first batch clusters from scratch (the batch
+        // IS the corpus, so this too is batch-sized)
+        Dedup.duplicateClusters(inner, bIds)
+      } else {
+        val baseSets = Manifest.read(spark, setsRoot,
+          Manifest.currentVersion(setsRoot))
+        val basePref = Manifest.read(spark, prefRoot,
+          Manifest.currentVersion(prefRoot))
+        val baseLabels = Manifest.read(spark, labRoot,
+          Manifest.currentVersion(labRoot))
+        val cross = Dedup.crossJaccardPairsPre(bSets, baseSets, threshold,
+          basePrefixes = Some(basePref),
+          maxCandidateFactor = maxCandidateFactor)
+        Dedup.incrementalClustersDelta(baseLabels, bIds,
+            cross.unionByName(inner))
+          .changed
+      }
+    // changed is touched-bounded; materialize once — the upsert below
+    // runs several actions over it (uniqueness probe, member semi-join)
+    val changedM = changed.localCheckpoint()
+    // commit order: append-only state first (idempotent, and a
+    // premature sets/prefix commit is harmless — see class doc),
+    // the labels ledger LAST
+    appendOnce(bSets, setsRoot, tag)
+    appendOnce(Dedup.jaccardPrefixes(bSets, threshold), prefRoot, tag)
+    // the first labels commit CREATES the table (upsert requires an
+    // initialized one); later batches COW-upsert only changed rows.
+    // The per-batch ref is the durable ledger entry (see labelsApplied)
+    if (bootstrap) appendOnce(changedM, labRoot, tag)
+    else Manifest.upsert(changedM, labRoot, "doc_id", tag)
+    Manifest.setRef(labRoot, tag, Manifest.currentVersion(labRoot))
+  }
+
   /** Drain every (doc_id, text) file in `feedDir` (one micro-batch
     * per file, mtime order) and return the final cluster assignment
-    * (doc_id, cluster_id, cluster_size) over everything drained.
+    * (doc_id, cluster_id, cluster_size) over everything drained —
+    * read back from the persisted labels table, so a prior
+    * partially-drained run with the same dirs resumes instead of
+    * restarting.
     */
   def docFeedToClusters(
       spark: SparkSession,
       feedDir: String,
       checkpointDir: String,
-      threshold: Double = 0.9): DataFrame = {
+      stateDir: String,
+      threshold: Double = 0.9,
+      maxCandidateFactor: Option[Double] = None): DataFrame = {
     val schema = spark.read.parquet(feedDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(feedDir)
-    var labels: Option[DataFrame] = None
-    var standingSets: Option[DataFrame] = None
-    val seen = scala.collection.mutable.Set[Long]()
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (seen.add(batchId)) {
-          // foreachBatch frames recompute per action — persist before
-          // the multiple reads (sets build + id projection)
-          val b = batch.persist()
-          try {
-            val bSets = tokenSets(b).localCheckpoint()
-            val bIds = b.select(col("doc_id"))
-            (labels, standingSets) match {
-              case (Some(lab), Some(ss)) =>
-                val cross = Dedup.crossJaccardPairsPre(bSets, ss, threshold)
-                val inner = Dedup.jaccardPairs(
-                    bSets.select(col("id"), col("ts")), threshold)
-                  .select(col("a_id"), col("b_id"))
-                labels = Some(Dedup.incrementalClusters(lab, bIds,
-                  cross.unionByName(inner)).localCheckpoint())
-                standingSets = Some(ss.unionByName(bSets).localCheckpoint())
-              case _ =>
-                // bootstrap: the first batch clusters from scratch
-                val pairs = Dedup.jaccardPairs(
-                    bSets.select(col("id"), col("ts")), threshold)
-                  .select(col("a_id"), col("b_id"))
-                labels = Some(Dedup.duplicateClusters(pairs, bIds)
-                  .localCheckpoint())
-                standingSets = Some(bSets)
-            }
-            ()
-          } finally { b.unpersist(); () }
-        }
+        foldBatch(spark, batch, stateDir, s"b$batchId", threshold,
+          maxCandidateFactor)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    labels.getOrElse(
+    val labRoot = s"$stateDir/labels"
+    val v = Manifest.currentVersion(labRoot)
+    if (v == 0)
       throw new IllegalStateException(
-        "docFeedToClusters: the feed drained zero batches"))
+        "docFeedToClusters: the feed drained zero batches")
+    Manifest.read(spark, labRoot, v)
   }
 }

@@ -105,12 +105,13 @@ class PartitionInvarianceSpec extends AnyFunSuite {
 
   test("r12 incremental/streaming operators are layout-invariant") {
     // the delta k-NN-graph fold (trained centroids + stored-edge
-    // merge), the contraction CC fold (broadcast label touches), and
-    // the streaming drive of the same fold (batch files + standing
-    // state) — each must fingerprint identically under hostile
-    // splits and a different shuffle width
+    // merge), the contraction CC fold (broadcast label touches), the
+    // streaming drive of the same fold (batch files + standing
+    // state), and multi-probe LSH (bucket flips + broadcast query
+    // fan-out — r12 verdict item 6) — each must fingerprint
+    // identically under hostile splits and a different shuffle width
     Seq("q472_knn_graph_delta", "q476_incremental_clusters",
-      "q478_stream_clusters").foreach(confInvariant)
+      "q478_stream_clusters", "q477_multiprobe_lsh").foreach(confInvariant)
   }
 
   test("Misra-Gries heavy hitters stay EXACT across layouts") {

@@ -1,0 +1,157 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.operators.{Dedup, Manifest}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the PERSISTED streaming clustering state (q478, r12
+  * verdict items 1 + 7):
+  *  - kill/restart: a drain interrupted between batches and resumed
+  *    with the same checkpoint/state dirs equals the one-shot drain
+  *    bit for bit (and both equal from-scratch clustering);
+  *  - state IO is delta-shaped: a delta fold onto a large standing
+  *    corpus materializes batch/touched-bounded frames only, and the
+  *    sets/prefix tables advance append-only (one member per batch);
+  *  - the crash window between the sets/prefix commit and the labels
+  *    commit is safe on retry (over-inclusive base sets are absorbed
+  *    by the CC fold);
+  *  - redelivered tags are no-ops (the labels ledger);
+  *  - a low-threshold misconfiguration trips the candidate guard
+  *    loudly instead of exploding the micro-batch.
+  */
+class StreamingClustersSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+    .select(col("doc_id"), col("text"))
+
+  private def fp(df: DataFrame): Seq[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  private def dirs(tag: String): (String, String, String) = {
+    val root = TestSpark.tmpDir(s"sclu-$tag")
+    (s"$root/feed", s"$root/ckpt", s"$root/state")
+  }
+
+  private def stage(feed: String, b: Int): Unit =
+    LakeIngest.stageBatchFile(feed, s"day$b.parquet", 1000L * (b + 1),
+      docs.filter(col("doc_id") % 3 === b))
+
+  test("kill/restart drain == one-shot drain == from-scratch clustering, bit for bit") {
+    val (f1, c1, s1) = dirs("oneshot")
+    (0 until 3).foreach(stage(f1, _))
+    val oneShot = fp(StreamingClusters.docFeedToClusters(spark, f1, c1, s1))
+    // interrupted twin: drain the first two batches, then the third
+    // file arrives and the drain RESTARTS with the same dirs — the
+    // stream checkpoint skips delivered files, the manifest ledger
+    // carries the standing state across the restart
+    val (f2, c2, s2) = dirs("resume")
+    (0 until 2).foreach(stage(f2, _))
+    StreamingClusters.docFeedToClusters(spark, f2, c2, s2).count()
+    stage(f2, 2)
+    val resumed = fp(StreamingClusters.docFeedToClusters(spark, f2, c2, s2))
+    assert(resumed == oneShot,
+      "a resumed drain must equal the uninterrupted drain bit for bit")
+    // and both equal clustering everything from scratch
+    val sets = docs.select(col("doc_id").as("id"),
+      array_sort(transform(array_distinct(split(col("text"), " ")),
+        t => xxhash64(t))).as("ts"))
+    val scratch = fp(Dedup.duplicateClusters(
+      Dedup.jaccardPairs(sets, threshold = 0.9).select("a_id", "b_id"),
+      docs.select("doc_id")))
+    assert(oneShot == scratch, "drained fold must equal from-scratch CC")
+    assert(oneShot.nonEmpty)
+  }
+
+  test("sets/prefixes advance append-only (one member per batch); redelivered tags are no-ops") {
+    val (f, c, s) = dirs("members")
+    (0 until 3).foreach(stage(f, _))
+    StreamingClusters.docFeedToClusters(spark, f, c, s).count()
+    val setsRoot = s"$s/sets"; val prefRoot = s"$s/prefixes"
+    val labRoot = s"$s/labels"
+    assert(Manifest.currentVersion(setsRoot) == 3 &&
+      Manifest.members(setsRoot, 3).size == 3,
+      "the sets table must gain exactly one appended member per batch")
+    assert(Manifest.currentVersion(prefRoot) == 3 &&
+      Manifest.members(prefRoot, 3).size == 3,
+      "the prefix index must gain exactly one appended member per batch")
+    // redelivery: folding an already-ledgered tag changes nothing
+    val vLab = Manifest.currentVersion(labRoot)
+    StreamingClusters.foldBatch(spark,
+      docs.filter(col("doc_id") % 3 === 1), s, "b1", threshold = 0.9)
+    assert(Manifest.currentVersion(labRoot) == vLab &&
+      Manifest.currentVersion(setsRoot) == 3,
+      "a redelivered batch tag must be a complete no-op")
+  }
+
+  test("a delta fold materializes batch/touched-bounded frames only — never the standing corpus") {
+    val (_, _, s) = dirs("matbound")
+    val base = docs.filter(col("doc_id") % 25 =!= 0) // 480 standing docs
+    val delta = docs.filter(col("doc_id") % 25 === 0) // 20-doc batch
+    StreamingClusters.foldBatch(spark, base, s, "b0", threshold = 0.9)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    StreamingClusters.foldBatch(spark, delta, s, "b1", threshold = 0.9)
+    val created = spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => before.contains(id) }
+    // every frame the fold materializes (localCheckpoint blocks) must
+    // be batch- or touched-component-bounded: the corpus carries one
+    // 231-doc duplicate mega-cluster, so the changed-label frame can
+    // legitimately reach ~250 rows when the delta touches it — but
+    // the r12 regression shape (re-checkpointing the 480-doc standing
+    // sets per batch) materializes ≥ the standing count, which the
+    // 400-row ceiling rejects
+    assert(base.count() == 480)
+    val counts = created.values.map(_.count())
+    assert(counts.forall(_ <= 400),
+      s"a 20-doc fold onto 480 standing docs materialized an RDD of " +
+        s"${if (counts.nonEmpty) counts.max else 0} rows — standing-" +
+        "corpus-sized state IO regressed")
+  }
+
+  test("crash between the sets/prefix commit and the labels commit is safe on retry") {
+    val delta = docs.filter(col("doc_id") % 3 === 1)
+    // clean twin
+    val (_, _, sClean) = dirs("cleanpath")
+    StreamingClusters.foldBatch(spark,
+      docs.filter(col("doc_id") % 3 === 0), sClean, "b0", threshold = 0.9)
+    StreamingClusters.foldBatch(spark, delta, sClean, "b1", threshold = 0.9)
+    val want = fp(Manifest.read(spark, s"$sClean/labels",
+      Manifest.currentVersion(s"$sClean/labels")))
+    // crashed twin: batch 1's sets + prefixes committed, labels NOT
+    // (the crash window) — the retry folds with the batch's own sets
+    // visible on the base side and must absorb the extra self/internal
+    // pairs (CC is invariant under duplicate edges and self-loops)
+    val (_, _, sCrash) = dirs("crashpath")
+    StreamingClusters.foldBatch(spark,
+      docs.filter(col("doc_id") % 3 === 0), sCrash, "b0", threshold = 0.9)
+    val bSets = StreamingClusters.tokenSets(delta).localCheckpoint()
+    Manifest.commitAdd(bSets, s"$sCrash/sets", "b1-data")
+    Manifest.commitAdd(Dedup.jaccardPrefixes(bSets, 0.9),
+      s"$sCrash/prefixes", "b1-data")
+    StreamingClusters.foldBatch(spark, delta, sCrash, "b1", threshold = 0.9)
+    val got = fp(Manifest.read(spark, s"$sCrash/labels",
+      Manifest.currentVersion(s"$sCrash/labels")))
+    assert(got == want,
+      "the crash-window retry must produce the clean-path labels")
+    assert(Manifest.members(s"$sCrash/sets",
+        Manifest.currentVersion(s"$sCrash/sets")).size == 2,
+      "the retry must NOT append the batch's sets a second time")
+  }
+
+  test("a low-threshold misconfiguration trips the candidate guard loudly") {
+    val (_, _, s) = dirs("tripwire")
+    StreamingClusters.foldBatch(spark,
+      docs.filter(col("doc_id") < 150), s, "b0", threshold = 0.05)
+    val e = intercept[IllegalStateException] {
+      StreamingClusters.foldBatch(spark,
+        docs.filter(col("doc_id") >= 150 && col("doc_id") < 160),
+        s, "b1", threshold = 0.05, maxCandidateFactor = Some(2.0))
+    }
+    assert(e.getMessage.contains("tripwire"),
+      s"expected the candidate tripwire, got: ${e.getMessage}")
+  }
+}
