@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   *
   * Both stages are deterministic end to end (the oracle discipline):
   * the graph build scores exact cosine over IVF-restricted
-  * candidates with (sim desc, id) tie-breaks; search expands from
-  * the global min-id entry node with the same ordering; hop count is
+  * candidates with (sim desc, id) tie-breaks; search expands from a
+  * per-query entry node (the min-id member of the query's nearest
+  * coarse list) with the same ordering; hop count is
   * a fixed bound (a data-dependent convergence loop would be
   * partition-order-sensitive through checkpoint timing — fixed
   * rounds are the q129/q131 iterative discipline).
@@ -200,11 +201,19 @@ object GraphAnn {
       .select(col("src"), col("dst"), col("sim"))
   }
 
-  /** Greedy beam search over a [[knnGraph]]: start every query at
-    * the global min-id entry node, expand the frontier's out-edges
-    * `hops` times keeping the `beam` best-scoring visited nodes per
-    * query, return the final top-`kOut`. Scores are exact cosine
-    * against the query vector; ties break on id everywhere.
+  /** Greedy beam search over a [[knnGraph]]: start every query at a
+    * PER-QUERY entry node — the min-id member of the query's nearest
+    * coarse-centroid list (r12 verdict item 4; the quantizer is
+    * retrained deterministically from `emb`, i.e. the build's own) —
+    * expand the frontier's out-edges `hops` times keeping the `beam`
+    * best-scoring visited nodes per query, return the final
+    * top-`kOut`. Scores are exact cosine against the query vector;
+    * ties break on id everywhere. A fixed global entry biases recall
+    * against queries far from it (every walk pays the full traversal
+    * distance and can stall in the entry's neighborhood); entering
+    * from the query's own coarse cell starts the walk hops closer —
+    * one bounded `ivfProbes` projection + a broadcast join against
+    * the nlist-sized list-minimum table, no extra shuffle.
     */
   def beamSearch(
       graph: DataFrame,
@@ -214,21 +223,48 @@ object GraphAnn {
       queryIds: DataFrame, // single column `query_id`
       beam: Int,
       hops: Int,
-      kOut: Int): DataFrame = {
+      kOut: Int,
+      nlist: Int = 16): DataFrame = {
+    val cents = Similarity.kmeansCentroids(emb, idCol, vecCol, nlist)
+    require(cents.nonEmpty,
+      "beamSearch: empty corpus — no entry node to start the walk from")
+    beamSearchWithCentroids(graph, emb, idCol, vecCol, queryIds,
+      beam, hops, kOut, cents)
+  }
+
+  /** [[beamSearch]] under a CALLER-SUPPLIED coarse quantizer — the
+    * serving form (reuse the build's centroids instead of retraining
+    * per call; the knnGraphWithCentroids split, applied to search).
+    */
+  def beamSearchWithCentroids(
+      graph: DataFrame,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: DataFrame,
+      beam: Int,
+      hops: Int,
+      kOut: Int,
+      cents: Array[Array[Float]]): DataFrame = {
     require(beam >= kOut, s"beamSearch: beam=$beam must be >= kOut=$kOut")
     require(hops >= 1, s"beamSearch: hops=$hops")
     val vecs = emb.select(col(idCol).as("node"), col(vecCol).as("nv"))
     val queries = emb.join(queryIds, emb(idCol) === queryIds("query_id"))
       .select(col("query_id"), col(vecCol).as("qv"))
       .localCheckpoint() // broadcast side, scored against every visit
-    // one driver scalar — the entry point. min() over an empty frame
-    // yields a single null row: fail with a NAMED error (knnGraph
-    // guards the same case), and fetch type-agnostically so a
-    // non-Long id column doesn't ClassCastException here.
-    val entryRow = emb.agg(min(col(idCol)).as("node")).collect()(0)
-    require(!entryRow.isNullAt(0),
-      "beamSearch: empty corpus — no entry node to start the walk from")
-    val entry = entryRow.get(0)
+    // per-query entry: the min-id member of the query's nearest
+    // coarse list. Queries are corpus vectors (the join above), so
+    // each query's nearest list holds at least the query itself —
+    // never empty. listMin is nlist-sized; broadcast.
+    val listMin = Similarity.ivfIndex(emb, vecCol, cents)
+      .groupBy(col("ivf_list")).agg(min(col(idCol)).as("node"))
+    val entries = ivfProbes(
+        emb.join(queryIds, emb(idCol) === queryIds("query_id"))
+          .select(col(idCol), col(vecCol)),
+        idCol, vecCol, cents, nprobe = 1)
+      .select(col("src").as("query_id"), col("ivf_list"))
+      .join(broadcast(listMin), Seq("ivf_list"))
+      .select(col("query_id"), col("node"))
     val wBeam = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("node"))
     def scored(nodes: DataFrame): DataFrame =
@@ -236,8 +272,7 @@ object GraphAnn {
         .join(broadcast(queries), Seq("query_id"))
         .withColumn("sim", Vec.cosine(col("qv"), col("nv")))
         .select(col("query_id"), col("node"), col("sim"))
-    var visited = scored(queries.select(col("query_id"))
-      .withColumn("node", lit(entry))).localCheckpoint()
+    var visited = scored(entries).localCheckpoint()
     var frontier = visited
     for (_ <- 1 to hops) {
       val expanded = frontier

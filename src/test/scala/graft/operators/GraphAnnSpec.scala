@@ -69,7 +69,11 @@ class GraphAnnSpec extends AnyFunSuite {
     val byQ = got.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
     val recall = qids.map(q => (byQ(q) & exact(q).toSet).size).sum / (5.0 * 20)
     info(s"graph ANN recall@5 (beam=24, hops=4): $recall")
-    assert(recall >= 0.6, s"beam-search recall collapsed: $recall")
+    // r12 verdict item 4: per-query entry points (the min-id member
+    // of the query's nearest coarse list) replaced the global min-id
+    // entry — recall on this fixture rose to 0.87, so the floor rises
+    // 0.6 → 0.8 to lock the improvement in
+    assert(recall >= 0.8, s"beam-search recall collapsed: $recall")
     // a wider beam with more hops must not do worse
     val wide = GraphAnn.beamSearch(graph, emb, "vec_id", "embedding",
         queries, beam = 64, hops = 6, kOut = 5)
