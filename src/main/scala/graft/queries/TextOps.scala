@@ -556,6 +556,56 @@ object TextOps {
       out
     }),
 
+    // Cross-document span EXCISION — the CLEANED CORPUS itself (r12
+    // verdict item 5; the transform half of Lee et al. 2022's
+    // exact-substring dedup): q157 emits the removal ACCOUNTING,
+    // this emits the rewritten text a curation pipeline actually
+    // ships. Every 20-token span occurring in ≥2 documents keeps
+    // only the canonical owner's copies (min doc_id); every other
+    // document drops the UNION of token positions its removable
+    // spans cover (overlaps counted once) and re-joins the
+    // survivors single-spaced. Untouched documents pass their
+    // ORIGINAL text through byte-exact — no split/re-join round
+    // trip. Shape: the same persisted span grid as q119/q157; the
+    // per-doc removal set is a sorted position array consumed by one
+    // index-aware filter lambda (doc-grain — the kept corpus never
+    // explodes); output is doc-sized. Fully hash-oracled: md5 span
+    // fingerprints, integer positions, and string output are
+    // engine-exact.
+    "q479_span_excise" -> ((s, d) => {
+      val W = 20
+      val base = Tables(s, d).documents
+        .select(col("doc_id"), col("text"), tokens.as("toks"))
+      val occ = parallelized(base.filter(size(col("toks")) >= W))
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(1), size(col("toks")) - (W - 1)),
+            i => md5(concat_ws(" ", slice(col("toks"), i, lit(W)))))))
+        .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val owners = occ.groupBy("g")
+        .agg(countDistinct(col("doc_id")).as("nd"),
+          min(col("doc_id")).as("owner"))
+        .filter(col("nd") >= 2)
+      val removed = occ.join(owners, "g")
+        .filter(col("doc_id") =!= col("owner"))
+        .select(col("doc_id"),
+          explode(sequence(col("i"), col("i") + (W - 1))).as("p"))
+        .groupBy("doc_id")
+        .agg(array_sort(collect_set(col("p"))).as("rm"))
+      val out = base
+        .join(removed, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("rm").isNull, col("text"))
+            .otherwise(concat_ws(" ",
+              filter(col("toks"), (t, i) => !array_contains(col("rm"), i + 1))))
+            .as("text_clean"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          coalesce(size(col("rm")), lit(0)).cast("long").as("n_removed"))
+        .localCheckpoint() // doc-sized; release the span cache
+      occ.unpersist()
+      out
+    }),
+
     // Per-source dataset card — the summary block a corpus release
     // ships: volume, token mass, language spread, exact-dup rate.
     // One aggregation pass; dup rate via countDistinct(md5(text))
@@ -2277,6 +2327,42 @@ object TextOps {
                 coalesce(rc.n_removed, 0)::BIGINT AS n_removed,
                 (len(t.toks) - coalesce(rc.n_removed, 0))::BIGINT AS n_kept
          FROM t LEFT JOIN rc USING (doc_id)""",
+    "q479_span_excise" ->
+      """WITH t AS (
+           SELECT doc_id, text, string_split(text, ' ') AS toks
+           FROM documents),
+         e AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 20),
+         gr AS (
+           SELECT doc_id,
+                  unnest(range(1, len(toks) - 18)) AS i,
+                  unnest([md5(array_to_string(toks[j:j+19], ' '))
+                          FOR j IN range(1, len(toks) - 18)]) AS g
+           FROM e),
+         own AS (
+           SELECT g, min(doc_id) AS owner
+           FROM gr GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         rem AS (
+           SELECT DISTINCT doc_id, p FROM (
+             SELECT gr.doc_id, unnest(range(gr.i, gr.i + 20)) AS p
+             FROM gr JOIN own ON gr.g = own.g AND gr.doc_id <> own.owner)),
+         pos AS (
+           SELECT doc_id, generate_subscripts(toks, 1) AS p,
+                  unnest(toks) AS tok
+           FROM t),
+         kept AS (
+           SELECT pos.doc_id,
+                  string_agg(pos.tok, ' ' ORDER BY pos.p) AS text_clean
+           FROM pos LEFT JOIN rem
+             ON pos.doc_id = rem.doc_id AND pos.p = rem.p
+           WHERE rem.p IS NULL GROUP BY pos.doc_id),
+         rc AS (SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY 1)
+         SELECT t.doc_id,
+                CASE WHEN rc.n_removed IS NULL THEN t.text
+                     ELSE coalesce(k.text_clean, '') END AS text_clean,
+                len(t.toks)::BIGINT AS n_tokens,
+                coalesce(rc.n_removed, 0)::BIGINT AS n_removed
+         FROM t LEFT JOIN rc USING (doc_id)
+         LEFT JOIN kept k USING (doc_id)""",
     "q122_dataset_card" ->
       """SELECT source, count(*) AS n_docs,
                 sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,

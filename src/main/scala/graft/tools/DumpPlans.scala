@@ -227,7 +227,8 @@ object DumpPlans {
     "q475_token_runs" -> "token runs: posexplode + (doc, tok)-keyed islands window, run aggregate, doc-keyed argmax — never unpartitioned",
     "q476_incremental_clusters" -> "incremental CC: every touch of the base label table is a BroadcastHashJoin semi/anti (the table never shuffles); the CC loop folds the contracted touched-label graph (post-checkpoint scans)",
     "q477_multiprobe_lsh" -> "multi-probe LSH: corpus indexed once (narrow bucket projection); the probed (query, bucket) spine broadcasts into the bucket equi-join — the corpus never shuffles",
-    "q478_stream_clusters" -> "streaming incremental clustering: per-batch probe of the PERSISTED AllPairs prefix index (crossJaccardPairsPre basePrefixes) + contraction CC fold, labels advanced by a keyed COW upsert of changed rows; the final frame is the labels Manifest read (the per-batch plans ran inside foreachBatch)")
+    "q478_stream_clusters" -> "streaming incremental clustering: per-batch probe of the PERSISTED AllPairs prefix index (crossJaccardPairsPre basePrefixes) + contraction CC fold, labels advanced by a keyed COW upsert of changed rows; the final frame is the labels Manifest read (the per-batch plans ran inside foreachBatch)",
+    "q479_span_excise" -> "repeated-span excision: one persisted md5 span grid (the q119/q157 shape), owner table g-keyed, per-doc removal positions aggregate to ONE sorted array, the rewrite is a doc-grain index-aware filter — the kept corpus never explodes; untouched docs pass original text byte-exact")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

@@ -233,7 +233,8 @@ class ReproSpec extends AnyFunSuite {
     "q475_token_runs",      // longest same-token run (islands walk)
     "q476_incremental_clusters", // contraction fold == from-scratch CC
     "q477_multiprobe_lsh",  // margin-ordered probe fan-out, exact rerank
-    "q478_stream_clusters"  // streaming contraction fold, full oracle
+    "q478_stream_clusters", // streaming contraction fold, full oracle
+    "q479_span_excise"      // cleaned corpus after repeated-span removal
   )
 
   representatives.foreach { name =>
