@@ -56,8 +56,7 @@ object Manifest {
   def currentVersion(root: String): Int = {
     val dir = manifestsDir(root)
     if (!Files.isDirectory(dir)) 0
-    else {
-      val vs = Files.list(dir).iterator()
+    else graft.util.Fs.listChildren(dir) { vs =>
       var best = 0
       while (vs.hasNext) {
         val n = vs.next().getFileName.toString
@@ -703,17 +702,11 @@ object Manifest {
       val referenced: Set[String] =
         (1 to head).filter(v => Files.exists(manifestPath(root, v)))
           .flatMap(v => members(root, v)).toSet
-      val it = Files.list(filesDir).iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        val asMember = s"$root/files/${p.getFileName}"
-        if (p.getFileName.toString.startsWith(s"$nameTag-") &&
-            !referenced.contains(asMember)) {
-          val walk = Files.walk(p).sorted(
-            java.util.Comparator.reverseOrder[Path]()).iterator()
-          while (walk.hasNext) Files.delete(walk.next())
-        }
-      }
+      val orphaned = graft.util.Fs.listChildren(filesDir)(_.filter { p =>
+        p.getFileName.toString.startsWith(s"$nameTag-") &&
+          !referenced.contains(s"$root/files/${p.getFileName}")
+      }.toVector)
+      orphaned.foreach(graft.util.Fs.deleteRecursively)
     }
   }
 
@@ -1209,8 +1202,7 @@ object Manifest {
     val refDir = Paths.get(root, "refs")
     val localPins: Set[Int] =
       if (!Files.isDirectory(refDir)) Set.empty
-      else {
-        val it = Files.list(refDir).iterator()
+      else graft.util.Fs.listChildren(refDir) { it =>
         val b = Set.newBuilder[Int]
         while (it.hasNext) {
           val f = it.next()
@@ -1241,22 +1233,15 @@ object Manifest {
     expired.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
     orphans.foreach { m =>
       val p = Paths.get(m)
-      if (Files.exists(p)) {
-        val it = Files.walk(p).sorted(
-          java.util.Comparator.reverseOrder[Path]()).iterator()
-        while (it.hasNext) Files.delete(it.next())
-      }
+      graft.util.Fs.deleteRecursively(p)
       // an orphan member's bloom sidecars go with it (named
       // `<member-basename>-<col>.bloom` under blooms/)
       val blooms = Paths.get(root, "blooms")
       if (Files.isDirectory(blooms)) {
         val base = p.getFileName.toString
-        val bit = Files.list(blooms).iterator()
-        while (bit.hasNext) {
-          val b = bit.next()
-          if (b.getFileName.toString.startsWith(s"$base-"))
-            Files.delete(b)
-        }
+        val stale = graft.util.Fs.listChildren(blooms)(
+          _.filter(_.getFileName.toString.startsWith(s"$base-")).toVector)
+        stale.foreach(Files.delete(_))
       }
     }
     (expired, orphans)

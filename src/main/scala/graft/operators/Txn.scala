@@ -40,8 +40,7 @@ object Txn {
   def current(root: String): Int = {
     val dir = txnsDir(root)
     if (!Files.isDirectory(dir)) 0
-    else {
-      val it = Files.list(dir).iterator()
+    else graft.util.Fs.listChildren(dir) { it =>
       var best = 0
       while (it.hasNext) {
         val n = it.next().getFileName.toString

@@ -69,16 +69,25 @@ object DedupOps {
         df.select(col("doc_id").as("id"),
           array_sort(transform(array_distinct(split(col("text"), " ")),
             t => xxhash64(t))).as("ts"))
+          .withColumn("n", size(col("ts")))
+          // tokenizing + hashing is the CPU tail of this query and
+          // each frame feeds TWO pair passes (base: the day-1 build +
+          // the cross probe; delta: the cross probe + its self-join)
+          // — materialize once (r13 bench finding: the query shingled
+          // everything twice)
+          .localCheckpoint()
       val base = docs.filter(col("doc_id") % 5 =!= 4)
       val delta = docs.filter(col("doc_id") % 5 === 4)
+      val baseSets = sets(base)
+      val deltaSets = sets(delta)
       val baseLabels = Dedup.duplicateClusters(
-        Dedup.jaccardPairs(sets(base), threshold = 0.9)
-          .select("a_id", "b_id"),
+        Dedup.jaccardPairs(baseSets.select(col("id"), col("ts")),
+          threshold = 0.9).select("a_id", "b_id"),
         base.select("doc_id")).localCheckpoint()
-      val cross = Dedup.crossJaccardPairsPre(
-        sets(delta).withColumn("n", size(col("ts"))),
-        sets(base).withColumn("n", size(col("ts"))), threshold = 0.9)
-      val inner = Dedup.jaccardPairs(sets(delta), threshold = 0.9)
+      val cross = Dedup.crossJaccardPairsPre(deltaSets, baseSets,
+        threshold = 0.9)
+      val inner = Dedup.jaccardPairs(deltaSets.select(col("id"), col("ts")),
+          threshold = 0.9)
         .select("a_id", "b_id")
       Dedup.incrementalClusters(baseLabels, delta.select("doc_id"),
         cross.unionByName(inner))
@@ -287,6 +296,41 @@ object DedupOps {
           graft.operators.Manifest.read(s, setsT, 2), t,
           basePrefixes = Some(graft.operators.Manifest.read(s, prefT, 2)))
         .select(col("a_id").as("delta_id"), col("b_id").as("base_id"))
+    }),
+
+    // Incremental dedup against a PERSISTED LSH BUCKET index — the
+    // APPROXIMATE twin of q415's exact prefix index, and the 100 TB
+    // path for LOW thresholds: the exact AllPairs prefix grows as τ
+    // drops (τ→0 indexes whole documents), while the LSH index is
+    // O(bands) longs per doc at ANY threshold, recall following the
+    // band curve. The standing corpus commits its shingle sets and
+    // band-bucket rows once (Manifest tables, base + day-1 appends);
+    // the day-2 batch pays its own shingling + signatures, joins its
+    // bucket rows against the STORED index, and exact-verifies
+    // candidates at Jaccard ≥ 0.4 — identical candidates to running
+    // q36's self-join over base ∪ delta and keeping cross pairs
+    // (signatures are per-doc; DedupSpec A/Bs the equality through
+    // a parquet round trip). Approximate (LSH) → rows-only gate.
+    "q480_lsh_indexed_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val root = freshScratch("q480", d)
+      val setsT = s"$root/sets"; val bktT = s"$root/buckets"
+      val docs = Tables(s, d).documents
+      def sets(f: org.apache.spark.sql.Column) =
+        Dedup.jaccardSets(docs.filter(f), "doc_id", "text", 2)
+      val b0 = sets(col("doc_id") % 5 <= 1)
+      graft.operators.Manifest.commitAdd(b0, setsT, "base")
+      graft.operators.Manifest.commitAdd(
+        Dedup.minHashBuckets(b0, "ts"), bktT, "base")
+      val b1 = sets(col("doc_id") % 5 === 2 || col("doc_id") % 5 === 3)
+      graft.operators.Manifest.commitAdd(b1, setsT, "day1")
+      graft.operators.Manifest.commitAdd(
+        Dedup.minHashBuckets(b1, "ts"), bktT, "day1")
+      val ds = sets(col("doc_id") % 5 === 4)
+      Dedup.crossMinHashLsh(ds,
+          graft.operators.Manifest.read(s, setsT, 2), threshold = 0.4,
+          baseBuckets = Some(graft.operators.Manifest.read(s, bktT, 2)))
+        .select(col("a_id").as("delta_id"), col("b_id").as("base_id"))
     })
   )
 
@@ -298,11 +342,7 @@ object DedupOps {
     val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-$tag-" + Integer.toHexString(d.hashCode) +
         "-p" + ProcessHandle.current().pid())
-    if (java.nio.file.Files.exists(p)) {
-      val it = java.nio.file.Files.walk(p).sorted(
-        java.util.Comparator.reverseOrder[java.nio.file.Path]()).iterator()
-      while (it.hasNext) java.nio.file.Files.delete(it.next())
-    }
+    graft.util.Fs.deleteRecursively(p)
     p.toString
   }
 

@@ -6303,11 +6303,7 @@ object EtlOps {
     val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-$tag-" + Integer.toHexString(d.hashCode) +
         "-p" + ProcessHandle.current().pid())
-    if (java.nio.file.Files.exists(p)) {
-      val it = java.nio.file.Files.walk(p).sorted(
-        java.util.Comparator.reverseOrder[java.nio.file.Path]()).iterator()
-      while (it.hasNext) java.nio.file.Files.delete(it.next())
-    }
+    graft.util.Fs.deleteRecursively(p)
     p.toString
   }
 

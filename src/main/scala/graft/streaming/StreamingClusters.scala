@@ -81,13 +81,8 @@ object StreamingClusters {
     */
   private def appendOnce(df: DataFrame, root: String, tag: String): Unit =
     if (!Manifest.tagApplied(root, tag)) {
-      val target = java.nio.file.Paths.get(root, "files", s"$tag-data")
-      if (java.nio.file.Files.exists(target))
-        scala.util.Using.resource(java.nio.file.Files.walk(target)) { st =>
-          val it = st.sorted(
-            java.util.Comparator.reverseOrder[java.nio.file.Path]()).iterator()
-          while (it.hasNext) java.nio.file.Files.delete(it.next())
-        }
+      graft.util.Fs.deleteRecursively(
+        java.nio.file.Paths.get(root, "files", s"$tag-data"))
       Manifest.commitAdd(df, root, s"$tag-data")
       ()
     }
