@@ -105,7 +105,6 @@ object Dedup {
       numPerm: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
-    val rowsPerBand = numPerm / bands
     // shingle arrays feed both the banding branch and the verify
     // branch — persist so the (string-heavy) shingling runs once;
     // sorted so the verify stage can merge-walk instead of hash-set
@@ -113,7 +112,6 @@ object Dedup {
       col(idCol).as("id"),
       array_sort(shingleHashes(col(textCol), shingleN)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = shingleSets.withColumn("mh", minHashSignature(col("sh"), numPerm))
 
     // band hash: one bucket key per band over its signature slice.
     // Candidate generation carries ONLY (band, bucket, id) — the
@@ -121,11 +119,7 @@ object Dedup {
     // they are re-joined for the (much smaller) verify stage. At
     // scale this is the difference between shuffling ids and
     // shuffling the corpus.
-    val banded = sig.select(col("id"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64((0 until rowsPerBand).map(r =>
-          element_at(col("mh"), b * rowsPerBand + r + 1)): _*)
-      }: _*)).as(Seq("band", "bucket")))
+    val banded = minHashBuckets(shingleSets, "sh", numPerm, bands)
 
     val a = banded.select(col("band"), col("bucket"), col("id").as("a_id"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("b_id"))
@@ -148,6 +142,85 @@ object Dedup {
       .localCheckpoint()
     shingleSets.unpersist()
     verified
+  }
+
+  /** Banded LSH bucket rows `(id, band, bucket)` of a shingle-set
+    * frame — the PERSISTED INDEX UNIT of the minhash family (the
+    * [[jaccardPrefixes]] analog for the approximate path): a
+    * standing corpus materializes these once (e.g. a [[Manifest]]
+    * table, O(bands) longs per doc regardless of threshold), and an
+    * incremental probe shuffles only its own batch's bucket rows
+    * against the stored index. Bucket key = xxhash64 over the band's
+    * signature slice (`numPerm / bands` minhash values); shared by
+    * the self-join ([[minHashLsh]]) and the cross probe
+    * ([[crossMinHashLsh]]) so index build and probe can never
+    * diverge.
+    */
+  def minHashBuckets(
+      sets: DataFrame,
+      setCol: String,
+      numPerm: Int = 32,
+      bands: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    require(bands >= 1 && numPerm % bands == 0,
+      s"minHashBuckets: bands=$bands must divide numPerm=$numPerm")
+    val rowsPerBand = numPerm / bands
+    sets.select(col("id"),
+        minHashSignature(col(setCol), numPerm, seed).as("mh"))
+      .select(col("id"),
+        posexplode(array((0 until bands).map { b =>
+          xxhash64((0 until rowsPerBand).map(r =>
+            element_at(col("mh"), b * rowsPerBand + r + 1)): _*)
+        }: _*)).as(Seq("band", "bucket")))
+  }
+
+  /** Incremental MinHash-LSH dedup probe against a PERSISTED
+    * band-bucket index — the APPROXIMATE twin of the exact
+    * prefix-index probe ([[crossJaccardPairsPre]] / q415): a daily
+    * batch checks the standing corpus by joining its own bucket rows
+    * against the STORED index on (band, bucket), then exact-verifies
+    * candidates at Jaccard ≥ `threshold` on the sorted shingle sets
+    * (the delta's computed here, the base's read from storage).
+    *
+    * Why both twins exist: the exact prefix index is lossless but
+    * its prefix length grows as the threshold drops (τ → 0 indexes
+    * whole documents and candidates degenerate); the LSH index is
+    * O(bands) rows per doc AT ANY THRESHOLD with recall following
+    * the band curve — the production trade for low-τ dedup over
+    * 100 TB. Candidates here are IDENTICAL to running [[minHashLsh]]
+    * over base ∪ delta and keeping cross pairs (signatures and band
+    * keys are per-doc), so the cross probe loses nothing vs the
+    * batch self-join — spec-A/B'd, through a parquet round trip.
+    *
+    * Inputs are [[jaccardSets]] frames (id, ts, n); `baseBuckets`
+    * (from [[minHashBuckets]] with THE SAME numPerm/bands/seed) can
+    * come from storage. Output: (a_id ∈ delta, b_id ∈ base).
+    */
+  def crossMinHashLsh(
+      deltaSets: DataFrame,
+      baseSets: DataFrame,
+      threshold: Double,
+      numPerm: Int = 32,
+      bands: Int = 8,
+      baseBuckets: Option[DataFrame] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccard threshold must be in (0, 1], got $threshold")
+    val dBuckets = minHashBuckets(deltaSets, "ts", numPerm, bands)
+    val bBuckets = baseBuckets.getOrElse(
+      minHashBuckets(baseSets, "ts", numPerm, bands))
+    val cand = dBuckets.select(col("band"), col("bucket"), col("id").as("a_id"))
+      .join(bBuckets.select(col("band"), col("bucket"), col("id").as("b_id")),
+        Seq("band", "bucket"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(deltaSets.select(col("id").as("a_id"), col("ts").as("ta"),
+        col("n").as("na")), "a_id")
+      .join(baseSets.select(col("id").as("b_id"), col("ts").as("tb"),
+        col("n").as("nb")), "b_id")
+      .withColumn("c", sortedIntersectCount(col("ta"), col("tb")))
+      .filter(col("c").cast("double") /
+        (col("na") + col("nb") - col("c")).cast("double") >= threshold)
+      .select(col("a_id"), col("b_id"))
   }
 
   /** 64-bit SimHash fingerprint of the token multiset: bit k is the

@@ -32,17 +32,21 @@ class EntrySpec extends AnyFunSuite {
     // so a silently DROPPED oracled query would not have failed the
     // suite. Keep in sync with CLAUDE.md's inventory note — a new
     // query bumps this in the SAME commit.
-    assert(SparkEntry.queries.size == 479,
-      s"query inventory drifted: ${SparkEntry.queries.size} (expected 479)")
+    assert(SparkEntry.queries.size == 480,
+      s"query inventory drifted: ${SparkEntry.queries.size} (expected 480)")
   }
 
   test("rows-only queries are exactly the approximate / non-SQL-expressible ops") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep this count in sync with CLAUDE.md's inventory note
-    assert(rowsOnly.size == 24, s"rows-only count drifted: ${rowsOnly.size}")
+    assert(rowsOnly.size == 25, s"rows-only count drifted: ${rowsOnly.size}")
     assert(rowsOnly == Set("q36_minhash_lsh", "q37_simhash",
       "q38_ngram_jaccard", "q42_ann_lsh", "q43_winnow_fp", "q44_ann_ivf",
       "q48_source_signatures", "q59_corpus_clean",
+      // LSH-indexed incremental dedup: candidates follow the minhash
+      // band curve (approximate); DedupSpec A/Bs the probe against
+      // the union self-join's cross pairs through a parquet round trip
+      "q480_lsh_indexed_dedup",
       // deterministic but an iterative stateful fold — no SQL oracle;
       // BpeTrainSpec proves train AND encode against a reference
       // implementation

@@ -483,6 +483,20 @@ class PlanSpec extends AnyFunSuite {
       s"index must read from the scratch manifest tables:\n${p.take(900)}")
   }
 
+  test("q480: the LSH probe signatures the delta only — buckets and sets come from stored parquet") {
+    val df = SparkEntry.queries("q480_lsh_indexed_dedup")(spark, sf)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // documents appears only for the DELTA batch (bucket leg + verify
+    // leg of the same small frame); the base corpus must come from
+    // the persisted bucket index + set frame, never be re-signatured
+    val docScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("documents"))
+    assert(docScans <= 2,
+      s"base corpus must not be re-scanned, got $docScans documents scans:\n${p.take(900)}")
+    assert(p.contains("graft-q480"),
+      s"index must read from the scratch manifest tables:\n${p.take(900)}")
+  }
+
   test("q430: incremental ER joins are all equi — master×master never forms") {
     val p = plan("q430_incremental_er")
     assert(!p.contains("CartesianProduct"),

@@ -234,7 +234,8 @@ class ReproSpec extends AnyFunSuite {
     "q476_incremental_clusters", // contraction fold == from-scratch CC
     "q477_multiprobe_lsh",  // margin-ordered probe fan-out, exact rerank
     "q478_stream_clusters", // streaming contraction fold, full oracle
-    "q479_span_excise"      // cleaned corpus after repeated-span removal
+    "q479_span_excise",     // cleaned corpus after repeated-span removal
+    "q480_lsh_indexed_dedup" // persisted LSH bucket-index probe
   )
 
   representatives.foreach { name =>

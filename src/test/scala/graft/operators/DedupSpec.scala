@@ -339,6 +339,35 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH bucket-index probe (parquet round-trip) ≡ minHashLsh on the union restricted to cross pairs") {
+    // the approximate twin of the prefix-index probe above (q480):
+    // signatures and band keys are per-doc, so probing a STORED
+    // bucket index with the delta's buckets forms exactly the cross
+    // candidates the union self-join would — and the exact-Jaccard
+    // verify makes the outputs equal, through a parquet round trip
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val delta = docs.filter(col("doc_id") % 5 === 4)
+    val base = docs.filter(col("doc_id") % 5 =!= 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshidx").toString
+    val bs = Dedup.jaccardSets(base, "doc_id", "text", 2)
+    bs.write.parquet(s"$dir/sets")
+    Dedup.minHashBuckets(bs, "ts").write.parquet(s"$dir/buckets")
+    val ds = Dedup.jaccardSets(delta, "doc_id", "text", 2)
+    val got = Dedup.crossMinHashLsh(ds,
+        spark.read.parquet(s"$dir/sets"), threshold = 0.4,
+        baseBuckets = Some(spark.read.parquet(s"$dir/buckets")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = Dedup.minHashLsh(docs, "doc_id", "text",
+        shingleN = 2, numPerm = 32, bands = 8, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (all ++ all.map(_.swap))
+      .filter { case (a, b) => a % 5 == 4 && b % 5 != 4 }.toSet
+    assert(got.nonEmpty && got == want,
+      s"got=${got.size} want=${want.size} " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("crossJaccardPairs ≡ union self-join restricted to cross pairs") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
