@@ -328,6 +328,23 @@ object Dedup {
     out
   }
 
+  /** Pigeonhole chunk rows `(id, fp, chunk, ckey)` of a fingerprint
+    * frame — the Hamming family's index unit (the [[minHashBuckets]]
+    * analog): `maxHamming + 1` disjoint bit chunks per fingerprint,
+    * candidates form wherever a chunk key matches. Shared by the
+    * self-join ([[hammingPairs64]]) and the cross probe
+    * ([[crossHammingPairs64]]).
+    */
+  private def hammingChunkRows64(fps: DataFrame, maxHamming: Int): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val baseMask = if (bitsPer == 64) -1L else (1L << bitsPer) - 1
+    fps.select(col("id"), col("fp"),
+      posexplode(array((0 until chunks).map { c =>
+        col("fp").bitwiseAND(lit(baseMask << (c * bitsPer)))
+      }: _*)).as(Seq("chunk", "ckey")))
+  }
+
   /** The pigeonhole chunk-equality candidate join of
     * [[hammingPairs64]] over DISTINCT fingerprints `(id, fp)` —
     * exposed separately (the allPairsCandidates pattern) so specs
@@ -337,18 +354,77 @@ object Dedup {
     */
   private[graft] def hammingCandidates64(
       dfps: DataFrame, maxHamming: Int): DataFrame = {
-    val chunks = maxHamming + 1
-    val bitsPer = 64 / chunks
-    val baseMask = if (bitsPer == 64) -1L else (1L << bitsPer) - 1
-    val chunked = dfps.select(col("id"), col("fp"),
-      posexplode(array((0 until chunks).map { c =>
-        col("fp").bitwiseAND(lit(baseMask << (c * bitsPer)))
-      }: _*)).as(Seq("chunk", "ckey")))
+    val chunked = hammingChunkRows64(dfps, maxHamming)
     val a = chunked.select(col("chunk"), col("ckey"), col("id").as("a_id"), col("fp").as("fpa"))
     val b = chunked.select(col("chunk"), col("ckey"), col("id").as("b_id"), col("fp").as("fpb"))
     a.join(b, Seq("chunk", "ckey"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id", "fpa", "fpb").distinct()
+  }
+
+  /** The PERSISTED Hamming index of a fingerprint corpus `(id, fp)`:
+    * chunk rows over the DISTINCT fingerprints (min-id representative
+    * each — the identical-fp collapse, so a dup-heavy media corpus
+    * stores and probes O(distinct) rows) plus the (rep, id) member
+    * table verdicts expand through. Both frames are plain columnar
+    * rows — materialize them once (e.g. [[Manifest]] tables) and
+    * every later probe reads the index instead of re-fingerprinting
+    * the corpus.
+    */
+  final case class HammingIndex64(chunks: DataFrame, members: DataFrame)
+
+  def hammingIndex64(fps: DataFrame, maxHamming: Int): HammingIndex64 = {
+    val chunks = maxHamming + 1
+    require(chunks >= 1 && 64 % chunks == 0,
+      s"hammingIndex64: maxHamming + 1 = $chunks must divide 64 " +
+        "(maxHamming in 0/1/3/7/15/31/63)")
+    val reps = Collapse.byValue(fps, "fp", "id")
+    HammingIndex64(hammingChunkRows64(reps.distinct, maxHamming),
+      reps.members)
+  }
+
+  /** Cross-side Hamming pairs between a DELTA fingerprint frame
+    * `(id, fp)` and a standing BASE corpus's [[hammingIndex64]] —
+    * the incremental probe of the Hamming family (the
+    * q406/q415/q480 delta-vs-base discipline applied to SimHash
+    * text and dHash media fingerprints): a daily batch checks the
+    * corpus WITHOUT re-pairing base×base, and the base index can
+    * come from storage (built at the SAME maxHamming — a stored
+    * chunk cover is only valid at its own radius). The delta side
+    * collapses identical fingerprints in-probe; verdicts expand
+    * cross-side on both member tables (identical fps ⇒ identical
+    * XOR — exactness preserved, candidate cost
+    * O(distinct_delta × colliding distinct_base)). Delta and base
+    * id spaces must be disjoint (new arrivals). Output:
+    * (a_id ∈ delta, b_id ∈ base) — EQUAL to the brute-force cross
+    * Hamming join at ≤ `maxHamming` (spec-pinned).
+    */
+  def crossHammingPairs64(
+      deltaFps: DataFrame,
+      base: HammingIndex64,
+      maxHamming: Int): DataFrame = {
+    val chunks = maxHamming + 1
+    require(chunks >= 1 && 64 % chunks == 0,
+      s"crossHammingPairs64: maxHamming + 1 = $chunks must divide 64 " +
+        "(maxHamming in 0/1/3/7/15/31/63)")
+    val dReps = Collapse.byValue(deltaFps, "fp", "id").labeled
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dChunks = hammingChunkRows64(
+      dReps.filter(col("id") === col("rep")).select(col("id"), col("fp")),
+      maxHamming)
+    val verifiedReps = dChunks
+      .select(col("chunk"), col("ckey"), col("id").as("a_id"), col("fp").as("fpa"))
+      .join(base.chunks.select(col("chunk"), col("ckey"),
+        col("id").as("b_id"), col("fp").as("fpb")), Seq("chunk", "ckey"))
+      .select("a_id", "b_id", "fpa", "fpb").distinct()
+      .filter(bit_count(col("fpa").bitwiseXOR(col("fpb"))) <= maxHamming)
+    val out = verifiedReps
+      .join(dReps.select(col("rep").as("a_id"), col("id").as("__da")), "a_id")
+      .join(base.members.select(col("rep").as("b_id"), col("id").as("__db")), "b_id")
+      .select(col("__da").as("a_id"), col("__db").as("b_id"))
+      .localCheckpoint() // see minHashLsh: materialize + GC-cleanable
+    dReps.unpersist()
+    out
   }
 
   /** Winnowing fingerprint (rolling-hash document sketch): the k

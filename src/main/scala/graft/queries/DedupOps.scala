@@ -70,11 +70,13 @@ object DedupOps {
           array_sort(transform(array_distinct(split(col("text"), " ")),
             t => xxhash64(t))).as("ts"))
           .withColumn("n", size(col("ts")))
-          // tokenizing + hashing is the CPU tail of this query and
           // each frame feeds TWO pair passes (base: the day-1 build +
-          // the cross probe; delta: the cross probe + its self-join)
-          // — materialize once (r13 bench finding: the query shingled
-          // everything twice)
+          // the cross probe; delta: the cross probe + its self-join) —
+          // materialize once so tokenize+hash never re-runs. At sf0.1
+          // the query's ~15 s is the serial ACTION chain (two full
+          // clustering pipelines, each CC round checkpointing), not
+          // shingling — this keeps the scan count honest, it is not
+          // the wall-clock lever
           .localCheckpoint()
       val base = docs.filter(col("doc_id") % 5 =!= 4)
       val delta = docs.filter(col("doc_id") % 5 === 4)

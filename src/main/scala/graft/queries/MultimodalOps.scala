@@ -73,6 +73,49 @@ object MultimodalOps {
         "doc_id", "payload", maxHamming = 3)
     }),
 
+    // INCREMENTAL perceptual dedup — the delta-vs-base discipline
+    // (q406 exact text / q480 LSH text) applied to MEDIA: the
+    // standing corpus fingerprints ONCE into a persisted Hamming
+    // index (chunk rows over DISTINCT fingerprints — the identical-
+    // fp collapse keeps a dup-heavy media corpus's index O(distinct)
+    // — plus the member table, both Manifest tables here); a daily
+    // media batch pays dHash for its own payloads alone and probes
+    // the STORED chunks. Plants single-byte re-encodes of standing
+    // items (id offset 10M) so cross pairs exist by construction —
+    // each lands at Hamming ≤ 2 of its base twin. Fingerprints
+    // summarize payloads (approximate by construction) → rows-only;
+    // DedupSpec pins probe ≡ brute-force cross Hamming join through
+    // a parquet round trip.
+    "q481_perceptual_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val root = freshScratch("q481", d)
+      val docs = Tables(s, d).documents
+      val basePayloads = docs.filter(col("doc_id") % 5 =!= 4)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val baseFps = TextOps.parallelized(basePayloads)
+        .select(col("doc_id").as("id"),
+          Multimodal.dHash(col("payload")).as("fp"))
+      val idx = graft.operators.Dedup.hammingIndex64(baseFps, maxHamming = 3)
+      graft.operators.Manifest.commitAdd(idx.chunks, s"$root/chunks", "base")
+      graft.operators.Manifest.commitAdd(idx.members, s"$root/members", "base")
+      val delta = docs.filter(col("doc_id") % 5 === 4)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .unionByName(docs
+          .filter(col("doc_id") < 100 && col("doc_id") % 5 =!= 4)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(lit("~"), expr("substring(text, 2)"))
+              .cast("binary").as("payload")))
+      val deltaFps = TextOps.parallelized(delta)
+        .select(col("doc_id").as("id"),
+          Multimodal.dHash(col("payload")).as("fp"))
+      graft.operators.Dedup.crossHammingPairs64(deltaFps,
+          graft.operators.Dedup.HammingIndex64(
+            graft.operators.Manifest.read(s, s"$root/chunks", 1),
+            graft.operators.Manifest.read(s, s"$root/members", 1)),
+          maxHamming = 3)
+        .select(col("a_id").as("delta_id"), col("b_id").as("base_id"))
+    }),
+
     // Modality-balanced batch packing — multimodal training wants
     // every batch at a FIXED modality ratio (3 text : 1 image here;
     // modality tag derived deterministically, doc_id % 4 = 0 →
@@ -143,4 +186,15 @@ object MultimodalOps {
                   AS slot
          FROM r"""
   )
+
+  /** PID-scoped scratch (the DedupOps.freshScratch pattern): wiped
+    * per run so verify/bench re-runs start from empty tables.
+    */
+  private def freshScratch(tag: String, d: String): String = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-$tag-" + Integer.toHexString(d.hashCode) +
+        "-p" + ProcessHandle.current().pid())
+    graft.util.Fs.deleteRecursively(p)
+    p.toString
+  }
 }

@@ -169,6 +169,7 @@ object DumpPlans {
     "q414_coverage_select" -> "greedy coverage selection: per round ONE anti-join + aggregate over the persisted (doc, token)-distinct frame; covered vocab is K docs' tokens (broadcast-sized), picked list is K driver ids — never quadratic, never a corpus collect",
     "q415_indexed_dedup" -> "indexed incremental dedup: the day-2 probe shingles ITS batch alone, candidates come from the parquet-stored AllPairs prefix index (PlanSpec pins no corpus re-scan); daily cost O(batch) + index scan, exactness via the merge-walk verify",
     "q480_lsh_indexed_dedup" -> "LSH-indexed incremental dedup: the probe's band-bucket rows equi-join the parquet-stored bucket index (O(bands) rows/doc at any threshold); exact-Jaccard verify joins the stored set frame for candidates only",
+    "q481_perceptual_incremental" -> "incremental perceptual dedup: the delta batch dHashes its own payloads, chunk rows equi-join the parquet-stored Hamming index (distinct fingerprints only — the collapse), exact bit_count verify, verdicts expand through both member tables",
     "q416_spatial_join" -> "2-D spatial join: points keyed by grid cell (the only shuffle), one side fanned to 9 neighbor cells by a broadcast offset spine — candidates form in a pure (cx,cy) equi-join, exact integer dx²+dy² filter streams inside it; never a cartesian",
     "q417_spatial_clusters" -> "DBSCAN(eps=3000, minPts=2): the density-bounded grid pair join feeds the shared min-label CC propagation (checkpointed lineage); noise drops via the size filter — no pair-space materialization beyond the threshold survivors",
     "q418_evolving_maintenance" -> "schema evolution under maintenance: old members never rewrite when a column arrives; the COW delete probes/rewrites members INDIVIDUALLY under their own schema; readEvolved merges footers at metadata-scale and gen-1 rows surface NULL",

@@ -32,14 +32,14 @@ class EntrySpec extends AnyFunSuite {
     // so a silently DROPPED oracled query would not have failed the
     // suite. Keep in sync with CLAUDE.md's inventory note — a new
     // query bumps this in the SAME commit.
-    assert(SparkEntry.queries.size == 480,
-      s"query inventory drifted: ${SparkEntry.queries.size} (expected 480)")
+    assert(SparkEntry.queries.size == 481,
+      s"query inventory drifted: ${SparkEntry.queries.size} (expected 481)")
   }
 
   test("rows-only queries are exactly the approximate / non-SQL-expressible ops") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep this count in sync with CLAUDE.md's inventory note
-    assert(rowsOnly.size == 25, s"rows-only count drifted: ${rowsOnly.size}")
+    assert(rowsOnly.size == 26, s"rows-only count drifted: ${rowsOnly.size}")
     assert(rowsOnly == Set("q36_minhash_lsh", "q37_simhash",
       "q38_ngram_jaccard", "q42_ann_lsh", "q43_winnow_fp", "q44_ann_ivf",
       "q48_source_signatures", "q59_corpus_clean",
@@ -94,7 +94,11 @@ class EntrySpec extends AnyFunSuite {
       // perceptual dHash summarizes payloads (approximate by
       // construction); PerceptualDedupSpec pins planted recall,
       // brute-force equality and layout determinism
-      "q471_perceptual_neardup"))
+      "q471_perceptual_neardup",
+      // the incremental twin probes a stored Hamming index — same
+      // dHash approximation; DedupSpec pins probe ≡ brute-force
+      // cross join through a parquet round trip
+      "q481_perceptual_incremental"))
   }
 
   /** ONE shared pass over the full inventory at sf0.001: per-query

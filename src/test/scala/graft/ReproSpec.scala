@@ -235,7 +235,8 @@ class ReproSpec extends AnyFunSuite {
     "q477_multiprobe_lsh",  // margin-ordered probe fan-out, exact rerank
     "q478_stream_clusters", // streaming contraction fold, full oracle
     "q479_span_excise",     // cleaned corpus after repeated-span removal
-    "q480_lsh_indexed_dedup" // persisted LSH bucket-index probe
+    "q480_lsh_indexed_dedup", // persisted LSH bucket-index probe
+    "q481_perceptual_incremental" // stored-Hamming-index media probe
   )
 
   representatives.foreach { name =>

@@ -465,6 +465,46 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.size == 1000L * 999 / 2 + 1000 + 1)
   }
 
+  test("crossHammingPairs64 against a stored index ≡ brute-force cross Hamming join, dup-collapsed") {
+    // base: a 300-copy duplicate block + distinct fps; delta: a twin
+    // at Hamming 1 of the block, 200 copies of one far fp, a twin of
+    // a distinct base fp, and an unrelated fp. The stored index must
+    // be distinct-sized (the collapse) and the probe must equal the
+    // brute-force cross join exactly, through a parquet round trip.
+    val blockFp = 0x5a5a5a5a5a5a5a5aL
+    val farFp = 0x0123456789abcdefL
+    val baseFps = ((0L until 300L).map(i => (i, blockFp)) ++
+      Seq((300L, farFp), (301L, 0x7777777777777777L)))
+      .toDF("id", "fp")
+    val deltaFps = ((1000L until 1200L).map(i => (i, 0x1111111111111111L)) ++
+      Seq((1200L, blockFp ^ 1L),      // Hamming 1 from the 300-block
+        (1201L, farFp ^ 0x30L),       // Hamming 2 from base 300
+        (1202L, 0x2222222222222222L)))
+      .toDF("id", "fp")
+    val idx = Dedup.hammingIndex64(baseFps, maxHamming = 3)
+    assert(idx.chunks.count() == 3 * 4,
+      "the stored index must hold chunk rows for DISTINCT fps only")
+    val dir = java.nio.file.Files.createTempDirectory("graft-hamidx").toString
+    idx.chunks.write.parquet(s"$dir/chunks")
+    idx.members.write.parquet(s"$dir/members")
+    val got = Dedup.crossHammingPairs64(deltaFps,
+        Dedup.HammingIndex64(spark.read.parquet(s"$dir/chunks"),
+          spark.read.parquet(s"$dir/members")), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = baseFps.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dl = deltaFps.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (da, fa) <- dl; (db, fb) <- b
+      if java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (da, db)).toSet
+    assert(got == brute,
+      s"cross probe != brute force: missing=${(brute -- got).take(3)} " +
+        s"extra=${(got -- brute).take(3)} sizes ${got.size}/${brute.size}")
+    // shape of the truth: 1200 pairs with all 300 block copies;
+    // 1201 pairs with 300 alone
+    assert(brute.count(_._1 == 1200L) == 300 && brute.contains((1201L, 300L)))
+  }
+
   test("hammingPairs64 candidate tripwire fires on degenerate DISTINCT fps, silent on benign ones") {
     // 100 distinct fps differing only inside chunk 0: chunks 1-3 are
     // identical for every pair, so the blocking degenerates to
