@@ -174,6 +174,31 @@ object Dedup {
         }: _*)).as(Seq("band", "bucket")))
   }
 
+  /** A band-bucket index TOGETHER with the parameters it was built
+    * under — the reconstruction contract for a PERSISTED index: the
+    * bucket rows are meaningless without (numPerm, bands, seed), and
+    * a probe that recomputes delta buckets under different values
+    * would silently produce near-zero candidates (band slice hashes
+    * differ for every doc). Carrying the parameters in the handle
+    * makes the probe derive them from the index — they cannot
+    * diverge in-process; a caller reconstructing from storage states
+    * them once, next to the frame they describe.
+    */
+  final case class LshBucketIndex(
+      buckets: DataFrame, numPerm: Int, bands: Int, seed: Long)
+
+  /** Build the [[LshBucketIndex]] of a [[jaccardSets]] frame (the
+    * persisted form is `buckets` written out plus the three
+    * parameters recorded alongside — they are part of the index).
+    */
+  def lshBucketIndex(
+      sets: DataFrame,
+      numPerm: Int = 32,
+      bands: Int = 8,
+      seed: Long = 42L): LshBucketIndex =
+    LshBucketIndex(minHashBuckets(sets, "ts", numPerm, bands, seed),
+      numPerm, bands, seed)
+
   /** Incremental MinHash-LSH dedup probe against a PERSISTED
     * band-bucket index — the APPROXIMATE twin of the exact
     * prefix-index probe ([[crossJaccardPairsPre]] / q415): a daily
@@ -192,22 +217,21 @@ object Dedup {
     * keys are per-doc), so the cross probe loses nothing vs the
     * batch self-join — spec-A/B'd, through a parquet round trip.
     *
-    * Inputs are [[jaccardSets]] frames (id, ts, n); `baseBuckets`
-    * (from [[minHashBuckets]] with THE SAME numPerm/bands/seed) can
-    * come from storage. Output: (a_id ∈ delta, b_id ∈ base).
+    * Inputs are [[jaccardSets]] frames (id, ts, n); the delta's
+    * buckets are derived under the INDEX's own parameters, so probe
+    * and index can never disagree. Output: (a_id ∈ delta,
+    * b_id ∈ base).
     */
   def crossMinHashLsh(
       deltaSets: DataFrame,
       baseSets: DataFrame,
       threshold: Double,
-      numPerm: Int = 32,
-      bands: Int = 8,
-      baseBuckets: Option[DataFrame] = None): DataFrame = {
+      index: LshBucketIndex): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccard threshold must be in (0, 1], got $threshold")
-    val dBuckets = minHashBuckets(deltaSets, "ts", numPerm, bands)
-    val bBuckets = baseBuckets.getOrElse(
-      minHashBuckets(baseSets, "ts", numPerm, bands))
+    val dBuckets = minHashBuckets(deltaSets, "ts",
+      index.numPerm, index.bands, index.seed)
+    val bBuckets = index.buckets
     val cand = dBuckets.select(col("band"), col("bucket"), col("id").as("a_id"))
       .join(bBuckets.select(col("band"), col("bucket"), col("id").as("b_id")),
         Seq("band", "bucket"))
@@ -365,22 +389,33 @@ object Dedup {
   /** The PERSISTED Hamming index of a fingerprint corpus `(id, fp)`:
     * chunk rows over the DISTINCT fingerprints (min-id representative
     * each — the identical-fp collapse, so a dup-heavy media corpus
-    * stores and probes O(distinct) rows) plus the (rep, id) member
-    * table verdicts expand through. Both frames are plain columnar
-    * rows — materialize them once (e.g. [[Manifest]] tables) and
-    * every later probe reads the index instead of re-fingerprinting
-    * the corpus.
+    * stores and probes O(distinct) rows), the (rep, id) member table
+    * verdicts expand through, and the RADIUS the chunk cover was
+    * built at — a stored cover is only valid at its own maxHamming
+    * (different radii chunk different bit widths), so the radius is
+    * part of the index, not a probe-time argument. Both frames are
+    * plain columnar rows — materialize them once (e.g. [[Manifest]]
+    * tables) and every later probe reads the index instead of
+    * re-fingerprinting the corpus; record maxHamming alongside.
     */
-  final case class HammingIndex64(chunks: DataFrame, members: DataFrame)
+  final case class HammingIndex64(
+      chunks: DataFrame, members: DataFrame, maxHamming: Int)
 
   def hammingIndex64(fps: DataFrame, maxHamming: Int): HammingIndex64 = {
     val chunks = maxHamming + 1
     require(chunks >= 1 && 64 % chunks == 0,
       s"hammingIndex64: maxHamming + 1 = $chunks must divide 64 " +
         "(maxHamming in 0/1/3/7/15/31/63)")
-    val reps = Collapse.byValue(fps, "fp", "id")
-    HammingIndex64(hammingChunkRows64(reps.distinct, maxHamming),
-      reps.members)
+    // the labeled frame feeds BOTH outputs (chunks via the distinct
+    // reps, members) — materialize once, or each write action
+    // re-fingerprints the corpus and re-runs the value-keyed window
+    val labeled = Collapse.byValue(fps, "fp", "id").labeled
+      .localCheckpoint()
+    HammingIndex64(
+      hammingChunkRows64(labeled.filter(col("id") === col("rep"))
+        .select(col("id"), col("fp")), maxHamming),
+      labeled.select(col("rep"), col("id")),
+      maxHamming)
   }
 
   /** Cross-side Hamming pairs between a DELTA fingerprint frame
@@ -389,24 +424,41 @@ object Dedup {
     * q406/q415/q480 delta-vs-base discipline applied to SimHash
     * text and dHash media fingerprints): a daily batch checks the
     * corpus WITHOUT re-pairing base×base, and the base index can
-    * come from storage (built at the SAME maxHamming — a stored
-    * chunk cover is only valid at its own radius). The delta side
-    * collapses identical fingerprints in-probe; verdicts expand
-    * cross-side on both member tables (identical fps ⇒ identical
-    * XOR — exactness preserved, candidate cost
-    * O(distinct_delta × colliding distinct_base)). Delta and base
-    * id spaces must be disjoint (new arrivals). Output:
+    * come from storage. The probe's radius and chunking come FROM
+    * THE INDEX (they cannot diverge in-process); a 1-row sanity
+    * probe validates a storage-reconstructed index against its
+    * declared radius, since a wrong declaration silently drops true
+    * pairs. The delta side collapses identical fingerprints
+    * in-probe; verdicts expand cross-side on both member tables
+    * (identical fps ⇒ identical XOR — exactness preserved, candidate
+    * cost O(distinct_delta × colliding distinct_base)). Delta and
+    * base id spaces must be disjoint (new arrivals). Output:
     * (a_id ∈ delta, b_id ∈ base) — EQUAL to the brute-force cross
-    * Hamming join at ≤ `maxHamming` (spec-pinned).
+    * Hamming join at ≤ `base.maxHamming` (spec-pinned).
     */
   def crossHammingPairs64(
       deltaFps: DataFrame,
-      base: HammingIndex64,
-      maxHamming: Int): DataFrame = {
+      base: HammingIndex64): DataFrame = {
+    val maxHamming = base.maxHamming
     val chunks = maxHamming + 1
     require(chunks >= 1 && 64 % chunks == 0,
       s"crossHammingPairs64: maxHamming + 1 = $chunks must divide 64 " +
         "(maxHamming in 0/1/3/7/15/31/63)")
+    // storage-reconstruction guard: every stored chunk row must obey
+    // ckey == fp & mask(chunk) under THIS radius's masks, and carry
+    // chunk < chunks. One sampled row catches a mismatched
+    // declaration loudly instead of returning a near-empty result.
+    val bitsPer = 64 / chunks
+    val baseMask = if (bitsPer == 64) -1L else (1L << bitsPer) - 1
+    base.chunks.limit(1).collect().foreach { r =>
+      val c = r.getAs[Int]("chunk"); val fp = r.getAs[Long]("fp")
+      val ckey = r.getAs[Long]("ckey")
+      require(c >= 0 && c < chunks && ckey == (fp & (baseMask << (c * bitsPer))),
+        s"crossHammingPairs64: the stored index is inconsistent with " +
+          s"maxHamming=$maxHamming (sampled chunk=$c, ckey=$ckey, fp=$fp) — " +
+          "a chunk cover is only valid at the radius it was built at; " +
+          "reconstruct HammingIndex64 with the build-time maxHamming")
+    }
     val dReps = Collapse.byValue(deltaFps, "fp", "id").labeled
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dChunks = hammingChunkRows64(

@@ -248,20 +248,25 @@ object GraphAnn {
       cents: Array[Array[Float]]): DataFrame = {
     require(beam >= kOut, s"beamSearch: beam=$beam must be >= kOut=$kOut")
     require(hops >= 1, s"beamSearch: hops=$hops")
+    require(cents.nonEmpty,
+      "beamSearch: no centroids — an empty quantizer would silently " +
+        "return zero rows for every query")
     val vecs = emb.select(col(idCol).as("node"), col(vecCol).as("nv"))
     val queries = emb.join(queryIds, emb(idCol) === queryIds("query_id"))
       .select(col("query_id"), col(vecCol).as("qv"))
       .localCheckpoint() // broadcast side, scored against every visit
+    require(!queries.isEmpty, // cheap: the frame just materialized
+      "beamSearch: no query vectors — queryIds must exist in emb " +
+        "(a silent empty result would read as 'no neighbors')")
     // per-query entry: the min-id member of the query's nearest
     // coarse list. Queries are corpus vectors (the join above), so
     // each query's nearest list holds at least the query itself —
-    // never empty. listMin is nlist-sized; broadcast.
+    // never empty. listMin is nlist-sized; broadcast. The probe runs
+    // over the already-materialized queries frame — no second
+    // corpus-join.
     val listMin = Similarity.ivfIndex(emb, vecCol, cents)
       .groupBy(col("ivf_list")).agg(min(col(idCol)).as("node"))
-    val entries = ivfProbes(
-        emb.join(queryIds, emb(idCol) === queryIds("query_id"))
-          .select(col(idCol), col(vecCol)),
-        idCol, vecCol, cents, nprobe = 1)
+    val entries = ivfProbes(queries, "query_id", "qv", cents, nprobe = 1)
       .select(col("src").as("query_id"), col("ivf_list"))
       .join(broadcast(listMin), Seq("ivf_list"))
       .select(col("query_id"), col("node"))

@@ -323,15 +323,18 @@ object DedupOps {
       val b0 = sets(col("doc_id") % 5 <= 1)
       graft.operators.Manifest.commitAdd(b0, setsT, "base")
       graft.operators.Manifest.commitAdd(
-        Dedup.minHashBuckets(b0, "ts"), bktT, "base")
+        Dedup.lshBucketIndex(b0).buckets, bktT, "base")
       val b1 = sets(col("doc_id") % 5 === 2 || col("doc_id") % 5 === 3)
       graft.operators.Manifest.commitAdd(b1, setsT, "day1")
       graft.operators.Manifest.commitAdd(
-        Dedup.minHashBuckets(b1, "ts"), bktT, "day1")
+        Dedup.lshBucketIndex(b1).buckets, bktT, "day1")
       val ds = sets(col("doc_id") % 5 === 4)
+      // reconstruction states the build parameters NEXT TO the stored
+      // frame — the probe derives its own banding from them
       Dedup.crossMinHashLsh(ds,
           graft.operators.Manifest.read(s, setsT, 2), threshold = 0.4,
-          baseBuckets = Some(graft.operators.Manifest.read(s, bktT, 2)))
+          Dedup.LshBucketIndex(graft.operators.Manifest.read(s, bktT, 2),
+            numPerm = 32, bands = 8, seed = 42L))
         .select(col("a_id").as("delta_id"), col("b_id").as("base_id"))
     })
   )

@@ -34,14 +34,8 @@ object LakeOps {
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-$tag-" + Integer.toHexString(inputDir.hashCode)).toString
 
-  private def deleteRecursive(p: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
-    if (Files.isDirectory(p)) {
-      val children = Files.list(p)
-      try children.forEach(deleteRecursive(_)) finally children.close()
-    }
-    Files.deleteIfExists(p)
-  }
+  private def deleteRecursive(p: java.nio.file.Path): Unit =
+    graft.util.Fs.deleteRecursively(p) // ONE audited implementation
 
   /** List the data files of a staged landing dir (parquet parts only,
     * no _SUCCESS/CRC noise), as stable relative names.

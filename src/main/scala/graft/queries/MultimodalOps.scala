@@ -111,8 +111,8 @@ object MultimodalOps {
       graft.operators.Dedup.crossHammingPairs64(deltaFps,
           graft.operators.Dedup.HammingIndex64(
             graft.operators.Manifest.read(s, s"$root/chunks", 1),
-            graft.operators.Manifest.read(s, s"$root/members", 1)),
-          maxHamming = 3)
+            graft.operators.Manifest.read(s, s"$root/members", 1),
+            maxHamming = 3))
         .select(col("a_id").as("delta_id"), col("b_id").as("base_id"))
     }),
 

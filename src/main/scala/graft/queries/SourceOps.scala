@@ -35,16 +35,9 @@ object SourceOps {
     */
   private def clearStaleLocation(s: SparkSession, tbl: String): Unit =
     if (!s.catalog.tableExists(tbl)) {
-      val loc = java.nio.file.Paths.get(
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(
         s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
-        tbl.toLowerCase)
-      if (java.nio.file.Files.exists(loc)) {
-        import scala.jdk.CollectionConverters._
-        val all = java.nio.file.Files.walk(loc)
-        try all.iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-        finally all.close()
-      }
+        tbl.toLowerCase))
     }
 
   /** Explicit CSV read schema — header inference would cost an extra
@@ -126,16 +119,9 @@ object SourceOps {
       // construction: content-addressed name under the graft
       // warehouse in tmp)
       if (!s.catalog.tableExists(tbl)) {
-        val loc = java.nio.file.Paths.get(
+        graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(
           s.conf.get("spark.sql.warehouse.dir")
-            .stripPrefix("file:"), tbl.toLowerCase)
-        if (java.nio.file.Files.exists(loc)) {
-          import scala.jdk.CollectionConverters._
-          val all = java.nio.file.Files.walk(loc)
-          try all.iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-          finally all.close()
-        }
+            .stripPrefix("file:"), tbl.toLowerCase))
       }
       Tables(s, d).documents
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))

@@ -145,7 +145,8 @@ object VectorOps {
     // Graph ANN serving: greedy BEAM SEARCH over the q437 graph —
     // per query O(beam · hops · degree) candidates, independent of
     // list sizes (the latency-bound serving shape IVF trades away).
-    // Deterministic walk (min-id entry, (sim, id) orders, fixed
+    // Deterministic walk (per-query entry = the min-id member of the
+    // query's nearest coarse list — r13; (sim, id) orders, fixed
     // hops) but approximate end-to-end → rows-only; GraphAnnSpec
     // pins the recall floor vs exact cosine top-k.
     "q438_graph_ann" -> ((s, d) => {

@@ -48,10 +48,12 @@ import org.apache.spark.sql.streaming.Trigger
   * (idempotently — an orphan data dir from a crash between write and
   * publish is GC'd on retry), labels last. A crash after the
   * sets/prefix commit but before the labels commit re-runs the fold
-  * with the batch's own sets visible on the base side — harmless by
-  * construction: the extra candidate pairs are the batch's internal
-  * pairs (already unioned in) plus (x,x) self-loops, and connected
-  * components are invariant under duplicate edges and self-loops.
+  * with the batch's own rows already in the stored tables — the fold
+  * anti-joins its own ids out of the base side (broadcast,
+  * batch-sized), so the retry is BIT-IDENTICAL to the clean path:
+  * no self pairs, no duplicated batch-internal candidates, and an
+  * armed candidate tripwire sees clean-path counts (it can never
+  * wedge the drain on an inflated retry).
   *
   * The fold is bit-identical to a from-scratch run at every step
   * (the q476 contraction argument, applied inductively over
@@ -134,10 +136,23 @@ object StreamingClusters {
         // IS the corpus, so this too is batch-sized)
         Dedup.duplicateClusters(inner, bIds)
       } else {
+        // crash-window hygiene: if a prior attempt committed this
+        // batch's sets/prefixes before dying, the stored tables
+        // already CONTAIN the batch — anti-join the batch's own ids
+        // out of the base side (broadcast, batch-sized), so the
+        // retry's fold is BIT-IDENTICAL to the clean path: no self
+        // pairs, no duplicated batch-internal candidates, and an
+        // armed maxCandidateFactor can never wedge the drain on the
+        // inflated retry (it sees clean-path candidate counts). On
+        // the clean path the anti-join matches nothing and costs one
+        // broadcast probe.
+        val ownIds = bSets.select(col("id"))
         val baseSets = Manifest.read(spark, setsRoot,
-          Manifest.currentVersion(setsRoot))
+            Manifest.currentVersion(setsRoot))
+          .join(broadcast(ownIds), Seq("id"), "left_anti")
         val basePref = Manifest.read(spark, prefRoot,
-          Manifest.currentVersion(prefRoot))
+            Manifest.currentVersion(prefRoot))
+          .join(broadcast(ownIds), Seq("id"), "left_anti")
         val baseLabels = Manifest.read(spark, labRoot,
           Manifest.currentVersion(labRoot))
         val cross = Dedup.crossJaccardPairsPre(bSets, baseSets, threshold,

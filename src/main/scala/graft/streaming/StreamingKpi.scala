@@ -577,17 +577,10 @@ object StreamingKpi {
 
   private lazy val cleanupHookRegistered: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.nio.file.{Files, Path}
-      def rm(p: Path): Unit = {
-        if (Files.isDirectory(p)) {
-          val children = Files.list(p)
-          try children.forEach(rm(_)) finally children.close()
-        }
-        Files.deleteIfExists(p)
-      }
       var dir = scratchDirs.poll()
       while (dir != null) {
-        try rm(dir) catch { case _: java.io.IOException => () }
+        try graft.util.Fs.deleteRecursively(dir)
+        catch { case _: java.io.IOException => () }
         dir = scratchDirs.poll()
       }
     }))

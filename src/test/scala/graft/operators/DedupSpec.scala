@@ -352,11 +352,12 @@ class DedupSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft-lshidx").toString
     val bs = Dedup.jaccardSets(base, "doc_id", "text", 2)
     bs.write.parquet(s"$dir/sets")
-    Dedup.minHashBuckets(bs, "ts").write.parquet(s"$dir/buckets")
+    Dedup.lshBucketIndex(bs).buckets.write.parquet(s"$dir/buckets")
     val ds = Dedup.jaccardSets(delta, "doc_id", "text", 2)
     val got = Dedup.crossMinHashLsh(ds,
         spark.read.parquet(s"$dir/sets"), threshold = 0.4,
-        baseBuckets = Some(spark.read.parquet(s"$dir/buckets")))
+        Dedup.LshBucketIndex(spark.read.parquet(s"$dir/buckets"),
+          numPerm = 32, bands = 8, seed = 42L))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val all = Dedup.minHashLsh(docs, "doc_id", "text",
         shingleN = 2, numPerm = 32, bands = 8, threshold = 0.4)
@@ -489,7 +490,7 @@ class DedupSpec extends AnyFunSuite {
     idx.members.write.parquet(s"$dir/members")
     val got = Dedup.crossHammingPairs64(deltaFps,
         Dedup.HammingIndex64(spark.read.parquet(s"$dir/chunks"),
-          spark.read.parquet(s"$dir/members")), maxHamming = 3)
+          spark.read.parquet(s"$dir/members"), maxHamming = 3))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val b = baseFps.collect().map(r => (r.getLong(0), r.getLong(1)))
     val dl = deltaFps.collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -503,6 +504,23 @@ class DedupSpec extends AnyFunSuite {
     // shape of the truth: 1200 pairs with all 300 block copies;
     // 1201 pairs with 300 alone
     assert(brute.count(_._1 == 1200L) == 300 && brute.contains((1201L, 300L)))
+  }
+
+  test("a Hamming index reconstructed at the WRONG radius fails loudly") {
+    // a chunk cover is only valid at its build radius: radius-1
+    // chunks are 32-bit masks, radius-3 are 16-bit — probing the
+    // former as the latter would silently drop true pairs, so the
+    // 1-row sanity probe must reject the mismatched declaration
+    val idx = Dedup.hammingIndex64(
+      Seq((1L, 0x123456789abcdef1L), (2L, 0x7edc5ba398761432L))
+        .toDF("id", "fp"), maxHamming = 1)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.crossHammingPairs64(
+        Seq((10L, 0x123456789abcdef1L)).toDF("id", "fp"),
+        Dedup.HammingIndex64(idx.chunks, idx.members, maxHamming = 3))
+    }
+    assert(e.getMessage.contains("radius"),
+      s"expected the radius-mismatch guard, got: ${e.getMessage}")
   }
 
   test("hammingPairs64 candidate tripwire fires on degenerate DISTINCT fps, silent on benign ones") {

@@ -132,7 +132,12 @@ class StreamingClustersSpec extends AnyFunSuite {
     Manifest.commitAdd(bSets, s"$sCrash/sets", "b1-data")
     Manifest.commitAdd(Dedup.jaccardPrefixes(bSets, 0.9),
       s"$sCrash/prefixes", "b1-data")
-    StreamingClusters.foldBatch(spark, delta, sCrash, "b1", threshold = 0.9)
+    // the tripwire is ARMED on the retry: the batch's own ids are
+    // anti-joined out of the base side, so the retry sees clean-path
+    // candidate counts — a factor the clean path clears must never
+    // wedge the crashed drain (the r13 review finding)
+    StreamingClusters.foldBatch(spark, delta, sCrash, "b1", threshold = 0.9,
+      maxCandidateFactor = Some(50.0))
     val got = fp(Manifest.read(spark, s"$sCrash/labels",
       Manifest.currentVersion(s"$sCrash/labels")))
     assert(got == want,
