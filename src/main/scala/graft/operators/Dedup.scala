@@ -229,6 +229,15 @@ object Dedup {
       index: LshBucketIndex): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccard threshold must be in (0, 1], got $threshold")
+    // delta/base disjointness ENFORCED (the incrementalClusters
+    // discipline): an overlapping id would silently emit (x, x)
+    // self-verdicts into downstream dedup decisions. Broadcast the
+    // delta ids; the base side streams map-side.
+    require(baseSets.select(col("id"))
+        .join(broadcast(deltaSets.select(col("id")).distinct()),
+          Seq("id"), "left_semi").isEmpty,
+      "crossMinHashLsh: delta ids overlap base ids — delta must be " +
+        "NEW arrivals, or the probe would emit self-pairs")
     val dBuckets = minHashBuckets(deltaSets, "ts",
       index.numPerm, index.bands, index.seed)
     val bBuckets = index.buckets
@@ -432,9 +441,10 @@ object Dedup {
     * in-probe; verdicts expand cross-side on both member tables
     * (identical fps ⇒ identical XOR — exactness preserved, candidate
     * cost O(distinct_delta × colliding distinct_base)). Delta and
-    * base id spaces must be disjoint (new arrivals). Output:
-    * (a_id ∈ delta, b_id ∈ base) — EQUAL to the brute-force cross
-    * Hamming join at ≤ `base.maxHamming` (spec-pinned).
+    * base id spaces must be disjoint (new arrivals) — ENFORCED
+    * loudly. Output: (a_id ∈ delta, b_id ∈ base) — EQUAL to the
+    * brute-force cross Hamming join at ≤ `base.maxHamming`
+    * (spec-pinned).
     */
   def crossHammingPairs64(
       deltaFps: DataFrame,
@@ -459,6 +469,12 @@ object Dedup {
           "a chunk cover is only valid at the radius it was built at; " +
           "reconstruct HammingIndex64 with the build-time maxHamming")
     }
+    // delta/base disjointness ENFORCED (see crossMinHashLsh)
+    require(base.members.select(col("id"))
+        .join(broadcast(deltaFps.select(col("id")).distinct()),
+          Seq("id"), "left_semi").isEmpty,
+      "crossHammingPairs64: delta ids overlap the index's member ids — " +
+        "delta must be NEW arrivals, or the probe would emit self-pairs")
     val dReps = Collapse.byValue(deltaFps, "fp", "id").labeled
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dChunks = hammingChunkRows64(

@@ -328,7 +328,9 @@ object DedupOps {
       graft.operators.Manifest.commitAdd(b1, setsT, "day1")
       graft.operators.Manifest.commitAdd(
         Dedup.lshBucketIndex(b1).buckets, bktT, "day1")
-      val ds = sets(col("doc_id") % 5 === 4)
+      // batch-sized; feeds the bucket leg AND the verify leg —
+      // materialize once (the q476 lesson)
+      val ds = sets(col("doc_id") % 5 === 4).localCheckpoint()
       // reconstruction states the build parameters NEXT TO the stored
       // frame — the probe derives its own banding from them
       Dedup.crossMinHashLsh(ds,

@@ -151,12 +151,19 @@ object VectorOps {
     // pins the recall floor vs exact cosine top-k.
     "q438_graph_ann" -> ((s, d) => {
       val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
-      val graph = graft.operators.GraphAnn.knnGraph(
-        emb, "vec_id", "embedding", k = 8).localCheckpoint()
+      // train the coarse quantizer ONCE and share it between build
+      // and search (the serving discipline) — retraining is
+      // deterministic so the output would be identical, but it costs
+      // a sampled corpus scan + driver Lloyd per call
+      val cents = graft.operators.Similarity.kmeansCentroids(
+        emb, "vec_id", "embedding", 16)
+      val graph = graft.operators.GraphAnn.knnGraphWithCentroids(
+        emb, "vec_id", "embedding", 8, cents, nprobe = 4).localCheckpoint()
       val queryIds = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"))
-      graft.operators.GraphAnn.beamSearch(graph, emb, "vec_id", "embedding",
-        queryIds, beam = 24, hops = 4, kOut = 5)
+      graft.operators.GraphAnn.beamSearchWithCentroids(graph, emb,
+        "vec_id", "embedding", queryIds, beam = 24, hops = 4, kOut = 5,
+        cents = cents)
     }),
 
     // Incremental k-NN-graph MAINTENANCE (r11 verdict item 6) —

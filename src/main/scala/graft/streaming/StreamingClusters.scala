@@ -105,6 +105,41 @@ object StreamingClusters {
         true
       })
 
+  /** The build threshold is PART OF THE STATE (the LshBucketIndex
+    * lesson applied to the drain): the stored AllPairs prefix index
+    * only serves probes at its own threshold, and the fold's
+    * from-scratch-equality argument needs ONE τ across every batch —
+    * a resume under a different value would silently misprobe and
+    * diverge. First fold records it; every later fold (and resume)
+    * must match or fails loudly.
+    */
+  private def checkThreshold(stateDir: String, threshold: Double): Unit = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val p = java.nio.file.Paths.get(stateDir, "threshold")
+    val repr = threshold.toString
+    if (java.nio.file.Files.exists(p)) {
+      val stored = new String(java.nio.file.Files.readAllBytes(p), UTF_8).trim
+      require(stored == repr,
+        s"StreamingClusters: state at $stateDir was built at threshold " +
+          s"$stored but this drain runs at $repr — the stored prefix " +
+          "index and the cluster semantics are only valid at the build " +
+          s"threshold; resume with $stored or start a fresh state dir")
+    } else {
+      java.nio.file.Files.createDirectories(p.getParent)
+      val tmp = p.getParent.resolve(".threshold.tmp")
+      java.nio.file.Files.write(tmp, repr.getBytes(UTF_8))
+      try java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          java.nio.file.Files.move(tmp, p,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      ()
+    }
+  }
+
   /** Fold ONE batch of (doc_id, text) documents into the persisted
     * state under `stateDir`, committing under `tag` — exposed as the
     * unit StreamingClustersSpec drives directly (materialization and
@@ -121,6 +156,7 @@ object StreamingClusters {
     val setsRoot = s"$stateDir/sets"
     val prefRoot = s"$stateDir/prefixes"
     val labRoot = s"$stateDir/labels"
+    checkThreshold(stateDir, threshold)
     if (labelsApplied(labRoot, tag)) return
     // the batch's sets — the fold's ONLY corpus-text scan, and the
     // only input-sized materialization (batch-sized by definition)

@@ -147,6 +147,21 @@ class StreamingClustersSpec extends AnyFunSuite {
       "the retry must NOT append the batch's sets a second time")
   }
 
+  test("resuming a state dir at a DIFFERENT threshold fails loudly") {
+    // the stored prefix index and the cluster semantics are only
+    // valid at the build threshold — a mixed-τ drain would silently
+    // diverge from every from-scratch run (r13 review finding)
+    val (_, _, s) = dirs("taupin")
+    StreamingClusters.foldBatch(spark,
+      docs.filter(col("doc_id") % 3 === 0), s, "b0", threshold = 0.9)
+    val e = intercept[IllegalArgumentException] {
+      StreamingClusters.foldBatch(spark,
+        docs.filter(col("doc_id") % 3 === 1), s, "b1", threshold = 0.5)
+    }
+    assert(e.getMessage.contains("threshold"),
+      s"expected the threshold pin, got: ${e.getMessage}")
+  }
+
   test("a low-threshold misconfiguration trips the candidate guard loudly") {
     val (_, _, s) = dirs("tripwire")
     StreamingClusters.foldBatch(spark,
