@@ -214,6 +214,33 @@ object StreamingClusters {
     Manifest.setRef(labRoot, tag, Manifest.currentVersion(labRoot))
   }
 
+  /** SMALL-FILE COMPACTION of the standing state — the maintenance
+    * call a long drain needs: the sets and prefix tables gain one
+    * appended member PER BATCH by design (append-only keeps per-batch
+    * commit cost delta-sized), so after 10⁴ batches every probe's
+    * index scan opens 10⁴ files. This folds each table's members into
+    * ONE rewritten member via [[Manifest.commitReplace]] — a pure
+    * LAYOUT change (the exact union is rewritten, so every later fold
+    * reads identical rows; spec pins drain-equality across a
+    * mid-stream compaction), atomic, and pinned readers keep the old
+    * files. Call it between batches on whatever cadence bounds file
+    * count (the [[LakeIngest.deleteFeedToMorAutoCompact]] debt knob,
+    * applied to state layout). Labels need no call here — the COW
+    * upsert already bounds that table's member count by rewriting.
+    */
+  def compactState(spark: SparkSession, stateDir: String, tag: String): Unit =
+    Seq(s"$stateDir/sets", s"$stateDir/prefixes").foreach { root =>
+      val v = Manifest.currentVersion(root)
+      if (v > 0) {
+        val members = Manifest.members(root, v)
+        if (members.size > 1) {
+          Manifest.commitReplace(Manifest.read(spark, root, v), root,
+            members, s"$tag-compacted")
+          ()
+        }
+      }
+    }
+
   /** Drain every (doc_id, text) file in `feedDir` (one micro-batch
     * per file, mtime order) and return the final cluster assignment
     * (doc_id, cluster_id, cluster_size) over everything drained —

@@ -147,6 +147,33 @@ class StreamingClustersSpec extends AnyFunSuite {
       "the retry must NOT append the batch's sets a second time")
   }
 
+  test("mid-stream state compaction is layout-only: the drain's result is unchanged") {
+    // fold two batches, compact the sets/prefix tables to ONE member
+    // each, fold a third batch on the compacted state — final labels
+    // must equal the uncompacted twin's bit for bit
+    def batch(b: Int) = docs.filter(col("doc_id") % 3 === b)
+    val (_, _, sPlain) = dirs("nocompact")
+    (0 until 3).foreach(b =>
+      StreamingClusters.foldBatch(spark, batch(b), sPlain, s"b$b", 0.9))
+    val want = fp(Manifest.read(spark, s"$sPlain/labels",
+      Manifest.currentVersion(s"$sPlain/labels")))
+    val (_, _, sComp) = dirs("compact")
+    (0 until 2).foreach(b =>
+      StreamingClusters.foldBatch(spark, batch(b), sComp, s"b$b", 0.9))
+    StreamingClusters.compactState(spark, sComp, "maint1")
+    assert(Manifest.members(s"$sComp/sets",
+        Manifest.currentVersion(s"$sComp/sets")).size == 1,
+      "compaction must fold the sets table to one member")
+    assert(Manifest.members(s"$sComp/prefixes",
+        Manifest.currentVersion(s"$sComp/prefixes")).size == 1,
+      "compaction must fold the prefix index to one member")
+    StreamingClusters.foldBatch(spark, batch(2), sComp, "b2", 0.9)
+    val got = fp(Manifest.read(spark, s"$sComp/labels",
+      Manifest.currentVersion(s"$sComp/labels")))
+    assert(got == want,
+      "a layout-only compaction must not change the drained labels")
+  }
+
   test("resuming a state dir at a DIFFERENT threshold fails loudly") {
     // the stored prefix index and the cluster semantics are only
     // valid at the build threshold — a mixed-τ drain would silently
