@@ -122,6 +122,38 @@ object DedupOps {
         state)
     }),
 
+    // STREAMING incremental clustering WITH in-stream state
+    // maintenance — q478 plus the q421 auto-compaction knob applied
+    // to the state tables: whenever the sets table reaches 2 members,
+    // the drain folds sets + prefix members into one (commitReplace,
+    // layout-only, old files retained for pinned readers) BEFORE the
+    // next batch lands — the file-count bound a 10⁴-batch drain
+    // needs. Compaction changes no row, so the SAME recursive-CTE
+    // oracle pins this drain verbatim: a streaming operator with
+    // mid-stream storage maintenance under a full SQL oracle.
+    "q482_stream_clusters_compact" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables(s, d).documents.select(col("doc_id"), col("text"))
+      val feed = freshScratch("q482feed", d)
+      val ckpt = freshScratch("q482ckpt", d)
+      val state = freshScratch("q482state", d)
+      (0 until 3).foreach { b =>
+        graft.streaming.LakeIngest.stageBatchFile(feed, s"day$b.parquet",
+          1000L * (b + 1), docs.filter(col("doc_id") % 3 === b))
+      }
+      val out = graft.streaming.StreamingClusters.docFeedToClusters(
+        s, feed, ckpt, state, compactStateEvery = Some(2))
+      // the knob must have engaged: 3 appends compacted down to ≤ 2
+      // live members (loud — a silently-disengaged knob would make
+      // this row identical to q478)
+      val setsRoot = s"$state/sets"
+      val n = graft.operators.Manifest.members(setsRoot,
+        graft.operators.Manifest.currentVersion(setsRoot)).size
+      require(n <= 2,
+        s"q482: auto-compaction did not engage (sets table has $n members)")
+      out
+    }),
+
     // Rolling-hash winnowing sketch (xxhash64 shingles → k-min);
     // no DuckDB xxhash64 → rows-only. The sketch is exploded to
     // (doc_id, pos, minhash) scalar rows: the driver's rows-only
@@ -466,6 +498,8 @@ object DedupOps {
     // STREAMING drive of the same fold)
     "q476_incremental_clusters" -> clustersOracle,
     "q478_stream_clusters" -> clustersOracle,
+    // mid-stream compaction is layout-only — same oracle verbatim
+    "q482_stream_clusters_compact" -> clustersOracle,
     "q68_dedup_keep" ->
       """WITH RECURSIVE tok AS (
            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t

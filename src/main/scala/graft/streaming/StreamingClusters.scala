@@ -254,7 +254,17 @@ object StreamingClusters {
       checkpointDir: String,
       stateDir: String,
       threshold: Double = 0.9,
-      maxCandidateFactor: Option[Double] = None): DataFrame = {
+      maxCandidateFactor: Option[Double] = None,
+      compactStateEvery: Option[Int] = None): DataFrame = {
+    // IN-STREAM state maintenance (the q421 MOR-debt knob applied to
+    // state LAYOUT): whenever the sets table's member count reaches
+    // the knob, fold the per-batch members into one before the next
+    // batch lands. Naturally idempotent across redelivery: a
+    // compacted table has 1 member < k, so the retry skips. k ≥ 2 —
+    // compacting every batch would make ingestion pay a full-state
+    // rewrite per batch (the COW price append-only exists to avoid).
+    compactStateEvery.foreach(k => require(k >= 2,
+      s"docFeedToClusters: compactStateEvery=$k must be >= 2"))
     val schema = spark.read.parquet(feedDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -263,6 +273,12 @@ object StreamingClusters {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldBatch(spark, batch, stateDir, s"b$batchId", threshold,
           maxCandidateFactor)
+        compactStateEvery.foreach { k =>
+          val setsRoot = s"$stateDir/sets"
+          val v = Manifest.currentVersion(setsRoot)
+          if (v > 0 && Manifest.members(setsRoot, v).size >= k)
+            compactState(spark, stateDir, s"cmp-b$batchId")
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -170,6 +170,7 @@ object DumpPlans {
     "q415_indexed_dedup" -> "indexed incremental dedup: the day-2 probe shingles ITS batch alone, candidates come from the parquet-stored AllPairs prefix index (PlanSpec pins no corpus re-scan); daily cost O(batch) + index scan, exactness via the merge-walk verify",
     "q480_lsh_indexed_dedup" -> "LSH-indexed incremental dedup: the probe's band-bucket rows equi-join the parquet-stored bucket index (O(bands) rows/doc at any threshold); exact-Jaccard verify joins the stored set frame for candidates only",
     "q481_perceptual_incremental" -> "incremental perceptual dedup: the delta batch dHashes its own payloads, chunk rows equi-join the parquet-stored Hamming index (distinct fingerprints only — the collapse), exact bit_count verify, verdicts expand through both member tables",
+    "q482_stream_clusters_compact" -> "streaming clustering + in-stream state compaction: the q478 drain with the member-count knob folding sets/prefix members into one mid-stream (commitReplace, layout-only — same oracle); final frame is the labels Manifest read",
     "q416_spatial_join" -> "2-D spatial join: points keyed by grid cell (the only shuffle), one side fanned to 9 neighbor cells by a broadcast offset spine — candidates form in a pure (cx,cy) equi-join, exact integer dx²+dy² filter streams inside it; never a cartesian",
     "q417_spatial_clusters" -> "DBSCAN(eps=3000, minPts=2): the density-bounded grid pair join feeds the shared min-label CC propagation (checkpointed lineage); noise drops via the size filter — no pair-space materialization beyond the threshold survivors",
     "q418_evolving_maintenance" -> "schema evolution under maintenance: old members never rewrite when a column arrives; the COW delete probes/rewrites members INDIVIDUALLY under their own schema; readEvolved merges footers at metadata-scale and gen-1 rows surface NULL",

@@ -236,7 +236,8 @@ class ReproSpec extends AnyFunSuite {
     "q478_stream_clusters", // streaming contraction fold, full oracle
     "q479_span_excise",     // cleaned corpus after repeated-span removal
     "q480_lsh_indexed_dedup", // persisted LSH bucket-index probe
-    "q481_perceptual_incremental" // stored-Hamming-index media probe
+    "q481_perceptual_incremental", // stored-Hamming-index media probe
+    "q482_stream_clusters_compact" // drain + in-stream state compaction
   )
 
   representatives.foreach { name =>
