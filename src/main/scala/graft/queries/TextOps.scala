@@ -592,12 +592,24 @@ object TextOps {
           explode(sequence(col("i"), col("i") + (W - 1))).as("p"))
         .groupBy("doc_id")
         .agg(array_sort(collect_set(col("p"))).as("rm"))
+      // the rewrite lambda: rm is SORTED (array_sort(collect_set)),
+      // so the kept tokens come from one native merge walk
+      // (ExcisePositions, O(tokens + |rm|)) instead of an interpreted
+      // per-token array_contains scan (O(tokens × |rm|) on
+      // boilerplate-heavy docs — r13 verdict note 4)
+      def excise(toks: org.apache.spark.sql.Column,
+          rm: org.apache.spark.sql.Column) = {
+        import org.apache.spark.sql.GraftColumnBridge
+        GraftColumnBridge.column(
+          graft.functions.expressions.ExcisePositions(
+            GraftColumnBridge.expression(toks),
+            GraftColumnBridge.expression(rm)))
+      }
       val out = base
         .join(removed, Seq("doc_id"), "left")
         .select(col("doc_id"),
           when(col("rm").isNull, col("text"))
-            .otherwise(concat_ws(" ",
-              filter(col("toks"), (t, i) => !array_contains(col("rm"), i + 1))))
+            .otherwise(concat_ws(" ", excise(col("toks"), col("rm"))))
             .as("text_clean"),
           size(col("toks")).cast("long").as("n_tokens"),
           coalesce(size(col("rm")), lit(0)).cast("long").as("n_removed"))

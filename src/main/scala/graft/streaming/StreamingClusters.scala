@@ -233,7 +233,18 @@ object StreamingClusters {
       val v = Manifest.currentVersion(root)
       if (v > 0) {
         val members = Manifest.members(root, v)
-        if (members.size > 1) {
+        // tagApplied guard + orphan GC — the appendOnce recovery
+        // discipline applied to the replace commit: a crash between
+        // the rewritten member's parquet write and the manifest
+        // publish leaves an UNREFERENCED `$tag-compacted` dir, and
+        // foreachBatch redelivers the same batchId — without the GC
+        // every retry dies on the errorifexists write forever,
+        // breaking the kill+restart guarantee (r13 advice item 1).
+        // A published member (tagApplied) means the compaction
+        // landed; skip — its files are owned by the manifest.
+        if (members.size > 1 && !Manifest.tagApplied(root, tag)) {
+          graft.util.Fs.deleteRecursively(
+            java.nio.file.Paths.get(root, "files", s"$tag-compacted"))
           Manifest.commitReplace(Manifest.read(spark, root, v), root,
             members, s"$tag-compacted")
           ()

@@ -30,7 +30,10 @@ object Fs {
     * reverse-lexicographic order every call site hand-rolled); no-op
     * when absent. The walk is MATERIALIZED and its stream closed
     * before any deletion, so the directory handle never races its
-    * own removal.
+    * own removal. Deletion is `deleteIfExists` per entry — the call
+    * sites this replaced tolerated an entry vanishing between walk
+    * and delete (a shutdown hook racing another JVM's scratch wipe),
+    * and that race tolerance is part of the contract.
     */
   def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
     val s = Files.walk(p)
@@ -40,6 +43,7 @@ object Fs {
       while (it.hasNext) buf += it.next()
     } finally s.close()
     buf.sorted(Ordering.comparatorToOrdering(
-      java.util.Comparator.reverseOrder[Path]())).foreach(Files.delete)
+      java.util.Comparator.reverseOrder[Path]()))
+      .foreach(Files.deleteIfExists(_))
   }
 }

@@ -149,4 +149,38 @@ class GraftFunctionsSpec extends AnyFunSuite {
       .collect().head.getSeq[Long](0)
     assert(small == Seq(3L, 1L))
   }
+
+  test("excise_positions: merge walk ≡ the filter/array_contains formulation") {
+    import org.apache.spark.sql.GraftColumnBridge
+    import spark.implicits._
+    def excise(toks: org.apache.spark.sql.Column,
+        rm: org.apache.spark.sql.Column) =
+      GraftColumnBridge.column(graft.functions.expressions.ExcisePositions(
+        GraftColumnBridge.expression(toks), GraftColumnBridge.expression(rm)))
+    // corpus-driven A/B: every doc removes a deterministic pseudo-
+    // random position subset (sorted, distinct — the q479 shape)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("rm", array_sort(array_distinct(filter(
+        transform(sequence(lit(1), size(col("toks"))),
+          i => when(pmod(xxhash64(col("doc_id"), i), lit(3)) === 0, i)),
+        x => x.isNotNull))))
+    val ab = docs.select(
+        excise(col("toks"), col("rm")).as("fast"),
+        filter(col("toks"),
+          (_, i) => !array_contains(col("rm"), i + 1)).as("ref"))
+      .filter(not(col("fast") <=> col("ref")))
+    assert(ab.isEmpty, "merge walk diverged from the reference lambda")
+    // edge cases: empty rm (keep all), full cover (drop all),
+    // out-of-range positions (never match), null rm (null out)
+    val edge = Seq(
+      (Seq("a", "b", "c"), Some(Seq.empty[Int]), Some(Seq("a", "b", "c"))),
+      (Seq("a", "b", "c"), Some(Seq(1, 2, 3)), Some(Seq.empty[String])),
+      (Seq("a", "b", "c"), Some(Seq(0, 2, 9)), Some(Seq("a", "c"))),
+      (Seq("a", "b", "c"), None, None))
+      .toDF("toks", "rm", "want")
+    val bad = edge.filter(not(
+      excise(col("toks"), col("rm")) <=> col("want")))
+    assert(bad.isEmpty, "edge case diverged")
+  }
 }

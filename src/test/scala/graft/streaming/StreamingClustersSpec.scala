@@ -174,6 +174,42 @@ class StreamingClustersSpec extends AnyFunSuite {
       "a layout-only compaction must not change the drained labels")
   }
 
+  test("a crashed compaction attempt (orphan member dir) retries cleanly") {
+    // crash window: commitReplace wrote the rewritten member's
+    // parquet but died before the manifest publish — foreachBatch
+    // redelivers the same batchId, compactState recomputes the SAME
+    // tag, and without orphan GC every retry dies PATH_ALREADY_EXISTS
+    // forever (r13 advice item 1). The retry must GC the unreferenced
+    // dir and land the compaction.
+    def batch(b: Int) = docs.filter(col("doc_id") % 3 === b)
+    val (_, _, s) = dirs("cmpcrash")
+    (0 until 2).foreach(b =>
+      StreamingClusters.foldBatch(spark, batch(b), s, s"b$b", 0.9))
+    // plant the orphan: the rewritten union written, never published
+    val setsRoot = s"$s/sets"
+    Manifest.read(spark, setsRoot, Manifest.currentVersion(setsRoot))
+      .write.parquet(s"$setsRoot/files/maint1-compacted")
+    StreamingClusters.compactState(spark, s, "maint1") // must not throw
+    assert(Manifest.members(setsRoot,
+        Manifest.currentVersion(setsRoot)).size == 1,
+      "the retried compaction must land")
+    // and a redelivery AFTER the successful compaction is a no-op
+    // (the published member is manifest-owned — must NOT be GC'd)
+    val v = Manifest.currentVersion(setsRoot)
+    StreamingClusters.compactState(spark, s, "maint1")
+    assert(Manifest.currentVersion(setsRoot) == v,
+      "redelivered compaction tag must be a no-op")
+    StreamingClusters.foldBatch(spark, batch(2), s, "b2", 0.9)
+    val got = fp(Manifest.read(spark, s"$s/labels",
+      Manifest.currentVersion(s"$s/labels")))
+    val (_, _, sPlain) = dirs("cmpcrash-plain")
+    (0 until 3).foreach(b =>
+      StreamingClusters.foldBatch(spark, batch(b), sPlain, s"b$b", 0.9))
+    assert(got == fp(Manifest.read(spark, s"$sPlain/labels",
+        Manifest.currentVersion(s"$sPlain/labels"))),
+      "the post-crash drain must equal the clean twin")
+  }
+
   test("resuming a state dir at a DIFFERENT threshold fails loudly") {
     // the stored prefix index and the cluster semantics are only
     // valid at the build threshold — a mixed-τ drain would silently
