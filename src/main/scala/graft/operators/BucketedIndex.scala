@@ -1,0 +1,139 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** KEY-BUCKETED storage layout for persisted probe indexes — the
+  * storage leg the incremental dedup/ANN family was missing (r13
+  * verdict item 1): the repo's stored index tables (AllPairs
+  * prefixes keyed by `t`, LSH buckets keyed by `(band, bucket)`,
+  * Hamming chunks keyed by `(chunk, ckey)`) were written as one
+  * member per commit, so every daily probe read the WHOLE index —
+  * O(index) read IO per batch, O(batches · index) cumulative over a
+  * drain, exactly the growth shape the compute side was reworked to
+  * avoid.
+  *
+  * The fix is the Hive-bucketing idea applied at the [[Manifest]]
+  * member grain:
+  *
+  *  - WRITE: [[commitBucketed]] hashes the join key into
+  *    `numBuckets` buckets (`pmod(xxhash64(keys…), n)`) and lands
+  *    each bucket as its OWN member file, tagged `part_kb:<b>` /
+  *    `part_kbn:<n>` in the manifest line — ONE data pass
+  *    (`partitionBy` staging + dir adoption, never a per-bucket
+  *    rescan), ONE atomic commit.
+  *  - READ: [[prunedRead]] hashes the DELTA's keys under the same
+  *    function (a bounded ≤ numBuckets distinct-bucket collect) and
+  *    unions ONLY members whose `kb` tag is in the delta's bucket
+  *    set. A probe's index scan therefore follows the DELTA's key
+  *    set, not the index size; at 100 TB a small batch's daily probe
+  *    opens a handful of bucket files instead of the standing index.
+  *
+  * Correctness is layout-independent: pruning keeps every member
+  * that COULD hold a delta key's bucket (same hash, same modulus —
+  * no false negatives by construction), members without the tags or
+  * written under a DIFFERENT `kbn` are conservatively kept (mixed
+  * layouts and legacy states stay correct, just unpruned), and the
+  * downstream equi-join still applies the exact key match to the
+  * pruned union — pruning is an optimization, never the semantics
+  * (the [[Manifest.prunedMembers]] rule). Maintenance preserves the
+  * layout: [[Manifest.compactTiered]] groups by the tag set, so
+  * compaction folds WITHIN buckets and the pruning survives.
+  *
+  * Key-column ORDER is part of the layout contract (the hash is over
+  * the column tuple): writers and readers state the same `keyCols`
+  * sequence, and `kbn` mismatches degrade to conservative reads
+  * rather than wrong pruning.
+  */
+object BucketedIndex {
+
+  /** The bucket of a key tuple: `pmod(xxhash64(keys…), numBuckets)`
+    * — deterministic across runs, partitionings, and engines that
+    * share the xxhash64 seed.
+    */
+  def bucketOf(numBuckets: Int, keys: Column*): Column =
+    pmod(xxhash64(keys: _*), lit(numBuckets.toLong))
+
+  /** Commit `df` under `root` as one member PER KEY BUCKET, named
+    * `<nameTag>-b<bucket>` and tagged for [[prunedRead]]. One data
+    * pass: the bucketed split is a `partitionBy` staging write, the
+    * bucket dirs rename into `root/files`, and ONE
+    * [[Manifest.commitAdopt]] publishes them all atomically. Empty
+    * buckets are simply absent (no empty members). Crash-safe the
+    * [[Manifest.applyCdcBatch]] way: unreferenced `<nameTag>-` dirs
+    * from an earlier crashed attempt are GC'd before writing, so a
+    * redelivered commit retries cleanly ([[Manifest.tagApplied]] is
+    * the caller's redelivery ledger — member names carry the tag).
+    * Returns the new version.
+    */
+  def commitBucketed(
+      df: DataFrame,
+      root: String,
+      nameTag: String,
+      keyCols: Seq[String],
+      numBuckets: Int): Int = {
+    require(numBuckets >= 1, s"BucketedIndex: numBuckets=$numBuckets")
+    require(keyCols.nonEmpty, "BucketedIndex: keyCols required")
+    require(!df.columns.contains("__kb"),
+      "BucketedIndex: input must not carry a __kb column")
+    Manifest.recoverTag(root, nameTag)
+    val staging = Paths.get(root, "files", s"$nameTag-staging")
+    df.withColumn("__kb", bucketOf(numBuckets, keyCols.map(col): _*))
+      .write.partitionBy("__kb").parquet(staging.toString)
+    val adopted = graft.util.Fs.listChildren(staging)(
+      _.filter(_.getFileName.toString.startsWith("__kb=")).toVector)
+      .sortBy(_.getFileName.toString)
+      .map { p =>
+        val b = p.getFileName.toString.stripPrefix("__kb=")
+        val name = s"$nameTag-b$b"
+        Files.move(p, Paths.get(root, "files", name))
+        (name, Map("kb" -> b, "kbn" -> numBuckets.toString))
+      }
+    graft.util.Fs.deleteRecursively(staging)
+    Manifest.commitAdopt(df.sparkSession, root, adopted)
+  }
+
+  /** Member paths of `version` a probe with DELTA keys must read:
+    * members whose `kb` tag is in the delta's bucket set, plus —
+    * conservatively — every member without the tags or bucketed
+    * under a different `kbn`. `deltaKeys` carries exactly `keyCols`
+    * (same columns, same order as the write); the distinct-bucket
+    * collect is bounded by `numBuckets`, metadata-scale.
+    */
+  def prunedMemberPaths(
+      root: String,
+      version: Int,
+      deltaKeys: DataFrame,
+      keyCols: Seq[String],
+      numBuckets: Int): Seq[String] = {
+    val kbs = deltaKeys
+      .select(bucketOf(numBuckets, keyCols.map(deltaKeys(_)): _*).as("__kb"))
+      .distinct().collect().map(_.getLong(0).toString).toSet
+    Manifest.memberPartitions(root, version).filter { case (_, tags) =>
+      (tags.get("kb"), tags.get("kbn")) match {
+        case (Some(b), Some(n)) if n == numBuckets.toString => kbs.contains(b)
+        case _ => true // untagged / other bucketing → must read
+      }
+    }.map(_._1)
+  }
+
+  /** The pruned snapshot a delta probe joins against: the union of
+    * [[prunedMemberPaths]] — a SUPERSET of every index row whose key
+    * matches a delta key, restricted to the delta's bucket files.
+    * An empty path set (empty delta) returns the version's schema
+    * with zero rows, so downstream joins stay resolvable.
+    */
+  def prunedRead(
+      spark: SparkSession,
+      root: String,
+      version: Int,
+      deltaKeys: DataFrame,
+      keyCols: Seq[String],
+      numBuckets: Int): DataFrame = {
+    val paths = prunedMemberPaths(root, version, deltaKeys, keyCols, numBuckets)
+    if (paths.isEmpty) Manifest.read(spark, root, version).limit(0)
+    else spark.read.parquet(paths: _*)
+  }
+}

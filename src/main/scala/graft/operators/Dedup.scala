@@ -368,7 +368,8 @@ object Dedup {
     * self-join ([[hammingPairs64]]) and the cross probe
     * ([[crossHammingPairs64]]).
     */
-  private def hammingChunkRows64(fps: DataFrame, maxHamming: Int): DataFrame = {
+  private[operators] def hammingChunkRows64(
+      fps: DataFrame, maxHamming: Int): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
     val baseMask = if (bitsPer == 64) -1L else (1L << bitsPer) - 1
@@ -854,12 +855,21 @@ object Dedup {
     * creates or changes — relabeled members of touched components
     * plus the delta rows — and the touched old-label frame
     * (localCheckpoint-materialized, delta-bounded).
+    *
+    * `assumeDisjoint` skips the delta-vs-base id guard — set it ONLY
+    * when the caller has already PROVEN disjointness by a cheaper,
+    * delta-shaped probe (q478's foldBatch checks the batch's ids
+    * against the id-bucket-pruned stored sets members — r13 advice
+    * item 2: the guard here is an O(base) label scan per call, which
+    * on a streaming drain quietly contradicted the per-batch
+    * delta-shaped-IO contract). The default stays enforced.
     */
   def incrementalClustersDelta(
       baseLabels: DataFrame,
       deltaIds: DataFrame,
       deltaPairs: DataFrame,
-      maxIters: Int = 50): LabelDelta = {
+      maxIters: Int = 50,
+      assumeDisjoint: Boolean = false): LabelDelta = {
     val p = deltaPairs.select(col(deltaPairs.columns.head).as("a"),
       col(deltaPairs.columns(1)).as("b"))
     val dIds = deltaIds.select(col(deltaIds.columns.head).as("id"))
@@ -868,11 +878,12 @@ object Dedup {
     // delta id already present in base would put two rows in the
     // label lookup and emit duplicate/contradictory output silently.
     // Broadcast the delta side so the base table streams map-side.
-    require(baseLabels.select(col("doc_id").as("id"))
-        .join(broadcast(dIds), Seq("id"), "left_semi").isEmpty,
-      "incrementalClusters: deltaIds overlap base doc_ids — delta ids " +
-        "must be NEW arrivals (disjoint from baseLabels), or the label " +
-        "lookup would carry duplicate rows per overlapping id")
+    if (!assumeDisjoint)
+      require(baseLabels.select(col("doc_id").as("id"))
+          .join(broadcast(dIds), Seq("id"), "left_semi").isEmpty,
+        "incrementalClusters: deltaIds overlap base doc_ids — delta ids " +
+          "must be NEW arrivals (disjoint from baseLabels), or the label " +
+          "lookup would carry duplicate rows per overlapping id")
     val lab = baseLabels.select(col("doc_id").as("id"),
         col("cluster_id").as("lab"))
       .unionByName(dIds.select(col("id"), col("id").as("lab")))
@@ -1079,6 +1090,73 @@ object Dedup {
     sets.select(col("id"), col("n"),
       posexplode(slice(col("ts"), lit(1), prefixLen)).as(Seq("p", "t")))
   }
+
+  // ───── Pruned stored-index reads (r13 verdict item 1) ─────
+  //
+  // Each persisted probe index is written key-BUCKETED
+  // (BucketedIndex.commitBucketed) so an incremental probe's scan
+  // follows the DELTA's key set instead of the index size: the probe
+  // derives its delta keys under the family's own key function, and
+  // the read unions only the matching bucket members (conservative
+  // on untagged / foreign-modulus members — legacy layouts stay
+  // correct, just unpruned). The helpers below own the family → key
+  // mapping so writer and prober can never disagree on it.
+
+  /** The pruned stored AllPairs prefix-index read for a delta probe:
+    * bucket key is the prefix element `t` (write the index with
+    * `BucketedIndex.commitBucketed(jaccardPrefixes(sets, τ), root,
+    * tag, Seq("t"), numBuckets)`). The delta's prefix keys are a
+    * delta-sized narrow projection; the scan opens only their bucket
+    * members. Feed the result to [[crossJaccardPairsPre]]'s
+    * `basePrefixes`.
+    */
+  def prunedBasePrefixes(
+      spark: org.apache.spark.sql.SparkSession,
+      prefRoot: String,
+      version: Int,
+      deltaSets: DataFrame,
+      threshold: Double,
+      numBuckets: Int): DataFrame =
+    BucketedIndex.prunedRead(spark, prefRoot, version,
+      jaccardPrefixes(deltaSets, threshold).select("t"), Seq("t"), numBuckets)
+
+  /** The pruned stored LSH band-bucket index read for a delta probe:
+    * bucket key is `(band, bucket)` (write with `commitBucketed(
+    * index.buckets, root, tag, Seq("band", "bucket"), numBuckets)`).
+    * The delta's band keys derive under the INDEX's own banding
+    * parameters — pass the reconstructed handle's values.
+    */
+  def prunedLshBuckets(
+      spark: org.apache.spark.sql.SparkSession,
+      bktRoot: String,
+      version: Int,
+      deltaSets: DataFrame,
+      numPerm: Int,
+      bands: Int,
+      seed: Long,
+      numBuckets: Int): DataFrame =
+    BucketedIndex.prunedRead(spark, bktRoot, version,
+      minHashBuckets(deltaSets, "ts", numPerm, bands, seed)
+        .select("band", "bucket"),
+      Seq("band", "bucket"), numBuckets)
+
+  /** The pruned stored Hamming chunk-index read for a delta probe:
+    * bucket key is `(chunk, ckey)` (write with `commitBucketed(
+    * index.chunks, root, tag, Seq("chunk", "ckey"), numBuckets)`).
+    * Pruning keys need no identical-fp collapse — duplicate keys
+    * hit the same buckets.
+    */
+  def prunedHammingChunks(
+      spark: org.apache.spark.sql.SparkSession,
+      chunkRoot: String,
+      version: Int,
+      deltaFps: DataFrame,
+      maxHamming: Int,
+      numBuckets: Int): DataFrame =
+    BucketedIndex.prunedRead(spark, chunkRoot, version,
+      hammingChunkRows64(deltaFps.select(col("id"), col("fp")), maxHamming)
+        .select("chunk", "ckey"),
+      Seq("chunk", "ckey"), numBuckets)
 
   /** [[crossJaccardPairs]] over PRE-BUILT set frames (see
     * [[jaccardSets]]) — the incremental-index form: the base side's

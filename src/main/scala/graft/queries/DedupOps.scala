@@ -144,13 +144,16 @@ object DedupOps {
       val out = graft.streaming.StreamingClusters.docFeedToClusters(
         s, feed, ckpt, state, compactStateEvery = Some(2))
       // the knob must have engaged: 3 appends compacted down to ≤ 2
-      // live members (loud — a silently-disengaged knob would make
-      // this row identical to q478)
+      // live members PER BUCKET GROUP — the file count a pruned
+      // probe opens per bucket, the debt measure under the bucketed
+      // layout (loud — a silently-disengaged knob would make this
+      // row identical to q478)
       val setsRoot = s"$state/sets"
-      val n = graft.operators.Manifest.members(setsRoot,
-        graft.operators.Manifest.currentVersion(setsRoot)).size
+      val n = graft.operators.Manifest.memberPartitions(setsRoot,
+          graft.operators.Manifest.currentVersion(setsRoot))
+        .groupBy(_._2).valuesIterator.map(_.size).max
       require(n <= 2,
-        s"q482: auto-compaction did not engage (sets table has $n members)")
+        s"q482: auto-compaction did not engage (a sets bucket holds $n members)")
       out
     }),
 
@@ -303,7 +306,12 @@ object DedupOps {
     // tables (base commit, then day-1's append), so the day-2 probe
     // pays shingling for its own batch alone and reads the index
     // from parquet — at 100 TB the daily cost drops from
-    // O(corpus shingling) to O(batch) + an index scan. Exactness
+    // O(corpus shingling) to O(batch) + an index scan. The index is
+    // written KEY-BUCKETED on the prefix element t (r13 verdict item
+    // 1), so the probe's scan opens only the delta's bucket members —
+    // index read IO follows the batch's key set, not the standing
+    // index (BucketedIndexSpec pins the file counts; pruning keeps a
+    // candidate superset, so exactness is untouched). Exactness
     // preserved (Dedup.crossJaccardPairsPre — spec-A/B'd against the
     // direct computation through a parquet round-trip); PlanSpec
     // pins that the probe scans documents ONCE (the delta).
@@ -311,24 +319,29 @@ object DedupOps {
       import org.apache.spark.sql.functions.col
       val root = freshScratch("q415", d)
       val setsT = s"$root/sets"; val prefT = s"$root/prefixes"
-      val t = 0.4
+      val t = 0.4; val kb = 16
       val docs = Tables(s, d).documents
       val bs = Dedup.jaccardSets(
         docs.filter(col("doc_id") % 7 >= 1 && col("doc_id") % 7 <= 3),
         "doc_id", "text", 3)
       graft.operators.Manifest.commitAdd(bs, setsT, "base")
-      graft.operators.Manifest.commitAdd(
-        Dedup.jaccardPrefixes(bs, t), prefT, "base")
+      graft.operators.BucketedIndex.commitBucketed(
+        Dedup.jaccardPrefixes(bs, t), prefT, "base", Seq("t"), kb)
       val d1 = Dedup.jaccardSets(
         docs.filter(col("doc_id") % 7 >= 4), "doc_id", "text", 3)
       graft.operators.Manifest.commitAdd(d1, setsT, "day1")
-      graft.operators.Manifest.commitAdd(
-        Dedup.jaccardPrefixes(d1, t), prefT, "day1")
+      graft.operators.BucketedIndex.commitBucketed(
+        Dedup.jaccardPrefixes(d1, t), prefT, "day1", Seq("t"), kb)
+      // batch-sized; feeds the pruning keys AND both probe legs —
+      // materialize once
       val ds = Dedup.jaccardSets(
         docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", 3)
+        .localCheckpoint()
+      val pv = graft.operators.Manifest.currentVersion(prefT)
       Dedup.crossJaccardPairsPre(ds,
           graft.operators.Manifest.read(s, setsT, 2), t,
-          basePrefixes = Some(graft.operators.Manifest.read(s, prefT, 2)))
+          basePrefixes = Some(
+            Dedup.prunedBasePrefixes(s, prefT, pv, ds, t, kb)))
         .select(col("a_id").as("delta_id"), col("b_id").as("base_id"))
     }),
 
@@ -349,25 +362,34 @@ object DedupOps {
       import org.apache.spark.sql.functions.col
       val root = freshScratch("q480", d)
       val setsT = s"$root/sets"; val bktT = s"$root/buckets"
+      val kb = 16
       val docs = Tables(s, d).documents
       def sets(f: org.apache.spark.sql.Column) =
         Dedup.jaccardSets(docs.filter(f), "doc_id", "text", 2)
       val b0 = sets(col("doc_id") % 5 <= 1)
       graft.operators.Manifest.commitAdd(b0, setsT, "base")
-      graft.operators.Manifest.commitAdd(
-        Dedup.lshBucketIndex(b0).buckets, bktT, "base")
+      graft.operators.BucketedIndex.commitBucketed(
+        Dedup.lshBucketIndex(b0).buckets, bktT, "base",
+        Seq("band", "bucket"), kb)
       val b1 = sets(col("doc_id") % 5 === 2 || col("doc_id") % 5 === 3)
       graft.operators.Manifest.commitAdd(b1, setsT, "day1")
-      graft.operators.Manifest.commitAdd(
-        Dedup.lshBucketIndex(b1).buckets, bktT, "day1")
+      graft.operators.BucketedIndex.commitBucketed(
+        Dedup.lshBucketIndex(b1).buckets, bktT, "day1",
+        Seq("band", "bucket"), kb)
       // batch-sized; feeds the bucket leg AND the verify leg —
       // materialize once (the q476 lesson)
       val ds = sets(col("doc_id") % 5 === 4).localCheckpoint()
       // reconstruction states the build parameters NEXT TO the stored
-      // frame — the probe derives its own banding from them
+      // frame — the probe derives its own banding from them. The
+      // stored index is read PRUNED to the delta's (band, bucket)
+      // key buckets (r13 verdict item 1): probe IO follows the
+      // batch, not the standing index.
+      val bv = graft.operators.Manifest.currentVersion(bktT)
       Dedup.crossMinHashLsh(ds,
           graft.operators.Manifest.read(s, setsT, 2), threshold = 0.4,
-          Dedup.LshBucketIndex(graft.operators.Manifest.read(s, bktT, 2),
+          Dedup.LshBucketIndex(
+            Dedup.prunedLshBuckets(s, bktT, bv, ds,
+              numPerm = 32, bands = 8, seed = 42L, numBuckets = kb),
             numPerm = 32, bands = 8, seed = 42L))
         .select(col("a_id").as("delta_id"), col("b_id").as("base_id"))
     })

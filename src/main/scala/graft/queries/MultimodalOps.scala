@@ -96,7 +96,12 @@ object MultimodalOps {
         .select(col("doc_id").as("id"),
           Multimodal.dHash(col("payload")).as("fp"))
       val idx = graft.operators.Dedup.hammingIndex64(baseFps, maxHamming = 3)
-      graft.operators.Manifest.commitAdd(idx.chunks, s"$root/chunks", "base")
+      // the chunk table lands KEY-BUCKETED on (chunk, ckey) — the
+      // probe below reads only the delta's bucket members (r13
+      // verdict item 1: index IO follows the batch, not the index)
+      val kb = 16
+      graft.operators.BucketedIndex.commitBucketed(idx.chunks,
+        s"$root/chunks", "base", Seq("chunk", "ckey"), kb)
       graft.operators.Manifest.commitAdd(idx.members, s"$root/members", "base")
       val delta = docs.filter(col("doc_id") % 5 === 4)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -105,12 +110,17 @@ object MultimodalOps {
           .select((col("doc_id") + 10000000L).as("doc_id"),
             concat(lit("~"), expr("substring(text, 2)"))
               .cast("binary").as("payload")))
+      // batch-sized; feeds the pruning keys AND the probe —
+      // materialize once
       val deltaFps = TextOps.parallelized(delta)
         .select(col("doc_id").as("id"),
           Multimodal.dHash(col("payload")).as("fp"))
+        .localCheckpoint()
+      val cv = graft.operators.Manifest.currentVersion(s"$root/chunks")
       graft.operators.Dedup.crossHammingPairs64(deltaFps,
           graft.operators.Dedup.HammingIndex64(
-            graft.operators.Manifest.read(s, s"$root/chunks", 1),
+            graft.operators.Dedup.prunedHammingChunks(s, s"$root/chunks",
+              cv, deltaFps, maxHamming = 3, numBuckets = kb),
             graft.operators.Manifest.read(s, s"$root/members", 1),
             maxHamming = 3))
         .select(col("a_id").as("delta_id"), col("b_id").as("base_id"))

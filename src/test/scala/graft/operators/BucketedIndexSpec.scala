@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the key-bucketed index layout (r13 verdict item 1):
+  *  - a probe's scanned member files follow the DELTA's key set,
+  *    never the index size (the whole point);
+  *  - pruning is never lossy: the pruned union ⊇ every index row a
+  *    delta key matches, and a key-equi-join against the pruned read
+  *    equals the join against the full read;
+  *  - conservative fallbacks: untagged members and members bucketed
+  *    under a different modulus are always read;
+  *  - size-tiered compaction folds WITHIN tag groups (pruning
+  *    survives), touches only the small tier, and changes no rows;
+  *  - crash recovery: a crashed attempt's orphan dirs are GC'd on
+  *    retry.
+  */
+class BucketedIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val N = 16
+
+  private def index(rows: Seq[(Long, Long)]): DataFrame =
+    rows.toDF("t", "id")
+
+  private def fp(df: DataFrame): Set[(Long, Long)] =
+    df.select("t", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("pruned reads follow the delta's key set, not the index size") {
+    val root = TestSpark.tmpDir("bidx-prune").toString
+    val base = index((1L to 400L).map(t => (t, t * 10)))
+    BucketedIndex.commitBucketed(base, root, "base", Seq("t"), N)
+    val v = Manifest.currentVersion(root)
+    val all = Manifest.members(root, v)
+    assert(all.size > 8, s"400 keys must occupy most of $N buckets")
+
+    // a single-key delta must read exactly its ONE bucket's member
+    val one = Seq((7L, 0L)).toDF("t", "id").select("t")
+    val p1 = BucketedIndex.prunedMemberPaths(root, v, one, Seq("t"), N)
+    assert(p1.size == 1,
+      s"a 1-key delta must open 1 bucket member, opened ${p1.size}")
+    // and that member must be the key's own bucket
+    val kb = Seq((7L, 0L)).toDF("t", "id")
+      .select(BucketedIndex.bucketOf(N, col("t"))).collect()(0).getLong(0)
+    assert(p1.head.endsWith(s"base-b$kb"))
+
+    // pruning is an optimization, never the semantics: the key join
+    // against the pruned read equals the join against the full read
+    val delta = Seq(3L, 7L, 250L, 999L).toDF("t") // 999 matches nothing
+    val full = Manifest.read(spark, root, v).join(delta, Seq("t"))
+    val pruned = BucketedIndex
+      .prunedRead(spark, root, v, delta, Seq("t"), N)
+      .join(delta, Seq("t"))
+    assert(fp(pruned) == fp(full) && fp(full).nonEmpty)
+
+    // an empty delta reads nothing but keeps the schema resolvable
+    val none = BucketedIndex.prunedRead(spark, root, v,
+      Seq.empty[Long].toDF("t"), Seq("t"), N)
+    assert(none.columns.toSeq == Seq("t", "id") && none.isEmpty)
+  }
+
+  test("conservative fallbacks: untagged members and foreign bucketings are always read") {
+    val root = TestSpark.tmpDir("bidx-cons").toString
+    BucketedIndex.commitBucketed(index(Seq((1L, 10L))), root, "b16",
+      Seq("t"), N)
+    Manifest.commitAdd(index(Seq((2L, 20L))), root, "legacy") // untagged
+    BucketedIndex.commitBucketed(index(Seq((3L, 30L))), root, "b4",
+      Seq("t"), 4) // different modulus
+    val v = Manifest.currentVersion(root)
+    // a delta matching NONE of the keys still reads the untagged and
+    // foreign-modulus members (no pruning without a matching kbn)
+    val paths = BucketedIndex.prunedMemberPaths(root, v,
+      Seq(999L).toDF("t"), Seq("t"), N)
+    assert(paths.exists(_.endsWith("legacy")),
+      "an untagged member must be conservatively read")
+    assert(paths.exists(_.contains("b4-b")),
+      "a member bucketed under a different modulus must be read")
+    // and the join equality holds across the mixed layout
+    val delta = Seq(1L, 2L, 3L).toDF("t")
+    val full = Manifest.read(spark, root, v).join(delta, Seq("t"))
+    val pruned = BucketedIndex.prunedRead(spark, root, v, delta,
+      Seq("t"), N).join(delta, Seq("t"))
+    assert(fp(pruned) == fp(full) && fp(full).size == 3)
+  }
+
+  test("tiered compaction folds within tag groups; pruning and rows survive") {
+    val root = TestSpark.tmpDir("bidx-tier").toString
+    val day0 = index((1L to 100L).map(t => (t, t)))
+    val day1 = index((101L to 200L).map(t => (t, t)))
+    BucketedIndex.commitBucketed(day0, root, "day0", Seq("t"), 4)
+    BucketedIndex.commitBucketed(day1, root, "day1", Seq("t"), 4)
+    val before = Manifest.currentVersion(root)
+    val want = fp(Manifest.read(spark, root, before))
+    assert(Manifest.members(root, before).size == 8,
+      "two bucketed commits at 4 buckets each")
+    Manifest.compactTiered(spark, root, "cmp1")
+    val after = Manifest.currentVersion(root)
+    val tags = Manifest.memberPartitions(root, after)
+    assert(tags.size == 4, s"fold must land one member per bucket group")
+    assert(tags.forall { case (_, m) =>
+      m.get("kbn").contains("4") && m.contains("kb") },
+      "the fold must preserve the layout tags — pruning survives compaction")
+    assert(fp(Manifest.read(spark, root, after)) == want,
+      "compaction is layout-only")
+    // pruning still follows the delta after compaction
+    val p = BucketedIndex.prunedMemberPaths(root, after,
+      Seq(5L).toDF("t"), Seq("t"), 4)
+    assert(p.size == 1, s"post-compaction 1-key probe opened ${p.size}")
+  }
+
+  test("tiered compaction touches only the small tier; settled members pass verbatim") {
+    val root = TestSpark.tmpDir("tier-size").toString
+    // one SETTLED member (5000 rows) + three small ones (10 each),
+    // all untagged so they share one group
+    Manifest.commitAdd((1L to 5000L).toDF("k"), root, "big")
+    (0 until 3).foreach(i =>
+      Manifest.commitAdd((1L to 10L).map(_ + 100L * i).toDF("k"),
+        root, s"small$i"))
+    val before = Manifest.currentVersion(root)
+    val want = Manifest.read(spark, root, before).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    Manifest.compactTiered(spark, root, "cmp", maxTierRows = 100L)
+    val after = Manifest.currentVersion(root)
+    val ms = Manifest.memberPartitions(root, after).map(_._1)
+    assert(ms.exists(_.endsWith("big")),
+      "the settled member must survive VERBATIM (never rewritten)")
+    assert(ms.size == 2, s"3 small members fold to 1, got ${ms.mkString(", ")}")
+    // rewrite IO bounded by the folded tier: the new member holds
+    // exactly the 30 small-tier rows
+    val folded = ms.filter(_.contains("cmp")).head
+    assert(spark.read.parquet(folded).count() == 30L,
+      "rewrite bytes must be the folded tier, never the table")
+    assert(Manifest.read(spark, root, after).collect()
+      .map(_.getLong(0)).sorted.toSeq == want)
+    // idempotent maintenance: a second call with nothing foldable
+    // (one small member left < 2) publishes nothing
+    assert(Manifest.compactTiered(spark, root, "cmp2", 100L) == after)
+  }
+
+  test("a crashed bucketed-commit attempt retries cleanly") {
+    val root = TestSpark.tmpDir("bidx-crash").toString
+    BucketedIndex.commitBucketed(index(Seq((1L, 1L))), root, "day0",
+      Seq("t"), 4)
+    // plant the crash: staging dir + one moved bucket dir, manifest
+    // never published
+    val df = index(Seq((2L, 2L), (3L, 3L)))
+    df.write.parquet(s"$root/files/day1-staging/__kb=9")
+    df.write.parquet(s"$root/files/day1-b2")
+    assert(!Manifest.tagApplied(root, "day1"))
+    BucketedIndex.commitBucketed(df, root, "day1", Seq("t"), 4)
+    val v = Manifest.currentVersion(root)
+    assert(fp(Manifest.read(spark, root, v)) ==
+      Set((1L, 1L), (2L, 2L), (3L, 3L)))
+    assert(Manifest.tagApplied(root, "day1"))
+  }
+}

@@ -369,6 +369,99 @@ class DedupSpec extends AnyFunSuite {
         s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  test("key-pruned stored-index probes ≡ full-index probes across all three families") {
+    // r13 verdict item 1: the stored prefix/LSH/Hamming indexes land
+    // KEY-BUCKETED, and each probe reads only the delta's bucket
+    // members. Pins per family: (a) the pruned probe's VERDICTS equal
+    // the full-index probe's; (b) a small delta's index scan opens
+    // FEWER member files than the index holds (the IO claim itself —
+    // BucketedIndexSpec pins the generic layout, this pins the family
+    // key wiring: a wrong keyCols order would silently break (b)
+    // while conservative reads kept (a) green).
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = docs.filter(col("doc_id") % 5 =!= 4)
+    // a tiny 2-doc delta so its key set covers FEW of the 64 buckets
+    // (the prefix family emits dozens of keys per doc — the point
+    // probe is where bucket pruning bites; big batches degrade
+    // gracefully to a fuller scan)
+    val delta = docs.filter(col("doc_id") % 250 === 4)
+    val kb = 64
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // ── exact prefix family ──
+    val dir1 = TestSpark.tmpDir("pruned-pref").toString
+    val bs = Dedup.jaccardSets(base, "doc_id", "text", 3)
+    bs.write.parquet(s"$dir1/sets")
+    BucketedIndex.commitBucketed(Dedup.jaccardPrefixes(bs, 0.4),
+      s"$dir1/pref", "base", Seq("t"), kb)
+    val ds = Dedup.jaccardSets(delta, "doc_id", "text", 3).localCheckpoint()
+    val storedSets = spark.read.parquet(s"$dir1/sets")
+    val pv = Manifest.currentVersion(s"$dir1/pref")
+    val prunedPref = Dedup.prunedBasePrefixes(spark, s"$dir1/pref", pv,
+      ds, 0.4, kb)
+    assert(pairs(Dedup.crossJaccardPairsPre(ds, storedSets, 0.4,
+        basePrefixes = Some(prunedPref))) ==
+      pairs(Dedup.crossJaccardPairsPre(ds, storedSets, 0.4,
+        basePrefixes = Some(Manifest.read(spark, s"$dir1/pref", pv)))),
+      "prefix family: pruned probe diverged from the full-index probe")
+    val prefPaths = BucketedIndex.prunedMemberPaths(s"$dir1/pref", pv,
+      Dedup.jaccardPrefixes(ds, 0.4).select("t"), Seq("t"), kb)
+    assert(prefPaths.size < Manifest.members(s"$dir1/pref", pv).size,
+      s"prefix family: a 2-doc delta opened ${prefPaths.size} of " +
+        s"${Manifest.members(s"$dir1/pref", pv).size} members — no pruning")
+
+    // ── LSH band-bucket family ──
+    val dir2 = TestSpark.tmpDir("pruned-lsh").toString
+    val bs2 = Dedup.jaccardSets(base, "doc_id", "text", 2)
+    bs2.write.parquet(s"$dir2/sets")
+    BucketedIndex.commitBucketed(Dedup.lshBucketIndex(bs2).buckets,
+      s"$dir2/buckets", "base", Seq("band", "bucket"), kb)
+    val ds2 = Dedup.jaccardSets(delta, "doc_id", "text", 2).localCheckpoint()
+    val bv = Manifest.currentVersion(s"$dir2/buckets")
+    val storedSets2 = spark.read.parquet(s"$dir2/sets")
+    val gotLsh = pairs(Dedup.crossMinHashLsh(ds2, storedSets2, 0.4,
+      Dedup.LshBucketIndex(Dedup.prunedLshBuckets(spark, s"$dir2/buckets",
+        bv, ds2, 32, 8, 42L, kb), 32, 8, 42L)))
+    val wantLsh = pairs(Dedup.crossMinHashLsh(ds2, storedSets2, 0.4,
+      Dedup.LshBucketIndex(Manifest.read(spark, s"$dir2/buckets", bv),
+        32, 8, 42L)))
+    assert(gotLsh == wantLsh,
+      "LSH family: pruned probe diverged from the full-index probe")
+    val lshPaths = BucketedIndex.prunedMemberPaths(s"$dir2/buckets", bv,
+      Dedup.minHashBuckets(ds2, "ts", 32, 8, 42L).select("band", "bucket"),
+      Seq("band", "bucket"), kb)
+    assert(lshPaths.size < Manifest.members(s"$dir2/buckets", bv).size,
+      s"LSH family: a 2-doc delta opened ${lshPaths.size} members — no pruning")
+
+    // ── Hamming chunk family ──
+    val dir3 = TestSpark.tmpDir("pruned-ham").toString
+    val baseFps = base.select(col("doc_id").as("id"),
+      Dedup.simHash(col("text")).as("fp"))
+    val idx = Dedup.hammingIndex64(baseFps, maxHamming = 7)
+    BucketedIndex.commitBucketed(idx.chunks, s"$dir3/chunks", "base",
+      Seq("chunk", "ckey"), kb)
+    idx.members.write.parquet(s"$dir3/members")
+    val deltaFps = delta.select(col("doc_id").as("id"),
+      Dedup.simHash(col("text")).as("fp")).localCheckpoint()
+    val cv = Manifest.currentVersion(s"$dir3/chunks")
+    val members3 = spark.read.parquet(s"$dir3/members")
+    val gotHam = pairs(Dedup.crossHammingPairs64(deltaFps,
+      Dedup.HammingIndex64(Dedup.prunedHammingChunks(spark,
+        s"$dir3/chunks", cv, deltaFps, 7, kb), members3, 7)))
+    val wantHam = pairs(Dedup.crossHammingPairs64(deltaFps,
+      Dedup.HammingIndex64(Manifest.read(spark, s"$dir3/chunks", cv),
+        members3, 7)))
+    assert(gotHam == wantHam,
+      "Hamming family: pruned probe diverged from the full-index probe")
+    val hamPaths = BucketedIndex.prunedMemberPaths(s"$dir3/chunks", cv,
+      Dedup.hammingChunkRows64(deltaFps, 7).select("chunk", "ckey"),
+      Seq("chunk", "ckey"), kb)
+    assert(hamPaths.size < Manifest.members(s"$dir3/chunks", cv).size,
+      s"Hamming family: a 2-doc delta opened ${hamPaths.size} members — no pruning")
+  }
+
   test("crossJaccardPairs ≡ union self-join restricted to cross pairs") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

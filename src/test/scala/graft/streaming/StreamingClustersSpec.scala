@@ -67,18 +67,27 @@ class StreamingClustersSpec extends AnyFunSuite {
     assert(oneShot.nonEmpty)
   }
 
-  test("sets/prefixes advance append-only (one member per batch); redelivered tags are no-ops") {
+  test("sets/prefixes advance append-only (one bucketed commit per batch); redelivered tags are no-ops") {
     val (f, c, s) = dirs("members")
     (0 until 3).foreach(stage(f, _))
     StreamingClusters.docFeedToClusters(spark, f, c, s).count()
     val setsRoot = s"$s/sets"; val prefRoot = s"$s/prefixes"
     val labRoot = s"$s/labels"
+    def batchTags(root: String) = Manifest
+      .members(root, Manifest.currentVersion(root))
+      .map(_.split("/").last.split("-data").head).distinct.sorted
+    // one atomic commit per batch (version == batches), members are
+    // the batch's bucket files, every member key-bucket tagged
     assert(Manifest.currentVersion(setsRoot) == 3 &&
-      Manifest.members(setsRoot, 3).size == 3,
-      "the sets table must gain exactly one appended member per batch")
+      batchTags(setsRoot) == Seq("b0", "b1", "b2"),
+      "the sets table must gain exactly one bucketed commit per batch")
     assert(Manifest.currentVersion(prefRoot) == 3 &&
-      Manifest.members(prefRoot, 3).size == 3,
-      "the prefix index must gain exactly one appended member per batch")
+      batchTags(prefRoot) == Seq("b0", "b1", "b2"),
+      "the prefix index must gain exactly one bucketed commit per batch")
+    assert(Manifest.memberPartitions(prefRoot, 3).forall { case (_, t) =>
+      t.contains("kb") && t.get("kbn")
+        .contains(StreamingClusters.IndexBuckets.toString) },
+      "every prefix member must carry the bucket tags pruned probes read")
     // redelivery: folding an already-ledgered tag changes nothing
     val vLab = Manifest.currentVersion(labRoot)
     StreamingClusters.foldBatch(spark,
@@ -86,6 +95,23 @@ class StreamingClustersSpec extends AnyFunSuite {
     assert(Manifest.currentVersion(labRoot) == vLab &&
       Manifest.currentVersion(setsRoot) == 3,
       "a redelivered batch tag must be a complete no-op")
+  }
+
+  test("a duplicate doc_id arriving in a LATER batch fails loudly at delta-bucket cost") {
+    // the disjointness guard moved from an O(corpus) label scan to a
+    // probe of the delta's id buckets over OTHER batches' sets
+    // members — it must still catch the duplicate-arrival hazard
+    val (_, _, s) = dirs("dupguard")
+    StreamingClusters.foldBatch(spark,
+      docs.filter(col("doc_id") % 3 === 0), s, "b0", threshold = 0.9)
+    StreamingClusters.foldBatch(spark,
+      docs.filter(col("doc_id") % 3 === 1), s, "b1", threshold = 0.9)
+    val e = intercept[IllegalArgumentException] {
+      StreamingClusters.foldBatch(spark, // re-delivers batch 0's docs
+        docs.filter(col("doc_id") % 3 === 0), s, "b2", threshold = 0.9)
+    }
+    assert(e.getMessage.contains("overlap"),
+      s"expected the duplicate-arrival guard, got: ${e.getMessage}")
   }
 
   test("a delta fold materializes batch/touched-bounded frames only — never the standing corpus") {
@@ -129,9 +155,10 @@ class StreamingClustersSpec extends AnyFunSuite {
     StreamingClusters.foldBatch(spark,
       docs.filter(col("doc_id") % 3 === 0), sCrash, "b0", threshold = 0.9)
     val bSets = StreamingClusters.tokenSets(delta).localCheckpoint()
-    Manifest.commitAdd(bSets, s"$sCrash/sets", "b1-data")
-    Manifest.commitAdd(Dedup.jaccardPrefixes(bSets, 0.9),
-      s"$sCrash/prefixes", "b1-data")
+    StreamingClusters.appendBucketedOnce(bSets, s"$sCrash/sets", "b1",
+      Seq("id"))
+    StreamingClusters.appendBucketedOnce(Dedup.jaccardPrefixes(bSets, 0.9),
+      s"$sCrash/prefixes", "b1", Seq("t"))
     // the tripwire is ARMED on the retry: the batch's own ids are
     // anti-joined out of the base side, so the retry sees clean-path
     // candidate counts — a factor the clean path clears must never
@@ -142,8 +169,7 @@ class StreamingClustersSpec extends AnyFunSuite {
       Manifest.currentVersion(s"$sCrash/labels")))
     assert(got == want,
       "the crash-window retry must produce the clean-path labels")
-    assert(Manifest.members(s"$sCrash/sets",
-        Manifest.currentVersion(s"$sCrash/sets")).size == 2,
+    assert(Manifest.currentVersion(s"$sCrash/sets") == 2,
       "the retry must NOT append the batch's sets a second time")
   }
 
@@ -161,17 +187,65 @@ class StreamingClustersSpec extends AnyFunSuite {
     (0 until 2).foreach(b =>
       StreamingClusters.foldBatch(spark, batch(b), sComp, s"b$b", 0.9))
     StreamingClusters.compactState(spark, sComp, "maint1")
-    assert(Manifest.members(s"$sComp/sets",
-        Manifest.currentVersion(s"$sComp/sets")).size == 1,
-      "compaction must fold the sets table to one member")
-    assert(Manifest.members(s"$sComp/prefixes",
-        Manifest.currentVersion(s"$sComp/prefixes")).size == 1,
-      "compaction must fold the prefix index to one member")
+    def maxPerGroup(root: String) = Manifest
+      .memberPartitions(root, Manifest.currentVersion(root))
+      .groupBy(_._2).valuesIterator.map(_.size).max
+    assert(maxPerGroup(s"$sComp/sets") == 1,
+      "compaction must fold each sets bucket group to one member")
+    assert(maxPerGroup(s"$sComp/prefixes") == 1,
+      "compaction must fold each prefix bucket group to one member")
+    assert(Manifest.memberPartitions(s"$sComp/prefixes",
+        Manifest.currentVersion(s"$sComp/prefixes"))
+      .forall(_._2.contains("kb")),
+      "compaction must PRESERVE the bucket tags — pruned probes survive")
     StreamingClusters.foldBatch(spark, batch(2), sComp, "b2", 0.9)
     val got = fp(Manifest.read(spark, s"$sComp/labels",
       Manifest.currentVersion(s"$sComp/labels")))
     assert(got == want,
       "a layout-only compaction must not change the drained labels")
+  }
+
+  test("tiered compaction rewrites only the small tier — settled members survive verbatim") {
+    // r13 verdict item 2: compactState folded EVERYTHING into one
+    // member per engagement — an O(state) rewrite that grows with the
+    // corpus. The size-tiered fold must leave members above the tier
+    // bound untouched (their files survive VERBATIM in the manifest)
+    // and pay rewrite IO equal to the folded small tier only.
+    val (_, _, s) = dirs("tierbound")
+    StreamingClusters.foldBatch(spark,
+      docs.filter(col("doc_id") % 10 < 7), s, "b0", 0.9) // ~350 docs
+    StreamingClusters.foldBatch(spark,
+      docs.filter(col("doc_id") % 10 === 7), s, "b1", 0.9) // ~50 docs
+    StreamingClusters.foldBatch(spark,
+      docs.filter(col("doc_id") % 10 === 8), s, "b2", 0.9) // ~50 docs
+    val setsRoot = s"$s/sets"
+    val vBefore = Manifest.currentVersion(setsRoot)
+    val before = Manifest.metadataRowCounts(setsRoot, vBefore)
+    val tier = 20L // big-batch bucket members (~25 rows) sit above it
+    val settled = before.filter(_._3 > tier).map(_._1).toSet
+    assert(settled.nonEmpty, "fixture must produce settled members")
+    // the small rows that belong to fold-eligible groups (≥2 small
+    // members sharing a tag set) — the exact rewrite budget
+    val foldedSum = before.filter(_._3 <= tier)
+      .groupBy(_._2).valuesIterator
+      .filter(_.size >= 2).flatMap(_.map(_._3)).sum
+    StreamingClusters.compactState(spark, s, "maint", maxTierRows = tier)
+    val vAfter = Manifest.currentVersion(setsRoot)
+    val after = Manifest.metadataRowCounts(setsRoot, vAfter)
+    assert(settled.subsetOf(after.map(_._1).toSet),
+      "members above the tier bound must survive VERBATIM — a settled " +
+        "mega-member must never be rewritten")
+    val rewritten = after.map(_._1).toSet -- before.map(_._1).toSet
+    val rewrittenRows = after.filter(r => rewritten.contains(r._1)).map(_._3).sum
+    assert(rewrittenRows == foldedSum,
+      s"rewrite IO must equal the folded small tier: rewrote " +
+        s"$rewrittenRows rows, tier holds $foldedSum")
+    assert(after.map(_._3).sum == before.map(_._3).sum,
+      "compaction is layout-only")
+    // and the drain keeps folding correctly on the tiered state
+    StreamingClusters.foldBatch(spark,
+      docs.filter(col("doc_id") % 10 === 9), s, "b3", 0.9)
+    assert(Manifest.refVersion(s"$s/labels", "b3").isDefined)
   }
 
   test("a crashed compaction attempt (orphan member dir) retries cleanly") {
@@ -185,13 +259,15 @@ class StreamingClustersSpec extends AnyFunSuite {
     val (_, _, s) = dirs("cmpcrash")
     (0 until 2).foreach(b =>
       StreamingClusters.foldBatch(spark, batch(b), s, s"b$b", 0.9))
-    // plant the orphan: the rewritten union written, never published
+    // plant the orphan: a rewritten fold member written, never
+    // published (the crash window inside compactTiered)
     val setsRoot = s"$s/sets"
     Manifest.read(spark, setsRoot, Manifest.currentVersion(setsRoot))
-      .write.parquet(s"$setsRoot/files/maint1-compacted")
+      .write.parquet(s"$setsRoot/files/maint1-compacted-0")
     StreamingClusters.compactState(spark, s, "maint1") // must not throw
-    assert(Manifest.members(setsRoot,
-        Manifest.currentVersion(setsRoot)).size == 1,
+    assert(Manifest.memberPartitions(setsRoot,
+        Manifest.currentVersion(setsRoot))
+      .groupBy(_._2).valuesIterator.map(_.size).max == 1,
       "the retried compaction must land")
     // and a redelivery AFTER the successful compaction is a no-op
     // (the published member is manifest-owned — must NOT be GC'd)
