@@ -95,6 +95,96 @@ object BucketedIndex {
     Manifest.commitAdopt(df.sparkSession, root, adopted)
   }
 
+  /** Keyed COW UPSERT that PRESERVES the bucketed layout — the write
+    * leg an incrementally-MAINTAINED index table needs:
+    * [[Manifest.upsert]]'s rewritten members carry no `kb`/`kbn`
+    * tags, so one plain upsert would silently degrade every later
+    * probe of this table to a conservative full scan. Key grain,
+    * multi-row keys supported: every stored row whose `keyCols`
+    * tuple appears in `updates` is replaced by the update's rows for
+    * that tuple (delete-then-insert at the KEY grain — an updated
+    * graph source swaps its whole adjacency list), untouched keys
+    * survive.
+    *
+    * Physical shape: only the buckets the update keys hash into are
+    * rewritten — each touched bucket's members fold into ONE new
+    * member carrying the same tags (a bonus within-bucket
+    * compaction), untouched buckets' members pass through VERBATIM
+    * (same paths, same stats lines), and everything publishes as one
+    * atomic version ([[Manifest.commitAdoptReplace]]). Rewrite IO is
+    * bounded by the TOUCHED BUCKETS, never the table — the COW cost
+    * a daily index fold repeats at 100 TB.
+    *
+    * Requires a FULLY bucketed table under exactly this layout: a
+    * mixed layout (untagged or foreign-modulus members) cannot be
+    * COW-rewritten at bucket grain without scanning every member, so
+    * it fails loudly with the remedy instead of quietly paying
+    * O(table). Crash-safe on retry: unreferenced `<nameTag>-` dirs
+    * from a crashed attempt are GC'd before writing
+    * ([[Manifest.recoverTag]]); `nameTag` is the caller's redelivery
+    * ledger ([[Manifest.tagApplied]] — new members carry the tag).
+    * Returns the new version.
+    */
+  def upsertBucketed(
+      updates: DataFrame,
+      root: String,
+      nameTag: String,
+      keyCols: Seq[String],
+      numBuckets: Int): Int = {
+    require(numBuckets >= 1, s"BucketedIndex: numBuckets=$numBuckets")
+    require(keyCols.nonEmpty, "BucketedIndex: keyCols required")
+    require(!updates.columns.contains("__kb"),
+      "BucketedIndex: updates must not carry a __kb column")
+    val spark = updates.sparkSession
+    val v = Manifest.currentVersion(root)
+    require(v > 0, s"BucketedIndex.upsertBucketed: $root is uninitialized " +
+      "— commitBucketed a base layout first")
+    val members = Manifest.memberPartitions(root, v)
+    val bad = members.filterNot { case (_, tags) =>
+      tags.get("kbn").contains(numBuckets.toString) && tags.contains("kb")
+    }
+    require(bad.isEmpty,
+      s"BucketedIndex.upsertBucketed: $root v$v holds members outside " +
+        s"the (${keyCols.mkString(",")}, $numBuckets) bucketing " +
+        s"(${bad.map(_._1).mkString(", ")}) — a bucket-grain COW cannot " +
+        "bound its rewrite on a mixed layout; rewrite the table with " +
+        "commitBucketed first")
+    Manifest.recoverTag(root, nameTag)
+    // the touched buckets: where the update keys hash (a bounded
+    // ≤ numBuckets distinct collect, metadata-scale)
+    val kbs = updates
+      .select(bucketOf(numBuckets, keyCols.map(updates(_)): _*).as("__kb"))
+      .distinct().collect().map(_.getLong(0).toString).toSet
+    val touched = members.collect {
+      case (p, tags) if kbs.contains(tags("kb")) => p
+    }
+    // new content for the touched buckets — survivors (stored rows
+    // whose key is NOT updated; members hold only their own bucket's
+    // rows, so every survivor re-hashes into a touched bucket) plus
+    // the update rows — in ONE staged partitionBy pass, adopted per
+    // bucket (the commitBucketed write shape)
+    val upKeys = updates.select(keyCols.map(updates(_)): _*).distinct()
+    val survivors =
+      if (touched.isEmpty) updates.limit(0)
+      else spark.read.parquet(touched: _*)
+        .join(upKeys, keyCols, "left_anti")
+    val staging = Paths.get(root, "files", s"$nameTag-staging")
+    survivors.unionByName(updates)
+      .withColumn("__kb", bucketOf(numBuckets, keyCols.map(col): _*))
+      .write.partitionBy("__kb").parquet(staging.toString)
+    val adopted = graft.util.Fs.listChildren(staging)(
+      _.filter(_.getFileName.toString.startsWith("__kb=")).toVector)
+      .sortBy(_.getFileName.toString)
+      .map { p =>
+        val b = p.getFileName.toString.stripPrefix("__kb=")
+        val name = s"$nameTag-b$b"
+        Files.move(p, Paths.get(root, "files", name))
+        (name, Map("kb" -> b, "kbn" -> numBuckets.toString))
+      }
+    graft.util.Fs.deleteRecursively(staging)
+    Manifest.commitAdoptReplace(spark, root, adopted, touched)
+  }
+
   /** Member paths of `version` a probe with DELTA keys must read:
     * members whose `kb` tag is in the delta's bucket set, plus —
     * conservatively — every member without the tags or bucketed

@@ -254,6 +254,49 @@ object Manifest {
       }
     }
 
+  /** ONE atomic commit that ADOPTS pre-written member dirs (with
+    * their partition tags — the [[commitAdopt]] contract) AND drops
+    * `replaced` members — the publish leg of a LAYOUT-PRESERVING
+    * keyed COW rewrite ([[BucketedIndex.upsertBucketed]]): the
+    * rewritten buckets' new members adopt while every member they
+    * supersede leaves, in one version, so a reader sees the whole
+    * rewrite or none of it. Validation is [[commitReplace]]'s,
+    * re-checked inside the CAS retry: every replaced path must still
+    * be a member of the head at publish time — a concurrent winner
+    * rewriting one voids this commit's premise, and the loud failure
+    * beats resurrecting a replaced member. Replaced files stay on
+    * disk for pinned readers (the retention rule).
+    */
+  def commitAdoptReplace(
+      spark: SparkSession,
+      root: String,
+      adopted: Seq[(String, Map[String, String])],
+      replaced: Seq[String]): Int =
+    if (adopted.isEmpty && replaced.isEmpty) currentVersion(root)
+    else {
+      val frags = adopted.map { case (name, partition) =>
+        val target = s"$root/files/$name"
+        require(Files.isDirectory(Paths.get(target)),
+          s"Manifest.commitAdoptReplace: $target is not a written member dir")
+        val partJson = partition.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""","part_$k":"$v"""" }.mkString
+        (target, partJson + rowsJson(spark, target))
+      }
+      commitWithRetry(root) { prev =>
+        val base = if (prev == 0) Seq.empty else membersRaw(root, prev)
+        val missing = replaced.filterNot(r => base.exists(pathOf(_) == r))
+        require(missing.isEmpty,
+          s"Manifest.commitAdoptReplace: replace targets not in v$prev: " +
+            missing.mkString(", "))
+        val dup = frags.map(_._1).filter(t => base.exists(pathOf(_) == t))
+        require(dup.isEmpty,
+          s"Manifest.commitAdoptReplace: already members of v$prev: " +
+            dup.mkString(", "))
+        base.filterNot(l => replaced.contains(pathOf(l))) ++
+          frags.map { case (t, frag) => memberLine(t, frag + seqJson(prev)) }
+      }
+    }
+
   /** (path, partition tags) per member of `version` — the tag parse
     * [[metadataRowCounts]] uses, exposed so layout-aware readers
     * ([[BucketedIndex.prunedMemberPaths]]) can prune on the manifest

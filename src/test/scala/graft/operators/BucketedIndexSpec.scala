@@ -142,6 +142,81 @@ class BucketedIndexSpec extends AnyFunSuite {
     assert(Manifest.compactTiered(spark, root, "cmp2", 100L) == after)
   }
 
+  test("layout-preserving COW upsert rewrites touched buckets only; untouched members verbatim") {
+    val root = TestSpark.tmpDir("bidx-upsert").toString
+    // base: 400 keys, up to all 16 buckets occupied; key 7 gets TWO
+    // rows (the multi-row-per-key grain an adjacency list uses)
+    val base = index((1L to 400L).map(t => (t, t * 10)) :+ (7L, 99L))
+    BucketedIndex.commitBucketed(base, root, "base", Seq("t"), N)
+    val v0 = Manifest.currentVersion(root)
+    val before = Manifest.memberPartitions(root, v0).toMap
+    // update: key 7 swaps its whole row set (2 rows -> 1), key 401 is
+    // a brand-new key (insert), key 3 gets an extra row alongside a
+    // replacement
+    val up = index(Seq((7L, 777L), (401L, 4010L), (3L, 33L), (3L, 34L)))
+    BucketedIndex.upsertBucketed(up, root, "day1", Seq("t"), N)
+    val v1 = Manifest.currentVersion(root)
+    assert(v1 > v0)
+    // content: delete-then-insert at the key grain
+    val want = fp(Manifest.read(spark, root, v0))
+      .filterNot { case (t, _) => Set(7L, 3L).contains(t) } ++
+      Set((7L, 777L), (401L, 4010L), (3L, 33L), (3L, 34L))
+    assert(fp(Manifest.read(spark, root, v1)) == want)
+    // rewrite IO bounded by the touched buckets: untouched members
+    // survive VERBATIM (same paths), and only the update keys'
+    // buckets gained day1 members
+    val after = Manifest.memberPartitions(root, v1).toMap
+    val upKbs = up.select(BucketedIndex.bucketOf(N, col("t"))).distinct()
+      .collect().map(_.getLong(0).toString).toSet
+    val untouchedBefore = before.filterNot { case (_, t) => upKbs(t("kb")) }
+    assert(untouchedBefore.forall { case (p, _) => after.contains(p) },
+      "untouched buckets' members must pass through verbatim")
+    val rewritten = after.keySet -- before.keySet
+    assert(rewritten.nonEmpty &&
+      rewritten.forall(p => p.contains("day1-b")),
+      s"new members must carry the upsert tag: $rewritten")
+    assert(after.filter(_._1.contains("day1-b"))
+        .forall { case (_, t) => upKbs(t("kb")) && t("kbn") == N.toString },
+      "rewritten members must keep the layout tags — pruning survives")
+    // post-upsert pruning still follows the delta
+    val p1 = BucketedIndex.prunedMemberPaths(root, v1,
+      Seq((7L, 0L)).toDF("t", "id").select("t"), Seq("t"), N)
+    assert(p1.size == 1 && p1.head.contains("day1-b"))
+    // redelivery ledger: the tag is visible in the manifest
+    assert(Manifest.tagApplied(root, "day1"))
+  }
+
+  test("COW upsert refuses a mixed layout loudly") {
+    val root = TestSpark.tmpDir("bidx-upmixed").toString
+    BucketedIndex.commitBucketed(index(Seq((1L, 10L))), root, "base",
+      Seq("t"), N)
+    Manifest.commitAdd(index(Seq((2L, 20L))), root, "legacy") // untagged
+    val e = intercept[IllegalArgumentException] {
+      BucketedIndex.upsertBucketed(index(Seq((1L, 11L))), root, "day1",
+        Seq("t"), N)
+    }
+    assert(e.getMessage.contains("mixed layout") &&
+      e.getMessage.contains("commitBucketed"),
+      s"the failure must name the remedy: ${e.getMessage}")
+  }
+
+  test("a crashed COW-upsert attempt retries cleanly") {
+    val root = TestSpark.tmpDir("bidx-upcrash").toString
+    BucketedIndex.commitBucketed(index((1L to 50L).map(t => (t, t))),
+      root, "base", Seq("t"), 4)
+    // plant the crash: staging dir + one moved bucket dir, manifest
+    // never published
+    val up = index(Seq((7L, 700L)))
+    up.write.parquet(s"$root/files/day1-staging/__kb=9")
+    up.write.parquet(s"$root/files/day1-b2")
+    assert(!Manifest.tagApplied(root, "day1"))
+    BucketedIndex.upsertBucketed(up, root, "day1", Seq("t"), 4)
+    val v = Manifest.currentVersion(root)
+    val got = fp(Manifest.read(spark, root, v))
+    assert(got == (1L to 50L).map(t => (t, t)).toSet - ((7L, 7L)) + ((7L, 700L)))
+    assert(Manifest.tagApplied(root, "day1"))
+  }
+
   test("a crashed bucketed-commit attempt retries cleanly") {
     val root = TestSpark.tmpDir("bidx-crash").toString
     BucketedIndex.commitBucketed(index(Seq((1L, 1L))), root, "day0",
