@@ -78,7 +78,17 @@ object Bench {
     // label touches)
     "q394_entity_resolution", "q437_knn_graph", "q448_label_propagation",
     "q462_covariate_matching", "q471_perceptual_neardup",
-    "q476_incremental_clusters")
+    "q476_incremental_clusters",
+    // round-14 addition (r13 verdict item 4): the incremental-
+    // clustering FOLD against a PERSISTED base — q476 stays as the
+    // oracle gate, but ~15 s of its ~17 s is its own in-query base
+    // fixture build; q484 builds the base Manifest tables once per
+    // bench process (first sample pays it; warm samples — the ones
+    // the min keeps — pay only the fold: delta shingling, the
+    // bucket-pruned stored-index probe, contraction CC, label fold),
+    // so the recorded number tracks the operator a daily drain
+    // actually repeats
+    "q484_incremental_fold_stored")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

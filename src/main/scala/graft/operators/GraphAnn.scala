@@ -139,6 +139,32 @@ object GraphAnn {
     require(cents.nonEmpty, "knnGraphDelta: empty base corpus")
     require(nprobe >= 1 && nprobe <= cents.length,
       s"knnGraphDelta: nprobe=$nprobe out of range [1, ${cents.length}]")
+    val (changed, affectedSrcs) = knnGraphDeltaChanged(baseGraph,
+      baseEmb, deltaEmb, idCol, vecCol, k, cents, nprobe)
+    baseGraph
+      .join(affectedSrcs, Seq("src"), "left_anti")
+      .select(col("src"), col("dst"), col("rank"))
+      .unionByName(changed)
+  }
+
+  /** The CHANGED rows of [[knnGraphDelta]]'s fold — affected base
+    * sources' re-ranked lists plus the delta sources' own lists —
+    * along with the affected-source frame, under a CALLER-SUPPLIED
+    * quantizer. This is the write set a fold-through-STORAGE needs
+    * ([[GraphAnnStore.foldDelta]]'s COW upsert replaces exactly these
+    * sources' rows; untouched sources never leave their stored
+    * members), split out so the in-memory fold and the stored fold
+    * share one definition and cannot diverge.
+    */
+  private[operators] def knnGraphDeltaChanged(
+      baseGraph: DataFrame,
+      baseEmb: DataFrame,
+      deltaEmb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      cents: Array[Array[Float]],
+      nprobe: Int): (DataFrame, DataFrame) = {
     val w = Window.partitionBy(col("src"))
       .orderBy(col("sim").desc, col("dst"))
     // delta sources: the full from-scratch rule against base+delta
@@ -169,14 +195,11 @@ object GraphAnn {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("src"), col("dst"), col("rank"))
-    val untouched = baseGraph
-      .join(affectedSrcs, Seq("src"), "left_anti")
-      .select(col("src"), col("dst"), col("rank"))
     val deltaRanked = deltaEdges
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("src"), col("dst"), col("rank"))
-    untouched.unionByName(affected).unionByName(deltaRanked)
+    (affected.unionByName(deltaRanked), affectedSrcs)
   }
 
   /** The base-side NEW candidate frame of [[knnGraphDelta]]:
@@ -245,7 +268,37 @@ object GraphAnn {
       beam: Int,
       hops: Int,
       kOut: Int,
-      cents: Array[Array[Float]]): DataFrame = {
+      cents: Array[Array[Float]]): DataFrame =
+    beamSearchEdges(_ => graph, emb, idCol, vecCol, queryIds, beam,
+      hops, kOut, cents)
+
+  /** The walk core under a caller-supplied EDGE SOURCE — `edgesFor`
+    * maps each hop's frontier (query_id, node, sim rows) to the edge
+    * rows (src, dst, rank) that hop may traverse. The in-memory form
+    * passes a constant graph; the STORED form
+    * ([[GraphAnnStore.beamSearchStored]]) reads only the frontier's
+    * bucket members per hop, so serving IO follows the walk. Any
+    * SUPERSET of the frontier's out-edges is correct (extra rows are
+    * harmless — the hop equi-joins on the frontier's nodes), which is
+    * exactly the bucket-pruning contract.
+    *
+    * `listEntries` (optional): the per-coarse-list entry node
+    * (ivf_list, node) — stored indexes pass their committed entry
+    * table so serving pays ZERO corpus passes beyond scoring; when
+    * absent, entries compute from `emb` (the min-id member per list,
+    * one corpus aggregate).
+    */
+  private[operators] def beamSearchEdges(
+      edgesFor: DataFrame => DataFrame,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: DataFrame,
+      beam: Int,
+      hops: Int,
+      kOut: Int,
+      cents: Array[Array[Float]],
+      listEntries: Option[DataFrame] = None): DataFrame = {
     require(beam >= kOut, s"beamSearch: beam=$beam must be >= kOut=$kOut")
     require(hops >= 1, s"beamSearch: hops=$hops")
     require(cents.nonEmpty,
@@ -264,8 +317,9 @@ object GraphAnn {
     // never empty. listMin is nlist-sized; broadcast. The probe runs
     // over the already-materialized queries frame — no second
     // corpus-join.
-    val listMin = Similarity.ivfIndex(emb, vecCol, cents)
-      .groupBy(col("ivf_list")).agg(min(col(idCol)).as("node"))
+    val listMin = listEntries.getOrElse(
+      Similarity.ivfIndex(emb, vecCol, cents)
+        .groupBy(col("ivf_list")).agg(min(col(idCol)).as("node")))
     val entries = ivfProbes(queries, "query_id", "qv", cents, nprobe = 1)
       .select(col("src").as("query_id"), col("ivf_list"))
       .join(broadcast(listMin), Seq("ivf_list"))
@@ -281,7 +335,7 @@ object GraphAnn {
     var frontier = visited
     for (_ <- 1 to hops) {
       val expanded = frontier
-        .join(graph.withColumnRenamed("src", "node"), Seq("node"))
+        .join(edgesFor(frontier).withColumnRenamed("src", "node"), Seq("node"))
         .select(col("query_id"), col("dst").as("node"))
         // drop already-visited nodes before scoring (exact dedup)
         .join(visited.select(col("query_id"), col("node")),

@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED graph-ANN index (r13 verdict item 3) — the storage leg
+  * of the q437/q438/q472 graph family, completing the stored-index
+  * discipline the other fingerprint families already follow (AllPairs
+  * prefixes q415, LSH band-buckets q480, Hamming chunks q481): the
+  * k-NN graph, its coarse quantizer, and the per-list entry nodes
+  * COMMIT as [[Manifest]] tables once; a serving probe walks the
+  * graph FROM STORAGE (no rebuild, no retrain, no corpus pass beyond
+  * scoring); daily arrivals fold through the stored table at
+  * touched-bucket COW cost.
+  *
+  * Layout under `root`:
+  *   - `<root>/edges` — (src, dst, rank), KEY-BUCKETED on `src`
+  *     ([[BucketedIndex.commitBucketed]]). Each beam-search hop reads
+  *     ONLY its frontier's bucket members
+  *     ([[BucketedIndex.prunedRead]]) — serving IO follows the WALK
+  *     (beam · hops · degree nodes), never the graph size; the delta
+  *     fold rewrites only the buckets its changed sources hash into
+  *     ([[BucketedIndex.upsertBucketed]] — untouched members
+  *     verbatim).
+  *   - `<root>/centroids` — (list_id, centroid, entry_id): the
+  *     nlist-row coarse quantizer (bounded; collected at [[load]])
+  *     PLUS each list's entry node — the min-id member at build time,
+  *     coalesced to the global min for build-empty lists so every
+  *     entry is total. Storing the quantizer is what makes the probe
+  *     rebuild-free: build, fold, and search must share ONE quantizer
+  *     (the q438 lesson), and a serving retrain would both cost a
+  *     corpus pass and silently diverge if the corpus grew since the
+  *     build. Folds deliberately do NOT move entries: the build's
+  *     entry stays a valid graph node, and a stable entry keeps the
+  *     walk deterministic across index versions.
+  *
+  * The handle states (k, nlist, nprobe, numBuckets) at reconstruction
+  * — the [[Dedup.LshBucketIndex]] contract applied to the graph
+  * family — and [[load]] sanity-probes them against the stored
+  * tables: the centroid count must equal `nlist` exactly, and one
+  * member's ranks must fit `k` (a bounded single-member probe, the
+  * crossHammingPairs64 discipline — a sanity screen, not a proof).
+  */
+object GraphAnnStore {
+
+  /** Default bucket count of the edges layout. */
+  val EdgeBuckets = 16
+
+  /** A reconstructed stored-index handle: the pinned edges snapshot,
+    * the collected quantizer + entry nodes, and the parameters the
+    * caller stated (which [[load]] screened against the storage).
+    * `version` pins the edges snapshot the serving walk reads — a
+    * concurrent fold advances the table without moving a live handle.
+    */
+  final case class StoredGraphAnn(
+      edges: DataFrame,
+      cents: Array[Array[Float]],
+      entries: Seq[(Long, Long)], // (ivf_list, entry node id)
+      k: Int,
+      nlist: Int,
+      nprobe: Int,
+      numBuckets: Int,
+      root: String,
+      version: Int)
+
+  /** Build the k-NN graph of `emb` under a freshly trained quantizer
+    * and COMMIT the whole index under `root` (edges bucketed on src;
+    * centroids + entry nodes as one bounded table). One graph build,
+    * two commits; returns nothing — reconstruct with [[load]].
+    */
+  def build(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      root: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      numBuckets: Int = EdgeBuckets): Unit = {
+    val spark = emb.sparkSession
+    val cents = Similarity.kmeansCentroids(emb, idCol, vecCol, nlist)
+    require(cents.nonEmpty, "GraphAnnStore.build: empty corpus")
+    require(nprobe >= 1 && nprobe <= cents.length,
+      s"GraphAnnStore.build: nprobe=$nprobe out of range [1, ${cents.length}]")
+    val graph = GraphAnn.knnGraphWithCentroids(
+      emb, idCol, vecCol, k, cents, nprobe)
+    BucketedIndex.commitBucketed(graph, s"$root/edges", "base",
+      Seq("src"), numBuckets)
+    // per-list entry = the min-id member (the q438 per-query entry
+    // rule, committed so serving never re-scans the corpus for it);
+    // a build-empty list falls back to the global min id — total,
+    // deterministic, and still a graph node
+    val listMin = Similarity.ivfIndex(emb, vecCol, cents)
+      .groupBy(col("ivf_list")).agg(min(col(idCol)).as("mn"))
+      .select(col("ivf_list").cast("long"), col("mn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fallback = listMin.values.min
+    import spark.implicits._
+    val centRows = cents.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c.toSeq, listMin.getOrElse(i.toLong, fallback))
+    }.toSeq
+    Manifest.commitAdd(centRows.toDF("list_id", "centroid", "entry_id"),
+      s"$root/centroids", "base")
+    ()
+  }
+
+  /** Reconstruct the handle from storage, screening the stated
+    * parameters against the stored tables (see class doc). The edges
+    * frame is the pinned current-version snapshot.
+    */
+  def load(
+      spark: SparkSession,
+      root: String,
+      k: Int,
+      nlist: Int,
+      nprobe: Int,
+      numBuckets: Int = EdgeBuckets): StoredGraphAnn = {
+    val centRoot = s"$root/centroids"
+    val edgeRoot = s"$root/edges"
+    val cv = Manifest.currentVersion(centRoot)
+    require(cv > 0,
+      s"GraphAnnStore.load: $centRoot is uninitialized — build() first")
+    val centRows = Manifest.read(spark, centRoot, cv)
+      .orderBy(col("list_id")).collect()
+    require(centRows.length == nlist,
+      s"GraphAnnStore.load: stored quantizer has ${centRows.length} " +
+        s"centroids but the handle states nlist=$nlist — the index was " +
+        "built under different parameters; state the build's values")
+    require(centRows.map(_.getLong(0)).toSeq == (0L until nlist.toLong),
+      "GraphAnnStore.load: centroid list_ids must be exactly 0..nlist-1")
+    val cents = centRows.map(_.getSeq[Float](1).toArray)
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"GraphAnnStore.load: nprobe=$nprobe out of range [1, $nlist]")
+    val entries = centRows.map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val ev = Manifest.currentVersion(edgeRoot)
+    require(ev > 0,
+      s"GraphAnnStore.load: $edgeRoot is uninitialized — build() first")
+    // bounded reconstruction sanity probe: ONE member's ranks must
+    // fit the stated k (bucket members are non-empty by construction)
+    val m0 = Manifest.members(edgeRoot, ev).head
+    val mm = spark.read.parquet(m0)
+      .agg(max(col("rank")).as("mx"), min(col("rank")).as("mn")).collect()(0)
+    require(mm.getLong(0) <= k && mm.getLong(1) >= 1L,
+      s"GraphAnnStore.load: stored ranks [${mm.getLong(1)}, ${mm.getLong(0)}] " +
+        s"do not fit the stated k=$k — the index was built under " +
+        "different parameters; state the build's values")
+    StoredGraphAnn(Manifest.read(spark, edgeRoot, ev), cents, entries,
+      k, nlist, nprobe, numBuckets, root, ev)
+  }
+
+  /** Fold a batch of NEW vectors through the STORED graph — the q472
+    * delta fold writing through storage: the changed rows (affected
+    * base sources' re-ranked lists + the delta sources' own lists,
+    * computed under the STORED quantizer against the STORED edges —
+    * [[GraphAnn.knnGraphDeltaChanged]], so the in-memory fold and
+    * this one share a single definition) COW-upsert into the edges
+    * table at touched-bucket IO; untouched sources' members never
+    * rewrite. The folded table equals [[GraphAnn.knnGraphDelta]]'s
+    * in-memory output row for row (GraphAnnSpec pins it), which
+    * itself equals a frozen-quantizer rebuild of base ∪ delta — and
+    * here the frozen quantizer IS the stored one, no retrain anywhere.
+    *
+    * Preconditions (the knnGraphDelta contract): `baseEmb` is exactly
+    * the corpus the stored graph covers, `deltaEmb` ids are new.
+    * `nameTag` is the redelivery ledger ([[Manifest.tagApplied]] on
+    * the edges table — an applied tag returns without computing).
+    * Returns the edges version after the fold; reload the handle to
+    * serve from it.
+    */
+  def foldDelta(
+      idx: StoredGraphAnn,
+      baseEmb: DataFrame,
+      deltaEmb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nameTag: String): Int = {
+    val edgeRoot = s"${idx.root}/edges"
+    if (Manifest.tagApplied(edgeRoot, nameTag))
+      Manifest.currentVersion(edgeRoot)
+    else {
+      val (changed, _) = GraphAnn.knnGraphDeltaChanged(idx.edges,
+        baseEmb, deltaEmb, idCol, vecCol, idx.k, idx.cents, idx.nprobe)
+      BucketedIndex.upsertBucketed(changed, edgeRoot, nameTag,
+        Seq("src"), idx.numBuckets)
+    }
+  }
+
+  /** Greedy beam search served ENTIRELY from the stored index: the
+    * quantizer and entry nodes come from the handle (no retrain, no
+    * corpus aggregate), and each hop's edge read opens only the
+    * frontier's bucket members — per-hop IO is the walk's, never the
+    * graph's. `emb` supplies the vectors scoring joins against (the
+    * corpus table itself, not index state). Same walk core as the
+    * in-memory [[GraphAnn.beamSearchWithCentroids]]
+    * ([[GraphAnn.beamSearchEdges]]), so the two cannot diverge.
+    */
+  def beamSearchStored(
+      spark: SparkSession,
+      idx: StoredGraphAnn,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: DataFrame,
+      beam: Int,
+      hops: Int,
+      kOut: Int): DataFrame = {
+    import spark.implicits._
+    val entryDf = idx.entries.toDF("ivf_list", "node")
+    GraphAnn.beamSearchEdges(
+      frontier => BucketedIndex.prunedRead(spark, s"${idx.root}/edges",
+        idx.version, frontier.select(col("node").as("src")), Seq("src"),
+        idx.numBuckets),
+      emb, idCol, vecCol, queryIds, beam, hops, kOut, idx.cents,
+      listEntries = Some(entryDf))
+  }
+}

@@ -307,13 +307,28 @@ object Pq {
     require(cents.nonEmpty, "ivfPqTopK: no centroids (empty corpus?)")
     require(nprobe >= 1 && nprobe <= cents.length,
       s"ivfPqTopK: nprobe=$nprobe out of range [1, ${cents.length}]")
+    val model = trainResidualModel(emb, idCol, vecCol, cents, m, ksub, sampleN)
+    val indexed = encodeResiduals(emb, idCol, vecCol, cents, model)
+    ivfPqServe(_ => indexed, emb, idCol, vecCol, queryIds, cents, model,
+      nprobe, k, rerank)
+  }
+
+  /** Residual codebook trained under `cents` from the deterministic
+    * hash-ordered sample — factored from [[ivfPqTopK]] so the
+    * stored-index build ([[PqStore]]) trains the IDENTICAL artifact
+    * (same sample rule, same in-driver coarse assignment + residual
+    * computation; sampleN rows, never the corpus).
+    */
+  private[operators] def trainResidualModel(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[Array[Float]],
+      m: Int,
+      ksub: Int,
+      sampleN: Int): Model = {
     val dim = cents.head.length
     require(dim % m == 0, s"ivfPqTopK: dim $dim not divisible by m=$m")
-    val flatCents: Array[Float] = cents.flatten.toArray
-
-    // residual codebook: same deterministic hash-ordered sample rule
-    // as train(), with the coarse assignment + residual computed
-    // in-driver (sampleN rows, never the corpus)
     val sample: Array[Array[Double]] = emb
       .select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .orderBy(xxhash64(col("__id")), col("__id"))
@@ -334,24 +349,63 @@ object Pq {
       }
       Array.tabulate(dim)(d => u(d) - cents(best)(d))
     }
-    val model = trainVectors(residuals, m, ksub)
+    trainVectors(residuals, m, ksub)
+  }
 
+  /** The corpus coded under (cents, model): (idCol, ivf_list, code) —
+    * one narrow codegen pass, no shuffle. Factored for the stored
+    * build and its delta append ([[PqStore]]): codes are a pure
+    * per-row function of the artifacts, so a delta batch encoded
+    * later matches what a full re-encode would produce row for row.
+    */
+  private[operators] def encodeResiduals(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[Array[Float]],
+      model: Model): DataFrame = {
+    val flatCents: Array[Float] = cents.flatten.toArray
     def resCode(vec: Column, list: Column): Column =
       GraftColumnBridge.column(graft.functions.expressions.PqEncodeResidual(
         GraftColumnBridge.expression(vec),
         GraftColumnBridge.expression(list.cast("int")),
         flatCents, model.codebook, model.m, model.ksub, model.dsub))
+    Similarity.ivfIndex(emb, vecCol, cents)
+      .select(col(idCol), col("ivf_list"),
+        resCode(col(vecCol), col("ivf_list")).as("code"))
+  }
+
+  /** The serving core of [[ivfPqTopK]] under CALLER-SUPPLIED
+    * artifacts and a PLUGGABLE coded-index source — `indexedFor`
+    * maps the probe frame (query_id, qv, ivf_list) to the coded rows
+    * (idCol, ivf_list, code) the scan may score. The in-memory path
+    * passes a constant full index; the stored path
+    * ([[PqStore.topKStored]]) reads only the probed lists' bucket
+    * members. Any SUPERSET of the probed lists' rows is correct (the
+    * scoring join keys on ivf_list) — the bucket-pruning contract.
+    */
+  private[operators] def ivfPqServe(
+      indexedFor: DataFrame => DataFrame,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: DataFrame,
+      cents: Array[Array[Float]],
+      model: Model,
+      nprobe: Int,
+      k: Int,
+      rerank: Int): DataFrame = {
+    require(rerank >= k, s"ivfPqTopK: rerank=$rerank must be >= k=$k")
+    require(cents.nonEmpty, "ivfPqTopK: no centroids (empty corpus?)")
+    require(nprobe >= 1 && nprobe <= cents.length,
+      s"ivfPqTopK: nprobe=$nprobe out of range [1, ${cents.length}]")
+    val flatCents: Array[Float] = cents.flatten.toArray
     def adcDist(vec: Column, list: Column, code: Column): Column =
       GraftColumnBridge.column(graft.functions.expressions.PqAdcResidual(
         GraftColumnBridge.expression(vec),
         GraftColumnBridge.expression(list.cast("int")),
         GraftColumnBridge.expression(code),
         flatCents, model.codebook, model.m, model.ksub, model.dsub))
-
-    // index: (id, list, residual code) — one narrow codegen pass
-    val indexed = Similarity.ivfIndex(emb, vecCol, cents)
-      .select(col(idCol), col("ivf_list"),
-        resCode(col(vecCol), col("ivf_list")).as("code"))
 
     val queries = emb.join(queryIds, emb(idCol) === queryIds("query_id"))
       .select(col("query_id"), col(vecCol).as("qv"))
@@ -368,7 +422,7 @@ object Pq {
 
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("pq_d"), col(idCol))
-    val shortlist = probes.join(indexed, Seq("ivf_list"))
+    val shortlist = probes.join(indexedFor(probes), Seq("ivf_list"))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("pq_d", adcDist(col("qv"), col("ivf_list"), col("code")))
       .drop("qv")

@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED IVF-PQ index — the storage leg of the q420 composed-ANN
+  * family, completing the stored-index discipline across every index
+  * family the engine ships (AllPairs prefixes q415, LSH buckets q480,
+  * Hamming chunks q481, graph edges q483): the trained artifacts
+  * (coarse centroids + residual codebook) and the 4-bit codes COMMIT
+  * as [[Manifest]] tables once; serving reads storage alone (no
+  * retrain, no re-encode); daily arrivals APPEND their own codes —
+  * the cheapest fold of all the families, because codes are a pure
+  * per-row function of the frozen artifacts (no stored row is ever
+  * affected by an arrival, unlike the graph's re-ranked lists).
+  *
+  * Layout under `root`:
+  *   - `<root>/codes` — (id, ivf_list, code), KEY-BUCKETED on
+  *     `ivf_list` ([[BucketedIndex.commitBucketed]]): a query scores
+  *     codes from its `nprobe` probed lists only, and the bucketed
+  *     layout makes that CANDIDATE bound an IO bound too — the scan
+  *     opens only the probed lists' bucket members
+  *     ([[BucketedIndex.prunedRead]]), never the other
+  *     `nlist − nprobe` lists' files. Delta batches append one
+  *     member per occupied bucket ([[Manifest.compactTiered]] is the
+  *     long-drain maintenance, layout-preserving).
+  *   - `<root>/centroids` — (list_id, centroid): the nlist-row coarse
+  *     quantizer (bounded; collected at [[load]]).
+  *   - `<root>/codebook`  — (pos, value): the flattened residual
+  *     codebook on the exact integer grid (m·ksub·dsub longs,
+  *     bounded; collected at [[load]]) — integers round-trip parquet
+  *     exactly, so the reconstructed model scores bit-identically.
+  *
+  * The handle states (nlist, nprobe, m, ksub, numBuckets) at
+  * reconstruction (the [[Dedup.LshBucketIndex]] contract) and
+  * [[load]] screens them against storage: centroid count == nlist,
+  * codebook length == m·ksub·(dim/m), dim % m == 0 — all loud.
+  */
+object PqStore {
+
+  /** Default bucket count of the codes layout. */
+  val ListBuckets = 16
+
+  /** A reconstructed stored-index handle; `version` pins the codes
+    * snapshot a serving call reads — a concurrent append advances
+    * the table without moving a live handle.
+    */
+  final case class StoredIvfPq(
+      codes: DataFrame,
+      cents: Array[Array[Float]],
+      model: Pq.Model,
+      nlist: Int,
+      nprobe: Int,
+      numBuckets: Int,
+      root: String,
+      version: Int)
+
+  /** Train the coarse quantizer + residual codebook on `emb`, encode
+    * it, and COMMIT the whole index under `root`. One corpus encode
+    * pass, three commits; reconstruct with [[load]].
+    */
+  def build(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      root: String,
+      nlist: Int = 16,
+      m: Int = 16,
+      ksub: Int = 16,
+      sampleN: Int = 2048,
+      numBuckets: Int = ListBuckets): Unit = {
+    val spark = emb.sparkSession
+    val cents = Similarity.kmeansCentroids(emb, idCol, vecCol, nlist)
+    require(cents.nonEmpty, "PqStore.build: empty corpus")
+    val model = Pq.trainResidualModel(emb, idCol, vecCol, cents, m, ksub,
+      sampleN)
+    BucketedIndex.commitBucketed(
+      Pq.encodeResiduals(emb, idCol, vecCol, cents, model)
+        .withColumnRenamed(idCol, "id"),
+      s"$root/codes", "base", Seq("ivf_list"), numBuckets)
+    import spark.implicits._
+    Manifest.commitAdd(
+      cents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+        .toDF("list_id", "centroid"),
+      s"$root/centroids", "base")
+    // (m, ksub) ride as manifest partition tags on the codebook
+    // member: the flat length alone cannot distinguish e.g.
+    // (m=16, ksub=16, dsub=4) from (m=8, ksub=16, dsub=8) — both are
+    // 1024 longs — and a mis-stated m would re-slice the codebook
+    // silently
+    Manifest.commitAdd(
+      model.codebook.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+        .toDF("pos", "value"),
+      s"$root/codebook", "base",
+      partition = Map("m" -> m.toString, "ksub" -> ksub.toString))
+    ()
+  }
+
+  /** Reconstruct the handle from storage, screening the stated
+    * parameters (see class doc). The codes frame is the pinned
+    * current-version snapshot.
+    */
+  def load(
+      spark: SparkSession,
+      root: String,
+      nlist: Int,
+      nprobe: Int,
+      m: Int,
+      ksub: Int,
+      numBuckets: Int = ListBuckets): StoredIvfPq = {
+    val centRoot = s"$root/centroids"
+    val cbRoot = s"$root/codebook"
+    val codeRoot = s"$root/codes"
+    val cv = Manifest.currentVersion(centRoot)
+    require(cv > 0,
+      s"PqStore.load: $centRoot is uninitialized — build() first")
+    val centRows = Manifest.read(spark, centRoot, cv)
+      .orderBy(col("list_id")).collect()
+    require(centRows.length == nlist,
+      s"PqStore.load: stored quantizer has ${centRows.length} centroids " +
+        s"but the handle states nlist=$nlist — state the build's values")
+    val cents = centRows.map(_.getSeq[Float](1).toArray)
+    val dim = cents.head.length
+    require(dim % m == 0,
+      s"PqStore.load: stored dim $dim not divisible by the stated m=$m")
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"PqStore.load: nprobe=$nprobe out of range [1, $nlist]")
+    val dsub = dim / m
+    val bv = Manifest.currentVersion(cbRoot)
+    require(bv > 0,
+      s"PqStore.load: $cbRoot is uninitialized — build() first")
+    val cbTags = Manifest.memberPartitions(cbRoot, bv).head._2
+    require(cbTags.get("m").contains(m.toString) &&
+      cbTags.get("ksub").contains(ksub.toString),
+      s"PqStore.load: stored codebook was built at (m=${cbTags.get("m")
+        .getOrElse("?")}, ksub=${cbTags.get("ksub").getOrElse("?")}) but " +
+        s"the handle states (m=$m, ksub=$ksub) — the flat codebook would " +
+        "re-slice silently; state the build's values")
+    val cb = Manifest.read(spark, cbRoot, bv)
+      .orderBy(col("pos")).collect().map(_.getLong(1))
+    require(cb.length == m * ksub * dsub,
+      s"PqStore.load: stored codebook has ${cb.length} entries but the " +
+        s"stated (m=$m, ksub=$ksub, dim=$dim) needs ${m * ksub * dsub} — " +
+        "state the build's values")
+    val kv = Manifest.currentVersion(codeRoot)
+    require(kv > 0,
+      s"PqStore.load: $codeRoot is uninitialized — build() first")
+    StoredIvfPq(Manifest.read(spark, codeRoot, kv), cents,
+      Pq.Model(cb, m, ksub, dsub), nlist, nprobe, numBuckets, root, kv)
+  }
+
+  /** APPEND a batch of NEW vectors to the stored index: the batch
+    * encodes under the STORED artifacts (one narrow codegen pass over
+    * the batch alone — codes are a pure per-row function, so the
+    * appended rows equal what a full rebuild under the same
+    * artifacts would produce) and lands as one bucketed commit. No
+    * stored row is read, touched, or re-ranked — the fold is pure
+    * delta IO, the append-only best case of the stored-index family.
+    *
+    * New-arrival guard: a re-delivered id with the SAME vector lands
+    * in the same coarse list deterministically, so probing the
+    * delta's own list buckets of the stored codes catches it at
+    * pruned-scan cost (an id REUSED for a different vector is an
+    * upsert, not an append — out of contract, stated here).
+    * `nameTag` is the redelivery ledger ([[Manifest.tagApplied]]).
+    * Returns the codes version after the append.
+    */
+  def appendDelta(
+      idx: StoredIvfPq,
+      deltaEmb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nameTag: String): Int = {
+    val codeRoot = s"${idx.root}/codes"
+    if (Manifest.tagApplied(codeRoot, nameTag))
+      Manifest.currentVersion(codeRoot)
+    else {
+      val spark = deltaEmb.sparkSession
+      // batch-sized; feeds the guard AND the commit — materialize once
+      val coded = Pq.encodeResiduals(deltaEmb, idCol, vecCol, idx.cents,
+        idx.model).withColumnRenamed(idCol, "id").localCheckpoint()
+      val dup = BucketedIndex.prunedRead(spark, codeRoot, idx.version,
+          coded.select(col("ivf_list")), Seq("ivf_list"), idx.numBuckets)
+        .join(broadcast(coded.select(col("id")).distinct()),
+          Seq("id"), "left_semi")
+      require(dup.isEmpty,
+        s"PqStore.appendDelta($nameTag): batch ids already present in the " +
+          "stored index — the feed must carry each id once (an id reused " +
+          "for a different vector is an upsert, out of the append contract)")
+      BucketedIndex.commitBucketed(coded, codeRoot, nameTag,
+        Seq("ivf_list"), idx.numBuckets)
+    }
+  }
+
+  /** IVF-PQ top-k served ENTIRELY from the stored index: artifacts
+    * come from the handle (no retrain, no corpus encode), and the
+    * candidate scan opens only the probed lists' bucket members —
+    * candidate IO ∝ probed lists holds at the FILE level, not just
+    * the row level. `emb` supplies the float vectors the exact
+    * re-rank (and the query side) joins against — the corpus table,
+    * not index state. Same serving core as the in-memory
+    * [[Pq.ivfPqTopK]] ([[Pq.ivfPqServe]]), so the two cannot diverge.
+    */
+  def topKStored(
+      spark: SparkSession,
+      idx: StoredIvfPq,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: DataFrame,
+      k: Int,
+      rerank: Int = 32): DataFrame =
+    Pq.ivfPqServe(
+      probes => BucketedIndex.prunedRead(spark, s"${idx.root}/codes",
+          idx.version, probes.select(col("ivf_list")), Seq("ivf_list"),
+          idx.numBuckets)
+        .withColumnRenamed("id", idCol),
+      emb, idCol, vecCol, queryIds, idx.cents, idx.model, idx.nprobe,
+      k, rerank)
+}

@@ -157,6 +157,61 @@ object DedupOps {
       out
     }),
 
+    // The incremental FOLD benched against a PERSISTED base (r13
+    // verdict item 4): q476 is the ORACLE GATE for the contraction
+    // fold, but ~15 s of its ~17 s at sf0.1 is the two in-query
+    // from-scratch clustering pipelines that build its base fixture —
+    // so the bench artifact tracked a fixture build, not the
+    // operator. Here the base state (sets + key-bucketed prefixes +
+    // labels — the q478 state shape) builds ONCE PER PROCESS into
+    // Manifest tables (`cachedScratch`: later calls see the `_built`
+    // marker and skip), and each run pays only what a daily drain
+    // repeats per batch: delta shingling, the bucket-PRUNED stored
+    // prefix-index probe, the delta self-join, contraction CC, and
+    // the label fold. Fold ≡ from-scratch (the q476 argument), so
+    // the same recursive-CTE oracle hash-pins the full assignment.
+    "q484_incremental_fold_stored" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables(s, d).documents
+      val tau = 0.9; val kb = 16
+      def sets(df: DataFrame) =
+        df.select(col("doc_id").as("id"),
+          array_sort(transform(array_distinct(split(col("text"), " ")),
+            tk => xxhash64(tk))).as("ts"))
+          .withColumn("n", size(col("ts")))
+      val root = cachedScratch("q484", d) { r =>
+        val base = docs.filter(col("doc_id") % 5 =!= 4)
+        val bs = sets(base).localCheckpoint() // feeds pairs + 2 commits
+        graft.operators.Manifest.commitAdd(bs, s"$r/sets", "base")
+        graft.operators.BucketedIndex.commitBucketed(
+          Dedup.jaccardPrefixes(bs, tau), s"$r/prefixes", "base",
+          Seq("t"), kb)
+        graft.operators.Manifest.commitAdd(
+          Dedup.duplicateClusters(
+            Dedup.jaccardPairs(bs.select(col("id"), col("ts")), tau)
+              .select("a_id", "b_id"),
+            base.select("doc_id")),
+          s"$r/labels", "base")
+        ()
+      }
+      // per-run work from here on: the delta batch alone (its sets
+      // feed the pruning keys AND both probe legs — materialize once)
+      val delta = docs.filter(col("doc_id") % 5 === 4)
+      val ds = sets(delta).localCheckpoint()
+      val cross = Dedup.crossJaccardPairsPre(ds,
+        graft.operators.Manifest.read(s, s"$root/sets",
+          graft.operators.Manifest.currentVersion(s"$root/sets")), tau,
+        basePrefixes = Some(Dedup.prunedBasePrefixes(s, s"$root/prefixes",
+          graft.operators.Manifest.currentVersion(s"$root/prefixes"),
+          ds, tau, kb)))
+      val inner = Dedup.jaccardPairs(ds.select(col("id"), col("ts")), tau)
+        .select("a_id", "b_id")
+      Dedup.incrementalClusters(
+        graft.operators.Manifest.read(s, s"$root/labels",
+          graft.operators.Manifest.currentVersion(s"$root/labels")),
+        delta.select("doc_id"), cross.unionByName(inner))
+    }),
+
     // Rolling-hash winnowing sketch (xxhash64 shingles → k-min);
     // no DuckDB xxhash64 → rows-only. The sketch is exploded to
     // (doc_id, pos, minhash) scalar rows: the driver's rows-only
@@ -407,6 +462,29 @@ object DedupOps {
     p.toString
   }
 
+  /** PROCESS-cached scratch (r13 verdict item 4's build-once shape):
+    * pid + input-dir addressed like [[freshScratch]], but the state
+    * builds ONCE per process — the `_built` marker records a
+    * completed build; a missing marker wipes any partial state (a
+    * crashed earlier build) and rebuilds. Bench samples and repeated
+    * in-process calls hence pay only the per-run fold, the way a
+    * standing production base amortizes across daily batches.
+    */
+  private def cachedScratch(tag: String, d: String)(
+      build: String => Unit): String = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-$tag-" + Integer.toHexString(d.hashCode) +
+        "-p" + ProcessHandle.current().pid())
+    val marker = p.resolve("_built")
+    if (!java.nio.file.Files.exists(marker)) {
+      graft.util.Fs.deleteRecursively(p)
+      build(p.toString)
+      java.nio.file.Files.createFile(marker)
+      ()
+    }
+    p.toString
+  }
+
   /** Shared by q67/q68/q70: hashed token sets → exact Jaccard ≥ 0.9
     * pairs → connected components (one definition, so the queries
     * and their common oracle CTE prefix cannot diverge).
@@ -522,6 +600,9 @@ object DedupOps {
     "q478_stream_clusters" -> clustersOracle,
     // mid-stream compaction is layout-only — same oracle verbatim
     "q482_stream_clusters_compact" -> clustersOracle,
+    // the stored-base fold ≡ from-scratch (q476's argument over the
+    // persisted q478 state shape) — same oracle verbatim
+    "q484_incremental_fold_stored" -> clustersOracle,
     "q68_dedup_keep" ->
       """WITH RECURSIVE tok AS (
            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t

@@ -189,6 +189,70 @@ object VectorOps {
         "vec_id", "embedding", k = 8)
     }),
 
+    // PERSISTED graph-ANN index, end to end (r13 verdict item 3 —
+    // the stored-index discipline of q415/q480/q481 applied to the
+    // graph family): the base corpus's k-NN graph commits as a
+    // src-bucketed Manifest table beside its quantizer + entry
+    // nodes; the day-1 delta FOLDS THROUGH the stored table (changed
+    // sources COW-upsert at touched-bucket IO, untouched members
+    // verbatim — no retrain: the quantizer comes from storage); the
+    // serving walk then reads ONLY the stored tables, each hop's
+    // edge scan pruned to the frontier's bucket members — serving IO
+    // follows the walk, never the graph size. Approximate (IVF
+    // candidate restriction + greedy walk) → rows-only; GraphAnnSpec
+    // pins stored-vs-in-memory walk equality, the fold ≡
+    // knnGraphDelta row for row, touched-bucket-only rewrite, and
+    // the ≥0.8 recall floor.
+    "q483_graph_ann_stored" -> ((s, d) => {
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      val root = freshScratch("q483", d)
+      val baseEmb = emb.filter(col("vec_id") % 10 =!= 0)
+      val deltaEmb = emb.filter(col("vec_id") % 10 === 0)
+      graft.operators.GraphAnnStore.build(baseEmb, "vec_id", "embedding",
+        root, k = 8, nlist = 16, nprobe = 4)
+      val built = graft.operators.GraphAnnStore.load(s, root,
+        k = 8, nlist = 16, nprobe = 4)
+      graft.operators.GraphAnnStore.foldDelta(built, baseEmb, deltaEmb,
+        "vec_id", "embedding", nameTag = "day1")
+      val idx = graft.operators.GraphAnnStore.load(s, root,
+        k = 8, nlist = 16, nprobe = 4)
+      val queryIds = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"))
+      graft.operators.GraphAnnStore.beamSearchStored(s, idx, emb,
+        "vec_id", "embedding", queryIds, beam = 24, hops = 4, kOut = 5)
+    }),
+
+    // PERSISTED IVF-PQ index, end to end (r14 — the stored-index
+    // discipline applied to the LAST index family): the base
+    // corpus's coarse centroids + residual codebook + 4-bit codes
+    // commit as Manifest tables (codes KEY-BUCKETED on ivf_list);
+    // the day-1 delta APPENDS its own codes — pure batch IO, no
+    // stored row read or touched (codes are a per-row function of
+    // the frozen artifacts — the cheapest fold of all the families);
+    // serving reads storage alone, the candidate scan opening only
+    // the probed lists' bucket members, so "candidate IO ∝ probed
+    // lists" holds at the FILE level too. Approximate (trained
+    // artifacts) → rows-only; IvfPqSpec pins stored ≡ in-memory,
+    // append ≡ full re-encode, probed-lists-only file IO, recall.
+    "q485_ivfpq_stored" -> ((s, d) => {
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      val root = freshScratch("q485", d)
+      val baseEmb = emb.filter(col("vec_id") % 10 =!= 0)
+      val deltaEmb = emb.filter(col("vec_id") % 10 === 0)
+      graft.operators.PqStore.build(baseEmb, "vec_id", "embedding", root,
+        nlist = 16)
+      val built = graft.operators.PqStore.load(s, root, nlist = 16,
+        nprobe = 4, m = 16, ksub = 16)
+      graft.operators.PqStore.appendDelta(built, deltaEmb, "vec_id",
+        "embedding", nameTag = "day1")
+      val idx = graft.operators.PqStore.load(s, root, nlist = 16,
+        nprobe = 4, m = 16, ksub = 16)
+      val queryIds = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"))
+      graft.operators.PqStore.topKStored(s, idx, emb, "vec_id",
+        "embedding", queryIds, k = 5)
+    }),
+
     // Multi-table sign-LSH near-dup join at a REAL near-dup
     // threshold (τ=0.8) — the regime cosineNearDupLsh is designed
     // for. The raw corpus has no pairs above ~0.51, so the query
@@ -735,4 +799,16 @@ object VectorOps {
          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"""
     // q42_ann_lsh: approximate, not SQL-expressible → rows-only check.
   )
+
+  /** PID-scoped scratch (the DedupOps.freshScratch pattern): content-
+    * addressed by input dir, wiped per run so verify/bench re-runs
+    * start clean.
+    */
+  private def freshScratch(tag: String, d: String): String = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-$tag-" + Integer.toHexString(d.hashCode) +
+        "-p" + ProcessHandle.current().pid())
+    graft.util.Fs.deleteRecursively(p)
+    p.toString
+  }
 }

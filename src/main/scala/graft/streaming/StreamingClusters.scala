@@ -25,10 +25,21 @@ import org.apache.spark.sql.streaming.Trigger
   *     ([[Dedup.prunedBasePrefixes]], r13 verdict item 1): index
   *     read IO follows the batch's key set, never the index size;
   *   - `<state>/labels`   — (doc_id, cluster_id, cluster_size),
-  *     advanced by a keyed COW upsert of ONLY the fold's changed
-  *     rows ([[Dedup.incrementalClustersDelta]]): untouched members
-  *     stay verbatim on storage, so label IO follows the touched
-  *     components, never the corpus.
+  *     KEY-BUCKETED ON doc_id and advanced by the LAYOUT-PRESERVING
+  *     keyed COW upsert of ONLY the fold's changed rows
+  *     ([[BucketedIndex.upsertBucketed]] over
+  *     [[Dedup.incrementalClustersDelta]]'s output — r14): only the
+  *     buckets the changed doc_ids hash into rewrite (each folding
+  *     to one member, so the table never exceeds one member per
+  *     bucket — no compaction debt), untouched buckets' members
+  *     stay verbatim on storage, and — unlike the previous
+  *     [[Manifest.upsert]] path — no full-table probe pass runs to
+  *     FIND affected members: the touched set comes from hashing the
+  *     changed keys, metadata-scale. Label IO follows the touched
+  *     components, never the corpus. A labels table written by a
+  *     pre-bucketing drain fails the fold loudly with the remedy
+  *     (rewrite via commitBucketed); state dirs are otherwise
+  *     layout-compatible across resumes.
   *
   * Per-batch COMPUTE is therefore delta-shaped end to end: shingling
   * O(batch); the probe shuffles the BATCH's prefix rows against the
@@ -267,11 +278,13 @@ object StreamingClusters {
     appendBucketedOnce(bSets, setsRoot, tag, Seq("id"))
     appendBucketedOnce(Dedup.jaccardPrefixes(bSets, threshold), prefRoot,
       tag, Seq("t"))
-    // the first labels commit CREATES the table (upsert requires an
-    // initialized one); later batches COW-upsert only changed rows.
-    // The per-batch ref is the durable ledger entry (see labelsApplied)
-    if (bootstrap) appendOnce(changedM, labRoot, tag)
-    else Manifest.upsert(changedM, labRoot, "doc_id", tag)
+    // the first labels commit CREATES the table (the upsert requires
+    // an initialized bucketed layout); later batches COW-upsert only
+    // changed rows through the layout-preserving bucketed path. The
+    // per-batch ref is the durable ledger entry (see labelsApplied)
+    if (bootstrap) appendBucketedOnce(changedM, labRoot, tag, Seq("doc_id"))
+    else BucketedIndex.upsertBucketed(changedM, labRoot, tag,
+      Seq("doc_id"), IndexBuckets)
     Manifest.setRef(labRoot, tag, Manifest.currentVersion(labRoot))
   }
 

@@ -231,7 +231,10 @@ object DumpPlans {
     "q476_incremental_clusters" -> "incremental CC: every touch of the base label table is a BroadcastHashJoin semi/anti (the table never shuffles); the CC loop folds the contracted touched-label graph (post-checkpoint scans)",
     "q477_multiprobe_lsh" -> "multi-probe LSH: corpus indexed once (narrow bucket projection); the probed (query, bucket) spine broadcasts into the bucket equi-join — the corpus never shuffles",
     "q478_stream_clusters" -> "streaming incremental clustering: per-batch probe of the PERSISTED AllPairs prefix index (crossJaccardPairsPre basePrefixes) + contraction CC fold, labels advanced by a keyed COW upsert of changed rows; the final frame is the labels Manifest read (the per-batch plans ran inside foreachBatch)",
-    "q479_span_excise" -> "repeated-span excision: one persisted md5 span grid (the q119/q157 shape), owner table g-keyed, per-doc removal positions aggregate to ONE sorted array, the rewrite is a doc-grain index-aware filter — the kept corpus never explodes; untouched docs pass original text byte-exact")
+    "q479_span_excise" -> "repeated-span excision: one persisted md5 span grid (the q119/q157 shape), owner table g-keyed, per-doc removal positions aggregate to ONE sorted array, the rewrite is a doc-grain index-aware filter — the kept corpus never explodes; untouched docs pass original text byte-exact",
+    "q483_graph_ann_stored" -> "persisted graph-ANN serving: quantizer + entry nodes come from the stored handle (zero corpus passes beyond scoring), each hop's edge read opens only the frontier's bucket members (pruned parquet scans inside the per-hop checkpoints); the delta fold COW-upserted touched src buckets only",
+    "q484_incremental_fold_stored" -> "incremental clustering fold vs a PERSISTED base: the delta shingles ITS batch alone, probes the bucket-pruned stored prefix index, contraction CC touches only affected components, labels fold from the stored table — the per-batch cost a daily drain repeats, with the base fixture amortized out of the measurement (process-cached Manifest tables)",
+    "q485_ivfpq_stored" -> "persisted IVF-PQ serving: artifacts (centroids + integer codebook) come from the stored handle, the ADC scan reads ONLY the probed lists' bucket members (pruned parquet scan feeding the shortlist window), exact re-rank joins float vectors for the shortlist alone; the delta appended its codes without touching a stored row")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

@@ -32,14 +32,14 @@ class EntrySpec extends AnyFunSuite {
     // so a silently DROPPED oracled query would not have failed the
     // suite. Keep in sync with CLAUDE.md's inventory note — a new
     // query bumps this in the SAME commit.
-    assert(SparkEntry.queries.size == 482,
-      s"query inventory drifted: ${SparkEntry.queries.size} (expected 482)")
+    assert(SparkEntry.queries.size == 485,
+      s"query inventory drifted: ${SparkEntry.queries.size} (expected 485)")
   }
 
   test("rows-only queries are exactly the approximate / non-SQL-expressible ops") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep this count in sync with CLAUDE.md's inventory note
-    assert(rowsOnly.size == 26, s"rows-only count drifted: ${rowsOnly.size}")
+    assert(rowsOnly.size == 28, s"rows-only count drifted: ${rowsOnly.size}")
     assert(rowsOnly == Set("q36_minhash_lsh", "q37_simhash",
       "q38_ngram_jaccard", "q42_ann_lsh", "q43_winnow_fp", "q44_ann_ivf",
       "q48_source_signatures", "q59_corpus_clean",
@@ -79,6 +79,10 @@ class EntrySpec extends AnyFunSuite {
       // are both trained artifacts; IvfPqSpec pins determinism, the
       // recall floor, and probed-lists-only candidate IO
       "q420_ivfpq_ann",
+      // the PERSISTED IVF-PQ index serves the same approximate
+      // ranking from storage; IvfPqSpec pins stored ≡ in-memory,
+      // append ≡ full re-encode, and probed-lists-only FILE IO
+      "q485_ivfpq_stored",
       // graph ANN: the k-NN graph is IVF-candidate-restricted and
       // the beam walk greedy — GraphAnnSpec pins determinism, degree
       // bounds, and recall floors
@@ -91,6 +95,11 @@ class EntrySpec extends AnyFunSuite {
       // pins frozen-rebuild equality, delta-shaped candidate IO,
       // determinism, and the fresh-rebuild recall floor
       "q472_knn_graph_delta",
+      // the PERSISTED graph index serves the same approximate walk
+      // from storage; GraphAnnSpec pins stored ≡ in-memory walk
+      // equality, fold ≡ knnGraphDelta, touched-bucket-only rewrite,
+      // and the recall floor
+      "q483_graph_ann_stored",
       // perceptual dHash summarizes payloads (approximate by
       // construction); PerceptualDedupSpec pins planted recall,
       // brute-force equality and layout determinism

@@ -237,7 +237,10 @@ class ReproSpec extends AnyFunSuite {
     "q479_span_excise",     // cleaned corpus after repeated-span removal
     "q480_lsh_indexed_dedup", // persisted LSH bucket-index probe
     "q481_perceptual_incremental", // stored-Hamming-index media probe
-    "q482_stream_clusters_compact" // drain + in-stream state compaction
+    "q482_stream_clusters_compact", // drain + in-stream state compaction
+    "q483_graph_ann_stored", // persisted graph index: fold + stored walk
+    "q484_incremental_fold_stored", // fold vs a process-cached stored base
+    "q485_ivfpq_stored"     // persisted IVF-PQ: append + stored serving
   )
 
   representatives.foreach { name =>

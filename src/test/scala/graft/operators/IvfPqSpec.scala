@@ -71,6 +71,100 @@ class IvfPqSpec extends AnyFunSuite {
     assert(r16 >= r4, "recall must not degrade with more probes")
   }
 
+  // ---- persisted index (q485, r14 — the q415/q480/q481/q483
+  // stored-index discipline applied to IVF-PQ) ----
+
+  test("stored IVF-PQ: serving reads storage only and equals the in-memory path") {
+    val root = TestSpark.tmpDir("pq-store").toString
+    PqStore.build(emb, "vec_id", "embedding", root, nlist = 16)
+    val idx = PqStore.load(spark, root, nlist = 16, nprobe = 4,
+      m = 16, ksub = 16)
+    // artifacts round-trip exactly: centroids float-exact, codebook
+    // integer-exact — so the stored path's scoring is bit-identical
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 16)
+    assert(idx.cents.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq,
+      "stored centroids must round-trip bit-exact")
+    assert(idx.model.codebook.toSeq ==
+      Pq.trainResidualModel(emb, "vec_id", "embedding", cents,
+        16, 16, 2048).codebook.toSeq,
+      "stored codebook must round-trip bit-exact")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    val stored = canon(PqStore.topKStored(spark, idx, emb, "vec_id",
+      "embedding", queryIds(20), k = 5))
+    val inMem = canon(Pq.ivfPqTopK(emb, "vec_id", "embedding",
+      queryIds(20), nlist = 16, nprobe = 4, k = 5))
+    assert(stored == inMem,
+      "the stored serving path must equal the in-memory path bit for bit")
+    // candidate IO ∝ probed lists at the FILE level: a 1-list probe's
+    // pruned read opens only that list's bucket members
+    val oneList = spark.range(1).select(lit(3).cast("int").as("ivf_list"))
+    val opened = BucketedIndex.prunedMemberPaths(s"$root/codes",
+      idx.version, oneList, Seq("ivf_list"), idx.numBuckets)
+    val all = Manifest.members(s"$root/codes", idx.version)
+    assert(opened.size < all.size,
+      s"a 1-list probe opened ${opened.size}/${all.size} members — the " +
+        "candidate scan does not follow the probed lists")
+    // mis-stated parameters fail loudly
+    intercept[IllegalArgumentException] {
+      PqStore.load(spark, root, nlist = 8, nprobe = 4, m = 16, ksub = 16)
+    }
+    intercept[IllegalArgumentException] {
+      PqStore.load(spark, root, nlist = 16, nprobe = 4, m = 8, ksub = 16)
+    }
+  }
+
+  test("stored IVF-PQ: delta append is pure batch IO and serves new arrivals") {
+    val root = TestSpark.tmpDir("pq-append").toString
+    val baseEmb = emb.filter(col("vec_id") % 10 =!= 0)
+    val deltaEmb = emb.filter(col("vec_id") % 10 === 0)
+    PqStore.build(baseEmb, "vec_id", "embedding", root, nlist = 16)
+    val built = PqStore.load(spark, root, nlist = 16, nprobe = 4,
+      m = 16, ksub = 16)
+    val before = Manifest.memberPartitions(s"$root/codes", built.version)
+      .map(_._1).toSet
+    PqStore.appendDelta(built, deltaEmb, "vec_id", "embedding", "day1")
+    val v1 = Manifest.currentVersion(s"$root/codes")
+    // append-only: EVERY base member survives verbatim (the fold
+    // never touches a stored row — the family's cheapest maintenance)
+    val after = Manifest.memberPartitions(s"$root/codes", v1).map(_._1).toSet
+    assert(before.subsetOf(after),
+      "an append must leave every existing member verbatim")
+    assert((after -- before).forall(_.contains("day1-b")),
+      "appended members must carry the batch tag")
+    // the appended codes equal a re-encode under the same artifacts
+    val idx = PqStore.load(spark, root, nlist = 16, nprobe = 4,
+      m = 16, ksub = 16)
+    val storedCodes = idx.codes.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = Pq.encodeResiduals(emb, "vec_id", "embedding", built.cents,
+        built.model).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(storedCodes == want,
+      "stored codes after the append must equal a full encode under " +
+        "the stored artifacts")
+    // redelivery is a no-op; a duplicate id fails loudly
+    assert(PqStore.appendDelta(built, deltaEmb, "vec_id", "embedding",
+      "day1") == v1)
+    val e = intercept[IllegalArgumentException] {
+      PqStore.appendDelta(idx, deltaEmb, "vec_id", "embedding", "day2")
+    }
+    assert(e.getMessage.contains("already present"))
+    // serving the grown index keeps the recall floor and sees deltas
+    val got = PqStore.topKStored(spark, idx, emb, "vec_id", "embedding",
+        queryIds(20), k = 5)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val exact = bruteTopK(5, 20)
+    val recall = (0L until 20L).map(q =>
+      got.getOrElse(q, Set.empty).intersect(exact(q)).size / 5.0).sum / 20.0
+    info(s"post-append stored IVF-PQ recall@5: $recall")
+    assert(recall >= 0.5, s"post-append stored recall collapsed: $recall")
+    assert(got.values.flatten.toSet.exists(_ % 10 == 0),
+      "the grown index must surface delta arrivals as neighbors")
+  }
+
   test("candidate IO is exactly the probed lists' rows — never the other lists") {
     val nlist = 16; val nprobe = 4
     val cands = Pq.ivfPqCandidates(emb, "vec_id", "embedding", queryIds(20),

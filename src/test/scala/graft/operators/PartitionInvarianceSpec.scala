@@ -114,6 +114,21 @@ class PartitionInvarianceSpec extends AnyFunSuite {
       "q478_stream_clusters", "q477_multiprobe_lsh").foreach(confInvariant)
   }
 
+  test("r13/r14 stored-index probes are layout-invariant") {
+    // r13 verdict item 7 (q480/q481: the persisted LSH-bucket and
+    // Hamming-chunk probes — signatures, bucket pruning, and the COW
+    // parquet round trips must not leak the physical layout into the
+    // verdict set) plus the r14 additions (q483: stored graph fold +
+    // pruned beam walk; q484: the fold against a process-cached
+    // stored base — note its base builds ONCE per process, so the
+    // hostile-layout rerun also proves the PROBE side alone is
+    // layout-free given a fixed stored base)
+    Seq("q480_lsh_indexed_dedup", "q481_perceptual_incremental",
+      "q483_graph_ann_stored", "q484_incremental_fold_stored",
+      "q485_ivfpq_stored")
+      .foreach(confInvariant)
+  }
+
   test("Misra-Gries heavy hitters stay EXACT across layouts") {
     // the per-partition summary differs by layout; the exact
     // recount pass must erase that difference

@@ -97,6 +97,57 @@ class StreamingClustersSpec extends AnyFunSuite {
       "a redelivered batch tag must be a complete no-op")
   }
 
+  test("labels stay bucket-tagged across folds with at most one member per bucket (r14)") {
+    val (f, c, s) = dirs("lablayout")
+    (0 until 3).foreach(stage(f, _))
+    StreamingClusters.docFeedToClusters(spark, f, c, s).count()
+    val labRoot = s"$s/labels"
+    val members = Manifest.memberPartitions(labRoot,
+      Manifest.currentVersion(labRoot))
+    // the layout-preserving upsert keeps every member bucket-tagged —
+    // a plain Manifest.upsert would have dropped the tags on its
+    // first rewrite
+    assert(members.nonEmpty && members.forall { case (_, t) =>
+      t.contains("kb") && t.get("kbn")
+        .contains(StreamingClusters.IndexBuckets.toString)
+    }, "labels members must stay bucket-tagged across folds")
+    // bounded debt: a touched bucket folds to ONE member per upsert,
+    // an untouched bucket keeps its single member — the labels table
+    // never exceeds one member per occupied bucket (why compactState
+    // does not touch it)
+    assert(members.groupBy(_._2.get("kb")).forall(_._2.size == 1),
+      "the labels table must hold at most one member per bucket")
+  }
+
+  test("a 1-row label fold rewrites at most one bucket; untouched label members verbatim (r14)") {
+    val (_, _, s) = dirs("labcow")
+    StreamingClusters.foldBatch(spark, docs.filter(col("doc_id") % 3 === 0),
+      s, "b0", threshold = 0.9)
+    val labRoot = s"$s/labels"
+    val before = Manifest.memberPartitions(labRoot,
+      Manifest.currentVersion(labRoot)).map(_._1).toSet
+    import spark.implicits._
+    // one NEW doc with unique tokens: no pairs at τ=0.9, so the
+    // fold's changed set is exactly its singleton label row
+    val lone = Seq((999999L, "zqx wvu tsr qpo nml")).toDF("doc_id", "text")
+    StreamingClusters.foldBatch(spark, lone, s, "b1", threshold = 0.9)
+    val after = Manifest.memberPartitions(labRoot,
+      Manifest.currentVersion(labRoot)).map(_._1).toSet
+    val rewritten = after -- before
+    assert(rewritten.size == 1 && rewritten.head.contains("b1-b"),
+      s"a 1-row fold must land exactly one bucket member: $rewritten")
+    assert((before -- after).size <= 1,
+      "at most the touched bucket's member is superseded")
+    assert((before & after).size >= before.size - 1,
+      "untouched buckets' label members must survive verbatim")
+    // and the fold is correct: the lone doc is a singleton cluster
+    val row = Manifest.read(spark, labRoot,
+        Manifest.currentVersion(labRoot))
+      .filter(col("doc_id") === 999999L).collect()
+    assert(row.length == 1 && row(0).getLong(1) == 999999L &&
+      row(0).getLong(2) == 1L)
+  }
+
   test("a duplicate doc_id arriving in a LATER batch fails loudly at delta-bucket cost") {
     // the disjointness guard moved from an O(corpus) label scan to a
     // probe of the delta's id buckets over OTHER batches' sets
