@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.functions.Vec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED sign-LSH ANN index — the storage leg of the q42/q477
+  * hyperplane-bucket family, the last ANN family still serving from
+  * an in-query index build (prefixes q415, LSH dedup buckets q480,
+  * Hamming chunks q481, graph edges q483, IVF-PQ codes q485 all have
+  * theirs): the corpus's bucket assignments COMMIT once as a Manifest
+  * table KEY-BUCKETED on `bucket`, a multi-probe query reads ONLY its
+  * probed buckets' members, and daily arrivals APPEND their own
+  * bucket rows — pure batch IO, no stored row touched (bucket
+  * assignment is a per-row function of the frozen planes, the PqStore
+  * append argument).
+  *
+  * The hyperplanes themselves need no table: they are a pure function
+  * of (numPlanes, dim, seed) ([[Vec.deterministicPlanes]]), so the
+  * handle's stated parameters ARE the quantizer — [[load]]
+  * reconstructs them and sanity-screens the stored buckets against
+  * `2^numPlanes` (one bounded member probe; a mis-stated plane count
+  * that survives the range screen still yields a correct-but-
+  * low-recall probe, never a wrong result — candidates are exact-
+  * cosine verified).
+  *
+  * Layout under `root`:
+  *   - `<root>/buckets` — (nid, bucket), bucketed on `bucket`. The
+  *     index stores NO vectors (the corpus table keeps those — an
+  *     index that duplicated the float payload would double storage);
+  *     serving joins the pruned candidate ids back to `emb` for
+  *     scoring, a candidate-bounded broadcast-hash probe of the
+  *     corpus scan.
+  */
+object SignLshStore {
+
+  /** Default bucket-file count of the layout (hash buckets of the
+    * LSH bucket key — distinct from the 2^planes LSH bucket space).
+    */
+  val FileBuckets = 16
+
+  /** A reconstructed stored-index handle; `version` pins the buckets
+    * snapshot a serving call reads.
+    */
+  final case class StoredSignLsh(
+      buckets: DataFrame,
+      planes: Array[Array[Double]],
+      numPlanes: Int,
+      dim: Int,
+      seed: Long,
+      numBuckets: Int,
+      root: String,
+      version: Int)
+
+  /** Assign every vector of `emb` its sign-LSH bucket under the
+    * (numPlanes, dim, seed) plane family and COMMIT the assignment
+    * under `root`. One narrow corpus pass, one bucketed commit.
+    */
+  def build(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      root: String,
+      numPlanes: Int,
+      dim: Int,
+      seed: Long = 42L,
+      numBuckets: Int = FileBuckets): Unit = {
+    val planes = Vec.deterministicPlanes(numPlanes, dim, seed)
+    BucketedIndex.commitBucketed(
+      emb.select(col(idCol).as("nid"),
+        Vec.lshBucket(col(vecCol), planes).as("bucket")),
+      s"$root/buckets", "base", Seq("bucket"), numBuckets)
+    ()
+  }
+
+  /** Reconstruct the handle from storage under the stated parameters
+    * (which ARE the quantizer — see class doc), sanity-screening the
+    * stored bucket range against `2^numPlanes`.
+    */
+  def load(
+      spark: SparkSession,
+      root: String,
+      numPlanes: Int,
+      dim: Int,
+      seed: Long = 42L,
+      numBuckets: Int = FileBuckets): StoredSignLsh = {
+    require(numPlanes >= 1 && numPlanes <= 62,
+      s"SignLshStore.load: numPlanes=$numPlanes out of range [1, 62]")
+    val bktRoot = s"$root/buckets"
+    val v = Manifest.currentVersion(bktRoot)
+    require(v > 0,
+      s"SignLshStore.load: $bktRoot is uninitialized — build() first")
+    val planes = Vec.deterministicPlanes(numPlanes, dim, seed)
+    // bounded reconstruction probe: ONE member's buckets must fit the
+    // stated plane count's bucket space
+    val m0 = Manifest.members(bktRoot, v).head
+    val mm = spark.read.parquet(m0)
+      .agg(max(col("bucket")).as("mx"), min(col("bucket")).as("mn"))
+      .collect()(0)
+    require(mm.getLong(1) >= 0L && mm.getLong(0) < (1L << numPlanes),
+      s"SignLshStore.load: stored buckets [${mm.getLong(1)}, " +
+        s"${mm.getLong(0)}] do not fit numPlanes=$numPlanes " +
+        s"(bucket space [0, ${1L << numPlanes})) — state the build's values")
+    StoredSignLsh(Manifest.read(spark, bktRoot, v), planes, numPlanes,
+      dim, seed, numBuckets, root, v)
+  }
+
+  /** APPEND a batch of NEW vectors: the batch's bucket rows compute
+    * under the STORED plane family (one narrow pass over the batch)
+    * and land as one bucketed commit — no stored row read or touched.
+    * A re-delivered id with the same vector lands in the same bucket
+    * deterministically, so the duplicate guard probes only the
+    * delta's own bucket members (pruned-scan cost; an id reused for
+    * a DIFFERENT vector is an upsert, out of the append contract).
+    * `nameTag` is the redelivery ledger. Returns the new version.
+    */
+  def appendDelta(
+      idx: StoredSignLsh,
+      deltaEmb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nameTag: String): Int = {
+    val bktRoot = s"${idx.root}/buckets"
+    if (Manifest.tagApplied(bktRoot, nameTag))
+      Manifest.currentVersion(bktRoot)
+    else {
+      val spark = deltaEmb.sparkSession
+      // batch-sized; feeds the guard AND the commit — materialize once
+      val rows = deltaEmb.select(col(idCol).as("nid"),
+          Vec.lshBucket(col(vecCol), idx.planes).as("bucket"))
+        .localCheckpoint()
+      val dup = BucketedIndex.prunedRead(spark, bktRoot, idx.version,
+          rows.select(col("bucket")), Seq("bucket"), idx.numBuckets)
+        .join(broadcast(rows.select(col("nid")).distinct()),
+          Seq("nid"), "left_semi")
+      require(dup.isEmpty,
+        s"SignLshStore.appendDelta($nameTag): batch ids already present " +
+          "in the stored index — the feed must carry each id once")
+      BucketedIndex.commitBucketed(rows, bktRoot, nameTag,
+        Seq("bucket"), idx.numBuckets)
+    }
+  }
+
+  /** Multi-probe top-k served from the STORED index: the plane family
+    * comes from the handle, the probed buckets' member files are the
+    * only index IO ([[BucketedIndex.prunedRead]] — candidate IO ∝
+    * probed buckets now holds at the FILE level), and candidate ids
+    * join back to `emb` for exact-cosine scoring (candidate-bounded —
+    * the pruned side broadcasts, the corpus streams once). Same probe
+    * fan-out and ranking core as the in-memory
+    * [[Similarity.multiProbeTopK]] ([[Similarity.multiProbeTopKFrom]]),
+    * so the two cannot diverge.
+    */
+  def topKStored(
+      spark: SparkSession,
+      idx: StoredSignLsh,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: DataFrame,
+      nProbes: Int,
+      k: Int): DataFrame = {
+    val vecs = emb.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    Similarity.multiProbeTopKFrom(
+      probes => BucketedIndex.prunedRead(spark, s"${idx.root}/buckets",
+          idx.version, probes.select(col("bucket")), Seq("bucket"),
+          idx.numBuckets)
+        .join(vecs, Seq("nid")),
+      emb, idCol, vecCol, queryIds, idx.planes, nProbes, k)
+  }
+}

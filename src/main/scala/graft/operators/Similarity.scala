@@ -455,10 +455,32 @@ object Similarity {
       queryIds: DataFrame, // single column `query_id`
       planes: Array[Array[Double]],
       nProbes: Int,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    multiProbeRank(
+      multiProbeCandidates(emb, idCol, vecCol, queryIds, planes, nProbes), k)
+
+  /** [[multiProbeTopK]] under a pluggable index source (see
+    * [[multiProbeCandidatesFrom]]) — the stored-index serving entry.
+    */
+  private[operators] def multiProbeTopKFrom(
+      indexedFor: DataFrame => DataFrame,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: DataFrame,
+      planes: Array[Array[Double]],
+      nProbes: Int,
+      k: Int): DataFrame =
+    multiProbeRank(multiProbeCandidatesFrom(indexedFor, emb, idCol,
+      vecCol, queryIds, planes, nProbes), k)
+
+  /** Exact-cosine rank + top-k over a multi-probe candidate frame —
+    * one definition shared by the in-memory and stored paths.
+    */
+  private def multiProbeRank(cands: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("nid"))
-    multiProbeCandidates(emb, idCol, vecCol, queryIds, planes, nProbes)
+    cands
       .withColumn("sim", Vec.cosine(col("qv"), col("nv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -477,12 +499,32 @@ object Similarity {
       queryIds: DataFrame,
       planes: Array[Array[Double]],
       nProbes: Int): DataFrame = {
-    require(nProbes >= 1 && nProbes <= planes.length + 1,
-      s"multiProbe: nProbes=$nProbes out of range [1, ${planes.length + 1}] " +
-        "(the base bucket plus at most one flip per plane)")
     val indexed = parallelized(emb)
       .select(col(idCol).as("nid"), col(vecCol).as("nv"),
         Vec.lshBucket(col(vecCol), planes).as("bucket"))
+    multiProbeCandidatesFrom(_ => indexed, emb, idCol, vecCol, queryIds,
+      planes, nProbes)
+  }
+
+  /** The multi-probe candidate core under a PLUGGABLE index source —
+    * `indexedFor` maps the probed (query_id, qv, bucket) spine to the
+    * index rows (nid, nv, bucket) the join may score. The in-memory
+    * form passes the constant one-pass projection; the stored form
+    * ([[SignLshStore.topKStored]]) reads only the probed buckets'
+    * members. Any SUPERSET of the probed buckets' rows is correct
+    * (the join keys on bucket) — the bucket-pruning contract.
+    */
+  private[operators] def multiProbeCandidatesFrom(
+      indexedFor: DataFrame => DataFrame,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: DataFrame,
+      planes: Array[Array[Double]],
+      nProbes: Int): DataFrame = {
+    require(nProbes >= 1 && nProbes <= planes.length + 1,
+      s"multiProbe: nProbes=$nProbes out of range [1, ${planes.length + 1}] " +
+        "(the base bucket plus at most one flip per plane)")
     // queries are FEW (the serving asymmetry): the margin sort and
     // probe fan-out run interpreted per query row, then the probed
     // (query, bucket) spine BROADCASTS into the index join — the
@@ -501,7 +543,7 @@ object Similarity {
             array(planes.indices.map(i => lit(1L << i)): _*),
             f.getField("i") + 1))))))
       .select(col("query_id"), col("qv"), col("bucket"))
-    broadcast(queries).join(indexed, Seq("bucket"))
+    broadcast(queries).join(indexedFor(queries), Seq("bucket"))
       .filter(col("query_id") =!= col("nid"))
   }
 }

@@ -4875,15 +4875,20 @@ object EtlOps {
     // index maintenance pays O(delta) — postings are extracted from
     // Manifest.addedRows' member files alone, never by re-shingling
     // the standing corpus (the q415 discipline applied to index
-    // builds). A lookup then answers from the INDEX (term →
-    // postings → payload join); the term derives deterministically
-    // (min bigram with document frequency in [5, 50]) so the oracle
-    // recomputes the same search from scratch. At 100 TB the daily
-    // index bill is the new documents' postings plus one manifest
-    // commit.
+    // builds). The postings commit KEY-BUCKETED on the term (r14),
+    // so the point LOOKUP reads only the term's bucket members
+    // (BucketedIndex.prunedRead — the serving IO a search index
+    // exists for; the term-derivation aggregate still reads the full
+    // index, but that is offline term statistics, not the lookup).
+    // The term derives deterministically (min bigram with document
+    // frequency in [5, 50]) so the oracle recomputes the same search
+    // from scratch. At 100 TB the daily index bill is the new
+    // documents' postings plus one bucketed manifest commit, and a
+    // lookup opens a couple of bucket files.
     "q425_incremental_index" -> ((s, d) => {
       val root = freshScratch("q425", d)
       val base = s"$root/docs"; val idx = s"$root/index"
+      val kb = 16
       val docs = Tables(s, d).documents
         .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
       def postings(df: DataFrame): DataFrame = df
@@ -4894,19 +4899,24 @@ object EtlOps {
         .distinct()
       graft.operators.Manifest.commitAdd(
         docs.filter(col("doc_id") % 2 === 0), base, "b1")
-      graft.operators.Manifest.commitAdd(
-        postings(graft.operators.Manifest.read(s, base, 1)), idx, "b1")
+      graft.operators.BucketedIndex.commitBucketed(
+        postings(graft.operators.Manifest.read(s, base, 1)), idx, "b1",
+        Seq("bg"), kb)
       graft.operators.Manifest.commitAdd(
         docs.filter(col("doc_id") % 2 === 1), base, "b2")
-      graft.operators.Manifest.commitAdd(
+      graft.operators.BucketedIndex.commitBucketed(
         postings(graft.operators.Manifest.addedRows(s, base, 1, 2)),
-        idx, "b2")
-      val index = graft.operators.Manifest.read(s, idx, 2)
+        idx, "b2", Seq("bg"), kb)
+      val iv = graft.operators.Manifest.currentVersion(idx)
+      val index = graft.operators.Manifest.read(s, idx, iv)
       val term = index.groupBy(col("bg"))
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df").between(5, 50))
         .agg(min(col("bg")).as("bg"))
-      val hits = index.join(broadcast(term), Seq("bg"))
+        .localCheckpoint() // 1 row; feeds the pruning keys + the join
+      val hits = graft.operators.BucketedIndex.prunedRead(s, idx, iv,
+          term.select(col("bg")), Seq("bg"), kb)
+        .join(broadcast(term), Seq("bg"))
         .select(col("bg"), col("doc_id")).distinct()
       graft.operators.Manifest.read(s, base, 2)
         .join(hits, Seq("doc_id"))

@@ -222,6 +222,37 @@ object VectorOps {
         "vec_id", "embedding", queryIds, beam = 24, hops = 4, kOut = 5)
     }),
 
+    // PERSISTED sign-LSH ANN index (r14 — the last ANN family still
+    // serving from an in-query index build): the base corpus's
+    // hyperplane-bucket assignments commit once as a Manifest table
+    // key-bucketed on the LSH bucket; the day-1 delta APPENDS its own
+    // bucket rows (pure batch IO — bucket assignment is a per-row
+    // function of the frozen plane family, which itself persists as
+    // nothing but the handle's (numPlanes, dim, seed): planes are
+    // deterministic); the multi-probe query then reads ONLY its
+    // probed buckets' member files and exact-cosine-ranks the
+    // candidates against the corpus table. Approximate (LSH) →
+    // rows-only; MultiProbeSpec pins stored ≡ in-memory, append
+    // visibility, probed-buckets-only file IO, and the recall floor.
+    "q486_signlsh_stored" -> ((s, d) => {
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      val root = freshScratch("q486", d)
+      val baseEmb = emb.filter(col("vec_id") % 10 =!= 0)
+      val deltaEmb = emb.filter(col("vec_id") % 10 === 0)
+      graft.operators.SignLshStore.build(baseEmb, "vec_id", "embedding",
+        root, numPlanes = 6, dim = 64)
+      val built = graft.operators.SignLshStore.load(s, root,
+        numPlanes = 6, dim = 64)
+      graft.operators.SignLshStore.appendDelta(built, deltaEmb, "vec_id",
+        "embedding", nameTag = "day1")
+      val idx = graft.operators.SignLshStore.load(s, root,
+        numPlanes = 6, dim = 64)
+      val queryIds = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"))
+      graft.operators.SignLshStore.topKStored(s, idx, emb, "vec_id",
+        "embedding", queryIds, nProbes = 4, k = 5)
+    }),
+
     // PERSISTED IVF-PQ index, end to end (r14 — the stored-index
     // discipline applied to the LAST index family): the base
     // corpus's coarse centroids + residual codebook + 4-bit codes

@@ -180,7 +180,7 @@ object DumpPlans {
     "q422_blocklist_screen" -> "blocklist screen: needle list broadcasts (BroadcastNestedLoopJoin over 5 rows), corpus streams once, occurrence arithmetic inside codegen",
     "q423_clustered_commit" -> "clustered write: the final read unions ONLY the stats-pruned members (manifest-level skipping); the box filter is row-level exact on the survivors",
     "q424_permutation_test" -> "permutation test: one user-grain aggregate, a literal 64-way explode, one (p, arm) aggregate, decimal cross-mult compare against the broadcast observed row",
-    "q425_incremental_index" -> "incremental index: the lookup joins the broadcast derived term against stored postings, then payloads — the corpus is never re-shingled at query time",
+    "q425_incremental_index" -> "incremental index: the point lookup joins the broadcast derived term against the term's BUCKET MEMBERS of the stored postings (r14: key-bucketed commits + pruned read), then payloads — the corpus is never re-shingled at query time and the lookup never scans the standing index",
     "q426_theil_sen" -> "Theil-Sen: day-grain aggregate, bounded pair grid, one unpartitioned median window over <=C(31,2) pre-aggregated rows",
     "q427_rollback_restore" -> "rollback/restore: the final read unions the restored member list + the resumed commit; the bad version's files are never re-read",
     "q428_quarantine_ingest" -> "quarantine ingest: both legs read through ONE txn's pins; per-table aggregates full-join on lang",
@@ -234,7 +234,8 @@ object DumpPlans {
     "q479_span_excise" -> "repeated-span excision: one persisted md5 span grid (the q119/q157 shape), owner table g-keyed, per-doc removal positions aggregate to ONE sorted array, the rewrite is a doc-grain index-aware filter — the kept corpus never explodes; untouched docs pass original text byte-exact",
     "q483_graph_ann_stored" -> "persisted graph-ANN serving: quantizer + entry nodes come from the stored handle (zero corpus passes beyond scoring), each hop's edge read opens only the frontier's bucket members (pruned parquet scans inside the per-hop checkpoints); the delta fold COW-upserted touched src buckets only",
     "q484_incremental_fold_stored" -> "incremental clustering fold vs a PERSISTED base: the delta shingles ITS batch alone, probes the bucket-pruned stored prefix index, contraction CC touches only affected components, labels fold from the stored table — the per-batch cost a daily drain repeats, with the base fixture amortized out of the measurement (process-cached Manifest tables)",
-    "q485_ivfpq_stored" -> "persisted IVF-PQ serving: artifacts (centroids + integer codebook) come from the stored handle, the ADC scan reads ONLY the probed lists' bucket members (pruned parquet scan feeding the shortlist window), exact re-rank joins float vectors for the shortlist alone; the delta appended its codes without touching a stored row")
+    "q485_ivfpq_stored" -> "persisted IVF-PQ serving: artifacts (centroids + integer codebook) come from the stored handle, the ADC scan reads ONLY the probed lists' bucket members (pruned parquet scan feeding the shortlist window), exact re-rank joins float vectors for the shortlist alone; the delta appended its codes without touching a stored row",
+    "q486_signlsh_stored" -> "persisted sign-LSH serving: the plane family IS the handle's parameters (deterministic planes — no quantizer table), the probed (query, bucket) spine broadcasts into the PRUNED bucket-member read, candidate ids join the corpus once for exact-cosine ranking; the delta appended its bucket rows without touching a stored row")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

@@ -32,14 +32,14 @@ class EntrySpec extends AnyFunSuite {
     // so a silently DROPPED oracled query would not have failed the
     // suite. Keep in sync with CLAUDE.md's inventory note — a new
     // query bumps this in the SAME commit.
-    assert(SparkEntry.queries.size == 485,
-      s"query inventory drifted: ${SparkEntry.queries.size} (expected 485)")
+    assert(SparkEntry.queries.size == 486,
+      s"query inventory drifted: ${SparkEntry.queries.size} (expected 486)")
   }
 
   test("rows-only queries are exactly the approximate / non-SQL-expressible ops") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep this count in sync with CLAUDE.md's inventory note
-    assert(rowsOnly.size == 28, s"rows-only count drifted: ${rowsOnly.size}")
+    assert(rowsOnly.size == 29, s"rows-only count drifted: ${rowsOnly.size}")
     assert(rowsOnly == Set("q36_minhash_lsh", "q37_simhash",
       "q38_ngram_jaccard", "q42_ann_lsh", "q43_winnow_fp", "q44_ann_ivf",
       "q48_source_signatures", "q59_corpus_clean",
@@ -91,6 +91,10 @@ class EntrySpec extends AnyFunSuite {
       // MultiProbeSpec pins determinism, recall(multi) > recall(1),
       // and candidate IO == probed buckets exactly
       "q477_multiprobe_lsh",
+      // the PERSISTED sign-LSH index serves the same approximate
+      // probe from storage; MultiProbeSpec pins stored ≡ in-memory,
+      // append visibility, and probed-buckets-only file IO
+      "q486_signlsh_stored",
       // delta fold inherits q437's IVF approximation; GraphAnnSpec
       // pins frozen-rebuild equality, delta-shaped candidate IO,
       // determinism, and the fresh-rebuild recall floor

@@ -240,7 +240,8 @@ class ReproSpec extends AnyFunSuite {
     "q482_stream_clusters_compact", // drain + in-stream state compaction
     "q483_graph_ann_stored", // persisted graph index: fold + stored walk
     "q484_incremental_fold_stored", // fold vs a process-cached stored base
-    "q485_ivfpq_stored"     // persisted IVF-PQ: append + stored serving
+    "q485_ivfpq_stored",    // persisted IVF-PQ: append + stored serving
+    "q486_signlsh_stored"   // persisted sign-LSH: append + stored probe
   )
 
   representatives.foreach { name =>

@@ -142,6 +142,24 @@ class BucketedIndexSpec extends AnyFunSuite {
     assert(Manifest.compactTiered(spark, root, "cmp2", 100L) == after)
   }
 
+  test("string-keyed bucketing: a point lookup opens only the key's bucket") {
+    // the q425 inverted-index shape — bucketOf over a STRING key
+    // column (xxhash64 of the term), the third key type after longs
+    // (t / id) and tuples ((band, bucket) / (chunk, ckey))
+    val root = TestSpark.tmpDir("bidx-str").toString
+    val postings = (1 to 300).map(i => (s"term$i", i.toLong)).toDF("bg", "id")
+    BucketedIndex.commitBucketed(postings, root, "b1", Seq("bg"), N)
+    val v = Manifest.currentVersion(root)
+    val term = Seq("term42").toDF("bg")
+    val paths = BucketedIndex.prunedMemberPaths(root, v, term, Seq("bg"), N)
+    assert(paths.size == 1,
+      s"a 1-term lookup must open 1 bucket member, opened ${paths.size}")
+    val got = BucketedIndex.prunedRead(spark, root, v, term, Seq("bg"), N)
+      .join(term, Seq("bg")).collect()
+    assert(got.length == 1 && got(0).getLong(1) == 42L,
+      "the pruned lookup must return exactly the term's postings")
+  }
+
   test("layout-preserving COW upsert rewrites touched buckets only; untouched members verbatim") {
     val root = TestSpark.tmpDir("bidx-upsert").toString
     // base: 400 keys, up to all 16 buckets occupied; key 7 gets TWO

@@ -100,4 +100,71 @@ class MultiProbeSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("nProbes"))
   }
+
+  // ---- persisted index (q486, r14) ----
+
+  test("stored index: serving reads probed bucket members only and equals the in-memory probe") {
+    val root = TestSpark.tmpDir("slsh-store").toString
+    SignLshStore.build(emb, "vec_id", "embedding", root,
+      numPlanes = 6, dim = 64)
+    val idx = SignLshStore.load(spark, root, numPlanes = 6, dim = 64)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    val stored = canon(SignLshStore.topKStored(spark, idx, emb, "vec_id",
+      "embedding", queries, nProbes = 4, k = 5))
+    val inMem = canon(Similarity.multiProbeTopK(emb, "vec_id", "embedding",
+      queries, planes, nProbes = 4, k = 5))
+    assert(stored == inMem,
+      "the stored probe must equal the in-memory probe bit for bit")
+    // file-level pruning: a 1-bucket probe opens only that bucket's
+    // members, not the index
+    val oneBucket = spark.range(1).select(lit(0L).as("bucket"))
+    val opened = BucketedIndex.prunedMemberPaths(s"$root/buckets",
+      idx.version, oneBucket, Seq("bucket"), idx.numBuckets)
+    val all = Manifest.members(s"$root/buckets", idx.version)
+    assert(opened.size < all.size,
+      s"a 1-bucket probe opened ${opened.size}/${all.size} members")
+    // a mis-stated plane count fails the bucket-range screen (fewer
+    // planes → smaller bucket space than the stored values)
+    intercept[IllegalArgumentException] {
+      SignLshStore.load(spark, root, numPlanes = 3, dim = 64)
+    }
+  }
+
+  test("stored index: delta append is pure batch IO, visible to the probe, duplicate-guarded") {
+    val root = TestSpark.tmpDir("slsh-append").toString
+    val baseEmb = emb.filter(col("vec_id") % 10 =!= 0)
+    val deltaEmb = emb.filter(col("vec_id") % 10 === 0)
+    SignLshStore.build(baseEmb, "vec_id", "embedding", root,
+      numPlanes = 6, dim = 64)
+    val built = SignLshStore.load(spark, root, numPlanes = 6, dim = 64)
+    val before = Manifest.members(s"$root/buckets", built.version).toSet
+    SignLshStore.appendDelta(built, deltaEmb, "vec_id", "embedding", "day1")
+    val v1 = Manifest.currentVersion(s"$root/buckets")
+    val after = Manifest.members(s"$root/buckets", v1).toSet
+    assert(before.subsetOf(after),
+      "an append must leave every existing member verbatim")
+    assert((after -- before).forall(_.contains("day1-b")),
+      "appended members must carry the batch tag")
+    // redelivery no-op; duplicate ids loud
+    assert(SignLshStore.appendDelta(built, deltaEmb, "vec_id",
+      "embedding", "day1") == v1)
+    val idx = SignLshStore.load(spark, root, numPlanes = 6, dim = 64)
+    val e = intercept[IllegalArgumentException] {
+      SignLshStore.appendDelta(idx, deltaEmb, "vec_id", "embedding", "day2")
+    }
+    assert(e.getMessage.contains("already present"))
+    // the grown index equals an in-memory probe over the full corpus
+    // (bucket rows are per-row functions — append ≡ rebuild)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    val stored = canon(SignLshStore.topKStored(spark, idx, emb, "vec_id",
+      "embedding", queries, nProbes = 4, k = 5))
+    val inMem = canon(Similarity.multiProbeTopK(emb, "vec_id", "embedding",
+      queries, planes, nProbes = 4, k = 5))
+    assert(stored == inMem,
+      "post-append stored probe must equal the full-corpus in-memory probe")
+  }
 }

@@ -125,7 +125,7 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // layout-free given a fixed stored base)
     Seq("q480_lsh_indexed_dedup", "q481_perceptual_incremental",
       "q483_graph_ann_stored", "q484_incremental_fold_stored",
-      "q485_ivfpq_stored")
+      "q485_ivfpq_stored", "q486_signlsh_stored")
       .foreach(confInvariant)
   }
 
