@@ -203,16 +203,19 @@ object Bench {
     // blind when BOTH samples land in the same contended window
     // (observed r5: 60.06 s recorded where an idle box reproduces
     // ~52 s; q127 9.4 s vs 1.5 s). The full-suite sf0.1 run is pinned
-    // at ~69-80 s idle over the 67 headline queries (r13 re-pin after
-    // the six post-r8 family representatives joined: the 61-query set
-    // read 50-59 s idle through r12; the additions cost ~21 s, ~15 s
-    // of it q476's by-design base rebuild + fold) — if the measured
-    // total blows past that even though per-query min/max agreed,
-    // take ONE more sample of every full-suite query and keep the min.
+    // at ~83-90 s idle over the 68 headline queries (r14 re-pin, two
+    // idle end-of-round runs 89.1/83.8 s, both contended:false: q484
+    // joined — the fold against the persisted base reads ~7.5-8 s,
+    // roughly half of q476's 15-16 s in-query rebuild+fold, the
+    // contrast the query exists to record; the 67-query subtotal read
+    // 76.0/81.5 s, the upper half of its r13 ~70-80 s band) — if the
+    // measured total blows past that even
+    // though per-query min/max agreed, take ONE more sample of every
+    // full-suite query and keep the min.
     val fullSuite = only.isEmpty && sfDir.endsWith("sf0.1")
     var wholeSuitePass = false
-    if (fullSuite && results.map(_._2).filter(_ >= 0).sum > 90.0) {
-      System.err.println("[bench] total exceeds the ~80 s idle-box pin " +
+    if (fullSuite && results.map(_._2).filter(_ >= 0).sum > 100.0) {
+      System.err.println("[bench] total exceeds the ~90 s idle-box pin " +
         "with agreeing samples — whole-suite contention pass")
       wholeSuitePass = true
       results = results.map { case (name, t) =>
