@@ -222,22 +222,33 @@ object Dedup {
     * and index can never disagree. Output: (a_id ∈ delta,
     * b_id ∈ base).
     */
+  /** `assumeDisjoint` skips the delta-vs-base id guard — set it ONLY
+    * when the caller has already proven disjointness at sub-corpus
+    * cost (the r13-verdict item-5 pattern: a base sets table written
+    * id-BUCKETED lets the proof probe just the delta's id bucket
+    * members — [[BucketedIndex.prunedRead]] — instead of this
+    * guard's full base-side scan per probe; q480 does exactly that).
+    * The default keeps the loud full scan.
+    */
   def crossMinHashLsh(
       deltaSets: DataFrame,
       baseSets: DataFrame,
       threshold: Double,
-      index: LshBucketIndex): DataFrame = {
+      index: LshBucketIndex,
+      assumeDisjoint: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccard threshold must be in (0, 1], got $threshold")
-    // delta/base disjointness ENFORCED (the incrementalClusters
-    // discipline): an overlapping id would silently emit (x, x)
-    // self-verdicts into downstream dedup decisions. Broadcast the
-    // delta ids; the base side streams map-side.
-    require(baseSets.select(col("id"))
-        .join(broadcast(deltaSets.select(col("id")).distinct()),
-          Seq("id"), "left_semi").isEmpty,
-      "crossMinHashLsh: delta ids overlap base ids — delta must be " +
-        "NEW arrivals, or the probe would emit self-pairs")
+    // delta/base disjointness ENFORCED unless the caller proved it
+    // cheaper (the incrementalClusters discipline): an overlapping
+    // id would silently emit (x, x) self-verdicts into downstream
+    // dedup decisions. Broadcast the delta ids; the base side streams
+    // map-side.
+    if (!assumeDisjoint)
+      require(baseSets.select(col("id"))
+          .join(broadcast(deltaSets.select(col("id")).distinct()),
+            Seq("id"), "left_semi").isEmpty,
+        "crossMinHashLsh: delta ids overlap base ids — delta must be " +
+          "NEW arrivals, or the probe would emit self-pairs")
     val dBuckets = minHashBuckets(deltaSets, "ts",
       index.numPerm, index.bands, index.seed)
     val bBuckets = index.buckets
@@ -447,9 +458,19 @@ object Dedup {
     * brute-force cross Hamming join at ≤ `base.maxHamming`
     * (spec-pinned).
     */
+  /** `assumeDisjoint` skips the delta-vs-base id guard — set it ONLY
+    * when the caller has already proven disjointness at sub-corpus
+    * cost (the r13-verdict item-5 pattern: a members table written
+    * id-BUCKETED lets the proof probe just the delta's id bucket
+    * members — [[BucketedIndex.prunedRead]] — instead of this
+    * guard's full member-table scan per probe; q481 does exactly
+    * that). The default keeps the loud full scan: a silent overlap
+    * would emit self-pairs into downstream dedup decisions.
+    */
   def crossHammingPairs64(
       deltaFps: DataFrame,
-      base: HammingIndex64): DataFrame = {
+      base: HammingIndex64,
+      assumeDisjoint: Boolean = false): DataFrame = {
     val maxHamming = base.maxHamming
     val chunks = maxHamming + 1
     require(chunks >= 1 && 64 % chunks == 0,
@@ -470,12 +491,14 @@ object Dedup {
           "a chunk cover is only valid at the radius it was built at; " +
           "reconstruct HammingIndex64 with the build-time maxHamming")
     }
-    // delta/base disjointness ENFORCED (see crossMinHashLsh)
-    require(base.members.select(col("id"))
-        .join(broadcast(deltaFps.select(col("id")).distinct()),
-          Seq("id"), "left_semi").isEmpty,
-      "crossHammingPairs64: delta ids overlap the index's member ids — " +
-        "delta must be NEW arrivals, or the probe would emit self-pairs")
+    // delta/base disjointness ENFORCED unless the caller proved it
+    // cheaper (see the assumeDisjoint doc; the crossMinHashLsh twin)
+    if (!assumeDisjoint)
+      require(base.members.select(col("id"))
+          .join(broadcast(deltaFps.select(col("id")).distinct()),
+            Seq("id"), "left_semi").isEmpty,
+        "crossHammingPairs64: delta ids overlap the index's member ids — " +
+          "delta must be NEW arrivals, or the probe would emit self-pairs")
     val dReps = Collapse.byValue(deltaFps, "fp", "id").labeled
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dChunks = hammingChunkRows64(

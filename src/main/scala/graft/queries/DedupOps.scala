@@ -414,26 +414,43 @@ object DedupOps {
     // (signatures are per-doc; DedupSpec A/Bs the equality through
     // a parquet round trip). Approximate (LSH) → rows-only gate.
     "q480_lsh_indexed_dedup" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{broadcast, col}
       val root = freshScratch("q480", d)
       val setsT = s"$root/sets"; val bktT = s"$root/buckets"
       val kb = 16
       val docs = Tables(s, d).documents
       def sets(f: org.apache.spark.sql.Column) =
         Dedup.jaccardSets(docs.filter(f), "doc_id", "text", 2)
+      // the sets table lands id-BUCKETED so the disjointness proof
+      // below probes only the delta's id buckets (r13 verdict item 5
+      // — the foldBatch guard pattern applied to the standalone probe)
       val b0 = sets(col("doc_id") % 5 <= 1)
-      graft.operators.Manifest.commitAdd(b0, setsT, "base")
+      graft.operators.BucketedIndex.commitBucketed(b0, setsT, "base",
+        Seq("id"), kb)
       graft.operators.BucketedIndex.commitBucketed(
         Dedup.lshBucketIndex(b0).buckets, bktT, "base",
         Seq("band", "bucket"), kb)
       val b1 = sets(col("doc_id") % 5 === 2 || col("doc_id") % 5 === 3)
-      graft.operators.Manifest.commitAdd(b1, setsT, "day1")
+      graft.operators.BucketedIndex.commitBucketed(b1, setsT, "day1",
+        Seq("id"), kb)
       graft.operators.BucketedIndex.commitBucketed(
         Dedup.lshBucketIndex(b1).buckets, bktT, "day1",
         Seq("band", "bucket"), kb)
-      // batch-sized; feeds the bucket leg AND the verify leg —
-      // materialize once (the q476 lesson)
+      // batch-sized; feeds the bucket leg, the verify leg AND the
+      // disjointness proof — materialize once (the q476 lesson)
       val ds = sets(col("doc_id") % 5 === 4).localCheckpoint()
+      // disjointness proven at delta-bucket cost: the probe opens
+      // only the delta's id bucket members of the stored sets, never
+      // the whole base side — then the guard inside the cross probe
+      // is safely skipped (assumeDisjoint)
+      val sv = graft.operators.Manifest.currentVersion(setsT)
+      require(graft.operators.BucketedIndex.prunedRead(s, setsT, sv,
+            ds.select(col("id")), Seq("id"), kb)
+          .select(col("id"))
+          .join(broadcast(ds.select(col("id")).distinct()),
+            Seq("id"), "left_semi").isEmpty,
+        "q480: delta ids overlap the standing corpus — the feed must " +
+          "carry each doc_id once")
       // reconstruction states the build parameters NEXT TO the stored
       // frame — the probe derives its own banding from them. The
       // stored index is read PRUNED to the delta's (band, bucket)
@@ -441,11 +458,12 @@ object DedupOps {
       // batch, not the standing index.
       val bv = graft.operators.Manifest.currentVersion(bktT)
       Dedup.crossMinHashLsh(ds,
-          graft.operators.Manifest.read(s, setsT, 2), threshold = 0.4,
+          graft.operators.Manifest.read(s, setsT, sv), threshold = 0.4,
           Dedup.LshBucketIndex(
             Dedup.prunedLshBuckets(s, bktT, bv, ds,
               numPerm = 32, bands = 8, seed = 42L, numBuckets = kb),
-            numPerm = 32, bands = 8, seed = 42L))
+            numPerm = 32, bands = 8, seed = 42L),
+          assumeDisjoint = true)
         .select(col("a_id").as("delta_id"), col("b_id").as("base_id"))
     })
   )

@@ -102,7 +102,10 @@ object MultimodalOps {
       val kb = 16
       graft.operators.BucketedIndex.commitBucketed(idx.chunks,
         s"$root/chunks", "base", Seq("chunk", "ckey"), kb)
-      graft.operators.Manifest.commitAdd(idx.members, s"$root/members", "base")
+      // the member table lands id-BUCKETED so the disjointness proof
+      // below probes only the delta's id buckets (r13 verdict item 5)
+      graft.operators.BucketedIndex.commitBucketed(idx.members,
+        s"$root/members", "base", Seq("id"), kb)
       val delta = docs.filter(col("doc_id") % 5 === 4)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .unionByName(docs
@@ -110,19 +113,28 @@ object MultimodalOps {
           .select((col("doc_id") + 10000000L).as("doc_id"),
             concat(lit("~"), expr("substring(text, 2)"))
               .cast("binary").as("payload")))
-      // batch-sized; feeds the pruning keys AND the probe —
-      // materialize once
+      // batch-sized; feeds the pruning keys, the probe AND the
+      // disjointness proof — materialize once
       val deltaFps = TextOps.parallelized(delta)
         .select(col("doc_id").as("id"),
           Multimodal.dHash(col("payload")).as("fp"))
         .localCheckpoint()
+      val mv = graft.operators.Manifest.currentVersion(s"$root/members")
+      require(graft.operators.BucketedIndex.prunedRead(s, s"$root/members",
+            mv, deltaFps.select(col("id")), Seq("id"), kb)
+          .select(col("id"))
+          .join(broadcast(deltaFps.select(col("id")).distinct()),
+            Seq("id"), "left_semi").isEmpty,
+        "q481: delta ids overlap the standing corpus — the feed must " +
+          "carry each doc_id once")
       val cv = graft.operators.Manifest.currentVersion(s"$root/chunks")
       graft.operators.Dedup.crossHammingPairs64(deltaFps,
           graft.operators.Dedup.HammingIndex64(
             graft.operators.Dedup.prunedHammingChunks(s, s"$root/chunks",
               cv, deltaFps, maxHamming = 3, numBuckets = kb),
-            graft.operators.Manifest.read(s, s"$root/members", 1),
-            maxHamming = 3))
+            graft.operators.Manifest.read(s, s"$root/members", mv),
+            maxHamming = 3),
+          assumeDisjoint = true)
         .select(col("a_id").as("delta_id"), col("b_id").as("base_id"))
     }),
 
