@@ -43,11 +43,20 @@ import org.apache.spark.sql.functions._
   * compaction folds WITHIN buckets and the pruning survives.
   *
   * Key-column ORDER is part of the layout contract (the hash is over
-  * the column tuple): writers and readers state the same `keyCols`
-  * sequence, and `kbn` mismatches degrade to conservative reads
-  * rather than wrong pruning.
+  * the column tuple): writers record the column list as a `kc` tag
+  * next to `kb`/`kbn`, readers state the same `keyCols` sequence,
+  * and a `kbn` OR `kc` mismatch degrades to conservative reads
+  * rather than wrong pruning — while [[upsertBucketed]] REFUSES a
+  * mismatched `kc` loudly (a COW under different key columns than
+  * the build would hash survivors elsewhere and leave stale rows in
+  * untouched buckets silently; the PqStore codebook-tag lesson).
+  * Members written before the tag existed carry no `kc` and are
+  * accepted as-is (their callers owned the key mapping), documented
+  * legacy behavior.
   */
 object BucketedIndex {
+
+  private def kcTag(keyCols: Seq[String]): String = keyCols.mkString(",")
 
   /** The bucket of a key tuple: `pmod(xxhash64(keys…), numBuckets)`
     * — deterministic across runs, partitionings, and engines that
@@ -89,7 +98,8 @@ object BucketedIndex {
         val b = p.getFileName.toString.stripPrefix("__kb=")
         val name = s"$nameTag-b$b"
         Files.move(p, Paths.get(root, "files", name))
-        (name, Map("kb" -> b, "kbn" -> numBuckets.toString))
+        (name, Map("kb" -> b, "kbn" -> numBuckets.toString,
+          "kc" -> kcTag(keyCols)))
       }
     graft.util.Fs.deleteRecursively(staging)
     Manifest.commitAdopt(df.sparkSession, root, adopted)
@@ -149,6 +159,20 @@ object BucketedIndex {
         s"(${bad.map(_._1).mkString(", ")}) — a bucket-grain COW cannot " +
         "bound its rewrite on a mixed layout; rewrite the table with " +
         "commitBucketed first")
+    // the key COLUMNS are part of the layout, not just the modulus: a
+    // COW stated under different keys would hash survivors elsewhere
+    // and never delete updated keys from non-touched buckets — stale
+    // duplicates plus false-negative pruning, both silent. Members
+    // written before the kc tag existed are accepted (legacy).
+    val badKc = members.filter { case (_, tags) =>
+      tags.get("kc").exists(_ != kcTag(keyCols))
+    }
+    require(badKc.isEmpty,
+      s"BucketedIndex.upsertBucketed: $root v$v was bucketed on key " +
+        s"columns (${badKc.flatMap(_._2.get("kc")).distinct.mkString("; ")}) " +
+        s"but this upsert states (${kcTag(keyCols)}) — a COW under " +
+        "different key columns corrupts the table silently; state the " +
+        "build's key columns or rewrite with commitBucketed")
     Manifest.recoverTag(root, nameTag)
     // the touched buckets: where the update keys hash (a bounded
     // ≤ numBuckets distinct collect, metadata-scale)
@@ -179,11 +203,50 @@ object BucketedIndex {
         val b = p.getFileName.toString.stripPrefix("__kb=")
         val name = s"$nameTag-b$b"
         Files.move(p, Paths.get(root, "files", name))
-        (name, Map("kb" -> b, "kbn" -> numBuckets.toString))
+        (name, Map("kb" -> b, "kbn" -> numBuckets.toString,
+          "kc" -> kcTag(keyCols)))
       }
     graft.util.Fs.deleteRecursively(staging)
-    Manifest.commitAdoptReplace(spark, root, adopted, touched)
+    // publish premise, re-validated INSIDE the CAS retry: the merge
+    // above was computed against v's members, so a CONCURRENT commit
+    // that landed a member in a touched bucket between the snapshot
+    // and the publish would leave that member's updated-key rows
+    // unfolded — silent stale duplicates the slot-level CAS cannot
+    // see (it only re-validates that replaced members still exist).
+    // Mirror compactTiered: every head member carrying a touched kb
+    // must be one this commit replaces, or the premise died.
+    Manifest.commitAdoptReplace(spark, root, adopted, touched,
+      premise = upsertPremise(root, nameTag, kbs, numBuckets, touched.toSet))
   }
+
+  /** The head premise a COW upsert publishes under (re-validated
+    * inside the CAS retry — see [[upsertBucketed]]): no head member
+    * may carry a TOUCHED bucket's `kb` tag (under this modulus)
+    * unless this commit replaces it. Exposed at object scope so the
+    * spec can pin the race window directly (a deterministic
+    * interleaving of two writers is not constructible in-process).
+    */
+  private[operators] def upsertPremise(
+      root: String,
+      nameTag: String,
+      kbs: Set[String],
+      numBuckets: Int,
+      replaced: Set[String]): Seq[(String, Map[String, String])] => Unit =
+    head => {
+      val foreign = head.collect {
+        case (p, tags) if kbs.contains(tags.getOrElse("kb", "")) &&
+          tags.get("kbn").contains(numBuckets.toString) &&
+          !replaced.contains(p) => p
+      }
+      if (foreign.nonEmpty)
+        // IllegalState, not ConcurrentModification: the PREMISE died,
+        // not the slot — commitWithRetry must propagate, not respin
+        throw new IllegalStateException(
+          s"BucketedIndex.upsertBucketed($nameTag): touched buckets of " +
+            s"$root gained members since this upsert's snapshot " +
+            s"(${foreign.mkString(", ")}) — the merge no longer covers " +
+            "them; re-run the upsert against the new head")
+    }
 
   /** Member paths of `version` a probe with DELTA keys must read:
     * members whose `kb` tag is in the delta's bucket set, plus —
@@ -197,17 +260,44 @@ object BucketedIndex {
       version: Int,
       deltaKeys: DataFrame,
       keyCols: Seq[String],
-      numBuckets: Int): Seq[String] = {
-    val kbs = deltaKeys
+      numBuckets: Int): Seq[String] =
+    prunedMemberPathsByBuckets(root, version,
+      bucketsOf(deltaKeys, keyCols, numBuckets), keyCols, numBuckets)
+
+  /** The delta's occupied bucket set under the layout's hash — a
+    * bounded ≤ `numBuckets` distinct collect, metadata-scale.
+    * `deltaKeys` carries exactly `keyCols` (same columns, same order
+    * as the write).
+    */
+  def bucketsOf(
+      deltaKeys: DataFrame,
+      keyCols: Seq[String],
+      numBuckets: Int): Set[String] =
+    deltaKeys
       .select(bucketOf(numBuckets, keyCols.map(deltaKeys(_)): _*).as("__kb"))
       .distinct().collect().map(_.getLong(0).toString).toSet
+
+  /** [[prunedMemberPaths]] from an ALREADY-COMPUTED bucket set — the
+    * second hop of a secondary-index lookup ([[LabelStore]]), where
+    * the bucket set comes from stored index entries rather than from
+    * hashing delta keys. Same conservatism: members without the
+    * layout tags, under a different modulus, or recorded under
+    * different KEY COLUMNS (`kc` tag — a foreign key mapping's `kb`
+    * values mean nothing here) are always read.
+    */
+  def prunedMemberPathsByBuckets(
+      root: String,
+      version: Int,
+      kbs: Set[String],
+      keyCols: Seq[String],
+      numBuckets: Int): Seq[String] =
     Manifest.memberPartitions(root, version).filter { case (_, tags) =>
       (tags.get("kb"), tags.get("kbn")) match {
-        case (Some(b), Some(n)) if n == numBuckets.toString => kbs.contains(b)
-        case _ => true // untagged / other bucketing → must read
+        case (Some(b), Some(n)) if n == numBuckets.toString &&
+          tags.get("kc").forall(_ == kcTag(keyCols)) => kbs.contains(b)
+        case _ => true // untagged / other bucketing / other keys → must read
       }
     }.map(_._1)
-  }
 
   /** The pruned snapshot a delta probe joins against: the union of
     * [[prunedMemberPaths]] — a SUPERSET of every index row whose key
@@ -223,6 +313,21 @@ object BucketedIndex {
       keyCols: Seq[String],
       numBuckets: Int): DataFrame = {
     val paths = prunedMemberPaths(root, version, deltaKeys, keyCols, numBuckets)
+    if (paths.isEmpty) Manifest.read(spark, root, version).limit(0)
+    else spark.read.parquet(paths: _*)
+  }
+
+  /** [[prunedRead]] from an already-computed bucket set (see
+    * [[prunedMemberPathsByBuckets]]). */
+  def prunedReadByBuckets(
+      spark: SparkSession,
+      root: String,
+      version: Int,
+      kbs: Set[String],
+      keyCols: Seq[String],
+      numBuckets: Int): DataFrame = {
+    val paths = prunedMemberPathsByBuckets(root, version, kbs, keyCols,
+      numBuckets)
     if (paths.isEmpty) Manifest.read(spark, root, version).limit(0)
     else spark.read.parquet(paths: _*)
   }

@@ -221,8 +221,8 @@ object Dedup {
     * buckets are derived under the INDEX's own parameters, so probe
     * and index can never disagree. Output: (a_id ∈ delta,
     * b_id ∈ base).
-    */
-  /** `assumeDisjoint` skips the delta-vs-base id guard — set it ONLY
+    *
+    * `assumeDisjoint` skips the delta-vs-base id guard — set it ONLY
     * when the caller has already proven disjointness at sub-corpus
     * cost (the r13-verdict item-5 pattern: a base sets table written
     * id-BUCKETED lets the proof probe just the delta's id bucket
@@ -256,15 +256,7 @@ object Dedup {
       .join(bBuckets.select(col("band"), col("bucket"), col("id").as("b_id")),
         Seq("band", "bucket"))
       .select("a_id", "b_id").distinct()
-    cand
-      .join(deltaSets.select(col("id").as("a_id"), col("ts").as("ta"),
-        col("n").as("na")), "a_id")
-      .join(baseSets.select(col("id").as("b_id"), col("ts").as("tb"),
-        col("n").as("nb")), "b_id")
-      .withColumn("c", sortedIntersectCount(col("ta"), col("tb")))
-      .filter(col("c").cast("double") /
-        (col("na") + col("nb") - col("c")).cast("double") >= threshold)
-      .select(col("a_id"), col("b_id"))
+    verifyCrossPairs(cand, deltaSets, baseSets, threshold)
   }
 
   /** 64-bit SimHash fingerprint of the token multiset: bit k is the
@@ -457,8 +449,8 @@ object Dedup {
     * loudly. Output: (a_id ∈ delta, b_id ∈ base) — EQUAL to the
     * brute-force cross Hamming join at ≤ `base.maxHamming`
     * (spec-pinned).
-    */
-  /** `assumeDisjoint` skips the delta-vs-base id guard — set it ONLY
+    *
+    * `assumeDisjoint` skips the delta-vs-base id guard — set it ONLY
     * when the caller has already proven disjointness at sub-corpus
     * cost (the r13-verdict item-5 pattern: a members table written
     * id-BUCKETED lets the proof probe just the delta's id bucket
@@ -892,6 +884,36 @@ object Dedup {
       deltaIds: DataFrame,
       deltaPairs: DataFrame,
       maxIters: Int = 50,
+      assumeDisjoint: Boolean = false): LabelDelta =
+    incrementalClustersDeltaBy(_ => baseLabels, _ => baseLabels,
+      deltaIds, deltaPairs, maxIters, assumeDisjoint)
+
+  /** [[incrementalClustersDelta]] with PRUNED label-table access —
+    * the form a [[Manifest]]-backed label table serves (r14 verdict
+    * item 2): the in-memory overload streams the whole base label
+    * frame map-side at every touch (never shuffled, but still
+    * O(corpus) read IO per fold), while a doc_id-BUCKETED stored
+    * table with a cluster_id-keyed secondary index ([[LabelStore]])
+    * can serve each leg from the relevant bucket members alone.
+    *
+    * `labelsByDocIds(ids)` must return a SUPERSET of the base label
+    * rows whose `doc_id` is in `ids` (a one-column frame); it backs
+    * the disjointness guard and the edge-endpoint label lookup —
+    * both keyed by delta-bounded id sets. `labelsByClusterIds(cids)`
+    * must return a superset of the rows whose `cluster_id` is in
+    * `cids` (the fold's touched old labels); it backs the old-size
+    * fold and the relabel leg. Supersets are fine — every consumer
+    * applies the exact key match (semi/inner join) downstream, so
+    * pruning is an optimization, never the semantics. Each closure
+    * is invoked at most twice per fold with delta/touched-bounded
+    * key frames.
+    */
+  def incrementalClustersDeltaBy(
+      labelsByDocIds: DataFrame => DataFrame,
+      labelsByClusterIds: DataFrame => DataFrame,
+      deltaIds: DataFrame,
+      deltaPairs: DataFrame,
+      maxIters: Int = 50,
       assumeDisjoint: Boolean = false): LabelDelta = {
     val p = deltaPairs.select(col(deltaPairs.columns.head).as("a"),
       col(deltaPairs.columns(1)).as("b"))
@@ -902,20 +924,21 @@ object Dedup {
     // label lookup and emit duplicate/contradictory output silently.
     // Broadcast the delta side so the base table streams map-side.
     if (!assumeDisjoint)
-      require(baseLabels.select(col("doc_id").as("id"))
+      require(labelsByDocIds(dIds).select(col("doc_id").as("id"))
           .join(broadcast(dIds), Seq("id"), "left_semi").isEmpty,
         "incrementalClusters: deltaIds overlap base doc_ids — delta ids " +
           "must be NEW arrivals (disjoint from baseLabels), or the label " +
           "lookup would carry duplicate rows per overlapping id")
-    val lab = baseLabels.select(col("doc_id").as("id"),
-        col("cluster_id").as("lab"))
-      .unionByName(dIds.select(col("id"), col("id").as("lab")))
     // restrict the label lookup to edge endpoints FIRST — a
     // broadcast semi keyed by the delta-bounded endpoint set, so the
-    // base label table streams map-side and never shuffles
+    // base label table streams map-side (pruned to the endpoints'
+    // buckets when stored) and never shuffles
     val endpoints = p.select(col("a").as("id"))
       .unionByName(p.select(col("b").as("id"))).distinct()
       .localCheckpoint()
+    val lab = labelsByDocIds(endpoints)
+      .select(col("doc_id").as("id"), col("cluster_id").as("lab"))
+      .unionByName(dIds.select(col("id"), col("id").as("lab")))
     val labTouched = lab.join(broadcast(endpoints), Seq("id"), "left_semi")
       .localCheckpoint() // delta-bounded
     val missing = endpoints.join(labTouched, Seq("id"), "left_anti").count()
@@ -938,8 +961,11 @@ object Dedup {
     val mapping = duplicateClusters(contracted, touched, maxIters)
       .select(col("doc_id").as("old_lab"), col("cluster_id").as("new_lab"))
       .localCheckpoint()
+    // the touched-cluster label rows feed BOTH the size fold and the
+    // relabel leg — resolve the (possibly pruned) read once
+    val touchedClusterRows = labelsByClusterIds(touched)
     // merged sizes fold STORED sizes (+1 per merged delta singleton)
-    val oldSizes = baseLabels.select(col("cluster_id").as("old_lab"),
+    val oldSizes = touchedClusterRows.select(col("cluster_id").as("old_lab"),
         col("cluster_size")).distinct()
       .join(broadcast(touched.select(col("id").as("old_lab"))),
         Seq("old_lab"), "left_semi")
@@ -952,7 +978,7 @@ object Dedup {
       .agg(sum(col("cluster_size")).as("cluster_size"))
       .localCheckpoint() // touched-space
     // touched base rows relabel through the (broadcast) mapping
-    val relabeledBase = baseLabels
+    val relabeledBase = touchedClusterRows
       .join(broadcast(mapping.withColumnRenamed("old_lab", "cluster_id")),
         Seq("cluster_id"))
       .select(col("doc_id"), col("new_lab").as("cluster_id"))
@@ -1202,42 +1228,15 @@ object Dedup {
       maxCandidateFactor: Option[Double] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccard threshold must be in (0, 1], got $threshold")
-    val tau = lit(threshold)
     val d = deltaSets
-    val b = baseSets
-    val cand0 = jaccardPrefixes(d, threshold).as("a")
-      .join(basePrefixes.getOrElse(jaccardPrefixes(b, threshold)).as("b"),
-        col("a.t") === col("b.t") &&
-        col("b.n") >= col("a.n") * tau && col("a.n") >= col("b.n") * tau &&
-        least(col("a.n") - col("a.p"), col("b.n") - col("b.p")) >=
-          (tau / (lit(1.0) + tau)) * (col("a.n") + col("b.n")))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-      .distinct()
+    val cand0 = crossPrefixCandidates(d,
+      basePrefixes.getOrElse(jaccardPrefixes(baseSets, threshold)), threshold)
     val cand = if (maxCandidateFactor.isDefined)
       cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else cand0
-    maxCandidateFactor.foreach { f =>
-      val nDelta = d.count() // delta-sized count — cheap by contract
-      val nCand = cand.count()
-      if (nCand > f * math.max(nDelta, 1L)) {
-        cand.unpersist()
-        throw new IllegalStateException(
-          s"crossJaccardPairsPre: $nCand candidate pairs for $nDelta delta " +
-            s"docs exceeds the $f× tripwire — the threshold ($threshold) is " +
-            "too low for this corpus (near-corpus-sized probe per doc). " +
-            "Raise the threshold, switch to the approximate minhash twin, " +
-            "or raise maxCandidateFactor.")
-      }
-    }
-    val out = cand
-      .join(d.select(col("id").as("a_id"), col("ts").as("ta"),
-        col("n").as("na")), "a_id")
-      .join(b.select(col("id").as("b_id"), col("ts").as("tb"),
-        col("n").as("nb")), "b_id")
-      .withColumn("c", sortedIntersectCount(col("ta"), col("tb")))
-      .filter(col("c").cast("double") /
-        (col("na") + col("nb") - col("c")).cast("double") >= threshold)
-      .select(col("a_id"), col("b_id"))
+    maxCandidateFactor.foreach(f =>
+      candidateTripwire(cand, d, f, threshold, () => cand.unpersist()))
+    val out = verifyCrossPairs(cand, d, baseSets, threshold)
     if (maxCandidateFactor.isDefined) {
       // materialize before releasing the candidate cache (the
       // jaccardPairs discipline: checkpointed blocks GC with the frame)
@@ -1246,4 +1245,145 @@ object Dedup {
       o
     } else out
   }
+
+  private def candidateTripwire(
+      cand: DataFrame,
+      deltaSets: DataFrame,
+      factor: Double,
+      threshold: Double,
+      release: () => Unit): Unit = {
+    val nDelta = deltaSets.count() // delta-sized count — cheap by contract
+    val nCand = cand.count()
+    if (nCand > factor * math.max(nDelta, 1L)) {
+      release()
+      throw new IllegalStateException(
+        s"crossJaccardPairs: $nCand candidate pairs for $nDelta delta " +
+          s"docs exceeds the $factor× tripwire — the threshold ($threshold) " +
+          "is too low for this corpus (near-corpus-sized probe per doc). " +
+          "Raise the threshold, switch to the approximate minhash twin, " +
+          "or raise maxCandidateFactor.")
+    }
+  }
+
+  /** [[crossJaccardPairsPre]] against a STORED, id-BUCKETED sets
+    * table — the CANDIDATE-BOUNDED verify leg (r14 verdict item 1):
+    * the plain form re-joins candidate payloads against a FULL scan
+    * of the standing sets table, the one remaining O(corpus) read in
+    * a per-batch fold. Here the candidate pairs (delta-bounded by the
+    * prefix probe) MATERIALIZE first, and the base payloads come from
+    * [[BucketedIndex.prunedRead]] on the CANDIDATES' base-id buckets —
+    * so the verify leg's file IO follows the candidates, never the
+    * corpus. Exactness is untouched: the pruned read is a superset of
+    * every row whose id a candidate names, and the verify join's
+    * equi-match on `b_id` is the semantics (the prunedMembers rule).
+    *
+    * `basePrefixes` is the (already pruned, already exclusion-
+    * filtered) stored prefix-index read — [[prunedBasePrefixes]].
+    * The sets table under `setsRoot` must be committed id-bucketed
+    * (`commitBucketed(sets, root, tag, Seq("id"), setsNumBuckets)`);
+    * a legacy unbucketed member degrades to a conservative full read,
+    * never to wrong pruning.
+    *
+    * NO delta-vs-base disjointness guard runs here: the caller owns
+    * it (the id-bucketed sets table makes that proof delta-bucket
+    * cost — q415/q480/foldBatch all do it), and candidates inherit
+    * whatever exclusion `basePrefixes` carries (an anti-joined own-id
+    * prefix row can never produce its id as a `b_id`).
+    */
+  def crossJaccardPairsStored(
+      spark: org.apache.spark.sql.SparkSession,
+      deltaSets: DataFrame,
+      setsRoot: String,
+      setsVersion: Int,
+      threshold: Double,
+      basePrefixes: DataFrame,
+      setsNumBuckets: Int,
+      maxCandidateFactor: Option[Double] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccard threshold must be in (0, 1], got $threshold")
+    // delta-bounded; feeds the bucket collect, the tripwire count AND
+    // the verify join — materialize once, or the prefix join re-runs
+    // per action
+    val cand = crossPrefixCandidates(deltaSets, basePrefixes, threshold)
+      .localCheckpoint()
+    maxCandidateFactor.foreach(f =>
+      candidateTripwire(cand, deltaSets, f, threshold, () => ()))
+    val basePayload = BucketedIndex.prunedRead(spark, setsRoot, setsVersion,
+      cand.select(col("b_id").as("id")), Seq("id"), setsNumBuckets)
+    verifyCrossPairs(cand, deltaSets, basePayload, threshold)
+  }
+
+  /** [[crossMinHashLsh]] against a STORED, id-BUCKETED sets table —
+    * the approximate twin of [[crossJaccardPairsStored]], same
+    * candidate-bounded verify leg: candidates come from the (pruned)
+    * stored band-bucket index join, materialize delta-bounded, and
+    * the exact-Jaccard verify reads base payloads from the
+    * candidates' id buckets only. Disjointness is the caller's (see
+    * crossJaccardPairsStored); `index.buckets` is the pruned stored
+    * read ([[prunedLshBuckets]]) under the handle's own parameters.
+    */
+  def crossMinHashLshStored(
+      spark: org.apache.spark.sql.SparkSession,
+      deltaSets: DataFrame,
+      setsRoot: String,
+      setsVersion: Int,
+      threshold: Double,
+      index: LshBucketIndex,
+      setsNumBuckets: Int): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccard threshold must be in (0, 1], got $threshold")
+    val dBuckets = minHashBuckets(deltaSets, "ts",
+      index.numPerm, index.bands, index.seed)
+    // delta-bounded; feeds the bucket collect AND the verify join
+    val cand = dBuckets
+      .select(col("band"), col("bucket"), col("id").as("a_id"))
+      .join(index.buckets.select(col("band"), col("bucket"),
+        col("id").as("b_id")), Seq("band", "bucket"))
+      .select("a_id", "b_id").distinct()
+      .localCheckpoint()
+    val basePayload = BucketedIndex.prunedRead(spark, setsRoot, setsVersion,
+      cand.select(col("b_id").as("id")), Seq("id"), setsNumBuckets)
+    verifyCrossPairs(cand, deltaSets, basePayload, threshold)
+  }
+
+  /** The AllPairs candidate join of a cross probe: the delta's prefix
+    * rows against the base's (stored or derived) prefix rows under
+    * the prefix/length/position filters. Exact: every pair at
+    * Jaccard ≥ τ appears (false positives verified downstream).
+    */
+  private[graft] def crossPrefixCandidates(
+      deltaSets: DataFrame,
+      basePrefixes: DataFrame,
+      threshold: Double): DataFrame = {
+    val tau = lit(threshold)
+    jaccardPrefixes(deltaSets, threshold).as("a")
+      .join(basePrefixes.as("b"),
+        col("a.t") === col("b.t") &&
+        col("b.n") >= col("a.n") * tau && col("a.n") >= col("b.n") * tau &&
+        least(col("a.n") - col("a.p"), col("b.n") - col("b.p")) >=
+          (tau / (lit(1.0) + tau)) * (col("a.n") + col("b.n")))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+  }
+
+  /** The exact verify leg shared by every cross probe: join candidate
+    * pairs back to both sides' (id, ts, n) payloads and keep pairs at
+    * Jaccard ≥ τ. The base side may be a PRUNED superset read — the
+    * inner equi-join on `b_id` applies the exact key match, so extra
+    * base rows never surface.
+    */
+  private def verifyCrossPairs(
+      cand: DataFrame,
+      deltaSets: DataFrame,
+      baseSets: DataFrame,
+      threshold: Double): DataFrame =
+    cand
+      .join(deltaSets.select(col("id").as("a_id"), col("ts").as("ta"),
+        col("n").as("na")), "a_id")
+      .join(baseSets.select(col("id").as("b_id"), col("ts").as("tb"),
+        col("n").as("nb")), "b_id")
+      .withColumn("c", sortedIntersectCount(col("ta"), col("tb")))
+      .filter(col("c").cast("double") /
+        (col("na") + col("nb") - col("c")).cast("double") >= threshold)
+      .select(col("a_id"), col("b_id"))
 }

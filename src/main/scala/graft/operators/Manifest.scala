@@ -265,13 +265,20 @@ object Manifest {
     * be a member of the head at publish time — a concurrent winner
     * rewriting one voids this commit's premise, and the loud failure
     * beats resurrecting a replaced member. Replaced files stay on
-    * disk for pinned readers (the retention rule).
+    * disk for pinned readers (the retention rule). `premise` is an
+    * OPTIONAL caller-stated head validation (member (path, tags)
+    * pairs), also re-run inside the retry — for commits whose
+    * CONTENT was computed from a head snapshot (a keyed COW rewrite)
+    * it must throw when the head no longer supports that content
+    * (e.g. a touched bucket gained a member since the snapshot),
+    * because the slot-level CAS alone cannot see that.
     */
   def commitAdoptReplace(
       spark: SparkSession,
       root: String,
       adopted: Seq[(String, Map[String, String])],
-      replaced: Seq[String]): Int =
+      replaced: Seq[String],
+      premise: Seq[(String, Map[String, String])] => Unit = _ => ()): Int =
     if (adopted.isEmpty && replaced.isEmpty) currentVersion(root)
     else {
       val frags = adopted.map { case (name, partition) =>
@@ -292,6 +299,13 @@ object Manifest {
         require(dup.isEmpty,
           s"Manifest.commitAdoptReplace: already members of v$prev: " +
             dup.mkString(", "))
+        // caller-stated PREMISE, re-validated against the head INSIDE
+        // the CAS retry (the compactTiered discipline): a loser's
+        // recompute must not merely avoid dropping the winner's
+        // members — it must re-check that the winner didn't void what
+        // this commit's content was computed FROM (e.g. a COW rewrite
+        // whose touched buckets gained a member after the snapshot)
+        premise(base.map(l => (pathOf(l), partTags(l))))
         base.filterNot(l => replaced.contains(pathOf(l))) ++
           frags.map { case (t, frag) => memberLine(t, frag + seqJson(prev)) }
       }
@@ -303,13 +317,13 @@ object Manifest {
     * alone. Untagged members surface an empty map.
     */
   def memberPartitions(
-      root: String, version: Int): Seq[(String, Map[String, String])] = {
-    val PartTag = """"part_([A-Za-z0-9_]+)":"([^"]*)"""".r
-    membersRaw(root, version).map { l =>
-      (pathOf(l),
-        PartTag.findAllMatchIn(l).map(m => m.group(1) -> m.group(2)).toMap)
-    }
-  }
+      root: String, version: Int): Seq[(String, Map[String, String])] =
+    membersRaw(root, version).map(l => (pathOf(l), partTags(l)))
+
+  private val PartTagRe = """"part_([A-Za-z0-9_]+)":"([^"]*)"""".r
+
+  private def partTags(line: String): Map[String, String] =
+    PartTagRe.findAllMatchIn(line).map(m => m.group(1) -> m.group(2)).toMap
 
   /** SIZE-TIERED, LAYOUT-PRESERVING compaction — the maintenance op a
     * long-lived append-heavy table needs at 100 TB, where

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{BucketedIndex, Dedup, Manifest}
+import graft.operators.{BucketedIndex, Dedup, LabelStore, Manifest}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -28,32 +28,47 @@ import org.apache.spark.sql.streaming.Trigger
   *     KEY-BUCKETED ON doc_id and advanced by the LAYOUT-PRESERVING
   *     keyed COW upsert of ONLY the fold's changed rows
   *     ([[BucketedIndex.upsertBucketed]] over
-  *     [[Dedup.incrementalClustersDelta]]'s output — r14): only the
-  *     buckets the changed doc_ids hash into rewrite (each folding
-  *     to one member, so the table never exceeds one member per
-  *     bucket — no compaction debt), untouched buckets' members
+  *     [[Dedup.incrementalClustersDeltaBy]]'s output — r14): only
+  *     the buckets the changed doc_ids hash into rewrite (each
+  *     folding to one member, so the table never exceeds one member
+  *     per bucket — no compaction debt), untouched buckets' members
   *     stay verbatim on storage, and — unlike the previous
   *     [[Manifest.upsert]] path — no full-table probe pass runs to
   *     FIND affected members: the touched set comes from hashing the
-  *     changed keys, metadata-scale. Label IO follows the touched
-  *     components, never the corpus. A labels table written by a
+  *     changed keys, metadata-scale. A labels table written by a
   *     pre-bucketing drain fails the fold loudly with the remedy
   *     (rewrite via commitBucketed); state dirs are otherwise
   *     layout-compatible across resumes.
+  *   - `<state>/labels_clx` — the cluster_id-keyed SECONDARY INDEX
+  *     over the labels table ([[graft.operators.LabelStore]], r15):
+  *     (cluster_id → occupied doc_id buckets), itself bucketed on
+  *     cluster_id and COW-advanced from the fold's changed rows
+  *     (complete per touched cluster because components only merge).
+  *     It commits BEFORE the labels (index-ahead crash states are
+  *     safe supersets; see LabelStore's crash-order contract). A
+  *     state that predates it bootstraps the index from one full
+  *     label scan, then stays pruned.
   *
-  * Per-batch COMPUTE is therefore delta-shaped end to end: shingling
-  * O(batch); the probe shuffles the BATCH's prefix rows against the
-  * bucket-pruned stored-index scan; the disjointness guard probes
-  * only the delta's id buckets (the [[Dedup.incrementalClustersDelta]]
-  * label-scan guard is skipped — this guard subsumes it, see
-  * foldBatch); contraction CC is touched-component-sized; the only
-  * frames ever `localCheckpoint`-materialized are batch-sized or
-  * touched-bounded (StreamingClustersSpec pins this). Two base-side
-  * reads remain corpus-proportional by design and are the accepted
-  * residual cost: the verify leg lazily joins the stored SETS
-  * against candidates (map-side scan, candidate-bounded shuffle),
-  * and the label relabel/size folds scan the stored labels map-side
-  * (never shuffled — every label-table touch is a broadcast join).
+  * Per-batch COMPUTE *and READ IO* are therefore delta-shaped end to
+  * end: shingling O(batch); the probe shuffles the BATCH's prefix
+  * rows against the bucket-pruned stored-index scan; the disjointness
+  * guard probes only the delta's id buckets (the
+  * [[Dedup.incrementalClustersDeltaBy]] label-scan guard is skipped —
+  * this guard subsumes it, see foldBatch); the verify leg reads base
+  * payloads PRUNED to the materialized CANDIDATES' id buckets
+  * ([[Dedup.crossJaccardPairsStored]] — r14 verdict item 1);
+  * contraction CC is touched-component-sized; every label-table
+  * touch reads only the relevant bucket members — the id-keyed
+  * lookup leg through the endpoints' doc_id buckets, the
+  * cluster-grain size/relabel legs through the secondary index's two
+  * pruned hops; and the only frames ever `localCheckpoint`-
+  * materialized are batch-sized or touched-bounded
+  * (StreamingClustersSpec pins this). The residual unit of read IO
+  * is the BUCKET FILE: a fold pays O(touched buckets × table /
+  * numBuckets) bytes, so the layout constant `IndexBuckets` is what
+  * sizes per-fold IO at scale (a 100 TB deployment raises it so
+  * bucket members stay batch-comparable; the tags make the layout
+  * self-describing, so re-bucketing is one commitBucketed rewrite).
   *
   * Exactly-once + RESTARTABILITY: `foreachBatch` is at-least-once,
   * and each batch's labels commit writes a durable per-batch REF on
@@ -118,16 +133,17 @@ object StreamingClusters {
       ()
     }
 
-  /** [[appendOnce]]'s key-bucketed twin: one batch lands as one
-    * member PER KEY BUCKET (tagged for pruned probes), in one atomic
-    * commit. Crash recovery (orphan staging / partially-moved bucket
-    * dirs) is [[BucketedIndex.commitBucketed]]'s own.
+  /** [[appendOnce]]'s key-bucketed twin — the shared
+    * [[graft.operators.StoredIndex.appendOnce]] skeleton under this
+    * drain's `-data` tag convention and bucket constant. Crash
+    * recovery (orphan staging / partially-moved bucket dirs) is
+    * [[BucketedIndex.commitBucketed]]'s own.
     */
   private[streaming] def appendBucketedOnce(
       df: DataFrame, root: String, tag: String, keyCols: Seq[String]): Unit =
     if (!Manifest.tagApplied(root, tag)) {
-      BucketedIndex.commitBucketed(df, root, s"$tag-data", keyCols,
-        IndexBuckets)
+      graft.operators.StoredIndex.appendOnce(df, root, s"$tag-data",
+        keyCols, IndexBuckets)
       ()
     }
 
@@ -198,6 +214,7 @@ object StreamingClusters {
     val setsRoot = s"$stateDir/sets"
     val prefRoot = s"$stateDir/prefixes"
     val labRoot = s"$stateDir/labels"
+    val clxRoot = s"$stateDir/labels_clx"
     checkThreshold(stateDir, threshold)
     if (labelsApplied(labRoot, tag)) return
     // the batch's sets — the fold's ONLY corpus-text scan, and the
@@ -239,34 +256,50 @@ object StreamingClusters {
               "already drained by earlier batches — the feed must carry " +
               "each doc_id once; duplicate arrivals would corrupt the " +
               "label table silently")
-        // crash-window hygiene: if a prior attempt committed this
-        // batch's sets/prefixes before dying, the stored tables
-        // already CONTAIN the batch — anti-join the batch's own ids
-        // out of the base side (broadcast, batch-sized), so the
-        // retry's fold is BIT-IDENTICAL to the clean path: no self
-        // pairs, no duplicated batch-internal candidates, and an
-        // armed maxCandidateFactor can never wedge the drain on the
-        // inflated retry (it sees clean-path candidate counts). On
-        // the clean path the anti-join matches nothing and costs one
-        // broadcast probe.
-        val baseSets = Manifest.read(spark, setsRoot, sv)
-          .join(broadcast(ownIds), Seq("id"), "left_anti")
         // the stored prefix index is read PRUNED to the batch's own
         // prefix-key buckets — the scan opens the delta's bucket
         // members, never the standing index (pruning keeps a
-        // candidate superset; the verify leg keeps exactness)
+        // candidate superset; the verify leg keeps exactness).
+        // Crash-window hygiene rides the SAME anti-join: if a prior
+        // attempt committed this batch's sets/prefixes before dying,
+        // the stored tables already CONTAIN the batch — excluding the
+        // batch's own ids at the PREFIX level means no candidate ever
+        // names an own id as its base endpoint, so the retry's fold
+        // is BIT-IDENTICAL to the clean path (no self pairs, no
+        // duplicated batch-internal candidates, and an armed
+        // maxCandidateFactor sees clean-path candidate counts); the
+        // verify leg's inner b_id join can never resurrect an
+        // excluded id. On the clean path the anti-join matches
+        // nothing and costs one broadcast probe.
         val basePref = Dedup.prunedBasePrefixes(spark, prefRoot,
             Manifest.currentVersion(prefRoot), bSets, threshold,
             IndexBuckets)
           .join(broadcast(ownIds), Seq("id"), "left_anti")
-        val baseLabels = Manifest.read(spark, labRoot,
-          Manifest.currentVersion(labRoot))
-        val cross = Dedup.crossJaccardPairsPre(bSets, baseSets, threshold,
-          basePrefixes = Some(basePref),
+        // the verify leg is CANDIDATE-BOUNDED (r14 verdict item 1):
+        // the candidate pairs materialize delta-bounded, and the base
+        // payload re-join reads the id-bucketed stored sets PRUNED to
+        // the candidates' base-id buckets — the fold's last
+        // corpus-proportional sets read is gone
+        val cross = Dedup.crossJaccardPairsStored(spark, bSets, setsRoot,
+          sv, threshold, basePref, IndexBuckets,
           maxCandidateFactor = maxCandidateFactor)
+        // the label table is served PRUNED (r14 verdict item 2): the
+        // id-keyed lookup leg reads the endpoints' doc_id buckets,
+        // and the cluster-grain legs (old sizes, relabel) go through
+        // the cluster_id-keyed SECONDARY INDEX — two pruned hops, so
+        // per-fold label IO follows the touched components, never the
+        // corpus. A legacy state (labels without the index) bootstraps
+        // the index from one full scan here, then stays pruned.
+        LabelStore.ensureSecondary(spark, labRoot, clxRoot, IndexBuckets)
+        val lv = Manifest.currentVersion(labRoot)
+        val cxv = Manifest.currentVersion(clxRoot)
         // assumeDisjoint: proven above at delta-bucket cost
-        Dedup.incrementalClustersDelta(baseLabels, bIds,
-            cross.unionByName(inner), assumeDisjoint = true)
+        Dedup.incrementalClustersDeltaBy(
+            ids => LabelStore.byDocIds(spark, labRoot, lv, ids,
+              IndexBuckets),
+            cids => LabelStore.byClusterIds(spark, labRoot, lv, clxRoot,
+              cxv, cids, IndexBuckets),
+            bIds, cross.unionByName(inner), assumeDisjoint = true)
           .changed
       }
     // changed is touched-bounded; materialize once — the upsert below
@@ -281,10 +314,29 @@ object StreamingClusters {
     // the first labels commit CREATES the table (the upsert requires
     // an initialized bucketed layout); later batches COW-upsert only
     // changed rows through the layout-preserving bucketed path. The
-    // per-batch ref is the durable ledger entry (see labelsApplied)
-    if (bootstrap) appendBucketedOnce(changedM, labRoot, tag, Seq("doc_id"))
-    else BucketedIndex.upsertBucketed(changedM, labRoot, tag,
-      Seq("doc_id"), IndexBuckets)
+    // SECONDARY INDEX commits FIRST — index-ahead crash states are
+    // safe (components only merge, so a surviving cluster's new
+    // entry set covers every bucket its current rows occupy; extra
+    // entries only widen a pruned read), labels-ahead states would
+    // let a probe miss relabeled rows (the LabelStore crash-order
+    // contract). The per-batch ref on the LABELS table is the
+    // durable ledger entry (see labelsApplied); the clx tag check is
+    // the crash-window skip within this batch's frontier.
+    if (bootstrap) {
+      appendBucketedOnce(LabelStore.clusterEntries(changedM, IndexBuckets),
+        clxRoot, tag, Seq("cluster_id"))
+      appendBucketedOnce(changedM, labRoot, tag, Seq("doc_id"))
+    } else {
+      if (!Manifest.tagApplied(clxRoot, tag)) {
+        BucketedIndex.upsertBucketed(
+          LabelStore.clusterEntries(changedM, IndexBuckets), clxRoot, tag,
+          Seq("cluster_id"), IndexBuckets)
+        ()
+      }
+      BucketedIndex.upsertBucketed(changedM, labRoot, tag,
+        Seq("doc_id"), IndexBuckets)
+      ()
+    }
     Manifest.setRef(labRoot, tag, Manifest.currentVersion(labRoot))
   }
 

@@ -204,6 +204,64 @@ class BucketedIndexSpec extends AnyFunSuite {
     assert(Manifest.tagApplied(root, "day1"))
   }
 
+  test("COW upsert refuses mismatched KEY COLUMNS loudly (kc tag)") {
+    // r14 advice item 1: kb/kbn alone cannot catch an upsert stated
+    // under DIFFERENT key columns than the build — same modulus, same
+    // tags, but survivors hash elsewhere and updated keys in
+    // non-touched buckets are never deleted (silent stale duplicates).
+    // commitBucketed now records the column list as a kc tag and the
+    // upsert validates it like PqStore screens its codebook tags.
+    val root = TestSpark.tmpDir("bidx-kc").toString
+    BucketedIndex.commitBucketed(index(Seq((1L, 10L), (2L, 20L))), root,
+      "base", Seq("t"), N)
+    val e = intercept[IllegalArgumentException] {
+      BucketedIndex.upsertBucketed(index(Seq((1L, 11L))), root, "day1",
+        Seq("id"), N)
+    }
+    assert(e.getMessage.contains("key columns") &&
+      e.getMessage.contains("(t)") && e.getMessage.contains("(id)"),
+      s"the failure must name both column lists: ${e.getMessage}")
+    // and a pruned read stated under foreign key columns degrades to a
+    // conservative FULL read (kc mismatch → must read), never wrong
+    // pruning
+    val v = Manifest.currentVersion(root)
+    val paths = BucketedIndex.prunedMemberPaths(root, v,
+      Seq(999L).toDF("id"), Seq("id"), N)
+    assert(paths.size == Manifest.members(root, v).size,
+      "a kc mismatch must be read conservatively")
+  }
+
+  test("a concurrent commit into a touched bucket voids the upsert premise loudly") {
+    // r14 advice item 2: the slot-level CAS re-validates that replaced
+    // members still exist, but not that touched buckets gained NO new
+    // members since the merge was computed — such a member's
+    // updated-key rows would survive as silent stale duplicates. The
+    // premise closure (re-run inside the CAS retry) must refuse. The
+    // two-writer interleaving isn't deterministically constructible
+    // in-process, so pin the closure against a crafted head.
+    val root = TestSpark.tmpDir("bidx-premise").toString
+    BucketedIndex.commitBucketed(index(Seq((1L, 10L))), root, "base", Seq("t"), 4)
+    val v = Manifest.currentVersion(root)
+    val head = Manifest.memberPartitions(root, v)
+    val kb = head.head._2("kb")
+    // clean premise: the touched member is in the replaced set → ok
+    BucketedIndex.upsertPremise(root, "day1", Set(kb), 4,
+      head.map(_._1).toSet)(head)
+    // raced premise: the head holds a member in a touched bucket the
+    // merge never saw → loud refusal naming the member
+    val e = intercept[IllegalStateException] {
+      BucketedIndex.upsertPremise(root, "day1", Set(kb), 4,
+        Set.empty[String])(head)
+    }
+    assert(e.getMessage.contains("gained members") &&
+      e.getMessage.contains(head.head._1), e.getMessage)
+    // foreign-modulus and untouched-bucket members never void it
+    BucketedIndex.upsertPremise(root, "day1", Set("999"), 4,
+      Set.empty[String])(head)
+    BucketedIndex.upsertPremise(root, "day1", Set(kb), 8,
+      Set.empty[String])(head)
+  }
+
   test("COW upsert refuses a mixed layout loudly") {
     val root = TestSpark.tmpDir("bidx-upmixed").toString
     BucketedIndex.commitBucketed(index(Seq((1L, 10L))), root, "base",

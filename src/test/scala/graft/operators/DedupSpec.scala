@@ -462,6 +462,95 @@ class DedupSpec extends AnyFunSuite {
       s"Hamming family: a 2-doc delta opened ${hamPaths.size} members — no pruning")
   }
 
+  test("stored verify legs: base payload reads follow the CANDIDATES' id buckets") {
+    // r14 verdict item 1: the probe's candidate generation was already
+    // pruned, but the exact-verify payload re-join still scanned the
+    // WHOLE stored sets table. crossJaccardPairsStored /
+    // crossMinHashLshStored materialize the (delta-bounded) candidate
+    // pairs and read base payloads via prunedRead on the candidates'
+    // base-id buckets. Pins: (a) verdict equality with the full-scan
+    // verify (both families, nonempty); (b) the plan's sets-table file
+    // reads are EXACTLY the candidates' id-bucket members and fewer
+    // than the table holds.
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.GraftTestBridge
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = docs.filter(col("doc_id") % 5 =!= 4)
+    val kb = 64
+    val dir = TestSpark.tmpDir("stored-verify").toString
+    val bs = Dedup.jaccardSets(base, "doc_id", "text", 3)
+    BucketedIndex.commitBucketed(bs, s"$dir/sets", "base", Seq("id"), kb)
+    BucketedIndex.commitBucketed(Dedup.jaccardPrefixes(bs, 0.4),
+      s"$dir/pref", "base", Seq("t"), kb)
+    val sv = Manifest.currentVersion(s"$dir/sets")
+    val pv = Manifest.currentVersion(s"$dir/pref")
+    val setsMembers = Manifest.members(s"$dir/sets", sv)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def memberDirsScanned(df: org.apache.spark.sql.DataFrame): Set[String] =
+      GraftTestBridge.scannedFiles(df)
+        .filter(_.contains("/sets/files/"))
+        .map(f => new java.net.URI(f).getPath)
+        .map(f => f.substring(0, f.lastIndexOf('/'))).toSet
+
+    // (a) verdict equality, full delta (nonempty output)
+    val deltaAll = docs.filter(col("doc_id") % 5 === 4)
+    val dsAll = Dedup.jaccardSets(deltaAll, "doc_id", "text", 3)
+      .localCheckpoint()
+    val prefAll = Dedup.prunedBasePrefixes(spark, s"$dir/pref", pv,
+      dsAll, 0.4, kb)
+    val gotAll = pairs(Dedup.crossJaccardPairsStored(spark, dsAll,
+      s"$dir/sets", sv, 0.4, prefAll, kb))
+    val wantAll = pairs(Dedup.crossJaccardPairsPre(dsAll,
+      Manifest.read(spark, s"$dir/sets", sv), 0.4,
+      basePrefixes = Some(prefAll)))
+    assert(gotAll.nonEmpty && gotAll == wantAll,
+      s"stored verify diverged: got=${gotAll.size} want=${wantAll.size}")
+
+    // (b) the IO pin, tiny delta: the verify leg's sets scan opens
+    // EXACTLY the candidates' id-bucket members
+    val delta = docs.filter(col("doc_id") % 250 === 4)
+    val ds = Dedup.jaccardSets(delta, "doc_id", "text", 3).localCheckpoint()
+    val pref = Dedup.prunedBasePrefixes(spark, s"$dir/pref", pv, ds, 0.4, kb)
+    val stored = Dedup.crossJaccardPairsStored(spark, ds, s"$dir/sets", sv,
+      0.4, pref, kb)
+    val cand = Dedup.crossPrefixCandidates(ds, pref, 0.4)
+    val expect = BucketedIndex.prunedMemberPaths(s"$dir/sets", sv,
+      cand.select(col("b_id").as("id")), Seq("id"), kb).toSet
+    val scanned = memberDirsScanned(stored)
+    assert(scanned == expect,
+      s"verify-leg sets reads must be the candidates' bucket members: " +
+        s"scanned=${scanned.size} expected=${expect.size}")
+    assert(expect.size < setsMembers.size,
+      s"a tiny delta's verify opened ${expect.size} of ${setsMembers.size} " +
+        "sets members — no pruning")
+
+    // (c) the LSH twin: equality + the same IO pin
+    val bs2 = Dedup.jaccardSets(base, "doc_id", "text", 2)
+    BucketedIndex.commitBucketed(bs2, s"$dir/sets2", "base", Seq("id"), kb)
+    BucketedIndex.commitBucketed(Dedup.lshBucketIndex(bs2).buckets,
+      s"$dir/buckets", "base", Seq("band", "bucket"), kb)
+    val sv2 = Manifest.currentVersion(s"$dir/sets2")
+    val bv = Manifest.currentVersion(s"$dir/buckets")
+    val ds2 = Dedup.jaccardSets(deltaAll, "doc_id", "text", 2)
+      .localCheckpoint()
+    val idx = Dedup.LshBucketIndex(Dedup.prunedLshBuckets(spark,
+      s"$dir/buckets", bv, ds2, 32, 8, 42L, kb), 32, 8, 42L)
+    val gotLsh = Dedup.crossMinHashLshStored(spark, ds2, s"$dir/sets2",
+      sv2, 0.4, idx, kb)
+    val wantLsh = pairs(Dedup.crossMinHashLsh(ds2,
+      Manifest.read(spark, s"$dir/sets2", sv2), 0.4, idx,
+      assumeDisjoint = true))
+    assert(pairs(gotLsh) == wantLsh && wantLsh.nonEmpty,
+      "LSH stored verify diverged from the full-scan verify")
+    val scannedLsh = GraftTestBridge.scannedFiles(gotLsh)
+      .filter(_.contains("/sets2/files/"))
+      .map(f => new java.net.URI(f).getPath)
+      .map(f => f.substring(0, f.lastIndexOf('/'))).toSet
+    assert(scannedLsh.size <= Manifest.members(s"$dir/sets2", sv2).size &&
+      scannedLsh.nonEmpty, "LSH stored verify must read bucket members")
+  }
+
   test("crossJaccardPairs ≡ union self-join restricted to cross pairs") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -49,4 +49,46 @@ object GraftTestBridge {
     walk(plan)
     out.toSeq
   }
+
+  /** Every file-source input file an EXECUTED SparkPlan read —
+    * collected from each `FileSourceScanExec`'s file index (which,
+    * for a manifest-pruned read, holds exactly the pruned member
+    * paths), descending into AQE subtrees and subqueries. Feed it
+    * from a QueryExecutionListener to pin the file IO of an eager
+    * multi-action operator (a foldBatch).
+    */
+  def fileScanInputs(plan: SparkPlan): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          out ++= f.relation.location.inputFiles
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case _ =>
+      }
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+    }
+    walk(plan)
+    out.toSeq
+  }
+
+  /** Every file-source input file a DataFrame's plan would scan —
+    * read from the ANALYZED plan's `HadoopFsRelation` locations, so a
+    * spec can pin WHICH member files a pruned stored-index read opens
+    * without executing the frame. Frames hidden behind an eager
+    * `localCheckpoint` (already-materialized inputs) contribute
+    * nothing, which is exactly right: only scans the returned plan
+    * would still run are counted.
+    */
+  def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.inputFiles.toSeq
+          case _ => Seq.empty[String]
+        }
+    }.flatten
 }
