@@ -117,9 +117,8 @@ object GraphAnnStore {
       numBuckets: Int = EdgeBuckets): StoredGraphAnn = {
     val centRoot = s"$root/centroids"
     val edgeRoot = s"$root/edges"
-    val cv = Manifest.currentVersion(centRoot)
-    require(cv > 0,
-      s"GraphAnnStore.load: $centRoot is uninitialized — build() first")
+    val cv = StoredIndex.liveVersion(centRoot, "GraphAnnStore.load",
+      "build()")
     val centRows = Manifest.read(spark, centRoot, cv)
       .orderBy(col("list_id")).collect()
     require(centRows.length == nlist,
@@ -132,13 +131,11 @@ object GraphAnnStore {
     require(nprobe >= 1 && nprobe <= nlist,
       s"GraphAnnStore.load: nprobe=$nprobe out of range [1, $nlist]")
     val entries = centRows.map(r => (r.getLong(0), r.getLong(2))).toSeq
-    val ev = Manifest.currentVersion(edgeRoot)
-    require(ev > 0,
-      s"GraphAnnStore.load: $edgeRoot is uninitialized — build() first")
+    val ev = StoredIndex.liveVersion(edgeRoot, "GraphAnnStore.load",
+      "build()")
     // bounded reconstruction sanity probe: ONE member's ranks must
     // fit the stated k (bucket members are non-empty by construction)
-    val m0 = Manifest.members(edgeRoot, ev).head
-    val mm = spark.read.parquet(m0)
+    val mm = StoredIndex.sampleMember(spark, edgeRoot, ev)
       .agg(max(col("rank")).as("mx"), min(col("rank")).as("mn")).collect()(0)
     require(mm.getLong(0) <= k && mm.getLong(1) >= 1L,
       s"GraphAnnStore.load: stored ranks [${mm.getLong(1)}, ${mm.getLong(0)}] " +
@@ -161,11 +158,16 @@ object GraphAnnStore {
     * here the frozen quantizer IS the stored one, no retrain anywhere.
     *
     * Preconditions (the knnGraphDelta contract): `baseEmb` is exactly
-    * the corpus the stored graph covers, `deltaEmb` ids are new.
-    * `nameTag` is the redelivery ledger ([[Manifest.tagApplied]] on
-    * the edges table — an applied tag returns without computing).
-    * Returns the edges version after the fold; reload the handle to
-    * serve from it.
+    * the corpus the stored graph covers, `deltaEmb` ids are new —
+    * the latter ENFORCED here at pruned-scan cost (r14 verdict item
+    * 5: every node owns a src-keyed edge list, so the src-bucketed
+    * edges table doubles as the id-membership ledger —
+    * [[StoredIndex.requireNewIds]] probes the delta ids' src
+    * buckets at the CURRENT head). `nameTag` is the redelivery
+    * ledger ([[Manifest.tagApplied]] on the edges table — an applied
+    * tag returns without computing, so a redelivery never reaches
+    * the guard). Returns the edges version after the fold; reload
+    * the handle to serve from it.
     */
   def foldDelta(
       idx: StoredGraphAnn,
@@ -178,6 +180,9 @@ object GraphAnnStore {
     if (Manifest.tagApplied(edgeRoot, nameTag))
       Manifest.currentVersion(edgeRoot)
     else {
+      StoredIndex.requireNewIds(deltaEmb.sparkSession, edgeRoot,
+        deltaEmb.select(col(idCol)), idx.numBuckets,
+        s"GraphAnnStore.foldDelta($nameTag)", keyCol = "src")
       val (changed, _) = GraphAnn.knnGraphDeltaChanged(idx.edges,
         baseEmb, deltaEmb, idCol, vecCol, idx.k, idx.cents, idx.nprobe)
       BucketedIndex.upsertBucketed(changed, edgeRoot, nameTag,

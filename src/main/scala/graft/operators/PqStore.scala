@@ -30,6 +30,10 @@ import org.apache.spark.sql.functions._
   *     codebook on the exact integer grid (m·ksub·dsub longs,
   *     bounded; collected at [[load]]) — integers round-trip parquet
   *     exactly, so the reconstructed model scores bit-identically.
+  *   - `<root>/members`   — (id), KEY-BUCKETED on `id`: the
+  *     membership ledger [[appendDelta]]'s id-grain new-arrival
+  *     guard probes at pruned-scan cost
+  *     ([[StoredIndex.requireNewIds]], r14 verdict item 5).
   *
   * The handle states (nlist, nprobe, m, ksub, numBuckets) at
   * reconstruction (the [[Dedup.LshBucketIndex]] contract) and
@@ -74,10 +78,16 @@ object PqStore {
     require(cents.nonEmpty, "PqStore.build: empty corpus")
     val model = Pq.trainResidualModel(emb, idCol, vecCol, cents, m, ksub,
       sampleN)
-    BucketedIndex.commitBucketed(
-      Pq.encodeResiduals(emb, idCol, vecCol, cents, model)
-        .withColumnRenamed(idCol, "id"),
-      s"$root/codes", "base", Seq("ivf_list"), numBuckets)
+    // one encode pass feeds the codes AND members commits
+    val coded = Pq.encodeResiduals(emb, idCol, vecCol, cents, model)
+      .withColumnRenamed(idCol, "id").localCheckpoint()
+    BucketedIndex.commitBucketed(coded, s"$root/codes", "base",
+      Seq("ivf_list"), numBuckets)
+    // the id-bucketed MEMBERS ledger (ids only — the q480 sets shape):
+    // what lets appendDelta prove id-grain disjointness at pruned-scan
+    // cost instead of only catching same-vector redeliveries
+    BucketedIndex.commitBucketed(coded.select(col("id")),
+      s"$root/members", "base", Seq("id"), numBuckets)
     import spark.implicits._
     Manifest.commitAdd(
       cents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
@@ -111,9 +121,7 @@ object PqStore {
     val centRoot = s"$root/centroids"
     val cbRoot = s"$root/codebook"
     val codeRoot = s"$root/codes"
-    val cv = Manifest.currentVersion(centRoot)
-    require(cv > 0,
-      s"PqStore.load: $centRoot is uninitialized — build() first")
+    val cv = StoredIndex.liveVersion(centRoot, "PqStore.load", "build()")
     val centRows = Manifest.read(spark, centRoot, cv)
       .orderBy(col("list_id")).collect()
     require(centRows.length == nlist,
@@ -126,9 +134,7 @@ object PqStore {
     require(nprobe >= 1 && nprobe <= nlist,
       s"PqStore.load: nprobe=$nprobe out of range [1, $nlist]")
     val dsub = dim / m
-    val bv = Manifest.currentVersion(cbRoot)
-    require(bv > 0,
-      s"PqStore.load: $cbRoot is uninitialized — build() first")
+    val bv = StoredIndex.liveVersion(cbRoot, "PqStore.load", "build()")
     val cbTags = Manifest.memberPartitions(cbRoot, bv).head._2
     require(cbTags.get("m").contains(m.toString) &&
       cbTags.get("ksub").contains(ksub.toString),
@@ -142,9 +148,7 @@ object PqStore {
       s"PqStore.load: stored codebook has ${cb.length} entries but the " +
         s"stated (m=$m, ksub=$ksub, dim=$dim) needs ${m * ksub * dsub} — " +
         "state the build's values")
-    val kv = Manifest.currentVersion(codeRoot)
-    require(kv > 0,
-      s"PqStore.load: $codeRoot is uninitialized — build() first")
+    val kv = StoredIndex.liveVersion(codeRoot, "PqStore.load", "build()")
     StoredIvfPq(Manifest.read(spark, codeRoot, kv), cents,
       Pq.Model(cb, m, ksub, dsub), nlist, nprobe, numBuckets, root, kv)
   }
@@ -157,13 +161,17 @@ object PqStore {
     * stored row is read, touched, or re-ranked — the fold is pure
     * delta IO, the append-only best case of the stored-index family.
     *
-    * New-arrival guard: a re-delivered id with the SAME vector lands
-    * in the same coarse list deterministically, so probing the
-    * delta's own list buckets of the stored codes catches it at
-    * pruned-scan cost (an id REUSED for a different vector is an
-    * upsert, not an append — out of contract, stated here).
-    * `nameTag` is the redelivery ledger ([[Manifest.tagApplied]]).
-    * Returns the codes version after the append.
+    * New-arrival guard ([[StoredIndex.requireNewIds]]): the id-grain
+    * probe against the id-bucketed MEMBERS ledger, at the CURRENT
+    * head (r14 advice item 3 — sequential appends reusing one loaded
+    * handle see each other) — it catches an id reused for a
+    * DIFFERENT vector too, which the previous own-list-bucket probe
+    * could not (r14 verdict item 5: the families now agree on what
+    * they refuse). `nameTag` is the redelivery ledger
+    * ([[Manifest.tagApplied]] on the members table — the LAST table
+    * committed, so a crash between the codes and members commits
+    * retries idempotently). Returns the codes version after the
+    * append.
     */
   def appendDelta(
       idx: StoredIvfPq,
@@ -172,23 +180,21 @@ object PqStore {
       vecCol: String,
       nameTag: String): Int = {
     val codeRoot = s"${idx.root}/codes"
-    if (Manifest.tagApplied(codeRoot, nameTag))
+    val memRoot = s"${idx.root}/members"
+    if (Manifest.tagApplied(memRoot, nameTag))
       Manifest.currentVersion(codeRoot)
     else {
       val spark = deltaEmb.sparkSession
-      // batch-sized; feeds the guard AND the commit — materialize once
+      // batch-sized; feeds the guard AND the commits — materialize once
       val coded = Pq.encodeResiduals(deltaEmb, idCol, vecCol, idx.cents,
         idx.model).withColumnRenamed(idCol, "id").localCheckpoint()
-      val dup = BucketedIndex.prunedRead(spark, codeRoot, idx.version,
-          coded.select(col("ivf_list")), Seq("ivf_list"), idx.numBuckets)
-        .join(broadcast(coded.select(col("id")).distinct()),
-          Seq("id"), "left_semi")
-      require(dup.isEmpty,
-        s"PqStore.appendDelta($nameTag): batch ids already present in the " +
-          "stored index — the feed must carry each id once (an id reused " +
-          "for a different vector is an upsert, out of the append contract)")
-      BucketedIndex.commitBucketed(coded, codeRoot, nameTag,
-        Seq("ivf_list"), idx.numBuckets)
+      StoredIndex.requireNewIds(spark, memRoot, coded.select(col("id")),
+        idx.numBuckets, s"PqStore.appendDelta($nameTag)")
+      StoredIndex.appendOnce(coded, codeRoot, nameTag, Seq("ivf_list"),
+        idx.numBuckets)
+      StoredIndex.appendOnce(coded.select(col("id")), memRoot, nameTag,
+        Seq("id"), idx.numBuckets)
+      Manifest.currentVersion(codeRoot)
     }
   }
 

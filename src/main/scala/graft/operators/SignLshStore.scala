@@ -31,6 +31,11 @@ import org.apache.spark.sql.functions._
   *     serving joins the pruned candidate ids back to `emb` for
   *     scoring, a candidate-bounded broadcast-hash probe of the
   *     corpus scan.
+  *   - `<root>/members` — (id), bucketed on `id`: the membership
+  *     ledger [[appendDelta]]'s id-grain new-arrival guard probes at
+  *     pruned-scan cost ([[StoredIndex.requireNewIds]], r14 verdict
+  *     item 5 — an id reused for a DIFFERENT vector hashes to another
+  *     LSH bucket and slipped the previous own-bucket probe).
   */
 object SignLshStore {
 
@@ -70,6 +75,8 @@ object SignLshStore {
       emb.select(col(idCol).as("nid"),
         Vec.lshBucket(col(vecCol), planes).as("bucket")),
       s"$root/buckets", "base", Seq("bucket"), numBuckets)
+    BucketedIndex.commitBucketed(emb.select(col(idCol).as("id")),
+      s"$root/members", "base", Seq("id"), numBuckets)
     ()
   }
 
@@ -87,9 +94,7 @@ object SignLshStore {
     require(numPlanes >= 1 && numPlanes <= 62,
       s"SignLshStore.load: numPlanes=$numPlanes out of range [1, 62]")
     val bktRoot = s"$root/buckets"
-    val v = Manifest.currentVersion(bktRoot)
-    require(v > 0,
-      s"SignLshStore.load: $bktRoot is uninitialized — build() first")
+    val v = StoredIndex.liveVersion(bktRoot, "SignLshStore.load", "build()")
     val planes = Vec.deterministicPlanes(numPlanes, dim, seed)
     // bounded reconstruction probe: ONE member's buckets must fit the
     // stated plane count's bucket space
@@ -108,11 +113,14 @@ object SignLshStore {
   /** APPEND a batch of NEW vectors: the batch's bucket rows compute
     * under the STORED plane family (one narrow pass over the batch)
     * and land as one bucketed commit — no stored row read or touched.
-    * A re-delivered id with the same vector lands in the same bucket
-    * deterministically, so the duplicate guard probes only the
-    * delta's own bucket members (pruned-scan cost; an id reused for
-    * a DIFFERENT vector is an upsert, out of the append contract).
-    * `nameTag` is the redelivery ledger. Returns the new version.
+    * The new-arrival guard is the id-grain probe against the
+    * id-bucketed MEMBERS ledger at the CURRENT head
+    * ([[StoredIndex.requireNewIds]] — r14 advice item 3 + verdict
+    * item 5): it catches redeliveries AND ids reused for different
+    * vectors, at pruned-scan cost. `nameTag` is the redelivery
+    * ledger ([[Manifest.tagApplied]] on the members table — the LAST
+    * table committed, so a crash between the bucket and members
+    * commits retries idempotently). Returns the new buckets version.
     */
   def appendDelta(
       idx: StoredSignLsh,
@@ -121,23 +129,22 @@ object SignLshStore {
       vecCol: String,
       nameTag: String): Int = {
     val bktRoot = s"${idx.root}/buckets"
-    if (Manifest.tagApplied(bktRoot, nameTag))
+    val memRoot = s"${idx.root}/members"
+    if (Manifest.tagApplied(memRoot, nameTag))
       Manifest.currentVersion(bktRoot)
     else {
       val spark = deltaEmb.sparkSession
-      // batch-sized; feeds the guard AND the commit — materialize once
+      // batch-sized; feeds the guard AND the commits — materialize once
       val rows = deltaEmb.select(col(idCol).as("nid"),
           Vec.lshBucket(col(vecCol), idx.planes).as("bucket"))
         .localCheckpoint()
-      val dup = BucketedIndex.prunedRead(spark, bktRoot, idx.version,
-          rows.select(col("bucket")), Seq("bucket"), idx.numBuckets)
-        .join(broadcast(rows.select(col("nid")).distinct()),
-          Seq("nid"), "left_semi")
-      require(dup.isEmpty,
-        s"SignLshStore.appendDelta($nameTag): batch ids already present " +
-          "in the stored index — the feed must carry each id once")
-      BucketedIndex.commitBucketed(rows, bktRoot, nameTag,
-        Seq("bucket"), idx.numBuckets)
+      StoredIndex.requireNewIds(spark, memRoot, rows.select(col("nid")),
+        idx.numBuckets, s"SignLshStore.appendDelta($nameTag)")
+      StoredIndex.appendOnce(rows, bktRoot, nameTag, Seq("bucket"),
+        idx.numBuckets)
+      StoredIndex.appendOnce(rows.select(col("nid").as("id")), memRoot,
+        nameTag, Seq("id"), idx.numBuckets)
+      Manifest.currentVersion(bktRoot)
     }
   }
 

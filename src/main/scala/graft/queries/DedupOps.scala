@@ -182,7 +182,11 @@ object DedupOps {
       val root = cachedScratch("q484", d) { r =>
         val base = docs.filter(col("doc_id") % 5 =!= 4)
         val bs = sets(base).localCheckpoint() // feeds pairs + 2 commits
-        graft.operators.Manifest.commitAdd(bs, s"$r/sets", "base")
+        // the sets table lands id-BUCKETED like the prefixes (r14
+        // verdict items 1+3): the fold's verify leg reads it pruned
+        // to the candidates' id buckets
+        graft.operators.BucketedIndex.commitBucketed(bs, s"$r/sets",
+          "base", Seq("id"), kb)
         graft.operators.BucketedIndex.commitBucketed(
           Dedup.jaccardPrefixes(bs, tau), s"$r/prefixes", "base",
           Seq("t"), kb)
@@ -198,18 +202,54 @@ object DedupOps {
       // feed the pruning keys AND both probe legs — materialize once)
       val delta = docs.filter(col("doc_id") % 5 === 4)
       val ds = sets(delta).localCheckpoint()
-      val cross = Dedup.crossJaccardPairsPre(ds,
-        graft.operators.Manifest.read(s, s"$root/sets",
-          graft.operators.Manifest.currentVersion(s"$root/sets")), tau,
-        basePrefixes = Some(Dedup.prunedBasePrefixes(s, s"$root/prefixes",
+      val cross = Dedup.crossJaccardPairsStored(s, ds, s"$root/sets",
+        graft.operators.Manifest.currentVersion(s"$root/sets"), tau,
+        Dedup.prunedBasePrefixes(s, s"$root/prefixes",
           graft.operators.Manifest.currentVersion(s"$root/prefixes"),
-          ds, tau, kb)))
+          ds, tau, kb), kb)
       val inner = Dedup.jaccardPairs(ds.select(col("id"), col("ts")), tau)
         .select("a_id", "b_id")
       Dedup.incrementalClusters(
         graft.operators.Manifest.read(s, s"$root/labels",
           graft.operators.Manifest.currentVersion(s"$root/labels")),
         delta.select("doc_id"), cross.unionByName(inner))
+    }),
+
+    // CLUSTER-GRAIN serving from the STORED label table (r14 verdict
+    // item 2's machinery as a first-class query): the q67 clustering
+    // persists doc_id-BUCKETED plus its cluster_id-keyed SECONDARY
+    // INDEX (LabelStore), both built once per process; the query
+    // answers "which duplicate clusters does today's batch touch, and
+    // what is their FULL membership" with THREE pruned hops — the
+    // batch ids' label buckets, the touched clusters' index buckets,
+    // then only the primary buckets the index entries name
+    // (LabelStoreSpec pins the file counts) — never a full label
+    // scan. Pruning is a superset read + exact semi joins, so the
+    // recursive-CTE oracle pins the result verbatim.
+    "q487_cluster_lookup_stored" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val kb = 16
+      val root = cachedScratch("q487", d) { r =>
+        graft.operators.BucketedIndex.commitBucketed(
+          tokenJaccardClusters(s, d), s"$r/labels", "base",
+          Seq("doc_id"), kb)
+        graft.operators.LabelStore.ensureSecondary(s, s"$r/labels",
+          s"$r/labels_clx", kb)
+      }
+      val labT = s"$root/labels"; val clxT = s"$root/labels_clx"
+      val lv = graft.operators.Manifest.currentVersion(labT)
+      val cv = graft.operators.Manifest.currentVersion(clxT)
+      val batch = Tables(s, d).documents
+        .filter(col("doc_id") % 97 === 0).select(col("doc_id"))
+      // the touched clusters: batch-bounded, feeds the index probe's
+      // bucket collects AND the final semi join — materialize once
+      val cids = graft.operators.LabelStore.byDocIds(s, labT, lv, batch, kb)
+        .join(broadcast(batch), Seq("doc_id"), "left_semi")
+        .select(col("cluster_id")).distinct().localCheckpoint()
+      graft.operators.LabelStore.byClusterIds(s, labT, lv, clxT, cv,
+          cids, kb)
+        .join(broadcast(cids), Seq("cluster_id"), "left_semi")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
     }),
 
     // Rolling-hash winnowing sketch (xxhash64 shingles → k-min);
@@ -376,15 +416,20 @@ object DedupOps {
       val setsT = s"$root/sets"; val prefT = s"$root/prefixes"
       val t = 0.4; val kb = 16
       val docs = Tables(s, d).documents
+      // the sets table lands id-BUCKETED (r14 verdict item 1) so the
+      // verify leg's payload re-join can read the CANDIDATES' id
+      // buckets instead of scanning the standing corpus
       val bs = Dedup.jaccardSets(
         docs.filter(col("doc_id") % 7 >= 1 && col("doc_id") % 7 <= 3),
         "doc_id", "text", 3)
-      graft.operators.Manifest.commitAdd(bs, setsT, "base")
+      graft.operators.BucketedIndex.commitBucketed(bs, setsT, "base",
+        Seq("id"), kb)
       graft.operators.BucketedIndex.commitBucketed(
         Dedup.jaccardPrefixes(bs, t), prefT, "base", Seq("t"), kb)
       val d1 = Dedup.jaccardSets(
         docs.filter(col("doc_id") % 7 >= 4), "doc_id", "text", 3)
-      graft.operators.Manifest.commitAdd(d1, setsT, "day1")
+      graft.operators.BucketedIndex.commitBucketed(d1, setsT, "day1",
+        Seq("id"), kb)
       graft.operators.BucketedIndex.commitBucketed(
         Dedup.jaccardPrefixes(d1, t), prefT, "day1", Seq("t"), kb)
       // batch-sized; feeds the pruning keys AND both probe legs —
@@ -393,10 +438,9 @@ object DedupOps {
         docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", 3)
         .localCheckpoint()
       val pv = graft.operators.Manifest.currentVersion(prefT)
-      Dedup.crossJaccardPairsPre(ds,
-          graft.operators.Manifest.read(s, setsT, 2), t,
-          basePrefixes = Some(
-            Dedup.prunedBasePrefixes(s, prefT, pv, ds, t, kb)))
+      val sv = graft.operators.Manifest.currentVersion(setsT)
+      Dedup.crossJaccardPairsStored(s, ds, setsT, sv, t,
+          Dedup.prunedBasePrefixes(s, prefT, pv, ds, t, kb), kb)
         .select(col("a_id").as("delta_id"), col("b_id").as("base_id"))
     }),
 
@@ -414,7 +458,7 @@ object DedupOps {
     // (signatures are per-doc; DedupSpec A/Bs the equality through
     // a parquet round trip). Approximate (LSH) → rows-only gate.
     "q480_lsh_indexed_dedup" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{broadcast, col}
+      import org.apache.spark.sql.functions.col
       val root = freshScratch("q480", d)
       val setsT = s"$root/sets"; val bktT = s"$root/buckets"
       val kb = 16
@@ -439,31 +483,27 @@ object DedupOps {
       // batch-sized; feeds the bucket leg, the verify leg AND the
       // disjointness proof — materialize once (the q476 lesson)
       val ds = sets(col("doc_id") % 5 === 4).localCheckpoint()
-      // disjointness proven at delta-bucket cost: the probe opens
+      // disjointness proven at delta-bucket cost through the shared
+      // id-grain guard (StoredIndex.requireNewIds): the probe opens
       // only the delta's id bucket members of the stored sets, never
-      // the whole base side — then the guard inside the cross probe
-      // is safely skipped (assumeDisjoint)
+      // the whole base side
       val sv = graft.operators.Manifest.currentVersion(setsT)
-      require(graft.operators.BucketedIndex.prunedRead(s, setsT, sv,
-            ds.select(col("id")), Seq("id"), kb)
-          .select(col("id"))
-          .join(broadcast(ds.select(col("id")).distinct()),
-            Seq("id"), "left_semi").isEmpty,
-        "q480: delta ids overlap the standing corpus — the feed must " +
-          "carry each doc_id once")
+      graft.operators.StoredIndex.requireNewIds(s, setsT,
+        ds.select(col("id")), kb, "q480")
       // reconstruction states the build parameters NEXT TO the stored
       // frame — the probe derives its own banding from them. The
       // stored index is read PRUNED to the delta's (band, bucket)
-      // key buckets (r13 verdict item 1): probe IO follows the
-      // batch, not the standing index.
+      // key buckets (r13 verdict item 1), and the exact-verify leg
+      // reads base payloads PRUNED to the candidates' id buckets
+      // (r14 verdict item 1): both the probe's and the verify's file
+      // IO follow the batch, never the standing index/corpus.
       val bv = graft.operators.Manifest.currentVersion(bktT)
-      Dedup.crossMinHashLsh(ds,
-          graft.operators.Manifest.read(s, setsT, sv), threshold = 0.4,
+      Dedup.crossMinHashLshStored(s, ds, setsT, sv, threshold = 0.4,
           Dedup.LshBucketIndex(
             Dedup.prunedLshBuckets(s, bktT, bv, ds,
               numPerm = 32, bands = 8, seed = 42L, numBuckets = kb),
             numPerm = 32, bands = 8, seed = 42L),
-          assumeDisjoint = true)
+          setsNumBuckets = kb)
         .select(col("a_id").as("delta_id"), col("b_id").as("base_id"))
     })
   )
@@ -611,6 +651,37 @@ object DedupOps {
          FROM cl WHERE doc_id = cluster_id GROUP BY 1""",
     "q67_dup_clusters" -> clustersOracle,
     "q70_dup_clusters_star" -> clustersOracle,
+
+    // q487: the q67 clustering restricted to clusters containing a
+    // batch doc (doc_id % 97 = 0) — full membership of each
+    "q487_cluster_lookup_stored" ->
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+           FROM documents),
+         sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+           FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a_id, b_id FROM inter
+           JOIN sizes sa ON sa.doc_id = a_id
+           JOIN sizes sb ON sb.doc_id = b_id
+           WHERE c::DOUBLE / (sa.n + sb.n - c)::DOUBLE >= 0.9),
+         edges AS (
+           SELECT a_id AS s, b_id AS d FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         reach AS (
+           SELECT doc_id AS s, doc_id AS d FROM documents
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         labs AS (
+           SELECT s AS doc_id, min(d) AS cluster_id, count(*) AS cluster_size
+           FROM reach GROUP BY s),
+         hit AS (
+           SELECT DISTINCT cluster_id FROM labs WHERE doc_id % 97 = 0)
+         SELECT l.doc_id, l.cluster_id, l.cluster_size
+         FROM labs l JOIN hit h ON l.cluster_id = h.cluster_id""",
     // the incremental fold is DEFINED to equal the from-scratch run,
     // so the same recursive-CTE oracle pins all four (q478 is the
     // STREAMING drive of the same fold)

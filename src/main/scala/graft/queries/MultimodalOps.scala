@@ -120,13 +120,9 @@ object MultimodalOps {
           Multimodal.dHash(col("payload")).as("fp"))
         .localCheckpoint()
       val mv = graft.operators.Manifest.currentVersion(s"$root/members")
-      require(graft.operators.BucketedIndex.prunedRead(s, s"$root/members",
-            mv, deltaFps.select(col("id")), Seq("id"), kb)
-          .select(col("id"))
-          .join(broadcast(deltaFps.select(col("id")).distinct()),
-            Seq("id"), "left_semi").isEmpty,
-        "q481: delta ids overlap the standing corpus — the feed must " +
-          "carry each doc_id once")
+      // the shared id-grain guard probes only the delta's id buckets
+      graft.operators.StoredIndex.requireNewIds(s, s"$root/members",
+        deltaFps.select(col("id")), kb, "q481")
       val cv = graft.operators.Manifest.currentVersion(s"$root/chunks")
       graft.operators.Dedup.crossHammingPairs64(deltaFps,
           graft.operators.Dedup.HammingIndex64(

@@ -241,7 +241,8 @@ class ReproSpec extends AnyFunSuite {
     "q483_graph_ann_stored", // persisted graph index: fold + stored walk
     "q484_incremental_fold_stored", // fold vs a process-cached stored base
     "q485_ivfpq_stored",    // persisted IVF-PQ: append + stored serving
-    "q486_signlsh_stored"   // persisted sign-LSH: append + stored probe
+    "q486_signlsh_stored",  // persisted sign-LSH: append + stored probe
+    "q487_cluster_lookup_stored" // secondary-index cluster membership
   )
 
   representatives.foreach { name =>

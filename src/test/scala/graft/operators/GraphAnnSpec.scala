@@ -251,6 +251,15 @@ class GraphAnnSpec extends AnyFunSuite {
       .sum / (5.0 * 20)
     info(s"post-fold stored recall@5: $recall")
     assert(recall >= 0.8, s"post-fold stored recall collapsed: $recall")
+    // the knnGraphDelta disjointness CONTRACT is now ENFORCED at
+    // pruned cost (r14 verdict item 5 — the src-bucketed edges table
+    // doubles as the id ledger): re-folding already-present ids under
+    // a FRESH tag fails loudly instead of corrupting the graph
+    val eDup = intercept[IllegalArgumentException] {
+      GraphAnnStore.foldDelta(idx, baseEmb, deltaEmb, "vec_id",
+        "embedding", nameTag = "day2")
+    }
+    assert(eDup.getMessage.contains("already present"), eDup.getMessage)
   }
 
   test("delta fold: edge quality holds vs the TRUE from-scratch rebuild (fresh centroids)") {

@@ -165,6 +165,44 @@ class IvfPqSpec extends AnyFunSuite {
       "the grown index must surface delta arrivals as neighbors")
   }
 
+  test("stored IVF-PQ: the id-grain guard catches different-vector reuse and stale-handle appends") {
+    // r14 verdict item 5 + advice item 3: the old guard probed the
+    // delta's OWN list buckets of the codes snapshot pinned at load —
+    // an id reused with a DIFFERENT vector encodes into another list
+    // and slipped it, and ids appended AFTER the handle loaded were
+    // invisible to it. The members-ledger probe (StoredIndex
+    // .requireNewIds at the CURRENT head) refuses both.
+    val root = TestSpark.tmpDir("pq-idguard").toString
+    val baseEmb = emb.filter(col("vec_id") % 10 =!= 0)
+    val deltaEmb = emb.filter(col("vec_id") % 10 === 0)
+    PqStore.build(baseEmb, "vec_id", "embedding", root, nlist = 16)
+    val built = PqStore.load(spark, root, nlist = 16, nprobe = 4,
+      m = 16, ksub = 16)
+    PqStore.appendDelta(built, deltaEmb, "vec_id", "embedding", "day1")
+    // (a) stale handle: a SECOND append reusing the same pre-append
+    // handle with the same ids must fail (the head knows them)
+    val eStale = intercept[IllegalArgumentException] {
+      PqStore.appendDelta(built, deltaEmb, "vec_id", "embedding", "day2")
+    }
+    assert(eStale.getMessage.contains("already present"), eStale.getMessage)
+    // (b) different-vector reuse: a BASE id arriving again with a
+    // negated vector (→ a different coarse list, so the old
+    // own-bucket probe saw nothing) must fail at the id grain
+    val reused = baseEmb.limit(5).select(col("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding"))
+    val eReuse = intercept[IllegalArgumentException] {
+      PqStore.appendDelta(built, reused, "vec_id", "embedding", "day3")
+    }
+    assert(eReuse.getMessage.contains("already present") &&
+      eReuse.getMessage.contains("upsert"), eReuse.getMessage)
+    // and neither refused append left partial state: codes equal the
+    // clean base+day1 encode
+    val idx = PqStore.load(spark, root, nlist = 16, nprobe = 4,
+      m = 16, ksub = 16)
+    assert(idx.codes.count() == emb.count(),
+      "a refused append must not land partial members")
+  }
+
   test("candidate IO is exactly the probed lists' rows — never the other lists") {
     val nlist = 16; val nprobe = 4
     val cands = Pq.ivfPqCandidates(emb, "vec_id", "embedding", queryIds(20),

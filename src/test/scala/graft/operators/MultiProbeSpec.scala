@@ -167,4 +167,32 @@ class MultiProbeSpec extends AnyFunSuite {
     assert(stored == inMem,
       "post-append stored probe must equal the full-corpus in-memory probe")
   }
+
+  test("stored index: the id-grain guard catches different-vector reuse and stale-handle appends") {
+    // r14 verdict item 5 + advice item 3 (the SignLshStore twin of
+    // the IvfPqSpec pin): the old guard probed the delta's OWN LSH
+    // buckets of the snapshot pinned at load — an id reused with a
+    // different vector hashes to another bucket and slipped it, and
+    // ids appended after the handle loaded were invisible. The
+    // members-ledger probe at the CURRENT head refuses both.
+    val root = TestSpark.tmpDir("slsh-idguard").toString
+    val baseEmb = emb.filter(col("vec_id") % 10 =!= 0)
+    val deltaEmb = emb.filter(col("vec_id") % 10 === 0)
+    SignLshStore.build(baseEmb, "vec_id", "embedding", root,
+      numPlanes = 6, dim = 64)
+    val built = SignLshStore.load(spark, root, numPlanes = 6, dim = 64)
+    SignLshStore.appendDelta(built, deltaEmb, "vec_id", "embedding", "day1")
+    val eStale = intercept[IllegalArgumentException] {
+      SignLshStore.appendDelta(built, deltaEmb, "vec_id", "embedding",
+        "day2")
+    }
+    assert(eStale.getMessage.contains("already present"), eStale.getMessage)
+    val reused = baseEmb.limit(5).select(col("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding"))
+    val eReuse = intercept[IllegalArgumentException] {
+      SignLshStore.appendDelta(built, reused, "vec_id", "embedding", "day3")
+    }
+    assert(eReuse.getMessage.contains("already present") &&
+      eReuse.getMessage.contains("upsert"), eReuse.getMessage)
+  }
 }
