@@ -459,10 +459,22 @@ object Dedup {
     * that). The default keeps the loud full scan: a silent overlap
     * would emit self-pairs into downstream dedup decisions.
     */
+  /** `membersByRep` (optional) makes the VERDICT-EXPANSION leg
+    * candidate-bounded (the r15 crossJaccardPairsStored discipline
+    * applied to the Hamming family's last full-table read): given the
+    * verified base-rep frame (one `rep` column, delta-bounded), it
+    * must return a SUPERSET of the member rows whose `rep` is in it —
+    * e.g. [[prunedHammingMembers]] over a rep-BUCKETED copy of the
+    * members table. Without it, `base.members` streams whole
+    * (map-side, exact, O(index) read IO per probe). The verified reps
+    * materialize before the closure runs, so the expensive chunk join
+    * never re-runs for the bucket collect.
+    */
   def crossHammingPairs64(
       deltaFps: DataFrame,
       base: HammingIndex64,
-      assumeDisjoint: Boolean = false): DataFrame = {
+      assumeDisjoint: Boolean = false,
+      membersByRep: Option[DataFrame => DataFrame] = None): DataFrame = {
     val maxHamming = base.maxHamming
     val chunks = maxHamming + 1
     require(chunks >= 1 && 64 % chunks == 0,
@@ -496,20 +508,44 @@ object Dedup {
     val dChunks = hammingChunkRows64(
       dReps.filter(col("id") === col("rep")).select(col("id"), col("fp")),
       maxHamming)
-    val verifiedReps = dChunks
+    val verifiedReps0 = dChunks
       .select(col("chunk"), col("ckey"), col("id").as("a_id"), col("fp").as("fpa"))
       .join(base.chunks.select(col("chunk"), col("ckey"),
         col("id").as("b_id"), col("fp").as("fpb")), Seq("chunk", "ckey"))
       .select("a_id", "b_id", "fpa", "fpb").distinct()
       .filter(bit_count(col("fpa").bitwiseXOR(col("fpb"))) <= maxHamming)
+    // delta-bounded; feeds the pruned members' bucket collect AND the
+    // expansion joins when the candidate-bounded leg is on
+    val verifiedReps =
+      if (membersByRep.isDefined) verifiedReps0.localCheckpoint()
+      else verifiedReps0
+    val bMembers = membersByRep.fold(base.members)(f =>
+      f(verifiedReps.select(col("b_id").as("rep"))))
     val out = verifiedReps
       .join(dReps.select(col("rep").as("a_id"), col("id").as("__da")), "a_id")
-      .join(base.members.select(col("rep").as("b_id"), col("id").as("__db")), "b_id")
+      .join(bMembers.select(col("rep").as("b_id"), col("id").as("__db")), "b_id")
       .select(col("__da").as("a_id"), col("__db").as("b_id"))
       .localCheckpoint() // see minHashLsh: materialize + GC-cleanable
     dReps.unpersist()
     out
   }
+
+  /** The pruned stored Hamming MEMBERS read for the verdict-expansion
+    * leg: a rep-BUCKETED copy of the index's (rep, id) member table
+    * (write with `commitBucketed(index.members, root, tag, Seq("rep"),
+    * numBuckets)`), read pruned to the verified reps' buckets. Feed
+    * as [[crossHammingPairs64]]'s `membersByRep`. (The id-bucketed
+    * members copy serves the id-grain arrival guard — the two key
+    * grains genuinely need two layouts, and the table is two longs
+    * per row.)
+    */
+  def prunedHammingMembers(
+      spark: org.apache.spark.sql.SparkSession,
+      memRepRoot: String,
+      version: Int,
+      numBuckets: Int)(reps: DataFrame): DataFrame =
+    BucketedIndex.prunedRead(spark, memRepRoot, version, reps.select("rep"),
+      Seq("rep"), numBuckets)
 
   /** Winnowing fingerprint (rolling-hash document sketch): the k
     * minimum shingle hashes, sorted — a compact content signature

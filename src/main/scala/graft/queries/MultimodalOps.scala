@@ -102,10 +102,16 @@ object MultimodalOps {
       val kb = 16
       graft.operators.BucketedIndex.commitBucketed(idx.chunks,
         s"$root/chunks", "base", Seq("chunk", "ckey"), kb)
-      // the member table lands id-BUCKETED so the disjointness proof
-      // below probes only the delta's id buckets (r13 verdict item 5)
+      // the member table lands TWICE, once per key grain it serves
+      // (two longs per row — layout is cheaper than a scan): the
+      // id-BUCKETED copy backs the disjointness proof (delta's id
+      // buckets only — r13 verdict item 5), the rep-BUCKETED copy the
+      // verdict expansion (the verified reps' buckets only — the r15
+      // candidate-bounded leg)
       graft.operators.BucketedIndex.commitBucketed(idx.members,
         s"$root/members", "base", Seq("id"), kb)
+      graft.operators.BucketedIndex.commitBucketed(idx.members,
+        s"$root/members_rep", "base", Seq("rep"), kb)
       val delta = docs.filter(col("doc_id") % 5 === 4)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .unionByName(docs
@@ -124,13 +130,19 @@ object MultimodalOps {
       graft.operators.StoredIndex.requireNewIds(s, s"$root/members",
         deltaFps.select(col("id")), kb, "q481")
       val cv = graft.operators.Manifest.currentVersion(s"$root/chunks")
+      val mrv = graft.operators.Manifest.currentVersion(s"$root/members_rep")
       graft.operators.Dedup.crossHammingPairs64(deltaFps,
           graft.operators.Dedup.HammingIndex64(
             graft.operators.Dedup.prunedHammingChunks(s, s"$root/chunks",
               cv, deltaFps, maxHamming = 3, numBuckets = kb),
+            // the guard is assumeDisjoint'd and the expansion pruned,
+            // so the full members frame is never actually scanned —
+            // passed for the HammingIndex64 shape (schema source)
             graft.operators.Manifest.read(s, s"$root/members", mv),
             maxHamming = 3),
-          assumeDisjoint = true)
+          assumeDisjoint = true,
+          membersByRep = Some(graft.operators.Dedup.prunedHammingMembers(
+            s, s"$root/members_rep", mrv, kb)))
         .select(col("a_id").as("delta_id"), col("b_id").as("base_id"))
     }),
 

@@ -551,6 +551,57 @@ class DedupSpec extends AnyFunSuite {
       scannedLsh.nonEmpty, "LSH stored verify must read bucket members")
   }
 
+  test("Hamming verdict expansion: pruned rep-bucketed members ≡ full members, reads follow the verified reps") {
+    // the r15 candidate-bounded leg for the Hamming family: the cross
+    // probe's verdict EXPANSION was its last full-table read (the
+    // (rep, id) members stream whole, map-side). A rep-BUCKETED copy
+    // of the members table serves it pruned to the VERIFIED reps'
+    // buckets — exactness untouched (superset + rep equi-join).
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // synthetic fingerprints with planted Hamming-1 twins: base ids
+    // 0..199 (ids 10/11 share one fp — the collapse path), delta ids
+    // 1000..1004 each one bit off base id i*7's fp
+    def scramble(i: Long): Long =
+      java.lang.Long.rotateLeft(i * 0x9E3779B97F4A7C15L, 17) ^ (i << 3)
+    val baseRows = (0L until 200L).map(i =>
+      (i, scramble(if (i == 11L) 10L else i)))
+    val kb = 64
+    val dir = TestSpark.tmpDir("ham-members").toString
+    val baseFps = baseRows.toDF("id", "fp")
+    val idx = Dedup.hammingIndex64(baseFps, maxHamming = 7)
+    BucketedIndex.commitBucketed(idx.members, s"$dir/members_rep", "base",
+      Seq("rep"), kb)
+    val mrv = Manifest.currentVersion(s"$dir/members_rep")
+    val deltaFps = (0L until 5L).map(i =>
+        (1000L + i, scramble(i * 7L) ^ (1L << (i * 11L % 60L).toInt)))
+      .toDF("id", "fp").localCheckpoint()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairs(Dedup.crossHammingPairs64(deltaFps, idx,
+      assumeDisjoint = true))
+    val pruned = pairs(Dedup.crossHammingPairs64(deltaFps, idx,
+      assumeDisjoint = true,
+      membersByRep = Some(Dedup.prunedHammingMembers(spark,
+        s"$dir/members_rep", mrv, kb))))
+    assert(pruned == full && full.nonEmpty,
+      s"pruned expansion diverged: got=${pruned.size} want=${full.size}")
+    // the IO pin: the expansion's member reads follow the VERIFIED
+    // reps' bucket set, fewer files than the table holds. Recover the
+    // verified reps by expanding against rep self-rows only.
+    val reps = Dedup.crossHammingPairs64(deltaFps,
+        Dedup.HammingIndex64(idx.chunks,
+          idx.members.filter(col("rep") === col("id")), 7),
+        assumeDisjoint = true)
+      .select(col("b_id").as("rep")).distinct()
+    val expect = BucketedIndex.prunedMemberPaths(s"$dir/members_rep", mrv,
+      reps, Seq("rep"), kb)
+    assert(expect.nonEmpty &&
+      expect.size < Manifest.members(s"$dir/members_rep", mrv).size,
+      s"a tiny delta's expansion opened ${expect.size} of " +
+        s"${Manifest.members(s"$dir/members_rep", mrv).size} member files")
+  }
+
   test("crossJaccardPairs ≡ union self-join restricted to cross pairs") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

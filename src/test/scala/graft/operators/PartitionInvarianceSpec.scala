@@ -129,6 +129,19 @@ class PartitionInvarianceSpec extends AnyFunSuite {
       .foreach(confInvariant)
   }
 
+  test("r15 pruned verify legs and secondary-index serving are layout-invariant") {
+    // r14 verdict item 7: the candidate-bounded stored verify leg
+    // (q415 — candidates materialize, the payload re-join reads the
+    // candidates' id buckets; a layout leak in the bucket collect or
+    // the pruned union would change the verdict set) and the
+    // three-hop secondary-index cluster lookup (q487 — batch-id
+    // buckets → clx buckets → named primary buckets). q478/q480/q484
+    // already run in the matrices above and now exercise the same
+    // pruned verify machinery.
+    Seq("q415_indexed_dedup", "q487_cluster_lookup_stored")
+      .foreach(confInvariant)
+  }
+
   test("Misra-Gries heavy hitters stay EXACT across layouts") {
     // the per-partition summary differs by layout; the exact
     // recount pass must erase that difference
