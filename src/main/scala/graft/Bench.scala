@@ -89,7 +89,13 @@ object Bench {
     // probe, the candidate-bounded pruned verify, contraction CC,
     // label fold), so the recorded number tracks the operator a
     // daily drain actually repeats
-    "q484_incremental_fold_stored")
+    "q484_incremental_fold_stored",
+    // round-15 addition: the secondary-index cluster lookup — the
+    // cluster-grain serving path (three pruned hops against the
+    // stored label table + its cluster_id index); its base fixture
+    // rides the same per-process cache as q484, so warm samples
+    // record the serving reads alone
+    "q487_cluster_lookup_stored")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -204,9 +210,11 @@ object Bench {
     // blind when BOTH samples land in the same contended window
     // (observed r5: 60.06 s recorded where an idle box reproduces
     // ~52 s; q127 9.4 s vs 1.5 s). The full-suite sf0.1 run over the
-    // r15 67-query headline (q476 retired — r14 verdict item 3; its
+    // r15 68-query headline (q476 retired — r14 verdict item 3; its
     // 16-17.7 s in-query fixture rebuild measured the q484 family
-    // twice) is pinned at ~66-75 s idle (r15 end-of-round re-pin) —
+    // twice — and q487, the ~0.8-1.4 s secondary-index lookup,
+    // joined) is pinned at ~71-76 s idle (r15 end-of-round triple
+    // 75.3/71.5/74.8 s, all contended:false divergent:[]) —
     // if the measured total blows past that even
     // though per-query min/max agreed, take ONE more sample of every
     // full-suite query and keep the min.

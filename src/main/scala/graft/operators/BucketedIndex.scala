@@ -248,6 +248,67 @@ object BucketedIndex {
             "them; re-run the upsert against the new head")
     }
 
+  /** REBUCKET the whole table under a new modulus (or new key
+    * columns) in ONE atomic version — the layout-maintenance op the
+    * bucket-count constant needs at scale: per-probe IO is
+    * O(touched buckets × table / numBuckets), so a table that
+    * outgrew its build-time modulus re-buckets once instead of
+    * paying ever-fatter bucket files on every probe. One staged
+    * `partitionBy` data pass over the current snapshot; every
+    * current member (bucketed, legacy-untagged, foreign-modulus —
+    * rebucketing is how mixed layouts HEAL) is replaced by the new
+    * bucket members; pinned readers keep the old files (the
+    * commitReplace retention rule). Probes against the old version
+    * stay correct throughout; probes against the new version prune
+    * under the new modulus immediately (the `kbn`/`kc` tags make the
+    * layout self-describing, so readers need no coordination).
+    * Crash-safe on retry ([[Manifest.recoverTag]]; `nameTag` is the
+    * redelivery ledger via [[Manifest.tagApplied]]). Returns the new
+    * version.
+    */
+  def rebucket(
+      spark: SparkSession,
+      root: String,
+      nameTag: String,
+      keyCols: Seq[String],
+      numBuckets: Int): Int = {
+    require(numBuckets >= 1, s"BucketedIndex: numBuckets=$numBuckets")
+    require(keyCols.nonEmpty, "BucketedIndex: keyCols required")
+    if (Manifest.tagApplied(root, nameTag)) return Manifest.currentVersion(root)
+    val v = Manifest.currentVersion(root)
+    require(v > 0, s"BucketedIndex.rebucket: $root is uninitialized")
+    val replaced = Manifest.members(root, v)
+    Manifest.recoverTag(root, nameTag)
+    val staging = Paths.get(root, "files", s"$nameTag-staging")
+    Manifest.read(spark, root, v)
+      .withColumn("__kb", bucketOf(numBuckets, keyCols.map(col): _*))
+      .write.partitionBy("__kb").parquet(staging.toString)
+    val adopted = graft.util.Fs.listChildren(staging)(
+      _.filter(_.getFileName.toString.startsWith("__kb=")).toVector)
+      .sortBy(_.getFileName.toString)
+      .map { p =>
+        val b = p.getFileName.toString.stripPrefix("__kb=")
+        val name = s"$nameTag-b$b"
+        Files.move(p, Paths.get(root, "files", name))
+        (name, Map("kb" -> b, "kbn" -> numBuckets.toString,
+          "kc" -> kcTag(keyCols)))
+      }
+    graft.util.Fs.deleteRecursively(staging)
+    // premise: the snapshot this rewrite read must still BE the head
+    // (any concurrent commit's rows would be silently dropped by the
+    // full replace) — commitAdoptReplace's replaced-must-exist check
+    // covers removals; this covers additions
+    Manifest.commitAdoptReplace(spark, root, adopted, replaced,
+      premise = head => {
+        val extra = head.map(_._1).filterNot(replaced.toSet)
+        if (extra.nonEmpty)
+          throw new IllegalStateException(
+            s"BucketedIndex.rebucket($nameTag): $root gained members since " +
+              s"this rewrite's snapshot (${extra.mkString(", ")}) — the " +
+              "full replace would drop their rows; re-run against the new head")
+      })
+  }
+
   /** Member paths of `version` a probe with DELTA keys must read:
     * members whose `kb` tag is in the delta's bucket set, plus —
     * conservatively — every member without the tags or bucketed

@@ -204,6 +204,38 @@ class BucketedIndexSpec extends AnyFunSuite {
     assert(Manifest.tagApplied(root, "day1"))
   }
 
+  test("rebucket: one atomic rewrite heals mixed layouts and re-sizes the modulus") {
+    // the layout-maintenance op the bucket-count constant needs at
+    // scale: a table that outgrew its build modulus (or accreted
+    // legacy/foreign members) re-buckets once; content is identical,
+    // probes prune under the NEW modulus immediately, redelivery is
+    // a no-op
+    val root = TestSpark.tmpDir("bidx-rebucket").toString
+    BucketedIndex.commitBucketed(index((1L to 100L).map(t => (t, t))),
+      root, "base", Seq("t"), 4)
+    Manifest.commitAdd(index(Seq((200L, 2000L))), root, "legacy") // untagged
+    val before = Manifest.currentVersion(root)
+    val want = fp(Manifest.read(spark, root, before))
+    val v1 = BucketedIndex.rebucket(spark, root, "wider", Seq("t"), N)
+    assert(fp(Manifest.read(spark, root, v1)) == want,
+      "rebucketing is layout-only")
+    val tags = Manifest.memberPartitions(root, v1)
+    assert(tags.forall { case (_, m) =>
+      m.get("kbn").contains(N.toString) && m.contains("kb") &&
+        m.get("kc").contains("t") },
+      "every member must carry the NEW layout's tags — mixed layouts heal")
+    // pruning works under the new modulus: a 1-key probe opens 1 member
+    val p = BucketedIndex.prunedMemberPaths(root, v1,
+      Seq(7L).toDF("t"), Seq("t"), N)
+    assert(p.size == 1, s"post-rebucket 1-key probe opened ${p.size}")
+    // the healed table now accepts COW upserts (was mixed → refused)
+    BucketedIndex.upsertBucketed(index(Seq((7L, 77L))), root, "day1",
+      Seq("t"), N)
+    // redelivery is a no-op
+    assert(BucketedIndex.rebucket(spark, root, "wider", Seq("t"), N) ==
+      Manifest.currentVersion(root))
+  }
+
   test("COW upsert refuses mismatched KEY COLUMNS loudly (kc tag)") {
     // r14 advice item 1: kb/kbn alone cannot catch an upsert stated
     // under DIFFERENT key columns than the build — same modulus, same
