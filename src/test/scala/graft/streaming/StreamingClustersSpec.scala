@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.TestSpark
-import graft.operators.{Dedup, Manifest}
+import graft.operators.{BucketedIndex, Dedup, Manifest}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -306,6 +306,39 @@ class StreamingClustersSpec extends AnyFunSuite {
       Manifest.currentVersion(s"$sComp/labels")))
     assert(got == want,
       "a layout-only compaction must not change the drained labels")
+  }
+
+  test("mid-stream REBUCKETING of the append-only state is layout-only") {
+    // the r15 maintenance op composed with the drain: after two
+    // batches the sets/prefix tables rebucket to a WIDER modulus (the
+    // move a drain makes when the standing state outgrows its build
+    // constant); batch 3 folds on the resized tables. Later appends
+    // still land at the drain's own modulus — a mixed-modulus table
+    // is CORRECT by the conservative-read rule (foreign-kbn members
+    // always read), so the drained labels must equal the untouched
+    // twin's bit for bit. (The labels table is NOT rebucketed here:
+    // its COW upsert deliberately refuses a modulus it wasn't stated
+    // at — resizing it means rebucket + a matching drain constant.)
+    def batch(b: Int) = docs.filter(col("doc_id") % 3 === b)
+    val (_, _, sPlain) = dirs("norebkt")
+    (0 until 3).foreach(b =>
+      StreamingClusters.foldBatch(spark, batch(b), sPlain, s"b$b", 0.9))
+    val want = fp(Manifest.read(spark, s"$sPlain/labels",
+      Manifest.currentVersion(s"$sPlain/labels")))
+    val (_, _, sRe) = dirs("rebkt")
+    (0 until 2).foreach(b =>
+      StreamingClusters.foldBatch(spark, batch(b), sRe, s"b$b", 0.9))
+    BucketedIndex.rebucket(spark, s"$sRe/sets", "resize", Seq("id"), 64)
+    BucketedIndex.rebucket(spark, s"$sRe/prefixes", "resize", Seq("t"), 64)
+    assert(Manifest.memberPartitions(s"$sRe/sets",
+        Manifest.currentVersion(s"$sRe/sets"))
+      .forall(_._2.get("kbn").contains("64")),
+      "rebucket must retag every member under the new modulus")
+    StreamingClusters.foldBatch(spark, batch(2), sRe, "b2", 0.9)
+    val got = fp(Manifest.read(spark, s"$sRe/labels",
+      Manifest.currentVersion(s"$sRe/labels")))
+    assert(got == want,
+      "a mid-drain rebucket must not change the drained labels")
   }
 
   test("tiered compaction rewrites only the small tier — settled members survive verbatim") {
