@@ -58,6 +58,36 @@ object BucketedIndex {
 
   private def kcTag(keyCols: Seq[String]): String = keyCols.mkString(",")
 
+  /** The ONE bucketed data pass every write-side op shares: hash
+    * `df`'s key tuple into `__kb`, stage via `partitionBy`, rename
+    * each bucket dir to `<nameTag>-b<bucket>` under `root/files`, and
+    * return the adopted (name, tags) list for the caller's single
+    * atomic commit. Empty buckets are simply absent (no empty
+    * members).
+    */
+  private def stageAndAdopt(
+      df: DataFrame,
+      root: String,
+      nameTag: String,
+      keyCols: Seq[String],
+      numBuckets: Int): Seq[(String, Map[String, String])] = {
+    val staging = Paths.get(root, "files", s"$nameTag-staging")
+    df.withColumn("__kb", bucketOf(numBuckets, keyCols.map(col): _*))
+      .write.partitionBy("__kb").parquet(staging.toString)
+    val adopted = graft.util.Fs.listChildren(staging)(
+      _.filter(_.getFileName.toString.startsWith("__kb=")).toVector)
+      .sortBy(_.getFileName.toString)
+      .map { p =>
+        val b = p.getFileName.toString.stripPrefix("__kb=")
+        val name = s"$nameTag-b$b"
+        Files.move(p, Paths.get(root, "files", name))
+        (name, Map("kb" -> b, "kbn" -> numBuckets.toString,
+          "kc" -> kcTag(keyCols)))
+      }
+    graft.util.Fs.deleteRecursively(staging)
+    adopted
+  }
+
   /** The bucket of a key tuple: `pmod(xxhash64(keys…), numBuckets)`
     * — deterministic across runs, partitionings, and engines that
     * share the xxhash64 seed.
@@ -88,21 +118,8 @@ object BucketedIndex {
     require(!df.columns.contains("__kb"),
       "BucketedIndex: input must not carry a __kb column")
     Manifest.recoverTag(root, nameTag)
-    val staging = Paths.get(root, "files", s"$nameTag-staging")
-    df.withColumn("__kb", bucketOf(numBuckets, keyCols.map(col): _*))
-      .write.partitionBy("__kb").parquet(staging.toString)
-    val adopted = graft.util.Fs.listChildren(staging)(
-      _.filter(_.getFileName.toString.startsWith("__kb=")).toVector)
-      .sortBy(_.getFileName.toString)
-      .map { p =>
-        val b = p.getFileName.toString.stripPrefix("__kb=")
-        val name = s"$nameTag-b$b"
-        Files.move(p, Paths.get(root, "files", name))
-        (name, Map("kb" -> b, "kbn" -> numBuckets.toString,
-          "kc" -> kcTag(keyCols)))
-      }
-    graft.util.Fs.deleteRecursively(staging)
-    Manifest.commitAdopt(df.sparkSession, root, adopted)
+    Manifest.commitAdopt(df.sparkSession, root,
+      stageAndAdopt(df, root, nameTag, keyCols, numBuckets))
   }
 
   /** Keyed COW UPSERT that PRESERVES the bucketed layout — the write
@@ -141,11 +158,111 @@ object BucketedIndex {
       nameTag: String,
       keyCols: Seq[String],
       numBuckets: Int): Int = {
-    require(numBuckets >= 1, s"BucketedIndex: numBuckets=$numBuckets")
-    require(keyCols.nonEmpty, "BucketedIndex: keyCols required")
     require(!updates.columns.contains("__kb"),
       "BucketedIndex: updates must not carry a __kb column")
-    val spark = updates.sparkSession
+    val upKeys = updates.select(keyCols.map(updates(_)): _*).distinct()
+    cowBucketed(updates.sparkSession, root, nameTag, keyCols, numBuckets,
+      touchedKeys = upKeys,
+      // survivors (stored rows whose key is NOT updated; members hold
+      // only their own bucket's rows, so every survivor re-hashes into
+      // a touched bucket) plus the update rows
+      replacement = rows => rows.join(upKeys, keyCols, "left_anti")
+        .unionByName(updates))
+  }
+
+  /** [[upsertBucketed]] PLUS a keyed DELETE in the same atomic
+    * version — the label-fold shape a DELETION batch needs
+    * (r16: [[graft.streaming.StreamingClusters.deleteDocs]]): the
+    * victims' rows leave, the relabeled survivors' rows land, and a
+    * reader sees the whole transition or none of it — two separate
+    * commits would expose a window where remaining members still
+    * reference a cluster id whose doc row is already gone. Every
+    * stored row whose `keyCols` tuple appears in `deleteKeys` is
+    * dropped; `updates` keys are replaced as in [[upsertBucketed]]
+    * (a key in both is simply replaced). Same layout requirements,
+    * same touched-bucket-bounded IO (touched = the union of both key
+    * sets' buckets), same premise, same crash discipline.
+    */
+  def upsertDeleteBucketed(
+      updates: DataFrame,
+      deleteKeys: DataFrame,
+      root: String,
+      nameTag: String,
+      keyCols: Seq[String],
+      numBuckets: Int): Int = {
+    require(!updates.columns.contains("__kb"),
+      "BucketedIndex: updates must not carry a __kb column")
+    require(keyCols.forall(deleteKeys.columns.contains),
+      s"BucketedIndex.upsertDeleteBucketed: deleteKeys " +
+        s"(${deleteKeys.columns.mkString(",")}) must carry the key " +
+        s"columns (${keyCols.mkString(",")})")
+    val gone = updates.select(keyCols.map(updates(_)): _*)
+      .unionByName(deleteKeys.select(keyCols.map(deleteKeys(_)): _*))
+      .distinct()
+    cowBucketed(updates.sparkSession, root, nameTag, keyCols, numBuckets,
+      touchedKeys = gone,
+      replacement = rows => rows.join(gone, keyCols, "left_anti")
+        .unionByName(updates))
+  }
+
+  /** Keyed COW DELETE at the MATCH grain, layout-preserving — the
+    * physical-removal leg of the stored-index lifecycle (r16): every
+    * stored row IN THE VICTIMS' KEY BUCKETS whose `matchCols` tuple
+    * appears in `victims` is dropped; everything else survives —
+    * untouched buckets' members verbatim, touched buckets folded to
+    * one rewritten member (or to ABSENCE when a bucket empties).
+    * `victims` must carry `keyCols` (they route the rewrite to the
+    * victims' buckets) AND `matchCols` (the row-identity anti-join —
+    * a finer grain than the bucketing is fine: the prefix table
+    * deletes (t, id) rows from `t`-keyed buckets, the codes table
+    * deletes by `id` inside `ivf_list` buckets). NOTE the bucket
+    * scope: a matching row OUTSIDE the victims' key buckets is NOT
+    * deleted — when `matchCols` don't determine `keyCols`, the caller
+    * owns proving the victims' stated keys are the stored ones
+    * ([[PqStore.deleteDelta]]'s routing check is the pattern). Same
+    * layout requirements, touched-bucket-bounded IO, premise, and
+    * crash discipline as [[upsertBucketed]]. A victim matching
+    * nothing deletes nothing — idempotent on a crash-window retry
+    * (deletion ledgers are the caller's, same as upserts).
+    */
+  def deleteBucketed(
+      victims: DataFrame,
+      root: String,
+      nameTag: String,
+      keyCols: Seq[String],
+      numBuckets: Int,
+      matchCols: Seq[String]): Int = {
+    require(matchCols.nonEmpty &&
+      (keyCols ++ matchCols).forall(victims.columns.contains),
+      s"BucketedIndex.deleteBucketed: victims " +
+        s"(${victims.columns.mkString(",")}) must carry the key columns " +
+        s"(${keyCols.mkString(",")}) and the match columns " +
+        s"(${matchCols.mkString(",")})")
+    val vm = victims.select(matchCols.map(victims(_)): _*).distinct()
+    cowBucketed(victims.sparkSession, root, nameTag, keyCols, numBuckets,
+      touchedKeys = victims.select(keyCols.map(victims(_)): _*),
+      replacement = rows => rows.join(vm, matchCols, "left_anti"))
+  }
+
+  /** The shared COW rewrite core ([[upsertBucketed]] /
+    * [[upsertDeleteBucketed]] / [[deleteBucketed]]): validate the
+    * fully-bucketed layout, derive the touched buckets from
+    * `touchedKeys` (a bounded ≤ numBuckets distinct collect,
+    * metadata-scale), rewrite exactly those buckets' rows through
+    * `replacement` in ONE staged `partitionBy` pass, and publish
+    * atomically under the head premise (re-validated inside the CAS
+    * retry — see [[upsertPremise]]).
+    */
+  private def cowBucketed(
+      spark: SparkSession,
+      root: String,
+      nameTag: String,
+      keyCols: Seq[String],
+      numBuckets: Int,
+      touchedKeys: DataFrame,
+      replacement: DataFrame => DataFrame): Int = {
+    require(numBuckets >= 1, s"BucketedIndex: numBuckets=$numBuckets")
+    require(keyCols.nonEmpty, "BucketedIndex: keyCols required")
     val v = Manifest.currentVersion(root)
     require(v > 0, s"BucketedIndex.upsertBucketed: $root is uninitialized " +
       "— commitBucketed a base layout first")
@@ -174,73 +291,78 @@ object BucketedIndex {
         "different key columns corrupts the table silently; state the " +
         "build's key columns or rewrite with commitBucketed")
     Manifest.recoverTag(root, nameTag)
-    // the touched buckets: where the update keys hash (a bounded
-    // ≤ numBuckets distinct collect, metadata-scale)
-    val kbs = updates
-      .select(bucketOf(numBuckets, keyCols.map(updates(_)): _*).as("__kb"))
-      .distinct().collect().map(_.getLong(0).toString).toSet
+    // the touched buckets: where the rewrite's keys hash
+    val kbs = bucketsOf(touchedKeys, keyCols, numBuckets)
     val touched = members.collect {
       case (p, tags) if kbs.contains(tags("kb")) => p
     }
-    // new content for the touched buckets — survivors (stored rows
-    // whose key is NOT updated; members hold only their own bucket's
-    // rows, so every survivor re-hashes into a touched bucket) plus
-    // the update rows — in ONE staged partitionBy pass, adopted per
-    // bucket (the commitBucketed write shape)
-    val upKeys = updates.select(keyCols.map(updates(_)): _*).distinct()
-    val survivors =
-      if (touched.isEmpty) updates.limit(0)
+    val touchedRows =
+      if (touched.isEmpty) Manifest.read(spark, root, v).limit(0)
       else spark.read.parquet(touched: _*)
-        .join(upKeys, keyCols, "left_anti")
-    val staging = Paths.get(root, "files", s"$nameTag-staging")
-    survivors.unionByName(updates)
-      .withColumn("__kb", bucketOf(numBuckets, keyCols.map(col): _*))
-      .write.partitionBy("__kb").parquet(staging.toString)
-    val adopted = graft.util.Fs.listChildren(staging)(
-      _.filter(_.getFileName.toString.startsWith("__kb=")).toVector)
-      .sortBy(_.getFileName.toString)
-      .map { p =>
-        val b = p.getFileName.toString.stripPrefix("__kb=")
-        val name = s"$nameTag-b$b"
-        Files.move(p, Paths.get(root, "files", name))
-        (name, Map("kb" -> b, "kbn" -> numBuckets.toString,
-          "kc" -> kcTag(keyCols)))
-      }
-    graft.util.Fs.deleteRecursively(staging)
-    // publish premise, re-validated INSIDE the CAS retry: the merge
+    // the touched buckets' new content in ONE staged partitionBy
+    // pass, adopted per bucket (the commitBucketed write shape)
+    val adopted = stageAndAdopt(replacement(touchedRows), root, nameTag,
+      keyCols, numBuckets)
+    // publish premise, re-validated INSIDE the CAS retry: the rewrite
     // above was computed against v's members, so a CONCURRENT commit
     // that landed a member in a touched bucket between the snapshot
-    // and the publish would leave that member's updated-key rows
-    // unfolded — silent stale duplicates the slot-level CAS cannot
-    // see (it only re-validates that replaced members still exist).
-    // Mirror compactTiered: every head member carrying a touched kb
-    // must be one this commit replaces, or the premise died.
+    // and the publish would leave that member's affected-key rows
+    // unfolded — silent stale rows the slot-level CAS cannot see (it
+    // only re-validates that replaced members still exist). Mirror
+    // compactTiered: every head member carrying a touched kb must be
+    // one this commit replaces, or the premise died.
     Manifest.commitAdoptReplace(spark, root, adopted, touched,
-      premise = upsertPremise(root, nameTag, kbs, numBuckets, touched.toSet))
+      premise = upsertPremise(root, nameTag, kbs, numBuckets,
+        kcTag(keyCols), members.map(_._1).toSet, touched.toSet))
   }
 
   /** The head premise a COW upsert publishes under (re-validated
-    * inside the CAS retry — see [[upsertBucketed]]): no head member
-    * may carry a TOUCHED bucket's `kb` tag (under this modulus)
-    * unless this commit replaces it. Exposed at object scope so the
-    * spec can pin the race window directly (a deterministic
-    * interleaving of two writers is not constructible in-process).
+    * inside the CAS retry — see [[upsertBucketed]]): every member
+    * the head GAINED since this upsert's snapshot must (a) be fully
+    * self-describing under exactly this upsert's layout — an
+    * untagged, foreign-modulus, or foreign-/missing-`kc` newcomer
+    * can hold updated keys in ANY bucket, voiding the merge just
+    * like a touched-bucket addition (r15 advice item 3: the
+    * snapshot's mixed-layout check cannot see concurrent arrivals) —
+    * and (b) not carry a TOUCHED bucket's `kb` (a conforming
+    * newcomer's rows hash only into its own bucket, so an untouched-
+    * bucket newcomer is genuinely safe). Snapshot members are exempt
+    * from (a): they already passed the pre-merge layout checks,
+    * including the documented legacy tolerance for kc-untagged
+    * members, and the touched ones are all in `replaced`. Exposed at
+    * object scope so the spec can pin the race window directly (a
+    * deterministic interleaving of two writers is not constructible
+    * in-process).
     */
   private[operators] def upsertPremise(
       root: String,
       nameTag: String,
       kbs: Set[String],
       numBuckets: Int,
+      kc: String,
+      snapshot: Set[String],
       replaced: Set[String]): Seq[(String, Map[String, String])] => Unit =
     head => {
+      val gained = head.filterNot(m => snapshot.contains(m._1))
+      val mixed = gained.collect {
+        case (p, tags) if !(tags.contains("kb") &&
+          tags.get("kbn").contains(numBuckets.toString) &&
+          tags.get("kc").contains(kc)) => p
+      }
+      if (mixed.nonEmpty)
+        // IllegalState, not ConcurrentModification: the PREMISE died,
+        // not the slot — commitWithRetry must propagate, not respin
+        throw new IllegalStateException(
+          s"BucketedIndex.upsertBucketed($nameTag): $root gained members " +
+            s"outside the ($kc, $numBuckets) bucketing since this " +
+            s"upsert's snapshot (${mixed.mkString(", ")}) — a COW premise " +
+            "is only valid over a fully self-describing layout; re-run " +
+            "the upsert against the new head")
       val foreign = head.collect {
         case (p, tags) if kbs.contains(tags.getOrElse("kb", "")) &&
-          tags.get("kbn").contains(numBuckets.toString) &&
           !replaced.contains(p) => p
       }
       if (foreign.nonEmpty)
-        // IllegalState, not ConcurrentModification: the PREMISE died,
-        // not the slot — commitWithRetry must propagate, not respin
         throw new IllegalStateException(
           s"BucketedIndex.upsertBucketed($nameTag): touched buckets of " +
             s"$root gained members since this upsert's snapshot " +
@@ -279,21 +401,8 @@ object BucketedIndex {
     require(v > 0, s"BucketedIndex.rebucket: $root is uninitialized")
     val replaced = Manifest.members(root, v)
     Manifest.recoverTag(root, nameTag)
-    val staging = Paths.get(root, "files", s"$nameTag-staging")
-    Manifest.read(spark, root, v)
-      .withColumn("__kb", bucketOf(numBuckets, keyCols.map(col): _*))
-      .write.partitionBy("__kb").parquet(staging.toString)
-    val adopted = graft.util.Fs.listChildren(staging)(
-      _.filter(_.getFileName.toString.startsWith("__kb=")).toVector)
-      .sortBy(_.getFileName.toString)
-      .map { p =>
-        val b = p.getFileName.toString.stripPrefix("__kb=")
-        val name = s"$nameTag-b$b"
-        Files.move(p, Paths.get(root, "files", name))
-        (name, Map("kb" -> b, "kbn" -> numBuckets.toString,
-          "kc" -> kcTag(keyCols)))
-      }
-    graft.util.Fs.deleteRecursively(staging)
+    val adopted = stageAndAdopt(Manifest.read(spark, root, v), root,
+      nameTag, keyCols, numBuckets)
     // premise: the snapshot this rewrite read must still BE the head
     // (any concurrent commit's rows would be silently dropped by the
     // full replace) — commitAdoptReplace's replaced-must-exist check

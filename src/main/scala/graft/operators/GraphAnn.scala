@@ -66,13 +66,33 @@ object GraphAnn {
       nprobe: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= cents.length,
       s"knnGraph: nprobe=$nprobe out of range [1, ${cents.length}]")
-    val indexed = Similarity.ivfIndex(emb, vecCol, cents)
+    // EVERY vector is a source (the offline-build shape, unlike
+    // ivfPqTopK's few-query serving)
+    knnListsFor(emb, emb, idCol, vecCol, k, cents, nprobe)
+  }
+
+  /** The from-scratch top-`k` lists of a SUBSET of sources against a
+    * caller-supplied member corpus, under a caller-supplied quantizer
+    * — the build rule factored out so EXCISION
+    * ([[GraphAnnStore.excise]] recomputing only the affected sources
+    * against the post-delete corpus) shares one definition with the
+    * full build: a source's rows here equal its
+    * [[knnGraphWithCentroids]] rows over the same member corpus, by
+    * construction. No broadcast anywhere — the probe fan-out and the
+    * candidate join are plain shuffled equi-joins.
+    */
+  private[operators] def knnListsFor(
+      srcEmb: DataFrame,
+      memberEmb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      cents: Array[Array[Float]],
+      nprobe: Int): DataFrame = {
+    val indexed = Similarity.ivfIndex(memberEmb, vecCol, cents)
       .select(col(idCol).as("dst"), col("ivf_list"),
         col(vecCol).as("dv"))
-    // EVERY vector is a source: no broadcast anywhere — the probe
-    // fan-out and the candidate join are plain shuffled equi-joins
-    // (the offline-build shape, unlike ivfPqTopK's few-query serving)
-    val probes = ivfProbes(emb, idCol, vecCol, cents, nprobe)
+    val probes = ivfProbes(srcEmb, idCol, vecCol, cents, nprobe)
     val w = Window.partitionBy(col("src"))
       .orderBy(col("sim").desc, col("dst"))
     probes.join(indexed, Seq("ivf_list"))
@@ -287,6 +307,15 @@ object GraphAnn {
     * table so serving pays ZERO corpus passes beyond scoring; when
     * absent, entries compute from `emb` (the min-id member per list,
     * one corpus aggregate).
+    *
+    * `exclude` (optional): node ids (one column) never to SURFACE as
+    * results — the TOMBSTONE filter of a deletion-aware stored index
+    * ([[GraphAnnStore.deleteDelta]]): tombstoned nodes still ROUTE
+    * (they stay in the beam and expand — removing them from the walk
+    * would change every traversal and degrade recall until excision),
+    * but the final ranking anti-joins them out, so a deleted id is
+    * never returned. With heavy tombstone load fewer than `kOut`
+    * survivors may remain in the beam — raise `beam`, or excise.
     */
   private[operators] def beamSearchEdges(
       edgesFor: DataFrame => DataFrame,
@@ -298,7 +327,8 @@ object GraphAnn {
       hops: Int,
       kOut: Int,
       cents: Array[Array[Float]],
-      listEntries: Option[DataFrame] = None): DataFrame = {
+      listEntries: Option[DataFrame] = None,
+      exclude: Option[DataFrame] = None): DataFrame = {
     require(beam >= kOut, s"beamSearch: beam=$beam must be >= kOut=$kOut")
     require(hops >= 1, s"beamSearch: hops=$hops")
     require(cents.nonEmpty,
@@ -352,7 +382,10 @@ object GraphAnn {
       // than scalar HNSW's single-best walk, natural in dataflow)
       frontier = visited
     }
-    visited
+    val surfaced = exclude.fold(visited)(ex =>
+      visited.join(broadcast(ex.select(col(ex.columns.head).as("node"))
+        .distinct()), Seq("node"), "left_anti"))
+    surfaced
       .filter(col("node") =!= col("query_id"))
       .withColumn("rank", row_number().over(wBeam).cast("long"))
       .filter(col("rank") <= kOut)

@@ -56,6 +56,7 @@ object GraphAnnStore {
       edges: DataFrame,
       cents: Array[Array[Float]],
       entries: Seq[(Long, Long)], // (ivf_list, entry node id)
+      tombs: DataFrame, // (id) — pinned tombstone snapshot, often empty
       k: Int,
       nlist: Int,
       nprobe: Int,
@@ -141,8 +142,19 @@ object GraphAnnStore {
       s"GraphAnnStore.load: stored ranks [${mm.getLong(1)}, ${mm.getLong(0)}] " +
         s"do not fit the stated k=$k — the index was built under " +
         "different parameters; state the build's values")
+    val tsRoot = s"$root/tombstones"
+    val tv = Manifest.currentVersion(tsRoot)
+    // an EXCISED table's current version has zero members (the clear
+    // is a COW delete of every row) — Manifest.read refuses those, so
+    // the empty-tombstone fallback covers both "never deleted" and
+    // "excised clean"
+    val tombs =
+      if (tv > 0 && Manifest.members(tsRoot, tv).nonEmpty)
+        Manifest.read(spark, tsRoot, tv)
+      else Manifest.read(spark, edgeRoot, ev)
+        .select(org.apache.spark.sql.functions.col("src").as("id")).limit(0)
     StoredGraphAnn(Manifest.read(spark, edgeRoot, ev), cents, entries,
-      k, nlist, nprobe, numBuckets, root, ev)
+      tombs, k, nlist, nprobe, numBuckets, root, ev)
   }
 
   /** Fold a batch of NEW vectors through the STORED graph — the q472
@@ -180,6 +192,22 @@ object GraphAnnStore {
     if (Manifest.tagApplied(edgeRoot, nameTag))
       Manifest.currentVersion(edgeRoot)
     else {
+      // the handle must pin the CURRENT head (r15 advice item 4):
+      // unlike PqStore/SignLshStore, whose append content is
+      // delta-only and handle-independent, this fold's merged rows
+      // are computed from the handle's pinned idx.edges — two
+      // sequential folds reusing one loaded handle would pass the
+      // id-disjointness guard, yet the second COW would overwrite
+      // the first fold's merged top-k rows for shared touched base
+      // sources. Cheap and loud, mirroring the r14 'sequential
+      // appends must see each other' fix.
+      val headV = Manifest.currentVersion(edgeRoot)
+      require(idx.version == headV,
+        s"GraphAnnStore.foldDelta($nameTag): the handle pins edges " +
+          s"v${idx.version} but the table is at v$headV — the merge " +
+          "would be computed from a stale snapshot and overwrite the " +
+          "intervening fold's rows for shared touched sources; reload " +
+          "the handle and re-fold")
       StoredIndex.requireNewIds(deltaEmb.sparkSession, edgeRoot,
         deltaEmb.select(col(idCol)), idx.numBuckets,
         s"GraphAnnStore.foldDelta($nameTag)", keyCol = "src")
@@ -190,6 +218,171 @@ object GraphAnnStore {
     }
   }
 
+  /** TOMBSTONE a batch of ids — the deletion leg of the stored index
+    * (r16): an ANN graph cannot delete a node at delta cost, because
+    * the edges POINTING AT it live in arbitrary src buckets (finding
+    * them is inherently a full-index scan). The production answer is
+    * the tombstone ledger: per-delete cost is ONE id-bucketed append
+    * (`<root>/tombstones`), serving keeps walking THROUGH tombstoned
+    * nodes (removing routing nodes would degrade every traversal)
+    * but never SURFACES them ([[GraphAnn.beamSearchEdges]]'s
+    * `exclude` filter), and [[excise]] amortizes the physical removal
+    * over many deletes. Victims must be live graph nodes: absent ids
+    * refuse (probed at the edges table's current head, pruned to the
+    * victims' src buckets — the id-ledger role of the src bucketing),
+    * and an already-tombstoned id refuses (a delete feed must carry
+    * each id once between excisions). One table, one commit — no
+    * crash window; `nameTag` is the redelivery ledger. Returns the
+    * tombstones version. Reload the handle to serve the new snapshot.
+    */
+  def deleteDelta(
+      idx: StoredGraphAnn,
+      victimIds: DataFrame,
+      nameTag: String): Int = {
+    val spark = victimIds.sparkSession
+    val tsRoot = s"${idx.root}/tombstones"
+    val edgeRoot = s"${idx.root}/edges"
+    if (Manifest.tagApplied(tsRoot, nameTag)) Manifest.currentVersion(tsRoot)
+    else {
+      val vict = victimIds
+        .select(col(victimIds.columns.head).as("id")).distinct()
+        .localCheckpoint()
+      val nV = vict.count()
+      val ev = Manifest.currentVersion(edgeRoot)
+      val present = BucketedIndex.prunedRead(spark, edgeRoot, ev,
+          vict.select(col("id").as("src")), Seq("src"), idx.numBuckets)
+        .select(col("src").as("id")).distinct()
+        .join(broadcast(vict), Seq("id"), "left_semi").count()
+      require(present == nV,
+        s"GraphAnnStore.deleteDelta($nameTag): ${nV - present} of $nV " +
+          "victim ids have no edge list in the stored graph — they were " +
+          "never added, were already excised, or the feed is mis-routed")
+      val tv = Manifest.currentVersion(tsRoot)
+      if (tv > 0 && Manifest.members(tsRoot, tv).nonEmpty)
+        require(BucketedIndex.prunedRead(spark, tsRoot, tv, vict,
+              Seq("id"), idx.numBuckets)
+            .join(broadcast(vict), Seq("id"), "left_semi").isEmpty,
+          s"GraphAnnStore.deleteDelta($nameTag): victim ids are already " +
+            "tombstoned — the delete feed must carry each id once " +
+            "between excisions")
+      StoredIndex.appendOnce(vict, tsRoot, nameTag, Seq("id"),
+        idx.numBuckets)
+    }
+  }
+
+  /** EXCISE the tombstoned nodes physically — the amortized
+    * maintenance call of the tombstone design: ONE narrow full-index
+    * scan finds the affected sources (every src holding an edge to a
+    * tombstoned dst — the cost that cannot be delta-shaped, paid once
+    * per excision instead of per delete), their lists RECOMPUTE from
+    * scratch against the remaining corpus under the STORED quantizer
+    * ([[GraphAnn.knnListsFor]] — one definition with the build), and
+    * the edges table advances in ONE atomic delete+upsert: victims'
+    * own src rows leave, affected sources' lists are replaced,
+    * untouched members survive verbatim. The excised table equals a
+    * frozen-quantizer rebuild over the remaining corpus ROW FOR ROW
+    * (GraphAnnSpec pins it): an unaffected source's top-k cannot
+    * contain a victim (it would be affected), and dropping
+    * never-top-k candidates changes nothing.
+    *
+    * Entry repair precedes the edge rewrite: a list whose stored
+    * entry node is tombstoned gets the min remaining member of that
+    * list (global-min fallback), committed FIRST — the new entry is a
+    * valid node in the old graph too, so every crash window serves.
+    * Tombstones clear LAST (they are excise's ledger for the retry
+    * windows); after the clear, excised ids are clean re-arrivals for
+    * [[foldDelta]]. `emb` is the corpus table — it may still carry
+    * the victims (they are anti-joined here) or already lack them.
+    * Returns the edges version.
+    */
+  def excise(
+      idx: StoredGraphAnn,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nameTag: String): Int = {
+    val spark = emb.sparkSession
+    val edgeRoot = s"${idx.root}/edges"
+    val tsRoot = s"${idx.root}/tombstones"
+    val centRoot = s"${idx.root}/centroids"
+    val tv = Manifest.currentVersion(tsRoot)
+    if (tv == 0 || Manifest.members(tsRoot, tv).isEmpty)
+      return Manifest.currentVersion(edgeRoot)
+    val tombs = Manifest.read(spark, tsRoot, tv).localCheckpoint()
+    if (tombs.isEmpty) return Manifest.currentVersion(edgeRoot)
+    val remaining = emb
+      .join(broadcast(tombs.select(col("id").as(idCol))), Seq(idCol),
+        "left_anti")
+    // 1. entry repair — idempotent by DETECTION against the CURRENT
+    //    stored table (not the handle: a crash-window retry must see
+    //    the original attempt's repair and skip): a list whose stored
+    //    entry is tombstoned gets the min remaining member (global-min
+    //    fallback). One bounded isin probe (entry ids are ≤ nlist).
+    val cv = Manifest.currentVersion(centRoot)
+    val centRows0 = Manifest.read(spark, centRoot, cv)
+      .orderBy(col("list_id")).collect()
+    val entryIds = centRows0.map(_.getLong(2)).distinct.toSeq
+    val deadEntryIds = tombs.filter(col("id").isin(entryIds: _*))
+      .collect().map(_.getLong(0)).toSet
+    val deadLists = centRows0.collect {
+      case r if deadEntryIds.contains(r.getLong(2)) => r.getLong(0)
+    }.toSet
+    if (deadLists.nonEmpty) {
+      val listMin = Similarity.ivfIndex(remaining, vecCol, idx.cents)
+        .filter(col("ivf_list").isin(deadLists.toSeq: _*))
+        .groupBy(col("ivf_list")).agg(min(col(idCol)).as("mn"))
+        .select(col("ivf_list").cast("long"), col("mn"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      lazy val fallback = {
+        val r = remaining.agg(min(col(idCol))).collect()(0)
+        require(!r.isNullAt(0),
+          "GraphAnnStore.excise: the delete set empties the corpus — " +
+            "drop the index and rebuild instead")
+        r.getLong(0)
+      }
+      import spark.implicits._
+      val centRows = centRows0.map { r =>
+        val list = r.getLong(0)
+        val entry =
+          if (deadLists.contains(list)) listMin.getOrElse(list, fallback)
+          else r.getLong(2)
+        (list, r.getSeq[Float](1), entry)
+      }.toSeq
+      Manifest.recoverTag(centRoot, s"$nameTag-entries")
+      Manifest.commitReplace(
+        centRows.toDF("list_id", "centroid", "entry_id"), centRoot,
+        Manifest.members(centRoot, cv), s"$nameTag-entries")
+      ()
+    }
+    // 2. the edge rewrite (its tag is the recompute's ledger)
+    if (!Manifest.tagApplied(edgeRoot, nameTag)) {
+      val headV = Manifest.currentVersion(edgeRoot)
+      require(idx.version == headV,
+        s"GraphAnnStore.excise($nameTag): the handle pins edges " +
+          s"v${idx.version} but the table is at v$headV — reload the " +
+          "handle and re-excise")
+      val vict = tombs.select(col("id").as("src"))
+      // the one full-index scan: narrow (src, dst), broadcast probe
+      val affected = idx.edges
+        .join(broadcast(tombs.select(col("id").as("dst"))), Seq("dst"),
+          "left_semi")
+        .select(col("src")).distinct()
+        .join(broadcast(vict), Seq("src"), "left_anti")
+        .localCheckpoint()
+      val newLists = GraphAnn.knnListsFor(
+        remaining.join(affected.select(col("src").as(idCol)), Seq(idCol),
+          "left_semi"),
+        remaining, idCol, vecCol, idx.k, idx.cents, idx.nprobe)
+      BucketedIndex.upsertDeleteBucketed(newLists, vict, edgeRoot,
+        nameTag, Seq("src"), idx.numBuckets)
+      ()
+    }
+    // 3. clear the tombstone ledger LAST (idempotent COW delete)
+    BucketedIndex.deleteBucketed(tombs, tsRoot, s"$nameTag-clear",
+      Seq("id"), idx.numBuckets, Seq("id"))
+    Manifest.currentVersion(edgeRoot)
+  }
+
   /** Greedy beam search served ENTIRELY from the stored index: the
     * quantizer and entry nodes come from the handle (no retrain, no
     * corpus aggregate), and each hop's edge read opens only the
@@ -198,6 +391,8 @@ object GraphAnnStore {
     * corpus table itself, not index state). Same walk core as the
     * in-memory [[GraphAnn.beamSearchWithCentroids]]
     * ([[GraphAnn.beamSearchEdges]]), so the two cannot diverge.
+    * TOMBSTONED ids (the handle's pinned snapshot) route but never
+    * surface — see [[deleteDelta]].
     */
   def beamSearchStored(
       spark: SparkSession,
@@ -216,6 +411,6 @@ object GraphAnnStore {
         idx.version, frontier.select(col("node").as("src")), Seq("src"),
         idx.numBuckets),
       emb, idCol, vecCol, queryIds, beam, hops, kOut, idx.cents,
-      listEntries = Some(entryDf))
+      listEntries = Some(entryDf), exclude = Some(idx.tombs))
   }
 }

@@ -185,15 +185,111 @@ object PqStore {
       Manifest.currentVersion(codeRoot)
     else {
       val spark = deltaEmb.sparkSession
-      // batch-sized; feeds the guard AND the commits — materialize once
+      // batch-sized; feeds the guards AND the commits — materialize once
       val coded = Pq.encodeResiduals(deltaEmb, idCol, vecCol, idx.cents,
         idx.model).withColumnRenamed(idCol, "id").localCheckpoint()
-      StoredIndex.requireNewIds(spark, memRoot, coded.select(col("id")),
-        idx.numBuckets, s"PqStore.appendDelta($nameTag)")
+      // OWN crash window (codes committed under this tag, members
+      // not): skip both guards — the crashed attempt passed them
+      // before its codes landed; the retry only completes the ledger
+      if (!Manifest.tagApplied(codeRoot, nameTag)) {
+        StoredIndex.requireNewIds(spark, memRoot, coded.select(col("id")),
+          idx.numBuckets, s"PqStore.appendDelta($nameTag)")
+        // second screen (r15 advice item 2): ANOTHER tag's crash
+        // window — its codes landed, its members didn't, so the
+        // members probe above is blind; the delta's own ivf_list
+        // buckets of the codes table expose the half-appended ids at
+        // pruned-scan cost
+        StoredIndex.requireAbsentByContent(spark, codeRoot,
+          coded.select(col("ivf_list"), col("id")), Seq("ivf_list"), "id",
+          idx.numBuckets, s"PqStore.appendDelta($nameTag)")
+      }
       StoredIndex.appendOnce(coded, codeRoot, nameTag, Seq("ivf_list"),
         idx.numBuckets)
       StoredIndex.appendOnce(coded.select(col("id")), memRoot, nameTag,
         Seq("id"), idx.numBuckets)
+      Manifest.currentVersion(codeRoot)
+    }
+  }
+
+  /** DELETE a batch of vectors from the stored index — the
+    * retraction leg (r16), at pruned COW cost: the victims ENCODE
+    * under the stored artifacts (codes are a pure per-row function,
+    * so each victim's row sits in exactly the bucket its re-derived
+    * `ivf_list` names), the codes table COW-deletes those buckets'
+    * victim rows ([[BucketedIndex.deleteBucketed]] — untouched
+    * buckets verbatim), and the members ledger drops the ids. The
+    * caller passes the victims' VECTORS (`deltaEmb`-shaped — the
+    * corpus rows being retracted): id-only deletion would need an
+    * id→list lookup the id-only members schema cannot serve, and a
+    * retraction flow owns the rows it retracts. A vector that does
+    * not match the stored one is LOUD (the routing check below finds
+    * the victim's stored row outside its re-derived bucket), never a
+    * silent residue.
+    *
+    * Order + crash windows: codes delete FIRST, members LAST (the
+    * redelivery ledger — [[Manifest.tagApplied]] on members, same as
+    * the append side); a retry between the two finds the ids still in
+    * members (the presence guard passes), re-deletes nothing from
+    * codes (idempotent), and completes the ledger. A batch whose ids
+    * are ALL already gone from members is an applied delete whose
+    * ledger member emptied — it returns quietly; a PARTIAL overlap is
+    * loud. After the delete, the ids are clean re-arrivals for
+    * [[appendDelta]]. Returns the codes version.
+    */
+  def deleteDelta(
+      idx: StoredIvfPq,
+      victimEmb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nameTag: String): Int = {
+    val codeRoot = s"${idx.root}/codes"
+    val memRoot = s"${idx.root}/members"
+    if (Manifest.tagApplied(memRoot, nameTag))
+      Manifest.currentVersion(codeRoot)
+    else {
+      val spark = victimEmb.sparkSession
+      val coded = Pq.encodeResiduals(victimEmb, idCol, vecCol, idx.cents,
+          idx.model).withColumnRenamed(idCol, "id")
+        .select(col("id"), col("ivf_list")).localCheckpoint()
+      val vIds = coded.select(col("id")).distinct()
+      val nV = vIds.count()
+      val mv = StoredIndex.liveVersion(memRoot,
+        s"PqStore.deleteDelta($nameTag)", "build()")
+      val present = BucketedIndex.prunedRead(spark, memRoot, mv, vIds,
+          Seq("id"), idx.numBuckets)
+        .select(col("id")).distinct()
+        .join(broadcast(vIds), Seq("id"), "left_semi").count()
+      if (present == 0) return Manifest.currentVersion(codeRoot)
+      require(present == nV,
+        s"PqStore.deleteDelta($nameTag): ${nV - present} of $nV victim " +
+          "ids are not in the stored index — a partial overlap is never " +
+          "a crash window (commits are atomic); check the feed")
+      // OWN crash window (codes delete landed, members delete did
+      // not): skip the routing check + codes delete, just complete
+      // the ledger — the routing check would otherwise read the
+      // already-deleted rows as "mis-routed" and wedge the retry
+      if (!Manifest.tagApplied(codeRoot, nameTag)) {
+        // routing check: every victim's STORED code row must sit
+        // inside the buckets its re-derived list names — a victim
+        // delivered with a DIFFERENT vector than at insert would
+        // route elsewhere and leave its real row as silent residue
+        val cv = Manifest.currentVersion(codeRoot)
+        val inBuckets = BucketedIndex.prunedRead(spark, codeRoot, cv,
+            coded.select(col("ivf_list")), Seq("ivf_list"),
+            idx.numBuckets)
+          .select(col("id")).distinct()
+          .join(broadcast(vIds), Seq("id"), "left_semi").count()
+        require(inBuckets == nV,
+          s"PqStore.deleteDelta($nameTag): ${nV - inBuckets} of $nV " +
+            "victim rows are outside their re-derived ivf_list buckets " +
+            "— the delivered vectors differ from the stored ones; " +
+            "retract with the vectors that were appended")
+        BucketedIndex.deleteBucketed(coded, codeRoot, nameTag,
+          Seq("ivf_list"), idx.numBuckets, Seq("id"))
+        ()
+      }
+      BucketedIndex.deleteBucketed(vIds, memRoot, nameTag,
+        Seq("id"), idx.numBuckets, Seq("id"))
       Manifest.currentVersion(codeRoot)
     }
   }

@@ -134,16 +134,90 @@ object SignLshStore {
       Manifest.currentVersion(bktRoot)
     else {
       val spark = deltaEmb.sparkSession
-      // batch-sized; feeds the guard AND the commits — materialize once
+      // batch-sized; feeds the guards AND the commits — materialize once
       val rows = deltaEmb.select(col(idCol).as("nid"),
           Vec.lshBucket(col(vecCol), idx.planes).as("bucket"))
         .localCheckpoint()
-      StoredIndex.requireNewIds(spark, memRoot, rows.select(col("nid")),
-        idx.numBuckets, s"SignLshStore.appendDelta($nameTag)")
+      // OWN crash window (buckets committed under this tag, members
+      // not): skip both guards — the crashed attempt passed them; the
+      // retry only completes the ledger
+      if (!Manifest.tagApplied(bktRoot, nameTag)) {
+        StoredIndex.requireNewIds(spark, memRoot, rows.select(col("nid")),
+          idx.numBuckets, s"SignLshStore.appendDelta($nameTag)")
+        // second screen (r15 advice item 2): ANOTHER tag's crash
+        // window — its bucket rows landed, its members didn't; the
+        // delta's own LSH buckets expose the half-appended ids at
+        // pruned-scan cost
+        StoredIndex.requireAbsentByContent(spark, bktRoot,
+          rows.select(col("bucket"), col("nid")), Seq("bucket"), "nid",
+          idx.numBuckets, s"SignLshStore.appendDelta($nameTag)")
+      }
       StoredIndex.appendOnce(rows, bktRoot, nameTag, Seq("bucket"),
         idx.numBuckets)
       StoredIndex.appendOnce(rows.select(col("nid").as("id")), memRoot,
         nameTag, Seq("id"), idx.numBuckets)
+      Manifest.currentVersion(bktRoot)
+    }
+  }
+
+  /** DELETE a batch of vectors from the stored index — the
+    * [[PqStore.deleteDelta]] twin: victims re-derive their LSH bucket
+    * under the stored plane family (a pure per-row function, so each
+    * victim's stored row sits exactly in the bucket re-derived here),
+    * the buckets table COW-deletes those buckets' victim rows, the
+    * members ledger drops the ids. Same guards, order, and crash
+    * discipline as the PqStore leg: presence (pruned members probe;
+    * all-absent returns quietly as an applied delete, partial is
+    * loud), a routing check that makes a changed-vector delivery LOUD
+    * instead of silent residue (skipped inside this tag's own
+    * codes-deleted/members-pending crash window), members commit
+    * LAST as the redelivery ledger. Returns the buckets version.
+    */
+  def deleteDelta(
+      idx: StoredSignLsh,
+      victimEmb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nameTag: String): Int = {
+    val bktRoot = s"${idx.root}/buckets"
+    val memRoot = s"${idx.root}/members"
+    if (Manifest.tagApplied(memRoot, nameTag))
+      Manifest.currentVersion(bktRoot)
+    else {
+      val spark = victimEmb.sparkSession
+      val rows = victimEmb.select(col(idCol).as("nid"),
+          Vec.lshBucket(col(vecCol), idx.planes).as("bucket"))
+        .localCheckpoint()
+      val vIds = rows.select(col("nid")).distinct()
+      val nV = vIds.count()
+      val mv = StoredIndex.liveVersion(memRoot,
+        s"SignLshStore.deleteDelta($nameTag)", "build()")
+      val present = BucketedIndex.prunedRead(spark, memRoot, mv,
+          vIds.select(col("nid").as("id")), Seq("id"), idx.numBuckets)
+        .select(col("id").as("nid")).distinct()
+        .join(broadcast(vIds), Seq("nid"), "left_semi").count()
+      if (present == 0) return Manifest.currentVersion(bktRoot)
+      require(present == nV,
+        s"SignLshStore.deleteDelta($nameTag): ${nV - present} of $nV " +
+          "victim ids are not in the stored index — a partial overlap " +
+          "is never a crash window (commits are atomic); check the feed")
+      if (!Manifest.tagApplied(bktRoot, nameTag)) {
+        val bv = Manifest.currentVersion(bktRoot)
+        val inBuckets = BucketedIndex.prunedRead(spark, bktRoot, bv,
+            rows.select(col("bucket")), Seq("bucket"), idx.numBuckets)
+          .select(col("nid")).distinct()
+          .join(broadcast(vIds), Seq("nid"), "left_semi").count()
+        require(inBuckets == nV,
+          s"SignLshStore.deleteDelta($nameTag): ${nV - inBuckets} of " +
+            s"$nV victim rows are outside their re-derived LSH buckets " +
+            "— the delivered vectors differ from the stored ones; " +
+            "retract with the vectors that were appended")
+        BucketedIndex.deleteBucketed(rows, bktRoot, nameTag,
+          Seq("bucket"), idx.numBuckets, Seq("nid"))
+        ()
+      }
+      BucketedIndex.deleteBucketed(vIds.select(col("nid").as("id")),
+        memRoot, nameTag, Seq("id"), idx.numBuckets, Seq("id"))
       Manifest.currentVersion(bktRoot)
     }
   }

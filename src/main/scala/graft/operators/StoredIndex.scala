@@ -85,4 +85,47 @@ object StoredIndex {
         "feed must carry each id once (an id reused for different " +
         "content is an upsert, out of the append contract)")
   }
+
+  /** The CONTENT-table second screen of a two-table append's crash
+    * window (r15 advice item 2): stores that commit a content table
+    * BEFORE the members ledger ([[PqStore]] codes, [[SignLshStore]]
+    * buckets) have a window where [[requireNewIds]] — which probes
+    * members only — is blind to the half-appended ids, so the same
+    * ids redelivered under a DIFFERENT tag would pass the guard and
+    * land duplicate content rows permanently. The half-appended rows
+    * sit in the delta's OWN content buckets (content keys are a pure
+    * per-row function of the frozen artifacts, so a redelivered row
+    * re-derives the SAME key), so one pruned probe of those buckets
+    * catches them at delta-bucket cost. `deltaRows` carries the
+    * delta's content-key columns (`keyCols`, the table's bucketing)
+    * plus its id column `idCol`. A same-id row whose CONTENT changed
+    * between the two deliveries hashes elsewhere and still slips —
+    * an upsert misdelivered into a crash window, doubly outside the
+    * append contract. Callers skip this screen when the content
+    * table already carries their OWN tag (their own crash window —
+    * the retry just completes the members commit).
+    */
+  def requireAbsentByContent(
+      spark: SparkSession,
+      root: String,
+      deltaRows: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      numBuckets: Int,
+      context: String): Unit = {
+    val v = Manifest.currentVersion(root)
+    if (v > 0) {
+      val ids = deltaRows.select(col(idCol))
+      require(BucketedIndex.prunedRead(spark, root, v,
+            deltaRows.select(keyCols.map(deltaRows(_)): _*), keyCols,
+            numBuckets)
+          .select(col(idCol))
+          .join(broadcast(ids.distinct()), Seq(idCol), "left_semi").isEmpty,
+        s"$context: batch ids already present in the stored content " +
+          "table but absent from the members ledger — a crash between " +
+          "another tag's content and members commits left a half-applied " +
+          "append; redeliver under the ORIGINAL tag to complete it " +
+          "(this tag would land the content rows twice)")
+    }
+  }
 }

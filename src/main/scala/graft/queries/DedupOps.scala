@@ -252,6 +252,35 @@ object DedupOps {
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
     }),
 
+    // DELETION from the drained clustering state (r16 — the
+    // retraction leg of the lifecycle): the corpus drains once
+    // (foldBatch bootstrap = the q67 from-scratch clustering,
+    // persisted as the q478 state shape), then every doc_id % 7 == 3
+    // is DELETED — label rows, sets rows and prefix rows physically
+    // leave their key buckets (BucketedIndex COW deletes, touched
+    // buckets only), and the touched components' REMAINING members
+    // re-cluster from scratch within the component (shrinks, SPLITS
+    // and whole-cluster removals all occur here). Pair existence
+    // depends only on the two docs' sets, so no pair outside the
+    // touched components can change — the post-delete state equals
+    // from-scratch clustering of (corpus − victims), and the q67
+    // recursive-CTE oracle restricted to the remaining documents
+    // hash-pins a DELETION operator verbatim. StreamingClustersSpec
+    // additionally pins the split case, physical removal, clean
+    // re-adds, and the crash-window retries.
+    "q488_cluster_delete_fold" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables(s, d).documents.select(col("doc_id"), col("text"))
+      val state = freshScratch("q488state", d)
+      graft.streaming.StreamingClusters.foldBatch(s, docs, state, "b0",
+        threshold = 0.9)
+      graft.streaming.StreamingClusters.deleteDocs(s,
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")),
+        state, "del1", threshold = 0.9)
+      graft.operators.Manifest.read(s, s"$state/labels",
+        graft.operators.Manifest.currentVersion(s"$state/labels"))
+    }),
+
     // Rolling-hash winnowing sketch (xxhash64 shingles → k-min);
     // no DuckDB xxhash64 → rows-only. The sketch is exploded to
     // (doc_id, pos, minhash) scalar rows: the driver's rows-only
@@ -692,6 +721,34 @@ object DedupOps {
     // the stored-base fold ≡ from-scratch (q476's argument over the
     // persisted q478 state shape) — same oracle verbatim
     "q484_incremental_fold_stored" -> clustersOracle,
+    // q488: the DELETION fold ≡ from-scratch on the remaining corpus
+    // (component-bounded recompute — see the query comment), so the
+    // same CTE restricted to the surviving documents pins it
+    "q488_cluster_delete_fold" ->
+      """WITH RECURSIVE keep AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
+         tok AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+           FROM keep),
+         sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+           FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a_id, b_id FROM inter
+           JOIN sizes sa ON sa.doc_id = a_id
+           JOIN sizes sb ON sb.doc_id = b_id
+           WHERE c::DOUBLE / (sa.n + sb.n - c)::DOUBLE >= 0.9),
+         edges AS (
+           SELECT a_id AS s, b_id AS d FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         reach AS (
+           SELECT doc_id AS s, doc_id AS d FROM keep
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+         SELECT s AS doc_id, min(d) AS cluster_id, count(*) AS cluster_size
+         FROM reach GROUP BY s""",
     "q68_dedup_keep" ->
       """WITH RECURSIVE tok AS (
            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t

@@ -284,6 +284,45 @@ object VectorOps {
         "embedding", queryIds, k = 5)
     }),
 
+    // DELETION from the persisted graph-ANN index (r16 — the
+    // retraction leg of the stored-index lifecycle): an ANN graph
+    // cannot delete at delta cost (edges POINTING at a victim live in
+    // arbitrary src buckets), so deletes land as an id-bucketed
+    // TOMBSTONE append (one commit, delta IO), serving keeps walking
+    // through tombstoned nodes but never surfaces them, and EXCISE
+    // amortizes the physical removal: one narrow full-index scan
+    // finds the affected sources, their lists recompute from scratch
+    // against the remaining corpus under the STORED quantizer (one
+    // definition with the build — GraphAnn.knnListsFor), victims'
+    // rows leave and affected lists replace in ONE atomic
+    // delete+upsert, dead entry nodes repair first. Approximate
+    // (IVF-restricted graph + greedy walk) → rows-only; GraphAnnSpec
+    // pins tombstones-never-surface, excise ≡ frozen-quantizer
+    // rebuild on the remaining corpus row for row, entry repair, and
+    // clean re-arrival after excision.
+    "q489_graph_ann_delete" -> ((s, d) => {
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      val root = freshScratch("q489", d)
+      graft.operators.GraphAnnStore.build(emb, "vec_id", "embedding",
+        root, k = 8, nlist = 16, nprobe = 4)
+      val built = graft.operators.GraphAnnStore.load(s, root,
+        k = 8, nlist = 16, nprobe = 4)
+      val victims = emb.filter(col("vec_id") % 10 === 3)
+        .select(col("vec_id"))
+      graft.operators.GraphAnnStore.deleteDelta(built, victims, "d1")
+      val tomb = graft.operators.GraphAnnStore.load(s, root,
+        k = 8, nlist = 16, nprobe = 4)
+      graft.operators.GraphAnnStore.excise(tomb, emb, "vec_id",
+        "embedding", "x1")
+      val idx = graft.operators.GraphAnnStore.load(s, root,
+        k = 8, nlist = 16, nprobe = 4)
+      val queryIds = emb
+        .filter(col("vec_id") < 20 && col("vec_id") % 10 =!= 3)
+        .select(col("vec_id").as("query_id"))
+      graft.operators.GraphAnnStore.beamSearchStored(s, idx, emb,
+        "vec_id", "embedding", queryIds, beam = 24, hops = 4, kOut = 5)
+    }),
+
     // Multi-table sign-LSH near-dup join at a REAL near-dup
     // threshold (τ=0.8) — the regime cosineNearDupLsh is designed
     // for. The raw corpus has no pairs above ~0.51, so the query

@@ -52,9 +52,11 @@ import org.apache.spark.sql.streaming.Trigger
   * Per-batch COMPUTE *and READ IO* are therefore delta-shaped end to
   * end: shingling O(batch); the probe shuffles the BATCH's prefix
   * rows against the bucket-pruned stored-index scan; the disjointness
-  * guard probes only the delta's id buckets (the
-  * [[Dedup.incrementalClustersDeltaBy]] label-scan guard is skipped —
-  * this guard subsumes it, see foldBatch); the verify leg reads base
+  * guard probes the LABELS table pruned to the delta's doc_id buckets
+  * (the [[Dedup.incrementalClustersDeltaBy]] label-scan guard made
+  * delta-shaped — and, reading no sets members at all, invariant
+  * under sets-table maintenance renames, see foldBatch); the verify
+  * leg reads base
   * payloads PRUNED to the materialized CANDIDATES' id buckets
   * ([[Dedup.crossJaccardPairsStored]] — r14 verdict item 1);
   * contraction CC is touched-component-sized; every label-table
@@ -138,10 +140,22 @@ object StreamingClusters {
     * drain's `-data` tag convention and bucket constant. Crash
     * recovery (orphan staging / partially-moved bucket dirs) is
     * [[BucketedIndex.commitBucketed]]'s own.
+    *
+    * `alreadyPresent` (lazy; evaluated only when the name ledger says
+    * "not applied") is the CONTENT-based fallback of the redelivery
+    * check (r15 advice item 1): sets-table maintenance — compaction,
+    * rebucket — renames members, erasing the name tag a crash-window
+    * retry checks, so a maintenance pass landing inside the
+    * sets-committed/labels-pending window would make the retry append
+    * the batch's rows a SECOND time. The caller passes a pruned probe
+    * for the batch's own rows; content found → the commit already
+    * landed (commits are atomic — partial presence is impossible) →
+    * skip.
     */
   private[streaming] def appendBucketedOnce(
-      df: DataFrame, root: String, tag: String, keyCols: Seq[String]): Unit =
-    if (!Manifest.tagApplied(root, tag)) {
+      df: DataFrame, root: String, tag: String, keyCols: Seq[String],
+      alreadyPresent: => Boolean = false): Unit =
+    if (!Manifest.tagApplied(root, tag) && !alreadyPresent) {
       graft.operators.StoredIndex.appendOnce(df, root, s"$tag-data",
         keyCols, IndexBuckets)
       ()
@@ -233,29 +247,31 @@ object StreamingClusters {
       } else {
         val ownIds = bSets.select(col("id"))
         // DELTA-SHAPED disjointness guard (r13 verdict item 5 /
-        // advice item 2 — replaces incrementalClustersDelta's
-        // O(corpus) label-table scan per batch): every id in the
-        // labels table arrived through some batch's sets commit
-        // (sets commit FIRST — commit order below), and a batch id
-        // may legally sit in the stored sets only via THIS tag's own
-        // crash-window member (a compaction can only fold members of
-        // batches whose labels already landed — those redeliveries
-        // exit at the ledger and never reach here). So probing the
-        // OTHER tags' sets members, pruned to the delta's id
-        // buckets, proves label disjointness at delta-bucket cost.
+        // advice item 2, re-based in r16 on the LABELS table — r15
+        // advice item 1): every id drained by an earlier batch has a
+        // labels row (the labels commit IS the batch ledger — commit
+        // order below), and THIS tag's own crash-window rows live
+        // only in sets/prefixes, never labels. So probing the labels
+        // table pruned to the delta's doc_id buckets proves
+        // disjointness at delta-bucket cost WITHOUT any own-member
+        // exclusion — the previous probe excluded this tag's sets
+        // members BY NAME, which sets-table maintenance (compaction,
+        // rebucket) silently breaks: both rename members, so a
+        // rebucket landing inside the sets-committed/labels-pending
+        // crash window turned the retry's own rows into a permanent
+        // false 'duplicate arrivals' wedge. The labels probe is
+        // invariant under sets-table layout changes by construction.
+        val lvGuard = Manifest.currentVersion(labRoot)
+        require(LabelStore.byDocIds(spark, labRoot, lvGuard, ownIds,
+              IndexBuckets)
+            .select(col("doc_id").as("id"))
+            .join(broadcast(ownIds.distinct()), Seq("id"), "left_semi")
+            .isEmpty,
+          s"StreamingClusters.foldBatch($tag): batch ids overlap ids " +
+            "already drained by earlier batches — the feed must carry " +
+            "each doc_id once; duplicate arrivals would corrupt the " +
+            "label table silently")
         val sv = Manifest.currentVersion(setsRoot)
-        val otherMembers = BucketedIndex.prunedMemberPaths(setsRoot, sv,
-            bSets.select(col("id")), Seq("id"), IndexBuckets)
-          .filterNot(p => java.nio.file.Paths.get(p)
-            .getFileName.toString.startsWith(s"$tag-data"))
-        if (otherMembers.nonEmpty)
-          require(spark.read.parquet(otherMembers: _*).select(col("id"))
-              .join(broadcast(ownIds.distinct()), Seq("id"), "left_semi")
-              .isEmpty,
-            s"StreamingClusters.foldBatch($tag): batch ids overlap ids " +
-              "already drained by earlier batches — the feed must carry " +
-              "each doc_id once; duplicate arrivals would corrupt the " +
-              "label table silently")
         // the stored prefix index is read PRUNED to the batch's own
         // prefix-key buckets — the scan opens the delta's bucket
         // members, never the standing index (pruning keeps a
@@ -307,10 +323,29 @@ object StreamingClusters {
     val changedM = changed.localCheckpoint()
     // commit order: append-only state first (idempotent, and a
     // premature sets/prefix commit is harmless — see class doc),
-    // the labels ledger LAST
-    appendBucketedOnce(bSets, setsRoot, tag, Seq("id"))
-    appendBucketedOnce(Dedup.jaccardPrefixes(bSets, threshold), prefRoot,
-      tag, Seq("t"))
+    // the labels ledger LAST. The content probes are the
+    // maintenance-renamed crash-window fallback (see
+    // appendBucketedOnce): the disjointness guard above proved the
+    // batch's ids absent from every EARLIER batch (labels), so own
+    // ids found in a stored table here can only be this tag's own
+    // already-committed rows under a renamed member — skip, don't
+    // duplicate. Each probe is pruned to the batch's own key buckets.
+    def ownRowsIn(root: String, keyRows: DataFrame, keyCols: Seq[String],
+        idCol: String): Boolean = {
+      val v = Manifest.currentVersion(root)
+      val own = bSets.select(col("id"))
+      v > 0 && !BucketedIndex.prunedRead(spark, root, v, keyRows, keyCols,
+          IndexBuckets)
+        .select(col(idCol).as("id"))
+        .join(broadcast(own.distinct()), Seq("id"), "left_semi").isEmpty
+    }
+    val bPref = Dedup.jaccardPrefixes(bSets, threshold)
+    appendBucketedOnce(bSets, setsRoot, tag, Seq("id"),
+      alreadyPresent =
+        ownRowsIn(setsRoot, bSets.select(col("id")), Seq("id"), "id"))
+    appendBucketedOnce(bPref, prefRoot, tag, Seq("t"),
+      alreadyPresent =
+        ownRowsIn(prefRoot, bPref.select(col("t")), Seq("t"), "id"))
     // the first labels commit CREATES the table (the upsert requires
     // an initialized bucketed layout); later batches COW-upsert only
     // changed rows through the layout-preserving bucketed path. The
@@ -337,6 +372,176 @@ object StreamingClusters {
         Seq("doc_id"), IndexBuckets)
       ()
     }
+    Manifest.setRef(labRoot, tag, Manifest.currentVersion(labRoot))
+  }
+
+  /** DELETE a batch of documents from the drained state — the
+    * retraction leg of the lifecycle (r16): a 100 TB corpus does not
+    * only grow; takedowns and PII erasure must REMOVE documents from
+    * the standing clustering, physically and at delta cost. The fold
+    * is component-bounded:
+    *
+    *  1. the victims' label rows resolve through the pruned id-keyed
+    *     leg (their doc_id buckets only);
+    *  2. the touched clusters' FULL membership resolves through the
+    *     cluster-id secondary index (two pruned hops — [[LabelStore]]);
+    *  3. the REMAINING members of those clusters re-cluster FROM
+    *     SCRATCH within the components (their stored sets read pruned
+    *     to their id buckets; [[Dedup.jaccardPairs]] over
+    *     touched-component rows only): removing a doc can SPLIT a
+    *     cluster, and pair existence depends only on the two docs'
+    *     sets, so no pair outside the touched components can change —
+    *     the recompute is exactly the from-scratch assignment
+    *     restricted to the touched components. The post-delete state
+    *     therefore equals a from-scratch drain of (corpus − victims),
+    *     which is why q488 hash-pins this operator against the q67
+    *     recursive-CTE oracle on the remaining documents;
+    *  4. the victims' sets and prefix rows COW-DELETE from their key
+    *     buckets ([[BucketedIndex.deleteBucketed]] — prefix keys
+    *     derive from the victims' STORED sets, read before the sets
+    *     delete), so a later batch re-adding a deleted doc_id is a
+    *     clean arrival: the disjointness guard, the prefix probe, and
+    *     the verify leg see no trace of the victim.
+    *
+    * Commit order and crash windows: prefixes delete first (their
+    * keys need the victims' sets rows — a retry after the sets delete
+    * finds no victim sets, hence no prefix keys, hence correctly
+    * re-deletes nothing), then sets, then the secondary index gains
+    * the NEW assignment's entries (ADD-only: deleting dissolved
+    * cluster ids from the index BEFORE the labels commit would break
+    * the index-ahead crash contract — a retry probing the old ids
+    * would miss the still-unrelabeled rows; dissolved-id entries stay
+    * as the documented bounded garbage, exactly like merge-away
+    * staleness), then the labels advance in ONE atomic
+    * delete+upsert ([[BucketedIndex.upsertDeleteBucketed]] — no
+    * window where a remaining member references a deleted cluster
+    * id), then the per-batch ref lands (the same durable ledger as
+    * [[foldBatch]]). A batch whose victims are ALL already absent
+    * from the labels is treated as an applied delete and heals the
+    * ledger (the post-commit/pre-ref crash window is
+    * indistinguishable from it; commits are atomic, so partial
+    * application is impossible) — a PARTIAL overlap fails loudly
+    * (a mis-routed feed, or a delete racing an unfinished fold's
+    * crash window; retry the fold first). Serialize deletes with
+    * folds in one drain, like every state mutation here.
+    *
+    * Maintenance interplay: the COW deletes require the sets/prefix
+    * tables FULLY at the drain's modulus — a table rebucketed to a
+    * foreign modulus refuses loudly with the remedy (rebucket back
+    * to [[IndexBuckets]]), the conservative direction.
+    */
+  def deleteDocs(
+      spark: SparkSession,
+      victims0: DataFrame,
+      stateDir: String,
+      tag: String,
+      threshold: Double): Unit = {
+    val setsRoot = s"$stateDir/sets"
+    val prefRoot = s"$stateDir/prefixes"
+    val labRoot = s"$stateDir/labels"
+    val clxRoot = s"$stateDir/labels_clx"
+    checkThreshold(stateDir, threshold)
+    if (labelsApplied(labRoot, tag)) return
+    val lv = Manifest.currentVersion(labRoot)
+    require(lv > 0,
+      s"StreamingClusters.deleteDocs($tag): $stateDir has no drained " +
+        "labels — nothing to delete from")
+    // batch-sized; feeds every guard, prune and anti-join below
+    val victims = victims0
+      .select(col(victims0.columns.head).as("doc_id")).distinct()
+      .localCheckpoint()
+    val nV = victims.count()
+    if (nV == 0) { Manifest.setRef(labRoot, tag, lv); return }
+    val vLabs = LabelStore.byDocIds(spark, labRoot, lv, victims,
+        IndexBuckets)
+      .join(broadcast(victims), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val nL = vLabs.count()
+    if (nL == 0) {
+      // fully-applied delete whose ref write crashed (or a redelivery
+      // after maintenance renamed the labels members): heal and exit
+      Manifest.setRef(labRoot, tag, lv)
+      return
+    }
+    require(nL == nV,
+      s"StreamingClusters.deleteDocs($tag): ${nV - nL} of $nV victim " +
+        "doc_ids are not in the drained state — a partial overlap is " +
+        "never a crash window (commits are atomic); check the feed, or " +
+        "retry an unfinished fold before deleting its docs")
+    // victims' stored sets (pruned to their id buckets) — the prefix
+    // delete's keys; empty on a post-sets-delete crash retry
+    val sv = Manifest.currentVersion(setsRoot)
+    val vIds = victims.select(col("doc_id").as("id"))
+    val vSets = BucketedIndex.prunedRead(spark, setsRoot, sv, vIds,
+        Seq("id"), IndexBuckets)
+      .join(broadcast(vIds), Seq("id"), "left_semi")
+      .localCheckpoint()
+    // the touched components' remaining members and their sets —
+    // touched-bounded throughout
+    LabelStore.ensureSecondary(spark, labRoot, clxRoot, IndexBuckets)
+    val cxv = Manifest.currentVersion(clxRoot)
+    val cids = vLabs.select(col("cluster_id")).distinct().localCheckpoint()
+    val remaining = LabelStore.byClusterIds(spark, labRoot, lv, clxRoot,
+        cxv, cids, IndexBuckets)
+      .join(broadcast(cids), Seq("cluster_id"), "left_semi")
+      .select(col("doc_id"))
+      .join(broadcast(victims), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val remIds = remaining.select(col("doc_id").as("id"))
+    val remSets = BucketedIndex.prunedRead(spark, setsRoot, sv, remIds,
+        Seq("id"), IndexBuckets)
+      .join(broadcast(remIds), Seq("id"), "left_semi")
+      .localCheckpoint()
+    // from-scratch re-clustering WITHIN the touched components (see
+    // class doc for why no outside pair can change)
+    val newRows = Dedup.duplicateClusters(
+        Dedup.jaccardPairs(remSets.select(col("id"), col("ts")), threshold)
+          .select("a_id", "b_id"),
+        remaining)
+      .localCheckpoint()
+    // commit order per the scaladoc: prefixes, sets, clx (add-only),
+    // labels (atomic delete+upsert), ref
+    // each COW delete skips when its tag already owns head members (a
+    // crash-window redelivery — re-adopting the same member names
+    // would collide); a retry after maintenance RENAMED them re-runs
+    // harmlessly (the victims' rows are gone, so the rewrite adopts
+    // fresh names or nothing)
+    val vPref = Dedup.jaccardPrefixes(vSets, threshold)
+      .select(col("t"), col("id"))
+    if (!Manifest.tagApplied(prefRoot, s"$tag-dpref")) {
+      BucketedIndex.deleteBucketed(vPref, prefRoot, s"$tag-dpref",
+        Seq("t"), IndexBuckets, Seq("t", "id"))
+      ()
+    }
+    if (!Manifest.tagApplied(setsRoot, s"$tag-dsets")) {
+      BucketedIndex.deleteBucketed(vIds, setsRoot, s"$tag-dsets",
+        Seq("id"), IndexBuckets, Seq("id"))
+      ()
+    }
+    if (!Manifest.tagApplied(clxRoot, tag)) {
+      // ADD-only at the ENTRY-ROW grain: the new assignment's entries
+      // UNION the touched clusters' existing ones. A cluster-grain
+      // replace would be wrong here — unlike a fold (where clusters
+      // only merge, so the new entry set is a superset), a deletion
+      // SHRINKS and SPLITS clusters: replacing cluster c's entry with
+      // its post-split bucket set while the labels still hold
+      // pre-split rows (the clx-committed/labels-pending crash
+      // window) would make the retry's byClusterIds(c) miss the
+      // split-off members entirely. Old entries go stale only after
+      // the labels land — then they are the documented harmless
+      // garbage.
+      val oldEntries = BucketedIndex.prunedRead(spark, clxRoot, cxv,
+          cids, Seq("cluster_id"), IndexBuckets)
+        .join(broadcast(cids), Seq("cluster_id"), "left_semi")
+        .select(col("cluster_id"), col("kb"))
+      BucketedIndex.upsertBucketed(
+        LabelStore.clusterEntries(newRows, IndexBuckets)
+          .unionByName(oldEntries).distinct(),
+        clxRoot, tag, Seq("cluster_id"), IndexBuckets)
+      ()
+    }
+    BucketedIndex.upsertDeleteBucketed(newRows, victims, labRoot, tag,
+      Seq("doc_id"), IndexBuckets)
     Manifest.setRef(labRoot, tag, Manifest.currentVersion(labRoot))
   }
 

@@ -236,7 +236,9 @@ object DumpPlans {
     "q484_incremental_fold_stored" -> "incremental clustering fold vs a PERSISTED base: the delta shingles ITS batch alone, probes the bucket-pruned stored prefix index, contraction CC touches only affected components, labels fold from the stored table — the per-batch cost a daily drain repeats, with the base fixture amortized out of the measurement (process-cached Manifest tables)",
     "q485_ivfpq_stored" -> "persisted IVF-PQ serving: artifacts (centroids + integer codebook) come from the stored handle, the ADC scan reads ONLY the probed lists' bucket members (pruned parquet scan feeding the shortlist window), exact re-rank joins float vectors for the shortlist alone; the delta appended its codes without touching a stored row",
     "q486_signlsh_stored" -> "persisted sign-LSH serving: the plane family IS the handle's parameters (deterministic planes — no quantizer table), the probed (query, bucket) spine broadcasts into the PRUNED bucket-member read, candidate ids join the corpus once for exact-cosine ranking; the delta appended its bucket rows without touching a stored row",
-    "q487_cluster_lookup_stored" -> "cluster-grain serving from the stored label table: three pruned hops — the batch ids' label buckets, the touched clusters' SECONDARY-INDEX buckets, then only the primary buckets the index entries name — each a pruned parquet scan semi-joined exact; the full label table never scans")
+    "q487_cluster_lookup_stored" -> "cluster-grain serving from the stored label table: three pruned hops — the batch ids' label buckets, the touched clusters' SECONDARY-INDEX buckets, then only the primary buckets the index entries name — each a pruned parquet scan semi-joined exact; the full label table never scans",
+    "q488_cluster_delete_fold" -> "deletion fold: victims' labels via their doc_id buckets, touched clusters' membership via the secondary index's two pruned hops, remaining members' sets via their id buckets, component-bounded re-clustering, then COW deletes (prefixes/sets) + ONE atomic delete+upsert (labels) touching only the victims'/survivors' buckets; the final frame is the labels Manifest read (the fold's plans ran at delete time)",
+    "q489_graph_ann_delete" -> "graph-ANN deletion: the tombstone append is one id-bucketed commit; excise pays ONE narrow full-index scan (broadcast dst probe) to find affected sources, recomputes their lists against the remaining corpus (shuffled probe x member equi-joins under the stored quantizer), and lands victims-out + lists-replaced as one atomic delete+upsert; the serving walk then reads frontier-pruned edge buckets with the tombstone anti-join only at the surface rank")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

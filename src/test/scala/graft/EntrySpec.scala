@@ -32,14 +32,14 @@ class EntrySpec extends AnyFunSuite {
     // so a silently DROPPED oracled query would not have failed the
     // suite. Keep in sync with CLAUDE.md's inventory note — a new
     // query bumps this in the SAME commit.
-    assert(SparkEntry.queries.size == 487,
-      s"query inventory drifted: ${SparkEntry.queries.size} (expected 487)")
+    assert(SparkEntry.queries.size == 489,
+      s"query inventory drifted: ${SparkEntry.queries.size} (expected 489)")
   }
 
   test("rows-only queries are exactly the approximate / non-SQL-expressible ops") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep this count in sync with CLAUDE.md's inventory note
-    assert(rowsOnly.size == 29, s"rows-only count drifted: ${rowsOnly.size}")
+    assert(rowsOnly.size == 30, s"rows-only count drifted: ${rowsOnly.size}")
     assert(rowsOnly == Set("q36_minhash_lsh", "q37_simhash",
       "q38_ngram_jaccard", "q42_ann_lsh", "q43_winnow_fp", "q44_ann_ivf",
       "q48_source_signatures", "q59_corpus_clean",
@@ -104,6 +104,12 @@ class EntrySpec extends AnyFunSuite {
       // equality, fold ≡ knnGraphDelta, touched-bucket-only rewrite,
       // and the recall floor
       "q483_graph_ann_stored",
+      // DELETION from the stored graph index (r16): tombstone append
+      // + filtered serving + excision — same walk approximation;
+      // GraphAnnSpec pins tombstones-never-surface, excise ≡
+      // frozen-quantizer rebuild on the remaining corpus, entry
+      // repair, and clean re-arrival after excision
+      "q489_graph_ann_delete",
       // perceptual dHash summarizes payloads (approximate by
       // construction); PerceptualDedupSpec pins planted recall,
       // brute-force equality and layout determinism

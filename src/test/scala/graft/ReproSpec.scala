@@ -242,7 +242,9 @@ class ReproSpec extends AnyFunSuite {
     "q484_incremental_fold_stored", // fold vs a process-cached stored base
     "q485_ivfpq_stored",    // persisted IVF-PQ: append + stored serving
     "q486_signlsh_stored",  // persisted sign-LSH: append + stored probe
-    "q487_cluster_lookup_stored" // secondary-index cluster membership
+    "q487_cluster_lookup_stored", // secondary-index cluster membership
+    "q488_cluster_delete_fold", // deletion fold == from-scratch on rest
+    "q489_graph_ann_delete" // tombstone + excise + stored walk
   )
 
   representatives.foreach { name =>

@@ -275,23 +275,104 @@ class BucketedIndexSpec extends AnyFunSuite {
     BucketedIndex.commitBucketed(index(Seq((1L, 10L))), root, "base", Seq("t"), 4)
     val v = Manifest.currentVersion(root)
     val head = Manifest.memberPartitions(root, v)
+    val paths = head.map(_._1).toSet
     val kb = head.head._2("kb")
     // clean premise: the touched member is in the replaced set → ok
-    BucketedIndex.upsertPremise(root, "day1", Set(kb), 4,
-      head.map(_._1).toSet)(head)
+    BucketedIndex.upsertPremise(root, "day1", Set(kb), 4, "t",
+      paths, paths)(head)
     // raced premise: the head holds a member in a touched bucket the
     // merge never saw → loud refusal naming the member
     val e = intercept[IllegalStateException] {
-      BucketedIndex.upsertPremise(root, "day1", Set(kb), 4,
-        Set.empty[String])(head)
+      BucketedIndex.upsertPremise(root, "day1", Set(kb), 4, "t",
+        Set.empty[String], Set.empty[String])(head)
     }
     assert(e.getMessage.contains("gained members") &&
       e.getMessage.contains(head.head._1), e.getMessage)
-    // foreign-modulus and untouched-bucket members never void it
-    BucketedIndex.upsertPremise(root, "day1", Set("999"), 4,
-      Set.empty[String])(head)
-    BucketedIndex.upsertPremise(root, "day1", Set(kb), 8,
-      Set.empty[String])(head)
+    // an untouched-bucket CONFORMING newcomer never voids it (its rows
+    // hash only into its own, untouched bucket)
+    BucketedIndex.upsertPremise(root, "day1", Set("999"), 4, "t",
+      Set.empty[String], Set.empty[String])(head)
+    // but a newcomer OUTSIDE the stated layout voids it even in an
+    // untouched bucket (r15 advice item 3): a foreign-modulus,
+    // foreign-kc, or untagged member can hold updated keys ANYWHERE —
+    // the snapshot's mixed-layout check cannot see concurrent arrivals
+    val eKbn = intercept[IllegalStateException] {
+      BucketedIndex.upsertPremise(root, "day1", Set("999"), 8, "t",
+        Set.empty[String], Set.empty[String])(head)
+    }
+    assert(eKbn.getMessage.contains("self-describing"), eKbn.getMessage)
+    val eKc = intercept[IllegalStateException] {
+      BucketedIndex.upsertPremise(root, "day1", Set("999"), 4, "other",
+        Set.empty[String], Set.empty[String])(head)
+    }
+    assert(eKc.getMessage.contains("self-describing"), eKc.getMessage)
+    val eUntagged = intercept[IllegalStateException] {
+      BucketedIndex.upsertPremise(root, "day1", Set("999"), 4, "t",
+        Set.empty[String], Set.empty[String])(
+        head ++ Seq(("concurrent-legacy", Map.empty[String, String])))
+    }
+    assert(eUntagged.getMessage.contains("concurrent-legacy"),
+      eUntagged.getMessage)
+    // SNAPSHOT members are exempt from the layout check — the
+    // pre-merge checks already vetted them (incl. the documented
+    // legacy kc-untagged tolerance); only what the head GAINED voids
+    BucketedIndex.upsertPremise(root, "day1", Set("999"), 8, "t",
+      paths, Set.empty[String])(head)
+  }
+
+  test("COW delete drops match-grain rows in the victims' buckets; emptied buckets leave the layout (r16)") {
+    val root = TestSpark.tmpDir("bidx-delete").toString
+    // keys 1..40, two rows per key (ids k*10 and k*10+1)
+    val base = index((1L to 40L).flatMap(t => Seq((t, t * 10), (t, t * 10 + 1))))
+    BucketedIndex.commitBucketed(base, root, "base", Seq("t"), N)
+    val v0 = Manifest.currentVersion(root)
+    val before = Manifest.memberPartitions(root, v0).map(_._1).toSet
+    // match-grain finer than the bucketing: delete (t=7, id=70) but
+    // keep (t=7, id=71)
+    BucketedIndex.deleteBucketed(index(Seq((7L, 70L))), root, "d1",
+      Seq("t"), N, Seq("t", "id"))
+    val v1 = Manifest.currentVersion(root)
+    assert(fp(Manifest.read(spark, root, v1)) == fp(base) - ((7L, 70L)))
+    // untouched buckets' members survive byte-verbatim
+    val after1 = Manifest.memberPartitions(root, v1).map(_._1).toSet
+    assert((before & after1).size >= before.size - 2,
+      "only the victim's bucket may rewrite")
+    assert(Manifest.memberPartitions(root, v1).forall { case (_, t) =>
+      t.contains("kb") && t.get("kbn").contains(N.toString)
+    }, "the delete must preserve the bucketed layout")
+    // deleting EVERY row of a bucket leaves the bucket absent (no
+    // empty member) — and the pruned read of that key set is empty
+    val tToKb = (1L to 40L).toDF("t")
+      .select(col("t"), BucketedIndex.bucketOf(N, col("t")).as("kb"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kb9 = tToKb(9L)
+    val allT = (1L to 40L).filter(tToKb(_) == kb9)
+    BucketedIndex.deleteBucketed(
+      index(allT.flatMap(t => Seq((t, t * 10), (t, t * 10 + 1)))),
+      root, "d2", Seq("t"), N, Seq("t", "id"))
+    val v2 = Manifest.currentVersion(root)
+    assert(!Manifest.memberPartitions(root, v2)
+      .exists(_._2.get("kb").contains(kb9.toString)),
+      "an emptied bucket must leave the layout entirely")
+    // a victim matching nothing is an idempotent no-op rewrite
+    val rows2 = fp(Manifest.read(spark, root, v2))
+    BucketedIndex.deleteBucketed(index(Seq((7L, 70L))), root, "d3",
+      Seq("t"), N, Seq("t", "id"))
+    assert(fp(Manifest.read(spark, root,
+      Manifest.currentVersion(root))) == rows2)
+  }
+
+  test("atomic delete+upsert advances both in ONE version (r16)") {
+    val root = TestSpark.tmpDir("bidx-delup").toString
+    BucketedIndex.commitBucketed(index(Seq((1L, 10L), (2L, 20L), (3L, 30L))),
+      root, "base", Seq("t"), N)
+    val v0 = Manifest.currentVersion(root)
+    // replace key 1's rows, delete key 2, keep key 3 — one commit
+    val v1 = BucketedIndex.upsertDeleteBucketed(
+      index(Seq((1L, 11L))), Seq(2L).toDF("t"), root, "day1", Seq("t"), N)
+    assert(v1 == v0 + 1, "delete+upsert must be ONE atomic version")
+    assert(fp(Manifest.read(spark, root, v1)) ==
+      Set((1L, 11L), (3L, 30L)))
   }
 
   test("COW upsert refuses a mixed layout loudly") {

@@ -234,9 +234,22 @@ class GraphAnnSpec extends AnyFunSuite {
     }, "the fold must preserve the bucketed layout — pruning survives")
     assert(after.keySet.exists(_.contains("day1-b")),
       "the fold's rewritten members must carry the redelivery tag")
-    // redelivery is a no-op (the ledger)
+    // redelivery is a no-op (the ledger) — it exits at the tag
+    // ledger even on a stale handle, BEFORE the version pin below
     assert(GraphAnnStore.foldDelta(built, baseEmb, deltaEmb, "vec_id",
       "embedding", nameTag = "day1") == v1)
+    // a STALE handle under a FRESH tag refuses loudly (r15 advice
+    // item 4): `built` pins the PRE-fold snapshot, so a second fold
+    // from it would COW-overwrite day1's merged rows for shared
+    // touched sources — and the id-grain guard alone cannot catch it
+    // (this delta's ids are disjoint from everything stored)
+    val fresh2 = deltaEmb.withColumn("vec_id", col("vec_id") + 10000000L)
+    val eStale = intercept[IllegalArgumentException] {
+      GraphAnnStore.foldDelta(built, baseEmb, fresh2, "vec_id",
+        "embedding", nameTag = "day2stale")
+    }
+    assert(eStale.getMessage.contains("reload the handle"),
+      eStale.getMessage)
     // serving from the folded index keeps the recall floor (entries
     // stay the BUILD's — stable across folds by design)
     val idx = GraphAnnStore.load(spark, root, k = 8, nlist = 16, nprobe = 4)
@@ -260,6 +273,79 @@ class GraphAnnSpec extends AnyFunSuite {
         "embedding", nameTag = "day2")
     }
     assert(eDup.getMessage.contains("already present"), eDup.getMessage)
+  }
+
+  test("stored delete: tombstones never surface; excise == frozen-quantizer rebuild on the remaining corpus (r16)") {
+    import spark.implicits._
+    val root = graft.TestSpark.tmpDir("gann-delete").toString
+    GraphAnnStore.build(emb, "vec_id", "embedding", root,
+      k = 8, nlist = 16, nprobe = 4)
+    val built = GraphAnnStore.load(spark, root, k = 8, nlist = 16,
+      nprobe = 4)
+    // victims: every 10th-ish id PLUS one build entry node, so the
+    // excise's entry-repair leg runs deterministically
+    val entryVictim = built.entries.head._2
+    val victimIds = ((0L until emb.count()).filter(_ % 10 == 3) :+
+      entryVictim).distinct
+    val victimDf = victimIds.toDF("vec_id")
+    // an id with no edge list refuses loudly
+    val eAbs = intercept[IllegalArgumentException] {
+      GraphAnnStore.deleteDelta(built, Seq(99999999L).toDF("vec_id"), "dbad")
+    }
+    assert(eAbs.getMessage.contains("no edge list"), eAbs.getMessage)
+    GraphAnnStore.deleteDelta(built, victimDf, "d1")
+    // redelivered tag is a no-op; a SECOND delete of the same ids
+    // under a fresh tag is loud
+    val tv = Manifest.currentVersion(s"$root/tombstones")
+    assert(GraphAnnStore.deleteDelta(built, victimDf, "d1") == tv)
+    val eDup = intercept[IllegalArgumentException] {
+      GraphAnnStore.deleteDelta(built, victimDf, "d2")
+    }
+    assert(eDup.getMessage.contains("already tombstoned"), eDup.getMessage)
+    // serving: tombstoned ids ROUTE but never SURFACE
+    val idx = GraphAnnStore.load(spark, root, k = 8, nlist = 16,
+      nprobe = 4)
+    val queries = emb
+      .filter(col("vec_id") < 20 && col("vec_id") % 10 =!= 3 &&
+        col("vec_id") =!= entryVictim)
+      .select(col("vec_id").as("query_id")).localCheckpoint()
+    val preEx = GraphAnnStore.beamSearchStored(spark, idx, emb, "vec_id",
+        "embedding", queries, beam = 24, hops = 4, kOut = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(preEx.nonEmpty &&
+      !preEx.exists(r => victimIds.contains(r._2)),
+      "a tombstoned id must never surface from the stored walk")
+    // EXCISE: physical removal == frozen-quantizer rebuild on the
+    // remaining corpus, row for row (one shared definition —
+    // GraphAnn.knnListsFor)
+    GraphAnnStore.excise(idx, emb, "vec_id", "embedding", "x1")
+    val remaining = emb.join(victimDf, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = canon(GraphAnn.knnGraphWithCentroids(remaining, "vec_id",
+      "embedding", 8, idx.cents, 4))
+    val after = GraphAnnStore.load(spark, root, k = 8, nlist = 16,
+      nprobe = 4)
+    assert(canon(after.edges) == want,
+      "the excised table must equal the frozen-quantizer rebuild on " +
+        "the remaining corpus")
+    // the ledger cleared; the repaired entry serves; recall holds
+    assert(after.tombs.isEmpty, "excise must clear the tombstone ledger")
+    assert(after.entries.forall { case (_, n) => !victimIds.contains(n) },
+      "excise must repair tombstoned entry nodes")
+    val postEx = GraphAnnStore.beamSearchStored(spark, after, remaining,
+        "vec_id", "embedding", queries, beam = 24, hops = 4, kOut = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(postEx.nonEmpty && !postEx.exists(r => victimIds.contains(r._2)))
+    // excised ids are CLEAN re-arrivals: the fold accepts them again
+    val readd = emb.join(victimDf, Seq("vec_id"), "left_semi")
+    GraphAnnStore.foldDelta(after, remaining, readd, "vec_id",
+      "embedding", "re1")
+    assert(Manifest.read(spark, s"$root/edges",
+        Manifest.currentVersion(s"$root/edges"))
+      .select(col("src")).distinct().count() == emb.count(),
+      "re-added ids must own edge lists again")
   }
 
   test("delta fold: edge quality holds vs the TRUE from-scratch rebuild (fresh centroids)") {

@@ -203,6 +203,120 @@ class IvfPqSpec extends AnyFunSuite {
       "a refused append must not land partial members")
   }
 
+  test("stored IVF-PQ: the codes/members crash window completes under its OWN tag, refuses another (r15)") {
+    // r15 advice item 2 (the PqStore twin of the MultiProbeSpec pin):
+    // codes commit BEFORE the members ledger, so in the window between
+    // the two the members-only id guard is blind — the same ids under
+    // a DIFFERENT tag used to land duplicate code rows permanently.
+    // The content-bucket second screen refuses that; the ORIGINAL
+    // tag's retry just completes the ledger.
+    val root = TestSpark.tmpDir("pq-crashwin").toString
+    val baseEmb = emb.filter(col("vec_id") % 10 =!= 0)
+    val deltaEmb = emb.filter(col("vec_id") % 10 === 0)
+    PqStore.build(baseEmb, "vec_id", "embedding", root, nlist = 16)
+    val built = PqStore.load(spark, root, nlist = 16, nprobe = 4,
+      m = 16, ksub = 16)
+    // plant the window: dayA's codes landed, its members did not
+    val coded = Pq.encodeResiduals(deltaEmb, "vec_id", "embedding",
+        built.cents, built.model)
+      .withColumnRenamed("vec_id", "id")
+    StoredIndex.appendOnce(coded, s"$root/codes", "dayA", Seq("ivf_list"),
+      built.numBuckets)
+    val e = intercept[IllegalArgumentException] {
+      PqStore.appendDelta(built, deltaEmb, "vec_id", "embedding", "dayB")
+    }
+    assert(e.getMessage.contains("half-applied") &&
+      e.getMessage.contains("ORIGINAL"), e.getMessage)
+    // the original tag completes idempotently: each row exactly once
+    PqStore.appendDelta(built, deltaEmb, "vec_id", "embedding", "dayA")
+    val idx = PqStore.load(spark, root, nlist = 16, nprobe = 4,
+      m = 16, ksub = 16)
+    assert(idx.codes.count() == emb.count(),
+      "the completed append must hold each code row exactly once")
+    // and with the ledger healed, same ids now refuse at the id grain
+    val e2 = intercept[IllegalArgumentException] {
+      PqStore.appendDelta(built, deltaEmb, "vec_id", "embedding", "dayC")
+    }
+    assert(e2.getMessage.contains("already present"), e2.getMessage)
+  }
+
+  test("stored IVF-PQ: delete is a pruned COW retraction — vanishes from serving, re-adds cleanly (r16)") {
+    val root = TestSpark.tmpDir("pq-delete").toString
+    PqStore.build(emb, "vec_id", "embedding", root, nlist = 16)
+    val built = PqStore.load(spark, root, nlist = 16, nprobe = 4,
+      m = 16, ksub = 16)
+    // victims confined to ONE coarse list, so the pruned-COW claim is
+    // non-vacuous (a corpus-wide victim set touches every file bucket
+    // legitimately)
+    val enc = Pq.encodeResiduals(emb, "vec_id", "embedding", built.cents,
+      built.model).localCheckpoint()
+    val listSel = enc.groupBy(col("ivf_list")).count()
+      .filter(col("count") >= 5).agg(min(col("ivf_list")))
+      .collect()(0).getInt(0)
+    val victimIds = enc.filter(col("ivf_list") === listSel)
+      .orderBy(col("vec_id")).limit(5)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    val victims = emb.filter(col("vec_id").isin(victimIds: _*))
+      .localCheckpoint()
+    val nVict = victims.count()
+    assert(nVict == 5)
+    // a changed-vector delivery is LOUD (the routing check), never a
+    // silent residue — checked BEFORE the real delete
+    val wrong = victims.limit(3).select(col("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding"))
+    val eWrong = intercept[IllegalArgumentException] {
+      PqStore.deleteDelta(built, wrong, "vec_id", "embedding", "dwrong")
+    }
+    assert(eWrong.getMessage.contains("re-derived"), eWrong.getMessage)
+    // partial overlap (live ids + a never-added id) is loud
+    import spark.implicits._
+    val ePart = intercept[IllegalArgumentException] {
+      PqStore.deleteDelta(built,
+        victims.limit(2).unionByName(Seq((99999999L,
+          Seq.fill(64)(0.1f))).toDF("vec_id", "embedding")),
+        "vec_id", "embedding", "dpart")
+    }
+    assert(ePart.getMessage.contains("partial overlap"), ePart.getMessage)
+    // the real delete: pruned COW — untouched code members verbatim
+    val before = Manifest.memberPartitions(s"$root/codes", built.version)
+      .map(_._1).toSet
+    val v1 = PqStore.deleteDelta(built, victims, "vec_id", "embedding",
+      "d1")
+    val after = Manifest.memberPartitions(s"$root/codes", v1).map(_._1).toSet
+    assert((before & after).nonEmpty,
+      "a delete must not rewrite untouched code buckets")
+    val idx = PqStore.load(spark, root, nlist = 16, nprobe = 4,
+      m = 16, ksub = 16)
+    assert(idx.codes.count() == emb.count() - nVict)
+    assert(idx.codes.join(victims.select(col("vec_id").as("id")),
+      Seq("id"), "left_semi").isEmpty,
+      "victims' code rows must be physically gone")
+    // redelivered tag no-op; all-absent under a fresh tag is a quiet
+    // applied-delete (the post-commit/pre-ledger window)
+    assert(PqStore.deleteDelta(built, victims, "vec_id", "embedding",
+      "d1") == v1)
+    assert(PqStore.deleteDelta(built, victims, "vec_id", "embedding",
+      "d2") == v1)
+    // deleted ids never surface from the stored serving
+    val got = PqStore.topKStored(spark, idx, emb, "vec_id", "embedding",
+        queryIds(20), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty && !got.exists(r => victimIds.contains(r._2)),
+      "a deleted id must never surface from the stored index")
+    // deleted ids are CLEAN re-arrivals, and the re-grown index equals
+    // a full encode under the stored artifacts (the append pin)
+    PqStore.appendDelta(idx, victims, "vec_id", "embedding", "re1")
+    val regrown = PqStore.load(spark, root, nlist = 16, nprobe = 4,
+      m = 16, ksub = 16)
+    val storedCodes = regrown.codes.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = Pq.encodeResiduals(emb, "vec_id", "embedding", built.cents,
+        built.model).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(storedCodes == want,
+      "delete + re-add must round-trip to the full encode")
+  }
+
   test("candidate IO is exactly the probed lists' rows — never the other lists") {
     val nlist = 16; val nprobe = 4
     val cands = Pq.ivfPqCandidates(emb, "vec_id", "embedding", queryIds(20),

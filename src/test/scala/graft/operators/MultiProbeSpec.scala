@@ -195,4 +195,105 @@ class MultiProbeSpec extends AnyFunSuite {
     assert(eReuse.getMessage.contains("already present") &&
       eReuse.getMessage.contains("upsert"), eReuse.getMessage)
   }
+
+  test("stored index: delete is a pruned COW retraction — vanishes from serving, re-adds cleanly (r16)") {
+    val root = TestSpark.tmpDir("slsh-delete").toString
+    SignLshStore.build(emb, "vec_id", "embedding", root,
+      numPlanes = 6, dim = 64)
+    val built = SignLshStore.load(spark, root, numPlanes = 6, dim = 64)
+    // victims confined to ONE LSH bucket, so the pruned-COW claim is
+    // non-vacuous (a corpus-wide victim set touches every file bucket
+    // legitimately)
+    val assigned = emb.select(col("vec_id"),
+      Vec.lshBucket(col("embedding"), built.planes).as("bucket"))
+      .localCheckpoint()
+    val bSel = assigned.groupBy(col("bucket")).count()
+      .filter(col("count") >= 5).agg(min(col("bucket")))
+      .collect()(0).getLong(0)
+    val victimIds = assigned.filter(col("bucket") === bSel)
+      .orderBy(col("vec_id")).limit(5)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    val victims = emb.filter(col("vec_id").isin(victimIds: _*))
+      .localCheckpoint()
+    val nVict = victims.count()
+    assert(nVict == 5)
+    // changed-vector delivery is loud (the routing check)
+    val wrong = victims.limit(3).select(col("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding"))
+    val eWrong = intercept[IllegalArgumentException] {
+      SignLshStore.deleteDelta(built, wrong, "vec_id", "embedding",
+        "dwrong")
+    }
+    assert(eWrong.getMessage.contains("re-derived"), eWrong.getMessage)
+    val before = Manifest.members(s"$root/buckets", built.version).toSet
+    val v1 = SignLshStore.deleteDelta(built, victims, "vec_id",
+      "embedding", "d1")
+    assert((before & Manifest.members(s"$root/buckets", v1).toSet)
+      .nonEmpty, "a delete must not rewrite untouched buckets")
+    val idx = SignLshStore.load(spark, root, numPlanes = 6, dim = 64)
+    assert(idx.buckets.count() == emb.count() - nVict)
+    assert(idx.buckets.join(victims.select(col("vec_id").as("nid")),
+      Seq("nid"), "left_semi").isEmpty,
+      "victims' bucket rows must be physically gone")
+    // redelivery no-op; all-absent fresh tag quiet; deleted ids never
+    // surface; re-add equals the full-corpus probe again
+    assert(SignLshStore.deleteDelta(built, victims, "vec_id",
+      "embedding", "d1") == v1)
+    assert(SignLshStore.deleteDelta(built, victims, "vec_id",
+      "embedding", "d2") == v1)
+    val got = SignLshStore.topKStored(spark, idx, emb, "vec_id",
+        "embedding", queries, nProbes = 4, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty && !got.exists(r => victimIds.contains(r._2)),
+      "a deleted id must never surface from the stored index")
+    SignLshStore.appendDelta(idx, victims, "vec_id", "embedding", "re1")
+    val regrown = SignLshStore.load(spark, root, numPlanes = 6, dim = 64)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    assert(canon(SignLshStore.topKStored(spark, regrown, emb, "vec_id",
+        "embedding", queries, nProbes = 4, k = 5)) ==
+      canon(Similarity.multiProbeTopK(emb, "vec_id", "embedding",
+        queries, planes, nProbes = 4, k = 5)),
+      "delete + re-add must round-trip to the full-corpus probe")
+  }
+
+  test("stored index: the bucket/members crash window completes under its OWN tag, refuses another (r15)") {
+    // r15 advice item 2: appendDelta commits bucket rows BEFORE the
+    // members ledger. In the window between the two, the members-only
+    // id guard is blind to the half-appended ids — the same ids
+    // redelivered under a DIFFERENT tag used to pass it and land the
+    // bucket rows twice, permanently. The content-bucket second
+    // screen refuses that; the ORIGINAL tag's retry skips the guards
+    // (its crashed attempt passed them) and just completes the ledger.
+    val root = TestSpark.tmpDir("slsh-crashwin").toString
+    val baseEmb = emb.filter(col("vec_id") % 10 =!= 0)
+    val deltaEmb = emb.filter(col("vec_id") % 10 === 0)
+    SignLshStore.build(baseEmb, "vec_id", "embedding", root,
+      numPlanes = 6, dim = 64)
+    val built = SignLshStore.load(spark, root, numPlanes = 6, dim = 64)
+    // plant the window: dayA's bucket rows landed, its members did not
+    val rows = deltaEmb.select(col("vec_id").as("nid"),
+      graft.functions.Vec.lshBucket(col("embedding"), built.planes)
+        .as("bucket"))
+    StoredIndex.appendOnce(rows, s"$root/buckets", "dayA", Seq("bucket"),
+      built.numBuckets)
+    val e = intercept[IllegalArgumentException] {
+      SignLshStore.appendDelta(built, deltaEmb, "vec_id", "embedding",
+        "dayB")
+    }
+    assert(e.getMessage.contains("half-applied") &&
+      e.getMessage.contains("ORIGINAL"), e.getMessage)
+    // the original tag completes idempotently: each row exactly once
+    SignLshStore.appendDelta(built, deltaEmb, "vec_id", "embedding", "dayA")
+    val idx = SignLshStore.load(spark, root, numPlanes = 6, dim = 64)
+    assert(idx.buckets.count() == emb.count(),
+      "the completed append must hold each row exactly once")
+    // and with the ledger healed, same ids now refuse at the id grain
+    val e2 = intercept[IllegalArgumentException] {
+      SignLshStore.appendDelta(built, deltaEmb, "vec_id", "embedding",
+        "dayC")
+    }
+    assert(e2.getMessage.contains("already present"), e2.getMessage)
+  }
 }

@@ -142,6 +142,18 @@ class PartitionInvarianceSpec extends AnyFunSuite {
       .foreach(confInvariant)
   }
 
+  test("r16 deletion folds are layout-invariant") {
+    // the clustering deletion fold (q488 — victims' pruned label/set
+    // reads, component-bounded re-clustering, COW deletes + the
+    // atomic label delete+upsert) and the graph-ANN
+    // tombstone/excise/serve chain (q489 — the affected-source scan,
+    // the from-scratch list recompute, the entry repair and the
+    // pruned walk): a layout leak anywhere in the delete machinery
+    // would change the surviving assignment or the served neighbors
+    Seq("q488_cluster_delete_fold", "q489_graph_ann_delete")
+      .foreach(confInvariant)
+  }
+
   test("Misra-Gries heavy hitters stay EXACT across layouts") {
     // the per-partition summary differs by layout; the exact
     // recount pass must erase that difference

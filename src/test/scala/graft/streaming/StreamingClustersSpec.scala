@@ -276,6 +276,47 @@ class StreamingClustersSpec extends AnyFunSuite {
       "the retry must NOT append the batch's sets a second time")
   }
 
+  test("maintenance renaming members INSIDE the crash window neither wedges nor duplicates (r15)") {
+    // the r15 advice wedge: rebucket (like compaction) renames every
+    // member, erasing the name tag the crash-window retry used to
+    // exclude its OWN sets rows from the disjointness probe — the old
+    // name-based guard then found the batch's ids in 'other' members
+    // and failed the drain forever with a false 'duplicate arrivals'.
+    // The labels-based guard is invariant under sets-table renames,
+    // and the content-probe append fallback keeps the retry from
+    // landing the batch's rows a SECOND time (the name ledger is
+    // equally blind after a rename).
+    val delta = docs.filter(col("doc_id") % 3 === 1)
+    val (_, _, sClean) = dirs("mwclean")
+    StreamingClusters.foldBatch(spark,
+      docs.filter(col("doc_id") % 3 === 0), sClean, "b0", threshold = 0.9)
+    StreamingClusters.foldBatch(spark, delta, sClean, "b1", threshold = 0.9)
+    val want = fp(Manifest.read(spark, s"$sClean/labels",
+      Manifest.currentVersion(s"$sClean/labels")))
+    val wantSetRows = Manifest.read(spark, s"$sClean/sets",
+      Manifest.currentVersion(s"$sClean/sets")).count()
+    val (_, _, s) = dirs("mwcrash")
+    StreamingClusters.foldBatch(spark,
+      docs.filter(col("doc_id") % 3 === 0), s, "b0", threshold = 0.9)
+    val bSets = StreamingClusters.tokenSets(delta).localCheckpoint()
+    StreamingClusters.appendBucketedOnce(bSets, s"$s/sets", "b1", Seq("id"))
+    StreamingClusters.appendBucketedOnce(Dedup.jaccardPrefixes(bSets, 0.9),
+      s"$s/prefixes", "b1", Seq("t"))
+    // maintenance lands INSIDE the window — every member renamed
+    BucketedIndex.rebucket(spark, s"$s/sets", "resize", Seq("id"),
+      StreamingClusters.IndexBuckets)
+    BucketedIndex.rebucket(spark, s"$s/prefixes", "resize", Seq("t"),
+      StreamingClusters.IndexBuckets)
+    StreamingClusters.foldBatch(spark, delta, s, "b1", threshold = 0.9)
+    val got = fp(Manifest.read(spark, s"$s/labels",
+      Manifest.currentVersion(s"$s/labels")))
+    assert(got == want,
+      "the post-maintenance retry must produce the clean-path labels")
+    assert(Manifest.read(spark, s"$s/sets",
+        Manifest.currentVersion(s"$s/sets")).count() == wantSetRows,
+      "the retry must NOT append the batch's sets rows a second time")
+  }
+
   test("mid-stream state compaction is layout-only: the drain's result is unchanged") {
     // fold two batches, compact the sets/prefix tables to ONE member
     // each, fold a third batch on the compacted state — final labels
@@ -420,6 +461,129 @@ class StreamingClustersSpec extends AnyFunSuite {
     assert(got == fp(Manifest.read(spark, s"$sPlain/labels",
         Manifest.currentVersion(s"$sPlain/labels"))),
       "the post-crash drain must equal the clean twin")
+  }
+
+  test("deleteDocs: post-delete state equals a from-scratch drain of the remaining corpus; re-adds are clean") {
+    // the retraction leg (r16): delete every 7th-ish doc from a fully
+    // drained state — shrinks, splits and whole-cluster removals all
+    // occur on this corpus — and the persisted labels must equal
+    // clustering (corpus − victims) from scratch (the q488 oracle
+    // argument). Then the victims RE-ARRIVE as a fold batch: physical
+    // deletion means no trace in sets/prefixes/labels, so the re-add
+    // is a clean arrival and the state equals a from-scratch run of
+    // the full corpus again.
+    val (_, _, s) = dirs("delete")
+    StreamingClusters.foldBatch(spark, docs, s, "b0", threshold = 0.9)
+    val victims = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    StreamingClusters.deleteDocs(spark, victims, s, "del1", threshold = 0.9)
+    def scratch(d: DataFrame) = fp(Dedup.duplicateClusters(
+      Dedup.jaccardPairs(StreamingClusters.tokenSets(d)
+        .select(col("id"), col("ts")), threshold = 0.9)
+        .select("a_id", "b_id"),
+      d.select("doc_id")))
+    val got = fp(Manifest.read(spark, s"$s/labels",
+      Manifest.currentVersion(s"$s/labels")))
+    assert(got == scratch(docs.filter(col("doc_id") % 7 =!= 3)),
+      "post-delete labels must equal from-scratch on the remaining corpus")
+    // (no untouched-bucket pin HERE: these victims touch the corpus's
+    // 231-doc mega-cluster, whose members legitimately occupy every
+    // label bucket — the bounded-rewrite pin lives in the bridge test
+    // below and in BucketedIndexSpec)
+    // physical removal: no trace left in sets or prefixes
+    val vIds = victims.withColumnRenamed("doc_id", "id")
+    assert(Manifest.read(spark, s"$s/sets",
+        Manifest.currentVersion(s"$s/sets"))
+      .join(vIds, Seq("id"), "left_semi").isEmpty,
+      "victims' sets rows must be physically gone")
+    assert(Manifest.read(spark, s"$s/prefixes",
+        Manifest.currentVersion(s"$s/prefixes"))
+      .join(vIds, Seq("id"), "left_semi").isEmpty,
+      "victims' prefix rows must be physically gone")
+    // redelivered delete tag is a no-op (the ref ledger)
+    val v = Manifest.currentVersion(s"$s/labels")
+    StreamingClusters.deleteDocs(spark, victims, s, "del1", threshold = 0.9)
+    assert(Manifest.currentVersion(s"$s/labels") == v)
+    // a delete of ALREADY-ABSENT ids under a fresh tag heals its
+    // ledger and changes nothing (indistinguishable from the
+    // post-commit/pre-ref crash window; commits are atomic)
+    StreamingClusters.deleteDocs(spark, victims, s, "del1b", threshold = 0.9)
+    assert(Manifest.currentVersion(s"$s/labels") == v &&
+      Manifest.refVersion(s"$s/labels", "del1b").isDefined)
+    // re-add the victims: a clean arrival, back to the full corpus
+    StreamingClusters.foldBatch(spark,
+      docs.filter(col("doc_id") % 7 === 3), s, "b1", threshold = 0.9)
+    assert(fp(Manifest.read(spark, s"$s/labels",
+        Manifest.currentVersion(s"$s/labels"))) == scratch(docs),
+      "re-adding deleted docs must equal from-scratch on the full corpus")
+  }
+
+  test("deleteDocs: a bridge deletion SPLITS the cluster; sizes and ids re-derive exactly") {
+    import spark.implicits._
+    val (_, _, s) = dirs("delsplit")
+    // a ~ b ~ c at τ=0.5 but a ≁ c: one 3-doc chain cluster (id 1),
+    // plus an exact pair {10, 11} and a singleton 20
+    val corpus = Seq(
+      (1L, "w1 w2 w3 w4"),
+      (2L, "w1 w2 w3 w4 u1 u2 u3 u4"),
+      (3L, "u1 u2 u3 u4"),
+      (10L, "p1 p2 p3"), (11L, "p1 p2 p3"),
+      (20L, "z1 z2 z3")).toDF("doc_id", "text")
+    StreamingClusters.foldBatch(spark, corpus, s, "b0", threshold = 0.5)
+    assert(fp(Manifest.read(spark, s"$s/labels", 1))
+      .filter(_._1 <= 3L) == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L)))
+    val labBefore = Manifest.memberPartitions(s"$s/labels", 1).map(_._1).toSet
+    // delete the bridge (2) AND the whole pair cluster {10, 11}
+    StreamingClusters.deleteDocs(spark,
+      Seq(2L, 10L, 11L).toDF("doc_id"), s, "del1", threshold = 0.5)
+    val got = fp(Manifest.read(spark, s"$s/labels",
+      Manifest.currentVersion(s"$s/labels")))
+    assert(got == Seq((1L, 1L, 1L), (3L, 3L, 1L), (20L, 20L, 1L)),
+      s"the bridge delete must split {1,2,3} into singletons: $got")
+    // the rewrite is bucket-bounded: an untouched doc's bucket member
+    // survives verbatim (doc 20 is in no touched cluster)
+    val labAfter = Manifest.memberPartitions(s"$s/labels",
+      Manifest.currentVersion(s"$s/labels")).map(_._1).toSet
+    assert((labBefore & labAfter).nonEmpty,
+      "a component-bounded delete must not rewrite untouched label buckets")
+  }
+
+  test("deleteDocs guards: partial overlap is loud; crash-window retries are clean") {
+    import spark.implicits._
+    val (_, _, s) = dirs("delguard")
+    StreamingClusters.foldBatch(spark, docs, s, "b0", threshold = 0.9)
+    // partial overlap (one known victim, one never-drained id): loud
+    val e = intercept[IllegalArgumentException] {
+      StreamingClusters.deleteDocs(spark,
+        Seq(3L, 99999999L).toDF("doc_id"), s, "delbad", threshold = 0.9)
+    }
+    assert(e.getMessage.contains("partial"), e.getMessage)
+    // crash windows: plant the prefix-deleted and the
+    // prefix+sets-deleted states (the op's own tags), then retry the
+    // FULL delete — bit-identical to the clean twin
+    val victims = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    val (_, _, sClean) = dirs("delguard-clean")
+    StreamingClusters.foldBatch(spark, docs, sClean, "b0", threshold = 0.9)
+    StreamingClusters.deleteDocs(spark, victims, sClean, "del1",
+      threshold = 0.9)
+    val want = fp(Manifest.read(spark, s"$sClean/labels",
+      Manifest.currentVersion(s"$sClean/labels")))
+    val vIds = victims.withColumnRenamed("doc_id", "id")
+    val sv = Manifest.currentVersion(s"$s/sets")
+    val vSets = BucketedIndex.prunedRead(spark, s"$s/sets", sv, vIds,
+        Seq("id"), StreamingClusters.IndexBuckets)
+      .join(vIds, Seq("id"), "left_semi").localCheckpoint()
+    // window A: prefixes deleted, nothing else
+    BucketedIndex.deleteBucketed(
+      Dedup.jaccardPrefixes(vSets, 0.9).select(col("t"), col("id")),
+      s"$s/prefixes", "del1-dpref", Seq("t"),
+      StreamingClusters.IndexBuckets, Seq("t", "id"))
+    // window B: sets deleted too
+    BucketedIndex.deleteBucketed(vIds, s"$s/sets", "del1-dsets",
+      Seq("id"), StreamingClusters.IndexBuckets, Seq("id"))
+    StreamingClusters.deleteDocs(spark, victims, s, "del1", threshold = 0.9)
+    assert(fp(Manifest.read(spark, s"$s/labels",
+        Manifest.currentVersion(s"$s/labels"))) == want,
+      "the crash-window retry must produce the clean-path labels")
   }
 
   test("resuming a state dir at a DIFFERENT threshold fails loudly") {
