@@ -281,6 +281,39 @@ object DedupOps {
         graft.operators.Manifest.currentVersion(s"$state/labels"))
     }),
 
+    // STREAMING CDC clustering drain (r16 — q478 composed with q488):
+    // the feed carries (op, doc_id, text) rows, documents JOIN (I)
+    // and LEAVE (D) the corpus in-stream — four daily batch files:
+    // adds, adds, a DELETE batch retracting every 7th-ish doc drained
+    // so far, adds. Within a batch inserts fold first, deletes second,
+    // each half with its own durable ledger (crash replays exactly
+    // the unapplied half). Fold ≡ from-scratch (contraction) and
+    // delete ≡ from-scratch on the remainder (component-bounded
+    // recompute), inductively: the drained assignment equals ONE
+    // from-scratch clustering of the SURVIVING documents — a
+    // streaming add/delete pipeline under a full SQL oracle.
+    "q490_stream_cdc_clusters" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      val docs = Tables(s, d).documents.select(col("doc_id"), col("text"))
+      val feed = freshScratch("q490feed", d)
+      val ckpt = freshScratch("q490ckpt", d)
+      val state = freshScratch("q490state", d)
+      def stamp(op: String, df: DataFrame) =
+        df.select(lit(op).as("op"), col("doc_id"), col("text"))
+      val batches = Seq(
+        stamp("I", docs.filter(col("doc_id") % 3 === 0)),
+        stamp("I", docs.filter(col("doc_id") % 3 === 1)),
+        stamp("D", docs.filter(col("doc_id") % 3 =!= 2 &&
+          col("doc_id") % 7 === 3)),
+        stamp("I", docs.filter(col("doc_id") % 3 === 2)))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        graft.streaming.LakeIngest.stageBatchFile(feed, s"day$i.parquet",
+          1000L * (i + 1), b)
+      }
+      graft.streaming.StreamingClusters.docFeedToClustersCdc(s, feed,
+        ckpt, state)
+    }),
+
     // Rolling-hash winnowing sketch (xxhash64 shingles → k-min);
     // no DuckDB xxhash64 → rows-only. The sketch is exploded to
     // (doc_id, pos, minhash) scalar rows: the driver's rows-only
@@ -727,6 +760,36 @@ object DedupOps {
     "q488_cluster_delete_fold" ->
       """WITH RECURSIVE keep AS (
            SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
+         tok AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+           FROM keep),
+         sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+           FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a_id, b_id FROM inter
+           JOIN sizes sa ON sa.doc_id = a_id
+           JOIN sizes sb ON sb.doc_id = b_id
+           WHERE c::DOUBLE / (sa.n + sb.n - c)::DOUBLE >= 0.9),
+         edges AS (
+           SELECT a_id AS s, b_id AS d FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         reach AS (
+           SELECT doc_id AS s, doc_id AS d FROM keep
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+         SELECT s AS doc_id, min(d) AS cluster_id, count(*) AS cluster_size
+         FROM reach GROUP BY s""",
+    // q490: the streaming CDC drain ≡ from-scratch on the SURVIVORS
+    // (every doc except the day-2 retraction batch: drained-so-far
+    // docs with doc_id % 7 = 3 — the day-3 adds arrive after the
+    // delete and stay)
+    "q490_stream_cdc_clusters" ->
+      """WITH RECURSIVE keep AS (
+           SELECT doc_id, text FROM documents
+           WHERE NOT (doc_id % 3 <> 2 AND doc_id % 7 = 3)),
          tok AS (
            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
            FROM keep),

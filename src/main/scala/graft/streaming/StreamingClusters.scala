@@ -582,6 +582,81 @@ object StreamingClusters {
       }
     }
 
+  /** [[docFeedToClusters]]'s CDC twin (r16): the feed carries
+    * `(op, doc_id, text)` rows — `I` documents JOIN the corpus,
+    * `D` documents LEAVE it (text ignorable for deletes) — so one
+    * drain maintains the clustering of a corpus that both grows and
+    * retracts. Within a micro-batch the inserts fold FIRST
+    * ([[foldBatch]], tag `b<id>`), then the deletes
+    * ([[deleteDocs]], tag `b<id>-del`) — a deterministic order with
+    * a durable ledger PER HALF, so a crash between the two replays
+    * exactly the unapplied half and the drained state is
+    * bit-identical to an uninterrupted run. Both halves are
+    * from-scratch-equal by construction (the contraction argument
+    * for folds, the component-bounded recompute for deletes), so the
+    * final assignment equals one from-scratch clustering of the
+    * SURVIVING documents — which is why q490 hash-pins a streaming
+    * add/delete drain against the q67 recursive-CTE oracle
+    * restricted to the survivors.
+    */
+  def docFeedToClustersCdc(
+      spark: SparkSession,
+      feedDir: String,
+      checkpointDir: String,
+      stateDir: String,
+      threshold: Double = 0.9,
+      maxCandidateFactor: Option[Double] = None,
+      compactStateEvery: Option[Int] = None): DataFrame = {
+    compactStateEvery.foreach(k => require(k >= 2,
+      s"docFeedToClustersCdc: compactStateEvery=$k must be >= 2"))
+    val schema = spark.read.parquet(feedDir).schema
+    require(Seq("op", "doc_id", "text").forall(schema.fieldNames.contains),
+      s"docFeedToClustersCdc: the feed must carry (op, doc_id, text), " +
+        s"got (${schema.fieldNames.mkString(", ")})")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feedDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the batch splits into two frames — persist, or the split
+        // re-reads the file per action (the foreachBatch recompute
+        // rule)
+        val b = batch.persist()
+        try {
+          val bad = b.filter(!col("op").isin("I", "D"))
+          require(bad.isEmpty,
+            s"docFeedToClustersCdc(b$batchId): ops must be I or D")
+          val adds = b.filter(col("op") === "I")
+            .select(col("doc_id"), col("text"))
+          val dels = b.filter(col("op") === "D").select(col("doc_id"))
+          if (!adds.isEmpty)
+            foldBatch(spark, adds, stateDir, s"b$batchId", threshold,
+              maxCandidateFactor)
+          if (!dels.isEmpty)
+            deleteDocs(spark, dels, stateDir, s"b$batchId-del", threshold)
+        } finally { b.unpersist(); () }
+        compactStateEvery.foreach { k =>
+          val setsRoot = s"$stateDir/sets"
+          val v = Manifest.currentVersion(setsRoot)
+          val maxPerGroup = if (v == 0) 0
+            else Manifest.memberPartitions(setsRoot, v)
+              .groupBy(_._2).valuesIterator.map(_.size).max
+          if (maxPerGroup >= k)
+            compactState(spark, stateDir, s"cmp-b$batchId")
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val labRoot = s"$stateDir/labels"
+    val v = Manifest.currentVersion(labRoot)
+    if (v == 0)
+      throw new IllegalStateException(
+        "docFeedToClustersCdc: the feed drained zero batches")
+    Manifest.read(spark, labRoot, v)
+  }
+
   /** Drain every (doc_id, text) file in `feedDir` (one micro-batch
     * per file, mtime order) and return the final cluster assignment
     * (doc_id, cluster_id, cluster_size) over everything drained —

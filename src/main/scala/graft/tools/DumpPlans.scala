@@ -238,7 +238,8 @@ object DumpPlans {
     "q486_signlsh_stored" -> "persisted sign-LSH serving: the plane family IS the handle's parameters (deterministic planes — no quantizer table), the probed (query, bucket) spine broadcasts into the PRUNED bucket-member read, candidate ids join the corpus once for exact-cosine ranking; the delta appended its bucket rows without touching a stored row",
     "q487_cluster_lookup_stored" -> "cluster-grain serving from the stored label table: three pruned hops — the batch ids' label buckets, the touched clusters' SECONDARY-INDEX buckets, then only the primary buckets the index entries name — each a pruned parquet scan semi-joined exact; the full label table never scans",
     "q488_cluster_delete_fold" -> "deletion fold: victims' labels via their doc_id buckets, touched clusters' membership via the secondary index's two pruned hops, remaining members' sets via their id buckets, component-bounded re-clustering, then COW deletes (prefixes/sets) + ONE atomic delete+upsert (labels) touching only the victims'/survivors' buckets; the final frame is the labels Manifest read (the fold's plans ran at delete time)",
-    "q489_graph_ann_delete" -> "graph-ANN deletion: the tombstone append is one id-bucketed commit; excise pays ONE narrow full-index scan (broadcast dst probe) to find affected sources, recomputes their lists against the remaining corpus (shuffled probe x member equi-joins under the stored quantizer), and lands victims-out + lists-replaced as one atomic delete+upsert; the serving walk then reads frontier-pruned edge buckets with the tombstone anti-join only at the surface rank")
+    "q489_graph_ann_delete" -> "graph-ANN deletion: the tombstone append is one id-bucketed commit; excise pays ONE narrow full-index scan (broadcast dst probe) to find affected sources, recomputes their lists against the remaining corpus (shuffled probe x member equi-joins under the stored quantizer), and lands victims-out + lists-replaced as one atomic delete+upsert; the serving walk then reads frontier-pruned edge buckets with the tombstone anti-join only at the surface rank",
+    "q490_stream_cdc_clusters" -> "streaming CDC clustering drain: per micro-batch the I half runs the q478 fold (pruned stored-index probe + contraction CC + label COW) and the D half the q488 deletion fold (pruned label/set reads, component-bounded recompute, COW deletes + atomic label delete+upsert), each under its own durable ledger; the final frame is the labels Manifest read (the per-batch plans ran inside foreachBatch)")
 
   /** Stages whose DRIVER-FACING query (q35/q67/q68/q70) ends in a
     * localCheckpoint — the final plan is just an RDD scan, so the

@@ -32,8 +32,8 @@ class EntrySpec extends AnyFunSuite {
     // so a silently DROPPED oracled query would not have failed the
     // suite. Keep in sync with CLAUDE.md's inventory note — a new
     // query bumps this in the SAME commit.
-    assert(SparkEntry.queries.size == 489,
-      s"query inventory drifted: ${SparkEntry.queries.size} (expected 489)")
+    assert(SparkEntry.queries.size == 490,
+      s"query inventory drifted: ${SparkEntry.queries.size} (expected 490)")
   }
 
   test("rows-only queries are exactly the approximate / non-SQL-expressible ops") {

@@ -244,7 +244,8 @@ class ReproSpec extends AnyFunSuite {
     "q486_signlsh_stored",  // persisted sign-LSH: append + stored probe
     "q487_cluster_lookup_stored", // secondary-index cluster membership
     "q488_cluster_delete_fold", // deletion fold == from-scratch on rest
-    "q489_graph_ann_delete" // tombstone + excise + stored walk
+    "q489_graph_ann_delete", // tombstone + excise + stored walk
+    "q490_stream_cdc_clusters" // streaming add/delete drain, full oracle
   )
 
   representatives.foreach { name =>

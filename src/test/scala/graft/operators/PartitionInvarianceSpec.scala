@@ -150,7 +150,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // the from-scratch list recompute, the entry repair and the
     // pruned walk): a layout leak anywhere in the delete machinery
     // would change the surviving assignment or the served neighbors
-    Seq("q488_cluster_delete_fold", "q489_graph_ann_delete")
+    Seq("q488_cluster_delete_fold", "q489_graph_ann_delete",
+      "q490_stream_cdc_clusters")
       .foreach(confInvariant)
   }
 

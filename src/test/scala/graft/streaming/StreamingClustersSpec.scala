@@ -586,6 +586,57 @@ class StreamingClustersSpec extends AnyFunSuite {
       "the crash-window retry must produce the clean-path labels")
   }
 
+  test("CDC drain (adds + deletes in-stream) equals from-scratch on the survivors; resumes mid-stream") {
+    def stamp(op: String, df: DataFrame) =
+      df.select(lit(op).as("op"), col("doc_id"), col("text"))
+    val batches = Seq(
+      stamp("I", docs.filter(col("doc_id") % 3 === 0)),
+      stamp("I", docs.filter(col("doc_id") % 3 === 1)),
+      stamp("D", docs.filter(col("doc_id") % 3 =!= 2 &&
+        col("doc_id") % 7 === 3)),
+      stamp("I", docs.filter(col("doc_id") % 3 === 2)))
+    def stageUpTo(feed: String, from: Int, until: Int): Unit =
+      (from until until).foreach(i => LakeIngest.stageBatchFile(feed,
+        s"day$i.parquet", 1000L * (i + 1), batches(i)))
+    def scratch(d: DataFrame) = fp(Dedup.duplicateClusters(
+      Dedup.jaccardPairs(StreamingClusters.tokenSets(d)
+        .select(col("id"), col("ts")), threshold = 0.9)
+        .select("a_id", "b_id"),
+      d.select("doc_id")))
+    val (f1, c1, s1) = dirs("cdc-oneshot")
+    stageUpTo(f1, 0, 4)
+    val oneShot = fp(StreamingClusters.docFeedToClustersCdc(
+      spark, f1, c1, s1))
+    val survivors = docs.filter(
+      !(col("doc_id") % 3 =!= 2 && col("doc_id") % 7 === 3))
+    assert(oneShot == scratch(survivors),
+      "the CDC drain must equal from-scratch clustering of the survivors")
+    // kill/restart between the delete batch and the last add batch
+    val (f2, c2, s2) = dirs("cdc-resume")
+    stageUpTo(f2, 0, 3)
+    StreamingClusters.docFeedToClustersCdc(spark, f2, c2, s2).count()
+    stageUpTo(f2, 3, 4)
+    assert(fp(StreamingClusters.docFeedToClustersCdc(
+        spark, f2, c2, s2)) == oneShot,
+      "a resumed CDC drain must equal the uninterrupted drain bit for bit")
+    // a MIXED batch (adds AND deletes in one file) applies
+    // inserts-then-deletes: deleting a doc added in the same batch
+    // and a doc from an earlier batch, both in one micro-batch
+    import spark.implicits._
+    val (f3, c3, s3) = dirs("cdc-mixed")
+    LakeIngest.stageBatchFile(f3, "day0.parquet", 1000L, stamp("I", docs))
+    val lone = Seq((999999L, "zqx wvu tsr qpo nml")).toDF("doc_id", "text")
+    LakeIngest.stageBatchFile(f3, "day1.parquet", 2000L,
+      stamp("I", lone).unionByName(
+        stamp("D", lone.select(col("doc_id"), col("text")))
+          .unionByName(stamp("D",
+            docs.filter(col("doc_id") % 7 === 3)))))
+    val mixed = fp(StreamingClusters.docFeedToClustersCdc(
+      spark, f3, c3, s3))
+    assert(mixed == scratch(docs.filter(col("doc_id") % 7 =!= 3)),
+      "a mixed I+D batch must apply inserts first, then deletes")
+  }
+
   test("resuming a state dir at a DIFFERENT threshold fails loudly") {
     // the stored prefix index and the cluster semantics are only
     // valid at the build threshold — a mixed-τ drain would silently
