@@ -951,8 +951,15 @@ object Dedup {
       deltaPairs: DataFrame,
       maxIters: Int = 50,
       assumeDisjoint: Boolean = false): LabelDelta = {
+    // delta-bounded by contract, but often expensive-LAZY (a
+    // similarity-verify join — q484's crossJaccardPairsStored returns
+    // an unmaterialized verify leg): the endpoint union scans it
+    // twice and the contraction join a third time, so without this
+    // checkpoint the caller's verify pipeline re-runs ~3x per fold
+    // (r17 measurement: 2x ~0.9 s at sf0.1 on q484 alone)
     val p = deltaPairs.select(col(deltaPairs.columns.head).as("a"),
       col(deltaPairs.columns(1)).as("b"))
+      .localCheckpoint()
     val dIds = deltaIds.select(col(deltaIds.columns.head).as("id"))
       .localCheckpoint() // delta-sized, read by lab + singles
     // the documented disjointness contract, ENFORCED (r12 advice): a
