@@ -815,38 +815,160 @@ object Dedup {
     */
   def duplicateClusters(pairs: DataFrame, ids: DataFrame, maxIters: Int = 50): DataFrame = {
     val idCol = ids.columns.head
+    // materialize the pair source once, so an expensive one (a
+    // similarity join) never re-runs per consumer / per iteration
     val p = pairs.select(col(pairs.columns.head).as("s"), col(pairs.columns(1)).as("d"))
-    // symmetrize once; materialize so an expensive pair source (a
-    // similarity join) never re-runs per iteration
-    val edges = p.union(p.select(col("d").as("s"), col("s").as("d"))).localCheckpoint()
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label")).localCheckpoint()
-    var updates = 0
-    var converged = false
-    // the convergence probe reads the SAME joined frame the update
-    // does — no extra join per round — and runs before counting an
-    // update, so a component of diameter exactly `maxIters` still
-    // succeeds (its last probe sees the fixpoint)
-    while (!converged && updates <= maxIters) {
-      val minNbr = edges.join(labels.withColumnRenamed("id", "s"), "s")
-        .groupBy(col("d").as("id")).agg(min(col("label")).as("nbr"))
-      val joined = labels.join(minNbr, Seq("id"), "left").localCheckpoint()
-      if (joined.filter(col("nbr") < col("label")).isEmpty) converged = true
-      else {
-        labels = joined.select(col("id"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-          .localCheckpoint()
-        updates += 1
-      }
-    }
-    if (!converged)
-      throw new IllegalStateException(
-        // the loop permits maxIters + 1 update rounds (the probe runs
-        // before counting an update) — report the true bound
-        s"duplicateClusters did not converge after ${maxIters + 1} update rounds — " +
-          "component diameter exceeds the bound; raise maxIters or switch to star-rewriting")
+      .localCheckpoint()
+    val labels = ccMinLabels(p, ids.select(col(idCol).as("id")), maxIters)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+  }
+
+  /** Connected-component min-labels of `ids` under the (materialized)
+    * pair list `p(s, d)` — the shared core of [[duplicateClusters]].
+    * Two execution paths with IDENTICAL semantics (DedupSpec pins the
+    * equivalence on random graphs, including edges with endpoints
+    * outside `ids`, which both paths IGNORE — an unknown endpoint
+    * never joins the label table, so it cannot bridge components):
+    *
+    *  - SMALL pair lists (≤ `spark.graft.cc.maxUnionFindPairs`,
+    *    default 2M — bounded by what one task unions in memory in
+    *    well under a second; raise/lower per executor heap) run an
+    *    exact single-task union-find: the delta-bounded contraction
+    *    graphs of [[incrementalClustersDeltaBy]] folds spent ~1.1 s
+    *    per fold on 3 propagation rounds × ~9 AQE stage-jobs of pure
+    *    scheduler/planning overhead to label a 634-node graph (r18
+    *    profile). One job replaces the loop; known-endpoint rows ride
+    *    the same single-partition exchange as the edges.
+    *  - larger pair lists (or non-integral id types) keep the
+    *    O(diameter) min-label-propagation loop, whose per-round work
+    *    is two shuffles of (id, label) pairs only — the shape that
+    *    scales to 100 TB.
+    */
+  private def ccMinLabels(p: DataFrame, ids: DataFrame, maxIters: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val spark = p.sparkSession
+    val idType = ids.schema.head.dataType
+    val integral = idType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    val maxPairs = spark.conf.get("spark.graft.cc.maxUnionFindPairs",
+      "2000000").toLong
+    // the count is one cheap job over the checkpointed pair blocks;
+    // skipped entirely when the fast path is disabled or inapplicable
+    val nPairs = if (integral && maxPairs > 0) p.count() else Long.MaxValue
+    if (integral && nPairs <= maxPairs) {
+      // ids *cast long* is injective for integral types, so min-label
+      // components in long-space equal components in id-space
+      val pL = p.select(col("s").cast("long").as("s"),
+        col("d").cast("long").as("d"))
+      val endpoints = pL.select(col("s").as("id"))
+        .union(pL.select(col("d").as("id"))).distinct()
+      // the known endpoint set: delta-bounded (≤ 2·nPairs), derived
+      // with the base `ids` streaming map-side against a broadcast
+      val known = ids.select(col("id").cast("long").as("s"))
+        .join(broadcast(endpoints.withColumnRenamed("id", "s")),
+          Seq("s"), "left_semi")
+        .select(col("s"), lit(0L).as("d"), lit(true).as("__node"))
+      val ufIn = known.unionByName(
+          pL.select(col("s"), col("d"), lit(false).as("__node")))
+        .select(col("s").as("_1"), col("d").as("_2"), col("__node").as("_3"))
+      import org.apache.spark.sql.Encoders
+      val enc3 = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaBoolean)
+      val enc2 = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+      val ufLabels = ufIn.as(enc3).repartition(1)
+        .mapPartitions(unionFindMinLabels)(enc2)
+        .toDF("id", "label")
+        .select(col("id").cast(idType).as("id"),
+          col("label").cast(idType).as("label"))
+      // touched-node labels are delta-bounded — broadcast them so the
+      // (possibly corpus-sized) id table never shuffles
+      ids.join(broadcast(ufLabels), Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+    } else {
+      // symmetrize lazily off the checkpointed pair blocks
+      val edges = p.union(p.select(col("d").as("s"), col("s").as("d")))
+      var labels = ids.select(col("id"), col("id").as("label")).localCheckpoint()
+      var updates = 0
+      var converged = false
+      // the convergence probe reads the SAME joined frame the update
+      // does — no extra join per round — and runs before counting an
+      // update, so a component of diameter exactly `maxIters` still
+      // succeeds (its last probe sees the fixpoint)
+      while (!converged && updates <= maxIters) {
+        val minNbr = edges.join(labels.withColumnRenamed("id", "s"), "s")
+          .groupBy(col("d").as("id")).agg(min(col("label")).as("nbr"))
+        val joined = labels.join(minNbr, Seq("id"), "left").localCheckpoint()
+        if (joined.filter(col("nbr") < col("label")).isEmpty) converged = true
+        else {
+          labels = joined.select(col("id"),
+            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+            .localCheckpoint()
+          updates += 1
+        }
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          // the loop permits maxIters + 1 update rounds (the probe runs
+          // before counting an update) — report the true bound
+          s"duplicateClusters did not converge after ${maxIters + 1} update rounds — " +
+            "component diameter exceeds the bound; raise maxIters or switch to star-rewriting")
+      labels
+    }
+  }
+
+  /** The single-task exact union-find of [[ccMinLabels]]' fast path:
+    * input rows are either known-node registrations (`__node` = true)
+    * or edges; edges whose endpoints are not BOTH registered are
+    * ignored (the propagation loop's semantics). Emits (id, min id of
+    * its component) for every registered node. Deterministic: the
+    * union order varies with row arrival, but min-per-component does
+    * not.
+    */
+  private def unionFindMinLabels(
+      it: Iterator[(Long, Long, Boolean)]): Iterator[(Long, Long)] = {
+    val idx = new java.util.HashMap[Long, Integer]()
+    val nodeIds = new scala.collection.mutable.ArrayBuffer[Long]()
+    val es = new scala.collection.mutable.ArrayBuilder.ofLong
+    val ed = new scala.collection.mutable.ArrayBuilder.ofLong
+    while (it.hasNext) {
+      val (s, d, isNode) = it.next()
+      if (isNode) {
+        if (!idx.containsKey(s)) { idx.put(s, nodeIds.length); nodeIds += s }
+      } else { es += s; ed += d }
+    }
+    val n = nodeIds.length
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    val esA = es.result(); val edA = ed.result()
+    var i = 0
+    while (i < esA.length) {
+      val a = idx.get(esA(i)); val b = idx.get(edA(i))
+      if (a != null && b != null) {
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(ra) = rb
+      }
+      i += 1
+    }
+    // min id per root, then emit every node's component min
+    val minOf = new Array[Long](n)
+    java.util.Arrays.fill(minOf, Long.MaxValue)
+    i = 0
+    while (i < n) {
+      val r = find(i)
+      if (nodeIds(i) < minOf(r)) minOf(r) = nodeIds(i)
+      i += 1
+    }
+    (0 until n).iterator.map(j => (nodeIds(j), minOf(find(j))))
   }
 
   /** Incremental connected-components MAINTENANCE — the delta
@@ -956,22 +1078,19 @@ object Dedup {
     // an unmaterialized verify leg): the endpoint union scans it
     // twice and the contraction join a third time, so without this
     // checkpoint the caller's verify pipeline re-runs ~3x per fold
-    // (r17 measurement: 2x ~0.9 s at sf0.1 on q484 alone)
+    // (r17 measurement: 2x ~0.9 s at sf0.1 on q484 alone). The
+    // repartition compacts the checkpoint: the verify legs arrive as
+    // ~100 near-empty partitions (a union of both sources' map
+    // tails), and every downstream pass over the materialized pairs
+    // would otherwise pay that task count again — AQE picks the
+    // post-shuffle partition count from the actual delta bytes.
     val p = deltaPairs.select(col(deltaPairs.columns.head).as("a"),
       col(deltaPairs.columns(1)).as("b"))
+      .repartition(col("a"))
       .localCheckpoint()
     val dIds = deltaIds.select(col(deltaIds.columns.head).as("id"))
-      .localCheckpoint() // delta-sized, read by lab + singles
-    // the documented disjointness contract, ENFORCED (r12 advice): a
-    // delta id already present in base would put two rows in the
-    // label lookup and emit duplicate/contradictory output silently.
-    // Broadcast the delta side so the base table streams map-side.
-    if (!assumeDisjoint)
-      require(labelsByDocIds(dIds).select(col("doc_id").as("id"))
-          .join(broadcast(dIds), Seq("id"), "left_semi").isEmpty,
-        "incrementalClusters: deltaIds overlap base doc_ids — delta ids " +
-          "must be NEW arrivals (disjoint from baseLabels), or the label " +
-          "lookup would carry duplicate rows per overlapping id")
+      .repartition(col("id")) // compact like p — read by 5 consumers
+      .localCheckpoint()
     // restrict the label lookup to edge endpoints FIRST — a
     // broadcast semi keyed by the delta-bounded endpoint set, so the
     // base label table streams map-side (pruned to the endpoints'
@@ -984,9 +1103,33 @@ object Dedup {
       .unionByName(dIds.select(col("id"), col("id").as("lab")))
     val labTouched = lab.join(broadcast(endpoints), Seq("id"), "left_semi")
       .localCheckpoint() // delta-bounded
-    val missing = endpoints.join(labTouched, Seq("id"), "left_anti").count()
-    require(missing == 0,
-      s"incrementalClusters: $missing edge endpoint(s) are neither base " +
+    // both validation guards in ONE job (each was a separate action —
+    // pure fixed overhead on a per-batch fold):
+    //  - disjointness (r12 advice, unless the caller proved it): a
+    //    delta id already present in base would put two rows in the
+    //    label lookup and emit duplicate/contradictory output
+    //    silently. Broadcast the delta side so the base table streams
+    //    map-side.
+    //  - unknown endpoints: an edge endpoint that is neither a base
+    //    doc nor a delta id would silently drop its edges in the
+    //    inner contraction join.
+    val overlapViol =
+      if (assumeDisjoint) labTouched.select(lit("overlap").as("v")).limit(0)
+      else labelsByDocIds(dIds).select(col("doc_id").as("id"))
+        .join(broadcast(dIds), Seq("id"), "left_semi")
+        .select(lit("overlap").as("v"))
+    val missingViol = endpoints.join(labTouched, Seq("id"), "left_anti")
+      .select(lit("missing").as("v"))
+    val viols = overlapViol.unionByName(missingViol)
+      .groupBy(col("v")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(!viols.contains("overlap"),
+      "incrementalClusters: deltaIds overlap base doc_ids — delta ids " +
+        "must be NEW arrivals (disjoint from baseLabels), or the label " +
+        "lookup would carry duplicate rows per overlapping id")
+    require(!viols.contains("missing"),
+      s"incrementalClusters: ${viols.getOrElse("missing", 0L)} edge " +
+        "endpoint(s) are neither base " +
         "docs nor delta ids — an inner contraction join would silently " +
         "drop their edges")
     // contract edges to label space; same-component edges vanish
@@ -1000,9 +1143,14 @@ object Dedup {
       .unionByName(contracted.select(col("lb").as("id"))).distinct()
       .localCheckpoint() // ≤ 2·|delta edges| labels
     // CC on the contracted graph only — component count, not size,
-    // bounds the work
-    val mapping = duplicateClusters(contracted, touched, maxIters)
-      .select(col("doc_id").as("old_lab"), col("cluster_id").as("new_lab"))
+    // bounds the work. Straight through ccMinLabels: the contracted
+    // edges are already materialized (no second pair checkpoint) and
+    // the mapping never needs duplicateClusters' sizes join — merged
+    // sizes fold the STORED sizes below.
+    val mapping = ccMinLabels(
+        contracted.select(col("la").as("s"), col("lb").as("d")),
+        touched, maxIters)
+      .select(col("id").as("old_lab"), col("label").as("new_lab"))
       .localCheckpoint()
     // the touched-cluster label rows feed BOTH the size fold and the
     // relabel leg — resolve the (possibly pruned) read once

@@ -199,16 +199,22 @@ object DedupOps {
         ()
       }
       // per-run work from here on: the delta batch alone (its sets
-      // feed the pruning keys AND both probe legs — materialize once)
+      // feed the pruning keys AND both probe legs — materialize once).
       val delta = docs.filter(col("doc_id") % 5 === 4)
       val ds = sets(delta).localCheckpoint()
-      val cross = Dedup.crossJaccardPairsStored(s, ds, s"$root/sets",
-        graft.operators.Manifest.currentVersion(s"$root/sets"), tau,
-        Dedup.prunedBasePrefixes(s, s"$root/prefixes",
-          graft.operators.Manifest.currentVersion(s"$root/prefixes"),
-          ds, tau, kb), kb)
-      val inner = Dedup.jaccardPairs(ds.select(col("id"), col("ts")), tau)
-        .select("a_id", "b_id")
+      // The two pair sources are independent until the union, and
+      // each materializes eagerly inside its builder (candidate
+      // checkpoint / rep persist), so build them on concurrent driver
+      // threads (guide §2.6) — the fold's wall-clock pays
+      // max(cross, inner) instead of their sum.
+      val (cross, inner) = graft.util.Par.both(
+        Dedup.crossJaccardPairsStored(s, ds, s"$root/sets",
+          graft.operators.Manifest.currentVersion(s"$root/sets"), tau,
+          Dedup.prunedBasePrefixes(s, s"$root/prefixes",
+            graft.operators.Manifest.currentVersion(s"$root/prefixes"),
+            ds, tau, kb), kb),
+        Dedup.jaccardPairs(ds.select(col("id"), col("ts")), tau)
+          .select("a_id", "b_id"))
       Dedup.incrementalClusters(
         graft.operators.Manifest.read(s, s"$root/labels",
           graft.operators.Manifest.currentVersion(s"$root/labels")),

@@ -235,7 +235,11 @@ object StreamingClusters {
     // only input-sized materialization (batch-sized by definition)
     val bSets = tokenSets(docs).localCheckpoint()
     val bIds = bSets.select(col("id").as("doc_id"))
-    val inner = Dedup.jaccardPairs(
+    // the batch-internal pair source builds eagerly (rep persist +
+    // candidate checkpoint inside jaccardPairs); deferred so the
+    // non-bootstrap fold can overlap it with the independent stored
+    // cross probe on a second driver thread (guide §2.6)
+    def innerPairs() = Dedup.jaccardPairs(
         bSets.select(col("id"), col("ts")), threshold)
       .select(col("a_id"), col("b_id"))
     val bootstrap = Manifest.currentVersion(labRoot) == 0
@@ -243,7 +247,7 @@ object StreamingClusters {
       if (bootstrap) {
         // bootstrap: the first batch clusters from scratch (the batch
         // IS the corpus, so this too is batch-sized)
-        Dedup.duplicateClusters(inner, bIds)
+        Dedup.duplicateClusters(innerPairs(), bIds)
       } else {
         val ownIds = bSets.select(col("id"))
         // DELTA-SHAPED disjointness guard (r13 verdict item 5 /
@@ -295,10 +299,13 @@ object StreamingClusters {
         // the candidate pairs materialize delta-bounded, and the base
         // payload re-join reads the id-bucketed stored sets PRUNED to
         // the candidates' base-id buckets — the fold's last
-        // corpus-proportional sets read is gone
-        val cross = Dedup.crossJaccardPairsStored(spark, bSets, setsRoot,
-          sv, threshold, basePref, IndexBuckets,
-          maxCandidateFactor = maxCandidateFactor)
+        // corpus-proportional sets read is gone. Built concurrently
+        // with the independent batch-internal self-join (§2.6).
+        val (cross, inner) = graft.util.Par.both(
+          Dedup.crossJaccardPairsStored(spark, bSets, setsRoot,
+            sv, threshold, basePref, IndexBuckets,
+            maxCandidateFactor = maxCandidateFactor),
+          innerPairs())
         // the label table is served PRUNED (r14 verdict item 2): the
         // id-keyed lookup leg reads the endpoints' doc_id buckets,
         // and the cluster-grain legs (old sizes, relabel) go through

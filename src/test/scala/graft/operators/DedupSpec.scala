@@ -102,12 +102,58 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("duplicateClusters fails loudly when the diameter exceeds maxIters") {
-    // a chain needs diameter rounds; cap below that
+    // a chain needs diameter rounds; cap below that. The guard lives
+    // on the propagation-loop path, so force it (a small pair list
+    // would otherwise take the union-find fast path, which has no
+    // round bound).
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a_id", "b_id")
     val ids = (1L to 5L).toDF("id")
-    intercept[IllegalStateException] {
+    spark.conf.set("spark.graft.cc.maxUnionFindPairs", "0")
+    try intercept[IllegalStateException] {
       Dedup.duplicateClusters(pairs, ids, maxIters = 2)
+    } finally spark.conf.unset("spark.graft.cc.maxUnionFindPairs")
+  }
+
+  test("duplicateClusters: union-find fast path ≡ propagation loop, incl. unknown endpoints and non-integral ids") {
+    import org.apache.spark.sql.functions._
+    val next = graft.TestSpark.splitmix(777L)
+    val n = 70L
+    // random pairs, some with endpoints OUTSIDE ids (both paths must
+    // ignore them — an unknown endpoint never bridges components)
+    val pairs = (0 until 50).map { _ =>
+      (math.floorMod(next(), n + 10), math.floorMod(next(), n + 10))
+    }.filter { case (a, b) => a != b }
+    // a bridge THROUGH an unknown node: 0-100-1 must NOT merge 0 and 1
+    val withBridge = pairs ++ Seq((0L, 100L), (100L, 1L))
+    val ids = (0L until n).toDF("id")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val fast = run(Dedup.duplicateClusters(withBridge.toDF("a_id", "b_id"), ids))
+    spark.conf.set("spark.graft.cc.maxUnionFindPairs", "0")
+    val loop = try run(Dedup.duplicateClusters(withBridge.toDF("a_id", "b_id"), ids))
+    finally spark.conf.unset("spark.graft.cc.maxUnionFindPairs")
+    assert(fast == loop)
+    assert(fast(0L)._1 != fast(1L)._1 ||
+      pairsConnect(pairs.filter(p => p._1 < n && p._2 < n), 0L, 1L),
+      "an unknown endpoint bridged two components")
+    // non-integral ids take the loop path and agree with a driver
+    // union-find
+    val sPairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("a_id", "b_id")
+    val sIds = Seq("a", "b", "c", "x", "y", "z").toDF("id")
+    val sGot = Dedup.duplicateClusters(sPairs, sIds)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(sGot == Map(
+      "a" -> (("a", 3L)), "b" -> (("a", 3L)), "c" -> (("a", 3L)),
+      "x" -> (("x", 2L)), "y" -> (("x", 2L)), "z" -> (("z", 1L))))
+  }
+
+  private def pairsConnect(pairs: Seq[(Long, Long)], a: Long, b: Long): Boolean = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long].withDefault(identity)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v)); if (ru != rv) parent(ru) = rv
     }
+    find(a) == find(b)
   }
 
   test("jaccardPairs (prefix+length+position filters) ≡ brute force across thresholds") {
