@@ -42,19 +42,38 @@ object BpeTrain {
   def train(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     val spark = docs.sparkSession
     require(k >= 1, s"k must be >= 1, got $k")
-    // exact (full-scan) collision guard: a sampled check would let a
+    // ONE corpus materialization up front; the exact (full-scan)
+    // separator collision guard — a sampled check would let a
     // late-occurring separator silently alias merged symbols with
-    // real tokens
-    require(docs.filter(col(textCol).contains(Sep)).limit(1).count() == 0,
-      s"separator '$Sep' occurs in input tokens — pick another")
-
-    var seqs = docs.select(split(col(textCol), " ").as("syms"))
-      .filter(size(col("syms")) >= 2)
-      .localCheckpoint()
+    // real tokens — runs CONCURRENTLY with it on a second driver
+    // thread (guide §2.6): both are independent full passes over the
+    // text column, so the train start pays max of the two, not the sum
+    val (seqs0, _) = graft.util.Par.both(
+      docs.select(split(col(textCol), " ").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .localCheckpoint(),
+      require(docs.filter(col(textCol).contains(Sep)).limit(1).count() == 0,
+        s"separator '$Sep' occurs in input tokens — pick another"))
+    // Per-round state is a VIRTUAL frame: the base checkpoint plus the
+    // merges learned since (one native BpeApplyMerges fold — cheap per
+    // row) instead of a re-materialization of the whole corpus every
+    // round. Round r's counting pass then costs one base scan + an
+    // r-merge fold, and the fold depth is re-zeroed by a real
+    // checkpoint every `refoldBound` merges so the per-pass work stays
+    // O(refoldBound · corpus) at any k — the re-fold is native
+    // (~ns/symbol) while a per-round corpus write+read is orders of
+    // magnitude heavier at 100 TB.
+    val refoldBound = spark.conf
+      .get("spark.graft.bpe.refoldBound", "8").toInt
+    var ckpt = seqs0
+    var pending = List.empty[(String, String)]
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 1
     var exhausted = false
     while (rank <= k && !exhausted) {
+      val seqs =
+        if (pending.isEmpty) ckpt
+        else applyMergeAll(ckpt, "syms", pending.reverse)
       // native pair extraction (AdjacentPairs): the per-round corpus
       // pass; the -encoded pair's lexicographic order equals
       // the (l, r) tuple order, so tie-breaks are unchanged
@@ -73,7 +92,11 @@ object BpeTrain {
           .split(graft.functions.expressions.AdjacentPairs.Sep, 2)
         val (l, r, c) = (parts(0), parts(1), top(0).getLong(1))
         merges += ((rank, l, r, c))
-        seqs = applyMerge(seqs, "syms", l, r).localCheckpoint()
+        pending = (l, r) :: pending
+        if (pending.length >= refoldBound) {
+          ckpt = applyMergeAll(ckpt, "syms", pending.reverse).localCheckpoint()
+          pending = Nil
+        }
         rank += 1
       }
     }

@@ -369,11 +369,16 @@ object EtlOps {
         .repartition(col("bk"))
         .groupBy(col("bk"))
         .agg(sort_array(collect_set(col("part"))).as("ws"))
-      val pairs = sets.select(explode(expr(
-          "flatten(transform(ws, (x, i) -> " +
-            "transform(slice(ws, i + 2, size(ws)), y -> " +
-            "struct(x AS pa, y AS pb))))")).as("e"))
-        .groupBy(shiftleft(col("e.pa"), 32).plus(col("e.pb")).as("pair"))
+      // pair emission is the hot inner loop (Σ C(basket, 2) packed
+      // longs): the native PackedPairs64 expression replaces the
+      // interpreted nested-transform lambdas, whose per-element
+      // `slice` copied a suffix array per item — O(m²) allocations
+      // per basket before any pair existed
+      val pairs = sets.select(explode(org.apache.spark.sql.GraftColumnBridge
+          .column(graft.functions.expressions.PackedPairs64(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("ws")))))
+          .as("pair"))
+        .groupBy(col("pair"))
         .agg(count(lit(1)).as("n_co"))
       val pa = shiftright(col("pair"), 32)
       val pb = col("pair").bitwiseAND(lit(0xFFFFFFFFL))

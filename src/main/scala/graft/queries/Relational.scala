@@ -52,11 +52,15 @@ object Relational {
   def songCounts(t: Tables): DataFrame = {
     val counts = t.lineitem
       .na.drop("any", Seq("l_partkey", "l_suppkey", "l_shipdate"))
-      // group on the derived string key (the oracle's grain) — still
-      // far narrower than carrying p_brand/p_name through the shuffle
-      .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
-        col("l_partkey"))
+      // group on the DATE key (4-byte int): the hash aggregate takes
+      // its fixed-width fast path and the exchange carries an int
+      // instead of a 10-char string; the oracle's string grain is
+      // derived AFTER the aggregate (same yyyy-MM-dd rendering — the
+      // session time zone is pinned UTC, so day boundaries agree)
+      .groupBy(to_date(col("l_shipdate")).as("ship_day"), col("l_partkey"))
       .agg(count(lit(1)).as("listen_count"))
+      .withColumn("ship_date", date_format(col("ship_day"), "yyyy-MM-dd"))
+      .drop("ship_day")
     val songs = t.part
       .select("p_partkey", "p_name", "p_brand")
       .na.drop("any", Seq("p_partkey", "p_name", "p_brand"))
