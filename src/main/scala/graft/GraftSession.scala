@@ -18,6 +18,21 @@ object GraftSession {
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE's coalescer merges small shuffle partitions up to
+      // max(total/defaultParallelism, minPartitionSize); the 1 MB
+      // default floor is sized for IO-bound stages, but this engine's
+      // small intermediate shuffles are CPU-DENSE per compressed byte
+      // (hash aggregates at near-input group counts, keyed windows,
+      // sorted-array intersect verifies), and narrow integer rows
+      // compress ~5-10x — a 1 MB floor was handing 600k-row window
+      // stages 3-6 tasks on a 32-core box (r18 job census: q10/q12/
+      // q38/q121/q150 all 10-30% faster at a 128k floor). Scale-safe
+      // by construction: on big shuffles total/parallelism dominates
+      // the max(), and the floor only bounds MERGING (partition count
+      // never exceeds the configured shuffle width). Env-overridable
+      // for cluster profiles where IO-bound small stages dominate.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "128k"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")

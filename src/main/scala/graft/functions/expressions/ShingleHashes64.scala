@@ -26,7 +26,8 @@ import org.apache.spark.unsafe.Platform
   * the interpreter overhead this expression eliminates was per
   * shingle.
   */
-case class ShingleHashes64(child: Expression, n: Int)
+case class ShingleHashes64(child: Expression, n: Int,
+    distinct: Boolean = true)
     extends UnaryExpression with CodegenFallback {
 
   require(n >= 1, s"shingle size must be >= 1, got $n")
@@ -36,7 +37,11 @@ case class ShingleHashes64(child: Expression, n: Int)
   override def nullSafeEval(input: Any): Any = {
     val toks = input.toString.split(" ", -1)
     val sb = new java.lang.StringBuilder(64)
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    // distinct = the dedup-signature contract; distinct = false keeps
+    // one hash PER WINDOW POSITION in order (the span-occurrence
+    // counting shape — q119's per-position rows)
+    val seen = if (distinct) new java.util.LinkedHashSet[java.lang.Long]() else null
+    val all = if (distinct) null else new scala.collection.mutable.ArrayBuilder.ofLong
     def hashJoined(from: Int, until: Int): Unit = {
       sb.setLength(0)
       var j = from
@@ -46,18 +51,22 @@ case class ShingleHashes64(child: Expression, n: Int)
         j += 1
       }
       val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      seen.add(XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L))
+      val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+      if (distinct) seen.add(h) else all += h
     }
     if (toks.length < n) hashJoined(0, toks.length)
     else {
       var i = 0
       while (i <= toks.length - n) { hashJoined(i, i + n); i += 1 }
     }
-    val out = new Array[Long](seen.size)
-    val it = seen.iterator()
-    var k = 0
-    while (it.hasNext) { out(k) = it.next(); k += 1 }
-    new GenericArrayData(out)
+    if (!distinct) new GenericArrayData(all.result())
+    else {
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      new GenericArrayData(out)
+    }
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes64 =

@@ -2401,9 +2401,12 @@ object EtlOps {
     // the reusable `Resample.locfGrid` operator, property-checked in
     // ResampleSpec against a per-key sorted-scan reference.
     "q341_locf_resample" -> ((s, d) => {
-      val ev = Tables(s, d).events.select(col("user_id"),
+      // single-file events arrive as ONE scan partition — the grid's
+      // per-slot partial aggregate would run serial without the
+      // fan-out (no-op on real multi-partition inputs)
+      val ev = TextOps.parallelized(Tables(s, d).events.select(col("user_id"),
         unix_micros(col("ts")).as("us"), col("event_id"),
-        round(col("value") * 100, 0).cast("long").as("cents"))
+        round(col("value") * 100, 0).cast("long").as("cents")))
       graft.operators.Resample.locfGrid(ev, "user_id", "us", "event_id",
           "cents", slotWidth = 3600000000L)
         .select(col("user_id"), col("slot").as("hour"), col("cents"),

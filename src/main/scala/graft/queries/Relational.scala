@@ -50,7 +50,11 @@ object Relational {
     * it (pinned by the unchanged DuckDB oracle).
     */
   def songCounts(t: Tables): DataFrame = {
-    val counts = t.lineitem
+    // single-file lineitem arrives as ONE scan partition — the
+    // partial aggregate over ~rows-many groups would run serial
+    // without the fan-out (no-op on real multi-partition inputs)
+    val counts = TextOps.parallelized(t.lineitem
+        .select("l_partkey", "l_suppkey", "l_shipdate"))
       .na.drop("any", Seq("l_partkey", "l_suppkey", "l_shipdate"))
       // group on the DATE key (4-byte int): the hash aggregate takes
       // its fixed-width fast path and the exchange carries an int

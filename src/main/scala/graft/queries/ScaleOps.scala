@@ -169,8 +169,12 @@ object ScaleOps {
     // banded shapes) rather than materialize pairs.
     "q127_band_join" -> ((s, d) => {
       val delta = 5L
-      val ev = Tables(s, d).events.select(col("event_id"),
-        round(col("value") * 100).cast("long").as("c"))
+      // single-file events arrive as ONE scan partition; the 3-way
+      // bucket explode + join-side shuffle write would run serial
+      // without the fan-out (r18 job census: 3 tasks for the whole
+      // query). No-op on real multi-partition inputs.
+      val ev = TextOps.parallelized(Tables(s, d).events
+        .select(col("event_id"), round(col("value") * 100).cast("long").as("c")))
       val a = ev.select(col("event_id").as("a_id"), col("c").as("ca"))
         .withColumn("bk0", expr(s"ca div $delta"))
         .select(col("a_id"), col("ca"),

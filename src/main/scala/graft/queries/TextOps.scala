@@ -379,10 +379,16 @@ object TextOps {
     // engines.
     "q92_rare_bigrams" -> ((s, d) => {
       val toks = split(col("text"), " ")
-      val bgs = transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
-      // One bigram-construction pass (the transform lambda runs
-      // interpreted per element — the expensive part), persisted so
+      // bigram keys via the native AdjacentPairs expression (one JVM
+      // pass per doc) — the transform/element_at/concat_ws lambda ran
+      // interpreted per element, the expensive part of this query.
+      // The keys only drive grouping (never surface), and the
+      // separator-join over separator-free tokens is injective, so
+      // grouping matches the oracle's space-joined bigrams.
+      val bgs = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.expressions.AdjacentPairs(
+          org.apache.spark.sql.GraftColumnBridge.expression(toks)))
+      // One bigram-construction pass, persisted so
       // the three consumers below never re-run it. The full
       // occurrence⋈counts join would shuffle every occurrence WITH
       // its frequency; instead only occurrences of the RARE subset
@@ -494,11 +500,21 @@ object TextOps {
     // semi-join shape as q92.
     "q119_span_dedup" -> ((s, d) => {
       val W = 20
-      val base = Tables(s, d).documents.select(col("doc_id"), tokens.as("toks"))
+      val base = Tables(s, d).documents
+        .select(col("doc_id"), col("text"), tokens.as("toks"))
+      // per-position span keys in ONE native pass (ShingleHashes64,
+      // distinct = false): the composed transform/slice/concat_ws/md5
+      // lambda ran interpreted per window position and copied a
+      // W-token slice per position. The key only drives grouping
+      // (never surfaces), and the space-join over space-free tokens
+      // is injective per fixed W, so hash keys group identically to
+      // the oracle's md5 strings.
       val occ = parallelized(base.filter(size(col("toks")) >= W))
         .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("toks")) - (W - 1)),
-            i => md5(concat_ws(" ", slice(col("toks"), i, lit(W)))))).as("g"))
+          explode(org.apache.spark.sql.GraftColumnBridge.column(
+            graft.functions.expressions.ShingleHashes64(
+              org.apache.spark.sql.GraftColumnBridge.expression(col("text")),
+              W, distinct = false))).as("g"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val shared = occ.groupBy("g")
         .agg(countDistinct(col("doc_id")).as("nd"))
@@ -771,14 +787,25 @@ object TextOps {
     // counts are vocab-sized → broadcast twice; min-support filter
     // bounds the ranked set before the TakeOrdered top-50.
     "q124_pmi_bigrams" -> ((s, d) => {
+      // bigram emission via the native AdjacentPairs expression (the
+      // per-position struct lambda ran interpreted); the joined key
+      // carries both words through the count, and (w1, w2) split back
+      // out AFTER the c_xy >= 5 filter — vocabulary-bounded rows
+      // instead of every corpus position. Separator-join over
+      // separator-free tokens is injective, so the grouping and the
+      // reconstructed words match the lambda form exactly.
+      val sep = graft.functions.expressions.AdjacentPairs.Sep
       val occ = parallelized(Tables(s, d).documents)
         .filter(size(tokens) >= 2)
-        .select(explode(transform(sequence(lit(1), size(tokens) - 1),
-          i => struct(element_at(tokens, i).as("w1"),
-            element_at(tokens, i + 1).as("w2")))).as("p"))
-        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      val bi = occ.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+        .select(explode(org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.expressions.AdjacentPairs(
+            org.apache.spark.sql.GraftColumnBridge.expression(tokens))))
+          .as("g"))
+      val bi = occ.groupBy("g").agg(count(lit(1)).as("c_xy"))
         .filter(col("c_xy") >= 5)
+        .select(substring_index(col("g"), sep, 1).as("w1"),
+          expr(s"substring(g, locate('$sep', g) + 1)").as("w2"),
+          col("c_xy"))
       val uni = parallelized(Tables(s, d).documents)
         .select(explode(tokens).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("c"))
@@ -961,11 +988,20 @@ object TextOps {
     // null-hit count is the novelty tally.
     "q271_novelty_score" -> ((s, d) => {
       val docs = parallelized(Tables(s, d).documents)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= 8)
-      val grams = docs.select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ws) - 7)," +
-          " i -> md5(array_join(slice(ws, i, 8), ' ')))")).as("g"))
+      // 8-gram keys in ONE native pass (ShingleHashes64): the
+      // interpreted transform/slice/md5 lambda was the corpus-pass
+      // cost. Keys only drive the distinct + anti-hit grouping (never
+      // surface); space-join over space-free tokens is injective per
+      // fixed window, so hash keys group identically to md5 strings.
+      // Per-doc distinct here equals the consumers' downstream
+      // distincts (both sides dedup before use).
+      val grams = docs.select(col("doc_id"),
+        explode(org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.expressions.ShingleHashes64(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("text")),
+            8))).as("g"))
       val base = grams.filter(col("doc_id") % 10 =!= 0)
         .select(col("g")).distinct().withColumn("hit", lit(1))
       grams.filter(col("doc_id") % 10 === 0)
