@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// per-test durations in the output (-oD), so slow suites are
+// attributable when budgeting the suite's wall time
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")

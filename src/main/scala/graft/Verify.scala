@@ -19,15 +19,33 @@ object Verify {
     // dev loop: SPARK_GRAFT_ONLY=q158_intersect_all,q160_recursive_cte
     // (the driver sets nothing, so its runs always dump everything)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    SparkEntry.queries
+    // The dump is embarrassingly parallel across queries: each query
+    // is self-contained (own scratch roots, own output dir; the one
+    // shared-session conf touch — q160's recursion-limit RAISE — is
+    // benign to every other query), and Spark schedules jobs from
+    // several driver threads concurrently (guide §2.6), so a small
+    // pool overlaps one query's driver-side planning and commit tail
+    // with another's executor work. Results are byte-identical to the
+    // sequential dump — order never mattered. 3 threads roughly
+    // halves the full 490-query wall; raise/lower via env.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "3").toInt)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val dumps = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      .map { case (name, fn) =>
+        scala.concurrent.Future {
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+        }
       }
-    }
+    dumps.foreach(f => scala.concurrent.Await.result(f,
+      scala.concurrent.duration.Duration.Inf))
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
