@@ -846,7 +846,8 @@ object Dedup {
     *    is two shuffles of (id, label) pairs only — the shape that
     *    scales to 100 TB.
     */
-  private def ccMinLabels(p: DataFrame, ids: DataFrame, maxIters: Int): DataFrame = {
+  private def ccMinLabels(p: DataFrame, ids: DataFrame, maxIters: Int,
+      idsCoverEndpoints: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val spark = p.sparkSession
     val idType = ids.schema.head.dataType
@@ -864,13 +865,21 @@ object Dedup {
       // components in long-space equal components in id-space
       val pL = p.select(col("s").cast("long").as("s"),
         col("d").cast("long").as("d"))
-      val endpoints = pL.select(col("s").as("id"))
-        .union(pL.select(col("d").as("id"))).distinct()
-      // the known endpoint set: delta-bounded (≤ 2·nPairs), derived
-      // with the base `ids` streaming map-side against a broadcast
-      val known = ids.select(col("id").cast("long").as("s"))
-        .join(broadcast(endpoints.withColumnRenamed("id", "s")),
-          Seq("s"), "left_semi")
+      // the known endpoint set: delta-bounded (≤ 2·nPairs). When the
+      // caller has PROVEN every edge endpoint is in `ids` and `ids`
+      // itself is edge-bounded (the contraction fold: `touched` IS
+      // the endpoint set, validated by the missing-endpoints guard),
+      // feed ids straight in — no endpoint distinct, no broadcast
+      // semi. Otherwise derive it with the (possibly corpus-sized)
+      // `ids` streaming map-side against a broadcast.
+      val known = (if (idsCoverEndpoints) ids.select(col("id").cast("long").as("s"))
+        else {
+          val endpoints = pL.select(col("s").as("id"))
+            .union(pL.select(col("d").as("id"))).distinct()
+          ids.select(col("id").cast("long").as("s"))
+            .join(broadcast(endpoints.withColumnRenamed("id", "s")),
+              Seq("s"), "left_semi")
+        })
         .select(col("s"), lit(0L).as("d"), lit(true).as("__node"))
       val ufIn = known.unionByName(
           pL.select(col("s"), col("d"), lit(false).as("__node")))
@@ -1149,7 +1158,7 @@ object Dedup {
     // sizes fold the STORED sizes below.
     val mapping = ccMinLabels(
         contracted.select(col("la").as("s"), col("lb").as("d")),
-        touched, maxIters)
+        touched, maxIters, idsCoverEndpoints = true)
       .select(col("id").as("old_lab"), col("label").as("new_lab"))
       .localCheckpoint()
     // the touched-cluster label rows feed BOTH the size fold and the

@@ -207,12 +207,15 @@ object DedupOps {
       // checkpoint / rep persist), so build them on concurrent driver
       // threads (guide §2.6) — the fold's wall-clock pays
       // max(cross, inner) instead of their sum.
+      // (cross is checkpointed INSIDE its thread so the pruned verify
+      // leg — otherwise lazy — also overlaps the inner build, instead
+      // of running serially inside the fold's pair materialization)
       val (cross, inner) = graft.util.Par.both(
         Dedup.crossJaccardPairsStored(s, ds, s"$root/sets",
           graft.operators.Manifest.currentVersion(s"$root/sets"), tau,
           Dedup.prunedBasePrefixes(s, s"$root/prefixes",
             graft.operators.Manifest.currentVersion(s"$root/prefixes"),
-            ds, tau, kb), kb),
+            ds, tau, kb), kb).localCheckpoint(),
         Dedup.jaccardPairs(ds.select(col("id"), col("ts")), tau)
           .select("a_id", "b_id"))
       Dedup.incrementalClusters(

@@ -301,10 +301,12 @@ object StreamingClusters {
         // the candidates' base-id buckets — the fold's last
         // corpus-proportional sets read is gone. Built concurrently
         // with the independent batch-internal self-join (§2.6).
+        // (cross checkpoints INSIDE its thread so the pruned verify
+        // leg also overlaps the inner build — see q484)
         val (cross, inner) = graft.util.Par.both(
           Dedup.crossJaccardPairsStored(spark, bSets, setsRoot,
             sv, threshold, basePref, IndexBuckets,
-            maxCandidateFactor = maxCandidateFactor),
+            maxCandidateFactor = maxCandidateFactor).localCheckpoint(),
           innerPairs())
         // the label table is served PRUNED (r14 verdict item 2): the
         // id-keyed lookup leg reads the endpoints' doc_id buckets,
